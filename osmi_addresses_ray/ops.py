@@ -1,0 +1,159 @@
+"""Generic distributed operator library (Ray-Data-first building blocks).
+
+The engine's wide operations are expressed through ONE explicit exchange
+pattern: add a deterministic ``__part = hash(keys) % P`` column in a
+vectorized ``map_batches``, then ``groupby("__part").map_groups(fn)`` where
+``fn`` receives a whole partition as a single Arrow table and does its own
+vectorized within-partition grouping. This keeps the all-to-all count and the
+partition count P explicit and controllable (SURVEY.md §4.2: key choice is
+the core design), works under Ray's default sort-shuffle, and avoids the
+per-tiny-group Python overhead of naive ``map_groups`` on raw keys.
+
+``P`` bounds per-task memory: one partition must fit in a worker heap, so
+P scales with input size (callers pass it; helpers default to 32).
+
+Skew: ``salted_parts`` splits hot keys across sub-partitions — the FP-Hadoop
+/ Hyper-Dimension-Shuffle trick (PAPERS.md) — used by the match stage for
+mega-cells.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+PART_COL = "__part"
+
+
+def hash_keys(table: pa.Table, cols: Sequence[str]) -> np.ndarray:
+    """Deterministic uint64 hash of one or more key columns (stable across
+    processes — pandas' fixed-key siphash, unlike Python's randomized hash)."""
+    acc = np.zeros(table.num_rows, dtype=np.uint64)
+    for c in cols:
+        vals = table[c].to_pandas()
+        h = pd.util.hash_pandas_object(vals, index=False).to_numpy()
+        acc = acc * np.uint64(1099511628211) + h
+    return acc
+
+
+def add_part_col(ds, cols: Sequence[str], num_parts: int):
+    """Append ``__part`` = hash(cols) % num_parts."""
+
+    def f(t: pa.Table) -> pa.Table:
+        part = (hash_keys(t, cols) % np.uint64(num_parts)).astype(np.int64)
+        return t.append_column(PART_COL, pa.array(part, pa.int64()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def partitioned_map(ds, cols: Sequence[str], num_parts: int, fn: Callable[[pa.Table], pa.Table]):
+    """Hash-partition ``ds`` by ``cols`` and apply ``fn`` once per partition.
+
+    ``fn`` sees all rows sharing any key value together (whole partition as
+    one Arrow table, ``__part`` column removed) and must be vectorized inside.
+    """
+
+    def g(t: pa.Table) -> pa.Table:
+        return fn(t.drop_columns([PART_COL]))
+
+    return (
+        add_part_col(ds, cols, num_parts)
+        .groupby(PART_COL)
+        .map_groups(g, batch_format="pyarrow")
+    )
+
+
+def _align_to_schema(t: pa.Table, schema: pa.Schema) -> pa.Table:
+    arrays = []
+    for field in schema:
+        if field.name in t.column_names:
+            arrays.append(t[field.name].cast(field.type))
+        else:
+            arrays.append(pa.nulls(t.num_rows, field.type))
+    return pa.Table.from_arrays(arrays, schema=schema)
+
+
+def cogroup(
+    datasets: Sequence,
+    keys: Sequence[Sequence[str]],
+    num_parts: int,
+    fn: Callable[..., pa.Table],
+    schemas: Sequence[pa.Schema],
+):
+    """Co-partition several datasets on their key columns and apply ``fn``.
+
+    ``fn(part0, part1, ...)`` receives one Arrow table per input dataset,
+    containing that dataset's rows of the partition. Implemented as a tagged
+    union over a superset schema (the portable partitioned-join pattern from
+    the Ray guide) — one shuffle total. ``schemas`` are each input's explicit
+    schemas (needed to align the union and split it again).
+    """
+    union_fields: list[pa.Field] = [pa.field("__src", pa.int8())]
+    seen: dict[str, pa.Field] = {}
+    for sch in schemas:
+        for f in sch:
+            if f.name in seen:
+                if not seen[f.name].type.equals(f.type):
+                    raise ValueError(f"conflicting types for column {f.name}")
+            else:
+                seen[f.name] = f
+                union_fields.append(f)
+    union_schema = pa.schema(union_fields)
+
+    tagged = []
+    for i, (ds, key_cols) in enumerate(zip(datasets, keys)):
+        src = i
+
+        def tag(t: pa.Table, _src=src, _keys=tuple(key_cols)) -> pa.Table:
+            part = (hash_keys(t, list(_keys)) % np.uint64(num_parts)).astype(np.int64)
+            t = t.append_column("__src", pa.array(np.full(t.num_rows, _src, np.int8)))
+            t = _align_to_schema(t, union_schema)
+            return t.append_column(PART_COL, pa.array(part, pa.int64()))
+
+        tagged.append(ds.map_batches(tag, batch_format="pyarrow"))
+
+    unioned = tagged[0]
+    for t in tagged[1:]:
+        unioned = unioned.union(t)
+
+    n_src = len(datasets)
+    schemas_t = tuple(schemas)
+
+    def g(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([PART_COL])
+        src = t["__src"].to_numpy(zero_copy_only=False)
+        parts = []
+        for i in range(n_src):
+            sub = t.filter(pa.array(src == i)).drop_columns(["__src"])
+            parts.append(sub.select([f.name for f in schemas_t[i]]))
+        return fn(*parts)
+
+    return unioned.groupby(PART_COL).map_groups(g, batch_format="pyarrow")
+
+
+def dedup_first(ds, key_cols: Sequence[str], order_cols: Sequence[str], num_parts: int):
+    """Per key, keep the row minimal under ``order_cols`` lexicographic order.
+
+    Deterministic replacement for the reference's stream-order "first wins"
+    dedup sets (NearestRoadsWriter.hpp:25-35, NearestAreasWriter.hpp:25-40):
+    with ``order_cols`` = the reference's processing order key, the surviving
+    row is byte-identical to the reference's.
+    """
+
+    def f(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(list(order_cols), kind="stable").drop_duplicates(
+            subset=list(key_cols), keep="first"
+        )
+        return pa.Table.from_pandas(df, schema=t.schema, preserve_index=False)
+
+    return partitioned_map(ds, key_cols, num_parts, f)
+
+
+def exact_dedup(ds, key_cols: Sequence[str], num_parts: int = 32):
+    """Exact deduplication: hash-partition on the keys, keep first per key
+    (deterministic: minimal under the key columns themselves)."""
+    return dedup_first(ds, key_cols, key_cols, num_parts)

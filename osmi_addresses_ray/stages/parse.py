@@ -81,9 +81,9 @@ def parse_docs_batch(batch: pa.Table) -> pa.Table:
     ref_parent = parent[is_ref]
     ref_vals = pc.cast(text.filter(pa.array(is_ref)), pa.int64())
     ref_offsets = np.searchsorted(ref_parent, np.arange(n + 1), side="left").astype(
-        np.int64
+        np.int32
     )
-    refs = pa.ListArray.from_arrays(pa.array(ref_offsets, pa.int64()), ref_vals)
+    refs = pa.ListArray.from_arrays(pa.array(ref_offsets, pa.int32()), ref_vals)
 
     # --- tags → flat columns for the hot keys ---
     cols: dict[str, np.ndarray] = {}

@@ -1,0 +1,117 @@
+"""Unit tests for the from-scratch geometry kernels."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from osmi_addresses_ray.functions import geom
+from osmi_addresses_ray.functions.cells import cell_of, cells_of_bbox
+from osmi_addresses_ray.functions.housenumber import (
+    alphabetic_parts,
+    atoi,
+    is_plain_number,
+)
+
+
+def test_mercator_roundtrip():
+    lon, lat = np.array([8.788, -122.4, 0.0]), np.array([47.25, 37.77, 0.0])
+    x, y = geom.wgs2merc(lon, lat)
+    lon2, lat2 = geom.merc2wgs(x, y)
+    assert np.allclose(lon, lon2, atol=1e-12)
+    assert np.allclose(lat, lat2, atol=1e-12)
+    # known value: EPSG:3857 of (0, 0) is (0, 0)
+    assert x[2] == 0 and y[2] == 0
+
+
+def test_centroid_square():
+    ring = np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], dtype=float)
+    assert geom.polygon_centroid(ring) == (1.0, 1.0)
+
+
+def test_centroid_degenerate():
+    ring = np.array([[0, 0], [2, 0], [0, 0]], dtype=float)
+    cx, cy = geom.polygon_centroid(ring)
+    assert (cx, cy) == (1.0, 0.0)
+
+
+def test_point_polyline_distance():
+    line = np.array([[0, 0], [10, 0]], dtype=float)
+    assert geom.point_polyline_distance(5, 3, line) == 3.0
+    assert geom.point_polyline_distance(-4, 3, line) == 5.0  # clamps to endpoint
+    d = geom.points_polyline_distances(np.array([5.0, -4.0]), np.array([3.0, 3.0]), line)
+    assert np.allclose(d, [3.0, 5.0])
+
+
+def test_snap_to_way_prefers_segment_projection():
+    way = np.array([[0, 0], [10, 0], [10, 10]], dtype=float)
+    # nearest vertex to (6, 1) is (10,0)? no — vertex dists: (0,0)=6.08, (10,0)=4.1, (10,10)=9.8
+    x, y = geom.snap_to_way(6, 1, way)
+    assert (x, y) == (6.0, 0.0)  # projection onto first segment via neighborhood
+    # point past the end clamps to last vertex
+    x, y = geom.snap_to_way(20, 20, way)
+    assert (x, y) == (10.0, 10.0)
+
+
+def test_value_along():
+    line = np.array([[0, 0], [10, 0], [10, 5]], dtype=float)
+    assert geom.value_along(line, 0) == (0.0, 0.0)
+    assert geom.value_along(line, 12) == (10.0, 2.0)
+    assert geom.value_along(line, 99) == (10.0, 5.0)
+    pts = geom.values_along(line, np.array([0.0, 12.0, 99.0]))
+    assert np.allclose(pts, [[0, 0], [10, 2], [10, 5]])
+
+
+def test_points_in_ring():
+    ring = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], dtype=float)
+    inside = geom.points_in_ring(np.array([2.0, 5.0, -1.0]), np.array([2.0, 2.0, 2.0]), ring)
+    assert inside.tolist() == [True, False, False]
+
+
+def test_is_point_near_bbox_lon_scaling():
+    # at lat 60, cos = 0.5 → lon tolerance doubles
+    near = geom.is_point_near_bbox(59.9, 60.1, 10.0, 10.2, 10.2 + 0.015, 60.0, 0.01)
+    assert bool(near)  # 0.015 < 0.01/cos(60°)=0.02
+    far = geom.is_point_near_bbox(59.9, 60.1, 10.0, 10.2, 10.2 + 0.025, 60.0, 0.01)
+    assert not bool(far)
+
+
+def test_atoi_and_format():
+    assert atoi("123%&") == 123
+    assert atoi("  -42x") == -42
+    assert atoi("x42") == 0
+    assert is_plain_number("123", 123)
+    assert not is_plain_number("123%&", 123)
+    assert not is_plain_number("0123", 123)
+    assert not is_plain_number("0", 0)
+
+
+def test_alphabetic_parts():
+    assert alphabetic_parts("12a", "12f") == ("ok", ord("a"), ord("f"), "12")
+    assert alphabetic_parts("12a", "13f")[0] == "numeric parts of housenumbers not identical"
+    assert alphabetic_parts("12", "12f")[0] == "no alphabetic part in addr:housenumber"
+    assert alphabetic_parts("1ab", "12f")[0] == "skip"  # second-last char alphabetic
+    assert alphabetic_parts("", "")[0] == "no alphabetic part in addr:housenumber"
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    lat=st.floats(min_value=-85, max_value=85),
+    lon=st.floats(min_value=-180, max_value=179.999),
+    dlat=st.floats(min_value=0, max_value=0.05),
+    dlon=st.floats(min_value=0, max_value=0.05),
+    plat=st.floats(min_value=-0.015, max_value=0.015),
+    plon=st.floats(min_value=-0.05, max_value=0.05),
+)
+def test_cell_cover_property(lat, lon, dlat, dlon, plat, plon):
+    """If the bbox prefilter accepts a point, the point's cell must be in
+    cells_of_bbox — the correctness contract of the J2 replication."""
+    s, n, w, e = lat, min(lat + dlat, 85.0), lon, min(lon + dlon, 180.0)
+    py, px = np.clip(lat + plat, -85, 85), lon + plon
+    if px >= 180 or px < -180:
+        return
+    if bool(geom.is_point_near_bbox(s, n, w, e, px, py, 0.01)):
+        cells = cells_of_bbox(s, n, w, e, 0.01)
+        assert int(cell_of(px, py)) in set(cells.tolist())

@@ -28,6 +28,26 @@ import pyarrow as pa
 PART_COL = "__part"
 
 
+def filter_batches(ds, predicate):
+    """Vectorized filter: ``predicate(table) -> pa boolean array``.
+
+    (Ray's ``filter(expr=...)`` mini-language lacks ``is not null``; a
+    map_batches with a pyarrow.compute mask is the idiomatic fast path.)
+    """
+    import pyarrow as _pa
+
+    def f(t: _pa.Table) -> _pa.Table:
+        return t.filter(predicate(t))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def filter_notnull(ds, col: str):
+    import pyarrow.compute as _pc
+
+    return filter_batches(ds, lambda t: _pc.is_valid(t[col]))
+
+
 def hash_keys(table: pa.Table, cols: Sequence[str]) -> np.ndarray:
     """Deterministic uint64 hash of one or more key columns (stable across
     processes — pandas' fixed-key siphash, unlike Python's randomized hash)."""

@@ -1,0 +1,335 @@
+"""Interpolation subsystem: J3 endpoint-tag capture + validator + densifier.
+
+Reference: InterpolationWriter.hpp:39-237 — for every way tagged
+``addr:interpolation`` (that survives the pass-2 nonzero-length gate) a layer
+row is ALWAYS emitted (:229); error-free ways additionally densify to
+``is_ip=1`` address points that feed the street match and the
+nodes_with_addresses layer.
+
+Endpoint-tag capture (reference ST3: mutable ``node_map_type``,
+SecondHandler.hpp:52-65) becomes a broadcast join: the endpoint-node id set is
+tiny relative to the node table (interpolation ways are sparse in OSM), so we
+collect {endpoint node id → 7 filtered addr tags} once on the driver
+(a filtered, projected pull — NOT a full materialization) and ship it to the
+validator tasks via ``ray.put``. Scale note: at planet scale this map is
+O(#interpolation ways × 2) entries ≈ tens of MB; if a corpus ever breaks the
+assumption, swap ``endpoint_tags_map`` for two distributed left joins on
+first_ref/last_ref (the code is factored so only that function changes).
+
+The error ladder is ported branch-for-branch, including its quirks:
+- C unsigned-int arithmetic for housenumbers (atoi of negatives wraps);
+- the alphabetic pre-branch errors (:93-118) can be OVERWRITTEN by later
+  rungs (`different tags on endpoints`, `closed way`) because the C++ chain
+  keeps evaluating (:128-160);
+- ``endpoint has wrong format`` is skipped for alphabetic (:129);
+- densification walks exclusive of endpoints with unsigned wraparound
+  semantics (:190), linear-referencing each number along the way (:193-195).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..constants import ADDR_KEYS_7, ENDPOINT_COMPARE_KEYS, tag_col
+from ..functions.housenumber import alphabetic_parts, atoi, is_plain_number
+from ..functions.wkt import linestring_wkt_py
+from ..schemas import INTERPOLATION_SCHEMA
+
+U32 = 1 << 32
+
+# address-point rows produced by densification (feed match + nwa)
+IP_POINT_FIELDS = [
+    pa.field("kind", pa.string()),  # "ip"
+    pa.field("obj_id", pa.int64()),
+    pa.field("lon", pa.float64()),
+    pa.field("lat", pa.float64()),
+    pa.field("street", pa.string()),
+    pa.field("houseno", pa.string()),
+    pa.field("postcode", pa.string()),
+    pa.field("city", pa.string()),
+    pa.field("country", pa.string()),
+    pa.field("fulladdr", pa.string()),
+    pa.field("place", pa.string()),
+    pa.field("lastchange", pa.string()),
+    # deterministic reference processing order (SURVEY ST4): ways phase,
+    # interpolation way id, sub-phase 0 (ip before the way's own match),
+    # generation index
+    pa.field("ord0", pa.int32()),
+    pa.field("ord1", pa.int64()),
+    pa.field("ord2", pa.int32()),
+    pa.field("ord3", pa.int32()),
+]
+IP_POINT_SCHEMA = pa.schema(IP_POINT_FIELDS)
+
+
+def collect_endpoint_tags(parsed_ds, interp_ways_ds) -> dict[int, dict[str, str]]:
+    """Driver-side small-side collection of endpoint node tags (see module
+    docstring for the scale argument). Both pulls are filtered+projected."""
+    endpoints = set()
+    for b in interp_ways_ds.select_columns(["first_ref", "last_ref"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        endpoints.update(b["first_ref"].to_pylist())
+        endpoints.update(b["last_ref"].to_pylist())
+    if not endpoints:
+        return {}
+    ep_arr = np.fromiter(endpoints, dtype=np.int64)
+    ep_ref = ray.put(np.sort(ep_arr))
+
+    cols = ["osm_id"] + [tag_col(k) for k in ADDR_KEYS_7]
+
+    def filt(t: pa.Table) -> pa.Table:
+        ids = t["osm_id"].to_numpy(zero_copy_only=False)
+        ep = ray.get(ep_ref)
+        mask = ep[np.searchsorted(ep, ids).clip(0, len(ep) - 1)] == ids
+        return t.filter(pa.array(mask))
+
+    nodes = (
+        parsed_ds.filter(expr="etype == 'node'")
+        .select_columns(cols)
+        .map_batches(filt, batch_format="pyarrow")
+    )
+    out: dict[int, dict[str, str]] = {}
+    for b in nodes.iter_batches(batch_format="pyarrow"):
+        d = b.to_pydict()
+        for i, nid in enumerate(d["osm_id"]):
+            tags = {}
+            for k in ADDR_KEYS_7:
+                v = d[tag_col(k)][i]
+                if v is not None:
+                    tags[k] = v
+            out[int(nid)] = tags
+    return out
+
+
+def _u32(v: int) -> int:
+    return v & (U32 - 1)
+
+
+def _abs_diff(a: int, b: int) -> int:
+    return a - b if a > b else b - a
+
+
+def validate_and_densify(
+    way_id: int,
+    interpolation: str,
+    xs: np.ndarray,
+    ys: np.ndarray,
+    first_id: int,
+    last_id: int,
+    is_closed: bool,
+    lastchange: str,
+    first_tags: dict[str, str],
+    last_tags: dict[str, str],
+):
+    """One interpolation way → (layer_row_dict, [ip_point_dicts]).
+
+    Exact port of the InterpolationWriter.hpp:39-237 control flow.
+    """
+    first_raw = first_tags.get("addr:housenumber", "")
+    last_raw = last_tags.get("addr:housenumber", "")
+
+    row = {
+        "way_id": way_id,
+        "typename": interpolation,
+        "firstid": first_id,
+        "lastid": last_id,
+        "firstno": first_raw if first_raw != "" else None,
+        "lastno": last_raw if last_raw != "" else None,
+        "error": None,
+        "lastchange": lastchange,
+    }
+
+    first = _u32(atoi(first_raw)) if first_raw != "" else 0
+    last = _u32(atoi(last_raw)) if last_raw != "" else 0
+
+    alpha_error = None
+    is_alpha_ok = False
+    first_numeric = ""
+    if interpolation == "alphabetic":
+        status, fa, la, fnum = alphabetic_parts(first_raw, last_raw)
+        if status == "ok":
+            first, last, first_numeric = fa, la, fnum
+            is_alpha_ok = True
+        elif status != "skip":
+            alpha_error = status
+
+    ip_points: list[dict] = []
+    ladder_error = None
+    if interpolation not in ("all", "even", "odd", "alphabetic"):
+        ladder_error = "unknown interpolation type"
+    elif interpolation != "alphabetic" and (
+        first == 0
+        or last == 0
+        or not is_plain_number(first_raw, first)
+        or not is_plain_number(last_raw, last)
+    ):
+        ladder_error = "endpoint has wrong format"
+    elif _abs_diff(first, last) > 1000:
+        ladder_error = "range too large"
+    elif (interpolation in ("even", "odd") and _abs_diff(first, last) == 2) or (
+        interpolation == "all" and _abs_diff(first, last) == 1
+    ):
+        ladder_error = "needless interpolation"
+    elif interpolation == "even" and (first % 2 == 1 or last % 2 == 1):
+        ladder_error = "interpolation even but number odd"
+    elif interpolation == "odd" and (first % 2 == 0 or last % 2 == 0):
+        ladder_error = "interpolation odd but number even"
+    elif any(
+        first_tags.get(k, "") != last_tags.get(k, "") for k in ENDPOINT_COMPARE_KEYS
+    ):
+        ladder_error = "different tags on endpoints"
+    elif is_closed:
+        ladder_error = "interpolation is a closed way"
+    elif interpolation in ("all", "odd", "even") or is_alpha_ok:
+        # densify (InterpolationWriter.hpp:161-227)
+        coords = np.column_stack((xs, ys))
+        seg = np.hypot(np.diff(xs), np.diff(ys))
+        cum = np.concatenate(([0.0], np.cumsum(seg)))
+        length = float(cum[-1])
+        increment = 2 if interpolation in ("even", "odd") else 1
+        if first < last:
+            fraction = 1.0 / (last - first)
+            lower, upper = first, last
+        else:
+            fraction = 1.0 / (first - last)
+            increment = -increment
+            lower, upper = last, first
+
+        nrs = []
+        nr = _u32(first + increment)
+        while lower < nr < upper:
+            nrs.append(nr)
+            nr = _u32(nr + increment)
+        if nrs:
+            nrs_np = np.array(nrs, dtype=np.float64)
+            if increment > 0:
+                dists = (nrs_np - lower) * fraction * length
+            else:
+                dists = (1.0 - ((nrs_np - lower) * fraction)) * length
+            # vectorized OGRLineString::Value
+            d = np.clip(dists, 0.0, length)
+            i = np.clip(np.searchsorted(cum, d, side="right") - 1, 0, max(len(seg) - 1, 0))
+            segi = np.where(seg[i] > 0, seg[i], 1.0)
+            r = np.where(seg[i] > 0, (d - cum[i]) / segi, 0.0)
+            px = coords[i, 0] + r * (coords[i + 1, 0] - coords[i, 0])
+            py = coords[i, 1] + r * (coords[i + 1, 1] - coords[i, 1])
+            for g, nr_v in enumerate(nrs):
+                nrstr = (
+                    str(nr_v)
+                    if interpolation != "alphabetic"
+                    else first_numeric + chr(nr_v)
+                )
+                ip_points.append(
+                    {
+                        "kind": "ip",
+                        "obj_id": 0,
+                        "lon": float(px[g]),
+                        "lat": float(py[g]),
+                        "street": first_tags.get("addr:street", ""),
+                        "houseno": nrstr,
+                        "postcode": first_tags.get("addr:postcode", ""),
+                        "city": first_tags.get("addr:city", ""),
+                        "country": first_tags.get("addr:country", ""),
+                        "fulladdr": first_tags.get("addr:full", ""),
+                        "place": first_tags.get("addr:place", ""),
+                        "lastchange": "",
+                        "ord0": 1,
+                        "ord1": way_id,
+                        "ord2": 0,
+                        "ord3": g,
+                    }
+                )
+
+    row["error"] = ladder_error if ladder_error is not None else alpha_error
+    return row, ip_points
+
+
+class InterpolationValidator:
+    """Actor-pool stage: holds the broadcast endpoint-tag map, validates and
+    densifies one batch of interpolation ways per call.
+
+    Emits a union of layer rows (``__out=0``) and ip points (``__out=1``);
+    the pipeline splits them with cheap filters after one materialization.
+    """
+
+    def __init__(self, endpoint_tags_ref):
+        self.endpoint_tags = ray.get(endpoint_tags_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        points: list[dict] = []
+        d = t.to_pydict()
+        n = t.num_rows
+        for i in range(n):
+            xs = np.asarray(d["xs"][i], dtype=np.float64)
+            ys = np.asarray(d["ys"][i], dtype=np.float64)
+            first_id = d["first_ref"][i]
+            last_id = d["last_ref"][i]
+            row, ips = validate_and_densify(
+                d["way_id"][i],
+                d[tag_col("addr:interpolation")][i],
+                xs,
+                ys,
+                first_id,
+                last_id,
+                d["is_closed"][i],
+                d["lastchange"][i],
+                self.endpoint_tags.get(first_id, {}),
+                self.endpoint_tags.get(last_id, {}),
+            )
+            row["geom_type"] = "LINESTRING"
+            row["geom_wkt"] = linestring_wkt_py(np.column_stack((xs, ys)))
+            rows.append(row)
+            points.extend(ips)
+
+        layer = (
+            pa.Table.from_pylist(rows, schema=INTERPOLATION_SCHEMA)
+            if rows
+            else INTERPOLATION_SCHEMA.empty_table()
+        )
+        pts = (
+            pa.Table.from_pylist(points, schema=IP_POINT_SCHEMA)
+            if points
+            else IP_POINT_SCHEMA.empty_table()
+        )
+        # tagged union over superset schema
+        out_fields = list(INTERPOLATION_SCHEMA) + [
+            f for f in IP_POINT_SCHEMA if f.name not in INTERPOLATION_SCHEMA.names
+        ]
+        union_schema = pa.schema([pa.field("__out", pa.int8())] + out_fields)
+
+        def align(tab: pa.Table, tag: int) -> pa.Table:
+            arrays = [pa.array(np.full(tab.num_rows, tag, np.int8))]
+            for f in union_schema:
+                if f.name == "__out":
+                    continue
+                if f.name in tab.column_names:
+                    arrays.append(tab[f.name].cast(f.type))
+                else:
+                    arrays.append(pa.nulls(tab.num_rows, f.type))
+            return pa.Table.from_arrays(arrays, schema=union_schema)
+
+        return pa.concat_tables([align(layer, 0), align(pts, 1)])
+
+
+def interpolation_stage(ways_geo, endpoint_tags: dict, *, concurrency=(1, 4)):
+    """ways_geo → union dataset of interpolation layer rows (__out=0) and
+    densified ip address points (__out=1). Caller materializes once and splits."""
+    import pyarrow.compute as pc
+
+    from ..ops import filter_batches
+
+    interp = filter_batches(
+        ways_geo,
+        lambda t: pc.and_(pc.is_valid(t[tag_col("addr:interpolation")]), t["nonzero"]),
+    )
+    ref = ray.put(endpoint_tags)
+    return interp.map_batches(
+        InterpolationValidator,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        fn_constructor_args=(ref,),
+    )

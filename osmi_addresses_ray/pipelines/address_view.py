@@ -1,0 +1,260 @@
+"""The flagship pipeline: interleaved docs → the 11 address-view layers.
+
+DAG (SURVEY.md §3.1, Ray lifecycle — no "passes", a dataset DAG):
+
+    docs ─ parse (stateless map_batches, span-preserving)
+     ├─ entrances layer                              (no shuffle)
+     ├─ ways_geo = assemble_ways                     (shuffles J1: node id, way id)
+     │    ├─ stateless way layers (wwa, wwpc, addrx, buildings[off])
+     │    ├─ interpolation stage → layer rows + ip points
+     │    └─ streets (replicated to padded-bbox cells)
+     ├─ places index (small → broadcast)
+     └─ addresses = node ∪ way-centroid ∪ ip points
+          └─ match_stage (shuffle J2: cell id) → nwa / connection_line /
+             nearest_points / nearest_roads+areas (A1 dedup on way_id)
+
+Materialization points: ``ways_geo`` (consumed by four branches) and the
+match/interpolation tagged unions (each split into multiple layers). At
+cluster scale these become Parquet checkpoints (``workdir``-based) so a rerun
+resumes past completed stages; in-memory materialization is used when no
+``workdir`` is given (tests, small runs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..constants import (
+    LAYER_ADDRX_ON_NONCLOSED_WAY,
+    LAYER_BUILDINGS,
+    LAYER_CONNECTION_LINE,
+    LAYER_ENTRANCES,
+    LAYER_INTERPOLATION,
+    LAYER_NEAREST_AREAS,
+    LAYER_NEAREST_POINTS,
+    LAYER_NEAREST_ROADS,
+    LAYER_NODES_WITH_ADDRESSES,
+    LAYER_WAYS_WITH_ADDRESSES,
+    LAYER_WAYS_WITH_POSTAL_CODE,
+)
+from ..functions.wkt import lines_wkt_from_offsets, point_wkt, two_point_line_wkt
+from ..ops import dedup_first, filter_notnull
+from ..schemas import (
+    CONNECTION_LINE_SCHEMA,
+    NEAREST_AREAS_SCHEMA,
+    NEAREST_POINTS_SCHEMA,
+    NEAREST_ROADS_SCHEMA,
+    NODES_WITH_ADDRESSES_SCHEMA,
+)
+from ..stages.assembly import assemble_ways
+from ..stages.entrances import entrances_layer
+from ..stages.interpolation import (
+    collect_endpoint_tags,
+    interpolation_stage,
+)
+from ..stages.match import (
+    build_places_index,
+    ip_addresses,
+    match_stage,
+    node_addresses,
+    streets_from_ways_geo,
+    way_addresses,
+)
+from ..stages.parse import parse_docs
+from ..stages.way_layers import (
+    addrx_on_nonclosed_way_layer,
+    buildings_layer,
+    ways_with_addresses_layer,
+    ways_with_postal_code_layer,
+)
+
+
+def _nwa_from_match(match_ds):
+    def f(t: pa.Table) -> pa.Table:
+        s = t.filter(pc.equal(t["__out"], 0))
+        n = s.num_rows
+        lon = s["lon"].to_numpy(zero_copy_only=False)
+        lat = s["lat"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [
+                s["node_id"].combine_chunks(),
+                s["way_id"].combine_chunks(),
+                s["ip_id"].combine_chunks(),
+                s["is_ip"].combine_chunks(),
+                s["street"].combine_chunks(),
+                s["houseno"].combine_chunks(),
+                s["postcode"].combine_chunks(),
+                s["city"].combine_chunks(),
+                s["country"].combine_chunks(),
+                s["fulladdr"].combine_chunks(),
+                s["place"].combine_chunks(),
+                s["road_id"].combine_chunks(),
+                s["nody_place_id"].combine_chunks(),
+                s["wayy_place_id"].combine_chunks(),
+                s["lastchange"].combine_chunks(),
+                s["lon"].combine_chunks(),
+                s["lat"].combine_chunks(),
+                pa.array(["POINT"] * n, pa.string()),
+                point_wkt(lon, lat),
+            ],
+            schema=NODES_WITH_ADDRESSES_SCHEMA,
+        )
+
+    return match_ds.map_batches(f, batch_format="pyarrow")
+
+
+def _connection_lines_from_match(match_ds):
+    def f(t: pa.Table) -> pa.Table:
+        s = t.filter(pc.equal(t["__out"], 1))
+        wkt = two_point_line_wkt(
+            s["lon"].to_numpy(zero_copy_only=False),
+            s["lat"].to_numpy(zero_copy_only=False),
+            s["lon2"].to_numpy(zero_copy_only=False),
+            s["lat2"].to_numpy(zero_copy_only=False),
+        )
+        return pa.Table.from_arrays(
+            [
+                s["node_id"].combine_chunks(),
+                s["way_id"].combine_chunks(),
+                pa.array(["LINESTRING"] * s.num_rows, pa.string()),
+                wkt,
+            ],
+            schema=CONNECTION_LINE_SCHEMA,
+        )
+
+    return match_ds.map_batches(f, batch_format="pyarrow")
+
+
+def _nearest_points_from_match(match_ds):
+    def f(t: pa.Table) -> pa.Table:
+        s = t.filter(pc.equal(t["__out"], 2))
+        lon = s["lon"].to_numpy(zero_copy_only=False)
+        lat = s["lat"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [
+                s["way_id"].combine_chunks(),
+                s["lon"].combine_chunks(),
+                s["lat"].combine_chunks(),
+                pa.array(["POINT"] * s.num_rows, pa.string()),
+                point_wkt(lon, lat),
+            ],
+            schema=NEAREST_POINTS_SCHEMA,
+        )
+
+    return match_ds.map_batches(f, batch_format="pyarrow")
+
+
+def _nearest_ways_from_match(match_ds, *, num_parts: int):
+    """__out=3 candidates → dedup by way_id (first in reference processing
+    order, ST4) → (roads_ds, areas_ds)."""
+    cands = match_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["__out"], 3)).select(
+            ["way_id", "name", "lastchange", "is_area", "xs", "ys", "ord0", "ord1", "ord2", "ord3"]
+        ),
+        batch_format="pyarrow",
+    )
+    deduped = dedup_first(
+        cands, ["way_id"], ["ord0", "ord1", "ord2", "ord3"], num_parts
+    ).materialize()
+
+    def project(is_area: bool, schema, geom_type: str, polygon: bool):
+        def f(t: pa.Table) -> pa.Table:
+            s = t.filter(
+                pc.equal(t["is_area"], is_area) if is_area else pc.equal(t["is_area"], False)
+            )
+            xs = s["xs"].combine_chunks() if isinstance(s["xs"], pa.ChunkedArray) else s["xs"]
+            ys = s["ys"].combine_chunks() if isinstance(s["ys"], pa.ChunkedArray) else s["ys"]
+            offs = np.asarray(xs.offsets) - xs.offsets[0].as_py()
+            flat = np.column_stack(
+                (
+                    np.asarray(xs.flatten(), dtype=np.float64),
+                    np.asarray(ys.flatten(), dtype=np.float64),
+                )
+            )
+            wkt = lines_wkt_from_offsets(flat, offs, polygon=polygon)
+            return pa.Table.from_arrays(
+                [
+                    s["way_id"].combine_chunks(),
+                    s["name"].combine_chunks(),
+                    s["lastchange"].combine_chunks(),
+                    pa.array([geom_type] * s.num_rows, pa.string()),
+                    pa.array(wkt, pa.string()),
+                ],
+                schema=schema,
+            )
+
+        return f
+
+    roads = deduped.map_batches(
+        project(False, NEAREST_ROADS_SCHEMA, "LINESTRING", False), batch_format="pyarrow"
+    )
+    areas = deduped.map_batches(
+        project(True, NEAREST_AREAS_SCHEMA, "POLYGON", True), batch_format="pyarrow"
+    )
+    return roads, areas
+
+
+def build_layers(docs_ds, *, num_parts: int = 16, buildings_enabled: bool = False):
+    """docs Dataset → dict layer_name → Dataset (lazy where possible)."""
+    parsed = parse_docs(docs_ds)
+
+    layers: dict[str, object] = {}
+    layers[LAYER_ENTRANCES] = entrances_layer(parsed)
+
+    ways_geo = assemble_ways(parsed, num_parts=num_parts).materialize()
+
+    layers[LAYER_WAYS_WITH_ADDRESSES] = ways_with_addresses_layer(ways_geo)
+    layers[LAYER_WAYS_WITH_POSTAL_CODE] = ways_with_postal_code_layer(ways_geo)
+    layers[LAYER_ADDRX_ON_NONCLOSED_WAY] = addrx_on_nonclosed_way_layer(ways_geo)
+    layers[LAYER_BUILDINGS] = buildings_layer(ways_geo, enabled=buildings_enabled)
+
+    endpoint_tags = collect_endpoint_tags(
+        parsed, filter_notnull(ways_geo, "t_addr_interpolation")
+    )
+    interp_out = interpolation_stage(ways_geo, endpoint_tags).materialize()
+    layers[LAYER_INTERPOLATION] = interp_out.map_batches(
+        lambda t: t.filter(pc.equal(t["__out"], 0)).select(
+            [
+                "way_id", "typename", "firstid", "lastid", "firstno", "lastno",
+                "error", "lastchange", "geom_type", "geom_wkt",
+            ]
+        ),
+        batch_format="pyarrow",
+    )
+    ip_points = interp_out.map_batches(
+        lambda t: t.filter(pc.equal(t["__out"], 1)).select(
+            [
+                "kind", "obj_id", "lon", "lat", "street", "houseno", "postcode",
+                "city", "country", "fulladdr", "place", "lastchange",
+                "ord0", "ord1", "ord2", "ord3",
+            ]
+        ),
+        batch_format="pyarrow",
+    )
+
+    streets = streets_from_ways_geo(ways_geo)
+    addrs = (
+        node_addresses(parsed)
+        .union(way_addresses(ways_geo))
+        .union(ip_addresses(ip_points))
+    )
+    places = build_places_index(parsed, ways_geo)
+    matched = match_stage(streets, addrs, places, num_parts=num_parts).materialize()
+
+    layers[LAYER_NODES_WITH_ADDRESSES] = _nwa_from_match(matched)
+    layers[LAYER_CONNECTION_LINE] = _connection_lines_from_match(matched)
+    layers[LAYER_NEAREST_POINTS] = _nearest_points_from_match(matched)
+    roads, areas = _nearest_ways_from_match(matched, num_parts=num_parts)
+    layers[LAYER_NEAREST_ROADS] = roads
+    layers[LAYER_NEAREST_AREAS] = areas
+    return layers
+
+
+def write_layers(layers: dict, outdir: str):
+    """One parquet directory per layer (resumable layout: per-block files)."""
+    import os
+
+    for name, ds in layers.items():
+        ds.write_parquet(os.path.join(outdir, name))

@@ -1,0 +1,243 @@
+"""Generic relational operators over Ray Data — the engine's query surface.
+
+These wrap the Dataset API with the scale idioms from SURVEY §4.2:
+- ``grouped_agg`` pre-aggregates per batch (pandas groupby inside
+  ``map_batches``) before the global shuffle, so the all-to-all moves one row
+  per (key × batch) instead of every input row;
+- joins use the native hash-partitioned ``Dataset.join``;
+- ``topk`` takes per-block partial top-k before a driver-side merge
+  (no global sort).
+
+Each public query function takes ``sf_dir`` and returns a Dataset or pandas
+DataFrame whose column NAMES match the paired oracle SQL in
+``__ray_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+
+def read(sf_dir: str, table: str, columns=None):
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# --- grouped aggregate with partial pre-aggregation --------------------------
+
+_PARTIAL = {
+    "sum": ("sum", "sum"),
+    "count": ("count", "sum"),
+    "min": ("min", "min"),
+    "max": ("max", "max"),
+    "mean": (None, None),  # expands to sum+count
+}
+
+
+def grouped_agg(ds, keys: list[str], spec: dict[str, tuple[str | None, str]]):
+    """``spec``: alias → (column|None, fn) with fn ∈ sum/count/min/max/mean.
+
+    Partial aggregation per batch, then a small global groupby over partials.
+    """
+    plan: list[tuple[str, str, str]] = []  # (partial_col, src_col, fn)
+    finalize: list[tuple[str, str]] = []  # (alias, kind)
+    for alias, (col, fn) in spec.items():
+        if fn == "mean":
+            plan.append((f"__{alias}_s", col, "sum"))
+            plan.append((f"__{alias}_c", col, "count"))
+            finalize.append((alias, "mean"))
+        elif fn == "count":
+            plan.append((f"__{alias}", keys[0] if col is None else col, "count"))
+            finalize.append((alias, "count"))
+        else:
+            plan.append((f"__{alias}", col, fn))
+            finalize.append((alias, fn))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False)
+        out = {}
+        for pcol, col, fn in plan:
+            if fn == "sum":
+                out[pcol] = g[col].sum()
+            elif fn == "count":
+                out[pcol] = g[col].count()
+            elif fn == "min":
+                out[pcol] = g[col].min()
+            elif fn == "max":
+                out[pcol] = g[col].max()
+        return pd.DataFrame(out).reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    aggs = []
+    for pcol, _c, fn in plan:
+        merge = _PARTIAL["count"][1] if fn == "count" else _PARTIAL[fn][1]
+        cls = {"sum": Sum, "min": Min, "max": Max}[merge]
+        aggs.append(cls(pcol, alias_name=pcol))
+    merged = partials.groupby(keys).aggregate(*aggs)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[keys].copy()
+        for alias, kind in finalize:
+            if kind == "mean":
+                out[alias] = df[f"__{alias}_s"] / df[f"__{alias}_c"]
+            else:
+                out[alias] = df[f"__{alias}"]
+        return out
+
+    return merged.map_batches(final, batch_format="pandas")
+
+
+def topk(ds, col: str, k: int, *, descending: bool = True) -> pd.DataFrame:
+    """Per-block partial top-k, merged on the driver — no global sort."""
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nlargest(k, col) if descending else df.nsmallest(k, col)
+
+    parts = ds.map_batches(part, batch_format="pandas").to_pandas()
+    parts = parts.sort_values(col, ascending=not descending, kind="stable")
+    return parts.head(k).reset_index(drop=True)
+
+
+# --- driver-facing queries (testdata tables) ---------------------------------
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style: grouped sums over lineitem with a date filter."""
+    ds = read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_shipdate",
+        ],
+    )
+    cutoff = pa.scalar(np.datetime64("1998-09-01", "us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["l_shipdate"], cutoff))
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc)
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    out = grouped_agg(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_base_price": ("l_extendedprice", "sum"),
+            "sum_disc_price": ("disc_price", "sum"),
+            "avg_qty": ("l_quantity", "mean"),
+            "count_order": (None, "count"),
+        },
+    )
+    df = out.to_pandas().sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    for c in ("sum_base_price", "sum_disc_price", "avg_qty"):
+        df[c] = df[c].round(4)
+    return df
+
+
+def q_filter_high_value(sf_dir: str):
+    """Predicate + projection pushdown."""
+    ds = read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderstatus"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 400000.0)),
+        batch_format="pyarrow",
+    )
+    df = ds.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    return df
+
+
+def q_join_orders_customers(sf_dir: str):
+    """Hash join orders ⨝ customer, revenue per market segment."""
+    orders = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    j = orders.join(
+        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+    out = grouped_agg(
+        j,
+        ["c_mktsegment"],
+        {"revenue": ("o_totalprice", "sum"), "n_orders": (None, "count")},
+    )
+    df = out.to_pandas().sort_values("c_mktsegment").reset_index(drop=True)
+    df["revenue"] = df["revenue"].round(4)
+    return df
+
+
+def q_top_orders(sf_dir: str):
+    """Top-10 orders by totalprice (partial top-k, no global sort)."""
+    ds = read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+    df = topk(ds, "o_totalprice", 10)
+    return df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+
+
+def q_supplier_part_join(sf_dir: str):
+    """Three-table join: lineitem ⨝ part ⨝ supplier, grouped by brand."""
+    li = read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+    part = read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    j = li.join(part, join_type="inner", num_partitions=8, on=("l_partkey",), right_on=("p_partkey",))
+    out = grouped_agg(
+        j, ["p_brand"], {"revenue": ("l_extendedprice", "sum"), "n_items": (None, "count")}
+    )
+    df = out.to_pandas().sort_values("p_brand").reset_index(drop=True)
+    df["revenue"] = df["revenue"].round(4)
+    return df
+
+
+def q_distinct_event_types(sf_dir: str):
+    ds = read(sf_dir, "events", columns=["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pd.DataFrame({"event_type": vals})
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1h window per event_type (stream-shaped groupby)."""
+    ds = read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(t["ts"], unit="hour")
+        return t.append_column("window_start", w)
+
+    ds = ds.map_batches(add_window, batch_format="pyarrow")
+    out = grouped_agg(
+        ds,
+        ["event_type", "window_start"],
+        {"n_events": (None, "count"), "sum_value": ("value", "sum")},
+    )
+    df = out.to_pandas().sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    df["sum_value"] = df["sum_value"].round(4)
+    return df
+
+
+def q_nation_region_join(sf_dir: str):
+    """Broadcast join: tiny region side shipped via a plain dict lookup."""
+    region = {r["r_regionkey"]: r["r_name"] for r in read(sf_dir, "region").take_all()}
+    nation = read(sf_dir, "nation")
+
+    def f(t: pa.Table) -> pa.Table:
+        keys = t["n_regionkey"].to_numpy(zero_copy_only=False)
+        names = pa.array([region[int(k)] for k in keys], pa.string())
+        return t.append_column("r_name", names)
+
+    df = nation.map_batches(f, batch_format="pyarrow").to_pandas()
+    return df.sort_values("n_nationkey").reset_index(drop=True)
+
+
+def q_customer_order_counts(sf_dir: str):
+    """Left-ish aggregate: orders per customer incl. aggregate sort+limit."""
+    orders = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    agg = grouped_agg(
+        orders, ["o_custkey"], {"n_orders": (None, "count"), "total": ("o_totalprice", "sum")}
+    )
+    df = agg.to_pandas()
+    df["total"] = df["total"].round(4)
+    return df.sort_values("o_custkey").reset_index(drop=True)

@@ -1,0 +1,160 @@
+"""Deterministic, scalable synthetic corpus of interleaved OSM documents.
+
+A city grid of ``n_blocks`` blocks, each ~330 m apart, with per-block street,
+addresses, building, and modulo-scheduled extras (interpolations, entrances,
+postal-code ways, misplaced-address ways, places, area highways). Every layer
+count is a closed-form function of ``n_blocks`` (``expected_counts``) — the
+pure-Python oracle for pipeline tests and the stand-in corpus for benches
+(FIXTURES.md §2; north_rule: synthesize the input table deterministically at
+small scale, no external data).
+
+Generation is itself a Ray pipeline (``fixture_docs``): block ranges fan out
+to tasks, so corpus size scales without a driver bottleneck.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..schemas import DOC_SCHEMA
+from .testzone import doc_from_entity, docs_to_table
+
+LAT0, LON0 = 47.0, 8.0
+SP = 0.003  # block spacing (deg); > MAXDIST/3, names are unique per block anyway
+GRID_W = 1000  # blocks per row
+TS = "2014-01-01T00:00:00Z"
+
+
+def gen_block(b: int, *, noise: bool = True) -> list[dict]:
+    """All docs of block ``b`` (deterministic, no RNG)."""
+    lat = LAT0 + (b // GRID_W) * SP
+    lon = LON0 + (b % GRID_W) * SP
+    base = 100 + b * 100
+    street = f"Main Street {b}"
+    docs: list[dict] = []
+
+    def node(off, lo, la, tags=None):
+        docs.append(
+            doc_from_entity(
+                "node", base + off, lon=lo, lat=la, tags=tags or [], timestamp=TS, noise=noise
+            )
+        )
+
+    def way(off, refs, tags):
+        docs.append(
+            doc_from_entity(
+                "way", base + off, refs=[base + r for r in refs], tags=tags, timestamp=TS, noise=noise
+            )
+        )
+
+    # street (2-node highway)
+    node(1, lon, lat)
+    node(2, lon + 0.001, lat)
+    way(3, [1, 2], [("highway", "residential"), ("name", street)])
+    # matched address node
+    node(4, lon + 0.0005, lat + 0.0001, [("addr:street", street), ("addr:housenumber", "1")])
+    # unmatched street name
+    node(5, lon + 0.0004, lat + 0.0002, [("addr:street", "Nowhere Lane"), ("addr:housenumber", "2")])
+    # postcode-only address
+    node(6, lon + 0.0006, lat + 0.0002, [("addr:postcode", "8634")])
+    # building with address (closed way, centroid matches street)
+    node(7, lon, lat + 0.0012)
+    node(8, lon + 0.0002, lat + 0.0012)
+    node(9, lon + 0.0002, lat + 0.0014)
+    node(10, lon, lat + 0.0014)
+    way(
+        11,
+        [7, 8, 9, 10, 7],
+        [("building", "yes"), ("addr:street", street), ("addr:housenumber", "3")],
+    )
+    if b % 4 == 0:
+        # valid even interpolation 2→10 (3 generated points: 4, 6, 8)
+        node(12, lon, lat + 0.0005, [("addr:street", street), ("addr:housenumber", "2")])
+        node(13, lon + 0.0008, lat + 0.0005, [("addr:street", street), ("addr:housenumber", "10")])
+        way(14, [12, 13], [("addr:interpolation", "even")])
+    elif b % 4 == 1:
+        # endpoint has wrong format
+        node(12, lon, lat + 0.0005, [("addr:street", street), ("addr:housenumber", "abc")])
+        node(13, lon + 0.0008, lat + 0.0005, [("addr:street", street), ("addr:housenumber", "5")])
+        way(14, [12, 13], [("addr:interpolation", "even")])
+    if b % 5 == 0:
+        node(15, lon + 0.0003, lat + 0.0011, [("entrance", "yes")])
+    if b % 7 == 0:
+        node(16, lon, lat + 0.002)
+        node(17, lon + 0.0005, lat + 0.002)
+        way(18, [16, 17], [("postal_code", "8634")])
+    if b % 6 == 0:
+        node(19, lon, lat + 0.0022)
+        node(20, lon + 0.0005, lat + 0.0022)
+        way(21, [19, 20], [("addr:housenumber", "7")])
+    if b % 10 == 0:
+        # place node + an address bound to it by addr:place
+        node(22, lon + 0.0007, lat + 0.0007, [("place", "hamlet"), ("name", f"Place {b}")])
+        node(23, lon + 0.0006, lat + 0.0007, [("addr:place", f"Place {b}"), ("addr:housenumber", "9")])
+    if b % 9 == 0:
+        # closed area highway + an address matching it
+        plaza = f"Plaza {b}"
+        node(24, lon + 0.0015, lat + 0.0016)
+        node(25, lon + 0.0017, lat + 0.0016)
+        node(26, lon + 0.0017, lat + 0.0018)
+        way(27, [24, 25, 26, 24], [("highway", "pedestrian"), ("area", "yes"), ("name", plaza)])
+        node(28, lon + 0.0016, lat + 0.0017, [("addr:street", plaza), ("addr:housenumber", "11")])
+    return docs
+
+
+def expected_counts(n: int) -> dict[str, int]:
+    """Closed-form golden layer counts for ``fixture_docs(n)``."""
+
+    def cnt(mod, rem=0):
+        return len([b for b in range(n) if b % mod == rem])
+
+    n_interp_ok = cnt(4, 0)
+    n_interp_bad = cnt(4, 1)
+    n_endpoints = 2 * (n_interp_ok + n_interp_bad)  # endpoint nodes carry addr:street
+    n_place = cnt(10, 0)
+    n_area = cnt(9, 0)
+    ip_points = 3 * n_interp_ok
+    # street matches: matched node + building centroid per block, both
+    # interpolation endpoints, every generated ip point, plaza addresses
+    street_matches = 2 * n + n_endpoints + ip_points + n_area
+    place_lines = n_place
+    # nwa rows: addr nodes 4/5/6 + centroid + endpoints + place-addr +
+    # plaza-addr + ip points
+    nwa = 3 * n + n + n_endpoints + n_place + n_area + ip_points
+    return {
+        "osmi_addresses_connection_line": street_matches + place_lines,
+        "osmi_addresses_nearest_points": street_matches,
+        "osmi_addresses_nearest_roads": n,
+        "osmi_addresses_nearest_areas": n_area,
+        "osmi_addresses_interpolation": n_interp_ok + n_interp_bad,
+        "osmi_addresses_nodes_with_addresses": nwa,
+        "osmi_addresses_ways_with_addresses": n,
+        "osmi_addresses_buildings": 0,
+        "osmi_addresses_addrx_on_nonclosed_way": cnt(6, 0),
+        "osmi_addresses_entrances": cnt(5, 0),
+        "osmi_addresses_ways_with_postal_code": cnt(7, 0),
+    }
+
+
+def fixture_table(n_blocks: int, *, noise: bool = True) -> pa.Table:
+    """Small corpora, driver-side (tests)."""
+    docs: list[dict] = []
+    for b in range(n_blocks):
+        docs.extend(gen_block(b, noise=noise))
+    return docs_to_table(docs)
+
+
+def fixture_docs(n_blocks: int, *, noise: bool = True, parallelism: int = 16):
+    """Corpus as a Ray Dataset, generated in parallel tasks."""
+    import ray.data as rd
+
+    src = rd.range(n_blocks, override_num_blocks=min(parallelism, max(1, n_blocks // 64) or 1))
+
+    def gen(t: pa.Table) -> pa.Table:
+        docs: list[dict] = []
+        for b in t["id"].to_pylist():
+            docs.extend(gen_block(int(b), noise=noise))
+        return docs_to_table(docs)
+
+    return src.map_batches(gen, batch_format="pyarrow")

@@ -24,8 +24,13 @@ from ..schemas import DOC_SCHEMA, SPAN_TYPE
 
 
 def _noise_spans(doc_key: str, slot: int) -> list[tuple[str, str, str]]:
-    """Deterministic noise (kind, text, media_ref) tuples for one slot."""
-    h = hash((doc_key, slot)) & 0x7FFFFFFF
+    """Deterministic noise (kind, text, media_ref) tuples for one slot.
+
+    crc32, not ``hash()`` — Python string hashing is salted per process and
+    docs must be byte-identical across runs and workers."""
+    import zlib
+
+    h = zlib.crc32(f"{doc_key}:{slot}".encode()) & 0x7FFFFFFF
     out = []
     if h % 3 == 0:
         out.append(("text", f"lorem-{h % 997}", ""))

@@ -1,44 +1,215 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship address-view pipeline on the deterministic
+synthetic corpus (plus a testdata smoke aggregate); ``queries()`` exposes one
+callable per implemented operator family (SURVEY.md §2 + the training-data
+ops); ``oracle_sql()`` pairs each SQL-expressible query with DuckDB SQL over
+the same parquet tables, matching column names exactly. Geospatial pipeline
+queries run over the engine's own synthesized interleaved-doc corpus
+(BASELINE.json input_hint; no external data) and are rows-only checks.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from typing import Any
 
+FIXTURE_BLOCKS = 60  # deterministic corpus size for geospatial queries
+
+
+@functools.lru_cache(maxsize=2)
+def _fixture_layers(n_blocks: int = FIXTURE_BLOCKS):
+    from osmi_addresses_ray.pipelines.address_view import build_layers
+    from osmi_addresses_ray.sources.fixture import fixture_docs
+
+    return build_layers(fixture_docs(n_blocks), num_parts=8)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline (address view over interleaved docs) + a testdata
+    smoke aggregate; returns the nodes_with_addresses layer as pandas."""
+    from osmi_addresses_ray.pipelines.relational import q1_pricing_summary
+
+    q1_pricing_summary("/root/testdata/sf0.001")  # smoke: testdata readable
+    layers = _fixture_layers()
+    return layers["osmi_addresses_nodes_with_addresses"].to_pandas()
+
+
+def _layer_query(name: str) -> Callable[[str], Any]:
+    def run(sf_dir: str):
+        return _fixture_layers()[name].to_pandas()
+
+    return run
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from osmi_addresses_ray.pipelines import dedup, relational, similarity, textstats
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {
+        # relational operator family (SQL-checked)
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q_filter_high_value": relational.q_filter_high_value,
+        "q_join_orders_customers": relational.q_join_orders_customers,
+        "q_top_orders": relational.q_top_orders,
+        "q_supplier_part_join": relational.q_supplier_part_join,
+        "q_distinct_event_types": relational.q_distinct_event_types,
+        "q_events_hourly": relational.q_events_hourly,
+        "q_nation_region_join": relational.q_nation_region_join,
+        "q_customer_order_counts": relational.q_customer_order_counts,
+        # training-data ops over documents/embeddings
+        "dedup_exact_docs": dedup.exact_dedup_docs,
+        "token_counts": textstats.token_counts,
+        "quality_scores": textstats.quality_scores,
+        "knn_bruteforce": similarity.knn_bruteforce,
+        # rows-only (non-SQL-expressible)
+        "lang_id": textstats.lang_id,
+        "fingerprints": textstats.fingerprints,
+        "simhash_docs": dedup.simhash_docs,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
+        "knn_ivf": lambda sf_dir: similarity.knn_ivf(sf_dir)[0],
+        "embedding_cosine_dedup": similarity.embedding_cosine_dedup,
+        "media_features": _media_features_query,
+        "pip_entrances_in_buildings": _pip_query,
+    }
+    # geospatial layers over the synthesized interleaved-doc corpus (rows-only)
+    for layer in (
+        "osmi_addresses_connection_line",
+        "osmi_addresses_nearest_points",
+        "osmi_addresses_nearest_roads",
+        "osmi_addresses_nearest_areas",
+        "osmi_addresses_interpolation",
+        "osmi_addresses_nodes_with_addresses",
+        "osmi_addresses_ways_with_addresses",
+        "osmi_addresses_addrx_on_nonclosed_way",
+        "osmi_addresses_entrances",
+        "osmi_addresses_ways_with_postal_code",
+    ):
+        q[layer] = _layer_query(layer)
+    return q
+
+
+def _media_features_query(sf_dir: str):
+    from osmi_addresses_ray.sources.fixture import fixture_docs
+    from osmi_addresses_ray.stages.multimodal import media_features
+
+    return media_features(fixture_docs(FIXTURE_BLOCKS)).to_pandas().sort_values(
+        ["doc_id", "media_ref"]
+    ).reset_index(drop=True)
+
+
+def _pip_query(sf_dir: str):
+    from osmi_addresses_ray.sources.fixture import fixture_docs
+    from osmi_addresses_ray.stages.assembly import assemble_ways
+    from osmi_addresses_ray.stages.contains import entrances_in_buildings
+    from osmi_addresses_ray.stages.parse import parse_docs
+
+    import pandas as pd
+
+    parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS))
+    ways_geo = assemble_ways(parsed, num_parts=8)
+    df = entrances_in_buildings(parsed, ways_geo, num_parts=8).to_pandas()
+    if df.empty:
+        df = pd.DataFrame(
+            {"point_id": pd.Series([], dtype="int64"), "poly_id": pd.Series([], dtype="int64")}
+        )
+    return df.sort_values(["point_id", "poly_id"]).reset_index(drop=True)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q_filter_high_value": """
+            SELECT o_orderkey, o_totalprice, o_orderstatus
+            FROM orders WHERE o_totalprice > 400000.0
+            ORDER BY o_orderkey
+        """,
+        "q_join_orders_customers": """
+            SELECT c_mktsegment,
+                   round(sum(o_totalprice), 4) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "q_top_orders": """
+            SELECT o_orderkey, o_totalprice, o_orderdate
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "q_supplier_part_join": """
+            SELECT p_brand,
+                   round(sum(l_extendedprice), 4) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand ORDER BY p_brand
+        """,
+        "q_distinct_event_types": """
+            SELECT DISTINCT event_type FROM events ORDER BY event_type
+        """,
+        "q_events_hourly": """
+            SELECT event_type,
+                   date_trunc('hour', ts) AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY event_type, date_trunc('hour', ts)
+            ORDER BY event_type, window_start
+        """,
+        "q_nation_region_join": """
+            SELECT n_nationkey, n_name, n_regionkey, r_name
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            ORDER BY n_nationkey
+        """,
+        "q_customer_order_counts": """
+            SELECT o_custkey,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 4) AS total
+            FROM orders GROUP BY o_custkey ORDER BY o_custkey
+        """,
+        "dedup_exact_docs": """
+            SELECT min(doc_id) AS doc_id, text
+            FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9_]+'))::BIGINT AS n_tokens,
+                   length(text)::BIGINT AS n_chars
+            FROM documents ORDER BY doc_id
+        """,
+        "quality_scores": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9_]+'))::BIGINT AS n_tokens,
+                   round(len(regexp_extract_all(text, '[.,;:!?]'))
+                         / greatest(length(text), 1)::DOUBLE, 6) AS punct_ratio,
+                   round(coalesce(list_avg(list_transform(
+                         regexp_extract_all(text, '[A-Za-z0-9_]+'),
+                         x -> length(x)::DOUBLE)), 0.0), 6) AS mean_word_len
+            FROM documents ORDER BY doc_id
+        """,
+        "knn_bruteforce": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                       embedding,
+                       (SELECT embedding FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+            FROM embeddings
+            WHERE vec_id <> 0
+            ORDER BY cosine DESC, vec_id ASC
+            LIMIT 10
+        """,
+    }

@@ -51,19 +51,20 @@ def knn_bruteforce(sf_dir: str, *, query_id: int = 0, k: int = 10) -> pd.DataFra
             qrow = mat[hit[0]]
             break
     assert qrow is not None, f"query vec_id {query_id} not found"
-    q = qrow / max(np.linalg.norm(qrow), 1e-30)
-    q_ref = ray.put(q)
+    q_ref = ray.put(qrow.astype(np.float64))
 
     def score(t: pa.Table) -> pa.Table:
         ids, mat = _batch_matrix(t)
+        m64 = mat.astype(np.float64)  # float64 math → parity with SQL oracle
         qv = ray.get(q_ref)
-        norms = np.linalg.norm(mat, axis=1)
-        sims = (mat @ qv) / np.maximum(norms, 1e-30)
+        qn = max(np.linalg.norm(qv), 1e-30)
+        norms = np.linalg.norm(m64, axis=1)
+        sims = (m64 @ qv) / (np.maximum(norms, 1e-30) * qn)
         order = np.argsort(-sims, kind="stable")[: k + 1]
         return pa.table(
             {
                 "vec_id": pa.array(ids[order], pa.int64()),
-                "cosine": pa.array(np.round(sims[order].astype(np.float64), 6)),
+                "cosine": pa.array(np.round(sims[order], 6)),
             }
         )
 
@@ -180,4 +181,12 @@ def embedding_cosine_dedup(sf_dir: str, *, threshold: float = 0.95) -> pd.DataFr
 
     out = partitioned_map(ds.map_batches(assign, batch_format="pyarrow"), ["cell"], 8, pairs)
     df = out.to_pandas()
+    if df.empty:
+        df = pd.DataFrame(
+            {
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
     return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

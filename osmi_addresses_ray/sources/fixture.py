@@ -79,7 +79,8 @@ def gen_block(b: int, *, noise: bool = True) -> list[dict]:
         node(13, lon + 0.0008, lat + 0.0005, [("addr:street", street), ("addr:housenumber", "5")])
         way(14, [12, 13], [("addr:interpolation", "even")])
     if b % 5 == 0:
-        node(15, lon + 0.0003, lat + 0.0011, [("entrance", "yes")])
+        # inside the block's building ring → exercised by the PIP check layer
+        node(15, lon + 0.0001, lat + 0.0013, [("entrance", "yes")])
     if b % 7 == 0:
         node(16, lon, lat + 0.002)
         node(17, lon + 0.0005, lat + 0.002)

@@ -1,0 +1,82 @@
+"""Emulate the driver's correctness gate: run every queries() entry at
+sf0.001 and compare SQL-checked ones against DuckDB (row count, column names,
+order-insensitive values)."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+import __ray_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def _to_df(res):
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+SQL_CHECKED = sorted(entrymod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_sql_parity(con, name):
+    ray_df = _normalize(_to_df(entrymod.queries()[name](SF_DIR)))
+    sql_df = _normalize(con.sql(entrymod.oracle_sql()[name]).df())
+    assert list(ray_df.columns) == list(sql_df.columns), (
+        f"{name}: cols {list(ray_df.columns)} vs {list(sql_df.columns)}"
+    )
+    assert len(ray_df) == len(sql_df), f"{name}: {len(ray_df)} vs {len(sql_df)} rows"
+    pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False, check_exact=False, atol=1e-5)
+
+
+def test_rows_only_queries_run():
+    qs = entrymod.queries()
+    sql = set(entrymod.oracle_sql())
+    for name, fn in qs.items():
+        if name in sql or name.startswith("osmi_"):
+            continue
+        df = _to_df(fn(SF_DIR))
+        assert df is not None and len(df.columns) > 0, name
+
+
+def test_entry_smoke():
+    df = entrymod.entry()
+    assert len(df) > 0
+    assert "road_id" in df.columns

@@ -197,8 +197,17 @@ def _nearest_ways_from_match(match_ds, *, num_parts: int):
 
 
 def build_layers(docs_ds, *, num_parts: int = 16, buildings_enabled: bool = False):
-    """docs Dataset → dict layer_name → Dataset (lazy where possible)."""
-    parsed = parse_docs(docs_ds)
+    """docs Dataset → dict layer_name → Dataset (lazy where possible).
+
+    ``parsed`` is materialized WITHOUT the wide ``spans`` column because four
+    independent branches consume it (assembly, entrances, node addresses,
+    places/endpoint side inputs); without pinning, Ray's lazy re-execution
+    would re-read and re-parse the input once per branch, and pinning the
+    nested spans payload costs more than it saves. Layer outputs reference
+    ``doc_id``, so spans remain re-joinable; the span-sequence invariant is
+    asserted on the full ``parse_docs`` output in tests. At cluster scale
+    this becomes a Parquet checkpoint under ``workdir`` (resume point #1)."""
+    parsed = parse_docs(docs_ds).drop_columns(["spans"]).materialize()
 
     layers: dict[str, object] = {}
     layers[LAYER_ENTRANCES] = entrances_layer(parsed)

@@ -248,15 +248,21 @@ def validate_and_densify(
 
 
 class InterpolationValidator:
-    """Actor-pool stage: holds the broadcast endpoint-tag map, validates and
-    densifies one batch of interpolation ways per call.
+    """Stateful validator: holds the broadcast endpoint-tag map, validates
+    and densifies one batch of interpolation ways per call.
+
+    Instantiated per worker process via the broadcast cache (ray.put once,
+    one deserialization per worker) and run as stateless TASKS — interpolation
+    ways are sparse, so an actor pool's startup cost dominates its benefit.
 
     Emits a union of layer rows (``__out=0``) and ip points (``__out=1``);
     the pipeline splits them with cheap filters after one materialization.
     """
 
     def __init__(self, endpoint_tags_ref):
-        self.endpoint_tags = ray.get(endpoint_tags_ref)
+        from ..state.broadcast import get_cached
+
+        self.endpoint_tags = get_cached(endpoint_tags_ref)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         rows: list[dict] = []
@@ -327,9 +333,8 @@ def interpolation_stage(ways_geo, endpoint_tags: dict, *, concurrency=(1, 4)):
         lambda t: pc.and_(pc.is_valid(t[tag_col("addr:interpolation")]), t["nonzero"]),
     )
     ref = ray.put(endpoint_tags)
-    return interp.map_batches(
-        InterpolationValidator,
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        fn_constructor_args=(ref,),
-    )
+
+    def run(t: pa.Table) -> pa.Table:
+        return InterpolationValidator(ref)(t)
+
+    return interp.map_batches(run, batch_format="pyarrow")

@@ -42,8 +42,7 @@ from ..functions.cells import cell_of, cells_of_bbox
 from ..functions.geom import (
     is_point_near_bbox,
     merc2wgs,
-    point_polyline_distance,
-    snap_to_way,
+    points_polyline_distances,
     wgs2merc,
 )
 from ..ops import cogroup
@@ -365,161 +364,345 @@ def build_places_index(parsed_ds, ways_geo) -> dict:
                 (d["way_id"][i], d["centroid_lon"][i], d["centroid_lat"][i])
             )
 
+    out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     for name, (nody, wayy) in places.items():
         nody.sort()
         wayy.sort()
-    return places
+        out[name] = (
+            np.array(nody, dtype=np.float64).reshape(-1, 3),
+            np.array(wayy, dtype=np.float64).reshape(-1, 3),
+        )
+    return out
 
 
 # --- the per-partition match kernel -----------------------------------------
 
+def _proj_clamped(a: np.ndarray, b: np.ndarray, p: np.ndarray) -> np.ndarray:
+    """Vectorized CLPP.hpp:343-364 — r-clamped projection, rows of (m,2)."""
+    d = b - a
+    den = (d * d).sum(axis=1)
+    safe = np.where(den == 0.0, 1.0, den)
+    r = np.clip(((p - a) * d).sum(axis=1) / safe, 0.0, 1.0)
+    out = a + r[:, None] * d
+    zero = den == 0.0
+    if zero.any():
+        out[zero] = a[zero]
+    return out
+
+
+def _snap_many(pxm: np.ndarray, pym: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Vectorized CLPP.hpp:283-338: nearest vertex then the two adjacent
+    segments, for many points against ONE way (mercator coords)."""
+    P = np.column_stack((pxm, pym))
+    d = np.hypot(C[None, :, 0] - pxm[:, None], C[None, :, 1] - pym[:, None])
+    i = d.argmin(axis=1)  # first minimal vertex (strict '<' scan)
+    best = C[i].astype(np.float64).copy()
+    prev = i > 0
+    if prev.any():
+        best[prev] = _proj_clamped(C[i[prev]], C[i[prev] - 1], P[prev])
+    nxt = i < len(C) - 1
+    if nxt.any():
+        cand = _proj_clamped(C[i[nxt]], C[i[nxt] + 1], P[nxt])
+        pn = P[nxt]
+        bn = best[nxt]
+        closer = np.hypot(pn[:, 0] - cand[:, 0], pn[:, 1] - cand[:, 1]) < np.hypot(
+            pn[:, 0] - bn[:, 0], pn[:, 1] - bn[:, 1]
+        )
+        bn[closer] = cand[closer]
+        best[nxt] = bn
+    return best
+
+
+def _obj_col(t: pa.Table, name: str) -> np.ndarray:
+    col = t[name]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.asarray(col.to_pylist(), dtype=object)
+
+
 def _match_partition(streets: pa.Table, addrs: pa.Table, places_ref) -> pa.Table:
+    """Vectorized partition kernel: pandas group-index + numpy distance
+    matrices per (cell, name) group; per-way batched mercator snap."""
+    import pandas as pd
+
     places = get_cached(places_ref) if places_ref is not None else {}
+    n = addrs.num_rows
+    if n == 0:
+        return MATCH_OUT_SCHEMA.empty_table()
 
-    out_rows: dict[str, list] = {f.name: [] for f in MATCH_OUT_SCHEMA}
+    # ---- street arrays
+    ns = streets.num_rows
+    if ns:
+        s_cell = streets["cell"].to_numpy(zero_copy_only=False)
+        s_name = _obj_col(streets, "name")
+        s_way = streets["way_id"].to_numpy(zero_copy_only=False)
+        s_area = streets["is_area"].to_numpy(zero_copy_only=False)
+        s_bs = streets["bbox_s"].to_numpy(zero_copy_only=False)
+        s_bn = streets["bbox_n"].to_numpy(zero_copy_only=False)
+        s_bw = streets["bbox_w"].to_numpy(zero_copy_only=False)
+        s_be = streets["bbox_e"].to_numpy(zero_copy_only=False)
+        xs_l = streets["xs"].combine_chunks() if isinstance(streets["xs"], pa.ChunkedArray) else streets["xs"]
+        ys_l = streets["ys"].combine_chunks() if isinstance(streets["ys"], pa.ChunkedArray) else streets["ys"]
+        s_offs = np.asarray(xs_l.offsets)
+        s_offs = s_offs - s_offs[0]
+        s_fx = np.asarray(xs_l.flatten(), dtype=np.float64)
+        s_fy = np.asarray(ys_l.flatten(), dtype=np.float64)
 
-    def emit(tag, **kw):
+        def scoords(j: int) -> np.ndarray:
+            return np.column_stack((s_fx[s_offs[j] : s_offs[j + 1]], s_fy[s_offs[j] : s_offs[j + 1]]))
+
+        sgroups = pd.DataFrame({"cell": s_cell, "name": s_name}).groupby(
+            ["cell", "name"], sort=False
+        ).indices
+    else:
+        sgroups = {}
+        xs_l = ys_l = None
+
+        def scoords(j: int) -> np.ndarray:  # pragma: no cover
+            raise IndexError
+
+    # ---- address arrays
+    a_cell = addrs["cell"].to_numpy(zero_copy_only=False)
+    a_kind = _obj_col(addrs, "kind")
+    a_obj = addrs["obj_id"].to_numpy(zero_copy_only=False)
+    ax = addrs["lon"].to_numpy(zero_copy_only=False)
+    ay = addrs["lat"].to_numpy(zero_copy_only=False)
+    a_street = _obj_col(addrs, "street")
+    a_place = _obj_col(addrs, "place_name")
+    a_ord = [addrs[f"ord{i}"].to_numpy(zero_copy_only=False) for i in range(4)]
+
+    kind_node = a_kind == "node"
+    kind_way = a_kind == "way"
+    kind_ip = a_kind == "ip"
+
+    matched = np.zeros(n, dtype=bool)
+    win_row = np.full(n, -1, dtype=np.int64)  # street row index of the winner
+    snap_lon = np.full(n, np.nan)
+    snap_lat = np.full(n, np.nan)
+    nody_m = np.zeros(n, dtype=bool)
+    wayy_m = np.zeros(n, dtype=bool)
+
+    # ---- J2: street match, grouped by (cell, street name)
+    has_street = np.array([s is not None for s in a_street], dtype=bool)
+    if has_street.any() and sgroups:
+        hs_idx = np.flatnonzero(has_street)
+        agroups = pd.DataFrame(
+            {"cell": a_cell[hs_idx], "name": a_street[hs_idx]}
+        ).groupby(["cell", "name"], sort=False).indices
+        for key, local in agroups.items():
+            cands = sgroups.get(key)
+            if cands is None:
+                continue
+            cands = np.asarray(cands)
+            # multimap scan order: areas first, way-id order within each
+            # (CLPP.hpp:227-237; insertion order == way id order); sort key
+            # "is NOT area" ascending puts areas first
+            cands = cands[np.lexsort((s_way[cands], ~s_area[cands].astype(bool)))]
+            aidx = hs_idx[local]
+            axg, ayg = ax[aidx], ay[aidx]
+            m, k = len(aidx), len(cands)
+            D = np.full((k, m), np.inf)
+            for ci, j in enumerate(cands):
+                mask = np.asarray(
+                    is_point_near_bbox(s_bs[j], s_bn[j], s_bw[j], s_be[j], axg, ayg, MAXDIST)
+                )
+                if mask.any():
+                    D[ci, mask] = points_polyline_distances(axg[mask], ayg[mask], scoords(j))
+            finite = np.isfinite(D).any(axis=0)
+            if not finite.any():
+                continue
+            w = D.argmin(axis=0)  # first index of the min → strict-'<' ties
+            midx = aidx[finite]
+            matched[midx] = True
+            win_row[midx] = cands[w[finite]]
+
+    # ---- J5: snap, batched per winner way (mercator, CLPP.hpp:149-154)
+    midx_all = np.flatnonzero(matched)
+    if len(midx_all):
+        order = np.argsort(win_row[midx_all], kind="stable")
+        midx_sorted = midx_all[order]
+        rows_sorted = win_row[midx_sorted]
+        starts = np.flatnonzero(
+            np.concatenate(([True], rows_sorted[1:] != rows_sorted[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [len(rows_sorted)]))
+        for s0, e0 in zip(starts, ends):
+            j = rows_sorted[s0]
+            sel = midx_sorted[s0:e0]
+            C = scoords(j)
+            wx, wy = wgs2merc(C[:, 0], C[:, 1])
+            mx, my = wgs2merc(ax[sel], ay[sel])
+            snapped = _snap_many(mx, my, np.column_stack((wx, wy)))
+            lo, la = merc2wgs(snapped[:, 0], snapped[:, 1])
+            snap_lon[sel] = lo
+            snap_lat[sel] = la
+
+    # ---- J4: place probes (nodes: addr:street name AND addr:place name;
+    # closed ways: addr:place name; never for interpolated points)
+    place_line_src: list[np.ndarray] = []
+    place_line_dst_lon: list[np.ndarray] = []
+    place_line_dst_lat: list[np.ndarray] = []
+
+    def probe(idx: np.ndarray, names: np.ndarray):
+        if not len(idx):
+            return
+        pdf = pd.DataFrame({"name": names}).groupby("name", sort=False).indices
+        for name, local in pdf.items():
+            entry = places.get(name)
+            if entry is None:
+                continue
+            nody, wayy = entry
+            comb = np.vstack((nody, wayy))
+            if len(comb) == 0:
+                continue
+            p_split = len(nody)
+            gidx = idx[local]
+            dx = ax[gidx][:, None] - comb[None, :, 1]
+            dy = ay[gidx][:, None] - comb[None, :, 2]
+            within = np.hypot(dx, dy) < MAXDIST
+            anyw = within.any(axis=1)
+            if not anyw.any():
+                continue
+            # LAST within-MAXDIST candidate wins (never-updated best_dist
+            # quirk, CLPP.hpp:186-206; nody scanned before wayy)
+            last = comb.shape[0] - 1 - np.argmax(within[:, ::-1], axis=1)
+            sel = gidx[anyw]
+            lastw = last[anyw]
+            is_nody = lastw < p_split
+            nody_m[sel[is_nody]] = True
+            wayy_m[sel[~is_nody]] = True
+            place_line_src.append(sel)
+            place_line_dst_lon.append(comb[lastw, 1])
+            place_line_dst_lat.append(comb[lastw, 2])
+
+    if places:
+        # pass 1: node addresses probing with their addr:street value
+        p1 = np.flatnonzero(kind_node & has_street)
+        probe(p1, a_street[p1])
+        # pass 2: nodes and ways probing with their addr:place value
+        has_place = np.array([s is not None for s in a_place], dtype=bool)
+        p2 = np.flatnonzero((kind_node | kind_way) & has_place)
+        probe(p2, a_place[p2])
+
+    # ---- assemble outputs -------------------------------------------------
+    tables: list[pa.Table] = []
+
+    def sub_table(nrows: int, tag: int, cols: dict) -> pa.Table:
+        arrays = []
         for f in MATCH_OUT_SCHEMA:
             if f.name == "__out":
-                out_rows["__out"].append(tag)
+                arrays.append(pa.array(np.full(nrows, tag, np.int8)))
+            elif f.name in cols:
+                v = cols[f.name]
+                arrays.append(v if isinstance(v, (pa.Array, pa.ChunkedArray)) else pa.array(v, f.type, from_pandas=True))
             else:
-                out_rows[f.name].append(kw.get(f.name))
+                arrays.append(pa.nulls(nrows, f.type))
+        return pa.Table.from_arrays(arrays, schema=MATCH_OUT_SCHEMA)
 
-    # street index: (cell, name) → candidate arrays, areas first then
-    # nonareas, way-id order within each (multimap scan order, CLPP:227-237)
-    sidx: dict[tuple[int, str], list[int]] = {}
-    sd = streets.to_pydict() if streets.num_rows else {k: [] for k in STREET_SCHEMA.names}
-    order = sorted(
-        range(len(sd["cell"])),
-        key=lambda i: (sd["cell"][i], sd["name"][i], not sd["is_area"][i], sd["way_id"][i]),
-    )
-    for i in order:
-        sidx.setdefault((sd["cell"][i], sd["name"][i]), []).append(i)
+    # __out=0: nwa rows
+    emit0 = addrs["nwa_emit"].to_numpy(zero_copy_only=False).astype(bool)
+    e0 = np.flatnonzero(emit0)
+    if len(e0):
+        isip = kind_ip[e0]
+        node_ids = np.where(kind_node[e0], a_obj[e0], 0)
+        way_ids = np.where(kind_way[e0], a_obj[e0], 0)
+        road = np.where(matched[e0], "1", None)
+        nodym = np.where(nody_m[e0] & ~isip, "1", None)
+        wayym = np.where(wayy_m[e0] & ~isip, "1", None)
+        lastchange = _obj_col(addrs, "lastchange")[e0]
+        lastchange = np.where(isip, None, lastchange)
+        cols = {
+            "node_id": pa.array(node_ids, pa.int64(), mask=~kind_node[e0]),
+            "way_id": pa.array(way_ids, pa.int64(), mask=~kind_way[e0]),
+            "is_ip": pa.array(isip.astype(np.int32)),
+            "street": pa.array(_obj_col(addrs, "street")[e0], pa.string(), from_pandas=True),
+            "houseno": pa.array(_obj_col(addrs, "houseno")[e0], pa.string(), from_pandas=True),
+            "postcode": pa.array(_obj_col(addrs, "postcode")[e0], pa.string(), from_pandas=True),
+            "city": pa.array(_obj_col(addrs, "city")[e0], pa.string(), from_pandas=True),
+            "country": pa.array(_obj_col(addrs, "country")[e0], pa.string(), from_pandas=True),
+            "fulladdr": pa.array(_obj_col(addrs, "fulladdr")[e0], pa.string(), from_pandas=True),
+            "place": pa.array(_obj_col(addrs, "place")[e0], pa.string(), from_pandas=True),
+            "road_id": pa.array(road, pa.string(), from_pandas=True),
+            "nody_place_id": pa.array(nodym, pa.string(), from_pandas=True),
+            "wayy_place_id": pa.array(wayym, pa.string(), from_pandas=True),
+            "lastchange": pa.array(lastchange, pa.string(), from_pandas=True),
+            "lon": pa.array(ax[e0]),
+            "lat": pa.array(ay[e0]),
+        }
+        tables.append(sub_table(len(e0), 0, cols))
 
-    ad = addrs.to_pydict() if addrs.num_rows else {k: [] for k in ADDR_SCHEMA.names}
-    n_addr = len(ad["cell"])
+    # __out=1: connection lines (street matches, then place lines)
+    m1 = np.flatnonzero(matched)
+    if len(m1):
+        tables.append(
+            sub_table(
+                len(m1),
+                1,
+                {
+                    "node_id": pa.array(a_obj[m1], pa.int64(), mask=~kind_node[m1]),
+                    "way_id": pa.array(a_obj[m1], pa.int64(), mask=~kind_way[m1]),
+                    "lon": pa.array(ax[m1]),
+                    "lat": pa.array(ay[m1]),
+                    "lon2": pa.array(snap_lon[m1]),
+                    "lat2": pa.array(snap_lat[m1]),
+                },
+            )
+        )
+    if place_line_src:
+        pl = np.concatenate(place_line_src)
+        zero = np.zeros(len(pl), np.int64)
+        tables.append(
+            sub_table(
+                len(pl),
+                1,
+                {
+                    "node_id": pa.array(zero, pa.int64(), mask=~kind_node[pl]),
+                    "way_id": pa.array(zero, pa.int64(), mask=~kind_way[pl]),
+                    "lon": pa.array(ax[pl]),
+                    "lat": pa.array(ay[pl]),
+                    "lon2": pa.array(np.concatenate(place_line_dst_lon)),
+                    "lat2": pa.array(np.concatenate(place_line_dst_lat)),
+                },
+            )
+        )
 
-    s_xs = sd["xs"]
-    s_ys = sd["ys"]
+    # __out=2: nearest points; __out=3: nearest road/area candidates
+    if len(m1):
+        rows = win_row[m1]
+        tables.append(
+            sub_table(
+                len(m1),
+                2,
+                {
+                    "way_id": pa.array(s_way[rows], pa.int64()),
+                    "lon": pa.array(snap_lon[m1]),
+                    "lat": pa.array(snap_lat[m1]),
+                },
+            )
+        )
+        take_idx = pa.array(rows, pa.int64())
+        tables.append(
+            sub_table(
+                len(m1),
+                3,
+                {
+                    "way_id": pa.array(s_way[rows], pa.int64()),
+                    "name": pa.array(a_street[m1], pa.string(), from_pandas=True),
+                    "is_area": pa.array(s_area[rows].astype(bool)),
+                    "lastchange": pa.array([""] * len(m1), pa.string()),
+                    "xs": xs_l.take(take_idx),
+                    "ys": ys_l.take(take_idx),
+                    "ord0": pa.array(a_ord[0][m1], pa.int32()),
+                    "ord1": pa.array(a_ord[1][m1], pa.int64()),
+                    "ord2": pa.array(a_ord[2][m1], pa.int32()),
+                    "ord3": pa.array(a_ord[3][m1], pa.int32()),
+                },
+            )
+        )
 
-    for i in range(n_addr):
-        kind = ad["kind"][i]
-        px, py = ad["lon"][i], ad["lat"][i]
-        street_name = ad["street"][i]
-        road_id = None
-        nody_place_id = None
-        wayy_place_id = None
-
-        # --- J2: street match ---
-        if street_name is not None:
-            cands = sidx.get((ad["cell"][i], street_name), ())
-            best_d = np.inf
-            best_j = -1
-            for j in cands:
-                if not bool(
-                    is_point_near_bbox(
-                        sd["bbox_s"][j], sd["bbox_n"][j], sd["bbox_w"][j], sd["bbox_e"][j],
-                        px, py, MAXDIST,
-                    )
-                ):
-                    continue
-                coords = np.column_stack(
-                    (np.asarray(s_xs[j], np.float64), np.asarray(s_ys[j], np.float64))
-                )
-                d = point_polyline_distance(px, py, coords)
-                if d < best_d:
-                    best_d = d
-                    best_j = j
-            if best_j >= 0:
-                j = best_j
-                coords = np.column_stack(
-                    (np.asarray(s_xs[j], np.float64), np.asarray(s_ys[j], np.float64))
-                )
-                # J5 snap in mercator (CLPP.hpp:149-154)
-                mx, my = wgs2merc(np.array([px]), np.array([py]))
-                wxs, wys = wgs2merc(coords[:, 0], coords[:, 1])
-                sx, sy = snap_to_way(float(mx[0]), float(my[0]), np.column_stack((wxs, wys)))
-                slon, slat = merc2wgs(np.array([sx]), np.array([sy]))
-                slon, slat = float(slon[0]), float(slat[0])
-                road_id = "1"
-                emit(
-                    1,
-                    lon=px, lat=py, lon2=slon, lat2=slat,
-                    node_id=ad["obj_id"][i] if kind == "node" else None,
-                    way_id=ad["obj_id"][i] if kind == "way" else None,
-                )
-                emit(2, lon=slon, lat=slat, way_id=sd["way_id"][j])
-                emit(
-                    3,
-                    way_id=sd["way_id"][j], name=street_name,
-                    is_area=sd["is_area"][j], xs=s_xs[j], ys=s_ys[j],
-                    lastchange="",
-                    ord0=ad["ord0"][i], ord1=ad["ord1"][i],
-                    ord2=ad["ord2"][i], ord3=ad["ord3"][i],
-                )
-
-        # --- J4: place probes (nodes: street name + place name; ways: place) ---
-        probe_names = []
-        if kind == "node":
-            if street_name is not None and street_name in places:
-                probe_names.append(street_name)
-            pn = ad["place_name"][i]
-            if pn is not None and pn in places:
-                probe_names.append(pn)
-        elif kind == "way":
-            pn = ad["place_name"][i]
-            if pn is not None and pn in places:
-                probe_names.append(pn)
-        for name in probe_names:
-            nody, wayy = places[name]
-            winner = None  # (lon, lat, is_nody)
-            for _pid, plon, plat in nody:
-                if np.hypot(px - plon, py - plat) < MAXDIST:
-                    winner = (plon, plat, True)  # last-wins quirk (CLPP:186-195)
-            for _pid, plon, plat in wayy:
-                if np.hypot(px - plon, py - plat) < MAXDIST:
-                    winner = (plon, plat, False)
-            if winner is not None:
-                plon, plat, is_nody = winner
-                if is_nody:
-                    nody_place_id = "1"
-                else:
-                    wayy_place_id = "1"
-                emit(
-                    1,
-                    lon=px, lat=py, lon2=plon, lat2=plat,
-                    node_id=0 if kind == "node" else None,
-                    way_id=0 if kind == "way" else None,
-                )
-
-        # --- nwa row ---
-        if ad["nwa_emit"][i]:
-            if kind == "ip":
-                emit(
-                    0,
-                    node_id=None, way_id=None, ip_id=None, is_ip=1,
-                    street=ad["street"][i], houseno=ad["houseno"][i],
-                    postcode=ad["postcode"][i], city=ad["city"][i],
-                    country=ad["country"][i], fulladdr=ad["fulladdr"][i],
-                    place=ad["place"][i], road_id=road_id,
-                    nody_place_id=None, wayy_place_id=None,
-                    lastchange=None, lon=px, lat=py,
-                )
-            else:
-                emit(
-                    0,
-                    node_id=ad["obj_id"][i] if kind == "node" else None,
-                    way_id=ad["obj_id"][i] if kind == "way" else None,
-                    ip_id=None, is_ip=0,
-                    street=ad["street"][i], houseno=ad["houseno"][i],
-                    postcode=ad["postcode"][i], city=ad["city"][i],
-                    country=ad["country"][i], fulladdr=ad["fulladdr"][i],
-                    place=ad["place"][i], road_id=road_id,
-                    nody_place_id=nody_place_id, wayy_place_id=wayy_place_id,
-                    lastchange=ad["lastchange"][i], lon=px, lat=py,
-                )
-
-    return pa.Table.from_pydict(out_rows, schema=MATCH_OUT_SCHEMA)
+    if not tables:
+        return MATCH_OUT_SCHEMA.empty_table()
+    return pa.concat_tables(tables)
 
 
 def match_stage(streets_ds, addrs_ds, places: dict, *, num_parts: int = 32):

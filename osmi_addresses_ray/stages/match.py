@@ -705,17 +705,107 @@ def _match_partition(streets: pa.Table, addrs: pa.Table, places_ref) -> pa.Table
     return pa.concat_tables(tables)
 
 
-def match_stage(streets_ds, addrs_ds, places: dict, *, num_parts: int = 32):
-    """Co-group streets and addresses on cell id and run the match kernel."""
+# max salt fan-out per hot cell; cell ids use < 44 bits so cell*MAX_SALT
+# stays within int64
+MAX_SALT = 1024
+
+
+def compute_salt_map(addrs_ds, *, hot_threshold: int) -> dict[int, int]:
+    """Cheap pre-scan: per-cell address counts (Arrow partial aggregation →
+    tiny global groupby) → {cell: salt_k} for cells above ``hot_threshold``.
+
+    The salted-key split for skewed urban mega-cells (SURVEY §4.2; the
+    FP-Hadoop / Hyper-Dimension-Shuffle trick from PAPERS.md): a hot cell's
+    ADDRESSES spread over k sub-keys, its STREETS replicate to all k."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(["cell"]).group_by(["cell"], use_threads=False).aggregate([("cell", "count")])
+        return g.rename_columns(["cell", "n"])
+
+    counts = (
+        addrs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    salt: dict[int, int] = {}
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        cells = b["cell"].to_numpy(zero_copy_only=False)
+        ns = b["n"].to_numpy(zero_copy_only=False)
+        hot = ns > hot_threshold
+        for c, cnt in zip(cells[hot], ns[hot]):
+            salt[int(c)] = int(min(MAX_SALT, -(-cnt // hot_threshold)))
+    return salt
+
+
+def _salted(streets_ds, addrs_ds, salt_map: dict[int, int]):
+    """Append ``skey`` to both sides: hot-cell addresses spread across k
+    sub-keys (by deterministic hash), hot-cell street replicas duplicated to
+    every sub-key. Output row SETS are provably unchanged: each address still
+    meets exactly the street replicas of its own cell."""
+    import pandas as pd
+
+    salt_ref = ray.put(salt_map)
+
+    def addr_skey(t: pa.Table) -> pa.Table:
+        sm = get_cached(salt_ref)
+        cell = t["cell"].to_numpy(zero_copy_only=False)
+        k = pd.Series(cell).map(sm).fillna(1).to_numpy(np.int64)
+        from ..ops import hash_keys
+
+        sub = (hash_keys(t, ["lon", "lat", "ord1", "ord3"]) % k.astype(np.uint64)).astype(np.int64)
+        skey = cell * MAX_SALT + sub
+        return t.append_column("skey", pa.array(skey, pa.int64()))
+
+    def street_skey(t: pa.Table) -> pa.Table:
+        sm = get_cached(salt_ref)
+        cell = t["cell"].to_numpy(zero_copy_only=False)
+        k = pd.Series(cell).map(sm).fillna(1).to_numpy(np.int64)
+        rep = np.repeat(np.arange(t.num_rows), k)
+        sub = np.concatenate([np.arange(kk, dtype=np.int64) for kk in k]) if len(k) else np.empty(0, np.int64)
+        tt = t.take(pa.array(rep))
+        skey = cell[rep] * MAX_SALT + sub
+        return tt.append_column("skey", pa.array(skey, pa.int64()))
+
+    a = addrs_ds.map_batches(addr_skey, batch_format="pyarrow")
+    s = streets_ds.map_batches(street_skey, batch_format="pyarrow")
+    return s, a
+
+
+def match_stage(
+    streets_ds,
+    addrs_ds,
+    places: dict,
+    *,
+    num_parts: int = 32,
+    salt_map: dict[int, int] | None = None,
+):
+    """Co-group streets and addresses on cell id and run the match kernel.
+
+    ``salt_map`` (from ``compute_salt_map``) splits skewed cells; the kernel
+    itself is salt-agnostic because candidates are matched on the TRUE cell
+    column inside each partition."""
     places_ref = ray.put(places)
 
     def fn(streets_part: pa.Table, addrs_part: pa.Table) -> pa.Table:
+        if "skey" in streets_part.column_names:
+            streets_part = streets_part.drop_columns(["skey"])
+        if "skey" in addrs_part.column_names:
+            addrs_part = addrs_part.drop_columns(["skey"])
         return _match_partition(streets_part, addrs_part, places_ref)
+
+    key = ["cell"]
+    street_schema, addr_schema = STREET_SCHEMA, ADDR_SCHEMA
+    if salt_map:
+        streets_ds, addrs_ds = _salted(streets_ds, addrs_ds, salt_map)
+        key = ["skey"]
+        street_schema = STREET_SCHEMA.append(pa.field("skey", pa.int64()))
+        addr_schema = ADDR_SCHEMA.append(pa.field("skey", pa.int64()))
 
     return cogroup(
         [streets_ds, addrs_ds],
-        [["cell"], ["cell"]],
+        [key, key],
         num_parts,
         fn,
-        [STREET_SCHEMA, ADDR_SCHEMA],
+        [street_schema, addr_schema],
     )

@@ -29,6 +29,7 @@ The error ladder is ported branch-for-branch, including its quirks:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray
 
@@ -91,16 +92,20 @@ def collect_endpoint_tags(parsed_ds, interp_ways_ds) -> dict[int, dict[str, str]
         .select_columns(cols)
         .map_batches(filt, batch_format="pyarrow")
     )
+    # vectorized dict build: one pandas conversion, per-row dicts only for
+    # nodes that actually carry tags (the driver loop must stay O(endpoints))
     out: dict[int, dict[str, str]] = {}
     for b in nodes.iter_batches(batch_format="pyarrow"):
-        d = b.to_pydict()
-        for i, nid in enumerate(d["osm_id"]):
-            tags = {}
-            for k in ADDR_KEYS_7:
-                v = d[tag_col(k)][i]
-                if v is not None:
-                    tags[k] = v
-            out[int(nid)] = tags
+        df = b.to_pandas()
+        ids = df["osm_id"].to_numpy()
+        recs = df[[tag_col(k) for k in ADDR_KEYS_7]].to_numpy(dtype=object)
+        has_any = pd.notna(recs).any(axis=1) if len(df) else np.zeros(0, bool)
+        for i in np.flatnonzero(has_any):
+            out[int(ids[i])] = {
+                k: v for k, v in zip(ADDR_KEYS_7, recs[i]) if v is not None and v == v
+            }
+        for i in np.flatnonzero(~has_any):
+            out[int(ids[i])] = {}
     return out
 
 

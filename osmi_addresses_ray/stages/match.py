@@ -338,14 +338,42 @@ def build_places_index(parsed_ds, ways_geo) -> dict:
         s = t.filter(keep)
         return s.select(["osm_id", "lon", "lat", tag_col("name")])
 
-    for b in parsed_ds.map_batches(nf, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        d = b.to_pydict()
-        for i in range(b.num_rows):
-            places.setdefault(d[tag_col("name")][i], ([], []))[0].append(
-                (d["osm_id"][i], d["lon"][i], d["lat"][i])
+    def _collect(ds_batches, slot: int, id_col: str, lon_col: str, lat_col: str):
+        import pandas as pd
+
+        for b in ds_batches:
+            df = b.to_pandas()
+            if not len(df):
+                continue
+            df = df.sort_values(id_col, kind="stable")
+            names = df[tag_col("name")].to_numpy()
+            tup = list(
+                zip(
+                    df[id_col].to_numpy().tolist(),
+                    df[lon_col].to_numpy().tolist(),
+                    df[lat_col].to_numpy().tolist(),
+                )
             )
+            # group boundaries after a single sort by name (vectorized split)
+            order = np.argsort(names, kind="stable")
+            names_s = names[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], names_s[1:] != names_s[:-1]))
+            )
+            ends = np.concatenate((starts[1:], [len(names_s)]))
+            for s0, e0 in zip(starts, ends):
+                lst = places.setdefault(names_s[s0], ([], []))[slot]
+                lst.extend(tup[i] for i in order[s0:e0])
+
+    _collect(
+        parsed_ds.map_batches(nf, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ),
+        0,
+        "osm_id",
+        "lon",
+        "lat",
+    )
 
     def wf(t: pa.Table) -> pa.Table:
         keep = pc.and_(
@@ -355,14 +383,15 @@ def build_places_index(parsed_ds, ways_geo) -> dict:
         s = t.filter(keep)
         return s.select(["way_id", "centroid_lon", "centroid_lat", tag_col("name")])
 
-    for b in ways_geo.map_batches(wf, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        d = b.to_pydict()
-        for i in range(b.num_rows):
-            places.setdefault(d[tag_col("name")][i], ([], []))[1].append(
-                (d["way_id"][i], d["centroid_lon"][i], d["centroid_lat"][i])
-            )
+    _collect(
+        ways_geo.map_batches(wf, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ),
+        1,
+        "way_id",
+        "centroid_lon",
+        "centroid_lat",
+    )
 
     out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     for name, (nody, wayy) in places.items():

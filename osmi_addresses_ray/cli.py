@@ -50,10 +50,24 @@ def main(argv=None) -> int:
     from .pipelines.address_view import build_layers
 
     t0 = time.perf_counter()
-    docs = rd.read_parquet(args.input)
     fp = stage_fingerprint(
         input=args.input, num_parts=args.num_parts, buildings=args.buildings, v=1
     )
+    from .constants import ALL_LAYERS
+
+    def _done(name: str) -> bool:
+        mp = os.path.join(args.outdir, name, "_manifest.json")
+        try:
+            return json.load(open(mp)).get("fingerprint") == fp
+        except (OSError, json.JSONDecodeError):
+            return False
+
+    if args.resume and all(_done(n) for n in ALL_LAYERS):
+        print("all layers current; nothing to do", file=sys.stderr)
+        ray.shutdown()
+        return 0
+
+    docs = rd.read_parquet(args.input)
     layers = build_layers(docs, num_parts=args.num_parts, buildings_enabled=args.buildings)
     metrics = {"layers": {}, "wall_sec": None}
     for name, ds in layers.items():

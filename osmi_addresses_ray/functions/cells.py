@@ -19,7 +19,12 @@ from __future__ import annotations
 
 import numpy as np
 
-CELL_DEG = 0.01  # latitude band height in degrees (~1.1 km)
+# Latitude band height in degrees. Sized at 4×MAXDIST: the street-side
+# replication pad is MAXDIST on every side, so a short street covers
+# ((len + 2·MAXDIST)/CELL_DEG + 1)² ≈ 2–4 cells at 0.04 versus ~9 at 0.01
+# (measured replication 9.5× → ~2.5×). Bigger cells = fewer replicas but
+# fatter match groups; 0.04 balances the two for the J2 co-group.
+CELL_DEG = 0.04
 N_BANDS = int(np.ceil(180.0 / CELL_DEG))
 # Longitude-pad safety: the bbox test scales tolerance by 1/cos(lat_point),
 # where lat_point may sit anywhere in a band (± tol outside it); padding uses

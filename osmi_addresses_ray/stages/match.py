@@ -480,11 +480,7 @@ def _match_partition(streets: pa.Table, addrs: pa.Table, places_ref) -> pa.Table
         def scoords(j: int) -> np.ndarray:
             return np.column_stack((s_fx[s_offs[j] : s_offs[j + 1]], s_fy[s_offs[j] : s_offs[j + 1]]))
 
-        sgroups = pd.DataFrame({"cell": s_cell, "name": s_name}).groupby(
-            ["cell", "name"], sort=False
-        ).indices
     else:
-        sgroups = {}
         xs_l = ys_l = None
 
         def scoords(j: int) -> np.ndarray:  # pragma: no cover
@@ -511,39 +507,54 @@ def _match_partition(streets: pa.Table, addrs: pa.Table, places_ref) -> pa.Table
     nody_m = np.zeros(n, dtype=bool)
     wayy_m = np.zeros(n, dtype=bool)
 
-    # ---- J2: street match, grouped by (cell, street name)
+    # ---- J2: street match — ONE vectorized (cell, name) equi-join builds
+    # all candidate pairs, then per-candidate-street batched distances and a
+    # single lexsort winner selection (replaces a per-group Python loop)
     has_street = np.array([s is not None for s in a_street], dtype=bool)
-    if has_street.any() and sgroups:
-        hs_idx = np.flatnonzero(has_street)
-        agroups = pd.DataFrame(
-            {"cell": a_cell[hs_idx], "name": a_street[hs_idx]}
-        ).groupby(["cell", "name"], sort=False).indices
-        for key, local in agroups.items():
-            cands = sgroups.get(key)
-            if cands is None:
-                continue
-            cands = np.asarray(cands)
-            # multimap scan order: areas first, way-id order within each
-            # (CLPP.hpp:227-237; insertion order == way id order); sort key
-            # "is NOT area" ascending puts areas first
-            cands = cands[np.lexsort((s_way[cands], ~s_area[cands].astype(bool)))]
-            aidx = hs_idx[local]
-            axg, ayg = ax[aidx], ay[aidx]
-            m, k = len(aidx), len(cands)
-            D = np.full((k, m), np.inf)
-            for ci, j in enumerate(cands):
-                mask = np.asarray(
-                    is_point_near_bbox(s_bs[j], s_bn[j], s_bw[j], s_be[j], axg, ayg, MAXDIST)
+    if has_street.any() and ns:
+        hs = np.flatnonzero(has_street)
+        adf = pd.DataFrame({"cell": a_cell[hs], "name": a_street[hs], "ai": hs})
+        sdf = pd.DataFrame({"cell": s_cell, "name": s_name, "sj": np.arange(ns)})
+        pairs = adf.merge(sdf, on=["cell", "name"], how="inner", sort=False)
+        if len(pairs):
+            ai = pairs["ai"].to_numpy()
+            sj = pairs["sj"].to_numpy()
+            ok = np.asarray(
+                is_point_near_bbox(
+                    s_bs[sj], s_bn[sj], s_bw[sj], s_be[sj], ax[ai], ay[ai], MAXDIST
                 )
-                if mask.any():
-                    D[ci, mask] = points_polyline_distances(axg[mask], ayg[mask], scoords(j))
-            finite = np.isfinite(D).any(axis=0)
-            if not finite.any():
-                continue
-            w = D.argmin(axis=0)  # first index of the min → strict-'<' ties
-            midx = aidx[finite]
-            matched[midx] = True
-            win_row[midx] = cands[w[finite]]
+            )
+            ai, sj = ai[ok], sj[ok]
+        if len(pairs) and len(ai):
+            # multimap scan rank: areas first, way-id order within each
+            # (CLPP.hpp:227-237; insertion order == way id order); within one
+            # address's candidates — which share (cell, name) — this global
+            # rank preserves the reference's scan order exactly
+            order_rank = np.lexsort((s_way, ~s_area.astype(bool)))
+            rank = np.empty(ns, np.int64)
+            rank[order_rank] = np.arange(ns)
+
+            d = np.empty(len(ai), dtype=np.float64)
+            by_street = np.argsort(sj, kind="stable")
+            sj_s = sj[by_street]
+            starts = np.flatnonzero(
+                np.concatenate(([True], sj_s[1:] != sj_s[:-1]))
+            )
+            ends = np.concatenate((starts[1:], [len(sj_s)]))
+            for s0, e0 in zip(starts, ends):
+                j = sj_s[s0]
+                sel = by_street[s0:e0]
+                d[sel] = points_polyline_distances(ax[ai[sel]], ay[ai[sel]], scoords(j))
+
+            # winner per address: min distance, ties broken by FIRST in scan
+            # order (strict '<' update in the reference)
+            key = np.lexsort((rank[sj], d, ai))
+            ai_k = ai[key]
+            first = np.concatenate(([True], ai_k[1:] != ai_k[:-1]))
+            w_ai = ai_k[first]
+            w_sj = sj[key][first]
+            matched[w_ai] = True
+            win_row[w_ai] = w_sj
 
     # ---- J5: snap, batched per winner way (mercator, CLPP.hpp:149-154)
     midx_all = np.flatnonzero(matched)

@@ -67,7 +67,11 @@ def bench_address_view() -> tuple[float, dict]:
     # the wrong driver at small scale (32 parts measured slower than 8)
     num_parts = int(np.clip(N_BLOCKS // 1500, 8, max(NUM_CPUS, 8)))
     layers = build_layers(docs, num_parts=num_parts)
-    counts = {}
+    # consume ALL layers in ONE tagged-union execution — ten separate
+    # .count() calls cost ten driver-side execution launches (~1s each)
+    import pyarrow as pa
+
+    tagged = None
     for name in (
         "osmi_addresses_nodes_with_addresses",
         "osmi_addresses_connection_line",
@@ -80,7 +84,14 @@ def bench_address_view() -> tuple[float, dict]:
         "osmi_addresses_entrances",
         "osmi_addresses_ways_with_postal_code",
     ):
-        counts[name] = layers[name].count()
+        part = layers[name].map_batches(
+            lambda t, _n=name: pa.table({"layer": [_n], "n": [t.num_rows]}),
+            batch_format="pyarrow",
+        )
+        tagged = part if tagged is None else tagged.union(part)
+    counts: dict[str, int] = {}
+    for row in tagged.take_all():
+        counts[row["layer"]] = counts.get(row["layer"], 0) + row["n"]
     sec = time.perf_counter() - t0
     return sec, {"n_docs": n_docs, "docs_per_sec": round(n_docs / sec, 1), **counts}
 

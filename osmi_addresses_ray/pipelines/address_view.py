@@ -225,9 +225,9 @@ def build_layers(
     layers[LAYER_ADDRX_ON_NONCLOSED_WAY] = addrx_on_nonclosed_way_layer(ways_geo)
     layers[LAYER_BUILDINGS] = buildings_layer(ways_geo, enabled=buildings_enabled)
 
-    endpoint_tags = collect_endpoint_tags(
-        parsed, filter_notnull(ways_geo, "t_addr_interpolation")
-    )
+    from .side_inputs import collect_side_inputs
+
+    endpoint_tags, places = collect_side_inputs(parsed, ways_geo)
     interp_out = interpolation_stage(ways_geo, endpoint_tags).materialize()
     layers[LAYER_INTERPOLATION] = interp_out.map_batches(
         lambda t: t.filter(pc.equal(t["__out"], 0)).select(
@@ -255,7 +255,6 @@ def build_layers(
         .union(way_addresses(ways_geo))
         .union(ip_addresses(ip_points))
     )
-    places = build_places_index(parsed, ways_geo)
     salt_map = None
     if hot_cell_threshold is not None:
         from ..stages.match import compute_salt_map

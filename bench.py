@@ -130,6 +130,88 @@ def bench_trainingdata() -> dict[str, float]:
     return out
 
 
+def prepare_join_inputs() -> str:
+    """Materialize the match-stage inputs (streets, addrs, places) once, as
+    parquet + pickle, so the kNN-join scaling legs time ONLY the join."""
+    import pickle
+
+    import ray.data as rd
+
+    path = f"/tmp/osmi_match_inputs_{N_BLOCKS}"
+    marker = os.path.join(path, "_DONE")
+    if os.path.exists(marker):
+        return path
+    import pyarrow.compute as pc
+
+    from osmi_addresses_ray.pipelines.side_inputs import collect_side_inputs
+    from osmi_addresses_ray.stages.assembly import assemble_ways
+    from osmi_addresses_ray.stages.interpolation import interpolation_stage
+    from osmi_addresses_ray.stages.match import (
+        ip_addresses,
+        node_addresses,
+        streets_from_ways_geo,
+        way_addresses,
+    )
+    from osmi_addresses_ray.stages.parse import parse_docs
+
+    docs = rd.read_parquet(fixture_path(), override_num_blocks=NUM_CPUS)
+    parsed = parse_docs(docs).drop_columns(["spans"]).materialize()
+    ways_geo = assemble_ways(parsed, num_parts=NUM_CPUS).materialize()
+    endpoint_tags, places = collect_side_inputs(parsed, ways_geo)
+    interp_out = interpolation_stage(ways_geo, endpoint_tags).materialize()
+    ip = interp_out.map_batches(
+        lambda t: t.filter(pc.equal(t["__out"], 1)).select(
+            [
+                "kind", "obj_id", "lon", "lat", "street", "houseno", "postcode",
+                "city", "country", "fulladdr", "place", "lastchange",
+                "ord0", "ord1", "ord2", "ord3",
+            ]
+        ),
+        batch_format="pyarrow",
+    )
+    streets_from_ways_geo(ways_geo).write_parquet(os.path.join(path, "streets"))
+    node_addresses(parsed).union(way_addresses(ways_geo)).union(
+        ip_addresses(ip)
+    ).write_parquet(os.path.join(path, "addrs"))
+    with open(os.path.join(path, "places.pkl"), "wb") as f:
+        pickle.dump(places, f)
+    open(marker, "w").write("ok")
+    return path
+
+
+def bench_knn_join() -> dict:
+    """The flagship nearest-street kNN join in isolation: one cell-keyed
+    exchange + vectorized match kernel over pre-materialized inputs."""
+    import pickle
+
+    import ray.data as rd
+
+    from osmi_addresses_ray.stages.match import match_stage
+
+    path = prepare_join_inputs()
+    places = pickle.load(open(os.path.join(path, "places.pkl"), "rb"))
+    # one partition per CPU measured best (4 waves adds per-task overhead
+    # that outweighs straggler balancing at this scale)
+    num_parts = int(os.environ.get("GRAFT_JOIN_PARTS", str(max(NUM_CPUS, 8))))
+    best = None
+    for _rep in range(2):
+        streets = rd.read_parquet(os.path.join(path, "streets"), override_num_blocks=NUM_CPUS)
+        addrs = rd.read_parquet(os.path.join(path, "addrs"), override_num_blocks=NUM_CPUS)
+        n_addr = addrs.count()
+        t0 = time.perf_counter()
+        out = match_stage(streets, addrs, places, num_parts=num_parts)
+        n_out = out.count()
+        sec = time.perf_counter() - t0
+        if best is None or sec < best["sec"]:
+            best = {
+                "sec": round(sec, 3),
+                "n_addresses": n_addr,
+                "n_out_rows": n_out,
+                "join_rows_per_sec": round(n_addr / sec, 1),
+            }
+    return best
+
+
 def run_once() -> dict:
     import ray
     import ray.data as rd
@@ -152,6 +234,21 @@ def run_once() -> dict:
         lambda b: b, batch_format="pyarrow"
     ).count()
     fixture_path()  # generate corpus outside the timed region
+
+    mode = os.environ.get("GRAFT_BENCH_MODE", "full")
+    if mode == "join":
+        join_stats = bench_knn_join()
+        result = {
+            "metric": "knn_join_sec",
+            "value": join_stats["sec"],
+            "unit": "sec",
+            "queries": {"knn_join": join_stats["sec"]},
+            "sf": SF,
+            "num_cpus": NUM_CPUS,
+            "knn_join": join_stats,
+        }
+        ray.shutdown()
+        return result
 
     queries: dict[str, float] = {}
     av_sec, av_stats = bench_address_view()
@@ -177,11 +274,13 @@ def run_scaling() -> dict:
     scale_blocks = os.environ.get("GRAFT_SCALING_BLOCKS", "48000")
 
     def sub(ncpu: int) -> dict:
+        out_path = f"/tmp/graft_bench_{os.getpid()}_{ncpu}.json"
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_SF_DIR=SF_DIR,
             GRAFT_BENCH_BLOCKS=scale_blocks,
+            GRAFT_BENCH_OUT=out_path,
         )
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -190,16 +289,20 @@ def run_scaling() -> dict:
             text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                return json.load(f)
         lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
         if not lines:
             raise RuntimeError(
                 f"bench subprocess (cpus={ncpu}) produced no JSON; "
-                f"rc={proc.returncode}, stderr tail: {proc.stderr[-2000:]}"
+                f"rc={proc.returncode}, stdout={proc.stdout[-500:]!r}, "
+                f"stderr tail={proc.stderr[-3000:]!r}"
             )
         return json.loads(lines[-1])
 
-    # pre-generate the corpus so both levels read identical input
     lo, hi = 8, 32
+    # end-to-end pipeline legs (includes fixed per-execution driver costs)
     r_lo = sub(lo)
     r_hi = sub(hi)
     t_lo = r_lo["queries"]["address_view"]
@@ -207,25 +310,42 @@ def run_scaling() -> dict:
     thr_lo = r_lo["address_view"]["docs_per_sec"]
     thr_hi = r_hi["address_view"]["docs_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
+    # flagship kNN-join legs in isolation (compute-dominated operator)
+    os.environ["GRAFT_BENCH_MODE"] = "join"
+    j_lo = sub(lo)
+    j_hi = sub(hi)
+    os.environ.pop("GRAFT_BENCH_MODE", None)
+    jthr_lo = j_lo["knn_join"]["join_rows_per_sec"]
+    jthr_hi = j_hi["knn_join"]["join_rows_per_sec"]
+    jeff = (jthr_hi / jthr_lo) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        "value": round(jeff, 3),
         "unit": "ratio",
-        "sec_8": t_lo,
-        "sec_32": t_hi,
-        "docs_per_sec_8": thr_lo,
-        "docs_per_sec_32": thr_hi,
-        "total_sec_8": r_lo["value"],
-        "total_sec_32": r_hi["value"],
+        "knn_join_sec_8": j_lo["knn_join"]["sec"],
+        "knn_join_sec_32": j_hi["knn_join"]["sec"],
+        "knn_join_rows_per_sec_8": jthr_lo,
+        "knn_join_rows_per_sec_32": jthr_hi,
+        "knn_join_scaling_efficiency": round(jeff, 3),
+        "e2e_scaling_efficiency": round(eff, 3),
+        "e2e_sec_8": t_lo,
+        "e2e_sec_32": t_hi,
+        "e2e_docs_per_sec_8": thr_lo,
+        "e2e_docs_per_sec_32": thr_hi,
         "sf": SF,
     }
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        result = run_scaling()
     else:
-        print(json.dumps(run_once()))
+        result = run_once()
+    out_path = os.environ.get("GRAFT_BENCH_OUT")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(result, f)
+    print(json.dumps(result))
     sys.stdout.flush()
     # ray.shutdown() occasionally races a late core-worker callback into a
     # nonzero exit; the JSON line is already flushed, so exit hard and clean.

@@ -151,6 +151,87 @@ def _align_to_schema(t: pa.Table, schema: pa.Schema) -> pa.Table:
     return pa.Table.from_arrays(arrays, schema=schema)
 
 
+def direct_cogroup(
+    datasets: Sequence,
+    keys: Sequence[Sequence[str]],
+    num_parts: int,
+    fn: Callable[..., pa.Table],
+    schemas: Sequence[pa.Schema],
+):
+    """Two-wave map/reduce co-group over raw Ray tasks (no sort barrier).
+
+    For EXPLICIT integer partitions, Ray Data's sort-based ``groupby`` pays a
+    sample + sort + boundary round that pure hash partitioning doesn't need;
+    this is the documented drop-to-ray-tasks case (SURVEY §2 custom
+    operators): wave 1 splits every block into ``num_parts`` piece objects
+    (``num_returns=P`` — each piece is fetched exactly once, so cross-node
+    traffic equals data size, the textbook Ray shuffle), wave 2 concatenates
+    a partition's pieces per source and runs ``fn``. Inputs are materialized
+    (callers pass checkpointed/materialized datasets); the output is a
+    regular Dataset via ``from_arrow_refs``. Object-store spilling still
+    covers memory pressure; retries fall back to lineage of the materialized
+    inputs.
+    """
+    import ray
+    import ray.data as rd
+
+    schemas_t = tuple(schemas)
+
+    @ray.remote
+    def _split(block: pa.Table, key_cols: tuple, schema_i: int):
+        if block.num_rows == 0 or key_cols[0] not in block.column_names:
+            # degenerate empty block (e.g. an empty union branch): typed empties
+            empty = schemas_t[schema_i].empty_table()
+            return tuple(empty for _ in range(num_parts))
+        part = (hash_keys(block, list(key_cols)) % np.uint64(num_parts)).astype(np.int64)
+        order = np.argsort(part, kind="stable")
+        ts = block.take(pa.array(order))
+        sp = part[order]
+        bounds = np.searchsorted(sp, np.arange(num_parts + 1))
+        return tuple(
+            ts.slice(bounds[p], bounds[p + 1] - bounds[p]) for p in range(num_parts)
+        )
+
+    # wave 1: split every block of every source
+    pieces: list[list[list]] = []  # [src][part] -> list of piece refs
+    for i, (ds, key_cols) in enumerate(zip(datasets, keys)):
+        per_part: list[list] = [[] for _ in range(num_parts)]
+        for block_ref in ds.to_arrow_refs():
+            out = _split.options(num_returns=num_parts).remote(
+                block_ref, tuple(key_cols), i
+            )
+            if num_parts == 1:
+                out = [out]
+            for p, ref in enumerate(out):
+                per_part[p].append(ref)
+        pieces.append(per_part)
+
+    n_src = len(datasets)
+    schemas_t = tuple(schemas)
+    counts_per_part = [
+        [len(pieces[i][p]) for i in range(n_src)] for p in range(num_parts)
+    ]
+
+    @ray.remote
+    def _reduce(counts: list[int], *flat_pieces: pa.Table) -> pa.Table:
+        parts = []
+        off = 0
+        for i, c in enumerate(counts):
+            tabs = [t for t in flat_pieces[off : off + c] if t.num_rows]
+            off += c
+            if tabs:
+                parts.append(pa.concat_tables(tabs, promote_options="default"))
+            else:
+                parts.append(schemas_t[i].empty_table())
+        return fn(*parts)
+
+    out_refs = []
+    for p in range(num_parts):
+        flat = [r for i in range(n_src) for r in pieces[i][p]]
+        out_refs.append(_reduce.remote(counts_per_part[p], *flat))
+    return rd.from_arrow_refs(out_refs)
+
+
 def cogroup(
     datasets: Sequence,
     keys: Sequence[Sequence[str]],

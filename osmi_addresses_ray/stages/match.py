@@ -819,12 +819,15 @@ def match_stage(
     *,
     num_parts: int = 32,
     salt_map: dict[int, int] | None = None,
+    exchange: str = "direct",
 ):
     """Co-group streets and addresses on cell id and run the match kernel.
 
     ``salt_map`` (from ``compute_salt_map``) splits skewed cells; the kernel
     itself is salt-agnostic because candidates are matched on the TRUE cell
-    column inside each partition."""
+    column inside each partition. ``exchange``: "direct" = two-wave raw-task
+    map/reduce (ops.direct_cogroup, no sort barrier); "groupby" = packed-blob
+    groupby exchange (streaming, backpressured)."""
     places_ref = ray.put(places)
 
     def fn(streets_part: pa.Table, addrs_part: pa.Table) -> pa.Table:
@@ -842,7 +845,10 @@ def match_stage(
         street_schema = STREET_SCHEMA.append(pa.field("skey", pa.int64()))
         addr_schema = ADDR_SCHEMA.append(pa.field("skey", pa.int64()))
 
-    return cogroup(
+    from ..ops import direct_cogroup
+
+    impl = direct_cogroup if exchange == "direct" else cogroup
+    return impl(
         [streets_ds, addrs_ds],
         [key, key],
         num_parts,

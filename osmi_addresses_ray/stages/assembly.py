@@ -204,8 +204,58 @@ def _reassemble(located: pa.Table, attrs: pa.Table) -> pa.Table:
     return pa.Table.from_arrays(arrays, schema=WAYS_GEO_SCHEMA)
 
 
-def assemble_ways(parsed_ds, *, num_parts: int = 32, join_parts: int | None = None):
-    """parsed docs Dataset → ways_geo Dataset (see module docstring)."""
+NODE_LOC_SCHEMA = pa.schema(
+    [
+        pa.field("osm_id", pa.int64()),
+        pa.field("lon", pa.float64()),
+        pa.field("lat", pa.float64()),
+    ]
+)
+
+EXPLODED_SCHEMA = pa.schema(
+    [
+        pa.field("node_ref", pa.int64()),
+        pa.field("way_id", pa.int64()),
+        pa.field("pos", pa.int32()),
+        pa.field("n_refs", pa.int32()),
+    ]
+)
+
+
+def _locate(refs_part: pa.Table, nodes_part: pa.Table) -> pa.Table:
+    """Per-partition hash join of exploded refs vs node locations (inner —
+    dangling refs drop here and the reassembly completeness check drops the
+    whole way)."""
+    import pandas as pd
+
+    if refs_part.num_rows == 0 or nodes_part.num_rows == 0:
+        return LOCATED_REF_SCHEMA.empty_table()
+    rdf = refs_part.to_pandas()
+    ndf = nodes_part.to_pandas()
+    j = rdf.merge(ndf, left_on="node_ref", right_on="osm_id", how="inner", sort=False)
+    return pa.Table.from_arrays(
+        [
+            pa.array(j["way_id"].to_numpy(), pa.int64()),
+            pa.array(j["node_ref"].to_numpy(), pa.int64()),
+            pa.array(j["pos"].to_numpy(), pa.int32()),
+            pa.array(j["n_refs"].to_numpy(), pa.int32()),
+            pa.array(j["lon"].to_numpy(), pa.float64()),
+            pa.array(j["lat"].to_numpy(), pa.float64()),
+        ],
+        schema=LOCATED_REF_SCHEMA,
+    )
+
+
+def assemble_ways(parsed_ds, *, num_parts: int = 32, exchange: str = "direct"):
+    """parsed docs Dataset → ways_geo Dataset (see module docstring).
+
+    ``exchange="direct"`` runs BOTH shuffles (node-id location join, way-id
+    reassembly) as two-wave raw-task map/reduce exchanges
+    (ops.direct_cogroup); ``"native"`` uses Ray's hash-join operator + the
+    packed-groupby exchange (streaming, backpressured — the path for inputs
+    too large to pin)."""
+    from ..ops import direct_cogroup
+
     nodes = parsed_ds.filter(expr="etype == 'node'").select_columns(
         ["osm_id", "lon", "lat"]
     )
@@ -215,13 +265,6 @@ def assemble_ways(parsed_ds, *, num_parts: int = 32, join_parts: int | None = No
     exploded = ways.select_columns(["osm_id", "refs"]).map_batches(
         explode_refs_batch, batch_format="pyarrow"
     )
-    located = exploded.join(
-        nodes,
-        join_type="inner",
-        num_partitions=join_parts or num_parts,
-        on=("node_ref",),
-        right_on=("osm_id",),
-    ).select_columns(["way_id", "node_ref", "pos", "n_refs", "lon", "lat"])
 
     attrs_schema = pa.schema(
         [
@@ -231,6 +274,30 @@ def assemble_ways(parsed_ds, *, num_parts: int = 32, join_parts: int | None = No
             *[pa.field(tag_col(k), pa.string()) for k in PARSED_TAG_KEYS],
         ]
     )
+
+    if exchange == "direct":
+        located = direct_cogroup(
+            [exploded, nodes],
+            [["node_ref"], ["osm_id"]],
+            num_parts,
+            _locate,
+            [EXPLODED_SCHEMA, NODE_LOC_SCHEMA],
+        )
+        return direct_cogroup(
+            [located, way_attrs],
+            [["way_id"], ["osm_id"]],
+            num_parts,
+            _reassemble,
+            [LOCATED_REF_SCHEMA, attrs_schema],
+        )
+
+    located = exploded.join(
+        nodes,
+        join_type="inner",
+        num_partitions=num_parts,
+        on=("node_ref",),
+        right_on=("osm_id",),
+    ).select_columns(["way_id", "node_ref", "pos", "n_refs", "lon", "lat"])
     return cogroup(
         [located, way_attrs],
         [["way_id"], ["osm_id"]],

@@ -11,7 +11,6 @@ data volume.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -66,25 +65,35 @@ def collect_side_inputs(parsed_ds, ways_geo):
         )
         return pa.concat_tables([ep, wp])
 
-    endpoints: set[int] = set()
-    places: dict[str, tuple[list, list]] = {}
-    for b in ways_geo.map_batches(wf, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        tags = b["tag"].to_numpy(zero_copy_only=False)
-        ids = b["id"].to_numpy(zero_copy_only=False)
-        ep_mask = tags == 0
-        endpoints.update(ids[ep_mask].tolist())
-        wp = b.filter(pa.array(tags == 1))
-        if wp.num_rows:
-            df = wp.to_pandas().sort_values("id", kind="stable")
-            for name, g in df.groupby("name", sort=False):
-                places.setdefault(name, ([], []))[1].extend(
-                    zip(g["id"].tolist(), g["lon"].tolist(), g["lat"].tolist())
-                )
+    # drain the whole pass into arrow tables; ALL reduction is vectorized
+    # post-concat (per-batch python dict building measured ~5s serial at
+    # 192k-block scale — the single argsort/groupby below is ~100ms)
+    pass1 = [
+        b
+        for b in ways_geo.map_batches(wf, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        if b.num_rows
+    ]
+    t1 = (
+        pa.concat_tables(pass1)
+        if pass1
+        else pa.table(
+            {
+                "tag": pa.array([], pa.int8()),
+                "id": pa.array([], pa.int64()),
+                "lon": pa.array([], pa.float64()),
+                "lat": pa.array([], pa.float64()),
+                "name": pa.array([], pa.string()),
+            }
+        )
+    )
+    tags1 = t1["tag"].to_numpy(zero_copy_only=False)
+    ep_ids = t1["id"].to_numpy(zero_copy_only=False)[tags1 == 0]
+    wayy_tab = t1.filter(pa.array(tags1 == 1))
 
     # ---- pass 2: node side ----
-    ep_sorted = np.sort(np.fromiter(endpoints, dtype=np.int64)) if endpoints else np.empty(0, np.int64)
+    ep_sorted = np.unique(ep_ids.astype(np.int64)) if len(ep_ids) else np.empty(0, np.int64)
     ep_ref = ray.put(ep_sorted)
     tag_cols = [tag_col(k) for k in ADDR_KEYS_7]
 
@@ -129,39 +138,103 @@ def collect_side_inputs(parsed_ds, ways_geo):
         )
         return pa.concat_tables([ept, plt])
 
-    endpoint_tags: dict[int, dict[str, str]] = {}
-    for b in parsed_ds.map_batches(nf, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        tags = b["tag"].to_numpy(zero_copy_only=False)
-        epb = b.filter(pa.array(tags == 0))
-        if epb.num_rows:
-            df = epb.to_pandas()
-            ids = df["id"].to_numpy()
-            recs = df[tag_cols].to_numpy(dtype=object)
-            has_any = pd.notna(recs).any(axis=1)
-            for i in np.flatnonzero(has_any):
-                endpoint_tags[int(ids[i])] = {
-                    k: v
-                    for k, v in zip(ADDR_KEYS_7, recs[i])
-                    if v is not None and v == v
-                }
-            for i in np.flatnonzero(~has_any):
-                endpoint_tags[int(ids[i])] = {}
-        plb = b.filter(pa.array(tags == 1))
-        if plb.num_rows:
-            df = plb.to_pandas().sort_values("id", kind="stable")
-            for name, g in df.groupby("name", sort=False):
-                places.setdefault(name, ([], []))[0].extend(
-                    zip(g["id"].tolist(), g["lon"].tolist(), g["lat"].tolist())
-                )
-
-    out_places: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-    for name, (nody, wayy) in places.items():
-        nody.sort()
-        wayy.sort()
-        out_places[name] = (
-            np.array(nody, dtype=np.float64).reshape(-1, 3),
-            np.array(wayy, dtype=np.float64).reshape(-1, 3),
+    pass2 = [
+        b
+        for b in parsed_ds.map_batches(nf, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
         )
+        if b.num_rows
+    ]
+    if pass2:
+        t2 = pa.concat_tables(pass2)
+    else:
+        t2 = pa.table(
+            {
+                "tag": pa.array([], pa.int8()),
+                "id": pa.array([], pa.int64()),
+                "lon": pa.array([], pa.float64()),
+                "lat": pa.array([], pa.float64()),
+                "name": pa.array([], pa.string()),
+                **{c: pa.array([], pa.string()) for c in tag_cols},
+            }
+        )
+    tags2 = t2["tag"].to_numpy(zero_copy_only=False)
+    epb = t2.filter(pa.array(tags2 == 0))
+    ep_ids2 = epb["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ep_vals = (
+        np.column_stack(
+            [epb[c].to_numpy(zero_copy_only=False) for c in tag_cols]
+        ).astype(object)
+        if epb.num_rows
+        else np.empty((0, len(tag_cols)), object)
+    )
+    order = np.argsort(ep_ids2, kind="stable")
+    endpoint_tags = EndpointTagMap(ep_ids2[order], ep_vals[order])
+
+    nody_tab = t2.filter(pa.array(tags2 == 1)).select(["id", "lon", "lat", "name"])
+    out_places = _places_from_tables(nody_tab, wayy_tab)
     return endpoint_tags, out_places
+
+
+def _places_from_tables(nody_tab: pa.Table, wayy_tab: pa.Table):
+    """Vectorized build of {name: (nody (n,3) ndarray, wayy (m,3) ndarray)},
+    rows sorted by id within each flavor (reference probe order).
+
+    No per-group pandas iteration: dictionary-encode names, lexsort by
+    (name code, id), slice at code boundaries — per-group cost is one
+    ndarray view (pandas ``groupby`` iteration measured ~5s for 19k names)."""
+    out_places: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    empty = np.empty((0, 3), np.float64)
+    sides: list[dict[str, np.ndarray]] = []
+    for tab in (nody_tab, wayy_tab):
+        side: dict[str, np.ndarray] = {}
+        if tab.num_rows:
+            name_arr = pa.chunked_array([tab["name"]]).combine_chunks().dictionary_encode()
+            codes = np.asarray(name_arr.indices)
+            names = name_arr.dictionary.to_pylist()
+            ids = tab["id"].to_numpy(zero_copy_only=False).astype(np.float64)
+            lon = tab["lon"].to_numpy(zero_copy_only=False)
+            lat = tab["lat"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, codes))
+            data = np.column_stack((ids, lon, lat))[order]
+            cs = codes[order]
+            bounds = np.flatnonzero(cs[1:] != cs[:-1]) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(cs)]))
+            for s, e in zip(starts.tolist(), ends.tolist()):
+                side[names[cs[s]]] = data[s:e]
+        sides.append(side)
+    nody, wayy = sides
+    for name in {**nody, **wayy}:
+        out_places[name] = (nody.get(name, empty), wayy.get(name, empty))
+    return out_places
+
+
+class EndpointTagMap:
+    """Columnar stand-in for dict[node_id -> {addr key: val}] (ST3).
+
+    Sorted int64 id array + (n,7) object value matrix; ``get`` does a binary
+    search and materializes the tiny per-node dict on demand. Probes happen
+    only for interpolation-way endpoints (sparse), while construction and
+    ``ray.put`` serialization are vectorized/O(n) — the dict-of-dicts form
+    measured ~5s of serial driver time at 2.7M-doc scale.
+    """
+
+    __slots__ = ("ids", "vals")
+
+    def __init__(self, ids: np.ndarray, vals: np.ndarray):
+        self.ids = ids
+        self.vals = vals
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def get(self, node_id, default=None):
+        i = np.searchsorted(self.ids, node_id)
+        if i >= len(self.ids) or self.ids[i] != node_id:
+            return default
+        return {
+            k: v
+            for k, v in zip(ADDR_KEYS_7, self.vals[i])
+            if v is not None and v == v
+        }

@@ -326,7 +326,10 @@ class InterpolationValidator:
         return pa.concat_tables([align(layer, 0), align(pts, 1)])
 
 
-def interpolation_stage(ways_geo, endpoint_tags: dict, *, concurrency=(1, 4)):
+def interpolation_stage(ways_geo, endpoint_tags, *, concurrency=(1, 4)):
+    # endpoint_tags: any mapping with .get(node_id, default) -> dict | None
+    # (plain dict from collect_endpoint_tags, or the columnar EndpointTagMap
+    # from pipelines.side_inputs at scale)
     """ways_geo → union dataset of interpolation layer rows (__out=0) and
     densified ip address points (__out=1). Caller materializes once and splits."""
     import pyarrow.compute as pc

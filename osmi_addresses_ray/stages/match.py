@@ -404,6 +404,60 @@ def build_places_index(parsed_ds, ways_geo) -> dict:
     return out
 
 
+class PlacesIndex:
+    """Columnar broadcast form of the places index (ST2).
+
+    {name: ((n,3) nody, (m,3) wayy)} as ONE data array per flavor plus
+    offsets and a name→slot dict; ``get`` returns zero-copy views. A dict of
+    2×19k small ndarrays costs ~1s to ray.put/deserialize per worker — this
+    form is two large buffers.
+    """
+
+    __slots__ = ("index", "nody_data", "nody_off", "wayy_data", "wayy_off")
+
+    def __init__(self, index, nody_data, nody_off, wayy_data, wayy_off):
+        self.index = index
+        self.nody_data = nody_data
+        self.nody_off = nody_off
+        self.wayy_data = wayy_data
+        self.wayy_off = wayy_off
+
+    @classmethod
+    def from_dict(cls, d: dict):
+        names = list(d.keys())
+        index = {n: i for i, n in enumerate(names)}
+        empty = np.empty((0, 3), np.float64)
+
+        def side(slot: int):
+            arrs = [np.asarray(d[n][slot], np.float64).reshape(-1, 3) for n in names]
+            off = np.zeros(len(names) + 1, np.int64)
+            if arrs:
+                np.cumsum([len(a) for a in arrs], out=off[1:])
+                data = np.concatenate(arrs) if off[-1] else empty
+            else:
+                data = empty
+            return data, off
+
+        nody_data, nody_off = side(0)
+        wayy_data, wayy_off = side(1)
+        return cls(index, nody_data, nody_off, wayy_data, wayy_off)
+
+    def __len__(self) -> int:
+        return len(self.index)
+
+    def __bool__(self) -> bool:
+        return bool(self.index)
+
+    def get(self, name, default=None):
+        i = self.index.get(name)
+        if i is None:
+            return default
+        return (
+            self.nody_data[self.nody_off[i] : self.nody_off[i + 1]],
+            self.wayy_data[self.wayy_off[i] : self.wayy_off[i + 1]],
+        )
+
+
 # --- the per-partition match kernel -----------------------------------------
 
 def _proj_clamped(a: np.ndarray, b: np.ndarray, p: np.ndarray) -> np.ndarray:
@@ -828,6 +882,8 @@ def match_stage(
     column inside each partition. ``exchange``: "direct" = two-wave raw-task
     map/reduce (ops.direct_cogroup, no sort barrier); "groupby" = packed-blob
     groupby exchange (streaming, backpressured)."""
+    if isinstance(places, dict):
+        places = PlacesIndex.from_dict(places)
     places_ref = ray.put(places)
 
     def fn(streets_part: pa.Table, addrs_part: pa.Table) -> pa.Table:

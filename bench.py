@@ -274,7 +274,11 @@ def run_once() -> dict:
 
 
 def run_scaling() -> dict:
-    scale_blocks = os.environ.get("GRAFT_SCALING_BLOCKS", "192000")
+    # 768k blocks (~11M docs) for BOTH e2e and join legs: one shared fixture,
+    # and enough work that the ~10s fixed driver cost stops dominating the
+    # 4N leg (at 192k blocks measured e2e efficiency swung 0.56-0.71 run to
+    # run; the W term was too small relative to F)
+    scale_blocks = os.environ.get("GRAFT_SCALING_BLOCKS", "768000")
 
     def sub(ncpu: int) -> dict:
         out_path = f"/tmp/graft_bench_{os.getpid()}_{ncpu}.json"

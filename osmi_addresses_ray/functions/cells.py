@@ -51,6 +51,73 @@ def cell_of(lon, lat):
     return (band << 20) | lon_bin
 
 
+def cells_of_bboxes(
+    s: np.ndarray, n: np.ndarray, w: np.ndarray, e: np.ndarray, tol: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch ``cells_of_bbox``: → (cells_flat, per_row_counts).
+
+    ``cells_flat`` is row-major (all of row 0's cells, then row 1's, …), each
+    row's cells in the same (band asc, bin asc) order the scalar function
+    emits. Pure numpy — no per-row Python; the scalar loop measured ~40 CPU·s
+    per bench leg inside street replication.
+    """
+    s = np.asarray(s, np.float64)
+    n = np.asarray(n, np.float64)
+    w = np.asarray(w, np.float64)
+    e = np.asarray(e, np.float64)
+    nrows = len(s)
+    if nrows == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    lo_b = np.clip(np.floor((s - tol + 90.0) / CELL_DEG), 0, N_BANDS - 1).astype(np.int64)
+    hi_b = np.clip(np.floor((n + tol + 90.0) / CELL_DEG), 0, N_BANDS - 1).astype(np.int64)
+    nb = hi_b - lo_b + 1
+    # (row, band) pairs, row-major band-ascending
+    rb_row = np.repeat(np.arange(nrows), nb)
+    ofs = np.concatenate(([0], np.cumsum(nb)))
+    band = lo_b[rb_row] + (np.arange(len(rb_row)) - np.repeat(ofs[:-1], nb))
+    band_lo = band * CELL_DEG - 90.0
+    band_hi = band_lo + CELL_DEG
+    max_abs = np.minimum(np.maximum(np.abs(band_lo), np.abs(band_hi)), 89.999)
+    lon_pad = tol / np.maximum(np.cos(np.deg2rad(max_abs)), 1e-6) * _PAD_SAFETY
+    nlon = _nlon(band)
+    w_ = w[rb_row]
+    e_ = e[rb_row]
+    full = (lon_pad * 2.0 + (e_ - w_) >= 360.0) | (nlon <= 2)
+    wlo = np.mod(w_ - lon_pad + 180.0, 360.0)
+    ehi = np.mod(e_ + lon_pad + 180.0, 360.0)
+    blo = np.minimum(np.floor(wlo / 360.0 * nlon).astype(np.int64), nlon - 1)
+    bhi = np.minimum(np.floor(ehi / 360.0 * nlon).astype(np.int64), nlon - 1)
+    nowrap = (~full) & (blo <= bhi) & ((w_ - lon_pad + 180.0) >= 0) & (
+        (e_ + lon_pad + 180.0) < 360.0
+    )
+    wrap = ~full & ~nowrap
+    # wrapped [0..bhi] ∪ [blo..nlon-1] covers every bin when blo <= bhi+1
+    wrap_full = wrap & (blo <= bhi + 1)
+    wrap_dis = wrap & ~wrap_full
+    isfull = full | wrap_full
+    # ≤2 contiguous bin ranges per (row, band); range 1 always exists
+    r1_start = np.where(isfull, 0, np.where(nowrap, blo, 0))
+    r1_cnt = np.where(isfull, nlon, np.where(nowrap, bhi - blo + 1, bhi + 1))
+    # range 2 only for the disjoint wrap case; starts above range 1 → bin order stays ascending
+    rec_rb = np.concatenate((np.arange(len(band)), np.flatnonzero(wrap_dis)))
+    rec_start = np.concatenate((r1_start, blo[wrap_dis]))
+    rec_cnt = np.concatenate((r1_cnt, (nlon - blo)[wrap_dis]))
+    rec_rank = np.concatenate(
+        (np.zeros(len(band), np.int8), np.ones(int(wrap_dis.sum()), np.int8))
+    )
+    ro = np.lexsort((rec_rank, rec_rb))
+    rec_rb = rec_rb[ro]
+    rec_start = rec_start[ro]
+    rec_cnt = rec_cnt[ro]
+    tot = int(rec_cnt.sum())
+    rep = np.repeat(np.arange(len(rec_cnt)), rec_cnt)
+    rofs = np.concatenate(([0], np.cumsum(rec_cnt)))
+    bins = rec_start[rep] + (np.arange(tot) - np.repeat(rofs[:-1], rec_cnt))
+    cells_flat = (band[rec_rb[rep]] << 20) | bins
+    counts = np.bincount(rb_row[rec_rb[rep]], minlength=nrows).astype(np.int64)
+    return cells_flat, counts
+
+
 def cells_of_bbox(s: float, n: float, w: float, e: float, tol: float) -> np.ndarray:
     """All cell ids a point passing ``is_point_near_bbox(bbox, p, tol)`` can be in.
 

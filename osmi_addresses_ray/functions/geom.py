@@ -145,6 +145,56 @@ def polygon_centroid(ring: np.ndarray) -> tuple[float, float]:
     return float(mx), float(my)
 
 
+def polygon_centroids_packed(
+    fx: np.ndarray, fy: np.ndarray, offsets: np.ndarray, sel: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch ``polygon_centroid`` over rings packed as flat coords + offsets.
+
+    ``sel`` = ring indices to compute (closed, nonzero). Segmented shoelace
+    via add.reduceat with ring-boundary pair terms zeroed — same values and
+    the same degenerate fallbacks as the scalar function, no per-ring Python.
+    """
+    counts = np.diff(offsets)
+    csel = counts[sel]
+    if not len(csel):
+        return np.empty(0, np.float64), np.empty(0, np.float64)
+    tot = int(csel.sum())
+    goff = np.concatenate(([0], np.cumsum(csel)))
+    gi = np.repeat(offsets[:-1][sel], csel) + (
+        np.arange(tot) - np.repeat(goff[:-1], csel)
+    )
+    gx, gy = fx[gi], fy[gi]
+    cross = gx[:-1] * gy[1:] - gx[1:] * gy[:-1]
+    seg = np.hypot(np.diff(gx), np.diff(gy))
+    bnd = goff[1:-1] - 1  # pair spanning ring i's last → ring i+1's first
+    cross[bnd] = 0.0
+    seg[bnd] = 0.0
+    starts = goff[:-1]
+    area2 = np.add.reduceat(cross, starts)
+    sxc = np.add.reduceat((gx[:-1] + gx[1:]) * cross, starts)
+    syc = np.add.reduceat((gy[:-1] + gy[1:]) * cross, starts)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cx = sxc / (3.0 * area2)
+        cy = syc / (3.0 * area2)
+    # zero-area fallback: length-weighted midpoint; zero-length: first point
+    degen = area2 == 0.0
+    if degen.any():
+        slen = np.add.reduceat(seg, starts)
+        mx = np.add.reduceat((gx[:-1] + gx[1:]) / 2.0 * seg, starts)
+        my = np.add.reduceat((gy[:-1] + gy[1:]) / 2.0 * seg, starts)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            fmx = mx / slen
+            fmy = my / slen
+        first_x = gx[starts]
+        first_y = gy[starts]
+        zl = slen == 0.0
+        fmx = np.where(zl, first_x, fmx)
+        fmy = np.where(zl, first_y, fmy)
+        cx = np.where(degen, fmx, cx)
+        cy = np.where(degen, fmy, cy)
+    return cx, cy
+
+
 # --- distances / projection --------------------------------------------------
 
 def point_polyline_distance(px: float, py: float, coords: np.ndarray) -> float:

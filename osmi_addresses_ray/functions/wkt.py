@@ -43,14 +43,24 @@ def two_point_line_wkt(x1, y1, x2, y2) -> pa.Array:
     )
 
 
-def lines_wkt_from_offsets(flat_xy: np.ndarray, offsets: np.ndarray, *, polygon: bool = False) -> list:
+def lines_wkt_from_offsets(
+    flat_xy: np.ndarray, offsets: np.ndarray, *, polygon: bool = False
+) -> pa.Array:
     """WKT strings for many polylines packed as (flat (n,2) coords, offsets).
 
-    Python-level per-geometry loop — used only on output layers (small
-    relative to input). ``polygon=True`` emits POLYGON with the ring as-is.
+    Fully vectorized: per-vertex "x y" strings via Arrow cast, then one
+    ``binary_join`` over a list view — no per-geometry Python (the f-string
+    loop measured ~5µs/row across millions of output rows). ``polygon=True``
+    emits POLYGON with the ring as-is. Float text is Arrow's shortest
+    round-trip form (same kernel as ``point_wkt``).
     """
-    out = []
-    for i in range(len(offsets) - 1):
-        seg = flat_xy[offsets[i] : offsets[i + 1]]
-        out.append(polygon_wkt_py(seg) if polygon else linestring_wkt_py(seg))
-    return out
+    if len(offsets) <= 1:
+        return pa.array([], pa.string())
+    xs = pc.cast(pa.array(np.ascontiguousarray(flat_xy[:, 0])), pa.string())
+    ys = pc.cast(pa.array(np.ascontiguousarray(flat_xy[:, 1])), pa.string())
+    verts = pc.binary_join_element_wise(xs, ys, " ")
+    lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), verts)
+    body = pc.binary_join(lists, ", ")
+    if polygon:
+        return pc.binary_join_element_wise("POLYGON ((", body, "))", "")
+    return pc.binary_join_element_wise("LINESTRING (", body, ")", "")

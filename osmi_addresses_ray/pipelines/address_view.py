@@ -180,7 +180,7 @@ def _nearest_ways_from_match(match_ds, *, num_parts: int):
                     s["name"].combine_chunks(),
                     s["lastchange"].combine_chunks(),
                     pa.array([geom_type] * s.num_rows, pa.string()),
-                    pa.array(wkt, pa.string()),
+                    wkt,
                 ],
                 schema=schema,
             )

@@ -78,7 +78,26 @@ class MinHasher:
         return vals.min(axis=1)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack([self.signature(t) for t in df["text"]])
+        # one hash_array call per sub-chunk (not per doc) + segmented min via
+        # reduceat; sub-chunks bound the (num_perm × shingles) work matrix
+        sh_lists = [_shingles(t) for t in df["text"]]
+        counts = np.array([len(s) for s in sh_lists], dtype=np.int64)
+        sig_parts: list[np.ndarray] = []
+        mask = np.uint64(0x1FFFFFFFFFFFFFFF)
+        i = 0
+        while i < len(sh_lists):
+            j, tot = i, 0
+            while j < len(sh_lists) and tot + counts[j] <= 200_000:
+                tot += counts[j]
+                j += 1
+            j = max(j, i + 1)
+            chunk = sh_lists[i:j]
+            h = pd.util.hash_array(np.concatenate(chunk)).astype(np.uint64)
+            vals = (self.a[:, None] * h[None, :] + self.b[:, None]) & mask
+            offs = np.concatenate(([0], np.cumsum(counts[i:j])))[:-1]
+            sig_parts.append(np.minimum.reduceat(vals, offs, axis=1).T)
+            i = j
+        sigs = np.concatenate(sig_parts) if sig_parts else np.empty((0, self.num_perm), np.uint64)
         out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy()})
         out["sig"] = list(sigs)
         return out
@@ -99,21 +118,36 @@ def minhash_lsh_pairs(sf_dir: str, *, num_perm: int = 64, bands: int = 16, thres
                             fn_constructor_args=(num_perm,))
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
-        buckets, doc_ids = [], []
+        if not len(df):
+            return pd.DataFrame(
+                {"bucket": pd.Series([], dtype="int64"), "doc_id": pd.Series([], dtype="int64")}
+            )
+        # FNV-fold each band vectorized over (docs, bands); identical values
+        # to the former per-scalar loop (uint64 wraparound semantics)
         fnv = np.uint64(1099511628211)
-        for doc_id, sig in zip(df["doc_id"], df["sig"]):
-            s = np.asarray(sig, dtype=np.uint64).reshape(bands, rows_per_band)
-            for b in range(bands):
-                acc = np.uint64(b + 1)
-                for v in s[b]:
-                    acc = (acc * fnv) ^ np.uint64(v)
-                buckets.append(int(acc & np.uint64(0x7FFFFFFFFFFFFFFF)))
-                doc_ids.append(doc_id)
-        return pd.DataFrame({"bucket": buckets, "doc_id": doc_ids})
+        S = np.stack([np.asarray(s, np.uint64) for s in df["sig"]]).reshape(
+            len(df), bands, rows_per_band
+        )
+        acc = np.broadcast_to(
+            np.arange(1, bands + 1, dtype=np.uint64), (len(df), bands)
+        ).copy()
+        for r in range(rows_per_band):
+            acc = (acc * fnv) ^ S[:, :, r]
+        return pd.DataFrame(
+            {
+                "bucket": (acc & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64).ravel(),
+                "doc_id": np.repeat(df["doc_id"].to_numpy(), bands),
+            }
+        )
 
     buckets = sigged.map_batches(explode, batch_format="pandas")
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # singleton buckets dominate — drop them vectorized before the
+        # per-bucket combination loop touches only true collision groups
+        df = df.drop_duplicates(["bucket", "doc_id"])
+        sizes = df["bucket"].map(df["bucket"].value_counts())
+        df = df[sizes >= 2]
         out = []
         for _b, g in df.groupby("bucket", sort=False):
             ids = sorted(set(g["doc_id"]))
@@ -133,9 +167,21 @@ def minhash_lsh_pairs(sf_dir: str, *, num_perm: int = 64, bands: int = 16, thres
     if cand_df.empty:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"), "jaccard": pd.Series([], dtype="float64")})
 
-    # verify with true shingle Jaccard (small candidate set by construction)
-    texts = _read_docs(sf_dir).to_pandas().set_index("doc_id")["text"]
-    sh = {d: set(_shingles(texts.loc[d])) for d in set(cand_df["doc_a"]) | set(cand_df["doc_b"])}
+    # verify with true shingle Jaccard. Only candidate docs reach the driver
+    # (distributed semi-join filter) — pulling the full corpus here would be
+    # a driver OOM at 100 TB scale.
+    cand_ids = np.array(sorted(set(cand_df["doc_a"]) | set(cand_df["doc_b"])), dtype=np.int64)
+
+    def only_cands(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["doc_id"].isin(cand_ids)]
+
+    texts = (
+        _read_docs(sf_dir)
+        .map_batches(only_cands, batch_format="pandas")
+        .to_pandas()
+        .set_index("doc_id")["text"]
+    )
+    sh = {d: set(_shingles(texts.loc[d])) for d in cand_ids}
     jac = [
         len(sh[a] & sh[b]) / max(1, len(sh[a] | sh[b]))
         for a, b in zip(cand_df["doc_a"], cand_df["doc_b"])
@@ -151,16 +197,23 @@ def simhash_docs(sf_dir: str):
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
         out_h = np.zeros(len(df), dtype=np.uint64)
-        for i, text in enumerate(df["text"]):
-            toks = _TOKEN.findall(text.lower())
-            if not toks:
-                continue
-            h = pd.util.hash_array(np.array(toks, dtype=object)).astype(np.uint64)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
-            votes = bits.sum(axis=0) * 2 - len(h)
-            out_h[i] = np.packbits((votes > 0).astype(np.uint8), bitorder="little").view(
-                np.uint64
-            )[0]
+        tok_lists = [_TOKEN.findall(t.lower()) for t in df["text"]]
+        counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        nz = np.flatnonzero(counts)
+        if len(nz):
+            # hash every token in the batch at once, then segmented bit votes
+            # per doc via add.reduceat (identical values to the per-doc loop)
+            all_toks = np.concatenate([np.array(tok_lists[i], dtype=object) for i in nz])
+            h = pd.util.hash_array(all_toks).astype(np.uint64)
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                np.int32
+            )
+            offs = np.concatenate(([0], np.cumsum(counts[nz])))[:-1]
+            sums = np.add.reduceat(bits, offs, axis=0)  # (n_nz, 64)
+            votes = sums * 2 - counts[nz][:, None]
+            out_h[nz] = np.packbits(
+                (votes > 0).astype(np.uint8), axis=1, bitorder="little"
+            ).view(np.uint64)[:, 0]
         return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "simhash": out_h})
 
     df = ds.map_batches(f, batch_format="pandas").to_pandas()
@@ -171,7 +224,11 @@ def ngram_jaccard_dedup(sf_dir: str, *, threshold: float = 0.8):
     """Docs to KEEP after removing near-duplicates (Jaccard ≥ threshold,
     higher doc_id dropped). Uses the LSH candidates, then exact verify."""
     pairs = minhash_lsh_pairs(sf_dir, threshold=threshold)
-    drop = set(pairs["doc_b"]) if len(pairs) else set()
-    docs = _read_docs(sf_dir).to_pandas()
-    keep = docs[~docs["doc_id"].isin(drop)][["doc_id"]]
+    drop = np.array(sorted(set(pairs["doc_b"])), dtype=np.int64) if len(pairs) else np.empty(0, np.int64)
+    # anti-join executes distributed; only the surviving ids (no text
+    # payload) reach the driver
+    ids = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    keep = ids.map_batches(
+        lambda df: df[~df["doc_id"].isin(drop)], batch_format="pandas"
+    ).to_pandas()
     return keep.sort_values("doc_id").reset_index(drop=True)

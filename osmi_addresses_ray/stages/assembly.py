@@ -155,9 +155,12 @@ def _reassemble(located: pa.Table, attrs: pa.Table) -> pa.Table:
     cen_lon = np.full(len(counts_k), np.nan)
     cen_lat = np.full(len(counts_k), np.nan)
     closed_idx = np.flatnonzero(is_closed & nonzero)
-    for i in closed_idx:
-        ring = np.column_stack((fx[offsets[i] : offsets[i + 1]], fy[offsets[i] : offsets[i + 1]]))
-        cen_lon[i], cen_lat[i] = polygon_centroid(ring)
+    if len(closed_idx):
+        from ..functions.geom import polygon_centroids_packed
+
+        cen_lon[closed_idx], cen_lat[closed_idx] = polygon_centroids_packed(
+            fx, fy, offsets, closed_idx
+        )
 
     # attach way attributes (attrs partitioned on the same key → local join)
     adf = attrs.to_pandas().set_index("osm_id")

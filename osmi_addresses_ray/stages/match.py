@@ -141,37 +141,79 @@ def streets_from_ways_geo(ways_geo):
     def f(t: pa.Table) -> pa.Table:
         mask = pc.and_(pc.is_valid(t[tag_col("highway")]), t["nonzero"])
         s = t.filter(mask)
-        if s.num_rows == 0:
-            return STREET_SCHEMA.empty_table()
-        d = s.to_pydict()
         n = s.num_rows
-        area = d[tag_col("area")]
-        closed = d["is_closed"]
-        name_cols = [d[tag_col(k)] for k in STREETNAME_KEYS]
-        out = {k: [] for k in STREET_SCHEMA.names}
-        for i in range(n):
-            names = sorted({c[i] for c in name_cols if c[i] is not None})
-            if not names:
-                continue
-            is_area = bool(area[i] in ("yes", "true") and closed[i])
-            cells = cells_of_bbox(
-                d["bbox_s"][i], d["bbox_n"][i], d["bbox_w"][i], d["bbox_e"][i], MAXDIST
-            )
-            for name in names:
-                for c in cells.tolist():
-                    out["cell"].append(c)
-                    out["name"].append(name)
-                    out["way_id"].append(d["way_id"][i])
-                    out["is_area"].append(is_area)
-                    out["xs"].append(d["xs"][i])
-                    out["ys"].append(d["ys"][i])
-                    out["bbox_s"].append(d["bbox_s"][i])
-                    out["bbox_n"].append(d["bbox_n"][i])
-                    out["bbox_w"].append(d["bbox_w"][i])
-                    out["bbox_e"].append(d["bbox_e"][i])
-                    out["lastchange"].append("")  # quirk: never assigned
-                    # (FirstHandler.hpp:62-74 → NearestRoadsWriter lastchange "")
-        return pa.Table.from_pydict(out, schema=STREET_SCHEMA)
+        if n == 0:
+            return STREET_SCHEMA.empty_table()
+
+        # (row, name) pairs: 7 name keys, per-row dedup + ascending name order
+        # (== the reference's sorted std::set iteration)
+        ri_parts, nm_parts = [], []
+        for k in STREETNAME_KEYS:
+            col = s[tag_col(k)]
+            valid = np.flatnonzero(pc.is_valid(col).to_numpy(zero_copy_only=False))
+            if len(valid):
+                ri_parts.append(valid)
+                nm_parts.append(col.to_numpy(zero_copy_only=False)[valid])
+        if not ri_parts:
+            return STREET_SCHEMA.empty_table()
+        ri = np.concatenate(ri_parts)
+        nm = np.concatenate(nm_parts)
+        order = np.lexsort((nm, ri))  # row-major, names ascending within row
+        ri, nm = ri[order], nm[order]
+        keep = np.concatenate(([True], (ri[1:] != ri[:-1]) | (nm[1:] != nm[:-1])))
+        ri, nm = ri[keep], nm[keep]
+
+        # covered cells per row (padded quantized bbox), batch kernel
+        from ..functions.cells import cells_of_bboxes
+
+        bs = s["bbox_s"].to_numpy(zero_copy_only=False)
+        bn = s["bbox_n"].to_numpy(zero_copy_only=False)
+        bw = s["bbox_w"].to_numpy(zero_copy_only=False)
+        be = s["bbox_e"].to_numpy(zero_copy_only=False)
+        cells_flat, cell_counts = cells_of_bboxes(bs, bn, bw, be, MAXDIST)
+        cofs = np.concatenate(([0], np.cumsum(cell_counts)))
+
+        # expand each (row, name) pair over the row's cells (name outer, cell
+        # inner — the original nesting)
+        pc_counts = cell_counts[ri]
+        total = int(pc_counts.sum())
+        if total == 0:
+            return STREET_SCHEMA.empty_table()
+        pair_idx = np.repeat(np.arange(len(ri)), pc_counts)
+        pofs = np.concatenate(([0], np.cumsum(pc_counts)))
+        within = np.arange(total) - np.repeat(pofs[:-1], pc_counts)
+        cell_final = cells_flat[cofs[ri[pair_idx]] + within]
+        final_ri = ri[pair_idx]
+
+        is_area_row = pc.fill_null(
+            pc.and_(
+                pc.is_in(s[tag_col("area")], value_set=pa.array(["yes", "true"])),
+                s["is_closed"],
+            ),
+            False,
+        ).to_numpy(zero_copy_only=False)
+        take = pa.array(final_ri, pa.int64())
+        payload = s.select(
+            ["way_id", "xs", "ys", "bbox_s", "bbox_n", "bbox_w", "bbox_e"]
+        ).take(take)
+        return pa.Table.from_arrays(
+            [
+                pa.array(cell_final, pa.int64()),
+                pa.array(nm[pair_idx], pa.string()),
+                payload["way_id"],
+                pa.array(is_area_row[final_ri]),
+                payload["xs"],
+                payload["ys"],
+                payload["bbox_s"],
+                payload["bbox_n"],
+                payload["bbox_w"],
+                payload["bbox_e"],
+                # quirk: lastchange never assigned (FirstHandler.hpp:62-74 →
+                # NearestRoadsWriter lastchange "")
+                pa.array(np.full(total, "", object), pa.string()),
+            ],
+            schema=STREET_SCHEMA,
+        )
 
     return ways_geo.map_batches(f, batch_format="pyarrow")
 

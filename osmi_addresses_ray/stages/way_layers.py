@@ -66,7 +66,7 @@ def ways_with_addresses_batch(t: pa.Table) -> pa.Table:
             s[tag_col("addr:place")].combine_chunks(),
             s["lastchange"].combine_chunks(),
             pa.array(["POLYGON"] * s.num_rows),
-            pa.array(wkt, pa.string()),
+            wkt,
         ],
         schema=WAYS_WITH_ADDRESSES_SCHEMA,
     )
@@ -82,7 +82,7 @@ def ways_with_postal_code_batch(t: pa.Table) -> pa.Table:
             s["lastchange"].combine_chunks(),
             s[tag_col("postal_code")].combine_chunks(),
             pa.array(["LINESTRING"] * s.num_rows),
-            pa.array(wkt, pa.string()),
+            wkt,
         ],
         schema=WAYS_WITH_POSTAL_CODE_SCHEMA,
     )
@@ -101,7 +101,7 @@ def addrx_on_nonclosed_way_batch(t: pa.Table) -> pa.Table:
             s["way_id"].combine_chunks(),
             s["lastchange"].combine_chunks(),
             pa.array(["LINESTRING"] * s.num_rows),
-            pa.array(wkt, pa.string()),
+            wkt,
         ],
         schema=ADDRX_ON_NONCLOSED_WAY_SCHEMA,
     )
@@ -118,7 +118,7 @@ def buildings_batch(t: pa.Table) -> pa.Table:
             s["way_id"].combine_chunks(),
             s["lastchange"].combine_chunks(),
             pa.array(["POLYGON"] * s.num_rows),
-            pa.array(wkt, pa.string()),
+            wkt,
         ],
         schema=BUILDINGS_SCHEMA,
     )

@@ -115,3 +115,69 @@ def test_cell_cover_property(lat, lon, dlat, dlon, plat, plon):
     if bool(geom.is_point_near_bbox(s, n, w, e, px, py, 0.01)):
         cells = cells_of_bbox(s, n, w, e, 0.01)
         assert int(cell_of(px, py)) in set(cells.tolist())
+
+
+def test_cells_of_bboxes_matches_scalar():
+    """Batch cells kernel == scalar cells_of_bbox, row by row, including
+    polar bands and antimeridian wraps (street-replication hot path)."""
+    import numpy as np
+
+    from osmi_addresses_ray.constants import MAXDIST
+    from osmi_addresses_ray.functions.cells import cells_of_bboxes
+
+    rng = np.random.default_rng(7)
+    N = 1500
+    lat0 = rng.uniform(-89.9, 89.8, N)
+    lat1 = lat0 + rng.uniform(0, 0.2, N)
+    lon0 = rng.uniform(-180, 179.9, N)
+    lon1 = lon0 + rng.uniform(0, 0.2, N)
+    lat0[:30] = rng.uniform(88.5, 89.95, 30)
+    lat1[:30] = np.minimum(lat0[:30] + rng.uniform(0, 0.5, 30), 90.0)
+    lon0[30:60] = 179.99
+    lon1[30:60] = 180.0
+    lat0[60:90] = -90.0
+    lat1[60:90] = -89.9
+    lon0[90:120] = -180.0
+    lon1[90:120] = -179.99
+    flat, counts = cells_of_bboxes(lat0, lat1, lon0, lon1, MAXDIST)
+    ofs = np.concatenate(([0], np.cumsum(counts)))
+    for i in range(N):
+        exp = cells_of_bbox(
+            float(lat0[i]), float(lat1[i]), float(lon0[i]), float(lon1[i]), MAXDIST
+        )
+        assert np.array_equal(np.asarray(exp), flat[ofs[i] : ofs[i + 1]]), i
+
+
+def test_polygon_centroids_packed_matches_scalar():
+    import numpy as np
+
+    from osmi_addresses_ray.functions.geom import (
+        polygon_centroid,
+        polygon_centroids_packed,
+    )
+
+    rng = np.random.default_rng(3)
+    rings = []
+    # simple rings, collinear (zero-area) rings, single-point repeats
+    for _ in range(200):
+        k = rng.integers(3, 12)
+        pts = rng.uniform(-10, 10, (k, 2))
+        rings.append(np.vstack((pts, pts[0])))
+    for _ in range(20):
+        # collinear with small-integer coords: the shoelace sum is EXACTLY
+        # 0.0, so both paths take the degenerate fallback. (Float-dust
+        # near-zero areas divide by ~1e-15 — pure cancellation noise in the
+        # scalar version too — and are not a meaningful contract.)
+        a = rng.integers(-5, 5, 2).astype(np.float64)
+        d = rng.integers(1, 4, 2).astype(np.float64)
+        rings.append(np.array([a, a + d, a + 2 * d, a]))  # zero area
+    rings.append(np.array([[1.0, 2.0], [1.0, 2.0], [1.0, 2.0]]))  # zero length
+    fx = np.concatenate([r[:, 0] for r in rings])
+    fy = np.concatenate([r[:, 1] for r in rings])
+    offsets = np.concatenate(([0], np.cumsum([len(r) for r in rings])))
+    sel = np.arange(len(rings))
+    cx, cy = polygon_centroids_packed(fx, fy, offsets, sel)
+    for i, r in enumerate(rings):
+        ex, ey = polygon_centroid(r)
+        assert np.isclose(cx[i], ex, rtol=1e-12, atol=1e-12), i
+        assert np.isclose(cy[i], ey, rtol=1e-12, atol=1e-12), i

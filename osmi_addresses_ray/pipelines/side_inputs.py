@@ -161,15 +161,11 @@ def collect_side_inputs(parsed_ds, ways_geo):
     tags2 = t2["tag"].to_numpy(zero_copy_only=False)
     epb = t2.filter(pa.array(tags2 == 0))
     ep_ids2 = epb["id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    ep_vals = (
-        np.column_stack(
-            [epb[c].to_numpy(zero_copy_only=False) for c in tag_cols]
-        ).astype(object)
-        if epb.num_rows
-        else np.empty((0, len(tag_cols)), object)
-    )
     order = np.argsort(ep_ids2, kind="stable")
-    endpoint_tags = EndpointTagMap(ep_ids2[order], ep_vals[order])
+    # arrow-native sort: no object-matrix materialization on the driver (the
+    # per-column to_numpy(object) conversion measured ~4s at 768k endpoints)
+    ep_sorted_tab = epb.select(tag_cols).take(pa.array(order, pa.int64())).combine_chunks()
+    endpoint_tags = EndpointTagMap(ep_ids2[order], ep_sorted_tab)
 
     nody_tab = t2.filter(pa.array(tags2 == 1)).select(["id", "lon", "lat", "name"])
     out_places = _places_from_tables(nody_tab, wayy_tab)
@@ -213,28 +209,46 @@ def _places_from_tables(nody_tab: pa.Table, wayy_tab: pa.Table):
 class EndpointTagMap:
     """Columnar stand-in for dict[node_id -> {addr key: val}] (ST3).
 
-    Sorted int64 id array + (n,7) object value matrix; ``get`` does a binary
-    search and materializes the tiny per-node dict on demand. Probes happen
-    only for interpolation-way endpoints (sparse), while construction and
-    ``ray.put`` serialization are vectorized/O(n) — the dict-of-dicts form
-    measured ~5s of serial driver time at 2.7M-doc scale.
+    Sorted int64 id array + an Arrow table of the 7 addr tag columns in the
+    same order; ``get`` does a binary search and materializes the tiny
+    per-node dict on demand. Probes happen only for interpolation-way
+    endpoints (sparse); construction, ``ray.put`` serialization and
+    per-worker deserialization are all columnar/zero-copy (dict-of-dicts
+    measured ~5s serial at 2.7M docs; an object value matrix ~4s at 11M).
+
+    Scale note (>10^11 docs): this broadcast grows with interpolation-way
+    count. The shuffle alternative documented at SURVEY §2.4 J3 — explode
+    (way, which, endpoint_ref), hash-exchange against addr-tagged nodes on
+    ref, re-exchange by way_id — drops in at ``interpolation_stage`` without
+    touching the validator, which only consumes the two per-endpoint dicts.
     """
 
-    __slots__ = ("ids", "vals")
+    __slots__ = ("ids", "tab", "_cols")
 
-    def __init__(self, ids: np.ndarray, vals: np.ndarray):
+    def __init__(self, ids: np.ndarray, tab: pa.Table):
         self.ids = ids
-        self.vals = vals
+        self.tab = tab
+        self._cols = None
 
     def __len__(self) -> int:
         return len(self.ids)
 
+    def __getstate__(self):
+        return (self.ids, self.tab)
+
+    def __setstate__(self, st):
+        self.ids, self.tab = st
+        self._cols = None
+
     def get(self, node_id, default=None):
-        i = np.searchsorted(self.ids, node_id)
+        i = int(np.searchsorted(self.ids, node_id))
         if i >= len(self.ids) or self.ids[i] != node_id:
             return default
-        return {
-            k: v
-            for k, v in zip(ADDR_KEYS_7, self.vals[i])
-            if v is not None and v == v
-        }
+        if self._cols is None:
+            self._cols = [self.tab.column(j) for j in range(self.tab.num_columns)]
+        out = {}
+        for k, col in zip(ADDR_KEYS_7, self._cols):
+            v = col[i].as_py()
+            if v is not None:
+                out[k] = v
+        return out

@@ -16,7 +16,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.cells import cell_of, cells_of_bbox
+from ..functions.cells import cell_of
 from ..functions.geom import points_in_ring
 from ..ops import cogroup
 
@@ -50,35 +50,49 @@ PIP_OUT_SCHEMA = pa.schema(
 def _pip_partition(polys: pa.Table, points: pa.Table) -> pa.Table:
     if polys.num_rows == 0 or points.num_rows == 0:
         return PIP_OUT_SCHEMA.empty_table()
-    pd_ = points.to_pydict()
-    pl = polys.to_pydict()
-    px = np.asarray(pd_["lon"], dtype=np.float64)
-    py = np.asarray(pd_["lat"], dtype=np.float64)
-    pid = np.asarray(pd_["point_id"], dtype=np.int64)
-    pcell = np.asarray(pd_["cell"], dtype=np.int64)
+    px = points["lon"].to_numpy(zero_copy_only=False)
+    py = points["lat"].to_numpy(zero_copy_only=False)
+    pid = points["point_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pcell = points["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # sort points by cell once: each polygon replica probes only ITS cell's
+    # slice (searchsorted) instead of scanning the whole partition
+    porder = np.argsort(pcell, kind="stable")
+    px, py, pid, pcell = px[porder], py[porder], pid[porder], pcell[porder]
+
+    pl_cell = polys["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pl_id = polys["poly_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bs = polys["bbox_s"].to_numpy(zero_copy_only=False)
+    bn = polys["bbox_n"].to_numpy(zero_copy_only=False)
+    bw = polys["bbox_w"].to_numpy(zero_copy_only=False)
+    be = polys["bbox_e"].to_numpy(zero_copy_only=False)
+    xs_col = polys["xs"].combine_chunks() if isinstance(polys["xs"], pa.ChunkedArray) else polys["xs"]
+    ys_col = polys["ys"].combine_chunks() if isinstance(polys["ys"], pa.ChunkedArray) else polys["ys"]
+    offs = np.asarray(xs_col.offsets, np.int64)
+    offs = offs - offs[0]
+    fx = np.asarray(xs_col.flatten(), np.float64)
+    fy = np.asarray(ys_col.flatten(), np.float64)
+
+    lo = np.searchsorted(pcell, pl_cell, side="left")
+    hi = np.searchsorted(pcell, pl_cell, side="right")
     out_pt, out_poly = [], []
-    for i in range(len(pl["poly_id"])):
-        # candidates: points in this replica's cell AND inside the poly bbox
-        m = (
-            (pcell == pl["cell"][i])
-            & (py >= pl["bbox_s"][i])
-            & (py <= pl["bbox_n"][i])
-            & (px >= pl["bbox_w"][i])
-            & (px <= pl["bbox_e"][i])
-        )
+    for i in np.flatnonzero(hi > lo):
+        sl = slice(lo[i], hi[i])
+        m = (py[sl] >= bs[i]) & (py[sl] <= bn[i]) & (px[sl] >= bw[i]) & (px[sl] <= be[i])
         if not m.any():
             continue
-        ring = np.column_stack(
-            (np.asarray(pl["xs"][i], np.float64), np.asarray(pl["ys"][i], np.float64))
-        )
-        inside = points_in_ring(px[m], py[m], ring)
-        hits = pid[m][inside]
-        out_pt.extend(hits.tolist())
-        out_poly.extend([pl["poly_id"][i]] * len(hits))
+        ring = np.column_stack((fx[offs[i] : offs[i + 1]], fy[offs[i] : offs[i + 1]]))
+        cx = px[sl][m]
+        cy = py[sl][m]
+        inside = points_in_ring(cx, cy, ring)
+        hits = pid[sl][m][inside]
+        out_pt.append(hits)
+        out_poly.append(np.full(len(hits), pl_id[i], np.int64))
+    if not out_pt:
+        return PIP_OUT_SCHEMA.empty_table()
     return pa.table(
         {
-            "point_id": pa.array(out_pt, pa.int64()),
-            "poly_id": pa.array(out_poly, pa.int64()),
+            "point_id": pa.array(np.concatenate(out_pt), pa.int64()),
+            "poly_id": pa.array(np.concatenate(out_poly), pa.int64()),
         }
     )
 
@@ -102,22 +116,39 @@ def contains_join(points_ds, polys_ds, *, num_parts: int = 16):
         )
 
     def prep_polys(t: pa.Table) -> pa.Table:
-        d = t.to_pydict()
-        out = {k: [] for k in PIP_POLY_SCHEMA.names}
-        for i in range(t.num_rows):
-            xs = np.asarray(d["xs"][i], np.float64)
-            ys = np.asarray(d["ys"][i], np.float64)
-            s, n, w, e = ys.min(), ys.max(), xs.min(), xs.max()
-            for c in cells_of_bbox(s, n, w, e, 0.0).tolist():
-                out["cell"].append(c)
-                out["poly_id"].append(d["poly_id"][i])
-                out["xs"].append(d["xs"][i])
-                out["ys"].append(d["ys"][i])
-                out["bbox_s"].append(s)
-                out["bbox_n"].append(n)
-                out["bbox_w"].append(w)
-                out["bbox_e"].append(e)
-        return pa.Table.from_pydict(out, schema=PIP_POLY_SCHEMA)
+        n_rows = t.num_rows
+        if n_rows == 0:
+            return PIP_POLY_SCHEMA.empty_table()
+        xs = t["xs"].combine_chunks() if isinstance(t["xs"], pa.ChunkedArray) else t["xs"]
+        ys = t["ys"].combine_chunks() if isinstance(t["ys"], pa.ChunkedArray) else t["ys"]
+        offs = np.asarray(xs.offsets, np.int64)
+        offs = offs - offs[0]
+        fx = np.asarray(xs.flatten(), np.float64)
+        fy = np.asarray(ys.flatten(), np.float64)
+        starts = offs[:-1]
+        bbox_s = np.minimum.reduceat(fy, starts)
+        bbox_n = np.maximum.reduceat(fy, starts)
+        bbox_w = np.minimum.reduceat(fx, starts)
+        bbox_e = np.maximum.reduceat(fx, starts)
+        from ..functions.cells import cells_of_bboxes
+
+        cells_flat, cell_counts = cells_of_bboxes(bbox_s, bbox_n, bbox_w, bbox_e, 0.0)
+        ri = np.repeat(np.arange(n_rows), cell_counts)
+        take = pa.array(ri, pa.int64())
+        payload = t.select(["poly_id", "xs", "ys"]).take(take)
+        return pa.Table.from_arrays(
+            [
+                pa.array(cells_flat, pa.int64()),
+                payload["poly_id"],
+                payload["xs"],
+                payload["ys"],
+                pa.array(bbox_s[ri]),
+                pa.array(bbox_n[ri]),
+                pa.array(bbox_w[ri]),
+                pa.array(bbox_e[ri]),
+            ],
+            schema=PIP_POLY_SCHEMA,
+        )
 
     pts = points_ds.map_batches(prep_points, batch_format="pyarrow")
     pls = polys_ds.map_batches(prep_polys, batch_format="pyarrow")

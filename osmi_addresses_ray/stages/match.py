@@ -42,7 +42,6 @@ from ..functions.cells import cell_of, cells_of_bbox
 from ..functions.geom import (
     is_point_near_bbox,
     merc2wgs,
-    points_polyline_distances,
     wgs2merc,
 )
 from ..ops import cogroup
@@ -630,17 +629,38 @@ def _match_partition(streets: pa.Table, addrs: pa.Table, places_ref) -> pa.Table
             rank = np.empty(ns, np.int64)
             rank[order_rank] = np.arange(ns)
 
+            # flat (pair × segment) distance sweep with a segmented min —
+            # identical elementwise arithmetic to points_polyline_distances
+            # (a per-candidate-street loop paid ~40µs of small-numpy overhead
+            # per street; partitions carry ~10^5 candidate streets). Chunked
+            # so peak scratch stays ~a few hundred MB per task.
+            seg_counts = s_offs[1:] - s_offs[:-1] - 1  # ≥1 (nonzero gate)
             d = np.empty(len(ai), dtype=np.float64)
-            by_street = np.argsort(sj, kind="stable")
-            sj_s = sj[by_street]
-            starts = np.flatnonzero(
-                np.concatenate(([True], sj_s[1:] != sj_s[:-1]))
-            )
-            ends = np.concatenate((starts[1:], [len(sj_s)]))
-            for s0, e0 in zip(starts, ends):
-                j = sj_s[s0]
-                sel = by_street[s0:e0]
-                d[sel] = points_polyline_distances(ax[ai[sel]], ay[ai[sel]], scoords(j))
+            P = len(ai)
+            pc_counts = seg_counts[sj]
+            chunk_target = 8_000_000
+            p0 = 0
+            while p0 < P:
+                p1 = p0
+                tot = 0
+                while p1 < P and (tot == 0 or tot + pc_counts[p1] <= chunk_target):
+                    tot += pc_counts[p1]
+                    p1 += 1
+                cnt = pc_counts[p0:p1]
+                rep = np.repeat(np.arange(p0, p1), cnt)
+                pofs = np.concatenate(([0], np.cumsum(cnt)))
+                pos = np.arange(tot) - np.repeat(pofs[:-1], cnt)
+                v = s_offs[sj[rep]] + pos
+                axp, ayp = ax[ai[rep]], ay[ai[rep]]
+                x1, y1 = s_fx[v], s_fy[v]
+                dx, dy = s_fx[v + 1] - x1, s_fy[v + 1] - y1
+                seg2 = dx * dx + dy * dy
+                seg2_safe = np.where(seg2 == 0.0, 1.0, seg2)
+                t = ((axp - x1) * dx + (ayp - y1) * dy) / seg2_safe
+                t = np.where(seg2 > 0.0, np.clip(t, 0.0, 1.0), 0.0)
+                dflat = np.hypot(axp - (x1 + t * dx), ayp - (y1 + t * dy))
+                d[p0:p1] = np.minimum.reduceat(dflat, pofs[:-1])
+                p0 = p1
 
             # winner per address: min distance, ties broken by FIRST in scan
             # order (strict '<' update in the reference)

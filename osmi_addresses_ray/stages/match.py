@@ -501,49 +501,6 @@ class PlacesIndex:
 
 # --- the per-partition match kernel -----------------------------------------
 
-def _proj_clamped(a: np.ndarray, b: np.ndarray, p: np.ndarray) -> np.ndarray:
-    """Vectorized CLPP.hpp:343-364 — r-clamped projection, rows of (m,2)."""
-    d = b - a
-    den = (d * d).sum(axis=1)
-    safe = np.where(den == 0.0, 1.0, den)
-    r = np.clip(((p - a) * d).sum(axis=1) / safe, 0.0, 1.0)
-    out = a + r[:, None] * d
-    zero = den == 0.0
-    if zero.any():
-        out[zero] = a[zero]
-    return out
-
-
-def _snap_many(pxm: np.ndarray, pym: np.ndarray, C: np.ndarray) -> np.ndarray:
-    """Vectorized CLPP.hpp:283-338: nearest vertex then the two adjacent
-    segments, for many points against ONE way (mercator coords)."""
-    P = np.column_stack((pxm, pym))
-    d = np.hypot(C[None, :, 0] - pxm[:, None], C[None, :, 1] - pym[:, None])
-    i = d.argmin(axis=1)  # first minimal vertex (strict '<' scan)
-    best = C[i].astype(np.float64).copy()
-    prev = i > 0
-    if prev.any():
-        best[prev] = _proj_clamped(C[i[prev]], C[i[prev] - 1], P[prev])
-    nxt = i < len(C) - 1
-    if nxt.any():
-        cand = _proj_clamped(C[i[nxt]], C[i[nxt] + 1], P[nxt])
-        pn = P[nxt]
-        bn = best[nxt]
-        closer = np.hypot(pn[:, 0] - cand[:, 0], pn[:, 1] - cand[:, 1]) < np.hypot(
-            pn[:, 0] - bn[:, 0], pn[:, 1] - bn[:, 1]
-        )
-        bn[closer] = cand[closer]
-        best[nxt] = bn
-    return best
-
-
-def _obj_col(t: pa.Table, name: str) -> np.ndarray:
-    col = t[name]
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    return np.asarray(col.to_pylist(), dtype=object)
-
-
 def _match_partition(streets: pa.Table, addrs: pa.Table, places_ref) -> pa.Table:
     """Vectorized partition kernel: pandas group-index + numpy distance
     matrices per (cell, name) group; per-way batched mercator snap."""
@@ -558,7 +515,6 @@ def _match_partition(streets: pa.Table, addrs: pa.Table, places_ref) -> pa.Table
     ns = streets.num_rows
     if ns:
         s_cell = streets["cell"].to_numpy(zero_copy_only=False)
-        s_name = _obj_col(streets, "name")
         s_way = streets["way_id"].to_numpy(zero_copy_only=False)
         s_area = streets["is_area"].to_numpy(zero_copy_only=False)
         s_bs = streets["bbox_s"].to_numpy(zero_copy_only=False)
@@ -571,29 +527,36 @@ def _match_partition(streets: pa.Table, addrs: pa.Table, places_ref) -> pa.Table
         s_offs = s_offs - s_offs[0]
         s_fx = np.asarray(xs_l.flatten(), dtype=np.float64)
         s_fy = np.asarray(ys_l.flatten(), dtype=np.float64)
-
-        def scoords(j: int) -> np.ndarray:
-            return np.column_stack((s_fx[s_offs[j] : s_offs[j + 1]], s_fy[s_offs[j] : s_offs[j + 1]]))
-
     else:
         xs_l = ys_l = None
 
-        def scoords(j: int) -> np.ndarray:  # pragma: no cover
-            raise IndexError
-
     # ---- address arrays
     a_cell = addrs["cell"].to_numpy(zero_copy_only=False)
-    a_kind = _obj_col(addrs, "kind")
     a_obj = addrs["obj_id"].to_numpy(zero_copy_only=False)
     ax = addrs["lon"].to_numpy(zero_copy_only=False)
     ay = addrs["lat"].to_numpy(zero_copy_only=False)
-    a_street = _obj_col(addrs, "street")
-    a_place = _obj_col(addrs, "place_name")
     a_ord = [addrs[f"ord{i}"].to_numpy(zero_copy_only=False) for i in range(4)]
 
-    kind_node = a_kind == "node"
-    kind_way = a_kind == "way"
-    kind_ip = a_kind == "ip"
+    kind_node = pc.equal(addrs["kind"], "node").to_numpy(zero_copy_only=False)
+    kind_way = pc.equal(addrs["kind"], "way").to_numpy(zero_copy_only=False)
+    kind_ip = pc.equal(addrs["kind"], "ip").to_numpy(zero_copy_only=False)
+
+    # ONE dictionary over {addr street, addr place_name, street name}: name
+    # equality becomes int-code equality — the join, the probe grouping and
+    # has_* masks never touch Python strings (full-column to_pylist
+    # conversions measured ~0.9s/partition)
+    _a_st = addrs["street"].combine_chunks() if isinstance(addrs["street"], pa.ChunkedArray) else addrs["street"]
+    _a_pl = addrs["place_name"].combine_chunks() if isinstance(addrs["place_name"], pa.ChunkedArray) else addrs["place_name"]
+    if ns:
+        _s_nm = streets["name"].combine_chunks() if isinstance(streets["name"], pa.ChunkedArray) else streets["name"]
+    else:
+        _s_nm = pa.array([], pa.string())
+    _enc = pa.concat_arrays([_a_st, _a_pl, _s_nm]).dictionary_encode()
+    _codes = np.asarray(pc.fill_null(_enc.indices, -1), dtype=np.int64)
+    uniq_names = _enc.dictionary.to_pylist()
+    a_street_code = _codes[:n]
+    a_place_code = _codes[n : 2 * n]
+    s_name_code = _codes[2 * n :]
 
     matched = np.zeros(n, dtype=bool)
     win_row = np.full(n, -1, dtype=np.int64)  # street row index of the winner
@@ -605,11 +568,11 @@ def _match_partition(streets: pa.Table, addrs: pa.Table, places_ref) -> pa.Table
     # ---- J2: street match — ONE vectorized (cell, name) equi-join builds
     # all candidate pairs, then per-candidate-street batched distances and a
     # single lexsort winner selection (replaces a per-group Python loop)
-    has_street = np.array([s is not None for s in a_street], dtype=bool)
+    has_street = a_street_code >= 0
     if has_street.any() and ns:
         hs = np.flatnonzero(has_street)
-        adf = pd.DataFrame({"cell": a_cell[hs], "name": a_street[hs], "ai": hs})
-        sdf = pd.DataFrame({"cell": s_cell, "name": s_name, "sj": np.arange(ns)})
+        adf = pd.DataFrame({"cell": a_cell[hs], "name": a_street_code[hs], "ai": hs})
+        sdf = pd.DataFrame({"cell": s_cell, "name": s_name_code, "sj": np.arange(ns)})
         pairs = adf.merge(sdf, on=["cell", "name"], how="inner", sort=False)
         if len(pairs):
             ai = pairs["ai"].to_numpy()
@@ -672,26 +635,73 @@ def _match_partition(streets: pa.Table, addrs: pa.Table, places_ref) -> pa.Table
             matched[w_ai] = True
             win_row[w_ai] = w_sj
 
-    # ---- J5: snap, batched per winner way (mercator, CLPP.hpp:149-154)
+    # ---- J5: snap (mercator, CLPP.hpp:149-154,283-338) — flat
+    # (match × vertex) sweep: first-minimal vertex via segmented min +
+    # first-index trick, then the two adjacent segments, all element-wise
+    # identical to the former per-winner-way _snap_many loop (26k calls ×
+    # ~125µs per partition)
     midx_all = np.flatnonzero(matched)
     if len(midx_all):
-        order = np.argsort(win_row[midx_all], kind="stable")
-        midx_sorted = midx_all[order]
-        rows_sorted = win_row[midx_sorted]
-        starts = np.flatnonzero(
-            np.concatenate(([True], rows_sorted[1:] != rows_sorted[:-1]))
-        )
-        ends = np.concatenate((starts[1:], [len(rows_sorted)]))
-        for s0, e0 in zip(starts, ends):
-            j = rows_sorted[s0]
-            sel = midx_sorted[s0:e0]
-            C = scoords(j)
-            wx, wy = wgs2merc(C[:, 0], C[:, 1])
-            mx, my = wgs2merc(ax[sel], ay[sel])
-            snapped = _snap_many(mx, my, np.column_stack((wx, wy)))
-            lo, la = merc2wgs(snapped[:, 0], snapped[:, 1])
+
+        def _proj_flat(axv, ayv, bxv, byv, pxv, pyv):
+            # CLPP.hpp:343-364 r-clamped projection, flat arrays
+            dx, dy = bxv - axv, byv - ayv
+            den = dx * dx + dy * dy
+            safe = np.where(den == 0.0, 1.0, den)
+            r = np.clip(((pxv - axv) * dx + (pyv - ayv) * dy) / safe, 0.0, 1.0)
+            ox = np.where(den == 0.0, axv, axv + r * dx)
+            oy = np.where(den == 0.0, ayv, ayv + r * dy)
+            return ox, oy
+
+        wj = win_row[midx_all]
+        pmx, pmy = wgs2merc(ax[midx_all], ay[midx_all])
+        vcounts = s_offs[1:] - s_offs[:-1]
+        M = len(midx_all)
+        mcnt = vcounts[wj]
+        q0 = 0
+        while q0 < M:
+            q1, tot = q0, 0
+            while q1 < M and (tot == 0 or tot + mcnt[q1] <= 8_000_000):
+                tot += mcnt[q1]
+                q1 += 1
+            cnt = mcnt[q0:q1]
+            rep = np.repeat(np.arange(q0, q1), cnt)
+            pofs = np.concatenate(([0], np.cumsum(cnt)))
+            pos = np.arange(tot) - np.repeat(pofs[:-1], cnt)
+            v = s_offs[wj[rep]] + pos
+            vx, vy = wgs2merc(s_fx[v], s_fy[v])
+            d = np.hypot(vx - pmx[rep], vy - pmy[rep])
+            dmin = np.minimum.reduceat(d, pofs[:-1])
+            # FIRST minimal vertex (strict '<' scan == np.argmin tie rule)
+            cand_idx = np.where(d == dmin[rep - q0], np.arange(tot), tot)
+            first_flat = np.minimum.reduceat(cand_idx, pofs[:-1])
+            i_pos = first_flat - pofs[:-1]
+            vi = s_offs[wj[q0:q1]] + i_pos
+            bx, by = wgs2merc(s_fx[vi], s_fy[vi])
+            px_, py_ = pmx[q0:q1], pmy[q0:q1]
+            best_x, best_y = bx.copy(), by.copy()
+            prev = i_pos > 0
+            if prev.any():
+                pax, pay = wgs2merc(s_fx[vi[prev] - 1], s_fy[vi[prev] - 1])
+                best_x[prev], best_y[prev] = _proj_flat(
+                    bx[prev], by[prev], pax, pay, px_[prev], py_[prev]
+                )
+            nxt = i_pos < cnt - 1
+            if nxt.any():
+                nax, nay = wgs2merc(s_fx[vi[nxt] + 1], s_fy[vi[nxt] + 1])
+                vbx, vby = wgs2merc(s_fx[vi[nxt]], s_fy[vi[nxt]])
+                cx, cy = _proj_flat(vbx, vby, nax, nay, px_[nxt], py_[nxt])
+                closer = np.hypot(px_[nxt] - cx, py_[nxt] - cy) < np.hypot(
+                    px_[nxt] - best_x[nxt], py_[nxt] - best_y[nxt]
+                )
+                bxn, byn = best_x[nxt], best_y[nxt]
+                bxn[closer], byn[closer] = cx[closer], cy[closer]
+                best_x[nxt], best_y[nxt] = bxn, byn
+            lo, la = merc2wgs(best_x, best_y)
+            sel = midx_all[q0:q1]
             snap_lon[sel] = lo
             snap_lat[sel] = la
+            q0 = q1
 
     # ---- J4: place probes (nodes: addr:street name AND addr:place name;
     # closed ways: addr:place name; never for interpolated points)
@@ -699,12 +709,12 @@ def _match_partition(streets: pa.Table, addrs: pa.Table, places_ref) -> pa.Table
     place_line_dst_lon: list[np.ndarray] = []
     place_line_dst_lat: list[np.ndarray] = []
 
-    def probe(idx: np.ndarray, names: np.ndarray):
+    def probe(idx: np.ndarray, codes: np.ndarray):
         if not len(idx):
             return
-        pdf = pd.DataFrame({"name": names}).groupby("name", sort=False).indices
-        for name, local in pdf.items():
-            entry = places.get(name)
+        pdf = pd.DataFrame({"name": codes}).groupby("name", sort=False).indices
+        for code, local in pdf.items():
+            entry = places.get(uniq_names[code])
             if entry is None:
                 continue
             nody, wayy = entry
@@ -734,11 +744,11 @@ def _match_partition(streets: pa.Table, addrs: pa.Table, places_ref) -> pa.Table
     if places:
         # pass 1: node addresses probing with their addr:street value
         p1 = np.flatnonzero(kind_node & has_street)
-        probe(p1, a_street[p1])
+        probe(p1, a_street_code[p1])
         # pass 2: nodes and ways probing with their addr:place value
-        has_place = np.array([s is not None for s in a_place], dtype=bool)
+        has_place = a_place_code >= 0
         p2 = np.flatnonzero((kind_node | kind_way) & has_place)
-        probe(p2, a_place[p2])
+        probe(p2, a_place_code[p2])
 
     # ---- assemble outputs -------------------------------------------------
     tables: list[pa.Table] = []
@@ -759,29 +769,32 @@ def _match_partition(streets: pa.Table, addrs: pa.Table, places_ref) -> pa.Table
     emit0 = addrs["nwa_emit"].to_numpy(zero_copy_only=False).astype(bool)
     e0 = np.flatnonzero(emit0)
     if len(e0):
+        e0_arr = pa.array(e0, pa.int64())
+        take_s = lambda c: addrs[c].take(e0_arr)  # arrow gather, no objects
         isip = kind_ip[e0]
         node_ids = np.where(kind_node[e0], a_obj[e0], 0)
         way_ids = np.where(kind_way[e0], a_obj[e0], 0)
         road = np.where(matched[e0], "1", None)
         nodym = np.where(nody_m[e0] & ~isip, "1", None)
         wayym = np.where(wayy_m[e0] & ~isip, "1", None)
-        lastchange = _obj_col(addrs, "lastchange")[e0]
-        lastchange = np.where(isip, None, lastchange)
+        lastchange = pc.if_else(
+            pa.array(isip), pa.nulls(len(e0), pa.string()), take_s("lastchange")
+        )
         cols = {
             "node_id": pa.array(node_ids, pa.int64(), mask=~kind_node[e0]),
             "way_id": pa.array(way_ids, pa.int64(), mask=~kind_way[e0]),
             "is_ip": pa.array(isip.astype(np.int32)),
-            "street": pa.array(_obj_col(addrs, "street")[e0], pa.string(), from_pandas=True),
-            "houseno": pa.array(_obj_col(addrs, "houseno")[e0], pa.string(), from_pandas=True),
-            "postcode": pa.array(_obj_col(addrs, "postcode")[e0], pa.string(), from_pandas=True),
-            "city": pa.array(_obj_col(addrs, "city")[e0], pa.string(), from_pandas=True),
-            "country": pa.array(_obj_col(addrs, "country")[e0], pa.string(), from_pandas=True),
-            "fulladdr": pa.array(_obj_col(addrs, "fulladdr")[e0], pa.string(), from_pandas=True),
-            "place": pa.array(_obj_col(addrs, "place")[e0], pa.string(), from_pandas=True),
+            "street": take_s("street"),
+            "houseno": take_s("houseno"),
+            "postcode": take_s("postcode"),
+            "city": take_s("city"),
+            "country": take_s("country"),
+            "fulladdr": take_s("fulladdr"),
+            "place": take_s("place"),
             "road_id": pa.array(road, pa.string(), from_pandas=True),
             "nody_place_id": pa.array(nodym, pa.string(), from_pandas=True),
             "wayy_place_id": pa.array(wayym, pa.string(), from_pandas=True),
-            "lastchange": pa.array(lastchange, pa.string(), from_pandas=True),
+            "lastchange": lastchange,
             "lon": pa.array(ax[e0]),
             "lat": pa.array(ay[e0]),
         }
@@ -843,7 +856,7 @@ def _match_partition(streets: pa.Table, addrs: pa.Table, places_ref) -> pa.Table
                 3,
                 {
                     "way_id": pa.array(s_way[rows], pa.int64()),
-                    "name": pa.array(a_street[m1], pa.string(), from_pandas=True),
+                    "name": addrs["street"].take(pa.array(m1, pa.int64())),
                     "is_area": pa.array(s_area[rows].astype(bool)),
                     "lastchange": pa.array([""] * len(m1), pa.string()),
                     "xs": xs_l.take(take_idx),

@@ -90,6 +90,15 @@ def _ipc_unpack(blob) -> pa.Table:
 
 def pack_by_part(t: pa.Table, part: np.ndarray, src: int) -> pa.Table:
     """One (``__part``, ``__src``, ``__blob``) row per partition present."""
+    if t.num_rows == 0:
+        # sp[starts] below would IndexError on the unconditional leading True
+        return pa.table(
+            {
+                PART_COL: pa.array([], pa.int64()),
+                "__src": pa.array([], pa.int8()),
+                "__blob": pa.array([], pa.binary()),
+            }
+        )
     order = np.argsort(part, kind="stable")
     ts = t.take(pa.array(order))
     sp = part[order]
@@ -179,6 +188,13 @@ def direct_cogroup(
 
     @ray.remote
     def _split(block: pa.Table, key_cols: tuple, schema_i: int):
+        if num_parts == 1:
+            # With num_returns=1 Ray returns ONE ref to the value itself; a
+            # 1-tuple here would reach _reduce as a tuple, not a table — so
+            # return the table directly (every row is partition 0 anyway).
+            if block.num_rows == 0 or key_cols[0] not in block.column_names:
+                return schemas_t[schema_i].empty_table()
+            return block
         if block.num_rows == 0 or key_cols[0] not in block.column_names:
             # degenerate empty block (e.g. an empty union branch): typed empties
             empty = schemas_t[schema_i].empty_table()

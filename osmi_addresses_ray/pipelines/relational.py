@@ -101,14 +101,29 @@ def grouped_agg(ds, keys: list[str], spec: dict[str, tuple[str | None, str]]):
     return merged.map_batches(final, batch_format="pyarrow")
 
 
-def topk(ds, col: str, k: int, *, descending: bool = True) -> pd.DataFrame:
-    """Per-block partial top-k, merged on the driver — no global sort."""
+def topk(
+    ds, col: str, k: int, *, descending: bool = True, tie_cols: list[str] | None = None
+) -> pd.DataFrame:
+    """Per-block partial top-k, merged on the driver — no global sort.
+
+    ``tie_cols``: deterministic ascending tie-break at the k-th value (without
+    it, rows tied at the boundary are kept in batch-arrival order — fine for
+    exploration, wrong for oracle comparison).
+    """
+    ties = list(tie_cols or [])
 
     def part(df: pd.DataFrame) -> pd.DataFrame:
-        return df.nlargest(k, col) if descending else df.nsmallest(k, col)
+        # keep="all" keeps every row tied at the k-th value so the tie-break
+        # sort below can pick the deterministic winners
+        top = df.nlargest(k, col, keep="all") if descending else df.nsmallest(k, col, keep="all")
+        if ties:
+            top = top.sort_values([col] + ties, ascending=[not descending] + [True] * len(ties))
+        return top.head(k)
 
     parts = ds.map_batches(part, batch_format="pandas").to_pandas()
-    parts = parts.sort_values(col, ascending=not descending, kind="stable")
+    parts = parts.sort_values(
+        [col] + ties, ascending=[not descending] + [True] * len(ties), kind="stable"
+    )
     return parts.head(k).reset_index(drop=True)
 
 
@@ -180,7 +195,7 @@ def q_join_orders_customers(sf_dir: str):
 def q_top_orders(sf_dir: str):
     """Top-10 orders by totalprice (partial top-k, no global sort)."""
     ds = read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderdate"])
-    df = topk(ds, "o_totalprice", 10)
+    df = topk(ds, "o_totalprice", 10, tie_cols=["o_orderkey"])
     return df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).reset_index(
         drop=True
     )

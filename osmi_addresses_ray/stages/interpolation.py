@@ -195,7 +195,15 @@ def validate_and_densify(
         cum = np.concatenate(([0.0], np.cumsum(seg)))
         length = float(cum[-1])
         increment = 2 if interpolation in ("even", "odd") else 1
-        if first < last:
+        if first == last:
+            # Equal endpoint numbers (e.g. '4'->'4' even/all, or alphabetic
+            # '2a'->'2a'): the C++ reference computes fraction = 1/0.0 = inf
+            # (InterpolationWriter.hpp:170-176) and its densify loop
+            # `nr < upper && nr > lower` with lower == upper never iterates —
+            # an error-free layer row with zero ip points. Guard the Python
+            # ZeroDivisionError and mirror that.
+            fraction, lower, upper = 0.0, first, last
+        elif first < last:
             fraction = 1.0 / (last - first)
             lower, upper = first, last
         else:

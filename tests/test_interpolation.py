@@ -136,3 +136,21 @@ def test_ladder_wrong_format():
         {"addr:housenumber": "130"},
     )
     assert row["error"] == "endpoint has wrong format"
+
+
+def test_equal_endpoints_no_error_no_points():
+    # ADVICE r1 (high): first==last previously raised ZeroDivisionError; the
+    # C++ reference computes fraction = 1/0.0 = inf and densifies nothing
+    # (InterpolationWriter.hpp:170-190) — error-free layer row, zero ip points.
+    import numpy as np
+
+    for interp, hn in [("even", "4"), ("all", "7"), ("alphabetic", "2a")]:
+        row, pts = validate_and_densify(
+            1, interp,
+            np.array([0.0, 1.0]), np.array([0.0, 0.0]),
+            10, 11, False, "",
+            {"addr:housenumber": hn},
+            {"addr:housenumber": hn},
+        )
+        assert row["error"] is None, interp
+        assert pts == [], interp

@@ -1,0 +1,39 @@
+"""Regression tests for ADVICE r1 edge cases in the exchange operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from osmi_addresses_ray.ops import direct_partitioned_map, pack_by_part
+from osmi_addresses_ray.pipelines.relational import topk
+
+
+def test_pack_by_part_empty_table():
+    t = pa.table({"a": pa.array([], pa.int64())})
+    out = pack_by_part(t, np.array([], dtype=np.int64), 0)
+    assert out.num_rows == 0
+    assert out.column_names == ["__part", "__src", "__blob"]
+
+
+def test_direct_partitioned_map_single_part(ray_session):
+    t = pa.table({"k": [1, 2, 1, 3], "v": [10, 20, 30, 40]})
+    ds = rd.from_arrow(t)
+
+    def f(part: pa.Table) -> pa.Table:
+        return part.group_by("k").aggregate([("v", "sum")])
+
+    out = direct_partitioned_map(ds, ["k"], 1, f, t.schema).take_all()
+    got = {r["k"]: r["v_sum"] for r in out}
+    assert got == {1: 40, 2: 20, 3: 40}
+
+
+def test_topk_tie_break(ray_session):
+    # rows tied at the k-th value must resolve by ascending tie column,
+    # matching ORDER BY val DESC, id ASC
+    df = pd.DataFrame({"id": [5, 1, 3, 2, 4], "val": [9.0, 9.0, 9.0, 7.0, 5.0]})
+    ds = rd.from_pandas(df).repartition(3)
+    out = topk(ds, "val", 2, tie_cols=["id"])
+    assert out["id"].tolist() == [1, 3]

@@ -65,14 +65,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": textstats.token_counts,
         "quality_scores": textstats.quality_scores,
         "knn_bruteforce": similarity.knn_bruteforce,
-        # rows-only (non-SQL-expressible)
         "lang_id": textstats.lang_id,
         "fingerprints": textstats.fingerprints,
-        "simhash_docs": dedup.simhash_docs,
-        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
-        "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
-        "knn_ivf": lambda sf_dir: similarity.knn_ivf(sf_dir)[0],
-        "embedding_cosine_dedup": similarity.embedding_cosine_dedup,
+        # sketch/ANN ops checked against naive pure-Python oracles written to
+        # /tmp/graft_oracle (see osmi_addresses_ray.oracle): the query runs
+        # the distributed pipeline AND recomputes the spec single-threaded;
+        # the paired oracle_sql() reads the recomputation back via DuckDB
+        "simhash_docs": _with_oracle("simhash_docs", dedup.simhash_docs, "simhash_oracle"),
+        "minhash_lsh_pairs": _with_oracle(
+            "minhash_lsh_pairs", dedup.minhash_lsh_pairs, "minhash_pairs_oracle"
+        ),
+        "ngram_jaccard_dedup": _with_oracle(
+            "ngram_jaccard_dedup", dedup.ngram_jaccard_dedup, "ngram_dedup_oracle"
+        ),
+        "knn_ivf": _with_oracle(
+            "knn_ivf", lambda sf_dir: similarity.knn_ivf(sf_dir)[0], "knn_ivf_oracle"
+        ),
+        "embedding_cosine_dedup": _with_oracle(
+            "embedding_cosine_dedup", similarity.embedding_cosine_dedup, "emb_dedup_oracle"
+        ),
+        # rows-only (stubbed decode / engine-corpus inputs)
         "media_features": _media_features_query,
         "pip_entrances_in_buildings": _pip_query,
     }
@@ -91,6 +103,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     ):
         q[layer] = _layer_query(layer)
     return q
+
+
+def _with_oracle(name: str, ray_fn, oracle_fn_name: str):
+    """Run the distributed query, then write the independent naive-oracle
+    recomputation to the fixed parquet path its oracle_sql() reads."""
+
+    def run(sf_dir: str):
+        from osmi_addresses_ray.oracle import llm_ops, write_oracle
+
+        res = ray_fn(sf_dir)
+        write_oracle(name, getattr(llm_ops, oracle_fn_name)(sf_dir))
+        return res
+
+    return run
 
 
 def _media_features_query(sf_dir: str):
@@ -212,4 +238,55 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, vec_id ASC
             LIMIT 10
         """,
+        # stopword-count argmax; tie-break = lexicographically largest code
+        "lang_id": """
+            WITH s AS (
+              SELECT doc_id,
+                     list_transform(regexp_extract_all(lower(text), '[A-Za-z0-9_]+'),
+                                    x -> x) AS ws
+              FROM documents
+            ), c AS (
+              SELECT doc_id,
+                len(list_filter(ws, x -> x IN ('the','and','of','to','a','in','is','it','that','with'))) AS s_en,
+                len(list_filter(ws, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','für','auf'))) AS s_de,
+                len(list_filter(ws, x -> x IN ('le','la','les','et','est','un','une','dans','pour','que'))) AS s_fr
+              FROM s)
+            SELECT doc_id,
+                   CASE WHEN greatest(s_en, s_de, s_fr) = 0 THEN 'und'
+                        WHEN s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+                        WHEN s_en >= s_de THEN 'en'
+                        ELSE 'de' END AS lang_pred
+            FROM c ORDER BY doc_id
+        """,
+        # fingerprint = sum(i * fnv1a64(token_i)) mod 2^64, i 1-based;
+        # HUGEINT arithmetic reproduces the engine's uint64 wraparound exactly
+        "fingerprints": """
+            SELECT doc_id,
+                   (coalesce(list_sum(list_transform(
+                       regexp_extract_all(lower(text), '[A-Za-z0-9_]+'),
+                       (t, i) -> (i::HUGEINT * list_reduce(
+                           [14695981039346656037::HUGEINT] ||
+                           list_transform(range(1, length(t)+1), j -> ascii(t[j])::HUGEINT),
+                           (acc, b) -> (xor(acc::UBIGINT, b::UBIGINT)::HUGEINT
+                                        * 1099511628211::HUGEINT)
+                                       % 18446744073709551616::HUGEINT
+                       )) % 18446744073709551616::HUGEINT
+                   )), 0)::HUGEINT % 18446744073709551616::HUGEINT)::UBIGINT AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+    } | _naive_oracle_sql()
+
+
+def _naive_oracle_sql() -> dict[str, str]:
+    """Oracle entries backed by the pure-Python recomputation parquet (the
+    query callable writes it; DuckDB reads it back and the driver
+    hash-compares). See osmi_addresses_ray/oracle/llm_ops.py for the specs."""
+    from osmi_addresses_ray.oracle import read_parquet_sql
+
+    return {
+        "simhash_docs": read_parquet_sql("simhash_docs", "doc_id"),
+        "minhash_lsh_pairs": read_parquet_sql("minhash_lsh_pairs", "doc_a, doc_b"),
+        "ngram_jaccard_dedup": read_parquet_sql("ngram_jaccard_dedup", "doc_id"),
+        "knn_ivf": read_parquet_sql("knn_ivf", "cosine DESC, vec_id"),
+        "embedding_cosine_dedup": read_parquet_sql("embedding_cosine_dedup", "vec_a, vec_b"),
     }

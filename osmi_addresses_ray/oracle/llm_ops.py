@@ -1,0 +1,269 @@
+"""Naive single-threaded oracles for the sketch / ANN operators.
+
+Each function reads the parquet tables directly with pyarrow (no Ray) and
+recomputes the operator per-row from the published spec:
+
+- simhash: 64-bit token-hash bit voting (pandas hash_array is the declared
+  token hash family).
+- minhash+LSH: k=5 word shingles; 64 universal-hash permutations with
+  coefficients from RandomState(42); 16 bands FNV-folded; buckets capped at
+  64 members; true Jaccard over the 64-bit shingle-hash sets.
+- IVF kNN / embedding dedup: spherical k-means centroids from the
+  deterministic sample (vec_id < 512; RandomState seed 42 / 7), nearest-cell
+  assignment, probe/all-pairs per spec.
+
+Everything is per-doc Python loops — intentionally the slowest clearest
+shape, run only at driver fixture scale.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+_TOKEN = re.compile(r"[A-Za-z0-9_]+")
+_MASK61 = np.uint64(0x1FFFFFFFFFFFFFFF)
+_FNV = np.uint64(1099511628211)
+
+
+def _docs(sf_dir: str) -> pd.DataFrame:
+    return (
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _emb(sf_dir: str) -> pd.DataFrame:
+    return (
+        pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+
+def _shingles(text: str, k: int = 5) -> list[str]:
+    toks = _TOKEN.findall(text.lower())
+    if len(toks) < k:
+        return [" ".join(toks)] if toks else ["∅"]
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+def simhash_oracle(sf_dir: str) -> pd.DataFrame:
+    docs = _docs(sf_dir)
+    out = []
+    for r in docs.itertuples():
+        toks = _TOKEN.findall(r.text.lower())
+        if not toks:
+            out.append(np.uint64(0))
+            continue
+        hs = pd.util.hash_array(np.array(toks, dtype=object)).astype(np.uint64)
+        val = np.uint64(0)
+        for b in range(64):
+            ones = int(((hs >> np.uint64(b)) & np.uint64(1)).sum())
+            if 2 * ones - len(hs) > 0:
+                val |= np.uint64(1) << np.uint64(b)
+        out.append(val)
+    return pd.DataFrame({"doc_id": docs["doc_id"], "simhash": np.array(out, dtype=np.uint64)})
+
+
+def minhash_pairs_oracle(
+    sf_dir: str, *, num_perm: int = 64, bands: int = 16, threshold: float = 0.5,
+    bucket_cap: int = 64,
+) -> pd.DataFrame:
+    docs = _docs(sf_dir)
+    rng = np.random.RandomState(42)
+    a = rng.randint(1, 2**61 - 1, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, 2**61 - 1, size=num_perm, dtype=np.int64).astype(np.uint64)
+    rows_per_band = num_perm // bands
+
+    buckets: dict[tuple[int, np.uint64], list[int]] = {}
+    hash_sets: dict[int, np.ndarray] = {}
+    for r in docs.itertuples():
+        sh = _shingles(r.text)
+        h = pd.util.hash_array(np.array(sh, dtype=object)).astype(np.uint64)
+        hash_sets[r.doc_id] = np.unique(h)
+        sig = np.empty(num_perm, dtype=np.uint64)
+        with np.errstate(over="ignore"):  # uint64 wraparound is the spec
+            for p in range(num_perm):
+                sig[p] = ((a[p] * h + b[p]) & _MASK61).min()
+            for band in range(bands):
+                acc = np.uint64(band + 1)
+                for j in range(rows_per_band):
+                    acc = (acc * _FNV) ^ sig[band * rows_per_band + j]
+                key = (band, acc & np.uint64(0x7FFFFFFFFFFFFFFF))
+                buckets.setdefault(key, []).append(r.doc_id)
+
+    cand = set()
+    for ids in buckets.values():
+        ids = sorted(set(ids))[:bucket_cap]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+
+    out_a, out_b, out_j = [], [], []
+    for da, db in sorted(cand):
+        sa, sb = hash_sets[da], hash_sets[db]
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        jac = inter / max(1, len(sa) + len(sb) - inter)
+        if jac >= threshold:
+            out_a.append(da)
+            out_b.append(db)
+            out_j.append(round(jac, 6))
+    return pd.DataFrame(
+        {
+            "doc_a": np.array(out_a, dtype=np.int64),
+            "doc_b": np.array(out_b, dtype=np.int64),
+            "jaccard": np.array(out_j, dtype=np.float64),
+        }
+    )
+
+
+def ngram_dedup_oracle(sf_dir: str, *, threshold: float = 0.8) -> pd.DataFrame:
+    docs = _docs(sf_dir)
+    pairs = minhash_pairs_oracle(sf_dir, threshold=threshold)
+    drop = set(pairs["doc_b"])
+    keep = docs.loc[~docs["doc_id"].isin(drop), ["doc_id"]]
+    return keep.sort_values("doc_id").reset_index(drop=True)
+
+
+def _centroids_oracle(emb: pd.DataFrame, n_cells: int, seed: int, lloyd_iters: int = 5) -> np.ndarray:
+    sample = emb[emb["vec_id"] < 512].sort_values("vec_id")
+    mat0 = np.stack(sample["embedding"].to_numpy()).astype(np.float32)
+    mat0 /= np.maximum(np.linalg.norm(mat0, axis=1, keepdims=True), 1e-30)
+    rng = np.random.RandomState(seed)
+    cent = mat0[rng.choice(len(mat0), size=min(n_cells, len(mat0)), replace=False)].copy()
+    for _ in range(lloyd_iters):
+        assign = np.argmax(mat0 @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = mat0[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-30)
+    return cent
+
+
+def _n_cells(n: int) -> int:
+    return int(np.clip(int(np.sqrt(max(n, 1))), 8, 4096))
+
+
+def knn_ivf_oracle(
+    sf_dir: str, *, query_id: int = 0, k: int = 10, n_cells: int | None = None,
+    nprobe: int | None = None,
+) -> pd.DataFrame:
+    emb = _emb(sf_dir)
+    n = len(emb)
+    if n_cells is None:
+        n_cells = _n_cells(n)
+    cent = _centroids_oracle(emb, n_cells, seed=42)
+    if nprobe is None:
+        nprobe = max(8, len(cent) // 8)
+
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float32)
+    norms32 = np.maximum(np.linalg.norm(mat, axis=1), 1e-30)
+    unit = (mat / norms32[:, None]).astype(np.float32)
+    cells = np.argmax(unit @ cent.T, axis=1)
+
+    qrow = mat[emb.index[emb["vec_id"] == query_id][0]]
+    q = qrow / max(np.linalg.norm(qrow), 1e-30)
+    probe = set(int(c) for c in np.argsort(-(cent @ q))[:nprobe])
+
+    # float64 gemv over the probed subset — same op shape and dtype chain as
+    # the engine's per-batch score (mat→f64, q f32→f64), per-row independent
+    sel = np.array([int(cells[i]) in probe for i in range(n)])
+    m64 = mat[sel].astype(np.float64)
+    q64 = q.astype(np.float64)
+    sims = (m64 @ q64) / np.maximum(np.linalg.norm(m64, axis=1), 1e-30)
+    vids = emb["vec_id"].to_numpy()[sel]
+    rows = [
+        (int(v), round(float(s), 6)) for v, s in zip(vids, sims) if int(v) != query_id
+    ]
+    rows.sort(key=lambda t: (-t[1], t[0]))
+    rows = rows[:k]
+    return pd.DataFrame(
+        {
+            "vec_id": np.array([r[0] for r in rows], dtype=np.int64),
+            "cosine": np.array([r[1] for r in rows], dtype=np.float64),
+        }
+    )
+
+
+def _split2(unit: np.ndarray) -> np.ndarray:
+    i0 = 0
+    d = unit @ unit[i0]
+    i1 = int(np.argmin(d))
+    if i1 == i0:
+        i1 = min(1, len(unit) - 1)
+    c = np.stack([unit[i0], unit[i1]])
+    for _ in range(3):
+        side = (unit @ c[1]) > (unit @ c[0])
+        for s in (0, 1):
+            m = side == bool(s)
+            if m.any():
+                v = unit[m].mean(axis=0)
+                c[s] = v / max(np.linalg.norm(v), 1e-30)
+    return (unit @ c[1]) > (unit @ c[0])
+
+
+def _pairs_rec(ids, unit, threshold, cap, depth=0):
+    out = []
+    if len(ids) > cap and depth < 12:
+        side = _split2(unit)
+        if side.all() or (~side).all():
+            side = np.arange(len(ids)) % 2 == 0
+        for s in (True, False):
+            m = side == s
+            out.extend(_pairs_rec(ids[m], unit[m], threshold, cap, depth + 1))
+        return out
+    if len(ids) < 2:
+        return out
+    # one leaf-subset matmul (same op shape as the engine → bitwise-equal sims)
+    sims = unit @ unit.T
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            sim = round(float(sims[i, j]), 6)
+            if sim >= threshold:
+                va, vb = int(ids[i]), int(ids[j])
+                out.append((min(va, vb), max(va, vb), sim))
+    return out
+
+
+def emb_dedup_oracle(
+    sf_dir: str, *, threshold: float = 0.4, n_cells: int | None = None, cap: int | None = None
+) -> pd.DataFrame:
+    emb = _emb(sf_dir)
+    n = len(emb)
+    if n_cells is None:
+        n_cells = _n_cells(n)
+    if cap is None:
+        cap = max(64, 4 * int(np.sqrt(max(n, 1))))
+    cent = _centroids_oracle(emb, n_cells, seed=7)
+
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float32)
+    norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-30)
+    unit32 = (mat / norms[:, None]).astype(np.float32)
+    cells = np.argmax(unit32 @ cent.T, axis=1)
+    unit = unit32.astype(np.float64)
+    vec_ids = emb["vec_id"].to_numpy()
+
+    rows = []
+    for c in np.unique(cells):
+        m = cells == c
+        ids = vec_ids[m]
+        u = unit[m]
+        order = np.argsort(ids)
+        rows.extend(_pairs_rec(ids[order], u[order], threshold, cap))
+    rows.sort()
+    return pd.DataFrame(
+        {
+            "vec_a": np.array([r[0] for r in rows], dtype=np.int64),
+            "vec_b": np.array([r[1] for r in rows], dtype=np.int64),
+            "cosine": np.array([r[2] for r in rows], dtype=np.float64),
+        }
+    )

@@ -1,17 +1,27 @@
 """Deduplication operators for large-scale training-data pipelines.
 
 All follow the sketch-then-shuffle shape: a vectorized ``map_batches`` stage
-computes per-row signatures, then ONE explicit groupby moves only the
-signature rows (never the full payload twice):
+computes per-row signatures, then explicit exchanges move only what each step
+needs (signatures, ids, shingle-hash sets) — the full text payload crosses an
+exchange at most once, and the driver only ever sees final results:
 
-- ``exact_dedup_docs`` — content hash → hash-partition → min(doc_id) per hash.
+- ``exact_dedup_docs`` — content hash → hash-partition (h, doc_id) ONLY →
+  min(doc_id) per hash → winners joined back to the text with a native
+  hash join (no text payload through the dedup exchange, no driver id set).
 - ``minhash_lsh_pairs`` — shingle → minhash (k permutations) → band → bucket
-  groupby → candidate pairs verified by true Jaccard (the standard
-  MinHash+LSH pipeline).
-- ``simhash_buckets`` — 64-bit simhash over token hashes; near-dups = equal
-  values on rotated prefixes (here: exact-simhash groups, a deterministic
-  subset check).
-- ``ngram_jaccard_pairs`` — exact n-gram-set Jaccard over LSH candidates.
+  groupby → candidate pairs → DISTRIBUTED verification: pair memberships are
+  co-grouped with the docs table on doc_id to attach per-doc shingle-hash
+  sets, then a second exchange on the pair key computes true Jaccard inside
+  workers. The driver receives only verified pairs.
+- ``simhash_docs`` — 64-bit simhash over token hashes (segmented bit votes).
+- ``ngram_jaccard_dedup`` — exact n-gram-set Jaccard over LSH candidates;
+  the anti-join that drops losers runs as a distributed co-group.
+
+Scale notes (100 TB): bucket sizes are capped (``_BUCKET_CAP``) so a
+degenerate band value cannot create O(n²) pairs — the standard LSH guard;
+hub docs appearing in many pairs replicate their shingle-hash set once per
+pair through the verify exchange, which the cap bounds at
+``cap²/2 × bands`` pairs per bucket.
 """
 
 from __future__ import annotations
@@ -25,6 +35,17 @@ import pyarrow as pa
 import ray.data as rd
 
 _TOKEN = re.compile(r"[A-Za-z0-9_]+")
+_BUCKET_CAP = 64  # max docs per LSH bucket considered for pair generation
+
+DOCS_SCHEMA = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+_MEMB_SCHEMA = pa.schema(
+    [
+        ("key_doc", pa.int64()),
+        ("doc_a", pa.int64()),
+        ("doc_b", pa.int64()),
+        ("side", pa.int8()),
+    ]
+)
 
 
 def _read_docs(sf_dir: str):
@@ -36,21 +57,24 @@ def _hash64(strs: pd.Series) -> np.ndarray:
 
 
 def exact_dedup_docs(sf_dir: str):
-    """Keep min(doc_id) per distinct text. Oracle-SQL-checkable."""
+    """Keep min(doc_id) per distinct text. Oracle-SQL-checkable.
+
+    The dedup exchange moves (h, doc_id) only; the winning texts never leave
+    their original blocks until the final inner join ships each exactly once.
+    """
     ds = _read_docs(sf_dir)
 
     def sig(df: pd.DataFrame) -> pd.DataFrame:
-        df["h"] = _hash64(df["text"])
-        return df[["doc_id", "h", "text"]]
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "h": _hash64(df["text"])})
 
     from ..ops import partitioned_map
 
     def keep_first(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df = df.sort_values(["h", "doc_id"]).drop_duplicates("h", keep="first")
-        return pa.Table.from_pandas(df[["doc_id", "text"]], preserve_index=False)
+        df = t.to_pandas().sort_values(["h", "doc_id"]).drop_duplicates("h", keep="first")
+        return pa.Table.from_pandas(df[["doc_id"]], preserve_index=False)
 
-    out = partitioned_map(ds.map_batches(sig, batch_format="pandas"), ["h"], 8, keep_first)
+    winners = partitioned_map(ds.map_batches(sig, batch_format="pandas"), ["h"], 8, keep_first)
+    out = ds.join(winners, join_type="inner", num_partitions=8, on=("doc_id",))
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
@@ -59,6 +83,11 @@ def _shingles(text: str, k: int = 5) -> np.ndarray:
     if len(toks) < k:
         return np.array([" ".join(toks)]) if toks else np.array(["∅"])
     return np.array([" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)])
+
+
+def _shingle_hash_set(text: str) -> np.ndarray:
+    """Sorted unique 64-bit shingle hashes (the universe minhash runs over)."""
+    return np.unique(pd.util.hash_array(_shingles(text)).astype(np.uint64))
 
 
 class MinHasher:
@@ -103,16 +132,10 @@ class MinHasher:
         return out
 
 
-def minhash_lsh_pairs(sf_dir: str, *, num_perm: int = 64, bands: int = 16, threshold: float = 0.5):
-    """Near-duplicate candidate pairs with verified Jaccard ≥ threshold.
-
-    shingle→minhash per batch (actor pool) → explode to (band, band_hash,
-    doc_id) → groupby bucket → pairs → verify true shingle Jaccard.
-    """
+def _lsh_candidate_pairs(sf_dir: str, *, num_perm: int, bands: int):
+    """Candidate pair Dataset (doc_a, doc_b), deduplicated, fully distributed."""
     ds = _read_docs(sf_dir)
     rows_per_band = num_perm // bands
-
-    docs_pdf = None  # verification side, loaded lazily per worker via broadcast
 
     sigged = ds.map_batches(MinHasher, batch_format="pandas", concurrency=(1, 4),
                             fn_constructor_args=(num_perm,))
@@ -122,8 +145,7 @@ def minhash_lsh_pairs(sf_dir: str, *, num_perm: int = 64, bands: int = 16, thres
             return pd.DataFrame(
                 {"bucket": pd.Series([], dtype="int64"), "doc_id": pd.Series([], dtype="int64")}
             )
-        # FNV-fold each band vectorized over (docs, bands); identical values
-        # to the former per-scalar loop (uint64 wraparound semantics)
+        # FNV-fold each band vectorized over (docs, bands)
         fnv = np.uint64(1099511628211)
         S = np.stack([np.asarray(s, np.uint64) for s in df["sig"]]).reshape(
             len(df), bands, rows_per_band
@@ -142,7 +164,8 @@ def minhash_lsh_pairs(sf_dir: str, *, num_perm: int = 64, bands: int = 16, thres
 
     buckets = sigged.map_batches(explode, batch_format="pandas")
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+    def pairs(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
         # singleton buckets dominate — drop them vectorized before the
         # per-bucket combination loop touches only true collision groups
         df = df.drop_duplicates(["bucket", "doc_id"])
@@ -150,44 +173,125 @@ def minhash_lsh_pairs(sf_dir: str, *, num_perm: int = 64, bands: int = 16, thres
         df = df[sizes >= 2]
         out = []
         for _b, g in df.groupby("bucket", sort=False):
-            ids = sorted(set(g["doc_id"]))
+            ids = sorted(set(g["doc_id"]))[:_BUCKET_CAP]
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     out.append((ids[i], ids[j]))
-        return pd.DataFrame(out, columns=["doc_a", "doc_b"]) if out else pd.DataFrame(
+        pdf = pd.DataFrame(out, columns=["doc_a", "doc_b"]) if out else pd.DataFrame(
             {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
         )
+        return pa.Table.from_pandas(pdf, preserve_index=False)
 
     from ..ops import partitioned_map
 
-    cand = partitioned_map(
-        buckets, ["bucket"], 8, lambda t: pa.Table.from_pandas(pairs(t.to_pandas()), preserve_index=False)
+    cand = partitioned_map(buckets, ["bucket"], 8, pairs)
+
+    def dedupe(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return partitioned_map(cand, ["doc_a", "doc_b"], 8, dedupe)
+
+
+def _verified_pairs(sf_dir: str, cand, *, threshold: float):
+    """Distributed true-Jaccard verification of candidate pairs.
+
+    Exchange 1 (on doc id): pair-membership rows ⨝ docs — each matched doc's
+    shingle-hash set is computed once per partition occurrence and attached.
+    Exchange 2 (on the pair key): both sides of a pair meet in one worker,
+    which computes |A∩B| / |A∪B| over the sorted uint64 hash sets.
+    The driver never holds candidate texts or unverified pairs.
+    """
+    from ..ops import cogroup, partitioned_map
+
+    def explode_members(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        memb = pd.DataFrame(
+            {
+                "key_doc": np.concatenate([df["doc_a"].to_numpy(), df["doc_b"].to_numpy()]),
+                "doc_a": np.tile(df["doc_a"].to_numpy(), 2),
+                "doc_b": np.tile(df["doc_b"].to_numpy(), 2),
+                "side": np.repeat(np.array([0, 1], dtype=np.int8), len(df)),
+            }
+        )
+        return pa.Table.from_pandas(memb, preserve_index=False).cast(_MEMB_SCHEMA)
+
+    memb = cand.map_batches(explode_members, batch_format="pyarrow")
+
+    def attach(memb_t: pa.Table, docs_t: pa.Table) -> pa.Table:
+        m = memb_t.to_pandas()
+        if not len(m):
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                    "hashes": pa.array([], pa.list_(pa.uint64())),
+                }
+            )
+        d = docs_t.to_pandas()
+        need = np.unique(m["key_doc"].to_numpy())
+        d = d[d["doc_id"].isin(need)]
+        hsets = {int(r.doc_id): _shingle_hash_set(r.text) for r in d.itertuples()}
+        hashes = [hsets[int(k)] for k in m["key_doc"]]
+        return pa.table(
+            {
+                "doc_a": pa.array(m["doc_a"].to_numpy(), pa.int64()),
+                "doc_b": pa.array(m["doc_b"].to_numpy(), pa.int64()),
+                "side": pa.array(m["side"].to_numpy(), pa.int8()),
+                "hashes": pa.array(hashes, pa.list_(pa.uint64())),
+            }
+        )
+
+    attached = cogroup(
+        [memb, _read_docs(sf_dir)],
+        [["key_doc"], ["doc_id"]],
+        8,
+        attach,
+        [_MEMB_SCHEMA, DOCS_SCHEMA],
     )
-    cand_df = cand.to_pandas().drop_duplicates().reset_index(drop=True)
-    if cand_df.empty:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"), "jaccard": pd.Series([], dtype="float64")})
 
-    # verify with true shingle Jaccard. Only candidate docs reach the driver
-    # (distributed semi-join filter) — pulling the full corpus here would be
-    # a driver OOM at 100 TB scale.
-    cand_ids = np.array(sorted(set(cand_df["doc_a"]) | set(cand_df["doc_b"])), dtype=np.int64)
+    def verify(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["doc_a", "doc_b", "side"])
+        out_a, out_b, out_j = [], [], []
+        it = df.itertuples()
+        for r0, r1 in zip(it, it):  # pairs are adjacent after the sort
+            a = np.asarray(r0.hashes, dtype=np.uint64)
+            b = np.asarray(r1.hashes, dtype=np.uint64)
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            jac = inter / max(1, len(a) + len(b) - inter)
+            if jac >= threshold:
+                out_a.append(r0.doc_a)
+                out_b.append(r0.doc_b)
+                out_j.append(round(jac, 6))
+        return pa.table(
+            {
+                "doc_a": pa.array(np.asarray(out_a, np.int64)),
+                "doc_b": pa.array(np.asarray(out_b, np.int64)),
+                "jaccard": pa.array(np.asarray(out_j, np.float64)),
+            }
+        )
 
-    def only_cands(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df["doc_id"].isin(cand_ids)]
+    return partitioned_map(attached, ["doc_a", "doc_b"], 8, verify)
 
-    texts = (
-        _read_docs(sf_dir)
-        .map_batches(only_cands, batch_format="pandas")
-        .to_pandas()
-        .set_index("doc_id")["text"]
-    )
-    sh = {d: set(_shingles(texts.loc[d])) for d in cand_ids}
-    jac = [
-        len(sh[a] & sh[b]) / max(1, len(sh[a] | sh[b]))
-        for a, b in zip(cand_df["doc_a"], cand_df["doc_b"])
-    ]
-    cand_df["jaccard"] = np.round(jac, 6)
-    out = cand_df[cand_df["jaccard"] >= threshold]
+
+def minhash_lsh_pairs(sf_dir: str, *, num_perm: int = 64, bands: int = 16, threshold: float = 0.5):
+    """Near-duplicate candidate pairs with verified Jaccard ≥ threshold.
+
+    shingle→minhash per batch (actor pool) → explode to (band, band_hash,
+    doc_id) → bucket groupby → candidate pairs → distributed true-Jaccard
+    verification (see ``_verified_pairs``). Jaccard is computed over the
+    64-bit shingle-hash sets (the same universe the minhash sketches)."""
+    cand = _lsh_candidate_pairs(sf_dir, num_perm=num_perm, bands=bands)
+    out = _verified_pairs(sf_dir, cand, threshold=threshold).to_pandas()
+    if out.empty:
+        out = pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "jaccard": pd.Series([], dtype="float64"),
+            }
+        )
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
@@ -222,13 +326,28 @@ def simhash_docs(sf_dir: str):
 
 def ngram_jaccard_dedup(sf_dir: str, *, threshold: float = 0.8):
     """Docs to KEEP after removing near-duplicates (Jaccard ≥ threshold,
-    higher doc_id dropped). Uses the LSH candidates, then exact verify."""
-    pairs = minhash_lsh_pairs(sf_dir, threshold=threshold)
-    drop = np.array(sorted(set(pairs["doc_b"])), dtype=np.int64) if len(pairs) else np.empty(0, np.int64)
-    # anti-join executes distributed; only the surviving ids (no text
-    # payload) reach the driver
+    higher doc_id dropped). LSH candidates + distributed exact verify, then a
+    distributed anti-join drops the losers (no driver-side id set)."""
+    from ..ops import cogroup
+
+    cand = _lsh_candidate_pairs(sf_dir, num_perm=64, bands=16)
+    verified = _verified_pairs(sf_dir, cand, threshold=threshold)
+
+    drops = verified.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_b"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
     ids = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
-    keep = ids.map_batches(
-        lambda df: df[~df["doc_id"].isin(drop)], batch_format="pandas"
-    ).to_pandas()
-    return keep.sort_values("doc_id").reset_index(drop=True)
+    id_schema = pa.schema([("doc_id", pa.int64())])
+
+    def anti(ids_t: pa.Table, drops_t: pa.Table) -> pa.Table:
+        keep = ids_t.to_pandas()
+        dropped = drops_t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pandas(
+            keep[~keep["doc_id"].isin(dropped)], preserve_index=False
+        ).cast(id_schema)
+
+    keep = cogroup(
+        [ids, drops], [["doc_id"], ["doc_id"]], 8, anti, [id_schema, id_schema]
+    )
+    return keep.to_pandas().sort_values("doc_id").reset_index(drop=True)

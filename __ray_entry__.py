@@ -39,9 +39,40 @@ def entry() -> Any:
     return layers["osmi_addresses_nodes_with_addresses"].to_pandas()
 
 
+@functools.lru_cache(maxsize=2)
+def _fixture_oracle(n_blocks: int = FIXTURE_BLOCKS):
+    """Naive single-threaded recomputation of all layers over the same
+    deterministic corpus (osmi_addresses_ray/oracle/layers.py)."""
+    from osmi_addresses_ray.oracle.layers import oracle_layers
+    from osmi_addresses_ray.sources.fixture import fixture_table
+
+    return oracle_layers(fixture_table(n_blocks))
+
+
+def _sorted_df(df):
+    return df.sort_values(list(df.columns), kind="stable", na_position="last").reset_index(
+        drop=True
+    )
+
+
 def _layer_query(name: str) -> Callable[[str], Any]:
     def run(sf_dir: str):
-        return _fixture_layers()[name].to_pandas()
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from osmi_addresses_ray.oracle import ORACLE_DIR, oracle_path
+        from osmi_addresses_ray.schemas import LAYER_SCHEMAS
+
+        import os
+
+        df = _sorted_df(_fixture_layers()[name].to_pandas())
+        odf = _sorted_df(_fixture_oracle()[name])
+        os.makedirs(ORACLE_DIR, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(odf, schema=LAYER_SCHEMAS[name], preserve_index=False),
+            oracle_path(name),
+        )
+        return df
 
     return run
 
@@ -119,17 +150,40 @@ def _with_oracle(name: str, ray_fn, oracle_fn_name: str):
     return run
 
 
+def _explode_features(df):
+    """feature list<float32> → 16 float64 columns (exact widening) so the
+    result is hash-comparable without nested types."""
+    import numpy as np
+    import pandas as pd
+
+    out = df[["doc_id", "media_ref", "width", "height"]].copy()
+    feats = np.stack(df["feature"].to_numpy()).astype(np.float64) if len(df) else (
+        np.empty((0, 16))
+    )
+    for i in range(16):
+        out[f"f{i:02d}"] = feats[:, i]
+    return out
+
+
 def _media_features_query(sf_dir: str):
-    from osmi_addresses_ray.sources.fixture import fixture_docs
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.layers import oracle_media_features
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
     from osmi_addresses_ray.stages.multimodal import media_features
 
-    return media_features(fixture_docs(FIXTURE_BLOCKS)).to_pandas().sort_values(
+    df = media_features(fixture_docs(FIXTURE_BLOCKS)).to_pandas().sort_values(
         ["doc_id", "media_ref"]
     ).reset_index(drop=True)
+    write_oracle(
+        "media_features", _explode_features(oracle_media_features(fixture_table(FIXTURE_BLOCKS)))
+    )
+    return _explode_features(df)
 
 
 def _pip_query(sf_dir: str):
-    from osmi_addresses_ray.sources.fixture import fixture_docs
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.layers import oracle_pip
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
     from osmi_addresses_ray.stages.assembly import assemble_ways
     from osmi_addresses_ray.stages.contains import entrances_in_buildings
     from osmi_addresses_ray.stages.parse import parse_docs
@@ -143,6 +197,7 @@ def _pip_query(sf_dir: str):
         df = pd.DataFrame(
             {"point_id": pd.Series([], dtype="int64"), "poly_id": pd.Series([], dtype="int64")}
         )
+    write_oracle("pip_entrances_in_buildings", oracle_pip(fixture_table(FIXTURE_BLOCKS)))
     return df.sort_values(["point_id", "poly_id"]).reset_index(drop=True)
 
 
@@ -283,10 +338,28 @@ def _naive_oracle_sql() -> dict[str, str]:
     hash-compares). See osmi_addresses_ray/oracle/llm_ops.py for the specs."""
     from osmi_addresses_ray.oracle import read_parquet_sql
 
-    return {
+    out = {
         "simhash_docs": read_parquet_sql("simhash_docs", "doc_id"),
         "minhash_lsh_pairs": read_parquet_sql("minhash_lsh_pairs", "doc_a, doc_b"),
         "ngram_jaccard_dedup": read_parquet_sql("ngram_jaccard_dedup", "doc_id"),
         "knn_ivf": read_parquet_sql("knn_ivf", "cosine DESC, vec_id"),
         "embedding_cosine_dedup": read_parquet_sql("embedding_cosine_dedup", "vec_a, vec_b"),
+        "media_features": read_parquet_sql("media_features", "ALL"),
+        "pip_entrances_in_buildings": read_parquet_sql(
+            "pip_entrances_in_buildings", "point_id, poly_id"
+        ),
     }
+    for layer in (
+        "osmi_addresses_connection_line",
+        "osmi_addresses_nearest_points",
+        "osmi_addresses_nearest_roads",
+        "osmi_addresses_nearest_areas",
+        "osmi_addresses_interpolation",
+        "osmi_addresses_nodes_with_addresses",
+        "osmi_addresses_ways_with_addresses",
+        "osmi_addresses_addrx_on_nonclosed_way",
+        "osmi_addresses_entrances",
+        "osmi_addresses_ways_with_postal_code",
+    ):
+        out[layer] = read_parquet_sql(layer, "ALL")
+    return out

@@ -1,0 +1,776 @@
+"""Naive single-threaded oracle for the 11 address-view layers.
+
+Recomputes every layer from the interleaved-docs spec with per-entity Python
+loops — the slowest clearest shape — for driver hash-comparison against the
+distributed engine. Written against the REFERENCE SEMANTICS (osmi-addresses,
+cited per layer below), not against the engine code: the only engine imports
+are the input fixture generator (the corpus under test) and none of the
+stage/pipeline modules.
+
+Float parity notes:
+- WKT text uses Arrow's float64→string cast (shortest round-trip, "8" for
+  8.0) for the layers whose engine sink formats via Arrow, and Python repr
+  ("8.0") for the interpolation layer which formats driver-side.
+- All distance / projection / centroid formulas are written with the same
+  elementwise float64 (and, where the reference demands, float32) operations
+  so results are bit-identical, not merely close.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+MAXDIST = 0.01  # ConnectionLinePreprocessor.hpp:11
+MERC_R = 6378137.0
+INT16_MAX = 32767
+
+ADDR7 = (
+    "addr:housenumber", "addr:street", "addr:postcode", "addr:city",
+    "addr:country", "addr:full", "addr:place",
+)
+EP_COMPARE = (
+    "addr:street", "addr:postcode", "addr:city", "addr:country",
+    "addr:full", "addr:place",
+)
+ADDRX20 = (
+    "addr:street", "addr:housenumber", "addr:full", "addr:conscriptionnumber",
+    "addr:housename", "addr:place", "addr:postcode", "addr:flats", "addr:door",
+    "addr:unit", "addr:floor", "addr:city", "addr:country", "addr:hamlet",
+    "addr:suburb", "addr:district", "addr:subdistrict", "addr:province",
+    "addr:region", "addr:state",
+)
+STREET_KEYS = (
+    "name", "name:left", "name:right", "alt_name", "official_name",
+    "short_name", "ref",
+)
+
+
+# --- formatting --------------------------------------------------------------
+
+def _fmt(x: float) -> str:
+    """Arrow float64→string (the engine sink's WKT number format)."""
+    return pc.cast(pa.array([float(x)], pa.float64()), pa.string())[0].as_py()
+
+
+def _wkt_point(lon: float, lat: float) -> str:
+    return f"POINT ({_fmt(lon)} {_fmt(lat)})"
+
+
+def _wkt_line2(x1, y1, x2, y2) -> str:
+    return f"LINESTRING ({_fmt(x1)} {_fmt(y1)}, {_fmt(x2)} {_fmt(y2)})"
+
+
+def _wkt_coords(xs, ys, *, polygon: bool) -> str:
+    body = ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in zip(xs, ys))
+    return f"POLYGON (({body}))" if polygon else f"LINESTRING ({body})"
+
+
+def _wkt_line_repr(xs, ys) -> str:
+    body = ", ".join(f"{x!r} {y!r}" for x, y in zip(xs, ys))
+    return f"LINESTRING ({body})"
+
+
+# --- parsing (input spec: BASELINE.json input_hint) --------------------------
+
+def parse_entities(docs: pa.Table) -> list[dict]:
+    ents = []
+    for row in docs.to_pylist():
+        e = {
+            "etype": None, "id": None, "lon": None, "lat": None,
+            "refs": [], "tags": {}, "lastchange": "",
+        }
+        for span in row["spans"]:
+            k, text = span["kind"], span["text"]
+            if k == "osm:node":
+                e["etype"], e["id"] = "node", int(text)
+            elif k == "osm:way":
+                e["etype"], e["id"] = "way", int(text)
+            elif k == "geom":
+                lon_s, lat_s = text.split(",", 1)
+                e["lon"], e["lat"] = float(lon_s), float(lat_s)
+            elif k == "ref":
+                e["refs"].append(int(text))
+            elif k == "tag":
+                tk, tv = text.split("=", 1)
+                e["tags"][tk] = tv  # last duplicate wins
+            elif k == "meta":
+                e["lastchange"] = text
+        ents.append(e)
+    return ents
+
+
+# --- geometry helpers (reference formulas) -----------------------------------
+
+def _quant_bbox(s, n, w, e):
+    """FirstHandler.hpp:66-70 int16 quantization, dequantized float32."""
+    f = np.float32
+    qn = float(np.int16(np.ceil(n * INT16_MAX / 90.0)).astype(f) * f(90) / f(INT16_MAX))
+    qs = float(np.int16(np.floor(s * INT16_MAX / 90.0)).astype(f) * f(90) / f(INT16_MAX))
+    qe = float(np.int16(np.ceil(e * INT16_MAX / 180.0)).astype(f) * f(180) / f(INT16_MAX))
+    qw = float(np.int16(np.floor(w * INT16_MAX / 180.0)).astype(f) * f(180) / f(INT16_MAX))
+    return qs, qn, qw, qe
+
+
+def _near_bbox(qs, qn, qw, qe, lon, lat, tol=MAXDIST) -> bool:
+    """GeometryHelper.hpp:127-152 — float32 arithmetic throughout."""
+    f = np.float32
+    lat32, lon32, t32 = f(lat), f(lon), f(tol)
+    lon_tol = t32 / f(np.cos(np.deg2rad(lat32).astype(f)))
+    return bool(
+        (lat32 < f(qn) + t32)
+        and (lat32 > f(qs) - t32)
+        and (lon32 < f(qe) + lon_tol)
+        and (lon32 > f(qw) - lon_tol)
+    )
+
+
+def _seqsum(a: np.ndarray) -> float:
+    """Sum with np.add.reduceat's reduction order.
+
+    Three float64 summation orders disagree in the last bits (np.sum's
+    pairwise blocks, a sequential Python fold, and reduceat's SIMD order);
+    the shoelace's catastrophic cancellation amplifies the difference to
+    ~1e-10 in centroid coordinates. The engine reduces per ring with
+    add.reduceat — use the same numpy primitive."""
+    a = np.asarray(a, np.float64)
+    if len(a) == 0:
+        return 0.0
+    return float(np.add.reduceat(a, [0])[0])
+
+
+def _centroid(xs: np.ndarray, ys: np.ndarray):
+    """OGRPolygon::Centroid shoelace with GEOS degenerate fallbacks."""
+    cross = xs[:-1] * ys[1:] - xs[1:] * ys[:-1]
+    area2 = _seqsum(cross)
+    if area2 != 0.0:
+        cx = _seqsum((xs[:-1] + xs[1:]) * cross) / (3.0 * area2)
+        cy = _seqsum((ys[:-1] + ys[1:]) * cross) / (3.0 * area2)
+        return float(cx), float(cy)
+    seg = np.hypot(np.diff(xs), np.diff(ys))
+    total = _seqsum(seg)
+    if total == 0.0:
+        return float(xs[0]), float(ys[0])
+    mx = _seqsum((xs[:-1] + xs[1:]) / 2.0 * seg) / total
+    my = _seqsum((ys[:-1] + ys[1:]) / 2.0 * seg) / total
+    return float(mx), float(my)
+
+
+def _dist_polyline(px, py, xs, ys) -> float:
+    """Min clamped point-segment distance (planar degrees), elementwise
+    identical to the engine's flat sweep (CLPP.hpp:266 OGR Distance)."""
+    x1, y1 = xs[:-1], ys[:-1]
+    dx, dy = xs[1:] - x1, ys[1:] - y1
+    seg2 = dx * dx + dy * dy
+    seg2_safe = np.where(seg2 == 0.0, 1.0, seg2)
+    t = ((px - x1) * dx + (py - y1) * dy) / seg2_safe
+    t = np.where(seg2 > 0.0, np.clip(t, 0.0, 1.0), 0.0)
+    return float(np.min(np.hypot(px - (x1 + t * dx), py - (y1 + t * dy))))
+
+
+def _wgs2merc(lon, lat):
+    x = MERC_R * np.deg2rad(np.asarray(lon, np.float64))
+    y = MERC_R * np.log(np.tan(np.pi / 4.0 + np.deg2rad(np.asarray(lat, np.float64)) / 2.0))
+    return x, y
+
+
+def _merc2wgs(x, y):
+    lon = np.rad2deg(np.asarray(x, np.float64) / MERC_R)
+    lat = np.rad2deg(2.0 * np.arctan(np.exp(np.asarray(y, np.float64) / MERC_R)) - np.pi / 2.0)
+    return float(lon), float(lat)
+
+
+def _proj_clamped(ax, ay, bx, by, px, py):
+    """CLPP.hpp:343-364 with the engine's clip formulation: r clipped to
+    [0,1], result = a + r·(b−a) (NOT early-returning b, which differs in the
+    last float bit when r == 1)."""
+    dx, dy = bx - ax, by - ay
+    den = dx * dx + dy * dy
+    if den == 0.0:
+        return ax, ay
+    r = ((px - ax) * dx + (py - ay) * dy) / den
+    r = 0.0 if r < 0.0 else (1.0 if r > 1.0 else r)
+    return ax + r * dx, ay + r * dy
+
+
+def _snap(px, py, xs, ys):
+    """CLPP.hpp:283-338 — nearest (first-minimal) vertex in EPSG:3857, then
+    the previous segment unconditionally and the next if strictly closer."""
+    pmx, pmy = _wgs2merc(px, py)
+    vx, vy = _wgs2merc(xs, ys)
+    d = np.hypot(vx - pmx, vy - pmy)
+    i = int(np.argmin(d))
+    bx, by = float(vx[i]), float(vy[i])
+    best = (bx, by)
+    if i > 0:
+        best = _proj_clamped(bx, by, float(vx[i - 1]), float(vy[i - 1]), pmx, pmy)
+    if i < len(vx) - 1:
+        cand = _proj_clamped(bx, by, float(vx[i + 1]), float(vy[i + 1]), pmx, pmy)
+        if np.hypot(pmx - cand[0], pmy - cand[1]) < np.hypot(pmx - best[0], pmy - best[1]):
+            best = cand
+    return _merc2wgs(best[0], best[1])
+
+
+# --- housenumber helpers (reference semantics) -------------------------------
+
+U32 = 1 << 32
+
+
+def _atoi(s: str) -> int:
+    """C atoi: leading whitespace, optional sign, digits until non-digit."""
+    i, n = 0, len(s)
+    while i < n and s[i] in " \t\n\r\v\f":
+        i += 1
+    sign = 1
+    if i < n and s[i] in "+-":
+        sign = -1 if s[i] == "-" else 1
+        i += 1
+    v = 0
+    while i < n and s[i].isdigit():
+        v = v * 10 + int(s[i])
+        i += 1
+    return sign * v
+
+
+def _u32(v: int) -> int:
+    return v & (U32 - 1)
+
+
+def _is_plain_number(raw: str, value: int) -> bool:
+    """InterpolationWriter 'wrong format' check: str(value) round-trips."""
+    return raw == str(value)
+
+
+def _alpha_parts(first_raw: str, last_raw: str):
+    """alphabetic interpolation: '<digits><single letter>' endpoints.
+
+    Returns (status, first_ord, last_ord, first_numeric). Status mirrors the
+    reference error strings; 'skip' when endpoints are absent."""
+    if first_raw == "" or last_raw == "":
+        return "skip", 0, 0, ""
+
+    def split(raw):
+        i = 0
+        while i < len(raw) and raw[i].isdigit():
+            i += 1
+        return raw[:i], raw[i:]
+
+    fnum, falpha = split(first_raw)
+    lnum, lalpha = split(last_raw)
+    if len(falpha) != 1 or len(lalpha) != 1 or not falpha.isalpha() or not lalpha.isalpha():
+        return "no alphabetic part in addr:housenumber", 0, 0, ""
+    if fnum != lnum:
+        return "numeric parts of housenumbers not identical", 0, 0, ""
+    return "ok", ord(falpha), ord(lalpha), fnum
+
+
+def _validate_interp(way, first_tags, last_tags):
+    """InterpolationWriter.hpp:39-237 ladder + densify (naive rerun)."""
+    interpolation = way["tags"]["addr:interpolation"]
+    first_raw = first_tags.get("addr:housenumber", "")
+    last_raw = last_tags.get("addr:housenumber", "")
+    row = {
+        "way_id": way["id"],
+        "typename": interpolation,
+        "firstid": way["refs"][0],
+        "lastid": way["refs"][-1],
+        "firstno": first_raw if first_raw != "" else None,
+        "lastno": last_raw if last_raw != "" else None,
+        "error": None,
+        "lastchange": way["lastchange"],
+    }
+    first = _u32(_atoi(first_raw)) if first_raw != "" else 0
+    last = _u32(_atoi(last_raw)) if last_raw != "" else 0
+
+    alpha_error = None
+    is_alpha_ok = False
+    first_numeric = ""
+    if interpolation == "alphabetic":
+        status, fa, la, fnum = _alpha_parts(first_raw, last_raw)
+        if status == "ok":
+            first, last, first_numeric = fa, la, fnum
+            is_alpha_ok = True
+        elif status != "skip":
+            alpha_error = status
+
+    xs, ys = way["xs"], way["ys"]
+    ip_points = []
+    err = None
+
+    def diff(a, b):
+        return a - b if a > b else b - a
+
+    if interpolation not in ("all", "even", "odd", "alphabetic"):
+        err = "unknown interpolation type"
+    elif interpolation != "alphabetic" and (
+        first == 0 or last == 0
+        or not _is_plain_number(first_raw, first)
+        or not _is_plain_number(last_raw, last)
+    ):
+        err = "endpoint has wrong format"
+    elif diff(first, last) > 1000:
+        err = "range too large"
+    elif (interpolation in ("even", "odd") and diff(first, last) == 2) or (
+        interpolation == "all" and diff(first, last) == 1
+    ):
+        err = "needless interpolation"
+    elif interpolation == "even" and (first % 2 == 1 or last % 2 == 1):
+        err = "interpolation even but number odd"
+    elif interpolation == "odd" and (first % 2 == 0 or last % 2 == 0):
+        err = "interpolation odd but number even"
+    elif any(first_tags.get(k, "") != last_tags.get(k, "") for k in EP_COMPARE):
+        err = "different tags on endpoints"
+    elif way["is_closed"]:
+        err = "interpolation is a closed way"
+    elif (interpolation in ("all", "odd", "even") or is_alpha_ok) and first != last:
+        seg = np.hypot(np.diff(xs), np.diff(ys))
+        cum = np.concatenate(([0.0], np.cumsum(seg)))
+        length = float(cum[-1])
+        increment = 2 if interpolation in ("even", "odd") else 1
+        if first < last:
+            fraction = 1.0 / (last - first)
+            lower, upper = first, last
+        else:
+            fraction = 1.0 / (first - last)
+            increment = -increment
+            lower, upper = last, first
+        nr = _u32(first + increment)
+        g = 0
+        nrs = []
+        while lower < nr < upper:
+            nrs.append(nr)
+            nr = _u32(nr + increment)
+        if nrs:
+            nrs_np = np.array(nrs, dtype=np.float64)
+            if increment > 0:
+                dists = (nrs_np - lower) * fraction * length
+            else:
+                dists = (1.0 - ((nrs_np - lower) * fraction)) * length
+            d = np.clip(dists, 0.0, length)
+            i = np.clip(np.searchsorted(cum, d, side="right") - 1, 0, max(len(seg) - 1, 0))
+            segi = np.where(seg[i] > 0, seg[i], 1.0)
+            r = np.where(seg[i] > 0, (d - cum[i]) / segi, 0.0)
+            px = xs[i] + r * (xs[i + 1] - xs[i])
+            py = ys[i] + r * (ys[i + 1] - ys[i])
+            for g, nr_v in enumerate(nrs):
+                nrstr = (
+                    str(nr_v) if interpolation != "alphabetic" else first_numeric + chr(nr_v)
+                )
+                ip_points.append(
+                    {
+                        "lon": float(px[g]), "lat": float(py[g]),
+                        "street": first_tags.get("addr:street", ""),
+                        "houseno": nrstr,
+                        "postcode": first_tags.get("addr:postcode", ""),
+                        "city": first_tags.get("addr:city", ""),
+                        "country": first_tags.get("addr:country", ""),
+                        "fulladdr": first_tags.get("addr:full", ""),
+                        "place": first_tags.get("addr:place", ""),
+                        "ord": (1, way["id"], 0, g),
+                    }
+                )
+    row["error"] = err if err is not None else alpha_error
+    return row, ip_points
+
+
+# --- the oracle --------------------------------------------------------------
+
+def oracle_layers(docs: pa.Table) -> dict[str, pd.DataFrame]:
+    ents = parse_entities(docs)
+    nodes = {e["id"]: e for e in ents if e["etype"] == "node"}
+
+    # way assembly (J1 semantics: drop on any unresolved ref, <2 refs)
+    ways = []
+    for e in ents:
+        if e["etype"] != "way":
+            continue
+        if len(e["refs"]) < 2 or any(r not in nodes for r in e["refs"]):
+            continue
+        xs = np.array([nodes[r]["lon"] for r in e["refs"]], np.float64)
+        ys = np.array([nodes[r]["lat"] for r in e["refs"]], np.float64)
+        w = dict(e)
+        w["xs"], w["ys"] = xs, ys
+        w["is_closed"] = e["refs"][0] == e["refs"][-1]
+        w["nonzero"] = bool(np.any((xs != xs[0]) | (ys != ys[0])))
+        w["qbbox"] = _quant_bbox(ys.min(), ys.max(), xs.min(), xs.max())
+        if w["is_closed"] and w["nonzero"]:
+            w["centroid"] = _centroid(xs, ys)
+        ways.append(w)
+
+    L: dict[str, list] = {k: [] for k in (
+        "entrances", "wwpc", "wwa", "addrx", "interp", "nwa", "cline", "npts", "ncand",
+    )}
+
+    # --- entrances (EntrancesWriter.hpp:20-37)
+    for e in ents:
+        if e["etype"] != "node":
+            continue
+        if "entrance" in e["tags"] or e["tags"].get("building") == "entrance":
+            L["entrances"].append(
+                {
+                    "node_id": e["id"], "lastchange": e["lastchange"],
+                    "entrance": e["tags"].get("entrance"),
+                    "lon": e["lon"], "lat": e["lat"],
+                    "geom_type": "POINT", "geom_wkt": _wkt_point(e["lon"], e["lat"]),
+                }
+            )
+
+    # --- way-derived layers
+    for w in ways:
+        t = w["tags"]
+        if not w["nonzero"]:
+            continue
+        if "postal_code" in t:
+            L["wwpc"].append(
+                {
+                    "way_id": w["id"], "lastchange": w["lastchange"],
+                    "postalcode": t["postal_code"],
+                    "geom_type": "LINESTRING",
+                    "geom_wkt": _wkt_coords(w["xs"], w["ys"], polygon=False),
+                }
+            )
+        if (
+            "building" in t and w["is_closed"]
+            and ("addr:street" in t or "addr:housenumber" in t or "addr:place" in t)
+        ):
+            L["wwa"].append(
+                {
+                    "way_id": w["id"],
+                    "street": t.get("addr:street"), "houseno": t.get("addr:housenumber"),
+                    "postcode": t.get("addr:postcode"), "city": t.get("addr:city"),
+                    "country": t.get("addr:country"), "fulladdr": t.get("addr:full"),
+                    "place": t.get("addr:place"), "lastchange": w["lastchange"],
+                    "geom_type": "POLYGON",
+                    "geom_wkt": _wkt_coords(w["xs"], w["ys"], polygon=True),
+                }
+            )
+        if not w["is_closed"] and any(k in t for k in ADDRX20):
+            L["addrx"].append(
+                {
+                    "way_id": w["id"], "lastchange": w["lastchange"],
+                    "geom_type": "LINESTRING",
+                    "geom_wkt": _wkt_coords(w["xs"], w["ys"], polygon=False),
+                }
+            )
+
+    # --- interpolation + ip points
+    ip_all = []
+    for w in ways:
+        if "addr:interpolation" not in w["tags"] or not w["nonzero"]:
+            continue
+        ft = {
+            k: v for k, v in nodes.get(w["refs"][0], {"tags": {}})["tags"].items() if k in ADDR7
+        }
+        lt = {
+            k: v for k, v in nodes.get(w["refs"][-1], {"tags": {}})["tags"].items() if k in ADDR7
+        }
+        row, ips = _validate_interp(w, ft, lt)
+        row["geom_type"] = "LINESTRING"
+        row["geom_wkt"] = _wkt_line_repr(w["xs"], w["ys"])
+        L["interp"].append(row)
+        ip_all.extend(ips)
+
+    # --- street index (FirstHandler.hpp:116-126; area split :72-80)
+    streets_by_name: dict[str, list] = {}
+    for w in ways:
+        if "highway" not in w["tags"] or not w["nonzero"]:
+            continue
+        is_area = w["tags"].get("area") in ("yes", "true") and w["is_closed"]
+        for k in STREET_KEYS:
+            v = w["tags"].get(k)
+            if v is not None:
+                lst = streets_by_name.setdefault(v, [])
+                if not any(s["way_id"] == w["id"] and s["name"] == v for s in lst):
+                    lst.append(
+                        {
+                            "way_id": w["id"], "name": v, "is_area": is_area,
+                            "xs": w["xs"], "ys": w["ys"], "qbbox": w["qbbox"],
+                        }
+                    )
+    for lst in streets_by_name.values():
+        lst.sort(key=lambda s: (not s["is_area"], s["way_id"]))  # scan order
+
+    # --- places index (FirstHandler.hpp:24-36, :87-97)
+    places: dict[str, tuple[list, list]] = {}
+    for e in ents:
+        if e["etype"] == "node" and "place" in e["tags"] and "name" in e["tags"]:
+            places.setdefault(e["tags"]["name"], ([], []))[0].append(
+                (e["id"], e["lon"], e["lat"])
+            )
+    for w in ways:
+        if (
+            "place" in w["tags"] and "name" in w["tags"]
+            and w["is_closed"] and w["nonzero"]
+        ):
+            places.setdefault(w["tags"]["name"], ([], []))[1].append(
+                (w["id"], w["centroid"][0], w["centroid"][1])
+            )
+    for name in places:
+        places[name][0].sort()
+        places[name][1].sort()
+
+    # --- address points
+    addrs = []
+    for e in ents:
+        if e["etype"] == "node" and any(k in e["tags"] for k in ADDR7):
+            t = e["tags"]
+            addrs.append(
+                {
+                    "kind": "node", "obj": e["id"], "lon": e["lon"], "lat": e["lat"],
+                    "street": t.get("addr:street"), "place_name": t.get("addr:place"),
+                    "nwa_emit": True,
+                    "houseno": t.get("addr:housenumber"), "postcode": t.get("addr:postcode"),
+                    "city": t.get("addr:city"), "country": t.get("addr:country"),
+                    "fulladdr": t.get("addr:full"), "place": t.get("addr:place"),
+                    "lastchange": e["lastchange"], "ord": (0, e["id"], 0, 0),
+                }
+            )
+    for w in ways:
+        t = w["tags"]
+        if not (w["is_closed"] and w["nonzero"]):
+            continue
+        nwa_emit = "building" in t and ("addr:street" in t or "addr:housenumber" in t)
+        match_gate = "addr:street" in t or "addr:place" in t
+        if not (nwa_emit or match_gate):
+            continue
+        addrs.append(
+            {
+                "kind": "way", "obj": w["id"],
+                "lon": w["centroid"][0], "lat": w["centroid"][1],
+                "street": t.get("addr:street"), "place_name": t.get("addr:place"),
+                "nwa_emit": nwa_emit,
+                "houseno": t.get("addr:housenumber"), "postcode": t.get("addr:postcode"),
+                "city": t.get("addr:city"), "country": t.get("addr:country"),
+                "fulladdr": t.get("addr:full"), "place": t.get("addr:place"),
+                "lastchange": w["lastchange"], "ord": (1, w["id"], 1, 0),
+            }
+        )
+    for p in ip_all:
+        addrs.append(
+            {
+                "kind": "ip", "obj": 0, "lon": p["lon"], "lat": p["lat"],
+                "street": p["street"], "place_name": None, "nwa_emit": True,
+                "houseno": p["houseno"], "postcode": p["postcode"], "city": p["city"],
+                "country": p["country"], "fulladdr": p["fulladdr"], "place": p["place"],
+                "lastchange": None, "ord": p["ord"],
+            }
+        )
+
+    # --- J2/J4/J5 match per address
+    for a in addrs:
+        matched = None
+        if a["street"] is not None:
+            best_d = np.inf
+            for s in streets_by_name.get(a["street"], []):
+                if not _near_bbox(*s["qbbox"], a["lon"], a["lat"]):
+                    continue
+                d = _dist_polyline(a["lon"], a["lat"], s["xs"], s["ys"])
+                if d < best_d:
+                    best_d = d
+                    matched = s
+        nody_m = wayy_m = False
+        place_lines = []
+
+        def probe(name):
+            nonlocal nody_m, wayy_m
+            entry = places.get(name)
+            if entry is None:
+                return
+            comb = entry[0] + entry[1]
+            if not comb:
+                return
+            last = None
+            for j, (pid, plon, plat) in enumerate(comb):
+                if np.hypot(a["lon"] - plon, a["lat"] - plat) < MAXDIST:
+                    last = j
+            if last is None:
+                return
+            if last < len(entry[0]):
+                nody_m = True
+            else:
+                wayy_m = True
+            place_lines.append((comb[last][1], comb[last][2]))
+
+        if a["kind"] == "node" and a["street"] is not None:
+            probe(a["street"])
+        if a["kind"] in ("node", "way") and a["place_name"] is not None:
+            probe(a["place_name"])
+
+        is_ip = a["kind"] == "ip"
+        if a["nwa_emit"]:
+            L["nwa"].append(
+                {
+                    "node_id": a["obj"] if a["kind"] == "node" else None,
+                    "way_id": a["obj"] if a["kind"] == "way" else None,
+                    "ip_id": None, "is_ip": np.int32(1 if is_ip else 0),
+                    "street": a["street"], "houseno": a["houseno"],
+                    "postcode": a["postcode"], "city": a["city"],
+                    "country": a["country"], "fulladdr": a["fulladdr"],
+                    "place": a["place"],
+                    "road_id": "1" if matched is not None else None,
+                    "nody_place_id": "1" if (nody_m and not is_ip) else None,
+                    "wayy_place_id": "1" if (wayy_m and not is_ip) else None,
+                    "lastchange": None if is_ip else a["lastchange"],
+                    "lon": a["lon"], "lat": a["lat"],
+                    "geom_type": "POINT", "geom_wkt": _wkt_point(a["lon"], a["lat"]),
+                }
+            )
+        if matched is not None:
+            sl, sa = _snap(a["lon"], a["lat"], matched["xs"], matched["ys"])
+            L["cline"].append(
+                {
+                    "node_id": a["obj"] if a["kind"] == "node" else None,
+                    "way_id": a["obj"] if a["kind"] == "way" else None,
+                    "geom_type": "LINESTRING",
+                    "geom_wkt": _wkt_line2(a["lon"], a["lat"], sl, sa),
+                }
+            )
+            L["npts"].append(
+                {
+                    "way_id": matched["way_id"], "lon": sl, "lat": sa,
+                    "geom_type": "POINT", "geom_wkt": _wkt_point(sl, sa),
+                }
+            )
+            L["ncand"].append(
+                {
+                    "way_id": matched["way_id"], "name": a["street"],
+                    "is_area": matched["is_area"],
+                    "xs": matched["xs"], "ys": matched["ys"], "ord": a["ord"],
+                }
+            )
+        for plon, plat in place_lines:
+            L["cline"].append(
+                {
+                    "node_id": 0 if a["kind"] == "node" else None,
+                    "way_id": 0 if a["kind"] == "way" else None,
+                    "geom_type": "LINESTRING",
+                    "geom_wkt": _wkt_line2(a["lon"], a["lat"], plon, plat),
+                }
+            )
+
+    # --- nearest roads/areas: first candidate per way_id in processing order
+    best_by_way: dict[int, dict] = {}
+    for c in sorted(L["ncand"], key=lambda c: c["ord"]):
+        best_by_way.setdefault(c["way_id"], c)
+    roads, areas = [], []
+    for c in best_by_way.values():
+        row = {
+            "way_id": c["way_id"], "name": c["name"], "lastchange": "",
+            "geom_type": "POLYGON" if c["is_area"] else "LINESTRING",
+            "geom_wkt": _wkt_coords(c["xs"], c["ys"], polygon=c["is_area"]),
+        }
+        (areas if c["is_area"] else roads).append(row)
+
+    def df(rows, cols):
+        if not rows:
+            return pd.DataFrame({c: pd.Series([], dtype="object") for c in cols})
+        return pd.DataFrame(rows)[cols]
+
+    return {
+        "osmi_addresses_entrances": df(
+            L["entrances"],
+            ["node_id", "lastchange", "entrance", "lon", "lat", "geom_type", "geom_wkt"],
+        ),
+        "osmi_addresses_ways_with_postal_code": df(
+            L["wwpc"], ["way_id", "lastchange", "postalcode", "geom_type", "geom_wkt"]
+        ),
+        "osmi_addresses_ways_with_addresses": df(
+            L["wwa"],
+            ["way_id", "street", "houseno", "postcode", "city", "country",
+             "fulladdr", "place", "lastchange", "geom_type", "geom_wkt"],
+        ),
+        "osmi_addresses_addrx_on_nonclosed_way": df(
+            L["addrx"], ["way_id", "lastchange", "geom_type", "geom_wkt"]
+        ),
+        "osmi_addresses_interpolation": df(
+            L["interp"],
+            ["way_id", "typename", "firstid", "lastid", "firstno", "lastno",
+             "error", "lastchange", "geom_type", "geom_wkt"],
+        ),
+        "osmi_addresses_nodes_with_addresses": df(
+            L["nwa"],
+            ["node_id", "way_id", "ip_id", "is_ip", "street", "houseno", "postcode",
+             "city", "country", "fulladdr", "place", "road_id", "nody_place_id",
+             "wayy_place_id", "lastchange", "lon", "lat", "geom_type", "geom_wkt"],
+        ),
+        "osmi_addresses_connection_line": df(
+            L["cline"], ["node_id", "way_id", "geom_type", "geom_wkt"]
+        ),
+        "osmi_addresses_nearest_points": df(
+            L["npts"], ["way_id", "lon", "lat", "geom_type", "geom_wkt"]
+        ),
+        "osmi_addresses_nearest_roads": df(
+            roads, ["way_id", "name", "lastchange", "geom_type", "geom_wkt"]
+        ),
+        "osmi_addresses_nearest_areas": df(
+            areas, ["way_id", "name", "lastchange", "geom_type", "geom_wkt"]
+        ),
+    }
+
+
+# --- media features + PIP oracles (fixture-corpus checks) --------------------
+
+def oracle_media_features(docs: pa.Table) -> pd.DataFrame:
+    """DecodeStub spec: payload = sha256(ref)*4; feature = first 16 bytes of
+    sha256(payload)/255*2-1; width/height from bytes 16/17."""
+    import hashlib
+
+    rows = []
+    for row in docs.to_pylist():
+        for span in row["spans"]:
+            if span["kind"] != "media":
+                continue
+            payload = hashlib.sha256(span["media_ref"].encode()).digest() * 4
+            h = np.frombuffer(hashlib.sha256(payload).digest(), dtype=np.uint8)
+            feat = (h[:16].astype(np.float32) / 255.0) * 2.0 - 1.0
+            rows.append(
+                {
+                    "doc_id": row["doc_id"], "media_ref": span["media_ref"],
+                    "feature": feat, "width": np.int32(64 + h[16] % 64),
+                    "height": np.int32(64 + h[17] % 64),
+                }
+            )
+    out = pd.DataFrame(rows, columns=["doc_id", "media_ref", "feature", "width", "height"])
+    return out.sort_values(["doc_id", "media_ref"]).reset_index(drop=True)
+
+
+def oracle_pip(docs: pa.Table) -> pd.DataFrame:
+    """Entrance nodes ⨝-contains closed building rings (even-odd ray cast,
+    identical crossing formula to the engine kernel)."""
+    ents = parse_entities(docs)
+    nodes = {e["id"]: e for e in ents if e["etype"] == "node"}
+    pts = [
+        e for e in ents
+        if e["etype"] == "node"
+        and ("entrance" in e["tags"] or e["tags"].get("building") == "entrance")
+    ]
+    out = []
+    for e in ents:
+        if e["etype"] != "way" or "building" not in e["tags"]:
+            continue
+        refs = e["refs"]
+        if len(refs) < 2 or any(r not in nodes for r in refs) or refs[0] != refs[-1]:
+            continue
+        xs = np.array([nodes[r]["lon"] for r in refs], np.float64)
+        ys = np.array([nodes[r]["lat"] for r in refs], np.float64)
+        if not np.any((xs != xs[0]) | (ys != ys[0])):
+            continue
+        bs, bn, bw, be = ys.min(), ys.max(), xs.min(), xs.max()
+        for p in pts:
+            px, py = p["lon"], p["lat"]
+            if not (bs <= py <= bn and bw <= px <= be):
+                continue
+            x1, y1, x2, y2 = xs[:-1], ys[:-1], xs[1:], ys[1:]
+            cond = (y1 > py) != (y2 > py)
+            denom = np.where(y2 - y1 == 0.0, 1.0, y2 - y1)
+            xint = x1 + (py - y1) * (x2 - x1) / denom
+            if int((cond & (px < xint)).sum()) % 2 == 1:
+                out.append({"point_id": p["id"], "poly_id": e["id"]})
+    res = pd.DataFrame(out, columns=["point_id", "poly_id"])
+    if res.empty:
+        res = pd.DataFrame(
+            {"point_id": pd.Series([], dtype="int64"), "poly_id": pd.Series([], dtype="int64")}
+        )
+    return res.sort_values(["point_id", "poly_id"]).reset_index(drop=True)

@@ -122,18 +122,26 @@ def is_point_near_bbox(s, n, w, e, lon, lat, tolerance):
 # --- polygon centroid (GEOS-equivalent shoelace) -----------------------------
 
 def polygon_centroid(ring: np.ndarray) -> tuple[float, float]:
-    """Area-weighted centroid of a simple closed ring (first == last point).
+    """Area-weighted centroid of a closed ring (first == last point).
 
-    Matches OGRPolygon::Centroid for valid simple rings. Degenerate
-    (zero-area) rings fall back to the length-weighted midpoint like GEOS.
+    GEOS ``algorithm::Centroid`` formulation: triangles fanned from the
+    ring's FIRST point, signed areas computed on base-point-relative
+    coordinates. This matches OGRPolygon::Centroid (which delegates to
+    GEOS) and — the load-bearing property — stays numerically accurate for
+    near-degenerate / self-intersecting rings, where the classic absolute-
+    coordinate shoelace loses ~10 digits to cancellation and scatters the
+    centroid tens of meters (observed on the reference testzone's bowtie
+    test polygons). Degenerate (zero-area) rings fall back to the
+    length-weighted midpoint, then the first point, like GEOS.
     """
     x = ring[:, 0]
     y = ring[:, 1]
-    cross = x[:-1] * y[1:] - x[1:] * y[:-1]
-    area2 = cross.sum()
+    x0, y0 = x[0], y[0]
+    a2 = (x[:-1] - x0) * (y[1:] - y0) - (x[1:] - x0) * (y[:-1] - y0)
+    area2 = np.add.reduceat(a2, [0])[0] if len(a2) else 0.0
     if area2 != 0.0:
-        cx = ((x[:-1] + x[1:]) * cross).sum() / (3.0 * area2)
-        cy = ((y[:-1] + y[1:]) * cross).sum() / (3.0 * area2)
+        cx = np.add.reduceat(a2 * (x0 + x[:-1] + x[1:]), [0])[0] / 3.0 / area2
+        cy = np.add.reduceat(a2 * (y0 + y[:-1] + y[1:]), [0])[0] / 3.0 / area2
         return float(cx), float(cy)
     # zero area: length-weighted average of segment midpoints
     seg = np.hypot(np.diff(x), np.diff(y))
@@ -150,9 +158,10 @@ def polygon_centroids_packed(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Batch ``polygon_centroid`` over rings packed as flat coords + offsets.
 
-    ``sel`` = ring indices to compute (closed, nonzero). Segmented shoelace
-    via add.reduceat with ring-boundary pair terms zeroed — same values and
-    the same degenerate fallbacks as the scalar function, no per-ring Python.
+    ``sel`` = ring indices to compute (closed, nonzero). Segmented GEOS
+    base-point triangle formulation via add.reduceat with ring-boundary pair
+    terms zeroed — same values and the same degenerate fallbacks as the
+    scalar function, no per-ring Python.
     """
     counts = np.diff(offsets)
     csel = counts[sel]
@@ -164,18 +173,25 @@ def polygon_centroids_packed(
         np.arange(tot) - np.repeat(goff[:-1], csel)
     )
     gx, gy = fx[gi], fy[gi]
-    cross = gx[:-1] * gy[1:] - gx[1:] * gy[:-1]
+    # per-ring base point (the ring's first vertex), broadcast over pairs;
+    # boundary pairs (ring i's last → ring i+1's first) are zeroed below
+    bnd = goff[1:-1] - 1
+    bx = gx[goff[:-1]]
+    by = gy[goff[:-1]]
+    ring_full = np.repeat(np.arange(len(csel)), csel)[:-1]
+    x0 = bx[ring_full]
+    y0 = by[ring_full]
+    cross = (gx[:-1] - x0) * (gy[1:] - y0) - (gx[1:] - x0) * (gy[:-1] - y0)
     seg = np.hypot(np.diff(gx), np.diff(gy))
-    bnd = goff[1:-1] - 1  # pair spanning ring i's last → ring i+1's first
     cross[bnd] = 0.0
     seg[bnd] = 0.0
     starts = goff[:-1]
     area2 = np.add.reduceat(cross, starts)
-    sxc = np.add.reduceat((gx[:-1] + gx[1:]) * cross, starts)
-    syc = np.add.reduceat((gy[:-1] + gy[1:]) * cross, starts)
+    sxc = np.add.reduceat(cross * (x0 + gx[:-1] + gx[1:]), starts)
+    syc = np.add.reduceat(cross * (y0 + gy[:-1] + gy[1:]), starts)
     with np.errstate(divide="ignore", invalid="ignore"):
-        cx = sxc / (3.0 * area2)
-        cy = syc / (3.0 * area2)
+        cx = sxc / 3.0 / area2
+        cy = syc / 3.0 / area2
     # zero-area fallback: length-weighted midpoint; zero-length: first point
     degen = area2 == 0.0
     if degen.any():

@@ -18,6 +18,8 @@ Float parity notes:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -90,7 +92,10 @@ def parse_entities(docs: pa.Table) -> list[dict]:
                 e["etype"], e["id"] = "way", int(text)
             elif k == "geom":
                 lon_s, lat_s = text.split(",", 1)
-                e["lon"], e["lat"] = float(lon_s), float(lat_s)
+                lon_f, lat_f = float(lon_s), float(lat_s)
+                # libosmium int32 fixed-point (1e-7°), round half away from 0
+                e["lon"] = math.copysign(math.floor(abs(lon_f) * 1e7 + 0.5), lon_f) / 1e7
+                e["lat"] = math.copysign(math.floor(abs(lat_f) * 1e7 + 0.5), lat_f) / 1e7
             elif k == "ref":
                 e["refs"].append(int(text))
             elif k == "tag":
@@ -142,12 +147,15 @@ def _seqsum(a: np.ndarray) -> float:
 
 
 def _centroid(xs: np.ndarray, ys: np.ndarray):
-    """OGRPolygon::Centroid shoelace with GEOS degenerate fallbacks."""
-    cross = xs[:-1] * ys[1:] - xs[1:] * ys[:-1]
+    """OGRPolygon::Centroid — GEOS base-point triangle formulation (signed
+    triangle areas relative to the ring's first vertex; numerically stable
+    on degenerate rings) with GEOS's degenerate fallbacks."""
+    x0, y0 = xs[0], ys[0]
+    cross = (xs[:-1] - x0) * (ys[1:] - y0) - (xs[1:] - x0) * (ys[:-1] - y0)
     area2 = _seqsum(cross)
     if area2 != 0.0:
-        cx = _seqsum((xs[:-1] + xs[1:]) * cross) / (3.0 * area2)
-        cy = _seqsum((ys[:-1] + ys[1:]) * cross) / (3.0 * area2)
+        cx = _seqsum(cross * (x0 + xs[:-1] + xs[1:])) / 3.0 / area2
+        cy = _seqsum(cross * (y0 + ys[:-1] + ys[1:])) / 3.0 / area2
         return float(cx), float(cy)
     seg = np.hypot(np.diff(xs), np.diff(ys))
     total = _seqsum(seg)

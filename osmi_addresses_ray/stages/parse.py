@@ -73,6 +73,13 @@ def parse_docs_batch(batch: pa.Table) -> pa.Table:
         glat = pc.cast(pc.list_element(split, 1), pa.float64()).to_numpy(
             zero_copy_only=False
         )
+        # libosmium location semantics: coordinates are int32 fixed-point at
+        # 1e-7° (osmium::Location, round half away from zero). Quantizing at
+        # parse time makes every downstream geometry (centroids, snaps,
+        # densified points, lengths) match the reference bit-for-bit — the
+        # reference engine cannot see more precision than this.
+        glon = np.sign(glon) * np.floor(np.abs(glon) * 1e7 + 0.5) / 1e7
+        glat = np.sign(glat) * np.floor(np.abs(glat) * 1e7 + 0.5) / 1e7
         gp = parent[is_geom]
         lon[gp] = glon
         lat[gp] = glat

@@ -120,3 +120,93 @@ def test_karlsruher_strasse_8_location(layers):
 
     n = _count(layers, "osmi_addresses_nodes_with_addresses", pred)
     assert n == 1
+
+
+# --- run_tests.sh:37-46,63-79 — bbox containment + geodesic length / LV95 area
+
+import re as _re
+
+import numpy as _np
+
+
+def _wkt_coords(wkt: str) -> _np.ndarray:
+    pts = _re.findall(r"[-\d.eE+]+ [-\d.eE+]+", wkt)
+    return _np.array([[float(v) for v in p.split()] for p in pts])
+
+
+def _layer_lengths(layers, name):
+    from osmi_addresses_ray.functions.geo_ref import geodesic_length
+
+    return [geodesic_length(_wkt_coords(r["geom_wkt"])) for r in layers[name].take_all()]
+
+
+def _layer_areas(layers, name):
+    from osmi_addresses_ray.functions.geo_ref import lv95_ring_area
+
+    return [lv95_ring_area(_wkt_coords(r["geom_wkt"])) for r in layers[name].take_all()]
+
+
+# SpatiaLite re-runs bit-identically at 1e-7; our independent kernels match
+# its algorithms (see functions/geo_ref.py) to <=2.4e-5 m / <=6.2e-6 m² on
+# these geometries — the asserted tolerances cover that residual with margin.
+LEN_TOL = 5e-5
+AREA_TOL = 1e-4
+
+LENGTH_GOLDENS = {
+    # run_tests.sh:63-70 — SELECT MIN/MAX(ST_Length(geometry, 0))
+    "osmi_addresses_connection_line": (1.34749447344977, 17.3055759386695),
+    "osmi_addresses_interpolation": (2.81660826175927, 31.288447031296),
+    "osmi_addresses_nearest_roads": (16.0156550129829, 139.896459880885),
+    "osmi_addresses_ways_with_postal_code": (85.0653586130059, 1932.24220904501),
+}
+
+AREA_GOLDENS = {
+    # run_tests.sh:74-79 — SELECT MIN/MAX(ST_Area(ST_Transform(geometry, 2056)))
+    "osmi_addresses_ways_with_addresses": (0.958406202423518, 49.3336374588885),
+    "osmi_addresses_nearest_areas": (198.809381183972, 198.809381183972),
+}
+
+
+@pytest.mark.parametrize("layer", sorted(LENGTH_GOLDENS))
+def test_geodesic_length_goldens(layers, layer):
+    ls = _layer_lengths(layers, layer)
+    gmin, gmax = LENGTH_GOLDENS[layer]
+    assert min(ls) == pytest.approx(gmin, abs=LEN_TOL)
+    assert max(ls) == pytest.approx(gmax, abs=LEN_TOL)
+
+
+@pytest.mark.parametrize("layer", sorted(AREA_GOLDENS))
+def test_lv95_area_goldens(layers, layer):
+    ars = _layer_areas(layers, layer)
+    gmin, gmax = AREA_GOLDENS[layer]
+    assert min(ars) == pytest.approx(gmin, abs=AREA_TOL)
+    assert max(ars) == pytest.approx(gmax, abs=AREA_TOL)
+
+
+# run_tests.sh:37-46 — every layer feature inside the testzone bbox
+# (test_engine.pl reads the SpatiaLite R-tree, which stores float32 envelopes)
+BBOX_LAYERS = (
+    "osmi_addresses_connection_line",
+    "osmi_addresses_interpolation",
+    "osmi_addresses_nearest_points",
+    "osmi_addresses_nearest_roads",
+    "osmi_addresses_nearest_areas",
+    "osmi_addresses_nodes_with_addresses",
+    "osmi_addresses_ways_with_addresses",
+    "osmi_addresses_buildings",
+    "osmi_addresses_entrances",
+)
+TZ_BBOX = (8.783, 8.793, 47.25, 47.2544)  # left, right, bottom, top
+
+
+@pytest.mark.parametrize("layer", sorted(BBOX_LAYERS))
+def test_outofbbox_zero(layers, layer):
+    left, right, bottom, top = (_np.float32(v) for v in TZ_BBOX)
+    for r in layers[layer].take_all():
+        c = _wkt_coords(r["geom_wkt"]).astype(_np.float32)
+        assert (
+            (c[:, 0] >= left).all()
+            and (c[:, 0] <= right).all()
+            and (c[:, 1] >= bottom).all()
+            and (c[:, 1] <= top).all()
+        ), f"{layer}: feature outside testzone bbox"

@@ -118,6 +118,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (stubbed decode / engine-corpus inputs)
         "media_features": _media_features_query,
         "pip_entrances_in_buildings": _pip_query,
+        # geodesic length operator: engine kernel vs DuckDB recomputing the
+        # haversine from raw coordinates (true SQL oracle)
+        "geodesic_lengths": _geodesic_query,
     }
     # geospatial layers over the synthesized interleaved-doc corpus (rows-only)
     for layer in (
@@ -199,6 +202,69 @@ def _pip_query(sf_dir: str):
         )
     write_oracle("pip_entrances_in_buildings", oracle_pip(fixture_table(FIXTURE_BLOCKS)))
     return df.sort_values(["point_id", "poly_id"]).reset_index(drop=True)
+
+
+def _geodesic_query(sf_dir: str):
+    """Great-circle length of every postal-code way in the fixture corpus,
+    computed by the engine's vectorized kernel over ways_geo. The oracle side
+    recomputes the haversine in DuckDB from a (way_id, xs, ys) parquet
+    written by the INDEPENDENT naive parser (oracle/layers.parse_entities)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from osmi_addresses_ray.constants import tag_col
+    from osmi_addresses_ray.functions.geo_ref import geodesic_lengths
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.layers import parse_entities
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.assembly import assemble_ways
+    from osmi_addresses_ray.stages.parse import parse_docs
+
+    parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
+    ways_geo = assemble_ways(parsed, num_parts=8)
+
+    def lens(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = t.filter(pc.and_(pc.is_valid(t[tag_col("postal_code")]), t["nonzero"]))
+        xs = s["xs"].combine_chunks() if isinstance(s["xs"], pa.ChunkedArray) else s["xs"]
+        ys = s["ys"].combine_chunks() if isinstance(s["ys"], pa.ChunkedArray) else s["ys"]
+        offs = np.asarray(xs.offsets, np.int64)
+        offs = offs - offs[0]
+        ls = geodesic_lengths(
+            np.asarray(xs.flatten(), np.float64), np.asarray(ys.flatten(), np.float64), offs
+        )
+        return pa.table(
+            {
+                "way_id": s["way_id"].combine_chunks(),
+                "length_m": pa.array(np.round(ls, 6)),
+            }
+        )
+
+    df = (
+        ways_geo.map_batches(lens, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("way_id")
+        .reset_index(drop=True)
+    )
+
+    # independent naive path → raw coordinates parquet for the SQL oracle
+    ents = parse_entities(fixture_table(FIXTURE_BLOCKS))
+    nodes = {e["id"]: e for e in ents if e["etype"] == "node"}
+    rows = []
+    for e in ents:
+        if e["etype"] != "way" or "postal_code" not in e["tags"]:
+            continue
+        if len(e["refs"]) < 2 or any(r not in nodes for r in e["refs"]):
+            continue
+        xs = [nodes[r]["lon"] for r in e["refs"]]
+        ys = [nodes[r]["lat"] for r in e["refs"]]
+        if not any(x != xs[0] or y != ys[0] for x, y in zip(xs, ys)):
+            continue
+        rows.append({"way_id": e["id"], "xs": xs, "ys": ys})
+    write_oracle("geodesic_lengths", pd.DataFrame(rows, columns=["way_id", "xs", "ys"]))
+    return df
 
 
 def oracle_sql() -> dict[str, str]:
@@ -336,7 +402,7 @@ def _naive_oracle_sql() -> dict[str, str]:
     """Oracle entries backed by the pure-Python recomputation parquet (the
     query callable writes it; DuckDB reads it back and the driver
     hash-compares). See osmi_addresses_ray/oracle/llm_ops.py for the specs."""
-    from osmi_addresses_ray.oracle import read_parquet_sql
+    from osmi_addresses_ray.oracle import oracle_path, read_parquet_sql
 
     out = {
         "simhash_docs": read_parquet_sql("simhash_docs", "doc_id"),
@@ -345,6 +411,27 @@ def _naive_oracle_sql() -> dict[str, str]:
         "knn_ivf": read_parquet_sql("knn_ivf", "cosine DESC, vec_id"),
         "embedding_cosine_dedup": read_parquet_sql("embedding_cosine_dedup", "vec_a, vec_b"),
         "media_features": read_parquet_sql("media_features", "ALL"),
+        # true SQL recomputation of the great-circle kernel: haversine
+        # (atan2 form) on sphere R=(2a+b)/3 over raw per-way coordinates
+        "geodesic_lengths": f"""
+            SELECT way_id,
+                   round(list_sum(list_transform(range(1, len(xs)), i ->
+                       2.0 * atan2(
+                           sqrt(
+                               pow(sin(radians(ys[i+1] - ys[i]) / 2.0), 2)
+                               + cos(radians(ys[i])) * cos(radians(ys[i+1]))
+                                 * pow(sin(radians(xs[i+1] - xs[i]) / 2.0), 2)
+                           ),
+                           sqrt(1.0 - (
+                               pow(sin(radians(ys[i+1] - ys[i]) / 2.0), 2)
+                               + cos(radians(ys[i])) * cos(radians(ys[i+1]))
+                                 * pow(sin(radians(xs[i+1] - xs[i]) / 2.0), 2)
+                           ))
+                       ) * ((2.0 * 6378137.0 + 6356752.314245179) / 3.0)
+                   )), 6) AS length_m
+            FROM read_parquet('{oracle_path('geodesic_lengths')}')
+            ORDER BY way_id
+        """,
         "pip_entrances_in_buildings": read_parquet_sql(
             "pip_entrances_in_buildings", "point_id, poly_id"
         ),

@@ -146,7 +146,7 @@ def _nearest_points_from_match(match_ds):
     return match_ds.map_batches(f, batch_format="pyarrow")
 
 
-def _nearest_ways_from_match(match_ds, *, num_parts: int):
+def _nearest_ways_from_match(match_ds, *, num_parts: int, internals: dict | None = None):
     """__out=3 candidates → dedup by way_id (first in reference processing
     order, ST4) → (roads_ds, areas_ds)."""
     cands = match_ds.map_batches(
@@ -158,6 +158,8 @@ def _nearest_ways_from_match(match_ds, *, num_parts: int):
     deduped = dedup_first(
         cands, ["way_id"], ["ord0", "ord1", "ord2", "ord3"], num_parts
     ).materialize()
+    if internals is not None:
+        internals["deduped"] = deduped
 
     def project(is_area: bool, schema, geom_type: str, polygon: bool):
         def f(t: pa.Table) -> pa.Table:
@@ -196,13 +198,17 @@ def _nearest_ways_from_match(match_ds, *, num_parts: int):
     return roads, areas
 
 
-def build_layers(
+def build_layers_with_internals(
     docs_ds,
     *,
     num_parts: int = 16,
     buildings_enabled: bool = False,
     hot_cell_threshold: int | None = None,
 ):
+    """Like ``build_layers`` but also returns the materialized intermediate
+    datasets ({parsed, ways_geo, interp_out, matched, deduped}) so callers
+    (the bench's fused count pass) can derive multiple statistics per source
+    with ONE scan instead of one execution per layer."""
     """docs Dataset → dict layer_name → Dataset (lazy where possible).
 
     ``parsed`` is materialized WITHOUT the wide ``spans`` column because four
@@ -267,9 +273,31 @@ def build_layers(
     layers[LAYER_NODES_WITH_ADDRESSES] = _nwa_from_match(matched)
     layers[LAYER_CONNECTION_LINE] = _connection_lines_from_match(matched)
     layers[LAYER_NEAREST_POINTS] = _nearest_points_from_match(matched)
-    roads, areas = _nearest_ways_from_match(matched, num_parts=num_parts)
+    internals: dict = {
+        "parsed": parsed,
+        "ways_geo": ways_geo,
+        "interp_out": interp_out,
+        "matched": matched,
+    }
+    roads, areas = _nearest_ways_from_match(matched, num_parts=num_parts, internals=internals)
     layers[LAYER_NEAREST_ROADS] = roads
     layers[LAYER_NEAREST_AREAS] = areas
+    return layers, internals
+
+
+def build_layers(
+    docs_ds,
+    *,
+    num_parts: int = 16,
+    buildings_enabled: bool = False,
+    hot_cell_threshold: int | None = None,
+):
+    layers, _ = build_layers_with_internals(
+        docs_ds,
+        num_parts=num_parts,
+        buildings_enabled=buildings_enabled,
+        hot_cell_threshold=hot_cell_threshold,
+    )
     return layers
 
 

@@ -252,3 +252,30 @@ class EndpointTagMap:
             if v is not None:
                 out[k] = v
         return out
+
+    def get_batch(self, node_ids: np.ndarray) -> list[dict]:
+        """Vectorized lookup: one searchsorted + 7 Arrow takes for a whole
+        batch of node ids (the per-row ``get`` costs a binary search plus 7
+        scalar ``as_py`` calls — the interpolation validator's former
+        per-row tail). Missing ids map to {}."""
+        node_ids = np.asarray(node_ids, np.int64)
+        if len(self.ids) == 0 or len(node_ids) == 0:
+            return [{} for _ in node_ids]
+        pos = np.searchsorted(self.ids, node_ids).clip(0, len(self.ids) - 1)
+        found = self.ids[pos] == node_ids
+        import pyarrow as _pa
+
+        take_idx = _pa.array(pos, _pa.int64())
+        cols = [self.tab.column(j).take(take_idx).to_pylist() for j in range(self.tab.num_columns)]
+        out: list[dict] = []
+        for r in range(len(node_ids)):
+            if not found[r]:
+                out.append({})
+                continue
+            d = {}
+            for k, col in zip(ADDR_KEYS_7, cols):
+                v = col[r]
+                if v is not None:
+                    d[k] = v
+            out.append(d)
+        return out

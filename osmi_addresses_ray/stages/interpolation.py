@@ -280,24 +280,41 @@ class InterpolationValidator:
     def __call__(self, t: pa.Table) -> pa.Table:
         rows: list[dict] = []
         points: list[dict] = []
-        d = t.to_pydict()
         n = t.num_rows
+        way_ids = t["way_id"].to_numpy(zero_copy_only=False)
+        interp_vals = t[tag_col("addr:interpolation")].to_pylist()
+        first_refs = t["first_ref"].to_numpy(zero_copy_only=False)
+        last_refs = t["last_ref"].to_numpy(zero_copy_only=False)
+        closed = t["is_closed"].to_numpy(zero_copy_only=False)
+        lastchange = t["lastchange"].to_pylist()
+        xs_col = t["xs"].combine_chunks() if isinstance(t["xs"], pa.ChunkedArray) else t["xs"]
+        ys_col = t["ys"].combine_chunks() if isinstance(t["ys"], pa.ChunkedArray) else t["ys"]
+        offs = np.asarray(xs_col.offsets, np.int64)
+        offs = offs - offs[0]
+        flat_x = np.asarray(xs_col.flatten(), np.float64)
+        flat_y = np.asarray(ys_col.flatten(), np.float64)
+        # batched endpoint-tag lookup (one searchsorted + 7 takes per side
+        # instead of a binary search + 7 scalar as_py per row)
+        if hasattr(self.endpoint_tags, "get_batch"):
+            f_tags = self.endpoint_tags.get_batch(first_refs)
+            l_tags = self.endpoint_tags.get_batch(last_refs)
+        else:
+            f_tags = [self.endpoint_tags.get(int(r), {}) or {} for r in first_refs]
+            l_tags = [self.endpoint_tags.get(int(r), {}) or {} for r in last_refs]
         for i in range(n):
-            xs = np.asarray(d["xs"][i], dtype=np.float64)
-            ys = np.asarray(d["ys"][i], dtype=np.float64)
-            first_id = d["first_ref"][i]
-            last_id = d["last_ref"][i]
+            xs = flat_x[offs[i] : offs[i + 1]]
+            ys = flat_y[offs[i] : offs[i + 1]]
             row, ips = validate_and_densify(
-                d["way_id"][i],
-                d[tag_col("addr:interpolation")][i],
+                int(way_ids[i]),
+                interp_vals[i],
                 xs,
                 ys,
-                first_id,
-                last_id,
-                d["is_closed"][i],
-                d["lastchange"][i],
-                self.endpoint_tags.get(first_id, {}),
-                self.endpoint_tags.get(last_id, {}),
+                int(first_refs[i]),
+                int(last_refs[i]),
+                bool(closed[i]),
+                lastchange[i],
+                f_tags[i],
+                l_tags[i],
             )
             row["geom_type"] = "LINESTRING"
             row["geom_wkt"] = linestring_wkt_py(np.column_stack((xs, ys)))

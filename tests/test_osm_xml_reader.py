@@ -1,0 +1,35 @@
+"""Distributed OSM XML reader vs the driver-side single-file parse."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from osmi_addresses_ray.sources.osm_xml import read_osm_xml
+from osmi_addresses_ray.sources.testzone import load_osm_xml
+
+TESTZONE = "/root/reference/test/osmi-testzone.osm"
+
+
+def _key(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df["spans_repr"] = df["spans"].map(lambda s: repr(list(s)))
+    return df[["doc_id", "spans_repr"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def test_distributed_reader_matches_driver_parse(ray_session):
+    ref = load_osm_xml(TESTZONE).to_pandas()
+    # small chunks force many split boundaries through real entities
+    dist = read_osm_xml(TESTZONE, n_chunks=17).to_pandas()
+    pd.testing.assert_frame_equal(_key(ref), _key(dist))
+
+
+def test_gz_fallback(ray_session, tmp_path):
+    import gzip
+    import shutil
+
+    gz = str(tmp_path / "tz.osm.gz")
+    with open(TESTZONE, "rb") as src, gzip.open(gz, "wb") as dst:
+        shutil.copyfileobj(src, dst)
+    dist = read_osm_xml(gz).to_pandas()
+    ref = load_osm_xml(TESTZONE).to_pandas()
+    pd.testing.assert_frame_equal(_key(ref), _key(dist))

@@ -1,13 +1,16 @@
-"""CLI: run the address-view pipeline over a docs parquet table.
+"""CLI: run the address-view pipeline over a docs parquet table or OSM XML.
 
-    python -m osmi_addresses_ray.cli INDIR_OR_PARQUET OUTDIR [--resume]
-        [--num-parts N] [--num-cpus N] [--buildings]
+    python -m osmi_addresses_ray.cli INPUT OUTDIR [--resume]
+        [--num-parts N] [--num-cpus N] [--buildings] [--sqlite OUT.sqlite]
 
-Replaces the reference's ``osmi-addresses INFILE [OUTDIR]`` entry point
-(main.cpp:33-57) with a resumable, manifest-driven run: the eleven layers
-land as parquet directories under OUTDIR with per-layer manifests and a
-``_metrics.json`` stats dump. On a real cluster the identical script is the
-``ray job submit`` payload (only ``ray.init`` address changes).
+INPUT is a docs parquet file/dir (doc_id, spans), or — matching the
+reference's ``osmi-addresses INFILE [OUTDIR]`` entry point (main.cpp:33-57)
+— a ``.osm``/``.osm.gz``/``.osm.bz2`` extract, ingested via the distributed
+byte-range reader (sources/osm_xml.py). The eleven layers land as parquet
+directories under OUTDIR with per-layer manifests and a ``_metrics.json``
+stats dump; ``--sqlite`` additionally exports a SpatiaLite-compatible
+database (tools/export_sqlite.py). On a real cluster the identical script is
+the ``ray job submit`` payload (only ``ray.init`` address changes).
 """
 
 from __future__ import annotations
@@ -27,6 +30,7 @@ def main(argv=None) -> int:
     p.add_argument("--num-parts", type=int, default=32)
     p.add_argument("--num-cpus", type=int, default=None)
     p.add_argument("--buildings", action="store_true", help="enable the disabled buildings layer")
+    p.add_argument("--sqlite", help="also export a SpatiaLite-compatible .sqlite file")
     args = p.parse_args(argv)
 
     from .io import guard_output_dir, stage_fingerprint, write_layer
@@ -67,7 +71,12 @@ def main(argv=None) -> int:
         ray.shutdown()
         return 0
 
-    docs = rd.read_parquet(args.input)
+    if args.input.endswith((".osm", ".osm.gz", ".osm.bz2")):
+        from .sources.osm_xml import read_osm_xml
+
+        docs = read_osm_xml(args.input)
+    else:
+        docs = rd.read_parquet(args.input)
     layers = build_layers(docs, num_parts=args.num_parts, buildings_enabled=args.buildings)
     metrics = {"layers": {}, "wall_sec": None}
     for name, ds in layers.items():
@@ -76,6 +85,12 @@ def main(argv=None) -> int:
         print(f"{name}: {m['rows']} rows ({m['wall_ms']} ms)", file=sys.stderr)
     metrics["wall_sec"] = round(time.perf_counter() - t0, 2)
     json.dump(metrics, open(os.path.join(args.outdir, "_metrics.json"), "w"), indent=1)
+    if args.sqlite:
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        from tools.export_sqlite import export
+
+        counts = export(args.outdir, args.sqlite)
+        print(f"sqlite export: {sum(counts.values())} rows → {args.sqlite}", file=sys.stderr)
     ray.shutdown()
     return 0
 

@@ -94,7 +94,9 @@ def export(layer_dir: str, out_path: str) -> dict[str, int]:
         tab = pads.dataset(path, format="parquet").to_table()
         cols = [c for c in tab.column_names if c not in ("geom_wkt", "geom_type")]
         geom_types = (
-            tab["geom_type"].to_pylist() if tab.num_rows else []
+            tab["geom_type"].to_pylist()
+            if tab.num_rows and "geom_type" in tab.column_names
+            else []
         )
         gclass = GEOM_CLASS[geom_types[0]] if geom_types else 1
         col_defs = ", ".join(f'"{c}"' for c in cols)
@@ -107,7 +109,7 @@ def export(layer_dir: str, out_path: str) -> dict[str, int]:
             "INSERT INTO geometry_columns VALUES (?, 'geometry', ?, 2, 4326, 1)",
             (name, gclass),
         )
-        wkts = tab["geom_wkt"].to_pylist()
+        wkts = tab["geom_wkt"].to_pylist() if "geom_wkt" in tab.column_names else []
         data_cols = [tab[c].to_pylist() for c in cols]
         rows = []
         for i in range(tab.num_rows):

@@ -398,11 +398,61 @@ def oracle_sql() -> dict[str, str]:
     } | _naive_oracle_sql()
 
 
+def _ensure_default_oracles() -> None:
+    """First-run safety: if the driver evaluates oracle SQL before the paired
+    query callable has ever run on this machine, the read_parquet paths must
+    still exist. Fixture-based oracles are sf-independent; the sf-table ones
+    are seeded at the driver's documented correctness scale (sf0.01). Files
+    are only written when MISSING — each query callable rewrites its oracle
+    for the sf it actually ran at, which is the normal (query-then-SQL)
+    path."""
+    import os
+
+    from osmi_addresses_ray.oracle import oracle_path
+
+    probe = oracle_path("osmi_addresses_entrances")
+    if not os.path.exists(probe):
+        q = queries()
+        for name in (
+            "osmi_addresses_entrances",  # writing any layer writes its own file
+            "media_features",
+            "pip_entrances_in_buildings",
+            "geodesic_lengths",
+        ):
+            try:
+                q[name]("/root/testdata/sf0.01")
+            except Exception:
+                pass
+        for layer in (
+            "osmi_addresses_connection_line", "osmi_addresses_nearest_points",
+            "osmi_addresses_nearest_roads", "osmi_addresses_nearest_areas",
+            "osmi_addresses_interpolation", "osmi_addresses_nodes_with_addresses",
+            "osmi_addresses_ways_with_addresses", "osmi_addresses_addrx_on_nonclosed_way",
+            "osmi_addresses_ways_with_postal_code",
+        ):
+            if not os.path.exists(oracle_path(layer)):
+                try:
+                    q[layer]("/root/testdata/sf0.01")
+                except Exception:
+                    pass
+    for name in (
+        "simhash_docs", "minhash_lsh_pairs", "ngram_jaccard_dedup",
+        "knn_ivf", "embedding_cosine_dedup",
+    ):
+        if not os.path.exists(oracle_path(name)):
+            try:
+                queries()[name]("/root/testdata/sf0.01")
+            except Exception:
+                pass
+
+
 def _naive_oracle_sql() -> dict[str, str]:
     """Oracle entries backed by the pure-Python recomputation parquet (the
     query callable writes it; DuckDB reads it back and the driver
     hash-compares). See osmi_addresses_ray/oracle/llm_ops.py for the specs."""
     from osmi_addresses_ray.oracle import oracle_path, read_parquet_sql
+
+    _ensure_default_oracles()
 
     out = {
         "simhash_docs": read_parquet_sql("simhash_docs", "doc_id"),

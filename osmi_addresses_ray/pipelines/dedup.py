@@ -36,6 +36,8 @@ import ray.data as rd
 
 _TOKEN = re.compile(r"[A-Za-z0-9_]+")
 _BUCKET_CAP = 64  # max docs per LSH bucket considered for pair generation
+# per-worker-process stage state (compile-once without an actor pool)
+_WORKER_CACHE: dict = {}
 
 DOCS_SCHEMA = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
 _MEMB_SCHEMA = pa.schema(
@@ -137,8 +139,19 @@ def _lsh_candidate_pairs(sf_dir: str, *, num_perm: int, bands: int):
     ds = _read_docs(sf_dir)
     rows_per_band = num_perm // bands
 
-    sigged = ds.map_batches(MinHasher, batch_format="pandas", concurrency=(1, 4),
-                            fn_constructor_args=(num_perm,))
+    # stateless tasks with a per-worker-process cached MinHasher: same
+    # compile-once-per-worker property as an actor pool without the pool's
+    # fixed concurrency cap / startup latency (measured ~2s at 32 CPUs on
+    # small corpora; an actor pool pays off when setup is expensive, and the
+    # hash-coefficient setup is microseconds)
+    def sig_batch(df: pd.DataFrame) -> pd.DataFrame:
+        hasher = _WORKER_CACHE.get(("minhash", num_perm))
+        if hasher is None:
+            hasher = MinHasher(num_perm)
+            _WORKER_CACHE[("minhash", num_perm)] = hasher
+        return hasher(df)
+
+    sigged = ds.map_batches(sig_batch, batch_format="pandas")
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -184,13 +197,10 @@ def _lsh_candidate_pairs(sf_dir: str, *, num_perm: int, bands: int):
 
     from ..ops import partitioned_map
 
-    cand = partitioned_map(buckets, ["bucket"], 8, pairs)
-
-    def dedupe(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().drop_duplicates(["doc_a", "doc_b"])
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    return partitioned_map(cand, ["doc_a", "doc_b"], 8, dedupe)
+    # NOTE: pairs surviving multiple buckets leave here duplicated; the
+    # verify stage (keyed by the pair) deduplicates for free — a dedicated
+    # dedupe exchange measured ~1.5s of pure barrier cost at small scale
+    return partitioned_map(buckets, ["bucket"], 8, pairs)
 
 
 def _verified_pairs(sf_dir: str, cand, *, threshold: float):
@@ -205,7 +215,7 @@ def _verified_pairs(sf_dir: str, cand, *, threshold: float):
     from ..ops import cogroup, partitioned_map
 
     def explode_members(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
+        df = t.to_pandas().drop_duplicates(["doc_a", "doc_b"])  # intra-batch
         memb = pd.DataFrame(
             {
                 "key_doc": np.concatenate([df["doc_a"].to_numpy(), df["doc_b"].to_numpy()]),
@@ -252,7 +262,13 @@ def _verified_pairs(sf_dir: str, cand, *, threshold: float):
     )
 
     def verify(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().sort_values(["doc_a", "doc_b", "side"])
+        # cross-bucket duplicate pairs collapse here: same (doc_a, doc_b,
+        # side) rows carry identical hash sets, keep one of each
+        df = (
+            t.to_pandas()
+            .drop_duplicates(["doc_a", "doc_b", "side"])
+            .sort_values(["doc_a", "doc_b", "side"])
+        )
         out_a, out_b, out_j = [], [], []
         it = df.itertuples()
         for r0, r1 in zip(it, it):  # pairs are adjacent after the sort

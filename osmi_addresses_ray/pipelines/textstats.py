@@ -123,10 +123,25 @@ class LangId:
         )
 
 
+_WORKER_CACHE: dict = {}
+
+
+def _lang_id_batch(df: pd.DataFrame) -> pd.DataFrame:
+    # per-worker-process cached LangId: compile-once without an actor pool
+    # (the pool's fixed concurrency + startup latency measured ~2s at 32
+    # CPUs on small corpora; pools pay off when per-actor setup is expensive,
+    # and three 10-word hash indexes are not)
+    lid = _WORKER_CACHE.get("langid")
+    if lid is None:
+        lid = LangId()
+        _WORKER_CACHE["langid"] = lid
+    return lid(df)
+
+
 def lang_id(sf_dir: str) -> pd.DataFrame:
     ds = _read_docs(sf_dir)
     return (
-        ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
+        ds.map_batches(_lang_id_batch, batch_format="pandas")
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)

@@ -75,8 +75,31 @@ def exact_dedup_docs(sf_dir: str):
         df = t.to_pandas().sort_values(["h", "doc_id"]).drop_duplicates("h", keep="first")
         return pa.Table.from_pandas(df[["doc_id"]], preserve_index=False)
 
-    winners = partitioned_map(ds.map_batches(sig, batch_format="pandas"), ["h"], 8, keep_first)
-    out = ds.join(winners, join_type="inner", num_partitions=8, on=("doc_id",))
+    winners = partitioned_map(
+        ds.map_batches(sig, batch_format="pandas"), ["h"], 8, keep_first
+    ).materialize()
+    # adaptive semi-join: a small winner set broadcasts as a sorted id array
+    # (one ray.put, searchsorted filter per batch — no shuffle of the text
+    # payload at all); past the broadcast budget, fall back to the
+    # distributed hash join (texts ship once through the exchange)
+    if winners.count() <= 5_000_000:
+        import ray as _ray
+
+        ids = np.sort(winners.to_pandas()["doc_id"].to_numpy())
+        ref = _ray.put(ids)
+
+        def semi(t: pa.Table) -> pa.Table:
+            import ray as __ray
+
+            keep_ids = __ray.get(ref)
+            d = t["doc_id"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keep_ids, d).clip(0, max(len(keep_ids) - 1, 0))
+            mask = keep_ids[pos] == d if len(keep_ids) else np.zeros(len(d), bool)
+            return t.filter(pa.array(mask))
+
+        out = ds.map_batches(semi, batch_format="pyarrow")
+    else:
+        out = ds.join(winners, join_type="inner", num_partitions=8, on=("doc_id",))
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 

@@ -228,25 +228,19 @@ EXPLODED_SCHEMA = pa.schema(
 def _locate(refs_part: pa.Table, nodes_part: pa.Table) -> pa.Table:
     """Per-partition hash join of exploded refs vs node locations (inner —
     dangling refs drop here and the reassembly completeness check drops the
-    whole way)."""
-    import pandas as pd
-
+    whole way). Arrow-native (Acero) join: no pandas round-trip."""
     if refs_part.num_rows == 0 or nodes_part.num_rows == 0:
         return LOCATED_REF_SCHEMA.empty_table()
-    rdf = refs_part.to_pandas()
-    ndf = nodes_part.to_pandas()
-    j = rdf.merge(ndf, left_on="node_ref", right_on="osm_id", how="inner", sort=False)
-    return pa.Table.from_arrays(
-        [
-            pa.array(j["way_id"].to_numpy(), pa.int64()),
-            pa.array(j["node_ref"].to_numpy(), pa.int64()),
-            pa.array(j["pos"].to_numpy(), pa.int32()),
-            pa.array(j["n_refs"].to_numpy(), pa.int32()),
-            pa.array(j["lon"].to_numpy(), pa.float64()),
-            pa.array(j["lat"].to_numpy(), pa.float64()),
-        ],
-        schema=LOCATED_REF_SCHEMA,
+    j = refs_part.join(
+        nodes_part,
+        keys=["node_ref"],
+        right_keys=["osm_id"],
+        join_type="inner",
+        use_threads=False,
     )
+    return j.select(
+        ["way_id", "node_ref", "pos", "n_refs", "lon", "lat"]
+    ).cast(LOCATED_REF_SCHEMA)
 
 
 def assemble_ways(parsed_ds, *, num_parts: int = 32, exchange: str = "direct"):

@@ -9,8 +9,8 @@ stage/pipeline modules.
 
 Float parity notes:
 - WKT text uses Arrow's float64→string cast (shortest round-trip, "8" for
-  8.0) for the layers whose engine sink formats via Arrow, and Python repr
-  ("8.0") for the interpolation layer which formats driver-side.
+  8.0, unlike Python repr's "8.0") — all 11 layers format via the Arrow
+  kernel since round 2.
 - All distance / projection / centroid formulas are written with the same
   elementwise float64 (and, where the reference demands, float32) operations
   so results are bit-identical, not merely close.
@@ -68,11 +68,6 @@ def _wkt_line2(x1, y1, x2, y2) -> str:
 def _wkt_coords(xs, ys, *, polygon: bool) -> str:
     body = ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in zip(xs, ys))
     return f"POLYGON (({body}))" if polygon else f"LINESTRING ({body})"
-
-
-def _wkt_line_repr(xs, ys) -> str:
-    body = ", ".join(f"{x!r} {y!r}" for x, y in zip(xs, ys))
-    return f"LINESTRING ({body})"
 
 
 # --- parsing (input spec: BASELINE.json input_hint) --------------------------
@@ -476,7 +471,7 @@ def oracle_layers(docs: pa.Table) -> dict[str, pd.DataFrame]:
         }
         row, ips = _validate_interp(w, ft, lt)
         row["geom_type"] = "LINESTRING"
-        row["geom_wkt"] = _wkt_line_repr(w["xs"], w["ys"])
+        row["geom_wkt"] = _wkt_coords(w["xs"], w["ys"], polygon=False)
         L["interp"].append(row)
         ip_all.extend(ips)
 

@@ -35,7 +35,6 @@ import ray
 
 from ..constants import ADDR_KEYS_7, ENDPOINT_COMPARE_KEYS, tag_col
 from ..functions.housenumber import alphabetic_parts, atoi, is_plain_number
-from ..functions.wkt import linestring_wkt_py
 from ..schemas import INTERPOLATION_SCHEMA
 
 U32 = 1 << 32
@@ -316,16 +315,28 @@ class InterpolationValidator:
                 f_tags[i],
                 l_tags[i],
             )
-            row["geom_type"] = "LINESTRING"
-            row["geom_wkt"] = linestring_wkt_py(np.column_stack((xs, ys)))
             rows.append(row)
             points.extend(ips)
 
-        layer = (
-            pa.Table.from_pylist(rows, schema=INTERPOLATION_SCHEMA)
-            if rows
-            else INTERPOLATION_SCHEMA.empty_table()
-        )
+        if rows:
+            # one vectorized WKT pass for the whole batch (one layer row per
+            # input way, in order) instead of a per-row f-string join
+            from ..functions.wkt import lines_wkt_from_offsets
+
+            attrs = pa.Table.from_pylist(
+                rows,
+                schema=pa.schema(
+                    [f for f in INTERPOLATION_SCHEMA if f.name not in ("geom_type", "geom_wkt")]
+                ),
+            )
+            wkt = lines_wkt_from_offsets(
+                np.column_stack((flat_x, flat_y)), offs, polygon=False
+            )
+            layer = attrs.append_column(
+                "geom_type", pa.array(["LINESTRING"] * n, pa.string())
+            ).append_column("geom_wkt", wkt)
+        else:
+            layer = INTERPOLATION_SCHEMA.empty_table()
         pts = (
             pa.Table.from_pylist(points, schema=IP_POINT_SCHEMA)
             if points

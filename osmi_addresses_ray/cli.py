@@ -31,6 +31,11 @@ def main(argv=None) -> int:
     p.add_argument("--num-cpus", type=int, default=None)
     p.add_argument("--buildings", action="store_true", help="enable the disabled buildings layer")
     p.add_argument("--sqlite", help="also export a SpatiaLite-compatible .sqlite file")
+    p.add_argument(
+        "--workdir",
+        help="stage-checkpoint directory: parsed/ways_geo/interp/match land as "
+        "resumable parquet; a rerun with the same inputs resumes mid-pipeline",
+    )
     args = p.parse_args(argv)
 
     from .io import guard_output_dir, stage_fingerprint, write_layer
@@ -77,7 +82,13 @@ def main(argv=None) -> int:
         docs = read_osm_xml(args.input)
     else:
         docs = rd.read_parquet(args.input)
-    layers = build_layers(docs, num_parts=args.num_parts, buildings_enabled=args.buildings)
+    layers = build_layers(
+        docs,
+        num_parts=args.num_parts,
+        buildings_enabled=args.buildings,
+        workdir=args.workdir,
+        fingerprint=fp,
+    )
     metrics = {"layers": {}, "wall_sec": None}
     for name, ds in layers.items():
         m = write_layer(ds, args.outdir, name, fp)

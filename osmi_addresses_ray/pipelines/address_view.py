@@ -198,17 +198,60 @@ def _nearest_ways_from_match(match_ds, *, num_parts: int, internals: dict | None
     return roads, areas
 
 
+def _stage_checkpoint(build, *, workdir: str | None, name: str, fingerprint: str | None):
+    """Materialization point → optional parquet checkpoint.
+
+    Without ``workdir``: in-memory materialize (tests, small runs). With
+    ``workdir``: the stage lands as ``<workdir>/<name>/`` parquet with a
+    fingerprint manifest; a rerun whose fingerprint matches READS the
+    checkpoint instead of recomputing everything upstream — the north-rule
+    resume point at stage granularity (per-partition lineage comes from the
+    per-block parquet files themselves)."""
+    import json as _json
+    import os as _os
+
+    import ray.data as rd
+
+    if workdir is None:
+        return build().materialize()
+    path = _os.path.join(workdir, name)
+    man = _os.path.join(path, "_ckpt.json")
+    try:
+        if _json.load(open(man)).get("fingerprint") == fingerprint and any(
+            f.endswith(".parquet") for f in _os.listdir(path)
+        ):
+            return rd.read_parquet(path)
+    except (OSError, ValueError):
+        pass
+    import shutil as _shutil
+
+    if _os.path.exists(path):
+        _shutil.rmtree(path)  # stale / partial checkpoint
+    ds = build()
+    _os.makedirs(path, exist_ok=True)  # an empty stage writes no files
+    ds.write_parquet(path)
+    _json.dump({"fingerprint": fingerprint, "stage": name}, open(man, "w"))
+    files = [f for f in _os.listdir(path) if f.endswith(".parquet")]
+    if not files:
+        return ds  # empty stage: parquet dir has no schema to read back
+    return rd.read_parquet(path)
+
+
 def build_layers_with_internals(
     docs_ds,
     *,
     num_parts: int = 16,
     buildings_enabled: bool = False,
     hot_cell_threshold: int | None = None,
+    workdir: str | None = None,
+    fingerprint: str | None = None,
 ):
     """Like ``build_layers`` but also returns the materialized intermediate
     datasets ({parsed, ways_geo, interp_out, matched, deduped}) so callers
     (the bench's fused count pass) can derive multiple statistics per source
-    with ONE scan instead of one execution per layer."""
+    with ONE scan instead of one execution per layer. ``workdir`` turns the
+    four materialization points into resumable parquet checkpoints (see
+    ``_stage_checkpoint``)."""
     """docs Dataset → dict layer_name → Dataset (lazy where possible).
 
     ``parsed`` is materialized WITHOUT the wide ``spans`` column because four
@@ -219,12 +262,18 @@ def build_layers_with_internals(
     ``doc_id``, so spans remain re-joinable; the span-sequence invariant is
     asserted on the full ``parse_docs`` output in tests. At cluster scale
     this becomes a Parquet checkpoint under ``workdir`` (resume point #1)."""
-    parsed = parse_docs(docs_ds).drop_columns(["spans"]).materialize()
+    parsed = _stage_checkpoint(
+        lambda: parse_docs(docs_ds).drop_columns(["spans"]),
+        workdir=workdir, name="parsed", fingerprint=fingerprint,
+    )
 
     layers: dict[str, object] = {}
     layers[LAYER_ENTRANCES] = entrances_layer(parsed)
 
-    ways_geo = assemble_ways(parsed, num_parts=num_parts).materialize()
+    ways_geo = _stage_checkpoint(
+        lambda: assemble_ways(parsed, num_parts=num_parts),
+        workdir=workdir, name="ways_geo", fingerprint=fingerprint,
+    )
 
     layers[LAYER_WAYS_WITH_ADDRESSES] = ways_with_addresses_layer(ways_geo)
     layers[LAYER_WAYS_WITH_POSTAL_CODE] = ways_with_postal_code_layer(ways_geo)
@@ -234,7 +283,10 @@ def build_layers_with_internals(
     from .side_inputs import collect_side_inputs
 
     endpoint_tags, places = collect_side_inputs(parsed, ways_geo)
-    interp_out = interpolation_stage(ways_geo, endpoint_tags).materialize()
+    interp_out = _stage_checkpoint(
+        lambda: interpolation_stage(ways_geo, endpoint_tags),
+        workdir=workdir, name="interp_out", fingerprint=fingerprint,
+    )
     layers[LAYER_INTERPOLATION] = interp_out.map_batches(
         lambda t: t.filter(pc.equal(t["__out"], 0)).select(
             [
@@ -266,9 +318,10 @@ def build_layers_with_internals(
         from ..stages.match import compute_salt_map
 
         salt_map = compute_salt_map(addrs, hot_threshold=hot_cell_threshold)
-    matched = match_stage(
-        streets, addrs, places, num_parts=num_parts, salt_map=salt_map
-    ).materialize()
+    matched = _stage_checkpoint(
+        lambda: match_stage(streets, addrs, places, num_parts=num_parts, salt_map=salt_map),
+        workdir=workdir, name="matched", fingerprint=fingerprint,
+    )
 
     layers[LAYER_NODES_WITH_ADDRESSES] = _nwa_from_match(matched)
     layers[LAYER_CONNECTION_LINE] = _connection_lines_from_match(matched)
@@ -291,12 +344,16 @@ def build_layers(
     num_parts: int = 16,
     buildings_enabled: bool = False,
     hot_cell_threshold: int | None = None,
+    workdir: str | None = None,
+    fingerprint: str | None = None,
 ):
     layers, _ = build_layers_with_internals(
         docs_ds,
         num_parts=num_parts,
         buildings_enabled=buildings_enabled,
         hot_cell_threshold=hot_cell_threshold,
+        workdir=workdir,
+        fingerprint=fingerprint,
     )
     return layers
 

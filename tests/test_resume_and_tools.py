@@ -84,3 +84,42 @@ def test_diff_layers_tool(docs_parquet, tmp_path):
     )
     assert r.returncode == 1
     assert "DIFF osmi_addresses_entrances" in r.stdout
+
+
+def test_stage_checkpoints_resume(ray_session, tmp_path):
+    """build_layers(workdir=...) writes stage checkpoints; a rerun with the
+    same fingerprint resumes from them even if the input dataset is gone."""
+    import ray.data as rd
+
+    from osmi_addresses_ray.pipelines.address_view import build_layers
+    from osmi_addresses_ray.sources.fixture import fixture_docs, expected_counts
+
+    wd = str(tmp_path / "stages")
+    layers = build_layers(fixture_docs(5), num_parts=4, workdir=wd, fingerprint="fp1")
+    exp = expected_counts(5)
+    assert layers["osmi_addresses_nodes_with_addresses"].count() == exp[
+        "osmi_addresses_nodes_with_addresses"
+    ]
+    import os
+
+    for stage in ("parsed", "ways_geo", "interp_out", "matched"):
+        assert os.path.exists(os.path.join(wd, stage, "_ckpt.json")), stage
+
+    # resume: feed an EMPTY docs dataset — correct layers can only come from
+    # the checkpoints
+    import pyarrow as pa
+
+    from osmi_addresses_ray.schemas import DOC_SCHEMA
+
+    empty = rd.from_arrow(DOC_SCHEMA.empty_table())
+    layers2 = build_layers(empty, num_parts=4, workdir=wd, fingerprint="fp1")
+    assert layers2["osmi_addresses_nodes_with_addresses"].count() == exp[
+        "osmi_addresses_nodes_with_addresses"
+    ]
+    assert layers2["osmi_addresses_connection_line"].count() == exp[
+        "osmi_addresses_connection_line"
+    ]
+
+    # fingerprint change invalidates: the empty input now yields empty layers
+    layers3 = build_layers(empty, num_parts=4, workdir=wd, fingerprint="fp2")
+    assert layers3["osmi_addresses_nodes_with_addresses"].count() == 0

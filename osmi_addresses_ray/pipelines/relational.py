@@ -175,18 +175,40 @@ def q_filter_high_value(sf_dir: str):
     return df
 
 
-def q_join_orders_customers(sf_dir: str):
-    """Hash join orders ⨝ customer, revenue per market segment."""
+# fact-side row count above which aggregation is pushed below a join: the
+# pushdown trades one extra groupby exchange (fixed ~2s latency at toy
+# scale) for shuffling one row per key instead of one per fact row — a
+# clear win once the fact side dominates the exchange
+PUSHDOWN_ROWS = 5_000_000
+
+
+def q_join_orders_customers(sf_dir: str, *, pushdown: bool | None = None):
+    """Hash join orders ⨝ customer, revenue per market segment.
+
+    Adaptive group-pushdown: above PUSHDOWN_ROWS the orders side
+    pre-aggregates per custkey so the join moves one row per customer
+    instead of one per order (correct because custkey functionally
+    determines the join's right side)."""
     orders = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    j = orders.join(
-        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
-    )
-    out = grouped_agg(
-        j,
-        ["c_mktsegment"],
-        {"revenue": ("o_totalprice", "sum"), "n_orders": (None, "count")},
-    )
+    if pushdown is None:
+        pushdown = orders.count() > PUSHDOWN_ROWS  # parquet metadata, no scan
+    if pushdown:
+        pre = grouped_agg(
+            orders,
+            ["o_custkey"],
+            {"revenue": ("o_totalprice", "sum"), "n_orders": (None, "count")},
+        )
+        j = pre.join(
+            cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+        )
+        spec = {"revenue": ("revenue", "sum"), "n_orders": ("n_orders", "sum")}
+    else:
+        j = orders.join(
+            cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+        )
+        spec = {"revenue": ("o_totalprice", "sum"), "n_orders": (None, "count")}
+    out = grouped_agg(j, ["c_mktsegment"], spec)
     df = out.to_pandas().sort_values("c_mktsegment").reset_index(drop=True)
     df["revenue"] = df["revenue"].round(4)
     return df
@@ -201,14 +223,28 @@ def q_top_orders(sf_dir: str):
     )
 
 
-def q_supplier_part_join(sf_dir: str):
-    """Three-table join: lineitem ⨝ part ⨝ supplier, grouped by brand."""
-    li = read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+def q_supplier_part_join(sf_dir: str, *, pushdown: bool | None = None):
+    """lineitem ⨝ part grouped by brand, with adaptive aggregation pushdown
+    (lineitem pre-aggregates per partkey above PUSHDOWN_ROWS — the join then
+    moves one row per part, not one per lineitem)."""
+    li = read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice"])
     part = read(sf_dir, "part", columns=["p_partkey", "p_brand"])
-    j = li.join(part, join_type="inner", num_partitions=8, on=("l_partkey",), right_on=("p_partkey",))
-    out = grouped_agg(
-        j, ["p_brand"], {"revenue": ("l_extendedprice", "sum"), "n_items": (None, "count")}
-    )
+    if pushdown is None:
+        pushdown = li.count() > PUSHDOWN_ROWS
+    if pushdown:
+        pre = grouped_agg(
+            li, ["l_partkey"], {"revenue": ("l_extendedprice", "sum"), "n_items": (None, "count")}
+        )
+        j = pre.join(
+            part, join_type="inner", num_partitions=8, on=("l_partkey",), right_on=("p_partkey",)
+        )
+        spec = {"revenue": ("revenue", "sum"), "n_items": ("n_items", "sum")}
+    else:
+        j = li.join(
+            part, join_type="inner", num_partitions=8, on=("l_partkey",), right_on=("p_partkey",)
+        )
+        spec = {"revenue": ("l_extendedprice", "sum"), "n_items": (None, "count")}
+    out = grouped_agg(j, ["p_brand"], spec)
     df = out.to_pandas().sort_values("p_brand").reset_index(drop=True)
     df["revenue"] = df["revenue"].round(4)
     return df

@@ -37,3 +37,20 @@ def test_topk_tie_break(ray_session):
     ds = rd.from_pandas(df).repartition(3)
     out = topk(ds, "val", 2, tie_cols=["id"])
     assert out["id"].tolist() == [1, 3]
+
+
+def test_join_pushdown_parity(ray_session):
+    """Both join plans (direct and aggregation-pushed-below-join) produce
+    identical results."""
+    from osmi_addresses_ray.pipelines.relational import (
+        q_join_orders_customers,
+        q_supplier_part_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = q_supplier_part_join(sf, pushdown=False)
+    b = q_supplier_part_join(sf, pushdown=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    c = q_join_orders_customers(sf, pushdown=False)
+    d = q_join_orders_customers(sf, pushdown=True)
+    pd.testing.assert_frame_equal(c, d, check_dtype=False)

@@ -80,6 +80,13 @@ def main(argv=None) -> int:
         from .sources.osm_xml import read_osm_xml
 
         docs = read_osm_xml(args.input)
+    elif args.input.endswith(".osm.pbf"):
+        from .sources.osm_pbf import read_osm_pbf
+
+        docs = read_osm_pbf(args.input)
+    elif args.input.endswith(".lance"):
+        # the north-star carrier; needs pylance in the runtime image
+        docs = rd.read_lance(args.input)
     else:
         docs = rd.read_parquet(args.input)
     layers = build_layers(

@@ -121,6 +121,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # geodesic length operator: engine kernel vs DuckDB recomputing the
         # haversine from raw coordinates (true SQL oracle)
         "geodesic_lengths": _geodesic_query,
+        # raster ↔ vector family (north_rule)
+        "rasterize_nwa": _rasterize_query,
+        "zonal_entrances_per_building": _zonal_query,
+        "polygonize_nwa": _polygonize_query,
     }
     # geospatial layers over the synthesized interleaved-doc corpus (rows-only)
     for layer in (
@@ -265,6 +269,117 @@ def _geodesic_query(sf_dir: str):
         rows.append({"way_id": e["id"], "xs": xs, "ys": ys})
     write_oracle("geodesic_lengths", pd.DataFrame(rows, columns=["way_id", "xs", "ys"]))
     return df
+
+
+_RASTER_X0, _RASTER_Y0, _RASTER_RES = 8.0, 47.0, 0.0005
+
+
+def _rasterize_query(sf_dir: str):
+    """Vector→raster: the fixture nwa points binned at 0.0005°. The SQL side
+    recomputes the 2-D histogram in DuckDB from the INDEPENDENT naive-oracle
+    point set (true SQL oracle)."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.pipelines.raster import rasterize_points
+
+    out = (
+        rasterize_points(
+            _fixture_layers()["osmi_addresses_nodes_with_addresses"],
+            x0=_RASTER_X0, y0=_RASTER_Y0, res=_RASTER_RES,
+        )
+        .to_pandas()[["ix", "iy", "n"]]
+        .sort_values(["ix", "iy"])
+        .reset_index(drop=True)
+    )
+    write_oracle(
+        "rasterize_nwa_src",
+        _fixture_oracle()["osmi_addresses_nodes_with_addresses"][["lon", "lat"]],
+    )
+    return out
+
+
+def _zonal_query(sf_dir: str):
+    """Zonal statistics: entrance points per building polygon. SQL recounts
+    from the independent PIP oracle pairs (true SQL oracle)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from osmi_addresses_ray.constants import tag_col
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.layers import oracle_pip
+    from osmi_addresses_ray.pipelines.raster import zonal_stats
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.assembly import assemble_ways
+    from osmi_addresses_ray.stages.parse import parse_docs
+
+    parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS))
+    ways_geo = assemble_ways(parsed, num_parts=8)
+
+    def pts(t: pa.Table) -> pa.Table:
+        is_node = pc.equal(t["etype"], "node")
+        ent = pc.or_(
+            pc.is_valid(t[tag_col("entrance")]),
+            pc.fill_null(pc.equal(t[tag_col("building")], "entrance"), False),
+        )
+        s = t.filter(pc.and_(is_node, ent))
+        return pa.table(
+            {
+                "point_id": s["osm_id"].combine_chunks(),
+                "lon": s["lon"].combine_chunks(),
+                "lat": s["lat"].combine_chunks(),
+            }
+        )
+
+    def polys(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.is_valid(t[tag_col("building")]), t["is_closed"]), t["nonzero"]
+        )
+        s = t.filter(keep)
+        return pa.table(
+            {
+                "poly_id": s["way_id"].combine_chunks(),
+                "xs": s["xs"].combine_chunks(),
+                "ys": s["ys"].combine_chunks(),
+            }
+        )
+
+    out = (
+        zonal_stats(
+            parsed.map_batches(pts, batch_format="pyarrow"),
+            ways_geo.map_batches(polys, batch_format="pyarrow"),
+            num_parts=8,
+        )
+        .to_pandas()
+        .sort_values("poly_id")
+        .reset_index(drop=True)
+    )
+    write_oracle("zonal_src", oracle_pip(fixture_table(FIXTURE_BLOCKS)))
+    return out
+
+
+def _polygonize_query(sf_dir: str):
+    """Raster→vector: 4-connected components of the nwa raster. Oracle =
+    naive BFS flood fill over the independently-computed point raster."""
+    import numpy as np
+
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.raster_ops import label_components, rasterize_cells
+    from osmi_addresses_ray.pipelines.raster import polygonize, rasterize_points
+
+    raster = rasterize_points(
+        _fixture_layers()["osmi_addresses_nodes_with_addresses"],
+        x0=_RASTER_X0, y0=_RASTER_Y0, res=_RASTER_RES,
+    )
+    cells, _comps = polygonize(raster, threshold=1, x0=_RASTER_X0, y0=_RASTER_Y0, res=_RASTER_RES)
+    out = cells.to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
+
+    nwa = _fixture_oracle()["osmi_addresses_nodes_with_addresses"]
+    ix, iy = rasterize_cells(
+        nwa["lon"].to_numpy(), nwa["lat"].to_numpy(), _RASTER_X0, _RASTER_Y0, _RASTER_RES
+    )
+    uniq = sorted(set(zip(ix.tolist(), iy.tolist())))
+    odf = label_components(uniq).sort_values(["ix", "iy"]).reset_index(drop=True)
+    write_oracle("polygonize_nwa", odf)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
@@ -418,6 +533,9 @@ def _ensure_default_oracles() -> None:
             "media_features",
             "pip_entrances_in_buildings",
             "geodesic_lengths",
+            "rasterize_nwa",
+            "zonal_entrances_per_building",
+            "polygonize_nwa",
         ):
             try:
                 q[name]("/root/testdata/sf0.01")
@@ -485,6 +603,21 @@ def _naive_oracle_sql() -> dict[str, str]:
         "pip_entrances_in_buildings": read_parquet_sql(
             "pip_entrances_in_buildings", "point_id, poly_id"
         ),
+        # 2-D histogram recomputed in DuckDB from the independent point set
+        "rasterize_nwa": f"""
+            SELECT floor((lon - {_RASTER_X0!r}) / {_RASTER_RES!r})::BIGINT AS ix,
+                   floor((lat - {_RASTER_Y0!r}) / {_RASTER_RES!r})::BIGINT AS iy,
+                   count(*)::BIGINT AS n
+            FROM read_parquet('{oracle_path('rasterize_nwa_src')}')
+            GROUP BY 1, 2 ORDER BY ix, iy
+        """,
+        # zone counts recomputed from the independent PIP pairs
+        "zonal_entrances_per_building": f"""
+            SELECT poly_id, count(*)::BIGINT AS n_points
+            FROM read_parquet('{oracle_path('zonal_src')}')
+            GROUP BY poly_id ORDER BY poly_id
+        """,
+        "polygonize_nwa": read_parquet_sql("polygonize_nwa", "ix, iy"),
     }
     for layer in (
         "osmi_addresses_connection_line",

@@ -1,0 +1,90 @@
+"""Raster ↔ vector operator tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from osmi_addresses_ray.pipelines.raster import (
+    TILE,
+    _label_tile,
+    polygonize,
+    rasterize_points,
+    zonal_stats,
+)
+
+
+def test_label_tile_components():
+    # L-shape (0,0)(1,0)(1,1) + isolated (5,5)
+    ix = np.array([0, 1, 1, 5], dtype=np.int64)
+    iy = np.array([0, 0, 1, 5], dtype=np.int64)
+    lab = _label_tile(ix, iy)
+    assert lab[0] == lab[1] == lab[2]
+    assert lab[3] != lab[0]
+    # component id = min linear cell index (ix<<32 | iy)
+    assert lab[0] == 0
+
+
+def test_rasterize_matches_histogram(ray_session):
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0, 0.01, 5000)
+    y = rng.uniform(0, 0.01, 5000)
+    ds = rd.from_arrow(pa.table({"lon": x, "lat": y})).repartition(7)
+    out = rasterize_points(ds, res=0.001).to_pandas()
+    got = {(r.ix, r.iy): r.n for r in out.itertuples()}
+    ix = np.floor(x / 0.001).astype(int)
+    iy = np.floor(y / 0.001).astype(int)
+    exp: dict = {}
+    for a, b in zip(ix, iy):
+        exp[(a, b)] = exp.get((a, b), 0) + 1
+    assert got == exp
+
+
+def test_polygonize_across_tile_boundary(ray_session):
+    # one 4-connected strip crossing the tile boundary at ix = TILE-1 / TILE,
+    # plus an isolated cell far away
+    cells = [(TILE - 2, 3), (TILE - 1, 3), (TILE, 3), (TILE + 1, 3), (5, 50)]
+    df = pd.DataFrame(
+        {
+            "tile_x": [c[0] // TILE for c in cells],
+            "tile_y": [c[1] // TILE for c in cells],
+            "ix": [c[0] for c in cells],
+            "iy": [c[1] for c in cells],
+            "n": [1] * len(cells),
+        }
+    )
+    raster = rd.from_pandas(df).repartition(3)
+    cells_out, comps = polygonize(raster, threshold=1)
+    cdf = cells_out.to_pandas()
+    strip = cdf[cdf["iy"] == 3]
+    assert strip["comp"].nunique() == 1
+    assert cdf["comp"].nunique() == 2
+    comp_df = comps.to_pandas().sort_values("n_cells", ascending=False)
+    assert comp_df.iloc[0]["n_cells"] == 4
+    assert comp_df.iloc[0]["geom_wkt"].startswith("POLYGON")
+
+
+def test_zonal_stats_counts(ray_session):
+    # 2 unit squares, 3 points in the first, 1 in the second, 1 outside
+    polys = rd.from_arrow(
+        pa.table(
+            {
+                "poly_id": pa.array([1, 2], pa.int64()),
+                "xs": pa.array([[0.0, 1.0, 1.0, 0.0, 0.0], [2.0, 3.0, 3.0, 2.0, 2.0]]),
+                "ys": pa.array([[0.0, 0.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0, 0.0]]),
+            }
+        )
+    )
+    pts = rd.from_arrow(
+        pa.table(
+            {
+                "point_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+                "lon": pa.array([0.2, 0.5, 0.8, 2.5, 5.0]),
+                "lat": pa.array([0.5, 0.5, 0.5, 0.5, 0.5]),
+            }
+        )
+    )
+    out = {r["poly_id"]: r["n_points"] for r in zonal_stats(pts, polys).take_all()}
+    assert out == {1: 3, 2: 1}

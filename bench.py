@@ -67,110 +67,36 @@ def bench_address_view() -> tuple[float, dict]:
     # the wrong driver at small scale; ~2 parts per CPU measured best at the
     # 8-CPU leg (16 parts: 31.6->28.7s; 32 parts regress via index-rebuild)
     num_parts = int(os.environ.get("GRAFT_AV_PARTS", str(int(np.clip(N_BLOCKS // 1500, 8, 2 * max(NUM_CPUS, 4))))))
-    from osmi_addresses_ray.pipelines.address_view import build_layers_with_internals
-
-    layers, internals = build_layers_with_internals(docs, num_parts=num_parts)
-    # fused layer counting: every materialized source is scanned ONCE,
-    # emitting all of its layers' counts, and the per-source branches union
-    # into ONE execution (10 separate layer scans measured ~3s of the 8-CPU
-    # leg; the per-__out/per-mask fusion cuts the scans to 5)
+    layers = build_layers(docs, num_parts=num_parts)
+    # consume ALL layer datasets in ONE tagged-union execution: the timed
+    # region must include every layer's full lineage (projections, WKT
+    # formatting) — counting from upstream internals would skip real work
+    # and overstate docs/sec — while ten separate .count() calls would pay
+    # ten driver-side execution launches
     import pyarrow as pa
-    import pyarrow.compute as pc
-
-    from osmi_addresses_ray.constants import ADDRX_KEYS_20, tag_col
-
-    def match_counts(t: pa.Table) -> pa.Table:
-        o = t["__out"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "layer": [
-                    "osmi_addresses_nodes_with_addresses",
-                    "osmi_addresses_connection_line",
-                    "osmi_addresses_nearest_points",
-                ],
-                "n": [int((o == 0).sum()), int((o == 1).sum()), int((o == 2).sum())],
-            }
-        )
-
-    def dedup_counts(t: pa.Table) -> pa.Table:
-        a = t["is_area"].to_numpy(zero_copy_only=False).astype(bool)
-        return pa.table(
-            {
-                "layer": ["osmi_addresses_nearest_roads", "osmi_addresses_nearest_areas"],
-                "n": [int((~a).sum()), int(a.sum())],
-            }
-        )
-
-    def ways_counts(t: pa.Table) -> pa.Table:
-        has = lambda c: pc.is_valid(t[c])
-        nonzero = t["nonzero"]
-        closed = t["is_closed"]
-        wwa = pc.and_(
-            pc.and_(has(tag_col("building")), closed),
-            pc.and_(
-                nonzero,
-                pc.or_(
-                    pc.or_(has(tag_col("addr:street")), has(tag_col("addr:housenumber"))),
-                    has(tag_col("addr:place")),
-                ),
-            ),
-        )
-        wwpc = pc.and_(has(tag_col("postal_code")), nonzero)
-        any_addr = None
-        for k in ADDRX_KEYS_20:
-            v = has(tag_col(k))
-            any_addr = v if any_addr is None else pc.or_(any_addr, v)
-        addrx = pc.and_(pc.and_(pc.invert(closed), any_addr), nonzero)
-        return pa.table(
-            {
-                "layer": [
-                    "osmi_addresses_ways_with_addresses",
-                    "osmi_addresses_ways_with_postal_code",
-                    "osmi_addresses_addrx_on_nonclosed_way",
-                ],
-                "n": [
-                    int(pc.sum(pc.cast(wwa, pa.int64())).as_py() or 0),
-                    int(pc.sum(pc.cast(wwpc, pa.int64())).as_py() or 0),
-                    int(pc.sum(pc.cast(addrx, pa.int64())).as_py() or 0),
-                ],
-            }
-        )
-
-    def interp_counts(t: pa.Table) -> pa.Table:
-        o = t["__out"].to_numpy(zero_copy_only=False)
-        return pa.table({"layer": ["osmi_addresses_interpolation"], "n": [int((o == 0).sum())]})
-
-    def entrance_counts(t: pa.Table) -> pa.Table:
-        is_node = pc.equal(t["etype"], "node")
-        keep = pc.and_(
-            is_node,
-            pc.or_(
-                pc.is_valid(t["t_entrance"]),
-                pc.fill_null(pc.equal(t["t_building"], "entrance"), False),
-            ),
-        )
-        return pa.table(
-            {
-                "layer": ["osmi_addresses_entrances"],
-                "n": [int(pc.sum(pc.cast(keep, pa.int64())).as_py() or 0)],
-            }
-        )
 
     tagged = None
-    for src, fn in (
-        (internals["matched"], match_counts),
-        (internals["deduped"], dedup_counts),
-        (internals["ways_geo"], ways_counts),
-        (internals["interp_out"], interp_counts),
-        (internals["parsed"], entrance_counts),
+    for name in (
+        "osmi_addresses_nodes_with_addresses",
+        "osmi_addresses_connection_line",
+        "osmi_addresses_nearest_points",
+        "osmi_addresses_nearest_roads",
+        "osmi_addresses_nearest_areas",
+        "osmi_addresses_interpolation",
+        "osmi_addresses_ways_with_addresses",
+        "osmi_addresses_addrx_on_nonclosed_way",
+        "osmi_addresses_entrances",
+        "osmi_addresses_ways_with_postal_code",
     ):
-        part = src.map_batches(fn, batch_format="pyarrow")
+        part = layers[name].map_batches(
+            lambda t, _n=name: pa.table({"layer": [_n], "n": [t.num_rows]}),
+            batch_format="pyarrow",
+        )
         tagged = part if tagged is None else tagged.union(part)
     counts: dict[str, int] = {}
     for row in tagged.take_all():
         counts[row["layer"]] = counts.get(row["layer"], 0) + row["n"]
     sec = time.perf_counter() - t0
-    _ = layers  # layers themselves are exercised by tests/CLI; bench times counts
     return sec, {"n_docs": n_docs, "docs_per_sec": round(n_docs / sec, 1), **counts}
 
 

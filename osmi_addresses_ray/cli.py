@@ -41,6 +41,12 @@ def main(argv=None) -> int:
     from .io import guard_output_dir, stage_fingerprint, write_layer
 
     guard_output_dir(args.outdir, resume=args.resume)
+    if args.sqlite and os.path.exists(args.sqlite):
+        # fail BEFORE the (long) pipeline run, not after; on --resume the
+        # previous export is ours to refresh
+        if not args.resume:
+            raise FileExistsError(f"{args.sqlite} exists (rerun with --resume to refresh)")
+        os.remove(args.sqlite)
 
     import ray
 

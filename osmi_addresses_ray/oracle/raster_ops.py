@@ -25,7 +25,12 @@ def label_components(cells: list[tuple[int, int]]) -> pd.DataFrame:
                     todo.remove(nb)
                     comp_cells.append(nb)
                     frontier.append(nb)
-        comp_id = min(ix * (1 << 32) + iy for ix, iy in comp_cells)
+        # canonical id = min biased linear index (matches raster.lin_index;
+        # 2^30 bias + 2^31 multiplier stays injective for negative indices
+        # without overflowing int64)
+        comp_id = min(
+            (ix + (1 << 30)) * (1 << 31) + (iy + (1 << 30)) for ix, iy in comp_cells
+        )
         for ix, iy in comp_cells:
             rows.append({"ix": ix, "iy": iy, "comp": comp_id})
     out = pd.DataFrame(rows, columns=["ix", "iy", "comp"])

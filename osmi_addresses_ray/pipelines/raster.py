@@ -30,6 +30,24 @@ import pandas as pd
 import pyarrow as pa
 
 TILE = 256  # cells per tile side
+_BIAS = np.int64(1 << 30)  # shifts cell indices non-negative before packing
+_MULT = np.int64(1 << 31)
+
+
+def lin_index(ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
+    """Injective int64 key for a cell; valid for |ix|,|iy| < 2^30 (biased
+    pack — a plain ix<<32|iy collides for negative iy, and a 2^31 bias with
+    a 2^32 multiplier overflows int64). Also the canonical component id
+    (minimum over a component's cells)."""
+    return (np.asarray(ix, np.int64) + _BIAS) * _MULT + (
+        np.asarray(iy, np.int64) + _BIAS
+    )
+
+
+def _unpack(key: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    ix = (key >> np.int64(31)) - _BIAS
+    iy = (key & np.int64((1 << 31) - 1)) - _BIAS
+    return ix.astype(np.int64), iy.astype(np.int64)
 
 
 def _cells_of(ds, x_col, y_col, x0, y0, res):
@@ -39,12 +57,11 @@ def _cells_of(ds, x_col, y_col, x0, y0, res):
         ix = np.floor((x - x0) / res).astype(np.int64)
         iy = np.floor((y - y0) / res).astype(np.int64)
         # partial histogram inside the batch: one row per distinct cell
-        key = ix * np.int64(1 << 32) + iy  # iy bounded by grid extent ≪ 2^31
-        uniq, counts = np.unique(key, return_counts=True)
-        uix = (uniq >> np.int64(32)).astype(np.int64)
-        uiy = (uniq & np.int64(0xFFFFFFFF)).astype(np.int64)
+        uniq, counts = np.unique(lin_index(ix, iy), return_counts=True)
+        uix, uiy = _unpack(uniq)
         return pa.table(
             {
+                # floor division keeps tiles consistent for negative indices
                 "tile_x": pa.array(uix // TILE),
                 "tile_y": pa.array(uiy // TILE),
                 "ix": pa.array(uix),
@@ -98,14 +115,14 @@ def _label_tile(ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
     index of the component (vectorized union-find via iterated min-pooling)."""
     order = np.lexsort((iy, ix))
     ix, iy = ix[order], iy[order]
-    key = ix * np.int64(1 << 32) + iy  # ascending after the lexsort
+    key = lin_index(ix, iy)  # ascending after the lexsort (biased pack)
     n = len(ix)
     label = np.arange(n, dtype=np.int64)
     # neighbor index arrays (right and down suffice for undirected merging);
     # sorted key → one searchsorted per direction, no per-cell Python
     nbr = np.full((n, 2), -1, dtype=np.int64)
     for j, (dx, dy) in enumerate(((1, 0), (0, 1))):
-        nk = (ix + dx) * np.int64(1 << 32) + (iy + dy)
+        nk = lin_index(ix + dx, iy + dy)
         idx = np.searchsorted(key, nk).clip(0, max(n - 1, 0))
         hit = key[idx] == nk
         nbr[hit, j] = idx[hit]
@@ -202,10 +219,18 @@ def polygonize(raster_ds, *, threshold: int = 1, x0=0.0, y0=0.0, res=0.001,
     remap_ref = ray.put(remap)
 
     def relabel(t: pa.Table) -> pa.Table:
+        # int-exact mapping via sorted key arrays (pandas .map round-trips
+        # through float64 and corrupts ids ≥ 2^53)
         m = ray.get(remap_ref)
-        comp = t["comp"].to_numpy(zero_copy_only=False)
-        new = pd.Series(comp).map(m).fillna(pd.Series(comp)).to_numpy(np.int64)
-        return t.set_column(t.column_names.index("comp"), "comp", pa.array(new))
+        comp = t["comp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if m:
+            keys = np.array(sorted(m), dtype=np.int64)
+            vals = np.array([m[k] for k in keys], dtype=np.int64)
+            pos = np.searchsorted(keys, comp).clip(0, len(keys) - 1)
+            hit = keys[pos] == comp
+            comp = comp.copy()
+            comp[hit] = vals[pos[hit]]
+        return t.set_column(t.column_names.index("comp"), "comp", pa.array(comp))
 
     cells_final = cells.map_batches(relabel, batch_format="pyarrow")
 

@@ -125,6 +125,7 @@ def build_ivf_index(sf_dir: str, *, n_cells: int | None = None) -> tuple[str, np
     Layout: ``<index_dir>/cell=<c>/*.parquet`` (hive partitioning) — a query
     touches only its probed cells' files. Returns (index_dir, centroids).
     """
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
     n = _read_emb(sf_dir).count()  # parquet metadata, no scan
     if n_cells is None:
         n_cells = default_n_cells(n)
@@ -132,26 +133,48 @@ def build_ivf_index(sf_dir: str, *, n_cells: int | None = None) -> tuple[str, np
     if key in _IVF_CACHE:
         return _IVF_CACHE[key]
 
-    cent = train_centroids(sf_dir, n_cells)
-    tag = hashlib.sha256(f"{key[0]}|{n_cells}|{n}".encode()).hexdigest()[:16]
+    # cache key includes the source mtime so an in-place corpus rewrite with
+    # an unchanged row count cannot silently serve a stale index
+    mtime = int(os.path.getmtime(emb_path))
+    tag = hashlib.sha256(f"{key[0]}|{n_cells}|{n}|{mtime}".encode()).hexdigest()[:16]
     index_dir = os.path.join("/tmp/graft_ivf", tag)
     done = os.path.join(index_dir, "_MANIFEST")
-    if not os.path.exists(done):
-        cent_ref = ray.put(cent)
+    cent_path = os.path.join(index_dir, "_centroids.npy")
+    if os.path.exists(done):
+        # manifest check BEFORE any training: a warm process reuses both the
+        # layout and the persisted centroids
+        cent = np.load(cent_path)
+        _IVF_CACHE[key] = (index_dir, cent)
+        return _IVF_CACHE[key]
 
-        def assign(t: pa.Table) -> pa.Table:
-            ids, mat = _batch_matrix(t)
-            c = ray.get(cent_ref)
-            norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-30)
-            unit = (mat / norms[:, None]).astype(np.float32)
-            cells = np.argmax(unit @ c.T, axis=1).astype(np.int64)
-            return t.append_column("cell", pa.array(cells))
+    cent = train_centroids(sf_dir, n_cells)
+    cent_ref = ray.put(cent)
 
-        _read_emb(sf_dir).map_batches(assign, batch_format="pyarrow").write_parquet(
-            index_dir, partition_cols=["cell"]
-        )
-        with open(done, "w") as f:
-            f.write(f"n={n} n_cells={n_cells}\n")
+    def assign(t: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(t)
+        c = ray.get(cent_ref)
+        norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-30)
+        unit = (mat / norms[:, None]).astype(np.float32)
+        cells = np.argmax(unit @ c.T, axis=1).astype(np.int64)
+        return t.append_column("cell", pa.array(cells))
+
+    # atomic build: write into a private tmp dir, rename into place — a
+    # crash mid-build can never leave a half (or doubled) index under the
+    # blessed path, and concurrent builders race harmlessly on the rename
+    import shutil
+
+    tmp_dir = f"{index_dir}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    _read_emb(sf_dir).map_batches(assign, batch_format="pyarrow").write_parquet(
+        tmp_dir, partition_cols=["cell"]
+    )
+    np.save(os.path.join(tmp_dir, "_centroids.npy"), cent)
+    with open(os.path.join(tmp_dir, "_MANIFEST"), "w") as f:
+        f.write(f"n={n} n_cells={n_cells} mtime={mtime}\n")
+    try:
+        os.rename(tmp_dir, index_dir)
+    except OSError:
+        shutil.rmtree(tmp_dir, ignore_errors=True)  # another builder won
     _IVF_CACHE[key] = (index_dir, cent)
     return index_dir, cent
 
@@ -257,12 +280,16 @@ def _cell_pairs(ids: np.ndarray, unit: np.ndarray, threshold: float, cap: int, d
         return out
     sims = unit @ unit.T
     iu = np.triu_indices(len(ids), k=1)
-    hit = sims[iu] >= threshold
+    # round BEFORE thresholding: the reported value and the filter must use
+    # the same number, or a boundary similarity (e.g. 0.3999996 at T=0.4)
+    # diverges from the round-then-compare oracle
+    simr = np.round(sims[iu], 6)
+    hit = simr >= threshold
     a, b = ids[iu[0][hit]], ids[iu[1][hit]]
     swap = a > b
     a2 = np.where(swap, b, a)
     b2 = np.where(swap, a, b)
-    out.append((a2, b2, np.round(sims[iu][hit], 6)))
+    out.append((a2, b2, simr[hit]))
     return out
 
 

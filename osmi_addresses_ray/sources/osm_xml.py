@@ -18,7 +18,7 @@ Relations are read and skipped (the reference has no relation handler).
 Compressed extracts: ``.gz``/``.bz2`` single-stream files are not
 byte-splittable — ``read_osm_xml`` falls back to one streaming-decompression
 task for them (documented trade; at planet scale use bzip2 multistream or
-pre-split files). PBF is out of scope in this environment (no protobuf).
+pre-split files). PBF extracts: see ``sources/osm_pbf.py``.
 """
 
 from __future__ import annotations
@@ -55,23 +55,20 @@ def _next_entity_offset(path: str, offset: int, file_size: int) -> int:
 
 def _parse_fragment(path: str, start: int, end: int, *, noise: bool) -> list[dict]:
     """Parse the complete top-level entities in [start, end)."""
-    import xml.etree.ElementTree as ET
 
     with open(path, "rb") as f:
         f.seek(start)
         frag = f.read(end - start)
     docs: list[dict] = []
-    # elements are delimited by the next entity start; parse one at a time so
-    # a trailing partial element (never present: end is a boundary) or
-    # non-entity tail content can't break the whole fragment
+    # elements are delimited by the next entity start; each chunk holds one
+    # complete element plus trailing junk (whitespace, </osm>). A pull
+    # parser extracts the element robustly — string-searching for "/>" or
+    # "</tag>" breaks on legal attribute values containing those bytes.
     positions = [m.start() for m in _ENTITY_START.finditer(frag)]
     positions.append(len(frag))
     for s, e in zip(positions[:-1], positions[1:]):
-        chunk = frag[s:e]
-        # trim trailing junk after the element close (whitespace, </osm>)
-        try:
-            el = ET.fromstring(_close_element(chunk))
-        except ET.ParseError:
+        el = _first_element(frag[s:e])
+        if el is None:
             continue
         if el.tag == "node":
             docs.append(
@@ -99,20 +96,22 @@ def _parse_fragment(path: str, start: int, end: int, *, noise: bool) -> list[dic
     return docs
 
 
-def _close_element(chunk: bytes) -> bytes:
-    """Return the first complete element in ``chunk`` (self-closed or
-    explicitly closed), dropping trailing content."""
-    m = re.match(rb"<(\w+)", chunk)
-    if not m:
-        raise ValueError("no element")
-    tag = m.group(1)
-    first_gt = chunk.find(b">")
-    if first_gt > 0 and chunk[first_gt - 1 : first_gt] == b"/":
-        return chunk[: first_gt + 1]  # self-closed: <node ... />
-    close = chunk.find(b"</" + tag + b">")
-    if close != -1:
-        return chunk[: close + len(tag) + 3]
-    return chunk  # let ET raise
+def _first_element(chunk: bytes):
+    """Parse the first complete top-level element of ``chunk``, tolerating
+    trailing junk (the XMLPullParser emits the element's end event before
+    any error the junk causes)."""
+    import xml.etree.ElementTree as ET
+
+    parser = ET.XMLPullParser(["end"])
+    try:
+        parser.feed(chunk)
+        parser.close()
+    except ET.ParseError:
+        pass
+    for _event, el in parser.read_events():
+        if el.tag in ("node", "way", "relation"):
+            return el
+    return None
 
 
 def read_osm_xml(path: str, *, n_chunks: int = 32, noise: bool = True):

@@ -33,3 +33,23 @@ def test_gz_fallback(ray_session, tmp_path):
     dist = read_osm_xml(gz).to_pandas()
     ref = load_osm_xml(TESTZONE).to_pandas()
     pd.testing.assert_frame_equal(_key(ref), _key(dist))
+
+
+def test_attribute_with_slash_gt(ray_session, tmp_path):
+    """'>' (and '/>') are legal unescaped inside attribute values; the
+    reader must not truncate mid-element (regression: string-search close)."""
+    p = tmp_path / "edge.osm"
+    p.write_text(
+        "<?xml version='1.0'?><osm>\n"
+        "  <node id='1' lat='1.0' lon='2.0' user='a/&gt;b'/>\n"
+        "  <node id='2' lat='1.1' lon='2.1' user='x/>y'>\n"
+        "    <tag k='name' v='n'/>\n"
+        "  </node>\n"
+        "  <way id='3' user='w/>z'>\n"
+        "    <nd ref='1'/><nd ref='2'/>\n"
+        "  </way>\n"
+        "</osm>\n"
+    )
+    docs = read_osm_xml(str(p), n_chunks=3).to_pandas()
+    ids = sorted(docs["doc_id"])
+    assert ids == ["node/1", "node/2", "way/3"]

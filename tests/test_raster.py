@@ -18,13 +18,22 @@ from osmi_addresses_ray.pipelines.raster import (
 
 def test_label_tile_components():
     # L-shape (0,0)(1,0)(1,1) + isolated (5,5)
+    from osmi_addresses_ray.pipelines.raster import lin_index
+
     ix = np.array([0, 1, 1, 5], dtype=np.int64)
     iy = np.array([0, 0, 1, 5], dtype=np.int64)
     lab = _label_tile(ix, iy)
     assert lab[0] == lab[1] == lab[2]
     assert lab[3] != lab[0]
-    # component id = min linear cell index (ix<<32 | iy)
-    assert lab[0] == 0
+    # component id = min biased linear cell index
+    assert lab[0] == lin_index(np.array([0]), np.array([0]))[0]
+
+    # negative indices must stay injective and 4-connected across zero
+    ix2 = np.array([-1, 0, -1, 3], dtype=np.int64)
+    iy2 = np.array([0, 0, -1, -7], dtype=np.int64)
+    lab2 = _label_tile(ix2, iy2)
+    assert lab2[0] == lab2[1] == lab2[2]  # (-1,0)-(0,0) and (-1,-1)-(-1,0)
+    assert lab2[3] != lab2[0]
 
 
 def test_rasterize_matches_histogram(ray_session):
@@ -88,3 +97,14 @@ def test_zonal_stats_counts(ray_session):
     )
     out = {r["poly_id"]: r["n_points"] for r in zonal_stats(pts, polys).take_all()}
     assert out == {1: 3, 2: 1}
+
+
+def test_rasterize_negative_cells(ray_session):
+    # points below/left of the origin must bin into the correct negative
+    # cells (regression: an unbiased int pack decoded (ix,-1) as (ix-1, 2^32-1))
+    ds = rd.from_arrow(
+        pa.table({"lon": [-0.0004, 0.0004, -0.0004], "lat": [-0.0004, -0.0004, 0.0004]})
+    )
+    out = rasterize_points(ds, res=0.001).to_pandas()
+    got = {(r.ix, r.iy): r.n for r in out.itertuples()}
+    assert got == {(-1, -1): 1, (0, -1): 1, (-1, 0): 1}

@@ -54,20 +54,22 @@ def fixture_path() -> str:
 def bench_address_view() -> tuple[float, dict]:
     import ray.data as rd
 
-    from osmi_addresses_ray.pipelines.address_view import build_layers
+    from osmi_addresses_ray.pipelines.address_view import build_layers_with_internals
 
     docs_path = fixture_path()
     t0 = time.perf_counter()
     # coalesce to ~1 block per CPU: tiny blocks make every downstream stage
     # overhead-bound (measured: assembly 6.3s → 2.6s at 66 → 32 blocks)
     docs = rd.read_parquet(docs_path, override_num_blocks=NUM_CPUS)
-    n_docs = docs.count()
     # partition count follows data volume (one partition ≈ 1.5k blocks of
     # fixture ≈ 23k docs), floored at 8 for parallelism; CPU count alone is
     # the wrong driver at small scale; ~2 parts per CPU measured best at the
     # 8-CPU leg (16 parts: 31.6->28.7s; 32 parts regress via index-rebuild)
     num_parts = int(os.environ.get("GRAFT_AV_PARTS", str(int(np.clip(N_BLOCKS // 1500, 8, 2 * max(NUM_CPUS, 4))))))
-    layers = build_layers(docs, num_parts=num_parts)
+    layers, internals = build_layers_with_internals(docs, num_parts=num_parts)
+    # n_docs from the materialized parse stage (metadata read) — a separate
+    # docs.count() would pay one full extra scan of the input parquet
+    n_docs = internals["parsed"].count()
     # consume ALL layer datasets in ONE tagged-union execution: the timed
     # region must include every layer's full lineage (projections, WKT
     # formatting) — counting from upstream internals would skip real work
@@ -93,11 +95,19 @@ def bench_address_view() -> tuple[float, dict]:
             batch_format="pyarrow",
         )
         tagged = part if tagged is None else tagged.union(part)
+    t_consume = time.perf_counter()
     counts: dict[str, int] = {}
     for row in tagged.take_all():
         counts[row["layer"]] = counts.get(row["layer"], 0) + row["n"]
     sec = time.perf_counter() - t0
-    return sec, {"n_docs": n_docs, "docs_per_sec": round(n_docs / sec, 1), **counts}
+    phases = dict(internals.get("phases", {}))
+    phases["consume"] = round(time.perf_counter() - t_consume, 3)
+    return sec, {
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / sec, 1),
+        "phases": phases,
+        **counts,
+    }
 
 
 def bench_relational() -> dict[str, float]:

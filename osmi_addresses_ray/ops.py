@@ -208,11 +208,23 @@ def direct_cogroup(
             ts.slice(bounds[p], bounds[p + 1] - bounds[p]) for p in range(num_parts)
         )
 
-    # wave 1: split every block of every source
+    # wave 1: split every block of every source. Each ``to_arrow_refs`` call
+    # EXECUTES that source's lazy plan; running the sources in parallel
+    # driver threads overlaps those executions (they are independent plans
+    # over already-materialized upstreams) instead of paying one serial
+    # driver launch per source — a measured fixed-cost term of the e2e
+    # scaling decomposition (BASELINE.md).
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(datasets) > 1:
+        with ThreadPoolExecutor(max_workers=len(datasets)) as pool:
+            all_refs = list(pool.map(lambda d: d.to_arrow_refs(), datasets))
+    else:
+        all_refs = [datasets[0].to_arrow_refs()]
     pieces: list[list[list]] = []  # [src][part] -> list of piece refs
     for i, (ds, key_cols) in enumerate(zip(datasets, keys)):
         per_part: list[list] = [[] for _ in range(num_parts)]
-        for block_ref in ds.to_arrow_refs():
+        for block_ref in all_refs[i]:
             out = _split.options(num_returns=num_parts).remote(
                 block_ref, tuple(key_cols), i
             )

@@ -237,6 +237,26 @@ def _stage_checkpoint(build, *, workdir: str | None, name: str, fingerprint: str
     return rd.read_parquet(path)
 
 
+class _PhaseClock:
+    """Driver-side wall-clock decomposition of the pipeline's serial spine.
+
+    Each ``tick(name)`` records the time since the previous tick; the result
+    lands in ``internals["phases"]`` so the scaling harness can attribute the
+    fixed (F) term of T(p) = F + W/p phase by phase instead of guessing."""
+
+    def __init__(self):
+        import time as _time
+
+        self._time = _time
+        self._last = _time.perf_counter()
+        self.phases: dict[str, float] = {}
+
+    def tick(self, name: str):
+        now = self._time.perf_counter()
+        self.phases[name] = round(now - self._last, 3)
+        self._last = now
+
+
 def build_layers_with_internals(
     docs_ds,
     *,
@@ -262,10 +282,12 @@ def build_layers_with_internals(
     ``doc_id``, so spans remain re-joinable; the span-sequence invariant is
     asserted on the full ``parse_docs`` output in tests. At cluster scale
     this becomes a Parquet checkpoint under ``workdir`` (resume point #1)."""
+    clock = _PhaseClock()
     parsed = _stage_checkpoint(
         lambda: parse_docs(docs_ds).drop_columns(["spans"]),
         workdir=workdir, name="parsed", fingerprint=fingerprint,
     )
+    clock.tick("parsed")
 
     layers: dict[str, object] = {}
     layers[LAYER_ENTRANCES] = entrances_layer(parsed)
@@ -274,19 +296,35 @@ def build_layers_with_internals(
         lambda: assemble_ways(parsed, num_parts=num_parts),
         workdir=workdir, name="ways_geo", fingerprint=fingerprint,
     )
+    clock.tick("ways_geo")
 
     layers[LAYER_WAYS_WITH_ADDRESSES] = ways_with_addresses_layer(ways_geo)
     layers[LAYER_WAYS_WITH_POSTAL_CODE] = ways_with_postal_code_layer(ways_geo)
     layers[LAYER_ADDRX_ON_NONCLOSED_WAY] = addrx_on_nonclosed_way_layer(ways_geo)
     layers[LAYER_BUILDINGS] = buildings_layer(ways_geo, enabled=buildings_enabled)
 
+    from concurrent.futures import ThreadPoolExecutor
+
     from .side_inputs import collect_side_inputs
 
+    # Street replication depends only on ways_geo, not on the side inputs or
+    # the interpolation stage — execute it in a background thread so its
+    # whole execution overlaps the side-input collection + interpolation
+    # barrier on the serial spine (measured: hides the streets execution
+    # entirely; concurrent Dataset executions are independent plans over the
+    # materialized ways_geo).
+    _pool = ThreadPoolExecutor(max_workers=1)
+    streets_future = _pool.submit(
+        lambda: streets_from_ways_geo(ways_geo).materialize()
+    )
+
     endpoint_tags, places = collect_side_inputs(parsed, ways_geo)
+    clock.tick("side_inputs")
     interp_out = _stage_checkpoint(
         lambda: interpolation_stage(ways_geo, endpoint_tags),
         workdir=workdir, name="interp_out", fingerprint=fingerprint,
     )
+    clock.tick("interp_out")
     layers[LAYER_INTERPOLATION] = interp_out.map_batches(
         lambda t: t.filter(pc.equal(t["__out"], 0)).select(
             [
@@ -307,7 +345,8 @@ def build_layers_with_internals(
         batch_format="pyarrow",
     )
 
-    streets = streets_from_ways_geo(ways_geo)
+    streets = streets_future.result()
+    _pool.shutdown()
     addrs = (
         node_addresses(parsed)
         .union(way_addresses(ways_geo))
@@ -322,6 +361,7 @@ def build_layers_with_internals(
         lambda: match_stage(streets, addrs, places, num_parts=num_parts, salt_map=salt_map),
         workdir=workdir, name="matched", fingerprint=fingerprint,
     )
+    clock.tick("matched")
 
     layers[LAYER_NODES_WITH_ADDRESSES] = _nwa_from_match(matched)
     layers[LAYER_CONNECTION_LINE] = _connection_lines_from_match(matched)
@@ -333,6 +373,8 @@ def build_layers_with_internals(
         "matched": matched,
     }
     roads, areas = _nearest_ways_from_match(matched, num_parts=num_parts, internals=internals)
+    clock.tick("dedup")
+    internals["phases"] = clock.phases
     layers[LAYER_NEAREST_ROADS] = roads
     layers[LAYER_NEAREST_AREAS] = areas
     return layers, internals

@@ -188,75 +188,164 @@ def validate_and_densify(
     elif is_closed:
         ladder_error = "interpolation is a closed way"
     elif interpolation in ("all", "odd", "even") or is_alpha_ok:
-        # densify (InterpolationWriter.hpp:161-227)
-        coords = np.column_stack((xs, ys))
-        seg = np.hypot(np.diff(xs), np.diff(ys))
-        cum = np.concatenate(([0.0], np.cumsum(seg)))
-        length = float(cum[-1])
-        increment = 2 if interpolation in ("even", "odd") else 1
-        if first == last:
-            # Equal endpoint numbers (e.g. '4'->'4' even/all, or alphabetic
-            # '2a'->'2a'): the C++ reference computes fraction = 1/0.0 = inf
-            # (InterpolationWriter.hpp:170-176) and its densify loop
-            # `nr < upper && nr > lower` with lower == upper never iterates —
-            # an error-free layer row with zero ip points. Guard the Python
-            # ZeroDivisionError and mirror that.
-            fraction, lower, upper = 0.0, first, last
-        elif first < last:
-            fraction = 1.0 / (last - first)
-            lower, upper = first, last
-        else:
-            fraction = 1.0 / (first - last)
-            increment = -increment
-            lower, upper = last, first
-
-        nrs = []
-        nr = _u32(first + increment)
-        while lower < nr < upper:
-            nrs.append(nr)
-            nr = _u32(nr + increment)
-        if nrs:
-            nrs_np = np.array(nrs, dtype=np.float64)
-            if increment > 0:
-                dists = (nrs_np - lower) * fraction * length
-            else:
-                dists = (1.0 - ((nrs_np - lower) * fraction)) * length
-            # vectorized OGRLineString::Value
-            d = np.clip(dists, 0.0, length)
-            i = np.clip(np.searchsorted(cum, d, side="right") - 1, 0, max(len(seg) - 1, 0))
-            segi = np.where(seg[i] > 0, seg[i], 1.0)
-            r = np.where(seg[i] > 0, (d - cum[i]) / segi, 0.0)
-            px = coords[i, 0] + r * (coords[i + 1, 0] - coords[i, 0])
-            py = coords[i, 1] + r * (coords[i + 1, 1] - coords[i, 1])
-            for g, nr_v in enumerate(nrs):
-                nrstr = (
-                    str(nr_v)
-                    if interpolation != "alphabetic"
-                    else first_numeric + chr(nr_v)
-                )
-                ip_points.append(
-                    {
-                        "kind": "ip",
-                        "obj_id": 0,
-                        "lon": float(px[g]),
-                        "lat": float(py[g]),
-                        "street": first_tags.get("addr:street", ""),
-                        "houseno": nrstr,
-                        "postcode": first_tags.get("addr:postcode", ""),
-                        "city": first_tags.get("addr:city", ""),
-                        "country": first_tags.get("addr:country", ""),
-                        "fulladdr": first_tags.get("addr:full", ""),
-                        "place": first_tags.get("addr:place", ""),
-                        "lastchange": "",
-                        "ord0": 1,
-                        "ord1": way_id,
-                        "ord2": 0,
-                        "ord3": g,
-                    }
-                )
+        ip_points = _densify_way(
+            way_id, first, last, interpolation, first_numeric, xs, ys, first_tags
+        )
 
     row["error"] = ladder_error if ladder_error is not None else alpha_error
     return row, ip_points
+
+
+def _densify_way(
+    way_id: int,
+    first: int,
+    last: int,
+    interpolation: str,
+    first_numeric: str,
+    xs: np.ndarray,
+    ys: np.ndarray,
+    first_tags: dict[str, str],
+) -> list[dict]:
+    """Densify ONE error-free interpolation way (InterpolationWriter.hpp:161-227).
+
+    Shared by the scalar reference path and the vectorized validator's
+    alphabetic fallback; the vectorized numeric path reproduces these exact
+    float expressions batched (see InterpolationValidator._densify_numeric).
+    """
+    coords = np.column_stack((xs, ys))
+    seg = np.hypot(np.diff(xs), np.diff(ys))
+    cum = np.concatenate(([0.0], np.cumsum(seg)))
+    length = float(cum[-1])
+    increment = 2 if interpolation in ("even", "odd") else 1
+    if first == last:
+        # Equal endpoint numbers (e.g. '4'->'4' even/all, or alphabetic
+        # '2a'->'2a'): the C++ reference computes fraction = 1/0.0 = inf
+        # (InterpolationWriter.hpp:170-176) and its densify loop
+        # `nr < upper && nr > lower` with lower == upper never iterates —
+        # an error-free layer row with zero ip points. Guard the Python
+        # ZeroDivisionError and mirror that.
+        fraction, lower, upper = 0.0, first, last
+    elif first < last:
+        fraction = 1.0 / (last - first)
+        lower, upper = first, last
+    else:
+        fraction = 1.0 / (first - last)
+        increment = -increment
+        lower, upper = last, first
+
+    nrs = []
+    nr = _u32(first + increment)
+    while lower < nr < upper:
+        nrs.append(nr)
+        nr = _u32(nr + increment)
+    ip_points: list[dict] = []
+    if nrs:
+        nrs_np = np.array(nrs, dtype=np.float64)
+        if increment > 0:
+            dists = (nrs_np - lower) * fraction * length
+        else:
+            dists = (1.0 - ((nrs_np - lower) * fraction)) * length
+        # vectorized OGRLineString::Value
+        d = np.clip(dists, 0.0, length)
+        i = np.clip(np.searchsorted(cum, d, side="right") - 1, 0, max(len(seg) - 1, 0))
+        segi = np.where(seg[i] > 0, seg[i], 1.0)
+        r = np.where(seg[i] > 0, (d - cum[i]) / segi, 0.0)
+        px = coords[i, 0] + r * (coords[i + 1, 0] - coords[i, 0])
+        py = coords[i, 1] + r * (coords[i + 1, 1] - coords[i, 1])
+        for g, nr_v in enumerate(nrs):
+            nrstr = (
+                str(nr_v)
+                if interpolation != "alphabetic"
+                else first_numeric + chr(nr_v)
+            )
+            ip_points.append(
+                {
+                    "kind": "ip",
+                    "obj_id": 0,
+                    "lon": float(px[g]),
+                    "lat": float(py[g]),
+                    "street": first_tags.get("addr:street", ""),
+                    "houseno": nrstr,
+                    "postcode": first_tags.get("addr:postcode", ""),
+                    "city": first_tags.get("addr:city", ""),
+                    "country": first_tags.get("addr:country", ""),
+                    "fulladdr": first_tags.get("addr:full", ""),
+                    "place": first_tags.get("addr:place", ""),
+                    "lastchange": "",
+                    "ord0": 1,
+                    "ord1": way_id,
+                    "ord2": 0,
+                    "ord3": g,
+                }
+            )
+    return ip_points
+
+
+def _tags_table(endpoint_tags, refs: np.ndarray) -> pa.Table:
+    """node refs → Arrow table of the 7 addr tag columns (null = absent).
+
+    Columnar fast path for EndpointTagMap; per-row dict fallback for the
+    plain-dict map used by tests/tiny corpora."""
+    if hasattr(endpoint_tags, "lookup_columns"):
+        return endpoint_tags.lookup_columns(refs)
+    cols: dict[str, list] = {k: [] for k in ADDR_KEYS_7}
+    for r in refs:
+        d = endpoint_tags.get(int(r), {}) or {}
+        for k in ADDR_KEYS_7:
+            cols[k].append(d.get(k))
+    return pa.table({k: pa.array(v, pa.string()) for k, v in cols.items()})
+
+
+def _str_fill(tab: pa.Table, key: str) -> np.ndarray:
+    """One tag column → object ndarray of str with null→'' (C-string view)."""
+    import pyarrow.compute as pc
+
+    return np.asarray(pc.fill_null(tab[key], "").to_pandas(), dtype=object)
+
+
+def _vec_atoi_u32(raw: np.ndarray) -> np.ndarray:
+    """Elementwise ``_u32(atoi(s))`` over an object array of strings.
+
+    Same semantics as functions.housenumber.atoi (optional C whitespace,
+    optional sign, leading digits else 0) masked to uint32 — vectorized via
+    one regex extract; digit runs longer than 18 chars (int64 overflow) fall
+    back to exact Python ints."""
+    s = pd.Series(raw, dtype=object)
+    ext = s.str.extract(r"^[ \t\n\r\v\f]*([+-]?[0-9]+)", expand=False)
+    out = np.zeros(len(raw), np.int64)
+    ok = ext.notna().to_numpy()
+    if ok.any():
+        vals = ext[ok]
+        lens = vals.str.len().to_numpy()
+        ok_idx = np.flatnonzero(ok)
+        short = lens <= 18
+        if short.any():
+            out[ok_idx[short]] = vals[short].astype(np.int64).to_numpy() & np.int64(
+                0xFFFFFFFF
+            )
+        for i, v in zip(ok_idx[~short], vals[~short]):
+            out[i] = int(v) & 0xFFFFFFFF
+    return out
+
+
+def _vec_is_plain(raw: np.ndarray, val: np.ndarray) -> np.ndarray:
+    """Elementwise is_plain_number: val > 0 and len(raw) == floor(log10)+1."""
+    lens = np.fromiter((len(x) for x in raw), np.int64, len(raw))
+    pos = val > 0
+    dg = np.zeros(len(val), np.int64)
+    if pos.any():
+        dg[pos] = np.floor(np.log10(val[pos].astype(np.float64))).astype(np.int64) + 1
+    return pos & (lens == dg)
+
+
+_ERR_UNKNOWN = "unknown interpolation type"
+_ERR_FORMAT = "endpoint has wrong format"
+_ERR_RANGE = "range too large"
+_ERR_NEEDLESS = "needless interpolation"
+_ERR_EVEN_ODD = "interpolation even but number odd"
+_ERR_ODD_EVEN = "interpolation odd but number even"
+_ERR_TAGS = "different tags on endpoints"
+_ERR_CLOSED = "interpolation is a closed way"
 
 
 class InterpolationValidator:
@@ -266,6 +355,14 @@ class InterpolationValidator:
     Instantiated per worker process via the broadcast cache (ray.put once,
     one deserialization per worker) and run as stateless TASKS — interpolation
     ways are sparse, so an actor pool's startup cost dominates its benefit.
+
+    The error ladder (InterpolationWriter.hpp:120-160) runs as pure column
+    ops over the whole batch; densification of error-free numeric ways is
+    vectorized grouped by vertex count (per-row ``cumsum(axis=1)`` keeps the
+    float operation order identical to the per-way scalar path, so outputs
+    are bit-for-bit equal to ``validate_and_densify``). Per-way Python
+    remains only for ``alphabetic`` ways (rare; exercised by the testzone
+    conformance corpus).
 
     Emits a union of layer rows (``__out=0``) and ip points (``__out=1``);
     the pipeline splits them with cheap filters after one materialization.
@@ -277,71 +374,144 @@ class InterpolationValidator:
         self.endpoint_tags = get_cached(endpoint_tags_ref)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        rows: list[dict] = []
-        points: list[dict] = []
+        import pyarrow.compute as pc
+
         n = t.num_rows
         way_ids = t["way_id"].to_numpy(zero_copy_only=False)
-        interp_vals = t[tag_col("addr:interpolation")].to_pylist()
+        interp_vals = np.asarray(t[tag_col("addr:interpolation")].to_pandas(), object)
         first_refs = t["first_ref"].to_numpy(zero_copy_only=False)
         last_refs = t["last_ref"].to_numpy(zero_copy_only=False)
         closed = t["is_closed"].to_numpy(zero_copy_only=False)
-        lastchange = t["lastchange"].to_pylist()
         xs_col = t["xs"].combine_chunks() if isinstance(t["xs"], pa.ChunkedArray) else t["xs"]
         ys_col = t["ys"].combine_chunks() if isinstance(t["ys"], pa.ChunkedArray) else t["ys"]
         offs = np.asarray(xs_col.offsets, np.int64)
         offs = offs - offs[0]
         flat_x = np.asarray(xs_col.flatten(), np.float64)
         flat_y = np.asarray(ys_col.flatten(), np.float64)
-        # batched endpoint-tag lookup (one searchsorted + 7 takes per side
-        # instead of a binary search + 7 scalar as_py per row)
-        if hasattr(self.endpoint_tags, "get_batch"):
-            f_tags = self.endpoint_tags.get_batch(first_refs)
-            l_tags = self.endpoint_tags.get_batch(last_refs)
-        else:
-            f_tags = [self.endpoint_tags.get(int(r), {}) or {} for r in first_refs]
-            l_tags = [self.endpoint_tags.get(int(r), {}) or {} for r in last_refs]
-        for i in range(n):
-            xs = flat_x[offs[i] : offs[i + 1]]
-            ys = flat_y[offs[i] : offs[i + 1]]
-            row, ips = validate_and_densify(
-                int(way_ids[i]),
-                interp_vals[i],
-                xs,
-                ys,
-                int(first_refs[i]),
-                int(last_refs[i]),
-                bool(closed[i]),
-                lastchange[i],
-                f_tags[i],
-                l_tags[i],
+
+        f_tab = _tags_table(self.endpoint_tags, first_refs)
+        l_tab = _tags_table(self.endpoint_tags, last_refs)
+        fraw = _str_fill(f_tab, "addr:housenumber")
+        lraw = _str_fill(l_tab, "addr:housenumber")
+
+        # --- numeric parse (all rows; alphabetic rows overridden below) ---
+        fval = _vec_atoi_u32(fraw)
+        lval = _vec_atoi_u32(lraw)
+        plain_f = _vec_is_plain(fraw, fval)
+        plain_l = _vec_is_plain(lraw, lval)
+
+        is_alpha = interp_vals == "alphabetic"
+        alpha_err = np.full(n, None, object)
+        alpha_ok = np.zeros(n, bool)
+        first_numeric = np.full(n, "", object)
+        for i in np.flatnonzero(is_alpha):
+            status, fa, la, fnum = alphabetic_parts(str(fraw[i]), str(lraw[i]))
+            if status == "ok":
+                fval[i], lval[i], first_numeric[i] = fa, la, fnum
+                alpha_ok[i] = True
+            elif status != "skip":
+                alpha_err[i] = status
+
+        diff = np.abs(fval - lval)
+        is_even = interp_vals == "even"
+        is_odd = interp_vals == "odd"
+        is_all = interp_vals == "all"
+        known = is_even | is_odd | is_all | is_alpha
+
+        # different-tags check over the 6 compare keys (null→"" like the
+        # scalar dict .get(k, ""))
+        tags_differ = np.zeros(n, bool)
+        for k in ENDPOINT_COMPARE_KEYS:
+            tags_differ |= np.asarray(
+                pc.not_equal(
+                    pc.fill_null(f_tab[k], ""), pc.fill_null(l_tab[k], "")
+                ).to_numpy(zero_copy_only=False)
             )
-            rows.append(row)
-            points.extend(ips)
 
-        if rows:
-            # one vectorized WKT pass for the whole batch (one layer row per
-            # input way, in order) instead of a per-row f-string join
-            from ..functions.wkt import lines_wkt_from_offsets
+        # --- the ladder, exact branch order (InterpolationWriter.hpp:120-160)
+        conds = [
+            ~known,
+            ~is_alpha & ((fval == 0) | (lval == 0) | ~plain_f | ~plain_l),
+            diff > 1000,
+            ((is_even | is_odd) & (diff == 2)) | (is_all & (diff == 1)),
+            is_even & ((fval % 2 == 1) | (lval % 2 == 1)),
+            is_odd & ((fval % 2 == 0) | (lval % 2 == 0)),
+            tags_differ,
+            np.asarray(closed, bool),
+        ]
+        errs = [
+            _ERR_UNKNOWN, _ERR_FORMAT, _ERR_RANGE, _ERR_NEEDLESS,
+            _ERR_EVEN_ODD, _ERR_ODD_EVEN, _ERR_TAGS, _ERR_CLOSED,
+        ]
+        error = np.full(n, None, object)
+        unset = np.ones(n, bool)
+        for cond, e in zip(conds, errs):
+            hit = unset & cond
+            error[hit] = e
+            unset &= ~cond
+        # ladder error wins; otherwise the alphabetic pre-branch error
+        error[unset & (alpha_err != None)] = alpha_err[unset & (alpha_err != None)]  # noqa: E711
 
-            attrs = pa.Table.from_pylist(
-                rows,
-                schema=pa.schema(
-                    [f for f in INTERPOLATION_SCHEMA if f.name not in ("geom_type", "geom_wkt")]
+        densify = unset & ((is_even | is_odd | is_all) | alpha_ok)
+
+        # --- vectorized densification (numeric ways, grouped by #vertices) --
+        pt_cols = self._densify_numeric(
+            densify & ~is_alpha, fval, lval, is_all, way_ids, offs, flat_x, flat_y, f_tab
+        )
+
+        # --- alphabetic densification: scalar fallback (rare) ---
+        points_alpha: list[dict] = []
+        for i in np.flatnonzero(densify & is_alpha):
+            points_alpha.extend(
+                _densify_way(
+                    int(way_ids[i]),
+                    int(fval[i]),
+                    int(lval[i]),
+                    "alphabetic",
+                    str(first_numeric[i]),
+                    flat_x[offs[i] : offs[i + 1]],
+                    flat_y[offs[i] : offs[i + 1]],
+                    {
+                        k: v
+                        for k, v in zip(
+                            ADDR_KEYS_7,
+                            (f_tab[k][i].as_py() for k in ADDR_KEYS_7),
+                        )
+                        if v is not None
+                    },
+                )
+            )
+
+        # --- layer table (one row per way, batch order) ---
+        from ..functions.wkt import lines_wkt_from_offsets
+
+        firstno = pa.array(np.where(fraw == "", None, fraw), pa.string())
+        lastno = pa.array(np.where(lraw == "", None, lraw), pa.string())
+        layer = pa.Table.from_arrays(
+            [
+                pa.array(way_ids, pa.int64()),
+                pa.array(interp_vals, pa.string()),
+                pa.array(first_refs, pa.int64()),
+                pa.array(last_refs, pa.int64()),
+                firstno,
+                lastno,
+                pa.array(error, pa.string()),
+                t["lastchange"].combine_chunks()
+                if isinstance(t["lastchange"], pa.ChunkedArray)
+                else t["lastchange"],
+                pa.array(["LINESTRING"] * n, pa.string()),
+                lines_wkt_from_offsets(
+                    np.column_stack((flat_x, flat_y)), offs, polygon=False
                 ),
-            )
-            wkt = lines_wkt_from_offsets(
-                np.column_stack((flat_x, flat_y)), offs, polygon=False
-            )
-            layer = attrs.append_column(
-                "geom_type", pa.array(["LINESTRING"] * n, pa.string())
-            ).append_column("geom_wkt", wkt)
-        else:
-            layer = INTERPOLATION_SCHEMA.empty_table()
-        pts = (
-            pa.Table.from_pylist(points, schema=IP_POINT_SCHEMA)
-            if points
+            ],
+            schema=INTERPOLATION_SCHEMA,
+        )
+        pts_alpha = (
+            pa.Table.from_pylist(points_alpha, schema=IP_POINT_SCHEMA)
+            if points_alpha
             else IP_POINT_SCHEMA.empty_table()
         )
+        pts = pa.concat_tables([pt_cols, pts_alpha]) if pt_cols.num_rows else pts_alpha
         # tagged union over superset schema
         out_fields = list(INTERPOLATION_SCHEMA) + [
             f for f in IP_POINT_SCHEMA if f.name not in INTERPOLATION_SCHEMA.names
@@ -360,6 +530,121 @@ class InterpolationValidator:
             return pa.Table.from_arrays(arrays, schema=union_schema)
 
         return pa.concat_tables([align(layer, 0), align(pts, 1)])
+
+
+    @staticmethod
+    def _densify_numeric(
+        mask: np.ndarray,
+        fval: np.ndarray,
+        lval: np.ndarray,
+        is_all: np.ndarray,
+        way_ids: np.ndarray,
+        offs: np.ndarray,
+        flat_x: np.ndarray,
+        flat_y: np.ndarray,
+        f_tab: pa.Table,
+    ) -> pa.Table:
+        """Vectorized densification of error-free even/odd/all ways.
+
+        Bit-parity with ``_densify_way``: all float expressions are the same
+        elementwise ops; the only grouping-sensitive ops — per-way cumsum and
+        searchsorted — run grouped by vertex count so ``cumsum(axis=1)``
+        accumulates in the identical per-way order, and searchsorted(side=
+        'right') is reproduced as ``(cum <= d).sum(axis=1) - 1``.
+        """
+        import pyarrow.compute as pc
+
+        D = np.flatnonzero(mask)
+        if len(D) == 0:
+            return IP_POINT_SCHEMA.empty_table()
+        f = fval[D]
+        l = lval[D]
+        inc = np.where(is_all[D], 1, 2).astype(np.int64)
+        k = np.abs(f - l)
+        c = np.maximum((k - 1) // inc, 0)  # generated points per way
+        has = c > 0
+        D, f, l, inc, k, c = D[has], f[has], l[has], inc[has], k[has], c[has]
+        if len(D) == 0:
+            return IP_POINT_SCHEMA.empty_table()
+        nv = (offs[D + 1] - offs[D]).astype(np.int64)
+        take_d = pa.array(D, pa.int64())
+        tag_keys = (
+            "addr:street", "addr:postcode", "addr:city",
+            "addr:country", "addr:full", "addr:place",
+        )
+        tagv = {
+            key: np.asarray(
+                pc.fill_null(f_tab[key], "").take(take_d).to_pandas(), object
+            )
+            for key in tag_keys
+        }
+
+        chunks: list[dict[str, np.ndarray]] = []
+        for count in np.unique(nv):
+            sel = np.flatnonzero(nv == count)
+            m = len(sel)
+            vidx = offs[D[sel]][:, None] + np.arange(int(count))[None, :]
+            X = flat_x[vidx]
+            Y = flat_y[vidx]
+            seg2 = np.hypot(np.diff(X, axis=1), np.diff(Y, axis=1))
+            cum2 = np.concatenate([np.zeros((m, 1)), np.cumsum(seg2, axis=1)], axis=1)
+            length = cum2[:, -1]
+            csel = c[sel]
+            total = int(csel.sum())
+            w = np.repeat(np.arange(m), csel)
+            g = np.arange(total) - np.repeat(np.cumsum(csel) - csel, csel)
+            fw = f[sel][w]
+            asc = fw < l[sel][w]
+            nr = np.where(asc, fw + inc[sel][w] * (g + 1), fw - inc[sel][w] * (g + 1))
+            lower = np.minimum(fw, l[sel][w])
+            fraction = 1.0 / k[sel][w].astype(np.float64)
+            nrf = nr.astype(np.float64)
+            lw = length[w]
+            dists = np.where(
+                asc, (nrf - lower) * fraction, 1.0 - ((nrf - lower) * fraction)
+            ) * lw
+            d = np.clip(dists, 0.0, lw)
+            i = (cum2[w] <= d[:, None]).sum(axis=1) - 1
+            i = np.clip(i, 0, max(int(count) - 2, 0))
+            seg_i = seg2[w, i]
+            segi = np.where(seg_i > 0, seg_i, 1.0)
+            r = np.where(seg_i > 0, (d - cum2[w, i]) / segi, 0.0)
+            px = X[w, i] + r * (X[w, np.minimum(i + 1, int(count) - 1)] - X[w, i])
+            py = Y[w, i] + r * (Y[w, np.minimum(i + 1, int(count) - 1)] - Y[w, i])
+            chunk = {
+                "lon": px,
+                "lat": py,
+                "houseno": nr.astype(str).astype(object),
+                "ord1": way_ids[D[sel]][w],
+                "ord3": g.astype(np.int32),
+            }
+            for key in tag_keys:
+                chunk[key] = tagv[key][sel][w]
+            chunks.append(chunk)
+
+        cat = {kk: np.concatenate([ch[kk] for ch in chunks]) for kk in chunks[0]}
+        npts = len(cat["lon"])
+        return pa.Table.from_arrays(
+            [
+                pa.array(["ip"] * npts, pa.string()),
+                pa.array(np.zeros(npts, np.int64), pa.int64()),
+                pa.array(cat["lon"], pa.float64()),
+                pa.array(cat["lat"], pa.float64()),
+                pa.array(cat["addr:street"], pa.string()),
+                pa.array(cat["houseno"], pa.string()),
+                pa.array(cat["addr:postcode"], pa.string()),
+                pa.array(cat["addr:city"], pa.string()),
+                pa.array(cat["addr:country"], pa.string()),
+                pa.array(cat["addr:full"], pa.string()),
+                pa.array(cat["addr:place"], pa.string()),
+                pa.array([""] * npts, pa.string()),
+                pa.array(np.ones(npts, np.int32), pa.int32()),
+                pa.array(cat["ord1"], pa.int64()),
+                pa.array(np.zeros(npts, np.int32), pa.int32()),
+                pa.array(cat["ord3"], pa.int32()),
+            ],
+            schema=IP_POINT_SCHEMA,
+        )
 
 
 def interpolation_stage(ways_geo, endpoint_tags, *, concurrency=(1, 4)):

@@ -154,3 +154,93 @@ def test_equal_endpoints_no_error_no_points():
         )
         assert row["error"] is None, interp
         assert pts == [], interp
+
+
+def test_vectorized_validator_parity_randomized():
+    """The vectorized batch validator (ladder as column ops + grouped
+    densify) is BIT-IDENTICAL to the scalar reference path
+    (validate_and_densify) over a randomized batch covering every error
+    class, both walk directions, multi-vertex ways and alphabetic ways."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from osmi_addresses_ray.constants import tag_col
+    from osmi_addresses_ray.stages.interpolation import (
+        IP_POINT_SCHEMA,
+        InterpolationValidator,
+    )
+
+    rng = np.random.default_rng(7)
+    N = 300
+    rows, ep_tags, nid = [], {}, 1000
+    interps = ["even", "odd", "all", "alphabetic", "weird", "even", "odd", "all"]
+    hns = ["2", "4", "10", "11", "100", "0012", "7%&", "", "-4", "1001",
+           "2002", "3a", "3b", "2a", "xx1", "5c"]
+    for i in range(N):
+        nv = int(rng.integers(2, 6))
+        xs = np.sort(rng.uniform(8.0, 8.01, nv))
+        ys = rng.uniform(47.0, 47.01, nv)
+        f_id, l_id = nid, nid + 1
+        nid += 2
+        ftags = {}
+        ltags = {}
+        fhn = hns[rng.integers(len(hns))]
+        lhn = hns[rng.integers(len(hns))]
+        if fhn:
+            ftags["addr:housenumber"] = fhn
+        if lhn:
+            ltags["addr:housenumber"] = lhn
+        if rng.random() < 0.3:
+            ftags["addr:street"] = "Main St"
+        if rng.random() < 0.2:
+            ltags["addr:city"] = "X"
+        ep_tags[f_id], ep_tags[l_id] = ftags, ltags
+        rows.append(
+            dict(way_id=i + 1, interp=interps[rng.integers(len(interps))],
+                 xs=xs, ys=ys, f=f_id, l=l_id,
+                 closed=bool(rng.random() < 0.15), lastchange="2020-01-01T00:00:00Z")
+        )
+    t = pa.table({
+        "way_id": pa.array([r["way_id"] for r in rows], pa.int64()),
+        tag_col("addr:interpolation"): pa.array([r["interp"] for r in rows]),
+        "first_ref": pa.array([r["f"] for r in rows], pa.int64()),
+        "last_ref": pa.array([r["l"] for r in rows], pa.int64()),
+        "is_closed": pa.array([r["closed"] for r in rows]),
+        "lastchange": pa.array([r["lastchange"] for r in rows]),
+        "xs": pa.array([r["xs"].tolist() for r in rows], pa.list_(pa.float64())),
+        "ys": pa.array([r["ys"].tolist() for r in rows], pa.list_(pa.float64())),
+    })
+    out = InterpolationValidator(ray.put(ep_tags))(t)
+    got_layer = out.filter(pc.equal(out["__out"], 0))
+    got_pts = out.filter(pc.equal(out["__out"], 1))
+
+    exp_rows, exp_pts = [], []
+    for r in rows:
+        row, ips = validate_and_densify(
+            r["way_id"], r["interp"], r["xs"], r["ys"], r["f"], r["l"],
+            r["closed"], r["lastchange"], ep_tags[r["f"]], ep_tags[r["l"]],
+        )
+        exp_rows.append(row)
+        exp_pts.extend(ips)
+
+    assert got_layer.num_rows == len(exp_rows)
+    for k in ("way_id", "typename", "firstid", "lastid", "firstno", "lastno",
+              "error", "lastchange"):
+        assert got_layer[k].to_pylist() == [er[k] for er in exp_rows], k
+
+    cols = [f.name for f in IP_POINT_SCHEMA]
+    gp = got_pts.select(cols).to_pandas().sort_values(["ord1", "ord3"]).reset_index(drop=True)
+    epd = (
+        pd.DataFrame(exp_pts, columns=cols).sort_values(["ord1", "ord3"]).reset_index(drop=True)
+        if exp_pts else pd.DataFrame(columns=cols)
+    )
+    assert len(gp) == len(epd) and len(gp) > 0
+    for col in cols:
+        a, b = gp[col].to_numpy(), epd[col].to_numpy()
+        if col in ("lon", "lat"):
+            assert (a == b.astype(np.float64)).all(), col  # bit-exact
+        else:
+            assert (a == b).all(), col

@@ -41,12 +41,12 @@ def main(argv=None) -> int:
     from .io import guard_output_dir, stage_fingerprint, write_layer
 
     guard_output_dir(args.outdir, resume=args.resume)
-    if args.sqlite and os.path.exists(args.sqlite):
+    if args.sqlite and os.path.exists(args.sqlite) and not args.resume:
         # fail BEFORE the (long) pipeline run, not after; on --resume the
-        # previous export is ours to refresh
-        if not args.resume:
-            raise FileExistsError(f"{args.sqlite} exists (rerun with --resume to refresh)")
-        os.remove(args.sqlite)
+        # previous export is ours to refresh — but only ATOMICALLY after the
+        # pipeline succeeds (export to tmp, os.replace into place below), so
+        # a mid-run failure never destroys the prior good database
+        raise FileExistsError(f"{args.sqlite} exists (rerun with --resume to refresh)")
 
     import ray
 
@@ -113,7 +113,13 @@ def main(argv=None) -> int:
         sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         from tools.export_sqlite import export
 
-        counts = export(args.outdir, args.sqlite)
+        tmp_sqlite = f"{args.sqlite}.tmp.{os.getpid()}"
+        try:
+            counts = export(args.outdir, tmp_sqlite)
+            os.replace(tmp_sqlite, args.sqlite)
+        finally:
+            if os.path.exists(tmp_sqlite):
+                os.remove(tmp_sqlite)
         print(f"sqlite export: {sum(counts.values())} rows → {args.sqlite}", file=sys.stderr)
     ray.shutdown()
     return 0

@@ -214,10 +214,16 @@ def _stage_checkpoint(build, *, workdir: str | None, name: str, fingerprint: str
 
     if workdir is None:
         return build().materialize()
+    if fingerprint is None:
+        # None == None would match the stale manifest from a PREVIOUS input:
+        # without a fingerprint the checkpoint is write-only (never reused)
+        fingerprint = "<unfingerprinted>"
     path = _os.path.join(workdir, name)
     man = _os.path.join(path, "_ckpt.json")
     try:
-        if _json.load(open(man)).get("fingerprint") == fingerprint and any(
+        if fingerprint != "<unfingerprinted>" and _json.load(open(man)).get(
+            "fingerprint"
+        ) == fingerprint and any(
             f.endswith(".parquet") for f in _os.listdir(path)
         ):
             return rd.read_parquet(path)

@@ -32,10 +32,40 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 _TOKEN = re.compile(r"[A-Za-z0-9_]+")
-_BUCKET_CAP = 64  # max docs per LSH bucket considered for pair generation
+_BUCKET_CAP = 64  # default max docs per LSH bucket considered for pair generation
+
+
+@ray.remote(num_cpus=0)
+class _TruncationCounter:
+    """Cluster-wide no-silent-caps ledger: workers report every LSH bucket
+    whose membership exceeded the cap; callers read the total to audit the
+    recall impact (raise ``bucket_cap`` and re-run to measure)."""
+
+    def __init__(self):
+        self.capped_buckets = 0
+        self.dropped_members = 0
+
+    def add(self, buckets: int, members: int):
+        self.capped_buckets += buckets
+        self.dropped_members += members
+
+    def snapshot(self):
+        return {"capped_buckets": self.capped_buckets, "dropped_members": self.dropped_members}
+
+
+def _truncation_counter():
+    return _TruncationCounter.options(
+        name="lsh_truncation_counter", get_if_exists=True, lifetime="detached"
+    ).remote()
+
+
+def lsh_truncation_stats() -> dict:
+    """Totals of capped LSH buckets / dropped members since session start."""
+    return ray.get(_truncation_counter().snapshot.remote())
 # per-worker-process stage state (compile-once without an actor pool)
 _WORKER_CACHE: dict = {}
 
@@ -157,7 +187,9 @@ class MinHasher:
         return out
 
 
-def _lsh_candidate_pairs(sf_dir: str, *, num_perm: int, bands: int):
+def _lsh_candidate_pairs(
+    sf_dir: str, *, num_perm: int, bands: int, bucket_cap: int = _BUCKET_CAP
+):
     """Candidate pair Dataset (doc_a, doc_b), deduplicated, fully distributed."""
     ds = _read_docs(sf_dir)
     rows_per_band = num_perm // bands
@@ -208,11 +240,18 @@ def _lsh_candidate_pairs(sf_dir: str, *, num_perm: int, bands: int):
         sizes = df["bucket"].map(df["bucket"].value_counts())
         df = df[sizes >= 2]
         out = []
+        n_capped = n_dropped = 0
         for _b, g in df.groupby("bucket", sort=False):
-            ids = sorted(set(g["doc_id"]))[:_BUCKET_CAP]
+            members = sorted(set(g["doc_id"]))
+            if len(members) > bucket_cap:  # no silent caps: count + report
+                n_capped += 1
+                n_dropped += len(members) - bucket_cap
+            ids = members[:bucket_cap]
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     out.append((ids[i], ids[j]))
+        if n_capped:
+            _truncation_counter().add.remote(n_capped, n_dropped)
         pdf = pd.DataFrame(out, columns=["doc_a", "doc_b"]) if out else pd.DataFrame(
             {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
         )
@@ -314,14 +353,24 @@ def _verified_pairs(sf_dir: str, cand, *, threshold: float):
     return partitioned_map(attached, ["doc_a", "doc_b"], 8, verify)
 
 
-def minhash_lsh_pairs(sf_dir: str, *, num_perm: int = 64, bands: int = 16, threshold: float = 0.5):
+def minhash_lsh_pairs(
+    sf_dir: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    bucket_cap: int = _BUCKET_CAP,
+):
     """Near-duplicate candidate pairs with verified Jaccard ≥ threshold.
 
     shingle→minhash per batch (actor pool) → explode to (band, band_hash,
     doc_id) → bucket groupby → candidate pairs → distributed true-Jaccard
     verification (see ``_verified_pairs``). Jaccard is computed over the
-    64-bit shingle-hash sets (the same universe the minhash sketches)."""
-    cand = _lsh_candidate_pairs(sf_dir, num_perm=num_perm, bands=bands)
+    64-bit shingle-hash sets (the same universe the minhash sketches).
+    Buckets larger than ``bucket_cap`` are truncated (bounded pair fan-out);
+    every truncation is counted — read ``lsh_truncation_stats()`` after a
+    run to audit recall impact, and raise ``bucket_cap`` to recover it."""
+    cand = _lsh_candidate_pairs(sf_dir, num_perm=num_perm, bands=bands, bucket_cap=bucket_cap)
     out = _verified_pairs(sf_dir, cand, threshold=threshold).to_pandas()
     if out.empty:
         out = pd.DataFrame(

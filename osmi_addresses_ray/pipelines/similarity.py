@@ -55,15 +55,10 @@ def _batch_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 def knn_bruteforce(sf_dir: str, *, query_id: int = 0, k: int = 10) -> pd.DataFrame:
     """Exact cosine top-k neighbors of ``query_id`` (excluded from results)."""
     ds = _read_emb(sf_dir)
-    # fetch the query vector (tiny filtered pull)
-    qrow = None
-    for b in ds.iter_batches(batch_format="pyarrow"):
-        ids, mat = _batch_matrix(b)
-        hit = np.flatnonzero(ids == query_id)
-        if len(hit):
-            qrow = mat[hit[0]]
-            break
-    assert qrow is not None, f"query vec_id {query_id} not found"
+    # fetch the query vector: predicate-pushdown pull (same shape as knn_ivf)
+    q_df = _read_emb(sf_dir).filter(expr=f"vec_id == {query_id}").to_pandas()
+    assert len(q_df), f"query vec_id {query_id} not found"
+    qrow = np.asarray(q_df["embedding"].iloc[0], dtype=np.float32)
     q_ref = ray.put(qrow.astype(np.float64))
 
     def score(t: pa.Table) -> pa.Table:
@@ -133,9 +128,11 @@ def build_ivf_index(sf_dir: str, *, n_cells: int | None = None) -> tuple[str, np
     if key in _IVF_CACHE:
         return _IVF_CACHE[key]
 
-    # cache key includes the source mtime so an in-place corpus rewrite with
-    # an unchanged row count cannot silently serve a stale index
-    mtime = int(os.path.getmtime(emb_path))
+    # cache key includes ns-resolution mtime + byte size so an in-place
+    # corpus rewrite with an unchanged row count in the same second cannot
+    # silently serve a stale index
+    st = os.stat(emb_path)
+    mtime = f"{st.st_mtime_ns}.{st.st_size}"
     tag = hashlib.sha256(f"{key[0]}|{n_cells}|{n}|{mtime}".encode()).hexdigest()[:16]
     index_dir = os.path.join("/tmp/graft_ivf", tag)
     done = os.path.join(index_dir, "_MANIFEST")
@@ -211,6 +208,9 @@ def knn_ivf(
         for c in probe
         for f in sorted(_glob.glob(os.path.join(index_dir, f"cell={int(c)}", "*.parquet")))
     ]
+    if not paths:  # every probed cell empty (degenerate corpus/centroids)
+        empty = pd.DataFrame({"vec_id": pd.Series([], dtype="int64"), "cosine": []})
+        return empty, 0.0
     q_ref = ray.put(q)
 
     def score(t: pa.Table) -> pa.Table:

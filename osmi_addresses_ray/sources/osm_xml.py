@@ -32,10 +32,37 @@ from .testzone import doc_from_entity, docs_to_table
 
 _ENTITY_START = re.compile(rb"<(node|way|relation)[\s/>]")
 _SCAN_WINDOW = 1 << 20  # forward-scan window for the next entity boundary
+_BACK_WINDOW = 1 << 16  # backward overlap for comment/CDATA opener detection
+_EXCLUDED_OPEN = re.compile(rb"<!--|<!\[CDATA\[")
+
+
+def _excluded_spans(buf: bytes) -> list[tuple[int, int]]:
+    """[start, end) spans of XML comments / CDATA sections in ``buf`` —
+    legal in OSM XML, and an ``<node`` inside one must not be taken for an
+    entity boundary. An opener without its closer in the buffer excludes
+    through to the end (conservative)."""
+    spans: list[tuple[int, int]] = []
+    pos = 0
+    while True:
+        m = _EXCLUDED_OPEN.search(buf, pos)
+        if not m:
+            return spans
+        closer = b"-->" if buf.startswith(b"<!--", m.start()) else b"]]>"
+        end = buf.find(closer, m.end())
+        end = len(buf) if end < 0 else end + len(closer)
+        spans.append((m.start(), end))
+        pos = end
+
+
+def _outside(i: int, spans: list[tuple[int, int]]) -> bool:
+    return not any(s <= i < e for s, e in spans)
 
 
 def _next_entity_offset(path: str, offset: int, file_size: int) -> int:
-    """Smallest byte position >= offset where a top-level entity starts."""
+    """Smallest byte position >= offset where a top-level entity starts,
+    skipping matches inside comments / CDATA (detected with a bounded
+    ``_BACK_WINDOW`` backward overlap; a comment larger than that window is
+    outside the robustness envelope and documented as such)."""
     if offset <= 0:
         return 0
     if offset >= file_size:
@@ -43,12 +70,14 @@ def _next_entity_offset(path: str, offset: int, file_size: int) -> int:
     with open(path, "rb") as f:
         pos = offset
         while pos < file_size:
-            f.seek(pos)
+            back = min(pos, _BACK_WINDOW)
+            f.seek(pos - back)
             # overlap the window so a tag spanning the boundary is found
-            buf = f.read(_SCAN_WINDOW + 16)
-            m = _ENTITY_START.search(buf)
-            if m:
-                return pos + m.start()
+            buf = f.read(back + _SCAN_WINDOW + 16)
+            spans = _excluded_spans(buf)
+            for m in _ENTITY_START.finditer(buf, back):
+                if _outside(m.start(), spans):
+                    return pos - back + m.start()
             pos += _SCAN_WINDOW
     return file_size
 
@@ -64,11 +93,17 @@ def _parse_fragment(path: str, start: int, end: int, *, noise: bool) -> list[dic
     # complete element plus trailing junk (whitespace, </osm>). A pull
     # parser extracts the element robustly — string-searching for "/>" or
     # "</tag>" breaks on legal attribute values containing those bytes.
-    positions = [m.start() for m in _ENTITY_START.finditer(frag)]
+    spans = _excluded_spans(frag)
+    positions = [m.start() for m in _ENTITY_START.finditer(frag) if _outside(m.start(), spans)]
     positions.append(len(frag))
+    dropped = 0
     for s, e in zip(positions[:-1], positions[1:]):
         el = _first_element(frag[s:e])
         if el is None:
+            # every slice starts at a real (non-comment) entity start, so a
+            # parse failure is a malformed entity — fail loudly like
+            # libosmium would, never silently drop data
+            dropped += 1
             continue
         if el.tag == "node":
             docs.append(
@@ -93,6 +128,11 @@ def _parse_fragment(path: str, start: int, end: int, *, noise: bool) -> list[dic
                     noise=noise,
                 )
             )
+    if dropped:
+        raise ValueError(
+            f"{dropped} malformed OSM XML entit{'y' if dropped == 1 else 'ies'} "
+            f"in bytes [{start},{end}) of {path}"
+        )
     return docs
 
 

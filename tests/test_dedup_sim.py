@@ -91,3 +91,30 @@ def test_knn_ivf_recall_on_clustered_query(planted_dir, ray_session):
     df, recall = similarity.knn_ivf(planted_dir, query_id=600, k=8)
     assert recall >= 0.9
     assert set(df["vec_id"].head(7)) == set(range(601, 608))
+
+
+def test_lsh_bucket_cap_is_counted(planted_dir, ray_session):
+    """Truncation is never silent: a tiny bucket_cap over a corpus with a
+    hot bucket (many identical docs) must increment the cluster-wide
+    truncation counter, and a raised cap must not truncate."""
+    import os
+
+    d = os.path.join(planted_dir, "hot")
+    os.makedirs(d, exist_ok=True)
+    hot = pd.DataFrame(
+        {
+            "doc_id": np.arange(12, dtype=np.int64),
+            "text": ["same words in every single document here"] * 12,
+        }
+    )
+    hot.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+
+    before = dedup.lsh_truncation_stats()["capped_buckets"]
+    out_capped = dedup.minhash_lsh_pairs(d, bucket_cap=4)
+    after = dedup.lsh_truncation_stats()["capped_buckets"]
+    assert after > before  # truncation fired and was counted
+    # cap 4 -> at most C(4,2)=6 pairs can survive per bucket
+    assert len(out_capped) == 6
+
+    out_full = dedup.minhash_lsh_pairs(d, bucket_cap=64)
+    assert len(out_full) == 66  # C(12,2): raising the cap recovers recall

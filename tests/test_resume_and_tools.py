@@ -123,3 +123,21 @@ def test_stage_checkpoints_resume(ray_session, tmp_path):
     # fingerprint change invalidates: the empty input now yields empty layers
     layers3 = build_layers(empty, num_parts=4, workdir=wd, fingerprint="fp2")
     assert layers3["osmi_addresses_nodes_with_addresses"].count() == 0
+
+
+def test_checkpoint_without_fingerprint_never_reused(ray_session, tmp_path):
+    """workdir without a fingerprint must not resume a stale checkpoint from
+    a previous (different) input — None == None matching is a data bug."""
+    import ray.data as rd
+
+    from osmi_addresses_ray.pipelines.address_view import build_layers
+    from osmi_addresses_ray.schemas import DOC_SCHEMA
+    from osmi_addresses_ray.sources.fixture import fixture_docs, expected_counts
+
+    wd = str(tmp_path / "nofp")
+    build_layers(fixture_docs(5), num_parts=4, workdir=wd, fingerprint=None)
+    # rerun over a DIFFERENT input (empty) with fingerprint=None: the stale
+    # checkpoints must NOT be reused -> layers reflect the new (empty) input
+    empty = rd.from_arrow(DOC_SCHEMA.empty_table())
+    layers2 = build_layers(empty, num_parts=4, workdir=wd, fingerprint=None)
+    assert layers2["osmi_addresses_nodes_with_addresses"].count() == 0

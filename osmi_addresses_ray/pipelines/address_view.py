@@ -271,6 +271,7 @@ def build_layers_with_internals(
     hot_cell_threshold: int | None = None,
     workdir: str | None = None,
     fingerprint: str | None = None,
+    side_input_mode: str = "broadcast",
 ):
     """Like ``build_layers`` but also returns the materialized intermediate
     datasets ({parsed, ways_geo, interp_out, matched, deduped}) so callers
@@ -324,12 +325,26 @@ def build_layers_with_internals(
         lambda: streets_from_ways_geo(ways_geo).materialize()
     )
 
-    endpoint_tags, places = collect_side_inputs(parsed, ways_geo)
-    clock.tick("side_inputs")
-    interp_out = _stage_checkpoint(
-        lambda: interpolation_stage(ways_geo, endpoint_tags),
-        workdir=workdir, name="interp_out", fingerprint=fingerprint,
-    )
+    if side_input_mode == "distributed":
+        # scale fallback (SURVEY J3/ST2): endpoint tags become two
+        # hash-partitioned joins, places become a name-sharded index service
+        # — no driver-collected broadcast structures at all
+        from ..stages.interpolation import interpolation_stage_distributed
+        from ..stages.match import build_places_shards
+
+        places = build_places_shards(parsed, ways_geo, n_shards=max(4, num_parts // 4))
+        clock.tick("side_inputs")
+        interp_out = _stage_checkpoint(
+            lambda: interpolation_stage_distributed(parsed, ways_geo, num_parts=num_parts),
+            workdir=workdir, name="interp_out", fingerprint=fingerprint,
+        )
+    else:
+        endpoint_tags, places = collect_side_inputs(parsed, ways_geo)
+        clock.tick("side_inputs")
+        interp_out = _stage_checkpoint(
+            lambda: interpolation_stage(ways_geo, endpoint_tags),
+            workdir=workdir, name="interp_out", fingerprint=fingerprint,
+        )
     clock.tick("interp_out")
     layers[LAYER_INTERPOLATION] = interp_out.map_batches(
         lambda t: t.filter(pc.equal(t["__out"], 0)).select(
@@ -394,6 +409,7 @@ def build_layers(
     hot_cell_threshold: int | None = None,
     workdir: str | None = None,
     fingerprint: str | None = None,
+    side_input_mode: str = "broadcast",
 ):
     layers, _ = build_layers_with_internals(
         docs_ds,
@@ -402,6 +418,7 @@ def build_layers(
         hot_cell_threshold=hot_cell_threshold,
         workdir=workdir,
         fingerprint=fingerprint,
+        side_input_mode=side_input_mode,
     )
     return layers
 

@@ -389,8 +389,15 @@ class InterpolationValidator:
         flat_x = np.asarray(xs_col.flatten(), np.float64)
         flat_y = np.asarray(ys_col.flatten(), np.float64)
 
-        f_tab = _tags_table(self.endpoint_tags, first_refs)
-        l_tab = _tags_table(self.endpoint_tags, last_refs)
+        fcols = [f"__f_{tag_col(k)}" for k in ADDR_KEYS_7]
+        if all(c in t.column_names for c in fcols):
+            # distributed mode: endpoint tags arrived as attached columns
+            # (interpolation_stage_distributed) — no broadcast map probe
+            f_tab = pa.table({k: t[f"__f_{tag_col(k)}"] for k in ADDR_KEYS_7})
+            l_tab = pa.table({k: t[f"__l_{tag_col(k)}"] for k in ADDR_KEYS_7})
+        else:
+            f_tab = _tags_table(self.endpoint_tags, first_refs)
+            l_tab = _tags_table(self.endpoint_tags, last_refs)
         fraw = _str_fill(f_tab, "addr:housenumber")
         lraw = _str_fill(l_tab, "addr:housenumber")
 
@@ -645,6 +652,114 @@ class InterpolationValidator:
             ],
             schema=IP_POINT_SCHEMA,
         )
+
+
+NODE_TAGS_SCHEMA = pa.schema(
+    [pa.field("osm_id", pa.int64())]
+    + [pa.field(tag_col(k), pa.string()) for k in ADDR_KEYS_7]
+)
+
+
+def _attach_endpoint_cols(prefix: str):
+    """cogroup fn: left-join a partition of interpolation ways against the
+    co-partitioned endpoint-node tag rows, appending ``__{prefix}_<tagcol>``
+    string columns (null on miss — identical to an absent/untagged node)."""
+    import pyarrow.compute as pc
+
+    tcols = [tag_col(k) for k in ADDR_KEYS_7]
+    key = "first_ref" if prefix == "f" else "last_ref"
+
+    def fn(interp_part: pa.Table, nodes_part: pa.Table) -> pa.Table:
+        n = interp_part.num_rows
+        refs = interp_part[key].to_numpy(zero_copy_only=False)
+        out = interp_part
+        if nodes_part.num_rows == 0 or n == 0:
+            for c in tcols:
+                out = out.append_column(f"__{prefix}_{c}", pa.nulls(n, pa.string()))
+            return out
+        nid = nodes_part["osm_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(nid, kind="stable")
+        nid_s = nid[order]
+        pos = np.searchsorted(nid_s, refs).clip(0, len(nid_s) - 1)
+        hit = nid_s[pos] == refs
+        take = pa.array(np.where(hit, order[pos], 0), pa.int64())
+        hit_arr = pa.array(hit)
+        for c in tcols:
+            col = nodes_part[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            vals = pc.if_else(hit_arr, col.take(take), pa.nulls(n, pa.string()))
+            out = out.append_column(f"__{prefix}_{c}", vals)
+        return out
+
+    return fn
+
+
+def interpolation_stage_distributed(parsed_ds, ways_geo, *, num_parts: int = 16):
+    """SURVEY J3 scale fallback for the endpoint-tag broadcast (ST3): when
+    the endpoint-tag map exceeds the broadcast budget, capture endpoint tags
+    with two hash-partitioned left joins on first_ref / last_ref (reference
+    semantics: InterpolationWriter.hpp:59-70) instead of a driver-collected
+    map. Only nodes carrying at least one of the 7 addr keys enter the
+    exchange — for the ladder an untagged endpoint is indistinguishable from
+    an absent one — so the shuffle moves O(tagged nodes + interpolation
+    ways), never O(nodes). Output is identical to ``interpolation_stage``.
+    """
+    import pyarrow.compute as pc
+
+    from ..ops import direct_cogroup, filter_batches
+
+    interp = filter_batches(
+        ways_geo,
+        lambda t: pc.and_(pc.is_valid(t[tag_col("addr:interpolation")]), t["nonzero"]),
+    )
+    interp_schema = _dataset_schema(ways_geo)
+
+    cols = ["osm_id"] + [tag_col(k) for k in ADDR_KEYS_7]
+
+    def tagged_only(t: pa.Table) -> pa.Table:
+        mask = None
+        for k in ADDR_KEYS_7:
+            v = pc.is_valid(t[tag_col(k)])
+            mask = v if mask is None else pc.or_(mask, v)
+        return t.filter(mask)
+
+    tagged_nodes = (
+        parsed_ds.filter(expr="etype == 'node'")
+        .select_columns(cols)
+        .map_batches(tagged_only, batch_format="pyarrow")
+        .materialize()  # consumed by both joins
+    )
+
+    cg1 = direct_cogroup(
+        [interp, tagged_nodes],
+        [["first_ref"], ["osm_id"]],
+        num_parts,
+        _attach_endpoint_cols("f"),
+        [interp_schema, NODE_TAGS_SCHEMA],
+    )
+    schema1 = pa.schema(
+        list(interp_schema)
+        + [pa.field(f"__f_{tag_col(k)}", pa.string()) for k in ADDR_KEYS_7]
+    )
+    cg2 = direct_cogroup(
+        [cg1, tagged_nodes],
+        [["last_ref"], ["osm_id"]],
+        num_parts,
+        _attach_endpoint_cols("l"),
+        [schema1, NODE_TAGS_SCHEMA],
+    )
+    ref = ray.put({})  # validator reads the attached columns, never the map
+
+    def run(t: pa.Table) -> pa.Table:
+        return InterpolationValidator(ref)(t)
+
+    return cg2.map_batches(run, batch_format="pyarrow")
+
+
+def _dataset_schema(ds) -> pa.Schema:
+    s = ds.schema()
+    return getattr(s, "base_schema", s)
 
 
 def interpolation_stage(ways_geo, endpoint_tags, *, concurrency=(1, 4)):

@@ -452,6 +452,133 @@ def build_places_index(parsed_ds, ways_geo) -> dict:
     return out
 
 
+_PLACE_ROW_SCHEMA = pa.schema(
+    [
+        pa.field("flavor", pa.int8()),  # 0 = node place, 1 = closed-way place
+        pa.field("id", pa.int64()),
+        pa.field("lon", pa.float64()),
+        pa.field("lat", pa.float64()),
+        pa.field("name", pa.string()),
+    ]
+)
+
+
+def _name_shard_codes(names, n_shards: int) -> np.ndarray:
+    """Deterministic cross-process shard assignment for place names (the
+    same ``ops.hash_keys`` hash the exchange uses — PYTHONHASHSEED-free)."""
+    from ..ops import hash_keys
+
+    t = pa.table({"name": pa.array(list(names), pa.string())})
+    return (hash_keys(t, ["name"]) % np.uint64(n_shards)).astype(np.int64)
+
+
+@ray.remote(num_cpus=0)
+class PlacesShard:
+    """One shard of the distributed places index (ST2 scale fallback): holds
+    {name → (nody, wayy)} for the names hashing to this shard."""
+
+    def __init__(self, tab: pa.Table):
+        from ..pipelines.side_inputs import _places_from_tables
+
+        flav = tab["flavor"].to_numpy(zero_copy_only=False)
+        sel = ["id", "lon", "lat", "name"]
+        nody = tab.filter(pa.array(flav == 0)).select(sel)
+        wayy = tab.filter(pa.array(flav == 1)).select(sel)
+        self.d = _places_from_tables(nody, wayy)
+
+    def fetch(self, names: list[str]) -> dict:
+        return {n: self.d[n] for n in names if n in self.d}
+
+
+class ShardedPlacesIndex:
+    """Handle for the name-hash-sharded places index (ST2 fallback when the
+    index exceeds the broadcast budget).
+
+    The place probe is keyed by NAME while match partitions are keyed by
+    CELL — no locality to exploit — so the fallback is a sharded index
+    service: each match partition batches the unique names it actually
+    probes into one ``fetch`` RPC per shard (traffic is O(distinct probed
+    names per partition), never O(places)). Documented partitioning
+    assumption: shard actors jointly hold the full index, O(places/K) each.
+    """
+
+    __slots__ = ("shards", "total")
+
+    def __init__(self, shards, total: int):
+        self.shards = shards
+        self.total = int(total)
+
+    def __bool__(self) -> bool:
+        return self.total > 0
+
+    def __len__(self) -> int:
+        return self.total
+
+    def fetch_local(self, names: list[str]) -> dict:
+        if not names:
+            return {}
+        codes = _name_shard_codes(names, len(self.shards))
+        futs, name_arr = [], np.asarray(names, object)
+        for s in np.unique(codes):
+            futs.append(self.shards[int(s)].fetch.remote(list(name_arr[codes == s])))
+        out: dict = {}
+        for d in ray.get(futs):
+            out.update(d)
+        return out
+
+
+def build_places_shards(parsed_ds, ways_geo, *, n_shards: int = 8, num_parts: int | None = None):
+    """Distributed build of the sharded places index: extract place rows
+    (node places + closed-way places, FirstHandler.hpp:24-36/:87-97) as a
+    Dataset, hash-partition by name into ``n_shards`` partitions, and feed
+    each partition to a shard actor — the driver never holds the index."""
+    from ..ops import direct_cogroup
+
+    def nodes_places(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(t["etype"], "node"),
+            pc.and_(pc.is_valid(t[tag_col("place")]), pc.is_valid(t[tag_col("name")])),
+        )
+        s = t.filter(m)
+        return pa.table(
+            {
+                "flavor": pa.array(np.zeros(s.num_rows, np.int8)),
+                "id": s["osm_id"].combine_chunks(),
+                "lon": s["lon"].combine_chunks(),
+                "lat": s["lat"].combine_chunks(),
+                "name": s[tag_col("name")].combine_chunks(),
+            }
+        )
+
+    def ways_places(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.is_valid(t[tag_col("place")]), pc.is_valid(t[tag_col("name")])),
+            pc.and_(t["is_closed"], t["nonzero"]),
+        )
+        s = t.filter(m)
+        return pa.table(
+            {
+                "flavor": pa.array(np.ones(s.num_rows, np.int8)),
+                "id": s["way_id"].combine_chunks(),
+                "lon": s["centroid_lon"].combine_chunks(),
+                "lat": s["centroid_lat"].combine_chunks(),
+                "name": s[tag_col("name")].combine_chunks(),
+            }
+        )
+
+    rows = parsed_ds.map_batches(nodes_places, batch_format="pyarrow").union(
+        ways_geo.map_batches(ways_places, batch_format="pyarrow")
+    )
+    # one hash exchange on name: partition p holds exactly shard p's rows
+    sharded = direct_cogroup(
+        [rows], [["name"]], n_shards, lambda t: t, [_PLACE_ROW_SCHEMA]
+    )
+    refs = sharded.to_arrow_refs()
+    shards = [PlacesShard.remote(r) for r in refs]
+    total = sharded.count()
+    return ShardedPlacesIndex(shards, total)
+
+
 class PlacesIndex:
     """Columnar broadcast form of the places index (ST2).
 
@@ -751,10 +878,18 @@ def _match_partition(streets: pa.Table, addrs: pa.Table, places_ref) -> pa.Table
     if places:
         # pass 1: node addresses probing with their addr:street value
         p1 = np.flatnonzero(kind_node & has_street)
-        probe(p1, a_street_code[p1])
         # pass 2: nodes and ways probing with their addr:place value
         has_place = a_place_code >= 0
         p2 = np.flatnonzero((kind_node | kind_way) & has_place)
+        if isinstance(places, ShardedPlacesIndex):
+            # distributed mode: pull ONLY the names this partition probes
+            # from the shard service, then run the identical probe kernel
+            codes_needed = np.unique(
+                np.concatenate([a_street_code[p1], a_place_code[p2]])
+            )
+            names_needed = [uniq_names[c] for c in codes_needed if c >= 0]
+            places = places.fetch_local(names_needed)
+        probe(p1, a_street_code[p1])
         probe(p2, a_place_code[p2])
 
     # ---- assemble outputs -------------------------------------------------

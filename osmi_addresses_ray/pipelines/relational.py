@@ -181,8 +181,63 @@ def q_filter_high_value(sf_dir: str):
 # clear win once the fact side dominates the exchange
 PUSHDOWN_ROWS = 5_000_000
 
+# dimension-side row count under which a fact ⨝ dim join is executed as a
+# broadcast (ray.put the dim once, vectorized searchsorted probe inside
+# map_batches) instead of an all-to-all hash shuffle of the fact side —
+# the canonical small-side pattern; above the budget the native
+# hash-partitioned Dataset.join takes over
+BROADCAST_ROWS = 5_000_000
 
-def q_join_orders_customers(sf_dir: str, *, pushdown: bool | None = None):
+
+def broadcast_inner_join(fact, dim, *, left_on: str, right_on: str, take_cols: list[str]):
+    """fact ⨝ dim on an integer key with the dim side broadcast.
+
+    The dim's (key, take_cols) columns are collected once on the driver
+    (bounded by BROADCAST_ROWS at call sites), key-sorted, and shipped via
+    ``ray.put``; every fact batch probes with one ``np.searchsorted`` and
+    appends the dim columns by Arrow ``take``. Rows without a match are
+    dropped (inner semantics). Equivalent to
+    ``fact.join(dim, join_type="inner", ...)`` restricted to ``take_cols``.
+    """
+    import ray
+
+    dim_tab = pa.concat_tables(
+        ray.get(dim.select_columns([right_on] + take_cols).to_arrow_refs())
+    ).combine_chunks()
+    keys = dim_tab[right_on].to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")
+    side = {
+        "keys": keys[order],
+        "cols": {c: dim_tab[c].take(pa.array(order)).combine_chunks() for c in take_cols},
+    }
+    ref = ray.put(side)
+
+    def probe(t: pa.Table, _ref=ref, _left_on=left_on) -> pa.Table:
+        from ..state.broadcast import get_cached
+
+        s = get_cached(_ref)
+        sk = s["keys"]
+        if len(sk) == 0:
+            t = t.slice(0, 0)
+            for c, arr in s["cols"].items():
+                t = t.append_column(c, arr.slice(0, 0))
+            return t
+        fk = t[_left_on].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(sk, fk)
+        pos_c = np.minimum(pos, len(sk) - 1)
+        hit = sk[pos_c] == fk
+        if not hit.all():
+            t = t.filter(pa.array(hit))
+            pos_c = pos_c[hit]
+        idx = pa.array(pos_c, pa.int64())
+        for c, arr in s["cols"].items():
+            t = t.append_column(c, arr.take(idx))
+        return t
+
+    return fact.map_batches(probe, batch_format="pyarrow")
+
+
+def q_join_orders_customers(sf_dir: str, *, pushdown: bool | None = None, broadcast: bool | None = None):
     """Hash join orders ⨝ customer, revenue per market segment.
 
     Adaptive group-pushdown: above PUSHDOWN_ROWS the orders side
@@ -193,21 +248,35 @@ def q_join_orders_customers(sf_dir: str, *, pushdown: bool | None = None):
     cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     if pushdown is None:
         pushdown = orders.count() > PUSHDOWN_ROWS  # parquet metadata, no scan
+    if broadcast is None:
+        broadcast = cust.count() <= BROADCAST_ROWS  # parquet metadata, no scan
     if pushdown:
         pre = grouped_agg(
             orders,
             ["o_custkey"],
             {"revenue": ("o_totalprice", "sum"), "n_orders": (None, "count")},
         )
-        j = pre.join(
-            cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
-        )
         spec = {"revenue": ("revenue", "sum"), "n_orders": ("n_orders", "sum")}
+        if broadcast:
+            j = broadcast_inner_join(
+                pre, cust, left_on="o_custkey", right_on="c_custkey",
+                take_cols=["c_mktsegment"],
+            )
+        else:
+            j = pre.join(
+                cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+            )
     else:
-        j = orders.join(
-            cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
-        )
         spec = {"revenue": ("o_totalprice", "sum"), "n_orders": (None, "count")}
+        if broadcast:
+            j = broadcast_inner_join(
+                orders, cust, left_on="o_custkey", right_on="c_custkey",
+                take_cols=["c_mktsegment"],
+            )
+        else:
+            j = orders.join(
+                cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+            )
     out = grouped_agg(j, ["c_mktsegment"], spec)
     df = out.to_pandas().sort_values("c_mktsegment").reset_index(drop=True)
     df["revenue"] = df["revenue"].round(4)
@@ -223,7 +292,7 @@ def q_top_orders(sf_dir: str):
     )
 
 
-def q_supplier_part_join(sf_dir: str, *, pushdown: bool | None = None):
+def q_supplier_part_join(sf_dir: str, *, pushdown: bool | None = None, broadcast: bool | None = None):
     """lineitem ⨝ part grouped by brand, with adaptive aggregation pushdown
     (lineitem pre-aggregates per partkey above PUSHDOWN_ROWS — the join then
     moves one row per part, not one per lineitem)."""
@@ -231,19 +300,33 @@ def q_supplier_part_join(sf_dir: str, *, pushdown: bool | None = None):
     part = read(sf_dir, "part", columns=["p_partkey", "p_brand"])
     if pushdown is None:
         pushdown = li.count() > PUSHDOWN_ROWS
+    if broadcast is None:
+        broadcast = part.count() <= BROADCAST_ROWS
     if pushdown:
         pre = grouped_agg(
             li, ["l_partkey"], {"revenue": ("l_extendedprice", "sum"), "n_items": (None, "count")}
         )
-        j = pre.join(
-            part, join_type="inner", num_partitions=8, on=("l_partkey",), right_on=("p_partkey",)
-        )
         spec = {"revenue": ("revenue", "sum"), "n_items": ("n_items", "sum")}
+        if broadcast:
+            j = broadcast_inner_join(
+                pre, part, left_on="l_partkey", right_on="p_partkey",
+                take_cols=["p_brand"],
+            )
+        else:
+            j = pre.join(
+                part, join_type="inner", num_partitions=8, on=("l_partkey",), right_on=("p_partkey",)
+            )
     else:
-        j = li.join(
-            part, join_type="inner", num_partitions=8, on=("l_partkey",), right_on=("p_partkey",)
-        )
         spec = {"revenue": ("l_extendedprice", "sum"), "n_items": (None, "count")}
+        if broadcast:
+            j = broadcast_inner_join(
+                li, part, left_on="l_partkey", right_on="p_partkey",
+                take_cols=["p_brand"],
+            )
+        else:
+            j = li.join(
+                part, join_type="inner", num_partitions=8, on=("l_partkey",), right_on=("p_partkey",)
+            )
     out = grouped_agg(j, ["p_brand"], spec)
     df = out.to_pandas().sort_values("p_brand").reset_index(drop=True)
     df["revenue"] = df["revenue"].round(4)

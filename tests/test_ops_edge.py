@@ -54,3 +54,45 @@ def test_join_pushdown_parity(ray_session):
     c = q_join_orders_customers(sf, pushdown=False)
     d = q_join_orders_customers(sf, pushdown=True)
     pd.testing.assert_frame_equal(c, d, check_dtype=False)
+
+
+def test_join_broadcast_parity(ray_session):
+    """The broadcast small-side plan equals the native hash-shuffle join
+    for every pushdown × broadcast combination."""
+    from osmi_addresses_ray.pipelines.relational import (
+        q_join_orders_customers,
+        q_supplier_part_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for q in (q_supplier_part_join, q_join_orders_customers):
+        for pd_flag in (False, True):
+            ref = q(sf, pushdown=pd_flag, broadcast=False)
+            bc = q(sf, pushdown=pd_flag, broadcast=True)
+            pd.testing.assert_frame_equal(ref, bc, check_dtype=False)
+
+
+def test_broadcast_inner_join_edge(ray_session):
+    """Misses are dropped (inner), empty dim yields an empty result with
+    the joined schema."""
+    import ray.data as rd
+
+    from osmi_addresses_ray.pipelines.relational import broadcast_inner_join
+
+    fact = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 5], pa.int64()), "v": [10.0, 20.0, 30.0, 50.0]})
+    )
+    dim = rd.from_arrow(
+        pa.table({"dk": pa.array([1, 3, 4], pa.int64()), "name": ["a", "c", "d"]})
+    )
+    out = broadcast_inner_join(fact, dim, left_on="k", right_on="dk", take_cols=["name"])
+    t = pa.concat_tables(out.iter_batches(batch_format="pyarrow")).sort_by("k")
+    assert t["k"].to_pylist() == [1, 3]
+    assert t["name"].to_pylist() == ["a", "c"]
+
+    empty_dim = rd.from_arrow(
+        pa.table({"dk": pa.array([], pa.int64()), "name": pa.array([], pa.string())})
+    )
+    out2 = broadcast_inner_join(fact, empty_dim, left_on="k", right_on="dk", take_cols=["name"])
+    assert out2.count() == 0
+    assert "name" in out2.schema().names

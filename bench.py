@@ -52,6 +52,9 @@ def fixture_path() -> str:
 
 
 def bench_address_view() -> tuple[float, dict]:
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow as pa
     import ray.data as rd
 
     from osmi_addresses_ray.pipelines.address_view import build_layers_with_internals
@@ -61,44 +64,61 @@ def bench_address_view() -> tuple[float, dict]:
     # coalesce to ~1 block per CPU: tiny blocks make every downstream stage
     # overhead-bound (measured: assembly 6.3s → 2.6s at 66 → 32 blocks)
     docs = rd.read_parquet(docs_path, override_num_blocks=NUM_CPUS)
-    # partition count follows data volume (one partition ≈ 1.5k blocks of
-    # fixture ≈ 23k docs), floored at 8 for parallelism; CPU count alone is
-    # the wrong driver at small scale; ~2 parts per CPU measured best at the
-    # 8-CPU leg (16 parts: 31.6->28.7s; 32 parts regress via index-rebuild)
-    num_parts = int(os.environ.get("GRAFT_AV_PARTS", str(int(np.clip(N_BLOCKS // 1500, 8, 2 * max(NUM_CPUS, 4))))))
-    layers, internals = build_layers_with_internals(docs, num_parts=num_parts)
+    # partition count is a property of the DATA, not the cluster: one
+    # partition ≈ 48k fixture blocks (≈690k docs), floored at 8 for
+    # parallelism, capped at 64 (per-partition street-index rebuild cost
+    # dominates beyond that — measured 8→32 parts regress at fixture scale).
+    # Crucially the scaling legs run the IDENTICAL plan at every CPU count.
+    num_parts = int(os.environ.get("GRAFT_AV_PARTS", str(int(np.clip(N_BLOCKS // 48000, 8, 64)))))
+
+    # consume each layer's full lineage (projections, WKT formatting) in
+    # tagged-union executions — but START each union as soon as its inputs
+    # are materialized (stage_cb), so the way-layer consume overlaps the
+    # side-input/interpolation/match phases and the match-layer consume
+    # overlaps the written-ways dedup exchange. Ten separate .count() calls
+    # would pay ten serial driver-side execution launches; one end-of-run
+    # union would serialize ALL consume work after the last barrier.
+    counts: dict[str, int] = {}
+    pool = ThreadPoolExecutor(max_workers=3)
+    futures = []
+
+    def consume_union(group: dict) -> dict[str, int]:
+        tagged = None
+        for name, ds in group.items():
+            part = ds.map_batches(
+                lambda t, _n=name: pa.table({"layer": [_n], "n": [t.num_rows]}),
+                batch_format="pyarrow",
+            )
+            tagged = part if tagged is None else tagged.union(part)
+        out: dict[str, int] = {}
+        for row in tagged.take_all():
+            out[row["layer"]] = out.get(row["layer"], 0) + row["n"]
+        return out
+
+    def stage_cb(event: str, group: dict):
+        futures.append(pool.submit(consume_union, dict(group)))
+
+    layers, internals = build_layers_with_internals(
+        docs, num_parts=num_parts, stage_cb=stage_cb
+    )
     # n_docs from the materialized parse stage (metadata read) — a separate
     # docs.count() would pay one full extra scan of the input parquet
     n_docs = internals["parsed"].count()
-    # consume ALL layer datasets in ONE tagged-union execution: the timed
-    # region must include every layer's full lineage (projections, WKT
-    # formatting) — counting from upstream internals would skip real work
-    # and overstate docs/sec — while ten separate .count() calls would pay
-    # ten driver-side execution launches
-    import pyarrow as pa
-
-    tagged = None
-    for name in (
-        "osmi_addresses_nodes_with_addresses",
-        "osmi_addresses_connection_line",
-        "osmi_addresses_nearest_points",
-        "osmi_addresses_nearest_roads",
-        "osmi_addresses_nearest_areas",
-        "osmi_addresses_interpolation",
-        "osmi_addresses_ways_with_addresses",
-        "osmi_addresses_addrx_on_nonclosed_way",
-        "osmi_addresses_entrances",
-        "osmi_addresses_ways_with_postal_code",
-    ):
-        part = layers[name].map_batches(
-            lambda t, _n=name: pa.table({"layer": [_n], "n": [t.num_rows]}),
-            batch_format="pyarrow",
-        )
-        tagged = part if tagged is None else tagged.union(part)
     t_consume = time.perf_counter()
-    counts: dict[str, int] = {}
-    for row in tagged.take_all():
-        counts[row["layer"]] = counts.get(row["layer"], 0) + row["n"]
+    # roads/areas only become consumable at the end — their union is the one
+    # remaining serial consume
+    futures.append(
+        pool.submit(
+            consume_union,
+            {
+                k: layers[k]
+                for k in ("osmi_addresses_nearest_roads", "osmi_addresses_nearest_areas")
+            },
+        )
+    )
+    for f in futures:
+        counts.update(f.result())
+    pool.shutdown()
     sec = time.perf_counter() - t0
     phases = dict(internals.get("phases", {}))
     phases["consume"] = round(time.perf_counter() - t_consume, 3)

@@ -160,12 +160,37 @@ def _align_to_schema(t: pa.Table, schema: pa.Schema) -> pa.Table:
     return pa.Table.from_arrays(arrays, schema=schema)
 
 
+class PrePartitioned:
+    """Hash-partitioned piece grid produced by ``direct_cogroup(...,
+    emit_partitioned_on=key)`` — shuffle chaining. ``pieces[p]`` holds the
+    object refs of partition ``p`` (hash(key) % num_parts). A downstream
+    ``direct_cogroup`` with the SAME ``num_parts`` consumes it without a
+    split wave: the previous exchange's reduce already partitioned its
+    output on the next exchange's key, so the big intermediate never takes
+    an extra object-store round trip (the Ray-native analogue of fused
+    shuffle writes)."""
+
+    __slots__ = ("pieces", "key", "num_parts")
+
+    def __init__(self, pieces, key, num_parts: int):
+        self.pieces = pieces  # [part] -> list of piece refs
+        self.key = tuple(key)
+        self.num_parts = int(num_parts)
+
+    def to_dataset(self):
+        import ray.data as rd
+
+        return rd.from_arrow_refs([r for per in self.pieces for r in per])
+
+
 def direct_cogroup(
     datasets: Sequence,
     keys: Sequence[Sequence[str]],
     num_parts: int,
     fn: Callable[..., pa.Table],
     schemas: Sequence[pa.Schema],
+    *,
+    emit_partitioned_on: Sequence[str] | None = None,
 ):
     """Two-wave map/reduce co-group over raw Ray tasks (no sort barrier).
 
@@ -216,13 +241,27 @@ def direct_cogroup(
     # scaling decomposition (BASELINE.md).
     from concurrent.futures import ThreadPoolExecutor
 
-    if len(datasets) > 1:
-        with ThreadPoolExecutor(max_workers=len(datasets)) as pool:
-            all_refs = list(pool.map(lambda d: d.to_arrow_refs(), datasets))
+    def _collect(d):
+        # PrePartitioned sources are already split on this exchange's hash
+        # space — no execution, no split wave
+        return None if isinstance(d, PrePartitioned) else d.to_arrow_refs()
+
+    live = [d for d in datasets if not isinstance(d, PrePartitioned)]
+    if len(live) > 1:
+        with ThreadPoolExecutor(max_workers=len(live)) as pool:
+            all_refs = list(pool.map(_collect, datasets))
     else:
-        all_refs = [datasets[0].to_arrow_refs()]
+        all_refs = [_collect(d) for d in datasets]
     pieces: list[list[list]] = []  # [src][part] -> list of piece refs
     for i, (ds, key_cols) in enumerate(zip(datasets, keys)):
+        if isinstance(ds, PrePartitioned):
+            if ds.num_parts != num_parts:
+                raise ValueError(
+                    f"PrePartitioned source has num_parts={ds.num_parts}, "
+                    f"exchange expects {num_parts}"
+                )
+            pieces.append([list(per) for per in ds.pieces])
+            continue
         per_part: list[list] = [[] for _ in range(num_parts)]
         for block_ref in all_refs[i]:
             out = _split.options(num_returns=num_parts).remote(
@@ -240,8 +279,7 @@ def direct_cogroup(
         [len(pieces[i][p]) for i in range(n_src)] for p in range(num_parts)
     ]
 
-    @ray.remote
-    def _reduce(counts: list[int], *flat_pieces: pa.Table) -> pa.Table:
+    def _assemble(counts, flat_pieces):
         parts = []
         off = 0
         for i, c in enumerate(counts):
@@ -251,13 +289,50 @@ def direct_cogroup(
                 parts.append(pa.concat_tables(tabs, promote_options="default"))
             else:
                 parts.append(schemas_t[i].empty_table())
-        return fn(*parts)
+        return parts
 
-    out_refs = []
+    @ray.remote
+    def _reduce(counts: list[int], *flat_pieces: pa.Table) -> pa.Table:
+        return fn(*_assemble(counts, flat_pieces))
+
+    out_key = tuple(emit_partitioned_on) if emit_partitioned_on is not None else None
+
+    @ray.remote
+    def _reduce_split(counts: list[int], *flat_pieces: pa.Table):
+        # fn, then re-partition the OUTPUT on the next exchange's key — the
+        # downstream cogroup consumes this grid without a split wave
+        t = fn(*_assemble(counts, flat_pieces))
+        if num_parts == 1:
+            return t
+        if t.num_rows == 0:
+            return tuple(t for _ in range(num_parts))
+        part = (hash_keys(t, list(out_key)) % np.uint64(num_parts)).astype(np.int64)
+        order = np.argsort(part, kind="stable")
+        ts = t.take(pa.array(order))
+        sp = part[order]
+        bounds = np.searchsorted(sp, np.arange(num_parts + 1))
+        return tuple(
+            ts.slice(bounds[p], bounds[p + 1] - bounds[p]) for p in range(num_parts)
+        )
+
+    if out_key is None:
+        out_refs = []
+        for p in range(num_parts):
+            flat = [r for i in range(n_src) for r in pieces[i][p]]
+            out_refs.append(_reduce.remote(counts_per_part[p], *flat))
+        return rd.from_arrow_refs(out_refs)
+
+    grid: list[list] = [[] for _ in range(num_parts)]
     for p in range(num_parts):
         flat = [r for i in range(n_src) for r in pieces[i][p]]
-        out_refs.append(_reduce.remote(counts_per_part[p], *flat))
-    return rd.from_arrow_refs(out_refs)
+        out = _reduce_split.options(num_returns=num_parts).remote(
+            counts_per_part[p], *flat
+        )
+        if num_parts == 1:
+            out = [out]
+        for q, ref in enumerate(out):
+            grid[q].append(ref)
+    return PrePartitioned(grid, out_key, num_parts)
 
 
 def cogroup(

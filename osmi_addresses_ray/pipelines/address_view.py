@@ -272,6 +272,7 @@ def build_layers_with_internals(
     workdir: str | None = None,
     fingerprint: str | None = None,
     side_input_mode: str = "broadcast",
+    stage_cb=None,
 ):
     """Like ``build_layers`` but also returns the materialized intermediate
     datasets ({parsed, ways_geo, interp_out, matched, deduped}) so callers
@@ -309,6 +310,22 @@ def build_layers_with_internals(
     layers[LAYER_WAYS_WITH_POSTAL_CODE] = ways_with_postal_code_layer(ways_geo)
     layers[LAYER_ADDRX_ON_NONCLOSED_WAY] = addrx_on_nonclosed_way_layer(ways_geo)
     layers[LAYER_BUILDINGS] = buildings_layer(ways_geo, enabled=buildings_enabled)
+    if stage_cb is not None:
+        # these layers' full lineage (parsed / ways_geo) is materialized: a
+        # consumer can execute them NOW, overlapped with the side-input +
+        # interpolation + match phases below
+        stage_cb(
+            "ways_ready",
+            {
+                k: layers[k]
+                for k in (
+                    LAYER_ENTRANCES,
+                    LAYER_WAYS_WITH_ADDRESSES,
+                    LAYER_WAYS_WITH_POSTAL_CODE,
+                    LAYER_ADDRX_ON_NONCLOSED_WAY,
+                )
+            },
+        )
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -319,10 +336,16 @@ def build_layers_with_internals(
     # whole execution overlaps the side-input collection + interpolation
     # barrier on the serial spine (measured: hides the streets execution
     # entirely; concurrent Dataset executions are independent plans over the
-    # materialized ways_geo).
-    _pool = ThreadPoolExecutor(max_workers=1)
+    # materialized ways_geo). Likewise the node/way address branches (only
+    # the ip-point branch depends on interpolation): pre-executing them here
+    # fills the worker-idle window left by the driver-side side-input
+    # reduction, so the match phase pays only the small ip projection.
+    _pool = ThreadPoolExecutor(max_workers=2)
     streets_future = _pool.submit(
         lambda: streets_from_ways_geo(ways_geo).materialize()
+    )
+    base_addrs_future = _pool.submit(
+        lambda: node_addresses(parsed).union(way_addresses(ways_geo)).materialize()
     )
 
     if side_input_mode == "distributed":
@@ -355,6 +378,10 @@ def build_layers_with_internals(
         ),
         batch_format="pyarrow",
     )
+    if stage_cb is not None:
+        # interp_out is materialized — the interpolation layer is consumable
+        # concurrently with the address/match phase
+        stage_cb("interp_ready", {LAYER_INTERPOLATION: layers[LAYER_INTERPOLATION]})
     ip_points = interp_out.map_batches(
         lambda t: t.filter(pc.equal(t["__out"], 1)).select(
             [
@@ -367,12 +394,8 @@ def build_layers_with_internals(
     )
 
     streets = streets_future.result()
+    addrs = base_addrs_future.result().union(ip_addresses(ip_points))
     _pool.shutdown()
-    addrs = (
-        node_addresses(parsed)
-        .union(way_addresses(ways_geo))
-        .union(ip_addresses(ip_points))
-    )
     salt_map = None
     if hot_cell_threshold is not None:
         from ..stages.match import compute_salt_map
@@ -387,6 +410,20 @@ def build_layers_with_internals(
     layers[LAYER_NODES_WITH_ADDRESSES] = _nwa_from_match(matched)
     layers[LAYER_CONNECTION_LINE] = _connection_lines_from_match(matched)
     layers[LAYER_NEAREST_POINTS] = _nearest_points_from_match(matched)
+    if stage_cb is not None:
+        # matched is materialized — the three match-projection layers are
+        # consumable concurrently with the written-ways dedup exchange
+        stage_cb(
+            "matched_ready",
+            {
+                k: layers[k]
+                for k in (
+                    LAYER_NODES_WITH_ADDRESSES,
+                    LAYER_CONNECTION_LINE,
+                    LAYER_NEAREST_POINTS,
+                )
+            },
+        )
     internals: dict = {
         "parsed": parsed,
         "ways_geo": ways_geo,

@@ -273,12 +273,17 @@ def assemble_ways(parsed_ds, *, num_parts: int = 32, exchange: str = "direct"):
     )
 
     if exchange == "direct":
+        # shuffle chaining: the node-location join's reduce emits its output
+        # already hash-partitioned on way_id, so the reassembly exchange
+        # consumes the grid directly — no split wave, and the wide ``located``
+        # intermediate (one row per way-vertex) skips an object-store round
         located = direct_cogroup(
             [exploded, nodes],
             [["node_ref"], ["osm_id"]],
             num_parts,
             _locate,
             [EXPLODED_SCHEMA, NODE_LOC_SCHEMA],
+            emit_partitioned_on=["way_id"],
         )
         return direct_cogroup(
             [located, way_attrs],

@@ -737,6 +737,7 @@ def interpolation_stage_distributed(parsed_ds, ways_geo, *, num_parts: int = 16)
         num_parts,
         _attach_endpoint_cols("f"),
         [interp_schema, NODE_TAGS_SCHEMA],
+        emit_partitioned_on=["last_ref"],  # shuffle chaining into join #2
     )
     schema1 = pa.schema(
         list(interp_schema)

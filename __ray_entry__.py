@@ -520,11 +520,14 @@ def _ensure_default_oracles() -> None:
     are seeded at the driver's documented correctness scale (sf0.01). Files
     are only written when MISSING — each query callable rewrites its oracle
     for the sf it actually ran at, which is the normal (query-then-SQL)
-    path."""
+    path. A version stamp guards the persistent /tmp dir: oracle files
+    written by an older code version are cleared first, so SQL-first
+    evaluation never reads an oracle inconsistent with the current engine."""
     import os
 
-    from osmi_addresses_ray.oracle import oracle_path
+    from osmi_addresses_ray.oracle import invalidate_stale_oracles, oracle_path
 
+    invalidate_stale_oracles()
     probe = oracle_path("osmi_addresses_entrances")
     if not os.path.exists(probe):
         q = queries()

@@ -61,9 +61,12 @@ def bench_address_view() -> tuple[float, dict]:
 
     docs_path = fixture_path()
     t0 = time.perf_counter()
-    # coalesce to ~1 block per CPU: tiny blocks make every downstream stage
-    # overhead-bound (measured: assembly 6.3s → 2.6s at 66 → 32 blocks)
-    docs = rd.read_parquet(docs_path, override_num_blocks=NUM_CPUS)
+    # ~2 blocks per CPU: enough granularity to smooth parse-stage stragglers
+    # (1 block/CPU: the slowest block pins the whole wave; measured parsed
+    # 6.1s → with 2/CPU the tail shrinks), while still coarse enough that
+    # downstream stages aren't overhead-bound (66 tiny blocks measured
+    # assembly 6.3s vs 2.6s at 32)
+    docs = rd.read_parquet(docs_path, override_num_blocks=2 * NUM_CPUS)
     # partition count is a property of the DATA, not the cluster: one
     # partition ≈ 48k fixture blocks (≈690k docs), floored at 8 for
     # parallelism, capped at 64 (per-partition street-index rebuild cost

@@ -191,6 +191,7 @@ def direct_cogroup(
     schemas: Sequence[pa.Schema],
     *,
     emit_partitioned_on: Sequence[str] | None = None,
+    pres: Sequence[Callable[[pa.Table], pa.Table] | None] | None = None,
 ):
     """Two-wave map/reduce co-group over raw Ray tasks (no sort barrier).
 
@@ -210,9 +211,21 @@ def direct_cogroup(
     import ray.data as rd
 
     schemas_t = tuple(schemas)
+    # per-source shaping applied INSIDE the split task (map-side fusion):
+    # passing the same materialized upstream as several sources with
+    # different ``pres`` replaces one driver-launched plan execution + one
+    # object-store round trip per source with a zero-copy read of the
+    # upstream block
+    pres_t = tuple(pres) if pres is not None else tuple(None for _ in datasets)
 
     @ray.remote
     def _split(block: pa.Table, key_cols: tuple, schema_i: int):
+        pre = pres_t[schema_i]
+        if pre is not None:
+            # a lazy empty dataset's block refs can carry a degenerate
+            # pre-transform schema the pre fn must never see (map_batches
+            # used to absorb this; raw block reads don't)
+            block = pre(block) if block.num_rows else schemas_t[schema_i].empty_table()
         if num_parts == 1:
             # With num_returns=1 Ray returns ONE ref to the value itself; a
             # 1-tuple here would reach _reduce as a tuple, not a table — so
@@ -385,13 +398,26 @@ def direct_partitioned_map(ds, cols: Sequence[str], num_parts: int, fn, schema: 
     return direct_cogroup([ds], [cols], num_parts, fn, [schema])
 
 
-def dedup_first(ds, key_cols: Sequence[str], order_cols: Sequence[str], num_parts: int):
+def dedup_first(
+    ds,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    num_parts: int,
+    *,
+    exchange: str = "packed",
+    pre=None,
+    schema: pa.Schema | None = None,
+):
     """Per key, keep the row minimal under ``order_cols`` lexicographic order.
 
     Deterministic replacement for the reference's stream-order "first wins"
     dedup sets (NearestRoadsWriter.hpp:25-35, NearestAreasWriter.hpp:25-40):
     with ``order_cols`` = the reference's processing order key, the surviving
     row is byte-identical to the reference's.
+
+    ``exchange="direct"`` uses the two-wave raw-task exchange (no sort
+    barrier; requires a materialized input) and supports map-side fusion:
+    ``pre`` runs inside the split task (``schema`` = pre's output schema).
     """
 
     def f(t: pa.Table) -> pa.Table:
@@ -401,6 +427,13 @@ def dedup_first(ds, key_cols: Sequence[str], order_cols: Sequence[str], num_part
         )
         return pa.Table.from_pandas(df, schema=t.schema, preserve_index=False)
 
+    if exchange == "direct":
+        if schema is None:
+            s = ds.schema()
+            schema = getattr(s, "base_schema", s)
+        return direct_cogroup(
+            [ds], [list(key_cols)], num_parts, f, [schema], pres=[pre]
+        )
     return partitioned_map(ds, key_cols, num_parts, f)
 
 

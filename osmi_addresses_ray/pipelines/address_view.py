@@ -149,14 +149,22 @@ def _nearest_points_from_match(match_ds):
 def _nearest_ways_from_match(match_ds, *, num_parts: int, internals: dict | None = None):
     """__out=3 candidates → dedup by way_id (first in reference processing
     order, ST4) → (roads_ds, areas_ds)."""
-    cands = match_ds.map_batches(
-        lambda t: t.filter(pc.equal(t["__out"], 3)).select(
-            ["way_id", "name", "lastchange", "is_area", "xs", "ys", "ord0", "ord1", "ord2", "ord3"]
-        ),
-        batch_format="pyarrow",
-    )
+    _CAND_COLS = [
+        "way_id", "name", "lastchange", "is_area", "xs", "ys", "ord0", "ord1", "ord2", "ord3",
+    ]
+
+    def _pre_cands(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["__out"], 3)).select(_CAND_COLS)
+
+    sch = match_ds.schema()
+    sch = getattr(sch, "base_schema", sch)
+    cand_schema = pa.schema([sch.field(c) for c in _CAND_COLS])
+    # direct exchange + map-side fusion: the candidate projection runs inside
+    # the split tasks over the materialized match blocks — no separate plan
+    # execution, no sort barrier
     deduped = dedup_first(
-        cands, ["way_id"], ["ord0", "ord1", "ord2", "ord3"], num_parts
+        match_ds, ["way_id"], ["ord0", "ord1", "ord2", "ord3"], num_parts,
+        exchange="direct", pre=_pre_cands, schema=cand_schema,
     ).materialize()
     if internals is not None:
         internals["deduped"] = deduped
@@ -362,7 +370,11 @@ def build_layers_with_internals(
             workdir=workdir, name="interp_out", fingerprint=fingerprint,
         )
     else:
-        endpoint_tags, places = collect_side_inputs(parsed, ways_geo)
+        from .side_inputs import collect_side_inputs_async
+
+        # refs, not values: both reductions run off-driver and overlap the
+        # background street/address pre-executions
+        endpoint_tags, places = collect_side_inputs_async(parsed, ways_geo)
         clock.tick("side_inputs")
         interp_out = _stage_checkpoint(
             lambda: interpolation_stage(ways_geo, endpoint_tags),

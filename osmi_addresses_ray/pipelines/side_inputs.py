@@ -17,79 +17,95 @@ import pyarrow.compute as pc
 from ..constants import ADDR_KEYS_7, tag_col
 
 
-def collect_side_inputs(parsed_ds, ways_geo):
-    """→ (endpoint_tags: {node_id: {addr key: val}}, places: {name: (nody, wayy)}).
+_TAG_COLS = [tag_col(k) for k in ADDR_KEYS_7]
 
-    Pass 1 (ways_geo): interpolation endpoints + closed-way places.
-    Pass 2 (parsed nodes): endpoint node tags + node places.
-    Semantics identical to stages.interpolation.collect_endpoint_tags and
-    stages.match.build_places_index (which remain for standalone use).
-    """
-    import ray
 
-    # ---- pass 1: ways side (tagged union) ----
-    def wf(t: pa.Table) -> pa.Table:
-        interp = t.filter(
-            pc.and_(pc.is_valid(t[tag_col("addr:interpolation")]), t["nonzero"])
-        )
-        ep = pa.table(
-            {
-                "tag": pa.array(np.zeros(interp.num_rows * 2, np.int8)),
-                "id": pa.concat_arrays(
-                    [
-                        interp["first_ref"].combine_chunks(),
-                        interp["last_ref"].combine_chunks(),
-                    ]
-                ),
-                "lon": pa.nulls(interp.num_rows * 2, pa.float64()),
-                "lat": pa.nulls(interp.num_rows * 2, pa.float64()),
-                "name": pa.nulls(interp.num_rows * 2, pa.string()),
-            }
-        )
-        wplace = t.filter(
-            pc.and_(
-                pc.and_(
-                    pc.is_valid(t[tag_col("place")]), pc.is_valid(t[tag_col("name")])
-                ),
-                pc.and_(t["is_closed"], t["nonzero"]),
-            )
-        )
-        wp = pa.table(
-            {
-                "tag": pa.array(np.ones(wplace.num_rows, np.int8)),
-                "id": wplace["way_id"].combine_chunks(),
-                "lon": wplace["centroid_lon"].combine_chunks(),
-                "lat": wplace["centroid_lat"].combine_chunks(),
-                "name": wplace[tag_col("name")].combine_chunks(),
-            }
-        )
-        return pa.concat_tables([ep, wp])
-
-    # Both passes run as one wave of raw Ray tasks over the (already
-    # materialized) source's block refs: inputs sit in the object store, the
-    # per-block outputs are tiny, and a Dataset execution + iter_batches
-    # stream here measured 1.4-2s of pure driver latency per pass at the
-    # 768k-block corpus vs ~0.2s for the task wave. ALL reduction is
-    # vectorized post-concat (per-batch python dict building measured ~5s
-    # serial at 192k-block scale — the single argsort/groupby below is
-    # ~100ms).
-    # zero-row blocks can carry a degenerate (pre-transform) schema — a lazy
-    # empty dataset's block refs surface the input schema, which the pass fn
-    # must never see (map_batches simply skipped such blocks).
-    _pass_task = ray.remote(num_cpus=1)(
-        lambda fn, block: fn(block) if block.num_rows else None
+def _ways_pass(t: pa.Table) -> pa.Table:
+    """Pass 1 (ways_geo): interpolation endpoints + closed-way places."""
+    interp = t.filter(
+        pc.and_(pc.is_valid(t[tag_col("addr:interpolation")]), t["nonzero"])
     )
+    ep = pa.table(
+        {
+            "tag": pa.array(np.zeros(interp.num_rows * 2, np.int8)),
+            "id": pa.concat_arrays(
+                [
+                    interp["first_ref"].combine_chunks(),
+                    interp["last_ref"].combine_chunks(),
+                ]
+            ),
+            "lon": pa.nulls(interp.num_rows * 2, pa.float64()),
+            "lat": pa.nulls(interp.num_rows * 2, pa.float64()),
+            "name": pa.nulls(interp.num_rows * 2, pa.string()),
+        }
+    )
+    wplace = t.filter(
+        pc.and_(
+            pc.and_(
+                pc.is_valid(t[tag_col("place")]), pc.is_valid(t[tag_col("name")])
+            ),
+            pc.and_(t["is_closed"], t["nonzero"]),
+        )
+    )
+    wp = pa.table(
+        {
+            "tag": pa.array(np.ones(wplace.num_rows, np.int8)),
+            "id": wplace["way_id"].combine_chunks(),
+            "lon": wplace["centroid_lon"].combine_chunks(),
+            "lat": wplace["centroid_lat"].combine_chunks(),
+            "name": wplace[tag_col("name")].combine_chunks(),
+        }
+    )
+    return pa.concat_tables([ep, wp])
 
-    def _drain(ds, fn) -> list[pa.Table]:
-        fn_ref = ray.put(fn)
-        outs = ray.get([_pass_task.remote(fn_ref, r) for r in ds.to_arrow_refs()])
-        return [t for t in outs if t is not None and t.num_rows]
 
-    pass1 = _drain(ways_geo, wf)
-    t1 = (
-        pa.concat_tables(pass1)
-        if pass1
-        else pa.table(
+def _node_pass(t: pa.Table, ep: np.ndarray) -> pa.Table:
+    """Pass 2 (parsed): endpoint node tags + node places. ``ep`` is the
+    sorted endpoint-id array from pass 1 (a task argument, so Ray schedules
+    this task only once pass 1's reduce is done)."""
+    is_node = pc.equal(t["etype"], "node")
+    nodes = t.filter(is_node)
+    ids = nodes["osm_id"].to_numpy(zero_copy_only=False)
+    if len(ep):
+        pos = np.searchsorted(ep, ids).clip(0, max(len(ep) - 1, 0))
+        is_ep = ep[pos] == ids
+    else:
+        is_ep = np.zeros(len(ids), bool)
+    epn = nodes.filter(pa.array(is_ep))
+    ept = pa.table(
+        {
+            "tag": pa.array(np.zeros(epn.num_rows, np.int8)),
+            "id": epn["osm_id"].combine_chunks(),
+            "lon": epn["lon"].combine_chunks(),
+            "lat": epn["lat"].combine_chunks(),
+            "name": pa.nulls(epn.num_rows, pa.string()),
+            **{c: epn[c].combine_chunks() for c in _TAG_COLS},
+        }
+    )
+    np_mask = pc.and_(
+        pc.is_valid(nodes[tag_col("place")]), pc.is_valid(nodes[tag_col("name")])
+    )
+    pl = nodes.filter(np_mask)
+    plt = pa.table(
+        {
+            "tag": pa.array(np.ones(pl.num_rows, np.int8)),
+            "id": pl["osm_id"].combine_chunks(),
+            "lon": pl["lon"].combine_chunks(),
+            "lat": pl["lat"].combine_chunks(),
+            "name": pl[tag_col("name")].combine_chunks(),
+            **{c: pa.nulls(pl.num_rows, pa.string()) for c in _TAG_COLS},
+        }
+    )
+    return pa.concat_tables([ept, plt])
+
+
+def _reduce_ways_pass(*outs):
+    """→ (sorted endpoint-id array, closed-way place table)."""
+    tabs = [t for t in outs if t is not None and t.num_rows]
+    if tabs:
+        t1 = pa.concat_tables(tabs)
+    else:
+        t1 = pa.table(
             {
                 "tag": pa.array([], pa.int8()),
                 "id": pa.array([], pa.int64()),
@@ -98,60 +114,24 @@ def collect_side_inputs(parsed_ds, ways_geo):
                 "name": pa.array([], pa.string()),
             }
         )
-    )
     tags1 = t1["tag"].to_numpy(zero_copy_only=False)
     ep_ids = t1["id"].to_numpy(zero_copy_only=False)[tags1 == 0]
     wayy_tab = t1.filter(pa.array(tags1 == 1))
+    ep_sorted = (
+        np.unique(ep_ids.astype(np.int64)) if len(ep_ids) else np.empty(0, np.int64)
+    )
+    return ep_sorted, wayy_tab
 
-    # ---- pass 2: node side ----
-    ep_sorted = np.unique(ep_ids.astype(np.int64)) if len(ep_ids) else np.empty(0, np.int64)
-    ep_ref = ray.put(ep_sorted)
-    tag_cols = [tag_col(k) for k in ADDR_KEYS_7]
 
-    def nf(t: pa.Table) -> pa.Table:
-        import ray as _ray
+def _reduce_node_pass(wayy_tab: pa.Table, *outs):
+    """→ (EndpointTagMap, PlacesIndex) — the two broadcast structures,
+    built off-driver (the argsort + dictionary-encode reduction measured
+    ~1s serial at the 768k-block corpus)."""
+    from ..stages.match import PlacesIndex
 
-        from ..state.broadcast import get_cached
-
-        is_node = pc.equal(t["etype"], "node")
-        nodes = t.filter(is_node)
-        ep = get_cached(ep_ref)
-        ids = nodes["osm_id"].to_numpy(zero_copy_only=False)
-        if len(ep):
-            pos = np.searchsorted(ep, ids).clip(0, max(len(ep) - 1, 0))
-            is_ep = ep[pos] == ids if len(ep) else np.zeros(len(ids), bool)
-        else:
-            is_ep = np.zeros(len(ids), bool)
-        epn = nodes.filter(pa.array(is_ep))
-        ept = pa.table(
-            {
-                "tag": pa.array(np.zeros(epn.num_rows, np.int8)),
-                "id": epn["osm_id"].combine_chunks(),
-                "lon": epn["lon"].combine_chunks(),
-                "lat": epn["lat"].combine_chunks(),
-                "name": pa.nulls(epn.num_rows, pa.string()),
-                **{c: epn[c].combine_chunks() for c in tag_cols},
-            }
-        )
-        np_mask = pc.and_(
-            pc.is_valid(nodes[tag_col("place")]), pc.is_valid(nodes[tag_col("name")])
-        )
-        pl = nodes.filter(np_mask)
-        plt = pa.table(
-            {
-                "tag": pa.array(np.ones(pl.num_rows, np.int8)),
-                "id": pl["osm_id"].combine_chunks(),
-                "lon": pl["lon"].combine_chunks(),
-                "lat": pl["lat"].combine_chunks(),
-                "name": pl[tag_col("name")].combine_chunks(),
-                **{c: pa.nulls(pl.num_rows, pa.string()) for c in tag_cols},
-            }
-        )
-        return pa.concat_tables([ept, plt])
-
-    pass2 = _drain(parsed_ds, nf)
-    if pass2:
-        t2 = pa.concat_tables(pass2)
+    tabs = [t for t in outs if t is not None and t.num_rows]
+    if tabs:
+        t2 = pa.concat_tables(tabs)
     else:
         t2 = pa.table(
             {
@@ -160,21 +140,68 @@ def collect_side_inputs(parsed_ds, ways_geo):
                 "lon": pa.array([], pa.float64()),
                 "lat": pa.array([], pa.float64()),
                 "name": pa.array([], pa.string()),
-                **{c: pa.array([], pa.string()) for c in tag_cols},
+                **{c: pa.array([], pa.string()) for c in _TAG_COLS},
             }
         )
     tags2 = t2["tag"].to_numpy(zero_copy_only=False)
     epb = t2.filter(pa.array(tags2 == 0))
     ep_ids2 = epb["id"].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(ep_ids2, kind="stable")
-    # arrow-native sort: no object-matrix materialization on the driver (the
-    # per-column to_numpy(object) conversion measured ~4s at 768k endpoints)
-    ep_sorted_tab = epb.select(tag_cols).take(pa.array(order, pa.int64())).combine_chunks()
+    # arrow-native sort: no object-matrix materialization (the per-column
+    # to_numpy(object) conversion measured ~4s at 768k endpoints)
+    ep_sorted_tab = (
+        epb.select(_TAG_COLS).take(pa.array(order, pa.int64())).combine_chunks()
+    )
     endpoint_tags = EndpointTagMap(ep_ids2[order], ep_sorted_tab)
 
     nody_tab = t2.filter(pa.array(tags2 == 1)).select(["id", "lon", "lat", "name"])
-    out_places = _places_from_tables(nody_tab, wayy_tab)
-    return endpoint_tags, out_places
+    places = PlacesIndex.from_dict(_places_from_tables(nody_tab, wayy_tab))
+    return endpoint_tags, places
+
+
+def collect_side_inputs_async(parsed_ds, ways_geo):
+    """→ (endpoint_tags_ref, places_ref): the whole collection — two raw
+    task waves over the materialized sources' block refs, plus both
+    reductions — runs as a chained remote-task graph. The driver holds only
+    ObjectRefs (which ``interpolation_stage`` / ``match_stage`` accept
+    directly as the broadcast handle), so the collection overlaps the
+    street/address pre-executions instead of serializing the spine.
+
+    Both passes run as raw Ray tasks over block refs: inputs sit in the
+    object store, the per-block outputs are tiny, and a Dataset execution +
+    iter_batches stream here measured 1.4-2s of pure driver latency per
+    pass at the 768k-block corpus vs ~0.2s for the task wave. Zero-row
+    blocks are skipped (a lazy empty dataset's block refs can carry a
+    degenerate pre-transform schema the pass fn must never see).
+    """
+    import ray
+
+    wave1 = ray.remote(num_cpus=1)(
+        lambda block: _ways_pass(block) if block.num_rows else None
+    )
+    p1 = [wave1.remote(r) for r in ways_geo.to_arrow_refs()]
+    red1 = ray.remote(num_returns=2)(_reduce_ways_pass)
+    ep_ref, wayy_ref = red1.remote(*p1)
+
+    wave2 = ray.remote(num_cpus=1)(
+        lambda block, ep: _node_pass(block, ep) if block.num_rows else None
+    )
+    p2 = [wave2.remote(r, ep_ref) for r in parsed_ds.to_arrow_refs()]
+    red2 = ray.remote(num_returns=2)(_reduce_node_pass)
+    et_ref, pl_ref = red2.remote(wayy_ref, *p2)
+    return et_ref, pl_ref
+
+
+def collect_side_inputs(parsed_ds, ways_geo):
+    """Synchronous wrapper → (EndpointTagMap, PlacesIndex) values.
+
+    Semantics identical to stages.interpolation.collect_endpoint_tags and
+    stages.match.build_places_index (which remain for standalone use).
+    """
+    import ray
+
+    et_ref, pl_ref = collect_side_inputs_async(parsed_ds, ways_geo)
+    return ray.get(et_ref), ray.get(pl_ref)
 
 
 def _places_from_tables(nody_tab: pa.Table, wayy_tab: pa.Table):

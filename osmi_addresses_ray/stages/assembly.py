@@ -243,6 +243,19 @@ def _locate(refs_part: pa.Table, nodes_part: pa.Table) -> pa.Table:
     ).cast(LOCATED_REF_SCHEMA)
 
 
+def _pre_exploded(t: pa.Table) -> pa.Table:
+    w = t.filter(pc.equal(t["etype"], "way")).select(["osm_id", "refs"])
+    return explode_refs_batch(w)
+
+
+def _pre_nodes(t: pa.Table) -> pa.Table:
+    return t.filter(pc.equal(t["etype"], "node")).select(["osm_id", "lon", "lat"])
+
+
+def _pre_way_attrs(t: pa.Table) -> pa.Table:
+    return t.filter(pc.equal(t["etype"], "way")).select(WAY_ATTR_COLS)
+
+
 def assemble_ways(parsed_ds, *, num_parts: int = 32, exchange: str = "direct"):
     """parsed docs Dataset → ways_geo Dataset (see module docstring).
 
@@ -273,24 +286,30 @@ def assemble_ways(parsed_ds, *, num_parts: int = 32, exchange: str = "direct"):
     )
 
     if exchange == "direct":
-        # shuffle chaining: the node-location join's reduce emits its output
-        # already hash-partitioned on way_id, so the reassembly exchange
-        # consumes the grid directly — no split wave, and the wide ``located``
-        # intermediate (one row per way-vertex) skips an object-store round
+        # shuffle chaining + map-side fusion: both exchanges read the
+        # materialized ``parsed`` blocks directly — the per-source shaping
+        # (node/way filter, projection, ref explode) runs INSIDE the split
+        # tasks (``pres``), so no separate plan execution or object-store
+        # round trip exists for exploded/nodes/way_attrs; and the
+        # node-location join's reduce emits its output already
+        # hash-partitioned on way_id, so the reassembly exchange consumes
+        # the grid without a split wave.
         located = direct_cogroup(
-            [exploded, nodes],
+            [parsed_ds, parsed_ds],
             [["node_ref"], ["osm_id"]],
             num_parts,
             _locate,
             [EXPLODED_SCHEMA, NODE_LOC_SCHEMA],
+            pres=[_pre_exploded, _pre_nodes],
             emit_partitioned_on=["way_id"],
         )
         return direct_cogroup(
-            [located, way_attrs],
+            [located, parsed_ds],
             [["way_id"], ["osm_id"]],
             num_parts,
             _reassemble,
             [LOCATED_REF_SCHEMA, attrs_schema],
+            pres=[None, _pre_way_attrs],
         )
 
     located = exploded.join(

@@ -777,7 +777,13 @@ def interpolation_stage(ways_geo, endpoint_tags, *, concurrency=(1, 4)):
         ways_geo,
         lambda t: pc.and_(pc.is_valid(t[tag_col("addr:interpolation")]), t["nonzero"]),
     )
-    ref = ray.put(endpoint_tags)
+    # an ObjectRef (collect_side_inputs_async) is already the broadcast
+    # handle — re-putting would force a driver-side ray.get of the map
+    ref = (
+        endpoint_tags
+        if isinstance(endpoint_tags, ray.ObjectRef)
+        else ray.put(endpoint_tags)
+    )
 
     def run(t: pa.Table) -> pa.Table:
         return InterpolationValidator(ref)(t)

@@ -1099,9 +1099,13 @@ def match_stage(
     column inside each partition. ``exchange``: "direct" = two-wave raw-task
     map/reduce (ops.direct_cogroup, no sort barrier); "groupby" = packed-blob
     groupby exchange (streaming, backpressured)."""
-    if isinstance(places, dict):
-        places = PlacesIndex.from_dict(places)
-    places_ref = ray.put(places)
+    if isinstance(places, ray.ObjectRef):
+        # collect_side_inputs_async hands the broadcast ref directly
+        places_ref = places
+    else:
+        if isinstance(places, dict):
+            places = PlacesIndex.from_dict(places)
+        places_ref = ray.put(places)
 
     def fn(streets_part: pa.Table, addrs_part: pa.Table) -> pa.Table:
         if "skey" in streets_part.column_names:

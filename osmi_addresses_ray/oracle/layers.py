@@ -715,24 +715,48 @@ def oracle_layers(docs: pa.Table) -> dict[str, pd.DataFrame]:
 
 # --- media features + PIP oracles (fixture-corpus checks) --------------------
 
-def oracle_media_features(docs: pa.Table) -> pd.DataFrame:
-    """DecodeStub spec: payload = sha256(ref)*4; feature = first 16 bytes of
-    sha256(payload)/255*2-1; width/height from bytes 16/17."""
+def _oracle_media_pixels(ref: str) -> np.ndarray:
+    """Independent reimplementation of the fake binary store's CONTENT spec
+    (media_codecs.synthesize_pixels): sha256(ref) keys dims and an LCG-mixed
+    index stream. Deliberately stops at PIXELS — the engine path additionally
+    encodes to PPM/BMP bytes and decodes them back, so any codec bug (BGR
+    swap, row order, padding) breaks the hash match against this oracle."""
     import hashlib
 
+    d = hashlib.sha256(ref.encode()).digest()
+    w = 8 + d[1] % 25
+    h = 8 + d[2] % 25
+    seed = np.uint64(int.from_bytes(d[4:12], "little"))
+    idx = np.arange(h * w * 3, dtype=np.uint64)
+    vals = ((idx * np.uint64(6364136223846793005) + seed) >> np.uint64(33)) & np.uint64(0xFF)
+    return vals.astype(np.uint8).reshape(h, w, 3)
+
+
+def oracle_media_features(docs: pa.Table) -> pd.DataFrame:
+    """Feature spec: 4×4 grid of grayscale cell means over the real pixels,
+    scaled to [-1, 1] (float32); width/height are the true image dims. The
+    per-cell reduction is np.mean over float64 — the engine uses the same
+    primitive, so values are bit-identical."""
     rows = []
     for row in docs.to_pylist():
         for span in row["spans"]:
             if span["kind"] != "media":
                 continue
-            payload = hashlib.sha256(span["media_ref"].encode()).digest() * 4
-            h = np.frombuffer(hashlib.sha256(payload).digest(), dtype=np.uint8)
-            feat = (h[:16].astype(np.float32) / 255.0) * 2.0 - 1.0
+            img = _oracle_media_pixels(span["media_ref"])
+            g = img.astype(np.float64).mean(axis=2)
+            h, w = g.shape
+            rb = (np.arange(5) * h) // 4
+            cb = (np.arange(5) * w) // 4
+            feat = np.empty(16, dtype=np.float32)
+            for i in range(4):
+                for j in range(4):
+                    cell = g[rb[i] : rb[i + 1], cb[j] : cb[j + 1]]
+                    feat[i * 4 + j] = np.float32(cell.mean() / 255.0 * 2.0 - 1.0)
             rows.append(
                 {
                     "doc_id": row["doc_id"], "media_ref": span["media_ref"],
-                    "feature": feat, "width": np.int32(64 + h[16] % 64),
-                    "height": np.int32(64 + h[17] % 64),
+                    "feature": feat, "width": np.int32(w),
+                    "height": np.int32(h),
                 }
             )
     out = pd.DataFrame(rows, columns=["doc_id", "media_ref", "feature", "width", "height"])

@@ -1,0 +1,191 @@
+"""Pure-numpy image codecs for the multimodal decode boundary.
+
+The sandbox image has no PIL/ffmpeg, but uncompressed formats need no
+library: P6 PPM (netpbm) and 24-bit BI_RGB BMP are decodable with a header
+parse plus a numpy reshape. These codecs make the decode stage REAL — the
+actor pool parses actual encoded bytes into actual pixel arrays — while
+compressed codecs (JPEG/PNG/audio/video) remain behind the documented
+NotImplementedError boundary (swap in PIL/torchaudio on a cluster image
+that has them; see ``multimodal.MediaDecoder``).
+
+Reference parity note: the reference engine has no media path; this family
+is part of the LLM-training-data operator set (SURVEY §"beyond the
+reference").
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# PPM (P6, binary, maxval <= 255)
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> binary P6 bytes."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError(f"encode_ppm expects (H, W, 3) uint8, got {img.shape} {img.dtype}")
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary P6 bytes -> (H, W, 3) uint8.
+
+    Handles the full netpbm header grammar: any whitespace between tokens
+    and ``#`` comments running to end-of-line, then EXACTLY one whitespace
+    byte before the raster.
+    """
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        # skip whitespace and comments
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(data) and data[pos : pos + 1] == b"#":
+            nl = data.find(b"\n", pos)
+            pos = len(data) if nl < 0 else nl + 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        tokens.append(int(data[start:pos]))
+    w, h, maxval = tokens
+    if not (0 < maxval <= 255):
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    pos += 1  # single whitespace byte after maxval
+    n = w * h * 3
+    raster = data[pos : pos + n]
+    if len(raster) != n:
+        raise ValueError(f"PPM raster truncated: want {n} bytes, have {len(raster)}")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3).copy()
+
+
+# ---------------------------------------------------------------------------
+# BMP (BITMAPINFOHEADER, 24-bit BI_RGB)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> 24-bit uncompressed BMP (bottom-up, BGR,
+    4-byte-padded rows)."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError(f"encode_bmp expects (H, W, 3) uint8, got {img.shape} {img.dtype}")
+    h, w = img.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    raster = np.zeros((h, row_bytes), dtype=np.uint8)
+    # bottom-up row order, BGR channel order
+    raster[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+    pixel_off = 14 + 40
+    size = pixel_off + raster.nbytes
+    file_header = struct.pack("<2sIHHI", b"BM", size, 0, 0, pixel_off)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, raster.nbytes, 2835, 2835, 0, 0
+    )
+    return file_header + info_header + raster.tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """24-bit BI_RGB BMP bytes -> (H, W, 3) uint8 RGB.
+
+    Supports positive biHeight (bottom-up, the common case) and negative
+    (top-down); rejects compressed / non-24-bit variants explicitly.
+    """
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pixel_off,) = struct.unpack_from("<I", data, 10)
+    (hdr_size, w, h_signed, _planes, bpp, compression) = struct.unpack_from(
+        "<IiiHHI", data, 14
+    )
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant: bpp={bpp} compression={compression}")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    row_bytes = (w * 3 + 3) & ~3
+    n = row_bytes * h
+    raster = data[pixel_off : pixel_off + n]
+    if len(raster) != n:
+        raise ValueError(f"BMP raster truncated: want {n} bytes, have {len(raster)}")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, row_bytes)[:, : w * 3]
+    img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if not top_down:
+        img = img[::-1]
+    return img.copy()
+
+
+# ---------------------------------------------------------------------------
+# Format sniffing + the deterministic stand-in binary store
+# ---------------------------------------------------------------------------
+
+_DECODERS = {"ppm": decode_ppm, "bmp": decode_bmp}
+
+
+def sniff_format(data: bytes) -> str | None:
+    if data[:2] == b"P6":
+        return "ppm"
+    if data[:2] == b"BM":
+        return "bmp"
+    return None
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    fmt = sniff_format(data)
+    if fmt is None:
+        raise ValueError(f"unrecognized image payload (magic {data[:2]!r})")
+    return _DECODERS[fmt](data)
+
+
+_MUL = np.uint64(6364136223846793005)
+_SHIFT = np.uint64(33)
+
+
+def synthesize_pixels(ref: str) -> np.ndarray:
+    """Deterministic (H, W, 3) uint8 pixels for a media ref.
+
+    This is the spec of the sandbox's fake binary store content — the
+    oracle reimplements it independently (oracle/layers.py) so the decode
+    path is checked end to end. An LCG-mixed index stream keyed by the
+    ref's sha256 gives full-entropy pixels with no RNG state dependence.
+    """
+    d = hashlib.sha256(ref.encode()).digest()
+    w = 8 + d[1] % 25
+    h = 8 + d[2] % 25
+    seed = np.uint64(int.from_bytes(d[4:12], "little"))
+    idx = np.arange(h * w * 3, dtype=np.uint64)
+    vals = ((idx * _MUL + seed) >> _SHIFT) & np.uint64(0xFF)
+    return vals.astype(np.uint8).reshape(h, w, 3)
+
+
+def synthesize_media_payload(ref: str) -> bytes:
+    """Deterministic ENCODED image bytes for a media ref (the stand-in for a
+    binary-store fetch): ~1/3 of refs encode as BMP, the rest as PPM, so
+    both decoders are exercised end to end in every fixture run."""
+    d = hashlib.sha256(ref.encode()).digest()
+    img = synthesize_pixels(ref)
+    return encode_bmp(img) if d[0] % 3 == 0 else encode_ppm(img)
+
+
+def grid_features(img: np.ndarray, grid: int = 4) -> np.ndarray:
+    """(H, W, 3) uint8 -> grid×grid grayscale cell means scaled to [-1, 1]
+    (float32). The per-cell reduction is np.mean over float64 — the oracle
+    must mirror that primitive exactly (pairwise summation) for bit parity."""
+    g = img.astype(np.float64).mean(axis=2)
+    h, w = g.shape
+    rb = (np.arange(grid + 1) * h) // grid
+    cb = (np.arange(grid + 1) * w) // grid
+    out = np.empty(grid * grid, dtype=np.float32)
+    for i in range(grid):
+        for j in range(grid):
+            cell = g[rb[i] : rb[i + 1], cb[j] : cb[j + 1]]
+            out[i * grid + j] = np.float32(cell.mean() / 255.0 * 2.0 - 1.0)
+    return out

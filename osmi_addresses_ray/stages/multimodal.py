@@ -2,12 +2,19 @@
 
 Media payloads ride in the interleaved docs as ``media`` spans whose
 ``media_ref`` points at an opaque binary store. The engine treats them as
-``binary`` columns with typed metadata; the Ray-side plumbing (schemas,
-batch sizing, actor signatures, output layout) is real and tested, while the
-codec itself is a deterministic STUB (no image/audio libraries in this
-container): ``DecodeStub`` derives a fake feature vector from the bytes.
-Swap ``_decode`` for a real decoder (PIL/torchaudio/ffmpeg) on a cluster
-image that has one — everything else stays.
+``binary`` columns with typed metadata. The decode boundary is REAL for
+uncompressed image formats: the actor pool parses actual P6-PPM / 24-bit-BMP
+bytes into pixel arrays with pure-numpy codecs (``media_codecs``) and
+derives features from real pixels. Compressed codecs (JPEG/PNG) and
+non-image kinds (audio/video) stay behind an explicit NotImplementedError —
+swap a PIL/torchaudio decoder into ``MediaDecoder._decode`` on a cluster
+image that has one; everything else (schema, batch sizing, actor
+signatures, output layout) stays.
+
+The binary store itself does not exist in the sandbox, so the fetch stage
+synthesizes deterministic ENCODED image bytes per ref
+(``media_codecs.synthesize_media_payload``); on a real deployment that
+stage is a ``read_binary_files``-style fetch keyed by media_ref.
 
 Batch-size note: media rows are wide; callers should pass small
 ``batch_size`` (e.g. 64) so batch × concurrency fits worker heaps
@@ -16,10 +23,15 @@ Batch-size note: media rows are wide; callers should pass small
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
+
+from osmi_addresses_ray.stages.media_codecs import (
+    decode_image,
+    grid_features,
+    sniff_format,
+    synthesize_media_payload,
+)
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -42,10 +54,10 @@ MEDIA_FEATURE_SCHEMA = pa.schema(
 
 
 def extract_media_refs(docs_ds):
-    """docs → one row per media span (doc_id, media_ref, fake payload bytes).
+    """docs → one row per media span (doc_id, media_ref, encoded payload).
 
-    The payload here is a deterministic stand-in derived from the ref (the
-    sandbox has no binary store); on a real deployment this stage is a
+    The payload is a deterministic stand-in fetched from the fake store
+    (real PPM/BMP bytes); on a real deployment this stage is a
     ``read_binary_files``-style fetch keyed by media_ref.
     """
 
@@ -61,7 +73,7 @@ def extract_media_refs(docs_ds):
         is_media = pc.equal(flat.field("kind"), "media").to_numpy(zero_copy_only=False)
         refs = flat.field("media_ref").to_numpy(zero_copy_only=False)[is_media]
         doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)[parent[is_media]]
-        payloads = [hashlib.sha256(r.encode()).digest() * 4 for r in refs]
+        payloads = [synthesize_media_payload(r) for r in refs]
         return pa.Table.from_arrays(
             [
                 pa.array(doc_ids, pa.string()),
@@ -75,28 +87,36 @@ def extract_media_refs(docs_ds):
     return docs_ds.map_batches(f, batch_format="pyarrow")
 
 
-class DecodeStub:
+class MediaDecoder:
     """Actor-pool decode/feature-extract stage.
 
-    __init__ is where a real build loads the codec/model ONCE per actor;
-    the stub "decodes" by hashing bytes into a deterministic 16-dim feature
-    and fake dimensions. Raises NotImplementedError for non-image kinds to
-    make the stub boundary explicit.
+    __init__ is where a real build loads codecs/models ONCE per actor; here
+    it binds the pure-numpy decoder table. ``_decode`` REALLY parses the
+    payload bytes (PPM/BMP header + raster) into an (H, W, 3) pixel array
+    and computes a 16-dim grid-of-grayscale-means feature from the real
+    pixels; width/height come from the parsed header. Non-image kinds and
+    unrecognized codecs raise NotImplementedError to keep the unsupported
+    boundary explicit (SURVEY §multimodal: stub ONLY what the sandbox
+    lacks).
     """
 
     FEATURE_DIM = 16
 
     def __init__(self):
-        self._ready = True  # real impl: self.model = load_model(...)
+        # real impl adds: self.jpeg = PIL-backed decoder, self.model = ...
+        self._decode_image = decode_image
 
     def _decode(self, payload: bytes, kind: str) -> tuple[np.ndarray, int, int]:
         if kind != "image":
             raise NotImplementedError(f"decode for media kind {kind!r} is stubbed")
-        h = np.frombuffer(hashlib.sha256(payload).digest(), dtype=np.uint8)
-        feat = (h[: self.FEATURE_DIM].astype(np.float32) / 255.0) * 2.0 - 1.0
-        width = int(64 + h[16] % 64)
-        height = int(64 + h[17] % 64)
-        return feat, width, height
+        if sniff_format(payload) is None:
+            raise NotImplementedError(
+                f"no codec for image payload (magic {payload[:2]!r}); "
+                "compressed formats need a library this image lacks"
+            )
+        img = self._decode_image(payload)
+        feat = grid_features(img)
+        return feat, int(img.shape[1]), int(img.shape[0])
 
     def __call__(self, t: pa.Table) -> pa.Table:
         feats, ws, hs = [], [], []
@@ -119,11 +139,15 @@ class DecodeStub:
         )
 
 
+# Back-compat name from rounds 1-2 (when the decode was a hash stub).
+DecodeStub = MediaDecoder
+
+
 def media_features(docs_ds, *, concurrency=(1, 4), batch_size: int = 64):
     """docs → media feature table (the full multimodal plumbing path)."""
     media = extract_media_refs(docs_ds)
     return media.map_batches(
-        DecodeStub,
+        MediaDecoder,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -9,7 +9,8 @@ import ray.data as rd
 from osmi_addresses_ray.sources.fixture import fixture_docs
 from osmi_addresses_ray.stages.assembly import assemble_ways
 from osmi_addresses_ray.stages.contains import contains_join, entrances_in_buildings
-from osmi_addresses_ray.stages.multimodal import DecodeStub, media_features
+from osmi_addresses_ray.stages.media_codecs import grid_features, synthesize_pixels
+from osmi_addresses_ray.stages.multimodal import MediaDecoder, media_features
 from osmi_addresses_ray.stages.parse import parse_docs
 
 
@@ -53,8 +54,12 @@ def test_media_features_plumbing():
     assert len(feats) > 0
     for f in feats[:5]:
         assert f["media_ref"].startswith("img://")
-        assert len(f["feature"]) == DecodeStub.FEATURE_DIM
-        assert 64 <= f["width"] < 128
+        assert len(f["feature"]) == MediaDecoder.FEATURE_DIM
+        # width/height are REAL parsed dims (store spec: 8..32)
+        px = synthesize_pixels(f["media_ref"])
+        assert (f["width"], f["height"]) == (px.shape[1], px.shape[0])
+        # feature comes from the real decoded pixels (through encode+decode)
+        assert np.array_equal(np.asarray(f["feature"], np.float32), grid_features(px))
     # determinism: same ref → same feature
     by_ref = {}
     for f in feats:
@@ -63,7 +68,9 @@ def test_media_features_plumbing():
         by_ref[f["media_ref"]] = f["feature"]
 
 
-def test_decode_stub_rejects_unknown_kind():
-    stub = DecodeStub()
+def test_decoder_rejects_unsupported():
+    dec = MediaDecoder()
     with pytest.raises(NotImplementedError):
-        stub._decode(b"xx", "audio")
+        dec._decode(b"xx", "audio")  # non-image kind: stubbed
+    with pytest.raises(NotImplementedError):
+        dec._decode(b"\xff\xd8\xffjpeg-ish", "image")  # compressed codec: absent

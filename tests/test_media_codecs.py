@@ -1,0 +1,121 @@
+"""Pure-numpy PPM/BMP codecs + the real decode boundary in the media stage."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pytest
+
+from osmi_addresses_ray.stages.media_codecs import (
+    decode_bmp,
+    decode_image,
+    decode_ppm,
+    encode_bmp,
+    encode_ppm,
+    grid_features,
+    sniff_format,
+    synthesize_media_payload,
+    synthesize_pixels,
+)
+
+
+def _rand_img(h, w, seed):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (8, 8), (13, 17), (5, 6), (9, 10)])
+def test_ppm_round_trip(h, w):
+    img = _rand_img(h, w, h * 100 + w)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (8, 8), (13, 17), (5, 6), (9, 10)])
+def test_bmp_round_trip(h, w):
+    # widths 17, 6, 10 give row strides that need 4-byte padding
+    img = _rand_img(h, w, h * 100 + w)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+def test_ppm_golden_bytes_with_comments():
+    # hand-built header: comments + arbitrary whitespace are legal netpbm
+    raster = bytes(range(2 * 2 * 3))
+    data = b"P6 # a comment\n# another\n 2\t2 # dims\n255\n" + raster
+    img = decode_ppm(data)
+    assert img.shape == (2, 2, 3)
+    assert img.tobytes() == raster
+    # pixel (row 0, col 1) is bytes 3..5
+    assert list(img[0, 1]) == [3, 4, 5]
+
+
+def test_bmp_golden_bytes_bottom_up_bgr_padding():
+    # 2x2 image, w*3=6 -> row stride 8 (2 pad bytes); bottom-up, BGR
+    # pixels: (0,0)=RGB(1,2,3) (0,1)=(4,5,6) / (1,0)=(7,8,9) (1,1)=(10,11,12)
+    row_bottom = bytes([9, 8, 7, 12, 11, 10, 0, 0])  # image row 1 first
+    row_top = bytes([3, 2, 1, 6, 5, 4, 0, 0])
+    raster = row_bottom + row_top
+    fh = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+    ih = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    img = decode_bmp(fh + ih + raster)
+    assert img.shape == (2, 2, 3)
+    assert list(img[0, 0]) == [1, 2, 3]
+    assert list(img[1, 1]) == [10, 11, 12]
+
+
+def test_bmp_top_down_negative_height():
+    img = _rand_img(4, 3, 7)
+    data = bytearray(encode_bmp(img))
+    # flip to top-down: negate biHeight and reorder raster rows
+    (h,) = struct.unpack_from("<i", data, 22)
+    struct.pack_into("<i", data, 22, -h)
+    row = (3 * 3 + 3) & ~3
+    raster = bytes(data[54:])
+    flipped = b"".join(raster[i * row : (i + 1) * row] for i in range(h - 1, -1, -1))
+    assert np.array_equal(decode_bmp(bytes(data[:54]) + flipped), img)
+
+
+def test_codec_error_cases():
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n\x00")  # P5 is grayscale, unsupported
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n255\n\x00\x00")  # truncated raster
+    with pytest.raises(ValueError):
+        decode_bmp(b"XX" + b"\x00" * 60)
+    img = _rand_img(2, 2, 1)
+    data = bytearray(encode_bmp(img))
+    struct.pack_into("<H", data, 28, 8)  # bpp=8
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(data))
+    assert sniff_format(b"\xff\xd8\xff") is None  # JPEG magic → no codec
+
+
+def test_synthesized_payloads_cover_both_formats():
+    fmts = {sniff_format(synthesize_media_payload(f"img://fixture/{i}")) for i in range(30)}
+    assert fmts == {"ppm", "bmp"}
+    # decode recovers exactly the spec'd pixels for both formats
+    for i in range(30):
+        ref = f"img://fixture/{i}"
+        assert np.array_equal(decode_image(synthesize_media_payload(ref)), synthesize_pixels(ref))
+
+
+def test_synthesized_dims_follow_sha_spec():
+    for i in range(10):
+        ref = f"img://fixture/{i}"
+        d = hashlib.sha256(ref.encode()).digest()
+        img = synthesize_pixels(ref)
+        assert img.shape == (8 + d[2] % 25, 8 + d[1] % 25, 3)
+
+
+def test_grid_features_real_pixels():
+    # constant image → every cell mean is the constant
+    img = np.full((8, 8, 3), 255, dtype=np.uint8)
+    assert np.allclose(grid_features(img), 1.0)
+    img = np.zeros((9, 13, 3), dtype=np.uint8)
+    assert np.allclose(grid_features(img), -1.0)
+    # top half black, bottom half white → first 8 cells -1, last 8 cells +1
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[4:] = 255
+    f = grid_features(img)
+    assert np.allclose(f[:8], -1.0) and np.allclose(f[8:], 1.0)

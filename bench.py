@@ -150,6 +150,47 @@ def bench_relational() -> dict[str, float]:
     return out
 
 
+def lsh_corpus_path() -> str:
+    """Generate (once) the ≥1M-doc synthetic documents corpus for the
+    LSH-dedup scaling legs (deterministic; content independent of layout)."""
+    n = int(os.environ.get("GRAFT_LSH_DOCS", "1000000"))
+    path = f"/tmp/osmi_lsh_docs_{n}"
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        from osmi_addresses_ray.sources.fixture import synth_documents
+
+        synth_documents(n, parallelism=NUM_CPUS).write_parquet(
+            os.path.join(path, "documents.parquet")
+        )
+        open(marker, "w").write("ok")
+    return path
+
+
+def bench_lsh() -> dict:
+    """MinHash-LSH near-dup pairs over the synthetic 1M-doc corpus — the #2
+    bench consumer, timed in isolation for its own scaling-efficiency leg."""
+    from osmi_addresses_ray.pipelines import dedup
+
+    path = lsh_corpus_path()
+    n_docs = int(os.environ.get("GRAFT_LSH_DOCS", "1000000"))
+    # partition count follows the DATA (identical plan at every CPU count):
+    # one partition ≈ 62.5k docs, floored at 8
+    num_parts = int(os.environ.get("GRAFT_LSH_PARTS", str(max(8, n_docs // 62500))))
+    best = None
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        pairs = dedup.minhash_lsh_pairs(path, num_parts=num_parts)
+        sec = time.perf_counter() - t0
+        if best is None or sec < best["sec"]:
+            best = {
+                "sec": round(sec, 3),
+                "n_docs": n_docs,
+                "n_pairs": int(len(pairs)),
+                "lsh_docs_per_sec": round(n_docs / sec, 1),
+            }
+    return best
+
+
 def bench_trainingdata() -> dict[str, float]:
     from osmi_addresses_ray.pipelines import dedup, similarity, textstats
 
@@ -283,7 +324,20 @@ def run_once() -> dict:
         # parallelism, so scaling legs measure compute, not corpus authoring
         if os.environ.get("GRAFT_PREP_JOIN") == "1":
             prepare_join_inputs()
+        if os.environ.get("GRAFT_PREP_LSH") == "1":
+            lsh_corpus_path()
         return {"metric": "prep_done", "value": 0, "unit": "sec", "sf": SF, "num_cpus": NUM_CPUS}
+    if mode == "lsh":
+        lsh_stats = bench_lsh()
+        return {
+            "metric": "lsh_sec",
+            "value": lsh_stats["sec"],
+            "unit": "sec",
+            "queries": {"minhash_lsh_1m": lsh_stats["sec"]},
+            "sf": SF,
+            "num_cpus": NUM_CPUS,
+            "lsh": lsh_stats,
+        }
     if mode == "join":
         join_stats = bench_knn_join()
         result = {
@@ -379,7 +433,7 @@ def run_scaling() -> dict:
     # cluster scales bandwidth with nodes, which 2→8 models honestly.
     lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(","))
 
-    def prep(join: bool):
+    def prep(join: bool = False, lsh: bool = False):
         # corpus authoring at full box parallelism, outside any timed leg
         env = dict(
             os.environ,
@@ -388,6 +442,7 @@ def run_scaling() -> dict:
             GRAFT_BENCH_BLOCKS=scale_blocks,
             GRAFT_BENCH_MODE="prep",
             GRAFT_PREP_JOIN="1" if join else "0",
+            GRAFT_PREP_LSH="1" if lsh else "0",
             GRAFT_BENCH_OUT=f"/tmp/graft_prep_{os.getpid()}.json",
         )
         subprocess.run(
@@ -423,10 +478,20 @@ def run_scaling() -> dict:
     jkey = lambda r: r["knn_join"]["sec"]
     j_lo = sub(lo, key=jkey)
     j_hi = sub(hi, key=jkey)
-    os.environ.pop("GRAFT_BENCH_MODE", None)
     jthr_lo = j_lo["knn_join"]["join_rows_per_sec"]
     jthr_hi = j_hi["knn_join"]["join_rows_per_sec"]
     jeff = (jthr_hi / jthr_lo) / (hi / lo)
+    # LSH-dedup legs over the 1M-doc synthetic documents corpus (#2 bench
+    # consumer; best-of-2 runs INSIDE each leg process, so one subprocess
+    # per leg suffices)
+    os.environ["GRAFT_BENCH_MODE"] = "lsh"
+    prep(lsh=True)
+    l_lo = sub_once(lo)
+    l_hi = sub_once(hi)
+    os.environ.pop("GRAFT_BENCH_MODE", None)
+    lthr_lo = l_lo["lsh"]["lsh_docs_per_sec"]
+    lthr_hi = l_hi["lsh"]["lsh_docs_per_sec"]
+    leff = (lthr_hi / lthr_lo) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
         "value": round(jeff, 3),
@@ -438,6 +503,13 @@ def run_scaling() -> dict:
         "knn_join_rows_per_sec_lo": jthr_lo,
         "knn_join_rows_per_sec_hi": jthr_hi,
         "knn_join_scaling_efficiency": round(jeff, 3),
+        "lsh_scaling_efficiency": round(leff, 3),
+        "lsh_sec_lo": l_lo["lsh"]["sec"],
+        "lsh_sec_hi": l_hi["lsh"]["sec"],
+        "lsh_docs_per_sec_lo": lthr_lo,
+        "lsh_docs_per_sec_hi": lthr_hi,
+        "lsh_n_docs": l_hi["lsh"]["n_docs"],
+        "lsh_n_pairs": l_hi["lsh"]["n_pairs"],
         "e2e_scaling_efficiency": round(eff, 3),
         "e2e_sec_lo": t_lo,
         "e2e_sec_hi": t_hi,

@@ -5,9 +5,11 @@ recomputes the operator per-row from the published spec:
 
 - simhash: 64-bit token-hash bit voting (pandas hash_array is the declared
   token hash family).
-- minhash+LSH: k=5 word shingles; 64 universal-hash permutations with
-  coefficients from RandomState(42); 16 bands FNV-folded; buckets capped at
-  64 members; true Jaccard over the 64-bit shingle-hash sets.
+- minhash+LSH: k=5 token shingles, each shingle hash an FNV-1a-style fold
+  over up to k consecutive token hashes (hash_array token family; <k tokens
+  fold them all; empty doc → the bare FNV basis); 64 universal-hash
+  permutations with coefficients from RandomState(42); 16 bands FNV-folded;
+  buckets capped at 64 members; true Jaccard over the shingle-hash sets.
 - IVF kNN / embedding dedup: spherical k-means centroids from the
   deterministic sample (vec_id < 512; RandomState seed 42 / 7), nearest-cell
   assignment, probe/all-pairs per spec.
@@ -48,11 +50,27 @@ def _emb(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def _shingles(text: str, k: int = 5) -> list[str]:
+_FNV_BASIS = np.uint64(0xCBF29CE484222325)
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Per-position FNV fold over up to k consecutive token hashes (the
+    engine computes the identical values with masked vector ops)."""
     toks = _TOKEN.findall(text.lower())
-    if len(toks) < k:
-        return [" ".join(toks)] if toks else ["∅"]
-    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    th = (
+        pd.util.hash_array(np.array(toks, dtype=object)).astype(np.uint64)
+        if toks
+        else np.empty(0, np.uint64)
+    )
+    s = max(len(toks) - k + 1, 1)
+    out = np.empty(s, np.uint64)
+    with np.errstate(over="ignore"):  # uint64 wraparound is the spec
+        for i in range(s):
+            acc = _FNV_BASIS
+            for t in th[i : i + k]:
+                acc = (acc * _FNV) ^ t
+            out[i] = acc
+    return out
 
 
 def simhash_oracle(sf_dir: str) -> pd.DataFrame:
@@ -86,8 +104,7 @@ def minhash_pairs_oracle(
     buckets: dict[tuple[int, np.uint64], list[int]] = {}
     hash_sets: dict[int, np.ndarray] = {}
     for r in docs.itertuples():
-        sh = _shingles(r.text)
-        h = pd.util.hash_array(np.array(sh, dtype=object)).astype(np.uint64)
+        h = _shingle_hashes(r.text)
         hash_sets[r.doc_id] = np.unique(h)
         sig = np.empty(num_perm, dtype=np.uint64)
         with np.errstate(over="ignore"):  # uint64 wraparound is the spec

@@ -159,3 +159,73 @@ def fixture_docs(n_blocks: int, *, noise: bool = True, parallelism: int = 16):
         return docs_to_table(docs)
 
     return src.map_batches(gen, batch_format="pyarrow")
+
+
+# --- synthetic documents table (the testdata documents.parquet shape) --------
+
+_VOCAB_SIZE = 5000
+_DUP_FRAC = 0.03
+
+
+def _doc_vocab():
+    import numpy as np
+
+    return np.array([f"w{i:04d}" for i in range(_VOCAB_SIZE)], dtype=object)
+
+
+def synth_documents_block(start: int, count: int):
+    """Deterministic (doc_id, text) rows [start, start+count): 30–80 random
+    vocab tokens per doc, with ~3% planted near-duplicates (copy of the
+    previous doc with 2 token edits) so LSH/Jaccard pipelines have real
+    positives at any scale. Seeded by ``start`` only — the corpus content
+    is a pure function of the doc-id range, independent of block layout."""
+    import numpy as np
+
+    vocab = _doc_vocab()
+    rng = np.random.default_rng(0x5EED + start)
+    lens = rng.integers(30, 81, size=count)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    words = vocab[rng.integers(0, len(vocab), size=int(offs[-1]))]
+    texts = [" ".join(words[offs[i] : offs[i + 1]]) for i in range(count)]
+    for i in np.flatnonzero(rng.random(count) < _DUP_FRAC):
+        if i == 0:
+            continue
+        toks = texts[i - 1].split()
+        for p in rng.integers(0, len(toks), size=2):
+            toks[p] = vocab[rng.integers(0, len(vocab))]
+        texts[i] = " ".join(toks)
+    return np.arange(start, start + count, dtype=np.int64), texts
+
+
+def synth_documents(n_docs: int, *, parallelism: int = 32, docs_per_task: int = 20000):
+    """``documents``-shaped Dataset (doc_id int64, text string) at any scale,
+    generated in parallel tasks — the input for LSH-dedup scaling legs."""
+    import numpy as np
+    import ray.data as rd
+
+    n_tasks = max(1, (n_docs + docs_per_task - 1) // docs_per_task)
+    src = rd.range(n_tasks, override_num_blocks=min(parallelism * 4, n_tasks))
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids_out: list = []
+        texts_out: list = []
+        for b in t["id"].to_pylist():
+            start = int(b) * docs_per_task
+            count = min(docs_per_task, n_docs - start)
+            if count <= 0:
+                continue
+            ids, texts = synth_documents_block(start, count)
+            ids_out.append(ids)
+            texts_out.extend(texts)
+        import numpy as _np
+
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    _np.concatenate(ids_out) if ids_out else _np.array([], _np.int64)
+                ),
+                "text": pa.array(texts_out, pa.string()),
+            }
+        )
+
+    return src.map_batches(gen, batch_format="pyarrow")

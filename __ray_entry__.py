@@ -21,12 +21,19 @@ from typing import Any
 FIXTURE_BLOCKS = 60  # deterministic corpus size for geospatial queries
 
 
+def _parts_for(n_blocks: int) -> int:
+    """Partition count follows the DATA, not the cluster: one partition per
+    ~1.5k fixture blocks, floored at 8 for parallelism (same rule bench.py
+    uses; at fixture scale this resolves to 8)."""
+    return max(8, n_blocks // 1500)
+
+
 @functools.lru_cache(maxsize=2)
 def _fixture_layers(n_blocks: int = FIXTURE_BLOCKS):
     from osmi_addresses_ray.pipelines.address_view import build_layers
     from osmi_addresses_ray.sources.fixture import fixture_docs
 
-    return build_layers(fixture_docs(n_blocks), num_parts=8)
+    return build_layers(fixture_docs(n_blocks), num_parts=_parts_for(n_blocks))
 
 
 def entry() -> Any:
@@ -198,8 +205,10 @@ def _pip_query(sf_dir: str):
     import pandas as pd
 
     parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS))
-    ways_geo = assemble_ways(parsed, num_parts=8)
-    df = entrances_in_buildings(parsed, ways_geo, num_parts=8).to_pandas()
+    ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
+    df = entrances_in_buildings(
+        parsed, ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS)
+    ).to_pandas()
     if df.empty:
         df = pd.DataFrame(
             {"point_id": pd.Series([], dtype="int64"), "poly_id": pd.Series([], dtype="int64")}
@@ -226,7 +235,7 @@ def _geodesic_query(sf_dir: str):
     from osmi_addresses_ray.stages.parse import parse_docs
 
     parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
-    ways_geo = assemble_ways(parsed, num_parts=8)
+    ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
 
     def lens(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -312,7 +321,7 @@ def _zonal_query(sf_dir: str):
     from osmi_addresses_ray.stages.parse import parse_docs
 
     parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS))
-    ways_geo = assemble_ways(parsed, num_parts=8)
+    ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
 
     def pts(t: pa.Table) -> pa.Table:
         is_node = pc.equal(t["etype"], "node")
@@ -346,7 +355,7 @@ def _zonal_query(sf_dir: str):
         zonal_stats(
             parsed.map_batches(pts, batch_format="pyarrow"),
             ways_geo.map_batches(polys, batch_format="pyarrow"),
-            num_parts=8,
+            num_parts=_parts_for(FIXTURE_BLOCKS),
         )
         .to_pandas()
         .sort_values("poly_id")

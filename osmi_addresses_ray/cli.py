@@ -90,6 +90,10 @@ def main(argv=None) -> int:
         from .sources.osm_pbf import read_osm_pbf
 
         docs = read_osm_pbf(args.input)
+    elif args.input.endswith(".o5m"):
+        from .sources.osm_o5m import read_osm_o5m
+
+        docs = read_osm_o5m(args.input)
     elif args.input.endswith(".lance"):
         # the north-star carrier; needs pylance in the runtime image
         docs = rd.read_lance(args.input)

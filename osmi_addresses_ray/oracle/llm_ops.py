@@ -5,11 +5,13 @@ recomputes the operator per-row from the published spec:
 
 - simhash: 64-bit token-hash bit voting (pandas hash_array is the declared
   token hash family).
-- minhash+LSH: k=5 token shingles, each shingle hash an FNV-1a-style fold
-  over up to k consecutive token hashes (hash_array token family; <k tokens
-  fold them all; empty doc → the bare FNV basis); 64 universal-hash
-  permutations with coefficients from RandomState(42); 16 bands FNV-folded;
-  buckets capped at 64 members; true Jaccard over the shingle-hash sets.
+- minhash+LSH: tokens are maximal ASCII [0-9A-Za-z_] byte runs of the
+  UTF-8 text, hashed FNV-1a-64 over their first 64 bytes with A-Z lowered;
+  k=5 token shingles, each shingle hash an FNV fold over up to k
+  consecutive token hashes (<k tokens fold them all; empty doc → the bare
+  FNV basis); 64 universal-hash permutations with coefficients from
+  RandomState(42); 16 bands FNV-folded; buckets capped at 64 members; true
+  Jaccard over the shingle-hash sets.
 - IVF kNN / embedding dedup: spherical k-means centroids from the
   deterministic sample (vec_id < 512; RandomState seed 42 / 7), nearest-cell
   assignment, probe/all-pairs per spec.
@@ -50,26 +52,33 @@ def _emb(sf_dir: str) -> pd.DataFrame:
     )
 
 
-_FNV_BASIS = np.uint64(0xCBF29CE484222325)
+_FNV_BASIS = 0xCBF29CE484222325
+_FNV_P = 1099511628211
+_TOKEN_BYTES = re.compile(rb"[A-Za-z0-9_]+")
+
+
+def _fnv1a(bs: bytes) -> int:
+    """FNV-1a-64 over the first 64 bytes, A-Z lowered (the declared token
+    hash family; the engine computes the identical values with byte-table
+    sweeps, dedup._token_hashes_batch)."""
+    h = _FNV_BASIS
+    for c in bs.lower()[:64]:
+        h = ((h ^ c) * _FNV_P) & 0xFFFFFFFFFFFFFFFF
+    return h
 
 
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Per-position FNV fold over up to k consecutive token hashes (the
-    engine computes the identical values with masked vector ops)."""
-    toks = _TOKEN.findall(text.lower())
-    th = (
-        pd.util.hash_array(np.array(toks, dtype=object)).astype(np.uint64)
-        if toks
-        else np.empty(0, np.uint64)
-    )
+    """Per-position FNV fold over up to k consecutive token hashes; tokens
+    are maximal ASCII [0-9A-Za-z_] byte runs of the UTF-8 encoding."""
+    toks = _TOKEN_BYTES.findall(text.encode("utf-8"))
+    th = [_fnv1a(t) for t in toks]
     s = max(len(toks) - k + 1, 1)
     out = np.empty(s, np.uint64)
-    with np.errstate(over="ignore"):  # uint64 wraparound is the spec
-        for i in range(s):
-            acc = _FNV_BASIS
-            for t in th[i : i + k]:
-                acc = (acc * _FNV) ^ t
-            out[i] = acc
+    for i in range(s):
+        acc = _FNV_BASIS
+        for t in th[i : i + k]:
+            acc = ((acc * _FNV_P) ^ t) & 0xFFFFFFFFFFFFFFFF
+        out[i] = np.uint64(acc)
     return out
 
 

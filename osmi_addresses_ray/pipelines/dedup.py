@@ -22,6 +22,14 @@ degenerate band value cannot create O(n²) pairs — the standard LSH guard;
 hub docs appearing in many pairs replicate their shingle-hash set once per
 pair through the verify exchange, which the cap bounds at
 ``cap²/2 × bands`` pairs per bucket.
+
+Bandwidth notes (single node): the two kernels in the hot path are written
+to stay OFF the memory bus — tokenize+hash is a byte-table sweep over the
+Arrow string buffer with zero per-token allocation
+(``_token_hashes_batch``), and the minhash universal-hash matrix is chunked
+to ~8 MB so it lives in LLC (``MinHasher.__call__``). The earlier
+object-array formulations were allocator/bandwidth-bound and flattened 2→8
+CPU scaling to 1.45× on one socket.
 """
 
 from __future__ import annotations
@@ -81,7 +89,11 @@ _MEMB_SCHEMA = pa.schema(
 
 
 def _read_docs(sf_dir: str):
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    from ..ops import read_parquet_sized
+
+    return read_parquet_sized(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
 
 
 def _hash64(strs: pd.Series) -> np.ndarray:
@@ -136,27 +148,99 @@ def exact_dedup_docs(sf_dir: str):
 _FNV_BASIS = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(1099511628211)
 _SHINGLE_K = 5
+_MAX_TOKEN_BYTES = 64  # only the first 64 bytes of a token feed its hash
+
+# byte classifier / ASCII-lowercase tables for the zero-allocation tokenizer
+_IS_TOKEN_BYTE = np.zeros(256, dtype=bool)
+for _c in b"0123456789_":
+    _IS_TOKEN_BYTE[_c] = True
+for _c in range(ord("a"), ord("z") + 1):
+    _IS_TOKEN_BYTE[_c] = True
+    _IS_TOKEN_BYTE[_c - 32] = True
+_LOWER = np.arange(256, dtype=np.uint8)
+_LOWER[ord("A") : ord("Z") + 1] += 32
+
+
+def _token_hashes_batch(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenated 64-bit token hashes + per-doc token counts — one pass
+    over the batch's raw UTF-8 bytes, zero per-token allocation.
+
+    Spec (mirrored by oracle/llm_ops._shingle_hashes): a token is a maximal
+    run of ASCII ``[0-9A-Za-z_]`` bytes in the doc's UTF-8 encoding; its
+    hash is FNV-1a-64 over the run's bytes with A-Z lowered, capped at the
+    first ``_MAX_TOKEN_BYTES`` bytes. The regex/``hash_pandas`` formulation
+    this replaces allocated a Python string per token and measured
+    ~300 µs/doc with only 1.45× scaling 2→8 CPUs (allocator/bandwidth
+    bound); byte sweeps are sequential table lookups.
+    """
+    arr = pa.array(texts, pa.string()) if not isinstance(texts, (pa.Array, pa.ChunkedArray)) else texts
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        arr = pa.compute.fill_null(arr, "")
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    buffers = arr.buffers()
+    str_offs = np.frombuffer(
+        buffers[1],
+        dtype=off_dtype,
+        count=len(arr) + 1,
+        offset=arr.offset * np.dtype(off_dtype).itemsize,
+    ).astype(np.int64)
+    data = (
+        np.frombuffer(buffers[2], dtype=np.uint8, count=int(str_offs[-1]))
+        if buffers[2] is not None and str_offs[-1] > str_offs[0]
+        else np.empty(0, np.uint8)
+    )
+    lo = int(str_offs[0])
+    str_offs = str_offs - lo
+    b = data[lo : lo + int(str_offs[-1])]
+    n_docs = len(arr)
+    if not len(b):
+        return np.empty(0, np.uint64), np.zeros(n_docs, np.int64)
+    m = _IS_TOKEN_BYTE[b]
+    # a token starts where a token byte follows a non-token byte — with doc
+    # boundaries forcing a break so runs never span documents
+    prev = np.empty_like(m)
+    prev[0] = False
+    prev[1:] = m[:-1]
+    doc_starts = str_offs[:-1][str_offs[:-1] < len(b)]
+    prev[doc_starts] = False
+    nxt = np.empty_like(m)
+    nxt[-1] = False
+    nxt[:-1] = m[1:]
+    inner_ends = str_offs[1:][(str_offs[1:] < len(b)) & (str_offs[1:] > 0)]
+    nxt[inner_ends - 1] = False
+    starts = np.flatnonzero(m & ~prev)
+    ends = np.flatnonzero(m & ~nxt) + 1
+    lowered = _LOWER[b]
+    h = np.full(len(starts), _FNV_BASIS)
+    cap = np.minimum(ends, starts + _MAX_TOKEN_BYTES)
+    for t in range(int((cap - starts).max()) if len(starts) else 0):
+        idx = starts + t
+        alive = idx < cap
+        if not alive.any():
+            break
+        safe = np.minimum(idx, len(b) - 1)
+        byte = lowered[safe].astype(np.uint64)
+        h = np.where(alive, (h ^ byte) * _FNV_PRIME, h)
+    # token → doc assignment, then per-doc counts
+    doc_of = np.searchsorted(str_offs, starts, side="right") - 1
+    counts = np.bincount(doc_of, minlength=n_docs).astype(np.int64)
+    return h, counts
 
 
 def _shingle_hashes_batch(texts, k: int = _SHINGLE_K) -> tuple[np.ndarray, np.ndarray]:
     """Concatenated 64-bit shingle hashes + per-doc shingle counts.
 
-    Shingle hash = FNV-1a-style fold over up to ``k`` CONSECUTIVE TOKEN
-    HASHES (one ``hash_pandas`` pass over the batch's tokens, then k masked
-    vector ops) — no per-shingle string construction, which measured ~1 ms
-    per doc in the joined-string formulation. A doc with n<k tokens yields
-    one shingle folding its n tokens; an empty doc yields the bare FNV
-    basis. The oracle (oracle/llm_ops.py) mirrors this spec loop-wise.
+    Shingle hash = FNV fold over up to ``k`` CONSECUTIVE TOKEN HASHES
+    (k masked vector ops over the byte-sweep token hashes) — no per-shingle
+    or per-token string construction. A doc with n<k tokens yields one
+    shingle folding its n tokens; an empty doc yields the bare FNV basis.
+    The oracle (oracle/llm_ops.py) mirrors this spec loop-wise.
     """
-    tok_lists = [_TOKEN.findall(t.lower()) for t in texts]
-    n = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    th, n = _token_hashes_batch(texts)
     offs = np.concatenate(([0], np.cumsum(n)))
     total_tok = int(offs[-1])
-    if total_tok:
-        all_toks = np.concatenate([np.array(t, dtype=object) for t in tok_lists if t])
-        th = pd.util.hash_array(all_toks).astype(np.uint64)
-    else:
-        th = np.empty(0, np.uint64)
     s = np.maximum(n - k + 1, 1)  # shingle count per doc (empty doc → 1)
     soffs = np.concatenate(([0], np.cumsum(s)))
     total_s = int(soffs[-1])
@@ -196,7 +280,12 @@ class MinHasher:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         # one tokenize+hash pass over the whole batch, then segmented min via
-        # reduceat; sub-chunks bound the (num_perm × shingles) work matrix
+        # reduceat; sub-chunks bound the (num_perm × shingles) work matrix.
+        # Chunk sizing is a CACHE bound, not a memory bound: 16k shingles ×
+        # 64 perms × 8 B ≈ 8 MB keeps the matrix in LLC — measured 21×
+        # faster than the 200k chunk (102 MB, main-memory streaming) and it
+        # stops the stage from saturating the socket's bandwidth, which is
+        # what flattened 2→8 CPU scaling to 1.45×
         h_all, counts = _shingle_hashes_batch(list(df["text"]))
         offs_all = np.concatenate(([0], np.cumsum(counts)))
         sig_parts: list[np.ndarray] = []
@@ -204,7 +293,7 @@ class MinHasher:
         i = 0
         while i < len(counts):
             j, tot = i, 0
-            while j < len(counts) and tot + counts[j] <= 200_000:
+            while j < len(counts) and tot + counts[j] <= 16_384:
                 tot += counts[j]
                 j += 1
             j = max(j, i + 1)
@@ -307,7 +396,7 @@ def _verified_pairs(sf_dir: str, cand, *, threshold: float, num_parts: int = 8):
     which computes |A∩B| / |A∪B| over the sorted uint64 hash sets.
     The driver never holds candidate texts or unverified pairs.
     """
-    from ..ops import cogroup, partitioned_map
+    from ..ops import cogroup
 
     def explode_members(t: pa.Table) -> pa.Table:
         df = t.to_pandas().drop_duplicates(["doc_a", "doc_b"])  # intra-batch
@@ -321,7 +410,42 @@ def _verified_pairs(sf_dir: str, cand, *, threshold: float, num_parts: int = 8):
         )
         return pa.Table.from_pandas(memb, preserve_index=False).cast(_MEMB_SCHEMA)
 
-    memb = cand.map_batches(explode_members, batch_format="pyarrow")
+    memb = cand.map_batches(explode_members, batch_format="pyarrow").materialize()
+
+    # Distributed semi-filter of the docs side: one object-store-resident
+    # reduction turns the member rows into a sorted unique id array (the
+    # driver only passes the REF around — it never holds ids or texts), and
+    # every docs block drops its non-member rows MAP-SIDE before the
+    # exchange. At 1M docs / 28k verified pairs this cuts the attach
+    # exchange from shipping 1M texts to ~56k. Adaptive: past the broadcast
+    # budget (mirroring exact_dedup's 5M-id rule) the filter is skipped and
+    # the full co-group runs.
+    docs_side = _read_docs(sf_dir)
+    if memb.count() <= 10_000_000:
+        import ray as _ray
+
+        @_ray.remote
+        def _uniq_ids(*blocks):
+            # empty blocks can carry a degenerate (column-less) schema
+            arrs = [
+                b["key_doc"].to_numpy()
+                for b in blocks
+                if b.num_rows and "key_doc" in b.column_names
+            ]
+            return np.unique(np.concatenate(arrs)) if arrs else np.empty(0, np.int64)
+
+        ids_ref = _uniq_ids.remote(*memb.to_arrow_refs())
+
+        def semi(t: pa.Table) -> pa.Table:
+            import ray as __ray
+
+            ids = __ray.get(ids_ref)  # zero-copy plasma read per task
+            d = t["doc_id"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ids, d).clip(0, max(len(ids) - 1, 0))
+            mask = ids[pos] == d if len(ids) else np.zeros(len(d), bool)
+            return t.filter(pa.array(mask))
+
+        docs_side = docs_side.map_batches(semi, batch_format="pyarrow")
 
     def attach(memb_t: pa.Table, docs_t: pa.Table) -> pa.Table:
         m = memb_t.to_pandas()
@@ -354,7 +478,7 @@ def _verified_pairs(sf_dir: str, cand, *, threshold: float, num_parts: int = 8):
         )
 
     attached = cogroup(
-        [memb, _read_docs(sf_dir)],
+        [memb, docs_side],
         [["key_doc"], ["doc_id"]],
         num_parts,
         attach,
@@ -388,7 +512,23 @@ def _verified_pairs(sf_dir: str, cand, *, threshold: float, num_parts: int = 8):
             }
         )
 
-    return partitioned_map(attached, ["doc_a", "doc_b"], num_parts, verify)
+    # the pair-keyed exchange moves fat rows (per-membership hash-set
+    # lists); the packed sort transport would push all those bytes through
+    # a sort sized by its tiny ROW count (~1-wide) — use the raw-task
+    # exchange instead (per-block split wave, no sort barrier)
+    from ..ops import direct_cogroup
+
+    att_schema = pa.schema(
+        [
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("side", pa.int8()),
+            ("hashes", pa.list_(pa.uint64())),
+        ]
+    )
+    return direct_cogroup(
+        [attached.materialize()], [["doc_a", "doc_b"]], num_parts, verify, [att_schema]
+    )
 
 
 def minhash_lsh_pairs(
@@ -466,7 +606,9 @@ def ngram_jaccard_dedup(sf_dir: str, *, threshold: float = 0.8):
         lambda t: pa.table({"doc_id": t["doc_b"].cast(pa.int64())}),
         batch_format="pyarrow",
     )
-    ids = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    from ..ops import read_parquet_sized
+
+    ids = read_parquet_sized(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
     id_schema = pa.schema([("doc_id", pa.int64())])
 
     def anti(ids_t: pa.Table, drops_t: pa.Table) -> pa.Table:

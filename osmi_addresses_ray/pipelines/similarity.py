@@ -36,7 +36,9 @@ import ray.data as rd
 
 
 def _read_emb(sf_dir: str):
-    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    from ..ops import read_parquet_sized
+
+    return read_parquet_sized(os.path.join(sf_dir, "embeddings.parquet"))
 
 
 def _batch_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:

@@ -28,7 +28,11 @@ _TOKEN_RE = r"[A-Za-z0-9_]+"
 
 
 def _read_docs(sf_dir: str, columns=("doc_id", "text")):
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=list(columns))
+    from ..ops import read_parquet_sized
+
+    return read_parquet_sized(
+        os.path.join(sf_dir, "documents.parquet"), columns=list(columns)
+    )
 
 
 def token_counts(sf_dir: str) -> pd.DataFrame:

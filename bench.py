@@ -383,10 +383,10 @@ def run_once() -> dict:
 
 
 def run_scaling() -> dict:
-    # 768k blocks (~11M docs) for BOTH e2e and join legs: one shared fixture,
-    # and enough work that the ~10s fixed driver cost stops dominating the
-    # 4N leg (at 192k blocks measured e2e efficiency swung 0.56-0.71 run to
-    # run; the W term was too small relative to F)
+    # 768k blocks (~11M docs) for the e2e legs: memory-resident (spill
+    # cliff ~2.3M blocks) and already in the linear regime — a 1.5× corpus
+    # measured IDENTICAL per-leg throughput (BASELINE.md r3), so larger
+    # legs only add wall time and noise exposure, not signal
     scale_blocks = os.environ.get("GRAFT_SCALING_BLOCKS", "768000")
 
     def sub_once(ncpu: int) -> dict:
@@ -481,9 +481,11 @@ def run_scaling() -> dict:
     jthr_lo = j_lo["knn_join"]["join_rows_per_sec"]
     jthr_hi = j_hi["knn_join"]["join_rows_per_sec"]
     jeff = (jthr_hi / jthr_lo) / (hi / lo)
-    # LSH-dedup legs over the 1M-doc synthetic documents corpus (#2 bench
+    # LSH-dedup legs over the synthetic documents corpus (#2 bench
     # consumer; best-of-2 runs INSIDE each leg process, so one subprocess
-    # per leg suffices)
+    # per leg suffices). 1M docs is in the linear regime: a 4M run
+    # measured identical per-leg docs/s at both CPU counts
+    os.environ.setdefault("GRAFT_LSH_DOCS", "1000000")
     os.environ["GRAFT_BENCH_MODE"] = "lsh"
     prep(lsh=True)
     l_lo = sub_once(lo)

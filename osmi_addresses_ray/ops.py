@@ -433,9 +433,16 @@ def cogroup(
     return unioned.groupby(PART_COL).map_groups(g, batch_format="pyarrow")
 
 
-def direct_partitioned_map(ds, cols: Sequence[str], num_parts: int, fn, schema: pa.Schema):
-    """``partitioned_map`` over the two-wave raw-task exchange (single source)."""
-    return direct_cogroup([ds], [cols], num_parts, fn, [schema])
+def direct_partitioned_map(
+    ds, cols: Sequence[str], num_parts: int, fn, schema: pa.Schema, *, pre=None
+):
+    """``partitioned_map`` over the two-wave raw-task exchange (single source).
+
+    ``pre`` (optional) is a per-block transform fused INTO the split wave —
+    the pre-image blocks go straight from the upstream execution into the
+    split tasks, so the transformed table never takes its own object-store
+    round trip (``schema`` describes the POST-``pre`` layout)."""
+    return direct_cogroup([ds], [cols], num_parts, fn, [schema], pres=[pre])
 
 
 def dedup_first(

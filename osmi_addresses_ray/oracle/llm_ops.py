@@ -9,9 +9,11 @@ recomputes the operator per-row from the published spec:
   UTF-8 text, hashed FNV-1a-64 over their first 64 bytes with A-Z lowered;
   k=5 token shingles, each shingle hash an FNV fold over up to k
   consecutive token hashes (<k tokens fold them all; empty doc → the bare
-  FNV basis); 64 universal-hash permutations with coefficients from
-  RandomState(42); 16 bands FNV-folded; buckets capped at 64 members; true
-  Jaccard over the shingle-hash sets.
+  FNV basis); one-permutation-hashing signature over 64 bins — mixed =
+  splitmix64(shingle hash), bin = mixed >> 58, value = mixed & (2^58-1),
+  min per bin, empty bins densified from the cyclically nearest non-empty
+  bin to the right (pre-densification distances); 16 bands FNV-folded;
+  buckets capped at 64 members; true Jaccard over the shingle-hash sets.
 - IVF kNN / embedding dedup: spherical k-means centroids from the
   deterministic sample (vec_id < 512; RandomState seed 42 / 7), nearest-cell
   assignment, probe/all-pairs per spec.
@@ -100,14 +102,44 @@ def simhash_oracle(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": docs["doc_id"], "simhash": np.array(out, dtype=np.uint64)})
 
 
+def _splitmix64_one(x: int) -> int:
+    """splitmix64 finalizer (Steele/Lea/Flood, public domain), scalar form."""
+    z = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return z ^ (z >> 31)
+
+
+def _oph_signature(h: np.ndarray, num_perm: int) -> np.ndarray:
+    """One-permutation-hashing signature, naive per-shingle loop: bin from
+    the top log2(num_perm) bits of splitmix64(shingle hash), value from its
+    low 58 bits, min per bin; empty bins copy the cyclically nearest
+    non-empty bin to the right (distances on the raw signature)."""
+    shift = 64 - (num_perm.bit_length() - 1)
+    empty = (1 << 64) - 1
+    sig = [empty] * num_perm
+    for x in h:
+        m = _splitmix64_one(int(x))
+        b = m >> shift
+        v = m & ((1 << 58) - 1)
+        if v < sig[b]:
+            sig[b] = v
+    out = list(sig)
+    for i in range(num_perm):
+        if sig[i] == empty:
+            for d in range(1, num_perm):
+                j = (i + d) % num_perm
+                if sig[j] != empty:
+                    out[i] = sig[j]
+                    break
+    return np.array(out, dtype=np.uint64)
+
+
 def minhash_pairs_oracle(
     sf_dir: str, *, num_perm: int = 64, bands: int = 16, threshold: float = 0.5,
     bucket_cap: int = 64,
 ) -> pd.DataFrame:
     docs = _docs(sf_dir)
-    rng = np.random.RandomState(42)
-    a = rng.randint(1, 2**61 - 1, size=num_perm, dtype=np.int64).astype(np.uint64)
-    b = rng.randint(0, 2**61 - 1, size=num_perm, dtype=np.int64).astype(np.uint64)
     rows_per_band = num_perm // bands
 
     buckets: dict[tuple[int, np.uint64], list[int]] = {}
@@ -115,10 +147,8 @@ def minhash_pairs_oracle(
     for r in docs.itertuples():
         h = _shingle_hashes(r.text)
         hash_sets[r.doc_id] = np.unique(h)
-        sig = np.empty(num_perm, dtype=np.uint64)
+        sig = _oph_signature(h, num_perm)
         with np.errstate(over="ignore"):  # uint64 wraparound is the spec
-            for p in range(num_perm):
-                sig[p] = ((a[p] * h + b[p]) & _MASK61).min()
             for band in range(bands):
                 acc = np.uint64(band + 1)
                 for j in range(rows_per_band):

@@ -26,10 +26,11 @@ pair through the verify exchange, which the cap bounds at
 Bandwidth notes (single node): the two kernels in the hot path are written
 to stay OFF the memory bus — tokenize+hash is a byte-table sweep over the
 Arrow string buffer with zero per-token allocation
-(``_token_hashes_batch``), and the minhash universal-hash matrix is chunked
-to ~8 MB so it lives in LLC (``MinHasher.__call__``). The earlier
-object-array formulations were allocator/bandwidth-bound and flattened 2→8
-CPU scaling to 1.45× on one socket.
+(``_token_hashes_batch``), and the minhash is one-permutation hashing
+(``MinHasher``): a single whole-array mix + radix argsort per batch instead
+of a (k × shingles) universal-hash work matrix. The earlier object-array
+and k-permutation formulations were allocator/bandwidth-bound and flattened
+2→8 CPU scaling on one socket.
 """
 
 from __future__ import annotations
@@ -232,7 +233,38 @@ def _token_hashes_batch(texts) -> tuple[np.ndarray, np.ndarray]:
 def _shingle_hashes_batch(texts, k: int = _SHINGLE_K) -> tuple[np.ndarray, np.ndarray]:
     """Concatenated 64-bit shingle hashes + per-doc shingle counts.
 
-    Shingle hash = FNV fold over up to ``k`` CONSECUTIVE TOKEN HASHES
+    Chunks the doc list so each inner call's uint64 temporaries (the
+    per-byte-position and per-shingle-position sweeps below iterate over the
+    SAME arrays 5–64 times) stay LLC-resident instead of streaming DRAM:
+    measured 1.7× faster single-threaded at 50k synthetic docs, and it keeps
+    the stage from saturating socket bandwidth under 8 concurrent workers
+    (the same chunking lesson as the earlier minhash work matrix).
+    """
+    n = len(texts)
+    if n <= 1024:
+        return _shingle_hashes_chunk(texts, k)
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        sizes = pa.compute.binary_length(texts).to_numpy(zero_copy_only=False)
+        def slicer(i, j):
+            return texts.slice(i, j - i)
+    else:
+        sizes = np.fromiter((len(t) for t in texts), np.int64, n)
+        def slicer(i, j):
+            return texts[i:j]
+    cum = np.cumsum(sizes, dtype=np.int64)
+    hs, cs, i = [], [], 0
+    while i < n:
+        j = int(np.searchsorted(cum, (cum[i - 1] if i else 0) + 512 * 1024))
+        j = max(i + 1, min(j + 1, i + 1024, n))
+        h, c = _shingle_hashes_chunk(slicer(i, j), k)
+        hs.append(h)
+        cs.append(c)
+        i = j
+    return np.concatenate(hs), np.concatenate(cs)
+
+
+def _shingle_hashes_chunk(texts, k: int = _SHINGLE_K) -> tuple[np.ndarray, np.ndarray]:
+    """Shingle hash = FNV fold over up to ``k`` CONSECUTIVE TOKEN HASHES
     (k masked vector ops over the byte-sweep token hashes) — no per-shingle
     or per-token string construction. A doc with n<k tokens yields one
     shingle folding its n tokens; an empty doc yields the bare FNV basis.
@@ -263,49 +295,80 @@ def _shingle_hash_set(text: str) -> np.ndarray:
     return np.unique(h)
 
 
+_OPH_EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)  # sentinel; real values are < 2^58
+_OPH_VAL_MASK = np.uint64((1 << 58) - 1)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (Steele/Lea/Flood, public domain) —
+    decorrelates the shingle-hash bits before the OPH bin/value split."""
+    with np.errstate(over="ignore"):
+        z = x + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
 class MinHasher:
-    """Actor-pool stage: k universal-hash permutations compiled once."""
+    """One-permutation-hashing minhash (Li/Owen/Zhang 2012) with nearest-
+    right rotation densification (Shrivastava/Li 2014).
+
+    Spec (mirrored loop-wise by ``oracle/llm_ops.py``):
+      mixed = splitmix64(shingle_hash);  bin = mixed >> (64 - log2(k));
+      value = mixed & (2^58 - 1);  sig[bin] = min(values in bin);  an empty
+      bin copies the value of the cyclically NEAREST non-empty bin to its
+      right (distances measured on the pre-densification signature).
+
+    This replaces the earlier k-universal-hash formulation: one whole-array
+    mix + a radix argsort per batch instead of k multiply-mods per shingle
+    (64× less arithmetic and, critically, no (k × shingles) work matrix
+    streaming through the memory bus — the universal-hash version's DRAM
+    traffic halved per-core throughput at 8 CPUs on one socket).
+    """
 
     def __init__(self, num_perm: int = 64, seed: int = 42):
-        rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, 2**61 - 1, size=num_perm, dtype=np.int64).astype(np.uint64)
-        self.b = rng.randint(0, 2**61 - 1, size=num_perm, dtype=np.int64).astype(np.uint64)
+        if num_perm & (num_perm - 1) or not 2 <= num_perm <= 64:
+            raise ValueError("num_perm must be a power of two in [2, 64]")
         self.num_perm = num_perm
+        self._bin_shift = np.uint64(64 - num_perm.bit_length() + 1)
 
     def signature(self, text: str) -> np.ndarray:
-        h, _ = _shingle_hashes_batch([text])
-        # (num_perm, n_shingles) universal hashing, min over shingles
-        vals = (np.outer(self.a, h) + self.b[:, None]) & np.uint64(0x1FFFFFFFFFFFFFFF)
-        return vals.min(axis=1)
+        return self.signatures([text])[0]
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        # one tokenize+hash pass over the whole batch, then segmented min via
-        # reduceat; sub-chunks bound the (num_perm × shingles) work matrix.
-        # Chunk sizing is a CACHE bound, not a memory bound: 16k shingles ×
-        # 64 perms × 8 B ≈ 8 MB keeps the matrix in LLC — measured 21×
-        # faster than the 200k chunk (102 MB, main-memory streaming) and it
-        # stops the stage from saturating the socket's bandwidth, which is
-        # what flattened 2→8 CPU scaling to 1.45×
-        h_all, counts = _shingle_hashes_batch(list(df["text"]))
-        offs_all = np.concatenate(([0], np.cumsum(counts)))
-        sig_parts: list[np.ndarray] = []
-        mask = np.uint64(0x1FFFFFFFFFFFFFFF)
-        i = 0
-        while i < len(counts):
-            j, tot = i, 0
-            while j < len(counts) and tot + counts[j] <= 16_384:
-                tot += counts[j]
-                j += 1
-            j = max(j, i + 1)
-            h = h_all[offs_all[i] : offs_all[j]]
-            vals = (self.a[:, None] * h[None, :] + self.b[:, None]) & mask
-            offs = np.concatenate(([0], np.cumsum(counts[i:j])))[:-1]
-            sig_parts.append(np.minimum.reduceat(vals, offs, axis=1).T)
-            i = j
-        sigs = np.concatenate(sig_parts) if sig_parts else np.empty((0, self.num_perm), np.uint64)
+        sigs = self.signatures(list(df["text"]))
         out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy()})
         out["sig"] = list(sigs)
         return out
+
+    def signatures(self, texts) -> np.ndarray:
+        """(n_docs, num_perm) uint64 signature matrix; ``texts`` may be a
+        Python list or an Arrow string array (zero-copy byte sweep)."""
+        h_all, counts = _shingle_hashes_batch(texts)
+        n_docs, k = len(counts), self.num_perm
+        mixed = _splitmix64(h_all)
+        bins = (mixed >> self._bin_shift).astype(np.int64)
+        vals = mixed & _OPH_VAL_MASK
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        key = doc_of * k + bins
+        # stable argsort = radix for ints; shingles are already doc-grouped,
+        # so this is a near-linear pass, then one reduceat for per-bin mins
+        order = np.argsort(key, kind="stable")
+        ks, vs = key[order], vals[order]
+        sig = np.full(n_docs * k, _OPH_EMPTY, np.uint64)
+        if len(ks):
+            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            sig[ks[starts]] = np.minimum.reduceat(vs, starts)
+        sig = sig.reshape(n_docs, k)
+        # jump-pointer fill: after shifts 1,2,4,... each empty slot holds the
+        # value of the nearest ORIGINALLY non-empty bin to its right (cyclic)
+        s = 1
+        empty = sig == _OPH_EMPTY
+        while s < k and empty.any():
+            sig[empty] = np.roll(sig, -s, axis=1)[empty]
+            s <<= 1
+            empty = sig == _OPH_EMPTY
+        return sig
 
 
 def _lsh_candidate_pairs(
@@ -316,75 +379,103 @@ def _lsh_candidate_pairs(
     ds = _read_docs(sf_dir)
     rows_per_band = num_perm // bands
 
-    # stateless tasks with a per-worker-process cached MinHasher: same
-    # compile-once-per-worker property as an actor pool without the pool's
-    # fixed concurrency cap / startup latency (measured ~2s at 32 CPUs on
-    # small corpora; an actor pool pays off when setup is expensive, and the
-    # hash-coefficient setup is microseconds)
-    def sig_batch(df: pd.DataFrame) -> pd.DataFrame:
+    # ONE fused Arrow-native stage: tokenize → OPH signature → band fold →
+    # (bucket, doc_id). Signatures never leave the worker (no object columns,
+    # no sig serialization through the object store), and the text column is
+    # consumed as raw Arrow buffers — the pandas round-trip this replaces
+    # more than doubled the stage's core-seconds at 1M docs. Stateless tasks
+    # with a per-worker-process cached MinHasher: same compile-once property
+    # as an actor pool without its fixed concurrency cap / startup latency.
+    def sig_explode(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"bucket": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
+        )
+        if not t.num_rows:
+            return empty
         hasher = _WORKER_CACHE.get(("minhash", num_perm))
         if hasher is None:
             hasher = MinHasher(num_perm)
             _WORKER_CACHE[("minhash", num_perm)] = hasher
-        return hasher(df)
-
-    sigged = ds.map_batches(sig_batch, batch_format="pandas")
-
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame(
-                {"bucket": pd.Series([], dtype="int64"), "doc_id": pd.Series([], dtype="int64")}
-            )
+        sig = hasher.signatures(t.column("text"))
         # FNV-fold each band vectorized over (docs, bands)
         fnv = np.uint64(1099511628211)
-        S = np.stack([np.asarray(s, np.uint64) for s in df["sig"]]).reshape(
-            len(df), bands, rows_per_band
-        )
+        S = sig.reshape(len(sig), bands, rows_per_band)
         acc = np.broadcast_to(
-            np.arange(1, bands + 1, dtype=np.uint64), (len(df), bands)
+            np.arange(1, bands + 1, dtype=np.uint64), (len(sig), bands)
         ).copy()
         for r in range(rows_per_band):
             acc = (acc * fnv) ^ S[:, :, r]
-        return pd.DataFrame(
+        doc_id = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
             {
                 "bucket": (acc & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64).ravel(),
-                "doc_id": np.repeat(df["doc_id"].to_numpy(), bands),
+                "doc_id": np.repeat(doc_id, bands),
             }
         )
 
-    buckets = sigged.map_batches(explode, batch_format="pandas")
+    # sig_explode is fused INTO the exchange's split wave (pre): parquet
+    # blocks flow straight into split tasks that tokenize → sign → band →
+    # partition, so the 16×-fanout bucket table (64M rows ≈ 1 GB at 4M docs)
+    # never takes its own object-store round trip
+
+    _EMPTY_PAIRS = pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+    )
 
     def pairs(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        # singleton buckets dominate — drop them vectorized before the
-        # per-bucket combination loop touches only true collision groups
-        df = df.drop_duplicates(["bucket", "doc_id"])
-        sizes = df["bucket"].map(df["bucket"].value_counts())
-        df = df[sizes >= 2]
-        out = []
-        n_capped = n_dropped = 0
-        for _b, g in df.groupby("bucket", sort=False):
-            members = sorted(set(g["doc_id"]))
-            if len(members) > bucket_cap:  # no silent caps: count + report
-                n_capped += 1
-                n_dropped += len(members) - bucket_cap
-            ids = members[:bucket_cap]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out.append((ids[i], ids[j]))
-        if n_capped:
-            _truncation_counter().add.remote(n_capped, n_dropped)
-        pdf = pd.DataFrame(out, columns=["doc_a", "doc_b"]) if out else pd.DataFrame(
-            {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
-        )
-        return pa.Table.from_pandas(pdf, preserve_index=False)
+        if not t.num_rows:
+            return _EMPTY_PAIRS
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        # one lexsort drives everything: (bucket, doc) dedup, group
+        # boundaries, the cap, and triangular pair expansion — no pandas,
+        # no per-bucket Python loop (the groupby/itertuples formulation was
+        # ~40% of the exchange stage's core-seconds at 4M docs)
+        order = np.lexsort((d, b))
+        bs, ds_ = b[order], d[order]
+        keep = np.r_[True, (bs[1:] != bs[:-1]) | (ds_[1:] != ds_[:-1])]
+        bs, ds_ = bs[keep], ds_[keep]
+        first = np.r_[True, bs[1:] != bs[:-1]] if len(bs) else np.empty(0, bool)
+        gidx = np.cumsum(first) - 1
+        counts = np.bincount(gidx)
+        goffs = np.concatenate(([0], np.cumsum(counts)))
+        pos_in_g = np.arange(len(ds_)) - goffs[gidx]
+        over = counts > bucket_cap
+        if over.any():  # no silent caps: count + report
+            _truncation_counter().add.remote(
+                int(over.sum()), int((counts[over] - bucket_cap).sum())
+            )
+            in_cap = pos_in_g < bucket_cap
+            bs, ds_, gidx = bs[in_cap], ds_[in_cap], gidx[in_cap]
+            counts = np.minimum(counts, bucket_cap)
+            goffs = np.concatenate(([0], np.cumsum(counts)))
+            pos_in_g = np.arange(len(ds_)) - goffs[gidx]
+        # member at position i pairs with the (m-1-i) members after it
+        fanout = counts[gidx] - 1 - pos_in_g
+        total = int(fanout.sum())
+        if not total:
+            return _EMPTY_PAIRS
+        lefts = np.repeat(np.arange(len(ds_)), fanout)
+        offs = np.concatenate(([0], np.cumsum(fanout)))
+        rights = lefts + 1 + (np.arange(total) - np.repeat(offs[:-1], fanout))
+        return pa.table({"doc_a": ds_[lefts], "doc_b": ds_[rights]})
 
-    from ..ops import partitioned_map
+    from ..ops import direct_partitioned_map
 
     # NOTE: pairs surviving multiple buckets leave here duplicated; the
     # verify stage (keyed by the pair) deduplicates for free — a dedicated
-    # dedupe exchange measured ~1.5s of pure barrier cost at small scale
-    return partitioned_map(buckets, ["bucket"], num_parts, pairs)
+    # dedupe exchange measured ~1.5s of pure barrier cost at small scale.
+    # The raw-task exchange (not the packed sort transport): at 4M docs the
+    # bucket stream is 64M rows ≈ 1 GB, and sort parallelism sized by packed
+    # BLOB rows would squeeze them through a handful of tasks.
+    return direct_partitioned_map(
+        ds,
+        ["bucket"],
+        num_parts,
+        pairs,
+        pa.schema([("bucket", pa.int64()), ("doc_id", pa.int64())]),
+        pre=sig_explode,
+    )
 
 
 def _verified_pairs(sf_dir: str, cand, *, threshold: float, num_parts: int = 8):
@@ -396,7 +487,6 @@ def _verified_pairs(sf_dir: str, cand, *, threshold: float, num_parts: int = 8):
     which computes |A∩B| / |A∪B| over the sorted uint64 hash sets.
     The driver never holds candidate texts or unverified pairs.
     """
-    from ..ops import cogroup
 
     def explode_members(t: pa.Table) -> pa.Table:
         df = t.to_pandas().drop_duplicates(["doc_a", "doc_b"])  # intra-batch
@@ -421,6 +511,7 @@ def _verified_pairs(sf_dir: str, cand, *, threshold: float, num_parts: int = 8):
     # budget (mirroring exact_dedup's 5M-id rule) the filter is skipped and
     # the full co-group runs.
     docs_side = _read_docs(sf_dir)
+    docs_pre = None
     if memb.count() <= 10_000_000:
         import ray as _ray
 
@@ -436,7 +527,7 @@ def _verified_pairs(sf_dir: str, cand, *, threshold: float, num_parts: int = 8):
 
         ids_ref = _uniq_ids.remote(*memb.to_arrow_refs())
 
-        def semi(t: pa.Table) -> pa.Table:
+        def docs_pre(t: pa.Table) -> pa.Table:
             import ray as __ray
 
             ids = __ray.get(ids_ref)  # zero-copy plasma read per task
@@ -445,44 +536,71 @@ def _verified_pairs(sf_dir: str, cand, *, threshold: float, num_parts: int = 8):
             mask = ids[pos] == d if len(ids) else np.zeros(len(d), bool)
             return t.filter(pa.array(mask))
 
-        docs_side = docs_side.map_batches(semi, batch_format="pyarrow")
+    _EMPTY_ATT = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "side": pa.array([], pa.int8()),
+            "hashes": pa.array([], pa.list_(pa.uint64())),
+        }
+    )
 
     def attach(memb_t: pa.Table, docs_t: pa.Table) -> pa.Table:
-        m = memb_t.to_pandas()
-        if not len(m):
-            return pa.table(
-                {
-                    "doc_a": pa.array([], pa.int64()),
-                    "doc_b": pa.array([], pa.int64()),
-                    "side": pa.array([], pa.int8()),
-                    "hashes": pa.array([], pa.list_(pa.uint64())),
-                }
-            )
-        d = docs_t.to_pandas()
-        need = np.unique(m["key_doc"].to_numpy())
-        d = d[d["doc_id"].isin(need)]
-        h_all, s_counts = _shingle_hashes_batch(list(d["text"]))
-        h_offs = np.concatenate(([0], np.cumsum(s_counts)))
-        hsets = {
-            int(did): np.unique(h_all[h_offs[i] : h_offs[i + 1]])
-            for i, did in enumerate(d["doc_id"].to_numpy())
-        }
-        hashes = [hsets[int(k)] for k in m["key_doc"]]
+        if not memb_t.num_rows:
+            return _EMPTY_ATT
+        m_key = memb_t["key_doc"].to_numpy(zero_copy_only=False)
+        doc_ids = docs_t["doc_id"].to_numpy(zero_copy_only=False)
+        # per-doc sorted-unique shingle-hash sets, fully vectorized: one
+        # lexsort over (doc, hash), first-occurrence mask, segment offsets
+        h_all, s_counts = _shingle_hashes_batch(docs_t.column("text"))
+        doc_idx = np.repeat(np.arange(len(doc_ids), dtype=np.int64), s_counts)
+        order = np.lexsort((h_all, doc_idx))
+        hs, di = h_all[order], doc_idx[order]
+        first = np.r_[True, (hs[1:] != hs[:-1]) | (di[1:] != di[:-1])] if len(hs) else np.empty(0, bool)
+        uh, ud = hs[first], di[first]
+        set_counts = np.bincount(ud, minlength=len(doc_ids))
+        set_offs = np.concatenate(([0], np.cumsum(set_counts)))
+        # memb row → its doc's set slice (searchsorted on the sorted id view)
+        if len(doc_ids) == 0:
+            raise ValueError("candidate pairs reference docs missing from the corpus")
+        id_order = np.argsort(doc_ids, kind="stable")
+        sorted_ids = doc_ids[id_order]
+        pos = id_order[np.searchsorted(sorted_ids, m_key).clip(0, len(doc_ids) - 1)]
+        if not np.array_equal(doc_ids[pos], m_key):
+            raise ValueError("candidate pair references a doc_id missing from the corpus")
+        lens = set_counts[pos]
+        row_offs = np.concatenate(([0], np.cumsum(lens)))
+        flat = np.repeat(set_offs[pos], lens) + (
+            np.arange(row_offs[-1], dtype=np.int64) - np.repeat(row_offs[:-1], lens)
+        )
+        hashes = pa.ListArray.from_arrays(
+            pa.array(row_offs, pa.int32()), pa.array(uh[flat], pa.uint64())
+        )
         return pa.table(
             {
-                "doc_a": pa.array(m["doc_a"].to_numpy(), pa.int64()),
-                "doc_b": pa.array(m["doc_b"].to_numpy(), pa.int64()),
-                "side": pa.array(m["side"].to_numpy(), pa.int8()),
-                "hashes": pa.array(hashes, pa.list_(pa.uint64())),
+                "doc_a": memb_t["doc_a"],
+                "doc_b": memb_t["doc_b"],
+                "side": memb_t["side"],
+                "hashes": hashes,
             }
         )
 
-    attached = cogroup(
+    # Both exchanges move FAT payloads (text, then hash-set lists) — the
+    # packed sort transport would squeeze those bytes through tasks sized by
+    # blob ROW count, so both ride the raw-task direct exchange. The semi
+    # filter is fused map-side into the split wave (pres), and the attach
+    # reduce re-partitions its output on the pair key (shuffle chaining), so
+    # the fat intermediate takes no extra object-store round trip.
+    from ..ops import direct_cogroup
+
+    attached = direct_cogroup(
         [memb, docs_side],
         [["key_doc"], ["doc_id"]],
         num_parts,
         attach,
         [_MEMB_SCHEMA, DOCS_SCHEMA],
+        pres=[None, docs_pre],
+        emit_partitioned_on=["doc_a", "doc_b"],
     )
 
     def verify(t: pa.Table) -> pa.Table:
@@ -512,12 +630,6 @@ def _verified_pairs(sf_dir: str, cand, *, threshold: float, num_parts: int = 8):
             }
         )
 
-    # the pair-keyed exchange moves fat rows (per-membership hash-set
-    # lists); the packed sort transport would push all those bytes through
-    # a sort sized by its tiny ROW count (~1-wide) — use the raw-task
-    # exchange instead (per-block split wave, no sort barrier)
-    from ..ops import direct_cogroup
-
     att_schema = pa.schema(
         [
             ("doc_a", pa.int64()),
@@ -527,7 +639,7 @@ def _verified_pairs(sf_dir: str, cand, *, threshold: float, num_parts: int = 8):
         ]
     )
     return direct_cogroup(
-        [attached.materialize()], [["doc_a", "doc_b"]], num_parts, verify, [att_schema]
+        [attached], [["doc_a", "doc_b"]], num_parts, verify, [att_schema]
     )
 
 

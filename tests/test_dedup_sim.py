@@ -118,3 +118,23 @@ def test_lsh_bucket_cap_is_counted(planted_dir, ray_session):
 
     out_full = dedup.minhash_lsh_pairs(d, bucket_cap=64)
     assert len(out_full) == 66  # C(12,2): raising the cap recovers recall
+
+
+def test_oph_signature_matches_oracle_spec():
+    """Engine OPH minhash (vectorized radix-sort form) must be bit-identical
+    to the oracle's naive per-shingle loop, including rotation densification
+    on sparse docs (1 shingle -> 63 empty bins) and the empty-doc basis."""
+    from osmi_addresses_ray.oracle.llm_ops import _oph_signature, _shingle_hashes
+
+    rng = np.random.RandomState(11)
+    words = [f"w{i}" for i in range(300)]
+    texts = [" ".join(rng.choice(words, rng.randint(0, 60))) for _ in range(50)]
+    texts += ["", "one", "a b", "x " * 200]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    eng = dedup.MinHasher(64)(df)
+    for i, t in enumerate(texts):
+        want = _oph_signature(_shingle_hashes(t), 64)
+        got = np.asarray(eng["sig"].iloc[i])
+        assert np.array_equal(want, got), f"doc {i}: {t[:40]!r}"
+    # no sentinel survives densification (every doc has >= 1 shingle)
+    assert not any((np.asarray(s) == np.uint64(2**64 - 1)).any() for s in eng["sig"])

@@ -85,7 +85,13 @@ def _layer_query(name: str) -> Callable[[str], Any]:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from osmi_addresses_ray.pipelines import dedup, relational, similarity, textstats
+    from osmi_addresses_ray.pipelines import (
+        dedup,
+        relational,
+        similarity,
+        textstats,
+        timeseries,
+    )
 
     q: dict[str, Callable[[str], Any]] = {
         # relational operator family (SQL-checked)
@@ -98,6 +104,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_hourly": relational.q_events_hourly,
         "q_nation_region_join": relational.q_nation_region_join,
         "q_customer_order_counts": relational.q_customer_order_counts,
+        # time-series custom operators (SQL-checked): one hash exchange on
+        # user_id, vectorized per-partition sweeps (pipelines/timeseries.py)
+        "asof_click_view": timeseries.asof_join_events,
+        "session_windows": timeseries.session_windows,
         # training-data ops over documents/embeddings
         "dedup_exact_docs": dedup.exact_dedup_docs,
         "token_counts": textstats.token_counts,
@@ -446,6 +456,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_nationkey, n_name, n_regionkey, r_name
             FROM nation JOIN region ON n_regionkey = r_regionkey
             ORDER BY n_nationkey
+        """,
+        # as-of join: latest 'view' of the same user with view.ts <= click.ts
+        # (inner; ties on ts -> larger event_id). The window formulation is
+        # deliberately ASOF-free so the tie-break is explicit and matches the
+        # engine's lexsort bit-for-bit.
+        "asof_click_view": """
+            WITH c AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+                 v AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'view'),
+                 j AS (SELECT c.event_id, c.user_id, c.ts,
+                              v.event_id AS view_event_id, v.ts AS view_ts,
+                              epoch_us(c.ts) - epoch_us(v.ts) AS lag_us,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY c.event_id
+                                  ORDER BY v.ts DESC, v.event_id DESC) AS rn
+                       FROM c JOIN v
+                         ON c.user_id = v.user_id AND v.ts <= c.ts)
+            SELECT event_id, user_id, ts, view_event_id, view_ts, lag_us
+            FROM j WHERE rn = 1 ORDER BY event_id
+        """,
+        # gap-based session windows (gap > 30 min starts a new session);
+        # per-user 1-based session index, ordering ties broken by event_id
+        "session_windows": """
+            WITH o AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    > 30 * 60 * 1000000
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+                SELECT user_id, ts, value,
+                       SUM(brk) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM o
+            )
+            SELECT user_id, sid::BIGINT AS session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM s GROUP BY user_id, sid ORDER BY user_id, session_id
         """,
         "q_customer_order_counts": """
             SELECT o_custkey,

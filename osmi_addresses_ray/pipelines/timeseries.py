@@ -1,0 +1,213 @@
+"""Time-series operators Ray Data lacks natively: as-of join and
+gap-based session windows over the events table.
+
+Both are custom operators in the SURVEY §2 sense (compositions the Dataset
+API cannot express directly): ONE hash exchange on ``user_id`` co-locates a
+user's full history, then everything inside the partition is a vectorized
+sweep over lexsorted (user, ts) arrays — no per-user Python loop, no
+driver-side iteration.
+
+Partitioning assumption (documented per the custom-operator rule): a
+partition holds ALL events of its users, so per-partition memory is bounded
+by the hottest user's history. At 100 TB a pathological single user would
+need the range-partition-by-ts + boundary-stitch variant (sessions that
+cross partition edges merged in a second tiny exchange of per-edge
+fragments); the hash-by-user form is the right default for organic skew.
+
+Determinism: every ordering tie is broken by ``event_id`` (unique), so
+results are bit-stable across partition counts and runs; the DuckDB oracle
+mirrors the same tie-break (ORDER BY ts, event_id).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+EVENTS_ASOF_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us")),
+        ("view_event_id", pa.int64()),
+        ("view_ts", pa.timestamp("us")),
+        ("lag_us", pa.int64()),
+    ]
+)
+
+SESSION_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("session_id", pa.int64()),
+        ("session_start", pa.timestamp("us")),
+        ("session_end", pa.timestamp("us")),
+        ("n_events", pa.int64()),
+        ("sum_value", pa.float64()),
+    ]
+)
+
+_PRE_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()),
+        ("event_type", pa.string()),
+        ("value", pa.float64()),
+    ]
+)
+
+
+def _read_events(sf_dir: str, columns):
+    from ..ops import read_parquet_sized
+
+    return read_parquet_sized(os.path.join(sf_dir, "events.parquet"), columns=columns)
+
+
+def asof_join_events(
+    sf_dir: str,
+    *,
+    left_type: str = "click",
+    right_type: str = "view",
+    num_parts: int = 8,
+):
+    """For every ``left_type`` event, the latest ``right_type`` event of the
+    same user with ``ts`` ≤ the left event's ``ts`` (inner as-of join; ties
+    on ts resolved to the larger event_id).
+
+    Shape: one exchange on user_id; inside a partition both sides merge into
+    a single (user, ts, side, event_id) lexsort where the "latest prior
+    view" for every click is a running maximum-accumulate over view row
+    positions — O(n log n) per partition, zero per-user loops.
+    """
+
+    def pre(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.or_(
+            pc.equal(t["event_type"], left_type), pc.equal(t["event_type"], right_type)
+        )
+        return t.filter(mask).select(["event_id", "ts", "user_id", "event_type"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return EVENTS_ASOF_SCHEMA.empty_table()
+        user = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        is_left = np.asarray(t["event_type"].to_numpy(zero_copy_only=False)) == left_type
+        # views sort BEFORE clicks at equal (user, ts) — prior-OR-EQUAL
+        # semantics — and event_id last so equal-ts views resolve to the max
+        order = np.lexsort((eid, is_left.astype(np.int8), ts, user))
+        u, tsv, ev, lf = user[order], ts[order], eid[order], is_left[order]
+        # running "last view row position" (−1 where none yet)
+        pos = np.where(~lf, np.arange(len(u)), -1)
+        acc = np.maximum.accumulate(pos)
+        take = lf & (acc >= 0)
+        cand = acc[take]
+        same_user = u[cand] == u[take]
+        rows = np.flatnonzero(take)[same_user]
+        cand = cand[same_user]
+        return pa.table(
+            {
+                "event_id": pa.array(ev[rows], pa.int64()),
+                "user_id": pa.array(u[rows], pa.int64()),
+                "ts": pa.array(tsv[rows].astype("datetime64[us]")),
+                "view_event_id": pa.array(ev[cand], pa.int64()),
+                "view_ts": pa.array(tsv[cand].astype("datetime64[us]")),
+                "lag_us": pa.array(tsv[rows] - tsv[cand], pa.int64()),
+            }
+        )
+
+    from ..ops import direct_partitioned_map
+
+    out = direct_partitioned_map(
+        _read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"]),
+        ["user_id"],
+        num_parts,
+        fn,
+        pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+            ]
+        ),
+        pre=pre,
+    )
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+def session_windows(sf_dir: str, *, gap_minutes: int = 30, num_parts: int = 8):
+    """Gap-based session windows per user: a new session starts when the
+    time since the user's previous event exceeds ``gap_minutes`` (strictly
+    greater). Emits per-session (start, end, n_events, sum_value) with a
+    1-based per-user session index.
+
+    ``sum_value`` is rounded to 6 decimals on BOTH engine and oracle sides:
+    double summation order differs between a segmented reduceat and
+    DuckDB's aggregate, and the inputs are 2-decimal synthetic values whose
+    sums agree far beyond 1e-6.
+    """
+    gap_us = np.int64(gap_minutes) * 60_000_000
+
+    def fn(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return SESSION_SCHEMA.empty_table()
+        user = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, user))
+        u, tsv, v = user[order], ts[order], val[order]
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        brk = new_user | (np.r_[np.int64(0), tsv[1:] - tsv[:-1]] > gap_us)
+        starts = np.flatnonzero(brk)
+        counts = np.diff(np.r_[starts, len(u)])
+        # per-user 1-based session index: global session ordinal minus the
+        # ordinal of the user's first session
+        sess_ord = np.arange(len(starts), dtype=np.int64)
+        user_first = np.maximum.accumulate(np.where(new_user[starts], sess_ord, -1))
+        sid = sess_ord - user_first + 1
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "session_id": pa.array(sid, pa.int64()),
+                "session_start": pa.array(tsv[starts].astype("datetime64[us]")),
+                "session_end": pa.array(
+                    tsv[np.r_[starts[1:], len(u)] - 1].astype("datetime64[us]")
+                ),
+                "n_events": pa.array(counts, pa.int64()),
+                "sum_value": pa.array(
+                    np.round(np.add.reduceat(v, starts), 6), pa.float64()
+                ),
+            }
+        )
+
+    def pre(t: pa.Table) -> pa.Table:
+        return t.select(["event_id", "ts", "user_id", "value"])
+
+    from ..ops import direct_partitioned_map
+
+    out = direct_partitioned_map(
+        _read_events(sf_dir, ["event_id", "ts", "user_id", "value"]),
+        ["user_id"],
+        num_parts,
+        fn,
+        pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()),
+                ("value", pa.float64()),
+            ]
+        ),
+        pre=pre,
+    )
+    return (
+        out.to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )

@@ -1,0 +1,88 @@
+"""As-of join + session windows: semantics on a hand-built corpus with
+deliberate edge cases (equal-ts ties, exact-gap boundaries, view-less
+clicks), plus DuckDB oracle parity on the sf0.001 events table."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from osmi_addresses_ray.pipelines import timeseries
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def micro_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events")
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    m = np.timedelta64(60_000_000, "us")  # one minute
+    rows = [
+        # user 1: view@0, view@5, click@5 (tie -> view@5 wins, prior-or-equal),
+        # click@10, then a 31-min gap, click@41 (still joins view@5)
+        (0, base + 0 * m, 1, "view", 1.0),
+        (1, base + 5 * m, 1, "view", 2.0),
+        (2, base + 5 * m, 1, "click", 3.0),
+        (3, base + 10 * m, 1, "click", 4.0),
+        (4, base + 41 * m, 1, "click", 5.0),
+        # user 2: click with NO prior view (dropped by inner as-of);
+        # two views at the SAME ts (max event_id wins)
+        (5, base + 1 * m, 2, "click", 1.5),
+        (6, base + 2 * m, 2, "view", 1.5),
+        (7, base + 2 * m, 2, "view", 1.5),
+        (8, base + 3 * m, 2, "click", 1.5),
+        # user 3: events exactly 30 min apart (gap NOT strictly greater ->
+        # one session), then 30 min + 1 us (new session)
+        (9, base + 0 * m, 3, "view", 1.0),
+        (10, base + 30 * m, 3, "view", 1.0),
+        (11, base + 60 * m + np.timedelta64(1, "us"), 3, "view", 1.0),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    df["props"] = "{}"
+    df.to_parquet(os.path.join(d, "events.parquet"), index=False)
+    return str(d)
+
+
+def test_asof_semantics(micro_dir, ray_session):
+    out = timeseries.asof_join_events(micro_dir, num_parts=2)
+    got = {int(r.event_id): (int(r.view_event_id), int(r.lag_us)) for r in out.itertuples()}
+    assert got[2] == (1, 0)  # tie at equal ts: prior-or-equal
+    assert got[3] == (1, 5 * 60_000_000)
+    assert got[4] == (1, 36 * 60_000_000)
+    assert 5 not in got  # no prior view -> dropped (inner)
+    assert got[8] == (7, 60_000_000)  # same-ts views -> max event_id
+
+
+def test_session_semantics(micro_dir, ray_session):
+    out = timeseries.session_windows(micro_dir, num_parts=2)
+    u1 = out[out.user_id == 1]
+    assert list(u1.session_id) == [1, 2]
+    assert list(u1.n_events) == [4, 1]
+    u3 = out[out.user_id == 3]
+    # 30 min exactly = same session; 30 min + 1 us = new session
+    assert list(u3.n_events) == [2, 1]
+    assert u1.iloc[0].sum_value == pytest.approx(10.0)
+
+
+@pytest.mark.parametrize("name", ["asof_click_view", "session_windows"])
+def test_oracle_parity_sf0001(name, ray_session):
+    import __ray_entry__ as entry
+
+    got = entry.queries()[name](SF)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    want = con.execute(entry.oracle_sql()[name]).fetchdf()
+    got = got.reset_index(drop=True)
+    assert len(got) == len(want) and len(got) > 0
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        if got[c].dtype.kind == "f":
+            assert np.allclose(got[c].to_numpy(), want[c].to_numpy(), atol=1e-9), c
+        else:
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), c

@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": textstats.token_counts,
         "quality_scores": textstats.quality_scores,
         "knn_bruteforce": similarity.knn_bruteforce,
+        "knn_batch": similarity.knn_batch,
         "lang_id": textstats.lang_id,
         "fingerprints": textstats.fingerprints,
         # sketch/ANN ops checked against naive pure-Python oracles written to
@@ -537,6 +538,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE vec_id <> 0
             ORDER BY cosine DESC, vec_id ASC
             LIMIT 10
+        """,
+        # batched exact top-k: 8 query vectors against the corpus; ties on
+        # the rounded cosine break by vec_id in BOTH engine and SQL
+        "knn_batch": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id IN (0,1,2,3,4,5,6,7)),
+                 s AS (SELECT q.query_id, e.vec_id,
+                              round(list_cosine_similarity(e.embedding, q.qe), 6)
+                                  AS cosine
+                       FROM q CROSS JOIN embeddings e
+                       WHERE e.vec_id <> q.query_id),
+                 r AS (SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, vec_id) AS rank
+                       FROM s)
+            SELECT query_id, vec_id, cosine, rank
+            FROM r WHERE rank <= 10 ORDER BY query_id, rank
         """,
         # stopword-count argmax; tie-break = lexicographically largest code
         "lang_id": """

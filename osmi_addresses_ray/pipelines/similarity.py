@@ -359,3 +359,103 @@ def embedding_cosine_dedup(
             }
         )
     return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def knn_batch(
+    sf_dir: str,
+    *,
+    query_ids: tuple = tuple(range(8)),
+    k: int = 10,
+    num_parts: int = 4,
+) -> pd.DataFrame:
+    """Batched exact cosine top-k: MANY query vectors against the corpus in
+    one pass — the form a training pipeline actually runs (single-query
+    ``knn_bruteforce`` is the didactic baseline).
+
+    Shape: the query matrix broadcasts once (``ray.put``); every corpus
+    block computes one (n × Q) float64 matmul and keeps a top-(k+8) partial
+    PER QUERY via a single column-wise ``argpartition`` (the +8 margin
+    protects the boundary against round-to-6-decimals ties, which the final
+    ordering breaks by vec_id); partials — (k+8)·Q rows per block, never
+    the corpus — meet in a query-keyed exchange where each query's final
+    top-k and rank are assigned. Driver sees k·Q rows.
+    """
+    import pyarrow.compute as pc
+
+    from ..ops import direct_partitioned_map
+
+    qids = np.asarray(sorted(query_ids), dtype=np.int64)
+    q_df = (
+        _read_emb(sf_dir)
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["vec_id"], pa.array(qids))),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    assert len(q_df) == len(qids), "missing query vec_ids"
+    qmat = np.stack([np.asarray(e, np.float64) for e in q_df["embedding"]])
+    q_ref = ray.put((qids, qmat))
+    margin = k + 8
+
+    def score(t: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(t)
+        q_ids, qm = ray.get(q_ref)
+        m64 = mat.astype(np.float64)
+        # dot first, divide after — the same float path as the SQL oracle's
+        # list_cosine_similarity (normalize-then-dot rounds differently)
+        qn = np.maximum(np.linalg.norm(qm, axis=1), 1e-30)
+        norms = np.maximum(np.linalg.norm(m64, axis=1), 1e-30)
+        sims = (m64 @ qm.T) / np.outer(norms, qn)  # (n, Q)
+        # self-exclusion before the partial so the boundary is exact
+        self_cols = np.searchsorted(q_ids, ids).clip(0, len(q_ids) - 1)
+        self_mask = np.flatnonzero(q_ids[self_cols] == ids)
+        sims[self_mask, self_cols[self_mask]] = -2.0
+        top = min(margin, len(ids))
+        sel = np.argpartition(-sims, top - 1, axis=0)[:top]  # (top, Q)
+        qcol = np.broadcast_to(q_ids, sel.shape)
+        return pa.table(
+            {
+                "query_id": pa.array(qcol.ravel(), pa.int64()),
+                "vec_id": pa.array(ids[sel.ravel()], pa.int64()),
+                "cosine": pa.array(
+                    np.round(np.take_along_axis(sims, sel, axis=0).ravel(), 6)
+                ),
+            }
+        )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if df.empty:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        df = df[df["cosine"] > -1.5]  # drop self-exclusion sentinels
+        df = df.sort_values(
+            ["query_id", "cosine", "vec_id"], ascending=[True, False, True], kind="stable"
+        )
+        df["rank"] = df.groupby("query_id").cumcount() + 1
+        df = df[df["rank"] <= k]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = direct_partitioned_map(
+        _read_emb(sf_dir),
+        ["query_id"],
+        num_parts,
+        finalize,
+        pa.schema(
+            [
+                ("query_id", pa.int64()),
+                ("vec_id", pa.int64()),
+                ("cosine", pa.float64()),
+            ]
+        ),
+        pre=score,
+    )
+    return out.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)

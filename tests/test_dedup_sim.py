@@ -138,3 +138,16 @@ def test_oph_signature_matches_oracle_spec():
         assert np.array_equal(want, got), f"doc {i}: {t[:40]!r}"
     # no sentinel survives densification (every doc has >= 1 shingle)
     assert not any((np.asarray(s) == np.uint64(2**64 - 1)).any() for s in eng["sig"])
+
+
+def test_knn_batch_finds_planted_cluster(planted_dir, ray_session):
+    """Batched kNN queried FROM two planted-cluster members must rank the
+    other members first, and must agree with the single-query op."""
+    out = similarity.knn_batch(planted_dir, query_ids=(600, 604), k=7)
+    for q in (600, 604):
+        rows = out[out.query_id == q]
+        assert len(rows) == 7
+        others = set(range(600, 608)) - {q}
+        assert set(rows.vec_id) == others, (q, list(rows.vec_id))
+    single = similarity.knn_bruteforce(planted_dir, query_id=600, k=7)
+    assert list(out[out.query_id == 600].vec_id) == list(single.vec_id)

@@ -101,6 +101,16 @@ def _hash64(strs: pd.Series) -> np.ndarray:
     return pd.util.hash_pandas_object(strs, index=False).to_numpy()
 
 
+def _hash64_b(strs: pd.Series) -> np.ndarray:
+    """Second, independent 64-bit siphash (different 16-byte key): the exact
+    dedup keys winners on the PAIR (h, h2) = a 128-bit signature. A single
+    64-bit key collides ~30 times at 10^12 docs (birthday bound) and would
+    silently merge distinct texts; 128 bits pushes that to ~1e-15."""
+    return pd.util.hash_pandas_object(
+        strs, index=False, hash_key="graft-dedup-2nd!"
+    ).to_numpy()
+
+
 def exact_dedup_docs(sf_dir: str):
     """Keep min(doc_id) per distinct text. Oracle-SQL-checkable.
 
@@ -110,12 +120,22 @@ def exact_dedup_docs(sf_dir: str):
     ds = _read_docs(sf_dir)
 
     def sig(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "h": _hash64(df["text"])})
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "h": _hash64(df["text"]),
+                "h2": _hash64_b(df["text"]),
+            }
+        )
 
     from ..ops import partitioned_map
 
     def keep_first(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().sort_values(["h", "doc_id"]).drop_duplicates("h", keep="first")
+        df = (
+            t.to_pandas()
+            .sort_values(["h", "h2", "doc_id"])
+            .drop_duplicates(["h", "h2"], keep="first")
+        )
         return pa.Table.from_pandas(df[["doc_id"]], preserve_index=False)
 
     winners = partitioned_map(

@@ -120,18 +120,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # /tmp/graft_oracle (see osmi_addresses_ray.oracle): the query runs
         # the distributed pipeline AND recomputes the spec single-threaded;
         # the paired oracle_sql() reads the recomputation back via DuckDB
-        "simhash_docs": _with_oracle("simhash_docs", dedup.simhash_docs, "simhash_oracle"),
+        "simhash_docs": _with_oracle(
+            "simhash_docs", dedup.simhash_docs, "simhash_oracle", "documents"
+        ),
         "minhash_lsh_pairs": _with_oracle(
-            "minhash_lsh_pairs", dedup.minhash_lsh_pairs, "minhash_pairs_oracle"
+            "minhash_lsh_pairs", dedup.minhash_lsh_pairs, "minhash_pairs_oracle", "documents"
         ),
         "ngram_jaccard_dedup": _with_oracle(
-            "ngram_jaccard_dedup", dedup.ngram_jaccard_dedup, "ngram_dedup_oracle"
+            "ngram_jaccard_dedup", dedup.ngram_jaccard_dedup, "ngram_dedup_oracle", "documents"
         ),
         "knn_ivf": _with_oracle(
-            "knn_ivf", lambda sf_dir: similarity.knn_ivf(sf_dir)[0], "knn_ivf_oracle"
+            "knn_ivf", lambda sf_dir: similarity.knn_ivf(sf_dir)[0], "knn_ivf_oracle",
+            "embeddings",
         ),
         "embedding_cosine_dedup": _with_oracle(
-            "embedding_cosine_dedup", similarity.embedding_cosine_dedup, "emb_dedup_oracle"
+            "embedding_cosine_dedup", similarity.embedding_cosine_dedup, "emb_dedup_oracle",
+            "embeddings",
         ),
         # rows-only (stubbed decode / engine-corpus inputs)
         "media_features": _media_features_query,
@@ -161,15 +165,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return q
 
 
-def _with_oracle(name: str, ray_fn, oracle_fn_name: str):
+def _with_oracle(name: str, ray_fn, oracle_fn_name: str, tag_table: str):
     """Run the distributed query, then write the independent naive-oracle
-    recomputation to the fixed parquet path its oracle_sql() reads."""
+    recomputation to the input-tagged parquet path its oracle_sql() reads.
+
+    These oracles depend on the input corpus, so the parquet is namespaced
+    by the base table's row count (``tag=<n>`` hive dir) and the paired SQL
+    selects the tag matching the views the driver registered — a run at one
+    sf can never poison a later SQL-first evaluation at another sf."""
 
     def run(sf_dir: str):
-        from osmi_addresses_ray.oracle import llm_ops, write_oracle
+        from osmi_addresses_ray.oracle import content_tag, llm_ops, write_oracle_tagged
 
         res = ray_fn(sf_dir)
-        write_oracle(name, getattr(llm_ops, oracle_fn_name)(sf_dir))
+        write_oracle_tagged(
+            name, getattr(llm_ops, oracle_fn_name)(sf_dir), content_tag(sf_dir, tag_table)
+        )
         return res
 
     return run
@@ -638,31 +649,46 @@ def _ensure_default_oracles() -> None:
                     q[layer]("/root/testdata/sf0.01")
                 except Exception:
                     pass
-    for name in (
-        "simhash_docs", "minhash_lsh_pairs", "ngram_jaccard_dedup",
-        "knn_ivf", "embedding_cosine_dedup",
+    from osmi_addresses_ray.oracle import content_tag, tagged_dir
+
+    for name, tag_table in (
+        ("simhash_docs", "documents"),
+        ("minhash_lsh_pairs", "documents"),
+        ("ngram_jaccard_dedup", "documents"),
+        ("knn_ivf", "embeddings"),
+        ("embedding_cosine_dedup", "embeddings"),
     ):
-        if not os.path.exists(oracle_path(name)):
+        # seed the driver's documented correctness scale (sf0.01) plus the
+        # test-suite scale, so SQL-first evaluation right after a code-version
+        # invalidation finds the matching tag partition at either scale
+        for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.001"):
             try:
-                queries()[name]("/root/testdata/sf0.01")
+                tag = content_tag(sf_dir, tag_table)
             except Exception:
-                pass
+                continue
+            if not os.path.isdir(tagged_dir(name, tag)):
+                try:
+                    queries()[name](sf_dir)
+                except Exception:
+                    pass
 
 
 def _naive_oracle_sql() -> dict[str, str]:
     """Oracle entries backed by the pure-Python recomputation parquet (the
     query callable writes it; DuckDB reads it back and the driver
     hash-compares). See osmi_addresses_ray/oracle/llm_ops.py for the specs."""
-    from osmi_addresses_ray.oracle import oracle_path, read_parquet_sql
+    from osmi_addresses_ray.oracle import oracle_path, read_parquet_sql, read_tagged_sql
 
     _ensure_default_oracles()
 
     out = {
-        "simhash_docs": read_parquet_sql("simhash_docs", "doc_id"),
-        "minhash_lsh_pairs": read_parquet_sql("minhash_lsh_pairs", "doc_a, doc_b"),
-        "ngram_jaccard_dedup": read_parquet_sql("ngram_jaccard_dedup", "doc_id"),
-        "knn_ivf": read_parquet_sql("knn_ivf", "cosine DESC, vec_id"),
-        "embedding_cosine_dedup": read_parquet_sql("embedding_cosine_dedup", "vec_a, vec_b"),
+        "simhash_docs": read_tagged_sql("simhash_docs", "doc_id", "documents"),
+        "minhash_lsh_pairs": read_tagged_sql("minhash_lsh_pairs", "doc_a, doc_b", "documents"),
+        "ngram_jaccard_dedup": read_tagged_sql("ngram_jaccard_dedup", "doc_id", "documents"),
+        "knn_ivf": read_tagged_sql("knn_ivf", "cosine DESC, vec_id", "embeddings"),
+        "embedding_cosine_dedup": read_tagged_sql(
+            "embedding_cosine_dedup", "vec_a, vec_b", "embeddings"
+        ),
         "media_features": read_parquet_sql("media_features", "ALL"),
         # true SQL recomputation of the great-circle kernel: haversine
         # (atan2 form) on sphere R=(2a+b)/3 over raw per-way coordinates

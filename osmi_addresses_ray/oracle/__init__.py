@@ -74,3 +74,57 @@ def write_oracle(name: str, df: pd.DataFrame) -> str:
 
 def read_parquet_sql(name: str, order_by: str) -> str:
     return f"SELECT * FROM read_parquet('{oracle_path(name)}') ORDER BY {order_by}"
+
+
+def tagged_dir(name: str, tag: int) -> str:
+    return os.path.join(ORACLE_DIR, name, f"tag={tag}")
+
+
+def write_oracle_tagged(name: str, df: pd.DataFrame, tag: int) -> str:
+    """Input-scale-namespaced oracle write (hive ``tag=<n>`` partition dirs).
+
+    The flat-path oracles are input-independent fixtures, but the sf-table
+    oracles change with the corpus: a query run at sf0.001 (pytest) must not
+    poison the parquet a later SQL-first evaluation at sf0.01 (the driver)
+    reads back. ``tag`` is the row count of the query's base table, and the
+    paired SQL selects ``WHERE tag = (SELECT count(*) FROM <base>)`` so each
+    evaluation scale reads only its own partition."""
+    import shutil
+
+    d = tagged_dir(name, tag)
+    tmp = d + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    df.reset_index(drop=True).to_parquet(os.path.join(tmp, "data.parquet"), index=False)
+    shutil.rmtree(d, ignore_errors=True)
+    os.replace(tmp, d)
+    return d
+
+
+# content fingerprint of the query's base table, evaluated by DuckDB on BOTH
+# sides (Python tags the write via read_parquet; the oracle SQL re-evaluates
+# the same expression over the driver-registered view) — row counts alone
+# collide across scale factors (sf0.001 and sf0.01 both ship 500 docs)
+_TAG_EXPR = {
+    "documents": "(sum(hash(doc_id::VARCHAR || left(text, 24))) % 999999937)::BIGINT",
+    "embeddings": "(sum(hash(vec_id::VARCHAR || embedding[1]::VARCHAR)) % 999999937)::BIGINT",
+}
+
+
+def read_tagged_sql(name: str, order_by: str, tag_source: str) -> str:
+    glob = os.path.join(ORACLE_DIR, name, "*", "*.parquet")
+    return (
+        f"SELECT * EXCLUDE (tag) FROM read_parquet('{glob}', hive_partitioning=1) "
+        f"WHERE tag = (SELECT {_TAG_EXPR[tag_source]} FROM {tag_source}) "
+        f"ORDER BY {order_by}"
+    )
+
+
+def content_tag(sf_dir: str, table: str) -> int:
+    """The write-side twin of ``read_tagged_sql``'s WHERE tag."""
+    import duckdb
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    return int(
+        duckdb.sql(f"SELECT {_TAG_EXPR[table]} FROM read_parquet('{path}')").fetchone()[0]
+    )

@@ -116,6 +116,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_batch": similarity.knn_batch,
         "lang_id": textstats.lang_id,
         "fingerprints": textstats.fingerprints,
+        "top_tokens": textstats.top_tokens,
+        "stratified_sample": textstats.stratified_sample,
+        "scrub_pii": textstats.scrub_pii,
         # sketch/ANN ops checked against naive pure-Python oracles written to
         # /tmp/graft_oracle (see osmi_addresses_ray.oracle): the query runs
         # the distributed pipeline AND recomputes the spec single-threaded;
@@ -538,6 +541,43 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(list_avg(list_transform(
                          regexp_extract_all(text, '[A-Za-z0-9_]+'),
                          x -> length(x)::DOUBLE)), 0.0), 6) AS mean_word_len
+            FROM documents ORDER BY doc_id
+        """,
+        "top_tokens": """
+            SELECT token, count(*)::BIGINT AS cnt
+            FROM (SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')))
+                      AS token
+                  FROM documents)
+            GROUP BY token
+            ORDER BY cnt DESC, token
+            LIMIT 100
+        """,
+        # deterministic per-language sample: the rank hash is plain BIGINT
+        # arithmetic so the oracle is the SAME expression, not a hash library
+        "stratified_sample": """
+            SELECT doc_id, lang, rn::BIGINT AS rn FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY (doc_id % 1000003) * 2654435761 % 4294967296,
+                                    doc_id) AS rn
+                FROM documents)
+            WHERE rn <= 20
+            ORDER BY lang, rn
+        """,
+        # both sides are RE2 (Arrow replace_substring_regex / DuckDB
+        # regexp_replace), so the same patterns run verbatim
+        "scrub_pii": """
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(text, '[A-Za-z0-9_.]+@[A-Za-z0-9_.]+',
+                                      '<email>', 'g'),
+                       '[0-9]{6,}', '<num>', 'g') AS clean_text,
+                   (len(regexp_extract_all(text, '[A-Za-z0-9_.]+@[A-Za-z0-9_.]+'))
+                    + len(regexp_extract_all(
+                          regexp_replace(text, '[A-Za-z0-9_.]+@[A-Za-z0-9_.]+',
+                                         '<email>', 'g'),
+                          '[0-9]{6,}')))::BIGINT AS n_masked
             FROM documents ORDER BY doc_id
         """,
         "knn_bruteforce": """

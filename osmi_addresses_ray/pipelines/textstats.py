@@ -213,3 +213,112 @@ def fingerprints(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "fingerprint": fps})
 
     return ds.map_batches(f, batch_format="pandas").to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def top_tokens(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Global token-frequency top-k over the corpus.
+
+    Combiner pattern: tokens are exploded and counted WITHIN each batch
+    (per-batch partial counts shrink the exchange from one row per token
+    occurrence to one row per distinct token per block), then one small
+    token-keyed groupby-sum merges the partials, then a per-block partial
+    top-k with deterministic (cnt DESC, token ASC) tie-break. At 100 TB the
+    exchange carries |vocab| x blocks rows, never the corpus."""
+    from .relational import grouped_agg, topk
+
+    ds = _read_docs(sf_dir)
+    tok = re.compile(_TOKEN_RE)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [w for t in df["text"] for w in tok.findall(t.lower())]
+        if not toks:
+            return pd.DataFrame(
+                {"token": pd.Series([], dtype=object), "cnt": pd.Series([], dtype="int64")}
+            )
+        vc = pd.Series(toks).value_counts()
+        return pd.DataFrame(
+            {"token": vc.index.to_numpy(object), "cnt": vc.to_numpy(np.int64)}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    merged = grouped_agg(partials, ["token"], {"cnt": ("cnt", "sum")})
+    out = topk(merged, "cnt", k, descending=True, tie_cols=["token"])
+    out["cnt"] = out["cnt"].astype("int64")
+    return out[["token", "cnt"]]
+
+
+_STRAT_MULT = 2654435761  # Knuth multiplicative constant
+_STRAT_PRIME = 1000003
+
+
+def _strat_hash(doc_id: np.ndarray) -> np.ndarray:
+    """(doc_id % 1000003) * 2654435761 % 2^32 — pure int arithmetic that
+    DuckDB BIGINT evaluates without overflow (max product ~2.7e15 < 2^63),
+    so the oracle is the same expression, not a matching hash library."""
+    return (doc_id.astype(np.int64) % _STRAT_PRIME) * _STRAT_MULT % (1 << 32)
+
+
+def stratified_sample(sf_dir: str, n_per_group: int = 20) -> pd.DataFrame:
+    """Deterministic per-language sample: rank docs within each ``lang`` by a
+    multiplicative hash of doc_id (ties by doc_id) and keep the first
+    ``n_per_group``. Per-batch partial top-n per group bounds every exchange
+    row count at groups x n per block — the corpus text never moves."""
+    ds = _read_docs(sf_dir, columns=("doc_id", "lang"))
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        h = _strat_hash(df["doc_id"].to_numpy())
+        d = pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(), "lang": df["lang"].to_numpy(), "h": h}
+        )
+        d = d.sort_values(["lang", "h", "doc_id"], kind="stable")
+        return d.groupby("lang", sort=False).head(n_per_group)
+
+    # partials are tiny (groups x n per block): one driver-side merge ranks
+    # the global winners exactly like the per-block pass did
+    parts = ds.map_batches(part, batch_format="pandas").to_pandas()
+    parts = parts.sort_values(["lang", "h", "doc_id"], kind="stable")
+    out = parts.groupby("lang", sort=False).head(n_per_group).copy()
+    out["rn"] = out.groupby("lang").cumcount() + 1
+    return (
+        out[["doc_id", "lang", "rn"]]
+        .astype({"rn": "int64"})
+        .sort_values(["lang", "rn"])
+        .reset_index(drop=True)
+    )
+
+
+_SCRUB_EMAIL = r"[A-Za-z0-9_.]+@[A-Za-z0-9_.]+"
+_SCRUB_NUM = r"[0-9]{6,}"
+
+
+def scrub_pii(sf_dir: str) -> pd.DataFrame:
+    """Mask emails then long digit runs (RE2 semantics on BOTH sides: Arrow's
+    replace_substring_regex and DuckDB's regexp_replace are RE2, so the SQL
+    oracle is the same pattern, not a re-implementation). ``n_masked`` counts
+    the sequential replacements (digit runs counted on the email-scrubbed
+    text, mirroring the replace order)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _read_docs(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        text = pc.cast(t["text"], pa.string())
+        n_email = pc.count_substring_regex(text, _SCRUB_EMAIL)
+        step1 = pc.replace_substring_regex(text, _SCRUB_EMAIL, "<email>")
+        n_num = pc.count_substring_regex(step1, _SCRUB_NUM)
+        clean = pc.replace_substring_regex(step1, _SCRUB_NUM, "<num>")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "clean_text": clean,
+                "n_masked": pc.cast(pc.add(n_email, n_num), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(f, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )

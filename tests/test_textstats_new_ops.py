@@ -1,0 +1,93 @@
+"""top_tokens / stratified_sample / scrub_pii — edge semantics beyond the
+SQL-parity gate (which tests/test_driver_contract.py covers)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from osmi_addresses_ray.pipelines import textstats
+
+
+@pytest.fixture()
+def tiny_docs(tmp_path):
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "write to john.doe42@mail.example about order 1234567 today",
+                "short digits 12345 stay but 999999 is masked",
+                "two mails a@b and c.d@e.f plus 00000000",
+                "",
+                "no pii here at all",
+                "edge@case@double and 123456",
+            ],
+            "lang": ["en", "en", "de", "de", "fr", "fr"],
+            "source": ["t"] * 6,
+            "n_chars": np.zeros(6, dtype=np.int64),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    return str(tmp_path), docs
+
+
+def test_scrub_pii_edges(tiny_docs):
+    sf_dir, docs = tiny_docs
+    out = textstats.scrub_pii(sf_dir)
+    by = dict(zip(out["doc_id"], out["clean_text"]))
+    nm = dict(zip(out["doc_id"], out["n_masked"]))
+    assert by[0] == "write to <email> about order <num> today"
+    assert nm[0] == 2
+    assert by[1] == "short digits 12345 stay but <num> is masked"  # 5 digits survive
+    assert nm[1] == 1
+    assert by[2] == "two mails <email> and <email> plus <num>"
+    assert nm[2] == 3
+    assert by[3] == "" and nm[3] == 0
+    assert nm[4] == 0
+    # greedy RE2 local-part absorbs up to the second '@'
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')")
+    sql = (
+        "SELECT doc_id, regexp_replace(regexp_replace(text,"
+        " '[A-Za-z0-9_.]+@[A-Za-z0-9_.]+', '<email>', 'g'),"
+        " '[0-9]{6,}', '<num>', 'g') AS clean_text FROM documents ORDER BY doc_id"
+    )
+    oracle = con.sql(sql).df()
+    assert list(oracle["clean_text"]) == [by[i] for i in range(6)]
+
+
+def test_stratified_sample_contract(tiny_docs):
+    sf_dir, docs = tiny_docs
+    out = textstats.stratified_sample(sf_dir, n_per_group=2)
+    assert set(out["lang"]) == {"en", "de", "fr"}
+    for _lang, g in out.groupby("lang"):
+        assert list(g["rn"]) == list(range(1, len(g) + 1))
+        assert len(g) <= 2
+    out2 = textstats.stratified_sample(sf_dir, n_per_group=2)
+    pd.testing.assert_frame_equal(out, out2)
+    # the rank hash must match the SQL expression exactly
+    h = textstats._strat_hash(docs["doc_id"].to_numpy())
+    sql_h = duckdb.sql(
+        "SELECT (x % 1000003) * 2654435761 % 4294967296 AS h FROM "
+        "(SELECT unnest(range(6)) AS x)"
+    ).df()["h"].to_numpy()
+    assert (h == sql_h).all()
+
+
+def test_top_tokens_ordering_and_case(tiny_docs):
+    sf_dir, _ = tiny_docs
+    out = textstats.top_tokens(sf_dir, k=5)
+    assert len(out) == 5
+    cnts = out["cnt"].to_numpy()
+    assert (cnts[:-1] >= cnts[1:]).all()
+    # within equal counts tokens ascend
+    for _c, g in out.groupby("cnt"):
+        toks = list(g["token"])
+        assert toks == sorted(toks)
+    # lowercase fold: 'And'/'and' would merge — all outputs already lowered
+    assert all(t == t.lower() for t in out["token"])

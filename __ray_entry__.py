@@ -140,6 +140,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "embedding_cosine_dedup", similarity.embedding_cosine_dedup, "emb_dedup_oracle",
             "embeddings",
         ),
+        # verified LSH pairs → distributed connected components → per-doc
+        # representative; oracle = naive union-find over the same pair spec
+        "dedup_clusters": _with_oracle(
+            "dedup_clusters", dedup.dedup_clusters, "dedup_clusters_oracle", "documents"
+        ),
         # rows-only (stubbed decode / engine-corpus inputs)
         "media_features": _media_features_query,
         "pip_entrances_in_buildings": _pip_query,
@@ -697,6 +702,7 @@ def _ensure_default_oracles() -> None:
         ("ngram_jaccard_dedup", "documents"),
         ("knn_ivf", "embeddings"),
         ("embedding_cosine_dedup", "embeddings"),
+        ("dedup_clusters", "documents"),
     ):
         # seed the driver's documented correctness scale (sf0.01) plus the
         # test-suite scale, so SQL-first evaluation right after a code-version
@@ -729,6 +735,7 @@ def _naive_oracle_sql() -> dict[str, str]:
         "embedding_cosine_dedup": read_tagged_sql(
             "embedding_cosine_dedup", "vec_a, vec_b", "embeddings"
         ),
+        "dedup_clusters": read_tagged_sql("dedup_clusters", "doc_id", "documents"),
         "media_features": read_parquet_sql("media_features", "ALL"),
         # true SQL recomputation of the great-circle kernel: haversine
         # (atan2 form) on sphere R=(2a+b)/3 over raw per-way coordinates

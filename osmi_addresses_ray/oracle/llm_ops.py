@@ -323,3 +323,32 @@ def emb_dedup_oracle(
             "cosine": np.array([r[2] for r in rows], dtype=np.float64),
         }
     )
+
+
+def dedup_clusters_oracle(sf_dir: str, *, threshold: float = 0.5) -> pd.DataFrame:
+    """Naive single-threaded re-statement of the dedup-clustering spec:
+    union-find over the verified MinHash-LSH pairs, representative = minimum
+    doc_id of the component; docs in no pair represent themselves."""
+    pairs = minhash_pairs_oracle(sf_dir, threshold=threshold)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in pairs.itertuples():
+        ra, rb = find(int(r.doc_a)), find(int(r.doc_b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    doc_ids = _docs(sf_dir)["doc_id"].to_numpy()
+    rep = np.array([find(int(d)) for d in doc_ids], dtype=np.int64)
+    return (
+        pd.DataFrame({"doc_id": doc_ids.astype(np.int64), "rep_id": rep})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )

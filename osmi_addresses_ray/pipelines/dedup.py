@@ -41,6 +41,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -754,3 +755,180 @@ def ngram_jaccard_dedup(sf_dir: str, *, threshold: float = 0.8):
         [ids, drops], [["doc_id"], ["doc_id"]], 8, anti, [id_schema, id_schema]
     )
     return keep.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+# --- near-dup clustering: connected components over verified pairs ----------
+
+_EDGE_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+
+
+def _edges_table(u: np.ndarray, v: np.ndarray) -> pa.Table:
+    return pa.table({"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64())})
+
+
+def _dedup_edges(u: np.ndarray, v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Drop self-loops and duplicate (u, v) rows (ids are nonnegative, so a
+    packed (u<<32 | v) key would overflow past 2^32 ids — lexsort instead)."""
+    keep = u != v
+    u, v = u[keep], v[keep]
+    if not len(u):
+        return u, v
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    first = np.r_[True, (u[1:] != u[:-1]) | (v[1:] != v[:-1])]
+    return u[first], v[first]
+
+
+def _star_fn(large: bool):
+    """One star-contraction step over a node-keyed partition (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14). Input edges are
+    keyed on ``u`` with the required orientation already emitted by the
+    PREVIOUS round (large-star consumes both directions; small-star consumes
+    (hi, lo)); output is oriented for the NEXT round, so every round is
+    exactly one exchange with no separate orientation pass."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EDGE_SCHEMA.empty_table()
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        u, v = _dedup_edges(u, v)
+        if not len(u):
+            return _EDGE_SCHEMA.empty_table()
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        counts = np.diff(np.r_[starts, len(u)])
+        uu = u[starts]
+        m = np.minimum(np.minimum.reduceat(v, starts), uu)  # min(N(u) ∪ {u})
+        m_per = np.repeat(m, counts)
+        if large:
+            # attach strictly-greater neighbors to the local min; output
+            # (v, m) has v > u >= m — already (hi, lo) for the small-star
+            mask = v > u
+            oa, ob = v[mask], m_per[mask]
+        else:
+            # all neighbors are <= u here; re-root them (and u) at the min,
+            # then emit BOTH directions — the large-star needs full N(u)
+            mask = v != m_per
+            head = uu != m
+            oa = np.concatenate([v[mask], uu[head]])
+            ob = np.concatenate([m_per[mask], m[head]])
+            oa, ob = np.concatenate([oa, ob]), np.concatenate([ob, oa])
+        oa, ob = _dedup_edges(oa, ob)
+        return _edges_table(oa, ob)
+
+    return fn
+
+
+def _edge_signature(edges_ds) -> tuple[int, int]:
+    """(row count, order-free splitmix64 checksum) — one tiny aggregate pass
+    used as the star-contraction fixed-point test."""
+
+    def part(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            s = int(_splitmix64(u * np.uint64(0x9E3779B97F4A7C15) ^ v).sum(dtype=np.uint64))
+        return pa.table({"n": pa.array([t.num_rows], pa.int64()),
+                         "s": pa.array([s % (1 << 63)], pa.int64())})
+
+    agg = edges_ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    if agg.empty:  # zero blocks survive an all-empty round
+        return 0, 0
+    return int(agg["n"].sum()), int(agg["s"].sum() % (1 << 63))
+
+
+def connected_components(pairs_ds, *, num_parts: int = 8, max_rounds: int = 50):
+    """Distributed connected components over an edge Dataset (columns
+    ``u``/``v``): alternating large-star / small-star contraction. Every
+    round is ONE node-keyed exchange over the edge list only (never the
+    corpus), and the algorithm converges in O(log² n) rounds — near-dup
+    components (cliques and short chains) settle in 2-3. Returns a Dataset
+    of (u, v) star edges with v = component minimum, one per non-root node;
+    isolated nodes never enter and never leave.
+
+    Raises after ``max_rounds`` instead of returning a possibly-unconverged
+    labelling (the repo's no-silent-caps rule)."""
+    from ..ops import direct_cogroup
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EDGE_SCHEMA.empty_table()
+        a = t["u"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        b = t["v"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        return _edges_table(np.concatenate([a, b]), np.concatenate([b, a]))
+
+    edges = direct_cogroup(
+        [pairs_ds], [["u"]], num_parts, _star_fn(large=True),
+        [_EDGE_SCHEMA], pres=[both_dirs],
+    ).materialize()
+    prev_sig = None
+    for _ in range(max_rounds):
+        edges = direct_cogroup(
+            [edges], [["u"]], num_parts, _star_fn(large=False), [_EDGE_SCHEMA]
+        ).materialize()
+        sig = _edge_signature(edges)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+        edges = direct_cogroup(
+            [edges], [["u"]], num_parts, _star_fn(large=True), [_EDGE_SCHEMA]
+        ).materialize()
+    else:
+        raise RuntimeError(f"connected_components: no fixed point in {max_rounds} rounds")
+
+    def stars_only(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        keep = u > v  # the small-star output is doubled; keep (child, root)
+        return _edges_table(u[keep], v[keep])
+
+    return edges.map_batches(stars_only, batch_format="pyarrow")
+
+
+def dedup_clusters(sf_dir: str, *, threshold: float = 0.5, num_parts: int = 8) -> pd.DataFrame:
+    """End-to-end MinHash dedup: verified LSH pairs → connected components →
+    per-doc representative (component minimum). Output one row per document:
+    (doc_id, rep_id); a doc survives dedup iff doc_id == rep_id. The final
+    assignment is a doc_id-keyed cogroup of the (tiny) star edges against
+    the corpus ids — the text never re-enters."""
+    from ..ops import direct_cogroup
+
+    cand = _lsh_candidate_pairs(
+        sf_dir, num_perm=64, bands=16, bucket_cap=_BUCKET_CAP, num_parts=num_parts
+    )
+    ver = _verified_pairs(sf_dir, cand, threshold=threshold, num_parts=num_parts)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": pc.cast(t["doc_a"], pa.int64()),
+            "v": pc.cast(t["doc_b"], pa.int64()),
+        })
+
+    edges = ver.map_batches(to_edges, batch_format="pyarrow").materialize()
+    stars = connected_components(edges, num_parts=num_parts)
+
+    docs = _read_docs(sf_dir).select_columns(["doc_id"]).materialize()
+    doc_schema = pa.schema([("doc_id", pa.int64())])
+    out_schema = pa.schema([("doc_id", pa.int64()), ("rep_id", pa.int64())])
+
+    def assign(docs_t: pa.Table, stars_t: pa.Table) -> pa.Table:
+        ids = docs_t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        rep = ids.copy()
+        if stars_t.num_rows:
+            child = stars_t["u"].to_numpy(zero_copy_only=False)
+            root = stars_t["v"].to_numpy(zero_copy_only=False)
+            order = np.argsort(child, kind="stable")
+            child, root = child[order], root[order]
+            pos = np.searchsorted(child, ids)
+            pos_c = np.clip(pos, 0, len(child) - 1)
+            hit = child[pos_c] == ids
+            rep[hit] = root[pos_c[hit]]
+        return pa.table({"doc_id": pa.array(ids), "rep_id": pa.array(rep)})
+
+    out = direct_cogroup(
+        [docs, stars], [["doc_id"], ["u"]], num_parts, assign,
+        [doc_schema, _EDGE_SCHEMA],
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype(
+        {"doc_id": "int64", "rep_id": "int64"}
+    )

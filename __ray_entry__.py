@@ -136,6 +136,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "knn_ivf", lambda sf_dir: similarity.knn_ivf(sf_dir)[0], "knn_ivf_oracle",
             "embeddings",
         ),
+        "knn_hyperplane": _with_oracle(
+            "knn_hyperplane", similarity.knn_hyperplane, "knn_hyperplane_oracle",
+            "embeddings",
+        ),
         "embedding_cosine_dedup": _with_oracle(
             "embedding_cosine_dedup", similarity.embedding_cosine_dedup, "emb_dedup_oracle",
             "embeddings",
@@ -701,6 +705,7 @@ def _ensure_default_oracles() -> None:
         ("minhash_lsh_pairs", "documents"),
         ("ngram_jaccard_dedup", "documents"),
         ("knn_ivf", "embeddings"),
+        ("knn_hyperplane", "embeddings"),
         ("embedding_cosine_dedup", "embeddings"),
         ("dedup_clusters", "documents"),
     ):
@@ -732,6 +737,9 @@ def _naive_oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": read_tagged_sql("minhash_lsh_pairs", "doc_a, doc_b", "documents"),
         "ngram_jaccard_dedup": read_tagged_sql("ngram_jaccard_dedup", "doc_id", "documents"),
         "knn_ivf": read_tagged_sql("knn_ivf", "cosine DESC, vec_id", "embeddings"),
+        "knn_hyperplane": read_tagged_sql(
+            "knn_hyperplane", "cosine DESC, vec_id", "embeddings"
+        ),
         "embedding_cosine_dedup": read_tagged_sql(
             "embedding_cosine_dedup", "vec_a, vec_b", "embeddings"
         ),

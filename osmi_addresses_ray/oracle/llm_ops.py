@@ -352,3 +352,46 @@ def dedup_clusters_oracle(sf_dir: str, *, threshold: float = 0.5) -> pd.DataFram
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def knn_hyperplane_oracle(
+    sf_dir: str, *, query_id: int = 0, k: int = 10, n_planes: int = 8, max_flips: int = 2,
+) -> pd.DataFrame:
+    """Naive restatement of the hyperplane-LSH spec: gaussian planes from
+    rng(1234), bucket = sign bits, probe = Hamming<=max_flips, exact cosine
+    top-k among the probed candidates (ties by vec_id)."""
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    qv = mat[ids == query_id][0]
+    planes = np.random.default_rng(1234).standard_normal((n_planes, mat.shape[1]))
+
+    def bucket(rows: np.ndarray) -> np.ndarray:
+        signs = (rows @ planes.T) >= 0.0
+        return (signs.astype(np.uint32) << np.arange(n_planes, dtype=np.uint32)).sum(
+            axis=1
+        ).astype(np.int64)
+
+    bq = int(bucket(qv[None, :])[0])
+    probes = {bq}
+    for i in range(n_planes):
+        probes.add(bq ^ (1 << i))
+        if max_flips >= 2:
+            for j in range(i + 1, n_planes):
+                probes.add(bq ^ (1 << i) ^ (1 << j))
+    b = bucket(mat)
+    cand = np.array([x in probes for x in b]) & (ids != query_id)
+    cids, cmat = ids[cand], mat[cand]
+    sims = np.round(
+        (cmat @ qv)
+        / (np.maximum(np.linalg.norm(cmat, axis=1), 1e-30) * max(np.linalg.norm(qv), 1e-30)),
+        6,
+    )
+    df = pd.DataFrame({"vec_id": cids.astype(np.int64), "cosine": sims})
+    return (
+        df.sort_values(["cosine", "vec_id"], ascending=[False, True], kind="stable")
+        .head(k)
+        .reset_index(drop=True)
+    )

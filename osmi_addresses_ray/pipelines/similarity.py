@@ -459,3 +459,81 @@ def knn_batch(
         pre=score,
     )
     return out.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+# --- hyperplane-LSH ANN: sign-bucket probe path ------------------------------
+
+HP_SEED = 1234
+HP_PLANES = 8
+HP_FLIPS = 2
+
+
+def hyperplane_basis(dim: int, n_planes: int = HP_PLANES, seed: int = HP_SEED) -> np.ndarray:
+    """Deterministic gaussian hyperplanes (float64); spec shared verbatim by
+    the naive oracle."""
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+def hp_bucket(mat64: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-bit bucket id per row: bit j set iff dot(v, plane_j) >= 0."""
+    signs = (mat64 @ planes.T) >= 0.0
+    return (signs.astype(np.uint32) << np.arange(planes.shape[0], dtype=np.uint32)).sum(
+        axis=1
+    ).astype(np.int64)
+
+
+def hp_probe_set(bucket: int, n_planes: int = HP_PLANES, max_flips: int = HP_FLIPS) -> np.ndarray:
+    """Multiprobe: all buckets within Hamming distance ``max_flips``."""
+    probes = {bucket}
+    for i in range(n_planes):
+        probes.add(bucket ^ (1 << i))
+        if max_flips >= 2:
+            for j in range(i + 1, n_planes):
+                probes.add(bucket ^ (1 << i) ^ (1 << j))
+    return np.array(sorted(probes), dtype=np.int64)
+
+
+def knn_hyperplane(
+    sf_dir: str, *, query_id: int = 0, k: int = 10,
+    n_planes: int = HP_PLANES, max_flips: int = HP_FLIPS,
+) -> pd.DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH buckets.
+
+    Each batch computes sign-buckets with one matmul against the broadcast
+    plane matrix, keeps only rows whose bucket is in the query's multiprobe
+    set, and emits a per-block partial top-k — the driver merges k x blocks
+    rows. This is the online form of the LSH scale path; at corpus scale the
+    same bucket id becomes a hive partition key (exactly the IVF layout in
+    ``build_ivf_index``) so a query reads only its probed buckets'
+    files. Recall knob = (n_planes, max_flips); the oracle mirrors the spec
+    bit-for-bit so the driver hash-checks the approximation itself."""
+    q_df = _read_emb(sf_dir).filter(expr=f"vec_id == {query_id}").to_pandas()
+    assert len(q_df), f"query vec_id {query_id} not found"
+    qv = np.asarray(q_df["embedding"].iloc[0], dtype=np.float64)
+    planes = hyperplane_basis(len(qv), n_planes)
+    probes = hp_probe_set(int(hp_bucket(qv[None, :], planes)[0]), n_planes, max_flips)
+    planes_ref = ray.put(planes)
+    probes_ref = ray.put(probes)
+    q_ref = ray.put(qv)
+
+    def score(t: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(t)
+        m64 = mat.astype(np.float64)
+        pl, pr, q = ray.get(planes_ref), ray.get(probes_ref), ray.get(q_ref)
+        b = hp_bucket(m64, pl)
+        pos = np.searchsorted(pr, b)
+        hit = (pos < len(pr)) & (pr[np.minimum(pos, len(pr) - 1)] == b)
+        hit &= ids != query_id
+        ids, m64 = ids[hit], m64[hit]
+        if not len(ids):
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        qn = max(np.linalg.norm(q), 1e-30)
+        sims = (m64 @ q) / (np.maximum(np.linalg.norm(m64, axis=1), 1e-30) * qn)
+        order = np.argsort(-sims, kind="stable")[:k]
+        return pa.table({"vec_id": pa.array(ids[order], pa.int64()),
+                         "cosine": pa.array(np.round(sims[order], 6))})
+
+    parts = _read_emb(sf_dir).map_batches(score, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["cosine", "vec_id"], ascending=[False, True], kind="stable")
+    return parts.head(k).reset_index(drop=True)

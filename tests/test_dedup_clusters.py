@@ -77,3 +77,17 @@ def test_dedup_clusters_matches_oracle_sf0001():
     # contract: one row per doc, reps are component minima (rep <= doc)
     assert (got["rep_id"] <= got["doc_id"]).all()
     assert got["doc_id"].is_unique
+
+
+def test_knn_hyperplane_matches_oracle_and_recall():
+    from osmi_addresses_ray.oracle.llm_ops import knn_hyperplane_oracle
+    from osmi_addresses_ray.pipelines.similarity import knn_bruteforce, knn_hyperplane
+
+    sf = "/root/testdata/sf0.001"
+    got = knn_hyperplane(sf)
+    want = knn_hyperplane_oracle(sf)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0
+    # sanity: the probed approximation overlaps the exact answer
+    exact = set(knn_bruteforce(sf)["vec_id"])
+    assert len(set(got["vec_id"]) & exact) >= 1

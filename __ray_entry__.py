@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # user_id, vectorized per-partition sweeps (pipelines/timeseries.py)
         "asof_click_view": timeseries.asof_join_events,
         "session_windows": timeseries.session_windows,
+        "sliding_window_counts": timeseries.sliding_window_counts,
         # training-data ops over documents/embeddings
         "dedup_exact_docs": dedup.exact_dedup_docs,
         "token_counts": textstats.token_counts,
@@ -525,6 +526,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    round(sum(value), 6) AS sum_value
             FROM s GROUP BY user_id, sid ORDER BY user_id, session_id
+        """,
+        # closed RANGE frame: equal-ts peers and the boundary instant are in
+        # the window on BOTH sides (searchsorted left/right mirrors RANGE)
+        "sliding_window_counts": """
+            SELECT event_id,
+                   count(*) OVER w::BIGINT AS n_window,
+                   round(sum(value) OVER w, 6) AS sum_window
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 60 MINUTE PRECEDING
+                                   AND CURRENT ROW)
+            ORDER BY event_id
         """,
         "q_customer_order_counts": """
             SELECT o_custkey,

@@ -86,3 +86,38 @@ def test_oracle_parity_sf0001(name, ray_session):
             assert np.allclose(got[c].to_numpy(), want[c].to_numpy(), atol=1e-9), c
         else:
             assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_sliding_window_semantics(micro_dir, ray_session):
+    out = timeseries.sliding_window_counts(micro_dir, window_minutes=30, num_parts=2)
+    got = {int(r.event_id): (int(r.n_window), float(r.sum_window)) for r in out.itertuples()}
+    # user 1: frame is closed [ts-30m, ts]; equal-ts peers count
+    assert got[0] == (1, 1.0)
+    assert got[1] == (3, 6.0)  # view@0 + both @5 (peer included)
+    assert got[2] == (3, 6.0)  # same frame as its peer
+    assert got[3] == (4, 10.0)
+    assert got[4] == (1, 5.0)  # 31 min since previous -> alone
+    # user 3: event at EXACTLY ts-30m is inside the closed frame
+    assert got[10] == (2, 2.0)
+    # +1us past the boundary falls out
+    assert got[11] == (1, 1.0)
+    assert len(out) == 12  # one row per event, users never mix
+
+
+def test_sliding_window_overflow_guard(tmp_path, ray_session):
+    # a span so large that users x span cannot embed -> explicit error
+    base = np.datetime64("2024-01-01", "us")
+    huge = np.timedelta64(2**62, "us")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(4, dtype=np.int64),
+            "ts": [base, base + huge, base, base + huge],
+            "user_id": np.array([1, 1, 2, 2], dtype=np.int64),
+            "event_type": ["view"] * 4,
+            "value": [1.0] * 4,
+            "props": ["{}"] * 4,
+        }
+    )
+    df.to_parquet(os.path.join(tmp_path, "events.parquet"), index=False)
+    with pytest.raises(Exception, match="overflows|embedding"):
+        timeseries.sliding_window_counts(str(tmp_path), num_parts=1)

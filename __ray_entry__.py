@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_click_view": timeseries.asof_join_events,
         "session_windows": timeseries.session_windows,
         "sliding_window_counts": timeseries.sliding_window_counts,
+        "range_join_shipments": timeseries.range_join_shipments,
         # training-data ops over documents/embeddings
         "dedup_exact_docs": dedup.exact_dedup_docs,
         "token_counts": textstats.token_counts,
@@ -544,6 +545,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders,
                    round(sum(o_totalprice), 4) AS total
             FROM orders GROUP BY o_custkey ORDER BY o_custkey
+        """,
+        # pure inequality (range) join — LEFT so zero-shipment orders stay
+        "range_join_shipments": """
+            SELECT o.o_orderkey,
+                   count(l.l_shipdate)::BIGINT AS n_shipments,
+                   round(coalesce(sum(l.l_quantity), 0), 4) AS sum_qty
+            FROM orders o LEFT JOIN lineitem l
+              ON l.l_shipdate >= o.o_orderdate
+             AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+            GROUP BY o.o_orderkey ORDER BY o.o_orderkey
         """,
         "dedup_exact_docs": """
             SELECT min(doc_id) AS doc_id, text

@@ -121,3 +121,49 @@ def test_sliding_window_overflow_guard(tmp_path, ray_session):
     df.to_parquet(os.path.join(tmp_path, "events.parquet"), index=False)
     with pytest.raises(Exception, match="overflows|embedding"):
         timeseries.sliding_window_counts(str(tmp_path), num_parts=1)
+
+
+def test_range_join_bucket_collision_no_double_count(tmp_path, ray_session):
+    # window crosses a bucket boundary AND all buckets share one partition
+    # (num_parts=1): replica clipping must keep fragments disjoint
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    day = np.timedelta64(86_400_000_000, "us")
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.array([1, 2, 3], dtype=np.int64),
+            "o_custkey": np.array([1, 1, 1], dtype=np.int64),
+            "o_orderstatus": ["O"] * 3,
+            "o_totalprice": [1.0] * 3,
+            # order 1 spans the day-8 bucket edge; order 3 has no shipments
+            "o_orderdate": [base + 5 * day, base + 16 * day, base + 400 * day],
+            "o_orderpriority": ["1-URGENT"] * 3,
+        }
+    )
+    ship = [base + i * day for i in [5, 6, 7, 8, 9, 11, 16, 22, 23]]
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": np.arange(len(ship), dtype=np.int64),
+            "l_partkey": np.zeros(len(ship), dtype=np.int64),
+            "l_suppkey": np.zeros(len(ship), dtype=np.int64),
+            "l_linenumber": np.ones(len(ship), dtype=np.int32),
+            "l_quantity": np.arange(1.0, len(ship) + 1),
+            "l_extendedprice": np.ones(len(ship)),
+            "l_discount": np.zeros(len(ship)),
+            "l_tax": np.zeros(len(ship)),
+            "l_returnflag": ["N"] * len(ship),
+            "l_linestatus": ["O"] * len(ship),
+            "l_shipdate": ship,
+        }
+    )
+    orders.to_parquet(os.path.join(tmp_path, "orders.parquet"), index=False)
+    lineitem.to_parquet(os.path.join(tmp_path, "lineitem.parquet"), index=False)
+    out = timeseries.range_join_shipments(str(tmp_path), days=7, num_parts=1)
+    got = {int(r.o_orderkey): (int(r.n_shipments), float(r.sum_qty)) for r in out.itertuples()}
+    # order 1: days 5..11 (closed-open +7) -> ships at 5,6,7,8,9,11 = qty 1..5,6th=6
+    assert got[1] == (6, 1 + 2 + 3 + 4 + 5 + 6)
+    # order 2: days 16..22 -> ships at 16 (qty 7) and 22 (qty 8)
+    assert got[2] == (2, 7 + 8)
+    assert got[3] == (0, 0.0)  # LEFT semantics: zero-shipment order kept
+    # same answer at higher parallelism
+    out4 = timeseries.range_join_shipments(str(tmp_path), days=7, num_parts=4)
+    pd.testing.assert_frame_equal(out, out4)

@@ -104,6 +104,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_hourly": relational.q_events_hourly,
         "q_nation_region_join": relational.q_nation_region_join,
         "q_customer_order_counts": relational.q_customer_order_counts,
+        "q_price_quantiles": relational.q_price_quantiles,
+        "q_top_orders_per_customer": relational.q_top_orders_per_customer,
+        "q_bloom_semijoin": relational.q_bloom_semijoin,
         # time-series custom operators (SQL-checked): one hash exchange on
         # user_id, vectorized per-partition sweeps (pipelines/timeseries.py)
         "asof_click_view": timeseries.asof_join_events,
@@ -545,6 +548,37 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders,
                    round(sum(o_totalprice), 4) AS total
             FROM orders GROUP BY o_custkey ORDER BY o_custkey
+        """,
+        # exact discrete quantiles — engine uses the same index rule as
+        # DuckDB quantile_disc (value at max(0, ceil(p*n)-1) of the sorted
+        # column), computed from a merged (key, value, count) histogram
+        "q_price_quantiles": """
+            SELECT l_returnflag,
+                   quantile_disc(l_extendedprice, 0.25) AS p25,
+                   quantile_disc(l_extendedprice, 0.50) AS p50,
+                   quantile_disc(l_extendedprice, 0.75) AS p75,
+                   quantile_disc(l_extendedprice, 0.90) AS p90,
+                   quantile_disc(l_extendedprice, 0.99) AS p99
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        # grouped top-k (window-function shape): ties on o_totalprice break
+        # by o_orderkey ascending in BOTH engine and SQL
+        "q_top_orders_per_customer": """
+            SELECT o_custkey, o_totalprice, o_orderkey, rank FROM (
+                SELECT o_custkey, o_totalprice, o_orderkey,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rank
+                FROM orders)
+            WHERE rank <= 3 ORDER BY o_custkey, rank
+        """,
+        # bloom-prefiltered EXACT semi-join — the bloom only shrinks the
+        # exchange; survivors are verified against true build keys
+        "q_bloom_semijoin": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+            ORDER BY o_orderkey
         """,
         # pure inequality (range) join — LEFT so zero-shipment orders stay
         "range_join_shipments": """

@@ -16,6 +16,7 @@ DataFrame whose column NAMES match the paired oracle SQL in
 from __future__ import annotations
 
 import os
+from collections.abc import Sequence
 
 import numpy as np
 import pandas as pd
@@ -381,3 +382,219 @@ def q_customer_order_counts(sf_dir: str):
     df = agg.to_pandas()
     df["total"] = df["total"].round(4)
     return df.sort_values("o_custkey").reset_index(drop=True)
+
+
+def grouped_quantiles(
+    ds, key: str, col: str, quantiles: Sequence[float]
+) -> pd.DataFrame:
+    """Exact per-group quantiles in ONE streaming pass — no global sort.
+
+    Shape for scale: each batch collapses to a (key, value, count) partial
+    histogram via Arrow ``group_by`` (the exchange then carries one row per
+    DISTINCT (key, value) per batch, not per input row); a global groupby
+    merges the partials; only the merged histogram — bounded by the value
+    domain, not the row count — reaches the driver, where a cumsum walk reads
+    off the discrete quantiles. This is exact whenever the value domain is
+    materially smaller than the data (prices, quantities, durations). For a
+    truly continuous unbounded column the same pass degrades gracefully into
+    "histogram as large as the data": switch to fixed-width binning plus a
+    per-bin refinement pass (not needed for any testdata column).
+
+    Quantile definition matches DuckDB ``quantile_disc``: the value at index
+    ``max(0, ceil(p*n) - 1)`` of the sorted column (verified empirically).
+    """
+    hist = grouped_agg(ds, [key, col], {"cnt": (None, "count")}).to_pandas()
+    hist = hist.sort_values([key, col], kind="stable").reset_index(drop=True)
+
+    rows = []
+    for k, g in hist.groupby(key, sort=True):
+        counts = g["cnt"].to_numpy(np.int64)
+        values = g[col].to_numpy()
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        row = {key: k}
+        for p in quantiles:
+            idx = max(0, int(np.ceil(p * n)) - 1)
+            row[f"p{int(round(p * 100)):02d}"] = values[np.searchsorted(cum, idx, side="right")]
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+def q_price_quantiles(sf_dir: str):
+    """Exact discrete quantiles of l_extendedprice per return flag."""
+    ds = read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    df = grouped_quantiles(
+        ds, "l_returnflag", "l_extendedprice", [0.25, 0.50, 0.75, 0.90, 0.99]
+    )
+    return df.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def grouped_topk(
+    ds,
+    key: str,
+    col: str,
+    k: int,
+    *,
+    tie_col: str,
+    extra_cols: Sequence[str] = (),
+) -> pd.DataFrame:
+    """Per-group top-k (``col`` desc, ``tie_col`` asc) without a global sort.
+
+    Two-level reduction: every batch first collapses to at most k rows per
+    key it contains (vectorized pandas sort + groupby-cumcount — no Python
+    per-group loop), so the hash exchange moves ≤ k rows per (key × batch);
+    the partitioned finalize then re-applies the same reduction per key with
+    all of a key's survivors co-located. Adding a ``rank`` column makes the
+    output self-describing (and matches ROW_NUMBER() in the oracle).
+    """
+    cols = [key, col, tie_col, *extra_cols]
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, col, tie_col], ascending=[True, False, True], kind="stable")
+        keep = df.groupby(key, sort=False).cumcount() < k
+        return df[keep.to_numpy()]
+
+    partial = ds.select_columns(cols).map_batches(_reduce, batch_format="pandas")
+
+    def _finalize(t: pa.Table) -> pa.Table:
+        df = _reduce(t.to_pandas())
+        rank = df.groupby(key, sort=False).cumcount().to_numpy() + 1
+        out = pa.Table.from_pandas(df, preserve_index=False)
+        return out.append_column("rank", pa.array(rank, pa.int64()))
+
+    from osmi_addresses_ray.ops import partitioned_map
+
+    final = partitioned_map(partial, [key], num_parts=16, fn=_finalize)
+    return final.to_pandas().sort_values([key, "rank"], kind="stable").reset_index(drop=True)
+
+
+def q_top_orders_per_customer(sf_dir: str):
+    """Grouped top-3 orders per customer by total price (window-function
+    shape rebuilt as two-level partial top-k + hash exchange)."""
+    ds = read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    return grouped_topk(ds, "o_custkey", "o_totalprice", 3, tie_col="o_orderkey")
+
+
+# --- bloom-filter semi-join ---------------------------------------------------
+
+_BLOOM_BITS = 1 << 20  # 128 KiB per filter; ~0.01% FP at 10k keys, k=4
+_BLOOM_K = 4
+
+
+def _bloom_hashes(keys: np.ndarray, num_bits: int = _BLOOM_BITS):
+    """Double hashing: k bit indexes per key from one splitmix64 pass.
+
+    idx_i = (h1 + i*h2) mod m — the standard Kirsch-Mitzenmacher scheme, so
+    the per-key cost is one 64-bit mix regardless of k.
+    """
+    x = keys.astype(np.uint64)
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    z = x
+    z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    z = z ^ (z >> np.uint64(31))
+    h1 = z & np.uint64(0xFFFFFFFF)
+    h2 = (z >> np.uint64(32)) | np.uint64(1)  # odd → full-period stride
+    m = np.uint64(num_bits)
+    return [((h1 + np.uint64(i) * h2) % m).astype(np.int64) for i in range(_BLOOM_K)]
+
+
+def _bloom_member(bits: np.ndarray, keys: np.ndarray, num_bits: int = _BLOOM_BITS) -> np.ndarray:
+    ok = np.ones(len(keys), dtype=bool)
+    for idx in _bloom_hashes(keys, num_bits):
+        ok &= (bits[idx >> 6] >> (idx & 63).astype(np.uint64)) & np.uint64(1) != 0
+    return ok
+
+
+def bloom_semi_join(
+    probe,
+    probe_key: str,
+    build,
+    build_key: str,
+    *,
+    num_parts: int = 16,
+    num_bits: int = _BLOOM_BITS,
+):
+    """EXACT distributed semi-join with a bloom pre-filter on the probe side.
+
+    The build side collapses to per-batch 128 KiB bitsets (map_batches), a
+    second 64-way map level ORs them, and the driver ORs the ≤ n_blocks/64
+    survivors — a two-level tree reduce, so at 10⁶ blocks the driver sees
+    ~16k blobs, not the key stream. The merged filter ships once via
+    ``ray.put``; every probe batch drops non-members BEFORE the hash
+    exchange (the bloom's only job is shrinking the all-to-all — at a 1%
+    build selectivity it cuts the shuffled probe bytes ~99%). Correctness
+    never rests on the bloom: survivors are verified by an exact co-grouped
+    ``isin`` against the true build keys, so false positives only cost
+    bandwidth. Reference analogy: the written-ways membership gate
+    (dedup_first) — here generalized to two-sided semi-join shape.
+    """
+    import ray
+
+    from osmi_addresses_ray.ops import direct_cogroup
+
+    words = num_bits >> 6
+
+    def partial(t: pa.Table) -> pa.Table:
+        bits = np.zeros(words, dtype=np.uint64)
+        keys = t[build_key].to_numpy(zero_copy_only=False)
+        for idx in _bloom_hashes(keys, num_bits):
+            np.bitwise_or.at(bits, idx >> 6, np.uint64(1) << (idx & 63).astype(np.uint64))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    def or_level(t: pa.Table) -> pa.Table:
+        acc = np.zeros(words, dtype=np.uint64)
+        for blob in t["bits"]:
+            acc |= np.frombuffer(blob.as_py(), dtype=np.uint64)
+        return pa.table({"bits": pa.array([acc.tobytes()], pa.binary())})
+
+    build_keys = build.select_columns([build_key]).materialize()
+    blobs = (
+        build_keys.map_batches(partial, batch_format="pyarrow")
+        .map_batches(or_level, batch_format="pyarrow", batch_size=64)
+        .take_all()
+    )
+    bits = np.zeros(words, dtype=np.uint64)
+    for row in blobs:
+        bits |= np.frombuffer(row["bits"], dtype=np.uint64)
+    bits_ref = ray.put(bits)
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        b = ray.get(bits_ref)
+        keys = t[probe_key].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(_bloom_member(b, keys, num_bits)))
+
+    survivors = probe.map_batches(prefilter, batch_format="pyarrow").materialize()
+    out_schema = pa.schema([survivors.schema().base_schema.field(n) for n in probe.schema().names])
+
+    def verify(p: pa.Table, bkeys: pa.Table) -> pa.Table:
+        if p.num_rows == 0:
+            return out_schema.empty_table()
+        have = np.unique(bkeys[build_key].to_numpy(zero_copy_only=False))
+        keys = p[probe_key].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(have, keys)
+        pos[pos >= len(have)] = 0
+        ok = len(have) > 0 and (have[pos] == keys)
+        return p.filter(pa.array(ok if len(have) else np.zeros(len(keys), bool)))
+
+    return direct_cogroup(
+        [survivors, build_keys],
+        [[probe_key], [build_key]],
+        num_parts,
+        verify,
+        [out_schema, pa.schema([(build_key, pa.int64())])],
+    )
+
+
+def q_bloom_semijoin(sf_dir: str):
+    """Orders having at least one near-max-quantity lineitem (l_quantity ≥ 49),
+    via the bloom-prefiltered exact semi-join."""
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    items = read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    items = items.filter(expr="l_quantity >= 49")
+    out = bloom_semi_join(orders, "o_orderkey", items.select_columns(["l_orderkey"]), "l_orderkey")
+    return out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)

@@ -1,0 +1,86 @@
+"""Unit tests for the round-3 relational additions: exact grouped quantiles
+(histogram exchange), grouped top-k (two-level partial reduction), and the
+bloom-prefiltered exact semi-join."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from osmi_addresses_ray.pipelines.relational import (
+    _bloom_hashes,
+    _bloom_member,
+    bloom_semi_join,
+    grouped_quantiles,
+    grouped_topk,
+)
+
+
+def test_grouped_quantiles_matches_quantile_disc_rule():
+    # duplicated values + a group with a single row
+    vals = [1.0, 1.0, 2.0, 5.0, 5.0, 5.0, 9.0]
+    df = pd.DataFrame({"g": ["a"] * len(vals) + ["b"], "v": vals + [42.0]})
+    ds = rd.from_pandas(df).repartition(3)
+    out = grouped_quantiles(ds, "g", "v", [0.0, 0.25, 0.5, 0.75, 1.0])
+    a = out[out["g"] == "a"].iloc[0]
+    sorted_a = sorted(vals)
+    n = len(sorted_a)
+    for p, col in [(0.0, "p00"), (0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (1.0, "p100")]:
+        idx = max(0, int(np.ceil(p * n)) - 1)
+        assert a[col] == sorted_a[idx], (p, a[col])
+    b = out[out["g"] == "b"].iloc[0]
+    assert all(b[c] == 42.0 for c in ["p00", "p25", "p50", "p75", "p100"])
+
+
+def test_grouped_topk_ties_and_small_groups():
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1, 2, 3, 3],
+            "score": [5.0, 5.0, 5.0, 1.0, 7.0, 2.0, 2.0],
+            "id": [30, 10, 20, 40, 1, 2, 1],
+        }
+    )
+    ds = rd.from_pandas(df).repartition(4)
+    out = grouped_topk(ds, "k", "score", 2, tie_col="id")
+    # k=1: three rows tied at 5.0 -> ids 10, 20 win; k=3 has only 2 rows
+    got = out.groupby("k")["id"].apply(list).to_dict()
+    assert got[1] == [10, 20]
+    assert got[2] == [1]
+    assert got[3] == [1, 2]
+    assert out[out["k"] == 3]["rank"].tolist() == [1, 2]
+
+
+def test_bloom_member_no_false_negatives():
+    keys = np.arange(0, 100000, 7, dtype=np.int64)
+    bits = np.zeros((1 << 20) >> 6, dtype=np.uint64)
+    for idx in _bloom_hashes(keys):
+        np.bitwise_or.at(bits, idx >> 6, np.uint64(1) << (idx & 63).astype(np.uint64))
+    assert _bloom_member(bits, keys).all()
+    # false-positive rate on disjoint probes stays tiny at this load factor
+    probes = np.arange(1, 100000, 7, dtype=np.int64)  # offset by 1 -> disjoint
+    fp = _bloom_member(bits, probes).mean()
+    assert fp < 0.01, fp
+
+
+def test_bloom_semi_join_exact_despite_false_positives():
+    # Force a degenerate 64-bit filter so almost EVERY probe is a bloom hit:
+    # the exact verify stage must still return only true members.
+    probe = rd.from_pandas(
+        pd.DataFrame({"pk": np.arange(1000, dtype=np.int64), "x": np.arange(1000) * 1.5})
+    ).repartition(3)
+    build = rd.from_pandas(
+        pd.DataFrame({"bk": np.array([3, 500, 999, 999, 1500], dtype=np.int64)})
+    ).repartition(2)
+    out = bloom_semi_join(probe, "pk", build, "bk", num_parts=4, num_bits=64).to_pandas()
+    assert sorted(out["pk"].tolist()) == [3, 500, 999]
+    assert list(out.columns) == ["pk", "x"]
+
+
+def test_bloom_semi_join_empty_build():
+    probe = rd.from_pandas(pd.DataFrame({"pk": np.arange(10, dtype=np.int64)}))
+    build = rd.from_arrow(pa.table({"bk": pa.array([], pa.int64())}))
+    out = bloom_semi_join(probe, "pk", build, "bk", num_parts=2).to_pandas()
+    assert len(out) == 0

@@ -87,6 +87,7 @@ def _layer_query(name: str) -> Callable[[str], Any]:
 def queries() -> dict[str, Callable[[str], Any]]:
     from osmi_addresses_ray.pipelines import (
         dedup,
+        sketches,
         relational,
         similarity,
         textstats,
@@ -122,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textstats.lang_id,
         "fingerprints": textstats.fingerprints,
         "top_tokens": textstats.top_tokens,
+        "tfidf_top_terms": textstats.tfidf_top_terms,
         "stratified_sample": textstats.stratified_sample,
         "scrub_pii": textstats.scrub_pii,
         # sketch/ANN ops checked against naive pure-Python oracles written to
@@ -148,6 +150,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_cosine_dedup": _with_oracle(
             "embedding_cosine_dedup", similarity.embedding_cosine_dedup, "emb_dedup_oracle",
             "embeddings",
+        ),
+        # mergeable HLL registers (elementwise-max tree); oracle = scalar
+        # python-int recomputation of the same register spec
+        "hll_distinct_users": _with_oracle(
+            "hll_distinct_users", sketches.hll_distinct_users, "hll_distinct_oracle", "events"
         ),
         # verified LSH pairs → distributed connected components → per-doc
         # representative; oracle = naive union-find over the same pair spec
@@ -610,6 +617,31 @@ def oracle_sql() -> dict[str, str]:
                          x -> length(x)::DOUBLE)), 0.0), 6) AS mean_word_len
             FROM documents ORDER BY doc_id
         """,
+        # per-doc argmax TF-IDF term; idf is the RAW ratio (N+1)/(df+1), not
+        # log-scaled — exact integer product + one IEEE division is
+        # bit-identical across numpy and DuckDB where ln() is not (libm
+        # implementations differ by 1 ulp); ties on score break by token
+        "tfidf_top_terms": """
+            WITH tok AS (
+                SELECT doc_id,
+                       lower(unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')))
+                           AS token
+                FROM documents),
+            tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+                   FROM tok GROUP BY doc_id, token),
+            dfreq AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df
+                      FROM tok GROUP BY token),
+            n AS (SELECT count(*)::BIGINT AS n FROM documents),
+            s AS (SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+                         (tf.tf * (n.n + 1))::DOUBLE / (dfreq.df + 1)::DOUBLE
+                             AS score
+                  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+            r AS (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY score DESC, token) AS rn FROM s)
+            SELECT doc_id, token, tf, df, score
+            FROM r WHERE rn = 1 ORDER BY doc_id
+        """,
         "top_tokens": """
             SELECT token, count(*)::BIGINT AS cnt
             FROM (SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')))
@@ -766,6 +798,7 @@ def _ensure_default_oracles() -> None:
         ("knn_hyperplane", "embeddings"),
         ("embedding_cosine_dedup", "embeddings"),
         ("dedup_clusters", "documents"),
+        ("hll_distinct_users", "events"),
     ):
         # seed the driver's documented correctness scale (sf0.01) plus the
         # test-suite scale, so SQL-first evaluation right after a code-version
@@ -802,6 +835,7 @@ def _naive_oracle_sql() -> dict[str, str]:
             "embedding_cosine_dedup", "vec_a, vec_b", "embeddings"
         ),
         "dedup_clusters": read_tagged_sql("dedup_clusters", "doc_id", "documents"),
+        "hll_distinct_users": read_tagged_sql("hll_distinct_users", "col_name", "events"),
         "media_features": read_parquet_sql("media_features", "ALL"),
         # true SQL recomputation of the great-circle kernel: haversine
         # (atan2 form) on sphere R=(2a+b)/3 over raw per-way coordinates

@@ -108,6 +108,7 @@ def write_oracle_tagged(name: str, df: pd.DataFrame, tag: int) -> str:
 _TAG_EXPR = {
     "documents": "(sum(hash(doc_id::VARCHAR || left(text, 24))) % 999999937)::BIGINT",
     "embeddings": "(sum(hash(vec_id::VARCHAR || embedding[1]::VARCHAR)) % 999999937)::BIGINT",
+    "events": "(sum(hash(event_id::VARCHAR || user_id::VARCHAR)) % 999999937)::BIGINT",
 }
 
 

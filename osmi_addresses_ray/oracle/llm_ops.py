@@ -395,3 +395,38 @@ def knn_hyperplane_oracle(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def hll_distinct_oracle(sf_dir: str) -> pd.DataFrame:
+    """Naive scalar-loop HLL over events.user_id: per-value python-int
+    splitmix64 + int.bit_length registers, then the textbook estimate —
+    no numpy vector kernels shared with the engine."""
+    import math
+
+    p = 12
+    m = 1 << p
+    ev = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+    regs = [0] * m
+    mask64 = (1 << 64) - 1
+    for v in set(ev["user_id"].to_pylist()):
+        z = (int(v) + 0x9E3779B97F4A7C15) & mask64
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask64
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask64
+        h = z ^ (z >> 31)
+        idx = h >> (64 - p)
+        suffix = h & ((1 << (64 - p)) - 1)
+        rho = (64 - p) - suffix.bit_length() + 1
+        if rho > regs[idx]:
+            regs[idx] = rho
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / sum(2.0 ** (-r) for r in regs)
+    zeros = regs.count(0)
+    if e <= 2.5 * m and zeros:
+        e = m * math.log(m / zeros)
+    return pd.DataFrame(
+        {
+            "col_name": ["user_id"],
+            "n_registers": np.array([m], dtype=np.int64),
+            "approx_distinct": np.array([int(round(e))], dtype=np.int64),
+        }
+    )

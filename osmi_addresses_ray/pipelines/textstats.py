@@ -322,3 +322,83 @@ def scrub_pii(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Per-document top TF-IDF term (keyword-extraction shape).
+
+    Two corpus passes, one vocab-sized exchange:
+    pass 1 computes document frequencies — each batch emits one row per
+    distinct token it contains (a doc's text lives in exactly one row, so
+    per-batch distinct (doc, token) counts sum to the exact global df) and
+    a token-keyed groupby merges them; the merged vocab table broadcasts
+    once via ``ray.put`` (bounded by vocab size; past a broadcast budget
+    this becomes a token-keyed hash join, same as the places-index
+    fallback). Pass 2 re-tokenizes per batch, probes the broadcast for df,
+    scores, and picks each doc's argmax WITHIN the batch — no per-doc
+    exchange at all.
+
+    Score = tf · (N+1)/(df+1): the idf is the raw inverse frequency ratio,
+    NOT log-scaled — one integer product (exact ≤ 2⁵³) and one IEEE
+    division are bit-identical between numpy and DuckDB, where ln() is a
+    libm call that differs by 1 ulp across implementations (the float-parity
+    rule from the geodesic kernels: mirror the reduction primitive, or
+    don't use it). Ranking is unchanged for any fixed df ordering.
+    Ties on score break by token ascending in both engine and SQL.
+    """
+    import ray
+
+    from .relational import grouped_agg
+
+    ds = _read_docs(sf_dir)
+    tok = re.compile(_TOKEN_RE)
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [w for t in df["text"] for w in set(tok.findall(t.lower()))]
+        if not toks:
+            return pd.DataFrame(
+                {"token": pd.Series([], dtype=object), "df": pd.Series([], dtype="int64")}
+            )
+        vc = pd.Series(toks).value_counts()
+        return pd.DataFrame({"token": vc.index.to_numpy(object), "df": vc.to_numpy(np.int64)})
+
+    vocab = grouped_agg(
+        ds.map_batches(df_partial, batch_format="pandas"), ["token"], {"df": ("df", "sum")}
+    ).to_pandas()
+    n_docs = int(ds.count())
+    vocab_ref = ray.put((pd.Index(vocab["token"]), vocab["df"].to_numpy(np.int64)))
+
+    def score_part(df: pd.DataFrame) -> pd.DataFrame:
+        index, df_arr = ray.get(vocab_ref)
+        per_doc = [tok.findall(t.lower()) for t in df["text"]]
+        lens = np.array([len(x) for x in per_doc], dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "token": pd.Series([], dtype=object),
+                    "tf": pd.Series([], dtype="int64"),
+                    "df": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float64"),
+                }
+            )
+        flat = pd.DataFrame(
+            {
+                "doc_id": np.repeat(df["doc_id"].to_numpy(np.int64), lens),
+                "token": np.array([w for ws in per_doc for w in ws], dtype=object),
+            }
+        )
+        tf = flat.groupby(["doc_id", "token"], sort=False).size().reset_index(name="tf")
+        d = df_arr[index.get_indexer(tf["token"])]
+        tf["df"] = d
+        tf["score"] = (tf["tf"].to_numpy(np.int64) * (n_docs + 1)).astype(np.float64) / (
+            d + 1
+        ).astype(np.float64)
+        tf = tf.sort_values(
+            ["doc_id", "score", "token"], ascending=[True, False, True], kind="stable"
+        )
+        return tf.drop_duplicates("doc_id")[["doc_id", "token", "tf", "df", "score"]]
+
+    out = ds.map_batches(score_part, batch_format="pandas").to_pandas()
+    out["tf"] = out["tf"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

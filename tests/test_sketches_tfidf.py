@@ -1,0 +1,92 @@
+"""Unit tests for the HyperLogLog sketch and TF-IDF top-terms operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from osmi_addresses_ray.pipelines.sketches import (
+    HLL_P,
+    _rho,
+    _splitmix64,
+    hll_distinct,
+    hll_estimate,
+    hll_registers,
+)
+
+
+def test_rho_matches_bit_length_spec():
+    rng = np.random.default_rng(7)
+    h = rng.integers(0, 2**63, 1000, dtype=np.int64).astype(np.uint64)
+    got = _rho(h, HLL_P)
+    for hv, g in zip(h.tolist(), got.tolist()):
+        suffix = hv & ((1 << (64 - HLL_P)) - 1)
+        expect = (64 - HLL_P) + 1 if suffix == 0 else (64 - HLL_P) - suffix.bit_length() + 1
+        assert g == expect
+
+
+def test_hll_estimate_accuracy_and_merge_invariance():
+    vals = np.arange(100_000, dtype=np.int64)
+    regs_whole = hll_registers(vals)
+    est = hll_estimate(regs_whole)
+    assert abs(est - 100_000) / 100_000 < 0.05, est
+    # merge of arbitrary splits == whole-corpus registers (associativity)
+    regs_merged = np.zeros_like(regs_whole)
+    for chunk in np.array_split(vals, 7):
+        np.maximum(regs_merged, hll_registers(chunk), out=regs_merged)
+    assert np.array_equal(regs_whole, regs_merged)
+    # duplicates don't move the registers
+    assert np.array_equal(hll_registers(np.concatenate([vals, vals[:5000]])), regs_whole)
+
+
+def test_hll_distinct_dataset_matches_local():
+    vals = np.arange(0, 30_000, 3, dtype=np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"k": np.concatenate([vals, vals])})).repartition(5)
+    regs = hll_distinct(ds, "k")
+    assert np.array_equal(regs, hll_registers(vals))
+
+
+def test_hll_linear_counting_small_range():
+    # tiny cardinality -> linear-counting branch; must be near-exact
+    regs = hll_registers(np.arange(50, dtype=np.int64))
+    assert abs(hll_estimate(regs) - 50) <= 2
+
+
+def test_tfidf_prefers_rare_term(tmp_path):
+    # 'zebra' appears once in one doc; 'common' appears in every doc
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                "common common zebra",
+                "common filler words",
+                "common more filler",
+                "common words words",
+            ],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    from osmi_addresses_ray.pipelines.textstats import tfidf_top_terms
+
+    out = tfidf_top_terms(str(tmp_path))
+    assert len(out) == 4
+    r0 = out[out["doc_id"] == 0].iloc[0]
+    # zebra: tf=1, df=1 -> score 5/2=2.5; common: tf=2, df=4 -> 10/5=2.0
+    assert r0["token"] == "zebra" and r0["tf"] == 1 and r0["df"] == 1
+    assert r0["score"] == 2.5
+    # doc 3: 'words' tf=2 df=2 -> 10/3; beats 'common' tf=1 df=4 -> 5/5
+    r3 = out[out["doc_id"] == 3].iloc[0]
+    assert r3["token"] == "words"
+
+
+def test_splitmix64_reference_vector():
+    # cross-check the vector kernel against the scalar python-int form
+    x = np.array([0, 1, 2**40 + 123], dtype=np.int64)
+    got = _splitmix64(x)
+    mask = (1 << 64) - 1
+    for xi, gi in zip(x.tolist(), got.tolist()):
+        z = (xi + 0x9E3779B97F4A7C15) & mask
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
+        assert gi == z ^ (z >> 31)

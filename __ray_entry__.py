@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # rows-only (stubbed decode / engine-corpus inputs)
         "media_features": _media_features_query,
+        "media_resize": _media_resize_query,
         "pip_entrances_in_buildings": _pip_query,
         # geodesic length operator: engine kernel vs DuckDB recomputing the
         # haversine from raw coordinates (true SQL oracle)
@@ -238,6 +239,25 @@ def _media_features_query(sf_dir: str):
         "media_features", _explode_features(oracle_media_features(fixture_table(FIXTURE_BLOCKS)))
     )
     return _explode_features(df)
+
+
+def _media_resize_query(sf_dir: str):
+    """Actor-pool nearest-neighbor thumbnails over the fixture corpus; the
+    oracle recomputes the integer pixel summaries straight from the
+    synthesized pixels (codec-bypassing, so a decoder bug fails the gate)."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.layers import oracle_media_resize
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.multimodal import media_resize
+
+    df = (
+        media_resize(fixture_docs(FIXTURE_BLOCKS))
+        .to_pandas()
+        .sort_values(["doc_id", "media_ref"])
+        .reset_index(drop=True)
+    )
+    write_oracle("media_resize", oracle_media_resize(fixture_table(FIXTURE_BLOCKS)))
+    return df
 
 
 def _pip_query(sf_dir: str):
@@ -766,6 +786,7 @@ def _ensure_default_oracles() -> None:
         for name in (
             "osmi_addresses_entrances",  # writing any layer writes its own file
             "media_features",
+            "media_resize",
             "pip_entrances_in_buildings",
             "geodesic_lengths",
             "rasterize_nwa",
@@ -837,6 +858,7 @@ def _naive_oracle_sql() -> dict[str, str]:
         "dedup_clusters": read_tagged_sql("dedup_clusters", "doc_id", "documents"),
         "hll_distinct_users": read_tagged_sql("hll_distinct_users", "col_name", "events"),
         "media_features": read_parquet_sql("media_features", "ALL"),
+        "media_resize": read_parquet_sql("media_resize", "doc_id, media_ref"),
         # true SQL recomputation of the great-circle kernel: haversine
         # (atan2 form) on sphere R=(2a+b)/3 over raw per-way coordinates
         "geodesic_lengths": f"""

@@ -801,3 +801,35 @@ def oracle_pip(docs: pa.Table) -> pd.DataFrame:
             {"point_id": pd.Series([], dtype="int64"), "poly_id": pd.Series([], dtype="int64")}
         )
     return res.sort_values(["point_id", "poly_id"]).reset_index(drop=True)
+
+
+def oracle_media_resize(docs: pa.Table, out_w: int = 16, out_h: int = 16) -> pd.DataFrame:
+    """Scalar recomputation of the resize summaries straight from the
+    synthesized PIXELS (bypassing the codecs, so a codec bug breaks the
+    gate): nearest-neighbor index (i*H)//out_h, python-int sum and
+    position-weighted fold mod 999999937."""
+    rows = []
+    for row in docs.to_pylist():
+        for span in row["spans"]:
+            if span["kind"] != "media":
+                continue
+            img = _oracle_media_pixels(span["media_ref"])
+            h, w = img.shape[:2]
+            px = []
+            for i in range(out_h):
+                for j in range(out_w):
+                    for c in range(3):
+                        px.append(int(img[(i * h) // out_h, (j * w) // out_w, c]))
+            fold = sum((k + 1) * v for k, v in enumerate(px)) % 999999937
+            rows.append(
+                {
+                    "doc_id": row["doc_id"], "media_ref": span["media_ref"],
+                    "src_width": np.int32(w), "src_height": np.int32(h),
+                    "out_width": np.int32(out_w), "out_height": np.int32(out_h),
+                    "px_sum": np.int64(sum(px)), "px_fold": np.int64(fold),
+                }
+            )
+    cols = ["doc_id", "media_ref", "src_width", "src_height",
+            "out_width", "out_height", "px_sum", "px_fold"]
+    return pd.DataFrame(rows, columns=cols).sort_values(
+        ["doc_id", "media_ref"]).reset_index(drop=True)

@@ -152,3 +152,84 @@ def media_features(docs_ds, *, concurrency=(1, 4), batch_size: int = 64):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+MEDIA_RESIZE_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("src_width", pa.int32()),
+        pa.field("src_height", pa.int32()),
+        pa.field("out_width", pa.int32()),
+        pa.field("out_height", pa.int32()),
+        pa.field("px_sum", pa.int64()),
+        pa.field("px_fold", pa.int64()),
+    ]
+)
+
+
+class MediaResizer:
+    """Actor-pool resize stage: decode → nearest-neighbor downscale.
+
+    The index map is pure integer math — src row of out row i is
+    ``(i*H)//out_h`` (likewise columns) — so the resampled raster is
+    bit-deterministic and oracle-checkable without any float resampling
+    spec. Output carries integer summaries of the REAL resized pixels
+    (sum + a position-weighted fold mod 999999937) rather than the raster
+    itself, keeping the driver compare payload tiny; a production sink
+    would re-encode ``self._encode(resized)`` back to the media store
+    (the encoder exists — media_codecs.encode_ppm — it's just not a
+    hash-comparable column).
+    """
+
+    def __init__(self, out_w: int = 16, out_h: int = 16):
+        self._decode_image = decode_image
+        self.out_w = int(out_w)
+        self.out_h = int(out_h)
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        h, w = img.shape[:2]
+        ri = (np.arange(self.out_h, dtype=np.int64) * h) // self.out_h
+        ci = (np.arange(self.out_w, dtype=np.int64) * w) // self.out_w
+        return img[ri][:, ci]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = {k: [] for k in MEDIA_RESIZE_SCHEMA.names}
+        for doc_id, ref, payload, kind in zip(
+            t["doc_id"].to_pylist(),
+            t["media_ref"].to_pylist(),
+            t["payload"].to_pylist(),
+            t["media_kind"].to_pylist(),
+        ):
+            if kind != "image" or sniff_format(payload) is None:
+                raise NotImplementedError(f"resize for {kind!r} payload is stubbed")
+            img = self._decode_image(payload)
+            out = self._resize(img)
+            flat = out.astype(np.uint64).ravel()
+            rows["doc_id"].append(doc_id)
+            rows["media_ref"].append(ref)
+            rows["src_width"].append(img.shape[1])
+            rows["src_height"].append(img.shape[0])
+            rows["out_width"].append(self.out_w)
+            rows["out_height"].append(self.out_h)
+            rows["px_sum"].append(int(flat.sum()))
+            rows["px_fold"].append(
+                int(((np.arange(1, len(flat) + 1, dtype=np.uint64) * flat).sum()) % 999999937)
+            )
+        return pa.Table.from_arrays(
+            [pa.array(rows[f.name], f.type) for f in MEDIA_RESIZE_SCHEMA],
+            schema=MEDIA_RESIZE_SCHEMA,
+        )
+
+
+def media_resize(docs_ds, *, out_w: int = 16, out_h: int = 16, concurrency=(1, 4),
+                 batch_size: int = 64):
+    """docs → integer-summarized nearest-neighbor thumbnails (actor pool)."""
+    media = extract_media_refs(docs_ds)
+    return media.map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

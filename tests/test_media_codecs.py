@@ -6,6 +6,7 @@ import hashlib
 import struct
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from osmi_addresses_ray.stages.media_codecs import (
@@ -119,3 +120,32 @@ def test_grid_features_real_pixels():
     img[4:] = 255
     f = grid_features(img)
     assert np.allclose(f[:8], -1.0) and np.allclose(f[8:], 1.0)
+
+
+def test_media_resizer_nearest_neighbor_spec():
+    from osmi_addresses_ray.stages.multimodal import MediaResizer
+
+    r = MediaResizer(out_w=2, out_h=2)
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    out = r._resize(img)
+    assert out.shape == (2, 2, 3)
+    # rows picked: (0*4)//2=0, (1*4)//2=2; cols: (0*6)//2=0, (1*6)//2=3
+    assert np.array_equal(out[0, 0], img[0, 0])
+    assert np.array_equal(out[0, 1], img[0, 3])
+    assert np.array_equal(out[1, 0], img[2, 0])
+    assert np.array_equal(out[1, 1], img[2, 3])
+
+
+def test_media_resize_pipeline_matches_oracle():
+    from osmi_addresses_ray.oracle.layers import oracle_media_resize
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.multimodal import media_resize
+
+    got = (
+        media_resize(fixture_docs(8))
+        .to_pandas()
+        .sort_values(["doc_id", "media_ref"])
+        .reset_index(drop=True)
+    )
+    want = oracle_media_resize(fixture_table(8))
+    pd.testing.assert_frame_equal(got, want)

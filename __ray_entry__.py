@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_price_quantiles": relational.q_price_quantiles,
         "q_top_orders_per_customer": relational.q_top_orders_per_customer,
         "q_bloom_semijoin": relational.q_bloom_semijoin,
+        "q_anti_join_orders": relational.q_anti_join_orders,
         # time-series custom operators (SQL-checked): one hash exchange on
         # user_id, vectorized per-partition sweeps (pipelines/timeseries.py)
         "asof_click_view": timeseries.asof_join_events,
@@ -124,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": textstats.fingerprints,
         "top_tokens": textstats.top_tokens,
         "tfidf_top_terms": textstats.tfidf_top_terms,
+        "chunk_documents": textstats.chunk_documents,
         "stratified_sample": textstats.stratified_sample,
         "scrub_pii": textstats.scrub_pii,
         # sketch/ANN ops checked against naive pure-Python oracles written to
@@ -606,6 +608,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM lineitem
                           WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
             ORDER BY o_orderkey
+        """,
+        # anti-join: exact complement of q_bloom_semijoin (no bloom here — a
+        # false positive would DROP a true result, so the full probe side
+        # takes the exchange)
+        "q_anti_join_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+            ORDER BY o_orderkey
+        """,
+        # overlapping token windows (LLM-ingest chunking); chunk starts are
+        # range(0, n_tokens, 24), window = 32 tokens, text = tokens joined
+        # by one space (the family's normalized tokenization)
+        "chunk_documents": """
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(text, '[A-Za-z0-9_]+') AS toks
+                       FROM documents),
+            w AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+            c AS (SELECT doc_id, toks, n,
+                         unnest(range(0, n, 24)) AS start_tok FROM w)
+            SELECT doc_id,
+                   (start_tok // 24)::BIGINT AS chunk_id,
+                   start_tok::BIGINT AS start_tok,
+                   least(32, n - start_tok)::BIGINT AS n_tokens,
+                   array_to_string(toks[start_tok+1 : least(start_tok+32, n)], ' ')
+                       AS chunk_text
+            FROM c ORDER BY doc_id, chunk_id
         """,
         # pure inequality (range) join — LEFT so zero-shipment orders stay
         "range_join_shipments": """

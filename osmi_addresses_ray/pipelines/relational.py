@@ -598,3 +598,57 @@ def q_bloom_semijoin(sf_dir: str):
     items = items.filter(expr="l_quantity >= 49")
     out = bloom_semi_join(orders, "o_orderkey", items.select_columns(["l_orderkey"]), "l_orderkey")
     return out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+
+
+def anti_join(probe, probe_key: str, build, build_key: str, *, num_parts: int = 16):
+    """Distributed anti-join: probe rows whose key has NO match in build.
+
+    One hash exchange co-locates each key's probe rows with the build keys
+    that share its hash partition; the per-partition reject is a vectorized
+    sorted-membership test. Unlike the semi-join, a bloom CANNOT pre-filter
+    here — a false positive would drop a true result — so the exchange
+    moves the full probe side (shrunk only by column pruning at the read).
+    """
+    from osmi_addresses_ray.ops import direct_cogroup
+
+    # normalize to Arrow blocks first: from_pandas-born datasets report a
+    # PandasBlockSchema whose fields can't seed the typed empties the
+    # exchange needs for partitions with no probe rows
+    probe = probe.map_batches(lambda t: t, batch_format="pyarrow").materialize()
+    build_keys = build.select_columns([build_key]).materialize()
+    out_schema = pa.schema(
+        [probe.schema().base_schema.field(n) for n in probe.schema().names]
+    )
+
+    def reject(p: pa.Table, bkeys: pa.Table) -> pa.Table:
+        if p.num_rows == 0:
+            return out_schema.empty_table()
+        have = np.unique(bkeys[build_key].to_numpy(zero_copy_only=False))
+        if len(have) == 0:
+            return p
+        keys = p[probe_key].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(have, keys)
+        pos[pos >= len(have)] = 0
+        return p.filter(pa.array(have[pos] != keys))
+
+    return direct_cogroup(
+        [probe, build_keys],
+        [[probe_key], [build_key]],
+        num_parts,
+        reject,
+        [out_schema, pa.schema([(build_key, pa.int64())])],
+    )
+
+
+def q_anti_join_orders(sf_dir: str):
+    """Orders with NO near-max-quantity lineitem — the exact complement of
+    q_bloom_semijoin, so together they partition the orders table."""
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    items = read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    items = items.filter(expr="l_quantity >= 49")
+    out = anti_join(orders, "o_orderkey", items.select_columns(["l_orderkey"]), "l_orderkey")
+    df = out.to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
+                           "o_totalprice": pd.Series(dtype="float64")})
+    return df.sort_values("o_orderkey").reset_index(drop=True)

@@ -402,3 +402,43 @@ def tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
     out = ds.map_batches(score_part, batch_format="pandas").to_pandas()
     out["tf"] = out["tf"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def chunk_documents(sf_dir: str, *, size: int = 32, step: int = 24) -> pd.DataFrame:
+    """Split each document into overlapping token windows (LLM-ingest shape).
+
+    Pure flat-map fanout: every chunk is derived from its own doc inside the
+    batch that holds the doc — no exchange at all, output row count ~n/step
+    per doc. Chunk starts are ``range(0, n_tokens, step)`` (the trailing
+    window may be shorter than ``size``); chunk text is the tokens joined by
+    a single space — tokenization is the SAME normalization the rest of the
+    textstats family uses, so chunk boundaries are reproducible in SQL
+    (DuckDB list slicing over regexp_extract_all).
+    """
+    ds = _read_docs(sf_dir)
+    tok = re.compile(_TOKEN_RE)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, chunk_ids, starts, n_toks, texts = [], [], [], [], []
+        for did, t in zip(df["doc_id"].to_numpy(np.int64), df["text"]):
+            toks = tok.findall(t)
+            n = len(toks)
+            for ci, s in enumerate(range(0, n, step)):
+                piece = toks[s : s + size]
+                doc_ids.append(did)
+                chunk_ids.append(ci)
+                starts.append(s)
+                n_toks.append(len(piece))
+                texts.append(" ".join(piece))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "chunk_id": pd.Series(chunk_ids, dtype="int64"),
+                "start_tok": pd.Series(starts, dtype="int64"),
+                "n_tokens": pd.Series(n_toks, dtype="int64"),
+                "chunk_text": pd.Series(texts, dtype=object),
+            }
+        )
+
+    out = ds.map_batches(f, batch_format="pandas").to_pandas()
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)

@@ -84,3 +84,49 @@ def test_bloom_semi_join_empty_build():
     build = rd.from_arrow(pa.table({"bk": pa.array([], pa.int64())}))
     out = bloom_semi_join(probe, "pk", build, "bk", num_parts=2).to_pandas()
     assert len(out) == 0
+
+
+def test_anti_join_partitions_with_semi_join():
+    from osmi_addresses_ray.pipelines.relational import anti_join
+
+    probe = rd.from_pandas(
+        pd.DataFrame({"pk": np.arange(100, dtype=np.int64), "v": np.arange(100) * 2.0})
+    ).repartition(3)
+    build = rd.from_pandas(
+        pd.DataFrame({"bk": np.array([5, 5, 17, 99, 1234], dtype=np.int64)})
+    ).repartition(2)
+    out = anti_join(probe, "pk", build, "bk", num_parts=4).to_pandas()
+    assert sorted(out["pk"].tolist()) == sorted(set(range(100)) - {5, 17, 99})
+
+
+def test_anti_join_empty_build_keeps_everything():
+    from osmi_addresses_ray.pipelines.relational import anti_join
+
+    probe = rd.from_pandas(pd.DataFrame({"pk": np.arange(10, dtype=np.int64)}))
+    build = rd.from_arrow(pa.table({"bk": pa.array([], pa.int64())}))
+    out = anti_join(probe, "pk", build, "bk", num_parts=2).to_pandas()
+    assert sorted(out["pk"].tolist()) == list(range(10))
+
+
+def test_chunk_documents_window_spec(tmp_path):
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array([1, 2, 3], dtype=np.int64),
+            "text": [
+                " ".join(f"w{i}" for i in range(40)),  # 2 chunks: 32 + 16
+                "only three tokens",                    # 1 short chunk
+                "...",                                  # no tokens -> no chunks
+            ],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    from osmi_addresses_ray.pipelines.textstats import chunk_documents
+
+    out = chunk_documents(str(tmp_path))
+    d1 = out[out["doc_id"] == 1]
+    assert d1["start_tok"].tolist() == [0, 24]
+    assert d1["n_tokens"].tolist() == [32, 16]
+    assert d1.iloc[1]["chunk_text"].split(" ")[0] == "w24"
+    d2 = out[out["doc_id"] == 2]
+    assert len(d2) == 1 and d2.iloc[0]["chunk_text"] == "only three tokens"
+    assert (out["doc_id"] == 3).sum() == 0

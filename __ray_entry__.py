@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_top_orders_per_customer": relational.q_top_orders_per_customer,
         "q_bloom_semijoin": relational.q_bloom_semijoin,
         "q_anti_join_orders": relational.q_anti_join_orders,
+        "q_events_rollup": relational.q_events_rollup,
         # time-series custom operators (SQL-checked): one hash exchange on
         # user_id, vectorized per-partition sweeps (pipelines/timeseries.py)
         "asof_click_view": timeseries.asof_join_events,
@@ -166,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (stubbed decode / engine-corpus inputs)
         "media_features": _media_features_query,
         "media_resize": _media_resize_query,
+        "geohash_cells": _geohash_query,
         "pip_entrances_in_buildings": _pip_query,
         # geodesic length operator: engine kernel vs DuckDB recomputing the
         # haversine from raw coordinates (true SQL oracle)
@@ -259,6 +261,44 @@ def _media_resize_query(sf_dir: str):
         .reset_index(drop=True)
     )
     write_oracle("media_resize", oracle_media_resize(fixture_table(FIXTURE_BLOCKS)))
+    return df
+
+
+def _geohash_query(sf_dir: str):
+    """Geohash-7 cell assignment for every address point (tiling key used
+    for cell-shuffle co-location); oracle = scalar integer interval-halving
+    over the independently recomputed layer."""
+    import pyarrow as pa
+
+    from osmi_addresses_ray.functions.geohash import geohash_encode
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.layers import oracle_geohash
+
+    nwa = _fixture_layers()["osmi_addresses_nodes_with_addresses"]
+
+    def f(t: pa.Table) -> pa.Table:
+        gh = geohash_encode(
+            t["lon"].to_numpy(zero_copy_only=False), t["lat"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "node_id": t["node_id"],
+                "ip_id": t["ip_id"],
+                "lon": t["lon"],
+                "lat": t["lat"],
+                "geohash": pa.array(gh, pa.string()),
+            }
+        )
+
+    df = (
+        nwa.map_batches(f, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["node_id", "ip_id", "lon", "lat"])
+        .reset_index(drop=True)
+    )
+    write_oracle(
+        "geohash_cells", oracle_geohash(_fixture_oracle()["osmi_addresses_nodes_with_addresses"])
+    )
     return df
 
 
@@ -609,6 +649,17 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
             ORDER BY o_orderkey
         """,
+        # three-level rollup; engine derives coarse levels from the merged
+        # finest-grain aggregate, SQL uses native ROLLUP
+        "q_events_rollup": """
+            SELECT event_type,
+                   date_trunc('hour', ts) AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY ROLLUP (event_type, date_trunc('hour', ts))
+            ORDER BY event_type NULLS LAST, window_start NULLS LAST
+        """,
         # anti-join: exact complement of q_bloom_semijoin (no bloom here — a
         # false positive would DROP a true result, so the full probe side
         # takes the exchange)
@@ -816,6 +867,7 @@ def _ensure_default_oracles() -> None:
             "osmi_addresses_entrances",  # writing any layer writes its own file
             "media_features",
             "media_resize",
+            "geohash_cells",
             "pip_entrances_in_buildings",
             "geodesic_lengths",
             "rasterize_nwa",
@@ -888,6 +940,7 @@ def _naive_oracle_sql() -> dict[str, str]:
         "hll_distinct_users": read_tagged_sql("hll_distinct_users", "col_name", "events"),
         "media_features": read_parquet_sql("media_features", "ALL"),
         "media_resize": read_parquet_sql("media_resize", "doc_id, media_ref"),
+        "geohash_cells": read_parquet_sql("geohash_cells", "node_id, ip_id, lon, lat"),
         # true SQL recomputation of the great-circle kernel: haversine
         # (atan2 form) on sphere R=(2a+b)/3 over raw per-way coordinates
         "geodesic_lengths": f"""

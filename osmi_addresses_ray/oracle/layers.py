@@ -833,3 +833,48 @@ def oracle_media_resize(docs: pa.Table, out_w: int = 16, out_h: int = 16) -> pd.
             "out_width", "out_height", "px_sum", "px_fold"]
     return pd.DataFrame(rows, columns=cols).sort_values(
         ["doc_id", "media_ref"]).reset_index(drop=True)
+
+
+def oracle_geohash(nwa: pd.DataFrame, precision: int = 7) -> pd.DataFrame:
+    """Scalar geohash recomputation: per-point python-int interval bits via
+    divmod over the exact 1e-7 rational ranges, base32 char by char."""
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    out = []
+    for lon, lat in zip(nwa["lon"], nwa["lat"]):
+        lon7 = int(math.copysign(math.floor(abs(lon) * 1e7 + 0.5), lon))
+        lat7 = int(math.copysign(math.floor(abs(lat) * 1e7 + 0.5), lat))
+        bits = []
+        # interval endpoints scaled by 2^(5p) so every midpoint is an exact
+        # python int (the first ~22 float halvings would be exact too, but
+        # not the deep ones — ints make the whole ladder exact)
+        scale = 1 << (5 * precision)
+        xlo, xhi = -1800000000 * scale, 1800000000 * scale
+        ylo, yhi = -900000000 * scale, 900000000 * scale
+        xv, yv = lon7 * scale, lat7 * scale
+        for b in range(5 * precision):
+            if b % 2 == 0:
+                mid = (xlo + xhi) // 2
+                if xv >= mid:
+                    bits.append(1)
+                    xlo = mid
+                else:
+                    bits.append(0)
+                    xhi = mid
+            else:
+                mid = (ylo + yhi) // 2
+                if yv >= mid:
+                    bits.append(1)
+                    ylo = mid
+                else:
+                    bits.append(0)
+                    yhi = mid
+        s = ""
+        for g in range(precision):
+            v = 0
+            for bit in bits[5 * g : 5 * g + 5]:
+                v = v * 2 + bit
+            s += alphabet[v]
+        out.append(s)
+    res = nwa[["node_id", "ip_id", "lon", "lat"]].copy()
+    res["geohash"] = out
+    return res.sort_values(["node_id", "ip_id", "lon", "lat"]).reset_index(drop=True)

@@ -652,3 +652,43 @@ def q_anti_join_orders(sf_dir: str):
         df = pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
                            "o_totalprice": pd.Series(dtype="float64")})
     return df.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q_events_rollup(sf_dir: str):
+    """ROLLUP(event_type, hour): three aggregation levels from ONE corpus
+    pass — the coarser levels re-aggregate the merged finest-grain result
+    (already small: |types| × |hours| rows on the driver), never the input.
+    NULL marks the rolled-up dimension, as in SQL ROLLUP.
+    """
+    ds = read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        return t.append_column("window_start", pc.floor_temporal(t["ts"], unit="hour"))
+
+    hourly = grouped_agg(
+        ds.map_batches(add_window, batch_format="pyarrow"),
+        ["event_type", "window_start"],
+        {"n_events": (None, "count"), "sum_value": ("value", "sum")},
+    ).to_pandas()
+
+    lvl1 = (
+        hourly.groupby("event_type", as_index=False)
+        .agg(n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+        .assign(window_start=pd.NaT)
+    )
+    lvl0 = pd.DataFrame(
+        {
+            "event_type": [None],
+            "window_start": [pd.NaT],
+            "n_events": [hourly["n_events"].sum()],
+            "sum_value": [hourly["sum_value"].sum()],
+        }
+    )
+    out = pd.concat(
+        [hourly, lvl1[hourly.columns], lvl0[hourly.columns]], ignore_index=True
+    )
+    out["sum_value"] = out["sum_value"].round(4)
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values(
+        ["event_type", "window_start"], na_position="last", kind="stable"
+    ).reset_index(drop=True)

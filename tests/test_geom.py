@@ -181,3 +181,39 @@ def test_polygon_centroids_packed_matches_scalar():
         ex, ey = polygon_centroid(r)
         assert np.isclose(cx[i], ex, rtol=1e-12, atol=1e-12), i
         assert np.isclose(cy[i], ey, rtol=1e-12, atol=1e-12), i
+
+
+def test_geohash_known_vectors():
+    from osmi_addresses_ray.functions.geohash import geohash_encode
+
+    got = geohash_encode(np.array([-5.6, 10.40744]), np.array([42.6, 57.64911]), 5)
+    assert got.tolist() == ["ezs42", "u4pru"]
+    long = geohash_encode(np.array([10.40744]), np.array([57.64911]), 11)
+    assert long.tolist() == ["u4pruydqqvj"]
+
+
+def test_geohash_prefix_nesting_and_edges():
+    from osmi_addresses_ray.functions.geohash import geohash_encode
+
+    lon = np.array([-180.0, 179.9999999, 0.0, 8.5417])
+    lat = np.array([-90.0, 89.9999999, 0.0, 47.3769])
+    for p in (3, 5, 7):
+        g_p = geohash_encode(lon, lat, p)
+        g_7 = geohash_encode(lon, lat, 7)
+        # shorter precision is always a prefix: cells nest
+        assert all(full.startswith(short) for short, full in zip(g_p, g_7))
+    assert geohash_encode(np.array([-180.0]), np.array([-90.0]), 7)[0] == "0000000"
+
+
+def test_geohash_engine_matches_scalar_oracle_fuzz():
+    import pandas as pd
+
+    from osmi_addresses_ray.functions.geohash import geohash_encode
+    from osmi_addresses_ray.oracle.layers import oracle_geohash
+
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-180, 180, 2000)
+    lat = rng.uniform(-90, 90, 2000)
+    df = pd.DataFrame({"node_id": np.arange(2000), "ip_id": [""] * 2000, "lon": lon, "lat": lat})
+    want = oracle_geohash(df).sort_values("node_id").reset_index(drop=True)
+    assert (want["geohash"].to_numpy(object) == geohash_encode(lon, lat, 7)).all()

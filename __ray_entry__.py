@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": timeseries.session_windows,
         "sliding_window_counts": timeseries.sliding_window_counts,
         "range_join_shipments": timeseries.range_join_shipments,
+        "running_totals": timeseries.running_totals,
         # training-data ops over documents/embeddings
         "dedup_exact_docs": dedup.exact_dedup_docs,
         "token_counts": textstats.token_counts,
@@ -686,6 +687,19 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(toks[start_tok+1 : least(start_tok+32, n)], ' ')
                        AS chunk_text
             FROM c ORDER BY doc_id, chunk_id
+        """,
+        # distributed prefix scan: per-hour-bucket local cumsums + driver
+        # exclusive scan of bucket totals. Totals are exact integer cents
+        # (floor(v*100+0.5) — the same IEEE ops both sides) because a float
+        # running sum is association-sensitive across engines
+        "running_totals": """
+            SELECT event_id,
+                   (count(*) OVER w)::BIGINT AS running_n,
+                   (sum(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER w)::BIGINT
+                       AS running_cents
+            FROM events
+            WINDOW w AS (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+            ORDER BY event_id
         """,
         # pure inequality (range) join — LEFT so zero-shipment orders stay
         "range_join_shipments": """

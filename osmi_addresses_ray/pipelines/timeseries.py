@@ -24,7 +24,9 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
+import ray.data as rd
 
 EVENTS_ASOF_SCHEMA = pa.schema(
     [
@@ -405,3 +407,105 @@ def range_join_shipments(sf_dir: str, *, days: int = 7, num_parts: int = 8):
         .sort_values("o_orderkey")
         .reset_index(drop=True)
     )
+
+
+def running_totals(sf_dir: str) -> pd.DataFrame:
+    """Global running totals over ALL events in (ts, event_id) order — the
+    distributed prefix-scan pattern.
+
+    The scan key is time, which is already range-partitionable: rows hash to
+    their UTC-hour bucket (ordered buckets = ordered partitions), each
+    partition lexsorts its own rows and takes a local cumulative sum, the
+    driver exclusive-scans the per-bucket totals (one tiny row per bucket),
+    and a final vectorized add shifts every partition by its offset. One
+    exchange, no global sort. Totals are EXACT integers (value → cents via
+    floor(v*100+0.5), the same IEEE ops DuckDB evaluates), because a float
+    running sum is order-associative and the engine's block-then-offset
+    association differs from SQL's row-sequential one in the last ulp.
+    Counts ride along for free.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from osmi_addresses_ray.ops import direct_partitioned_map
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts", "value"]
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        cents = pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5))
+        hour = pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.int64())
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "cents": pc.cast(cents, pa.int64()),
+                "bucket": hour,
+            }
+        )
+
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("cents", pa.int64()),
+            ("bucket", pa.int64()),
+        ]
+    )
+
+    out_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("event_id", pa.int64()),
+            ("n_in_bucket", pa.int64()),
+            ("cum_in_bucket", pa.int64()),
+        ]
+    )
+
+    def local_scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        bucket = t["bucket"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, bucket))
+        b, e, c = bucket[order], eid[order], cents[order]
+        # per-bucket positions + cumulative cents (buckets are contiguous
+        # after the lexsort)
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        cum = np.cumsum(c)
+        base = np.repeat(np.r_[0, cum[starts[1:] - 1]], np.diff(np.r_[starts, len(b)]))
+        pos = np.arange(len(b)) - np.repeat(starts, np.diff(np.r_[starts, len(b)]))
+        return pa.table(
+            {
+                "bucket": pa.array(b, pa.int64()),
+                "event_id": pa.array(e, pa.int64()),
+                "n_in_bucket": pa.array(pos + 1, pa.int64()),
+                "cum_in_bucket": pa.array(cum - base, pa.int64()),
+            }
+        )
+
+    scanned = direct_partitioned_map(
+        ds, ["bucket"], 16, local_scan, out_schema, pre=pre
+    ).to_pandas()
+
+    # driver: exclusive scan over per-bucket totals (one row per bucket)
+    per_bucket = (
+        scanned.sort_values(["bucket", "n_in_bucket"], kind="stable")
+        .groupby("bucket")
+        .agg(n=("n_in_bucket", "last"), total=("cum_in_bucket", "last"))
+        .sort_index()
+    )
+    n_off = per_bucket["n"].cumsum().shift(fill_value=0)
+    c_off = per_bucket["total"].cumsum().shift(fill_value=0)
+    scanned["running_n"] = (
+        scanned["n_in_bucket"] + n_off.reindex(scanned["bucket"]).to_numpy()
+    ).astype("int64")
+    scanned["running_cents"] = (
+        scanned["cum_in_bucket"] + c_off.reindex(scanned["bucket"]).to_numpy()
+    ).astype("int64")
+    out = scanned[["event_id", "running_n", "running_cents"]]
+    return out.sort_values("event_id").reset_index(drop=True)

@@ -167,3 +167,39 @@ def test_range_join_bucket_collision_no_double_count(tmp_path, ray_session):
     # same answer at higher parallelism
     out4 = timeseries.range_join_shipments(str(tmp_path), days=7, num_parts=4)
     pd.testing.assert_frame_equal(out, out4)
+
+
+def test_running_totals_negative_values_and_bucket_boundaries(tmp_path):
+    """Negative cents make the in-bucket cumsum non-monotone (the bucket
+    total must be the LAST row's cumulative, not the max), and rows exactly
+    on the hour boundary belong to the next bucket."""
+    import numpy as np
+    import pandas as pd
+
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 00:10", "2024-01-01 00:50",  # bucket 0
+            "2024-01-01 01:00",                        # boundary -> bucket 1
+            "2024-01-01 01:30", "2024-01-01 02:59",
+        ]
+    ).astype("datetime64[us]")
+    ev = pd.DataFrame(
+        {
+            "event_id": np.array([5, 1, 2, 3, 4], dtype=np.int64),
+            "user_id": np.ones(5, dtype=np.int64),
+            "event_type": ["x"] * 5,
+            "ts": ts,
+            "value": [10.0, -25.0, 3.5, -0.005, 2.0],
+        }
+    )
+    ev.to_parquet(tmp_path / "events.parquet", index=False)
+    from osmi_addresses_ray.pipelines.timeseries import running_totals
+
+    out = running_totals(str(tmp_path)).set_index("event_id")
+    # time order: e5(1000c), e1(-2500c), e2(350c), e3(floor(-0.5+0.5)=0c), e4(200c)
+    assert out.loc[5, "running_cents"] == 1000
+    assert out.loc[1, "running_cents"] == -1500
+    assert out.loc[2, "running_cents"] == -1150
+    assert out.loc[3, "running_cents"] == -1150
+    assert out.loc[4, "running_cents"] == -950
+    assert out["running_n"].sort_values().tolist() == [1, 2, 3, 4, 5]

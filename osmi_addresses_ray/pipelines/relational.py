@@ -510,6 +510,15 @@ def _bloom_member(bits: np.ndarray, keys: np.ndarray, num_bits: int = _BLOOM_BIT
     return ok
 
 
+def _sorted_member(have: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``keys`` in the sorted unique array ``have``."""
+    if len(have) == 0:
+        return np.zeros(len(keys), dtype=bool)
+    pos = np.searchsorted(have, keys)
+    pos[pos >= len(have)] = 0
+    return have[pos] == keys
+
+
 def bloom_semi_join(
     probe,
     probe_key: str,
@@ -576,10 +585,7 @@ def bloom_semi_join(
             return out_schema.empty_table()
         have = np.unique(bkeys[build_key].to_numpy(zero_copy_only=False))
         keys = p[probe_key].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(have, keys)
-        pos[pos >= len(have)] = 0
-        ok = len(have) > 0 and (have[pos] == keys)
-        return p.filter(pa.array(ok if len(have) else np.zeros(len(keys), bool)))
+        return p.filter(pa.array(_sorted_member(have, keys)))
 
     return direct_cogroup(
         [survivors, build_keys],
@@ -624,12 +630,8 @@ def anti_join(probe, probe_key: str, build, build_key: str, *, num_parts: int = 
         if p.num_rows == 0:
             return out_schema.empty_table()
         have = np.unique(bkeys[build_key].to_numpy(zero_copy_only=False))
-        if len(have) == 0:
-            return p
         keys = p[probe_key].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(have, keys)
-        pos[pos >= len(have)] = 0
-        return p.filter(pa.array(have[pos] != keys))
+        return p.filter(pa.array(~_sorted_member(have, keys)))
 
     return direct_cogroup(
         [probe, build_keys],
@@ -647,11 +649,9 @@ def q_anti_join_orders(sf_dir: str):
     items = read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
     items = items.filter(expr="l_quantity >= 49")
     out = anti_join(orders, "o_orderkey", items.select_columns(["l_orderkey"]), "l_orderkey")
-    df = out.to_pandas()
-    if df.empty:
-        df = pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
-                           "o_totalprice": pd.Series(dtype="float64")})
-    return df.sort_values("o_orderkey").reset_index(drop=True)
+    # anti_join types every partition with out_schema, so even an empty
+    # result carries the right columns
+    return out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
 
 
 def q_events_rollup(sf_dir: str):
@@ -687,6 +687,9 @@ def q_events_rollup(sf_dir: str):
     out = pd.concat(
         [hourly, lvl1[hourly.columns], lvl0[hourly.columns]], ignore_index=True
     )
+    # pin the dtype: pandas' all-NA-column concat inference is deprecated and
+    # an upgrade could silently flip the rolled-up NaT column to object
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
     out["sum_value"] = out["sum_value"].round(4)
     out["n_events"] = out["n_events"].astype("int64")
     return out.sort_values(

@@ -489,14 +489,18 @@ def running_totals(sf_dir: str) -> pd.DataFrame:
         )
 
     scanned = direct_partitioned_map(
-        ds, ["bucket"], 16, local_scan, out_schema, pre=pre
+        ds, ["bucket"], 16, local_scan, schema, pre=pre
     ).to_pandas()
 
-    # driver: exclusive scan over per-bucket totals (one row per bucket)
+    # driver: exclusive scan over per-bucket totals. The per-bucket last row
+    # is found with an O(n) idxmax, no sort; at 10^12 rows the offset add
+    # itself runs as a broadcast + map_batches over the scanned dataset —
+    # here the gate collects the full result anyway, so pandas applies it.
+    last_idx = scanned.groupby("bucket")["n_in_bucket"].idxmax()
     per_bucket = (
-        scanned.sort_values(["bucket", "n_in_bucket"], kind="stable")
-        .groupby("bucket")
-        .agg(n=("n_in_bucket", "last"), total=("cum_in_bucket", "last"))
+        scanned.loc[last_idx]
+        .set_index("bucket")[["n_in_bucket", "cum_in_bucket"]]
+        .rename(columns={"n_in_bucket": "n", "cum_in_bucket": "total"})
         .sort_index()
     )
     n_off = per_bucket["n"].cumsum().shift(fill_value=0)

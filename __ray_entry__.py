@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bloom_semijoin": relational.q_bloom_semijoin,
         "q_anti_join_orders": relational.q_anti_join_orders,
         "q_events_rollup": relational.q_events_rollup,
+        "q_user_top_event_type": relational.q_user_top_event_type,
+        "q_orders_above_cust_avg": relational.q_orders_above_cust_avg,
         # time-series custom operators (SQL-checked): one hash exchange on
         # user_id, vectorized per-partition sweeps (pipelines/timeseries.py)
         "asof_click_view": timeseries.asof_join_events,
@@ -649,6 +651,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM lineitem
                           WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
             ORDER BY o_orderkey
+        """,
+        # grouped argmax (mode); count ties break by event_type ascending
+        "q_user_top_event_type": """
+            SELECT user_id, event_type, cnt FROM (
+                SELECT user_id, event_type, count(*)::BIGINT AS cnt,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY count(*) DESC, event_type) AS rn
+                FROM events GROUP BY user_id, event_type)
+            WHERE rn = 1 ORDER BY user_id
+        """,
+        # correlated scalar subquery: aggregate once, broadcast per-key
+        # scalars, filter the fact side map-side
+        "q_orders_above_cust_avg": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders o JOIN (SELECT o_custkey AS k, avg(o_totalprice) AS a
+                                FROM orders GROUP BY o_custkey) s
+              ON o.o_custkey = s.k
+            WHERE o_totalprice > a ORDER BY o_orderkey
         """,
         # three-level rollup; engine derives coarse levels from the merged
         # finest-grain aggregate, SQL uses native ROLLUP

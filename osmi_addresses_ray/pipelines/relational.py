@@ -695,3 +695,59 @@ def q_events_rollup(sf_dir: str):
     return out.sort_values(
         ["event_type", "window_start"], na_position="last", kind="stable"
     ).reset_index(drop=True)
+
+
+def q_user_top_event_type(sf_dir: str):
+    """Per-user modal event type (grouped argmax).
+
+    Combiner shape: per-batch (user, type) counts → one small groupby-sum →
+    a user-keyed exchange for the argmax (the merged table is |users|×|types|
+    rows — tiny relative to events, but a user's rows can still straddle
+    block boundaries, so the argmax needs the co-location, not the driver).
+    Ties on count break by event_type ascending in engine and SQL.
+    """
+    from osmi_addresses_ray.ops import partitioned_map
+
+    ds = read(sf_dir, "events", columns=["user_id", "event_type"])
+    counts = grouped_agg(ds, ["user_id", "event_type"], {"cnt": (None, "count")})
+
+    def pick(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["user_id", "cnt", "event_type"], ascending=[True, False, True], kind="stable"
+        )
+        df = df.drop_duplicates("user_id")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = partitioned_map(counts, ["user_id"], num_parts=16, fn=pick).to_pandas()
+    out["cnt"] = out["cnt"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_orders_above_cust_avg(sf_dir: str):
+    """Orders strictly above their own customer's average price (correlated
+    scalar-subquery shape: aggregate once, broadcast the per-key scalars,
+    filter the fact side map-side — no fact-side exchange at all).
+
+    The broadcast is bounded by |customers|; past the budget it becomes the
+    usual key-partitioned join (BROADCAST_ROWS family).
+    """
+    import ray
+
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    avgs = grouped_agg(
+        orders, ["o_custkey"], {"avg_price": ("o_totalprice", "mean")}
+    ).to_pandas()
+    avgs = avgs.sort_values("o_custkey")
+    ref = ray.put(
+        (avgs["o_custkey"].to_numpy(np.int64), avgs["avg_price"].to_numpy(np.float64))
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        keys, av = ray.get(ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        a = av[np.searchsorted(keys, ck)]  # every order's customer exists
+        return t.filter(pa.array(price > a))
+
+    out = orders.map_batches(f, batch_format="pyarrow").to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)

@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_rollup": relational.q_events_rollup,
         "q_user_top_event_type": relational.q_user_top_event_type,
         "q_orders_above_cust_avg": relational.q_orders_above_cust_avg,
+        "q_events_pivot": relational.q_events_pivot,
+        "q_revenue_by_nation": relational.q_revenue_by_nation,
         # time-series custom operators (SQL-checked): one hash exchange on
         # user_id, vectorized per-partition sweeps (pipelines/timeseries.py)
         "asof_click_view": timeseries.asof_join_events,
@@ -651,6 +653,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM lineitem
                           WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
             ORDER BY o_orderkey
+        """,
+        # conditional aggregation (pivot): indicator columns built in-batch,
+        # pivot = plain grouped sum
+        "q_events_pivot": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   (count(*) FILTER (WHERE event_type = 'click'))::BIGINT
+                       AS n_click,
+                   (count(*) FILTER (WHERE event_type = 'purchase'))::BIGINT
+                       AS n_purchase,
+                   (count(*) FILTER (WHERE event_type = 'view'))::BIGINT
+                       AS n_view
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        # 3-table chain: both dimension hops broadcast, fact reduced before
+        # its only exchange
+        "q_revenue_by_nation": """
+            SELECT n_name,
+                   round(sum(o_totalprice), 4) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
         """,
         # grouped argmax (mode); count ties break by event_type ascending
         "q_user_top_event_type": """

@@ -751,3 +751,72 @@ def q_orders_above_cust_avg(sf_dir: str):
 
     out = orders.map_batches(f, batch_format="pyarrow").to_pandas()
     return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q_events_pivot(sf_dir: str):
+    """Hourly counts pivoted to one column per event type (conditional
+    aggregation): the indicator columns are built vectorized inside the
+    batch, so the pivot is just a grouped sum — no per-type scans and no
+    post-aggregation reshape exchange. Type set is the table's enum
+    (click/view/purchase in testdata)."""
+    ds = read(sf_dir, "events", columns=["event_type", "ts"])
+    types = ["click", "purchase", "view"]
+
+    def prep(t: pa.Table) -> pa.Table:
+        cols = {"window_start": pc.floor_temporal(t["ts"], unit="hour")}
+        for ty in types:
+            cols[f"n_{ty}"] = pc.cast(pc.equal(t["event_type"], ty), pa.int64())
+        return pa.table(cols)
+
+    out = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["window_start"],
+        {f"n_{ty}": (f"n_{ty}", "sum") for ty in types},
+    ).to_pandas()
+    for ty in types:
+        out[f"n_{ty}"] = out[f"n_{ty}"].astype("int64")
+    return out.sort_values("window_start").reset_index(drop=True)
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """Three-table chain (orders ⨝ customer ⨝ nation): both dimension hops
+    are broadcast probes folded into ONE map stage, then the partial-agg
+    groupby — the fact table crosses no exchange until it is already
+    reduced to one row per (nation × batch)."""
+    import ray
+
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    cust = cust.sort_values("c_custkey")
+    nation = nation.sort_values("n_nationkey")
+    ref = ray.put(
+        (
+            cust["c_custkey"].to_numpy(np.int64),
+            cust["c_nationkey"].to_numpy(np.int64),
+            nation["n_nationkey"].to_numpy(np.int64),
+            nation["n_name"].to_numpy(object),
+        )
+    )
+
+    orders = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def probe(t: pa.Table) -> pa.Table:
+        ck, cn, nk, nm = ray.get(ref)
+        cust_pos = np.searchsorted(ck, t["o_custkey"].to_numpy(zero_copy_only=False))
+        nkey = cn[cust_pos]
+        name = nm[np.searchsorted(nk, nkey)]
+        return pa.table(
+            {
+                "n_name": pa.array(name, pa.string()),
+                "o_totalprice": t["o_totalprice"],
+            }
+        )
+
+    agg = grouped_agg(
+        orders.map_batches(probe, batch_format="pyarrow"),
+        ["n_name"],
+        {"revenue": ("o_totalprice", "sum"), "n_orders": (None, "count")},
+    ).to_pandas()
+    agg["revenue"] = agg["revenue"].round(4)
+    agg["n_orders"] = agg["n_orders"].astype("int64")
+    return agg.sort_values("n_name").reset_index(drop=True)

@@ -404,8 +404,15 @@ def grouped_quantiles(
     ``max(0, ceil(p*n) - 1)`` of the sorted column (verified empirically).
     """
     hist = grouped_agg(ds, [key, col], {"cnt": (None, "count")}).to_pandas()
-    hist = hist.sort_values([key, col], kind="stable").reset_index(drop=True)
+    return quantiles_from_histogram(hist, key, col, quantiles)
 
+
+def quantiles_from_histogram(
+    hist: pd.DataFrame, key: str, col: str, quantiles: Sequence[float]
+) -> pd.DataFrame:
+    """Driver-side cumsum walk over a merged (key, value, count) histogram
+    (separated out so the index rule is directly property-testable)."""
+    hist = hist.sort_values([key, col], kind="stable").reset_index(drop=True)
     rows = []
     for k, g in hist.groupby(key, sort=True):
         counts = g["cnt"].to_numpy(np.int64)

@@ -132,6 +132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": textstats.top_tokens,
         "tfidf_top_terms": textstats.tfidf_top_terms,
         "chunk_documents": textstats.chunk_documents,
+        "token_counts_bpe": textstats.token_counts_bpe,
+        "top_bigrams": textstats.top_bigrams,
         "stratified_sample": textstats.stratified_sample,
         "scrub_pii": textstats.scrub_pii,
         # sketch/ANN ops checked against naive pure-Python oracles written to
@@ -800,6 +802,31 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY score DESC, token) AS rn FROM s)
             SELECT doc_id, token, tf, df, score
             FROM r WHERE rn = 1 ORDER BY doc_id
+        """,
+        # BPE-ish pre-tokenizer counts — the SAME RE2 pattern runs in Arrow's
+        # count_substring_regex and DuckDB's regexp_extract_all (doubled
+        # quotes are SQL escaping of the literal apostrophe)
+        "token_counts_bpe": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9'']+|\s+'))::BIGINT
+                       AS n_bpe_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        # adjacent-token pair frequencies (combiner per batch, like top_tokens)
+        "top_bigrams": """
+            WITH t AS (SELECT doc_id,
+                              list_transform(
+                                  regexp_extract_all(lower(text), '[A-Za-z0-9_]+'),
+                                  x -> x) AS ws
+                       FROM documents),
+            p AS (SELECT unnest(list_transform(range(1, len(ws)),
+                                               i -> ws[i] || ' ' || ws[i+1]))
+                      AS bigram
+                  FROM t)
+            SELECT bigram, count(*)::BIGINT AS cnt
+            FROM p GROUP BY bigram
+            ORDER BY cnt DESC, bigram LIMIT 50
         """,
         "top_tokens": """
             SELECT token, count(*)::BIGINT AS cnt

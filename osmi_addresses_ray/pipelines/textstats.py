@@ -442,3 +442,67 @@ def chunk_documents(sf_dir: str, *, size: int = 32, step: int = 24) -> pd.DataFr
 
     out = ds.map_batches(f, batch_format="pandas").to_pandas()
     return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+# GPT-2-style pre-tokenizer, restricted to syntax RE2 and Python re share
+# (no lookahead, no \p classes): contractions, space-prefixed letter runs,
+# digit runs, punctuation runs, whitespace runs.
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+|\s+"
+
+
+def token_counts_bpe(sf_dir: str) -> pd.DataFrame:
+    """Token counts under a BPE-ish pre-tokenizer (the segmentation an LLM
+    tokenizer applies before merges — the practical unit for data budgets).
+
+    Fully vectorized: Arrow's ``count_substring_regex`` runs the RE2 pattern
+    over the whole column with no per-row Python; the oracle runs the SAME
+    pattern through DuckDB's RE2, so both sides share one regex engine
+    semantics (the scrub_pii precedent).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _read_docs(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bpe_tokens": pc.cast(
+                    pc.count_substring_regex(t["text"], _BPE_RE), pa.int64()
+                ),
+            }
+        )
+
+    out = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def top_bigrams(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Global top-k token bigrams (adjacent-pair counts within each doc).
+
+    Same combiner shape as top_tokens: pairs are formed and counted WITHIN
+    each batch (vectorized: one token explode, adjacent join per doc), one
+    small bigram-keyed groupby merges partials, partial top-k finishes.
+    """
+    from .relational import grouped_agg, topk
+
+    ds = _read_docs(sf_dir)
+    tok = re.compile(_TOKEN_RE)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        grams = []
+        for t in df["text"]:
+            ws = tok.findall(t.lower())
+            grams.extend(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+        if not grams:
+            return pd.DataFrame(
+                {"bigram": pd.Series([], dtype=object), "cnt": pd.Series([], dtype="int64")}
+            )
+        vc = pd.Series(grams).value_counts()
+        return pd.DataFrame({"bigram": vc.index.to_numpy(object), "cnt": vc.to_numpy(np.int64)})
+
+    merged = grouped_agg(ds.map_batches(partial, batch_format="pandas"), ["bigram"], {"cnt": ("cnt", "sum")})
+    out = topk(merged, "cnt", k, descending=True, tie_cols=["bigram"])
+    out["cnt"] = out["cnt"].astype("int64")
+    return out[["bigram", "cnt"]]

@@ -161,6 +161,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "embedding_cosine_dedup", similarity.embedding_cosine_dedup, "emb_dedup_oracle",
             "embeddings",
         ),
+        # additive count-min grid (sum tree — batch-boundary invariant);
+        # oracle = scalar python-int recomputation incl. exact probe counts
+        "cms_token_counts": _with_oracle(
+            "cms_token_counts", sketches.cms_token_counts, "cms_token_counts_oracle",
+            "documents",
+        ),
         # mergeable HLL registers (elementwise-max tree); oracle = scalar
         # python-int recomputation of the same register spec
         "hll_distinct_users": _with_oracle(
@@ -987,6 +993,7 @@ def _ensure_default_oracles() -> None:
         ("embedding_cosine_dedup", "embeddings"),
         ("dedup_clusters", "documents"),
         ("hll_distinct_users", "events"),
+        ("cms_token_counts", "documents"),
     ):
         # seed the driver's documented correctness scale (sf0.01) plus the
         # test-suite scale, so SQL-first evaluation right after a code-version
@@ -1024,6 +1031,7 @@ def _naive_oracle_sql() -> dict[str, str]:
         ),
         "dedup_clusters": read_tagged_sql("dedup_clusters", "doc_id", "documents"),
         "hll_distinct_users": read_tagged_sql("hll_distinct_users", "col_name", "events"),
+        "cms_token_counts": read_tagged_sql("cms_token_counts", "token", "documents"),
         "media_features": read_parquet_sql("media_features", "ALL"),
         "media_resize": read_parquet_sql("media_resize", "doc_id, media_ref"),
         "geohash_cells": read_parquet_sql("geohash_cells", "node_id, ip_id, lon, lat"),

@@ -430,3 +430,41 @@ def hll_distinct_oracle(sf_dir: str) -> pd.DataFrame:
             "approx_distinct": np.array([int(round(e))], dtype=np.int64),
         }
     )
+
+
+def cms_token_counts_oracle(sf_dir: str) -> pd.DataFrame:
+    """Scalar recomputation of the count-min probe estimates: per-token
+    python-int FNV-1a + KM row indexes into plain python counter lists,
+    exact counts from a dict."""
+    probes = [
+        "the", "and", "of", "to", "a", "in", "is", "it", "that", "with",
+        "der", "die", "und", "le", "la", "les", "data", "model", "pipeline",
+        "document",
+    ]
+    depth, width = 4, 1 << 14
+    mask = (1 << 64) - 1
+    docs = _docs(sf_dir)
+
+    def fnv(t: str) -> int:
+        h = 0xCBF29CE484222325
+        for b in t.encode():
+            h = ((h ^ b) * 0x100000001B3) & mask
+        return h
+
+    def rows(h: int) -> list[int]:
+        h1, h2 = h & 0xFFFFFFFF, (h >> 32) | 1
+        return [(h1 + d * h2) % width for d in range(depth)]
+
+    cms = [[0] * width for _ in range(depth)]
+    true_cnt: dict[str, int] = {}
+    for r in docs.itertuples():
+        for w in _TOKEN.findall(r.text.lower()):
+            for d, idx in enumerate(rows(fnv(w))):
+                cms[d][idx] += 1
+            if w in probes:
+                true_cnt[w] = true_cnt.get(w, 0) + 1
+    out = []
+    for t in sorted(probes):
+        est = min(cms[d][idx] for d, idx in enumerate(rows(fnv(t))))
+        out.append({"token": t, "est_cnt": np.int64(est), "true_cnt": np.int64(true_cnt.get(t, 0))})
+    return pd.DataFrame(out, columns=["token", "est_cnt", "true_cnt"])

@@ -123,3 +123,126 @@ def hll_distinct_users(sf_dir: str) -> pd.DataFrame:
             "approx_distinct": np.array([hll_estimate(regs)], dtype=np.int64),
         }
     )
+
+
+# --- count-min sketch (heavy-hitter frequency estimates) ---------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1 << 14  # 4 rows x 16384 int64 counters = 512 KiB per sketch
+
+
+def _cms_hashes(hashes: np.ndarray) -> list[np.ndarray]:
+    """Depth row indexes via Kirsch-Mitzenmacher double hashing of the
+    token's 64-bit hash (same scheme as the bloom filter)."""
+    h1 = hashes & np.uint64(0xFFFFFFFF)
+    h2 = (hashes >> np.uint64(32)) | np.uint64(1)
+    w = np.uint64(CMS_WIDTH)
+    return [((h1 + np.uint64(d) * h2) % w).astype(np.int64) for d in range(CMS_DEPTH)]
+
+
+def cms_add(cms: np.ndarray, hashes: np.ndarray, counts: np.ndarray) -> None:
+    for d, idx in enumerate(_cms_hashes(hashes)):
+        np.add.at(cms[d], idx, counts)
+
+
+def cms_query(cms: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    est = np.full(len(hashes), np.iinfo(np.int64).max, dtype=np.int64)
+    for d, idx in enumerate(_cms_hashes(hashes)):
+        np.minimum(est, cms[d][idx], out=est)
+    return est
+
+
+def _token_hash64(tokens: np.ndarray) -> np.ndarray:
+    """FNV-1a over the token bytes (ASCII by construction of the token
+    regex) — a string-keyed stand-in for splitmix on ints."""
+    out = np.full(len(tokens), 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    maxlen = max((len(t) for t in tokens), default=0)
+    mat = np.zeros((len(tokens), maxlen), dtype=np.uint8)
+    lens = np.empty(len(tokens), dtype=np.int64)
+    for i, t in enumerate(tokens):
+        bs = t.encode()
+        lens[i] = len(bs)
+        mat[i, : len(bs)] = np.frombuffer(bs, dtype=np.uint8)
+    for j in range(maxlen):
+        live = lens > j
+        out[live] = ((out[live] ^ mat[live, j].astype(np.uint64)) * prime) & _MASK
+    return out
+
+
+def cms_token_counts(sf_dir: str, probe_tokens: list[str] | None = None) -> pd.DataFrame:
+    """Count-min estimates vs exact counts for a fixed probe-token set.
+
+    The sketch is a pure ADDITIVE counter grid, so the merged registers are
+    independent of batch boundaries and merge-tree shape (integer addition
+    commutes) — what makes a distributed sketch hash-checkable. Each batch
+    emits one 512 KiB partial; a 64-way sum level and a driver sum finish
+    (same tree as the bloom build). The exact counts ride the top_tokens
+    combiner path, so the output also exhibits the CMS one-sided error
+    (est >= true, overestimate bounded by n/width per row).
+    """
+    import re as _re
+
+    import ray.data as _rd
+
+    from .textstats import _TOKEN_RE, _read_docs
+
+    probes = probe_tokens or [
+        "the", "and", "of", "to", "a", "in", "is", "it", "that", "with",
+        "der", "die", "und", "le", "la", "les", "data", "model", "pipeline",
+        "document",
+    ]
+    ds = _read_docs(sf_dir)
+    tok = _re.compile(_TOKEN_RE)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [w for t in df["text"] for w in tok.findall(t.lower())]
+        cms = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+        if toks:
+            vc = pd.Series(toks).value_counts()
+            cms_add(cms, _token_hash64(vc.index.to_numpy(object)), vc.to_numpy(np.int64))
+        return pd.DataFrame({"cms": [cms.tobytes()]})
+
+    def sum_level(df: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(CMS_DEPTH * CMS_WIDTH, dtype=np.int64)
+        for blob in df["cms"]:
+            acc += np.frombuffer(blob, dtype=np.int64)
+        return pd.DataFrame({"cms": [acc.tobytes()]})
+
+    blobs = (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(sum_level, batch_format="pandas", batch_size=64)
+        .take_all()
+    )
+    cms = np.zeros(CMS_DEPTH * CMS_WIDTH, dtype=np.int64)
+    for row in blobs:
+        cms += np.frombuffer(row["cms"], dtype=np.int64)
+    cms = cms.reshape(CMS_DEPTH, CMS_WIDTH)
+
+    est = cms_query(cms, _token_hash64(np.array(probes, dtype=object)))
+
+    # exact counts via the combiner path (only for the probe set)
+    from .relational import grouped_agg
+
+    probe_set = set(probes)
+
+    def exact_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [w for t in df["text"] for w in tok.findall(t.lower()) if w in probe_set]
+        if not toks:
+            return pd.DataFrame(
+                {"token": pd.Series([], dtype=object), "cnt": pd.Series([], dtype="int64")}
+            )
+        vc = pd.Series(toks).value_counts()
+        return pd.DataFrame({"token": vc.index.to_numpy(object), "cnt": vc.to_numpy(np.int64)})
+
+    exact = (
+        grouped_agg(ds.map_batches(exact_partial, batch_format="pandas"), ["token"], {"cnt": ("cnt", "sum")})
+        .to_pandas()
+        .set_index("token")["cnt"]
+    )
+    true_cnt = np.array([int(exact.get(t, 0)) for t in probes], dtype=np.int64)
+    out = pd.DataFrame(
+        {"token": np.array(probes, dtype=object), "est_cnt": est, "true_cnt": true_cnt}
+    )
+    assert (out["est_cnt"] >= out["true_cnt"]).all()  # CMS one-sided error
+    return out.sort_values("token").reset_index(drop=True)

@@ -90,3 +90,40 @@ def test_splitmix64_reference_vector():
         z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
         z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
         assert gi == z ^ (z >> 31)
+
+
+def test_cms_additive_merge_invariance_and_one_sided_error():
+    from osmi_addresses_ray.pipelines.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        _token_hash64,
+        cms_add,
+        cms_query,
+    )
+
+    rng = np.random.default_rng(5)
+    tokens = np.array([f"tok{i}" for i in rng.integers(0, 500, 3000)], dtype=object)
+    vc = pd.Series(tokens).value_counts()
+    whole = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+    cms_add(whole, _token_hash64(vc.index.to_numpy(object)), vc.to_numpy(np.int64))
+    # arbitrary split merges to the same grid (addition commutes)
+    parts = np.zeros_like(whole)
+    for chunk in np.array_split(tokens, 7):
+        cvc = pd.Series(chunk).value_counts()
+        cms_add(parts, _token_hash64(cvc.index.to_numpy(object)), cvc.to_numpy(np.int64))
+    assert np.array_equal(whole, parts)
+    # one-sided error: estimates never undercount
+    probes = vc.index.to_numpy(object)[:50]
+    est = cms_query(whole, _token_hash64(probes))
+    true = vc.to_numpy(np.int64)[:50]
+    assert (est >= true).all()
+
+
+def test_cms_pipeline_matches_scalar_oracle():
+    from osmi_addresses_ray.oracle.llm_ops import cms_token_counts_oracle
+    from osmi_addresses_ray.pipelines.sketches import cms_token_counts
+
+    sf = "/root/testdata/sf0.001"
+    got = cms_token_counts(sf).reset_index(drop=True)
+    want = cms_token_counts_oracle(sf).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)

@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_counts": timeseries.sliding_window_counts,
         "range_join_shipments": timeseries.range_join_shipments,
         "running_totals": timeseries.running_totals,
+        "streaming_watermark_counts": timeseries.streaming_watermark_counts,
         # training-data ops over documents/embeddings
         "dedup_exact_docs": dedup.exact_dedup_docs,
         "token_counts": textstats.token_counts,
@@ -753,6 +754,25 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
             ORDER BY event_id
+        """,
+        # streaming-watermark replay: arrival = injective hash permutation of
+        # event_id (insertion order is already time-sorted in testdata, which
+        # would make the late path unfalsifiable); watermark = running max ts
+        # over prior arrivals via the same distributed max-scan shape as
+        # running_totals
+        "streaming_watermark_counts": """
+            WITH w AS (
+                SELECT ts,
+                       max(ts) OVER (ORDER BY (event_id * 2654435761) % 4294967296
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING) AS wm
+                FROM events)
+            SELECT date_trunc('hour', ts) AS window_start,
+                   count(*) AS n_events,
+                   (count(*) FILTER (WHERE wm IS NOT NULL
+                                     AND ts < wm - INTERVAL 30 MINUTE))::BIGINT
+                       AS n_late
+            FROM w GROUP BY 1 ORDER BY 1
         """,
         # pure inequality (range) join — LEFT so zero-shipment orders stay
         "range_join_shipments": """

@@ -513,3 +513,99 @@ def running_totals(sf_dir: str) -> pd.DataFrame:
     ).astype("int64")
     out = scanned[["event_id", "running_n", "running_cents"]]
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def streaming_watermark_counts(sf_dir: str, *, lateness_min: int = 30) -> pd.DataFrame:
+    """Streaming-window semantics over a bounded replay: per hourly window,
+    how many rows arrived AFTER the stream's watermark had passed them.
+
+    Arrival order is a deterministic hash permutation of event_id — the
+    testdata generator emits rows already time-sorted, so replaying in
+    insertion order would never produce a late row and the gate could not
+    falsify the watermark logic; the multiplicative-hash replay
+    (event_id * 2654435761 mod 2^32, injective for odd multipliers) scrambles
+    arrivals the way a real ingest stream interleaves shards. The watermark
+    at each arrival is the running max event time over all PRIOR arrivals
+    minus the allowed lateness. The running max is the same distributed prefix-scan
+    shape as ``running_totals`` — ordered event-id range buckets, per-bucket
+    ``np.maximum.accumulate``, driver exclusive max over one row per bucket —
+    because max, like sum, is associative with an identity. Lateness flags
+    are exact (pure int64 microsecond compares), so the whole operator is
+    true-SQL-checkable with a window MAX OVER ... ROWS ... 1 PRECEDING.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from osmi_addresses_ray.ops import direct_partitioned_map
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        arrival = (eid * 2654435761) % 4294967296
+        # arrival domain is [0, 2^32): 16 ordered range buckets via >> 28
+        return pa.table(
+            {
+                "arrival": pa.array(arrival, pa.int64()),
+                "ts": t["ts"],
+                "bucket": pa.array(arrival >> 28, pa.int64()),
+            }
+        )
+
+    schema = pa.schema(
+        [("arrival", pa.int64()), ("ts", pa.timestamp("us")), ("bucket", pa.int64())]
+    )
+
+    def local_scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("bucket", pa.int64()), ("arrival", pa.int64()), ("ts_us", pa.int64()),
+                 ("prior_max_us", pa.int64())]
+            ).empty_table()
+        eid = t["arrival"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        bucket = t["bucket"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, bucket))
+        b, e, s = bucket[order], eid[order], ts[order]
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        sizes = np.diff(np.r_[starts, len(b)])
+        # prior max WITHIN the bucket: segmented accumulate (a global
+        # accumulate would leak across buckets), shifted by one with a
+        # sentinel at each bucket start
+        seg_run = np.empty_like(s)
+        for st, sz in zip(starts, sizes):  # ≤16 buckets per task — not per-row
+            seg_run[st : st + sz] = np.maximum.accumulate(s[st : st + sz])
+        prior = np.r_[np.int64(np.iinfo(np.int64).min), seg_run[:-1]]
+        prior[starts] = np.iinfo(np.int64).min
+        return pa.table(
+            {
+                "bucket": pa.array(b, pa.int64()),
+                "arrival": pa.array(e, pa.int64()),
+                "ts_us": pa.array(s, pa.int64()),
+                "prior_max_us": pa.array(prior, pa.int64()),
+            }
+        )
+
+    scanned = direct_partitioned_map(ds, ["bucket"], 16, local_scan, schema, pre=pre).to_pandas()
+
+    # driver: exclusive running max over one (bucket, max_ts) row per bucket
+    bucket_max = scanned.groupby("bucket")["ts_us"].max().sort_index()
+    prior_global = bucket_max.cummax().shift(1, fill_value=np.iinfo(np.int64).min)
+    off = prior_global.reindex(scanned["bucket"]).to_numpy()
+    prior = np.maximum(scanned["prior_max_us"].to_numpy(), off)
+
+    lateness_us = lateness_min * 60 * 1_000_000
+    ts_us = scanned["ts_us"].to_numpy()
+    has_prior = prior != np.iinfo(np.int64).min
+    late = has_prior & (ts_us < prior - lateness_us)
+    window = (ts_us // 3_600_000_000) * 3_600_000_000
+    agg = (
+        pd.DataFrame({"window_start": window.astype("datetime64[us]"), "late": late})
+        .groupby("window_start")
+        .agg(n_events=("late", "size"), n_late=("late", "sum"))
+        .reset_index()
+    )
+    agg["n_events"] = agg["n_events"].astype("int64")
+    agg["n_late"] = agg["n_late"].astype("int64")
+    return agg.sort_values("window_start").reset_index(drop=True)

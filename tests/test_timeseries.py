@@ -203,3 +203,46 @@ def test_running_totals_negative_values_and_bucket_boundaries(tmp_path):
     assert out.loc[3, "running_cents"] == -1150
     assert out.loc[4, "running_cents"] == -950
     assert out["running_n"].sort_values().tolist() == [1, 2, 3, 4, 5]
+
+
+def test_streaming_watermark_late_accounting(tmp_path):
+    """Hand-built stream: arrival order is the hash permutation, so compute
+    it explicitly and check the late flags against a scalar replay."""
+    import numpy as np
+    import pandas as pd
+
+    ids = np.arange(8, dtype=np.int64)
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 00:05", "2024-01-01 02:00", "2024-01-01 00:10",
+            "2024-01-01 03:00", "2024-01-01 00:20", "2024-01-01 02:30",
+            "2024-01-01 00:40", "2024-01-01 03:10",
+        ]
+    ).astype("datetime64[us]")
+    ev = pd.DataFrame(
+        {"event_id": ids, "user_id": ids % 2, "event_type": ["x"] * 8, "ts": ts,
+         "value": np.ones(8)}
+    )
+    ev.to_parquet(tmp_path / "events.parquet", index=False)
+
+    from osmi_addresses_ray.pipelines.timeseries import streaming_watermark_counts
+
+    out = streaming_watermark_counts(str(tmp_path))
+
+    # scalar replay in the same arrival order
+    arrival = (ids * 2654435761) % 4294967296
+    order = np.argsort(arrival)
+    wm = None
+    late_by_window = {}
+    n_by_window = {}
+    for i in order:
+        w = ts[i].floor("h")
+        n_by_window[w] = n_by_window.get(w, 0) + 1
+        if wm is not None and ts[i] < wm - pd.Timedelta(minutes=30):
+            late_by_window[w] = late_by_window.get(w, 0) + 1
+        wm = ts[i] if wm is None else max(wm, ts[i])
+    got = out.set_index("window_start")
+    for w, n in n_by_window.items():
+        assert got.loc[w, "n_events"] == n
+        assert got.loc[w, "n_late"] == late_by_window.get(w, 0)
+    assert out["n_late"].sum() > 0  # the fixture genuinely exercises lateness

@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": textstats.tfidf_top_terms,
         "chunk_documents": textstats.chunk_documents,
         "token_counts_bpe": textstats.token_counts_bpe,
+        "training_mixture": textstats.training_mixture,
         "top_bigrams": textstats.top_bigrams,
         "stratified_sample": textstats.stratified_sample,
         "scrub_pii": textstats.scrub_pii,
@@ -828,6 +829,31 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY score DESC, token) AS rn FROM s)
             SELECT doc_id, token, tf, df, score
             FROM r WHERE rn = 1 ORDER BY doc_id
+        """,
+        # weighted deterministic mixture (docs w=2, chunks w=1): integer
+        # priority key = hash(id) // weight, smallest-n via partial top-k;
+        # operands reduced mod 2^31 so the BIGINT math never overflows
+        "training_mixture": """
+            WITH d AS (SELECT 'docs' AS source, doc_id, (-1)::BIGINT AS chunk_id,
+                              text,
+                              ((((doc_id % 2147483648) * 2654435761)
+                                % 4294967296) // 2)::BIGINT AS mix_key
+                       FROM documents),
+            t AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS toks
+                  FROM documents),
+            w AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+            c0 AS (SELECT doc_id, toks, n, unnest(range(0, n, 24)) AS start_tok
+                   FROM w),
+            c AS (SELECT 'chunk' AS source, doc_id,
+                         (start_tok // 24)::BIGINT AS chunk_id,
+                         array_to_string(toks[start_tok+1 : least(start_tok+32, n)],
+                                         ' ') AS text,
+                         ((((doc_id*1000003 + start_tok // 24) % 2147483648)
+                           * 2654435761) % 4294967296)::BIGINT AS mix_key
+                  FROM c0),
+            u AS (SELECT * FROM d UNION ALL SELECT * FROM c)
+            SELECT source, doc_id, chunk_id, text, mix_key FROM u
+            ORDER BY mix_key, source, doc_id, chunk_id LIMIT 300
         """,
         # BPE-ish pre-tokenizer counts — the SAME RE2 pattern runs in Arrow's
         # count_substring_regex and DuckDB's regexp_extract_all (doubled

@@ -506,3 +506,54 @@ def top_bigrams(sf_dir: str, k: int = 50) -> pd.DataFrame:
     out = topk(merged, "cnt", k, descending=True, tie_cols=["bigram"])
     out["cnt"] = out["cnt"].astype("int64")
     return out[["bigram", "cnt"]]
+
+
+def training_mixture(sf_dir: str, n: int = 300) -> pd.DataFrame:
+    """Weighted deterministic mixture of two corpus views (whole documents at
+    weight 2, their 32-token chunks at weight 1) into one training stream.
+
+    Mixture sampling without randomness: every candidate row gets an integer
+    priority key = hash(id) // weight (a deterministic integer analogue of
+    the exponential-rank trick — doubling the weight halves the expected
+    key, doubling the draw rate), the union streams through the partial
+    top-k (smallest keys win), and provenance rides along as a column. All
+    arithmetic is BIGINT-safe (operands reduced mod 2^31 before the
+    multiplicative hash) so the SQL oracle evaluates the identical
+    expressions.
+    """
+    from .relational import topk
+
+    import ray.data as rd_mod
+
+    docs = _read_docs(sf_dir)
+
+    def key_docs(df: pd.DataFrame) -> pd.DataFrame:
+        h = ((df["doc_id"].to_numpy(np.int64) % 2147483648) * 2654435761) % 4294967296
+        return pd.DataFrame(
+            {
+                "source": np.array(["docs"] * len(df), dtype=object),
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "chunk_id": np.full(len(df), -1, dtype=np.int64),
+                "text": df["text"].to_numpy(object),
+                "mix_key": (h // 2).astype(np.int64),
+            }
+        )
+
+    chunks = chunk_documents(sf_dir)
+    ch = ((chunks["doc_id"] * 1000003 + chunks["chunk_id"]) % 2147483648) * 2654435761 % 4294967296
+    chunk_rows = pd.DataFrame(
+        {
+            "source": np.array(["chunk"] * len(chunks), dtype=object),
+            "doc_id": chunks["doc_id"].astype("int64"),
+            "chunk_id": chunks["chunk_id"].astype("int64"),
+            "text": chunks["chunk_text"].to_numpy(object),
+            "mix_key": (ch // 1).astype("int64"),
+        }
+    )
+    stream = docs.map_batches(key_docs, batch_format="pandas").union(
+        rd_mod.from_pandas(chunk_rows)
+    )
+    out = topk(stream, "mix_key", n, descending=False, tie_cols=["source", "doc_id", "chunk_id"])
+    for c in ("doc_id", "chunk_id", "mix_key"):
+        out[c] = out[c].astype("int64")
+    return out[["source", "doc_id", "chunk_id", "text", "mix_key"]]

@@ -1,0 +1,46 @@
+"""Document-corpus ingest/export beyond parquet: JSONL and CSV.
+
+Thin, schema-normalizing wrappers over Ray Data's native readers — the
+point is the CONTRACT, not the parsing: whatever the carrier, downstream
+operators see (doc_id:int64, text:string) plus passthrough columns, so
+every textstats/dedup/similarity pipeline runs unchanged on a JSONL drop.
+Export writes sharded JSONL (one file per block — the resumable-output
+rule: never one giant file).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data as rd
+
+DOCS_FIELDS = {"doc_id": pa.int64(), "text": pa.string()}
+
+
+def _normalize(ds):
+    def f(t: pa.Table) -> pa.Table:
+        cols = {}
+        for name, typ in DOCS_FIELDS.items():
+            if name not in t.column_names:
+                raise ValueError(f"documents source missing required column {name!r}")
+            cols[name] = t[name].cast(typ)
+        for name in t.column_names:
+            if name not in cols:
+                cols[name] = t[name]
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def read_documents_jsonl(path: str):
+    """JSONL (one document object per line) → normalized docs Dataset."""
+    return _normalize(rd.read_json(path))
+
+
+def read_documents_csv(path: str):
+    """CSV with a header → normalized docs Dataset."""
+    return _normalize(rd.read_csv(path))
+
+
+def write_documents_jsonl(ds, out_dir: str) -> None:
+    """Sharded JSONL export (one file per block; resumable layout)."""
+    ds.write_json(out_dir)

@@ -428,9 +428,13 @@ def quantiles_from_histogram(
 
 
 def q_price_quantiles(sf_dir: str):
-    """Exact discrete quantiles of l_extendedprice per return flag."""
+    """Exact discrete quantiles of l_extendedprice per return flag.
+
+    Uses the binned two-pass variant: extendedprice is near-unique (qty ×
+    part price), so the value-histogram exchange would carry ~the whole
+    column (measured 18 s vs 1.4 s at sf0.1)."""
     ds = read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
-    df = grouped_quantiles(
+    df = grouped_quantiles_binned(
         ds, "l_returnflag", "l_extendedprice", [0.25, 0.50, 0.75, 0.90, 0.99]
     )
     return df.sort_values("l_returnflag").reset_index(drop=True)
@@ -827,3 +831,97 @@ def q_revenue_by_nation(sf_dir: str):
     agg["revenue"] = agg["revenue"].round(4)
     agg["n_orders"] = agg["n_orders"].astype("int64")
     return agg.sort_values("n_name").reset_index(drop=True)
+
+
+def grouped_quantiles_binned(
+    ds, key: str, col: str, quantiles: Sequence[float]
+) -> pd.DataFrame:
+    """Exact per-group quantiles for NEAR-UNIQUE value domains — the
+    refinement path ``grouped_quantiles`` documents.
+
+    The value-histogram variant degrades when distinct values ≈ rows (its
+    merge shuffle carries the whole column); this one never ships values in
+    pass 1: each batch bins by the top 20 bits of the value's total-ordered
+    IEEE representation (order-preserving, needs no min/max pre-pass), the
+    merged bin histogram tells the driver which (key, bin) holds each
+    requested quantile and the rank within it, and pass 2 re-reads ONLY
+    rows falling in those few bins to pick the exact value by rank.
+    Correctness doesn't depend on bin boundary placement — rank accounting
+    and row selection use the SAME bin function, so any order-preserving
+    assignment yields the exact order statistic.
+    """
+    import ray
+
+    def binify(v: np.ndarray) -> np.ndarray:
+        # IEEE-754 total-order trick: flipping the sign bit (positives) or
+        # all bits (negatives) makes the uint64 bit pattern monotonic in the
+        # float value, so the top 24 bits are an order-preserving binning
+        # with NO min/max pre-pass (one fewer full read). Occupied bins per
+        # exponent range: 2^12 — fine-grained for any realistic column.
+        bits = v.astype(np.float64).view(np.uint64)
+        neg = (bits >> np.uint64(63)) != 0
+        flipped = np.where(neg, ~bits, bits | np.uint64(1 << 63))
+        return (flipped >> np.uint64(44)).astype(np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t[key]
+        b = binify(t[col].to_numpy(zero_copy_only=False))
+        return (
+            pa.table({key: k, "__bin": pa.array(b, pa.int64())})
+            .group_by([key, "__bin"], use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns([key, "__bin", "cnt"])
+        )
+
+    hist = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [key, "__bin"],
+        {"cnt": ("cnt", "sum")},
+    ).to_pandas()
+    hist = hist.sort_values([key, "__bin"], kind="stable").reset_index(drop=True)
+
+    # driver: locate each quantile's (key, bin, rank-within-bin)
+    needed: dict[tuple, list[tuple[float, int]]] = {}
+    for k, g in hist.groupby(key, sort=True):
+        counts = g["cnt"].to_numpy(np.int64)
+        bins = g["__bin"].to_numpy(np.int64)
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        for p in quantiles:
+            idx = max(0, int(np.ceil(p * n)) - 1)
+            j = int(np.searchsorted(cum, idx, side="right"))
+            rank = idx - (int(cum[j - 1]) if j else 0)
+            needed.setdefault((k, int(bins[j])), []).append((p, rank))
+
+    by_key: dict = {}
+    for k, b in needed:
+        by_key.setdefault(k, []).append(b)
+    need_ref = ray.put({k: np.array(sorted(v), dtype=np.int64) for k, v in by_key.items()})
+
+    def pick(t: pa.Table) -> pa.Table:
+        ns = ray.get(need_ref)  # dict: key -> sorted needed-bin array
+        ks = t[key].to_numpy(zero_copy_only=False)
+        vs = t[col].to_numpy(zero_copy_only=False)
+        bs = binify(vs)
+        keep = np.zeros(len(ks), dtype=bool)
+        for k, bins in ns.items():  # ≤ keys iterations, vectorized inside
+            keep |= (ks == k) & np.isin(bs, bins)
+        return pa.table(
+            {
+                key: pa.array(ks[keep]),
+                "__bin": pa.array(bs[keep], pa.int64()),
+                col: pa.array(vs[keep]),
+            }
+        )
+
+    picked = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+
+    rows: dict = {}
+    for (k, b), wants in needed.items():
+        vals = np.sort(
+            picked[(picked[key] == k) & (picked["__bin"] == b)][col].to_numpy()
+        )
+        for p, rank in wants:
+            rows.setdefault(k, {key: k})[f"p{int(round(p * 100)):02d}"] = vals[rank]
+    cols = [key] + [f"p{int(round(p * 100)):02d}" for p in quantiles]
+    return pd.DataFrame(list(rows.values()))[cols]

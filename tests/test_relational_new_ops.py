@@ -130,3 +130,23 @@ def test_chunk_documents_window_spec(tmp_path):
     d2 = out[out["doc_id"] == 2]
     assert len(d2) == 1 and d2.iloc[0]["chunk_text"] == "only three tokens"
     assert (out["doc_id"] == 3).sum() == 0
+
+
+def test_grouped_quantiles_binned_exact_with_negatives():
+    """The total-order bit binning must stay order-preserving across the
+    sign boundary; result must equal the histogram variant (both exact)."""
+    rng = np.random.default_rng(9)
+    vals = np.concatenate(
+        [rng.uniform(-1e5, 1e5, 5000), np.array([0.0, -0.0, 1e-300, -1e-300])]
+    )
+    df = pd.DataFrame({"g": np.where(np.arange(len(vals)) % 2 == 0, "a", "b"), "v": vals})
+    ds = rd.from_pandas(df).repartition(4)
+    from osmi_addresses_ray.pipelines.relational import (
+        grouped_quantiles,
+        grouped_quantiles_binned,
+    )
+
+    qs = [0.1, 0.5, 0.9]
+    got = grouped_quantiles_binned(ds, "g", "v", qs).sort_values("g").reset_index(drop=True)
+    want = grouped_quantiles(ds, "g", "v", qs).sort_values("g").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)

@@ -917,12 +917,18 @@ def oracle_sql() -> dict[str, str]:
                           '[0-9]{6,}')))::BIGINT AS n_masked
             FROM documents ORDER BY doc_id
         """,
+        # cosine as an explicitly ORDERED double fold (list_reduce is
+        # sequential) — bit-identical to the engine's dim-ordered numpy fold;
+        # list_cosine_similarity's internal float32 reduction is ~1 ulp off
+        # and flips the 6th decimal on real rows
         "knn_bruteforce": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,
-                   round(list_cosine_similarity(
-                       embedding,
-                       (SELECT embedding FROM embeddings WHERE vec_id = 0)), 6) AS cosine
-            FROM embeddings
+                   round(
+                       list_reduce(list_transform(range(1, len(embedding)+1), i -> embedding[i]::DOUBLE * qe[i]::DOUBLE), (x, y) -> x + y)
+                       / sqrt(list_reduce(list_transform(range(1, len(embedding)+1), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)
+                              * list_reduce(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * qe[i]::DOUBLE), (x, y) -> x + y)), 6) AS cosine
+            FROM embeddings, q
             WHERE vec_id <> 0
             ORDER BY cosine DESC, vec_id ASC
             LIMIT 10
@@ -933,7 +939,10 @@ def oracle_sql() -> dict[str, str]:
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                        FROM embeddings WHERE vec_id IN (0,1,2,3,4,5,6,7)),
                  s AS (SELECT q.query_id, e.vec_id,
-                              round(list_cosine_similarity(e.embedding, q.qe), 6)
+                              round(
+                              list_reduce(list_transform(range(1, len(e.embedding)+1), i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE), (x, y) -> x + y)
+                              / sqrt(list_reduce(list_transform(range(1, len(e.embedding)+1), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x, y) -> x + y)
+                                     * list_reduce(list_transform(range(1, len(q.qe)+1), i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE), (x, y) -> x + y)), 6)
                                   AS cosine
                        FROM q CROSS JOIN embeddings e
                        WHERE e.vec_id <> q.query_id),

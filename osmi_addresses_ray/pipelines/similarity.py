@@ -54,6 +54,36 @@ def _batch_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return ids, mat
 
 
+
+
+def _cosine_seq64(mat: np.ndarray, qm: np.ndarray) -> np.ndarray:
+    """(n, d) × (Q, d) → (n, Q) cosine with a bit-reproducible float64 path:
+    per-element products folded SEQUENTIALLY over dimensions (vectorized
+    across rows, ordered across dims), then dot / sqrt(na*nb).
+
+    Why not a matmul: BLAS blocks its reduction, DuckDB's
+    ``list_cosine_similarity`` auto-vectorizes its own way — both are ~1 ulp
+    off a sequential fold, which crosses the round-to-6-decimals gate
+    boundary on real data (measured: 2/80 rows at sf0.01). The SQL oracle
+    computes the SAME ordered fold via ``list_reduce`` in DOUBLE, so engine
+    and oracle are bit-identical by construction rather than by luck.
+    Zero vectors yield NaN exactly like the SQL; the corpus has none.
+    """
+    n, d = mat.shape
+    q = qm.shape[0]
+    mat = mat.astype(np.float64)
+    qm = qm.astype(np.float64)
+    dot = np.zeros((n, q), np.float64)
+    na = np.zeros(n, np.float64)
+    nq = np.zeros(q, np.float64)
+    for i in range(d):
+        dot += mat[:, i : i + 1] * qm[None, :, i]
+        na += mat[:, i] * mat[:, i]
+        nq += qm[:, i] * qm[:, i]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return dot / np.sqrt(na[:, None] * nq[None, :])
+
+
 def knn_bruteforce(sf_dir: str, *, query_id: int = 0, k: int = 10) -> pd.DataFrame:
     """Exact cosine top-k neighbors of ``query_id`` (excluded from results)."""
     ds = _read_emb(sf_dir)
@@ -61,15 +91,13 @@ def knn_bruteforce(sf_dir: str, *, query_id: int = 0, k: int = 10) -> pd.DataFra
     q_df = _read_emb(sf_dir).filter(expr=f"vec_id == {query_id}").to_pandas()
     assert len(q_df), f"query vec_id {query_id} not found"
     qrow = np.asarray(q_df["embedding"].iloc[0], dtype=np.float32)
-    q_ref = ray.put(qrow.astype(np.float64))
+    q_ref = ray.put(qrow)
 
     def score(t: pa.Table) -> pa.Table:
         ids, mat = _batch_matrix(t)
-        m64 = mat.astype(np.float64)  # float64 math → parity with SQL oracle
         qv = ray.get(q_ref)
-        qn = max(np.linalg.norm(qv), 1e-30)
-        norms = np.linalg.norm(m64, axis=1)
-        sims = (m64 @ qv) / (np.maximum(norms, 1e-30) * qn)
+        # ordered float64 fold mirrors the SQL oracle bit-for-bit
+        sims = _cosine_seq64(mat, qv[None, :])[:, 0]
         order = np.argsort(-sims, kind="stable")[: k + 1]
         return pa.table(
             {
@@ -395,19 +423,15 @@ def knn_batch(
         .sort_values("vec_id")
     )
     assert len(q_df) == len(qids), "missing query vec_ids"
-    qmat = np.stack([np.asarray(e, np.float64) for e in q_df["embedding"]])
+    qmat = np.stack([np.asarray(e, np.float32) for e in q_df["embedding"]])
     q_ref = ray.put((qids, qmat))
     margin = k + 8
 
     def score(t: pa.Table) -> pa.Table:
         ids, mat = _batch_matrix(t)
         q_ids, qm = ray.get(q_ref)
-        m64 = mat.astype(np.float64)
-        # dot first, divide after — the same float path as the SQL oracle's
-        # list_cosine_similarity (normalize-then-dot rounds differently)
-        qn = np.maximum(np.linalg.norm(qm, axis=1), 1e-30)
-        norms = np.maximum(np.linalg.norm(m64, axis=1), 1e-30)
-        sims = (m64 @ qm.T) / np.outer(norms, qn)  # (n, Q)
+        # ordered float64 fold mirrors the SQL oracle bit-for-bit
+        sims = _cosine_seq64(mat, qm)  # (n, Q)
         # self-exclusion before the partial so the boundary is exact
         self_cols = np.searchsorted(q_ids, ids).clip(0, len(q_ids) - 1)
         self_mask = np.flatnonzero(q_ids[self_cols] == ids)

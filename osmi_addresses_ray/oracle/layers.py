@@ -876,5 +876,8 @@ def oracle_geohash(nwa: pd.DataFrame, precision: int = 7) -> pd.DataFrame:
             s += alphabet[v]
         out.append(s)
     res = nwa[["node_id", "ip_id", "lon", "lat"]].copy()
+    # pin the nullable string dtype: an all-null object column would be
+    # written to the oracle parquet as DOUBLE and break the schema compare
+    res["ip_id"] = res["ip_id"].astype("string")
     res["geohash"] = out
     return res.sort_values(["node_id", "ip_id", "lon", "lat"]).reset_index(drop=True)

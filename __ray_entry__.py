@@ -114,6 +114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_orders_above_cust_avg": relational.q_orders_above_cust_avg,
         "q_events_pivot": relational.q_events_pivot,
         "q_revenue_by_nation": relational.q_revenue_by_nation,
+        "q_order_percent_rank": relational.q_order_percent_rank,
+        "q_order_list_per_customer": relational.q_order_list_per_customer,
         # time-series custom operators (SQL-checked): one hash exchange on
         # user_id, vectorized per-partition sweeps (pipelines/timeseries.py)
         "asof_click_view": timeseries.asof_join_events,
@@ -663,6 +665,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM lineitem
                           WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
             ORDER BY o_orderkey
+        """,
+        # RANK-tie percent_rank; (rank-1)/(n-1) is the same IEEE division on
+        # both sides, so the doubles are bit-identical without rounding
+        "q_order_percent_rank": """
+            SELECT o_orderkey, o_custkey,
+                   percent_rank() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice) AS pct_rank
+            FROM orders ORDER BY o_orderkey
+        """,
+        # ordered string aggregation (total order -> deterministic string)
+        "q_order_list_per_customer": """
+            SELECT o_custkey,
+                   string_agg(o_orderkey::VARCHAR, ',' ORDER BY o_orderkey)
+                       AS order_keys,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_custkey ORDER BY o_custkey
         """,
         # conditional aggregation (pivot): indicator columns built in-batch,
         # pivot = plain grouped sum

@@ -925,3 +925,60 @@ def grouped_quantiles_binned(
             rows.setdefault(k, {key: k})[f"p{int(round(p * 100)):02d}"] = vals[rank]
     cols = [key] + [f"p{int(round(p * 100)):02d}" for p in quantiles]
     return pd.DataFrame(list(rows.values()))[cols]
+
+
+def q_order_percent_rank(sf_dir: str):
+    """percent_rank of each order within its customer by total price.
+
+    Window-rank shape: one custkey exchange co-locates each customer's
+    orders; ranks use RANK semantics (ties share the smallest rank — a
+    searchsorted against the partition's sorted prices, no per-row Python)
+    and pct_rank = (rank-1)/(n-1) is the same two-integer IEEE division
+    DuckDB's percent_rank evaluates, so the doubles are bit-identical.
+    """
+    from osmi_addresses_ray.ops import partitioned_map
+
+    ds = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def ranks(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"], kind="stable"
+        )
+        g = df.groupby("o_custkey", sort=False)
+        n = g["o_orderkey"].transform("size").to_numpy(np.int64)
+        # RANK with ties: 1 + count of strictly smaller prices in the group
+        rank = (
+            g["o_totalprice"].rank(method="min").to_numpy(np.float64).astype(np.int64)
+        )
+        pct = np.where(n > 1, (rank - 1) / np.maximum(n - 1, 1), 0.0)
+        out = pa.Table.from_pandas(
+            df[["o_orderkey", "o_custkey"]], preserve_index=False
+        )
+        return out.append_column("pct_rank", pa.array(pct, pa.float64()))
+
+    out = partitioned_map(ds, ["o_custkey"], num_parts=16, fn=ranks)
+    return out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q_order_list_per_customer(sf_dir: str):
+    """Ordered string aggregation: each customer's order keys joined ','
+    in ascending order (the per-group reduce is a co-located vectorized
+    sort + join — deterministic because the order is total)."""
+    from osmi_addresses_ray.ops import partitioned_map
+
+    ds = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def agg(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["o_custkey", "o_orderkey"], kind="stable")
+        joined = (
+            df.assign(s=df["o_orderkey"].astype(str))
+            .groupby("o_custkey", sort=True)["s"]
+            .agg(",".join)
+            .reset_index(name="order_keys")
+        )
+        n = df.groupby("o_custkey", sort=True).size().to_numpy(np.int64)
+        out = pa.Table.from_pandas(joined, preserve_index=False)
+        return out.append_column("n_orders", pa.array(n, pa.int64()))
+
+    out = partitioned_map(ds, ["o_custkey"], num_parts=16, fn=agg)
+    return out.to_pandas().sort_values("o_custkey").reset_index(drop=True)

@@ -715,13 +715,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1 ORDER BY user_id
         """,
         # correlated scalar subquery: aggregate once, broadcast per-key
-        # scalars, filter the fact side map-side
+        # scalars, filter the fact side map-side. price > avg is evaluated
+        # as EXACT integers (price_cents*n > sum_cents): a float mean's
+        # summation order differs between the engine's batch partials and
+        # SQL's sequential fold, flipping equal-priced groups by 1 ulp
         "q_orders_above_cust_avg": """
+            WITH c AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                              CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                                  AS cents
+                       FROM orders),
+                 s AS (SELECT o_custkey AS k, sum(cents) AS sum_cents,
+                              count(*) AS n
+                       FROM c GROUP BY o_custkey)
             SELECT o_orderkey, o_custkey, o_totalprice
-            FROM orders o JOIN (SELECT o_custkey AS k, avg(o_totalprice) AS a
-                                FROM orders GROUP BY o_custkey) s
-              ON o.o_custkey = s.k
-            WHERE o_totalprice > a ORDER BY o_orderkey
+            FROM c JOIN s ON c.o_custkey = s.k
+            WHERE c.cents * s.n > s.sum_cents ORDER BY o_orderkey
         """,
         # three-level rollup; engine derives coarse levels from the merged
         # finest-grain aggregate, SQL uses native ROLLUP
@@ -782,7 +790,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_watermark_counts": """
             WITH w AS (
                 SELECT ts,
-                       max(ts) OVER (ORDER BY (event_id * 2654435761) % 4294967296
+                       max(ts) OVER (ORDER BY ((event_id % 2147483648)
+                                               * 2654435761) % 4294967296
                                      ROWS BETWEEN UNBOUNDED PRECEDING
                                               AND 1 PRECEDING) AS wm
                 FROM events)

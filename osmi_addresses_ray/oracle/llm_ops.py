@@ -447,7 +447,7 @@ def cms_token_counts_oracle(sf_dir: str) -> pd.DataFrame:
 
     def fnv(t: str) -> int:
         h = 0xCBF29CE484222325
-        for b in t.encode():
+        for b in t.encode()[:64]:  # first-64-bytes cap, same as the engine
             h = ((h ^ b) * 0x100000001B3) & mask
         return h
 

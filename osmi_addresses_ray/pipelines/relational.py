@@ -739,28 +739,44 @@ def q_orders_above_cust_avg(sf_dir: str):
     scalar-subquery shape: aggregate once, broadcast the per-key scalars,
     filter the fact side map-side — no fact-side exchange at all).
 
-    The broadcast is bounded by |customers|; past the budget it becomes the
-    usual key-partitioned join (BROADCAST_ROWS family).
+    The comparison is EXACT-integer: price > sum/n is evaluated as
+    price_cents·n > sum_cents (cents = floor(p·100+0.5), the running_totals
+    rule), because a float mean's summation order differs between the
+    engine's batch partials and SQL's row-sequential fold — equal-priced
+    groups could flip membership by 1 ulp. The broadcast is unconditional
+    and bounded by |customers| (fits the BROADCAST_ROWS budget at every
+    testdata scale); probe misses are dropped, not mis-joined.
     """
     import ray
 
     orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    avgs = grouped_agg(
-        orders, ["o_custkey"], {"avg_price": ("o_totalprice", "mean")}
-    ).to_pandas()
-    avgs = avgs.sort_values("o_custkey")
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(t["o_totalprice"], 100.0), 0.5)), pa.int64())
+        return t.append_column("cents", cents)
+
+    with_cents = orders.map_batches(to_cents, batch_format="pyarrow").materialize()
+    sums = grouped_agg(
+        with_cents, ["o_custkey"], {"sum_cents": ("cents", "sum"), "n": (None, "count")}
+    ).to_pandas().sort_values("o_custkey")
     ref = ray.put(
-        (avgs["o_custkey"].to_numpy(np.int64), avgs["avg_price"].to_numpy(np.float64))
+        (
+            sums["o_custkey"].to_numpy(np.int64),
+            sums["sum_cents"].to_numpy(np.int64),
+            sums["n"].to_numpy(np.int64),
+        )
     )
 
     def f(t: pa.Table) -> pa.Table:
-        keys, av = ray.get(ref)
+        keys, sc, n = ray.get(ref)
         ck = t["o_custkey"].to_numpy(zero_copy_only=False)
-        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
-        a = av[np.searchsorted(keys, ck)]  # every order's customer exists
-        return t.filter(pa.array(price > a))
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(keys, ck), 0, len(keys) - 1)
+        hit = keys[pos] == ck
+        keep = hit & (cents * n[pos] > sc[pos])
+        return t.filter(pa.array(keep)).drop_columns(["cents"])
 
-    out = orders.map_batches(f, batch_format="pyarrow").to_pandas()
+    out = with_cents.map_batches(f, batch_format="pyarrow").to_pandas()
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
@@ -793,7 +809,8 @@ def q_revenue_by_nation(sf_dir: str):
     """Three-table chain (orders ⨝ customer ⨝ nation): both dimension hops
     are broadcast probes folded into ONE map stage, then the partial-agg
     groupby — the fact table crosses no exchange until it is already
-    reduced to one row per (nation × batch)."""
+    reduced to one row per (nation × batch). Probe misses are DROPPED
+    (inner-join semantics), never mis-joined to a neighboring key."""
     import ray
 
     cust = read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
@@ -813,13 +830,17 @@ def q_revenue_by_nation(sf_dir: str):
 
     def probe(t: pa.Table) -> pa.Table:
         ck, cn, nk, nm = ray.get(ref)
-        cust_pos = np.searchsorted(ck, t["o_custkey"].to_numpy(zero_copy_only=False))
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+        cust_pos = np.clip(np.searchsorted(ck, keys), 0, len(ck) - 1)
+        hit = ck[cust_pos] == keys
         nkey = cn[cust_pos]
-        name = nm[np.searchsorted(nk, nkey)]
+        npos = np.clip(np.searchsorted(nk, nkey), 0, len(nk) - 1)
+        hit &= nk[npos] == nkey
+        name = nm[npos]
         return pa.table(
             {
-                "n_name": pa.array(name, pa.string()),
-                "o_totalprice": t["o_totalprice"],
+                "n_name": pa.array(name[hit], pa.string()),
+                "o_totalprice": t["o_totalprice"].filter(pa.array(hit)),
             }
         )
 

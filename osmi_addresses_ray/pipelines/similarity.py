@@ -98,7 +98,10 @@ def knn_bruteforce(sf_dir: str, *, query_id: int = 0, k: int = 10) -> pd.DataFra
         qv = ray.get(q_ref)
         # ordered float64 fold mirrors the SQL oracle bit-for-bit
         sims = _cosine_seq64(mat, qv[None, :])[:, 0]
-        order = np.argsort(-sims, kind="stable")[: k + 1]
+        # +8 margin (same as knn_batch): rows whose UNROUNDED cosines differ
+        # by <5e-7 share a rounded value, and the final (rounded, vec_id)
+        # sort must see every candidate tied at the k-th rounded value
+        order = np.argsort(-sims, kind="stable")[: k + 9]
         return pa.table(
             {
                 "vec_id": pa.array(ids[order], pa.int64()),

@@ -153,15 +153,17 @@ def cms_query(cms: np.ndarray, hashes: np.ndarray) -> np.ndarray:
 
 
 def _token_hash64(tokens: np.ndarray) -> np.ndarray:
-    """FNV-1a over the token bytes (ASCII by construction of the token
-    regex) — a string-keyed stand-in for splitmix on ints."""
+    """FNV-1a over the FIRST 64 token bytes (ASCII by construction of the
+    token regex; the 64-byte cap is the LSH token-hash rule — it bounds the
+    n×maxlen work matrix so one pathological mega-token can't allocate
+    n × its length)."""
     out = np.full(len(tokens), 0xCBF29CE484222325, dtype=np.uint64)
     prime = np.uint64(0x100000001B3)
-    maxlen = max((len(t) for t in tokens), default=0)
+    maxlen = min(64, max((len(t) for t in tokens), default=0))
     mat = np.zeros((len(tokens), maxlen), dtype=np.uint8)
     lens = np.empty(len(tokens), dtype=np.int64)
     for i, t in enumerate(tokens):
-        bs = t.encode()
+        bs = t.encode()[:64]
         lens[i] = len(bs)
         mat[i, : len(bs)] = np.frombuffer(bs, dtype=np.uint8)
     for j in range(maxlen):

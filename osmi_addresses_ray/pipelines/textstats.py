@@ -416,32 +416,38 @@ def chunk_documents(sf_dir: str, *, size: int = 32, step: int = 24) -> pd.DataFr
     (DuckDB list slicing over regexp_extract_all).
     """
     ds = _read_docs(sf_dir)
-    tok = re.compile(_TOKEN_RE)
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        doc_ids, chunk_ids, starts, n_toks, texts = [], [], [], [], []
-        for did, t in zip(df["doc_id"].to_numpy(np.int64), df["text"]):
-            toks = tok.findall(t)
-            n = len(toks)
-            for ci, s in enumerate(range(0, n, step)):
-                piece = toks[s : s + size]
-                doc_ids.append(did)
-                chunk_ids.append(ci)
-                starts.append(s)
-                n_toks.append(len(piece))
-                texts.append(" ".join(piece))
-        return pd.DataFrame(
-            {
-                "doc_id": pd.Series(doc_ids, dtype="int64"),
-                "chunk_id": pd.Series(chunk_ids, dtype="int64"),
-                "start_tok": pd.Series(starts, dtype="int64"),
-                "n_tokens": pd.Series(n_toks, dtype="int64"),
-                "chunk_text": pd.Series(texts, dtype=object),
-            }
-        )
+        return _chunk_batch(df, size, step)
 
     out = ds.map_batches(f, batch_format="pandas").to_pandas()
     return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+def _chunk_batch(df: pd.DataFrame, size: int, step: int) -> pd.DataFrame:
+    """Per-batch chunk expansion shared by chunk_documents and the mixture
+    (so the mixture's chunk side can stream instead of collecting)."""
+    tok = re.compile(_TOKEN_RE)
+    doc_ids, chunk_ids, starts, n_toks, texts = [], [], [], [], []
+    for did, t in zip(df["doc_id"].to_numpy(np.int64), df["text"]):
+        toks = tok.findall(t)
+        n = len(toks)
+        for ci, s in enumerate(range(0, n, step)):
+            piece = toks[s : s + size]
+            doc_ids.append(did)
+            chunk_ids.append(ci)
+            starts.append(s)
+            n_toks.append(len(piece))
+            texts.append(" ".join(piece))
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(doc_ids, dtype="int64"),
+            "chunk_id": pd.Series(chunk_ids, dtype="int64"),
+            "start_tok": pd.Series(starts, dtype="int64"),
+            "n_tokens": pd.Series(n_toks, dtype="int64"),
+            "chunk_text": pd.Series(texts, dtype=object),
+        }
+    )
 
 
 # GPT-2-style pre-tokenizer, restricted to syntax RE2 and Python re share
@@ -523,8 +529,6 @@ def training_mixture(sf_dir: str, n: int = 300) -> pd.DataFrame:
     """
     from .relational import topk
 
-    import ray.data as rd_mod
-
     docs = _read_docs(sf_dir)
 
     def key_docs(df: pd.DataFrame) -> pd.DataFrame:
@@ -539,19 +543,29 @@ def training_mixture(sf_dir: str, n: int = 300) -> pd.DataFrame:
             }
         )
 
-    chunks = chunk_documents(sf_dir)
-    ch = ((chunks["doc_id"] * 1000003 + chunks["chunk_id"]) % 2147483648) * 2654435761 % 4294967296
-    chunk_rows = pd.DataFrame(
-        {
-            "source": np.array(["chunk"] * len(chunks), dtype=object),
-            "doc_id": chunks["doc_id"].astype("int64"),
-            "chunk_id": chunks["chunk_id"].astype("int64"),
-            "text": chunks["chunk_text"].to_numpy(object),
-            "mix_key": (ch // 1).astype("int64"),
-        }
-    )
+    def key_chunks(df: pd.DataFrame) -> pd.DataFrame:
+        chunks = _chunk_batch(df, 32, 24)
+        ch = (
+            (chunks["doc_id"].to_numpy(np.int64) * 1000003
+             + chunks["chunk_id"].to_numpy(np.int64))
+            % 2147483648
+        ) * 2654435761 % 4294967296
+        return pd.DataFrame(
+            {
+                "source": np.array(["chunk"] * len(chunks), dtype=object),
+                "doc_id": chunks["doc_id"].to_numpy(np.int64),
+                "chunk_id": chunks["chunk_id"].to_numpy(np.int64),
+                "text": chunks["chunk_text"].to_numpy(object),
+                "mix_key": (ch // 1).astype(np.int64),
+            }
+        )
+
+    # BOTH sides stream: the chunk expansion runs inside map_batches on a
+    # second scan of the same lazy read — only the n smallest keys ever
+    # reach the driver (the collect-then-from_pandas form OOMed by design
+    # review at corpus scale)
     stream = docs.map_batches(key_docs, batch_format="pandas").union(
-        rd_mod.from_pandas(chunk_rows)
+        _read_docs(sf_dir).map_batches(key_chunks, batch_format="pandas")
     )
     out = topk(stream, "mix_key", n, descending=False, tie_cols=["source", "doc_id", "chunk_id"])
     for c in ("doc_id", "chunk_id", "mix_key"):

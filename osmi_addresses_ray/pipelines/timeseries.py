@@ -543,7 +543,10 @@ def streaming_watermark_counts(sf_dir: str, *, lateness_min: int = 30) -> pd.Dat
 
     def pre(t: pa.Table) -> pa.Table:
         eid = t["event_id"].to_numpy(zero_copy_only=False)
-        arrival = (eid * 2654435761) % 4294967296
+        # reduce mod 2^31 BEFORE the multiply (the training_mixture guard):
+        # int64 would silently wrap past event_id ~3.5e9 while the oracle's
+        # BIGINT errors — the gate must compare, not crash
+        arrival = ((eid % 2147483648) * 2654435761) % 4294967296
         # arrival domain is [0, 2^32): 16 ordered range buckets via >> 28
         return pa.table(
             {

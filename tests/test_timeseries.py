@@ -230,7 +230,7 @@ def test_streaming_watermark_late_accounting(tmp_path):
     out = streaming_watermark_counts(str(tmp_path))
 
     # scalar replay in the same arrival order
-    arrival = (ids * 2654435761) % 4294967296
+    arrival = ((ids % 2147483648) * 2654435761) % 4294967296
     order = np.argsort(arrival)
     wm = None
     late_by_window = {}

@@ -141,3 +141,17 @@ def test_checkpoint_without_fingerprint_never_reused(ray_session, tmp_path):
     empty = rd.from_arrow(DOC_SCHEMA.empty_table())
     layers2 = build_layers(empty, num_parts=4, workdir=wd, fingerprint=None)
     assert layers2["osmi_addresses_nodes_with_addresses"].count() == 0
+
+
+def test_query_cli_list_and_run(tmp_path, capsys):
+    from osmi_addresses_ray.query_cli import main
+
+    assert main(["--list"]) == 0
+    names = capsys.readouterr().out.split()
+    assert "q_events_pivot" in names and len(names) >= 60
+    out = tmp_path / "res"
+    assert main(["q_distinct_event_types", "/root/testdata/sf0.001", "--out", str(out)]) == 0
+    import pandas as pd
+
+    df = pd.read_parquet(out / "q_distinct_event_types.parquet")
+    assert len(df) > 0

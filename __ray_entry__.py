@@ -161,6 +161,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "knn_hyperplane", similarity.knn_hyperplane, "knn_hyperplane_oracle",
             "embeddings",
         ),
+        # first-class k-means: driver-side seeded training on the fixed
+        # sample, distributed ordered-fold argmax assignment
+        "kmeans_assign": _with_oracle(
+            "kmeans_assign", similarity.kmeans_assign, "kmeans_assign_oracle",
+            "embeddings",
+        ),
         "embedding_cosine_dedup": _with_oracle(
             "embedding_cosine_dedup", similarity.embedding_cosine_dedup, "emb_dedup_oracle",
             "embeddings",
@@ -1073,6 +1079,7 @@ def _ensure_default_oracles() -> None:
         ("knn_ivf", "embeddings"),
         ("knn_hyperplane", "embeddings"),
         ("embedding_cosine_dedup", "embeddings"),
+        ("kmeans_assign", "embeddings"),
         ("dedup_clusters", "documents"),
         ("hll_distinct_users", "events"),
         ("cms_token_counts", "documents"),
@@ -1111,6 +1118,7 @@ def _naive_oracle_sql() -> dict[str, str]:
         "embedding_cosine_dedup": read_tagged_sql(
             "embedding_cosine_dedup", "vec_a, vec_b", "embeddings"
         ),
+        "kmeans_assign": read_tagged_sql("kmeans_assign", "vec_id", "embeddings"),
         "dedup_clusters": read_tagged_sql("dedup_clusters", "doc_id", "documents"),
         "hll_distinct_users": read_tagged_sql("hll_distinct_users", "col_name", "events"),
         "cms_token_counts": read_tagged_sql("cms_token_counts", "token", "documents"),

@@ -468,3 +468,25 @@ def cms_token_counts_oracle(sf_dir: str) -> pd.DataFrame:
         est = min(cms[d][idx] for d, idx in enumerate(rows(fnv(t))))
         out.append({"token": t, "est_cnt": np.int64(est), "true_cnt": np.int64(true_cnt.get(t, 0))})
     return pd.DataFrame(out, columns=["token", "est_cnt", "true_cnt"])
+
+
+def kmeans_assign_oracle(sf_dir: str) -> pd.DataFrame:
+    """Per-row scalar recomputation of the k-means assignment: same seeded
+    driver-side training spec, then a python loop argmax per vector."""
+    emb = _emb(sf_dir)
+    cent = _centroids_oracle(emb, 16, seed=42)
+    rows = []
+    for r in emb.itertuples():
+        v = np.asarray(r.embedding, np.float64)
+        sims = []
+        for c in cent:
+            dot = 0.0
+            na = 0.0
+            nb = 0.0
+            for i in range(len(v)):
+                dot += v[i] * float(c[i])
+                na += v[i] * v[i]
+                nb += float(c[i]) * float(c[i])
+            sims.append(dot / np.sqrt(na * nb))
+        rows.append({"vec_id": np.int64(r.vec_id), "cluster": np.int64(int(np.argmax(sims)))})
+    return pd.DataFrame(rows).sort_values("vec_id").reset_index(drop=True)

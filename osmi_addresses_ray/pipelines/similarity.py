@@ -564,3 +564,33 @@ def knn_hyperplane(
     parts = _read_emb(sf_dir).map_batches(score, batch_format="pyarrow").to_pandas()
     parts = parts.sort_values(["cosine", "vec_id"], ascending=[False, True], kind="stable")
     return parts.head(k).reset_index(drop=True)
+
+
+def kmeans_assign(sf_dir: str, *, n_clusters: int = 16, seed: int = 42) -> pd.DataFrame:
+    """Spherical k-means clustering as a first-class operator: every vector's
+    cluster id + size summary.
+
+    Scale split: TRAINING is driver-side over the fixed deterministic sample
+    (vec_id < 512, the IVF rule — bounded work whatever the corpus);
+    ASSIGNMENT is the distributed part, an embarrassingly-parallel argmax of
+    each row against the broadcast centroid matrix. Argmax per row is
+    order-independent, so the result is partitioning-invariant and
+    oracle-checkable; cluster ids are centroid indexes (deterministic from
+    the seeded init).
+    """
+    cent = train_centroids(sf_dir, n_clusters, seed=seed)
+    cent_ref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(t)
+        c = ray.get(cent_ref)
+        # ordered fold, not matmul: argmax near-ties must resolve the same
+        # way in the scalar oracle (the knn cosine rule)
+        sims = _cosine_seq64(mat, c)
+        cl = np.argmax(sims, axis=1).astype(np.int64)
+        return pa.table(
+            {"vec_id": pa.array(ids, pa.int64()), "cluster": pa.array(cl, pa.int64())}
+        )
+
+    out = _read_emb(sf_dir).map_batches(assign, batch_format="pyarrow").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)

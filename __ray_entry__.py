@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_pivot": relational.q_events_pivot,
         "q_revenue_by_nation": relational.q_revenue_by_nation,
         "q_order_percent_rank": relational.q_order_percent_rank,
+        "q_price_outliers": relational.q_price_outliers,
         "q_order_list_per_customer": relational.q_order_list_per_customer,
         # time-series custom operators (SQL-checked): one hash exchange on
         # user_id, vectorized per-partition sweeps (pipelines/timeseries.py)
@@ -138,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_bpe": textstats.token_counts_bpe,
         "training_mixture": textstats.training_mixture,
         "top_bigrams": textstats.top_bigrams,
+        "bigram_lift": textstats.bigram_lift,
         "stratified_sample": textstats.stratified_sample,
         "scrub_pii": textstats.scrub_pii,
         # sketch/ANN ops checked against naive pure-Python oracles written to
@@ -672,6 +674,18 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
             ORDER BY o_orderkey
         """,
+        # threshold filter composed on the binned exact quantiles; the p99
+        # cut is a real order statistic (a data value), so the compare is
+        # float-equality-safe
+        "q_price_outliers": """
+            WITH q AS (SELECT l_returnflag AS f,
+                              quantile_disc(l_extendedprice, 0.99) AS p99
+                       FROM lineitem GROUP BY l_returnflag)
+            SELECT l_orderkey, l_returnflag, l_extendedprice
+            FROM lineitem JOIN q ON l_returnflag = q.f
+            WHERE l_extendedprice > q.p99
+            ORDER BY l_orderkey, l_returnflag, l_extendedprice
+        """,
         # RANK-tie percent_rank; (rank-1)/(n-1) is the same IEEE division on
         # both sides, so the doubles are bit-identical without rounding
         "q_order_percent_rank": """
@@ -897,6 +911,33 @@ def oracle_sql() -> dict[str, str]:
                        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9'']+|\s+'))::BIGINT
                        AS n_bpe_tokens
             FROM documents ORDER BY doc_id
+        """,
+        # bigram LIFT = cnt(xy)*N / (cnt(x)*cnt(y)) — the log-free PMI
+        # analogue: integer products + ONE division are bit-identical in SQL
+        "bigram_lift": """
+            WITH toks AS (SELECT lower(unnest(regexp_extract_all(
+                              text, '[A-Za-z0-9_]+'))) AS token
+                          FROM documents),
+            u AS (SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token),
+            n AS (SELECT count(*)::BIGINT AS n FROM toks),
+            t2 AS (SELECT doc_id, list_transform(
+                       regexp_extract_all(lower(text), '[A-Za-z0-9_]+'),
+                       x -> x) AS ws
+                   FROM documents),
+            p AS (SELECT unnest(list_transform(range(1, len(ws)),
+                                               i -> ws[i] || ' ' || ws[i+1]))
+                      AS bigram
+                  FROM t2),
+            b AS (SELECT bigram, count(*)::BIGINT AS cnt FROM p
+                  GROUP BY bigram HAVING count(*) >= 5),
+            s AS (SELECT b.bigram, b.cnt,
+                         (b.cnt * n.n)::DOUBLE / (ux.cnt * uy.cnt)::DOUBLE
+                             AS lift
+                  FROM b CROSS JOIN n
+                  JOIN u ux ON ux.token = split_part(b.bigram, ' ', 1)
+                  JOIN u uy ON uy.token = split_part(b.bigram, ' ', 2))
+            SELECT bigram, cnt, lift FROM s
+            ORDER BY lift DESC, bigram LIMIT 20
         """,
         # adjacent-token pair frequencies (combiner per batch, like top_tokens)
         "top_bigrams": """

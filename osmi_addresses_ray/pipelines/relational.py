@@ -1003,3 +1003,31 @@ def q_order_list_per_customer(sf_dir: str):
 
     out = partitioned_map(ds, ["o_custkey"], num_parts=16, fn=agg)
     return out.to_pandas().sort_values("o_custkey").reset_index(drop=True)
+
+
+def q_price_outliers(sf_dir: str):
+    """Lineitems strictly above their return flag's p99 price — threshold
+    filtering composed on the binned exact quantiles: the p99 is a REAL
+    data value (an order statistic, not an interpolation), so the compare
+    is float-equality-safe on both sides."""
+    import ray
+
+    ds = read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_extendedprice"])
+    q99 = grouped_quantiles_binned(ds, "l_returnflag", "l_extendedprice", [0.99])
+    q99 = q99.sort_values("l_returnflag")
+    ref = ray.put(
+        (q99["l_returnflag"].to_numpy(object), q99["p99"].to_numpy(np.float64))
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        flags, cut = ray.get(ref)
+        fl = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(flags, fl), 0, len(flags) - 1)
+        keep = (flags[pos] == fl) & (price > cut[pos])
+        return t.filter(pa.array(keep))
+
+    out = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["l_orderkey", "l_returnflag", "l_extendedprice"]).reset_index(
+        drop=True
+    )

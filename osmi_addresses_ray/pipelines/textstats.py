@@ -571,3 +571,59 @@ def training_mixture(sf_dir: str, n: int = 300) -> pd.DataFrame:
     for c in ("doc_id", "chunk_id", "mix_key"):
         out[c] = out[c].astype("int64")
     return out[["source", "doc_id", "chunk_id", "text", "mix_key"]]
+
+
+def bigram_lift(sf_dir: str, k: int = 20, min_count: int = 5) -> pd.DataFrame:
+    """Top-k token bigrams by LIFT — count(xy)·N / (count(x)·count(y)), the
+    log-free PMI analogue (one integer product each side and ONE IEEE
+    division, so the score is bit-identical in SQL, unlike log-PMI where
+    ln() differs by 1 ulp across libms).
+
+    Composition: the bigram and unigram count passes are the existing
+    combiner shapes; the unigram table broadcasts (vocab-bounded, same
+    budget note as TF-IDF) and lift + top-k finish on counts only.
+    """
+    from .relational import grouped_agg, topk
+
+    ds = _read_docs(sf_dir)
+    tok = re.compile(_TOKEN_RE)
+
+    def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [w for t in df["text"] for w in tok.findall(t.lower())]
+        if not toks:
+            return pd.DataFrame(
+                {"token": pd.Series([], dtype=object), "cnt": pd.Series([], dtype="int64")}
+            )
+        vc = pd.Series(toks).value_counts()
+        return pd.DataFrame({"token": vc.index.to_numpy(object), "cnt": vc.to_numpy(np.int64)})
+
+    def bi_partial(df: pd.DataFrame) -> pd.DataFrame:
+        grams = []
+        for t in df["text"]:
+            ws = tok.findall(t.lower())
+            grams.extend(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+        if not grams:
+            return pd.DataFrame(
+                {"bigram": pd.Series([], dtype=object), "cnt": pd.Series([], dtype="int64")}
+            )
+        vc = pd.Series(grams).value_counts()
+        return pd.DataFrame({"bigram": vc.index.to_numpy(object), "cnt": vc.to_numpy(np.int64)})
+
+    uni = grouped_agg(
+        ds.map_batches(uni_partial, batch_format="pandas"), ["token"], {"cnt": ("cnt", "sum")}
+    ).to_pandas()
+    n_tokens = int(uni["cnt"].sum())
+    bi = grouped_agg(
+        ds.map_batches(bi_partial, batch_format="pandas"), ["bigram"], {"cnt": ("cnt", "sum")}
+    ).to_pandas()
+    bi = bi[bi["cnt"] >= min_count].copy()
+
+    counts = dict(zip(uni["token"], uni["cnt"].astype(int)))
+    parts = bi["bigram"].str.split(" ", n=1, expand=True)
+    cx = parts[0].map(counts).to_numpy(np.int64)
+    cy = parts[1].map(counts).to_numpy(np.int64)
+    cxy = bi["cnt"].to_numpy(np.int64)
+    bi["lift"] = (cxy * n_tokens).astype(np.float64) / (cx * cy).astype(np.float64)
+    bi = bi.sort_values(["lift", "bigram"], ascending=[False, True], kind="stable").head(k)
+    bi["cnt"] = bi["cnt"].astype("int64")
+    return bi[["bigram", "cnt", "lift"]].reset_index(drop=True)

@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_revenue_by_nation": relational.q_revenue_by_nation,
         "q_order_percent_rank": relational.q_order_percent_rank,
         "q_price_outliers": relational.q_price_outliers,
+        "q_distinct_users_per_type": relational.q_distinct_users_per_type,
+        "q_price_quantiles_cont": relational.q_price_quantiles_cont,
         "q_order_list_per_customer": relational.q_order_list_per_customer,
         # time-series custom operators (SQL-checked): one hash exchange on
         # user_id, vectorized per-partition sweeps (pipelines/timeseries.py)
@@ -673,6 +675,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM lineitem
                           WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
             ORDER BY o_orderkey
+        """,
+        # exact grouped COUNT(DISTINCT) — the exact counterpart of the HLL
+        # sketch query
+        "q_distinct_users_per_type": """
+            SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # interpolated quantiles; engine mirrors DuckDB's lo*(1-f)+hi*f
+        # interpolation expression exactly
+        "q_price_quantiles_cont": """
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.25) AS p25,
+                   quantile_cont(l_extendedprice, 0.50) AS p50,
+                   quantile_cont(l_extendedprice, 0.75) AS p75
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         # threshold filter composed on the binned exact quantiles; the p99
         # cut is a real order statistic (a data value), so the compare is

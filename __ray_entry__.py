@@ -194,6 +194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (stubbed decode / engine-corpus inputs)
         "media_features": _media_features_query,
         "media_resize": _media_resize_query,
+        "media_audio_features": _media_audio_query,
+        "media_frame_sample": _media_frames_query,
         "geohash_cells": _geohash_query,
         "pip_entrances_in_buildings": _pip_query,
         # geodesic length operator: engine kernel vs DuckDB recomputing the
@@ -325,6 +327,44 @@ def _geohash_query(sf_dir: str):
     )
     write_oracle(
         "geohash_cells", oracle_geohash(_fixture_oracle()["osmi_addresses_nodes_with_addresses"])
+    )
+    return df
+
+
+def _media_audio_query(sf_dir: str):
+    """REAL audio decode boundary (RIFF/WAVE PCM16 — no codec lib needed);
+    exact integer features; oracle computed from raw PCM bypassing RIFF."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.layers import oracle_audio_features
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.multimodal import audio_features
+
+    df = (
+        audio_features(fixture_docs(FIXTURE_BLOCKS))
+        .to_pandas()
+        .sort_values(["doc_id", "media_ref"])
+        .reset_index(drop=True)
+    )
+    write_oracle("media_audio_features", oracle_audio_features(fixture_table(FIXTURE_BLOCKS)))
+    return df
+
+
+def _media_frames_query(sf_dir: str):
+    """Video frame-sampling stage (every 2nd frame of the frame-stack
+    container); integer pixel summaries; container-bypassing oracle."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.layers import oracle_video_frame_sample
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.multimodal import video_frame_sample
+
+    df = (
+        video_frame_sample(fixture_docs(FIXTURE_BLOCKS))
+        .to_pandas()
+        .sort_values(["doc_id", "media_ref"])
+        .reset_index(drop=True)
+    )
+    write_oracle(
+        "media_frame_sample", oracle_video_frame_sample(fixture_table(FIXTURE_BLOCKS))
     )
     return df
 
@@ -1105,6 +1145,8 @@ def _ensure_default_oracles() -> None:
             "osmi_addresses_entrances",  # writing any layer writes its own file
             "media_features",
             "media_resize",
+            "media_audio_features",
+            "media_frame_sample",
             "geohash_cells",
             "pip_entrances_in_buildings",
             "geodesic_lengths",
@@ -1182,6 +1224,8 @@ def _naive_oracle_sql() -> dict[str, str]:
         "cms_token_counts": read_tagged_sql("cms_token_counts", "token", "documents"),
         "media_features": read_parquet_sql("media_features", "ALL"),
         "media_resize": read_parquet_sql("media_resize", "doc_id, media_ref"),
+        "media_audio_features": read_parquet_sql("media_audio_features", "doc_id, media_ref"),
+        "media_frame_sample": read_parquet_sql("media_frame_sample", "doc_id, media_ref"),
         "geohash_cells": read_parquet_sql("geohash_cells", "node_id, ip_id, lon, lat"),
         # true SQL recomputation of the great-circle kernel: haversine
         # (atan2 form) on sphere R=(2a+b)/3 over raw per-way coordinates

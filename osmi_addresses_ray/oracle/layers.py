@@ -881,3 +881,72 @@ def oracle_geohash(nwa: pd.DataFrame, precision: int = 7) -> pd.DataFrame:
     res["ip_id"] = res["ip_id"].astype("string")
     res["geohash"] = out
     return res.sort_values(["node_id", "ip_id", "lon", "lat"]).reset_index(drop=True)
+
+
+def _oracle_audio_samples(ref: str, n: int = 2048) -> np.ndarray:
+    """Independent reimplementation of the fake audio store's CONTENT spec
+    (media_codecs.synthesize_audio_samples) — stops at raw PCM; the engine
+    additionally encodes/decodes RIFF, so a WAV parser bug breaks the gate."""
+    import hashlib
+
+    d = hashlib.sha256(ref.encode()).digest()
+    seed = np.uint64(int.from_bytes(d[12:20], "little"))
+    idx = np.arange(n, dtype=np.uint64)
+    vals = ((idx * np.uint64(6364136223846793005) + seed) >> np.uint64(33)) & np.uint64(0xFFFF)
+    return (vals.astype(np.int64) - 32768).astype(np.int16)
+
+
+def _oracle_video_frames(ref: str) -> np.ndarray:
+    import hashlib
+
+    d = hashlib.sha256(ref.encode()).digest()
+    t = 4 + d[3] % 8
+    w = 8 + d[1] % 16
+    h = 8 + d[2] % 16
+    seed = np.uint64(int.from_bytes(d[20:28], "little"))
+    idx = np.arange(t * h * w * 3, dtype=np.uint64)
+    vals = ((idx * np.uint64(6364136223846793005) + seed) >> np.uint64(33)) & np.uint64(0xFF)
+    return vals.astype(np.uint8).reshape(t, h, w, 3)
+
+
+def oracle_audio_features(docs: pa.Table) -> pd.DataFrame:
+    rows = []
+    for row in docs.to_pylist():
+        for span in row["spans"]:
+            if span["kind"] != "media":
+                continue
+            s = _oracle_audio_samples(span["media_ref"])
+            rows.append(
+                {
+                    "doc_id": row["doc_id"], "media_ref": span["media_ref"],
+                    "sample_rate": np.int32(16000), "n_samples": np.int64(len(s)),
+                    "sum_sq": np.int64(sum(int(v) * int(v) for v in s)),
+                    "peak": np.int64(max(abs(int(v)) for v in s)),
+                }
+            )
+    cols = ["doc_id", "media_ref", "sample_rate", "n_samples", "sum_sq", "peak"]
+    return pd.DataFrame(rows, columns=cols).sort_values(
+        ["doc_id", "media_ref"]).reset_index(drop=True)
+
+
+def oracle_video_frame_sample(docs: pa.Table, stride: int = 2) -> pd.DataFrame:
+    rows = []
+    for row in docs.to_pylist():
+        for span in row["spans"]:
+            if span["kind"] != "media":
+                continue
+            frames = _oracle_video_frames(span["media_ref"])
+            sampled = frames[::stride]
+            px = [int(v) for v in sampled.ravel()]
+            fold = sum((k + 1) * v for k, v in enumerate(px)) % 999999937
+            rows.append(
+                {
+                    "doc_id": row["doc_id"], "media_ref": span["media_ref"],
+                    "n_frames": np.int32(frames.shape[0]),
+                    "n_sampled": np.int32(sampled.shape[0]),
+                    "px_sum": np.int64(sum(px)), "px_fold": np.int64(fold),
+                }
+            )
+    cols = ["doc_id", "media_ref", "n_frames", "n_sampled", "px_sum", "px_fold"]
+    return pd.DataFrame(rows, columns=cols).sort_values(
+        ["doc_id", "media_ref"]).reset_index(drop=True)

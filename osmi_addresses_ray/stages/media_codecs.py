@@ -189,3 +189,103 @@ def grid_features(img: np.ndarray, grid: int = 4) -> np.ndarray:
             cell = g[rb[i] : rb[i + 1], cb[j] : cb[j + 1]]
             out[i * grid + j] = np.float32(cell.mean() / 255.0 * 2.0 - 1.0)
     return out
+
+
+# --- audio (WAV / PCM16) and video (PPM frame stack) -------------------------
+#
+# These make the remaining multimodal kinds REAL in this sandbox: WAV/PCM16
+# needs no codec library (a RIFF header walk), and the "video" container is
+# an explicit frame-stack format (magic + dims + concatenated raw frames) —
+# a stand-in for a real codec with genuinely parsed structure. Compressed
+# audio/video (mp3/h264/...) remain behind NotImplementedError in the
+# decoder stage.
+
+_VID_MAGIC = b"FSTK"
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Minimal RIFF/WAVE PCM16 mono encoder."""
+    pcm = samples.astype("<i2").tobytes()
+    import struct
+
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ", 16,
+        1, 1, rate, rate * 2, 2, 16, b"data", len(pcm),
+    )
+    return hdr + pcm
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF chunk walk → (int16 samples, sample_rate). Handles extra chunks
+    between fmt and data (a real-world RIFF quirk)."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    rate = None
+    while pos + 8 <= len(data):
+        cid, size = data[pos : pos + 4], struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt_tag != 1 or channels != 1 or bits != 16:
+                raise NotImplementedError("only PCM16 mono WAV is decodable here")
+        elif cid == b"data":
+            if rate is None:
+                raise ValueError("data chunk before fmt")
+            return np.frombuffer(body, dtype="<i2"), rate
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("no data chunk")
+
+
+def synthesize_audio_samples(ref: str, n: int = 2048) -> np.ndarray:
+    """Deterministic int16 PCM for a media ref (same LCG spec family as
+    synthesize_pixels; the oracle reimplements it independently)."""
+    d = hashlib.sha256(ref.encode()).digest()
+    seed = np.uint64(int.from_bytes(d[12:20], "little"))
+    idx = np.arange(n, dtype=np.uint64)
+    vals = ((idx * _MUL + seed) >> _SHIFT) & np.uint64(0xFFFF)
+    return (vals.astype(np.int64) - 32768).astype(np.int16)
+
+
+def synthesize_audio_payload(ref: str) -> bytes:
+    return encode_wav(synthesize_audio_samples(ref))
+
+
+def encode_frame_stack(frames: np.ndarray) -> bytes:
+    """(T, H, W, 3) uint8 → explicit frame-stack container."""
+    import struct
+
+    t, h, w, _ = frames.shape
+    return _VID_MAGIC + struct.pack("<III", t, h, w) + frames.tobytes()
+
+
+def decode_frame_stack(data: bytes) -> np.ndarray:
+    import struct
+
+    if data[:4] != _VID_MAGIC:
+        raise ValueError("not a frame-stack payload")
+    t, h, w = struct.unpack("<III", data[4:16])
+    body = np.frombuffer(data[16 : 16 + t * h * w * 3], dtype=np.uint8)
+    if len(body) != t * h * w * 3:
+        raise ValueError("truncated frame stack")
+    return body.reshape(t, h, w, 3)
+
+
+def synthesize_video_frames(ref: str) -> np.ndarray:
+    """Deterministic (T, H, W, 3) frames: T in 4..11, dims in 8..23."""
+    d = hashlib.sha256(ref.encode()).digest()
+    t = 4 + d[3] % 8
+    w = 8 + d[1] % 16
+    h = 8 + d[2] % 16
+    seed = np.uint64(int.from_bytes(d[20:28], "little"))
+    idx = np.arange(t * h * w * 3, dtype=np.uint64)
+    vals = ((idx * _MUL + seed) >> _SHIFT) & np.uint64(0xFF)
+    return vals.astype(np.uint8).reshape(t, h, w, 3)
+
+
+def synthesize_video_payload(ref: str) -> bytes:
+    return encode_frame_stack(synthesize_video_frames(ref))

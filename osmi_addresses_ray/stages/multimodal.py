@@ -233,3 +233,145 @@ def media_resize(docs_ds, *, out_w: int = 16, out_h: int = 16, concurrency=(1, 4
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+MEDIA_AUDIO_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("sample_rate", pa.int32()),
+        pa.field("n_samples", pa.int64()),
+        pa.field("sum_sq", pa.int64()),
+        pa.field("peak", pa.int64()),
+    ]
+)
+
+MEDIA_FRAMES_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("n_frames", pa.int32()),
+        pa.field("n_sampled", pa.int32()),
+        pa.field("px_sum", pa.int64()),
+        pa.field("px_fold", pa.int64()),
+    ]
+)
+
+
+class AudioFeatures:
+    """Actor-pool REAL audio decode: RIFF/WAVE PCM16 parse (no codec library
+    required) → exact integer features (energy = Σs², peak = max|s| — int64
+    so the oracle compare has no float surface). Compressed codecs raise
+    NotImplementedError, same boundary contract as the image decoder."""
+
+    def __init__(self):
+        from osmi_addresses_ray.stages.media_codecs import decode_wav
+
+        self._decode = decode_wav
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = {k: [] for k in MEDIA_AUDIO_SCHEMA.names}
+        for doc_id, ref, payload in zip(
+            t["doc_id"].to_pylist(), t["media_ref"].to_pylist(), t["payload"].to_pylist()
+        ):
+            if payload[:4] != b"RIFF":
+                raise NotImplementedError(
+                    f"no codec for audio payload (magic {payload[:4]!r})"
+                )
+            samples, rate = self._decode(payload)
+            s = samples.astype(np.int64)
+            rows["doc_id"].append(doc_id)
+            rows["media_ref"].append(ref)
+            rows["sample_rate"].append(rate)
+            rows["n_samples"].append(len(s))
+            rows["sum_sq"].append(int((s * s).sum()))
+            rows["peak"].append(int(np.abs(s).max()) if len(s) else 0)
+        return pa.Table.from_arrays(
+            [pa.array(rows[f.name], f.type) for f in MEDIA_AUDIO_SCHEMA],
+            schema=MEDIA_AUDIO_SCHEMA,
+        )
+
+
+class FrameSampler:
+    """Actor-pool video frame sampling: parse the frame-stack container,
+    keep every ``stride``-th frame, emit integer summaries of the REAL
+    sampled pixels (the resize-stage contract, per frame-sampled raster)."""
+
+    def __init__(self, stride: int = 2):
+        from osmi_addresses_ray.stages.media_codecs import decode_frame_stack
+
+        self._decode = decode_frame_stack
+        self.stride = int(stride)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = {k: [] for k in MEDIA_FRAMES_SCHEMA.names}
+        for doc_id, ref, payload in zip(
+            t["doc_id"].to_pylist(), t["media_ref"].to_pylist(), t["payload"].to_pylist()
+        ):
+            frames = self._decode(payload)
+            sampled = frames[:: self.stride]
+            flat = sampled.astype(np.uint64).ravel()
+            rows["doc_id"].append(doc_id)
+            rows["media_ref"].append(ref)
+            rows["n_frames"].append(frames.shape[0])
+            rows["n_sampled"].append(sampled.shape[0])
+            rows["px_sum"].append(int(flat.sum()))
+            rows["px_fold"].append(
+                int(((np.arange(1, len(flat) + 1, dtype=np.uint64) * flat).sum()) % 999999937)
+            )
+        return pa.Table.from_arrays(
+            [pa.array(rows[f.name], f.type) for f in MEDIA_FRAMES_SCHEMA],
+            schema=MEDIA_FRAMES_SCHEMA,
+        )
+
+
+def _extract_refs_with_store(docs_ds, synthesize, kind: str):
+    """extract_media_refs with a different fake-store fetch (audio/video
+    renditions keyed by the same media_ref)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        spans = t["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        offs = np.asarray(spans.offsets)
+        parent = np.repeat(np.arange(t.num_rows), np.diff(offs))
+        is_media = pc.equal(flat.field("kind"), "media").to_numpy(zero_copy_only=False)
+        refs = flat.field("media_ref").to_numpy(zero_copy_only=False)[is_media]
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)[parent[is_media]]
+        payloads = [synthesize(r) for r in refs]
+        return pa.Table.from_arrays(
+            [
+                pa.array(doc_ids, pa.string()),
+                pa.array(refs, pa.string()),
+                pa.array(payloads, pa.binary()),
+                pa.array([kind] * len(refs), pa.string()),
+            ],
+            schema=MEDIA_SCHEMA,
+        )
+
+    return docs_ds.map_batches(f, batch_format="pyarrow")
+
+
+def audio_features(docs_ds, *, concurrency=(1, 4), batch_size: int = 64):
+    from osmi_addresses_ray.stages.media_codecs import synthesize_audio_payload
+
+    media = _extract_refs_with_store(docs_ds, synthesize_audio_payload, "audio")
+    return media.map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+    )
+
+
+def video_frame_sample(docs_ds, *, stride: int = 2, concurrency=(1, 4), batch_size: int = 64):
+    from osmi_addresses_ray.stages.media_codecs import synthesize_video_payload
+
+    media = _extract_refs_with_store(docs_ds, synthesize_video_payload, "video")
+    return media.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -149,3 +149,56 @@ def test_media_resize_pipeline_matches_oracle():
     )
     want = oracle_media_resize(fixture_table(8))
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    from osmi_addresses_ray.stages.media_codecs import (
+        decode_wav,
+        encode_wav,
+        synthesize_audio_payload,
+        synthesize_audio_samples,
+    )
+
+    s = synthesize_audio_samples("m/abc")
+    dec, rate = decode_wav(synthesize_audio_payload("m/abc"))
+    assert rate == 16000 and np.array_equal(s, dec)
+    # extra chunk between fmt and data must be skipped (RIFF word alignment)
+    raw = encode_wav(s)
+    extra = b"LIST" + (7).to_bytes(4, "little") + b"1234567"  # odd size -> pad
+    patched = raw[:36] + extra + b"\x00" + raw[36:]
+    import struct
+
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    dec2, _ = decode_wav(patched)
+    assert np.array_equal(s, dec2)
+    with pytest.raises(ValueError):
+        decode_wav(b"nope" + raw[4:])
+
+
+def test_frame_stack_roundtrip_and_sampling():
+    from osmi_addresses_ray.stages.media_codecs import (
+        decode_frame_stack,
+        synthesize_video_frames,
+        synthesize_video_payload,
+    )
+    from osmi_addresses_ray.stages.multimodal import FrameSampler
+
+    f = synthesize_video_frames("m/xyz")
+    assert np.array_equal(f, decode_frame_stack(synthesize_video_payload("m/xyz")))
+    with pytest.raises(ValueError):
+        decode_frame_stack(b"XXXX" + b"\x00" * 32)
+    s = FrameSampler(stride=3)
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "doc_id": ["d"],
+            "media_ref": ["m/xyz"],
+            "payload": [synthesize_video_payload("m/xyz")],
+            "media_kind": ["video"],
+        }
+    )
+    out = s(t).to_pandas().iloc[0]
+    assert out["n_frames"] == f.shape[0]
+    assert out["n_sampled"] == len(f[::3])
+    assert out["px_sum"] == int(f[::3].astype(np.uint64).sum())

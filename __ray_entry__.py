@@ -127,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_shipments": timeseries.range_join_shipments,
         "running_totals": timeseries.running_totals,
         "streaming_watermark_counts": timeseries.streaming_watermark_counts,
+        "q_user_set_ops": timeseries.q_user_set_ops,
+        "q_event_gaps": timeseries.q_event_gaps,
         # training-data ops over documents/embeddings
         "dedup_exact_docs": dedup.exact_dedup_docs,
         "token_counts": textstats.token_counts,
@@ -858,6 +860,27 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
             ORDER BY event_id
+        """,
+        # set algebra (INTERSECT/EXCEPT) via one-pass indicator partials
+        "q_user_set_ops": """
+            SELECT 'both' AS set_op, user_id FROM
+              (SELECT user_id FROM events WHERE event_type = 'click'
+               INTERSECT
+               SELECT user_id FROM events WHERE event_type = 'purchase')
+            UNION ALL
+            SELECT 'click_only', user_id FROM
+              (SELECT user_id FROM events WHERE event_type = 'click'
+               EXCEPT
+               SELECT user_id FROM events WHERE event_type = 'purchase')
+            ORDER BY set_op, user_id
+        """,
+        # LAG window: gap to the same user's previous event (first = NULL)
+        "q_event_gaps": """
+            SELECT event_id, user_id,
+                   (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)))::BIGINT
+                       AS gap_us
+            FROM events ORDER BY event_id
         """,
         # streaming-watermark replay: arrival = injective hash permutation of
         # event_id (insertion order is already time-sorted in testdata, which

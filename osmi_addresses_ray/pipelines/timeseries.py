@@ -612,3 +612,70 @@ def streaming_watermark_counts(sf_dir: str, *, lateness_min: int = 30) -> pd.Dat
     agg["n_events"] = agg["n_events"].astype("int64")
     agg["n_late"] = agg["n_late"].astype("int64")
     return agg.sort_values("window_start").reset_index(drop=True)
+
+
+def q_user_set_ops(sf_dir: str) -> pd.DataFrame:
+    """INTERSECT / EXCEPT as distributed set algebra: users who both click
+    and purchase, and users who click but never purchase.
+
+    One pass builds per-batch distinct (user, has_click, has_purchase)
+    indicator partials; a user-keyed groupby ORs them (max of 0/1); the
+    final classification is a vectorized expression — no second scan, no
+    driver-side sets.
+    """
+    import pyarrow.compute as pc
+
+    from osmi_addresses_ray.pipelines.relational import grouped_agg
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        click = pc.cast(pc.equal(t["event_type"], "click"), pa.int64())
+        buy = pc.cast(pc.equal(t["event_type"], "purchase"), pa.int64())
+        return (
+            pa.table({"user_id": t["user_id"], "c": click, "b": buy})
+            .group_by(["user_id"], use_threads=False)
+            .aggregate([("c", "max"), ("b", "max")])
+            .rename_columns(["user_id", "c", "b"])
+        )
+
+    flags = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"],
+        {"c": ("c", "max"), "b": ("b", "max")},
+    ).to_pandas()
+    both = flags[(flags["c"] == 1) & (flags["b"] == 1)][["user_id"]].assign(set_op="both")
+    only = flags[(flags["c"] == 1) & (flags["b"] == 0)][["user_id"]].assign(
+        set_op="click_only"
+    )
+    out = pd.concat([both, only], ignore_index=True)
+    return out[["set_op", "user_id"]].sort_values(["set_op", "user_id"]).reset_index(drop=True)
+
+
+def q_event_gaps(sf_dir: str) -> pd.DataFrame:
+    """LAG window: each event's gap (µs) to the same user's previous event
+    — one user-keyed exchange, vectorized shift per partition. First event
+    per user keeps a NULL gap, as LAG does."""
+    import pyarrow.compute as pc
+
+    from osmi_addresses_ray.ops import partitioned_map
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "ts"]
+    )
+
+    def gaps(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ts = df["ts"].astype("datetime64[us]").astype(np.int64)
+        prev = ts.shift(1)
+        first = df["user_id"] != df["user_id"].shift(1)
+        gap = (ts - prev).where(~first)
+        out = pa.Table.from_pandas(df[["event_id", "user_id"]], preserve_index=False)
+        mask = gap.isna().to_numpy()
+        vals = gap.fillna(0).to_numpy(np.int64)
+        return out.append_column("gap_us", pa.array(vals, pa.int64(), mask=mask))
+
+    out = partitioned_map(ds, ["user_id"], num_parts=16, fn=gaps)
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)

@@ -891,7 +891,8 @@ def oracle_sql() -> dict[str, str]:
             WITH w AS (
                 SELECT ts,
                        max(ts) OVER (ORDER BY ((event_id % 2147483648)
-                                               * 2654435761) % 4294967296
+                                               * 2654435761) % 4294967296,
+                                              event_id
                                      ROWS BETWEEN UNBOUNDED PRECEDING
                                               AND 1 PRECEDING) AS wm
                 FROM events)
@@ -995,8 +996,8 @@ def oracle_sql() -> dict[str, str]:
         # bigram LIFT = cnt(xy)*N / (cnt(x)*cnt(y)) — the log-free PMI
         # analogue: integer products + ONE division are bit-identical in SQL
         "bigram_lift": """
-            WITH toks AS (SELECT lower(unnest(regexp_extract_all(
-                              text, '[A-Za-z0-9_]+'))) AS token
+            WITH toks AS (SELECT unnest(regexp_extract_all(
+                              lower(text), '[A-Za-z0-9_]+')) AS token
                           FROM documents),
             u AS (SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token),
             n AS (SELECT count(*)::BIGINT AS n FROM toks),

@@ -583,7 +583,7 @@ def bigram_lift(sf_dir: str, k: int = 20, min_count: int = 5) -> pd.DataFrame:
     combiner shapes; the unigram table broadcasts (vocab-bounded, same
     budget note as TF-IDF) and lift + top-k finish on counts only.
     """
-    from .relational import grouped_agg, topk
+    from .relational import grouped_agg
 
     ds = _read_docs(sf_dir)
     tok = re.compile(_TOKEN_RE)
@@ -609,21 +609,38 @@ def bigram_lift(sf_dir: str, k: int = 20, min_count: int = 5) -> pd.DataFrame:
         vc = pd.Series(grams).value_counts()
         return pd.DataFrame({"bigram": vc.index.to_numpy(object), "cnt": vc.to_numpy(np.int64)})
 
+    import ray
+
     uni = grouped_agg(
         ds.map_batches(uni_partial, batch_format="pandas"), ["token"], {"cnt": ("cnt", "sum")}
     ).to_pandas()
     n_tokens = int(uni["cnt"].sum())
+    uni = uni.sort_values("token")
+    uni_ref = ray.put((uni["token"].to_numpy(object), uni["cnt"].to_numpy(np.int64)))
+
     bi = grouped_agg(
         ds.map_batches(bi_partial, batch_format="pandas"), ["bigram"], {"cnt": ("cnt", "sum")}
-    ).to_pandas()
-    bi = bi[bi["cnt"] >= min_count].copy()
+    )
 
-    counts = dict(zip(uni["token"], uni["cnt"].astype(int)))
-    parts = bi["bigram"].str.split(" ", n=1, expand=True)
-    cx = parts[0].map(counts).to_numpy(np.int64)
-    cy = parts[1].map(counts).to_numpy(np.int64)
-    cxy = bi["cnt"].to_numpy(np.int64)
-    bi["lift"] = (cxy * n_tokens).astype(np.float64) / (cx * cy).astype(np.float64)
-    bi = bi.sort_values(["lift", "bigram"], ascending=[False, True], kind="stable").head(k)
-    bi["cnt"] = bi["cnt"].astype("int64")
-    return bi[["bigram", "cnt", "lift"]].reset_index(drop=True)
+    def add_lift(df: pd.DataFrame) -> pd.DataFrame:
+        # lift computed map-side against the broadcast unigram table, then
+        # the streaming partial top-k merges — the driver never holds the
+        # full >=min_count bigram table (it grows with the corpus)
+        toks, cnts = ray.get(uni_ref)
+        df = df[df["cnt"] >= min_count].copy()
+        if df.empty:
+            df["lift"] = pd.Series([], dtype="float64")
+            return df
+        parts = df["bigram"].str.split(" ", n=1, expand=True)
+        cx = cnts[np.searchsorted(toks, parts[0].to_numpy(object))]
+        cy = cnts[np.searchsorted(toks, parts[1].to_numpy(object))]
+        cxy = df["cnt"].to_numpy(np.int64)
+        df["lift"] = (cxy * n_tokens).astype(np.float64) / (cx * cy).astype(np.float64)
+        return df
+
+    from .relational import topk as _topk
+
+    scored = bi.map_batches(add_lift, batch_format="pandas")
+    out = _topk(scored, "lift", k, descending=True, tie_cols=["bigram"])
+    out["cnt"] = out["cnt"].astype("int64")
+    return out[["bigram", "cnt", "lift"]].reset_index(drop=True)

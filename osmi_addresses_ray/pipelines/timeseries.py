@@ -551,13 +551,15 @@ def streaming_watermark_counts(sf_dir: str, *, lateness_min: int = 30) -> pd.Dat
         return pa.table(
             {
                 "arrival": pa.array(arrival, pa.int64()),
+                "event_id": t["event_id"],
                 "ts": t["ts"],
                 "bucket": pa.array(arrival >> 28, pa.int64()),
             }
         )
 
     schema = pa.schema(
-        [("arrival", pa.int64()), ("ts", pa.timestamp("us")), ("bucket", pa.int64())]
+        [("arrival", pa.int64()), ("event_id", pa.int64()),
+         ("ts", pa.timestamp("us")), ("bucket", pa.int64())]
     )
 
     def local_scan(t: pa.Table) -> pa.Table:
@@ -566,11 +568,14 @@ def streaming_watermark_counts(sf_dir: str, *, lateness_min: int = 30) -> pd.Dat
                 [("bucket", pa.int64()), ("arrival", pa.int64()), ("ts_us", pa.int64()),
                  ("prior_max_us", pa.int64())]
             ).empty_table()
-        eid = t["arrival"].to_numpy(zero_copy_only=False)
+        arr = t["arrival"].to_numpy(zero_copy_only=False)
+        real_eid = t["event_id"].to_numpy(zero_copy_only=False)
         ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
         bucket = t["bucket"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, bucket))
-        b, e, s = bucket[order], eid[order], ts[order]
+        # tie-break arrival collisions (ids past 2^31 alias) by event_id —
+        # the SQL window orders by (arrival, event_id) identically
+        order = np.lexsort((real_eid, arr, bucket))
+        b, e, s = bucket[order], arr[order], ts[order]
         starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
         sizes = np.diff(np.r_[starts, len(b)])
         # prior max WITHIN the bucket: segmented accumulate (a global

@@ -58,6 +58,9 @@ def main(argv=None) -> int:
 
         if isinstance(res, rd.Dataset):
             if args.out:
+                # materialize once: the write and the preview must not each
+                # re-execute the whole lazy pipeline
+                res = res.materialize()
                 res.write_parquet(args.out)
                 print(f"wrote Dataset to {args.out}", file=sys.stderr)
             res = res.limit(20).to_pandas()

@@ -58,33 +58,10 @@ def extract_media_refs(docs_ds):
 
     The payload is a deterministic stand-in fetched from the fake store
     (real PPM/BMP bytes); on a real deployment this stage is a
-    ``read_binary_files``-style fetch keyed by media_ref.
+    ``read_binary_files``-style fetch keyed by media_ref. Thin wrapper over
+    the store-parameterized extractor shared with the audio/video stages.
     """
-
-    def f(t: pa.Table) -> pa.Table:
-        spans = t["spans"]
-        if isinstance(spans, pa.ChunkedArray):
-            spans = spans.combine_chunks()
-        flat = spans.flatten()
-        offs = np.asarray(spans.offsets)
-        parent = np.repeat(np.arange(t.num_rows), np.diff(offs))
-        import pyarrow.compute as pc
-
-        is_media = pc.equal(flat.field("kind"), "media").to_numpy(zero_copy_only=False)
-        refs = flat.field("media_ref").to_numpy(zero_copy_only=False)[is_media]
-        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)[parent[is_media]]
-        payloads = [synthesize_media_payload(r) for r in refs]
-        return pa.Table.from_arrays(
-            [
-                pa.array(doc_ids, pa.string()),
-                pa.array(refs, pa.string()),
-                pa.array(payloads, pa.binary()),
-                pa.array(["image"] * len(refs), pa.string()),
-            ],
-            schema=MEDIA_SCHEMA,
-        )
-
-    return docs_ds.map_batches(f, batch_format="pyarrow")
+    return _extract_refs_with_store(docs_ds, synthesize_media_payload, "image")
 
 
 class MediaDecoder:

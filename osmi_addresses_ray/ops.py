@@ -68,6 +68,17 @@ def read_parquet_sized(path: str, *, columns=None, mb_per_block: int = 4, max_bl
     return rd.read_parquet(path, columns=columns, override_num_blocks=n)
 
 
+def to_pandas_typed(ds, schema: pa.Schema):
+    """``Dataset.to_pandas`` that survives the all-rows-filtered case: Ray
+    returns a COLUMN-LESS frame when every block is empty (empty blocks
+    carry column-less schemas), which breaks any downstream sort/select.
+    ``schema`` is the caller's contract for that case."""
+    df = ds.to_pandas()
+    if len(df.columns) == 0:
+        return schema.empty_table().to_pandas()
+    return df
+
+
 def filter_batches(ds, predicate):
     """Vectorized filter: ``predicate(table) -> pa boolean array``.
 

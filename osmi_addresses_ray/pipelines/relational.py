@@ -103,7 +103,13 @@ def grouped_agg(ds, keys: list[str], spec: dict[str, tuple[str | None, str]]):
 
 
 def topk(
-    ds, col: str, k: int, *, descending: bool = True, tie_cols: list[str] | None = None
+    ds,
+    col: str,
+    k: int,
+    *,
+    descending: bool = True,
+    tie_cols: list[str] | None = None,
+    empty_schema: pa.Schema | None = None,
 ) -> pd.DataFrame:
     """Per-block partial top-k, merged on the driver — no global sort.
 
@@ -122,6 +128,8 @@ def topk(
         return top.head(k)
 
     parts = ds.map_batches(part, batch_format="pandas").to_pandas()
+    if len(parts.columns) == 0 and empty_schema is not None:
+        parts = empty_schema.empty_table().to_pandas()
     parts = parts.sort_values(
         [col] + ties, ascending=[not descending] + [True] * len(ties), kind="stable"
     )
@@ -159,7 +167,17 @@ def q1_pricing_summary(sf_dir: str):
             "count_order": (None, "count"),
         },
     )
-    df = out.to_pandas().sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    from osmi_addresses_ray.ops import to_pandas_typed
+
+    df = to_pandas_typed(
+        out,
+        pa.schema(
+            [("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+             ("sum_qty", pa.float64()), ("sum_base_price", pa.float64()),
+             ("sum_disc_price", pa.float64()), ("avg_qty", pa.float64()),
+             ("count_order", pa.int64())]
+        ),
+    ).sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
     for c in ("sum_base_price", "sum_disc_price", "avg_qty"):
         df[c] = df[c].round(4)
     return df
@@ -172,7 +190,15 @@ def q_filter_high_value(sf_dir: str):
         lambda t: t.filter(pc.greater(t["o_totalprice"], 400000.0)),
         batch_format="pyarrow",
     )
-    df = ds.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    from osmi_addresses_ray.ops import to_pandas_typed
+
+    df = to_pandas_typed(
+        ds,
+        pa.schema(
+            [("o_orderkey", pa.int64()), ("o_totalprice", pa.float64()),
+             ("o_orderstatus", pa.string())]
+        ),
+    ).sort_values("o_orderkey").reset_index(drop=True)
     return df
 
 
@@ -776,7 +802,15 @@ def q_orders_above_cust_avg(sf_dir: str):
         keep = hit & (cents * n[pos] > sc[pos])
         return t.filter(pa.array(keep)).drop_columns(["cents"])
 
-    out = with_cents.map_batches(f, batch_format="pyarrow").to_pandas()
+    from osmi_addresses_ray.ops import to_pandas_typed
+
+    out = to_pandas_typed(
+        with_cents.map_batches(f, batch_format="pyarrow"),
+        pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+             ("o_totalprice", pa.float64())]
+        ),
+    )
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
@@ -1307,7 +1341,15 @@ def q_orders_above_cust_avg(sf_dir: str):
         keep = hit & (cents * n[pos] > sc[pos])
         return t.filter(pa.array(keep)).drop_columns(["cents"])
 
-    out = with_cents.map_batches(f, batch_format="pyarrow").to_pandas()
+    from osmi_addresses_ray.ops import to_pandas_typed
+
+    out = to_pandas_typed(
+        with_cents.map_batches(f, batch_format="pyarrow"),
+        pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+             ("o_totalprice", pa.float64())]
+        ),
+    )
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
@@ -1612,7 +1654,15 @@ def q_price_outliers(sf_dir: str):
         keep = (flags[pos] == fl) & (price > cut[pos])
         return t.filter(pa.array(keep))
 
-    out = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    from osmi_addresses_ray.ops import to_pandas_typed
+
+    out = to_pandas_typed(
+        ds.map_batches(f, batch_format="pyarrow"),
+        pa.schema(
+            [("l_orderkey", pa.int64()), ("l_returnflag", pa.string()),
+             ("l_extendedprice", pa.float64())]
+        ),
+    )
     return out.sort_values(["l_orderkey", "l_returnflag", "l_extendedprice"]).reset_index(
         drop=True
     )

@@ -237,11 +237,12 @@ def cms_token_counts(sf_dir: str, probe_tokens: list[str] | None = None) -> pd.D
         vc = pd.Series(toks).value_counts()
         return pd.DataFrame({"token": vc.index.to_numpy(object), "cnt": vc.to_numpy(np.int64)})
 
-    exact = (
-        grouped_agg(ds.map_batches(exact_partial, batch_format="pandas"), ["token"], {"cnt": ("cnt", "sum")})
-        .to_pandas()
-        .set_index("token")["cnt"]
-    )
+    exact_df = grouped_agg(
+        ds.map_batches(exact_partial, batch_format="pandas"), ["token"], {"cnt": ("cnt", "sum")}
+    ).to_pandas()
+    if len(exact_df.columns) == 0:  # no probe token occurs in the corpus
+        exact_df = pd.DataFrame({"token": pd.Series(dtype=object), "cnt": pd.Series(dtype="int64")})
+    exact = exact_df.set_index("token")["cnt"]
     true_cnt = np.array([int(exact.get(t, 0)) for t in probes], dtype=np.int64)
     out = pd.DataFrame(
         {"token": np.array(probes, dtype=object), "est_cnt": est, "true_cnt": true_cnt}

@@ -640,7 +640,14 @@ def bigram_lift(sf_dir: str, k: int = 20, min_count: int = 5) -> pd.DataFrame:
 
     from .relational import topk as _topk
 
+    import pyarrow as pa
+
     scored = bi.map_batches(add_lift, batch_format="pandas")
-    out = _topk(scored, "lift", k, descending=True, tie_cols=["bigram"])
+    out = _topk(
+        scored, "lift", k, descending=True, tie_cols=["bigram"],
+        empty_schema=pa.schema(
+            [("bigram", pa.string()), ("cnt", pa.int64()), ("lift", pa.float64())]
+        ),
+    )
     out["cnt"] = out["cnt"].astype("int64")
     return out[["bigram", "cnt", "lift"]].reset_index(drop=True)

@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_audio_features": _media_audio_query,
         "media_frame_sample": _media_frames_query,
         "geohash_cells": _geohash_query,
+        "hilbert_keys": _hilbert_query,
         "pip_entrances_in_buildings": _pip_query,
         # geodesic length operator: engine kernel vs DuckDB recomputing the
         # haversine from raw coordinates (true SQL oracle)
@@ -367,6 +368,43 @@ def _media_frames_query(sf_dir: str):
     )
     write_oracle(
         "media_frame_sample", oracle_video_frame_sample(fixture_table(FIXTURE_BLOCKS))
+    )
+    return df
+
+
+def _hilbert_query(sf_dir: str):
+    """Hilbert-curve sort key per address point (the locality-preserving
+    layout order); oracle = classic scalar xy2d loop."""
+    import pyarrow as pa
+
+    from osmi_addresses_ray.functions.geohash import hilbert_d
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.layers import oracle_hilbert
+
+    nwa = _fixture_layers()["osmi_addresses_nodes_with_addresses"]
+
+    def f(t: pa.Table) -> pa.Table:
+        d = hilbert_d(
+            t["lon"].to_numpy(zero_copy_only=False), t["lat"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "node_id": t["node_id"],
+                "ip_id": t["ip_id"],
+                "lon": t["lon"],
+                "lat": t["lat"],
+                "hilbert_d": pa.array(d, pa.int64()),
+            }
+        )
+
+    df = (
+        nwa.map_batches(f, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["node_id", "ip_id", "lon", "lat"])
+        .reset_index(drop=True)
+    )
+    write_oracle(
+        "hilbert_keys", oracle_hilbert(_fixture_oracle()["osmi_addresses_nodes_with_addresses"])
     )
     return df
 
@@ -1172,6 +1210,7 @@ def _ensure_default_oracles() -> None:
             "media_audio_features",
             "media_frame_sample",
             "geohash_cells",
+            "hilbert_keys",
             "pip_entrances_in_buildings",
             "geodesic_lengths",
             "rasterize_nwa",
@@ -1251,6 +1290,7 @@ def _naive_oracle_sql() -> dict[str, str]:
         "media_audio_features": read_parquet_sql("media_audio_features", "doc_id, media_ref"),
         "media_frame_sample": read_parquet_sql("media_frame_sample", "doc_id, media_ref"),
         "geohash_cells": read_parquet_sql("geohash_cells", "node_id, ip_id, lon, lat"),
+        "hilbert_keys": read_parquet_sql("hilbert_keys", "node_id, ip_id, lon, lat"),
         # true SQL recomputation of the great-circle kernel: haversine
         # (atan2 form) on sphere R=(2a+b)/3 over raw per-way coordinates
         "geodesic_lengths": f"""

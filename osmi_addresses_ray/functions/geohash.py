@@ -64,3 +64,39 @@ def geohash_encode(lon: np.ndarray, lat: np.ndarray, precision: int = 7) -> np.n
         shift = np.uint64(5 * (precision - 1 - g))
         chars[:, g] = _B32[((val >> shift) & np.uint64(31)).astype(np.int64)]
     return np.char.decode(chars.view(f"S{precision}").ravel(), "ascii").astype(object)
+
+
+def hilbert_d(lon: np.ndarray, lat: np.ndarray, order: int = 16) -> np.ndarray:
+    """Hilbert-curve distance of each point's 2^order × 2^order grid cell —
+    the locality-preserving 1-D sort key (consecutive keys are adjacent
+    cells, unlike the Z-ish geohash whose prefix jumps at quadrant seams),
+    which is what makes range scans over a Hilbert-sorted layout touch
+    contiguous tiles.
+
+    Grid indexes come from the same exact-integer quantization as the
+    geohash (no float boundary cases); the xy→d transform is the classic
+    iterative quadrant fold (Wikipedia's xy2d), vectorized by looping over
+    the ``order`` levels with whole-array ops.
+    """
+    nbits = order
+    lon7 = np.floor(np.abs(lon) * 1e7 + 0.5).astype(np.int64) * np.sign(lon).astype(np.int64)
+    lat7 = np.floor(np.abs(lat) * 1e7 + 0.5).astype(np.int64) * np.sign(lat).astype(np.int64)
+    x = np.clip((lon7 + _LON_SCALE // 2) * (1 << nbits) // _LON_SCALE, 0, (1 << nbits) - 1)
+    y = np.clip((lat7 + _LAT_SCALE // 2) * (1 << nbits) // _LAT_SCALE, 0, (1 << nbits) - 1)
+
+    x = x.astype(np.int64).copy()
+    y = y.astype(np.int64).copy()
+    d = np.zeros(len(x), dtype=np.int64)
+    s = 1 << (nbits - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant: the classic in-place fold
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        x_f = np.where(flip, s - 1 - x, x)
+        y_f = np.where(flip, s - 1 - y, y)
+        x, y = np.where(swap, y_f, x_f), np.where(swap, x_f, y_f)
+        s >>= 1
+    return d

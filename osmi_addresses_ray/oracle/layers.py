@@ -950,3 +950,32 @@ def oracle_video_frame_sample(docs: pa.Table, stride: int = 2) -> pd.DataFrame:
     cols = ["doc_id", "media_ref", "n_frames", "n_sampled", "px_sum", "px_fold"]
     return pd.DataFrame(rows, columns=cols).sort_values(
         ["doc_id", "media_ref"]).reset_index(drop=True)
+
+
+def oracle_hilbert(nwa: pd.DataFrame, order: int = 16) -> pd.DataFrame:
+    """Scalar Hilbert distance per point: classic xy2d loop on python ints
+    over the same exact-integer grid quantization."""
+    out = []
+    n = 1 << order
+    for lon, lat in zip(nwa["lon"], nwa["lat"]):
+        lon7 = int(math.copysign(math.floor(abs(lon) * 1e7 + 0.5), lon))
+        lat7 = int(math.copysign(math.floor(abs(lat) * 1e7 + 0.5), lat))
+        x = min(max((lon7 + 1800000000) * n // 3600000000, 0), n - 1)
+        y = min(max((lat7 + 900000000) * n // 1800000000, 0), n - 1)
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x = s - 1 - x
+                    y = s - 1 - y
+                x, y = y, x
+            s //= 2
+        out.append(d)
+    res = nwa[["node_id", "ip_id", "lon", "lat"]].copy()
+    res["ip_id"] = res["ip_id"].astype("string")
+    res["hilbert_d"] = np.array(out, dtype=np.int64)
+    return res.sort_values(["node_id", "ip_id", "lon", "lat"]).reset_index(drop=True)

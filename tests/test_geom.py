@@ -217,3 +217,33 @@ def test_geohash_engine_matches_scalar_oracle_fuzz():
     df = pd.DataFrame({"node_id": np.arange(2000), "ip_id": [""] * 2000, "lon": lon, "lat": lat})
     want = oracle_geohash(df).sort_values("node_id").reset_index(drop=True)
     assert (want["geohash"].to_numpy(object) == geohash_encode(lon, lat, 7)).all()
+
+
+def test_hilbert_vectorized_matches_scalar_and_locality():
+    from osmi_addresses_ray.functions.geohash import hilbert_d
+
+    def xy2d(n, x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    order, n = 4, 16
+    lons, lats, want = [], [], []
+    for xi in range(n):
+        for yi in range(n):
+            lons.append(-180 + (xi + 0.5) * 360 / n)
+            lats.append(-90 + (yi + 0.5) * 180 / n)
+            want.append(xy2d(n, xi, yi))
+    got = hilbert_d(np.array(lons), np.array(lats), order)
+    assert got.tolist() == want
+    # bijection over the full grid
+    assert sorted(got.tolist()) == list(range(n * n))

@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_event_gaps": timeseries.q_event_gaps,
         # training-data ops over documents/embeddings
         "dedup_exact_docs": dedup.exact_dedup_docs,
+        "dedup_incremental": dedup.dedup_incremental_docs,
         "token_counts": textstats.token_counts,
         "quality_scores": textstats.quality_scores,
         "knn_bruteforce": similarity.knn_bruteforce,
@@ -952,6 +953,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o.o_orderkey ORDER BY o.o_orderkey
         """,
         "dedup_exact_docs": """
+            SELECT min(doc_id) AS doc_id, text
+            FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        # increments through persisted state must reproduce the one-shot
+        # dedup exactly (the keep-min rule crosses increments in doc_id
+        # order — the ingest-log contract)
+        "dedup_incremental": """
             SELECT min(doc_id) AS doc_id, text
             FROM documents GROUP BY text ORDER BY doc_id
         """,

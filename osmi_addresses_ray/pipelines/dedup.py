@@ -932,3 +932,127 @@ def dedup_clusters(sf_dir: str, *, threshold: float = 0.5, num_parts: int = 8) -
     return out.sort_values("doc_id").reset_index(drop=True).astype(
         {"doc_id": "int64", "rep_id": "int64"}
     )
+
+
+# --- incremental exact dedup (stateful increments) ----------------------------
+
+def dedup_incremental_docs(sf_dir: str):
+    """Driver query: split the documents table into two doc_id-ordered
+    increments, run them through a FRESH state dir, and return the union of
+    kept docs — which must equal the one-shot dedup (its SQL oracle)."""
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray.data as rd_mod
+
+    ds = _read_docs(sf_dir)
+    cutoff = int(ds.max("doc_id")) // 2
+    with tempfile.TemporaryDirectory(prefix="graft_dedup_state_") as state:
+        inc1 = ds.map_batches(
+            lambda t, c=cutoff: t.filter(pc.less_equal(t["doc_id"], c)),
+            batch_format="pyarrow",
+        )
+        inc2 = ds.map_batches(
+            lambda t, c=cutoff: t.filter(pc.greater(t["doc_id"], c)),
+            batch_format="pyarrow",
+        )
+        kept1 = exact_dedup_incremental(inc1, state).to_pandas()
+        kept2 = exact_dedup_incremental(inc2, state).to_pandas()
+    out = pd.concat([kept1, kept2], ignore_index=True)[["doc_id", "text"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+
+def exact_dedup_incremental(docs_ds, state_dir: str, *, num_parts: int = 8):
+    """Dedup ONE INCREMENT of documents against persisted state — the shape
+    a daily-ingest pipeline actually runs: new data is deduped against
+    everything already accepted WITHOUT reprocessing the accepted corpus.
+
+    State layout: hash-partitioned parquet of accepted (h, h2, doc_id)
+    signatures (``part=<k>/`` hive dirs, partition = h % num_parts — the
+    same key the dedup exchange uses, so each increment's partition task
+    reads exactly ONE state partition). Per increment:
+      1. signature pass over the new docs (map-side, texts never move),
+      2. per-partition winners among the increment (min doc_id per (h,h2)),
+      3. anti-join those winners against the state partition's signatures,
+      4. append survivors to the state partition (atomic tmp+rename; the
+         STATE is idempotent under reruns — a replayed increment finds its
+         own signatures already present and appends nothing — though the
+         replay's return value is then empty, so callers consume an
+         increment's kept-set exactly once).
+    Returns the surviving (kept) docs of this increment as a Dataset.
+
+    Invariant (tested): running increments I1..In then concatenating kept
+    docs ≡ one-shot exact dedup over I1 ∪ ... ∪ In, PROVIDED increments are
+    processed in doc_id order (the keep-min rule crosses increments only in
+    that order — the same ordering contract a log-structured ingest has).
+    """
+    import os
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from ..ops import hash_keys, partitioned_map
+
+    os.makedirs(state_dir, exist_ok=True)
+
+    def sig(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "h": _hash64(df["text"]),
+                "h2": _hash64_b(df["text"]),
+            }
+        )
+
+    def settle(t: pa.Table) -> pa.Table:
+        """Winners among the increment, minus anything already in state."""
+        df = (
+            t.to_pandas()
+            .sort_values(["h", "h2", "doc_id"])
+            .drop_duplicates(["h", "h2"], keep="first")
+        )
+        if df.empty:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        part = int(hash_keys(pa.Table.from_pandas(df.head(1), preserve_index=False), ["h"])[0]
+                   % np.uint64(num_parts))
+        pdir = os.path.join(state_dir, f"part={part}")
+        seen = None
+        if os.path.isdir(pdir):
+            seen = pq.read_table(pdir).to_pandas()
+            merged = df.merge(seen[["h", "h2"]], on=["h", "h2"], how="left", indicator=True)
+            df = merged[merged["_merge"] == "left_only"][["doc_id", "h", "h2"]]
+        if not df.empty:
+            tmp = os.path.join(state_dir, f"_tmp_{part}_{uuid.uuid4().hex}")
+            os.makedirs(tmp, exist_ok=True)
+            new_state = df[["h", "h2", "doc_id"]]
+            if seen is not None:
+                new_state = pd.concat([seen, new_state], ignore_index=True)
+            new_state.to_parquet(os.path.join(tmp, "sigs.parquet"), index=False)
+            old = pdir + ".old"
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.isdir(pdir):
+                os.replace(pdir, old)
+            os.replace(tmp, pdir)
+            shutil.rmtree(old, ignore_errors=True)
+        return pa.Table.from_pandas(df[["doc_id"]], preserve_index=False)
+
+    winners = partitioned_map(
+        docs_ds.map_batches(sig, batch_format="pandas"), ["h"], num_parts, settle
+    ).materialize()
+    keep = np.sort(
+        winners.to_pandas()["doc_id"].to_numpy(np.int64)
+    ) if winners.count() else np.array([], np.int64)
+    import ray as _ray
+
+    keep_ref = _ray.put(keep)
+
+    def filt(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        k = _ray.get(keep_ref)
+        pos = np.clip(np.searchsorted(k, ids), 0, max(len(k) - 1, 0))
+        ok = (k[pos] == ids) if len(k) else np.zeros(len(ids), bool)
+        return t.filter(pa.array(ok))
+
+    return docs_ds.map_batches(filt, batch_format="pyarrow")

@@ -91,3 +91,31 @@ def test_knn_hyperplane_matches_oracle_and_recall():
     # sanity: the probed approximation overlaps the exact answer
     exact = set(knn_bruteforce(sf)["vec_id"])
     assert len(set(got["vec_id"]) & exact) >= 1
+
+
+def test_incremental_dedup_equals_one_shot(tmp_path):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from osmi_addresses_ray.pipelines.dedup import exact_dedup_incremental
+
+    texts = ["alpha", "beta", "alpha", "gamma", "beta", "alpha", "delta", "gamma"]
+    docs = pd.DataFrame({"doc_id": np.arange(8, dtype=np.int64), "text": texts})
+    state = tmp_path / "state"
+
+    # increments in doc_id order (the ingest-log contract)
+    inc1 = rd.from_pandas(docs[docs["doc_id"] < 4]).repartition(2)
+    inc2 = rd.from_pandas(docs[docs["doc_id"] >= 4]).repartition(2)
+    kept1 = exact_dedup_incremental(inc1, str(state)).to_pandas()
+    kept2 = exact_dedup_incremental(inc2, str(state)).to_pandas()
+    got = sorted(pd.concat([kept1, kept2])["doc_id"].tolist())
+    # one-shot: min doc_id per distinct text
+    want = sorted(docs.groupby("text")["doc_id"].min().tolist())
+    assert got == want == [0, 1, 3, 6]
+
+    # replaying increment 2: state already holds its signatures -> nothing new
+    kept2b = exact_dedup_incremental(
+        rd.from_pandas(docs[docs["doc_id"] >= 4]).repartition(2), str(state)
+    ).to_pandas()
+    assert len(kept2b) == 0

@@ -112,6 +112,48 @@ def _hash64_b(strs: pd.Series) -> np.ndarray:
     ).to_numpy()
 
 
+def _sig_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, h, h2) 128-bit signature rows — shared by the one-shot and
+    incremental dedup paths (two independent siphash keys; collision odds
+    across both ~2^-128 per pair)."""
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"].to_numpy(),
+            "h": _hash64(df["text"]),
+            "h2": _hash64_b(df["text"]),
+        }
+    )
+
+
+def _keep_ids_semi_join(ds, winners):
+    """Adaptive winner semi-join shared by both dedup paths: a small winner
+    set broadcasts as a sorted id array (one ray.put, searchsorted filter
+    per batch — no shuffle of the text payload); past the broadcast budget,
+    the distributed hash join ships each surviving text exactly once."""
+    if winners.count() <= 5_000_000:
+        import ray as _ray
+
+        wdf = winners.to_pandas()  # column-less when every winner block is empty
+        ids = (
+            np.sort(wdf["doc_id"].to_numpy())
+            if "doc_id" in wdf.columns
+            else np.array([], np.int64)
+        )
+        ref = _ray.put(ids)
+
+        def semi(t: pa.Table) -> pa.Table:
+            import ray as __ray
+
+            keep_ids = __ray.get(ref)
+            d = t["doc_id"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keep_ids, d).clip(0, max(len(keep_ids) - 1, 0))
+            mask = keep_ids[pos] == d if len(keep_ids) else np.zeros(len(d), bool)
+            return t.filter(pa.array(mask))
+
+        return ds.map_batches(semi, batch_format="pyarrow")
+    return ds.join(winners, join_type="inner", num_partitions=8, on=("doc_id",))
+
+
 def exact_dedup_docs(sf_dir: str):
     """Keep min(doc_id) per distinct text. Oracle-SQL-checkable.
 
@@ -119,15 +161,6 @@ def exact_dedup_docs(sf_dir: str):
     their original blocks until the final inner join ships each exactly once.
     """
     ds = _read_docs(sf_dir)
-
-    def sig(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"].to_numpy(),
-                "h": _hash64(df["text"]),
-                "h2": _hash64_b(df["text"]),
-            }
-        )
 
     from ..ops import partitioned_map
 
@@ -140,30 +173,9 @@ def exact_dedup_docs(sf_dir: str):
         return pa.Table.from_pandas(df[["doc_id"]], preserve_index=False)
 
     winners = partitioned_map(
-        ds.map_batches(sig, batch_format="pandas"), ["h"], 8, keep_first
+        ds.map_batches(_sig_frame, batch_format="pandas"), ["h"], 8, keep_first
     ).materialize()
-    # adaptive semi-join: a small winner set broadcasts as a sorted id array
-    # (one ray.put, searchsorted filter per batch — no shuffle of the text
-    # payload at all); past the broadcast budget, fall back to the
-    # distributed hash join (texts ship once through the exchange)
-    if winners.count() <= 5_000_000:
-        import ray as _ray
-
-        ids = np.sort(winners.to_pandas()["doc_id"].to_numpy())
-        ref = _ray.put(ids)
-
-        def semi(t: pa.Table) -> pa.Table:
-            import ray as __ray
-
-            keep_ids = __ray.get(ref)
-            d = t["doc_id"].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(keep_ids, d).clip(0, max(len(keep_ids) - 1, 0))
-            mask = keep_ids[pos] == d if len(keep_ids) else np.zeros(len(d), bool)
-            return t.filter(pa.array(mask))
-
-        out = ds.map_batches(semi, batch_format="pyarrow")
-    else:
-        out = ds.join(winners, join_type="inner", num_partitions=8, on=("doc_id",))
+    out = _keep_ids_semi_join(ds, winners)
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
@@ -968,91 +980,83 @@ def exact_dedup_incremental(docs_ds, state_dir: str, *, num_parts: int = 8):
     a daily-ingest pipeline actually runs: new data is deduped against
     everything already accepted WITHOUT reprocessing the accepted corpus.
 
-    State layout: hash-partitioned parquet of accepted (h, h2, doc_id)
-    signatures (``part=<k>/`` hive dirs, partition = h % num_parts — the
-    same key the dedup exchange uses, so each increment's partition task
-    reads exactly ONE state partition). Per increment:
-      1. signature pass over the new docs (map-side, texts never move),
-      2. per-partition winners among the increment (min doc_id per (h,h2)),
-      3. anti-join those winners against the state partition's signatures,
-      4. append survivors to the state partition (atomic tmp+rename; the
-         STATE is idempotent under reruns — a replayed increment finds its
-         own signatures already present and appends nothing — though the
-         replay's return value is then empty, so callers consume an
-         increment's kept-set exactly once).
-    Returns the surviving (kept) docs of this increment as a Dataset.
+    State layout: hash-partitioned signature parquet files under
+    ``part=<k>/`` dirs (partition = h % num_parts, the same key the dedup
+    exchange uses). ``state_dir`` must be on storage every node can read
+    (shared FS / object store at cluster scale; local disk in this sandbox).
 
-    Invariant (tested): running increments I1..In then concatenating kept
-    docs ≡ one-shot exact dedup over I1 ∪ ... ∪ In, PROVIDED increments are
-    processed in doc_id order (the keep-min rule crosses increments only in
-    that order — the same ordering contract a log-structured ingest has).
+    Retry-safe two-phase structure:
+      phase A (tasks, READ-ONLY vs state): co-locate the increment's
+        signatures per partition, keep-min within the increment, anti-join
+        the partition's persisted signatures — no writes, so Ray task
+        retries are harmless; the ``materialize()`` barrier then pins the
+        winner set exactly once.
+      phase B (driver commit): append each partition's new signatures as
+        ONE new file named by a content hash of its doc_ids — a replayed
+        commit rewrites the same bytes to the same name (idempotent), no
+        directory-swap crash window, and concurrent increments never touch
+        the same file.
+    A fully REPLAYED increment finds its own signatures persisted and
+    returns an empty kept set — the state stays correct; callers consume an
+    increment's kept-set exactly once (the ingest-log contract; increments
+    must be processed in doc_id order for the global keep-min rule).
     """
+    import hashlib
     import os
-    import shutil
-    import uuid
 
     import pyarrow.parquet as pq
 
-    from ..ops import hash_keys, partitioned_map
+    from ..ops import partitioned_map
 
     os.makedirs(state_dir, exist_ok=True)
 
-    def sig(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"].to_numpy(),
-                "h": _hash64(df["text"]),
-                "h2": _hash64_b(df["text"]),
-            }
-        )
-
-    def settle(t: pa.Table) -> pa.Table:
-        """Winners among the increment, minus anything already in state."""
+    def probe(t: pa.Table) -> pa.Table:
         df = (
             t.to_pandas()
             .sort_values(["h", "h2", "doc_id"])
             .drop_duplicates(["h", "h2"], keep="first")
         )
         if df.empty:
-            return pa.table({"doc_id": pa.array([], pa.int64())})
-        part = int(hash_keys(pa.Table.from_pandas(df.head(1), preserve_index=False), ["h"])[0]
-                   % np.uint64(num_parts))
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "h": pa.array([], pa.uint64()),
+                 "h2": pa.array([], pa.uint64())}
+            )
+        from ..ops import hash_keys
+
+        part = int(
+            hash_keys(pa.Table.from_pandas(df.head(1), preserve_index=False), ["h"])[0]
+            % np.uint64(num_parts)
+        )
         pdir = os.path.join(state_dir, f"part={part}")
-        seen = None
-        if os.path.isdir(pdir):
-            seen = pq.read_table(pdir).to_pandas()
-            merged = df.merge(seen[["h", "h2"]], on=["h", "h2"], how="left", indicator=True)
+        if os.path.isdir(pdir) and os.listdir(pdir):
+            seen = pq.read_table(pdir, columns=["h", "h2"]).to_pandas()
+            merged = df.merge(seen, on=["h", "h2"], how="left", indicator=True)
             df = merged[merged["_merge"] == "left_only"][["doc_id", "h", "h2"]]
-        if not df.empty:
-            tmp = os.path.join(state_dir, f"_tmp_{part}_{uuid.uuid4().hex}")
-            os.makedirs(tmp, exist_ok=True)
-            new_state = df[["h", "h2", "doc_id"]]
-            if seen is not None:
-                new_state = pd.concat([seen, new_state], ignore_index=True)
-            new_state.to_parquet(os.path.join(tmp, "sigs.parquet"), index=False)
-            old = pdir + ".old"
-            shutil.rmtree(old, ignore_errors=True)
-            if os.path.isdir(pdir):
-                os.replace(pdir, old)
-            os.replace(tmp, pdir)
-            shutil.rmtree(old, ignore_errors=True)
-        return pa.Table.from_pandas(df[["doc_id"]], preserve_index=False)
+        return pa.Table.from_pandas(df[["doc_id", "h", "h2"]], preserve_index=False)
 
     winners = partitioned_map(
-        docs_ds.map_batches(sig, batch_format="pandas"), ["h"], num_parts, settle
+        docs_ds.map_batches(_sig_frame, batch_format="pandas"), ["h"], num_parts, probe
     ).materialize()
-    keep = np.sort(
-        winners.to_pandas()["doc_id"].to_numpy(np.int64)
-    ) if winners.count() else np.array([], np.int64)
-    import ray as _ray
 
-    keep_ref = _ray.put(keep)
+    # phase B: commit new signatures. Signature rows are tiny (24 B/doc);
+    # at >5M winners per increment, shard this loop over ray tasks keyed by
+    # partition — the file-per-commit naming already supports it.
+    wdf = winners.to_pandas()
+    if len(wdf):
+        from ..ops import hash_keys as _hk
 
-    def filt(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        k = _ray.get(keep_ref)
-        pos = np.clip(np.searchsorted(k, ids), 0, max(len(k) - 1, 0))
-        ok = (k[pos] == ids) if len(k) else np.zeros(len(ids), bool)
-        return t.filter(pa.array(ok))
+        part_of = (
+            _hk(pa.Table.from_pandas(wdf, preserve_index=False), ["h"])
+            % np.uint64(num_parts)
+        ).astype(np.int64)
+        for part in np.unique(part_of):
+            g = wdf[part_of == part].sort_values("doc_id")
+            pdir = os.path.join(state_dir, f"part={int(part)}")
+            os.makedirs(pdir, exist_ok=True)
+            tag = hashlib.sha256(g["doc_id"].to_numpy(np.int64).tobytes()).hexdigest()[:16]
+            final = os.path.join(pdir, f"sigs-{tag}.parquet")
+            tmp = final + ".tmp"
+            g[["h", "h2", "doc_id"]].to_parquet(tmp, index=False)
+            os.replace(tmp, final)  # single-file atomic rename, idempotent
 
-    return docs_ds.map_batches(filt, batch_format="pyarrow")
+    return _keep_ids_semi_join(docs_ds, winners)

@@ -128,8 +128,14 @@ def topk(
         return top.head(k)
 
     parts = ds.map_batches(part, batch_format="pandas").to_pandas()
-    if len(parts.columns) == 0 and empty_schema is not None:
-        parts = empty_schema.empty_table().to_pandas()
+    if len(parts.columns) == 0:
+        # all-rows-filtered input: Ray's to_pandas loses columns. Callers
+        # with a full schema contract pass empty_schema; otherwise at least
+        # the sort columns must exist so EVERY call site survives empty
+        if empty_schema is not None:
+            parts = empty_schema.empty_table().to_pandas()
+        else:
+            parts = pd.DataFrame({c: pd.Series(dtype=object) for c in [col] + ties})
     parts = parts.sort_values(
         [col] + ties, ascending=[not descending] + [True] * len(ties), kind="stable"
     )
@@ -951,13 +957,13 @@ def grouped_quantiles_binned(
     The value-histogram variant degrades when distinct values ≈ rows (its
     merge shuffle carries the whole column); this one never ships values in
     pass 1: each batch bins by the top 20 bits of the value's total-ordered
-    IEEE representation (order-preserving, needs no min/max pre-pass), the
-    merged bin histogram tells the driver which (key, bin) holds each
-    requested quantile and the rank within it, and pass 2 re-reads ONLY
-    rows falling in those few bins to pick the exact value by rank.
-    Correctness doesn't depend on bin boundary placement — rank accounting
-    and row selection use the SAME bin function, so any order-preserving
-    assignment yields the exact order statistic.
+    IEEE representation (order-preserving, needs no min/max pre-pass — see
+    ``_total_order_bins``), the merged bin histogram tells the driver which
+    (key, bin) holds each requested quantile and the rank within it, and
+    pass 2 re-reads ONLY rows falling in those few bins to pick the exact
+    value by rank. Correctness doesn't depend on bin boundary placement —
+    rank accounting and row selection use the SAME bin function, so any
+    order-preserving assignment yields the exact order statistic.
     """
     hist = _binned_histogram(ds, key, col)
 
@@ -980,589 +986,6 @@ def grouped_quantiles_binned(
     picked = _pick_bin_values(
         ds, key, col, {k: np.array(sorted(v), dtype=np.int64) for k, v in by_key.items()}
     )
-
-    rows: dict = {}
-    for (k, b), wants in needed.items():
-        vals = np.sort(
-            picked[(picked[key] == k) & (picked["__bin"] == b)][col].to_numpy()
-        )
-        for p, rank in wants:
-            rows.setdefault(k, {key: k})[f"p{int(round(p * 100)):02d}"] = vals[rank]
-    cols = [key] + [f"p{int(round(p * 100)):02d}" for p in quantiles]
-    return pd.DataFrame(list(rows.values()))[cols]
-
-
-def q_price_quantiles(sf_dir: str):
-    """Exact discrete quantiles of l_extendedprice per return flag.
-
-    Uses the binned two-pass variant: extendedprice is near-unique (qty ×
-    part price), so the value-histogram exchange would carry ~the whole
-    column (measured 18 s vs 1.4 s at sf0.1)."""
-    ds = read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
-    df = grouped_quantiles_binned(
-        ds, "l_returnflag", "l_extendedprice", [0.25, 0.50, 0.75, 0.90, 0.99]
-    )
-    return df.sort_values("l_returnflag").reset_index(drop=True)
-
-
-def grouped_topk(
-    ds,
-    key: str,
-    col: str,
-    k: int,
-    *,
-    tie_col: str,
-    extra_cols: Sequence[str] = (),
-) -> pd.DataFrame:
-    """Per-group top-k (``col`` desc, ``tie_col`` asc) without a global sort.
-
-    Two-level reduction: every batch first collapses to at most k rows per
-    key it contains (vectorized pandas sort + groupby-cumcount — no Python
-    per-group loop), so the hash exchange moves ≤ k rows per (key × batch);
-    the partitioned finalize then re-applies the same reduction per key with
-    all of a key's survivors co-located. Adding a ``rank`` column makes the
-    output self-describing (and matches ROW_NUMBER() in the oracle).
-    """
-    cols = [key, col, tie_col, *extra_cols]
-
-    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([key, col, tie_col], ascending=[True, False, True], kind="stable")
-        keep = df.groupby(key, sort=False).cumcount() < k
-        return df[keep.to_numpy()]
-
-    partial = ds.select_columns(cols).map_batches(_reduce, batch_format="pandas")
-
-    def _finalize(t: pa.Table) -> pa.Table:
-        df = _reduce(t.to_pandas())
-        rank = df.groupby(key, sort=False).cumcount().to_numpy() + 1
-        out = pa.Table.from_pandas(df, preserve_index=False)
-        return out.append_column("rank", pa.array(rank, pa.int64()))
-
-    from osmi_addresses_ray.ops import partitioned_map
-
-    final = partitioned_map(partial, [key], num_parts=16, fn=_finalize)
-    return final.to_pandas().sort_values([key, "rank"], kind="stable").reset_index(drop=True)
-
-
-def q_top_orders_per_customer(sf_dir: str):
-    """Grouped top-3 orders per customer by total price (window-function
-    shape rebuilt as two-level partial top-k + hash exchange)."""
-    ds = read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
-    return grouped_topk(ds, "o_custkey", "o_totalprice", 3, tie_col="o_orderkey")
-
-
-# --- bloom-filter semi-join ---------------------------------------------------
-
-_BLOOM_BITS = 1 << 20  # 128 KiB per filter; ~0.01% FP at 10k keys, k=4
-_BLOOM_K = 4
-
-
-def _bloom_hashes(keys: np.ndarray, num_bits: int = _BLOOM_BITS):
-    """Double hashing: k bit indexes per key from one splitmix64 pass.
-
-    idx_i = (h1 + i*h2) mod m — the standard Kirsch-Mitzenmacher scheme, so
-    the per-key cost is one 64-bit mix regardless of k.
-    """
-    x = keys.astype(np.uint64)
-    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-    z = x
-    z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(
-        0xFFFFFFFFFFFFFFFF
-    )
-    z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(
-        0xFFFFFFFFFFFFFFFF
-    )
-    z = z ^ (z >> np.uint64(31))
-    h1 = z & np.uint64(0xFFFFFFFF)
-    h2 = (z >> np.uint64(32)) | np.uint64(1)  # odd → full-period stride
-    m = np.uint64(num_bits)
-    return [((h1 + np.uint64(i) * h2) % m).astype(np.int64) for i in range(_BLOOM_K)]
-
-
-def _bloom_member(bits: np.ndarray, keys: np.ndarray, num_bits: int = _BLOOM_BITS) -> np.ndarray:
-    ok = np.ones(len(keys), dtype=bool)
-    for idx in _bloom_hashes(keys, num_bits):
-        ok &= (bits[idx >> 6] >> (idx & 63).astype(np.uint64)) & np.uint64(1) != 0
-    return ok
-
-
-def _sorted_member(have: np.ndarray, keys: np.ndarray) -> np.ndarray:
-    """Vectorized membership of ``keys`` in the sorted unique array ``have``."""
-    if len(have) == 0:
-        return np.zeros(len(keys), dtype=bool)
-    pos = np.searchsorted(have, keys)
-    pos[pos >= len(have)] = 0
-    return have[pos] == keys
-
-
-def bloom_semi_join(
-    probe,
-    probe_key: str,
-    build,
-    build_key: str,
-    *,
-    num_parts: int = 16,
-    num_bits: int = _BLOOM_BITS,
-):
-    """EXACT distributed semi-join with a bloom pre-filter on the probe side.
-
-    The build side collapses to per-batch 128 KiB bitsets (map_batches), a
-    second 64-way map level ORs them, and the driver ORs the ≤ n_blocks/64
-    survivors — a two-level tree reduce, so at 10⁶ blocks the driver sees
-    ~16k blobs, not the key stream. The merged filter ships once via
-    ``ray.put``; every probe batch drops non-members BEFORE the hash
-    exchange (the bloom's only job is shrinking the all-to-all — at a 1%
-    build selectivity it cuts the shuffled probe bytes ~99%). Correctness
-    never rests on the bloom: survivors are verified by an exact co-grouped
-    ``isin`` against the true build keys, so false positives only cost
-    bandwidth. Reference analogy: the written-ways membership gate
-    (dedup_first) — here generalized to two-sided semi-join shape.
-    """
-    import ray
-
-    from osmi_addresses_ray.ops import direct_cogroup
-
-    words = num_bits >> 6
-
-    def partial(t: pa.Table) -> pa.Table:
-        bits = np.zeros(words, dtype=np.uint64)
-        keys = t[build_key].to_numpy(zero_copy_only=False)
-        for idx in _bloom_hashes(keys, num_bits):
-            np.bitwise_or.at(bits, idx >> 6, np.uint64(1) << (idx & 63).astype(np.uint64))
-        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
-
-    def or_level(t: pa.Table) -> pa.Table:
-        acc = np.zeros(words, dtype=np.uint64)
-        for blob in t["bits"]:
-            acc |= np.frombuffer(blob.as_py(), dtype=np.uint64)
-        return pa.table({"bits": pa.array([acc.tobytes()], pa.binary())})
-
-    build_keys = build.select_columns([build_key]).materialize()
-    blobs = (
-        build_keys.map_batches(partial, batch_format="pyarrow")
-        .map_batches(or_level, batch_format="pyarrow", batch_size=64)
-        .take_all()
-    )
-    bits = np.zeros(words, dtype=np.uint64)
-    for row in blobs:
-        bits |= np.frombuffer(row["bits"], dtype=np.uint64)
-    bits_ref = ray.put(bits)
-
-    def prefilter(t: pa.Table) -> pa.Table:
-        b = ray.get(bits_ref)
-        keys = t[probe_key].to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(_bloom_member(b, keys, num_bits)))
-
-    survivors = probe.map_batches(prefilter, batch_format="pyarrow").materialize()
-    out_schema = pa.schema([survivors.schema().base_schema.field(n) for n in probe.schema().names])
-
-    def verify(p: pa.Table, bkeys: pa.Table) -> pa.Table:
-        if p.num_rows == 0:
-            return out_schema.empty_table()
-        have = np.unique(bkeys[build_key].to_numpy(zero_copy_only=False))
-        keys = p[probe_key].to_numpy(zero_copy_only=False)
-        return p.filter(pa.array(_sorted_member(have, keys)))
-
-    return direct_cogroup(
-        [survivors, build_keys],
-        [[probe_key], [build_key]],
-        num_parts,
-        verify,
-        [out_schema, pa.schema([(build_key, pa.int64())])],
-    )
-
-
-def q_bloom_semijoin(sf_dir: str):
-    """Orders having at least one near-max-quantity lineitem (l_quantity ≥ 49),
-    via the bloom-prefiltered exact semi-join."""
-    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
-    items = read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
-    items = items.filter(expr="l_quantity >= 49")
-    out = bloom_semi_join(orders, "o_orderkey", items.select_columns(["l_orderkey"]), "l_orderkey")
-    return out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
-
-
-def anti_join(probe, probe_key: str, build, build_key: str, *, num_parts: int = 16):
-    """Distributed anti-join: probe rows whose key has NO match in build.
-
-    One hash exchange co-locates each key's probe rows with the build keys
-    that share its hash partition; the per-partition reject is a vectorized
-    sorted-membership test. Unlike the semi-join, a bloom CANNOT pre-filter
-    here — a false positive would drop a true result — so the exchange
-    moves the full probe side (shrunk only by column pruning at the read).
-    """
-    from osmi_addresses_ray.ops import direct_cogroup
-
-    # normalize to Arrow blocks first: from_pandas-born datasets report a
-    # PandasBlockSchema whose fields can't seed the typed empties the
-    # exchange needs for partitions with no probe rows
-    probe = probe.map_batches(lambda t: t, batch_format="pyarrow").materialize()
-    build_keys = build.select_columns([build_key]).materialize()
-    out_schema = pa.schema(
-        [probe.schema().base_schema.field(n) for n in probe.schema().names]
-    )
-
-    def reject(p: pa.Table, bkeys: pa.Table) -> pa.Table:
-        if p.num_rows == 0:
-            return out_schema.empty_table()
-        have = np.unique(bkeys[build_key].to_numpy(zero_copy_only=False))
-        keys = p[probe_key].to_numpy(zero_copy_only=False)
-        return p.filter(pa.array(~_sorted_member(have, keys)))
-
-    return direct_cogroup(
-        [probe, build_keys],
-        [[probe_key], [build_key]],
-        num_parts,
-        reject,
-        [out_schema, pa.schema([(build_key, pa.int64())])],
-    )
-
-
-def q_anti_join_orders(sf_dir: str):
-    """Orders with NO near-max-quantity lineitem — the exact complement of
-    q_bloom_semijoin, so together they partition the orders table."""
-    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
-    items = read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
-    items = items.filter(expr="l_quantity >= 49")
-    out = anti_join(orders, "o_orderkey", items.select_columns(["l_orderkey"]), "l_orderkey")
-    # anti_join types every partition with out_schema, so even an empty
-    # result carries the right columns
-    return out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
-
-
-def q_events_rollup(sf_dir: str):
-    """ROLLUP(event_type, hour): three aggregation levels from ONE corpus
-    pass — the coarser levels re-aggregate the merged finest-grain result
-    (already small: |types| × |hours| rows on the driver), never the input.
-    NULL marks the rolled-up dimension, as in SQL ROLLUP.
-    """
-    ds = read(sf_dir, "events", columns=["event_type", "ts", "value"])
-
-    def add_window(t: pa.Table) -> pa.Table:
-        return t.append_column("window_start", pc.floor_temporal(t["ts"], unit="hour"))
-
-    hourly = grouped_agg(
-        ds.map_batches(add_window, batch_format="pyarrow"),
-        ["event_type", "window_start"],
-        {"n_events": (None, "count"), "sum_value": ("value", "sum")},
-    ).to_pandas()
-
-    lvl1 = (
-        hourly.groupby("event_type", as_index=False)
-        .agg(n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
-        .assign(window_start=pd.NaT)
-    )
-    lvl0 = pd.DataFrame(
-        {
-            "event_type": [None],
-            "window_start": [pd.NaT],
-            "n_events": [hourly["n_events"].sum()],
-            "sum_value": [hourly["sum_value"].sum()],
-        }
-    )
-    out = pd.concat(
-        [hourly, lvl1[hourly.columns], lvl0[hourly.columns]], ignore_index=True
-    )
-    # pin the dtype: pandas' all-NA-column concat inference is deprecated and
-    # an upgrade could silently flip the rolled-up NaT column to object
-    out["window_start"] = out["window_start"].astype("datetime64[us]")
-    out["sum_value"] = out["sum_value"].round(4)
-    out["n_events"] = out["n_events"].astype("int64")
-    return out.sort_values(
-        ["event_type", "window_start"], na_position="last", kind="stable"
-    ).reset_index(drop=True)
-
-
-def q_user_top_event_type(sf_dir: str):
-    """Per-user modal event type (grouped argmax).
-
-    Combiner shape: per-batch (user, type) counts → one small groupby-sum →
-    a user-keyed exchange for the argmax (the merged table is |users|×|types|
-    rows — tiny relative to events, but a user's rows can still straddle
-    block boundaries, so the argmax needs the co-location, not the driver).
-    Ties on count break by event_type ascending in engine and SQL.
-    """
-    from osmi_addresses_ray.ops import partitioned_map
-
-    ds = read(sf_dir, "events", columns=["user_id", "event_type"])
-    counts = grouped_agg(ds, ["user_id", "event_type"], {"cnt": (None, "count")})
-
-    def pick(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().sort_values(
-            ["user_id", "cnt", "event_type"], ascending=[True, False, True], kind="stable"
-        )
-        df = df.drop_duplicates("user_id")
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    out = partitioned_map(counts, ["user_id"], num_parts=16, fn=pick).to_pandas()
-    out["cnt"] = out["cnt"].astype("int64")
-    return out.sort_values("user_id").reset_index(drop=True)
-
-
-def q_orders_above_cust_avg(sf_dir: str):
-    """Orders strictly above their own customer's average price (correlated
-    scalar-subquery shape: aggregate once, broadcast the per-key scalars,
-    filter the fact side map-side — no fact-side exchange at all).
-
-    The comparison is EXACT-integer: price > sum/n is evaluated as
-    price_cents·n > sum_cents (cents = floor(p·100+0.5), the running_totals
-    rule), because a float mean's summation order differs between the
-    engine's batch partials and SQL's row-sequential fold — equal-priced
-    groups could flip membership by 1 ulp. The broadcast is unconditional
-    and bounded by |customers| (fits the BROADCAST_ROWS budget at every
-    testdata scale); probe misses are dropped, not mis-joined.
-    """
-    import ray
-
-    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
-
-    def to_cents(t: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.floor(pc.add(pc.multiply(t["o_totalprice"], 100.0), 0.5)), pa.int64())
-        return t.append_column("cents", cents)
-
-    with_cents = orders.map_batches(to_cents, batch_format="pyarrow").materialize()
-    sums = grouped_agg(
-        with_cents, ["o_custkey"], {"sum_cents": ("cents", "sum"), "n": (None, "count")}
-    ).to_pandas().sort_values("o_custkey")
-    ref = ray.put(
-        (
-            sums["o_custkey"].to_numpy(np.int64),
-            sums["sum_cents"].to_numpy(np.int64),
-            sums["n"].to_numpy(np.int64),
-        )
-    )
-
-    def f(t: pa.Table) -> pa.Table:
-        keys, sc, n = ray.get(ref)
-        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
-        cents = t["cents"].to_numpy(zero_copy_only=False)
-        pos = np.clip(np.searchsorted(keys, ck), 0, len(keys) - 1)
-        hit = keys[pos] == ck
-        keep = hit & (cents * n[pos] > sc[pos])
-        return t.filter(pa.array(keep)).drop_columns(["cents"])
-
-    from osmi_addresses_ray.ops import to_pandas_typed
-
-    out = to_pandas_typed(
-        with_cents.map_batches(f, batch_format="pyarrow"),
-        pa.schema(
-            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
-             ("o_totalprice", pa.float64())]
-        ),
-    )
-    return out.sort_values("o_orderkey").reset_index(drop=True)
-
-
-def q_events_pivot(sf_dir: str):
-    """Hourly counts pivoted to one column per event type (conditional
-    aggregation): the indicator columns are built vectorized inside the
-    batch, so the pivot is just a grouped sum — no per-type scans and no
-    post-aggregation reshape exchange. Type set is the table's enum
-    (click/view/purchase in testdata)."""
-    ds = read(sf_dir, "events", columns=["event_type", "ts"])
-    types = ["click", "purchase", "view"]
-
-    def prep(t: pa.Table) -> pa.Table:
-        cols = {"window_start": pc.floor_temporal(t["ts"], unit="hour")}
-        for ty in types:
-            cols[f"n_{ty}"] = pc.cast(pc.equal(t["event_type"], ty), pa.int64())
-        return pa.table(cols)
-
-    out = grouped_agg(
-        ds.map_batches(prep, batch_format="pyarrow"),
-        ["window_start"],
-        {f"n_{ty}": (f"n_{ty}", "sum") for ty in types},
-    ).to_pandas()
-    for ty in types:
-        out[f"n_{ty}"] = out[f"n_{ty}"].astype("int64")
-    return out.sort_values("window_start").reset_index(drop=True)
-
-
-def q_revenue_by_nation(sf_dir: str):
-    """Three-table chain (orders ⨝ customer ⨝ nation): both dimension hops
-    are broadcast probes folded into ONE map stage, then the partial-agg
-    groupby — the fact table crosses no exchange until it is already
-    reduced to one row per (nation × batch). Probe misses are DROPPED
-    (inner-join semantics), never mis-joined to a neighboring key."""
-    import ray
-
-    cust = read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
-    nation = read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    cust = cust.sort_values("c_custkey")
-    nation = nation.sort_values("n_nationkey")
-    ref = ray.put(
-        (
-            cust["c_custkey"].to_numpy(np.int64),
-            cust["c_nationkey"].to_numpy(np.int64),
-            nation["n_nationkey"].to_numpy(np.int64),
-            nation["n_name"].to_numpy(object),
-        )
-    )
-
-    orders = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-
-    def probe(t: pa.Table) -> pa.Table:
-        ck, cn, nk, nm = ray.get(ref)
-        keys = t["o_custkey"].to_numpy(zero_copy_only=False)
-        cust_pos = np.clip(np.searchsorted(ck, keys), 0, len(ck) - 1)
-        hit = ck[cust_pos] == keys
-        nkey = cn[cust_pos]
-        npos = np.clip(np.searchsorted(nk, nkey), 0, len(nk) - 1)
-        hit &= nk[npos] == nkey
-        name = nm[npos]
-        return pa.table(
-            {
-                "n_name": pa.array(name[hit], pa.string()),
-                "o_totalprice": t["o_totalprice"].filter(pa.array(hit)),
-            }
-        )
-
-    agg = grouped_agg(
-        orders.map_batches(probe, batch_format="pyarrow"),
-        ["n_name"],
-        {"revenue": ("o_totalprice", "sum"), "n_orders": (None, "count")},
-    ).to_pandas()
-    agg["revenue"] = agg["revenue"].round(4)
-    agg["n_orders"] = agg["n_orders"].astype("int64")
-    return agg.sort_values("n_name").reset_index(drop=True)
-
-
-def _total_order_bins(v: np.ndarray) -> np.ndarray:
-    """IEEE-754 total-order trick: flipping the sign bit (positives) or all
-    bits (negatives) makes the uint64 bit pattern monotonic in the float
-    value, so the top 20 bits (shift 44) are an order-preserving binning
-    with NO min/max pre-pass. Occupied bins per exponent range: 2^8 —
-    coarse enough that the merged histogram stays small, fine enough that a
-    refinement bin holds ~n/2k rows."""
-    bits = v.astype(np.float64).view(np.uint64)
-    neg = (bits >> np.uint64(63)) != 0
-    flipped = np.where(neg, ~bits, bits | np.uint64(1 << 63))
-    return (flipped >> np.uint64(44)).astype(np.int64)
-
-
-def _binned_histogram(ds, key: str, col: str) -> pd.DataFrame:
-    """Pass 1 of the binned quantile machinery: merged (key, bin, count)."""
-
-    def partial(t: pa.Table) -> pa.Table:
-        b = _total_order_bins(t[col].to_numpy(zero_copy_only=False))
-        return (
-            pa.table({key: t[key], "__bin": pa.array(b, pa.int64())})
-            .group_by([key, "__bin"], use_threads=False)
-            .aggregate([([], "count_all")])
-            .rename_columns([key, "__bin", "cnt"])
-        )
-
-    hist = grouped_agg(
-        ds.map_batches(partial, batch_format="pyarrow"), [key, "__bin"], {"cnt": ("cnt", "sum")}
-    ).to_pandas()
-    return hist.sort_values([key, "__bin"], kind="stable").reset_index(drop=True)
-
-
-def _pick_bin_values(ds, key: str, col: str, needed_bins: dict) -> pd.DataFrame:
-    """Pass 2: re-read ONLY rows whose (key, bin) is needed; ``needed_bins``
-    maps key -> sorted np.int64 bin array."""
-    import ray
-
-    ref = ray.put(needed_bins)
-
-    def pick(t: pa.Table) -> pa.Table:
-        ns = ray.get(ref)
-        ks = t[key].to_numpy(zero_copy_only=False)
-        vs = t[col].to_numpy(zero_copy_only=False)
-        bs = _total_order_bins(vs)
-        keep = np.zeros(len(ks), dtype=bool)
-        for k, bins in ns.items():  # ≤ keys iterations, vectorized inside
-            keep |= (ks == k) & np.isin(bs, bins)
-        return pa.table(
-            {key: pa.array(ks[keep]), "__bin": pa.array(bs[keep], pa.int64()),
-             col: pa.array(vs[keep])}
-        )
-
-    return ds.map_batches(pick, batch_format="pyarrow").to_pandas()
-
-
-def grouped_quantiles_binned(
-    ds, key: str, col: str, quantiles: Sequence[float]
-) -> pd.DataFrame:
-    """Exact per-group quantiles for NEAR-UNIQUE value domains — the
-    refinement path ``grouped_quantiles`` documents.
-
-    The value-histogram variant degrades when distinct values ≈ rows (its
-    merge shuffle carries the whole column); this one never ships values in
-    pass 1: each batch bins by the top 20 bits of the value's total-ordered
-    IEEE representation (order-preserving, needs no min/max pre-pass), the
-    merged bin histogram tells the driver which (key, bin) holds each
-    requested quantile and the rank within it, and pass 2 re-reads ONLY
-    rows falling in those few bins to pick the exact value by rank.
-    Correctness doesn't depend on bin boundary placement — rank accounting
-    and row selection use the SAME bin function, so any order-preserving
-    assignment yields the exact order statistic.
-    """
-    import ray
-
-    def binify(v: np.ndarray) -> np.ndarray:
-        # IEEE-754 total-order trick: flipping the sign bit (positives) or
-        # all bits (negatives) makes the uint64 bit pattern monotonic in the
-        # float value, so the top 24 bits are an order-preserving binning
-        # with NO min/max pre-pass (one fewer full read). Occupied bins per
-        # exponent range: 2^12 — fine-grained for any realistic column.
-        bits = v.astype(np.float64).view(np.uint64)
-        neg = (bits >> np.uint64(63)) != 0
-        flipped = np.where(neg, ~bits, bits | np.uint64(1 << 63))
-        return (flipped >> np.uint64(44)).astype(np.int64)
-
-    def partial(t: pa.Table) -> pa.Table:
-        k = t[key]
-        b = binify(t[col].to_numpy(zero_copy_only=False))
-        return (
-            pa.table({key: k, "__bin": pa.array(b, pa.int64())})
-            .group_by([key, "__bin"], use_threads=False)
-            .aggregate([([], "count_all")])
-            .rename_columns([key, "__bin", "cnt"])
-        )
-
-    hist = grouped_agg(
-        ds.map_batches(partial, batch_format="pyarrow"),
-        [key, "__bin"],
-        {"cnt": ("cnt", "sum")},
-    ).to_pandas()
-    hist = hist.sort_values([key, "__bin"], kind="stable").reset_index(drop=True)
-
-    # driver: locate each quantile's (key, bin, rank-within-bin)
-    needed: dict[tuple, list[tuple[float, int]]] = {}
-    for k, g in hist.groupby(key, sort=True):
-        counts = g["cnt"].to_numpy(np.int64)
-        bins = g["__bin"].to_numpy(np.int64)
-        cum = np.cumsum(counts)
-        n = int(cum[-1])
-        for p in quantiles:
-            idx = max(0, int(np.ceil(p * n)) - 1)
-            j = int(np.searchsorted(cum, idx, side="right"))
-            rank = idx - (int(cum[j - 1]) if j else 0)
-            needed.setdefault((k, int(bins[j])), []).append((p, rank))
-
-    by_key: dict = {}
-    for k, b in needed:
-        by_key.setdefault(k, []).append(b)
-    need_ref = ray.put({k: np.array(sorted(v), dtype=np.int64) for k, v in by_key.items()})
-
-    def pick(t: pa.Table) -> pa.Table:
-        ns = ray.get(need_ref)  # dict: key -> sorted needed-bin array
-        ks = t[key].to_numpy(zero_copy_only=False)
-        vs = t[col].to_numpy(zero_copy_only=False)
-        bs = binify(vs)
-        keep = np.zeros(len(ks), dtype=bool)
-        for k, bins in ns.items():  # ≤ keys iterations, vectorized inside
-            keep |= (ks == k) & np.isin(bs, bins)
-        return pa.table(
-            {
-                key: pa.array(ks[keep]),
-                "__bin": pa.array(bs[keep], pa.int64()),
-                col: pa.array(vs[keep]),
-            }
-        )
-
-    picked = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
 
     rows: dict = {}
     for (k, b), wants in needed.items():

@@ -84,9 +84,10 @@ def mini_sf(tmp_path_factory):
 
 
 def test_every_sf_query_runs_on_minimal_corpus(mini_sf):
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __ray_entry__ as entry
 
     q = entry.queries()
@@ -97,7 +98,7 @@ def test_every_sf_query_runs_on_minimal_corpus(mini_sf):
             "media_features", "media_resize", "media_audio_features",
             "media_frame_sample", "pip_entrances_in_buildings",
             "geodesic_lengths", "rasterize_nwa", "zonal_entrances_per_building",
-            "polygonize_nwa", "geohash_cells",
+            "polygonize_nwa", "geohash_cells", "hilbert_keys",
         ):
             continue
         try:

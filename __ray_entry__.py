@@ -147,12 +147,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lift": textstats.bigram_lift,
         "stratified_sample": textstats.stratified_sample,
         "scrub_pii": textstats.scrub_pii,
+        "decontaminate_docs": textstats.decontaminate_docs,
+        "frequent_ngrams": textstats.frequent_ngrams,
+        "search_docs_all_terms": textstats.search_docs_all_terms,
         # sketch/ANN ops checked against naive pure-Python oracles written to
         # /tmp/graft_oracle (see osmi_addresses_ray.oracle): the query runs
         # the distributed pipeline AND recomputes the spec single-threaded;
         # the paired oracle_sql() reads the recomputation back via DuckDB
         "simhash_docs": _with_oracle(
             "simhash_docs", dedup.simhash_docs, "simhash_oracle", "documents"
+        ),
+        # exact-recall near-dup pairs (pigeonhole banding + xor-popcount
+        # verify); oracle = naive O(n²) hamming sweep over independently
+        # recomputed signatures
+        "simhash_pairs": _with_oracle(
+            "simhash_pairs", dedup.simhash_pairs, "simhash_pairs_oracle", "documents"
         ),
         "minhash_lsh_pairs": _with_oracle(
             "minhash_lsh_pairs", dedup.minhash_lsh_pairs, "minhash_pairs_oracle", "documents"
@@ -1090,6 +1099,55 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cnt DESC, token
             LIMIT 100
         """,
+        # benchmark decontamination: 5-token-window overlap vs the
+        # deterministic doc_id%83 benchmark subset; n_overlap counts the
+        # doc's DISTINCT grams hitting the benchmark set
+        "decontaminate_docs": """
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS ws
+                       FROM documents),
+            g0 AS (SELECT doc_id,
+                          unnest(list_transform(range(1, len(ws) - 3),
+                                 i -> array_to_string(ws[i : i + 4], ' '))) AS gram
+                   FROM t WHERE len(ws) >= 5),
+            g AS (SELECT DISTINCT doc_id, gram FROM g0),
+            b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 83 = 0),
+            h AS (SELECT g.doc_id, count(*)::BIGINT AS n_overlap
+                  FROM g JOIN b USING (gram) GROUP BY g.doc_id)
+            SELECT d.doc_id,
+                   coalesce(h.n_overlap, 0)::BIGINT AS n_overlap,
+                   (coalesce(h.n_overlap, 0) > 0)::BIGINT AS contaminated
+            FROM documents d LEFT JOIN h USING (doc_id)
+            ORDER BY doc_id
+        """,
+        # boilerplate detection: 5-grams by document frequency (ties by gram)
+        "frequent_ngrams": """
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS ws
+                       FROM documents),
+            g0 AS (SELECT doc_id,
+                          unnest(list_transform(range(1, len(ws) - 3),
+                                 i -> array_to_string(ws[i : i + 4], ' '))) AS gram
+                   FROM t WHERE len(ws) >= 5),
+            g AS (SELECT DISTINCT doc_id, gram FROM g0)
+            SELECT gram, count(*)::BIGINT AS df
+            FROM g GROUP BY gram HAVING count(*) >= 2
+            ORDER BY df DESC, gram LIMIT 50
+        """,
+        # boolean AND search over the token stream (inverted-index probe)
+        "search_docs_all_terms": """
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS ws
+                       FROM documents),
+            c AS (SELECT doc_id,
+                         len(list_filter(ws, x -> x = 'merge'))  AS c1,
+                         len(list_filter(ws, x -> x = 'window')) AS c2,
+                         len(list_filter(ws, x -> x = 'batch'))  AS c3
+                  FROM t)
+            SELECT doc_id, (c1 + c2 + c3)::BIGINT AS n_occurrences
+            FROM c WHERE c1 > 0 AND c2 > 0 AND c3 > 0
+            ORDER BY doc_id
+        """,
         # deterministic per-language sample: the rank hash is plain BIGINT
         # arithmetic so the oracle is the SAME expression, not a hash library
         "stratified_sample": """
@@ -1280,6 +1338,7 @@ def _naive_oracle_sql() -> dict[str, str]:
 
     out = {
         "simhash_docs": read_tagged_sql("simhash_docs", "doc_id", "documents"),
+        "simhash_pairs": read_tagged_sql("simhash_pairs", "doc_a, doc_b", "documents"),
         "minhash_lsh_pairs": read_tagged_sql("minhash_lsh_pairs", "doc_a, doc_b", "documents"),
         "ngram_jaccard_dedup": read_tagged_sql("ngram_jaccard_dedup", "doc_id", "documents"),
         "knn_ivf": read_tagged_sql("knn_ivf", "cosine DESC, vec_id", "embeddings"),

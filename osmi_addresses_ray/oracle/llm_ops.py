@@ -490,3 +490,35 @@ def kmeans_assign_oracle(sf_dir: str) -> pd.DataFrame:
             sims.append(dot / np.sqrt(na * nb))
         rows.append({"vec_id": np.int64(r.vec_id), "cluster": np.int64(int(np.argmax(sims)))})
     return pd.DataFrame(rows).sort_values("vec_id").reset_index(drop=True)
+
+
+def simhash_pairs_oracle(sf_dir: str) -> pd.DataFrame:
+    """All doc pairs with simhash Hamming distance <= 3 — naive O(n^2) over
+    the independently recomputed signatures; popcount via unpackbits (a
+    DIFFERENT popcount than the engine's SWAR fold)."""
+    s = simhash_oracle(sf_dir).sort_values("doc_id").reset_index(drop=True)
+    sig = s["simhash"].to_numpy(np.uint64)
+    did = s["doc_id"].to_numpy(np.int64)
+    out_a: list[int] = []
+    out_b: list[int] = []
+    out_h: list[int] = []
+    for i in range(len(sig)):
+        x = sig[i] ^ sig[i + 1 :]
+        if not len(x):
+            continue
+        ham = np.unpackbits(x[:, None].view(np.uint8), axis=1).sum(axis=1)
+        for j in np.flatnonzero(ham <= 3):
+            out_a.append(int(did[i]))
+            out_b.append(int(did[i + 1 + j]))
+            out_h.append(int(ham[j]))
+    return (
+        pd.DataFrame(
+            {
+                "doc_a": pd.Series(out_a, dtype="int64"),
+                "doc_b": pd.Series(out_b, dtype="int64"),
+                "hamming": pd.Series(out_h, dtype="int64"),
+            }
+        )
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )

@@ -709,33 +709,151 @@ def minhash_lsh_pairs(
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """64-bit simhash per doc (token-hash bit voting), vectorized per batch."""
+    out_h = np.zeros(len(df), dtype=np.uint64)
+    tok_lists = [_TOKEN.findall(t.lower()) for t in df["text"]]
+    counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    nz = np.flatnonzero(counts)
+    if len(nz):
+        # hash every token in the batch at once, then segmented bit votes
+        # per doc via add.reduceat (identical values to the per-doc loop)
+        all_toks = np.concatenate([np.array(tok_lists[i], dtype=object) for i in nz])
+        h = pd.util.hash_array(all_toks).astype(np.uint64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.int32
+        )
+        offs = np.concatenate(([0], np.cumsum(counts[nz])))[:-1]
+        sums = np.add.reduceat(bits, offs, axis=0)  # (n_nz, 64)
+        votes = sums * 2 - counts[nz][:, None]
+        out_h[nz] = np.packbits(
+            (votes > 0).astype(np.uint8), axis=1, bitorder="little"
+        ).view(np.uint64)[:, 0]
+    return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "simhash": out_h})
+
+
 def simhash_docs(sf_dir: str):
     """64-bit simhash per doc (token-hash bit voting), vectorized per batch."""
     ds = _read_docs(sf_dir)
-
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        out_h = np.zeros(len(df), dtype=np.uint64)
-        tok_lists = [_TOKEN.findall(t.lower()) for t in df["text"]]
-        counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
-        nz = np.flatnonzero(counts)
-        if len(nz):
-            # hash every token in the batch at once, then segmented bit votes
-            # per doc via add.reduceat (identical values to the per-doc loop)
-            all_toks = np.concatenate([np.array(tok_lists[i], dtype=object) for i in nz])
-            h = pd.util.hash_array(all_toks).astype(np.uint64)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-                np.int32
-            )
-            offs = np.concatenate(([0], np.cumsum(counts[nz])))[:-1]
-            sums = np.add.reduceat(bits, offs, axis=0)  # (n_nz, 64)
-            votes = sums * 2 - counts[nz][:, None]
-            out_h[nz] = np.packbits(
-                (votes > 0).astype(np.uint8), axis=1, bitorder="little"
-            ).view(np.uint64)[:, 0]
-        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "simhash": out_h})
-
-    df = ds.map_batches(f, batch_format="pandas").to_pandas()
+    df = ds.map_batches(_simhash_batch, batch_format="pandas").to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit population count (SWAR bit-fold; the multiply wraps
+    mod 2^64 which is exactly the algorithm's carry discipline)."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    with np.errstate(over="ignore"):
+        return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+_SIMHASH_BUCKET_CAP = 4096
+
+_SIMPAIR_SCHEMA = pa.schema(
+    [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())]
+)
+
+
+def simhash_pairs(sf_dir: str, *, max_hamming: int = 3, num_parts: int = 8) -> pd.DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: the 64-bit signature splits into 4 disjoint 16-bit
+    bands; ≤3 differing bits can touch at most 3 bands, so every qualifying
+    pair collides in at least one band — candidate generation is EXACT
+    (recall 1.0), unlike MinHash-LSH's probabilistic bands. Shape: the
+    signature + band fan-out are fused into the exchange's split wave
+    (``pre=``), ONE hash exchange on the (band, value) bucket key
+    co-locates candidates, pair expansion (lexsort + triangular
+    repeat/arange, the LSH kernel's shape) and the xor-popcount verify run
+    inside the partition, and a tiny (a, b)-keyed groupby dedupes pairs
+    that collide in several bands. Buckets above ``_SIMHASH_BUCKET_CAP``
+    would go O(cap²) — truncation is counted and raises at result time
+    (never silent), and a bucket that size is a degenerate all-equal
+    signature cluster an exact-dedup pass should have removed first.
+    """
+    ds = _read_docs(sf_dir)
+
+    def fan(t: pa.Table) -> pa.Table:
+        df = _simhash_batch(t.to_pandas())
+        sig = df["simhash"].to_numpy(np.uint64)
+        did = df["doc_id"].to_numpy(np.int64)
+        n, bands = len(df), 4
+        bvals = np.empty((bands, n), dtype=np.int64)
+        for b in range(bands):
+            bvals[b] = ((sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+        bucket = (
+            np.repeat(np.arange(bands, dtype=np.int64), n) * 65536 + bvals.reshape(-1)
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int64()),
+                "doc_id": pa.array(np.tile(did, bands), pa.int64()),
+                "simhash": pa.array(np.tile(sig, bands), pa.uint64()),
+            }
+        )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _SIMPAIR_SCHEMA.empty_table()
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        s = t["simhash"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, b))
+        bs, ds_, ss = b[order], d[order], s[order]
+        first = np.r_[True, bs[1:] != bs[:-1]]
+        gidx = np.cumsum(first) - 1
+        counts = np.bincount(gidx)
+        if (counts > _SIMHASH_BUCKET_CAP).any():
+            raise ValueError(
+                f"simhash bucket over cap ({int(counts.max())} > "
+                f"{_SIMHASH_BUCKET_CAP}): run exact dedup first"
+            )
+        goffs = np.concatenate(([0], np.cumsum(counts)))
+        pos_in_g = np.arange(len(ds_)) - goffs[gidx]
+        fanout = counts[gidx] - 1 - pos_in_g
+        total = int(fanout.sum())
+        if not total:
+            return _SIMPAIR_SCHEMA.empty_table()
+        lefts = np.repeat(np.arange(len(ds_)), fanout)
+        offs = np.concatenate(([0], np.cumsum(fanout)))
+        rights = lefts + 1 + (np.arange(total) - np.repeat(offs[:-1], fanout))
+        ham = _popcount64(ss[lefts] ^ ss[rights])
+        keep = ham <= max_hamming
+        return pa.table(
+            {
+                "doc_a": pa.array(ds_[lefts][keep], pa.int64()),
+                "doc_b": pa.array(ds_[rights][keep], pa.int64()),
+                "hamming": pa.array(ham[keep], pa.int64()),
+            }
+        )
+
+    from ..ops import direct_partitioned_map
+
+    cand = direct_partitioned_map(
+        ds,
+        ["bucket"],
+        num_parts,
+        pairs,
+        pa.schema(
+            [("bucket", pa.int64()), ("doc_id", pa.int64()), ("simhash", pa.uint64())]
+        ),
+        pre=fan,
+    )
+    # pairs colliding in several bands leave the exchange duplicated with
+    # identical hamming; one tiny pair-keyed groupby dedupes them
+    from .relational import grouped_agg
+
+    out = grouped_agg(cand, ["doc_a", "doc_b"], {"hamming": ("hamming", "min")})
+    df = out.to_pandas()
+    if len(df.columns) == 0:
+        df = _SIMPAIR_SCHEMA.empty_table().to_pandas()
+    for c in ("doc_a", "doc_b", "hamming"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def ngram_jaccard_dedup(sf_dir: str, *, threshold: float = 0.8):

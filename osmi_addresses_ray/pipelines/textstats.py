@@ -573,6 +573,161 @@ def training_mixture(sf_dir: str, n: int = 300) -> pd.DataFrame:
     return out[["source", "doc_id", "chunk_id", "text", "mix_key"]]
 
 
+def _doc_ngrams(ws: list[str], n: int) -> list[str]:
+    """Space-joined n-token windows (all positions, duplicates included)."""
+    return [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+
+
+_DECON_MOD = 83  # benchmark membership rule: doc_id % 83 == 0 (deterministic)
+
+
+def decontaminate_docs(sf_dir: str, *, n: int = 5, bench_mod: int = _DECON_MOD) -> pd.DataFrame:
+    """Benchmark decontamination: flag every training document sharing any
+    n-token window with the benchmark suite (here: the deterministic
+    ``doc_id % 83 == 0`` subset — the shape is what matters, not the rule).
+
+    Scale shape: the BENCHMARK side is small by definition (an eval suite,
+    not the corpus), so its distinct n-gram set is collected once and
+    broadcast via ``ray.put``; the corpus side streams through one
+    ``map_batches`` probe — per batch, ONE lexsort dedups (doc, gram) and
+    ONE searchsorted against the broadcast sorted array scores every doc.
+    No corpus-sized exchange anywhere. ``n_overlap`` counts the doc's
+    DISTINCT grams hitting the benchmark set.
+    """
+    import ray
+
+    ds = _read_docs(sf_dir)
+    tok = re.compile(_TOKEN_RE)
+
+    def bench_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df[df["doc_id"].to_numpy(np.int64) % bench_mod == 0]
+        grams = sorted(
+            {g for t in sel["text"] for g in _doc_ngrams(tok.findall(t.lower()), n)}
+        )
+        return pd.DataFrame({"gram": pd.Series(grams, dtype=object)})
+
+    bench = ds.map_batches(bench_partial, batch_format="pandas").to_pandas()
+    bench_arr = (
+        np.sort(bench["gram"].unique()).astype(object)
+        if len(bench)
+        else np.empty(0, dtype=object)
+    )
+    bench_ref = ray.put(bench_arr)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bench_ref)
+        ids = df["doc_id"].to_numpy(np.int64)
+        per_doc = [_doc_ngrams(tok.findall(t.lower()), n) for t in df["text"]]
+        lens = np.array([len(g) for g in per_doc], dtype=np.int64)
+        n_ov = np.zeros(len(df), dtype=np.int64)
+        if lens.sum() and len(b):
+            flat = np.array([g for gs in per_doc for g in gs], dtype=object)
+            did = np.repeat(np.arange(len(df)), lens)
+            o = np.lexsort((flat, did))
+            flat, did = flat[o], did[o]
+            first = np.r_[True, (did[1:] != did[:-1]) | (flat[1:] != flat[:-1])]
+            flat, did = flat[first], did[first]
+            idx = np.searchsorted(b, flat)
+            idx_c = np.minimum(idx, len(b) - 1)
+            hit = (idx < len(b)) & (b[idx_c] == flat)
+            np.add.at(n_ov, did[hit], 1)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_overlap": n_ov,
+                "contaminated": (n_ov > 0).astype(np.int64),
+            }
+        )
+
+    out = ds.map_batches(probe, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def frequent_ngrams(sf_dir: str, *, n: int = 5, min_docs: int = 2, k: int = 50) -> pd.DataFrame:
+    """Boilerplate detection: n-grams appearing in ≥ ``min_docs`` DISTINCT
+    documents, top-k by document frequency (ties by gram ascending).
+
+    Same combiner shape as top_tokens: a doc's text lives in exactly one
+    row, so per-batch distinct-(doc, gram) counts sum to the exact global
+    document frequency; the exchange carries one row per distinct gram per
+    block, never the corpus."""
+    import pyarrow as pa
+
+    from .relational import grouped_agg, topk
+
+    ds = _read_docs(sf_dir)
+    tok = re.compile(_TOKEN_RE)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        grams: list[str] = []
+        for t in df["text"]:
+            grams.extend(set(_doc_ngrams(tok.findall(t.lower()), n)))
+        if not grams:
+            return pd.DataFrame(
+                {"gram": pd.Series([], dtype=object), "df": pd.Series([], dtype="int64")}
+            )
+        vc = pd.Series(grams).value_counts()
+        return pd.DataFrame({"gram": vc.index.to_numpy(object), "df": vc.to_numpy(np.int64)})
+
+    merged = grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"), ["gram"], {"df": ("df", "sum")}
+    )
+    filt = merged.map_batches(
+        lambda d: d[d["df"] >= min_docs], batch_format="pandas"
+    )
+    out = topk(
+        filt, "df", k, descending=True, tie_cols=["gram"],
+        empty_schema=pa.schema([("gram", pa.string()), ("df", pa.int64())]),
+    )
+    out["df"] = out["df"].astype("int64")
+    return out[["gram", "df"]]
+
+
+_SEARCH_TERMS = ("merge", "window", "batch")
+
+
+def search_docs_all_terms(
+    sf_dir: str, terms: tuple[str, ...] = _SEARCH_TERMS
+) -> pd.DataFrame:
+    """Boolean AND search: documents whose token stream contains EVERY query
+    term, with the total occurrence count. This is the map side of an
+    inverted-index probe — embarrassingly parallel (no exchange at all):
+    each batch tokenizes once and takes one segmented equality count per
+    term (cumsum-difference, the lang_id shape)."""
+    import pyarrow as pa
+
+    from ..ops import to_pandas_typed
+
+    ds = _read_docs(sf_dir)
+    tok = re.compile(_TOKEN_RE)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].to_numpy()
+        tok_lists, counts, starts, ends = _segment_tokens(texts, tok)
+        tf = np.zeros((len(df), len(terms)), dtype=np.int64)
+        if counts.sum():
+            all_toks = pd.Series(
+                np.concatenate([np.asarray(t, dtype=object) for t in tok_lists if t])
+            )
+            for j, term in enumerate(terms):
+                hit = (all_toks == term).to_numpy().astype(np.int64)
+                c = np.concatenate(([0], np.cumsum(hit)))
+                tf[:, j] = c[ends] - c[starts]
+        keep = (tf > 0).all(axis=1)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64)[keep],
+                "n_occurrences": tf.sum(axis=1)[keep],
+            }
+        )
+
+    out = to_pandas_typed(
+        ds.map_batches(f, batch_format="pandas"),
+        pa.schema([("doc_id", pa.int64()), ("n_occurrences", pa.int64())]),
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def bigram_lift(sf_dir: str, k: int = 20, min_count: int = 5) -> pd.DataFrame:
     """Top-k token bigrams by LIFT — count(xy)·N / (count(x)·count(y)), the
     log-free PMI analogue (one integer product each side and ONE IEEE

@@ -151,3 +151,46 @@ def test_knn_batch_finds_planted_cluster(planted_dir, ray_session):
         assert set(rows.vec_id) == others, (q, list(rows.vec_id))
     single = similarity.knn_bruteforce(planted_dir, query_id=600, k=7)
     assert list(out[out.query_id == 600].vec_id) == list(single.vec_id)
+
+
+def test_simhash_pairs_matches_naive_oracle(tmp_path, ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osmi_addresses_ray.oracle.llm_ops import simhash_pairs_oracle
+    from osmi_addresses_ray.pipelines.dedup import simhash_pairs
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=40)) for _ in range(40)]
+    # plant near-identical variants (one token changed -> tiny hamming)
+    for i in range(5):
+        t = texts[i].split()
+        t[3] = "changed"
+        texts.append(" ".join(t))
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": np.zeros(len(texts), dtype=np.int64),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    got = simhash_pairs(str(tmp_path))
+    want = simhash_pairs_oracle(str(tmp_path))
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) >= 1  # planted variants must collide
+
+
+def test_popcount64_matches_python():
+    from osmi_addresses_ray.pipelines.dedup import _popcount64
+
+    rng = np.random.default_rng(3)
+    xs = rng.integers(0, 2**63, size=1000, dtype=np.int64).astype(np.uint64)
+    xs = np.r_[xs, np.uint64(0), np.uint64(0xFFFFFFFFFFFFFFFF)]
+    got = _popcount64(xs.copy())
+    want = np.array([bin(int(x)).count("1") for x in xs], dtype=np.int64)
+    assert (got == want).all()

@@ -91,3 +91,55 @@ def test_top_tokens_ordering_and_case(tiny_docs):
         assert toks == sorted(toks)
     # lowercase fold: 'And'/'and' would merge — all outputs already lowered
     assert all(t == t.lower() for t in out["token"])
+
+
+@pytest.fixture()
+def gram_docs(tmp_path):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                base,                                  # benchmark doc (0 % 83 == 0)
+                "intro words then " + base,            # contains benchmark 5-grams
+                "alpha beta gamma delta",              # only 4 tokens shared: no 5-gram
+                "merge window batch merge window",     # search terms, repeated grams
+                "tiny doc",                            # < 5 tokens: no grams
+                "merge window only two terms",         # missing 'batch'
+            ],
+            "lang": ["en"] * 6,
+            "source": ["t"] * 6,
+            "n_chars": np.zeros(6, dtype=np.int64),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    return str(tmp_path), docs
+
+
+def test_decontaminate_flags_overlap(gram_docs):
+    sf_dir, _ = gram_docs
+    out = textstats.decontaminate_docs(sf_dir)
+    by = dict(zip(out["doc_id"], out["contaminated"]))
+    ov = dict(zip(out["doc_id"], out["n_overlap"]))
+    assert by[0] == 1 and ov[0] == 4   # benchmark doc self-matches its 4 grams
+    assert by[1] == 1 and ov[1] == 4   # full benchmark text embedded
+    assert by[2] == 0                  # 4-token prefix: no 5-gram overlap
+    assert by[4] == 0                  # too short for any gram
+    assert len(out) == 6               # every doc gets a row
+
+
+def test_frequent_ngrams_distinct_doc_counts(gram_docs):
+    sf_dir, _ = gram_docs
+    out = textstats.frequent_ngrams(sf_dir, min_docs=2)
+    # the 4 grams of the benchmark text appear in docs 0 and 1 -> df == 2
+    assert len(out) == 4
+    assert (out["df"] == 2).all()
+    assert list(out["gram"]) == sorted(out["gram"])  # tie-break by gram asc
+
+
+def test_search_all_terms_and_semantics(gram_docs):
+    sf_dir, _ = gram_docs
+    out = textstats.search_docs_all_terms(sf_dir)
+    assert list(out["doc_id"]) == [3]          # only doc 3 has all three terms
+    assert int(out["n_occurrences"].iloc[0]) == 5  # 2 merge + 2 window + 1 batch

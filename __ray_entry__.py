@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_distinct_users_per_type": relational.q_distinct_users_per_type,
         "q_price_quantiles_cont": relational.q_price_quantiles_cont,
         "q_order_list_per_customer": relational.q_order_list_per_customer,
+        "q_ntile_orders": relational.q_ntile_orders,
+        "q_dense_rank_customers": relational.q_dense_rank_customers,
         # time-series custom operators (SQL-checked): one hash exchange on
         # user_id, vectorized per-partition sweeps (pipelines/timeseries.py)
         "asof_click_view": timeseries.asof_join_events,
@@ -129,6 +131,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_watermark_counts": timeseries.streaming_watermark_counts,
         "q_user_set_ops": timeseries.q_user_set_ops,
         "q_event_gaps": timeseries.q_event_gaps,
+        "funnel_stage_counts": timeseries.funnel_stage_counts,
+        "retention_cohorts": timeseries.retention_cohorts,
+        "moving_avg_user": timeseries.moving_avg_user,
+        "event_type_cooccurrence": timeseries.event_type_cooccurrence,
         # training-data ops over documents/embeddings
         "dedup_exact_docs": dedup.exact_dedup_docs,
         "dedup_incremental": dedup.dedup_incremental_docs,
@@ -929,6 +935,68 @@ def oracle_sql() -> dict[str, str]:
                         PARTITION BY user_id ORDER BY ts, event_id)))::BIGINT
                        AS gap_us
             FROM events ORDER BY event_id
+        """,
+        # first-touch ordered funnel: every stage anchors at its minimum
+        # qualifying ts, strictly after the previous stage's anchor
+        "funnel_stage_counts": """
+            WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                   JOIN t1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+            t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                   JOIN t2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1)
+            SELECT * FROM (
+                SELECT '1_view' AS stage, count(*)::BIGINT AS n_users FROM t1
+                UNION ALL SELECT '2_click', count(*)::BIGINT FROM t2
+                UNION ALL SELECT '3_purchase', count(*)::BIGINT FROM t3)
+            ORDER BY stage
+        """,
+        # cohort = day of a user's first event; one row per (cohort, offset)
+        "retention_cohorts": """
+            WITH f AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+                       FROM events GROUP BY 1),
+            a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+            j AS (SELECT f.cohort_day,
+                         datediff('day', f.cohort_day, a.day) AS day_offset
+                  FROM a JOIN f USING (user_id))
+            SELECT cohort_day, day_offset::BIGINT AS day_offset,
+                   count(*)::BIGINT AS n_users
+            FROM j GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # trailing 3-row moving average in EXACT integer cents (the
+        # running_totals float rule): one division on both sides
+        "moving_avg_user": """
+            SELECT event_id, user_id, ts,
+                   round(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w
+                         / (100.0 * count(*) OVER w), 6) AS mov_avg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id
+        """,
+        # unordered event-type pairs per user (market-basket shape)
+        "event_type_cooccurrence": """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*)::BIGINT AS n_users
+            FROM d a JOIN d b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q_ntile_orders": """
+            SELECT o_orderkey, o_totalprice,
+                   ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey)::BIGINT
+                       AS bucket
+            FROM orders ORDER BY o_orderkey
+        """,
+        "q_dense_rank_customers": """
+            WITH c AS (SELECT o_custkey, count(*)::BIGINT AS n_orders
+                       FROM orders GROUP BY 1)
+            SELECT o_custkey, n_orders,
+                   dense_rank() OVER (ORDER BY n_orders DESC)::BIGINT AS drank
+            FROM c ORDER BY o_custkey
         """,
         # streaming-watermark replay: arrival = injective hash permutation of
         # event_id (insertion order is already time-sorted in testdata, which

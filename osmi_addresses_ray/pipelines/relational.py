@@ -1167,3 +1167,116 @@ def q_price_quantiles_cont(sf_dir: str):
     return pd.DataFrame(list(rows.values()))[cols].sort_values(key).reset_index(drop=True)
 
 
+
+
+def _ntile_of(rn: np.ndarray, n: int, b: int) -> np.ndarray:
+    """SQL NTILE bucket for 1-based global row numbers: the first ``n % b``
+    buckets get ``n//b + 1`` rows, the rest ``n//b`` (empirically verified
+    against DuckDB's ntile in the unit test)."""
+    size, rem = divmod(n, b)
+    if size == 0:
+        return rn.astype(np.int64)
+    thresh = rem * (size + 1)
+    return np.where(
+        rn <= thresh,
+        (rn - 1) // (size + 1) + 1,
+        rem + (rn - 1 - thresh) // size + 1,
+    ).astype(np.int64)
+
+
+def q_ntile_orders(sf_dir: str, *, buckets: int = 4, num_parts: int = 16):
+    """NTILE(4) of every order by (o_totalprice DESC, o_orderkey) — the
+    distributed global-rank shape WITHOUT a global sort: pass 1 histograms
+    the order-preserving IEEE total-order bins (``_total_order_bins``; the
+    merged histogram is bounded by occupied bins, never rows), the driver
+    exclusive-scans bin counts in DESCENDING bin order into per-bin rank
+    offsets (broadcast), and pass 2 hash-exchanges rows by bin — all equal
+    prices share a bin — where each bin lexsorts locally and adds its
+    offset to get exact global row numbers. Same two-pass discipline as
+    grouped_quantiles_binned; no driver row materialization."""
+    import ray
+
+    ds = read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        b = _total_order_bins(t["o_totalprice"].to_numpy(zero_copy_only=False))
+        return (
+            pa.table({"__bin": pa.array(b, pa.int64())})
+            .group_by(["__bin"], use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns(["__bin", "cnt"])
+        )
+
+    hist = grouped_agg(
+        ds.map_batches(hist_partial, batch_format="pyarrow"), ["__bin"], {"cnt": ("cnt", "sum")}
+    ).to_pandas()
+    hist = hist.sort_values("__bin", ascending=False).reset_index(drop=True)
+    bins = hist["__bin"].to_numpy(np.int64)
+    cnts = hist["cnt"].to_numpy(np.int64)
+    n_total = int(cnts.sum())
+    offsets = np.concatenate(([0], np.cumsum(cnts)))[:-1]
+    # broadcast: bins ASCENDING for searchsorted, offsets aligned
+    asc = np.argsort(bins)
+    ref = ray.put((bins[asc], offsets[asc]))
+
+    from ..ops import partitioned_map
+
+    def pre_bin(t: pa.Table) -> pa.Table:
+        b = _total_order_bins(t["o_totalprice"].to_numpy(zero_copy_only=False))
+        return t.append_column("__bin", pa.array(b, pa.int64()))
+
+    def rank_fn(t: pa.Table) -> pa.Table:
+        bins_a, offs_a = ray.get(ref)
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        binv = t["__bin"].to_numpy(zero_copy_only=False)
+        # per bin: price DESC (exact float negation), orderkey ASC
+        order = np.lexsort((okey, -price, binv))
+        ok, pr, bv = okey[order], price[order], binv[order]
+        new_bin = np.r_[True, bv[1:] != bv[:-1]]
+        bstart = np.maximum.accumulate(np.where(new_bin, np.arange(len(bv)), -1))
+        local = np.arange(len(bv)) - bstart
+        rn = offs_a[np.searchsorted(bins_a, bv)] + local + 1
+        bucket = _ntile_of(rn, n_total, buckets)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok, pa.int64()),
+                "o_totalprice": pa.array(pr, pa.float64()),
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    out = partitioned_map(
+        ds.map_batches(pre_bin, batch_format="pyarrow"), ["__bin"], num_parts, rank_fn
+    )
+    return out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q_dense_rank_customers(sf_dir: str):
+    """DENSE_RANK of customers by order count (desc): the rank table is the
+    DISTINCT count values (tiny — bounded by the count domain, not by
+    customers), computed by one extra micro-groupby over the per-customer
+    aggregate and broadcast into a vectorized searchsorted map."""
+    import ray
+
+    ds = read(sf_dir, "orders", columns=["o_custkey"])
+    counts = grouped_agg(ds, ["o_custkey"], {"n_orders": (None, "count")})
+    distinct = grouped_agg(counts, ["n_orders"], {"_": ("n_orders", "count")}).to_pandas()
+    vals = np.sort(distinct["n_orders"].to_numpy(np.int64))  # ascending
+    ref = ray.put(vals)
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = ray.get(ref)
+        n = t["n_orders"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # dense rank desc = 1 + number of distinct values strictly greater
+        drank = len(v) - np.searchsorted(v, n, side="left")
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "n_orders": pa.array(n, pa.int64()),
+                "drank": pa.array(drank, pa.int64()),
+            }
+        )
+
+    out = counts.map_batches(assign, batch_format="pyarrow")
+    return out.to_pandas().sort_values("o_custkey").reset_index(drop=True)

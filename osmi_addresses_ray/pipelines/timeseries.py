@@ -684,3 +684,289 @@ def q_event_gaps(sf_dir: str) -> pd.DataFrame:
 
     out = partitioned_map(ds, ["user_id"], num_parts=16, fn=gaps)
     return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+_FUNNEL_SCHEMA = pa.schema([("stage", pa.string()), ("n_users", pa.int64())])
+_I64MAX = np.iinfo(np.int64).max
+
+
+def funnel_stage_counts(
+    sf_dir: str,
+    *,
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+    num_parts: int = 8,
+) -> pd.DataFrame:
+    """Ordered conversion funnel: users with a ``view``, users whose first
+    view is STRICTLY followed by a ``click``, and users whose first such
+    click is strictly followed by a ``purchase`` (each stage anchors at the
+    MINIMUM qualifying timestamp, the standard first-touch funnel).
+
+    Shape: events filter to the three types map-side (``pre``), ONE hash
+    exchange on user_id co-locates each user's funnel history, and every
+    per-partition stage time is a masked ``minimum.reduceat`` over the
+    (user, ts) lexsort — no per-user Python. Partitions emit 3 partial
+    rows each; the driver sums ~3×parts rows.
+    """
+
+    def pre(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(t["event_type"], value_set=pa.array(list(stages)))
+        return t.filter(mask).select(["user_id", "ts", "event_type"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _FUNNEL_SCHEMA.empty_table()
+        user = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        typ = np.asarray(t["event_type"].to_numpy(zero_copy_only=False))
+        order = np.lexsort((ts, user))
+        u, tsv, ty = user[order], ts[order], typ[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        gidx = np.cumsum(np.r_[True, u[1:] != u[:-1]]) - 1
+        prev = None  # per-user anchor time of the previous stage
+        counts = []
+        for si, stage in enumerate(stages):
+            m = ty == stage
+            if si > 0:
+                m &= tsv > prev[gidx]  # STRICTLY after the previous anchor
+            masked = np.where(m, tsv, _I64MAX)
+            anchor = np.minimum.reduceat(masked, starts)
+            counts.append(int((anchor < _I64MAX).sum()))
+            prev = anchor
+        return pa.table(
+            {
+                "stage": pa.array([f"{i+1}_{s}" for i, s in enumerate(stages)]),
+                "n_users": pa.array(counts, pa.int64()),
+            }
+        )
+
+    from ..ops import direct_partitioned_map
+
+    parts = direct_partitioned_map(
+        _read_events(sf_dir, ["user_id", "ts", "event_type"]),
+        ["user_id"],
+        num_parts,
+        fn,
+        pa.schema(
+            [("user_id", pa.int64()), ("ts", pa.timestamp("us")), ("event_type", pa.string())]
+        ),
+        pre=pre,
+    ).to_pandas()
+    out = (
+        parts.groupby("stage", sort=True)["n_users"].sum().reset_index()
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+_DAY_US = np.int64(86_400_000_000)
+
+_RETENTION_SCHEMA = pa.schema(
+    [("cohort_day", pa.timestamp("us")), ("day_offset", pa.int64()), ("n_users", pa.int64())]
+)
+
+
+def retention_cohorts(sf_dir: str, *, num_parts: int = 8) -> pd.DataFrame:
+    """Cohort retention: users grouped by the day of their FIRST event
+    (cohort), counted on each later day they were active (day_offset =
+    active day − cohort day, in days).
+
+    ONE user-keyed exchange; inside a partition the cohort day is a
+    ``minimum.reduceat`` and active days dedup via the lexsort
+    first-occurrence mask. Partials are per-(cohort, offset) user counts —
+    exact globally because a user lives in exactly one partition — merged
+    by a tiny final groupby.
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _RETENTION_SCHEMA.empty_table()
+        user = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        day = ts // _DAY_US
+        order = np.lexsort((day, user))
+        u, d = user[order], day[order]
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(new_user)
+        gidx = np.cumsum(new_user) - 1
+        cohort = np.minimum.reduceat(d, starts)  # first (sorted) day per user
+        # distinct (user, day) pairs
+        keep = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1])]
+        uk, dk, gk = u[keep], d[keep], gidx[keep]
+        offs = dk - cohort[gk]
+        part = pd.DataFrame({"cohort_day": cohort[gk], "day_offset": offs})
+        agg = part.groupby(["cohort_day", "day_offset"], sort=False).size().reset_index(
+            name="n_users"
+        )
+        return pa.table(
+            {
+                "cohort_day": pa.array(
+                    (agg["cohort_day"].to_numpy(np.int64) * _DAY_US).astype(
+                        "datetime64[us]"
+                    )
+                ),
+                "day_offset": pa.array(agg["day_offset"].to_numpy(np.int64), pa.int64()),
+                "n_users": pa.array(agg["n_users"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    from ..ops import direct_partitioned_map
+
+    parts = direct_partitioned_map(
+        _read_events(sf_dir, ["user_id", "ts"]),
+        ["user_id"],
+        num_parts,
+        fn,
+        pa.schema([("user_id", pa.int64()), ("ts", pa.timestamp("us"))]),
+    ).to_pandas()
+    out = (
+        parts.groupby(["cohort_day", "day_offset"], sort=True)["n_users"]
+        .sum()
+        .reset_index()
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    out["day_offset"] = out["day_offset"].astype("int64")
+    return out
+
+
+_MOVAVG_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us")),
+        ("mov_avg", pa.float64()),
+    ]
+)
+
+
+def moving_avg_user(sf_dir: str, *, window_rows: int = 3, num_parts: int = 8) -> pd.DataFrame:
+    """Per-user trailing moving average over the last ``window_rows`` events
+    (ROWS window, ordered by ts with event_id tie-break).
+
+    ONE user-keyed exchange; the windowed sum is a cumulative-sum
+    difference clipped at each user's segment start. Values sum as EXACT
+    integer cents (floor(v*100+0.5), the running_totals rule) so the single
+    final division is bit-identical to the SQL window aggregate.
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _MOVAVG_SCHEMA.empty_table()
+        user = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(val * 100.0 + 0.5).astype(np.int64)
+        order = np.lexsort((eid, ts, user))
+        u, tsv, ev, cv = user[order], ts[order], eid[order], cents[order]
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        ustart = np.maximum.accumulate(np.where(new_user, np.arange(len(u)), -1))
+        i = np.arange(len(u))
+        lo = np.maximum(i - (window_rows - 1), ustart)
+        cum = np.concatenate(([0], np.cumsum(cv)))
+        s = cum[i + 1] - cum[lo]
+        cnt = i - lo + 1
+        mov = np.round(s / (100.0 * cnt), 6)
+        return pa.table(
+            {
+                "event_id": pa.array(ev, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "ts": pa.array(tsv.astype("datetime64[us]")),
+                "mov_avg": pa.array(mov, pa.float64()),
+            }
+        )
+
+    from ..ops import direct_partitioned_map
+
+    out = direct_partitioned_map(
+        _read_events(sf_dir, ["event_id", "ts", "user_id", "value"]),
+        ["user_id"],
+        num_parts,
+        fn,
+        pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()),
+                ("value", pa.float64()),
+            ]
+        ),
+    )
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+_COOC_SCHEMA = pa.schema(
+    [("type_a", pa.string()), ("type_b", pa.string()), ("n_users", pa.int64())]
+)
+
+
+def event_type_cooccurrence(sf_dir: str, *, num_parts: int = 8) -> pd.DataFrame:
+    """Per-user event-type co-occurrence: for every unordered type pair
+    (a < b), the number of users that emitted both (feature-engineering /
+    market-basket shape).
+
+    Per-batch distinct (user, type) shrinks the exchange map-side; the
+    user-keyed exchange then dedups globally, expands each user's sorted
+    type set triangularly (repeat/arange, the pair-expansion kernel), and
+    emits per-partition pair counts — exact globally because a user lives
+    in one partition. Driver merges ≤ types² rows.
+    """
+
+    def pre(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["user_id", "event_type"])
+            .group_by(["user_id", "event_type"], use_threads=False)
+            .aggregate([])
+        )
+
+    def fn(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _COOC_SCHEMA.empty_table()
+        user = t["user_id"].to_numpy(zero_copy_only=False)
+        typ = np.asarray(t["event_type"].to_numpy(zero_copy_only=False), dtype=object)
+        order = np.lexsort((typ, user))
+        u, ty = user[order], typ[order]
+        keep = np.r_[True, (u[1:] != u[:-1]) | (ty[1:] != ty[:-1])]
+        u, ty = u[keep], ty[keep]
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        gidx = np.cumsum(new_user) - 1
+        counts = np.bincount(gidx)
+        goffs = np.concatenate(([0], np.cumsum(counts)))
+        pos = np.arange(len(u)) - goffs[gidx]
+        fanout = counts[gidx] - 1 - pos
+        total = int(fanout.sum())
+        if not total:
+            return _COOC_SCHEMA.empty_table()
+        lefts = np.repeat(np.arange(len(u)), fanout)
+        offs = np.concatenate(([0], np.cumsum(fanout)))
+        rights = lefts + 1 + (np.arange(total) - np.repeat(offs[:-1], fanout))
+        pairs = pd.DataFrame({"type_a": ty[lefts], "type_b": ty[rights]})
+        agg = pairs.groupby(["type_a", "type_b"], sort=False).size().reset_index(
+            name="n_users"
+        )
+        return pa.table(
+            {
+                "type_a": pa.array(agg["type_a"].to_numpy(object), pa.string()),
+                "type_b": pa.array(agg["type_b"].to_numpy(object), pa.string()),
+                "n_users": pa.array(agg["n_users"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    from ..ops import direct_partitioned_map
+
+    parts = direct_partitioned_map(
+        _read_events(sf_dir, ["user_id", "event_type"]),
+        ["user_id"],
+        num_parts,
+        fn,
+        pa.schema([("user_id", pa.int64()), ("event_type", pa.string())]),
+        pre=pre,
+    ).to_pandas()
+    if len(parts.columns) == 0:
+        parts = _COOC_SCHEMA.empty_table().to_pandas()
+    out = (
+        parts.groupby(["type_a", "type_b"], sort=True)["n_users"].sum().reset_index()
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out

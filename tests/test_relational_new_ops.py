@@ -150,3 +150,42 @@ def test_grouped_quantiles_binned_exact_with_negatives():
     got = grouped_quantiles_binned(ds, "g", "v", qs).sort_values("g").reset_index(drop=True)
     want = grouped_quantiles(ds, "g", "v", qs).sort_values("g").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_ntile_formula_matches_duckdb():
+    import duckdb
+
+    from osmi_addresses_ray.pipelines.relational import _ntile_of
+
+    for n in [1, 2, 3, 4, 5, 7, 8, 9, 15, 16, 100, 103]:
+        for b in [1, 2, 3, 4, 7]:
+            want = duckdb.sql(
+                f"SELECT ntile({b}) OVER (ORDER BY x) FROM (SELECT unnest(range({n})) x)"
+            ).df().iloc[:, 0].to_numpy()
+            got = _ntile_of(np.arange(1, n + 1), n, b)
+            assert (got == want).all(), (n, b)
+
+
+def test_ntile_orders_bucket_sizes(ray_session):
+    from osmi_addresses_ray.pipelines.relational import q_ntile_orders
+
+    out = q_ntile_orders("/root/testdata/sf0.001")
+    assert len(out) == 1500
+    sizes = out.groupby("bucket").size()
+    assert list(sizes.index) == [1, 2, 3, 4]
+    assert (sizes == 375).all()  # 1500 divides evenly
+    # bucket must be monotone in (price desc, key asc) global order
+    s = out.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+    b = s["bucket"].to_numpy()
+    assert (np.diff(b) >= 0).all()
+
+
+def test_dense_rank_ties_share_rank_no_gaps(ray_session):
+    from osmi_addresses_ray.pipelines.relational import q_dense_rank_customers
+
+    out = q_dense_rank_customers("/root/testdata/sf0.001")
+    by_cnt = out.drop_duplicates("n_orders").sort_values("n_orders", ascending=False)
+    assert list(by_cnt["drank"]) == list(range(1, len(by_cnt) + 1))  # dense: no gaps
+    # equal counts share the rank
+    g = out.groupby("n_orders")["drank"].nunique()
+    assert (g == 1).all()

@@ -246,3 +246,73 @@ def test_streaming_watermark_late_accounting(tmp_path):
         assert got.loc[w, "n_events"] == n
         assert got.loc[w, "n_late"] == late_by_window.get(w, 0)
     assert out["n_late"].sum() > 0  # the fixture genuinely exercises lateness
+
+
+@pytest.fixture(scope="module")
+def funnel_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("funnel_events")
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    m = np.timedelta64(60_000_000, "us")
+    day = np.timedelta64(86_400_000_000, "us")
+    rows = [
+        # user 1: full conversion view@0 -> click@5 -> purchase@10
+        (0, base + 0 * m, 1, "view", 1.0),
+        (1, base + 5 * m, 1, "click", 2.0),
+        (2, base + 10 * m, 1, "purchase", 3.0),
+        # user 2: click BEFORE first view (must not count), then no click after
+        (3, base + 0 * m, 2, "click", 1.0),
+        (4, base + 5 * m, 2, "view", 1.0),
+        # user 3: click at the SAME ts as the first view (strict > drops it)
+        (5, base + 0 * m, 3, "view", 1.0),
+        (6, base + 0 * m, 3, "click", 1.0),
+        # user 4: purchase only — no view, contributes to no stage
+        (7, base + 0 * m, 4, "purchase", 9.0),
+        # user 1 second day: retention offset 1 (two events same day dedup)
+        (8, base + day + 1 * m, 1, "view", 1.0),
+        (9, base + day + 2 * m, 1, "error", 1.0),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    df["props"] = "{}"
+    df.to_parquet(os.path.join(d, "events.parquet"), index=False)
+    return str(d)
+
+
+def test_funnel_strict_ordering(funnel_dir, ray_session):
+    out = timeseries.funnel_stage_counts(funnel_dir)
+    by = dict(zip(out["stage"], out["n_users"]))
+    assert by["1_view"] == 3      # users 1, 2, 3
+    assert by["2_click"] == 1     # only user 1 clicks strictly after the view
+    assert by["3_purchase"] == 1  # only user 1
+
+
+def test_retention_offsets_and_day_dedup(funnel_dir, ray_session):
+    out = timeseries.retention_cohorts(funnel_dir)
+    # all users' first events are on day 0 -> one cohort
+    assert out["cohort_day"].nunique() == 1
+    by = dict(zip(out["day_offset"], out["n_users"]))
+    assert by[0] == 4            # every user active on the cohort day
+    assert by[1] == 1            # user 1 returns next day (2 events -> 1 row)
+
+
+def test_moving_avg_clips_at_user_start(funnel_dir, ray_session):
+    out = timeseries.moving_avg_user(funnel_dir)
+    u1 = out[out["user_id"] == 1].sort_values("event_id")
+    # all 5 user-1 events count (type-agnostic): values 1,2,3 then next-day 1,1
+    # windows: [1], [1,2], [1,2,3], [2,3,1], [3,1,1]
+    assert list(u1["mov_avg"]) == [1.0, 1.5, 2.0, 2.0, round(5 / 3, 6)]
+    # equal-ts tie (user 3): event 5 (view) before event 6 (click) by event_id
+    u3 = out[out["user_id"] == 3].sort_values("event_id")
+    assert list(u3["mov_avg"]) == [1.0, 1.0]
+
+
+def test_cooccurrence_requires_both_types(funnel_dir, ray_session):
+    out = timeseries.event_type_cooccurrence(funnel_dir)
+    pairs = set(zip(out["type_a"], out["type_b"]))
+    # user 4 has only 'purchase' -> contributes nothing
+    assert ("purchase", "view") not in pairs or out.set_index(
+        ["type_a", "type_b"]
+    ).loc[("purchase", "view"), "n_users"] == 1
+    # user 1 spans view/click/purchase/error -> all 6 pairs present with n>=1
+    assert ("click", "view") in pairs and ("click", "purchase") in pairs
+    got = out.set_index(["type_a", "type_b"])["n_users"]
+    assert got.loc[("click", "view")] == 3  # users 1, 2 and 3 all have both types

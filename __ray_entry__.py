@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rasterize_nwa": _rasterize_query,
         "zonal_entrances_per_building": _zonal_query,
         "polygonize_nwa": _polygonize_query,
+        "tile_pyramid_nwa": _pyramid_query,
     }
     # geospatial layers over the synthesized interleaved-doc corpus (rows-only)
     for layer in (
@@ -532,6 +533,26 @@ def _rasterize_query(sf_dir: str):
     )
     write_oracle(
         "rasterize_nwa_src",
+        _fixture_oracle()["osmi_addresses_nodes_with_addresses"][["lon", "lat"]],
+    )
+    return out
+
+
+def _pyramid_query(sf_dir: str):
+    """Map-tile zoom pyramid over the rasterized nwa layer; SQL recomputes
+    all three zoom levels from the independent naive-oracle point set
+    (true SQL oracle — repeated floor-halving + regrouping)."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.pipelines.raster import rasterize_points, tile_pyramid
+
+    out = tile_pyramid(
+        rasterize_points(
+            _fixture_layers()["osmi_addresses_nodes_with_addresses"],
+            x0=_RASTER_X0, y0=_RASTER_Y0, res=_RASTER_RES,
+        )
+    )
+    write_oracle(
+        "tile_pyramid_src",
         _fixture_oracle()["osmi_addresses_nodes_with_addresses"][["lon", "lat"]],
     )
     return out
@@ -1465,6 +1486,29 @@ def _naive_oracle_sql() -> dict[str, str]:
             GROUP BY poly_id ORDER BY poly_id
         """,
         "polygonize_nwa": read_parquet_sql("polygonize_nwa", "ix, iy"),
+        # zoom pyramid recomputed level-by-level from the independent point
+        # set (floor-halving + regrouping; floor() handles negative indices
+        # where DuckDB's // would truncate)
+        "tile_pyramid_nwa": f"""
+            WITH l0 AS (
+                SELECT floor((lon - {_RASTER_X0!r}) / {_RASTER_RES!r})::BIGINT AS ix,
+                       floor((lat - {_RASTER_Y0!r}) / {_RASTER_RES!r})::BIGINT AS iy,
+                       count(*)::BIGINT AS n
+                FROM read_parquet('{oracle_path('tile_pyramid_src')}')
+                GROUP BY 1, 2),
+            l1 AS (SELECT CAST(floor(ix / 2.0) AS BIGINT) AS ix,
+                          CAST(floor(iy / 2.0) AS BIGINT) AS iy,
+                          sum(n)::BIGINT AS n
+                   FROM l0 GROUP BY 1, 2),
+            l2 AS (SELECT CAST(floor(ix / 2.0) AS BIGINT) AS ix,
+                          CAST(floor(iy / 2.0) AS BIGINT) AS iy,
+                          sum(n)::BIGINT AS n
+                   FROM l1 GROUP BY 1, 2)
+            SELECT 0::BIGINT AS zoom, ix, iy, n FROM l0
+            UNION ALL SELECT 1::BIGINT, ix, iy, n FROM l1
+            UNION ALL SELECT 2::BIGINT, ix, iy, n FROM l2
+            ORDER BY zoom, ix, iy
+        """,
     }
     for layer in (
         "osmi_addresses_connection_line",

@@ -270,3 +270,57 @@ def polygonize(raster_ds, *, threshold: int = 1, x0=0.0, y0=0.0, res=0.001,
         ["comp"], num_parts, comp_reduce,
     )
     return cells_final, comps
+
+
+def tile_pyramid(raster_ds, *, levels: int = 3):
+    """Zoom-pyramid rollup of a sparse raster (the map-tile aggregation the
+    OSM Inspector serves its layers through): level 0 is the base grid, each
+    coarser level floor-halves the cell indices and sums counts.
+
+    Per level: one per-batch partial histogram over the parent cells + a
+    small (ix, iy)-keyed exchange (``grouped_agg``) — each level's row count
+    is ≤ 1/4 the previous, so the whole pyramid costs ~4/3 of one base
+    pass. Returns a pandas frame (zoom, ix, iy, n) — callers at planetary
+    scale keep the per-level Datasets instead (write_parquet per zoom).
+    """
+    from .relational import grouped_agg
+
+    def select_cells(t: pa.Table) -> pa.Table:
+        return pa.table({"ix": t["ix"], "iy": t["iy"], "n": t["n"]})
+
+    # each level is consumed twice (emitted + rolled up) and is SMALL
+    # (already cell-aggregated), so materialize to avoid re-executing the
+    # full rasterize lineage once per zoom
+    level = raster_ds.map_batches(select_cells, batch_format="pyarrow").materialize()
+    frames = []
+    for z in range(levels):
+        df = level.to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
+        df.insert(0, "zoom", np.int64(z))
+        frames.append(df)
+        if z + 1 < levels:
+
+            def parent_partial(t: pa.Table) -> pa.Table:
+                ix = t["ix"].to_numpy(zero_copy_only=False) // 2
+                iy = t["iy"].to_numpy(zero_copy_only=False) // 2
+                return (
+                    pa.table(
+                        {
+                            "ix": pa.array(ix, pa.int64()),
+                            "iy": pa.array(iy, pa.int64()),
+                            "n": t["n"],
+                        }
+                    )
+                    .group_by(["ix", "iy"], use_threads=False)
+                    .aggregate([("n", "sum")])
+                    .rename_columns(["ix", "iy", "n"])
+                )
+
+            level = grouped_agg(
+                level.map_batches(parent_partial, batch_format="pyarrow"),
+                ["ix", "iy"],
+                {"n": ("n", "sum")},
+            ).materialize()
+    out = pd.concat(frames, ignore_index=True)
+    for c in ("zoom", "ix", "iy", "n"):
+        out[c] = out[c].astype("int64")
+    return out[["zoom", "ix", "iy", "n"]]

@@ -108,3 +108,38 @@ def test_rasterize_negative_cells(ray_session):
     out = rasterize_points(ds, res=0.001).to_pandas()
     got = {(r.ix, r.iy): r.n for r in out.itertuples()}
     assert got == {(-1, -1): 1, (0, -1): 1, (-1, 0): 1}
+
+
+def test_tile_pyramid_invariants(ray_session):
+    import ray.data as rd
+
+    from osmi_addresses_ray.pipelines.raster import rasterize_points, tile_pyramid
+
+    pts = pd.DataFrame(
+        {
+            "lon": [0.0001, 0.0004, 0.0011, -0.0003, -0.0003, 0.0021],
+            "lat": [0.0001, 0.0001, 0.0009, -0.0001, -0.0001, 0.0019],
+        }
+    )
+    ds = rd.from_pandas(pts)
+    pyr = tile_pyramid(rasterize_points(ds, res=0.001))
+    # every level preserves the total count
+    assert (pyr.groupby("zoom")["n"].sum() == len(pts)).all()
+    # negative indices floor-halve (not truncate): cell (-1,-1) -> (-1,-1)
+    l1 = pyr[pyr["zoom"] == 1].set_index(["ix", "iy"])["n"]
+    assert l1.loc[(-1, -1)] == 2
+    # parent of (0,0) and (1,0) at zoom 0 merges into (0,0) at zoom 1
+    l0 = pyr[pyr["zoom"] == 0].set_index(["ix", "iy"])["n"]
+    assert l1.loc[(0, 0)] == l0.loc[(0, 0)] + l0.get((1, 0), 0)
+    # each parent equals the sum of its children between all levels
+    for z in (0, 1):
+        child = pyr[pyr["zoom"] == z].copy()
+        child["pix"] = child["ix"] // 2
+        child["piy"] = child["iy"] // 2
+        want = child.groupby(["pix", "piy"])["n"].sum().sort_index()
+        got = (
+            pyr[pyr["zoom"] == z + 1]
+            .set_index(["ix", "iy"])["n"]
+            .sort_index()
+        )
+        assert (want.to_numpy() == got.to_numpy()).all()

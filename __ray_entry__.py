@@ -225,6 +225,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_entrances_per_building": _zonal_query,
         "polygonize_nwa": _polygonize_query,
         "tile_pyramid_nwa": _pyramid_query,
+        # extra geospatial operators (pipelines/geo_ops.py)
+        "spatial_radius_join": _radius_join_query,
+        "spatial_clusters": _clusters_query,
+        "line_simplify": _line_simplify_query,
+        "convex_hull_cells": _hulls_query,
     }
     # geospatial layers over the synthesized interleaved-doc corpus (rows-only)
     for layer in (
@@ -555,6 +560,105 @@ def _pyramid_query(sf_dir: str):
         "tile_pyramid_src",
         _fixture_oracle()["osmi_addresses_nodes_with_addresses"][["lon", "lat"]],
     )
+    return out
+
+
+def _write_spatial_src():
+    """Independent point source for the radius-join family: the naive-oracle
+    nwa rows; the SQL side derives (pid, ix, iy) itself (COALESCE + 1e-7
+    quantization), so everything past the raw layer is recomputed in DuckDB."""
+    from osmi_addresses_ray.oracle import write_oracle
+
+    write_oracle(
+        "spatial_radius_src",
+        _fixture_oracle()["osmi_addresses_nodes_with_addresses"][
+            ["node_id", "way_id", "is_ip", "lon", "lat"]
+        ],
+    )
+
+
+def _radius_join_query(sf_dir: str):
+    """Exact radius self-join over fixture address points (cell-bucketed,
+    one hash exchange); TRUE SQL oracle: DuckDB O(n²) self-join with the
+    same integer-exact distance filter."""
+    from osmi_addresses_ray.pipelines.geo_ops import spatial_radius_join
+
+    out = spatial_radius_join(
+        _fixture_layers()["osmi_addresses_nodes_with_addresses"],
+        num_parts=_parts_for(FIXTURE_BLOCKS),
+    )
+    _write_spatial_src()
+    return out
+
+
+def _clusters_query(sf_dir: str):
+    """Single-linkage radius clustering (radius graph → star-contraction
+    connected components); TRUE SQL oracle: recursive-CTE reachability with
+    MIN(label) per node."""
+    from osmi_addresses_ray.pipelines.geo_ops import spatial_clusters
+
+    out = spatial_clusters(
+        _fixture_layers()["osmi_addresses_nodes_with_addresses"],
+        num_parts=_parts_for(FIXTURE_BLOCKS),
+    )
+    _write_spatial_src()
+    return out
+
+
+def _line_simplify_query(sf_dir: str):
+    """Douglas–Peucker way simplification with exact integer rational
+    comparisons; oracle = an independent RECURSIVE scalar DP over the
+    naive-parsed ways."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.geo_ops import oracle_line_simplify
+    from osmi_addresses_ray.pipelines.geo_ops import SIMPLIFY_EPS, line_simplify
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.assembly import assemble_ways
+    from osmi_addresses_ray.stages.parse import parse_docs
+
+    parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
+    ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
+    out = line_simplify(ways_geo)
+    write_oracle(
+        "line_simplify", oracle_line_simplify(fixture_table(FIXTURE_BLOCKS), SIMPLIFY_EPS)
+    )
+    return out
+
+
+def _hulls_query(sf_dir: str):
+    """Per-cell convex hull summaries (mergeable hull-of-hulls combiner);
+    oracle = scalar python-int monotone chain over the independent point
+    derivation."""
+    import numpy as np
+
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.geo_ops import oracle_convex_hulls
+    from osmi_addresses_ray.pipelines.geo_ops import (
+        HULL_CELL_UNITS,
+        QUANT,
+        _CENTROID_PID_BASE,
+        convex_hull_cells,
+    )
+
+    out = convex_hull_cells(
+        _fixture_layers()["osmi_addresses_nodes_with_addresses"],
+        num_parts=_parts_for(FIXTURE_BLOCKS),
+    )
+    onwa = _fixture_oracle()["osmi_addresses_nodes_with_addresses"]
+    onwa = onwa[onwa["is_ip"] == 0]
+    pts = (
+        onwa.assign(
+            pid=np.where(
+                onwa["node_id"].isna(),
+                _CENTROID_PID_BASE + onwa["way_id"],
+                onwa["node_id"],
+            ).astype("int64"),
+            ix=np.round(onwa["lon"] * QUANT).astype("int64"),
+            iy=np.round(onwa["lat"] * QUANT).astype("int64"),
+        )[["pid", "ix", "iy"]]
+        .drop_duplicates()
+    )
+    write_oracle("convex_hull_cells", oracle_convex_hulls(pts, HULL_CELL_UNITS))
     return out
 
 
@@ -1371,6 +1475,9 @@ def _ensure_default_oracles() -> None:
             "rasterize_nwa",
             "zonal_entrances_per_building",
             "polygonize_nwa",
+            "spatial_radius_join",
+            "line_simplify",
+            "convex_hull_cells",
         ):
             try:
                 q[name]("/root/testdata/sf0.01")
@@ -1486,6 +1593,53 @@ def _naive_oracle_sql() -> dict[str, str]:
             GROUP BY poly_id ORDER BY poly_id
         """,
         "polygonize_nwa": read_parquet_sql("polygonize_nwa", "ix, iy"),
+        # TRUE SQL radius self-join: DuckDB derives the integer point set
+        # from the independent nwa recomputation and does the O(n²) sweep
+        # with the identical exact-integer distance filter
+        "spatial_radius_join": f"""
+            WITH pts AS (
+                SELECT DISTINCT
+                       CAST(COALESCE(node_id, 10000000 + way_id) AS BIGINT) AS pid,
+                       CAST(round(lon * 10000000) AS BIGINT) AS ix,
+                       CAST(round(lat * 10000000) AS BIGINT) AS iy
+                FROM read_parquet('{oracle_path('spatial_radius_src')}')
+                WHERE is_ip = 0
+            )
+            SELECT a.pid AS id_a, b.pid AS id_b,
+                   (a.ix - b.ix) * (a.ix - b.ix)
+                   + (a.iy - b.iy) * (a.iy - b.iy) AS dist2
+            FROM pts a JOIN pts b ON a.pid < b.pid
+            WHERE (a.ix - b.ix) * (a.ix - b.ix)
+                  + (a.iy - b.iy) * (a.iy - b.iy) <= 100000000
+            ORDER BY id_a, id_b
+        """,
+        # TRUE SQL connected components: recursive-CTE reachability over the
+        # radius graph, component label = MIN reachable pid
+        "spatial_clusters": f"""
+            WITH RECURSIVE pts AS (
+                SELECT DISTINCT
+                       CAST(COALESCE(node_id, 10000000 + way_id) AS BIGINT) AS pid,
+                       CAST(round(lon * 10000000) AS BIGINT) AS ix,
+                       CAST(round(lat * 10000000) AS BIGINT) AS iy
+                FROM read_parquet('{oracle_path('spatial_radius_src')}')
+                WHERE is_ip = 0
+            ),
+            edges AS (
+                SELECT a.pid AS u, b.pid AS v
+                FROM pts a JOIN pts b ON a.pid <> b.pid
+                WHERE (a.ix - b.ix) * (a.ix - b.ix)
+                      + (a.iy - b.iy) * (a.iy - b.iy) <= 100000000
+            ),
+            reach(a, b) AS (
+                SELECT pid, pid FROM pts
+                UNION
+                SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+            )
+            SELECT a AS pid, MIN(b) AS cluster_id FROM reach GROUP BY a
+            ORDER BY pid
+        """,
+        "line_simplify": read_parquet_sql("line_simplify", "way_id, seq"),
+        "convex_hull_cells": read_parquet_sql("convex_hull_cells", "cell_x, cell_y"),
         # zoom pyramid recomputed level-by-level from the independent point
         # set (floor-halving + regrouping; floor() handles negative indices
         # where DuckDB's // would truncate)

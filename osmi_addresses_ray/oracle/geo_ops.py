@@ -1,0 +1,135 @@
+"""Independent naive oracles for the extra geospatial operators
+(pipelines/geo_ops.py). No engine imports beyond the shared naive parser —
+scalar Python ints throughout, structured differently from the engine's
+vectorized kernels so a shared bug can't cancel out.
+
+The radius self-join and spatial clusters need no Python oracle: their
+oracle_sql() is TRUE DuckDB SQL (O(n²) self-join / recursive-CTE reachability)
+over the independently recomputed point parquet (``spatial_radius_src``).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from .layers import parse_entities
+
+QUANT = 10_000_000
+
+
+def _way_points(docs) -> list[tuple[int, list[tuple[int, int]]]]:
+    """Naive-parse → [(way_id, [(ix, iy), ...])] for every way with ≥2 fully
+    resolvable refs and nonzero extent (the engine's assembled-way gate,
+    stages/assembly.py)."""
+    ents = parse_entities(docs)
+    nodes = {e["id"]: e for e in ents if e["etype"] == "node"}
+    out = []
+    for e in ents:
+        if e["etype"] != "way" or len(e["refs"]) < 2:
+            continue
+        if any(r not in nodes for r in e["refs"]):
+            continue
+        pts = [
+            (round(nodes[r]["lon"] * QUANT), round(nodes[r]["lat"] * QUANT))
+            for r in e["refs"]
+        ]
+        if all(p == pts[0] for p in pts):
+            continue
+        out.append((e["id"], pts))
+    return out
+
+
+def _dp(pts: list[tuple[int, int]], eps: int) -> list[int]:
+    """Recursive Douglas–Peucker over python ints (spec mirror of
+    pipelines/geo_ops.douglas_peucker, deliberately recursive not stacked):
+    perpendicular-LINE distance via cross² > eps²·len²; equal anchors fall
+    back to point distance; split at the FIRST max index."""
+    n = len(pts)
+    if n <= 2:
+        return list(range(n))
+    eps2 = eps * eps
+    ax, ay = pts[0]
+    bx, by = pts[-1]
+    dx, dy = bx - ax, by - ay
+    len2 = dx * dx + dy * dy
+    best_i, best_v = -1, -1
+    for i in range(1, n - 1):
+        px, py = pts[i]
+        if len2 == 0:
+            v = (px - ax) * (px - ax) + (py - ay) * (py - ay)
+            thresh = eps2
+        else:
+            c = dx * (py - ay) - dy * (px - ax)
+            v = c * c
+            thresh = eps2 * len2
+        if v > best_v:
+            best_i, best_v = i, v
+    # recompute the threshold for the winner (len2 is span-constant)
+    limit = eps2 if len2 == 0 else eps2 * len2
+    if best_v <= limit:
+        return [0, n - 1]
+    left = _dp(pts[: best_i + 1], eps)
+    right = _dp(pts[best_i:], eps)
+    return left + [best_i + r for r in right[1:]]
+
+
+def oracle_line_simplify(docs, eps: int) -> pd.DataFrame:
+    rows = []
+    for way_id, pts in _way_points(docs):
+        for seq, i in enumerate(_dp(pts, eps)):
+            rows.append(
+                {"way_id": way_id, "seq": seq, "ix": pts[i][0], "iy": pts[i][1]}
+            )
+    df = pd.DataFrame(rows, columns=["way_id", "seq", "ix", "iy"])
+    return df.astype({"way_id": "int64", "seq": "int32", "ix": "int64", "iy": "int64"})
+
+
+def _cross(o, a, b) -> int:
+    return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+
+def _chain(pts: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Scalar monotone chain, strict turns (collinear dropped)."""
+    pts = sorted(set(pts))
+    if len(pts) <= 2:
+        return pts
+    lower: list[tuple[int, int]] = []
+    for p in pts:
+        while len(lower) >= 2 and _cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list[tuple[int, int]] = []
+    for p in reversed(pts):
+        while len(upper) >= 2 and _cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    return lower[:-1] + upper[:-1]
+
+
+def oracle_convex_hulls(points_df: pd.DataFrame, cell: int) -> pd.DataFrame:
+    """points_df has (pid, ix, iy) — the same derivation the SQL oracle uses
+    (COALESCE'd ids over the independent nwa recomputation)."""
+    groups: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for ix, iy in zip(points_df["ix"], points_df["iy"]):
+        key = (int(ix) // cell, int(iy) // cell)
+        groups.setdefault(key, []).append((int(ix), int(iy)))
+    rows = []
+    for (cx, cy), pts in sorted(groups.items()):
+        hull = _chain(pts)
+        area2 = 0
+        if len(hull) >= 3:
+            for i in range(len(hull)):
+                x1, y1 = hull[i]
+                x2, y2 = hull[(i + 1) % len(hull)]
+                area2 += x1 * y2 - x2 * y1
+        rows.append(
+            {
+                "cell_x": cx,
+                "cell_y": cy,
+                "n_pts": len(pts),  # point ROWS (pids), not distinct coords
+                "n_hull": len(hull),
+                "area2": area2,
+            }
+        )
+    df = pd.DataFrame(rows, columns=["cell_x", "cell_y", "n_pts", "n_hull", "area2"])
+    return df.astype("int64")

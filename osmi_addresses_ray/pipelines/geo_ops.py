@@ -1,0 +1,523 @@
+"""Extra geospatial operators over the address-point / way-geometry layers.
+
+Four operator families the reference's SpatiaLite consumers run as ad-hoc
+spatial SQL, rebuilt Ray-Data-first (north_rule: spatial-join + tiling engine
+— kNN, PIP, raster↔vector are elsewhere; this module adds the radius
+self-join, density clustering, geometry simplification and per-cell convex
+summaries):
+
+- ``radius_pairs``         — all point pairs within R, cell-bucketed with a
+                             3×3 neighbor replication of the probe side; one
+                             hash exchange, each qualifying pair emitted
+                             EXACTLY once (proof in the docstring).
+- ``spatial_clusters``     — single-linkage radius clustering (DBSCAN with
+                             minPts=1): radius graph → the repo's
+                             large-star/small-star connected components.
+- ``douglas_peucker`` /
+  ``simplify_ways``        — classic DP line simplification with EXACT
+                             integer rational comparisons (cross² vs
+                             ε²·len²), per-way inside ``map_batches``.
+- ``convex_hulls``         — per-cell convex hull via the MERGEABLE
+                             hull-of-hulls combiner: each batch emits only
+                             its partial hull (O(h) rows), one cell-keyed
+                             exchange finishes — the full point set never
+                             shuffles.
+
+All geometry is in libosmium-quantized integer coordinates (1e-7°,
+``stages/parse.py``), so every comparison here is integer-exact and the
+DuckDB / naive-Python oracles can reproduce results bit-for-bit.
+
+Scale notes (100 TB): the radius join's bucket width equals R, so a pair's
+two endpoints are never more than one cell apart — replication is a constant
+9× of the probe side only, and the exchange key is the cell id (same key the
+flagship J2 match uses, so a fused pipeline re-uses the co-location). Skewed
+(urban) cells are the documented risk: the per-cell candidate count is
+quadratic, so ``cell_cap`` RAISES (no silent truncation) and the remedy is
+the same salting used for mega-cells in the match stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+QUANT = 10_000_000  # 1e-7° integer quantization (libosmium scale)
+_CELL_BIAS = 1 << 25
+_CENTROID_PID_BASE = 10_000_000  # building-centroid rows get way_id + base
+
+_POINT_SCHEMA = pa.schema([("pid", pa.int64()), ("ix", pa.int64()), ("iy", pa.int64())])
+_EMIT_SCHEMA = pa.schema(
+    [
+        ("cell", pa.int64()),
+        ("side", pa.int8()),
+        ("pid", pa.int64()),
+        ("ix", pa.int64()),
+        ("iy", pa.int64()),
+    ]
+)
+_PAIR_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()), ("dist2", pa.int64())])
+_HULL_PART_SCHEMA = pa.schema(
+    [
+        ("cell_x", pa.int64()),
+        ("cell_y", pa.int64()),
+        ("ix", pa.int64()),
+        ("iy", pa.int64()),
+        ("cnt", pa.int64()),
+    ]
+)
+_HULL_OUT_SCHEMA = pa.schema(
+    [
+        ("cell_x", pa.int64()),
+        ("cell_y", pa.int64()),
+        ("n_pts", pa.int64()),
+        ("n_hull", pa.int64()),
+        ("area2", pa.int64()),
+    ]
+)
+
+
+# --------------------------------------------------------------------------
+# point extraction from the nodes_with_addresses layer
+# --------------------------------------------------------------------------
+
+def _points_table(t: pa.Table) -> pa.Table:
+    """nwa batch → distinct (pid, ix, iy): real address points only
+    (is_ip == 0), pid = node_id for nodes, way_id + 1e7 for the
+    building-centroid rows (node_id null there). Mirrored by the oracle SQL
+    (COALESCE + the same bias)."""
+    import pyarrow.compute as pc
+
+    s = t.filter(pc.equal(t["is_ip"], 0))
+    node = s["node_id"].to_numpy(zero_copy_only=False)
+    way = s["way_id"].to_numpy(zero_copy_only=False)
+    pid = np.where(np.isnan(node), _CENTROID_PID_BASE + way, node).astype(np.int64)
+    ix = np.round(s["lon"].to_numpy(zero_copy_only=False) * QUANT).astype(np.int64)
+    iy = np.round(s["lat"].to_numpy(zero_copy_only=False) * QUANT).astype(np.int64)
+    out = pa.table({"pid": pa.array(pid), "ix": pa.array(ix), "iy": pa.array(iy)})
+    # distinct within the batch; cross-batch dupes impossible (one nwa row
+    # per source entity), asserted cheap here rather than trusted
+    return out.group_by(["pid", "ix", "iy"]).aggregate([]).cast(_POINT_SCHEMA)
+
+
+def points_from_nwa(nwa_ds):
+    """nodes_with_addresses layer Dataset → (pid, ix, iy) point Dataset."""
+    return nwa_ds.map_batches(_points_table, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# radius self-join
+# --------------------------------------------------------------------------
+
+def _cell_key(cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
+    """Biased int64 pack of a (possibly negative) cell coordinate pair."""
+    return (cx + _CELL_BIAS) * (1 << 26) + (cy + _CELL_BIAS)
+
+
+def radius_pairs(points_ds, *, radius: int, num_parts: int = 8, cell_cap: int = 100_000):
+    """All unordered point pairs with squared distance ≤ radius² (integer
+    units), emitted exactly once as (id_a < id_b, dist2).
+
+    Shape: bucket width = radius, so any qualifying pair sits in the same or
+    an adjacent cell. Each point is emitted once as a LEFT row in its home
+    cell and 9× as a RIGHT row into the 3×3 neighborhood; per cell the
+    (left × right) product is swept vectorized. Uniqueness proof: pair
+    (a, b) with a.pid < b.pid is produced only where a is a LEFT row — a is
+    LEFT exactly once (its home cell), and b's replica is present there
+    because |cell(a) − cell(b)| ≤ 1 per axis; the mirrored candidate in
+    cell(b) fails the pid ordering. One hash exchange on the cell id.
+
+    ``cell_cap`` bounds the per-cell product and RAISES when exceeded (the
+    repo's no-silent-caps rule) — at that density the caller should shrink
+    the radius or salt the hot cell like the J2 mega-cell path.
+    """
+    from ..ops import direct_cogroup
+
+    r2 = int(radius) * int(radius)
+
+    def emit(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMIT_SCHEMA.empty_table()
+        pid = t["pid"].to_numpy(zero_copy_only=False)
+        ix = t["ix"].to_numpy(zero_copy_only=False)
+        iy = t["iy"].to_numpy(zero_copy_only=False)
+        cx = ix // radius
+        cy = iy // radius
+        n = len(pid)
+        # home (left) rows
+        home = _cell_key(cx, cy)
+        # 3×3 replica (right) rows — outer add against the 9 offset pairs,
+        # row-major ravel matching np.repeat(pid, 9) below
+        dxy = np.array([-1, 0, 1], dtype=np.int64)
+        offx = np.repeat(dxy, 3)
+        offy = np.tile(dxy, 3)
+        rep = _cell_key((cx[:, None] + offx[None, :]).ravel(),
+                        (cy[:, None] + offy[None, :]).ravel())
+        cell = np.concatenate([home, rep])
+        side = np.concatenate(
+            [np.zeros(n, np.int8), np.ones(9 * n, np.int8)]
+        )
+        pid9 = np.concatenate([pid, np.repeat(pid, 9)])
+        ix9 = np.concatenate([ix, np.repeat(ix, 9)])
+        iy9 = np.concatenate([iy, np.repeat(iy, 9)])
+        return pa.table(
+            {
+                "cell": pa.array(cell),
+                "side": pa.array(side),
+                "pid": pa.array(pid9),
+                "ix": pa.array(ix9),
+                "iy": pa.array(iy9),
+            }
+        )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PAIR_SCHEMA.empty_table()
+        cell = t["cell"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        pid = t["pid"].to_numpy(zero_copy_only=False)
+        ix = t["ix"].to_numpy(zero_copy_only=False)
+        iy = t["iy"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, cell))
+        cell, side, pid, ix, iy = cell[order], side[order], pid[order], ix[order], iy[order]
+        new = np.empty(len(cell), bool)
+        new[0] = True
+        new[1:] = cell[1:] != cell[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(cell))
+        nl = np.add.reduceat((side == 0).astype(np.int64), starts)
+        nc = ends - starts
+        nr = nc - nl
+        if int((nl * nr).max(initial=0)) > cell_cap:
+            raise RuntimeError(
+                f"radius_pairs: a cell's candidate product exceeds cell_cap={cell_cap}; "
+                "shrink the radius or salt the hot cell"
+            )
+        # per-left expansion: lefts are the side==0 rows (sorted first per cell)
+        left_idx = np.flatnonzero(side == 0)
+        spans = np.repeat(nr, nl)  # candidate count for each left row
+        total = int(spans.sum())
+        if total == 0:
+            return _PAIR_SCHEMA.empty_table()
+        right_start = np.repeat(starts + nl, nl)
+        cum = np.cumsum(spans) - spans
+        inner = np.arange(total, dtype=np.int64) - np.repeat(cum, spans)
+        li = np.repeat(left_idx, spans)
+        ri = np.repeat(right_start, spans) + inner
+        dx = ix[li] - ix[ri]
+        dy = iy[li] - iy[ri]
+        d2 = dx * dx + dy * dy
+        keep = (d2 <= r2) & (pid[li] < pid[ri])
+        return pa.table(
+            {
+                "id_a": pa.array(pid[li][keep]),
+                "id_b": pa.array(pid[ri][keep]),
+                "dist2": pa.array(d2[keep]),
+            }
+        )
+
+    emitted = points_ds.map_batches(emit, batch_format="pyarrow").materialize()
+    return direct_cogroup([emitted], [["cell"]], num_parts, sweep, [_EMIT_SCHEMA])
+
+
+# --------------------------------------------------------------------------
+# single-linkage radius clustering
+# --------------------------------------------------------------------------
+
+def cluster_points(points_ds, *, radius: int, num_parts: int = 8):
+    """(pid, cluster_id) for every point: cluster = min pid of its
+    radius-graph connected component (self when isolated). Radius graph via
+    ``radius_pairs``, components via the repo's star-contraction
+    ``connected_components`` (O(log² n) node-keyed exchanges over the edge
+    list only), final assignment one pid-keyed cogroup of points × star
+    edges — the point set shuffles exactly once."""
+    from ..ops import direct_cogroup
+    from .dedup import connected_components
+
+    points = points_ds.materialize()
+    pairs = radius_pairs(points, radius=radius, num_parts=num_parts)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"u": t["id_a"], "v": t["id_b"]})
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+    stars = connected_components(edges, num_parts=num_parts)
+
+    edge_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+    out_schema = pa.schema([("pid", pa.int64()), ("cluster_id", pa.int64())])
+
+    def assign(pts_t: pa.Table, stars_t: pa.Table) -> pa.Table:
+        ids = pts_t["pid"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        rep = ids.copy()
+        if stars_t.num_rows:
+            child = stars_t["u"].to_numpy(zero_copy_only=False)
+            root = stars_t["v"].to_numpy(zero_copy_only=False)
+            order = np.argsort(child, kind="stable")
+            child, root = child[order], root[order]
+            pos = np.clip(np.searchsorted(child, ids), 0, len(child) - 1)
+            hit = child[pos] == ids
+            rep[hit] = root[pos[hit]]
+        return pa.table({"pid": pa.array(ids), "cluster_id": pa.array(rep)}).cast(out_schema)
+
+    return direct_cogroup(
+        [points, stars], [["pid"], ["u"]], num_parts, assign, [_POINT_SCHEMA, edge_schema]
+    )
+
+
+# --------------------------------------------------------------------------
+# Douglas–Peucker simplification (exact integer comparisons)
+# --------------------------------------------------------------------------
+
+def douglas_peucker(xs: np.ndarray, ys: np.ndarray, eps: int) -> np.ndarray:
+    """Indices kept by DP at tolerance ``eps`` (integer coordinate units).
+
+    Exact arithmetic: a point survives iff its perpendicular distance to the
+    anchor LINE exceeds eps, decided as cross² > eps²·len² in int64 (no
+    sqrt, no float). Closed/degenerate spans (anchor points equal) fall back
+    to max point-to-anchor distance, compared as d² > eps². The split vertex
+    is the FIRST index attaining the maximum. Iterative stack with a
+    vectorized per-span sweep — per-way work is O(n·depth) numpy, no Python
+    loop over vertices."""
+    n = len(xs)
+    if n <= 2:
+        return np.arange(n, dtype=np.int64)
+    xs = xs.astype(np.int64, copy=False)
+    ys = ys.astype(np.int64, copy=False)
+    eps2 = int(eps) * int(eps)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        px = xs[a + 1 : b]
+        py = ys[a + 1 : b]
+        dx = xs[b] - xs[a]
+        dy = ys[b] - ys[a]
+        len2 = dx * dx + dy * dy
+        if len2 == 0:
+            d = (px - xs[a]) ** 2 + (py - ys[a]) ** 2
+            k = int(np.argmax(d))
+            if int(d[k]) > eps2:
+                keep[a + 1 + k] = True
+                stack.append((a, a + 1 + k))
+                stack.append((a + 1 + k, b))
+        else:
+            cross = dx * (py - ys[a]) - dy * (px - xs[a])
+            num = cross * cross
+            k = int(np.argmax(num))
+            if int(num[k]) > eps2 * int(len2):
+                keep[a + 1 + k] = True
+                stack.append((a, a + 1 + k))
+                stack.append((a + 1 + k, b))
+    return np.flatnonzero(keep).astype(np.int64)
+
+
+def simplify_ways(ways_geo_ds, *, eps: int):
+    """DP-simplify every nonzero-length way: → one row per KEPT vertex
+    (way_id, seq, ix, iy). Runs per-way inside ``map_batches`` (ways are
+    short; parallelism comes from way partitioning, reference geometries
+    average <20 vertices — see SURVEY §2.3 M3 bbox note)."""
+    out_schema = pa.schema(
+        [("way_id", pa.int64()), ("seq", pa.int32()), ("ix", pa.int64()), ("iy", pa.int64())]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = t.filter(t["nonzero"])
+        if s.num_rows == 0:
+            return out_schema.empty_table()
+        xs_col = s["xs"].combine_chunks() if isinstance(s["xs"], pa.ChunkedArray) else s["xs"]
+        ys_col = s["ys"].combine_chunks() if isinstance(s["ys"], pa.ChunkedArray) else s["ys"]
+        offs = np.asarray(xs_col.offsets, np.int64)
+        offs = offs - offs[0]
+        fx = np.round(np.asarray(xs_col.flatten(), np.float64) * QUANT).astype(np.int64)
+        fy = np.round(np.asarray(ys_col.flatten(), np.float64) * QUANT).astype(np.int64)
+        wid = s["way_id"].to_numpy(zero_copy_only=False)
+        w_out, seq_out, ix_out, iy_out = [], [], [], []
+        for i in range(len(wid)):
+            lo, hi = offs[i], offs[i + 1]
+            kept = douglas_peucker(fx[lo:hi], fy[lo:hi], eps)
+            w_out.append(np.full(len(kept), wid[i], np.int64))
+            seq_out.append(np.arange(len(kept), dtype=np.int32))
+            ix_out.append(fx[lo + kept])
+            iy_out.append(fy[lo + kept])
+        return pa.table(
+            {
+                "way_id": pa.array(np.concatenate(w_out)),
+                "seq": pa.array(np.concatenate(seq_out)),
+                "ix": pa.array(np.concatenate(ix_out)),
+                "iy": pa.array(np.concatenate(iy_out)),
+            }
+        ).cast(out_schema)
+
+    return ways_geo_ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# per-cell convex hulls (mergeable combiner)
+# --------------------------------------------------------------------------
+
+def monotone_chain(ix: np.ndarray, iy: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Strictly-convex hull (Andrew's monotone chain) over integer points →
+    (hx, hy) in CCW order starting at the lexicographically smallest point.
+    Collinear boundary points are DROPPED (strict turns), which is what
+    makes hull-of-hulls an exact combiner: a dropped point lies in the
+    convex span of kept ones, so it can never be a strict vertex later."""
+    pts = np.unique(np.stack([ix.astype(np.int64), iy.astype(np.int64)], axis=1), axis=0)
+    n = len(pts)
+    if n <= 2:
+        return pts[:, 0], pts[:, 1]
+
+    def half(p):
+        h = []
+        for q in p:
+            while len(h) >= 2:
+                ox, oy = h[-2]
+                ax, ay = h[-1]
+                if (int(ax - ox) * int(q[1] - oy) - int(ay - oy) * int(q[0] - ox)) <= 0:
+                    h.pop()
+                else:
+                    break
+            h.append((int(q[0]), int(q[1])))
+        return h[:-1]
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    hull = lower + upper
+    hx = np.array([p[0] for p in hull], np.int64)
+    hy = np.array([p[1] for p in hull], np.int64)
+    return hx, hy
+
+
+def _hull_area2(hx: np.ndarray, hy: np.ndarray) -> int:
+    """Doubled signed shoelace area of a CCW hull (exact int; ≥ 0)."""
+    if len(hx) < 3:
+        return 0
+    x2 = np.append(hx, hx[0])
+    y2 = np.append(hy, hy[0])
+    return int(np.sum(x2[:-1] * y2[1:] - x2[1:] * y2[:-1], dtype=np.int64))
+
+
+def _per_cell_hulls(cell_x, cell_y, ix, iy, cnt=None):
+    """Group points by cell (lexsort) and chain each group → partial-hull
+    rows (cell_x, cell_y, ix, iy, cnt) with the group's point count carried
+    on its first row only (summed downstream for n_pts)."""
+    order = np.lexsort((cell_y, cell_x))
+    cell_x, cell_y, ix, iy = cell_x[order], cell_y[order], ix[order], iy[order]
+    cw = cnt[order] if cnt is not None else np.ones(len(ix), np.int64)
+    key = _cell_key(cell_x, cell_y)
+    new = np.empty(len(key), bool)
+    if len(key):
+        new[0] = True
+        new[1:] = key[1:] != key[:-1]
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], len(key))
+    rows = {"cell_x": [], "cell_y": [], "ix": [], "iy": [], "cnt": []}
+    for s, e in zip(starts, ends):
+        hx, hy = monotone_chain(ix[s:e], iy[s:e])
+        m = len(hx)
+        rows["cell_x"].append(np.full(m, cell_x[s], np.int64))
+        rows["cell_y"].append(np.full(m, cell_y[s], np.int64))
+        rows["ix"].append(hx)
+        rows["iy"].append(hy)
+        c = np.zeros(m, np.int64)
+        c[0] = int(cw[s:e].sum())
+        rows["cnt"].append(c)
+    if not rows["ix"]:
+        return _HULL_PART_SCHEMA.empty_table()
+    return pa.table({k: pa.array(np.concatenate(v)) for k, v in rows.items()}).cast(
+        _HULL_PART_SCHEMA
+    )
+
+
+def convex_hulls(points_ds, *, cell: int, num_parts: int = 8):
+    """Per-cell convex hull summary: (cell_x, cell_y, n_pts, n_hull, area2).
+
+    Two-level: every batch reduces its points to partial hulls (O(h) rows
+    out, the mergeable-combiner pattern — the raw point set never enters the
+    exchange), then ONE cell-keyed cogroup chains the union of partials.
+    area2 is the exact doubled integer shoelace (0 for degenerate cells)."""
+    from ..ops import direct_cogroup
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _HULL_PART_SCHEMA.empty_table()
+        ix = t["ix"].to_numpy(zero_copy_only=False)
+        iy = t["iy"].to_numpy(zero_copy_only=False)
+        return _per_cell_hulls(ix // cell, iy // cell, ix, iy)
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _HULL_OUT_SCHEMA.empty_table()
+        merged = _per_cell_hulls(
+            t["cell_x"].to_numpy(zero_copy_only=False),
+            t["cell_y"].to_numpy(zero_copy_only=False),
+            t["ix"].to_numpy(zero_copy_only=False),
+            t["iy"].to_numpy(zero_copy_only=False),
+            cnt=t["cnt"].to_numpy(zero_copy_only=False),
+        )
+        cx = merged["cell_x"].to_numpy(zero_copy_only=False)
+        cy = merged["cell_y"].to_numpy(zero_copy_only=False)
+        hx = merged["ix"].to_numpy(zero_copy_only=False)
+        hy = merged["iy"].to_numpy(zero_copy_only=False)
+        cw = merged["cnt"].to_numpy(zero_copy_only=False)
+        key = _cell_key(cx, cy)
+        new = np.empty(len(key), bool)
+        new[0] = True
+        new[1:] = key[1:] != key[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(key))
+        out = {"cell_x": [], "cell_y": [], "n_pts": [], "n_hull": [], "area2": []}
+        for s, e in zip(starts, ends):
+            out["cell_x"].append(int(cx[s]))
+            out["cell_y"].append(int(cy[s]))
+            out["n_pts"].append(int(cw[s:e].sum()))
+            out["n_hull"].append(int(e - s))
+            out["area2"].append(_hull_area2(hx[s:e], hy[s:e]))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()}).cast(
+            _HULL_OUT_SCHEMA
+        )
+
+    partials = points_ds.map_batches(partial, batch_format="pyarrow").materialize()
+    return direct_cogroup(
+        [partials], [["cell_x", "cell_y"]], num_parts, final, [_HULL_PART_SCHEMA]
+    )
+
+
+# --------------------------------------------------------------------------
+# driver-contract wrappers (fixture corpus; oracles in oracle/geo_ops.py)
+# --------------------------------------------------------------------------
+
+RADIUS_UNITS = 10_000  # 0.001° — intra-block pairs only on the fixture grid
+HULL_CELL_UNITS = 100_000  # ~3 fixture blocks per cell
+SIMPLIFY_EPS = 2_000  # 0.0002° — drops the right-angle building corners
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def spatial_radius_join(nwa_ds, *, num_parts: int = 8) -> pd.DataFrame:
+    pts = points_from_nwa(nwa_ds)
+    df = radius_pairs(pts, radius=RADIUS_UNITS, num_parts=num_parts).to_pandas()
+    return _sorted(df.astype({"id_a": "int64", "id_b": "int64", "dist2": "int64"}))
+
+
+def spatial_clusters(nwa_ds, *, num_parts: int = 8) -> pd.DataFrame:
+    pts = points_from_nwa(nwa_ds)
+    df = cluster_points(pts, radius=RADIUS_UNITS, num_parts=num_parts).to_pandas()
+    return _sorted(df.astype({"pid": "int64", "cluster_id": "int64"}))
+
+
+def line_simplify(ways_geo_ds) -> pd.DataFrame:
+    df = simplify_ways(ways_geo_ds, eps=SIMPLIFY_EPS).to_pandas()
+    return _sorted(
+        df.astype({"way_id": "int64", "seq": "int32", "ix": "int64", "iy": "int64"})
+    )
+
+
+def convex_hull_cells(nwa_ds, *, num_parts: int = 8) -> pd.DataFrame:
+    pts = points_from_nwa(nwa_ds)
+    df = convex_hulls(pts, cell=HULL_CELL_UNITS, num_parts=num_parts).to_pandas()
+    return _sorted(df.astype({c: "int64" for c in df.columns}))

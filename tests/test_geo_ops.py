@@ -1,0 +1,156 @@
+"""Unit tests for the extra geospatial operators (pipelines/geo_ops.py):
+exactness of the radius join vs an in-test brute force, cluster labels vs an
+in-test union-find, DP and hull kernels on hand-built geometries, and the
+hull combiner's cross-batch merge property."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from osmi_addresses_ray.pipelines.geo_ops import (
+    cluster_points,
+    convex_hulls,
+    douglas_peucker,
+    monotone_chain,
+    radius_pairs,
+)
+
+
+def _points_ds(pid, ix, iy, *, blocks=1):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "pid": pa.array(np.asarray(pid, np.int64)),
+            "ix": pa.array(np.asarray(ix, np.int64)),
+            "iy": pa.array(np.asarray(iy, np.int64)),
+        }
+    )
+    if blocks == 1:
+        return rd.from_arrow(t)
+    step = max(1, t.num_rows // blocks)
+    return rd.from_arrow_refs(
+        [__import__("ray").put(t.slice(i, step)) for i in range(0, t.num_rows, step)]
+    )
+
+
+def _brute_pairs(pid, ix, iy, r):
+    out = set()
+    for i in range(len(pid)):
+        for j in range(len(pid)):
+            d2 = (ix[i] - ix[j]) ** 2 + (iy[i] - iy[j]) ** 2
+            if d2 <= r * r and pid[i] < pid[j]:
+                out.add((pid[i], pid[j], d2))
+    return out
+
+
+def test_radius_pairs_matches_bruteforce(ray_session):
+    rng = np.random.RandomState(7)
+    n = 120
+    pid = np.arange(1000, 1000 + n)
+    # cluster points around a few centers so cells both split and share pairs;
+    # include negative coordinates to exercise the biased cell pack
+    centers = rng.randint(-50_000, 50_000, size=(6, 2))
+    which = rng.randint(0, 6, n)
+    ix = centers[which, 0] + rng.randint(-6_000, 6_000, n)
+    iy = centers[which, 1] + rng.randint(-6_000, 6_000, n)
+    got = radius_pairs(_points_ds(pid, ix, iy, blocks=5), radius=5_000, num_parts=4)
+    gdf = got.to_pandas()
+    got_set = set(zip(gdf["id_a"], gdf["id_b"], gdf["dist2"]))
+    assert len(got_set) == len(gdf), "duplicate pair emitted"
+    assert got_set == _brute_pairs(pid, ix, iy, 5_000)
+
+
+def test_radius_pairs_boundary_inclusive(ray_session):
+    # d² == R² must be included (the SQL oracle uses <=)
+    ds = _points_ds([1, 2], [0, 3000], [0, 4000])
+    df = radius_pairs(ds, radius=5000, num_parts=2).to_pandas()
+    assert df.to_dict("records") == [{"id_a": 1, "id_b": 2, "dist2": 25_000_000}]
+    df2 = radius_pairs(ds, radius=4999, num_parts=2).to_pandas()
+    assert len(df2) == 0
+
+
+def test_radius_pairs_cell_cap_raises(ray_session):
+    n = 40
+    ds = _points_ds(np.arange(n), np.zeros(n), np.zeros(n))
+    with pytest.raises((RuntimeError, Exception), match="cell_cap"):
+        radius_pairs(ds, radius=10, num_parts=2, cell_cap=100).to_pandas()
+
+
+def test_cluster_points_chain_and_isolated(ray_session):
+    # chain 1-2-3-4 spans cells (each hop within R, ends far apart) + isolated 99
+    pid = [1, 2, 3, 4, 99]
+    ix = [0, 4000, 8000, 12000, 100000]
+    iy = [0, 0, 0, 0, 0]
+    df = (
+        cluster_points(_points_ds(pid, ix, iy), radius=5000, num_parts=3)
+        .to_pandas()
+        .sort_values("pid")
+        .reset_index(drop=True)
+    )
+    assert df["pid"].tolist() == [1, 2, 3, 4, 99]
+    assert df["cluster_id"].tolist() == [1, 1, 1, 1, 99]
+
+
+def test_douglas_peucker_kernel():
+    # straight collinear run collapses to endpoints at any eps > 0
+    xs = np.array([0, 10, 20, 30], np.int64)
+    ys = np.array([0, 0, 0, 0], np.int64)
+    assert douglas_peucker(xs, ys, 1).tolist() == [0, 3]
+    # spike above eps survives
+    ys2 = np.array([0, 50, 0, 0], np.int64)
+    assert douglas_peucker(xs, ys2, 10).tolist() == [0, 1, 3]
+    # exact threshold: distance == eps is DROPPED (strict >)
+    xs3 = np.array([0, 5, 10], np.int64)
+    ys3 = np.array([0, 3, 0], np.int64)
+    assert douglas_peucker(xs3, ys3, 3).tolist() == [0, 2]
+    assert douglas_peucker(xs3, ys3, 2).tolist() == [0, 1, 2]
+    # closed ring (first == last): degenerate anchor falls back to point
+    # distance; far corner splits, near corners drop
+    rx = np.array([0, 2000, 2000, 0, 0], np.int64)
+    ry = np.array([0, 0, 2000, 2000, 0], np.int64)
+    kept = douglas_peucker(rx, ry, 2000).tolist()
+    assert kept == [0, 2, 4]  # diagonal corner survives (2828 > 2000)
+
+
+def test_monotone_chain_kernel():
+    # square + center + edge midpoint: midpoint (collinear) and center drop
+    ix = np.array([0, 10, 10, 0, 5, 5], np.int64)
+    iy = np.array([0, 0, 10, 10, 5, 0], np.int64)
+    hx, hy = monotone_chain(ix, iy)
+    assert sorted(zip(hx, hy)) == [(0, 0), (0, 10), (10, 0), (10, 10)]
+    # CCW from the lexicographic minimum
+    assert (hx[0], hy[0]) == (0, 0)
+    # degenerate: single + duplicate points
+    hx1, hy1 = monotone_chain(np.array([3, 3]), np.array([4, 4]))
+    assert len(hx1) == 1
+    # collinear set → 2 endpoints
+    hx2, hy2 = monotone_chain(np.array([0, 5, 10]), np.array([0, 5, 10]))
+    assert sorted(zip(hx2, hy2)) == [(0, 0), (10, 10)]
+
+
+def test_convex_hulls_cross_batch_merge(ray_session):
+    """Splitting the point set across many blocks must not change the hull
+    summary (hull-of-hulls combiner exactness)."""
+    from osmi_addresses_ray.oracle.geo_ops import oracle_convex_hulls
+
+    import pandas as pd
+
+    rng = np.random.RandomState(11)
+    n = 200
+    pid = np.arange(n)
+    ix = rng.randint(-120_000, 120_000, n)
+    iy = rng.randint(-120_000, 120_000, n)
+    out = (
+        convex_hulls(_points_ds(pid, ix, iy, blocks=9), cell=80_000, num_parts=4)
+        .to_pandas()
+        .sort_values(["cell_x", "cell_y"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    exp = (
+        oracle_convex_hulls(pd.DataFrame({"pid": pid, "ix": ix, "iy": iy}), 80_000)
+        .sort_values(["cell_x", "cell_y"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp)

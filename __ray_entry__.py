@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_distinct_users_per_type": relational.q_distinct_users_per_type,
         "q_price_quantiles_cont": relational.q_price_quantiles_cont,
         "q_order_list_per_customer": relational.q_order_list_per_customer,
+        "q_events_cube": relational.q_events_cube,
+        "q_first_last_order": relational.q_first_last_order,
         "q_ntile_orders": relational.q_ntile_orders,
         "q_dense_rank_customers": relational.q_dense_rank_customers,
         # time-series custom operators (SQL-checked): one hash exchange on
@@ -156,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": textstats.decontaminate_docs,
         "frequent_ngrams": textstats.frequent_ngrams,
         "search_docs_all_terms": textstats.search_docs_all_terms,
+        "doc_repetition": textstats.doc_repetition,
         # sketch/ANN ops checked against naive pure-Python oracles written to
         # /tmp/graft_oracle (see osmi_addresses_ray.oracle): the query runs
         # the distributed pipeline AND recomputes the spec single-threaded;
@@ -1000,6 +1003,32 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP (event_type, date_trunc('hour', ts))
             ORDER BY event_type NULLS LAST, window_start NULLS LAST
         """,
+        "q_events_cube": """
+            SELECT event_type,
+                   date_trunc('day', ts) AS day,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY CUBE (event_type, date_trunc('day', ts))
+            ORDER BY event_type NULLS LAST, day NULLS LAST
+        """,
+        # grouped argmin/argmax: first/last order per customer by
+        # (o_orderdate, o_orderkey)
+        "q_first_last_order": """
+            WITH x AS (
+                SELECT o_custkey, o_orderkey,
+                       row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) AS rn_a,
+                       row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_d,
+                       count(*) OVER (PARTITION BY o_custkey) AS n
+                FROM orders)
+            SELECT o_custkey,
+                   max(CASE WHEN rn_a = 1 THEN o_orderkey END)::BIGINT AS first_orderkey,
+                   max(CASE WHEN rn_d = 1 THEN o_orderkey END)::BIGINT AS last_orderkey,
+                   max(n)::BIGINT AS n_orders
+            FROM x GROUP BY o_custkey ORDER BY o_custkey
+        """,
         # anti-join: exact complement of q_bloom_semijoin (no bloom here — a
         # false positive would DROP a true result, so the full probe side
         # takes the exchange)
@@ -1170,6 +1199,20 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '[A-Za-z0-9_]+'))::BIGINT AS n_tokens,
                    length(text)::BIGINT AS n_chars
             FROM documents ORDER BY doc_id
+        """,
+        # per-doc token repetition profile (exact integers; the duplicate-
+        # token / modal-token quality gates divide these downstream)
+        "doc_repetition": """
+            WITH t AS (SELECT doc_id,
+                              unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS tok
+                       FROM documents),
+            c AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY doc_id, tok)
+            SELECT d.doc_id,
+                   coalesce(sum(c.cnt), 0)::BIGINT AS n_tokens,
+                   count(c.tok)::BIGINT AS n_distinct,
+                   coalesce(max(c.cnt), 0)::BIGINT AS top_count
+            FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
+            GROUP BY d.doc_id ORDER BY d.doc_id
         """,
         "quality_scores": """
             SELECT doc_id,

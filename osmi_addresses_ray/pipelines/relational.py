@@ -1280,3 +1280,104 @@ def q_dense_rank_customers(sf_dir: str):
 
     out = counts.map_batches(assign, batch_format="pyarrow")
     return out.to_pandas().sort_values("o_custkey").reset_index(drop=True)
+
+
+def q_events_cube(sf_dir: str):
+    """CUBE(event_type, day): all four aggregation levels from ONE corpus
+    pass. Like q_events_rollup, the finest grain (|types| × |days|) is the
+    only distributed aggregate; the three marginals re-aggregate that small
+    merged result — never the input. NULL marks each cubed-out dimension."""
+    ds = read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def add_day(t: pa.Table) -> pa.Table:
+        return t.append_column("day", pc.floor_temporal(t["ts"], unit="day"))
+
+    fine = grouped_agg(
+        ds.map_batches(add_day, batch_format="pyarrow"),
+        ["event_type", "day"],
+        {"n_events": (None, "count"), "sum_value": ("value", "sum")},
+    ).to_pandas()
+
+    by_type = (
+        fine.groupby("event_type", as_index=False)
+        .agg(n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+        .assign(day=pd.NaT)
+    )
+    by_day = (
+        fine.groupby("day", as_index=False)
+        .agg(n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+        .assign(event_type=None)
+    )
+    grand = pd.DataFrame(
+        {
+            "event_type": [None],
+            "day": [pd.NaT],
+            "n_events": [fine["n_events"].sum()],
+            "sum_value": [fine["sum_value"].sum()],
+        }
+    )
+    cols = ["event_type", "day", "n_events", "sum_value"]
+    out = pd.concat(
+        [fine[cols], by_type[cols], by_day[cols], grand[cols]], ignore_index=True
+    )
+    out["day"] = out["day"].astype("datetime64[us]")
+    out["event_type"] = out["event_type"].astype(object).where(out["event_type"].notna(), None)
+    out["sum_value"] = out["sum_value"].round(4)
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values(
+        ["event_type", "day"], na_position="last", kind="stable"
+    ).reset_index(drop=True)
+
+
+def q_first_last_order(sf_dir: str):
+    """Per-customer first/last order key by (o_orderdate, o_orderkey) plus
+    order count — the grouped argmin/argmax combiner: each batch reduces to
+    one candidate row per customer (first/last/count), one small groupby
+    merges. The exchange carries |customers|·blocks rows, never the orders."""
+    ds = read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "o_custkey": pd.Series([], dtype="int64"),
+                    "first_date": pd.Series([], dtype="datetime64[us]"),
+                    "first_orderkey": pd.Series([], dtype="int64"),
+                    "last_date": pd.Series([], dtype="datetime64[us]"),
+                    "last_orderkey": pd.Series([], dtype="int64"),
+                    "n_orders": pd.Series([], dtype="int64"),
+                }
+            )
+        s = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="stable")
+        head = s.groupby("o_custkey", as_index=False).first()
+        tail = s.groupby("o_custkey", as_index=False).last()
+        cnt = s.groupby("o_custkey", as_index=False).size()
+        return pd.DataFrame(
+            {
+                "o_custkey": head["o_custkey"].astype("int64"),
+                "first_date": head["o_orderdate"],
+                "first_orderkey": head["o_orderkey"].astype("int64"),
+                "last_date": tail["o_orderdate"],
+                "last_orderkey": tail["o_orderkey"].astype("int64"),
+                "n_orders": cnt["size"].astype("int64"),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    # final merge of the (small) per-block candidates, same ordering rule
+    f = partials.sort_values(
+        ["o_custkey", "first_date", "first_orderkey"], kind="stable"
+    ).groupby("o_custkey", as_index=False).first()
+    l = partials.sort_values(
+        ["o_custkey", "last_date", "last_orderkey"], kind="stable"
+    ).groupby("o_custkey", as_index=False).last()
+    n = partials.groupby("o_custkey", as_index=False)["n_orders"].sum()
+    out = pd.DataFrame(
+        {
+            "o_custkey": f["o_custkey"].astype("int64"),
+            "first_orderkey": f["first_orderkey"].astype("int64"),
+            "last_orderkey": l["last_orderkey"].astype("int64"),
+            "n_orders": n["n_orders"].astype("int64"),
+        }
+    )
+    return out.sort_values("o_custkey").reset_index(drop=True)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import re
+from collections import Counter
 
 import numpy as np
 import pandas as pd
@@ -806,3 +807,40 @@ def bigram_lift(sf_dir: str, k: int = 20, min_count: int = 5) -> pd.DataFrame:
     )
     out["cnt"] = out["cnt"].astype("int64")
     return out[["bigram", "cnt", "lift"]].reset_index(drop=True)
+
+
+def doc_repetition(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition profile per document: token count, distinct
+    token count, and the modal token's frequency (all exact integers — the
+    duplicate-token and top-token-fraction quality gates divide these
+    downstream). Tokenization is the family spec (_TOKEN_RE, case-sensitive,
+    same as token_counts). Purely per-doc → embarrassingly parallel
+    map_batches, no exchange."""
+    ds = _read_docs(sf_dir)
+    tok = re.compile(_TOKEN_RE)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        n = np.empty(len(df), np.int64)
+        nd = np.empty(len(df), np.int64)
+        top = np.empty(len(df), np.int64)
+        for i, t in enumerate(df["text"]):
+            toks = tok.findall(t)
+            n[i] = len(toks)
+            if toks:
+                vc = Counter(toks)
+                nd[i] = len(vc)
+                top[i] = max(vc.values())
+            else:
+                nd[i] = 0
+                top[i] = 0
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_tokens": n,
+                "n_distinct": nd,
+                "top_count": top,
+            }
+        )
+
+    out = ds.map_batches(f, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -189,3 +189,66 @@ def test_dense_rank_ties_share_rank_no_gaps(ray_session):
     # equal counts share the rank
     g = out.groupby("n_orders")["drank"].nunique()
     assert (g == 1).all()
+
+
+def test_first_last_order_ties_and_singles(tmp_path):
+    # customer 1: date tie on the first day -> smaller orderkey wins first,
+    # larger wins last only if it's the max (date, key); customer 2: single order
+    orders = pd.DataFrame(
+        {
+            "o_custkey": np.array([1, 1, 1, 2], dtype=np.int64),
+            "o_orderkey": np.array([20, 10, 30, 7], dtype=np.int64),
+            "o_orderdate": pd.to_datetime(
+                ["2024-01-01", "2024-01-01", "2024-02-01", "2024-03-01"]
+            ),
+        }
+    )
+    orders.to_parquet(tmp_path / "orders.parquet", index=False)
+    from osmi_addresses_ray.pipelines.relational import q_first_last_order
+
+    out = q_first_last_order(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"o_custkey": 1, "first_orderkey": 10, "last_orderkey": 30, "n_orders": 3},
+        {"o_custkey": 2, "first_orderkey": 7, "last_orderkey": 7, "n_orders": 1},
+    ]
+
+
+def test_events_cube_levels(tmp_path):
+    events = pd.DataFrame(
+        {
+            "event_type": ["a", "a", "b"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 05:00", "2024-01-02 06:00", "2024-01-01 07:00"]
+            ),
+            "value": [1.0, 2.0, 4.0],
+        }
+    )
+    events.to_parquet(tmp_path / "events.parquet", index=False)
+    from osmi_addresses_ray.pipelines.relational import q_events_cube
+
+    out = q_events_cube(str(tmp_path))
+    # 3 fine rows + 2 by-type + 2 by-day + 1 grand = 8
+    assert len(out) == 8
+    grand = out[out["event_type"].isna() & out["day"].isna()]
+    assert grand["n_events"].tolist() == [3] and grand["sum_value"].tolist() == [7.0]
+    by_day = out[out["event_type"].isna() & out["day"].notna()]
+    assert by_day["n_events"].tolist() == [2, 1]  # Jan 1 (a+b), Jan 2 (a)
+
+
+def test_doc_repetition_edges(tmp_path):
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array([1, 2, 3], dtype=np.int64),
+            "text": ["the the the cat", "...", "Unique Words only Unique"],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    from osmi_addresses_ray.pipelines.textstats import doc_repetition
+
+    out = doc_repetition(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"doc_id": 1, "n_tokens": 4, "n_distinct": 2, "top_count": 3},
+        {"doc_id": 2, "n_tokens": 0, "n_distinct": 0, "top_count": 0},
+        # case-sensitive spec: "Unique" twice, "Words"/"only" once
+        {"doc_id": 3, "n_tokens": 4, "n_distinct": 3, "top_count": 2},
+    ]

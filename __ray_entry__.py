@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_user_set_ops": timeseries.q_user_set_ops,
         "q_event_gaps": timeseries.q_event_gaps,
         "funnel_stage_counts": timeseries.funnel_stage_counts,
+        "q_event_trend": timeseries.q_event_trend,
         "retention_cohorts": timeseries.retention_cohorts,
         "moving_avg_user": timeseries.moving_avg_user,
         "event_type_cooccurrence": timeseries.event_type_cooccurrence,
@@ -233,6 +234,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_clusters": _clusters_query,
         "line_simplify": _line_simplify_query,
         "convex_hull_cells": _hulls_query,
+        "media_histogram": _media_hist_query,
+        "fuzzy_name_pairs": _fuzzy_names_query,
     }
     # geospatial layers over the synthesized interleaved-doc corpus (rows-only)
     for layer in (
@@ -562,6 +565,58 @@ def _pyramid_query(sf_dir: str):
     write_oracle(
         "tile_pyramid_src",
         _fixture_oracle()["osmi_addresses_nodes_with_addresses"][["lon", "lat"]],
+    )
+    return out
+
+
+def _media_hist_query(sf_dir: str):
+    """Per-image color histograms from REAL decoded pixels (actor pool);
+    oracle recomputes the exact bucket counts from the synthesized pixels,
+    bypassing the codecs."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.layers import oracle_media_histogram
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.multimodal import media_histogram
+
+    df = (
+        media_histogram(fixture_docs(FIXTURE_BLOCKS))
+        .to_pandas()
+        .sort_values(["doc_id", "media_ref"])
+        .reset_index(drop=True)
+    )
+    write_oracle("media_histogram", oracle_media_histogram(fixture_table(FIXTURE_BLOCKS)))
+    return df
+
+
+def _fuzzy_names_query(sf_dir: str):
+    """Edit-distance ≤ 1 street-name self-join (SymSpell deletion banding);
+    TRUE SQL oracle: DuckDB levenshtein over the O(n²) self-join of the
+    independently recomputed name set."""
+    import pyarrow as pa
+
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.pipelines.dedup import fuzzy_name_pairs
+
+    nwa = _fixture_layers()["osmi_addresses_nodes_with_addresses"]
+
+    def names(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = t.filter(pc.is_valid(t["street"]))
+        return pa.table({"name": s["street"]})
+
+    out = (
+        fuzzy_name_pairs(
+            nwa.map_batches(names, batch_format="pyarrow"),
+            num_parts=_parts_for(FIXTURE_BLOCKS),
+        )
+        .to_pandas()
+        .sort_values(["name_a", "name_b"])
+        .reset_index(drop=True)
+    )
+    write_oracle(
+        "fuzzy_names_src",
+        _fixture_oracle()["osmi_addresses_nodes_with_addresses"][["street"]],
     )
     return out
 
@@ -1002,6 +1057,33 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY ROLLUP (event_type, date_trunc('hour', ts))
             ORDER BY event_type NULLS LAST, window_start NULLS LAST
+        """,
+        # exact-integer regression sums; the two divisions are single IEEE
+        # ops mirrored by the engine (never regr_slope's float accumulator)
+        "q_event_trend": """
+            WITH d AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       count(*)::BIGINT AS y
+                FROM events GROUP BY 1, 2),
+            s AS (
+                SELECT event_type,
+                       count(*)::BIGINT AS n,
+                       sum(datediff('day', DATE '1970-01-01', day))::BIGINT AS sx,
+                       sum(y)::BIGINT AS sy,
+                       sum(datediff('day', DATE '1970-01-01', day) * y)::BIGINT AS sxy,
+                       sum(datediff('day', DATE '1970-01-01', day)
+                           * datediff('day', DATE '1970-01-01', day))::BIGINT AS sxx
+                FROM d GROUP BY 1)
+            SELECT event_type,
+                   n AS n_days,
+                   round(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                        ELSE (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)
+                   END, 6) AS slope,
+                   round(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                        ELSE (sy - ((n * sxy - sx * sy)
+                                    / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n
+                   END, 6) AS intercept
+            FROM s ORDER BY event_type
         """,
         "q_events_cube": """
             SELECT event_type,
@@ -1521,6 +1603,8 @@ def _ensure_default_oracles() -> None:
             "spatial_radius_join",
             "line_simplify",
             "convex_hull_cells",
+            "media_histogram",
+            "fuzzy_name_pairs",
         ):
             try:
                 q[name]("/root/testdata/sf0.01")
@@ -1683,6 +1767,21 @@ def _naive_oracle_sql() -> dict[str, str]:
         """,
         "line_simplify": read_parquet_sql("line_simplify", "way_id, seq"),
         "convex_hull_cells": read_parquet_sql("convex_hull_cells", "cell_x, cell_y"),
+        "media_histogram": read_parquet_sql("media_histogram", "doc_id, media_ref"),
+        # TRUE SQL fuzzy join: DuckDB levenshtein over the O(n²) self-join
+        # of the independently recomputed street-name set
+        "fuzzy_name_pairs": f"""
+            WITH names AS (
+                SELECT DISTINCT street AS name
+                FROM read_parquet('{oracle_path('fuzzy_names_src')}')
+                WHERE street IS NOT NULL
+            )
+            SELECT a.name AS name_a, b.name AS name_b,
+                   levenshtein(a.name, b.name)::BIGINT AS dist
+            FROM names a JOIN names b ON a.name < b.name
+            WHERE levenshtein(a.name, b.name) <= 1
+            ORDER BY name_a, name_b
+        """,
         # zoom pyramid recomputed level-by-level from the independent point
         # set (floor-halving + regrouping; floor() handles negative indices
         # where DuckDB's // would truncate)

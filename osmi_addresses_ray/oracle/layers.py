@@ -979,3 +979,26 @@ def oracle_hilbert(nwa: pd.DataFrame, order: int = 16) -> pd.DataFrame:
     res["ip_id"] = res["ip_id"].astype("string")
     res["hilbert_d"] = np.array(out, dtype=np.int64)
     return res.sort_values(["node_id", "ip_id", "lon", "lat"]).reset_index(drop=True)
+
+
+def oracle_media_histogram(docs: pa.Table) -> pd.DataFrame:
+    """Scalar recomputation of the per-channel 4-bucket color histograms
+    straight from the synthesized PIXELS (codec-bypassing): bucket =
+    value // 64, python-int counts."""
+    rows = []
+    for row in docs.to_pylist():
+        for span in row["spans"]:
+            if span["kind"] != "media":
+                continue
+            img = _oracle_media_pixels(span["media_ref"])
+            rec = {"doc_id": row["doc_id"], "media_ref": span["media_ref"]}
+            for c, ch in enumerate("rgb"):
+                counts = [0, 0, 0, 0]
+                for v in img[:, :, c].ravel().tolist():
+                    counts[int(v) // 64] += 1
+                for b in range(4):
+                    rec[f"{ch}{b}"] = np.int64(counts[b])
+            rows.append(rec)
+    cols = ["doc_id", "media_ref"] + [f"{ch}{b}" for ch in "rgb" for b in range(4)]
+    return pd.DataFrame(rows, columns=cols).sort_values(
+        ["doc_id", "media_ref"]).reset_index(drop=True)

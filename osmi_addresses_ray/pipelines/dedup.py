@@ -1178,3 +1178,110 @@ def exact_dedup_incremental(docs_ds, state_dir: str, *, num_parts: int = 8):
             os.replace(tmp, final)  # single-file atomic rename, idempotent
 
     return _keep_ids_semi_join(docs_ds, winners)
+
+
+# --- edit-distance ≤ 1 string self-join (SymSpell deletion banding) -----------
+
+_FNV_OFF = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+
+
+def _fnv64_str(s: str) -> int:
+    h = _FNV_OFF
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * _FNV_PRIME) & 0xFFFFFFFFFFFFFFFF
+    return h - (1 << 63)  # int64 range
+
+
+def _ed_le1(a: str, b: str):
+    """Exact edit distance when ≤ 1, else None. Equal length: ed ≤ 1 ⟺
+    Hamming ≤ 1 (a single length-preserving edit is a substitution); length
+    gap 1: one deletion from the longer must reproduce the shorter."""
+    la, lb = len(a), len(b)
+    if a == b:
+        return 0
+    if abs(la - lb) > 1:
+        return None
+    if la == lb:
+        return 1 if sum(x != y for x, y in zip(a, b)) == 1 else None
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return 1 if a[i:] == b[i + 1 :] else None
+
+
+def fuzzy_name_pairs(names_ds, *, num_parts: int = 8, bucket_cap: int = 10_000):
+    """All unordered pairs of distinct names with edit distance ≤ 1.
+
+    SymSpell-style banding: each name emits (hash(variant), name) for the
+    name itself plus every single-character deletion. Completeness for
+    ed ≤ 1: a substitution pair shares the deletion at the differing
+    position; an insertion/deletion pair shares the shorter name itself.
+    One bucket-keyed exchange; per-bucket all-pairs verified by the EXACT
+    ``_ed_le1`` predicate (hash collisions and spurious co-bucketing are
+    filtered here), then a tiny (name_a, name_b) groupby dedupes pairs
+    found in several buckets. ``bucket_cap`` raises on degenerate buckets
+    (the no-silent-caps rule — very short names co-bucket heavily).
+
+    Scale: emit volume is O(total name chars); buckets are keyed by variant
+    hash so the exchange carries (hash, name) only. Oracle: DuckDB
+    ``levenshtein`` over the O(n²) self-join."""
+    from ..ops import direct_cogroup
+    from .relational import grouped_agg
+
+    emit_schema = pa.schema([("bh", pa.int64()), ("name", pa.string())])
+    pair_schema = pa.schema(
+        [("name_a", pa.string()), ("name_b", pa.string()), ("dist", pa.int64())]
+    )
+
+    distinct = grouped_agg(names_ds, ["name"], {"_c": (None, "count")}).drop_columns(
+        ["_c"]
+    ).materialize()
+
+    def emit(t: pa.Table) -> pa.Table:
+        bh, nm = [], []
+        for name in t["name"].to_pylist():
+            if name is None:
+                continue
+            variants = {name}
+            for i in range(len(name)):
+                variants.add(name[:i] + name[i + 1 :])
+            for v in variants:
+                bh.append(_fnv64_str(v))
+                nm.append(name)
+        return pa.table({"bh": pa.array(bh, pa.int64()), "name": pa.array(nm)})
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        df = t.to_pandas().sort_values(["bh", "name"], kind="stable")
+        out_a, out_b, out_d = [], [], []
+        for _, grp in df.groupby("bh", sort=False):
+            names = grp["name"].drop_duplicates().tolist()
+            n = len(names)
+            if n * (n - 1) // 2 > bucket_cap:
+                raise RuntimeError(
+                    f"fuzzy_name_pairs: bucket exceeds bucket_cap={bucket_cap} pairs; "
+                    "shorten the deletion depth or pre-shard by name length"
+                )
+            for i in range(n):
+                for j in range(i + 1, n):
+                    d = _ed_le1(names[i], names[j])
+                    if d is not None and d > 0:
+                        out_a.append(names[i])
+                        out_b.append(names[j])
+                        out_d.append(d)
+        return pa.table(
+            {
+                "name_a": pa.array(out_a, pa.string()),
+                "name_b": pa.array(out_b, pa.string()),
+                "dist": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    emitted = distinct.map_batches(emit, batch_format="pyarrow").materialize()
+    pairs = direct_cogroup([emitted], [["bh"]], num_parts, sweep, [emit_schema])
+    out = grouped_agg(pairs, ["name_a", "name_b"], {"dist": ("dist", "min")})
+    return out

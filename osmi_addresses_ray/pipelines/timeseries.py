@@ -970,3 +970,52 @@ def event_type_cooccurrence(sf_dir: str, *, num_parts: int = 8) -> pd.DataFrame:
     )
     out["n_users"] = out["n_users"].astype("int64")
     return out
+
+
+def q_event_trend(sf_dir: str) -> pd.DataFrame:
+    """Per-type least-squares trend of DAILY event counts: slope/intercept
+    over (epoch-day, count). All five regression sums (n, Σx, Σy, Σxy, Σx²)
+    are exact int64 — the only floats are the final two divisions, which
+    are single IEEE ops identical in DuckDB — so the oracle is the same
+    closed form, not a float-accumulating regr_slope. One distributed
+    (type, day) count; the per-type reduction runs over |types| × |days|
+    rows."""
+    from .relational import grouped_agg, read
+
+    ds = read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def add_day(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column("day", pc.floor_temporal(t["ts"], unit="day"))
+
+    daily = grouped_agg(
+        ds.map_batches(add_day, batch_format="pyarrow"),
+        ["event_type", "day"],
+        {"y": (None, "count")},
+    ).to_pandas()
+    # exact integer epoch-day x
+    daily["x"] = (daily["day"].astype("datetime64[us]").astype("int64")) // 86_400_000_000
+    g = daily.groupby("event_type")
+    agg = pd.DataFrame(
+        {
+            "n": g.size(),
+            "sx": g["x"].sum(),
+            "sy": g["y"].sum(),
+            "sxy": g.apply(lambda d: int((d["x"] * d["y"]).sum()), include_groups=False),
+            "sxx": g.apply(lambda d: int((d["x"] * d["x"]).sum()), include_groups=False),
+        }
+    ).reset_index()
+    denom = agg["n"] * agg["sxx"] - agg["sx"] * agg["sx"]
+    num = agg["n"] * agg["sxy"] - agg["sx"] * agg["sy"]
+    slope = np.where(denom != 0, num / denom.where(denom != 0, 1).astype("float64"), np.nan)
+    intercept = (agg["sy"] - slope * agg["sx"]) / agg["n"]
+    out = pd.DataFrame(
+        {
+            "event_type": agg["event_type"],
+            "n_days": agg["n"].astype("int64"),
+            "slope": np.round(slope, 6),
+            "intercept": np.round(intercept, 6),
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)

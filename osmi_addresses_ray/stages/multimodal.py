@@ -352,3 +352,51 @@ def video_frame_sample(docs_ds, *, stride: int = 2, concurrency=(1, 4), batch_si
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+MEDIA_HIST_SCHEMA = pa.schema(
+    [pa.field("doc_id", pa.string()), pa.field("media_ref", pa.string())]
+    + [pa.field(f"{ch}{b}", pa.int64()) for ch in "rgb" for b in range(4)]
+)
+
+
+class ColorHistogram:
+    """Actor-pool per-channel color histogram over REAL decoded pixels:
+    4 intensity buckets per channel (value >> 6), exact integer counts.
+    The downstream use is corpus-level color profiling / near-black or
+    blown-out frame filtering; counts are exact so the oracle recomputes
+    them from the synthesized pixels, bypassing the codecs entirely."""
+
+    def __init__(self):
+        self._decode_image = decode_image
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = {f.name: [] for f in MEDIA_HIST_SCHEMA}
+        for doc_id, ref, payload, kind in zip(
+            t["doc_id"].to_pylist(),
+            t["media_ref"].to_pylist(),
+            t["payload"].to_pylist(),
+            t["media_kind"].to_pylist(),
+        ):
+            if kind != "image" or sniff_format(payload) is None:
+                raise NotImplementedError(f"histogram for {kind!r} payload is stubbed")
+            img = self._decode_image(payload)
+            rows["doc_id"].append(doc_id)
+            rows["media_ref"].append(ref)
+            for c, ch in enumerate("rgb"):
+                hist = np.bincount(img[:, :, c].ravel() >> 6, minlength=4)
+                for b in range(4):
+                    rows[f"{ch}{b}"].append(int(hist[b]))
+        return pa.Table.from_arrays(
+            [pa.array(rows[f.name], f.type) for f in MEDIA_HIST_SCHEMA],
+            schema=MEDIA_HIST_SCHEMA,
+        )
+
+
+def media_histogram(docs_ds, *, concurrency=(1, 4), batch_size: int = 64):
+    """docs → exact per-image color histograms (actor pool over real decode)."""
+    media = extract_media_refs(docs_ds)
+    return media.map_batches(
+        ColorHistogram, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -194,3 +194,56 @@ def test_popcount64_matches_python():
     got = _popcount64(xs.copy())
     want = np.array([bin(int(x)).count("1") for x in xs], dtype=np.int64)
     assert (got == want).all()
+
+
+def _ed_dp(a: str, b: str) -> int:
+    """Reference Wagner-Fischer DP (test-local)."""
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (a[i - 1] != b[j - 1])
+            )
+        prev = cur
+    return prev[lb]
+
+
+def test_ed_le1_matches_dp():
+    from osmi_addresses_ray.pipelines.dedup import _ed_le1
+
+    words = ["", "a", "b", "ab", "ba", "abc", "bca", "abcd", "axbc", "abcc",
+             "aabc", "abd", "xbc", "abcx", "aa", "aaa"]
+    for x in words:
+        for y in words:
+            d = _ed_dp(x, y)
+            got = _ed_le1(x, y)
+            if d <= 1:
+                assert got == d, (x, y, got, d)
+            else:
+                assert got is None, (x, y, got, d)
+
+
+def test_fuzzy_name_pairs_complete_vs_bruteforce(ray_session):
+    import ray.data as rd
+
+    from osmi_addresses_ray.pipelines.dedup import fuzzy_name_pairs
+
+    names = [
+        "Main Street 1", "Main Street 2", "Main Street 12", "Main Stret 1",
+        "Nowhere Lane", "Nowhere Lanes", "nowhere lane", "Oak", "Oaks", "Oat",
+        "completely different",
+    ]
+    # include duplicates in the input: output pairs are over DISTINCT names
+    ds = rd.from_pandas(pd.DataFrame({"name": names + names[:3]})).repartition(3)
+    out = fuzzy_name_pairs(ds, num_parts=3).to_pandas()
+    got = {(a, b): d for a, b, d in zip(out["name_a"], out["name_b"], out["dist"])}
+    exp = {}
+    for i, x in enumerate(sorted(set(names))):
+        for y in sorted(set(names))[i + 1:]:
+            d = _ed_dp(x, y)
+            if 1 <= d <= 1:
+                exp[(x, y)] = d
+    assert got == exp
+    assert all(a < b for a, b in got)

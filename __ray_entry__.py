@@ -123,6 +123,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_first_last_order": relational.q_first_last_order,
         "q_ntile_orders": relational.q_ntile_orders,
         "q_dense_rank_customers": relational.q_dense_rank_customers,
+        "q_mad_priority": relational.q_mad_priority,
+        "pareto_orders": relational.pareto_orders,
+        "embedding_covariance": similarity.embedding_covariance,
         # time-series custom operators (SQL-checked): one hash exchange on
         # user_id, vectorized per-partition sweeps (pipelines/timeseries.py)
         "asof_click_view": timeseries.asof_join_events,
@@ -192,6 +195,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": _with_oracle(
             "kmeans_assign", similarity.kmeans_assign, "kmeans_assign_oracle",
             "embeddings",
+        ),
+        # product quantization: seeded driver-sample codebooks, distributed
+        # encode; oracle = per-row scalar distance folds (same float spec)
+        "pq_codes": _with_oracle(
+            "pq_codes", similarity.pq_codes, "pq_codes_oracle", "embeddings"
+        ),
+        "pq_adc_search": _with_oracle(
+            "pq_adc_search", similarity.pq_adc_search, "pq_adc_oracle", "embeddings"
         ),
         "embedding_cosine_dedup": _with_oracle(
             "embedding_cosine_dedup", similarity.embedding_cosine_dedup, "emb_dedup_oracle",
@@ -807,6 +818,48 @@ def _polygonize_query(sf_dir: str):
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # chained exact quantiles: both med and mad are REAL data values
+        # (quantile_disc rule), so the hash match needs no float tolerance
+        "q_mad_priority": """
+            WITH m AS (
+                SELECT o_orderpriority, quantile_disc(o_totalprice, 0.5) AS med
+                FROM orders GROUP BY o_orderpriority)
+            SELECT o.o_orderpriority,
+                   max(m.med) AS med,
+                   quantile_disc(abs(o.o_totalprice - m.med), 0.5) AS mad
+            FROM orders o JOIN m USING (o_orderpriority)
+            GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+        """,
+        # 2-D skyline (maximize price, minimize date); a row survives iff no
+        # other row weakly dominates it with one strict inequality
+        "pareto_orders": """
+            SELECT o_orderkey, o_totalprice, o_orderdate FROM orders o
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders d
+                WHERE d.o_totalprice >= o.o_totalprice
+                  AND d.o_orderdate <= o.o_orderdate
+                  AND (d.o_totalprice > o.o_totalprice
+                       OR d.o_orderdate < o.o_orderdate))
+            ORDER BY o_orderkey
+        """,
+        # exact-integer second moments: both sides quantize with the SAME
+        # sign-safe fixed-point rule, so integer sums match bit-for-bit in
+        # any addition order (1-based subscripts on both sides)
+        "embedding_covariance": """
+            WITH q AS (
+                SELECT vec_id,
+                       generate_subscripts(embedding, 1) AS i,
+                       CAST(floor(unnest(embedding)::DOUBLE * 1000000.0 + 0.5)
+                            AS BIGINT) AS qx
+                FROM embeddings)
+            SELECT a.i::BIGINT AS i, b.i::BIGINT AS j,
+                   count(*)::BIGINT AS n,
+                   sum(a.qx)::BIGINT AS sum_qi,
+                   sum(b.qx)::BIGINT AS sum_qj,
+                   sum(a.qx * b.qx)::BIGINT AS sum_qiqj
+            FROM q a JOIN q b USING (vec_id)
+            GROUP BY a.i, b.i ORDER BY i, j
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,
@@ -1632,6 +1685,8 @@ def _ensure_default_oracles() -> None:
         ("knn_hyperplane", "embeddings"),
         ("embedding_cosine_dedup", "embeddings"),
         ("kmeans_assign", "embeddings"),
+        ("pq_codes", "embeddings"),
+        ("pq_adc_search", "embeddings"),
         ("dedup_clusters", "documents"),
         ("hll_distinct_users", "events"),
         ("cms_token_counts", "documents"),
@@ -1672,6 +1727,8 @@ def _naive_oracle_sql() -> dict[str, str]:
             "embedding_cosine_dedup", "vec_a, vec_b", "embeddings"
         ),
         "kmeans_assign": read_tagged_sql("kmeans_assign", "vec_id", "embeddings"),
+        "pq_codes": read_tagged_sql("pq_codes", "vec_id, m", "embeddings"),
+        "pq_adc_search": read_tagged_sql("pq_adc_search", "adc_dist, vec_id", "embeddings"),
         "dedup_clusters": read_tagged_sql("dedup_clusters", "doc_id", "documents"),
         "hll_distinct_users": read_tagged_sql("hll_distinct_users", "col_name", "events"),
         "cms_token_counts": read_tagged_sql("cms_token_counts", "token", "documents"),

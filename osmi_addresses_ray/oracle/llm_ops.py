@@ -522,3 +522,85 @@ def simhash_pairs_oracle(sf_dir: str) -> pd.DataFrame:
         .sort_values(["doc_a", "doc_b"])
         .reset_index(drop=True)
     )
+
+
+def _pq_codebooks_oracle(emb: pd.DataFrame, m: int = 8, k: int = 16, seed: int = 42,
+                         lloyd_iters: int = 5) -> np.ndarray:
+    """Independent restatement of the PQ training spec (float64 throughout):
+    per subspace, RandomState(seed+m) picks k sample rows, Lloyd with L2."""
+    sample = emb[emb["vec_id"] < 512].sort_values("vec_id")
+    mat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    d = mat.shape[1]
+    sub = d // m
+    books = np.empty((m, k, sub), dtype=np.float64)
+    for mi in range(m):
+        x = mat[:, mi * sub:(mi + 1) * sub]
+        rng = np.random.RandomState(seed + mi)
+        cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)].copy()
+        for _ in range(lloyd_iters):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cent)):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = x[mask].mean(axis=0)
+        books[mi, :len(cent)] = cent
+        if len(cent) < k:
+            books[mi, len(cent):] = cent[0]
+    return books
+
+
+def pq_codes_oracle(sf_dir: str) -> pd.DataFrame:
+    """Per-row scalar PQ encode: python-float left-to-right distance folds
+    (subdim 8 < numpy's pairwise blocksize, so the engine's vectorized sum
+    is the same fold), first-min tie rule."""
+    emb = _emb(sf_dir)
+    books = _pq_codebooks_oracle(emb)
+    m, k, sub = books.shape
+    rows = []
+    for r in emb.itertuples():
+        v = np.asarray(r.embedding, np.float64)
+        for mi in range(m):
+            best_c, best_d = 0, None
+            for c in range(k):
+                acc = 0.0
+                for i in range(sub):
+                    diff = v[mi * sub + i] - float(books[mi, c, i])
+                    acc += diff * diff
+                if best_d is None or acc < best_d:
+                    best_d, best_c = acc, c
+            rows.append(
+                {"vec_id": np.int64(r.vec_id), "m": np.int64(mi), "code": np.int64(best_c)}
+            )
+    return pd.DataFrame(rows).sort_values(["vec_id", "m"]).reset_index(drop=True)
+
+
+def pq_adc_oracle(sf_dir: str, *, query_id: int = 0, topk: int = 10) -> pd.DataFrame:
+    """Scalar ADC: LUT from the exact query vs every codebook entry, distance
+    = LUT fold in subspace order, (dist asc, vec_id asc) top-k."""
+    emb = _emb(sf_dir)
+    books = _pq_codebooks_oracle(emb)
+    m, k, sub = books.shape
+    qv = np.asarray(
+        emb.loc[emb["vec_id"] == query_id, "embedding"].iloc[0], np.float64
+    )
+    lut = np.empty((m, k), dtype=np.float64)
+    for mi in range(m):
+        for c in range(k):
+            acc = 0.0
+            for i in range(sub):
+                diff = qv[mi * sub + i] - float(books[mi, c, i])
+                acc += diff * diff
+            lut[mi, c] = acc
+    codes = pq_codes_oracle(sf_dir)
+    by_vec = codes.pivot(index="vec_id", columns="m", values="code")
+    rows = []
+    for vid, cs in by_vec.iterrows():
+        if int(vid) == query_id:
+            continue
+        acc = 0.0
+        for mi in range(m):
+            acc += float(lut[mi, int(cs[mi])])
+        rows.append({"vec_id": np.int64(vid), "adc_dist": round(acc, 6)})
+    rows.sort(key=lambda t: (t["adc_dist"], t["vec_id"]))
+    return pd.DataFrame(rows[:topk])

@@ -1381,3 +1381,106 @@ def q_first_last_order(sf_dir: str):
         }
     )
     return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+# --- median absolute deviation (chained exact quantiles) ----------------------
+
+
+def q_mad_priority(sf_dir: str):
+    """Median absolute deviation of o_totalprice per order priority.
+
+    Two chained distributed exact-quantile passes: pass A computes each
+    group's median with the binned two-pass machinery (no value shuffle);
+    the tiny per-group median table is broadcast via ``ray.put`` and pass B
+    runs the SAME machinery over the derived ``abs(price - med)`` column.
+    Both the median and the MAD are REAL data values (quantile_disc rule),
+    so the result hash-matches DuckDB bit-for-bit with no float tolerance.
+    Scale shape: 2 × (histogram exchange of (key, bin, cnt) rows + a pass-2
+    re-read of only the quantile-holding bins); nothing driver-side grows
+    with the row count.
+    """
+    import ray
+
+    cols = ["o_orderpriority", "o_totalprice"]
+    ds = read(sf_dir, "orders", columns=cols)
+    med = grouped_quantiles_binned(ds, "o_orderpriority", "o_totalprice", [0.5])
+    med_ref = ray.put(dict(zip(med["o_orderpriority"], med["p50"])))
+
+    def absdev(t: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        k = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        v = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        meds = np.zeros(len(v), dtype=np.float64)
+        for key, mv in m.items():  # ≤ #groups iterations, vectorized inside
+            meds[k == key] = mv
+        # explicit cast: a zero-row upstream block arrives null-typed and
+        # would otherwise fork the stream schema
+        return pa.table(
+            {"o_orderpriority": t["o_orderpriority"], "absdev": np.abs(v - meds)}
+        ).cast(pa.schema([("o_orderpriority", pa.string()), ("absdev", pa.float64())]))
+
+    dev = ds.map_batches(absdev, batch_format="pyarrow")
+    mad = grouped_quantiles_binned(dev, "o_orderpriority", "absdev", [0.5]).rename(
+        columns={"p50": "mad"}
+    )
+    out = med.rename(columns={"p50": "med"}).merge(mad, on="o_orderpriority")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)[
+        ["o_orderpriority", "med", "mad"]
+    ]
+
+
+# --- 2-D skyline (Pareto frontier) --------------------------------------------
+
+
+def _skyline2d(price: np.ndarray, date: np.ndarray) -> np.ndarray:
+    """Boolean mask of the (maximize price, minimize date) skyline.
+
+    A row survives iff no other row is ≥ in price AND ≤ in date with at
+    least one strict inequality (duplicates of an undominated pair all
+    survive). Vectorized: sort by (price desc, date asc); within an
+    equal-price run only rows tying the run's min date can survive, and the
+    run min must beat (strictly) the best date seen at any higher price.
+    """
+    n = len(price)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((date, -price))
+    p_s, d_s = price[order], date[order]
+    run_start = np.flatnonzero(np.concatenate(([True], p_s[1:] != p_s[:-1])))
+    run_id = np.cumsum(np.concatenate(([True], p_s[1:] != p_s[:-1]))) - 1
+    run_min = d_s[run_start]  # date asc within a run → first element is min
+    # best (smallest) date among strictly-higher-price runs
+    best_higher = np.concatenate(([np.inf], np.minimum.accumulate(run_min)[:-1]))
+    ok_run = run_min < best_higher
+    keep_sorted = ok_run[run_id] & (d_s == run_min[run_id])
+    keep = np.zeros(n, dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def pareto_orders(sf_dir: str):
+    """Skyline of orders: maximize o_totalprice, minimize o_orderdate.
+
+    Distributed shape: the skyline operator is union-stable — every global
+    skyline point survives its block's local skyline — so each block emits
+    its local frontier (O(log n) expected rows on unordered data), the
+    driver unions the small candidate sets and takes one final frontier.
+    No shuffle at all; the exchange is the candidate rows only.
+    """
+    ds = read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        keep = _skyline2d(
+            df["o_totalprice"].to_numpy(np.float64),
+            df["o_orderdate"].to_numpy("datetime64[us]").astype(np.int64).astype(np.float64),
+        )
+        return df[keep]
+
+    cand = ds.map_batches(local, batch_format="pandas").to_pandas()
+    keep = _skyline2d(
+        cand["o_totalprice"].to_numpy(np.float64),
+        cand["o_orderdate"].to_numpy("datetime64[us]").astype(np.int64).astype(np.float64),
+    )
+    out = cand[keep].sort_values("o_orderkey").reset_index(drop=True)
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return out

@@ -594,3 +594,192 @@ def kmeans_assign(sf_dir: str, *, n_clusters: int = 16, seed: int = 42) -> pd.Da
 
     out = _read_emb(sf_dir).map_batches(assign, batch_format="pyarrow").to_pandas()
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+# --- exact-integer covariance sufficient statistics ---------------------------
+
+
+def embedding_covariance(sf_dir: str) -> pd.DataFrame:
+    """Full (dim × dim) second-moment statistics of the embedding table,
+    exact to the last bit.
+
+    Each batch quantizes its (B, d) slab to int64 with the SAME fixed-point
+    rule the oracle SQL uses (``floor(x·10⁶ + 0.5)``, well-defined for both
+    signs and immune to banker's-vs-away rounding divergence), computes the
+    int64 Gram partial ``qᵀq`` plus per-dimension sums in one matmul, and
+    emits d² partial rows. A (i, j)-keyed grouped sum merges the partials —
+    integer addition is order-free, so the exchange needs no ordered fold.
+    Bound: |q| ≤ 10⁶·max|x|; with unit-scale embeddings the pairwise sum
+    stays inside int64 up to ~9×10⁶ rows per partial and ~9×10⁹ rows
+    globally per (i, j) — beyond that, split the fold hierarchically.
+    Scale shape: the exchange carries d² rows per BLOCK (4096 for d=64),
+    never a row per input vector; the driver sees only the final d² rows.
+    """
+    ds = _read_emb(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, mat = _batch_matrix(t)
+        q = np.floor(mat.astype(np.float64) * 1_000_000.0 + 0.5).astype(np.int64)
+        n, d = q.shape
+        gram = q.T @ q  # int64 matmul: d²·B MACs, no float error
+        sums = q.sum(axis=0)
+        idx = np.arange(1, d + 1, dtype=np.int64)  # 1-based, matches SQL subscripts
+        ii = np.repeat(idx, d)
+        jj = np.tile(idx, d)
+        return pa.table(
+            {
+                "i": ii,
+                "j": jj,
+                "n": np.full(d * d, n, dtype=np.int64),
+                "sum_qi": np.repeat(sums, d),
+                "sum_qj": np.tile(sums, d),
+                "sum_qiqj": gram.ravel(),
+            }
+        )
+
+    from .relational import grouped_agg
+
+    out = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow").select_columns(
+            ["i", "j", "n", "sum_qi", "sum_qj", "sum_qiqj"]
+        ),
+        ["i", "j"],
+        {
+            "n": ("n", "sum"),
+            "sum_qi": ("sum_qi", "sum"),
+            "sum_qj": ("sum_qj", "sum"),
+            "sum_qiqj": ("sum_qiqj", "sum"),
+        },
+    ).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["i", "j"]).reset_index(drop=True)
+
+
+# --- product quantization (PQ codes + ADC search) -----------------------------
+
+PQ_M = 8  # subspaces; subdim = d/M = 8 keeps float folds below numpy's
+# pairwise-summation blocksize, so vectorized sums here equal the oracle's
+# scalar left-to-right folds bit-for-bit
+PQ_K = 16  # centroids per subspace → 4 bits/subspace, 4 bytes per vector
+
+
+def train_pq_codebooks(
+    sf_dir: str, *, m: int = PQ_M, k: int = PQ_K, seed: int = 42, lloyd_iters: int = 5
+) -> np.ndarray:
+    """(m, k, subdim) float64 codebooks from the deterministic sample.
+
+    Same driver-side seeded-training shape as ``train_centroids`` (the
+    sample is O(1), never the corpus): per subspace, RandomState(seed+m)
+    picks k distinct sample rows, then Lloyd with L2 assignment. All
+    arithmetic is float64 so the distributed encoder and the scalar oracle
+    share one well-defined numeric spec.
+    """
+    ds = _read_emb(sf_dir)
+    sample = ds.filter(expr=f"vec_id < {SAMPLE_MAX_ID}").to_pandas().sort_values("vec_id")
+    mat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    d = mat.shape[1]
+    assert d % m == 0, (d, m)
+    sub = d // m
+    books = np.empty((m, k, sub), dtype=np.float64)
+    for mi in range(m):
+        x = mat[:, mi * sub : (mi + 1) * sub]
+        rng = np.random.RandomState(seed + mi)
+        cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)].copy()
+        for _ in range(lloyd_iters):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cent)):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = x[mask].mean(axis=0)
+        books[mi, : len(cent)] = cent
+        if len(cent) < k:  # degenerate tiny sample: pad with the first row
+            books[mi, len(cent) :] = cent[0]
+    return books
+
+
+def _pq_encode(mat64: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(B, d) float64 → (B, m) int64 codes; argmin ties → lowest code."""
+    n, d = mat64.shape
+    m, k, sub = books.shape
+    codes = np.empty((n, m), dtype=np.int64)
+    for mi in range(m):
+        x = mat64[:, mi * sub : (mi + 1) * sub]
+        d2 = ((x[:, None, :] - books[mi][None, :, :]) ** 2).sum(axis=2)
+        codes[:, mi] = np.argmin(d2, axis=1)
+    return codes
+
+
+def pq_codes(sf_dir: str) -> pd.DataFrame:
+    """PQ-encode every embedding: (vec_id, m, code), m 0-based.
+
+    Scale shape: codebooks are trained once on the O(1) driver sample and
+    broadcast via ``ray.put``; the encode is a stateless ``map_batches``
+    (d·k multiply-adds per row) and the output is m small ints per vector —
+    the 100-TB path stores 4-bit codes instead of 256-byte float rows.
+    """
+    books = train_pq_codebooks(sf_dir)
+    ref = ray.put(books)
+
+    def encode(t: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        ids, mat = _batch_matrix(t)
+        codes = _pq_encode(mat.astype(np.float64), b)
+        n, m = codes.shape
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids.astype(np.int64), m)),
+                "m": pa.array(np.tile(np.arange(m, dtype=np.int64), n)),
+                "code": pa.array(codes.ravel()),
+            }
+        )
+
+    out = (
+        _read_emb(sf_dir)
+        .map_batches(encode, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["vec_id", "m"])
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def pq_adc_search(sf_dir: str, *, query_id: int = 0, topk: int = 10) -> pd.DataFrame:
+    """Asymmetric-distance top-k: the query stays exact, the corpus is its
+    PQ codes; distance = Σ_m LUT[m, code_m] with the LUT built once from the
+    query (k·d float ops), folded in fixed subspace order so the float sum
+    is bit-reproducible. Per-block partial top-k, driver merges candidates.
+    """
+    books = train_pq_codebooks(sf_dir)
+    ds = _read_emb(sf_dir)
+    qdf = ds.filter(expr=f"vec_id == {query_id}").to_pandas()
+    qv = np.asarray(qdf["embedding"].iloc[0], dtype=np.float64)
+    m, k, sub = books.shape
+    lut = np.empty((m, k), dtype=np.float64)
+    for mi in range(m):
+        lut[mi] = ((qv[mi * sub : (mi + 1) * sub][None, :] - books[mi]) ** 2).sum(axis=1)
+    books_ref = ray.put(books)
+    lut_ref = ray.put(lut)
+
+    def score(t: pa.Table) -> pa.Table:
+        b = ray.get(books_ref)
+        l = ray.get(lut_ref)
+        ids, mat = _batch_matrix(t)
+        keep = ids != query_id
+        ids, mat = ids[keep], mat[keep]
+        codes = _pq_encode(mat.astype(np.float64), b)
+        dist = np.zeros(len(ids), dtype=np.float64)
+        for mi in range(l.shape[0]):  # fixed m order → reproducible fold
+            dist += l[mi][codes[:, mi]]
+        order = np.lexsort((ids, dist))[:topk]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order].astype(np.int64)),
+                "adc_dist": pa.array(np.round(dist[order], 6)),
+            }
+        )
+
+    cand = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["adc_dist", "vec_id"]).head(topk)
+    return cand.reset_index(drop=True)

@@ -1,0 +1,159 @@
+"""Unit tests for the round-3 statistics additions: the 2-D skyline kernel,
+median-absolute-deviation chaining, and the exact-integer covariance fold."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from osmi_addresses_ray.pipelines.relational import _skyline2d
+from osmi_addresses_ray.pipelines.similarity import embedding_covariance
+
+
+def _naive_skyline(price, date):
+    n = len(price)
+    keep = np.ones(n, dtype=bool)
+    for i in range(n):
+        for j in range(n):
+            if (
+                price[j] >= price[i]
+                and date[j] <= date[i]
+                and (price[j] > price[i] or date[j] < date[i])
+            ):
+                keep[i] = False
+                break
+    return keep
+
+
+def test_skyline_matches_naive_on_random_inputs():
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = int(rng.integers(1, 40))
+        # small integer domains force heavy ties in both dimensions
+        price = rng.integers(0, 6, n).astype(np.float64)
+        date = rng.integers(0, 6, n).astype(np.float64)
+        got = _skyline2d(price, date)
+        want = _naive_skyline(price, date)
+        assert np.array_equal(got, want), (trial, price, date)
+
+
+def test_skyline_duplicates_of_frontier_point_all_survive():
+    price = np.array([5.0, 5.0, 3.0])
+    date = np.array([2.0, 2.0, 1.0])
+    keep = _skyline2d(price, date)
+    assert keep.tolist() == [True, True, True]
+
+
+def test_skyline_empty():
+    assert _skyline2d(np.empty(0), np.empty(0)).tolist() == []
+
+
+def test_embedding_covariance_exact_integers(tmp_path):
+    rng = np.random.default_rng(3)
+    n, d = 257, 5  # odd count to exercise ragged batches
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(list(mat), pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(n, np.int32)),
+        }
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    out = embedding_covariance(str(tmp_path))
+    q = np.floor(mat.astype(np.float64) * 1_000_000.0 + 0.5).astype(np.int64)
+    want_gram = q.T @ q
+    assert len(out) == d * d
+    for _, r in out.iterrows():
+        i, j = int(r["i"]) - 1, int(r["j"]) - 1
+        assert r["n"] == n
+        assert r["sum_qi"] == q[:, i].sum()
+        assert r["sum_qj"] == q[:, j].sum()
+        assert r["sum_qiqj"] == want_gram[i, j]
+
+
+def test_mad_priority_matches_duckdb(tmp_path):
+    import duckdb
+
+    from osmi_addresses_ray.pipelines.relational import q_mad_priority
+
+    rng = np.random.default_rng(11)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n, dtype=np.int64),
+            "o_custkey": np.zeros(n, dtype=np.int64),
+            "o_orderstatus": ["O"] * n,
+            "o_totalprice": np.round(rng.uniform(10, 1000, n), 2),
+            "o_orderdate": pd.to_datetime("2024-01-01"),
+            "o_orderpriority": rng.choice(["1-URGENT", "2-HIGH", "3-LOW"], n),
+        }
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), str(tmp_path / "orders.parquet"))
+    got = q_mad_priority(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet'")
+    want = con.execute(
+        """
+        WITH m AS (SELECT o_orderpriority, quantile_disc(o_totalprice, 0.5) AS med
+                   FROM orders GROUP BY o_orderpriority)
+        SELECT o.o_orderpriority, max(m.med) AS med,
+               quantile_disc(abs(o.o_totalprice - m.med), 0.5) AS mad
+        FROM orders o JOIN m USING (o_orderpriority)
+        GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+        """
+    ).fetchdf()
+    assert np.array_equal(got["med"].to_numpy(), want["med"].to_numpy())
+    assert np.array_equal(got["mad"].to_numpy(), want["mad"].to_numpy())
+
+
+def _write_emb(tmp_path, n=60, d=16, seed=5):
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(list(mat), pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(n, np.int32)),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    return mat
+
+
+def test_pq_codes_match_scalar_oracle(tmp_path):
+    from osmi_addresses_ray.oracle.llm_ops import pq_adc_oracle, pq_codes_oracle
+    from osmi_addresses_ray.pipelines.similarity import pq_adc_search, pq_codes
+
+    _write_emb(tmp_path)
+    got = pq_codes(str(tmp_path)).reset_index(drop=True)
+    want = pq_codes_oracle(str(tmp_path)).reset_index(drop=True)
+    assert got.equals(want)
+    ga = pq_adc_search(str(tmp_path))
+    wa = pq_adc_oracle(str(tmp_path))
+    assert np.array_equal(ga["vec_id"].to_numpy(), wa["vec_id"].to_numpy())
+    assert np.array_equal(ga["adc_dist"].to_numpy(), wa["adc_dist"].to_numpy())
+
+
+def test_pq_codes_compress_and_reconstruct_sanely(tmp_path):
+    """PQ is lossy but must beat the trivial all-zero reconstruction."""
+    from osmi_addresses_ray.pipelines.similarity import (
+        _pq_encode,
+        train_pq_codebooks,
+    )
+
+    mat = _write_emb(tmp_path).astype(np.float64)
+    books = train_pq_codebooks(str(tmp_path))
+    codes = _pq_encode(mat, books)
+    m, k, sub = books.shape
+    recon = np.concatenate([books[mi][codes[:, mi]] for mi in range(m)], axis=1)
+    err = ((mat - recon) ** 2).sum()
+    assert err < (mat**2).sum() * 0.9

@@ -231,6 +231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_sample": _media_frames_query,
         "geohash_cells": _geohash_query,
         "hilbert_keys": _hilbert_query,
+        "quad_cells": _quad_cells_query,
+        "quad_rollup": _quad_rollup_query,
         "pip_entrances_in_buildings": _pip_query,
         # geodesic length operator: engine kernel vs DuckDB recomputing the
         # haversine from raw coordinates (true SQL oracle)
@@ -369,6 +371,35 @@ def _geohash_query(sf_dir: str):
     )
     write_oracle(
         "geohash_cells", oracle_geohash(_fixture_oracle()["osmi_addresses_nodes_with_addresses"])
+    )
+    return df
+
+
+def _quad_cells_query(sf_dir: str):
+    """Cube-sphere quadtree cell ids (S2-style) for every address point at
+    levels 12 and 8 (coarse = prefix shift); oracle = scalar python-int
+    Hilbert fold + scalar face/st spec over shared trig primitives."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.layers import oracle_quad_cells
+    from osmi_addresses_ray.pipelines.geo_ops import quad_cells_table
+
+    df = quad_cells_table(_fixture_layers()["osmi_addresses_nodes_with_addresses"])
+    write_oracle(
+        "quad_cells", oracle_quad_cells(_fixture_oracle()["osmi_addresses_nodes_with_addresses"])
+    )
+    return df
+
+
+def _quad_rollup_query(sf_dir: str):
+    """Hierarchical per-cell counts: fine-level grouped exchange, coarse
+    level derived by the pure id shift; oracle = scalar dict rollup."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.layers import oracle_quad_rollup
+    from osmi_addresses_ray.pipelines.geo_ops import quad_rollup
+
+    df = quad_rollup(_fixture_layers()["osmi_addresses_nodes_with_addresses"])
+    write_oracle(
+        "quad_rollup", oracle_quad_rollup(_fixture_oracle()["osmi_addresses_nodes_with_addresses"])
     )
     return df
 
@@ -1648,6 +1679,8 @@ def _ensure_default_oracles() -> None:
             "media_frame_sample",
             "geohash_cells",
             "hilbert_keys",
+            "quad_cells",
+            "quad_rollup",
             "pip_entrances_in_buildings",
             "geodesic_lengths",
             "rasterize_nwa",
@@ -1738,6 +1771,8 @@ def _naive_oracle_sql() -> dict[str, str]:
         "media_frame_sample": read_parquet_sql("media_frame_sample", "doc_id, media_ref"),
         "geohash_cells": read_parquet_sql("geohash_cells", "node_id, ip_id, lon, lat"),
         "hilbert_keys": read_parquet_sql("hilbert_keys", "node_id, ip_id, lon, lat"),
+        "quad_cells": read_parquet_sql("quad_cells", "node_id, ip_id, lon, lat"),
+        "quad_rollup": read_parquet_sql("quad_rollup", "cell_l8"),
         # true SQL recomputation of the great-circle kernel: haversine
         # (atan2 form) on sphere R=(2a+b)/3 over raw per-way coordinates
         "geodesic_lengths": f"""

@@ -84,6 +84,14 @@ def hilbert_d(lon: np.ndarray, lat: np.ndarray, order: int = 16) -> np.ndarray:
     x = np.clip((lon7 + _LON_SCALE // 2) * (1 << nbits) // _LON_SCALE, 0, (1 << nbits) - 1)
     y = np.clip((lat7 + _LAT_SCALE // 2) * (1 << nbits) // _LAT_SCALE, 0, (1 << nbits) - 1)
 
+    return hilbert_xy2d(x, y, nbits)
+
+
+def hilbert_xy2d(x: np.ndarray, y: np.ndarray, nbits: int) -> np.ndarray:
+    """Vectorized classic xy→d quadrant fold (top-down). Because digits are
+    extracted high bit first, the curve index is PREFIX-STABLE across
+    levels: ``xy2d(i >> k, j >> k, n - k) == xy2d(i, j, n) >> 2k`` — the
+    property the quadtree cell ids' ``parent = cell >> 2`` relies on."""
     x = x.astype(np.int64).copy()
     y = y.astype(np.int64).copy()
     d = np.zeros(len(x), dtype=np.int64)

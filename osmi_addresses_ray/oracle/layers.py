@@ -1002,3 +1002,104 @@ def oracle_media_histogram(docs: pa.Table) -> pd.DataFrame:
     cols = ["doc_id", "media_ref"] + [f"{ch}{b}" for ch in "rgb" for b in range(4)]
     return pd.DataFrame(rows, columns=cols).sort_values(
         ["doc_id", "media_ref"]).reset_index(drop=True)
+
+
+def _xy2d_scalar(x: int, y: int, nbits: int) -> int:
+    """Python-int Hilbert xy→d (same quadrant-fold variant as the engine's
+    vectorized hilbert_xy2d, rewritten scalar)."""
+    d = 0
+    s = 1 << (nbits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def _quad_cell_scalar(x: float, y: float, z: float, level: int) -> int:
+    """Scalar cube-sphere quadtree cell id from a unit-sphere point: same
+    face/uv/st spec as functions/s2quad (all exactly-rounded IEEE ops)."""
+    ax, ay, az = abs(x), abs(y), abs(z)
+    if az >= max(ax, ay):
+        f = 2 if z >= 0 else 5
+    elif ay > ax:
+        f = 1 if y >= 0 else 4
+    else:
+        f = 0 if x >= 0 else 3
+    if f == 0:
+        u, v = y / x, z / x
+    elif f == 1:
+        u, v = -x / y, z / y
+    elif f == 2:
+        u, v = -x / z, -y / z
+    elif f == 3:
+        u, v = z / x, y / x
+    elif f == 4:
+        u, v = z / y, -x / y
+    else:
+        u, v = -y / z, -x / z
+
+    def st(w: float) -> float:
+        return (
+            0.5 * math.sqrt(1.0 + 3.0 * w)
+            if w >= 0.0
+            else 1.0 - 0.5 * math.sqrt(1.0 - 3.0 * w)
+        )
+
+    n = 1 << level
+    i = min(max(int(math.floor(st(u) * n)), 0), n - 1)
+    j = min(max(int(math.floor(st(v) * n)), 0), n - 1)
+    return (f << (2 * level)) + _xy2d_scalar(i, j, level)
+
+
+def _oracle_sphere_xyz(nwa: pd.DataFrame):
+    """Trig through the SAME numpy array primitive the engine uses — sin/cos
+    SIMD kernels are not guaranteed ulp-identical to libm scalars, and a
+    1-ulp flip at a grid boundary would change the cell. Everything AFTER
+    the trig is exactly-rounded IEEE and recomputed per-point in scalar
+    python, so the structural spec stays independent."""
+    lam = np.deg2rad(nwa["lon"].to_numpy(np.float64))
+    phi = np.deg2rad(nwa["lat"].to_numpy(np.float64))
+    cp = np.cos(phi)
+    return cp * np.cos(lam), cp * np.sin(lam), np.sin(phi)
+
+
+def oracle_quad_cells(nwa: pd.DataFrame, level_fine: int = 12, level_coarse: int = 8) -> pd.DataFrame:
+    X, Y, Z = _oracle_sphere_xyz(nwa)
+    fine, coarse = [], []
+    for idx in range(len(nwa)):
+        x, y, z = float(X[idx]), float(Y[idx]), float(Z[idx])
+        fine.append(_quad_cell_scalar(x, y, z, level_fine))
+        coarse.append(_quad_cell_scalar(x, y, z, level_coarse))
+    res = nwa[["node_id", "ip_id", "lon", "lat"]].copy()
+    res["ip_id"] = res["ip_id"].astype("string")
+    res["cell_l12"] = np.array(fine, dtype=np.int64)
+    res["cell_l8"] = np.array(coarse, dtype=np.int64)
+    return res.sort_values(["node_id", "ip_id", "lon", "lat"]).reset_index(drop=True)
+
+
+def oracle_quad_rollup(nwa: pd.DataFrame, level_fine: int = 12, level_coarse: int = 8) -> pd.DataFrame:
+    cells = oracle_quad_cells(nwa, level_fine, level_coarse)
+    per_fine: dict[int, int] = {}
+    fine_to_coarse: dict[int, int] = {}
+    for cf, cc in zip(cells["cell_l12"], cells["cell_l8"]):
+        per_fine[int(cf)] = per_fine.get(int(cf), 0) + 1
+        fine_to_coarse[int(cf)] = int(cc)
+    agg: dict[int, list[int]] = {}
+    for cf, cnt in per_fine.items():
+        cc = fine_to_coarse[cf]
+        if cc not in agg:
+            agg[cc] = [0, 0]
+        agg[cc][0] += cnt
+        agg[cc][1] += 1
+    rows = [
+        {"cell_l8": np.int64(cc), "n_points": np.int64(v[0]), "n_child_cells": np.int64(v[1])}
+        for cc, v in agg.items()
+    ]
+    return pd.DataFrame(rows).sort_values("cell_l8").reset_index(drop=True)

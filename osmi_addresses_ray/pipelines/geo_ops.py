@@ -521,3 +521,89 @@ def convex_hull_cells(nwa_ds, *, num_parts: int = 8) -> pd.DataFrame:
     pts = points_from_nwa(nwa_ds)
     df = convex_hulls(pts, cell=HULL_CELL_UNITS, num_parts=num_parts).to_pandas()
     return _sorted(df.astype({c: "int64" for c in df.columns}))
+
+
+# --------------------------------------------------------------------------
+# cube-sphere quadtree cells (S2-style): encode + pure-shift hierarchy rollup
+# --------------------------------------------------------------------------
+
+QUAD_LEVEL_FINE = 12
+QUAD_LEVEL_COARSE = 8
+
+
+def quad_cells_table(nwa_ds) -> pd.DataFrame:
+    """Per-address quadtree cell ids at two levels (fine + its ancestor).
+
+    The coarse id is derived by the prefix shift ``cell >> 2·Δlevel`` —
+    no second spherical projection; the Hilbert fold's prefix stability
+    makes the shift exactly equal to a direct coarse encode (unit-tested).
+    """
+    from ..functions.s2quad import quad_cell, quad_parent
+
+    shift_steps = QUAD_LEVEL_FINE - QUAD_LEVEL_COARSE
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        c12 = quad_cell(lon, lat, QUAD_LEVEL_FINE)
+        return pa.table(
+            {
+                "node_id": t["node_id"],
+                "ip_id": t["ip_id"],
+                "lon": t["lon"],
+                "lat": t["lat"],
+                "cell_l12": pa.array(c12, pa.int64()),
+                "cell_l8": pa.array(quad_parent(c12, shift_steps), pa.int64()),
+            }
+        )
+
+    return (
+        nwa_ds.map_batches(f, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["node_id", "ip_id", "lon", "lat"])
+        .reset_index(drop=True)
+    )
+
+
+def quad_rollup(nwa_ds) -> pd.DataFrame:
+    """Two-level hierarchical aggregate: fine-cell counts (one grouped
+    exchange of (cell, count) partials), then the coarse level is a PURE
+    ID SHIFT over the already-tiny fine table — the quadtree rollup never
+    touches the points again, which is the whole point of prefix-stable
+    cell ids at 100-TB scale (N levels of zoom = 1 point scan + N shifts).
+    """
+    from ..functions.s2quad import quad_cell, quad_parent
+    from .relational import grouped_agg
+
+    shift_steps = QUAD_LEVEL_FINE - QUAD_LEVEL_COARSE
+
+    def cells(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"cell_l12": pa.array(quad_cell(lon, lat, QUAD_LEVEL_FINE), pa.int64())}
+        )
+
+    per_fine = grouped_agg(
+        nwa_ds.map_batches(cells, batch_format="pyarrow"),
+        ["cell_l12"],
+        {"n": (None, "count")},
+    )
+
+    def to_coarse(t: pa.Table) -> pa.Table:
+        c = t["cell_l12"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cell_l8": pa.array(quad_parent(c, shift_steps), pa.int64()),
+                "n": t["n"],
+            }
+        )
+
+    out = grouped_agg(
+        per_fine.map_batches(to_coarse, batch_format="pyarrow"),
+        ["cell_l8"],
+        {"n_points": ("n", "sum"), "n_child_cells": (None, "count")},
+    ).to_pandas()
+    out["n_points"] = out["n_points"].astype("int64")
+    out["n_child_cells"] = out["n_child_cells"].astype("int64")
+    return out.sort_values("cell_l8").reset_index(drop=True)

@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": textstats.decontaminate_docs,
         "frequent_ngrams": textstats.frequent_ngrams,
         "search_docs_all_terms": textstats.search_docs_all_terms,
+        "search_docs_indexed": textstats.search_docs_indexed,
         "doc_repetition": textstats.doc_repetition,
         # sketch/ANN ops checked against naive pure-Python oracles written to
         # /tmp/graft_oracle (see osmi_addresses_ray.oracle): the query runs
@@ -203,6 +204,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "pq_adc_search": _with_oracle(
             "pq_adc_search", similarity.pq_adc_search, "pq_adc_oracle", "embeddings"
+        ),
+        # PCA pc1: integer-moment exchange + driver power iteration (ordered
+        # scalar folds) + broadcast projection pass
+        "pca_project": _with_oracle(
+            "pca_project", similarity.pca_project, "pca_project_oracle", "embeddings"
         ),
         "embedding_cosine_dedup": _with_oracle(
             "embedding_cosine_dedup", similarity.embedding_cosine_dedup, "emb_dedup_oracle",
@@ -1550,6 +1556,21 @@ def oracle_sql() -> dict[str, str]:
             FROM c WHERE c1 > 0 AND c2 > 0 AND c3 > 0
             ORDER BY doc_id
         """,
+        # the inverted-index probe must return exactly what the full scan
+        # returns — same oracle, independent access path
+        "search_docs_indexed": """
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS ws
+                       FROM documents),
+            c AS (SELECT doc_id,
+                         len(list_filter(ws, x -> x = 'merge'))  AS c1,
+                         len(list_filter(ws, x -> x = 'window')) AS c2,
+                         len(list_filter(ws, x -> x = 'batch'))  AS c3
+                  FROM t)
+            SELECT doc_id, (c1 + c2 + c3)::BIGINT AS n_occurrences
+            FROM c WHERE c1 > 0 AND c2 > 0 AND c3 > 0
+            ORDER BY doc_id
+        """,
         # deterministic per-language sample: the rank hash is plain BIGINT
         # arithmetic so the oracle is the SAME expression, not a hash library
         "stratified_sample": """
@@ -1720,6 +1741,7 @@ def _ensure_default_oracles() -> None:
         ("kmeans_assign", "embeddings"),
         ("pq_codes", "embeddings"),
         ("pq_adc_search", "embeddings"),
+        ("pca_project", "embeddings"),
         ("dedup_clusters", "documents"),
         ("hll_distinct_users", "events"),
         ("cms_token_counts", "documents"),
@@ -1762,6 +1784,7 @@ def _naive_oracle_sql() -> dict[str, str]:
         "kmeans_assign": read_tagged_sql("kmeans_assign", "vec_id", "embeddings"),
         "pq_codes": read_tagged_sql("pq_codes", "vec_id, m", "embeddings"),
         "pq_adc_search": read_tagged_sql("pq_adc_search", "adc_dist, vec_id", "embeddings"),
+        "pca_project": read_tagged_sql("pca_project", "vec_id", "embeddings"),
         "dedup_clusters": read_tagged_sql("dedup_clusters", "doc_id", "documents"),
         "hll_distinct_users": read_tagged_sql("hll_distinct_users", "col_name", "events"),
         "cms_token_counts": read_tagged_sql("cms_token_counts", "token", "documents"),

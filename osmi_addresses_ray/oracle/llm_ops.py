@@ -601,6 +601,55 @@ def pq_adc_oracle(sf_dir: str, *, query_id: int = 0, topk: int = 10) -> pd.DataF
         acc = 0.0
         for mi in range(m):
             acc += float(lut[mi, int(cs[mi])])
-        rows.append({"vec_id": np.int64(vid), "adc_dist": round(acc, 6)})
+        # np.round to match the engine's rounding exactly (builtin round
+        # can differ on half-way scaled values)
+        rows.append({"vec_id": np.int64(vid), "adc_dist": float(np.round(acc, 6))})
     rows.sort(key=lambda t: (t["adc_dist"], t["vec_id"]))
     return pd.DataFrame(rows[:topk])
+
+
+def pca_project_oracle(sf_dir: str) -> pd.DataFrame:
+    """Scalar restatement of the PCA spec. The integer moments are exact and
+    order-free (any correct implementation produces identical ints), so they
+    may be recomputed with whole-array numpy; the power iteration and the
+    per-row projection folds are scalar python loops in the spec's order."""
+    emb = _emb(sf_dir)
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    q = np.floor(mat * 1_000_000.0 + 0.5).astype(np.int64)
+    n, d = q.shape
+    gram = q.T @ q
+    sums = q.sum(axis=0)
+    mean_q = [float(sums[i]) / float(n) for i in range(d)]
+    cov = [[float(gram[i, j]) / float(n) - mean_q[i] * mean_q[j] for j in range(d)]
+           for i in range(d)]
+    import math
+
+    v = [1.0 / math.sqrt(float(d))] * d
+    for _ in range(30):
+        w = []
+        for i in range(d):
+            acc = 0.0
+            for j in range(d):
+                acc += cov[i][j] * v[j]
+            w.append(acc)
+        norm_sq = 0.0
+        for i in range(d):
+            norm_sq += w[i] * w[i]
+        norm = math.sqrt(norm_sq)
+        if norm == 0.0:
+            break
+        v = [w[i] / norm for i in range(d)]
+    k = max(range(d), key=lambda i: (abs(v[i]), -i))
+    if v[k] < 0:
+        v = [-x for x in v]
+    rows = []
+    ids = emb["vec_id"].to_numpy()
+    qf = q.astype(np.float64)
+    for r in range(n):
+        acc = 0.0
+        for i in range(d):
+            acc += (float(qf[r, i]) - mean_q[i]) * v[i]
+        # np.round, not builtin round: the two differ on rare half-way
+        # scaled values and the engine rounds with numpy
+        rows.append({"vec_id": np.int64(ids[r]), "pc1": float(np.round(acc, 4))})
+    return pd.DataFrame(rows).sort_values("vec_id").reset_index(drop=True)

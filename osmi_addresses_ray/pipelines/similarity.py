@@ -783,3 +783,85 @@ def pq_adc_search(sf_dir: str, *, query_id: int = 0, topk: int = 10) -> pd.DataF
     cand = ds.map_batches(score, batch_format="pyarrow").to_pandas()
     cand = cand.sort_values(["adc_dist", "vec_id"]).head(topk)
     return cand.reset_index(drop=True)
+
+
+# --- PCA first component: power iteration on the exact-integer moments --------
+
+PCA_ITERS = 30
+
+
+def _pca_top_component(stats: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, int]:
+    """(mean_q, v, d) from the integer second-moment rows.
+
+    The covariance is assembled from EXACT integer sums (so every engine
+    and oracle run starts from identical float64 inputs), then the top
+    eigenvector comes from ``PCA_ITERS`` power iterations written as plain
+    ordered scalar folds — deliberately loop-based (d² ≈ 4k ops/iter on the
+    driver) so the scalar oracle is the same arithmetic by construction.
+    Sign convention: the component with the largest |value| (first on tie)
+    is made positive.
+    """
+    d = int(stats["i"].max())
+    n = float(stats["n"].iloc[0])
+    sums = np.zeros(d, dtype=np.float64)
+    cov = np.zeros((d, d), dtype=np.float64)
+    for r in stats.itertuples():
+        i, j = int(r.i) - 1, int(r.j) - 1
+        if i == 0:
+            sums[j] = float(r.sum_qj)
+        cov[i, j] = float(r.sum_qiqj)
+    mean_q = np.array([s / n for s in sums])
+    for i in range(d):
+        for j in range(d):
+            cov[i, j] = cov[i, j] / n - mean_q[i] * mean_q[j]
+    v = np.full(d, 1.0 / np.sqrt(float(d)))
+    for _ in range(PCA_ITERS):
+        w = np.zeros(d, dtype=np.float64)
+        for i in range(d):
+            acc = 0.0
+            for j in range(d):
+                acc += cov[i, j] * v[j]
+            w[i] = acc
+        norm_sq = 0.0
+        for i in range(d):
+            norm_sq += w[i] * w[i]
+        norm = np.sqrt(norm_sq)
+        if norm == 0.0:
+            break
+        for i in range(d):
+            v[i] = w[i] / norm
+    k = int(np.argmax(np.abs(v)))
+    if v[k] < 0:
+        v = -v
+    return mean_q, v, d
+
+
+def pca_project(sf_dir: str) -> pd.DataFrame:
+    """First-principal-component score per embedding.
+
+    Pipeline shape: one pass for the integer moment fold (the
+    ``embedding_covariance`` exchange — d² rows per block), an O(d²)
+    driver-side power iteration, then a broadcast (mean, v) projection pass
+    with the per-dimension ordered fold — two corpus scans total, no
+    shuffle of vectors, and the iterative step never touches workers.
+    """
+    stats = embedding_covariance(sf_dir)
+    mean_q, v, d = _pca_top_component(stats)
+    mv_ref = ray.put((mean_q, v))
+
+    def project(t: pa.Table) -> pa.Table:
+        mean, vec = ray.get(mv_ref)
+        ids, mat = _batch_matrix(t)
+        q = np.floor(mat.astype(np.float64) * 1_000_000.0 + 0.5)
+        score = np.zeros(len(ids), dtype=np.float64)
+        for i in range(q.shape[1]):  # ordered fold == the scalar oracle
+            score += (q[:, i] - mean[i]) * vec[i]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids.astype(np.int64)),
+                "pc1": pa.array(np.round(score, 4)),
+            }
+        )
+
+    out = _read_emb(sf_dir).map_batches(project, batch_format="pyarrow").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)

@@ -844,3 +844,127 @@ def doc_repetition(sf_dir: str) -> pd.DataFrame:
 
     out = ds.map_batches(f, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# --- inverted index: one-time posting layout + partition-pruned search --------
+
+_IDX_BUCKETS = 64
+_INVIDX_CACHE: dict[tuple[str, int], str] = {}
+
+
+def _token_bucket(tokens: pd.Series, n_buckets: int) -> np.ndarray:
+    """Deterministic token → bucket (siphash; stable across processes)."""
+    return (pd.util.hash_pandas_object(tokens, index=False).to_numpy() %
+            np.uint64(n_buckets)).astype(np.int64)
+
+
+def build_inverted_index(sf_dir: str, *, n_buckets: int = _IDX_BUCKETS) -> str:
+    """One-time token-bucket-partitioned posting layout (the IVF pattern
+    applied to text search): rows (bucket, token, doc_id, tf) written
+    hive-partitioned as ``bucket=<b>/``, so a query touches ONLY its query
+    terms' buckets — never the corpus. Tagged by the corpus file identity
+    (ns mtime + size) plus the pandas major version (the bucket hash is
+    pandas' siphash), built atomically via tmp-dir + os.replace.
+    """
+    import pyarrow.parquet as papq
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    key = (os.path.abspath(sf_dir), n_buckets)
+    if key in _INVIDX_CACHE:
+        return _INVIDX_CACHE[key]
+    st = os.stat(docs_path)
+    import hashlib
+
+    tag = hashlib.sha256(
+        f"{key[0]}|{n_buckets}|{st.st_mtime_ns}.{st.st_size}|pd{pd.__version__}".encode()
+    ).hexdigest()[:16]
+    index_dir = os.path.join("/tmp/graft_invidx", tag)
+    if os.path.isdir(index_dir):
+        _INVIDX_CACHE[key] = index_dir
+        return index_dir
+
+    tok = re.compile(_TOKEN_RE)
+
+    def postings(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].to_numpy()
+        tok_lists, counts, starts, ends = _segment_tokens(texts, tok)
+        if not counts.sum():
+            return pd.DataFrame(
+                {"bucket": pd.Series([], dtype=np.int64),
+                 "token": pd.Series([], dtype=object),
+                 "doc_id": pd.Series([], dtype=np.int64),
+                 "tf": pd.Series([], dtype=np.int64)}
+            )
+        all_toks = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists if t])
+        doc_ids = np.repeat(df["doc_id"].to_numpy(np.int64), counts)
+        g = (
+            pd.DataFrame({"token": all_toks, "doc_id": doc_ids})
+            .groupby(["token", "doc_id"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        g["bucket"] = _token_bucket(g["token"], n_buckets)
+        g["tf"] = g["tf"].astype(np.int64)
+        return g[["bucket", "token", "doc_id", "tf"]]
+
+    tmp_dir = index_dir + ".tmp"
+    if os.path.isdir(tmp_dir):
+        import shutil
+
+        shutil.rmtree(tmp_dir)
+    _read_docs(sf_dir).map_batches(postings, batch_format="pandas").write_parquet(
+        tmp_dir, partition_cols=["bucket"]
+    )
+    os.replace(tmp_dir, index_dir)
+    _INVIDX_CACHE[key] = index_dir
+    return index_dir
+
+
+def search_docs_indexed(
+    sf_dir: str, terms: tuple[str, ...] = _SEARCH_TERMS, *, n_buckets: int = _IDX_BUCKETS
+) -> pd.DataFrame:
+    """Boolean AND search through the inverted index: read ONLY the query
+    terms' bucket partitions, keep exact-term rows, and co-group by doc_id —
+    a doc qualifies iff its distinct-term row count equals len(terms)
+    (build emits one row per (token, doc)). Same result contract (and the
+    same SQL oracle) as the full-scan ``search_docs_all_terms``; the scan
+    version is the no-index baseline, this is the 100-TB query path.
+    """
+    import ray.data as rd
+
+    from .relational import grouped_agg
+
+    index_dir = build_inverted_index(sf_dir, n_buckets=n_buckets)
+    import glob as _glob
+
+    buckets = sorted(set(_token_bucket(pd.Series(list(terms)), n_buckets).tolist()))
+    # enumerate files: a multi-path read_parquet wants files, not hive dirs
+    paths = [
+        p
+        for b in buckets
+        for p in sorted(_glob.glob(os.path.join(index_dir, f"bucket={b}", "*.parquet")))
+    ]
+    if not paths:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype=np.int64),
+             "n_occurrences": pd.Series([], dtype=np.int64)}
+        )
+    term_set = set(terms)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        hit = df[df["token"].isin(term_set)]
+        return pd.DataFrame(
+            {"doc_id": hit["doc_id"].astype(np.int64), "tf": hit["tf"].astype(np.int64)}
+        )
+
+    agg = grouped_agg(
+        rd.read_parquet(paths, columns=["token", "doc_id", "tf"]).map_batches(
+            probe, batch_format="pandas"
+        ),
+        ["doc_id"],
+        {"n_occurrences": ("tf", "sum"), "n_terms": (None, "count")},
+    ).to_pandas()
+    out = agg[agg["n_terms"] == len(terms)][["doc_id", "n_occurrences"]]
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_occurrences"] = out["n_occurrences"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

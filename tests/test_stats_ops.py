@@ -157,3 +157,75 @@ def test_pq_codes_compress_and_reconstruct_sanely(tmp_path):
     recon = np.concatenate([books[mi][codes[:, mi]] for mi in range(m)], axis=1)
     err = ((mat - recon) ** 2).sum()
     assert err < (mat**2).sum() * 0.9
+
+
+def test_inverted_index_search_matches_scan(tmp_path):
+    import pyarrow.parquet as pq
+
+    from osmi_addresses_ray.pipelines.textstats import (
+        build_inverted_index,
+        search_docs_all_terms,
+        search_docs_indexed,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(8, dtype=np.int64),
+            "text": [
+                "merge the window batch now",          # all three terms
+                "merge merge window batch",            # all, with repeats
+                "merge window",                        # missing batch
+                "window batch",                        # missing merge
+                "BATCH Window MERGE",                  # case-folded hit
+                "nothing relevant here",
+                "merge batch merge window batch",      # all, heavy
+                "",                                    # empty doc
+            ],
+            "lang": ["en"] * 8,
+            "source": ["t"] * 8,
+            "n_chars": np.zeros(8, dtype=np.int64),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    scan = search_docs_all_terms(str(tmp_path))
+    idx = search_docs_indexed(str(tmp_path))
+    assert scan.equals(idx)
+    assert idx["doc_id"].tolist() == [0, 1, 4, 6]
+    # index layout exists and a rebuild is a cache hit (same dir)
+    d1 = build_inverted_index(str(tmp_path))
+    d2 = build_inverted_index(str(tmp_path))
+    assert d1 == d2
+
+
+def test_pca_project_matches_scalar_oracle(tmp_path):
+    from osmi_addresses_ray.oracle.llm_ops import pca_project_oracle
+    from osmi_addresses_ray.pipelines.similarity import pca_project
+
+    _write_emb(tmp_path, n=120, d=16, seed=9)
+    got = pca_project(str(tmp_path)).reset_index(drop=True)
+    want = pca_project_oracle(str(tmp_path)).reset_index(drop=True)
+    assert got.equals(want)
+
+
+def test_pca_captures_planted_dominant_direction(tmp_path):
+    import pyarrow.parquet as pq
+
+    from osmi_addresses_ray.pipelines.similarity import pca_project
+
+    rng = np.random.default_rng(4)
+    n, d = 200, 16
+    t = rng.normal(size=n) * 10.0  # dominant axis = dim 0
+    mat = rng.normal(size=(n, d)).astype(np.float32) * 0.1
+    mat[:, 0] += t.astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(list(mat), pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(n, np.int32)),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    out = pca_project(str(tmp_path))
+    corr = np.corrcoef(out["pc1"].to_numpy(), mat[:, 0].astype(np.float64))[0, 1]
+    assert abs(corr) > 0.99

@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # user_id, vectorized per-partition sweeps (pipelines/timeseries.py)
         "asof_click_view": timeseries.asof_join_events,
         "session_windows": timeseries.session_windows,
+        "session_paths": timeseries.session_paths,
         "sliding_window_counts": timeseries.sliding_window_counts,
         "range_join_shipments": timeseries.range_join_shipments,
         "running_totals": timeseries.running_totals,
@@ -163,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_ngrams": textstats.frequent_ngrams,
         "search_docs_all_terms": textstats.search_docs_all_terms,
         "search_docs_indexed": textstats.search_docs_indexed,
+        "duplicate_spans": textstats.duplicate_spans,
         "doc_repetition": textstats.doc_repetition,
         # sketch/ANN ops checked against naive pure-Python oracles written to
         # /tmp/graft_oracle (see osmi_addresses_ray.oracle): the query runs
@@ -996,6 +998,30 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM s GROUP BY user_id, sid ORDER BY user_id, session_id
         """,
+        # sessionized journey strings: same break rule as session_windows,
+        # ordered string agg per session
+        "session_paths": """
+            WITH o AS (
+                SELECT user_id, event_id, ts, event_type,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    > 30 * 60 * 1000000
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+                SELECT user_id, event_id, ts, event_type,
+                       SUM(brk) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM o
+            )
+            SELECT user_id, sid::BIGINT AS session_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+                   count(*)::BIGINT AS n_events
+            FROM s GROUP BY user_id, sid ORDER BY user_id, session_id
+        """,
         # closed RANGE frame: equal-ts peers and the boundary instant are in
         # the window on BOTH sides (searchsorted left/right mirrors RANGE)
         "sliding_window_counts": """
@@ -1555,6 +1581,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, (c1 + c2 + c3)::BIGINT AS n_occurrences
             FROM c WHERE c1 > 0 AND c2 > 0 AND c3 > 0
             ORDER BY doc_id
+        """,
+        # exact duplicate-span profile: distinct 8-token windows a doc
+        # shares verbatim with any other doc (shingle slice is inclusive:
+        # ws[i:i+7] = 8 tokens)
+        "duplicate_spans": """
+            WITH s AS (
+                SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+                FROM (SELECT doc_id,
+                             regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS ws
+                      FROM documents),
+                     LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS i)
+            ), df AS (SELECT gram, count(*) AS c FROM s GROUP BY gram)
+            SELECT s.doc_id, count(*)::BIGINT AS n_dup_spans
+            FROM s JOIN df USING (gram) WHERE df.c > 1
+            GROUP BY s.doc_id ORDER BY doc_id
         """,
         # the inverted-index probe must return exactly what the full scan
         # returns — same oracle, independent access path

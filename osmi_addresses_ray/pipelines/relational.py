@@ -1484,3 +1484,59 @@ def pareto_orders(sf_dir: str):
     out = cand[keep].sort_values("o_orderkey").reset_index(drop=True)
     out["o_orderkey"] = out["o_orderkey"].astype("int64")
     return out
+
+
+# --- left outer join with null-side defaults -----------------------------------
+
+
+def q_left_join_nulls(sf_dir: str, *, num_parts: int = 8):
+    """Customers LEFT JOIN their order aggregate: customers with no orders
+    keep a row (n_orders = 0, total_spent = 0). Completes the join matrix
+    (inner/broadcast/semi/anti/range/as-of are covered elsewhere).
+
+    Scale shape: orders are pre-aggregated per custkey FIRST (one grouped
+    exchange over partial sums), so the co-group joins two key-sized
+    tables — the left-join exchange never carries order rows.
+    """
+    from ..ops import cogroup
+
+    cust = read(sf_dir, "customer", columns=["c_custkey"])
+    orders_agg = grouped_agg(
+        read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]),
+        ["o_custkey"],
+        {"n_orders": (None, "count"), "total_spent": ("o_totalprice", "sum")},
+    )
+
+    def f(c_t: pa.Table, o_t: pa.Table) -> pa.Table:
+        c = c_t.to_pandas()
+        o = o_t.to_pandas()
+        m = c.merge(o, left_on="c_custkey", right_on="o_custkey", how="left")
+        return pa.table(
+            {
+                "c_custkey": pa.array(m["c_custkey"].to_numpy(np.int64)),
+                "n_orders": pa.array(
+                    m["n_orders"].fillna(0).to_numpy(np.int64), pa.int64()
+                ),
+                "total_spent": pa.array(
+                    m["total_spent"].fillna(0.0).round(4).to_numpy(np.float64)
+                ),
+            }
+        )
+
+    out = cogroup(
+        [cust, orders_agg],
+        [["c_custkey"], ["o_custkey"]],
+        num_parts,
+        f,
+        [
+            pa.schema([("c_custkey", pa.int64())]),
+            pa.schema(
+                [
+                    ("o_custkey", pa.int64()),
+                    ("n_orders", pa.int64()),
+                    ("total_spent", pa.float64()),
+                ]
+            ),
+        ],
+    )
+    return out.to_pandas().sort_values("c_custkey").reset_index(drop=True)

@@ -968,3 +968,95 @@ def search_docs_indexed(
     out["doc_id"] = out["doc_id"].astype("int64")
     out["n_occurrences"] = out["n_occurrences"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# --- exact duplicate-span profile (per-doc shared-shingle counts) --------------
+
+
+def duplicate_spans(sf_dir: str, *, n: int = 8, num_parts: int = 8) -> pd.DataFrame:
+    """Per-document count of DISTINCT n-token windows shared verbatim with
+    at least one other document — the doc-level signal of exact substring
+    duplication (the dedup-before-training precursor: a high count marks a
+    doc whose text is copied elsewhere in the corpus).
+
+    Distributed shape: one fused split wave turns each doc row into its
+    distinct (gram, doc_id) pairs and hash-partitions by gram, so every
+    gram's full posting sits in exactly one partition; there the document
+    frequency is a single groupby-transform and each partition emits only
+    per-doc partial counts (≤ docs-in-partition rows). A final doc-keyed
+    grouped sum merges partials. Nothing quadratic anywhere: work and
+    exchange are linear in total shingle count.
+    """
+    import pyarrow as pa
+
+    from ..ops import direct_partitioned_map
+    from .relational import grouped_agg
+
+    ds = _read_docs(sf_dir)
+    tok = re.compile(_TOKEN_RE)
+
+    def pre(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        grams: list[str] = []
+        docs: list[int] = []
+        for did, txt in zip(df["doc_id"].to_numpy(np.int64), df["text"]):
+            gs = set(_doc_ngrams(tok.findall(txt.lower()), n))
+            grams.extend(gs)
+            docs.extend([int(did)] * len(gs))
+        return pa.table(
+            {
+                "gram": pa.array(grams, pa.string()),
+                "doc_id": pa.array(np.asarray(docs, dtype=np.int64)),
+            }
+        )
+
+    schema = pa.schema([("gram", pa.string()), ("doc_id", pa.int64())])
+
+    def per_part(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if not len(df):
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        # a doc contributes each gram once (set per doc) → group size == df
+        dup = df[df.groupby("gram")["gram"].transform("size") > 1]
+        out = dup.groupby("doc_id").size().reset_index(name="n")
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+                "n": pa.array(out["n"].to_numpy(np.int64)),
+            }
+        )
+
+    partials = direct_partitioned_map(
+        ds.materialize(), ["gram"], num_parts, per_part, schema, pre=pre
+    )
+    agg = grouped_agg(partials, ["doc_id"], {"n_dup_spans": ("n", "sum")}).to_pandas()
+    agg["doc_id"] = agg["doc_id"].astype("int64")
+    agg["n_dup_spans"] = agg["n_dup_spans"].astype("int64")
+    return agg.sort_values("doc_id").reset_index(drop=True)
+
+
+def lang_confusion(sf_dir: str) -> pd.DataFrame:
+    """Language-ID confusion matrix: corpus truth label × n-gram-heuristic
+    prediction, counted per pair. One stateless pass (the lang_id kernel
+    runs in-batch against the truth column already in the row — no join),
+    partial pair counts per block, one tiny grouped exchange."""
+    from .relational import grouped_agg
+
+    ds = _read_docs(sf_dir, columns=("doc_id", "text", "lang"))
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        pred = _lang_id_batch(df)
+        out = pd.DataFrame(
+            {"lang": df["lang"].to_numpy(object), "lang_pred": pred["lang_pred"].to_numpy(object)}
+        )
+        g = out.groupby(["lang", "lang_pred"], sort=False).size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    agg = grouped_agg(
+        ds.map_batches(f, batch_format="pandas"), ["lang", "lang_pred"], {"n": ("n", "sum")}
+    ).to_pandas()
+    agg["n"] = agg["n"].astype("int64")
+    return agg.sort_values(["lang", "lang_pred"]).reset_index(drop=True)

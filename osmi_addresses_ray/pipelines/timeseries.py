@@ -1019,3 +1019,75 @@ def q_event_trend(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+SESSION_PATH_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("session_id", pa.int64()),
+        ("path", pa.string()),
+        ("n_events", pa.int64()),
+    ]
+)
+
+
+def session_paths(sf_dir: str, *, gap_minutes: int = 30, num_parts: int = 8):
+    """Per-session ordered event-type journey string ('view>click>…').
+
+    Composes the gap-sessionization kernel (same strictly-greater 30-min
+    rule and (ts, event_id) order as ``session_windows``) with an ordered
+    string aggregation per session. One user_id exchange; the per-partition
+    sweep is the vectorized lexsort + break-scan, with only the final join
+    over each session's (short) slice in Python.
+    """
+    gap_us = np.int64(gap_minutes) * 60_000_000
+
+    def fn(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return SESSION_PATH_SCHEMA.empty_table()
+        user = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        etype = t["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, user))
+        u, tsv, et = user[order], ts[order], etype[order]
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        brk = new_user | (np.r_[np.int64(0), tsv[1:] - tsv[:-1]] > gap_us)
+        starts = np.flatnonzero(brk)
+        counts = np.diff(np.r_[starts, len(u)])
+        sess_ord = np.arange(len(starts), dtype=np.int64)
+        user_first = np.maximum.accumulate(np.where(new_user[starts], sess_ord, -1))
+        sid = sess_ord - user_first + 1
+        paths = [">".join(et[s : s + c]) for s, c in zip(starts, counts)]
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "session_id": pa.array(sid, pa.int64()),
+                "path": pa.array(paths, pa.string()),
+                "n_events": pa.array(counts, pa.int64()),
+            }
+        )
+
+    def pre(t: pa.Table) -> pa.Table:
+        return t.select(["event_id", "ts", "user_id", "event_type"])
+
+    from ..ops import direct_partitioned_map
+
+    out = direct_partitioned_map(
+        _read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"]),
+        ["user_id"],
+        num_parts,
+        fn,
+        pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+            ]
+        ),
+        pre=pre,
+    )
+    return (
+        out.to_pandas().sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    )

@@ -229,3 +229,32 @@ def test_pca_captures_planted_dominant_direction(tmp_path):
     out = pca_project(str(tmp_path))
     corr = np.corrcoef(out["pc1"].to_numpy(), mat[:, 0].astype(np.float64))[0, 1]
     assert abs(corr) > 0.99
+
+
+def test_duplicate_spans_planted_copies(tmp_path):
+    import pyarrow.parquet as pq
+
+    from osmi_addresses_ray.pipelines.textstats import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 tokens
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(5, dtype=np.int64),
+            "text": [
+                f"intro {shared} outro one",
+                f"different prefix {shared} tail",
+                "totally unrelated text with no overlap at all whatsoever",
+                "short",
+                f"{shared}",  # the window itself
+            ],
+            "lang": ["en"] * 5,
+            "source": ["t"] * 5,
+            "n_chars": np.zeros(5, dtype=np.int64),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    out = duplicate_spans(str(tmp_path), num_parts=3)
+    # docs 0, 1, 4 share the 8-token window; 2 and 3 share nothing
+    assert out["doc_id"].tolist() == [0, 1, 4]
+    assert (out["n_dup_spans"] == 1).all()

@@ -316,3 +316,39 @@ def test_cooccurrence_requires_both_types(funnel_dir, ray_session):
     assert ("click", "view") in pairs and ("click", "purchase") in pairs
     got = out.set_index(["type_a", "type_b"])["n_users"]
     assert got.loc[("click", "view")] == 3  # users 1, 2 and 3 all have both types
+
+
+def test_session_paths_order_and_gap_edges(tmp_path):
+    """Equal-ts ties order by event_id; an exactly-30-min gap stays in one
+    session (strictly-greater rule); path strings follow (ts, event_id)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osmi_addresses_ray.pipelines.timeseries import session_paths
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        # user 1: tie on ts → event_id order; then exactly 30 min → SAME session
+        (10, base, 1, "b"),
+        (11, base, 1, "a"),
+        (12, base + pd.Timedelta(minutes=30), 1, "c"),
+        # 30 min + 1 us → NEW session
+        (13, base + pd.Timedelta(minutes=60, microseconds=1), 1, "d"),
+        # user 2: single event
+        (20, base, 2, "x"),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    df["value"] = 1.0
+    df["props"] = "{}"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    out = session_paths(str(tmp_path), num_parts=2)
+    got = {(int(r.user_id), int(r.session_id)): (r.path, int(r.n_events))
+           for r in out.itertuples()}
+    assert got == {
+        (1, 1): ("b>a>c", 3),
+        (1, 2): ("d", 1),
+        (2, 1): ("x", 1),
+    }

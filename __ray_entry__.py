@@ -165,6 +165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_docs_all_terms": textstats.search_docs_all_terms,
         "search_docs_indexed": textstats.search_docs_indexed,
         "duplicate_spans": textstats.duplicate_spans,
+        "lang_confusion": textstats.lang_confusion,
+        "q_left_join_nulls": relational.q_left_join_nulls,
         "doc_repetition": textstats.doc_repetition,
         # sketch/ANN ops checked against naive pure-Python oracles written to
         # /tmp/graft_oracle (see osmi_addresses_ray.oracle): the query runs
@@ -1695,6 +1697,37 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s_en >= s_de THEN 'en'
                         ELSE 'de' END AS lang_pred
             FROM c ORDER BY doc_id
+        """,
+        # truth-label × lang_id-prediction confusion matrix (same stopword
+        # CASE spec as the lang_id oracle, grouped per pair)
+        "lang_confusion": """
+            WITH s AS (
+              SELECT doc_id, lang,
+                     regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS ws
+              FROM documents
+            ), c AS (
+              SELECT doc_id, lang,
+                len(list_filter(ws, x -> x IN ('the','and','of','to','a','in','is','it','that','with'))) AS s_en,
+                len(list_filter(ws, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','für','auf'))) AS s_de,
+                len(list_filter(ws, x -> x IN ('le','la','les','et','est','un','une','dans','pour','que'))) AS s_fr
+              FROM s
+            ), p AS (
+              SELECT lang,
+                     CASE WHEN greatest(s_en, s_de, s_fr) = 0 THEN 'und'
+                          WHEN s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+                          WHEN s_en >= s_de THEN 'en'
+                          ELSE 'de' END AS lang_pred
+              FROM c)
+            SELECT lang, lang_pred, count(*)::BIGINT AS n
+            FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+        """,
+        # left outer join: customers with no orders keep a zero-defaulted row
+        "q_left_join_nulls": """
+            SELECT c_custkey,
+                   count(o_orderkey)::BIGINT AS n_orders,
+                   round(coalesce(sum(o_totalprice), 0), 4) AS total_spent
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c_custkey ORDER BY c_custkey
         """,
         # fingerprint = sum(i * fnv1a64(token_i)) mod 2^64, i 1-based;
         # HUGEINT arithmetic reproduces the engine's uint64 wraparound exactly

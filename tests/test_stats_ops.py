@@ -258,3 +258,32 @@ def test_duplicate_spans_planted_copies(tmp_path):
     # docs 0, 1, 4 share the 8-token window; 2 and 3 share nothing
     assert out["doc_id"].tolist() == [0, 1, 4]
     assert (out["n_dup_spans"] == 1).all()
+
+
+def test_left_join_nulls_keeps_orderless_customers(tmp_path):
+    import pyarrow.parquet as pq
+
+    from osmi_addresses_ray.pipelines.relational import q_left_join_nulls
+
+    cust = pd.DataFrame({"c_custkey": np.arange(6, dtype=np.int64),
+                         "c_name": [f"c{i}" for i in range(6)],
+                         "c_nationkey": np.zeros(6, dtype=np.int64),
+                         "c_mktsegment": ["A"] * 6})
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(4, dtype=np.int64),
+            "o_custkey": np.array([0, 0, 2, 5], dtype=np.int64),
+            "o_orderstatus": ["O"] * 4,
+            "o_totalprice": [10.0, 20.0, 5.5, 7.25],
+            "o_orderdate": pd.to_datetime("2024-01-01"),
+            "o_orderpriority": ["1"] * 4,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(cust, preserve_index=False),
+                   str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.Table.from_pandas(orders, preserve_index=False),
+                   str(tmp_path / "orders.parquet"))
+    out = q_left_join_nulls(str(tmp_path), num_parts=3)
+    assert out["c_custkey"].tolist() == [0, 1, 2, 3, 4, 5]
+    assert out["n_orders"].tolist() == [2, 0, 1, 0, 0, 1]
+    assert out["total_spent"].tolist() == [30.0, 0.0, 5.5, 0.0, 0.0, 7.25]

@@ -214,6 +214,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_project": _with_oracle(
             "pca_project", similarity.pca_project, "pca_project_oracle", "embeddings"
         ),
+        # BPE trainer: word-histogram exchange, driver merge loop (the
+        # production trainer shape — corpus size changes counts, not work)
+        "bpe_merges": _with_oracle(
+            "bpe_merges", textstats.bpe_merges, "bpe_merges_oracle", "documents"
+        ),
         "embedding_cosine_dedup": _with_oracle(
             "embedding_cosine_dedup", similarity.embedding_cosine_dedup, "emb_dedup_oracle",
             "embeddings",
@@ -1816,6 +1821,7 @@ def _ensure_default_oracles() -> None:
         ("pq_codes", "embeddings"),
         ("pq_adc_search", "embeddings"),
         ("pca_project", "embeddings"),
+        ("bpe_merges", "documents"),
         ("dedup_clusters", "documents"),
         ("hll_distinct_users", "events"),
         ("cms_token_counts", "documents"),
@@ -1859,6 +1865,7 @@ def _naive_oracle_sql() -> dict[str, str]:
         "pq_codes": read_tagged_sql("pq_codes", "vec_id, m", "embeddings"),
         "pq_adc_search": read_tagged_sql("pq_adc_search", "adc_dist, vec_id", "embeddings"),
         "pca_project": read_tagged_sql("pca_project", "vec_id", "embeddings"),
+        "bpe_merges": read_tagged_sql("bpe_merges", "rank", "documents"),
         "dedup_clusters": read_tagged_sql("dedup_clusters", "doc_id", "documents"),
         "hll_distinct_users": read_tagged_sql("hll_distinct_users", "col_name", "events"),
         "cms_token_counts": read_tagged_sql("cms_token_counts", "token", "documents"),

@@ -653,3 +653,43 @@ def pca_project_oracle(sf_dir: str) -> pd.DataFrame:
         # scaled values and the engine rounds with numpy
         rows.append({"vec_id": np.int64(ids[r]), "pc1": float(np.round(acc, 4))})
     return pd.DataFrame(rows).sort_values("vec_id").reset_index(drop=True)
+
+
+def bpe_merges_oracle(sf_dir: str, *, n_merges: int = 20) -> pd.DataFrame:
+    """Scalar restatement of the BPE trainer spec: word histogram from a
+    per-doc python loop, then per-round pair counting with the
+    (-count, (left, right)) pick rule and in-place merges."""
+    import re as _re
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    tok = _re.compile(r"[A-Za-z0-9_]+")
+    counts: dict[str, int] = {}
+    for t in docs["text"]:
+        for w in tok.findall(t.lower()):
+            counts[w] = counts.get(w, 0) + 1
+    seqs = [(list(w), c) for w, c in sorted(counts.items())]
+    rows = []
+    for rank in range(1, n_merges + 1):
+        pc: dict[tuple, int] = {}
+        for sym, cnt in seqs:
+            for i in range(len(sym) - 1):
+                k = (sym[i], sym[i + 1])
+                pc[k] = pc.get(k, 0) + cnt
+        if not pc:
+            break
+        best_pair, best_cnt = None, None
+        for k, v in pc.items():
+            if best_cnt is None or v > best_cnt or (v == best_cnt and k < best_pair):
+                best_pair, best_cnt = k, v
+        left, right = best_pair
+        rows.append({"rank": np.int64(rank), "left": left, "right": right,
+                     "pair_count": np.int64(best_cnt)})
+        new = left + right
+        for sym, _ in seqs:
+            i = 0
+            while i < len(sym) - 1:
+                if sym[i] == left and sym[i + 1] == right:
+                    sym[i : i + 2] = [new]
+                else:
+                    i += 1
+    return pd.DataFrame(rows, columns=["rank", "left", "right", "pair_count"])

@@ -1060,3 +1060,70 @@ def lang_confusion(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     agg["n"] = agg["n"].astype("int64")
     return agg.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
+
+
+# --- BPE vocabulary induction over the word histogram ---------------------------
+
+
+def _bpe_train(word_counts: list[tuple[str, int]], n_merges: int) -> list[tuple[int, str, str, int]]:
+    """Classic BPE merges over a (word, count) histogram: each word starts as
+    its character sequence; per round, the adjacent symbol pair with the
+    highest count-weighted frequency merges (ties → lexicographically
+    smallest (left, right)). Returns (rank, left, right, pair_count).
+
+    Plain scalar python by design: the histogram is vocab-bounded, so this
+    runs on the driver and the oracle restates it verbatim."""
+    seqs = [([c for c in w], int(cnt)) for w, cnt in word_counts]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for sym, cnt in seqs:
+            for a, b in zip(sym, sym[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + cnt
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), c = best
+        merges.append((rank, left, right, int(c)))
+        tok = left + right
+        for sym, _ in seqs:
+            i = 0
+            while i < len(sym) - 1:
+                if sym[i] == left and sym[i + 1] == right:
+                    sym[i : i + 2] = [tok]
+                else:
+                    i += 1
+    return merges
+
+
+def bpe_merges(sf_dir: str, *, n_merges: int = 20) -> pd.DataFrame:
+    """Train the first ``n_merges`` BPE merges on the corpus.
+
+    The scale-correct trainer shape (how production BPE trainers work):
+    the corpus collapses to a WORD HISTOGRAM first — one combiner-style
+    token-count exchange, vocab-bounded — and the merge loop runs on the
+    driver over that histogram only. Corpus size changes the histogram
+    counts, not the driver's work; the merge loop never re-reads text.
+    """
+    from .relational import grouped_agg
+
+    ds = _read_docs(sf_dir)
+    tok = re.compile(_TOKEN_RE)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = Counter(w for t in df["text"] for w in tok.findall(t.lower()))
+        return pd.DataFrame(
+            {"word": np.array(list(c.keys()), dtype=object),
+             "cnt": np.fromiter(c.values(), dtype=np.int64, count=len(c))}
+        )
+
+    hist = grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"), ["word"], {"cnt": ("cnt", "sum")}
+    ).to_pandas()
+    # deterministic driver order (the trainer itself is order-insensitive,
+    # but fixed inputs make debugging reproducible)
+    hist = hist.sort_values("word", kind="stable")
+    merges = _bpe_train(list(zip(hist["word"], hist["cnt"])), n_merges)
+    return pd.DataFrame(merges, columns=["rank", "left", "right", "pair_count"]).astype(
+        {"rank": "int64", "pair_count": "int64"}
+    )

@@ -287,3 +287,51 @@ def test_left_join_nulls_keeps_orderless_customers(tmp_path):
     assert out["c_custkey"].tolist() == [0, 1, 2, 3, 4, 5]
     assert out["n_orders"].tolist() == [2, 0, 1, 0, 0, 1]
     assert out["total_spent"].tolist() == [30.0, 0.0, 5.5, 0.0, 0.0, 7.25]
+
+
+def test_bpe_merges_planted_corpus(tmp_path):
+    import pyarrow.parquet as pq
+
+    from osmi_addresses_ray.pipelines.textstats import bpe_merges
+
+    # "aaab" x 10 and "ab" x 5: pair (a,a) count 2*10=20, (a,b) 10+5=15
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(2, dtype=np.int64),
+            "text": [" ".join(["aaab"] * 10), " ".join(["ab"] * 5)],
+            "lang": ["en"] * 2,
+            "source": ["t"] * 2,
+            "n_chars": np.zeros(2, dtype=np.int64),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    out = bpe_merges(str(tmp_path), n_merges=3)
+    # merge 1: (a, a) 20; then "aa ab" x10 + "ab" x5 → (aa, ab)? sequences:
+    # aaab → [aa, a, b] wait: merge replaces left-to-right: [a,a,a,b] →
+    # [aa, a, b]; pairs now (aa,a) 10, (a,b) 15 → merge 2 = (a, b) 15
+    assert (out.loc[0, "left"], out.loc[0, "right"], out.loc[0, "pair_count"]) == ("a", "a", 20)
+    assert (out.loc[1, "left"], out.loc[1, "right"], out.loc[1, "pair_count"]) == ("a", "b", 15)
+    # after merge 2: aaab = [aa, ab]; ab = [ab] → merge 3 = (aa, ab) 10
+    assert (out.loc[2, "left"], out.loc[2, "right"], out.loc[2, "pair_count"]) == ("aa", "ab", 10)
+
+
+def test_bpe_tie_breaks_lexicographically(tmp_path):
+    import pyarrow.parquet as pq
+
+    from osmi_addresses_ray.pipelines.textstats import bpe_merges
+
+    # "xy" and "ab" both appear 3 times → pair counts tie at 3; (a,b) < (x,y)
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(1, dtype=np.int64),
+            "text": ["xy ab xy ab xy ab"],
+            "lang": ["en"],
+            "source": ["t"],
+            "n_chars": np.zeros(1, dtype=np.int64),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    out = bpe_merges(str(tmp_path), n_merges=1)
+    assert (out.loc[0, "left"], out.loc[0, "right"]) == ("a", "b")

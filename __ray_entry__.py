@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hilbert_keys": _hilbert_query,
         "quad_cells": _quad_cells_query,
         "quad_rollup": _quad_rollup_query,
+        "knn_recall": _knn_recall_query,
         "pip_entrances_in_buildings": _pip_query,
         # geodesic length operator: engine kernel vs DuckDB recomputing the
         # haversine from raw coordinates (true SQL oracle)
@@ -388,6 +389,28 @@ def _geohash_query(sf_dir: str):
         "geohash_cells", oracle_geohash(_fixture_oracle()["osmi_addresses_nodes_with_addresses"])
     )
     return df
+
+
+def _knn_recall_query(sf_dir: str):
+    """Recall@10 of the hyperplane-LSH kNN against the exact brute-force
+    top-10 — ANN quality as a first-class, oracle-checked metric. The
+    callable runs BOTH pipelines (writing the LSH side's tagged oracle);
+    the paired SQL joins the exact-cosine SQL against that tagged parquet."""
+    import pandas as pd
+
+    from osmi_addresses_ray.pipelines import similarity
+
+    hp = _with_oracle(
+        "knn_hyperplane", similarity.knn_hyperplane, "knn_hyperplane_oracle", "embeddings"
+    )(sf_dir)
+    bf = similarity.knn_bruteforce(sf_dir)
+    hits = len(set(bf["vec_id"]) & set(hp["vec_id"]))
+    import numpy as np
+
+    return pd.DataFrame(
+        [{"k": np.int64(10), "n_hits": np.int64(hits),
+          "recall": float(np.round(hits / 10.0, 6))}]
+    )
 
 
 def _quad_cells_query(sf_dir: str):
@@ -1750,7 +1773,36 @@ def oracle_sql() -> dict[str, str]:
                    )), 0)::HUGEINT % 18446744073709551616::HUGEINT)::UBIGINT AS fingerprint
             FROM documents ORDER BY doc_id
         """,
-    } | _naive_oracle_sql()
+    } | _naive_oracle_sql() | _composed_oracle_sql()
+
+
+def _composed_oracle_sql() -> dict[str, str]:
+    """Oracle entries composed from other entries' SQL text."""
+    from osmi_addresses_ray.oracle import read_tagged_sql
+
+    bf = """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(
+                       list_reduce(list_transform(range(1, len(embedding)+1), i -> embedding[i]::DOUBLE * qe[i]::DOUBLE), (x, y) -> x + y)
+                       / sqrt(list_reduce(list_transform(range(1, len(embedding)+1), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)
+                              * list_reduce(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * qe[i]::DOUBLE), (x, y) -> x + y)), 6) AS cosine
+            FROM embeddings, q
+            WHERE vec_id <> 0
+            ORDER BY cosine DESC, vec_id ASC
+            LIMIT 10
+    """
+    hp = read_tagged_sql("knn_hyperplane", "cosine DESC, vec_id", "embeddings")
+    return {
+        # recall@10 of the LSH top-10 against the exact top-10: the exact
+        # side is the true-SQL cosine, the LSH side is its tagged oracle
+        "knn_recall": f"""
+            WITH bf AS ({bf}), hp AS ({hp})
+            SELECT 10::BIGINT AS k, count(*)::BIGINT AS n_hits,
+                   round(count(*) / 10.0, 6) AS recall
+            FROM bf JOIN hp USING (vec_id)
+        """,
+    }
 
 
 def _ensure_default_oracles() -> None:

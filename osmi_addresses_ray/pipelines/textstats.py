@@ -1032,6 +1032,11 @@ def duplicate_spans(sf_dir: str, *, n: int = 8, num_parts: int = 8) -> pd.DataFr
         ds.materialize(), ["gram"], num_parts, per_part, schema, pre=pre
     )
     agg = grouped_agg(partials, ["doc_id"], {"n_dup_spans": ("n", "sum")}).to_pandas()
+    if agg.empty:  # no shared window anywhere → typed empty result
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "n_dup_spans": pd.Series([], dtype="int64")}
+        )
     agg["doc_id"] = agg["doc_id"].astype("int64")
     agg["n_dup_spans"] = agg["n_dup_spans"].astype("int64")
     return agg.sort_values("doc_id").reset_index(drop=True)

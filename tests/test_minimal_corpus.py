@@ -40,6 +40,7 @@ def mini_sf(tmp_path_factory):
             "o_totalprice": [100.0, 100.0],  # equal prices: rank/mean ties
             "o_orderstatus": ["O", "F"],
             "o_orderdate": TS[:2],
+            "o_orderpriority": ["1-URGENT", "1-URGENT"],  # one group: MAD of ties
         }
     ).to_parquet(d / "orders.parquet", index=False)
     pd.DataFrame(

@@ -133,6 +133,39 @@ def bench_address_view() -> tuple[float, dict]:
     }
 
 
+BENCH_REPS = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
+
+
+def host_speed_probe() -> float:
+    """Fixed single-core reference loop (seconds; ~0.4 s in this box's fast
+    state). The hypervisor oscillates 2-2.5x between quiet and contended
+    windows (measured: this probe 0.41 s vs 0.95-1.06 s minutes apart, same
+    idle guest; identical code timed 0.7 s vs 4.8 s for one query). Recorded
+    before and after the timed region so any reading of the wall times can
+    be normalized by the window they landed in."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(10_000_000):
+        x += i
+    return round(time.perf_counter() - t0, 3)
+
+
+def _best_of(fn, reps: int = None) -> float:
+    """Best-of-N wall time: single-box wall clocks swing up to 4-6x between
+    the host's quiet and noisy windows (measured three back-to-back sf0.1
+    runs at 33.7 / 49.3 / 22.2 s with an idle guest); the minimum is the
+    only statistic that estimates the code rather than the neighbors."""
+    reps = BENCH_REPS if reps is None else reps
+    best = None
+    for _ in range(max(1, reps)):
+        t0 = time.perf_counter()
+        fn(SF_DIR)
+        sec = time.perf_counter() - t0
+        if best is None or sec < best:
+            best = sec
+    return best
+
+
 def bench_relational() -> dict[str, float]:
     from osmi_addresses_ray.pipelines import relational
 
@@ -144,9 +177,7 @@ def bench_relational() -> dict[str, float]:
         ("q_events_hourly", relational.q_events_hourly),
         ("q_top_orders", relational.q_top_orders),
     ]:
-        t0 = time.perf_counter()
-        fn(SF_DIR)
-        out[name] = round(time.perf_counter() - t0, 3)
+        out[name] = round(_best_of(fn), 3)
     return out
 
 
@@ -202,9 +233,7 @@ def bench_trainingdata() -> dict[str, float]:
         ("lang_id", textstats.lang_id),
         ("knn_bruteforce", similarity.knn_bruteforce),
     ]:
-        t0 = time.perf_counter()
-        fn(SF_DIR)
-        out[name] = round(time.perf_counter() - t0, 3)
+        out[name] = round(_best_of(fn), 3)
     return out
 
 
@@ -352,7 +381,13 @@ def run_once() -> dict:
         return result
 
     queries: dict[str, float] = {}
+    probe_before = host_speed_probe()
     av_sec, av_stats = bench_address_view()
+    if mode != "av":  # scaling legs do their own best-of at the leg level
+        for _ in range(BENCH_REPS - 1):  # best-of-N, keep the faster run's stats
+            s2, st2 = bench_address_view()
+            if s2 < av_sec:
+                av_sec, av_stats = s2, st2
     queries["address_view"] = round(av_sec, 3)
     if mode == "av":
         # scaling legs: the flagship pipeline only — the relational/LLM
@@ -378,6 +413,10 @@ def run_once() -> dict:
         "sf": SF,
         "num_cpus": NUM_CPUS,
         "address_view": av_stats,
+        # host-contention calibration: ~0.4 s = quiet window, ~1.0 s = the
+        # hypervisor is taking 2-2.5x; divide wall times accordingly
+        "host_probe_sec_before": probe_before,
+        "host_probe_sec_after": host_speed_probe(),
     }
     return result
 

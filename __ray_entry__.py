@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_clusters": _clusters_query,
         "line_simplify": _line_simplify_query,
         "convex_hull_cells": _hulls_query,
+        "segment_crossings": _segment_xing_query,
         "media_histogram": _media_hist_query,
         "fuzzy_name_pairs": _fuzzy_names_query,
     }
@@ -797,6 +798,55 @@ def _hulls_query(sf_dir: str):
         .drop_duplicates()
     )
     write_oracle("convex_hull_cells", oracle_convex_hulls(pts, HULL_CELL_UNITS))
+    return out
+
+
+def _segment_xing_query(sf_dir: str):
+    """Exact segment-intersection join (map-overlay primitive): mapped way
+    segments ∪ per-address service-drop chords, all properly-crossing pairs
+    emitted once from a cell-bucketed sweep. TRUE SQL oracle: DuckDB O(n²)
+    self-join over the independently derived segment union with the same
+    strict int orientation predicate (HUGEINT — overflow-safe by width where
+    the engine uses a guarded int64)."""
+    import numpy as np
+
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.geo_ops import oracle_overlay_segments
+    from osmi_addresses_ray.pipelines.geo_ops import (
+        DROP_UNITS,
+        QUANT,
+        _CENTROID_PID_BASE,
+        crossing_overlay,
+    )
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.assembly import assemble_ways
+    from osmi_addresses_ray.stages.parse import parse_docs
+
+    parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
+    ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
+    out = crossing_overlay(
+        _fixture_layers()["osmi_addresses_nodes_with_addresses"],
+        ways_geo,
+        num_parts=_parts_for(FIXTURE_BLOCKS),
+    )
+    onwa = _fixture_oracle()["osmi_addresses_nodes_with_addresses"]
+    onwa = onwa[onwa["is_ip"] == 0]
+    pts = (
+        onwa.assign(
+            pid=np.where(
+                onwa["node_id"].isna(),
+                _CENTROID_PID_BASE + onwa["way_id"],
+                onwa["node_id"],
+            ).astype("int64"),
+            ix=np.round(onwa["lon"] * QUANT).astype("int64"),
+            iy=np.round(onwa["lat"] * QUANT).astype("int64"),
+        )[["pid", "ix", "iy"]]
+        .drop_duplicates()
+    )
+    write_oracle(
+        "segments_src",
+        oracle_overlay_segments(fixture_table(FIXTURE_BLOCKS), pts, DROP_UNITS),
+    )
     return out
 
 
@@ -1971,6 +2021,25 @@ def _naive_oracle_sql() -> dict[str, str]:
         # TRUE SQL radius self-join: DuckDB derives the integer point set
         # from the independent nwa recomputation and does the O(n²) sweep
         # with the identical exact-integer distance filter
+        "segment_crossings": f"""
+            WITH s AS (SELECT * FROM read_parquet('{oracle_path('segments_src')}')),
+            o AS (
+             SELECT a.way_id wa, a.seg_idx sa, b.way_id wb, b.seg_idx sb,
+              ((a.bx-a.ax)::HUGEINT*(b.ay-a.ay)::HUGEINT
+               - (a.by-a.ay)::HUGEINT*(b.ax-a.ax)::HUGEINT) o1,
+              ((a.bx-a.ax)::HUGEINT*(b.by-a.ay)::HUGEINT
+               - (a.by-a.ay)::HUGEINT*(b.bx-a.ax)::HUGEINT) o2,
+              ((b.bx-b.ax)::HUGEINT*(a.ay-b.ay)::HUGEINT
+               - (b.by-b.ay)::HUGEINT*(a.ax-b.ax)::HUGEINT) o3,
+              ((b.bx-b.ax)::HUGEINT*(a.by-b.ay)::HUGEINT
+               - (b.by-b.ay)::HUGEINT*(a.bx-b.ax)::HUGEINT) o4
+             FROM s a JOIN s b ON a.way_id < b.way_id)
+            SELECT wa AS way_a, sa AS seg_a, wb AS way_b, sb AS seg_b
+            FROM o
+            WHERE ((o1 > 0 AND o2 < 0) OR (o1 < 0 AND o2 > 0))
+              AND ((o3 > 0 AND o4 < 0) OR (o3 < 0 AND o4 > 0))
+            ORDER BY 1, 2, 3, 4
+        """,
         "spatial_radius_join": f"""
             WITH pts AS (
                 SELECT DISTINCT

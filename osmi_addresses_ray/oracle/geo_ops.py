@@ -133,3 +133,43 @@ def oracle_convex_hulls(points_df: pd.DataFrame, cell: int) -> pd.DataFrame:
         )
     df = pd.DataFrame(rows, columns=["cell_x", "cell_y", "n_pts", "n_hull", "area2"])
     return df.astype("int64")
+
+
+def oracle_way_segments(docs) -> pd.DataFrame:
+    """Independent segment derivation for the intersection join's TRUE SQL
+    oracle (the O(n²) cross join + the same strict-crossing predicate run in
+    DuckDB over this parquet): naive parse, scalar loop, one row per
+    consecutive vertex pair."""
+    rows = []
+    for way_id, pts in _way_points(docs):
+        for i in range(len(pts) - 1):
+            (ax, ay), (bx, by) = pts[i], pts[i + 1]
+            rows.append(
+                {"way_id": way_id, "seg_idx": i, "ax": ax, "ay": ay, "bx": bx, "by": by}
+            )
+    df = pd.DataFrame(rows, columns=["way_id", "seg_idx", "ax", "ay", "bx", "by"])
+    return df.astype(
+        {"way_id": "int64", "seg_idx": "int32", "ax": "int64", "ay": "int64",
+         "bx": "int64", "by": "int64"}
+    )
+
+
+def oracle_overlay_segments(docs, nwa_points: pd.DataFrame, drop: int) -> pd.DataFrame:
+    """Naive segment union for the crossing-overlay oracle: way segments +
+    one due-south service-drop chord per address point (way_id = -pid)."""
+    segs = oracle_way_segments(docs)
+    ch = pd.DataFrame(
+        {
+            "way_id": -nwa_points["pid"].to_numpy(),
+            "seg_idx": 0,
+            "ax": nwa_points["ix"].to_numpy(),
+            "ay": nwa_points["iy"].to_numpy(),
+            "bx": nwa_points["ix"].to_numpy(),
+            "by": nwa_points["iy"].to_numpy() - drop,
+        }
+    )
+    out = pd.concat([segs, ch], ignore_index=True)
+    return out.astype(
+        {"way_id": "int64", "seg_idx": "int32", "ax": "int64", "ay": "int64",
+         "bx": "int64", "by": "int64"}
+    )

@@ -607,3 +607,264 @@ def quad_rollup(nwa_ds) -> pd.DataFrame:
     out["n_points"] = out["n_points"].astype("int64")
     out["n_child_cells"] = out["n_child_cells"].astype("int64")
     return out.sort_values("cell_l8").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# exact cross-way segment-intersection join
+# --------------------------------------------------------------------------
+
+SEG_CELL_UNITS = 50_000  # 0.005° grid — a fixture road segment spans ≤ a few cells
+_SEG_MAX_CELLS = 1_024  # raise (no silent caps) if one segment covers more
+_SEG_SCHEMA = pa.schema(
+    [
+        ("way_id", pa.int64()),
+        ("seg_idx", pa.int32()),
+        ("ax", pa.int64()),
+        ("ay", pa.int64()),
+        ("bx", pa.int64()),
+        ("by", pa.int64()),
+    ]
+)
+_SEG_EMIT_SCHEMA = pa.schema([("cell", pa.int64()), *_SEG_SCHEMA])
+_XING_SCHEMA = pa.schema(
+    [
+        ("way_a", pa.int64()),
+        ("seg_a", pa.int32()),
+        ("way_b", pa.int64()),
+        ("seg_b", pa.int32()),
+    ]
+)
+
+
+def way_segments(ways_geo_ds):
+    """Nonzero ways → one row per consecutive vertex pair
+    (way_id, seg_idx, ax, ay, bx, by) in libosmium-quantized ints.
+    Zero-length segments are kept — the strict-crossing predicate rejects
+    them (both orientations vanish), so parity with the naive oracle holds
+    without a special case."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = t.filter(t["nonzero"])
+        if s.num_rows == 0:
+            return _SEG_SCHEMA.empty_table()
+        xs_col = s["xs"].combine_chunks() if isinstance(s["xs"], pa.ChunkedArray) else s["xs"]
+        ys_col = s["ys"].combine_chunks() if isinstance(s["ys"], pa.ChunkedArray) else s["ys"]
+        offs = np.asarray(xs_col.offsets, np.int64)
+        offs = offs - offs[0]
+        fx = np.round(np.asarray(xs_col.flatten(), np.float64) * QUANT).astype(np.int64)
+        fy = np.round(np.asarray(ys_col.flatten(), np.float64) * QUANT).astype(np.int64)
+        wid = s["way_id"].to_numpy(zero_copy_only=False)
+        counts = np.diff(offs)
+        nseg = counts - 1  # ways_geo guarantees >=2 vertices
+        way_out = np.repeat(wid, nseg)
+        # flat index of each segment's first vertex: per-way arange offset
+        seg_idx = np.arange(int(nseg.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(nseg) - nseg, nseg
+        )
+        first = seg_idx + np.repeat(offs[:-1], nseg)
+        return pa.table(
+            {
+                "way_id": pa.array(way_out),
+                "seg_idx": pa.array(seg_idx.astype(np.int32)),
+                "ax": pa.array(fx[first]),
+                "ay": pa.array(fy[first]),
+                "bx": pa.array(fx[first + 1]),
+                "by": pa.array(fy[first + 1]),
+            }
+        ).cast(_SEG_SCHEMA)
+
+    return ways_geo_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _orient_signs(px, py, qx, qy, rx, ry) -> np.ndarray:
+    """sign of cross(q-p, r-p) in exact int64. Operand bound: coordinate
+    DIFFERENCES must stay < 2^31 units (~214 degrees) so each product fits in
+    62 bits and the difference in 63 — true for any real-world way; raise
+    rather than wrap if violated."""
+    dqx, dqy, drx, dry = qx - px, qy - py, rx - px, ry - py
+    hi = max(
+        int(np.abs(dqx).max(initial=0)), int(np.abs(dqy).max(initial=0)),
+        int(np.abs(drx).max(initial=0)), int(np.abs(dry).max(initial=0)),
+    )
+    if hi >= (1 << 31):
+        raise RuntimeError(
+            "segment_intersections: coordinate span >= 2^31 quantized units; "
+            "the int64 orientation predicate would overflow"
+        )
+    return np.sign(dqx * dry - dqy * drx)
+
+
+def segment_intersections(
+    segments_ds, *, cell: int = SEG_CELL_UNITS, num_parts: int = 8,
+    cell_cap: int = 5_000_000,
+):
+    """All cross-way segment pairs that PROPERLY cross (strict interior
+    intersection: endpoints touching or collinear overlap excluded), each
+    emitted exactly once as (way_a < way_b, seg_a, seg_b).
+
+    Shape (the map-overlay / road-graph-conflation primitive): each segment
+    replicates into every grid cell its bbox overlaps (bounded by
+    length/cell; > _SEG_MAX_CELLS raises), ONE hash exchange on the cell id,
+    then a per-cell vectorized sweep: bbox-overlap prefilter, exact int64
+    orientation predicate, and the EMIT-ONCE rule — a qualifying pair is
+    reported only from the cell containing the min corner of the two bboxes'
+    intersection. That corner lies inside both bboxes, so both replicas are
+    present in exactly that one cell; no distinct-pairs exchange is needed.
+
+    100 TB note: the exchange carries replicated segments (constant factor ~
+    bbox cells per segment), pairs never shuffle; skewed (dense-junction)
+    cells bound by ``cell_cap`` which RAISES — remedy is a smaller ``cell``
+    or the J2 mega-cell salting.
+    """
+    from ..ops import direct_cogroup
+
+    def emit(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SEG_EMIT_SCHEMA.empty_table()
+        ax = t["ax"].to_numpy(zero_copy_only=False)
+        ay = t["ay"].to_numpy(zero_copy_only=False)
+        bx = t["bx"].to_numpy(zero_copy_only=False)
+        by = t["by"].to_numpy(zero_copy_only=False)
+        x0, x1 = np.minimum(ax, bx) // cell, np.maximum(ax, bx) // cell
+        y0, y1 = np.minimum(ay, by) // cell, np.maximum(ay, by) // cell
+        ncell = (x1 - x0 + 1) * (y1 - y0 + 1)
+        if int(ncell.max(initial=0)) > _SEG_MAX_CELLS:
+            raise RuntimeError(
+                f"segment_intersections: one segment covers >{_SEG_MAX_CELLS} "
+                f"cells of width {cell}; raise the cell size"
+            )
+        total = int(ncell.sum())
+        row = np.repeat(np.arange(len(ax), dtype=np.int64), ncell)
+        # per-replica rank -> (dx, dy) offset within the row's bbox-cell grid
+        rank = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(ncell) - ncell, ncell
+        )
+        w = np.repeat(x1 - x0 + 1, ncell)
+        cx = np.repeat(x0, ncell) + rank % w
+        cy = np.repeat(y0, ncell) + rank // w
+        cols = {"cell": pa.array(_cell_key(cx, cy))}
+        for name in ("way_id", "seg_idx", "ax", "ay", "bx", "by"):
+            cols[name] = pa.array(t[name].to_numpy(zero_copy_only=False)[row])
+        return pa.table(cols).cast(_SEG_EMIT_SCHEMA)
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _XING_SCHEMA.empty_table()
+        cellv = t["cell"].to_numpy(zero_copy_only=False)
+        order = np.argsort(cellv, kind="stable")
+        cellv = cellv[order]
+        col = {
+            n: t[n].to_numpy(zero_copy_only=False)[order]
+            for n in ("way_id", "seg_idx", "ax", "ay", "bx", "by")
+        }
+        new = np.empty(len(cellv), bool)
+        new[0] = True
+        new[1:] = cellv[1:] != cellv[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(cellv))
+        n_in = ends - starts
+        if int((n_in * (n_in - 1) // 2).max(initial=0)) > cell_cap:
+            raise RuntimeError(
+                f"segment_intersections: a cell's pair count exceeds "
+                f"cell_cap={cell_cap}; shrink the cell or salt it"
+            )
+        # all i<j pairs within each cell, vectorized
+        spans = np.repeat(n_in, n_in) - (
+            np.arange(len(cellv), dtype=np.int64)
+            - np.repeat(starts, n_in)
+            + 1
+        )  # rights remaining after each left row
+        total = int(spans.sum())
+        if total == 0:
+            return _XING_SCHEMA.empty_table()
+        li = np.repeat(np.arange(len(cellv), dtype=np.int64), spans)
+        inner = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(spans) - spans, spans
+        )
+        ri = li + 1 + inner
+        keep = col["way_id"][li] != col["way_id"][ri]
+        li, ri = li[keep], ri[keep]
+        # bbox overlap prefilter
+        ax_l, ay_l = col["ax"][li], col["ay"][li]
+        bx_l, by_l = col["bx"][li], col["by"][li]
+        ax_r, ay_r = col["ax"][ri], col["ay"][ri]
+        bx_r, by_r = col["bx"][ri], col["by"][ri]
+        ovx0 = np.maximum(np.minimum(ax_l, bx_l), np.minimum(ax_r, bx_r))
+        ovx1 = np.minimum(np.maximum(ax_l, bx_l), np.maximum(ax_r, bx_r))
+        ovy0 = np.maximum(np.minimum(ay_l, by_l), np.minimum(ay_r, by_r))
+        ovy1 = np.minimum(np.maximum(ay_l, by_l), np.maximum(ay_r, by_r))
+        keep = (ovx0 <= ovx1) & (ovy0 <= ovy1)
+        # emit-once: this cell must contain the overlap-bbox min corner
+        this_cell = cellv[li]
+        keep &= _cell_key(ovx0 // cell, ovy0 // cell) == this_cell
+        idx = np.flatnonzero(keep)
+        if len(idx) == 0:
+            return _XING_SCHEMA.empty_table()
+        li, ri = li[idx], ri[idx]
+        ax_l, ay_l, bx_l, by_l = ax_l[idx], ay_l[idx], bx_l[idx], by_l[idx]
+        ax_r, ay_r, bx_r, by_r = ax_r[idx], ay_r[idx], bx_r[idx], by_r[idx]
+        o1 = _orient_signs(ax_l, ay_l, bx_l, by_l, ax_r, ay_r)
+        o2 = _orient_signs(ax_l, ay_l, bx_l, by_l, bx_r, by_r)
+        o3 = _orient_signs(ax_r, ay_r, bx_r, by_r, ax_l, ay_l)
+        o4 = _orient_signs(ax_r, ay_r, bx_r, by_r, bx_l, by_l)
+        cross = (o1 * o2 < 0) & (o3 * o4 < 0)
+        li, ri = li[cross], ri[cross]
+        wa, wb = col["way_id"][li], col["way_id"][ri]
+        sa, sb = col["seg_idx"][li], col["seg_idx"][ri]
+        swap = wa > wb
+        way_a = np.where(swap, wb, wa)
+        way_b = np.where(swap, wa, wb)
+        seg_a = np.where(swap, sb, sa)
+        seg_b = np.where(swap, sa, sb)
+        return pa.table(
+            {
+                "way_a": pa.array(way_a),
+                "seg_a": pa.array(seg_a.astype(np.int32)),
+                "way_b": pa.array(way_b),
+                "seg_b": pa.array(seg_b.astype(np.int32)),
+            }
+        ).cast(_XING_SCHEMA)
+
+    emitted = segments_ds.map_batches(emit, batch_format="pyarrow").materialize()
+    return direct_cogroup([emitted], [["cell"]], num_parts, sweep, [_SEG_EMIT_SCHEMA])
+
+
+DROP_UNITS = 40_000  # 0.004° service-drop length — spans a fixture block
+
+
+def drop_segments(points_ds, *, drop: int = DROP_UNITS):
+    """Candidate utility service-drop per address point: a vertical chord
+    from the point ``drop`` units due south, keyed way_id = -pid (disjoint
+    from real OSM way ids, one segment each). The overlay query asks which
+    drops would cross a mapped way."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SEG_SCHEMA.empty_table()
+        pid = t["pid"].to_numpy(zero_copy_only=False)
+        ix = t["ix"].to_numpy(zero_copy_only=False)
+        iy = t["iy"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "way_id": pa.array(-pid),
+                "seg_idx": pa.array(np.zeros(len(pid), np.int32)),
+                "ax": pa.array(ix),
+                "ay": pa.array(iy),
+                "bx": pa.array(ix),
+                "by": pa.array(iy - drop),
+            }
+        ).cast(_SEG_SCHEMA)
+
+    return points_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def crossing_overlay(nwa_ds, ways_geo_ds, *, num_parts: int = 8) -> pd.DataFrame:
+    """Map-overlay demo of the intersection join: mapped way segments ∪
+    per-address service drops, one proper-crossing sweep over the union."""
+    segs = way_segments(ways_geo_ds).union(drop_segments(points_from_nwa(nwa_ds)))
+    df = segment_intersections(segs, num_parts=num_parts).to_pandas()
+    return _sorted(
+        df.astype(
+            {"way_a": "int64", "seg_a": "int32", "way_b": "int64", "seg_b": "int32"}
+        )
+    )

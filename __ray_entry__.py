@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textstats.lang_id,
         "fingerprints": textstats.fingerprints,
         "top_tokens": textstats.top_tokens,
+        "heavy_hitters": textstats.heavy_hitters,
         "tfidf_top_terms": textstats.tfidf_top_terms,
         "chunk_documents": textstats.chunk_documents,
         "token_counts_bpe": textstats.token_counts_bpe,
@@ -1612,6 +1613,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY cnt DESC, token
             LIMIT 100
+        """,
+        "heavy_hitters": """
+            WITH toks AS (
+                SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')))
+                    AS token
+                FROM documents),
+            c AS (SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token),
+            t AS (SELECT count(*)::BIGINT AS total FROM toks)
+            SELECT token, cnt FROM c, t
+            WHERE cnt * 200 > total
+            ORDER BY cnt DESC, token
         """,
         # benchmark decontamination: 5-token-window overlap vs the
         # deterministic doc_id%83 benchmark subset; n_overlap counts the

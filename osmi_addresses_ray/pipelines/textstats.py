@@ -1132,3 +1132,72 @@ def bpe_merges(sf_dir: str, *, n_merges: int = 20) -> pd.DataFrame:
     return pd.DataFrame(merges, columns=["rank", "left", "right", "pair_count"]).astype(
         {"rank": "int64", "pair_count": "int64"}
     )
+
+
+def heavy_hitters(sf_dir: str, *, k: int = 200) -> pd.DataFrame:
+    """All tokens with global frequency strictly above total_tokens/k —
+    the frequency-threshold heavy-hitters operator (Misra–Gries shape).
+
+    Two corpus passes, one tiny exchange:
+    pass 1 emits each batch's LOCAL heavy hitters (count_b·k > n_b, at most
+    k−1 tokens per batch — the Misra–Gries survivor set of that batch). Any
+    global heavy hitter must be a local one somewhere (if count_b·k ≤ n_b in
+    every batch, summing gives count·k ≤ n), so the union is a guaranteed
+    candidate superset; false candidates are eliminated by pass 2's exact
+    recount, which makes the OUTPUT independent of partitioning. Pass 2
+    counts only the broadcast candidates plus a per-batch token total
+    (sentinel row — "\\x00total" can't collide with [A-Za-z0-9_]+ tokens),
+    one token-keyed groupby, strict cnt·k > total filter.
+
+    100 TB note: the exchange carries ≤ (k−1)·num_blocks candidate partials
+    + candidate counts — never the token stream; for extreme block counts
+    the candidate union itself would go through one more local-threshold
+    level (same argument, applied to merged summaries). No silent caps: the
+    candidate set is exact by construction, not sampled.
+    """
+    import ray
+
+    from .relational import grouped_agg
+
+    ds = _read_docs(sf_dir)
+    tok = re.compile(_TOKEN_RE)
+    _SENTINEL = "\x00total"
+
+    def cand(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [w for t in df["text"] for w in tok.findall(t.lower())]
+        if not toks:
+            return pd.DataFrame({"token": pd.Series([], dtype=object)})
+        vc = pd.Series(toks).value_counts()
+        keep = vc[vc * k > len(toks)]
+        return pd.DataFrame({"token": keep.index.to_numpy(object)})
+
+    cands = ds.map_batches(cand, batch_format="pandas").to_pandas()
+    if cands.empty or "token" not in cands.columns:
+        # no batch had a local heavy hitter -> no global one can exist
+        return pd.DataFrame(
+            {"token": pd.Series([], dtype=object), "cnt": pd.Series([], dtype="int64")}
+        )
+    cand_set = frozenset(cands["token"].tolist())
+    cand_ref = ray.put(cand_set)
+
+    def recount(df: pd.DataFrame) -> pd.DataFrame:
+        cset = ray.get(cand_ref)
+        toks = [w for t in df["text"] for w in tok.findall(t.lower())]
+        rows_t = [_SENTINEL]
+        rows_c = [np.int64(len(toks))]
+        if toks:
+            s = pd.Series(toks)
+            vc = s[s.isin(cset)].value_counts()
+            rows_t += vc.index.tolist()
+            rows_c += vc.to_numpy(np.int64).tolist()
+        return pd.DataFrame(
+            {"token": pd.Series(rows_t, dtype=object), "cnt": pd.Series(rows_c, dtype="int64")}
+        )
+
+    merged = grouped_agg(
+        ds.map_batches(recount, batch_format="pandas"), ["token"], {"cnt": ("cnt", "sum")}
+    ).to_pandas()
+    total = int(merged.loc[merged["token"] == _SENTINEL, "cnt"].iloc[0])
+    out = merged[(merged["token"] != _SENTINEL) & (merged["cnt"] * k > total)]
+    out = out.sort_values(["cnt", "token"], ascending=[False, True], kind="stable")
+    return out.reset_index(drop=True).astype({"cnt": "int64"})

@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": textstats.fingerprints,
         "top_tokens": textstats.top_tokens,
         "heavy_hitters": textstats.heavy_hitters,
+        "bm25_search": textstats.bm25_search,
         "tfidf_top_terms": textstats.tfidf_top_terms,
         "chunk_documents": textstats.chunk_documents,
         "token_counts_bpe": textstats.token_counts_bpe,
@@ -1613,6 +1614,37 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY cnt DESC, token
             LIMIT 100
+        """,
+        "bm25_search": """
+            WITH toks AS (
+                SELECT doc_id,
+                       lower(unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')))
+                           AS token
+                FROM documents),
+            dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents)::BIGINT n_docs,
+                          (SELECT count(*) FROM toks)::BIGINT total),
+            tf AS (SELECT doc_id, token, count(*)::BIGINT tf FROM toks
+                   WHERE token IN ('join', 'scan', 'dup') GROUP BY doc_id, token),
+            df AS (SELECT token, count(DISTINCT doc_id)::BIGINT df FROM toks
+                   WHERE token IN ('join', 'scan', 'dup') GROUP BY token),
+            -- parenthesization mirrors the engine op-for-op (bit-parity)
+            w AS (SELECT tf.doc_id, tf.token,
+                   (((st.n_docs - df.df)::DOUBLE + 0.5) / (df.df::DOUBLE + 0.5))
+                   * ((tf.tf::DOUBLE * 2.2) / (tf.tf::DOUBLE
+                       + 1.2 * (0.25 + 0.75 * (dl.dl::DOUBLE
+                                               / (st.total::DOUBLE / st.n_docs::DOUBLE)))))
+                       AS w
+                  FROM tf JOIN dl USING (doc_id), st
+                       JOIN df ON tf.token = df.token),
+            p AS (SELECT doc_id,
+                   (COALESCE(MAX(CASE WHEN token = 'join' THEN w END), 0)
+                    + COALESCE(MAX(CASE WHEN token = 'scan' THEN w END), 0))
+                    + COALESCE(MAX(CASE WHEN token = 'dup' THEN w END), 0) AS score
+                  FROM w GROUP BY doc_id)
+            SELECT doc_id, score FROM p WHERE score > 0
+            ORDER BY score DESC, doc_id
+            LIMIT 15
         """,
         "heavy_hitters": """
             WITH toks AS (

@@ -1201,3 +1201,92 @@ def heavy_hitters(sf_dir: str, *, k: int = 200) -> pd.DataFrame:
     out = merged[(merged["token"] != _SENTINEL) & (merged["cnt"] * k > total)]
     out = out.sort_values(["cnt", "token"], ascending=[False, True], kind="stable")
     return out.reset_index(drop=True).astype({"cnt": "int64"})
+
+
+BM25_TERMS = ("join", "scan", "dup")  # fixed multi-term query, df-diverse
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search(sf_dir: str, *, terms: tuple = BM25_TERMS, k: int = 15) -> pd.DataFrame:
+    """Top-k documents by BM25 for a fixed multi-term query (ranked
+    retrieval over the corpus, the scoring sibling of the boolean searches).
+
+    Two passes, no corpus exchange: pass 1 reduces one stats row per batch
+    (n_docs, total tokens, per-term df — df is exact per batch because a
+    doc's text lives in one row) and the driver sums them; pass 2 rescans,
+    scores each doc and keeps a per-batch top-k, merged on the driver
+    (bounded by k·num_blocks rows).
+
+    Float parity (the repo's ordered-fold rule): idf is the RATIONAL BM25
+    idf (N−df+0.5)/(df+0.5) — no ln(), whose last-ulp differs across libms —
+    and the per-doc score is the fixed-order fold ((w₀+w₁)+w₂) with exact-0
+    for absent terms; every divide/multiply is parenthesized identically in
+    the paired DuckDB SQL, so float64 results are bit-equal and the top-k
+    cut is deterministic. Ties break by doc_id ascending on both sides.
+    """
+    ds = _read_docs(sf_dir)
+    tok = re.compile(_TOKEN_RE)
+    terms = tuple(terms)
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        per_doc = [tok.findall(t.lower()) for t in df["text"]]
+        row = {
+            "n_docs": np.int64(len(per_doc)),
+            "total": np.int64(sum(len(x) for x in per_doc)),
+        }
+        for i, term in enumerate(terms):
+            row[f"df{i}"] = np.int64(sum(term in set(ws) for ws in per_doc))
+        return pd.DataFrame([row])
+
+    agg = ds.map_batches(stats, batch_format="pandas").to_pandas().sum()
+    n_docs = int(agg["n_docs"])
+    total_toks = int(agg["total"])
+    # tokenless corpus: scores are all empty; keep avgdl finite (unused)
+    avgdl = (
+        np.float64(total_toks) / np.float64(n_docs) if total_toks else np.float64(1.0)
+    )
+    idf = np.array(
+        [
+            (np.float64(n_docs - int(agg[f"df{i}"])) + 0.5)
+            / (np.float64(int(agg[f"df{i}"])) + 0.5)
+            for i in range(len(terms))
+        ]
+    )
+
+    def score_part(df: pd.DataFrame) -> pd.DataFrame:
+        per_doc = [tok.findall(t.lower()) for t in df["text"]]
+        lens = np.array([len(x) for x in per_doc], dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "score": pd.Series([], dtype="float64")}
+            )
+        doc_ids = df["doc_id"].to_numpy(np.int64)
+        pos = np.repeat(np.arange(len(per_doc)), lens)
+        flat = np.array([w for ws in per_doc for w in ws], dtype=object)
+        dl = lens.astype(np.float64)
+        denom_dl = BM25_K1 * ((1.0 - BM25_B) + BM25_B * (dl / avgdl))
+        score = np.zeros(len(per_doc), np.float64)
+        for i, term in enumerate(terms):
+            tf = np.bincount(pos[flat == term], minlength=len(per_doc)).astype(
+                np.float64
+            )
+            # literal 2.2, NOT K1+1.0 — the sum could round away from the
+            # SQL literal's double and break bit-parity
+            w = idf[i] * ((tf * 2.2) / (tf + denom_dl))
+            w[tf == 0] = 0.0
+            score = score + w  # fixed term order == SQL's explicit fold
+        keep = score > 0
+        out = pd.DataFrame({"doc_id": doc_ids[keep], "score": score[keep]})
+        out = out.sort_values(["score", "doc_id"], ascending=[False, True], kind="stable")
+        return out.head(k)
+
+    parts = ds.map_batches(score_part, batch_format="pandas").to_pandas()
+    if parts.empty or "score" not in parts.columns:  # tokenless corpus
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "score": pd.Series([], dtype="float64")}
+        )
+    parts = parts.sort_values(["score", "doc_id"], ascending=[False, True], kind="stable")
+    return parts.head(k).reset_index(drop=True).astype({"doc_id": "int64"})

@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": textstats.top_tokens,
         "heavy_hitters": textstats.heavy_hitters,
         "bm25_search": textstats.bm25_search,
+        "scrub_dup_ngrams": textstats.scrub_dup_ngrams,
         "tfidf_top_terms": textstats.tfidf_top_terms,
         "chunk_documents": textstats.chunk_documents,
         "token_counts_bpe": textstats.token_counts_bpe,
@@ -1614,6 +1615,32 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY cnt DESC, token
             LIMIT 100
+        """,
+        "scrub_dup_ngrams": """
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS ws
+                       FROM documents),
+            s AS (SELECT doc_id, i, array_to_string(ws[i:i+7], ' ') AS gram
+                  FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS i)),
+            bad AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM s)
+                    GROUP BY gram HAVING count(*) > 1),
+            cov AS (SELECT DISTINCT s.doc_id, s.i + o AS pos
+                    FROM s JOIN bad USING (gram),
+                         LATERAL (SELECT unnest(generate_series(0, 7)) AS o)),
+            toks AS (SELECT doc_id, j, ws[j] AS w
+                     FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS j)),
+            kept AS (SELECT toks.doc_id,
+                            string_agg(w, ' ' ORDER BY j) AS text_clean,
+                            count(*)::BIGINT AS n_kept
+                     FROM toks LEFT JOIN cov
+                       ON toks.doc_id = cov.doc_id AND toks.j = cov.pos
+                     WHERE cov.pos IS NULL GROUP BY toks.doc_id)
+            SELECT t.doc_id,
+                   COALESCE(kept.text_clean, '') AS text_clean,
+                   COALESCE(kept.n_kept, 0)::BIGINT AS n_kept,
+                   (len(ws) - COALESCE(kept.n_kept, 0))::BIGINT AS n_removed
+            FROM t LEFT JOIN kept USING (doc_id)
+            ORDER BY doc_id
         """,
         "bm25_search": """
             WITH toks AS (

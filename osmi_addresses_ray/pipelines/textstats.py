@@ -1290,3 +1290,148 @@ def bm25_search(sf_dir: str, *, terms: tuple = BM25_TERMS, k: int = 15) -> pd.Da
         )
     parts = parts.sort_values(["score", "doc_id"], ascending=[False, True], kind="stable")
     return parts.head(k).reset_index(drop=True).astype({"doc_id": "int64"})
+
+
+def scrub_dup_ngrams(sf_dir: str, *, n: int = 8, num_parts: int = 8) -> pd.DataFrame:
+    """Exact-substring scrub (the rewrite sibling of ``duplicate_spans``):
+    any n-token window whose exact text occurs in ≥2 distinct documents is
+    removed from EVERY document containing it — every token position covered
+    by such a window is dropped and the survivors re-join with single spaces
+    (Lee et al., "Deduplicating Training Data Makes Language Models Better":
+    corpus-wide exact substring deduplication, here with the symmetric
+    remove-all-copies rule so the result is order-free and deterministic).
+
+    Output: one row per document — (doc_id, text_clean, n_kept, n_removed).
+
+    Distributed shape (two chained exchanges, no broadcast, nothing
+    quadratic):
+      1. gram-keyed exchange — the split wave explodes each doc into
+         (gram, doc_id, start) occurrence postings; each reduce partition
+         owns its grams' full postings, keeps grams present in ≥2 distinct
+         docs, and emits the covered (doc_id, start) window starts, ALREADY
+         re-partitioned on doc_id (``emit_partitioned_on`` — no second split
+         wave).
+      2. doc-keyed cogroup of those covered starts against the docs table:
+         per doc, mark positions [start, start+n) (one repeat/tile explode +
+         per-doc searchsorted — no per-position Python), re-join the
+         uncovered tokens.
+    Work and exchange volume are linear in total window count; the rewritten
+    text never re-enters an exchange (it is produced in the final reduce).
+    """
+    import pyarrow as pa
+
+    from ..ops import direct_cogroup
+
+    ds = _read_docs(sf_dir).materialize()
+    tok = re.compile(_TOKEN_RE)
+
+    def pre_postings(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        grams: list[str] = []
+        docs: list[int] = []
+        starts: list[int] = []
+        for did, txt in zip(df["doc_id"].to_numpy(np.int64), df["text"]):
+            ws = tok.findall(txt.lower())
+            gs = _doc_ngrams(ws, n)
+            grams.extend(gs)
+            docs.extend([int(did)] * len(gs))
+            starts.extend(range(len(gs)))
+        return pa.table(
+            {
+                "gram": pa.array(grams, pa.string()),
+                "doc_id": pa.array(np.asarray(docs, dtype=np.int64)),
+                "start": pa.array(np.asarray(starts, dtype=np.int64)),
+            }
+        )
+
+    post_schema = pa.schema(
+        [("gram", pa.string()), ("doc_id", pa.int64()), ("start", pa.int64())]
+    )
+    cov_schema = pa.schema([("doc_id", pa.int64()), ("start", pa.int64())])
+
+    def dup_starts(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if not len(df):
+            return cov_schema.empty_table()
+        # gram is "duplicated" iff ≥2 DISTINCT docs contain it
+        ndocs = df.groupby("gram")["doc_id"].transform("nunique")
+        cov = df[ndocs > 1]
+        return pa.table(
+            {
+                "doc_id": pa.array(cov["doc_id"].to_numpy(np.int64)),
+                "start": pa.array(cov["start"].to_numpy(np.int64)),
+            }
+        )
+
+    covered = direct_cogroup(
+        [ds],
+        [["gram"]],
+        num_parts,
+        dup_starts,
+        [post_schema],
+        pres=[pre_postings],
+        emit_partitioned_on=["doc_id"],
+    )
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text_clean", pa.string()),
+            ("n_kept", pa.int64()),
+            ("n_removed", pa.int64()),
+        ]
+    )
+
+    def rebuild(cov: pa.Table, docs: pa.Table) -> pa.Table:
+        ddf = docs.to_pandas()
+        if not len(ddf):
+            return out_schema.empty_table()
+        cdf = cov.to_pandas()
+        per_doc = [tok.findall(t.lower()) for t in ddf["text"]]
+        doc_ids = ddf["doc_id"].to_numpy(np.int64)
+        lens = np.array([len(w) for w in per_doc], dtype=np.int64)
+        offs = np.zeros(len(per_doc) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        covered_flat = np.zeros(int(offs[-1]), dtype=bool)
+        if len(cdf):
+            order = np.argsort(doc_ids, kind="stable")
+            row = order[np.searchsorted(doc_ids[order], cdf["doc_id"].to_numpy(np.int64))]
+            # explode each covered window start into its n positions at once
+            base = offs[row] + cdf["start"].to_numpy(np.int64)
+            pos = (base[:, None] + np.arange(n)[None, :]).ravel()
+            covered_flat[pos] = True
+        texts: list[str] = []
+        kept = np.empty(len(per_doc), dtype=np.int64)
+        for i, ws in enumerate(per_doc):
+            keep_mask = ~covered_flat[offs[i] : offs[i + 1]]
+            kept[i] = int(keep_mask.sum())
+            texts.append(" ".join(w for w, k in zip(ws, keep_mask) if k))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids),
+                "text_clean": pa.array(texts, pa.string()),
+                "n_kept": pa.array(kept),
+                "n_removed": pa.array(lens - kept),
+            }
+        )
+
+    docs_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    out = direct_cogroup(
+        [covered, ds],
+        [["doc_id"], ["doc_id"]],
+        num_parts,
+        rebuild,
+        [cov_schema, docs_schema],
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "text_clean": pd.Series([], dtype="object"),
+                "n_kept": pd.Series([], dtype="int64"),
+                "n_removed": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.sort_values("doc_id").reset_index(drop=True).astype(
+        {"doc_id": "int64", "n_kept": "int64", "n_removed": "int64"}
+    )

@@ -1,0 +1,61 @@
+"""Exact-substring scrub: removal semantics, partition invariance, edges."""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data as rd
+
+from osmi_addresses_ray.pipelines import textstats
+
+
+def _with_mem_docs(monkeypatch, texts, parallelism=4):
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = rd.from_pandas(df).repartition(parallelism)
+    monkeypatch.setattr(textstats, "_read_docs", lambda sf_dir, columns=None: ds)
+
+
+def test_shared_window_removed_from_both(monkeypatch):
+    shared = "a b c d e f g h"  # one exact 8-gram
+    _with_mem_docs(monkeypatch, [f"x1 x2 {shared} y1", f"z1 {shared} z2 z3"])
+    out = textstats.scrub_dup_ngrams("<mem>", n=8)
+    assert list(out["text_clean"]) == ["x1 x2 y1", "z1 z2 z3"]
+    assert list(out["n_removed"]) == [8, 8]
+    assert list(out["n_kept"]) == [3, 3]
+
+
+def test_unique_docs_untouched(monkeypatch):
+    texts = [f"u{i} v{i} w{i} x{i} y{i} z{i} p{i} q{i} r{i}" for i in range(5)]
+    _with_mem_docs(monkeypatch, texts)
+    out = textstats.scrub_dup_ngrams("<mem>", n=8)
+    assert (out["n_removed"] == 0).all()
+    assert list(out["text_clean"]) == texts
+
+
+def test_overlapping_windows_union_coverage(monkeypatch):
+    # 9 shared tokens -> two overlapping 8-windows; coverage is their union
+    shared = "a b c d e f g h i"
+    _with_mem_docs(monkeypatch, [f"{shared} only1", f"only2 {shared}"])
+    out = textstats.scrub_dup_ngrams("<mem>", n=8)
+    assert list(out["text_clean"]) == ["only1", "only2"]
+    assert list(out["n_removed"]) == [9, 9]
+
+
+def test_within_doc_repeat_not_removed(monkeypatch):
+    # the window repeats INSIDE one doc but exists in no other doc: the rule
+    # is >=2 distinct documents, so it survives
+    w = "a b c d e f g h"
+    _with_mem_docs(monkeypatch, [f"{w} {w}", "something else entirely"])
+    out = textstats.scrub_dup_ngrams("<mem>", n=8)
+    assert out.loc[0, "n_removed"] == 0
+
+
+def test_short_docs_and_partition_invariance(monkeypatch):
+    texts = ["tiny doc", ""] + [f"c{i} common one two three four five six seven c{i}" for i in range(6)]
+    _with_mem_docs(monkeypatch, texts, 1)
+    a = textstats.scrub_dup_ngrams("<mem>", n=8, num_parts=3)
+    _with_mem_docs(monkeypatch, texts, 5)
+    b = textstats.scrub_dup_ngrams("<mem>", n=8, num_parts=7)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == len(texts)
+    # "common one two three four five six seven" is an 8-gram shared by all 6
+    assert (a.loc[2:, "n_removed"] == 8).all()

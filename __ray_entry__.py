@@ -87,6 +87,7 @@ def _layer_query(name: str) -> Callable[[str], Any]:
 def queries() -> dict[str, Callable[[str], Any]]:
     from osmi_addresses_ray.pipelines import (
         dedup,
+        graph,
         sketches,
         relational,
         similarity,
@@ -155,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": textstats.heavy_hitters,
         "bm25_search": textstats.bm25_search,
         "scrub_dup_ngrams": textstats.scrub_dup_ngrams,
+        "pagerank_trade": graph.pagerank_trade,
         "tfidf_top_terms": textstats.tfidf_top_terms,
         "chunk_documents": textstats.chunk_documents,
         "token_counts_bpe": textstats.token_counts_bpe,
@@ -1615,6 +1617,54 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY cnt DESC, token
             LIMIT 100
+        """,
+        # exact scaled-integer PageRank (d=17/20, floor division) — integer
+        # sums are order-free, so the unrolled SQL is bit-equal to the engine
+        "pagerank_trade": """
+            WITH e0 AS (SELECT DISTINCT o_custkey AS a, l_suppkey AS b
+                        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            edges AS (SELECT a AS src, 1000000 + b AS dst FROM e0
+                      UNION ALL SELECT 1000000 + b AS src, a AS dst FROM e0),
+            deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            r0 AS (SELECT node, 1000000000000::BIGINT AS r FROM nodes),
+            r1 AS (SELECT n.node,
+                          (150000000000 + COALESCE(SUM((17 * r.r) // (20 * d.outdeg)), 0))::BIGINT AS r
+                   FROM nodes n
+                   LEFT JOIN edges e ON e.dst = n.node
+                   LEFT JOIN r0 r ON r.node = e.src
+                   LEFT JOIN deg d ON d.src = e.src
+                   GROUP BY n.node),
+            r2 AS (SELECT n.node,
+                          (150000000000 + COALESCE(SUM((17 * r.r) // (20 * d.outdeg)), 0))::BIGINT AS r
+                   FROM nodes n
+                   LEFT JOIN edges e ON e.dst = n.node
+                   LEFT JOIN r1 r ON r.node = e.src
+                   LEFT JOIN deg d ON d.src = e.src
+                   GROUP BY n.node),
+            r3 AS (SELECT n.node,
+                          (150000000000 + COALESCE(SUM((17 * r.r) // (20 * d.outdeg)), 0))::BIGINT AS r
+                   FROM nodes n
+                   LEFT JOIN edges e ON e.dst = n.node
+                   LEFT JOIN r2 r ON r.node = e.src
+                   LEFT JOIN deg d ON d.src = e.src
+                   GROUP BY n.node),
+            r4 AS (SELECT n.node,
+                          (150000000000 + COALESCE(SUM((17 * r.r) // (20 * d.outdeg)), 0))::BIGINT AS r
+                   FROM nodes n
+                   LEFT JOIN edges e ON e.dst = n.node
+                   LEFT JOIN r3 r ON r.node = e.src
+                   LEFT JOIN deg d ON d.src = e.src
+                   GROUP BY n.node),
+            r5 AS (SELECT n.node,
+                          (150000000000 + COALESCE(SUM((17 * r.r) // (20 * d.outdeg)), 0))::BIGINT AS r
+                   FROM nodes n
+                   LEFT JOIN edges e ON e.dst = n.node
+                   LEFT JOIN r4 r ON r.node = e.src
+                   LEFT JOIN deg d ON d.src = e.src
+                   GROUP BY n.node)
+            SELECT node AS node_id, r AS pr FROM r5
+            ORDER BY pr DESC, node_id LIMIT 25
         """,
         "scrub_dup_ngrams": """
             WITH t AS (SELECT doc_id,

@@ -1,0 +1,72 @@
+"""Integer PageRank: partition invariance, mass conservation-ish bounds,
+hand-checked tiny graph."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from osmi_addresses_ray.pipelines import graph
+
+
+def _with_mem_tables(monkeypatch, orders: pd.DataFrame, lineitem: pd.DataFrame, parallelism=3):
+    tbls = {"orders": orders, "lineitem": lineitem}
+
+    def fake_read(sf_dir, table, columns):
+        return rd.from_pandas(tbls[table][columns]).repartition(parallelism)
+
+    monkeypatch.setattr(graph, "_read", fake_read)
+
+
+def _mk(pairs):
+    """orders/lineitem frames realizing exactly the given (cust, supp) pairs."""
+    orders = pd.DataFrame(
+        {"o_orderkey": range(len(pairs)), "o_custkey": [c for c, _ in pairs]}
+    )
+    lineitem = pd.DataFrame(
+        {"l_orderkey": range(len(pairs)), "l_suppkey": [s for _, s in pairs]}
+    )
+    return orders, lineitem
+
+
+def test_two_node_fixed_point(monkeypatch):
+    # single cust-supp pair: symmetric 2-cycle, outdeg 1 both ways.
+    # r0 = S; r1 = 3S//20 + 17S//20 ... stays at 999999999999 or so (floor loss)
+    o, l = _mk([(7, 3)])
+    _with_mem_tables(monkeypatch, o, l)
+    out = graph.pagerank_trade("<mem>", iters=5, top=10)
+    assert set(out["node_id"]) == {7, 1000003}
+    # symmetric graph: both nodes identical rank
+    assert out["pr"].nunique() == 1
+    # exact scalar recurrence
+    r = 10**12
+    for _ in range(5):
+        r = (3 * 10**12) // 20 + (17 * r) // 20
+    assert (out["pr"] == r).all()
+
+
+def test_star_center_dominates(monkeypatch):
+    # supplier 1 trades with customers 1..6 -> center outranks leaves
+    o, l = _mk([(c, 1) for c in range(1, 7)])
+    _with_mem_tables(monkeypatch, o, l)
+    out = graph.pagerank_trade("<mem>", iters=5, top=10)
+    s = dict(zip(out["node_id"], out["pr"]))
+    center = s[1000001]
+    leaves = [v for k, v in s.items() if k != 1000001]
+    assert len(leaves) == 6 and all(center > v for v in leaves)
+    assert len(set(leaves)) == 1  # leaves symmetric
+
+
+def test_partition_invariance(monkeypatch):
+    rng = np.random.default_rng(5)
+    pairs = [(int(c), int(s)) for c, s in zip(rng.integers(0, 40, 300), rng.integers(0, 12, 300))]
+    o, l = _mk(pairs)
+    _with_mem_tables(monkeypatch, o, l, parallelism=1)
+    a = graph.pagerank_trade("<mem>", iters=4, num_parts=2, top=20)
+    _with_mem_tables(monkeypatch, o, l, parallelism=6)
+    b = graph.pagerank_trade("<mem>", iters=4, num_parts=7, top=20)
+    pd.testing.assert_frame_equal(a, b)
+    # total mass bounded: every rank below total initial mass
+    n_nodes = len(set(c for c, _ in pairs) | set(1000000 + s for _, s in pairs))
+    assert (a["pr"] < n_nodes * graph.SCALE).all()

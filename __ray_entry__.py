@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": textstats.bm25_search,
         "scrub_dup_ngrams": textstats.scrub_dup_ngrams,
         "pagerank_trade": graph.pagerank_trade,
+        "snm_pairs": dedup.snm_pairs,
         "tfidf_top_terms": textstats.tfidf_top_terms,
         "chunk_documents": textstats.chunk_documents,
         "token_counts_bpe": textstats.token_counts_bpe,
@@ -1617,6 +1618,26 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY cnt DESC, token
             LIMIT 100
+        """,
+        # sorted-neighborhood candidates: rn window over the (key, doc_id)
+        # total order; verification is the exact integer test 2·|∩| ≥ |∪|
+        "snm_pairs": """
+            WITH t AS (SELECT doc_id, substr(lower(text), 1, 24) AS k,
+                              list_distinct(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS ws
+                       FROM documents),
+            r AS (SELECT doc_id, k, ws,
+                         row_number() OVER (ORDER BY k, doc_id) AS rn
+                  FROM t),
+            p AS (SELECT a.doc_id AS da, b.doc_id AS db, a.ws AS wa, b.ws AS wb
+                  FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3),
+            j AS (SELECT least(da, db)::BIGINT AS doc_a,
+                         greatest(da, db)::BIGINT AS doc_b,
+                         len(list_intersect(wa, wb))::BIGINT AS inter,
+                         (len(wa) + len(wb) - len(list_intersect(wa, wb)))::BIGINT AS uni
+                  FROM p)
+            SELECT doc_a, doc_b, inter, uni FROM j
+            WHERE uni > 0 AND 2 * inter >= uni
+            ORDER BY doc_a, doc_b
         """,
         # exact scaled-integer PageRank (d=17/20, floor division) — integer
         # sums are order-free, so the unrolled SQL is bit-equal to the engine

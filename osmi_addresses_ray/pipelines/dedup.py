@@ -1285,3 +1285,128 @@ def fuzzy_name_pairs(names_ds, *, num_parts: int = 8, bucket_cap: int = 10_000):
     pairs = direct_cogroup([emitted], [["bh"]], num_parts, sweep, [emit_schema])
     out = grouped_agg(pairs, ["name_a", "name_b"], {"dist": ("dist", "min")})
     return out
+
+
+def snm_pairs(
+    sf_dir: str, *, window: int = 4, prefix: int = 24, num_parts: int = 8
+) -> pd.DataFrame:
+    """Sorted-neighborhood near-dup pairs (the classic record-linkage SNM
+    blocking: sort on a cheap key, compare only rows within a fixed-size
+    sliding window of the GLOBAL sort order — linear candidate count where
+    LSH pays hashing and all-pairs pays n²).
+
+    Blocking key = first ``prefix`` chars of lower(text); candidates = row
+    pairs within ``window``-1 positions in the (key, doc_id) total order;
+    verification = exact distinct-token Jaccard ≥ 1/2, kept as the integer
+    comparison 2·|∩| ≥ |∪| (no float). Output (doc_a, doc_b, inter, uni).
+
+    Distributed shape: the sort is Ray Data's native range exchange; the
+    cross-partition window is closed with BOUNDARY HEADS — a tiny task per
+    sorted block ships its first window-1 rows to the driver (O(window ×
+    num_blocks) rows, independent of corpus size), and each block's pair
+    task receives its own block plus the concatenated next-block heads.
+    A pair (i, j), i<j in global order, is emitted only by the task owning
+    row i — exactly once, so the result is block-boundary invariant.
+    """
+    import ray
+
+    w = int(window)
+    ds = _read_docs(sf_dir)
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [sorted(set(_TOKEN.findall(t.lower()))) for t in df["text"]]
+        return pd.DataFrame(
+            {
+                "k": df["text"].str.lower().str.slice(0, prefix),
+                "doc_id": df["doc_id"].astype("int64"),
+                "toks": pd.Series(toks, dtype=object),
+            }
+        )
+
+    sorted_ds = (
+        ds.map_batches(keyed, batch_format="pandas").sort(["k", "doc_id"]).materialize()
+    )
+    refs = sorted_ds.to_arrow_refs()
+
+    key_schema = pa.schema(
+        [("k", pa.string()), ("doc_id", pa.int64()), ("toks", pa.list_(pa.string()))]
+    )
+
+    @ray.remote
+    def _head(t: pa.Table) -> pa.Table:
+        # Ray's empty pandas blocks surface as 0-COLUMN arrow tables that can
+        # still claim nonzero num_rows — normalize to a typed empty so the
+        # boundary-budget arithmetic never counts phantom rows
+        if "doc_id" not in t.column_names:
+            return key_schema.empty_table()
+        return t.slice(0, w - 1).combine_chunks()
+
+    heads = ray.get([_head.remote(r) for r in refs])
+
+    out_schema = pa.schema(
+        [
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("inter", pa.int64()),
+            ("uni", pa.int64()),
+        ]
+    )
+
+    @ray.remote
+    def _pairs(block: pa.Table, next_t: pa.Table) -> pa.Table:
+        if "doc_id" not in block.column_names:  # phantom 0-column block
+            return out_schema.empty_table()
+        n_own = block.num_rows
+        if n_own == 0:
+            return out_schema.empty_table()
+        t = pa.concat_tables([block, next_t], promote_options="default")
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tok_sets = [frozenset(x) for x in t["toks"].to_pylist()]
+        da, db, inters, unis = [], [], [], []
+        for a in range(n_own):
+            sa = tok_sets[a]
+            for b in range(a + 1, min(a + w, len(tok_sets))):
+                sb = tok_sets[b]
+                inter = len(sa & sb)
+                uni = len(sa) + len(sb) - inter
+                if uni > 0 and 2 * inter >= uni:
+                    lo, hi = (ids[a], ids[b]) if ids[a] < ids[b] else (ids[b], ids[a])
+                    da.append(lo)
+                    db.append(hi)
+                    inters.append(inter)
+                    unis.append(uni)
+        return pa.table(
+            {
+                "doc_a": pa.array(np.asarray(da, np.int64)),
+                "doc_b": pa.array(np.asarray(db, np.int64)),
+                "inter": pa.array(np.asarray(inters, np.int64)),
+                "uni": pa.array(np.asarray(unis, np.int64)),
+            }
+        )
+
+    def next_rows(i: int) -> pa.Table:
+        tail: list[pa.Table] = []
+        got = 0
+        for h in heads[i + 1 :]:
+            if got >= w - 1:
+                break
+            take = h.slice(0, (w - 1) - got)
+            tail.append(take)
+            got += take.num_rows
+        if not tail:
+            return heads[0].schema.empty_table() if heads else out_schema.empty_table()
+        return pa.concat_tables(tail, promote_options="default")
+
+    out_refs = [_pairs.remote(r, next_rows(i)) for i, r in enumerate(refs)]
+    import ray.data as _rd
+
+    out = _rd.from_arrow_refs(out_refs).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("doc_a", "doc_b", "inter", "uni")}
+        )
+    return (
+        out.sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+        .astype({c: "int64" for c in ("doc_a", "doc_b", "inter", "uni")})
+    )

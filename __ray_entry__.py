@@ -158,6 +158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_dup_ngrams": textstats.scrub_dup_ngrams,
         "pagerank_trade": graph.pagerank_trade,
         "snm_pairs": dedup.snm_pairs,
+        "pack_sequences": textstats.pack_sequences,
+        "span_corruption": textstats.span_corruption,
         "tfidf_top_terms": textstats.tfidf_top_terms,
         "chunk_documents": textstats.chunk_documents,
         "token_counts_bpe": textstats.token_counts_bpe,
@@ -1618,6 +1620,53 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY cnt DESC, token
             LIMIT 100
+        """,
+        # T5 denoising layout: arithmetic mask rule + gaps-and-islands spans
+        "span_corruption": """
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS ws
+                       FROM documents),
+            toks AS (SELECT doc_id, j, ws[j] AS w,
+                            ((doc_id * 1000003 + (j - 1) * 10007) % 5 = 0) AS m
+                     FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS j)),
+            f AS (SELECT *, (m AND NOT COALESCE(
+                         LAG(m) OVER (PARTITION BY doc_id ORDER BY j), FALSE)) AS fst
+                  FROM toks),
+            k AS (SELECT *, (SUM(CASE WHEN fst THEN 1 ELSE 0 END)
+                                 OVER (PARTITION BY doc_id ORDER BY j) - 1) AS sid
+                  FROM f),
+            agg AS (SELECT doc_id,
+                           string_agg(CASE WHEN NOT m THEN w
+                                           WHEN fst THEN '<extra_id_' || sid || '>'
+                                      END, ' ' ORDER BY j) AS inputs,
+                           string_agg(CASE WHEN m THEN
+                                        (CASE WHEN fst THEN '<extra_id_' || sid || '> ' || w
+                                              ELSE w END)
+                                      END, ' ' ORDER BY j) AS targets,
+                           SUM(CASE WHEN m THEN 1 ELSE 0 END)::BIGINT AS n_masked
+                    FROM k GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(agg.inputs, '') AS inputs,
+                   COALESCE(agg.targets, '') AS targets,
+                   COALESCE(agg.n_masked, 0)::BIGINT AS n_masked
+            FROM (SELECT doc_id FROM documents) d
+            LEFT JOIN agg USING (doc_id)
+            ORDER BY doc_id
+        """,
+        # causal-LM packing layout: pure integer window cumsum — exact
+        "pack_sequences": """
+            WITH t AS (SELECT doc_id,
+                              len(regexp_extract_all(lower(text), '[A-Za-z0-9_]+'))::BIGINT AS n_tokens
+                       FROM documents),
+            s AS (SELECT doc_id, n_tokens,
+                         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_start
+                  FROM t)
+            SELECT doc_id, tok_start, n_tokens,
+                   (tok_start // 512)::BIGINT AS bin_start,
+                   ((CASE WHEN n_tokens = 0 THEN tok_start
+                          ELSE tok_start + n_tokens - 1 END) // 512)::BIGINT AS bin_end
+            FROM s ORDER BY doc_id
         """,
         # sorted-neighborhood candidates: rn window over the (key, doc_id)
         # total order; verification is the exact integer test 2·|∩| ≥ |∪|

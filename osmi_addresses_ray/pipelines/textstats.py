@@ -1435,3 +1435,151 @@ def scrub_dup_ngrams(sf_dir: str, *, n: int = 8, num_parts: int = 8) -> pd.DataF
     return out.sort_values("doc_id").reset_index(drop=True).astype(
         {"doc_id": "int64", "n_kept": "int64", "n_removed": "int64"}
     )
+
+
+def pack_sequences(sf_dir: str, *, capacity: int = 512, bucket_width: int = 64,
+                   num_parts: int = 8) -> pd.DataFrame:
+    """GPT-style sequence packing: lay every document's tokens end-to-end in
+    doc_id order and cut fixed-``capacity`` training bins, documents crossing
+    bin boundaries (the standard causal-LM packing — no padding waste). Output
+    per doc: (doc_id, tok_start, n_tokens, bin_start, bin_end) where
+    tok_start is the doc's global token offset and [bin_start, bin_end] the
+    bins it occupies (a 0-token doc degenerates to its insertion point's bin).
+
+    Distributed shape = the ``running_totals`` prefix-scan pattern with
+    doc_id-range buckets as the ordered scan key: one hash exchange
+    co-locates each bucket, each partition scans its buckets locally and
+    emits per-doc local offsets plus ONE total row per bucket; the driver
+    exclusive-scans the tiny bucket-total vector and a final vectorized add
+    shifts every doc by its bucket offset. All integers — exact regardless
+    of partitioning. ``bucket_width`` only affects parallel granularity,
+    never the result; at 10¹²-doc scale pick width ≈ docs/(parts·64).
+    """
+    import pyarrow as pa
+
+    from ..ops import direct_partitioned_map
+
+    ds = _read_docs(sf_dir)
+    tok = re.compile(_TOKEN_RE)
+
+    def pre(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        n_tok = np.array([len(tok.findall(x.lower())) for x in df["text"]], np.int64)
+        did = df["doc_id"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(did),
+                "n_tokens": pa.array(n_tok),
+                "bucket": pa.array(did // bucket_width),
+            }
+        )
+
+    pre_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("bucket", pa.int64())]
+    )
+    out_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("local_start", pa.int64()),
+        ]
+    )
+
+    def local_scan(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if not len(df):
+            return out_schema.empty_table()
+        df = df.sort_values(["bucket", "doc_id"], kind="stable")
+        n = df["n_tokens"].to_numpy(np.int64)
+        b = df["bucket"].to_numpy(np.int64)
+        cum = np.cumsum(n) - n  # exclusive scan over the sorted partition
+        # restart at each bucket boundary: subtract the bucket's first cum
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        base = np.repeat(cum[starts], np.diff(np.r_[starts, len(b)]))
+        return pa.table(
+            {
+                "bucket": pa.array(b),
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+                "n_tokens": pa.array(n),
+                "local_start": pa.array(cum - base),
+            }
+        )
+
+    scanned = direct_partitioned_map(
+        ds.materialize(), ["bucket"], num_parts, local_scan, pre_schema, pre=pre
+    ).to_pandas()
+    if scanned.empty:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("doc_id", "tok_start", "n_tokens", "bin_start", "bin_end")}
+        )
+    # driver: exclusive scan over per-bucket totals (one tiny row per bucket)
+    totals = scanned.groupby("bucket")["n_tokens"].sum().sort_index()
+    offsets = totals.cumsum().shift(fill_value=0)
+    start = (
+        scanned["bucket"].map(offsets).to_numpy(np.int64)
+        + scanned["local_start"].to_numpy(np.int64)
+    )
+    n = scanned["n_tokens"].to_numpy(np.int64)
+    last = np.where(n > 0, start + n - 1, start)
+    out = pd.DataFrame(
+        {
+            "doc_id": scanned["doc_id"].astype("int64"),
+            "tok_start": start,
+            "n_tokens": n,
+            "bin_start": start // capacity,
+            "bin_end": last // capacity,
+        }
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def span_corruption(sf_dir: str, *, mod: int = 5) -> pd.DataFrame:
+    """T5-style span-corruption preprocessing: a deterministic ~1/``mod`` of
+    token positions are masked (rule: (doc_id·1000003 + p·10007) mod ``mod``
+    == 0 at 0-based position p — arithmetic, so the oracle restates it
+    verbatim); consecutive masked tokens merge into one span, the inputs get
+    one ``<extra_id_K>`` sentinel per span and the targets the sentinel
+    followed by the masked tokens (the T5 denoising objective's example
+    layout). Output (doc_id, inputs, targets, n_masked).
+
+    Embarrassingly parallel: one stateless ``map_batches`` pass, no
+    exchange — each doc's masking depends only on its own id and length.
+    """
+    ds = _read_docs(sf_dir)
+    tok = re.compile(_TOKEN_RE)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        ids, inputs, targets, n_masked = [], [], [], []
+        for did, txt in zip(df["doc_id"].to_numpy(np.int64), df["text"]):
+            ws = tok.findall(txt.lower())
+            p = np.arange(len(ws), dtype=np.int64)
+            m = (int(did) * 1000003 + p * 10007) % mod == 0
+            first = m & np.r_[True, ~m[:-1]] if len(ws) else m
+            sid = np.cumsum(first) - 1
+            inp, tgt = [], []
+            for i, w in enumerate(ws):
+                if not m[i]:
+                    inp.append(w)
+                elif first[i]:
+                    s = f"<extra_id_{sid[i]}>"
+                    inp.append(s)
+                    tgt.append(f"{s} {w}")
+                else:
+                    tgt.append(w)
+            ids.append(int(did))
+            inputs.append(" ".join(inp))
+            targets.append(" ".join(tgt))
+            n_masked.append(int(m.sum()))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "inputs": pd.Series(inputs, dtype=object),
+                "targets": pd.Series(targets, dtype=object),
+                "n_masked": pd.Series(n_masked, dtype="int64"),
+            }
+        )
+
+    out = ds.map_batches(f, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snm_pairs": dedup.snm_pairs,
         "pack_sequences": textstats.pack_sequences,
         "span_corruption": textstats.span_corruption,
+        "gopher_quality_filter": textstats.gopher_quality_filter,
         "tfidf_top_terms": textstats.tfidf_top_terms,
         "chunk_documents": textstats.chunk_documents,
         "token_counts_bpe": textstats.token_counts_bpe,
@@ -252,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": _media_resize_query,
         "media_audio_features": _media_audio_query,
         "media_frame_sample": _media_frames_query,
+        "media_scene_cuts": _media_cuts_query,
         "geohash_cells": _geohash_query,
         "hilbert_keys": _hilbert_query,
         "quad_cells": _quad_cells_query,
@@ -486,6 +488,24 @@ def _media_frames_query(sf_dir: str):
     write_oracle(
         "media_frame_sample", oracle_video_frame_sample(fixture_table(FIXTURE_BLOCKS))
     )
+    return df
+
+
+def _media_cuts_query(sf_dir: str):
+    """Histogram-difference shot-boundary detection over the frame-stack
+    container; exact integer distances; container-bypassing scalar oracle."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.layers import oracle_scene_cuts
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.multimodal import video_scene_cuts
+
+    df = (
+        video_scene_cuts(fixture_docs(FIXTURE_BLOCKS))
+        .to_pandas()
+        .sort_values(["doc_id", "media_ref"])
+        .reset_index(drop=True)
+    )
+    write_oracle("media_scene_cuts", oracle_scene_cuts(fixture_table(FIXTURE_BLOCKS)))
     return df
 
 
@@ -1621,6 +1641,34 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cnt DESC, token
             LIMIT 100
         """,
+        # Gopher gates as exact integer comparisons (see engine docstring)
+        "gopher_quality_filter": """
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS ws
+                       FROM documents),
+            tc AS (SELECT doc_id, j, ws[j] AS w
+                   FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS j)),
+            tops AS (SELECT doc_id, MAX(c)::BIGINT AS top_count FROM
+                       (SELECT doc_id, w, count(*) AS c FROM tc GROUP BY doc_id, w)
+                     GROUP BY doc_id),
+            base AS (SELECT doc_id,
+                            len(ws)::BIGINT AS n_tokens,
+                            COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)::BIGINT AS sum_tok_chars,
+                            len(list_distinct(ws))::BIGINT AS n_distinct,
+                            len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha
+                     FROM t)
+            SELECT base.doc_id, n_tokens, sum_tok_chars, n_distinct,
+                   COALESCE(tops.top_count, 0)::BIGINT AS top_count, n_alpha,
+                   (CASE WHEN n_tokens >= 50 AND n_tokens <= 100000
+                          AND 3 * n_tokens <= sum_tok_chars
+                          AND sum_tok_chars <= 10 * n_tokens
+                          AND 10 * (n_tokens - n_distinct) <= 8 * n_tokens
+                          AND 5 * COALESCE(tops.top_count, 0) <= n_tokens
+                          AND 5 * n_alpha >= 4 * n_tokens
+                         THEN 1 ELSE 0 END)::BIGINT AS passes
+            FROM base LEFT JOIN tops USING (doc_id)
+            ORDER BY doc_id
+        """,
         # T5 denoising layout: arithmetic mask rule + gaps-and-islands spans
         "span_corruption": """
             WITH t AS (SELECT doc_id,
@@ -2070,6 +2118,7 @@ def _ensure_default_oracles() -> None:
             "media_resize",
             "media_audio_features",
             "media_frame_sample",
+            "media_scene_cuts",
             "geohash_cells",
             "hilbert_keys",
             "quad_cells",
@@ -2166,6 +2215,7 @@ def _naive_oracle_sql() -> dict[str, str]:
         "media_resize": read_parquet_sql("media_resize", "doc_id, media_ref"),
         "media_audio_features": read_parquet_sql("media_audio_features", "doc_id, media_ref"),
         "media_frame_sample": read_parquet_sql("media_frame_sample", "doc_id, media_ref"),
+        "media_scene_cuts": read_parquet_sql("media_scene_cuts", "doc_id, media_ref"),
         "geohash_cells": read_parquet_sql("geohash_cells", "node_id, ip_id, lon, lat"),
         "hilbert_keys": read_parquet_sql("hilbert_keys", "node_id, ip_id, lon, lat"),
         "quad_cells": read_parquet_sql("quad_cells", "node_id, ip_id, lon, lat"),

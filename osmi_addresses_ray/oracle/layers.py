@@ -1103,3 +1103,39 @@ def oracle_quad_rollup(nwa: pd.DataFrame, level_fine: int = 12, level_coarse: in
         for cc, v in agg.items()
     ]
     return pd.DataFrame(rows).sort_values("cell_l8").reset_index(drop=True)
+
+
+def oracle_scene_cuts(docs: pa.Table) -> pd.DataFrame:
+    """Scalar shot-boundary recomputation: per-frame 4-bin/channel histogram
+    via plain dict counting, pairwise L1, fixed threshold 15."""
+    rows = []
+    for row in docs.to_pylist():
+        for span in row["spans"]:
+            if span["kind"] != "media":
+                continue
+            frames = _oracle_video_frames(span["media_ref"])
+            t, h, w, _ = frames.shape
+            hists = []
+            for f in range(t):
+                counts = [0] * 12
+                for px in frames[f].reshape(-1, 3):
+                    for c in range(3):
+                        counts[c * 4 + (int(px[c]) >> 6)] += 1
+                hists.append(counts)
+            dists = [
+                sum(abs(a - b) for a, b in zip(hists[i], hists[i + 1]))
+                for i in range(t - 1)
+            ]
+            thr = 15
+            rows.append(
+                {
+                    "doc_id": row["doc_id"], "media_ref": span["media_ref"],
+                    "n_frames": np.int32(t),
+                    "n_cuts": np.int32(sum(1 for d in dists if d > thr)),
+                    "max_dist": np.int64(max(dists) if dists else 0),
+                    "sum_dist": np.int64(sum(dists)),
+                }
+            )
+    cols = ["doc_id", "media_ref", "n_frames", "n_cuts", "max_dist", "sum_dist"]
+    return pd.DataFrame(rows, columns=cols).sort_values(
+        ["doc_id", "media_ref"]).reset_index(drop=True)

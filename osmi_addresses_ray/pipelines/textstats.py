@@ -1583,3 +1583,70 @@ def span_corruption(sf_dir: str, *, mod: int = 5) -> pd.DataFrame:
 
     out = ds.map_batches(f, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def gopher_quality_filter(sf_dir: str) -> pd.DataFrame:
+    """Gopher-rule quality gate (Rae et al. 2021 §A1.1, adapted to this
+    corpus's tokenizer): per doc the exact integer components and a pass
+    flag. Rules (all exact rational comparisons — no floats):
+      R1  50 ≤ n_tokens ≤ 100000
+      R2  3·n_tokens ≤ sum_tok_chars ≤ 10·n_tokens      (mean word length 3–10)
+      R3  10·(n_tokens − n_distinct) ≤ 8·n_tokens        (duplicate-token
+          fraction ≤ 0.8 — the corpus is small-vocab word soup, so the
+          published 0.3 would reject everything; the SHAPE of the gate is
+          what's reproduced)
+      R4  5·top_count ≤ n_tokens                         (modal token ≤ 0.2)
+      R5  5·n_alpha ≥ 4·n_tokens                         (≥ 0.8 alphabetic)
+    Output (doc_id, n_tokens, sum_tok_chars, n_distinct, top_count, n_alpha,
+    passes) — one stateless vectorized pass, no exchange.
+    """
+    ds = _read_docs(sf_dir)
+    tok = re.compile(_TOKEN_RE)
+    alpha = re.compile(r"[a-z]")
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        k = len(df)
+        n = np.empty(k, np.int64)
+        chars = np.empty(k, np.int64)
+        nd = np.empty(k, np.int64)
+        top = np.empty(k, np.int64)
+        nal = np.empty(k, np.int64)
+        for i, t in enumerate(df["text"]):
+            ws = tok.findall(t.lower())
+            n[i] = len(ws)
+            chars[i] = sum(len(w) for w in ws)
+            if ws:
+                vc = Counter(ws)
+                nd[i] = len(vc)
+                top[i] = max(vc.values())
+            else:
+                nd[i] = 0
+                top[i] = 0
+            nal[i] = sum(1 for w in ws if alpha.search(w))
+        passes = (
+            (n >= 50)
+            & (n <= 100000)
+            & (3 * n <= chars)
+            & (chars <= 10 * n)
+            & (10 * (n - nd) <= 8 * n)
+            & (5 * top <= n)
+            & (5 * nal >= 4 * n)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_tokens": n,
+                "sum_tok_chars": chars,
+                "n_distinct": nd,
+                "top_count": top,
+                "n_alpha": nal,
+                "passes": passes.astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(f, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )

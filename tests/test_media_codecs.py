@@ -202,3 +202,30 @@ def test_frame_stack_roundtrip_and_sampling():
     assert out["n_frames"] == f.shape[0]
     assert out["n_sampled"] == len(f[::3])
     assert out["px_sum"] == int(f[::3].astype(np.uint64).sum())
+
+
+def test_scene_cut_detector_known_cut():
+    """Black->white frame pair is a cut (L1 = 6hw >> 15); identical pair is not."""
+    import numpy as np
+    import pyarrow as pa
+
+    from osmi_addresses_ray.stages.media_codecs import encode_frame_stack
+    from osmi_addresses_ray.stages.multimodal import SceneCutDetector
+
+    h = w = 8
+    black = np.zeros((h, w, 3), np.uint8)
+    white = np.full((h, w, 3), 255, np.uint8)
+    cut = encode_frame_stack(np.stack([black, white, white]))
+    flat = encode_frame_stack(np.stack([black, black]))
+    t = pa.table(
+        {
+            "doc_id": pa.array(["d1", "d2"], pa.string()),
+            "media_ref": pa.array(["a", "b"], pa.string()),
+            "payload": pa.array([cut, flat], pa.binary()),
+            "kind": pa.array(["video", "video"], pa.string()),
+        }
+    )
+    out = SceneCutDetector()(t).to_pydict()
+    assert out["n_cuts"] == [1, 0]
+    assert out["max_dist"][0] == 6 * h * w  # every pixel moves bin 0 -> 3, x3 ch
+    assert out["sum_dist"][1] == 0

@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_audio_features": _media_audio_query,
         "media_frame_sample": _media_frames_query,
         "media_scene_cuts": _media_cuts_query,
+        "media_dhash": _media_dhash_query,
         "geohash_cells": _geohash_query,
         "hilbert_keys": _hilbert_query,
         "quad_cells": _quad_cells_query,
@@ -488,6 +489,24 @@ def _media_frames_query(sf_dir: str):
     write_oracle(
         "media_frame_sample", oracle_video_frame_sample(fixture_table(FIXTURE_BLOCKS))
     )
+    return df
+
+
+def _media_dhash_query(sf_dir: str):
+    """Perceptual dHash per image (integer cross-multiplied brightness
+    bits); scalar per-pixel-loop oracle over the raw pixel spec."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.layers import oracle_media_dhash
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.multimodal import media_dhash
+
+    df = (
+        media_dhash(fixture_docs(FIXTURE_BLOCKS))
+        .to_pandas()
+        .sort_values(["doc_id", "media_ref"])
+        .reset_index(drop=True)
+    )
+    write_oracle("media_dhash", oracle_media_dhash(fixture_table(FIXTURE_BLOCKS)))
     return df
 
 
@@ -2119,6 +2138,7 @@ def _ensure_default_oracles() -> None:
             "media_audio_features",
             "media_frame_sample",
             "media_scene_cuts",
+            "media_dhash",
             "geohash_cells",
             "hilbert_keys",
             "quad_cells",
@@ -2216,6 +2236,7 @@ def _naive_oracle_sql() -> dict[str, str]:
         "media_audio_features": read_parquet_sql("media_audio_features", "doc_id, media_ref"),
         "media_frame_sample": read_parquet_sql("media_frame_sample", "doc_id, media_ref"),
         "media_scene_cuts": read_parquet_sql("media_scene_cuts", "doc_id, media_ref"),
+        "media_dhash": read_parquet_sql("media_dhash", "doc_id, media_ref"),
         "geohash_cells": read_parquet_sql("geohash_cells", "node_id, ip_id, lon, lat"),
         "hilbert_keys": read_parquet_sql("hilbert_keys", "node_id, ip_id, lon, lat"),
         "quad_cells": read_parquet_sql("quad_cells", "node_id, ip_id, lon, lat"),

@@ -1139,3 +1139,41 @@ def oracle_scene_cuts(docs: pa.Table) -> pd.DataFrame:
     cols = ["doc_id", "media_ref", "n_frames", "n_cuts", "max_dist", "sum_dist"]
     return pd.DataFrame(rows, columns=cols).sort_values(
         ["doc_id", "media_ref"]).reset_index(drop=True)
+
+
+def oracle_media_dhash(docs: pa.Table) -> pd.DataFrame:
+    """Scalar dHash recomputation: per-cell integer sums by explicit loops,
+    bit = exact cross-multiplied brightness comparison, MSB-first fold."""
+    rows = []
+    for row in docs.to_pylist():
+        for span in row["spans"]:
+            if span["kind"] != "media":
+                continue
+            img = _oracle_media_pixels(span["media_ref"])
+            h, w = img.shape[:2]
+            rb = [(i * h) // 8 for i in range(9)]
+            cb = [(j * w) // 9 for j in range(10)]
+            cell = [[0] * 9 for _ in range(8)]
+            for i in range(8):
+                for j in range(9):
+                    s = 0
+                    for y in range(rb[i], rb[i + 1]):
+                        for x in range(cb[j], cb[j + 1]):
+                            s += int(img[y, x, 0]) + int(img[y, x, 1]) + int(img[y, x, 2])
+                    cell[i][j] = s
+            hv = 0
+            for i in range(8):
+                ai = rb[i + 1] - rb[i]
+                for j in range(8):
+                    al = ai * (cb[j + 1] - cb[j])
+                    ar = ai * (cb[j + 2] - cb[j + 1])
+                    bit = 1 if cell[i][j] * ar > cell[i][j + 1] * al else 0
+                    hv = (hv << 1) | bit
+            if hv >= 1 << 63:
+                hv -= 1 << 64
+            rows.append(
+                {"doc_id": row["doc_id"], "media_ref": span["media_ref"],
+                 "dhash": np.int64(hv)}
+            )
+    return pd.DataFrame(rows, columns=["doc_id", "media_ref", "dhash"]).sort_values(
+        ["doc_id", "media_ref"]).reset_index(drop=True)

@@ -229,3 +229,22 @@ def test_scene_cut_detector_known_cut():
     assert out["n_cuts"] == [1, 0]
     assert out["max_dist"][0] == 6 * h * w  # every pixel moves bin 0 -> 3, x3 ch
     assert out["sum_dist"][1] == 0
+
+
+def test_dhash_gradients_and_area_exactness():
+    import numpy as np
+
+    from osmi_addresses_ray.stages.multimodal import DHasher
+
+    # brightness strictly decreasing left->right: every left cell brighter -> all 64 bits set
+    w, h = 18, 16
+    col = np.linspace(255, 0, w).astype(np.uint8)
+    img = np.repeat(np.repeat(col[None, :, None], h, axis=0), 3, axis=2)
+    assert DHasher._dhash(img) == -1  # 0xFFFF... as int64
+    # increasing: no bit set
+    img2 = img[:, ::-1]
+    assert DHasher._dhash(img2) == 0
+    # uneven dims (w not divisible by 9): equal-brightness image -> ties -> 0,
+    # proving the cross-multiplied area comparison doesn't bias uneven cells
+    flat = np.full((11, 13, 3), 77, np.uint8)
+    assert DHasher._dhash(flat) == 0

@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": textstats.pack_sequences,
         "span_corruption": textstats.span_corruption,
         "gopher_quality_filter": textstats.gopher_quality_filter,
+        "event_spikes": timeseries.event_spikes,
         "tfidf_top_terms": textstats.tfidf_top_terms,
         "chunk_documents": textstats.chunk_documents,
         "token_counts_bpe": textstats.token_counts_bpe,
@@ -255,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_sample": _media_frames_query,
         "media_scene_cuts": _media_cuts_query,
         "media_dhash": _media_dhash_query,
+        "media_resample_audio": _media_resample_query,
         "geohash_cells": _geohash_query,
         "hilbert_keys": _hilbert_query,
         "quad_cells": _quad_cells_query,
@@ -489,6 +491,24 @@ def _media_frames_query(sf_dir: str):
     write_oracle(
         "media_frame_sample", oracle_video_frame_sample(fixture_table(FIXTURE_BLOCKS))
     )
+    return df
+
+
+def _media_resample_query(sf_dir: str):
+    """2:1 integer PCM decimation over real WAV decode; scalar floor-division
+    oracle from the raw sample spec."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.layers import oracle_audio_resample
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.multimodal import media_resample_audio
+
+    df = (
+        media_resample_audio(fixture_docs(FIXTURE_BLOCKS))
+        .to_pandas()
+        .sort_values(["doc_id", "media_ref"])
+        .reset_index(drop=True)
+    )
+    write_oracle("media_resample_audio", oracle_audio_resample(fixture_table(FIXTURE_BLOCKS)))
     return df
 
 
@@ -1660,6 +1680,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cnt DESC, token
             LIMIT 100
         """,
+        # spike hours by exact integer cross-multiplication (1.5x mean gate)
+        "event_spikes": """
+            WITH h AS (SELECT date_trunc('hour', ts) AS hr, count(*)::BIGINT AS n
+                       FROM events GROUP BY hr),
+            s AS (SELECT count(*)::BIGINT AS nh, sum(n)::BIGINT AS tot FROM h)
+            SELECT hr, n FROM h, s WHERE 2 * n * s.nh > 3 * s.tot
+            ORDER BY hr
+        """,
         # Gopher gates as exact integer comparisons (see engine docstring)
         "gopher_quality_filter": """
             WITH t AS (SELECT doc_id,
@@ -2139,6 +2167,7 @@ def _ensure_default_oracles() -> None:
             "media_frame_sample",
             "media_scene_cuts",
             "media_dhash",
+            "media_resample_audio",
             "geohash_cells",
             "hilbert_keys",
             "quad_cells",
@@ -2237,6 +2266,7 @@ def _naive_oracle_sql() -> dict[str, str]:
         "media_frame_sample": read_parquet_sql("media_frame_sample", "doc_id, media_ref"),
         "media_scene_cuts": read_parquet_sql("media_scene_cuts", "doc_id, media_ref"),
         "media_dhash": read_parquet_sql("media_dhash", "doc_id, media_ref"),
+        "media_resample_audio": read_parquet_sql("media_resample_audio", "doc_id, media_ref"),
         "geohash_cells": read_parquet_sql("geohash_cells", "node_id, ip_id, lon, lat"),
         "hilbert_keys": read_parquet_sql("hilbert_keys", "node_id, ip_id, lon, lat"),
         "quad_cells": read_parquet_sql("quad_cells", "node_id, ip_id, lon, lat"),

@@ -1177,3 +1177,26 @@ def oracle_media_dhash(docs: pa.Table) -> pd.DataFrame:
             )
     return pd.DataFrame(rows, columns=["doc_id", "media_ref", "dhash"]).sort_values(
         ["doc_id", "media_ref"]).reset_index(drop=True)
+
+
+def oracle_audio_resample(docs: pa.Table) -> pd.DataFrame:
+    """Scalar 2:1 decimation: pairwise mean with FLOOR division (python //)."""
+    rows = []
+    for row in docs.to_pylist():
+        for span in row["spans"]:
+            if span["kind"] != "media":
+                continue
+            s = [int(v) for v in _oracle_audio_samples(span["media_ref"])]
+            n = len(s) - (len(s) % 2)
+            out = [(s[i] + s[i + 1]) // 2 for i in range(0, n, 2)]
+            rows.append(
+                {
+                    "doc_id": row["doc_id"], "media_ref": span["media_ref"],
+                    "n_in": np.int64(len(s)), "n_out": np.int64(len(out)),
+                    "sum_sq_out": np.int64(sum(v * v for v in out)),
+                    "peak_out": np.int64(max((abs(v) for v in out), default=0)),
+                }
+            )
+    cols = ["doc_id", "media_ref", "n_in", "n_out", "sum_sq_out", "peak_out"]
+    return pd.DataFrame(rows, columns=cols).sort_values(
+        ["doc_id", "media_ref"]).reset_index(drop=True)

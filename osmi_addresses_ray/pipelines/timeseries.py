@@ -1091,3 +1091,37 @@ def session_paths(sf_dir: str, *, gap_minutes: int = 30, num_parts: int = 8):
     return (
         out.to_pandas().sort_values(["user_id", "session_id"]).reset_index(drop=True)
     )
+
+
+def event_spikes(sf_dir: str) -> pd.DataFrame:
+    """Traffic-anomaly hours: hourly event counts exceeding 1.5× the global
+    per-hour mean, kept as the exact integer cross-multiplication
+    2·n·H > 3·N (H hours, N events — no float mean anywhere). One partial
+    pre-aggregated exchange builds the hourly table; the global scalars and
+    final filter run on the (calendar-bounded, ≤ ~10⁵-row) hourly result —
+    never on raw events."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .relational import grouped_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        return pa.table({"hr": pc.floor_temporal(t["ts"], unit="hour")})
+
+    hourly = grouped_agg(
+        ds.map_batches(add_window, batch_format="pyarrow"),
+        ["hr"],
+        {"n": (None, "count")},
+    ).to_pandas()
+    if hourly.empty:
+        return pd.DataFrame(
+            {"hr": pd.Series([], dtype="datetime64[us]"),
+             "n": pd.Series([], dtype="int64")}
+        )
+    hourly["n"] = hourly["n"].astype("int64")
+    H = np.int64(len(hourly))
+    N = np.int64(hourly["n"].sum())
+    out = hourly[2 * hourly["n"] * H > 3 * N]
+    return out.sort_values("hr").reset_index(drop=True)

@@ -532,3 +532,59 @@ def media_dhash(docs_ds, *, concurrency=(1, 4), batch_size: int = 64):
     return media.map_batches(
         DHasher, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
     )
+
+
+MEDIA_RESAMPLE_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("n_in", pa.int64()),
+        pa.field("n_out", pa.int64()),
+        pa.field("sum_sq_out", pa.int64()),
+        pa.field("peak_out", pa.int64()),
+    ]
+)
+
+
+class AudioResampler:
+    """Actor-pool 2:1 PCM decimation: decode RIFF/WAVE PCM16, average each
+    adjacent sample pair with FLOOR division ((s₀+s₁) >> 1 semantics for
+    negatives too — numpy/python // agree, and the scalar oracle restates
+    it), drop a trailing odd sample. Output integer summaries of the REAL
+    resampled signal (energy, peak) — exact end to end. Rational-ratio
+    resampling beyond 2:1 swaps the index map; the stage contract (decode →
+    integer DSP → summary columns) is the reusable part."""
+
+    def __init__(self):
+        from osmi_addresses_ray.stages.media_codecs import decode_wav
+
+        self._decode = decode_wav
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = {k: [] for k in MEDIA_RESAMPLE_SCHEMA.names}
+        for doc_id, ref, payload in zip(
+            t["doc_id"].to_pylist(), t["media_ref"].to_pylist(), t["payload"].to_pylist()
+        ):
+            s, _rate = self._decode(payload)
+            s = s.astype(np.int64)
+            n = len(s) - (len(s) % 2)
+            out = (s[:n:2] + s[1:n:2]) // 2
+            rows["doc_id"].append(doc_id)
+            rows["media_ref"].append(ref)
+            rows["n_in"].append(len(s))
+            rows["n_out"].append(len(out))
+            rows["sum_sq_out"].append(int((out * out).sum()))
+            rows["peak_out"].append(int(np.abs(out).max()) if len(out) else 0)
+        return pa.Table.from_arrays(
+            [pa.array(rows[f.name], f.type) for f in MEDIA_RESAMPLE_SCHEMA],
+            schema=MEDIA_RESAMPLE_SCHEMA,
+        )
+
+
+def media_resample_audio(docs_ds, *, concurrency=(1, 4), batch_size: int = 64):
+    from osmi_addresses_ray.stages.media_codecs import synthesize_audio_payload
+
+    media = _extract_refs_with_store(docs_ds, synthesize_audio_payload, "audio")
+    return media.map_batches(
+        AudioResampler, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+    )

@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_corruption": textstats.span_corruption,
         "gopher_quality_filter": textstats.gopher_quality_filter,
         "event_spikes": timeseries.event_spikes,
+        "curate_corpus": textstats.curate_corpus,
         "tfidf_top_terms": textstats.tfidf_top_terms,
         "chunk_documents": textstats.chunk_documents,
         "token_counts_bpe": textstats.token_counts_bpe,
@@ -1679,6 +1680,53 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY cnt DESC, token
             LIMIT 100
+        """,
+        # the full curation chain: gopher gate -> exact dedup -> scrub, as
+        # one chained-CTE restatement of the three verified stage oracles
+        "curate_corpus": """
+            WITH t AS (SELECT doc_id, text,
+                              regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS ws
+                       FROM documents),
+            tc AS (SELECT doc_id, ws[j] AS w
+                   FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS j)),
+            tops AS (SELECT doc_id, MAX(c)::BIGINT AS top_count FROM
+                       (SELECT doc_id, w, count(*) AS c FROM tc GROUP BY doc_id, w)
+                     GROUP BY doc_id),
+            base AS (SELECT doc_id, len(ws)::BIGINT AS n,
+                            COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)::BIGINT AS chars,
+                            len(list_distinct(ws))::BIGINT AS nd,
+                            len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))::BIGINT AS nal
+                     FROM t),
+            g AS (SELECT base.doc_id FROM base LEFT JOIN tops USING (doc_id)
+                  WHERE n >= 50 AND n <= 100000
+                    AND 3 * n <= chars AND chars <= 10 * n
+                    AND 10 * (n - nd) <= 8 * n
+                    AND 5 * COALESCE(top_count, 0) <= n
+                    AND 5 * nal >= 4 * n),
+            d AS (SELECT min(doc_id) AS doc_id
+                  FROM documents JOIN g USING (doc_id) GROUP BY documents.text),
+            t2 AS (SELECT t.doc_id, t.ws FROM t JOIN d USING (doc_id)),
+            s AS (SELECT doc_id, i, array_to_string(ws[i:i+7], ' ') AS gram
+                  FROM t2, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS i)),
+            bad AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM s)
+                    GROUP BY gram HAVING count(*) > 1),
+            cov AS (SELECT DISTINCT s.doc_id, s.i + o AS pos
+                    FROM s JOIN bad USING (gram),
+                         LATERAL (SELECT unnest(generate_series(0, 7)) AS o)),
+            toks AS (SELECT doc_id, j, ws[j] AS w
+                     FROM t2, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS j)),
+            kept AS (SELECT toks.doc_id,
+                            string_agg(w, ' ' ORDER BY j) AS text_clean,
+                            count(*)::BIGINT AS n_kept
+                     FROM toks LEFT JOIN cov
+                       ON toks.doc_id = cov.doc_id AND toks.j = cov.pos
+                     WHERE cov.pos IS NULL GROUP BY toks.doc_id)
+            SELECT t2.doc_id,
+                   COALESCE(kept.text_clean, '') AS text_clean,
+                   COALESCE(kept.n_kept, 0)::BIGINT AS n_kept,
+                   (len(t2.ws) - COALESCE(kept.n_kept, 0))::BIGINT AS n_removed
+            FROM t2 LEFT JOIN kept USING (doc_id)
+            ORDER BY doc_id
         """,
         # spike hours by exact integer cross-multiplication (1.5x mean gate)
         "event_spikes": """

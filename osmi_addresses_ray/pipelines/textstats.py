@@ -1318,11 +1318,16 @@ def scrub_dup_ngrams(sf_dir: str, *, n: int = 8, num_parts: int = 8) -> pd.DataF
     Work and exchange volume are linear in total window count; the rewritten
     text never re-enters an exchange (it is produced in the final reduce).
     """
+    return _scrub_ds(_read_docs(sf_dir).materialize(), n=n, num_parts=num_parts)
+
+
+def _scrub_ds(ds, *, n: int = 8, num_parts: int = 8) -> pd.DataFrame:
+    """Dataset-level core of ``scrub_dup_ngrams`` (also the last stage of
+    ``curate_corpus``). ``ds`` must be materialized with (doc_id, text)."""
     import pyarrow as pa
 
     from ..ops import direct_cogroup
 
-    ds = _read_docs(sf_dir).materialize()
     tok = re.compile(_TOKEN_RE)
 
     def pre_postings(t: pa.Table) -> pa.Table:
@@ -1601,37 +1606,9 @@ def gopher_quality_filter(sf_dir: str) -> pd.DataFrame:
     passes) — one stateless vectorized pass, no exchange.
     """
     ds = _read_docs(sf_dir)
-    tok = re.compile(_TOKEN_RE)
-    alpha = re.compile(r"[a-z]")
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        k = len(df)
-        n = np.empty(k, np.int64)
-        chars = np.empty(k, np.int64)
-        nd = np.empty(k, np.int64)
-        top = np.empty(k, np.int64)
-        nal = np.empty(k, np.int64)
-        for i, t in enumerate(df["text"]):
-            ws = tok.findall(t.lower())
-            n[i] = len(ws)
-            chars[i] = sum(len(w) for w in ws)
-            if ws:
-                vc = Counter(ws)
-                nd[i] = len(vc)
-                top[i] = max(vc.values())
-            else:
-                nd[i] = 0
-                top[i] = 0
-            nal[i] = sum(1 for w in ws if alpha.search(w))
-        passes = (
-            (n >= 50)
-            & (n <= 100000)
-            & (3 * n <= chars)
-            & (chars <= 10 * n)
-            & (10 * (n - nd) <= 8 * n)
-            & (5 * top <= n)
-            & (5 * nal >= 4 * n)
-        )
+        n, chars, nd, top, nal, passes = _gopher_stats(df["text"])
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"].astype("int64"),
@@ -1650,3 +1627,113 @@ def gopher_quality_filter(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def _gopher_stats(texts):
+    """Shared Gopher-gate kernel: integer components + pass mask per text."""
+    tok = re.compile(_TOKEN_RE)
+    alpha = re.compile(r"[a-z]")
+    k = len(texts)
+    n = np.empty(k, np.int64)
+    chars = np.empty(k, np.int64)
+    nd = np.empty(k, np.int64)
+    top = np.empty(k, np.int64)
+    nal = np.empty(k, np.int64)
+    for i, t in enumerate(texts):
+        ws = tok.findall(t.lower())
+        n[i] = len(ws)
+        chars[i] = sum(len(w) for w in ws)
+        if ws:
+            vc = Counter(ws)
+            nd[i] = len(vc)
+            top[i] = max(vc.values())
+        else:
+            nd[i] = 0
+            top[i] = 0
+        nal[i] = sum(1 for w in ws if alpha.search(w))
+    passes = (
+        (n >= 50)
+        & (n <= 100000)
+        & (3 * n <= chars)
+        & (chars <= 10 * n)
+        & (10 * (n - nd) <= 8 * n)
+        & (5 * top <= n)
+        & (5 * nal >= 4 * n)
+    )
+    return n, chars, nd, top, nal, passes
+
+
+def curate_corpus(sf_dir: str, *, n: int = 8, num_parts: int = 8) -> pd.DataFrame:
+    """End-to-end RefinedWeb-style corpus curation — the three verified
+    stages CHAINED as one streaming pipeline over the same dataset:
+
+      1. Gopher quality gate (``_gopher_stats`` — in-batch filter, no
+         exchange; rejected docs never leave their read block),
+      2. exact dedup among survivors (128-bit text signature exchange —
+         (sig, doc_id) pairs only, the text never enters the shuffle;
+         winner = min doc_id per signature; winners re-partitioned on
+         doc_id chain straight into the semi-join cogroup),
+      3. exact-substring scrub among the deduped survivors (``_scrub_ds`` —
+         n-gram windows duplicated across ≥2 SURVIVING docs removed).
+
+    Output one row per surviving doc: (doc_id, text_clean, n_kept,
+    n_removed). Every stage is the already-hash-verified kernel; this query
+    verifies their COMPOSITION against one chained-CTE DuckDB oracle.
+    """
+    import pyarrow as pa
+
+    from ..ops import direct_cogroup
+    from .dedup import _hash64, _hash64_b
+
+    ds = _read_docs(sf_dir)
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        *_, passes = _gopher_stats(df["text"])
+        out = df.loc[passes, ["doc_id", "text"]].copy()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return out
+
+    kept = ds.map_batches(gate, batch_format="pandas").materialize()
+
+    sig_schema = pa.schema(
+        [("sig1", pa.int64()), ("sig2", pa.int64()), ("doc_id", pa.int64())]
+    )
+    win_schema = pa.schema([("doc_id", pa.int64())])
+    docs_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+
+    def pre_sig(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return pa.table(
+            {
+                "sig1": pa.array(_hash64(df["text"]).view(np.int64)),
+                "sig2": pa.array(_hash64_b(df["text"]).view(np.int64)),
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            }
+        )
+
+    def winners_fn(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if not len(df):
+            return win_schema.empty_table()
+        w = df.groupby(["sig1", "sig2"])["doc_id"].min()
+        return pa.table({"doc_id": pa.array(np.sort(w.to_numpy(np.int64)))})
+
+    winners = direct_cogroup(
+        [kept], [["sig1", "sig2"]], num_parts, winners_fn, [sig_schema],
+        pres=[pre_sig], emit_partitioned_on=["doc_id"],
+    )
+
+    def semi(w_t: pa.Table, d_t: pa.Table) -> pa.Table:
+        ddf = d_t.to_pandas()
+        if not len(ddf):
+            return docs_schema.empty_table()
+        wids = w_t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = ddf[np.isin(ddf["doc_id"].to_numpy(np.int64), wids)]
+        return pa.Table.from_pandas(out, schema=docs_schema, preserve_index=False)
+
+    surv = direct_cogroup(
+        [winners, kept], [["doc_id"], ["doc_id"]], num_parts, semi,
+        [win_schema, docs_schema],
+    ).materialize()
+
+    return _scrub_ds(surv, n=n, num_parts=num_parts)

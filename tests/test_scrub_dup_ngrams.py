@@ -59,3 +59,26 @@ def test_short_docs_and_partition_invariance(monkeypatch):
     assert len(a) == len(texts)
     # "common one two three four five six seven" is an 8-gram shared by all 6
     assert (a.loc[2:, "n_removed"] == 8).all()
+
+
+def test_curate_corpus_stage_interplay(monkeypatch):
+    """gate drops short docs; dedup keeps min doc_id per exact text; scrub
+    removes only windows shared between SURVIVORS (stage-order probe: if
+    scrub ran before dedup, doc 0's padA windows would be duplicated with
+    its copy doc 1 and stripped — n_removed would be 68, not 8)."""
+    pad_a = " ".join(f"pada{i}" for i in range(60))
+    pad_b = " ".join(f"padb{i}" for i in range(60))
+    shared = "s1a s2a s3a s4a s5a s6a s7a s8a"  # one exact 8-gram window
+    texts = [
+        f"{pad_a} {shared}",   # 0: survivor, shares ONLY `shared` with 2
+        f"{pad_a} {shared}",   # 1: exact dup of 0 -> deduped (min id wins)
+        f"{shared} {pad_b}",   # 2: survivor
+        "too short",           # 3: gate-dropped (n_tokens < 50)
+    ]
+    _with_mem_docs(monkeypatch, texts)
+    out = textstats.curate_corpus("<mem>", n=8)
+    assert list(out["doc_id"]) == [0, 2]
+    assert list(out["n_removed"]) == [8, 8]
+    assert "s1a" not in out.loc[0, "text_clean"]
+    assert out.loc[0, "text_clean"] == pad_a
+    assert out.loc[1, "text_clean"] == pad_b

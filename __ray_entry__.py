@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality_filter": textstats.gopher_quality_filter,
         "event_spikes": timeseries.event_spikes,
         "curate_corpus": textstats.curate_corpus,
+        "shard_assignment": textstats.shard_assignment,
         "tfidf_top_terms": textstats.tfidf_top_terms,
         "chunk_documents": textstats.chunk_documents,
         "token_counts_bpe": textstats.token_counts_bpe,
@@ -1680,6 +1681,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY cnt DESC, token
             LIMIT 100
+        """,
+        # LPT round-robin shard layout: rank by (n_tokens DESC, doc_id)
+        "shard_assignment": """
+            WITH t AS (SELECT doc_id,
+                              len(regexp_extract_all(lower(text), '[A-Za-z0-9_]+'))::BIGINT AS n_tokens
+                       FROM documents)
+            SELECT doc_id, n_tokens,
+                   (row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1)::BIGINT AS rank,
+                   ((row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1) % 16)::BIGINT AS shard
+            FROM t ORDER BY doc_id
         """,
         # the full curation chain: gopher gate -> exact dedup -> scrub, as
         # one chained-CTE restatement of the three verified stage oracles

@@ -1737,3 +1737,76 @@ def curate_corpus(sf_dir: str, *, n: int = 8, num_parts: int = 8) -> pd.DataFram
     ).materialize()
 
     return _scrub_ds(surv, n=n, num_parts=num_parts)
+
+
+def shard_assignment(sf_dir: str, *, shards: int = 16, num_parts: int = 8) -> pd.DataFrame:
+    """Deterministic size-balanced shard layout: docs ranked by
+    (n_tokens DESC, doc_id ASC) get shard = rank % ``shards`` — the
+    round-robin longest-processing-time heuristic (big docs spread first, so
+    shard token totals differ by at most one doc at each size level).
+
+    Distributed rank without a global sort: token counts are CALENDAR-SMALL
+    in distinct values (bounded by max doc length), so one hash exchange
+    co-locates each n_tokens VALUE GROUP, each partition ranks its groups
+    internally by doc_id, and the driver exclusive-scans the per-value group
+    sizes (one tiny row per distinct length, descending) to shift local
+    ranks to global ones — the ``running_totals`` scan shape keyed by value
+    instead of time. Output (doc_id, n_tokens, rank, shard).
+    """
+    import pyarrow as pa
+
+    from ..ops import direct_partitioned_map
+
+    ds = _read_docs(sf_dir)
+    tok = re.compile(_TOKEN_RE)
+
+    def pre(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        n_tok = np.array([len(tok.findall(x.lower())) for x in df["text"]], np.int64)
+        return pa.table(
+            {"doc_id": pa.array(df["doc_id"].to_numpy(np.int64)), "n_tokens": pa.array(n_tok)}
+        )
+
+    pre_schema = pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64())])
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("local_rank", pa.int64())]
+    )
+
+    def local_rank(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if not len(df):
+            return out_schema.empty_table()
+        df = df.sort_values(["n_tokens", "doc_id"], ascending=[False, True], kind="stable")
+        lr = df.groupby("n_tokens", sort=False).cumcount().to_numpy(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+                "n_tokens": pa.array(df["n_tokens"].to_numpy(np.int64)),
+                "local_rank": pa.array(lr),
+            }
+        )
+
+    ranked = direct_partitioned_map(
+        ds.materialize(), ["n_tokens"], num_parts, local_rank, pre_schema, pre=pre
+    ).to_pandas()
+    if ranked.empty:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("doc_id", "n_tokens", "rank", "shard")}
+        )
+    # driver: one tiny row per DISTINCT length — exclusive scan in desc order
+    sizes = ranked.groupby("n_tokens").size().sort_index(ascending=False)
+    offsets = sizes.cumsum().shift(fill_value=0)
+    rank = (
+        ranked["n_tokens"].map(offsets).to_numpy(np.int64)
+        + ranked["local_rank"].to_numpy(np.int64)
+    )
+    out = pd.DataFrame(
+        {
+            "doc_id": ranked["doc_id"].astype("int64"),
+            "n_tokens": ranked["n_tokens"].astype("int64"),
+            "rank": rank,
+            "shard": rank % np.int64(shards),
+        }
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -67,3 +67,22 @@ def test_span_corruption_empty_doc(monkeypatch):
     _with_mem_docs(monkeypatch, ["", "word"])
     out = textstats.span_corruption("<mem>")
     assert out.loc[0, "inputs"] == "" and out.loc[0, "targets"] == ""
+
+
+def test_shard_assignment_rank_and_balance(monkeypatch):
+    import numpy as np
+
+    texts = [f"{'w ' * (1 + (i * 7) % 23)}" for i in range(80)]
+    _with_mem_docs(monkeypatch, texts, 1)
+    a = textstats.shard_assignment("<mem>", shards=4, num_parts=2)
+    _with_mem_docs(monkeypatch, texts, 9)
+    b = textstats.shard_assignment("<mem>", shards=4, num_parts=7)
+    pd.testing.assert_frame_equal(a, b)
+    # rank equals the naive (n_tokens DESC, doc_id) order
+    naive = a.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
+    assert list(naive["rank"]) == list(range(len(a)))
+    # LPT round-robin: every shard gets n/4 docs, token totals near-equal
+    cnt = a.groupby("shard").size()
+    assert cnt.max() - cnt.min() <= 1
+    tot = a.groupby("shard")["n_tokens"].sum()
+    assert tot.max() - tot.min() <= int(a["n_tokens"].max())

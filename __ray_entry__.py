@@ -180,6 +180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": textstats.lang_confusion,
         "q_left_join_nulls": relational.q_left_join_nulls,
         "doc_repetition": textstats.doc_repetition,
+        "token_entropy": textstats.token_entropy,
+        "dsir_weights": textstats.dsir_weights,
         # sketch/ANN ops checked against naive pure-Python oracles written to
         # /tmp/graft_oracle (see osmi_addresses_ray.oracle): the query runs
         # the distributed pipeline AND recomputes the spec single-threaded;
@@ -1560,6 +1562,52 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(max(c.cnt), 0)::BIGINT AS top_count
             FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
             GROUP BY d.doc_id ORDER BY d.doc_id
+        """,
+        # Shannon entropy (bits) over the lowercased token histogram +
+        # exact-integer Simpson numerator. Entropy rounds to FOUR decimals:
+        # numpy vs DuckDB log2 may differ 1 ulp per term, a <=1e-12 total
+        # disagreement cannot flip a 1e-4 rounding; + 0.0 normalizes -0.0
+        "token_entropy": """
+            WITH t AS (SELECT doc_id,
+                              lower(unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')))
+                                  AS tk
+                       FROM documents),
+            c AS (SELECT doc_id, tk, count(*)::BIGINT AS c FROM t GROUP BY 1, 2),
+            a AS (SELECT doc_id, sum(c)::BIGINT AS n,
+                         sum(c * c)::BIGINT AS simpson_num,
+                         sum(c * log2(c)) AS s
+                  FROM c GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(a.n, 0)::BIGINT AS n_tokens,
+                   coalesce(a.simpson_num, 0)::BIGINT AS simpson_num,
+                   coalesce(round(log2(a.n) - a.s / a.n, 4) + 0.0, 0.0) AS entropy
+            FROM documents d LEFT JOIN a USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        # DSIR importance weights (Xie et al. 2023): add-1-smoothed unigram
+        # log-ratio of the target domain (source = 'src0') vs the raw corpus;
+        # same 4-decimal libm-parity rounding as token_entropy
+        "dsir_weights": """
+            WITH tt AS (SELECT d.doc_id, (d.source = 'src0') AS tgt,
+                               lower(unnest(regexp_extract_all(d.text,
+                                     '[A-Za-z0-9_]+'))) AS tk
+                        FROM documents d),
+            v AS (SELECT tk, count(*)::BIGINT AS cr,
+                         sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS ct
+                  FROM tt GROUP BY 1),
+            tot AS (SELECT sum(cr)::BIGINT AS tr, sum(ct)::BIGINT AS tg,
+                           count(*)::BIGINT AS vv FROM v),
+            c AS (SELECT doc_id, tk, count(*)::BIGINT AS c FROM tt GROUP BY 1, 2),
+            s AS (SELECT c.doc_id, sum(c.c)::BIGINT AS n,
+                         sum(c.c * (ln(v.ct + 1) - ln(v.cr + 1))) AS s
+                  FROM c JOIN v USING (tk) GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(s.n, 0)::BIGINT AS n_tokens,
+                   coalesce(round(s.s + s.n * (ln(tot.tr + tot.vv)
+                                               - ln(tot.tg + tot.vv)), 4) + 0.0,
+                            0.0) AS dsir_logw
+            FROM documents d LEFT JOIN s USING (doc_id), tot
+            ORDER BY d.doc_id
         """,
         "quality_scores": """
             SELECT doc_id,

@@ -1810,3 +1810,169 @@ def shard_assignment(sf_dir: str, *, shards: int = 16, num_parts: int = 8) -> pd
         }
     )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# --- information-theoretic quality signals ----------------------------------
+
+
+def _doc_distinct_counts(
+    texts, tok
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Explode a batch of texts into per-(row, DISTINCT lowercased token)
+    counts, token-ascending within each row. Returns (row_of_group, counts,
+    n_tokens_per_row, token_of_group). One lexsort + run-length encode — no
+    per-row dicts."""
+    lists = [tok.findall(t.lower()) for t in texts]
+    m = len(lists)
+    lens = np.fromiter((len(x) for x in lists), np.int64, m)
+    tot = int(lens.sum())
+    if tot == 0:
+        e = np.empty(0, np.int64)
+        return e, e, lens, np.empty(0, object)
+    flat = np.empty(tot, object)
+    pos = 0
+    for x in lists:
+        if x:
+            flat[pos : pos + len(x)] = x
+            pos += len(x)
+    rows = np.repeat(np.arange(m, dtype=np.int64), lens)
+    order = np.lexsort((flat, rows))
+    fr, fo = rows[order], flat[order]
+    new = np.ones(tot, bool)
+    new[1:] = (fr[1:] != fr[:-1]) | (fo[1:] != fo[:-1])
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, tot)).astype(np.int64)
+    return fr[starts], counts, lens, fo[starts]
+
+
+def token_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-document Shannon entropy (bits) of the lowercased token histogram,
+    plus the exact-integer Simpson (collision) numerator sum(c^2) — the two
+    information-theoretic quality signals corpus curation gates on (low
+    entropy = templated/repetitive text; complements doc_repetition's Gopher
+    count gates).
+
+    Purely per-doc -> embarrassingly parallel map_batches, zero exchanges.
+    Float-parity contract: H = log2(n) - (sum c*log2(c))/n sums libm terms,
+    and numpy vs DuckDB log2 may disagree by 1 ulp per term (the tfidf
+    rule), so the published entropy is rounded to FOUR decimals — a <=1e-12
+    total disagreement cannot flip that rounding (and round(x,4) is stable
+    under the driver's further round-to-6) — while simpson_num carries the
+    exact-integer full-precision signal. `+ 0.0` normalizes -0.0 on both
+    sides.
+    """
+    ds = _read_docs(sf_dir)
+    tok = re.compile(_TOKEN_RE)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        m = len(df)
+        g_rows, counts, lens, _ = _doc_distinct_counts(df["text"], tok)
+        simp = np.zeros(m, np.int64)
+        ent = np.zeros(m, np.float64)
+        if len(counts):
+            # counts^2 sums stay < 2^53 (exact in the float accumulator)
+            simp = np.bincount(
+                g_rows, weights=(counts * counts).astype(np.float64), minlength=m
+            ).astype(np.int64)
+            s = np.bincount(g_rows, weights=counts * np.log2(counts), minlength=m)
+            nz = lens > 0
+            nf = lens[nz].astype(np.float64)
+            ent[nz] = np.round(np.log2(nf) - s[nz] / nf, 4) + 0.0
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64").to_numpy(),
+                "n_tokens": lens,
+                "simpson_num": simp,
+                "entropy": ent,
+            }
+        )
+
+    out = ds.map_batches(f, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def dsir_weights(sf_dir: str, *, target_source: str = "src0") -> pd.DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): per-doc log p_target(x)/p_raw(x)
+    under add-1-smoothed bag-of-words unigram models, where the target
+    distribution is estimated from the docs whose ``source`` equals
+    ``target_source`` and the raw distribution from the whole corpus.
+    Upweighted docs are the ones that look like the target domain — the
+    published recipe for domain-targeted pretraining-data selection.
+
+    Two corpus passes, one vocab-sized exchange (the tfidf shape):
+    pass 1 emits per-batch (token, raw_count, target_count) partials and a
+    token groupby merges them; the merged vocab broadcasts once via
+    ``ray.put`` (past a broadcast budget this becomes a token-keyed hash
+    join — the places-index fallback family). Pass 2 probes the broadcast
+    per batch and reduces per doc with one bincount — no per-doc exchange.
+
+    weight(d) = sum_w c_d(w)*(ln(ct_w+1) - ln(cr_w+1))
+                + n_d*(ln(T_raw+V) - ln(T_tgt+V))
+    Rounded to 4 decimals (ln is libm — the token_entropy float-parity
+    rule); n_tokens rides along exact.
+    """
+    import ray
+
+    from .relational import grouped_agg
+
+    ds = _read_docs(sf_dir, columns=("doc_id", "text", "source"))
+    tok = re.compile(_TOKEN_RE)
+
+    def vocab_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g_rows, counts, _, toks = _doc_distinct_counts(df["text"], tok)
+        if not len(counts):
+            return pd.DataFrame(
+                {
+                    "token": pd.Series([], dtype=object),
+                    "cr": pd.Series([], dtype="int64"),
+                    "ct": pd.Series([], dtype="int64"),
+                }
+            )
+        is_tgt = (df["source"].to_numpy(object)[g_rows] == target_source)
+        part = pd.DataFrame(
+            {"token": toks, "cr": counts, "ct": np.where(is_tgt, counts, 0)}
+        )
+        agg = part.groupby("token", sort=False).sum().reset_index()
+        agg["cr"] = agg["cr"].astype("int64")
+        agg["ct"] = agg["ct"].astype("int64")
+        return agg
+
+    vocab = grouped_agg(
+        ds.map_batches(vocab_partial, batch_format="pandas"),
+        ["token"],
+        {"cr": ("cr", "sum"), "ct": ("ct", "sum")},
+    ).to_pandas()
+    t_raw = int(vocab["cr"].sum()) if len(vocab) else 0
+    t_tgt = int(vocab["ct"].sum()) if len(vocab) else 0
+    n_vocab = len(vocab)
+    const = float(np.log(float(t_raw + n_vocab)) - np.log(float(t_tgt + n_vocab))) \
+        if n_vocab else 0.0
+    vocab_ref = ray.put(
+        (
+            pd.Index(vocab["token"]) if n_vocab else pd.Index([]),
+            vocab["cr"].to_numpy(np.int64) if n_vocab else np.empty(0, np.int64),
+            vocab["ct"].to_numpy(np.int64) if n_vocab else np.empty(0, np.int64),
+        )
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        index, cr, ct = ray.get(vocab_ref)
+        m = len(df)
+        g_rows, counts, lens, toks = _doc_distinct_counts(df["text"], tok)
+        w = np.zeros(m, np.float64)
+        if len(counts):
+            idx = index.get_indexer(toks)
+            term = counts * (np.log(ct[idx] + 1.0) - np.log(cr[idx] + 1.0))
+            s = np.bincount(g_rows, weights=term, minlength=m)
+            w = np.round(s + lens.astype(np.float64) * const, 4) + 0.0
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64").to_numpy(),
+                "n_tokens": lens,
+                "dsir_logw": w,
+            }
+        )
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

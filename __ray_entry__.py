@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": textstats.bm25_search,
         "scrub_dup_ngrams": textstats.scrub_dup_ngrams,
         "pagerank_trade": graph.pagerank_trade,
+        "triangle_counts": graph.triangle_counts,
         "snm_pairs": dedup.snm_pairs,
         "pack_sequences": textstats.pack_sequences,
         "span_corruption": textstats.span_corruption,
@@ -1889,6 +1890,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, inter, uni FROM j
             WHERE uni > 0 AND 2 * inter >= uni
             ORDER BY doc_a, doc_b
+        """,
+        # degree-ordered wedge triangle counting: TRUE SQL 3-way self-join
+        # over the distinct co-supplier edge set (exact integers)
+        "triangle_counts": """
+            WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+            e AS (SELECT DISTINCT a.l_suppkey AS sa, b.l_suppkey AS sb
+                  FROM ps a JOIN ps b
+                    ON a.l_partkey = b.l_partkey
+                   AND a.l_suppkey < b.l_suppkey),
+            t AS (SELECT e1.sa AS x, e1.sb AS y, e2.sb AS z
+                  FROM e e1
+                  JOIN e e2 ON e2.sa = e1.sb
+                  JOIN e e3 ON e3.sa = e1.sa AND e3.sb = e2.sb),
+            n AS (SELECT unnest([x, y, z]) AS s_suppkey FROM t)
+            SELECT s_suppkey, count(*)::BIGINT AS n_triangles
+            FROM n GROUP BY 1 ORDER BY 1
         """,
         # exact scaled-integer PageRank (d=17/20, floor division) — integer
         # sums are order-free, so the unrolled SQL is bit-equal to the engine

@@ -171,3 +171,201 @@ def pagerank_trade(
     return pd.DataFrame(
         {"node_id": out["node"].astype("int64"), "pr": out["r"].astype("int64")}
     )
+
+
+def triangle_counts(sf_dir: str, *, num_parts: int = 8) -> pd.DataFrame:
+    """Per-supplier triangle participation counts in the co-supplier graph
+    (undirected edge = two suppliers that supply at least one common part in
+    lineitem), via degree-ordered wedge checking (Suri & Vassilvitskii 2011;
+    Cohen's MapReduce triangle enumeration):
+
+    1. part-keyed exchange with a map-side (part, supp) distinct fused into
+       the split wave: per part, triangular pair expansion (sa < sb) — a
+       part with S suppliers emits C(S,2) pairs (the hot-part knob is the
+       match stage's salting family; at this corpus the co-supplier graph is
+       near-COMPLETE, the worst case for wedge counting, a deliberate stress
+       shape).
+    2. pair-keyed exchange dedups pairs shared by several parts → simple
+       edge set; per-partition (node, deg) partials → one tiny groupby →
+       degree table broadcast via ``ray.put`` (|V| = #suppliers; past the
+       broadcast budget this becomes a node-keyed hash join — the
+       places-index fallback family).
+    3. src-keyed exchange of edges oriented low-(deg, id) → high-(deg, id)
+       (bounds every out-degree by O(sqrt(|E|)), so wedge volume is
+       O(|E|^1.5) worst case instead of Σ deg²): per source, triangular
+       wedge expansion over its out-neighbours, wedge key = (min, max) by
+       node id.
+    4. (a, b)-keyed co-group of wedges × canonical edges: a wedge closed by
+       an edge is exactly ONE triangle (only the lowest-(deg, id) vertex of
+       a triangle emits its wedge); per-partition (node, cnt) partials over
+       {center, a, b} → one final tiny grouped sum.
+
+    Output: (s_suppkey, n_triangles) for suppliers in ≥1 triangle, exact
+    integers, ordered by supplier.
+    """
+    import ray
+
+    from ..ops import direct_cogroup, direct_partitioned_map
+    from .relational import grouped_agg
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).materialize()
+
+    pair_schema = pa.schema([("sa", pa.int64()), ("sb", pa.int64())])
+    ps_schema = pa.schema([("l_partkey", pa.int64()), ("l_suppkey", pa.int64())])
+
+    def pre_distinct(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy().astype(np.int64)
+        sk = t["l_suppkey"].to_numpy().astype(np.int64)
+        if not len(pk):
+            return ps_schema.empty_table()
+        order = np.lexsort((sk, pk))
+        pk, sk = pk[order], sk[order]
+        keep = np.r_[True, (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])]
+        return pa.table({"l_partkey": pk[keep], "l_suppkey": sk[keep]})
+
+    def _triangular(groups: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Index pairs (i, j), i<j, within each group run of the sorted
+        ``groups`` array. Returns (left_idx, right_idx)."""
+        if not len(groups):
+            e = np.empty(0, np.int64)
+            return e, e
+        first = np.r_[True, groups[1:] != groups[:-1]]
+        gidx = np.cumsum(first) - 1
+        counts = np.bincount(gidx)
+        goffs = np.concatenate(([0], np.cumsum(counts)))
+        pos = np.arange(len(groups)) - goffs[gidx]
+        fanout = counts[gidx] - 1 - pos
+        total = int(fanout.sum())
+        if not total:
+            e = np.empty(0, np.int64)
+            return e, e
+        lefts = np.repeat(np.arange(len(groups)), fanout)
+        offs = np.concatenate(([0], np.cumsum(fanout)))
+        rights = lefts + 1 + (np.arange(total) - np.repeat(offs[:-1], fanout))
+        return lefts, rights
+
+    def part_pairs(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy().astype(np.int64)
+        sk = t["l_suppkey"].to_numpy().astype(np.int64)
+        if not len(pk):
+            return pair_schema.empty_table()
+        order = np.lexsort((sk, pk))
+        pk, sk = pk[order], sk[order]
+        keep = np.r_[True, (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])]
+        pk, sk = pk[keep], sk[keep]
+        li_, ri_ = _triangular(pk)
+        return pa.table({"sa": sk[li_], "sb": sk[ri_]})
+
+    pairs = direct_partitioned_map(
+        li, ["l_partkey"], num_parts, part_pairs, ps_schema, pre=pre_distinct
+    )
+
+    def dedup_pairs(t: pa.Table) -> pa.Table:
+        sa = t["sa"].to_numpy().astype(np.int64)
+        sb = t["sb"].to_numpy().astype(np.int64)
+        if not len(sa):
+            return pair_schema.empty_table()
+        order = np.lexsort((sb, sa))
+        sa, sb = sa[order], sb[order]
+        keep = np.r_[True, (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1])]
+        return pa.table({"sa": sa[keep], "sb": sb[keep]})
+
+    edges = direct_cogroup(
+        [pairs], [["sa", "sb"]], num_parts, dedup_pairs, [pair_schema]
+    ).materialize()
+
+    # degrees: per-block partials -> tiny groupby -> broadcast
+    def deg_partial(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [t["sa"].to_numpy().astype(np.int64), t["sb"].to_numpy().astype(np.int64)]
+        )
+        u, c = np.unique(nodes, return_counts=True)
+        return pa.table({"node": u, "deg": c.astype(np.int64)})
+
+    deg = grouped_agg(
+        edges.map_batches(deg_partial, batch_format="pyarrow"),
+        ["node"],
+        {"deg": ("deg", "sum")},
+    ).to_pandas()
+    deg = deg.sort_values("node").reset_index(drop=True)
+    deg_ref = ray.put(
+        (deg["node"].to_numpy(np.int64), deg["deg"].to_numpy(np.int64))
+    )
+
+    wedge_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("center", pa.int64())]
+    )
+    orient_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def orient(t: pa.Table) -> pa.Table:
+        nodes, degs = ray.get(deg_ref)
+        sa = t["sa"].to_numpy().astype(np.int64)
+        sb = t["sb"].to_numpy().astype(np.int64)
+        if not len(sa):
+            return orient_schema.empty_table()
+        da = degs[np.searchsorted(nodes, sa)]
+        db = degs[np.searchsorted(nodes, sb)]
+        a_first = (da < db) | ((da == db) & (sa < sb))
+        return pa.table(
+            {"src": np.where(a_first, sa, sb), "dst": np.where(a_first, sb, sa)}
+        )
+
+    def wedge_expand(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy().astype(np.int64)
+        dst = t["dst"].to_numpy().astype(np.int64)
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        # out-neighbours sorted by node id -> wedge pairs come out a < b
+        li_, ri_ = _triangular(src)
+        return pa.table({"a": dst[li_], "b": dst[ri_], "center": src[li_]})
+
+    wedges = direct_partitioned_map(
+        edges, ["src"], num_parts, wedge_expand, orient_schema, pre=orient
+    )
+
+    cnt_schema = pa.schema([("node", pa.int64()), ("cnt", pa.int64())])
+
+    def close_wedges(w_t: pa.Table, e_t: pa.Table) -> pa.Table:
+        if w_t.num_rows == 0 or e_t.num_rows == 0:
+            return cnt_schema.empty_table()
+        ea = e_t["sa"].to_numpy().astype(np.int64)
+        eb = e_t["sb"].to_numpy().astype(np.int64)
+        eorder = np.lexsort((eb, ea))
+        ea, eb = ea[eorder], eb[eorder]
+        wa = w_t["a"].to_numpy().astype(np.int64)
+        wb = w_t["b"].to_numpy().astype(np.int64)
+        wc = w_t["center"].to_numpy().astype(np.int64)
+        # two-key membership probe: one searchsorted on a packed key
+        # (supplier ids are < 2^31, so sa*2^32 + sb cannot overflow int64)
+        key_e = ea * np.int64(1 << 32) + eb
+        key_w = wa * np.int64(1 << 32) + wb
+        p = np.searchsorted(key_e, key_w)
+        hit = (p < len(key_e)) & (key_e[np.minimum(p, len(key_e) - 1)] == key_w)
+        tri_nodes = np.concatenate([wa[hit], wb[hit], wc[hit]])
+        if not len(tri_nodes):
+            return cnt_schema.empty_table()
+        u, c = np.unique(tri_nodes, return_counts=True)
+        return pa.table({"node": u, "cnt": c.astype(np.int64)})
+
+    partials = direct_cogroup(
+        [wedges, edges],
+        [["a", "b"], ["sa", "sb"]],
+        num_parts,
+        close_wedges,
+        [wedge_schema, pair_schema],
+    )
+    out = grouped_agg(partials, ["node"], {"cnt": ("cnt", "sum")}).to_pandas()
+    if out.empty or "node" not in out.columns:  # triangle-free graph
+        return pd.DataFrame(
+            {
+                "s_suppkey": pd.Series([], dtype="int64"),
+                "n_triangles": pd.Series([], dtype="int64"),
+            }
+        )
+    out = out.sort_values("node").reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "s_suppkey": out["node"].astype("int64"),
+            "n_triangles": out["cnt"].astype("int64"),
+        }
+    )

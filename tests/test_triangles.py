@@ -1,0 +1,49 @@
+"""triangle_counts — closed-form semantics on crafted sparse graphs (the SQL
+gate at tests/test_driver_contract.py covers the dense fixture corpus)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from osmi_addresses_ray.pipelines.graph import triangle_counts
+
+
+def _write_lineitem(tmp_path, part_suppliers: dict[int, list[int]]):
+    rows = [
+        (pk, sk)
+        for pk, supps in part_suppliers.items()
+        for sk in supps
+        for _ in range(2)  # duplicated rows: the distinct step must absorb
+    ]
+    df = pd.DataFrame(rows, columns=["l_partkey", "l_suppkey"]).astype("int64")
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_triangle_pendant_and_multi_part_edge(tmp_path):
+    # part 1 -> K3 on {1,2,3}; part 2 -> pendant edge 3-4;
+    # part 3 re-creates edge 1-2 (must NOT double-count the triangle)
+    sf = _write_lineitem(tmp_path, {1: [1, 2, 3], 2: [3, 4], 3: [1, 2]})
+    out = triangle_counts(sf, num_parts=4)
+    assert dict(zip(out["s_suppkey"], out["n_triangles"])) == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_square_with_diagonal(tmp_path):
+    # cycle 1-2-3-4-1 plus diagonal 1-3: triangles (1,2,3) and (1,3,4)
+    edges = {10: [1, 2], 11: [2, 3], 12: [3, 4], 13: [1, 4], 14: [1, 3]}
+    sf = _write_lineitem(tmp_path, edges)
+    out = triangle_counts(sf, num_parts=4)
+    assert dict(zip(out["s_suppkey"], out["n_triangles"])) == {1: 2, 2: 1, 3: 2, 4: 1}
+
+
+def test_triangle_free_graph_is_empty(tmp_path):
+    sf = _write_lineitem(tmp_path, {1: [1, 2], 2: [3, 4]})
+    out = triangle_counts(sf, num_parts=2)
+    assert len(out) == 0
+    assert list(out.columns) == ["s_suppkey", "n_triangles"]

@@ -278,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_pyramid_nwa": _pyramid_query,
         # extra geospatial operators (pipelines/geo_ops.py)
         "spatial_radius_join": _radius_join_query,
+        "spatial_knn_join": _knn_join_query,
         "spatial_clusters": _clusters_query,
         "line_simplify": _line_simplify_query,
         "convex_hull_cells": _hulls_query,
@@ -795,6 +796,20 @@ def _radius_join_query(sf_dir: str):
     from osmi_addresses_ray.pipelines.geo_ops import spatial_radius_join
 
     out = spatial_radius_join(
+        _fixture_layers()["osmi_addresses_nodes_with_addresses"],
+        num_parts=_parts_for(FIXTURE_BLOCKS),
+    )
+    _write_spatial_src()
+    return out
+
+
+def _knn_join_query(sf_dir: str):
+    """Exact k-nearest-neighbour self-join over fixture address points
+    (grid-doubling rounds, full candidate side, one cell-keyed exchange per
+    round); TRUE SQL oracle: DuckDB O(n²) self-join + row_number window."""
+    from osmi_addresses_ray.pipelines.geo_ops import spatial_knn_join
+
+    out = spatial_knn_join(
         _fixture_layers()["osmi_addresses_nodes_with_addresses"],
         num_parts=_parts_for(FIXTURE_BLOCKS),
     )
@@ -2472,6 +2487,28 @@ def _naive_oracle_sql() -> dict[str, str]:
             WHERE (a.ix - b.ix) * (a.ix - b.ix)
                   + (a.iy - b.iy) * (a.iy - b.iy) <= 100000000
             ORDER BY id_a, id_b
+        """,
+        # TRUE SQL exact kNN: O(n²) self-join + row_number window over the
+        # same independently recomputed point set
+        "spatial_knn_join": f"""
+            WITH pts AS (
+                SELECT DISTINCT
+                       CAST(COALESCE(node_id, 10000000 + way_id) AS BIGINT) AS pid,
+                       CAST(round(lon * 10000000) AS BIGINT) AS ix,
+                       CAST(round(lat * 10000000) AS BIGINT) AS iy
+                FROM read_parquet('{oracle_path('spatial_radius_src')}')
+                WHERE is_ip = 0
+            ),
+            d AS (SELECT a.pid AS pid, b.pid AS neighbor_id,
+                         (a.ix - b.ix) * (a.ix - b.ix)
+                         + (a.iy - b.iy) * (a.iy - b.iy) AS dist2
+                  FROM pts a JOIN pts b ON a.pid <> b.pid),
+            r AS (SELECT pid, neighbor_id, dist2,
+                         row_number() OVER (
+                             PARTITION BY pid ORDER BY dist2, neighbor_id) AS rnk
+                  FROM d)
+            SELECT pid, neighbor_id, rnk::BIGINT AS rnk, dist2
+            FROM r WHERE rnk <= 3 ORDER BY pid, rnk
         """,
         # TRUE SQL connected components: recursive-CTE reachability over the
         # radius graph, component label = MIN reachable pid

@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ntile_orders": relational.q_ntile_orders,
         "q_dense_rank_customers": relational.q_dense_rank_customers,
         "q_mad_priority": relational.q_mad_priority,
+        "q_zscore_orders": relational.q_zscore_orders,
         "pareto_orders": relational.pareto_orders,
         "embedding_covariance": similarity.embedding_covariance,
         # time-series custom operators (SQL-checked): one hash exchange on
@@ -279,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # extra geospatial operators (pipelines/geo_ops.py)
         "spatial_radius_join": _radius_join_query,
         "spatial_knn_join": _knn_join_query,
+        "bbox_overlap_join": _bbox_overlap_query,
         "spatial_clusters": _clusters_query,
         "line_simplify": _line_simplify_query,
         "convex_hull_cells": _hulls_query,
@@ -803,6 +805,24 @@ def _radius_join_query(sf_dir: str):
     return out
 
 
+def _bbox_overlap_query(sf_dir: str):
+    """Grid-partitioned rectangle join (building bboxes × highway bboxes)
+    with reference-point exactly-once emission; TRUE SQL oracle: DuckDB
+    O(n²) inequality join over the independently recomputed bbox table."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.geo_ops import oracle_way_bboxes
+    from osmi_addresses_ray.pipelines.geo_ops import bbox_overlap_join
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.assembly import assemble_ways
+    from osmi_addresses_ray.stages.parse import parse_docs
+
+    parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
+    ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
+    out = bbox_overlap_join(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
+    write_oracle("way_bboxes_src", oracle_way_bboxes(fixture_table(FIXTURE_BLOCKS)))
+    return out
+
+
 def _knn_join_query(sf_dir: str):
     """Exact k-nearest-neighbour self-join over fixture address points
     (grid-doubling rounds, full candidate side, one cell-keyed exchange per
@@ -1026,6 +1046,26 @@ def oracle_sql() -> dict[str, str]:
     return {
         # chained exact quantiles: both med and mad are REAL data values
         # (quantile_disc rule), so the hash match needs no float tolerance
+        # grouped z-score normalization: exact integer cents in, ONE double
+        # division per moment, 4-decimal rounding (sum-order drift ~1e-13);
+        # degenerate groups (sd < 1e-9) emit 0.0 on both sides
+        "q_zscore_orders": """
+            WITH v AS (SELECT o_orderkey, o_orderpriority,
+                              CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                                  / 100.0 AS val
+                       FROM orders),
+            g AS (SELECT o_orderpriority, count(*)::BIGINT AS n,
+                         sum(val) AS s, sum(val * val) AS ss
+                  FROM v GROUP BY 1),
+            m AS (SELECT o_orderpriority, s / n AS mean,
+                         sqrt(greatest(ss / n - (s / n) * (s / n), 0.0)) AS sd
+                  FROM g)
+            SELECT v.o_orderkey, v.o_orderpriority,
+                   CASE WHEN m.sd < 1e-9 THEN 0.0
+                        ELSE round((v.val - m.mean) / m.sd, 4) + 0.0 END AS z
+            FROM v JOIN m USING (o_orderpriority)
+            ORDER BY v.o_orderkey
+        """,
         "q_mad_priority": """
             WITH m AS (
                 SELECT o_orderpriority, quantile_disc(o_totalprice, 0.5) AS med
@@ -2487,6 +2527,23 @@ def _naive_oracle_sql() -> dict[str, str]:
             WHERE (a.ix - b.ix) * (a.ix - b.ix)
                   + (a.iy - b.iy) * (a.iy - b.iy) <= 100000000
             ORDER BY id_a, id_b
+        """,
+        # TRUE SQL rectangle join: O(n²) inequality join over the
+        # independently recomputed way-bbox table, exact integer areas;
+        # the building side carries the 40000-unit candidate pad
+        "bbox_overlap_join": f"""
+            WITH r AS (SELECT * FROM read_parquet('{oracle_path('way_bboxes_src')}')),
+            a AS (SELECT way_id, x0 - 40000 AS x0, x1 + 40000 AS x1,
+                         y0 - 40000 AS y0, y1 + 40000 AS y1
+                  FROM r WHERE kind = 'building'),
+            b AS (SELECT way_id, x0, x1, y0, y1 FROM r WHERE kind = 'highway')
+            SELECT a.way_id AS building_id, b.way_id AS highway_id,
+                   (least(a.x1, b.x1) - greatest(a.x0, b.x0))
+                   * (least(a.y1, b.y1) - greatest(a.y0, b.y0)) AS overlap_area
+            FROM a JOIN b
+              ON a.x0 <= b.x1 AND b.x0 <= a.x1
+             AND a.y0 <= b.y1 AND b.y0 <= a.y1
+            ORDER BY 1, 2
         """,
         # TRUE SQL exact kNN: O(n²) self-join + row_number window over the
         # same independently recomputed point set

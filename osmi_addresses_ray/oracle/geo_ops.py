@@ -173,3 +173,40 @@ def oracle_overlay_segments(docs, nwa_points: pd.DataFrame, drop: int) -> pd.Dat
         {"way_id": "int64", "seg_idx": "int32", "ax": "int64", "ay": "int64",
          "bx": "int64", "by": "int64"}
     )
+
+
+def oracle_way_bboxes(docs) -> pd.DataFrame:
+    """Naive way-bbox source for the rectangle-join oracle: independent
+    parse, per-point 1e-7 quantization then min/max, engine gates mirrored
+    (≥2 resolvable refs, nonzero extent; closed = first ref == last ref).
+    kind: 'building' for closed building-tagged ways, 'highway' for
+    highway-tagged ways (a way with both tags emits both rows)."""
+    ents = parse_entities(docs)
+    nodes = {e["id"]: e for e in ents if e["etype"] == "node"}
+    rows = []
+    for e in ents:
+        if e["etype"] != "way" or len(e["refs"]) < 2:
+            continue
+        if any(r not in nodes for r in e["refs"]):
+            continue
+        pts = [
+            (round(nodes[r]["lon"] * QUANT), round(nodes[r]["lat"] * QUANT))
+            for r in e["refs"]
+        ]
+        if all(p == pts[0] for p in pts):
+            continue
+        x0 = min(p[0] for p in pts)
+        x1 = max(p[0] for p in pts)
+        y0 = min(p[1] for p in pts)
+        y1 = max(p[1] for p in pts)
+        closed = e["refs"][0] == e["refs"][-1]
+        if closed and "building" in e["tags"]:
+            rows.append(("building", e["id"], x0, x1, y0, y1))
+        if "highway" in e["tags"]:
+            rows.append(("highway", e["id"], x0, x1, y0, y1))
+    return pd.DataFrame(
+        rows, columns=["kind", "way_id", "x0", "x1", "y0", "y1"]
+    ).astype(
+        {"way_id": "int64", "x0": "int64", "x1": "int64",
+         "y0": "int64", "y1": "int64"}
+    )

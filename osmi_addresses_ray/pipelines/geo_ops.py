@@ -1146,3 +1146,194 @@ def spatial_knn_join(nwa_ds, *, k: int = 3, num_parts: int = 8) -> pd.DataFrame:
         {"pid": "int64", "neighbor_id": "int64", "rnk": "int64", "dist2": "int64"}
     )
     return df.sort_values(["pid", "rnk"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# rectangle (bbox) intersection join
+# --------------------------------------------------------------------------
+
+_RECT_SCHEMA = pa.schema(
+    [
+        ("cell", pa.int64()),
+        ("side", pa.int8()),
+        ("rid", pa.int64()),
+        ("x0", pa.int64()),
+        ("x1", pa.int64()),
+        ("y0", pa.int64()),
+        ("y1", pa.int64()),
+    ]
+)
+_OVERLAP_SCHEMA = pa.schema(
+    [
+        ("building_id", pa.int64()),
+        ("highway_id", pa.int64()),
+        ("overlap_area", pa.int64()),
+    ]
+)
+
+
+def bbox_overlap_pairs(rects_ds, *, cell: int, num_parts: int = 8):
+    """All (A-rect, B-rect) pairs whose integer bboxes intersect, each pair
+    emitted EXACTLY ONCE with its exact-integer overlap area — the
+    rectangle-join primitive under every bbox-prefiltered spatial join.
+
+    Grid-partitioned rectangle join with reference-point dedup: every rect
+    replicates to each grid cell its bbox covers (fanout = covered-cell
+    count, geometry-bound); per cell the A×B cross product is swept
+    vectorized, and a qualifying pair is emitted ONLY from the cell that
+    contains the intersection rectangle's min corner (the canonical
+    "reference point"), so no dedup exchange is needed. One cell-keyed hash
+    exchange total. Hot cells: same salting family as the J2 mega-cells
+    (the per-cell product is the cap to watch, as in radius_pairs).
+
+    ``rects_ds`` rows: (side 0=A / 1=B, rid, x0, x1, y0, y1), quantized
+    integer coords; overlap areas assume extents < 2^31 units so the
+    product fits int64.
+    """
+    from ..ops import direct_cogroup
+
+    c = int(cell)
+
+    def emit(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _RECT_SCHEMA.empty_table()
+        side = t["side"].to_numpy(zero_copy_only=False)
+        rid = t["rid"].to_numpy(zero_copy_only=False)
+        x0 = t["x0"].to_numpy(zero_copy_only=False)
+        x1 = t["x1"].to_numpy(zero_copy_only=False)
+        y0 = t["y0"].to_numpy(zero_copy_only=False)
+        y1 = t["y1"].to_numpy(zero_copy_only=False)
+        cx0, cx1 = x0 // c, x1 // c
+        cy0, cy1 = y0 // c, y1 // c
+        ncx = cx1 - cx0 + 1
+        ncy = cy1 - cy0 + 1
+        tot = ncx * ncy
+        total = int(tot.sum())
+        rep = np.repeat(np.arange(len(rid), dtype=np.int64), tot)
+        cum = np.cumsum(tot) - tot
+        k = np.arange(total, dtype=np.int64) - np.repeat(cum, tot)
+        cx = cx0[rep] + k // ncy[rep]
+        cy = cy0[rep] + k % ncy[rep]
+        return pa.table(
+            {
+                "cell": _cell_key(cx, cy),
+                "side": side[rep],
+                "rid": rid[rep],
+                "x0": x0[rep], "x1": x1[rep], "y0": y0[rep], "y1": y1[rep],
+            }
+        ).cast(_RECT_SCHEMA)
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OVERLAP_SCHEMA.empty_table()
+        cell_k = t["cell"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        rid = t["rid"].to_numpy(zero_copy_only=False)
+        x0 = t["x0"].to_numpy(zero_copy_only=False)
+        x1 = t["x1"].to_numpy(zero_copy_only=False)
+        y0 = t["y0"].to_numpy(zero_copy_only=False)
+        y1 = t["y1"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, cell_k))
+        cell_k, side, rid = cell_k[order], side[order], rid[order]
+        x0, x1, y0, y1 = x0[order], x1[order], y0[order], y1[order]
+        new = np.empty(len(cell_k), bool)
+        new[0] = True
+        new[1:] = cell_k[1:] != cell_k[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(cell_k))
+        nl = np.add.reduceat((side == 0).astype(np.int64), starts)
+        nl[side[starts] != 0] = 0  # cells with no A rows (reduceat quirk)
+        nr = ends - starts - nl
+        spans = np.repeat(nr, nl)
+        total = int(spans.sum())
+        if total == 0:
+            return _OVERLAP_SCHEMA.empty_table()
+        left_idx = np.flatnonzero(side == 0)
+        right_start = np.repeat(starts + nl, nl)
+        cum = np.cumsum(spans) - spans
+        inner = np.arange(total, dtype=np.int64) - np.repeat(cum, spans)
+        li = np.repeat(left_idx, spans)
+        ri = np.repeat(right_start, spans) + inner
+        ix0 = np.maximum(x0[li], x0[ri])
+        ix1 = np.minimum(x1[li], x1[ri])
+        iy0 = np.maximum(y0[li], y0[ri])
+        iy1 = np.minimum(y1[li], y1[ri])
+        hit = (ix0 <= ix1) & (iy0 <= iy1)
+        # reference-point dedup: emit only from the intersection min corner
+        hit &= _cell_key(ix0 // c, iy0 // c) == cell_k[li]
+        return pa.table(
+            {
+                "building_id": rid[li][hit],
+                "highway_id": rid[ri][hit],
+                "overlap_area": ((ix1 - ix0) * (iy1 - iy0))[hit],
+            }
+        ).cast(_OVERLAP_SCHEMA)
+
+    emitted = rects_ds.map_batches(emit, batch_format="pyarrow").materialize()
+    return direct_cogroup([emitted], [["cell"]], num_parts, sweep, [_RECT_SCHEMA])
+
+
+BBOX_PAD_UNITS = 40_000  # 0.004° candidate pad — the flagship bbox⊕MAXDIST shape
+
+
+def _way_rects(t: pa.Table) -> pa.Table:
+    """ways_geo batch → rect rows: side 0 = closed building ways (bbox
+    expanded by ``BBOX_PAD_UNITS`` — the flagship match's bbox⊕MAXDIST
+    candidate prefilter), side 1 = highway ways (a way carrying both tags
+    appears on both sides). Integer bboxes recomputed from the quantized
+    coordinate lists (per-point quantize-then-min, mirroring the naive
+    oracle)."""
+    import pyarrow.compute as pc
+
+    if t.num_rows == 0:
+        return _RECT_SCHEMA.empty_table()
+    xs = t["xs"].combine_chunks()
+    ys = t["ys"].combine_chunks()
+    offs = xs.offsets.to_numpy()
+    fx = np.round(xs.flatten().to_numpy(zero_copy_only=False) * QUANT).astype(np.int64)
+    fy = np.round(ys.flatten().to_numpy(zero_copy_only=False) * QUANT).astype(np.int64)
+    st = offs[:-1].astype(np.int64)
+    x0 = np.minimum.reduceat(fx, st)
+    x1 = np.maximum.reduceat(fx, st)
+    y0 = np.minimum.reduceat(fy, st)
+    y1 = np.maximum.reduceat(fy, st)
+    wid = t["way_id"].to_numpy(zero_copy_only=False)
+    nonzero = t["nonzero"].to_numpy(zero_copy_only=False).astype(bool)
+    closed = t["is_closed"].to_numpy(zero_copy_only=False).astype(bool)
+    has_b = pc.is_valid(t["t_building"]).to_numpy(zero_copy_only=False)
+    has_h = pc.is_valid(t["t_highway"]).to_numpy(zero_copy_only=False)
+    a_sel = np.flatnonzero(nonzero & closed & has_b)
+    b_sel = np.flatnonzero(nonzero & has_h)
+    return pa.table(
+        {
+            "cell": np.zeros(len(a_sel) + len(b_sel), np.int64),  # filled by emit
+            "side": np.concatenate(
+                [np.zeros(len(a_sel), np.int8), np.ones(len(b_sel), np.int8)]
+            ),
+            "rid": np.concatenate([wid[a_sel], wid[b_sel]]),
+            "x0": np.concatenate([x0[a_sel] - BBOX_PAD_UNITS, x0[b_sel]]),
+            "x1": np.concatenate([x1[a_sel] + BBOX_PAD_UNITS, x1[b_sel]]),
+            "y0": np.concatenate([y0[a_sel] - BBOX_PAD_UNITS, y0[b_sel]]),
+            "y1": np.concatenate([y1[a_sel] + BBOX_PAD_UNITS, y1[b_sel]]),
+        }
+    ).cast(_RECT_SCHEMA)
+
+
+def bbox_overlap_join(ways_geo_ds, *, num_parts: int = 8) -> pd.DataFrame:
+    """Padded-building-bbox × highway-bbox intersection join over the
+    assembled ways (exact integer overlap areas of the padded rects, each
+    pair once) — the candidate-generation prefilter of a within-distance
+    spatial join, materialized as its own operator."""
+    rects = ways_geo_ds.map_batches(_way_rects, batch_format="pyarrow")
+    df = bbox_overlap_pairs(
+        rects, cell=HULL_CELL_UNITS, num_parts=num_parts
+    ).to_pandas()
+    if df.empty:  # typed-empty fallback: to_pandas drops columns on 0 rows
+        df = pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("building_id", "highway_id", "overlap_area")}
+        )
+    df = df.astype(
+        {"building_id": "int64", "highway_id": "int64", "overlap_area": "int64"}
+    )
+    return df.sort_values(["building_id", "highway_id"]).reset_index(drop=True)

@@ -1540,3 +1540,62 @@ def q_left_join_nulls(sf_dir: str, *, num_parts: int = 8):
         ],
     )
     return out.to_pandas().sort_values("c_custkey").reset_index(drop=True)
+
+
+def q_zscore_orders(sf_dir: str) -> pd.DataFrame:
+    """Per-priority z-score normalization of order totals — the grouped
+    feature-normalization pass every training pipeline runs before scaling.
+
+    Classic two-pass shape: pass 1 reduces per-batch moment partials
+    (group, n, Σv, Σv²) through one tiny group-count-sized exchange; the
+    merged moments broadcast to a stateless scoring pass — no per-row
+    exchange at any point. Values enter as exact integer cents
+    (floor(p·100+0.5), the running_totals rule) divided once to doubles, so
+    the only cross-engine float drift is the Σv/Σv² reduction order
+    (~1e-13) — z rounds to 4 decimals (the token_entropy libm-parity rule).
+    Degenerate groups (sd < 1e-9, e.g. a single row) emit z = 0.0 on both
+    sides.
+    """
+    import ray
+
+    ds = read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.floor(df["o_totalprice"].to_numpy(np.float64) * 100 + 0.5) / 100.0
+        g = pd.DataFrame({"o_orderpriority": df["o_orderpriority"], "v": v, "vv": v * v})
+        agg = g.groupby("o_orderpriority", sort=False).agg(
+            n=("v", "size"), s=("v", "sum"), ss=("vv", "sum")
+        ).reset_index()
+        agg["n"] = agg["n"].astype("int64")
+        return agg
+
+    merged = grouped_agg(
+        ds.map_batches(moments, batch_format="pandas"),
+        ["o_orderpriority"],
+        {"n": ("n", "sum"), "s": ("s", "sum"), "ss": ("ss", "sum")},
+    ).to_pandas()
+    mean = merged["s"].to_numpy(np.float64) / merged["n"].to_numpy(np.float64)
+    var = merged["ss"].to_numpy(np.float64) / merged["n"].to_numpy(np.float64) - mean * mean
+    sd = np.sqrt(np.maximum(var, 0.0))
+    stats_ref = ray.put(
+        (pd.Index(merged["o_orderpriority"]), mean, sd)
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        index, mean_a, sd_a = ray.get(stats_ref)
+        idx = index.get_indexer(df["o_orderpriority"])
+        v = np.floor(df["o_totalprice"].to_numpy(np.float64) * 100 + 0.5) / 100.0
+        m, s = mean_a[idx], sd_a[idx]
+        z = np.where(s < 1e-9, 0.0, np.round((v - m) / np.where(s < 1e-9, 1.0, s), 4) + 0.0)
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "o_orderpriority": df["o_orderpriority"],
+                "z": z,
+            }
+        )
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)

@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": textstats.doc_repetition,
         "token_entropy": textstats.token_entropy,
         "dsir_weights": textstats.dsir_weights,
+        "ccnet_buckets": textstats.ccnet_buckets,
         # sketch/ANN ops checked against naive pure-Python oracles written to
         # /tmp/graft_oracle (see osmi_addresses_ray.oracle): the query runs
         # the distributed pipeline AND recomputes the spec single-threaded;
@@ -1664,6 +1665,40 @@ def oracle_sql() -> dict[str, str]:
                             0.0) AS dsir_logw
             FROM documents d LEFT JOIN s USING (doc_id), tot
             ORDER BY d.doc_id
+        """,
+        # CC-Net perplexity buckets: unigram LM on the doc_id%7 held split,
+        # 4-decimal logpp (libm-parity rule), tertile thresholds as EXPLICIT
+        # order statistics at ranks ceil(n/3), ceil(2n/3)
+        "ccnet_buckets": """
+            WITH t AS (SELECT doc_id,
+                              lower(unnest(regexp_extract_all(text,
+                                    '[A-Za-z0-9_]+'))) AS tk
+                       FROM documents),
+            tr AS (SELECT tk, count(*)::BIGINT AS c FROM t
+                   WHERE doc_id % 7 = 0 GROUP BY 1),
+            tot AS (SELECT coalesce(sum(c), 0)::BIGINT AS tt,
+                           count(*)::BIGINT AS vv FROM tr),
+            c AS (SELECT doc_id, tk, count(*)::BIGINT AS c FROM t GROUP BY 1, 2),
+            s AS (SELECT c.doc_id, sum(c.c)::BIGINT AS n,
+                         sum(c.c * ln(coalesce(tr.c, 0) + 1)) AS sl
+                  FROM c LEFT JOIN tr USING (tk) GROUP BY 1),
+            p AS (SELECT d.doc_id, coalesce(s.n, 0)::BIGINT AS n_tokens,
+                         coalesce(round(ln(tot.tt + tot.vv) - s.sl / s.n, 4)
+                                  + 0.0, 0.0) AS logpp
+                  FROM documents d LEFT JOIN s USING (doc_id), tot),
+            r AS (SELECT logpp, row_number() OVER (ORDER BY logpp) AS rnk,
+                         count(*) OVER () AS n
+                  FROM p),
+            q AS (SELECT max(CASE WHEN rnk = CAST(ceil(n / 3.0) AS BIGINT)
+                                  THEN logpp END) AS t1,
+                         max(CASE WHEN rnk = CAST(ceil(2 * n / 3.0) AS BIGINT)
+                                  THEN logpp END) AS t2
+                  FROM r)
+            SELECT p.doc_id, p.n_tokens, p.logpp,
+                   CASE WHEN p.logpp <= q.t1 THEN 'head'
+                        WHEN p.logpp <= q.t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM p, q ORDER BY p.doc_id
         """,
         "quality_scores": """
             SELECT doc_id,

@@ -1976,3 +1976,116 @@ def dsir_weights(sf_dir: str, *, target_source: str = "src0") -> pd.DataFrame:
 
     out = ds.map_batches(score, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def ccnet_buckets(sf_dir: str, *, train_mod: int = 7) -> pd.DataFrame:
+    """CC-Net-style perplexity bucketing (Wenzek et al. 2020): score every
+    document under an add-1-smoothed unigram LM trained on the held split
+    (doc_id % ``train_mod`` == 0), then split the corpus into head / middle /
+    tail by log-perplexity tertiles — the published recipe for
+    quality-stratifying a web corpus before sampling.
+
+    Three passes, all bounded exchanges:
+    1. LM training: token-count partials over the held split → one
+       vocab-sized groupby → broadcast (T tokens, V vocab; the tfidf-family
+       join fallback applies past the broadcast budget).
+    2. Scoring (stateless): logpp = ln(T+V) − (1/n)·Σ c_d(w)·ln(c_train(w)+1),
+       rounded to 4 decimals (the token_entropy libm-parity rule) — rounding
+       BEFORE thresholding makes the bucket comparison operate on doubles
+       that are bit-identical across engines.
+    3. Tertiles: a (value, count) histogram of the rounded logpp (bounded by
+       distinct rounded values) reaches the driver; thresholds are the
+       explicit order statistics at ranks ceil(n/3), ceil(2n/3) (TRUE
+       integer ceil on both sides — not a float quantile index); buckets
+       assigned in one final stateless pass. Zero-token docs score 0.0
+       (lowest → head) by convention on both sides.
+    """
+    import ray
+
+    from .relational import grouped_agg
+
+    ds = _read_docs(sf_dir)
+    tok = re.compile(_TOKEN_RE)
+
+    def train_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df[(df["doc_id"].to_numpy(np.int64) % train_mod) == 0]
+        g_rows, counts, _, toks = _doc_distinct_counts(sel["text"], tok)
+        if not len(counts):
+            return pd.DataFrame(
+                {"token": pd.Series([], dtype=object),
+                 "c": pd.Series([], dtype="int64")}
+            )
+        part = pd.DataFrame({"token": toks, "c": counts})
+        agg = part.groupby("token", sort=False).sum().reset_index()
+        agg["c"] = agg["c"].astype("int64")
+        return agg
+
+    vocab = grouped_agg(
+        ds.map_batches(train_partial, batch_format="pandas"),
+        ["token"],
+        {"c": ("c", "sum")},
+    ).to_pandas()
+    t_train = int(vocab["c"].sum()) if len(vocab) else 0
+    n_vocab = len(vocab)
+    const = float(np.log(float(t_train + n_vocab))) if n_vocab else 0.0
+    lm_ref = ray.put(
+        (
+            pd.Index(vocab["token"]) if n_vocab else pd.Index([]),
+            vocab["c"].to_numpy(np.int64) if n_vocab else np.empty(0, np.int64),
+        )
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        index, c_tr = ray.get(lm_ref)
+        m = len(df)
+        g_rows, counts, lens, toks = _doc_distinct_counts(df["text"], tok)
+        lp = np.zeros(m, np.float64)
+        if len(counts):
+            idx = index.get_indexer(toks)
+            hit = np.where(idx >= 0, c_tr[np.maximum(idx, 0)], 0)
+            term = counts * np.log(hit + 1.0)
+            s = np.bincount(g_rows, weights=term, minlength=m)
+            nz = lens > 0
+            nf = lens[nz].astype(np.float64)
+            lp[nz] = np.round(const - s[nz] / nf, 4) + 0.0
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64").to_numpy(),
+                "n_tokens": lens,
+                "logpp": lp,
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pandas").materialize()
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["logpp"].value_counts()
+        return pd.DataFrame(
+            {"logpp": vc.index.to_numpy(np.float64),
+             "cnt": vc.to_numpy(np.int64)}
+        )
+
+    hist = grouped_agg(
+        scored.map_batches(hist_partial, batch_format="pandas"),
+        ["logpp"],
+        {"cnt": ("cnt", "sum")},
+    ).to_pandas().sort_values("logpp").reset_index(drop=True)
+    counts = hist["cnt"].to_numpy(np.int64)
+    values = hist["logpp"].to_numpy(np.float64)
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    # explicit order statistics: rank ceil(n/3), ceil(2n/3) (1-indexed)
+    r1 = -(-n // 3)
+    r2 = -(-(2 * n) // 3)
+    t1 = values[np.searchsorted(cum, r1, side="left")]
+    t2 = values[np.searchsorted(cum, r2, side="left")]
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        lp = df["logpp"].to_numpy(np.float64)
+        b = np.where(lp <= t1, "head", np.where(lp <= t2, "middle", "tail"))
+        out = df.copy()
+        out["bucket"] = b
+        return out
+
+    out = scored.map_batches(bucketize, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -84,3 +84,33 @@ def test_dsir_no_target_docs_degenerates_cleanly(tmp_path):
     sf = _write_docs(tmp_path, ["a b", "b c"], sources=["raw", "raw"])
     out = textstats.dsir_weights(sf, target_source="absent")
     assert np.isfinite(out["dsir_logw"]).all()
+
+
+def test_ccnet_buckets_orders_by_lm_familiarity(tmp_path):
+    import math
+
+    # doc_ids 0 and 7 form the train split (mod 7); they are all-'common'.
+    # Docs of 'common' must land in head (lowest logpp), docs of unseen
+    # tokens in tail.
+    texts = [
+        "common common common",      # 0: train
+        "common common common",      # 1: familiar
+        "zzz yyy xxx",               # 2: unseen
+        "common zzz common common",  # 3: mixed
+        "qqq rrr sss",               # 4: unseen
+        "common common common",      # 5: familiar
+        "common common common common",  # 6: familiar
+        "common common",             # 7: train
+    ]
+    sf = _write_docs(tmp_path, texts)
+    out = textstats.ccnet_buckets(sf).set_index("doc_id")
+    # closed form: T=5 ('common' x5 in train), V=1, p(common)=(5+1)/(5+1)=1
+    # logpp(common-only doc) = ln(6) - ln(6) = 0
+    assert out.loc[1, "logpp"] == 0.0
+    # unseen-token doc: logpp = ln(6) - ln(1) = ln(6)
+    assert out.loc[2, "logpp"] == round(math.log(6), 4)
+    assert out.loc[1, "bucket"] == "head"
+    assert out.loc[2, "bucket"] == "tail"
+    assert out.loc[4, "bucket"] == "tail"
+    # mixed doc sits strictly between
+    assert 0.0 < out.loc[3, "logpp"] < out.loc[2, "logpp"]

@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": textstats.quality_scores,
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_batch": similarity.knn_batch,
+        "hard_negatives": similarity.hard_negatives,
         "lang_id": textstats.lang_id,
         "fingerprints": textstats.fingerprints,
         "top_tokens": textstats.top_tokens,
@@ -2255,6 +2256,26 @@ def oracle_sql() -> dict[str, str]:
                        FROM s)
             SELECT query_id, vec_id, cosine, rank
             FROM r WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        # contrastive hard-negative mining: knn_batch's ordered-fold cosine
+        # restricted to DIFFERENT-label corpus rows (self excluded by label)
+        "hard_negatives": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS qlab
+                       FROM embeddings WHERE vec_id IN (0,1,2,3,4,5,6,7)),
+                 s AS (SELECT q.query_id, e.vec_id,
+                              round(
+                              list_reduce(list_transform(range(1, len(e.embedding)+1), i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE), (x, y) -> x + y)
+                              / sqrt(list_reduce(list_transform(range(1, len(e.embedding)+1), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x, y) -> x + y)
+                                     * list_reduce(list_transform(range(1, len(q.qe)+1), i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE), (x, y) -> x + y)), 6)
+                                  AS cosine
+                       FROM q CROSS JOIN embeddings e
+                       WHERE e.label <> q.qlab),
+                 r AS (SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, vec_id) AS rank
+                       FROM s)
+            SELECT query_id, vec_id, cosine, rank
+            FROM r WHERE rank <= 5 ORDER BY query_id, rank
         """,
         # stopword-count argmax; tie-break = lexicographically largest code
         "lang_id": """

@@ -865,3 +865,98 @@ def pca_project(sf_dir: str) -> pd.DataFrame:
 
     out = _read_emb(sf_dir).map_batches(project, batch_format="pyarrow").to_pandas()
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def hard_negatives(
+    sf_dir: str,
+    *,
+    query_ids: tuple = tuple(range(8)),
+    k: int = 5,
+    num_parts: int = 4,
+) -> pd.DataFrame:
+    """Hard-negative mining for contrastive training: for each query vector,
+    the top-``k`` most-cosine-similar corpus vectors carrying a DIFFERENT
+    class label — the nearest wrong-class examples a contrastive or
+    metric-learning recipe trains against (the in-batch-negatives upgrade
+    every embedding pipeline eventually ships).
+
+    Same distributed shape as ``knn_batch`` (one broadcast of the query
+    matrix + labels, per-block (n × Q) ordered-fold cosine with same-label
+    and self masking before the per-block partial top-(k+8), one query-keyed
+    exchange to finalize); the ordered float64 fold keeps engine and SQL
+    oracle bit-identical (see ``_cosine_seq64``).
+    """
+    import pyarrow.compute as pc
+
+    from ..ops import direct_partitioned_map
+
+    qids = np.asarray(sorted(query_ids), dtype=np.int64)
+    q_df = (
+        _read_emb(sf_dir)
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["vec_id"], pa.array(qids))),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    assert len(q_df) == len(qids), "missing query vec_ids"
+    qmat = np.stack([np.asarray(e, np.float32) for e in q_df["embedding"]])
+    qlab = q_df["label"].to_numpy(np.int64)
+    q_ref = ray.put((qids, qmat, qlab))
+    margin = k + 8
+
+    def score(t: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(t)
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q_ids, qm, q_lab = ray.get(q_ref)
+        sims = _cosine_seq64(mat, qm)  # (n, Q)
+        # mask self AND same-label rows (negatives must be wrong-class)
+        sims[labels[:, None] == q_lab[None, :]] = -2.0
+        top = min(margin, len(ids))
+        sel = np.argpartition(-sims, top - 1, axis=0)[:top]
+        qcol = np.broadcast_to(q_ids, sel.shape)
+        return pa.table(
+            {
+                "query_id": pa.array(qcol.ravel(), pa.int64()),
+                "vec_id": pa.array(ids[sel.ravel()], pa.int64()),
+                "cosine": pa.array(
+                    np.round(np.take_along_axis(sims, sel, axis=0).ravel(), 6)
+                ),
+            }
+        )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if df.empty:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        df = df[df["cosine"] > -1.5]  # drop masked sentinels
+        df = df.sort_values(
+            ["query_id", "cosine", "vec_id"], ascending=[True, False, True], kind="stable"
+        )
+        df["rank"] = df.groupby("query_id").cumcount() + 1
+        df = df[df["rank"] <= k]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = direct_partitioned_map(
+        _read_emb(sf_dir),
+        ["query_id"],
+        num_parts,
+        finalize,
+        pa.schema(
+            [
+                ("query_id", pa.int64()),
+                ("vec_id", pa.int64()),
+                ("cosine", pa.float64()),
+            ]
+        ),
+        pre=score,
+    )
+    return out.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)

@@ -73,3 +73,25 @@ def test_knn_fewer_points_than_k_resolves_at_full_cover():
     assert len(out) == 2
     assert set(out["rnk"]) == {1}
     assert (out["dist2"] == 9_000_000_000_000_000_000).all()
+
+
+def test_hard_negatives_labels_differ():
+    import duckdb
+
+    from osmi_addresses_ray.pipelines.similarity import hard_negatives
+
+    sf = "/root/testdata/sf0.001"
+    out = hard_negatives(sf, query_ids=(0, 1, 2, 3), k=4)
+    con = duckdb.connect(":memory:")
+    lab = dict(
+        con.sql(
+            f"SELECT vec_id, label FROM read_parquet('{sf}/embeddings.parquet')"
+        ).fetchall()
+    )
+    # every mined negative carries a different label than its query
+    for q, v in zip(out["query_id"], out["vec_id"]):
+        assert lab[int(v)] != lab[int(q)]
+    # full rank ladder per query
+    assert out.groupby("query_id")["rank"].apply(
+        lambda s: sorted(s) == [1, 2, 3, 4]
+    ).all()

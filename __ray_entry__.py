@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dense_rank_customers": relational.q_dense_rank_customers,
         "q_mad_priority": relational.q_mad_priority,
         "q_zscore_orders": relational.q_zscore_orders,
+        "q_trimmed_mean": relational.q_trimmed_mean,
         "pareto_orders": relational.pareto_orders,
         "embedding_covariance": similarity.embedding_covariance,
         # time-series custom operators (SQL-checked): one hash exchange on
@@ -1048,6 +1049,31 @@ def oracle_sql() -> dict[str, str]:
     return {
         # chained exact quantiles: both med and mad are REAL data values
         # (quantile_disc rule), so the hash match needs no float tolerance
+        # robust means from exact integer cents: t = n // 10, trimmed =
+        # ranks (t, n-t], winsorized clamps the tails to the boundary ranks;
+        # ONE final division each + round(6) is bit-identical
+        "q_trimmed_mean": """
+            WITH v AS (SELECT l_returnflag AS f,
+                              CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS c
+                       FROM lineitem),
+            r AS (SELECT f, c,
+                         row_number() OVER (PARTITION BY f ORDER BY c) AS rnk,
+                         count(*) OVER (PARTITION BY f) AS n
+                  FROM v),
+            a AS (SELECT f, max(n) AS n,
+                         sum(CASE WHEN rnk > n // 10 AND rnk <= n - n // 10
+                                  THEN c END)::BIGINT AS tsum,
+                         sum(CASE WHEN rnk > n // 10 AND rnk <= n - n // 10
+                                  THEN 1 ELSE 0 END)::BIGINT AS tkept,
+                         max(CASE WHEN rnk = n // 10 + 1 THEN c END) AS v_lo,
+                         max(CASE WHEN rnk = n - n // 10 THEN c END) AS v_hi
+                  FROM r GROUP BY f)
+            SELECT f AS l_returnflag, n,
+                   round(tsum / (100.0 * tkept), 6) AS trimmed_mean,
+                   round((tsum + (n // 10) * v_lo + (n // 10) * v_hi)
+                         / (100.0 * n), 6) AS winsorized_mean
+            FROM a ORDER BY 1
+        """,
         # grouped z-score normalization: exact integer cents in, ONE double
         # division per moment, 4-decimal rounding (sum-order drift ~1e-13);
         # degenerate groups (sd < 1e-9) emit 0.0 on both sides

@@ -287,6 +287,13 @@ def triangle_counts(sf_dir: str, *, num_parts: int = 8) -> pd.DataFrame:
         ["node"],
         {"deg": ("deg", "sum")},
     ).to_pandas()
+    if deg.empty or "node" not in deg.columns:  # edgeless graph: no triangles
+        return pd.DataFrame(
+            {
+                "s_suppkey": pd.Series([], dtype="int64"),
+                "n_triangles": pd.Series([], dtype="int64"),
+            }
+        )
     deg = deg.sort_values("node").reset_index(drop=True)
     deg_ref = ray.put(
         (deg["node"].to_numpy(np.int64), deg["deg"].to_numpy(np.int64))

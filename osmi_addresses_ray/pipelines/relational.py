@@ -1599,3 +1599,63 @@ def q_zscore_orders(sf_dir: str) -> pd.DataFrame:
 
     out = ds.map_batches(score, batch_format="pandas").to_pandas()
     return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q_trimmed_mean(sf_dir: str) -> pd.DataFrame:
+    """Per-returnflag 10%-trimmed and 10%-winsorized means of l_quantity —
+    the two classic robust location estimators, computed EXACTLY from one
+    domain-bounded value histogram (no global sort).
+
+    Shape: per-batch (flag, cents, count) partials → one groupby whose
+    volume is bounded by the DISTINCT value domain (quantities: ~50 values),
+    never the row count; the driver walks each flag's cumsum once. With
+    t = n // 10: trimmed = mean of ranks (t, n−t]; winsorized = trimmed sum
+    + t·(value at rank t+1) + t·(value at rank n−t), over all n. All sums
+    are exact integer cents; ONE final division each + round(6) is
+    bit-identical to the SQL window recomputation.
+    """
+    ds = read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.floor(df["l_quantity"].to_numpy(np.float64) * 100 + 0.5).astype(np.int64)
+        g = (
+            pd.DataFrame({"f": df["l_returnflag"], "c": c})
+            .groupby(["f", "c"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        g["cnt"] = g["cnt"].astype("int64")
+        return g
+
+    hist = grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["f", "c"],
+        {"cnt": ("cnt", "sum")},
+    ).to_pandas()
+    rows = []
+    for f, g in hist.sort_values(["f", "c"]).groupby("f", sort=True):
+        vals = g["c"].to_numpy(np.int64)
+        cnts = g["cnt"].to_numpy(np.int64)
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        t = n // 10
+        lo_rank, hi_rank = t + 1, n - t
+        # overlap of each value's rank run [cum_prev+1, cum] with the window
+        prev = cum - cnts
+        inside = np.minimum(cum, hi_rank) - np.maximum(prev + 1, lo_rank) + 1
+        inside = np.maximum(inside, 0)
+        trimmed_sum = int((vals * inside).sum())
+        n_kept = int(inside.sum())
+        v_lo = int(vals[np.searchsorted(cum, lo_rank, side="left")])
+        v_hi = int(vals[np.searchsorted(cum, hi_rank, side="left")])
+        winsor_sum = trimmed_sum + t * v_lo + t * v_hi
+        rows.append(
+            {
+                "l_returnflag": f,
+                "n": n,
+                "trimmed_mean": round(trimmed_sum / (100.0 * n_kept), 6),
+                "winsorized_mean": round(winsor_sum / (100.0 * n), 6),
+            }
+        )
+    out = pd.DataFrame(rows).astype({"n": "int64"})
+    return out.sort_values("l_returnflag").reset_index(drop=True)

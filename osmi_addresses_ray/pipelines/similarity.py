@@ -902,13 +902,22 @@ def hard_negatives(
     )
     assert len(q_df) == len(qids), "missing query vec_ids"
     qmat = np.stack([np.asarray(e, np.float32) for e in q_df["embedding"]])
-    qlab = q_df["label"].to_numpy(np.int64)
+    # unlabeled corpora degrade to label := vec_id (every row its own class,
+    # so every other row is a legal negative — plain kNN in the limit)
+    has_label = "label" in q_df.columns
+    qlab = (
+        q_df["label"].to_numpy(np.int64) if has_label else qids.copy()
+    )
     q_ref = ray.put((qids, qmat, qlab))
     margin = k + 8
 
     def score(t: pa.Table) -> pa.Table:
         ids, mat = _batch_matrix(t)
-        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        labels = (
+            t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if "label" in t.column_names
+            else ids.astype(np.int64)
+        )
         q_ids, qm, q_lab = ray.get(q_ref)
         sims = _cosine_seq64(mat, qm)  # (n, Q)
         # mask self AND same-label rows (negatives must be wrong-class)

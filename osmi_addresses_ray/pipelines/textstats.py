@@ -1913,10 +1913,17 @@ def dsir_weights(sf_dir: str, *, target_source: str = "src0") -> pd.DataFrame:
     rule); n_tokens rides along exact.
     """
     import ray
+    import pyarrow.parquet as _papq
 
     from .relational import grouped_agg
 
-    ds = _read_docs(sf_dir, columns=("doc_id", "text", "source"))
+    # a corpus without a source column has no target split: every ct is 0
+    # and the weights reduce to a constant-model log-ratio (still finite)
+    has_source = "source" in _papq.read_schema(
+        os.path.join(sf_dir, "documents.parquet")
+    ).names
+    cols = ("doc_id", "text", "source") if has_source else ("doc_id", "text")
+    ds = _read_docs(sf_dir, columns=cols)
     tok = re.compile(_TOKEN_RE)
 
     def vocab_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -1929,7 +1936,10 @@ def dsir_weights(sf_dir: str, *, target_source: str = "src0") -> pd.DataFrame:
                     "ct": pd.Series([], dtype="int64"),
                 }
             )
-        is_tgt = (df["source"].to_numpy(object)[g_rows] == target_source)
+        if has_source:
+            is_tgt = (df["source"].to_numpy(object)[g_rows] == target_source)
+        else:
+            is_tgt = np.zeros(len(g_rows), bool)
         part = pd.DataFrame(
             {"token": toks, "cr": counts, "ct": np.where(is_tgt, counts, 0)}
         )

@@ -82,3 +82,31 @@ def test_zscore_orders_closed_form(tmp_path):
     assert out.loc[2, "z"] == round(100 / sd, 4)
     # group B is constant -> degenerate sd -> z = 0 on both rows
     assert out.loc[3, "z"] == 0.0 and out.loc[4, "z"] == 0.0
+
+
+def test_trimmed_mean_closed_form(tmp_path):
+    from osmi_addresses_ray.pipelines.relational import q_trimmed_mean
+
+    # 10 rows, one flag: values 1..10 -> t = 1, trimmed = mean(2..9) = 5.5,
+    # winsorized = (sum(2..9) + 2 + 9) / 10 = 5.5
+    li = pd.DataFrame(
+        {
+            "l_orderkey": np.arange(10, dtype=np.int64),
+            "l_partkey": np.zeros(10, dtype=np.int64),
+            "l_suppkey": np.zeros(10, dtype=np.int64),
+            "l_linenumber": np.zeros(10, dtype=np.int32),
+            "l_quantity": np.arange(1.0, 11.0),
+            "l_extendedprice": np.zeros(10),
+            "l_discount": np.zeros(10),
+            "l_tax": np.zeros(10),
+            "l_returnflag": ["A"] * 10,
+            "l_linestatus": ["O"] * 10,
+            "l_shipdate": pd.to_datetime(["2024-01-01"] * 10),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(li, preserve_index=False),
+                   str(tmp_path / "lineitem.parquet"))
+    out = q_trimmed_mean(str(tmp_path))
+    assert out.loc[0, "n"] == 10
+    assert out.loc[0, "trimmed_mean"] == 5.5
+    assert out.loc[0, "winsorized_mean"] == 5.5

@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_corruption": textstats.span_corruption,
         "gopher_quality_filter": textstats.gopher_quality_filter,
         "event_spikes": timeseries.event_spikes,
+        "resample_locf": timeseries.resample_locf,
         "curate_corpus": textstats.curate_corpus,
         "shard_assignment": textstats.shard_assignment,
         "tfidf_top_terms": textstats.tfidf_top_terms,
@@ -1912,6 +1913,26 @@ def oracle_sql() -> dict[str, str]:
             s AS (SELECT count(*)::BIGINT AS nh, sum(n)::BIGINT AS tot FROM h)
             SELECT hr, n FROM h, s WHERE 2 * n * s.nh > 3 * s.tot
             ORDER BY hr
+        """,
+        # hourly LOCF grid: ceil-hour start guarantees a carry source; ties
+        # at one timestamp resolve to the highest event_id (arg_max)
+        "resample_locf": """
+            WITH ev AS (SELECT user_id, ts, event_id, value
+                        FROM events WHERE user_id % 31 = 0),
+            ded AS (SELECT user_id, ts, arg_max(value, event_id) AS value
+                    FROM ev GROUP BY user_id, ts),
+            b AS (SELECT user_id,
+                         date_trunc('hour', min(ts) + INTERVAL 1 HOUR
+                                    - INTERVAL 1 MICROSECOND) AS h0,
+                         date_trunc('hour', max(ts)) AS h1
+                  FROM ev GROUP BY user_id),
+            grid AS (SELECT user_id,
+                            unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS gt
+                     FROM b WHERE h0 <= h1)
+            SELECT grid.user_id AS user_id, gt, ded.value AS value
+            FROM grid ASOF JOIN ded
+              ON grid.user_id = ded.user_id AND grid.gt >= ded.ts
+            ORDER BY user_id, gt
         """,
         # Gopher gates as exact integer comparisons (see engine docstring)
         "gopher_quality_filter": """

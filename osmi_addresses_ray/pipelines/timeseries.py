@@ -1125,3 +1125,94 @@ def event_spikes(sf_dir: str) -> pd.DataFrame:
     N = np.int64(hourly["n"].sum())
     out = hourly[2 * hourly["n"] * H > 3 * N]
     return out.sort_values("hr").reset_index(drop=True)
+
+
+_HOUR_US = np.int64(3_600_000_000)
+_RESAMPLE_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("gt", pa.timestamp("us")),
+        ("value", pa.float64()),
+    ]
+)
+
+
+def resample_locf(
+    sf_dir: str, *, user_mod: int = 31, num_parts: int = 8
+) -> pd.DataFrame:
+    """Regular-grid resampling with last-observation-carried-forward: for
+    each selected user (user_id % ``user_mod`` == 0 — grids are long, the
+    subset keeps output bounded), one row per hour from the first whole
+    hour at-or-after the user's first event to the last whole hour
+    at-or-before the final event, carrying the value of the latest event
+    at or before the grid instant (ties at the same timestamp resolve to
+    the highest event_id — the as-of family's tie rule). Starting at the
+    ceil-hour guarantees every grid point has a carry source, so the
+    output never contains NULL fills.
+
+    ONE user-keyed exchange (map-side user filter fused into the split
+    wave); per partition each user's grid is generated and filled with a
+    single vectorized ``searchsorted`` against the user's (ts, event_id)-
+    sorted events — no per-grid-point work, no driver loop. Values are
+    COPIED, never computed, so engine and SQL are bit-identical with no
+    rounding contract at all. A user's grid length is bounded by the time
+    span, not the corpus; pathological single-user span is the same
+    documented range-partition stitch as the as-of join.
+    """
+    from ..ops import direct_partitioned_map
+
+    def pre(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(uid % user_mod == 0))
+
+    def fill(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _RESAMPLE_SCHEMA.empty_table()
+        user = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = (
+            t["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, user))
+        user, ts, eid, val = user[order], ts[order], eid[order], val[order]
+        first = np.r_[True, user[1:] != user[:-1]]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(user))
+        out_u, out_t, out_v = [], [], []
+        for s, e in zip(starts, ends):
+            h0 = -(-ts[s] // _HOUR_US) * _HOUR_US  # ceil-hour of first event
+            h1 = (ts[e - 1] // _HOUR_US) * _HOUR_US
+            if h0 > h1:  # all events inside one partial hour: empty grid
+                continue
+            grid = np.arange(h0, h1 + _HOUR_US, _HOUR_US, dtype=np.int64)
+            # latest event index with ts <= grid point (ties already sorted
+            # by event_id, side='right' lands after the last tied row)
+            idx = np.searchsorted(ts[s:e], grid, side="right") - 1
+            out_u.append(np.full(len(grid), user[s], np.int64))
+            out_t.append(grid)
+            out_v.append(val[s:e][idx])
+        if not out_u:  # every user's events fit inside one partial hour
+            return _RESAMPLE_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "user_id": np.concatenate(out_u),
+                "gt": np.concatenate(out_t).view("datetime64[us]"),
+                "value": np.concatenate(out_v),
+            }
+        ).cast(_RESAMPLE_SCHEMA)
+
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    out = direct_partitioned_map(
+        ds, ["user_id"], num_parts, fill, _RESAMPLE_SCHEMA, pre=pre
+    ).to_pandas()
+    if out.empty:
+        out = pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "gt": pd.Series([], dtype="datetime64[us]"),
+                "value": pd.Series([], dtype="float64"),
+            }
+        )
+    return out.sort_values(["user_id", "gt"]).reset_index(drop=True)

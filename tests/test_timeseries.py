@@ -352,3 +352,40 @@ def test_session_paths_order_and_gap_edges(tmp_path):
         (1, 2): ("d", 1),
         (2, 1): ("x", 1),
     }
+
+
+def test_resample_locf_semantics(tmp_path, ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osmi_addresses_ray.pipelines.timeseries import resample_locf
+
+    base = pd.Timestamp("2024-01-01 03:30:00")
+    rows = [
+        # user 0: first event 03:30 -> grid starts at 04:00 (ceil-hour, no
+        # NULL fill); tie at 05:10 resolves to highest event_id (value 9.0)
+        (1, base, 0, 1.0),
+        (2, pd.Timestamp("2024-01-01 05:10:00"), 0, 2.0),
+        (3, pd.Timestamp("2024-01-01 05:10:00"), 0, 9.0),
+        (4, pd.Timestamp("2024-01-01 07:00:00"), 0, 4.0),
+        # user 31: all events inside one partial hour -> empty grid, no rows
+        (5, pd.Timestamp("2024-01-02 03:10:00"), 31, 1.0),
+        (6, pd.Timestamp("2024-01-02 03:50:00"), 31, 2.0),
+        # user 7: not selected by user_mod
+        (7, base, 7, 1.0),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "value"])
+    df["event_type"] = "view"
+    df["props"] = "{}"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    out = resample_locf(str(tmp_path), user_mod=31, num_parts=2)
+    assert out.user_id.unique().tolist() == [0]
+    got = {str(r.gt): r.value for r in out.itertuples()}
+    assert got == {
+        "2024-01-01 04:00:00": 1.0,
+        "2024-01-01 05:00:00": 1.0,
+        "2024-01-01 06:00:00": 9.0,  # tie -> max event_id carried forward
+        "2024-01-01 07:00:00": 4.0,  # event exactly on the grid instant
+    }

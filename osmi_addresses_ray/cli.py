@@ -5,8 +5,8 @@
 
 INPUT is a docs parquet file/dir (doc_id, spans), or — matching the
 reference's ``osmi-addresses INFILE [OUTDIR]`` entry point (main.cpp:33-57)
-— a ``.osm``/``.osm.gz``/``.osm.bz2`` extract, ingested via the distributed
-byte-range reader (sources/osm_xml.py). The eleven layers land as parquet
+— a ``.osm``/``.osm.gz``/``.osm.bz2``/``.osm.pbf``/``.o5m``/``.opl[.gz|.bz2]``
+extract, ingested via the distributed byte-range readers (sources/). The eleven layers land as parquet
 directories under OUTDIR with per-layer manifests and a ``_metrics.json``
 stats dump; ``--sqlite`` additionally exports a SpatiaLite-compatible
 database (tools/export_sqlite.py). On a real cluster the identical script is
@@ -94,6 +94,10 @@ def main(argv=None) -> int:
         from .sources.osm_o5m import read_osm_o5m
 
         docs = read_osm_o5m(args.input)
+    elif args.input.endswith((".opl", ".opl.gz", ".opl.bz2")):
+        from .sources.osm_opl import read_osm_opl
+
+        docs = read_osm_opl(args.input)
     elif args.input.endswith(".lance"):
         # the north-star carrier; needs pylance in the runtime image
         docs = rd.read_lance(args.input)

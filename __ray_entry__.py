@@ -221,6 +221,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kmeans_assign", similarity.kmeans_assign, "kmeans_assign_oracle",
             "embeddings",
         ),
+        # SemDeDup: cluster-keyed exchange with map-side assignment, per-
+        # cluster pairwise prune in vec_id order (first-in-id kept)
+        "semdedup": _with_oracle(
+            "semdedup", similarity.semdedup, "semdedup_oracle", "embeddings"
+        ),
         # product quantization: seeded driver-sample codebooks, distributed
         # encode; oracle = per-row scalar distance folds (same float spec)
         "pq_codes": _with_oracle(
@@ -2491,6 +2496,7 @@ def _ensure_default_oracles() -> None:
         ("knn_hyperplane", "embeddings"),
         ("embedding_cosine_dedup", "embeddings"),
         ("kmeans_assign", "embeddings"),
+        ("semdedup", "embeddings"),
         ("pq_codes", "embeddings"),
         ("pq_adc_search", "embeddings"),
         ("pca_project", "embeddings"),
@@ -2535,6 +2541,7 @@ def _naive_oracle_sql() -> dict[str, str]:
             "embedding_cosine_dedup", "vec_a, vec_b", "embeddings"
         ),
         "kmeans_assign": read_tagged_sql("kmeans_assign", "vec_id", "embeddings"),
+        "semdedup": read_tagged_sql("semdedup", "vec_id", "embeddings"),
         "pq_codes": read_tagged_sql("pq_codes", "vec_id, m", "embeddings"),
         "pq_adc_search": read_tagged_sql("pq_adc_search", "adc_dist, vec_id", "embeddings"),
         "pca_project": read_tagged_sql("pca_project", "vec_id", "embeddings"),

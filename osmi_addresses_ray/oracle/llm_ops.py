@@ -693,3 +693,53 @@ def bpe_merges_oracle(sf_dir: str, *, n_merges: int = 20) -> pd.DataFrame:
                 else:
                     i += 1
     return pd.DataFrame(rows, columns=["rank", "left", "right", "pair_count"])
+
+
+def semdedup_oracle(sf_dir: str, *, tau: float = 0.42) -> pd.DataFrame:
+    """Scalar recomputation of SemDeDup: same seeded centroid training
+    spec, per-row scalar-loop cluster argmax, then per-cluster nested
+    pairwise loops in vec_id order — max cosine to any earlier same-cluster
+    vector (NaN for the first), keep = 0 iff that max >= tau. Dimension
+    folds run left-to-right like the engine's ordered fold, computed here
+    with plain python loops instead of numpy array ops."""
+    emb = _emb(sf_dir)
+    cent = _centroids_oracle(emb, 16, seed=42)
+
+    def scalar_cos(v, w):
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for i in range(len(v)):
+            dot += v[i] * w[i]
+            na += v[i] * v[i]
+            nb += w[i] * w[i]
+        return dot / np.sqrt(na * nb)
+
+    clusters: dict[int, list[tuple[int, np.ndarray]]] = {}
+    for r in emb.itertuples():
+        v = np.asarray(r.embedding, np.float64)
+        best_c, best_s = 0, -np.inf
+        for ci, c in enumerate(cent):
+            s = scalar_cos(v, np.asarray(c, np.float64))
+            if s > best_s:
+                best_c, best_s = ci, s
+        clusters.setdefault(best_c, []).append((int(r.vec_id), v))
+    rows = []
+    for ci, members in clusters.items():
+        members.sort(key=lambda m: m[0])
+        for j, (vid, vj) in enumerate(members):
+            prior = np.nan
+            for i in range(j):
+                s = scalar_cos(members[i][1], vj)
+                if np.isnan(prior) or s > prior:
+                    prior = s
+            keep = 1 if (np.isnan(prior) or prior < tau) else 0
+            rows.append(
+                {
+                    "vec_id": np.int64(vid),
+                    "cluster": np.int64(ci),
+                    "prior_cosine": np.round(prior, 6),
+                    "keep": np.int64(keep),
+                }
+            )
+    return pd.DataFrame(rows).sort_values("vec_id").reset_index(drop=True)

@@ -969,3 +969,103 @@ def hard_negatives(
         pre=score,
     )
     return out.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+# --- SemDeDup: cluster-then-prune semantic deduplication ----------------------
+
+_SEMDEDUP_SCHEMA = pa.schema(
+    [
+        ("vec_id", pa.int64()),
+        ("cluster", pa.int64()),
+        ("prior_cosine", pa.float64()),
+        ("keep", pa.int64()),
+    ]
+)
+
+
+def semdedup(
+    sf_dir: str,
+    *,
+    n_clusters: int = 16,
+    tau: float = 0.42,
+    seed: int = 42,
+    num_parts: int = 8,
+) -> pd.DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning by
+    clustering embeddings, then dropping within each cluster every vector
+    that is cosine-similar (>= ``tau``) to an EARLIER kept-or-dropped
+    vector — the deterministic first-in-id-order pruning rule (the paper's
+    "keep one per duplicate group" with the group anchor fixed by vec_id,
+    so the output is independent of partitioning and stream order).
+
+    Output: one row per vector — its cluster, the max cosine to any
+    lower-vec_id vector of the same cluster (``prior_cosine``, NaN for the
+    cluster's first vector), and ``keep`` = 0 iff that max is >= ``tau``.
+
+    Distributed shape: centroids train driver-side on the fixed
+    deterministic sample (vec_id < 512, the IVF rule), the ordered-fold
+    argmax ASSIGNMENT is fused map-side into the split wave of ONE
+    cluster-keyed exchange (``direct_partitioned_map(pre=)``), and each
+    cluster's (c x c) pairwise pass runs where its vectors landed. Within-
+    cluster work is O(c^2 d) — SemDeDup's own regime; at scale pick
+    ``n_clusters`` ~ n / target_cluster_size so c stays bounded (the paper
+    runs k = 50k for 600M docs), and subdivide any still-hot cluster with
+    the recursive 2-means rule ``embedding_cosine_dedup`` ships.
+
+    Floats: every cosine is the ordered float64 fold (``_cosine_seq64``),
+    so the scalar per-pair oracle (oracle/llm_ops.semdedup_oracle) is
+    bit-identical, including the >= tau decision at the threshold.
+    """
+    from ..ops import direct_partitioned_map
+
+    cent = train_centroids(sf_dir, n_clusters, seed=seed)
+    cent_ref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(t)
+        c = ray.get(cent_ref)
+        cl = np.argmax(_cosine_seq64(mat, c), axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(cl, pa.int64()),
+                "embedding": t["embedding"],
+            }
+        )
+
+    def prune(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SEMDEDUP_SCHEMA.empty_table()
+        ids, mat = _batch_matrix(t)
+        cl = t["cluster"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, cl))
+        ids, cl, mat = ids[order], cl[order], mat[order]
+        first = np.r_[True, cl[1:] != cl[:-1]]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(cl))
+        prior = np.full(len(cl), np.nan)
+        for s, e in zip(starts, ends):
+            c = e - s
+            if c == 1:
+                continue
+            sims = _cosine_seq64(mat[s:e], mat[s:e])  # (c, c), symmetric
+            # max over strictly-earlier (lower vec_id) rows of the cluster
+            iu = np.triu_indices(c, k=1)
+            upper = np.full((c, c), -np.inf)
+            upper[iu] = sims[iu]
+            prior[s + 1 : e] = upper.max(axis=0)[1:]
+        keep = np.where(np.isnan(prior) | (prior < tau), 1, 0).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(cl, pa.int64()),
+                "prior_cosine": pa.array(np.round(prior, 6), pa.float64()),
+                "keep": pa.array(keep, pa.int64()),
+            }
+        )
+
+    out = direct_partitioned_map(
+        _read_emb(sf_dir), ["cluster"], num_parts, prune, _SEMDEDUP_SCHEMA,
+        pre=assign,
+    ).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)

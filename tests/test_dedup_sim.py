@@ -247,3 +247,26 @@ def test_fuzzy_name_pairs_complete_vs_bruteforce(ray_session):
                 exp[(x, y)] = d
     assert got == exp
     assert all(a < b for a, b in got)
+
+
+def test_semdedup_prunes_planted_cluster(planted_dir, ray_session):
+    """The 8 planted near-identical vectors collapse to their lowest-id
+    anchor: every later member reports a ~1.0 prior cosine and keep=0."""
+    from osmi_addresses_ray.pipelines.similarity import semdedup
+
+    out = semdedup(planted_dir)
+    assert len(out) == 608 and out.vec_id.is_monotonic_increasing
+    twins = out[out.vec_id >= 601].set_index("vec_id")
+    assert (twins["keep"] == 0).all()
+    assert (twins["prior_cosine"] >= 0.99).all()
+    # the anchor's prior comes from unrelated vectors only
+    anchor = out[out.vec_id == 600].iloc[0]
+    assert anchor["prior_cosine"] < 0.99 or np.isnan(anchor["prior_cosine"])
+
+
+def test_semdedup_partitioning_invariance(planted_dir, ray_session):
+    from osmi_addresses_ray.pipelines.similarity import semdedup
+
+    a = semdedup(planted_dir, num_parts=1)
+    b = semdedup(planted_dir, num_parts=5)
+    assert a.equals(b)

@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_dup_ngrams": textstats.scrub_dup_ngrams,
         "pagerank_trade": graph.pagerank_trade,
         "triangle_counts": graph.triangle_counts,
+        "bfs_hops": graph.bfs_hops,
         "snm_pairs": dedup.snm_pairs,
         "pack_sequences": textstats.pack_sequences,
         "span_corruption": textstats.span_corruption,
@@ -2052,6 +2053,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         # exact scaled-integer PageRank (d=17/20, floor division) — integer
         # sums are order-free, so the unrolled SQL is bit-equal to the engine
+        # multi-source BFS: recursive frontier CTE; UNION dedups (node, hops)
+        # rows so each node expands at most once per hop level
+        "bfs_hops": """
+            WITH RECURSIVE edges AS (
+              SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+              FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+              UNION
+              SELECT DISTINCT l_suppkey + 1000000 AS src, o_custkey AS dst
+              FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            ),
+            bfs(node_id, hops) AS (
+              SELECT c_custkey, 0 FROM customer WHERE c_custkey % 97 = 0
+              UNION
+              SELECT e.dst, b.hops + 1 FROM bfs b
+              JOIN edges e ON e.src = b.node_id
+              WHERE b.hops < 4
+            )
+            SELECT node_id, min(hops)::BIGINT AS hops FROM bfs
+            GROUP BY node_id ORDER BY node_id
+        """,
         "pagerank_trade": """
             WITH e0 AS (SELECT DISTINCT o_custkey AS a, l_suppkey AS b
                         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),

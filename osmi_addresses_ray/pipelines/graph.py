@@ -376,3 +376,137 @@ def triangle_counts(sf_dir: str, *, num_parts: int = 8) -> pd.DataFrame:
             "n_triangles": out["cnt"].astype("int64"),
         }
     )
+
+
+def bfs_hops(
+    sf_dir: str, *, seed_mod: int = 97, max_hops: int = 4, num_parts: int = 8
+) -> pd.DataFrame:
+    """Multi-source BFS over the trade graph: minimum hop count from the
+    seed set (customers with ``c_custkey % seed_mod == 0``, hop 0 — seeds
+    with no trades still appear) to every node reachable within
+    ``max_hops``; farther nodes are omitted.
+
+    Distributed shape — the pregel frontier loop, every step an explicit
+    hash exchange like the PageRank iterations above: per round,
+    [dist ⨝ edges] keyed on the node hash space emits (dst) for FRONTIER
+    rows only (hops == round-1), re-partitioned on dst; [emissions ⨝ dist]
+    merges, assigning the round number to first-time nodes. Volume per
+    round is O(frontier-degree sum), never O(V·rounds); nothing lives on
+    the driver. Hop counts are integers, so the result is bit-equal to the
+    DuckDB ``WITH RECURSIVE`` oracle regardless of partitioning or reduce
+    order.
+    """
+    from ..ops import direct_cogroup, direct_partitioned_map
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).materialize()
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]).materialize()
+
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def to_edges(o: pa.Table, l: pa.Table) -> pa.Table:
+        od = o.to_pandas()
+        ld = l.to_pandas()
+        m = ld.merge(od, left_on="l_orderkey", right_on="o_orderkey", how="inner")
+        cust = m["o_custkey"].to_numpy(np.int64)
+        supp = m["l_suppkey"].to_numpy(np.int64) + _SUPP_BASE
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([cust, supp])),
+                "dst": pa.array(np.concatenate([supp, cust])),
+            }
+        )
+
+    emissions = direct_cogroup(
+        [orders, lineitem],
+        [["o_orderkey"], ["l_orderkey"]],
+        num_parts,
+        to_edges,
+        [
+            pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+            pa.schema([("l_orderkey", pa.int64()), ("l_suppkey", pa.int64())]),
+        ],
+        emit_partitioned_on=["src"],
+    )
+
+    def distinct_edges(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates(["src", "dst"])
+        return pa.table(
+            {
+                "src": pa.array(df["src"].to_numpy(np.int64)),
+                "dst": pa.array(df["dst"].to_numpy(np.int64)),
+            }
+        )
+
+    edges = direct_cogroup(
+        [emissions], [["src"]], num_parts, distinct_edges, [edge_schema],
+        emit_partitioned_on=["src"],
+    )
+
+    dist_schema = pa.schema([("node", pa.int64()), ("hops", pa.int64())])
+
+    def seed(t: pa.Table) -> pa.Table:
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = np.unique(ck[ck % seed_mod == 0])
+        return pa.table(
+            {"node": pa.array(ck), "hops": pa.array(np.zeros(len(ck), np.int64))}
+        )
+
+    dist = direct_partitioned_map(
+        _read(sf_dir, "customer", ["c_custkey"]).materialize(),
+        ["c_custkey"], num_parts, seed, dist_schema,
+    )
+    # re-key onto the node hash space the merge step uses
+    dist = direct_cogroup(
+        [dist], [["node"]], num_parts, lambda t: t, [dist_schema],
+        emit_partitioned_on=["node"],
+    )
+
+    emit_schema = pa.schema([("dst", pa.int64())])
+
+    for rnd in range(1, max_hops + 1):
+
+        def expand(d_t: pa.Table, e_t: pa.Table, *, _r=rnd) -> pa.Table:
+            if d_t.num_rows == 0 or e_t.num_rows == 0:
+                return emit_schema.empty_table()
+            dd = d_t.to_pandas()
+            frontier = dd.loc[dd["hops"] == _r - 1, "node"].to_numpy(np.int64)
+            if not len(frontier):
+                return emit_schema.empty_table()
+            edf = e_t.to_pandas()
+            hit = np.isin(edf["src"].to_numpy(np.int64), frontier)
+            return pa.table(
+                {"dst": pa.array(np.unique(edf["dst"].to_numpy(np.int64)[hit]))}
+            )
+
+        def merge(n_t: pa.Table, d_t: pa.Table, *, _r=rnd) -> pa.Table:
+            seen = d_t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cand = np.unique(n_t["dst"].to_numpy(zero_copy_only=False).astype(np.int64))
+            new = cand[~np.isin(cand, seen)]
+            return pa.table(
+                {
+                    "node": pa.array(np.concatenate([seen, new])),
+                    "hops": pa.array(
+                        np.concatenate(
+                            [
+                                d_t["hops"].to_numpy(zero_copy_only=False).astype(np.int64),
+                                np.full(len(new), _r, np.int64),
+                            ]
+                        )
+                    ),
+                }
+            )
+
+        nxt = direct_cogroup(
+            [dist, edges], [["node"], ["src"]], num_parts, expand,
+            [dist_schema, edge_schema], emit_partitioned_on=["dst"],
+        )
+        dist = direct_cogroup(
+            [nxt, dist], [["dst"], ["node"]], num_parts, merge,
+            [emit_schema, dist_schema],
+            emit_partitioned_on=None if rnd == max_hops else ["node"],
+        )
+
+    out = dist.to_pandas()
+    out["node_id"] = out["node"].astype("int64")
+    out["hops"] = out["hops"].astype("int64")
+    return out[["node_id", "hops"]].sort_values("node_id").reset_index(drop=True)

@@ -70,3 +70,26 @@ def test_partition_invariance(monkeypatch):
     # total mass bounded: every rank below total initial mass
     n_nodes = len(set(c for c, _ in pairs) | set(1000000 + s for _, s in pairs))
     assert (a["pr"] < n_nodes * graph.SCALE).all()
+
+
+def test_bfs_hops_chain_cap_and_isolated_seed(tmp_path, ray_session):
+    """Hand-built chain c97—s1—c5—s2—c6—s3: hop cap 4 keeps s3 out; an
+    order-less seed customer still appears at hop 0; a disconnected
+    component (c8—s9) never appears."""
+    import pandas as pd
+
+    from osmi_addresses_ray.pipelines.graph import bfs_hops
+
+    pd.DataFrame({"c_custkey": [97, 194, 5, 6, 8]}).to_parquet(
+        tmp_path / "customer.parquet", index=False
+    )
+    pd.DataFrame(
+        {"o_orderkey": [1, 2, 3, 4, 5, 6], "o_custkey": [97, 5, 5, 6, 6, 8]}
+    ).to_parquet(tmp_path / "orders.parquet", index=False)
+    pd.DataFrame(
+        {"l_orderkey": [1, 2, 3, 4, 5, 6], "l_suppkey": [1, 1, 2, 2, 3, 9]}
+    ).to_parquet(tmp_path / "lineitem.parquet", index=False)
+
+    out = bfs_hops(str(tmp_path), num_parts=3)
+    got = dict(zip(out["node_id"], out["hops"]))
+    assert got == {97: 0, 194: 0, 1000001: 1, 5: 2, 1000002: 3, 6: 4}

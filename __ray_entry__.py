@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality_filter": textstats.gopher_quality_filter,
         "event_spikes": timeseries.event_spikes,
         "resample_locf": timeseries.resample_locf,
+        "resample_lerp": timeseries.resample_lerp,
         "curate_corpus": textstats.curate_corpus,
         "shard_assignment": textstats.shard_assignment,
         "tfidf_top_terms": textstats.tfidf_top_terms,
@@ -1938,6 +1939,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT grid.user_id AS user_id, gt, ded.value AS value
             FROM grid ASOF JOIN ded
               ON grid.user_id = ded.user_id AND grid.gt >= ded.ts
+            ORDER BY user_id, gt
+        """,
+        # hourly linear-interpolation grid: same grid/tie rules as LOCF;
+        # the lerp's IEEE op order matches the engine exactly (µs ints →
+        # DOUBLE, one divide, one multiply, one add)
+        "resample_lerp": """
+            WITH ev AS (SELECT user_id, ts, event_id, value
+                        FROM events WHERE user_id % 31 = 0),
+            ded AS (SELECT user_id, ts, arg_max(value, event_id) AS value
+                    FROM ev GROUP BY user_id, ts),
+            b AS (SELECT user_id,
+                         date_trunc('hour', min(ts) + INTERVAL 1 HOUR
+                                    - INTERVAL 1 MICROSECOND) AS h0,
+                         date_trunc('hour', max(ts)) AS h1
+                  FROM ev GROUP BY user_id),
+            grid AS (SELECT user_id,
+                            unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS gt
+                     FROM b WHERE h0 <= h1),
+            prev AS (SELECT grid.user_id AS user_id, gt, ded.ts AS t0,
+                            ded.value AS v0
+                     FROM grid ASOF JOIN ded
+                       ON grid.user_id = ded.user_id AND grid.gt >= ded.ts),
+            nxt AS (SELECT grid.user_id AS user_id, gt, ded.ts AS t1,
+                           ded.value AS v1
+                    FROM grid ASOF LEFT JOIN ded
+                      ON grid.user_id = ded.user_id AND grid.gt < ded.ts)
+            SELECT p.user_id AS user_id, p.gt AS gt,
+                   CASE WHEN n.t1 IS NULL OR p.t0 = p.gt THEN p.v0
+                        ELSE p.v0 + (n.v1 - p.v0)
+                             * (epoch_us(p.gt - p.t0)::DOUBLE
+                                / epoch_us(n.t1 - p.t0)::DOUBLE)
+                   END AS value
+            FROM prev p JOIN nxt n ON p.user_id = n.user_id AND p.gt = n.gt
             ORDER BY user_id, gt
         """,
         # Gopher gates as exact integer comparisons (see engine docstring)

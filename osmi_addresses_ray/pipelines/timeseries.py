@@ -1216,3 +1216,92 @@ def resample_locf(
             }
         )
     return out.sort_values(["user_id", "gt"]).reset_index(drop=True)
+
+
+def resample_lerp(
+    sf_dir: str, *, user_mod: int = 31, num_parts: int = 8
+) -> pd.DataFrame:
+    """Regular-grid resampling with LINEAR interpolation: same per-user
+    ceil-hour → floor-hour grid as ``resample_locf``, but a grid instant
+    strictly between two events gets ``v0 + (v1 - v0) * (dt / DT)`` —
+    dt/DT the µs distances to the bracketing events as exact-int64→float64
+    casts. A grid point ON an event, or at/after the user's last event,
+    copies the event value (no extrapolation). Ties at one timestamp
+    resolve to the highest event_id BEFORE bracketing, so both neighbors
+    are well-defined.
+
+    Float parity: the engine evaluates the lerp with exactly the IEEE op
+    order the DuckDB oracle uses (µs ints → DOUBLE, one division, one
+    multiply, one add — no fused ops on either side), so engine and SQL
+    are bit-identical before the driver's round-to-6 normalization.
+    Distribution: identical shape to ``resample_locf`` — one user-keyed
+    exchange, vectorized searchsorted bracketing per partition.
+    """
+    from ..ops import direct_partitioned_map
+
+    def pre(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(uid % user_mod == 0))
+
+    def fill(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _RESAMPLE_SCHEMA.empty_table()
+        user = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = (
+            t["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, user))
+        user, ts, val = user[order], ts[order], val[order]
+        # tie-dedup: keep the LAST row per (user, ts) = highest event_id
+        last = np.r_[(user[1:] != user[:-1]) | (ts[1:] != ts[:-1]), True]
+        user, ts, val = user[last], ts[last], val[last]
+        first = np.r_[True, user[1:] != user[:-1]]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(user))
+        out_u, out_t, out_v = [], [], []
+        for s, e in zip(starts, ends):
+            h0 = -(-ts[s] // _HOUR_US) * _HOUR_US
+            h1 = (ts[e - 1] // _HOUR_US) * _HOUR_US
+            if h0 > h1:
+                continue
+            grid = np.arange(h0, h1 + _HOUR_US, _HOUR_US, dtype=np.int64)
+            seg_ts, seg_v = ts[s:e], val[s:e]
+            i0 = np.searchsorted(seg_ts, grid, side="right") - 1
+            exact = (seg_ts[i0] == grid) | (i0 == len(seg_ts) - 1)
+            i1 = np.minimum(i0 + 1, len(seg_ts) - 1)
+            t0, v0 = seg_ts[i0], seg_v[i0]
+            t1, v1 = seg_ts[i1], seg_v[i1]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                frac = (grid - t0).astype(np.float64) / (t1 - t0).astype(
+                    np.float64
+                )
+                v = v0 + (v1 - v0) * frac
+            out_u.append(np.full(len(grid), user[s], np.int64))
+            out_t.append(grid)
+            out_v.append(np.where(exact, v0, v))
+        if not out_u:
+            return _RESAMPLE_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "user_id": np.concatenate(out_u),
+                "gt": np.concatenate(out_t).view("datetime64[us]"),
+                "value": np.concatenate(out_v),
+            }
+        ).cast(_RESAMPLE_SCHEMA)
+
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    out = direct_partitioned_map(
+        ds, ["user_id"], num_parts, fill, _RESAMPLE_SCHEMA, pre=pre
+    ).to_pandas()
+    if out.empty:
+        out = pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "gt": pd.Series([], dtype="datetime64[us]"),
+                "value": pd.Series([], dtype="float64"),
+            }
+        )
+    return out.sort_values(["user_id", "gt"]).reset_index(drop=True)

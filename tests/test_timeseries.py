@@ -389,3 +389,36 @@ def test_resample_locf_semantics(tmp_path, ray_session):
         "2024-01-01 06:00:00": 9.0,  # tie -> max event_id carried forward
         "2024-01-01 07:00:00": 4.0,  # event exactly on the grid instant
     }
+
+
+def test_resample_lerp_semantics(tmp_path, ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osmi_addresses_ray.pipelines.timeseries import resample_lerp
+
+    rows = [
+        # user 0: events 03:30 (v=1), 05:10 tie (v=2 then v=10 by event_id),
+        # 06:00 exactly on the hour (v=4)
+        (1, pd.Timestamp("2024-01-01 03:30:00"), 0, 1.0),
+        (2, pd.Timestamp("2024-01-01 05:10:00"), 0, 2.0),
+        (3, pd.Timestamp("2024-01-01 05:10:00"), 0, 10.0),
+        (4, pd.Timestamp("2024-01-01 06:00:00"), 0, 4.0),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "value"])
+    df["event_type"] = "view"
+    df["props"] = "{}"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    out = resample_lerp(str(tmp_path), user_mod=31, num_parts=2)
+    got = {str(r.gt): r.value for r in out.itertuples()}
+    # 04:00 is 30/100 min between 03:30 (1.0) and 05:10 (10.0 — tie -> max
+    # event_id); 05:00 is 90/100 min along; 06:00 is exactly on an event
+    f04 = 1.0 + (10.0 - 1.0) * (1_800_000_000 / 6_000_000_000)
+    f05 = 1.0 + (10.0 - 1.0) * (5_400_000_000 / 6_000_000_000)
+    assert got == {
+        "2024-01-01 04:00:00": f04,
+        "2024-01-01 05:00:00": f05,
+        "2024-01-01 06:00:00": 4.0,
+    }

@@ -228,6 +228,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": _with_oracle(
             "semdedup", similarity.semdedup, "semdedup_oracle", "embeddings"
         ),
+        # k-core: iterative degree peel to fixpoint, two chained exchanges
+        # per round (kill notices keyed on the surviving endpoint)
+        "kcore_nodes": _with_oracle(
+            "kcore_nodes", graph.kcore_nodes, "kcore_oracle", "lineitem"
+        ),
         # product quantization: seeded driver-sample codebooks, distributed
         # encode; oracle = per-row scalar distance folds (same float spec)
         "pq_codes": _with_oracle(
@@ -2552,6 +2557,7 @@ def _ensure_default_oracles() -> None:
         ("embedding_cosine_dedup", "embeddings"),
         ("kmeans_assign", "embeddings"),
         ("semdedup", "embeddings"),
+        ("kcore_nodes", "lineitem"),
         ("pq_codes", "embeddings"),
         ("pq_adc_search", "embeddings"),
         ("pca_project", "embeddings"),
@@ -2597,6 +2603,7 @@ def _naive_oracle_sql() -> dict[str, str]:
         ),
         "kmeans_assign": read_tagged_sql("kmeans_assign", "vec_id", "embeddings"),
         "semdedup": read_tagged_sql("semdedup", "vec_id", "embeddings"),
+        "kcore_nodes": read_tagged_sql("kcore_nodes", "node_id", "lineitem"),
         "pq_codes": read_tagged_sql("pq_codes", "vec_id, m", "embeddings"),
         "pq_adc_search": read_tagged_sql("pq_adc_search", "adc_dist, vec_id", "embeddings"),
         "pca_project": read_tagged_sql("pca_project", "vec_id", "embeddings"),

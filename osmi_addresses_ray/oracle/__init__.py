@@ -109,6 +109,10 @@ _TAG_EXPR = {
     "documents": "(sum(hash(doc_id::VARCHAR || left(text, 24))) % 999999937)::BIGINT",
     "embeddings": "(sum(hash(vec_id::VARCHAR || embedding[1]::VARCHAR)) % 999999937)::BIGINT",
     "events": "(sum(hash(event_id::VARCHAR || user_id::VARCHAR)) % 999999937)::BIGINT",
+    "lineitem": (
+        "(sum(hash(l_orderkey::VARCHAR || l_suppkey::VARCHAR || "
+        "l_linenumber::VARCHAR)) % 999999937)::BIGINT"
+    ),
 }
 
 

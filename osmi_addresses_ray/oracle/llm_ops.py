@@ -743,3 +743,40 @@ def semdedup_oracle(sf_dir: str, *, tau: float = 0.42) -> pd.DataFrame:
                 }
             )
     return pd.DataFrame(rows).sort_values("vec_id").reset_index(drop=True)
+
+
+def kcore_oracle(sf_dir: str, *, k: int = 45) -> pd.DataFrame:
+    """Naive k-core peel to fixpoint with python dict-of-sets adjacency —
+    independent of the engine's exchange structure. Same trade graph as
+    the engine (customer = custkey, supplier = 1_000_000 + suppkey,
+    distinct undirected edges)."""
+    import os
+
+    orders = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    ).to_pandas()
+    lineitem = pq.read_table(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_suppkey"]
+    ).to_pandas()
+    m = lineitem.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    adj: dict[int, set[int]] = {}
+    for c, s in zip(m["o_custkey"], m["l_suppkey"]):
+        a, b = int(c), 1_000_000 + int(s)
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    while True:
+        dead = [n for n, nbrs in adj.items() if len(nbrs) < k]
+        if not dead:
+            break
+        for n in dead:
+            for nb in adj[n]:
+                adj[nb].discard(n)
+            del adj[n]
+    rows = [
+        {"node_id": np.int64(n), "degree": np.int64(len(nbrs))}
+        for n, nbrs in adj.items()
+    ]
+    out = pd.DataFrame(rows, columns=["node_id", "degree"])
+    out["node_id"] = out["node_id"].astype("int64")
+    out["degree"] = out["degree"].astype("int64")
+    return out.sort_values("node_id").reset_index(drop=True)

@@ -510,3 +510,161 @@ def bfs_hops(
     out["node_id"] = out["node"].astype("int64")
     out["hops"] = out["hops"].astype("int64")
     return out[["node_id", "hops"]].sort_values("node_id").reset_index(drop=True)
+
+
+def kcore_nodes(
+    sf_dir: str, *, k: int = 45, num_parts: int = 8, max_rounds: int = 64
+) -> pd.DataFrame:
+    """k-core of the trade graph: iteratively peel nodes of degree < ``k``
+    until fixpoint; output the surviving nodes with their within-core
+    degree. The classic density filter (Seidman 1983) a link-graph
+    curation pass runs before sampling hub-anchored documents.
+
+    Distributed shape — two chained hash exchanges per peel round, exactly
+    the PageRank iteration budget: edges live partitioned on src (both
+    directions of every undirected edge are stored, so a node's full
+    adjacency is partition-local). Round = (1) per-partition degree count →
+    dead srcs; their edges flip into KILL NOTICES (v, dead-u) keyed on the
+    surviving endpoint, survivors pass through keyed on src — one mixed
+    emission partitioned on the shared node hash space; (2) per partition,
+    drop survivor edges pointing at a dead neighbor, re-emit partitioned on
+    src for the next round. The driver sees only the edge COUNT per round
+    (termination check); volume per round is O(E_remaining). ``max_rounds``
+    is a runaway bound only — termination is the true fixpoint (a round
+    that kills nobody).
+
+    Degrees are integers and peeling is order-free within a round, so the
+    result is partitioning-invariant and bit-equal to the naive
+    peel-to-fixpoint oracle (oracle/llm_ops.kcore_oracle).
+    """
+    from ..ops import direct_cogroup
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).materialize()
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]).materialize()
+
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def to_edges(o: pa.Table, l: pa.Table) -> pa.Table:
+        od = o.to_pandas()
+        ld = l.to_pandas()
+        m = ld.merge(od, left_on="l_orderkey", right_on="o_orderkey", how="inner")
+        cust = m["o_custkey"].to_numpy(np.int64)
+        supp = m["l_suppkey"].to_numpy(np.int64) + _SUPP_BASE
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([cust, supp])),
+                "dst": pa.array(np.concatenate([supp, cust])),
+            }
+        )
+
+    emissions = direct_cogroup(
+        [orders, lineitem],
+        [["o_orderkey"], ["l_orderkey"]],
+        num_parts,
+        to_edges,
+        [
+            pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+            pa.schema([("l_orderkey", pa.int64()), ("l_suppkey", pa.int64())]),
+        ],
+        emit_partitioned_on=["src"],
+    )
+
+    def distinct_edges(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates(["src", "dst"])
+        return pa.table(
+            {
+                "src": pa.array(df["src"].to_numpy(np.int64)),
+                "dst": pa.array(df["dst"].to_numpy(np.int64)),
+            }
+        )
+
+    edges = direct_cogroup(
+        [emissions], [["src"]], num_parts, distinct_edges, [edge_schema],
+        emit_partitioned_on=["src"],
+    )
+
+    mixed_schema = pa.schema(
+        [("node", pa.int64()), ("other", pa.int64()), ("kind", pa.int64())]
+    )
+
+    def detect(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return mixed_schema.empty_table()
+        df = t.to_pandas()
+        deg = df.groupby("src")["dst"].transform("size").to_numpy(np.int64)
+        dead = deg < k
+        src = df["src"].to_numpy(np.int64)
+        dst = df["dst"].to_numpy(np.int64)
+        # survivors keyed on their own src; a dead node's edges become kill
+        # notices keyed on the OTHER endpoint
+        return pa.table(
+            {
+                "node": pa.array(np.where(dead, dst, src)),
+                "other": pa.array(np.where(dead, src, dst)),
+                "kind": pa.array(dead.astype(np.int64)),
+            }
+        )
+
+    def clean(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return edge_schema.empty_table()
+        df = t.to_pandas()
+        notices = df[df["kind"] == 1]
+        surv = df[df["kind"] == 0]
+        if len(notices):
+            # vectorized anti-join on the (node, other) pair
+            hit = surv.merge(
+                notices[["node", "other"]].drop_duplicates(),
+                on=["node", "other"],
+                how="left",
+                indicator=True,
+            )
+            surv = hit[hit["_merge"] == "left_only"]
+        return pa.table(
+            {
+                "src": pa.array(surv["node"].to_numpy(np.int64)),
+                "dst": pa.array(surv["other"].to_numpy(np.int64)),
+            }
+        )
+
+    n_edges = edges.to_dataset().count()
+    for _ in range(max_rounds):
+        mixed = direct_cogroup(
+            [edges], [["src"]], num_parts, detect, [edge_schema],
+            emit_partitioned_on=["node"],
+        )
+        edges = direct_cogroup(
+            [mixed], [["node"]], num_parts, clean, [mixed_schema],
+            emit_partitioned_on=["src"],
+        )
+        n_new = edges.to_dataset().count()
+        if n_new == n_edges:
+            break
+        n_edges = n_new
+
+    def degrees(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("node_id", pa.int64()), ("degree", pa.int64())]
+            ).empty_table()
+        g = t.to_pandas().groupby("src").size()
+        return pa.table(
+            {
+                "node_id": pa.array(g.index.to_numpy(np.int64)),
+                "degree": pa.array(g.to_numpy(np.int64)),
+            }
+        )
+
+    out = direct_cogroup(
+        [edges], [["src"]], num_parts, degrees, [edge_schema]
+    ).to_pandas()
+    if out.empty:
+        out = pd.DataFrame(
+            {
+                "node_id": pd.Series([], dtype="int64"),
+                "degree": pd.Series([], dtype="int64"),
+            }
+        )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("node_id").reset_index(drop=True)

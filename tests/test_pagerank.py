@@ -93,3 +93,50 @@ def test_bfs_hops_chain_cap_and_isolated_seed(tmp_path, ray_session):
     out = bfs_hops(str(tmp_path), num_parts=3)
     got = dict(zip(out["node_id"], out["hops"]))
     assert got == {97: 0, 194: 0, 1000001: 1, 5: 2, 1000002: 3, 6: 4}
+
+
+def test_kcore_multi_round_cascade(tmp_path, ray_session):
+    """K_{3,3} plus a 3-hop tail: the tail peels over THREE rounds (supp5 →
+    cust4 → supp4), the biclique survives with every degree exactly 3."""
+    import pandas as pd
+
+    from osmi_addresses_ray.pipelines.graph import kcore_nodes
+
+    # K_{3,3}: custs 1,2,3 x supps 1,2,3; tail: supp4-{cust1,cust2,cust4},
+    # cust4-supp5
+    pairs = [(c, s) for c in (1, 2, 3) for s in (1, 2, 3)]
+    pairs += [(1, 4), (2, 4), (4, 4), (4, 5)]
+    pd.DataFrame(
+        {
+            "o_orderkey": range(1, len(pairs) + 1),
+            "o_custkey": [c for c, _ in pairs],
+        }
+    ).to_parquet(tmp_path / "orders.parquet", index=False)
+    pd.DataFrame(
+        {
+            "l_orderkey": range(1, len(pairs) + 1),
+            "l_suppkey": [s for _, s in pairs],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet", index=False)
+
+    out = kcore_nodes(str(tmp_path), k=3, num_parts=3)
+    got = dict(zip(out["node_id"], out["degree"]))
+    assert got == {1: 3, 2: 3, 3: 3, 1000001: 3, 1000002: 3, 1000003: 3}
+
+
+def test_kcore_everything_peels(tmp_path, ray_session):
+    """A path graph has no 2-core: endpoints cascade until empty."""
+    import pandas as pd
+
+    from osmi_addresses_ray.pipelines.graph import kcore_nodes
+
+    # path c1-s1-c2-s2-c3
+    pairs = [(1, 1), (2, 1), (2, 2), (3, 2)]
+    pd.DataFrame(
+        {"o_orderkey": range(1, 5), "o_custkey": [c for c, _ in pairs]}
+    ).to_parquet(tmp_path / "orders.parquet", index=False)
+    pd.DataFrame(
+        {"l_orderkey": range(1, 5), "l_suppkey": [s for _, s in pairs]}
+    ).to_parquet(tmp_path / "lineitem.parquet", index=False)
+    out = kcore_nodes(str(tmp_path), k=2, num_parts=2)
+    assert len(out) == 0

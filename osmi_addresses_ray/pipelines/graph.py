@@ -453,7 +453,8 @@ def bfs_hops(
 
     dist = direct_partitioned_map(
         _read(sf_dir, "customer", ["c_custkey"]).materialize(),
-        ["c_custkey"], num_parts, seed, dist_schema,
+        ["c_custkey"], num_parts, seed,
+        pa.schema([("c_custkey", pa.int64())]),
     )
     # re-key onto the node hash space the merge step uses
     dist = direct_cogroup(
@@ -507,6 +508,13 @@ def bfs_hops(
         )
 
     out = dist.to_pandas()
+    if out.empty:  # no seeds in the corpus at all
+        return pd.DataFrame(
+            {
+                "node_id": pd.Series([], dtype="int64"),
+                "hops": pd.Series([], dtype="int64"),
+            }
+        )
     out["node_id"] = out["node"].astype("int64")
     out["hops"] = out["hops"].astype("int64")
     return out[["node_id", "hops"]].sort_values("node_id").reset_index(drop=True)

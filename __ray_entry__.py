@@ -295,6 +295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_pyramid_nwa": _pyramid_query,
         # extra geospatial operators (pipelines/geo_ops.py)
         "spatial_radius_join": _radius_join_query,
+        "idw_surface": _idw_query,
         "spatial_knn_join": _knn_join_query,
         "bbox_overlap_join": _bbox_overlap_query,
         "spatial_clusters": _clusters_query,
@@ -805,6 +806,34 @@ def _write_spatial_src():
             ["node_id", "way_id", "is_ip", "lon", "lat"]
         ],
     )
+
+
+def _write_idw_src():
+    """Independent point source for the IDW surface: naive-oracle nwa rows
+    incl. houseno; the SQL side re-derives quantization, the atoi prefix
+    and the grid itself."""
+    from osmi_addresses_ray.oracle import write_oracle
+
+    write_oracle(
+        "idw_src",
+        _fixture_oracle()["osmi_addresses_nodes_with_addresses"][
+            ["node_id", "way_id", "is_ip", "lon", "lat", "houseno"]
+        ],
+    )
+
+
+def _idw_query(sf_dir: str):
+    """IDW housenumber surface over occupied grid cells (one cell-keyed
+    exchange, exact fixed-point integer terms); TRUE SQL oracle: DuckDB
+    O(cells × points) join with the same integer floor-division terms."""
+    from osmi_addresses_ray.pipelines.geo_ops import idw_grid
+
+    out = idw_grid(
+        _fixture_layers()["osmi_addresses_nodes_with_addresses"],
+        num_parts=_parts_for(FIXTURE_BLOCKS),
+    )
+    _write_idw_src()
+    return out
 
 
 def _radius_join_query(sf_dir: str):
@@ -2525,6 +2554,7 @@ def _ensure_default_oracles() -> None:
             "zonal_entrances_per_building",
             "polygonize_nwa",
             "spatial_radius_join",
+            "idw_surface",
             "line_simplify",
             "convex_hull_cells",
             "media_histogram",
@@ -2699,6 +2729,32 @@ def _naive_oracle_sql() -> dict[str, str]:
             WHERE (a.ix - b.ix) * (a.ix - b.ix)
                   + (a.iy - b.iy) * (a.iy - b.iy) <= 100000000
             ORDER BY id_a, id_b
+        """,
+        # TRUE SQL IDW surface: O(cells × points) join over the independent
+        # nwa source; fixed-point integer terms — bit-equal to the engine's
+        # cell-keyed exchange whatever the partitioning
+        "idw_surface": f"""
+            WITH pts AS (
+                SELECT CAST(round(lon * 10000000) AS BIGINT) AS ix,
+                       CAST(round(lat * 10000000) AS BIGINT) AS iy,
+                       TRY_CAST(regexp_extract(houseno,
+                           '^\\s*([+-]?[0-9]+)', 1) AS BIGINT) AS v
+                FROM read_parquet('{oracle_path('idw_src')}')
+                WHERE is_ip = 0
+            ),
+            p2 AS (SELECT * FROM pts WHERE v IS NOT NULL AND v > 0),
+            g AS (SELECT DISTINCT ix // 10000 AS cx, iy // 10000 AS cy FROM p2),
+            c AS (SELECT g.cx, g.cy, p.v,
+                         (p.ix - (g.cx*10000+5000))*(p.ix - (g.cx*10000+5000))
+                       + (p.iy - (g.cy*10000+5000))*(p.iy - (g.cy*10000+5000)) AS d2
+                  FROM g, p2 p),
+            f AS (SELECT * FROM c WHERE d2 > 0 AND d2 <= 100000000)
+            SELECT cx AS cell_x, cy AS cell_y, count(*)::BIGINT AS n_pts,
+                   sum((v * 1000000000000) // d2)::BIGINT AS num,
+                   sum(1000000000000 // d2)::BIGINT AS den,
+                   sum((v * 1000000000000) // d2)::BIGINT::DOUBLE
+                     / sum(1000000000000 // d2)::BIGINT::DOUBLE AS idw
+            FROM f GROUP BY cx, cy ORDER BY cell_x, cell_y
         """,
         # TRUE SQL rectangle join: O(n²) inequality join over the
         # independently recomputed way-bbox table, exact integer areas;

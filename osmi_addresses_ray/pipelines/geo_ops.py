@@ -1337,3 +1337,179 @@ def bbox_overlap_join(ways_geo_ds, *, num_parts: int = 8) -> pd.DataFrame:
         {"building_id": "int64", "highway_id": "int64", "overlap_area": "int64"}
     )
     return df.sort_values(["building_id", "highway_id"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# IDW grid interpolation (inverse-distance-weighted surface over addresses)
+# --------------------------------------------------------------------------
+
+IDW_CELL_UNITS = 10_000  # 1e-3° grid ≈ 111 m; radius = one cell width
+_IDW_SCALE = 10**12  # fixed-point weight scale: terms are exact int64
+_IDW_SCHEMA = pa.schema(
+    [
+        ("cell_x", pa.int64()),
+        ("cell_y", pa.int64()),
+        ("n_pts", pa.int64()),
+        ("num", pa.int64()),
+        ("den", pa.int64()),
+        ("idw", pa.float64()),
+    ]
+)
+
+
+def _valued_points(t: pa.Table) -> pa.Table:
+    """nwa batch → (pid, ix, iy, v): real address points (is_ip == 0) whose
+    housenumber has a POSITIVE numeric atoi prefix (C atoi semantics, the
+    interpolation family's parser). Mirrored by the oracle SQL's
+    regexp_extract + TRY_CAST."""
+    import pyarrow.compute as pc
+
+    s = t.filter(pc.equal(t["is_ip"], 0))
+    if s.num_rows == 0:
+        return pa.schema(
+            [("pid", pa.int64()), ("ix", pa.int64()), ("iy", pa.int64()),
+             ("v", pa.int64())]
+        ).empty_table()
+    node = s["node_id"].to_numpy(zero_copy_only=False)
+    way = s["way_id"].to_numpy(zero_copy_only=False)
+    pid = np.where(np.isnan(node), _CENTROID_PID_BASE + way, node).astype(np.int64)
+    ix = np.round(s["lon"].to_numpy(zero_copy_only=False) * QUANT).astype(np.int64)
+    iy = np.round(s["lat"].to_numpy(zero_copy_only=False) * QUANT).astype(np.int64)
+    hn = pd.Series(s["houseno"].to_pandas(), copy=False).astype("string")
+    v = (
+        hn.str.extract(r"^\s*([+-]?[0-9]+)", expand=False)
+        .astype("Int64")
+        .to_numpy(dtype="float64", na_value=np.nan)
+    )
+    keep = ~np.isnan(v)
+    keep &= np.where(keep, v, 0) > 0
+    return pa.table(
+        {
+            "pid": pa.array(pid[keep]),
+            "ix": pa.array(ix[keep]),
+            "iy": pa.array(iy[keep]),
+            "v": pa.array(v[keep].astype(np.int64)),
+        }
+    )
+
+
+def idw_grid(nwa_ds, *, cell: int = IDW_CELL_UNITS, num_parts: int = 8) -> pd.DataFrame:
+    """Inverse-distance-weighted (power 2) interpolation of housenumber
+    values onto the centers of every OCCUPIED grid cell — the classic
+    scattered-points → raster surface step (Shepard 1968), over the same
+    quantized integer coordinates as the rest of the geo family.
+
+    Exactness: each contribution is the fixed-point pair
+    ``num_i = (v_i·10¹²) // d2_i``, ``den_i = 10¹² // d2_i`` — exact int64
+    floor divisions, summed order-free — and ``idw = num/den`` is ONE IEEE
+    division, so the TRUE SQL oracle (same integer terms over an O(cells ×
+    points) join) is bit-equal regardless of partitioning. Contributors are
+    points with ``0 < d2 ≤ cell²`` of the cell center (a point exactly ON
+    a center is excluded — d2 = 0 has no IDW weight); a cell whose only
+    points sit on its center emits nothing.
+
+    Shape: one hash exchange on the cell id — each valued point is emitted
+    once as an OCCUPANCY row (home cell) and 9× as a CANDIDATE row into the
+    3×3 neighborhood (radius = cell width ⇒ one-ring suffices, the
+    ``radius_pairs`` invariant); the per-cell fold is vectorized. Domain
+    note: coordinates are libosmium-positive (testzone convention); the
+    oracle's integer ``//`` truncates where numpy floors, which differ only
+    on negative operands that this domain never produces.
+    """
+    from ..ops import direct_partitioned_map
+
+    cell = int(cell)
+    r2 = cell * cell
+    half = cell // 2
+
+    emit_schema = pa.schema(
+        [
+            ("cell", pa.int64()),
+            ("side", pa.int8()),
+            ("ix", pa.int64()),
+            ("iy", pa.int64()),
+            ("v", pa.int64()),
+        ]
+    )
+
+    def emit(t: pa.Table) -> pa.Table:
+        p = _valued_points(t)
+        if p.num_rows == 0:
+            return emit_schema.empty_table()
+        ix = p["ix"].to_numpy(zero_copy_only=False)
+        iy = p["iy"].to_numpy(zero_copy_only=False)
+        v = p["v"].to_numpy(zero_copy_only=False)
+        cx = ix // cell
+        cy = iy // cell
+        n = len(ix)
+        home = _cell_key(cx, cy)
+        dxy = np.array([-1, 0, 1], dtype=np.int64)
+        offx = np.repeat(dxy, 3)
+        offy = np.tile(dxy, 3)
+        rep = _cell_key((cx[:, None] + offx[None, :]).ravel(),
+                        (cy[:, None] + offy[None, :]).ravel())
+        return pa.table(
+            {
+                "cell": pa.array(np.concatenate([home, rep])),
+                "side": pa.array(
+                    np.concatenate([np.zeros(n, np.int8), np.ones(9 * n, np.int8)])
+                ),
+                "ix": pa.array(np.concatenate([ix, np.repeat(ix, 9)])),
+                "iy": pa.array(np.concatenate([iy, np.repeat(iy, 9)])),
+                "v": pa.array(np.concatenate([v, np.repeat(v, 9)])),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _IDW_SCHEMA.empty_table()
+        df = t.to_pandas()
+        occ = df[df["side"] == 0]
+        cand = df[df["side"] == 1]
+        if not len(occ):
+            return _IDW_SCHEMA.empty_table()
+        cells = occ["cell"].drop_duplicates().to_numpy(np.int64)
+        out_rows = []
+        cand_by_cell = dict(tuple(cand.groupby("cell")))
+        for ck in cells:
+            cx = ck // (1 << 26) - _CELL_BIAS
+            cy = ck % (1 << 26) - _CELL_BIAS
+            gx = cx * cell + half
+            gy = cy * cell + half
+            c = cand_by_cell.get(ck)
+            if c is None:
+                continue
+            dx = c["ix"].to_numpy(np.int64) - gx
+            dy = c["iy"].to_numpy(np.int64) - gy
+            d2 = dx * dx + dy * dy
+            m = (d2 > 0) & (d2 <= r2)
+            if not m.any():
+                continue
+            d2m = d2[m]
+            vm = c["v"].to_numpy(np.int64)[m]
+            num = int(((vm * _IDW_SCALE) // d2m).sum())
+            den = int((_IDW_SCALE // d2m).sum())
+            out_rows.append((cx, cy, int(m.sum()), num, den))
+        if not out_rows:
+            return _IDW_SCHEMA.empty_table()
+        cxs, cys, ns, nums, dens = (np.array(x, np.int64) for x in zip(*out_rows))
+        return pa.table(
+            {
+                "cell_x": pa.array(cxs),
+                "cell_y": pa.array(cys),
+                "n_pts": pa.array(ns),
+                "num": pa.array(nums),
+                "den": pa.array(dens),
+                "idw": pa.array(nums.astype(np.float64) / dens.astype(np.float64)),
+            }
+        )
+
+    out = direct_partitioned_map(
+        nwa_ds, ["cell"], num_parts, fold, emit_schema, pre=emit
+    ).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({c: pd.Series([], dtype=str(t.to_pandas_dtype()))
+                            for c, t in zip(_IDW_SCHEMA.names, _IDW_SCHEMA.types)})
+    for c in ("cell_x", "cell_y", "n_pts", "num", "den"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["cell_x", "cell_y"]).reset_index(drop=True)

@@ -154,3 +154,67 @@ def test_convex_hulls_cross_batch_merge(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, exp)
+
+
+def _nwa_like(rows):
+    """rows: (node_id, lon, lat, houseno) → minimal nwa-shaped Dataset."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    df = pd.DataFrame(rows, columns=["node_id", "lon", "lat", "houseno"])
+    df["node_id"] = df["node_id"].astype("float64")
+    df["way_id"] = np.zeros(len(df))  # float64, never selected (node_id set)
+    df["is_ip"] = 0
+    return rd.from_pandas(df)
+
+
+def test_idw_grid_closed_form(ray_session):
+    """Two values straddling one cell center at known integer distances:
+    the fixed-point terms are computable by hand."""
+    import numpy as np
+
+    from osmi_addresses_ray.pipelines.geo_ops import idw_grid
+
+    # cell 10000 units = 1e-3 deg; cell (8000, 47000) center = (80005000,
+    # 470005000) units. Points at +/-1000 units in x → d2 = 1e6 each.
+    c_lon, c_lat = 8.0005, 47.0005
+    out = idw_grid(
+        _nwa_like(
+            [
+                (1, c_lon - 0.0001, c_lat, "10"),
+                (2, c_lon + 0.0001, c_lat, "30"),
+                # on-center point: excluded from the fold (d2 = 0) but its
+                # presence alone would mark the cell occupied
+                (3, c_lon, c_lat, "999"),
+                # out of radius (>1 cell away in x)
+                (4, c_lon + 0.0021, c_lat, "7x"),
+            ]
+        ),
+        num_parts=2,
+    )
+    S = 10**12
+    # cells: home of pts 1,2,3 and the home of pt 4 (occupied by pt 4 only,
+    # reached by pts within radius? pt4 home center is 2 cells right of c —
+    # no candidate within r2 except pt4 itself at d2>0)
+    main = out[(out.cell_x == 8000) & (out.cell_y == 47000)].iloc[0]
+    assert main.n_pts == 2
+    assert main.num == (10 * S) // 1_000_000 + (30 * S) // 1_000_000
+    assert main.den == 2 * (S // 1_000_000)
+    assert np.isclose(main.idw, 20.0)  # equidistant → plain mean
+
+
+def test_idw_grid_partition_invariance(ray_session):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, 8.0 + rng.randint(0, 60) * 1e-4, 47.0 + rng.randint(0, 60) * 1e-4,
+         str(1 + rng.randint(0, 99)))
+        for i in range(60)
+    ]
+    from osmi_addresses_ray.pipelines.geo_ops import idw_grid
+
+    a = idw_grid(_nwa_like(rows), num_parts=1)
+    b = idw_grid(_nwa_like(rows), num_parts=7)
+    assert a.equals(b)

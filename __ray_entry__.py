@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mad_priority": relational.q_mad_priority,
         "q_zscore_orders": relational.q_zscore_orders,
         "q_trimmed_mean": relational.q_trimmed_mean,
+        "q_weighted_quantiles": relational.q_weighted_quantiles,
         "pareto_orders": relational.pareto_orders,
         "embedding_covariance": similarity.embedding_covariance,
         # time-series custom operators (SQL-checked): one hash exchange on
@@ -1094,6 +1095,31 @@ def oracle_sql() -> dict[str, str]:
         # robust means from exact integer cents: t = n // 10, trimmed =
         # ranks (t, n-t], winsorized clamps the tails to the boundary ranks;
         # ONE final division each + round(6) is bit-identical
+        # weighted exact quantiles: distinct-value cumulative weights, exact
+        # cross-multiplied threshold (100·cum >= q·W), all integer cents
+        "q_weighted_quantiles": """
+            WITH t AS (SELECT l_returnflag AS rf,
+                              CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
+                              CAST(l_quantity AS BIGINT) AS w
+                       FROM lineitem),
+            d AS (SELECT rf, c, sum(w)::BIGINT AS w FROM t GROUP BY rf, c),
+            cw AS (SELECT rf, c,
+                          (sum(w) OVER (PARTITION BY rf ORDER BY c))::BIGINT AS cum
+                   FROM d),
+            tot AS (SELECT rf, sum(w)::BIGINT AS tw FROM d GROUP BY rf)
+            SELECT tot.rf AS l_returnflag, tot.tw AS total_w,
+                   (SELECT min(c) FROM cw WHERE cw.rf = tot.rf
+                       AND 100 * cw.cum >= 25 * tot.tw)::BIGINT AS p25,
+                   (SELECT min(c) FROM cw WHERE cw.rf = tot.rf
+                       AND 100 * cw.cum >= 50 * tot.tw)::BIGINT AS p50,
+                   (SELECT min(c) FROM cw WHERE cw.rf = tot.rf
+                       AND 100 * cw.cum >= 75 * tot.tw)::BIGINT AS p75,
+                   (SELECT min(c) FROM cw WHERE cw.rf = tot.rf
+                       AND 100 * cw.cum >= 90 * tot.tw)::BIGINT AS p90,
+                   (SELECT min(c) FROM cw WHERE cw.rf = tot.rf
+                       AND 100 * cw.cum >= 99 * tot.tw)::BIGINT AS p99
+            FROM tot ORDER BY l_returnflag
+        """,
         "q_trimmed_mean": """
             WITH v AS (SELECT l_returnflag AS f,
                               CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS c

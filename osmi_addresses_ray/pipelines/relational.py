@@ -1659,3 +1659,110 @@ def q_trimmed_mean(sf_dir: str) -> pd.DataFrame:
         )
     out = pd.DataFrame(rows).astype({"n": "int64"})
     return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def q_weighted_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Quantity-WEIGHTED exact price quantiles per return flag: the smallest
+    price (in integer cents) whose cumulative quantity weight reaches
+    q·W — the token-weighted-percentile shape every corpus-curation report
+    needs (weights = tokens, values = doc scores), entirely in exact
+    integers (cross-multiplied 100·cumw ≥ q100·W, no float thresholds).
+
+    Binned two-pass shape (same scaling argument as
+    ``grouped_quantiles_binned``): pass 1 ships only (flag, bin, Σw) — never
+    values; the driver walks the merged histogram to each quantile's
+    (bin, residual-weight threshold); pass 2 re-reads only the needed bins
+    and resolves the exact value by within-bin weighted rank. Correctness
+    is bin-placement-independent: rank accounting and row selection use the
+    same bin function.
+    """
+    q100s = (25, 50, 75, 90, 99)
+    key, BIN = "l_returnflag", 4096
+
+    ds = read(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice", "l_quantity"]
+    )
+
+    def to_cw(t: pa.Table):
+        c = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        w = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t[key].to_numpy(zero_copy_only=False), c, w
+
+    def partial(t: pa.Table) -> pa.Table:
+        ks, c, w = to_cw(t)
+        return (
+            pa.table(
+                {key: pa.array(ks), "__bin": pa.array(c // BIN), "w": pa.array(w)}
+            )
+            .group_by([key, "__bin"], use_threads=False)
+            .aggregate([("w", "sum")])
+            .rename_columns([key, "__bin", "w"])
+        )
+
+    hist = (
+        grouped_agg(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            [key, "__bin"],
+            {"w": ("w", "sum")},
+        )
+        .to_pandas()
+        .sort_values([key, "__bin"], kind="stable")
+    )
+
+    # driver: per flag, each quantile's (bin, within-bin weight threshold)
+    needed: dict[tuple, list[tuple[int, int]]] = {}
+    totals: dict = {}
+    for f, g in hist.groupby(key, sort=True):
+        wsum = g["w"].to_numpy(np.int64)
+        bins = g["__bin"].to_numpy(np.int64)
+        cum = np.cumsum(wsum)
+        W = int(cum[-1])
+        totals[f] = W
+        for q in q100s:
+            j = int(np.searchsorted(100 * cum, q * W, side="left"))
+            before = int(cum[j - 1]) if j else 0
+            t_in = (q * W - 100 * before + 99) // 100  # ceil, exact ints
+            needed.setdefault((f, int(bins[j])), []).append((q, int(t_in)))
+
+    import ray
+
+    by_key: dict = {}
+    for f, b in needed:
+        by_key.setdefault(f, []).append(b)
+    ref = ray.put({f: np.array(sorted(v), np.int64) for f, v in by_key.items()})
+
+    def pick(t: pa.Table) -> pa.Table:
+        ns = ray.get(ref)
+        ks, c, w = to_cw(t)
+        bs = c // BIN
+        keep = np.zeros(len(ks), dtype=bool)
+        for f, bins in ns.items():
+            keep |= (ks == f) & np.isin(bs, bins)
+        return pa.table(
+            {
+                key: pa.array(ks[keep]),
+                "__bin": pa.array(bs[keep]),
+                "c": pa.array(c[keep]),
+                "w": pa.array(w[keep]),
+            }
+        )
+
+    picked = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+
+    rows: dict = {}
+    for (f, b), wants in needed.items():
+        sub = picked[(picked[key] == f) & (picked["__bin"] == b)]
+        # collapse ties on the exact value, then weighted rank by cumsum
+        agg = sub.groupby("c", sort=True)["w"].sum()
+        vals = agg.index.to_numpy(np.int64)
+        cumw = np.cumsum(agg.to_numpy(np.int64))
+        for q, t_in in wants:
+            v = int(vals[np.searchsorted(cumw, t_in, side="left")])
+            rows.setdefault(f, {key: f, "total_w": totals[f]})[f"p{q:02d}"] = v
+    cols = [key, "total_w"] + [f"p{q:02d}" for q in q100s]
+    out = pd.DataFrame(list(rows.values()))[cols]
+    for c in cols[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(key).reset_index(drop=True)

@@ -335,3 +335,30 @@ def test_bpe_tie_breaks_lexicographically(tmp_path):
                    str(tmp_path / "documents.parquet"))
     out = bpe_merges(str(tmp_path), n_merges=1)
     assert (out.loc[0, "left"], out.loc[0, "right"]) == ("a", "b")
+
+
+def test_weighted_quantiles_differ_from_unweighted(tmp_path, ray_session):
+    """One heavy row dominates: the weighted median is the heavy value,
+    the unweighted median would not be."""
+    import numpy as np
+    import pandas as pd
+
+    from osmi_addresses_ray.pipelines.relational import q_weighted_quantiles
+
+    # flag A: values 1.00..5.00, weight 1 each, plus value 9.00 with
+    # weight 95 → W = 100; weighted p50 = p25 = 9.00 (cum hits 9.00's
+    # mass at rank 6..100); p-small = low values
+    df = pd.DataFrame(
+        {
+            "l_returnflag": ["A"] * 6,
+            "l_extendedprice": [1.0, 2.0, 3.0, 4.0, 5.0, 9.0],
+            "l_quantity": [1.0, 1.0, 1.0, 1.0, 1.0, 95.0],
+        }
+    )
+    df.to_parquet(tmp_path / "lineitem.parquet", index=False)
+    out = q_weighted_quantiles(str(tmp_path))
+    r = out.iloc[0]
+    assert r.total_w == 100
+    # thresholds: p25 -> cum >= 25, p50 -> cum >= 50: both inside the
+    # heavy 9.00 mass (cum before it is 5)
+    assert r.p25 == 900 and r.p50 == 900 and r.p99 == 900

@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_zscore_orders": relational.q_zscore_orders,
         "q_trimmed_mean": relational.q_trimmed_mean,
         "q_weighted_quantiles": relational.q_weighted_quantiles,
+        "q_props_extract": relational.q_props_extract,
         "pareto_orders": relational.pareto_orders,
         "embedding_covariance": similarity.embedding_covariance,
         # time-series custom operators (SQL-checked): one hash exchange on
@@ -1095,6 +1096,21 @@ def oracle_sql() -> dict[str, str]:
         # robust means from exact integer cents: t = n // 10, trimmed =
         # ranks (t, n-t], winsorized clamps the tails to the boundary ranks;
         # ONE final division each + round(6) is bit-identical
+        # JSON field extraction: one shared regexp spec, exact integer
+        # aggregates; groups with no numeric k pin min/max to 0
+        "q_props_extract": """
+            WITH t AS (SELECT event_type,
+                              TRY_CAST(regexp_extract(props,
+                                  '"k"\\s*:\\s*(-?[0-9]+)', 1) AS BIGINT) AS k
+                       FROM events)
+            SELECT event_type,
+                   count(*)::BIGINT AS n,
+                   count(*) FILTER (k IS NULL)::BIGINT AS n_missing,
+                   COALESCE(sum(k), 0)::BIGINT AS sum_k,
+                   COALESCE(min(k), 0)::BIGINT AS min_k,
+                   COALESCE(max(k), 0)::BIGINT AS max_k
+            FROM t GROUP BY event_type ORDER BY event_type
+        """,
         # weighted exact quantiles: distinct-value cumulative weights, exact
         # cross-multiplied threshold (100·cum >= q·W), all integer cents
         "q_weighted_quantiles": """

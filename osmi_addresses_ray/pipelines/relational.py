@@ -1766,3 +1766,61 @@ def q_weighted_quantiles(sf_dir: str) -> pd.DataFrame:
     for c in cols[1:]:
         out[c] = out[c].astype("int64")
     return out.sort_values(key).reset_index(drop=True)
+
+
+def q_props_extract(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured extraction: pull the integer field ``k`` out of the
+    JSON ``props`` column (vectorized regexp — no per-row json.loads) and
+    aggregate it per event type. The engine's regex and the oracle's DuckDB
+    ``regexp_extract`` share one spec; rows whose props lack a numeric k
+    count in ``n_missing`` instead of being silently dropped. All outputs
+    are exact integers — partial per-batch aggregation, one tiny groupby.
+    """
+    ds = read(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        props = pd.Series(t["props"].to_pandas(), copy=False).astype("string")
+        k = props.str.extract(r'"k"\s*:\s*(-?[0-9]+)', expand=False).astype("Int64")
+        kv = k.to_numpy(dtype="float64", na_value=np.nan)
+        have = ~np.isnan(kv)
+        kz = np.where(have, kv, 0).astype(np.int64)
+        big = np.int64(np.iinfo(np.int64).max)
+        return (
+            pa.table(
+                {
+                    "event_type": pa.array(et),
+                    "n": pa.array(np.ones(len(et), np.int64)),
+                    "n_missing": pa.array((~have).astype(np.int64)),
+                    "sum_k": pa.array(kz),
+                    "min_k": pa.array(np.where(have, kz, big)),
+                    "max_k": pa.array(np.where(have, kz, -big - 1)),
+                }
+            )
+            .group_by(["event_type"], use_threads=False)
+            .aggregate(
+                [("n", "sum"), ("n_missing", "sum"), ("sum_k", "sum"),
+                 ("min_k", "min"), ("max_k", "max")]
+            )
+            .rename_columns(
+                ["event_type", "n", "n_missing", "sum_k", "min_k", "max_k"]
+            )
+        )
+
+    out = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"],
+        {
+            "n": ("n", "sum"),
+            "n_missing": ("n_missing", "sum"),
+            "sum_k": ("sum_k", "sum"),
+            "min_k": ("min_k", "min"),
+            "max_k": ("max_k", "max"),
+        },
+    ).to_pandas()
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    # a group with NO numeric k pins min/max to 0 (the oracle's COALESCE)
+    allmiss = out["n_missing"] == out["n"]
+    out.loc[allmiss, ["min_k", "max_k"]] = 0
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -252,3 +252,28 @@ def test_doc_repetition_edges(tmp_path):
         # case-sensitive spec: "Unique" twice, "Words"/"only" once
         {"doc_id": 3, "n_tokens": 4, "n_distinct": 3, "top_count": 2},
     ]
+
+
+def test_props_extract_missing_and_negative(tmp_path, ray_session):
+    """Malformed / k-less JSON counts as missing (min/max pinned to 0 for
+    all-missing groups); negative and spaced k parse."""
+    import pandas as pd
+
+    from osmi_addresses_ray.pipelines.relational import q_props_extract
+
+    df = pd.DataFrame(
+        {
+            "event_id": range(6),
+            "event_type": ["a", "a", "a", "b", "b", "c"],
+            "props": ['{"k": 5}', '{"k":-3}', '{"x": 1}', '{ "k" : 7 }',
+                      "not json", "{}"],
+        }
+    )
+    df["ts"] = pd.Timestamp("2024-01-01")
+    df["user_id"] = 1
+    df["value"] = 0.0
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    out = q_props_extract(str(tmp_path)).set_index("event_type")
+    assert out.loc["a", ["n", "n_missing", "sum_k", "min_k", "max_k"]].tolist() == [3, 1, 2, -3, 5]
+    assert out.loc["b", ["n", "n_missing", "sum_k"]].tolist() == [2, 1, 7]
+    assert out.loc["c", ["n_missing", "min_k", "max_k"]].tolist() == [1, 0, 0]

@@ -235,6 +235,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_nodes": _with_oracle(
             "kcore_nodes", graph.kcore_nodes, "kcore_oracle", "lineitem"
         ),
+        # KLL quantile sketch: per-partition compactor ladders, driver
+        # merge; output pairs estimate with exact rank error
+        "kll_quantiles": _with_oracle(
+            "kll_quantiles", sketches.kll_quantiles, "kll_oracle", "events"
+        ),
         # product quantization: seeded driver-sample codebooks, distributed
         # encode; oracle = per-row scalar distance folds (same float spec)
         "pq_codes": _with_oracle(
@@ -2630,6 +2635,7 @@ def _ensure_default_oracles() -> None:
         ("kmeans_assign", "embeddings"),
         ("semdedup", "embeddings"),
         ("kcore_nodes", "lineitem"),
+        ("kll_quantiles", "events"),
         ("pq_codes", "embeddings"),
         ("pq_adc_search", "embeddings"),
         ("pca_project", "embeddings"),
@@ -2676,6 +2682,7 @@ def _naive_oracle_sql() -> dict[str, str]:
         "kmeans_assign": read_tagged_sql("kmeans_assign", "vec_id", "embeddings"),
         "semdedup": read_tagged_sql("semdedup", "vec_id", "embeddings"),
         "kcore_nodes": read_tagged_sql("kcore_nodes", "node_id", "lineitem"),
+        "kll_quantiles": read_tagged_sql("kll_quantiles", "q100", "events"),
         "pq_codes": read_tagged_sql("pq_codes", "vec_id, m", "embeddings"),
         "pq_adc_search": read_tagged_sql("pq_adc_search", "adc_dist, vec_id", "embeddings"),
         "pca_project": read_tagged_sql("pca_project", "vec_id", "embeddings"),

@@ -780,3 +780,104 @@ def kcore_oracle(sf_dir: str, *, k: int = 45) -> pd.DataFrame:
     out["node_id"] = out["node_id"].astype("int64")
     out["degree"] = out["degree"].astype("int64")
     return out.sort_values("node_id").reset_index(drop=True)
+
+
+def _kll_oracle_cap(h: int, n_levels: int) -> int:
+    import math
+
+    return max(2, math.ceil(128 * ((2.0 / 3.0) ** (n_levels - 1 - h))))
+
+
+class _KLLOracle:
+    """Standalone scalar mirror of the engine's deterministic KLL spec
+    (pipelines/sketches.KLLSketch docstring); no engine imports."""
+
+    def __init__(self):
+        self.levels = [[]]
+        self.coins = [0]
+
+    def _compact(self):
+        while True:
+            nl = len(self.levels)
+            target = None
+            for h in range(nl):
+                if len(self.levels[h]) > _kll_oracle_cap(h, nl):
+                    target = h
+                    break
+            if target is None:
+                return
+            lv = sorted(self.levels[target])
+            even = len(lv) - (len(lv) % 2)
+            o = self.coins[target] % 2
+            self.coins[target] += 1
+            promoted = lv[o:even:2]
+            self.levels[target] = lv[even:]
+            if target + 1 == len(self.levels):
+                self.levels.append([])
+                self.coins.append(0)
+            self.levels[target + 1].extend(promoted)
+
+    def insert_sorted(self, values):
+        for v in values:
+            self.levels[0].append(int(v))
+            if len(self.levels[0]) > _kll_oracle_cap(0, len(self.levels)):
+                self._compact()
+
+    def merge(self, other):
+        while len(self.levels) < len(other.levels):
+            self.levels.append([])
+            self.coins.append(0)
+        for h in range(len(other.levels)):
+            self.levels[h].extend(other.levels[h])
+            self.coins[h] += other.coins[h]
+        self._compact()
+
+
+def kll_oracle(sf_dir: str) -> pd.DataFrame:
+    """Naive recomputation of kll_quantiles: same partition hash (pandas'
+    fixed-key siphash), same feed order, same merge order, scalar loops."""
+    import os
+
+    ev = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
+    ).to_pandas()
+    cents = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    eid = ev["event_id"].to_numpy(np.int64)
+    part = (
+        pd.util.hash_pandas_object(ev["event_id"], index=False).to_numpy()
+        % np.uint64(8)
+    ).astype(np.int64)
+
+    merged = _KLLOracle()
+    for p in sorted(set(part.tolist())):
+        m = part == p
+        order = np.lexsort((eid[m], cents[m]))
+        sk = _KLLOracle()
+        sk.insert_sorted(cents[m][order])
+        merged.merge(sk)
+
+    n = len(cents)
+    svals = np.sort(cents)
+    pairs = sorted(
+        (v, 1 << h) for h, lv in enumerate(merged.levels) for v in lv
+    )
+    total = sum(w for _, w in pairs)
+    assert total == n
+    rows = []
+    for q in (1, 10, 25, 50, 75, 90, 99):
+        cum = 0
+        est = pairs[-1][0]
+        for v, w in pairs:
+            cum += w
+            if 100 * cum >= q * total:
+                est = v
+                break
+        target = -(-q * n // 100)
+        exact = int(svals[target - 1])
+        rank_est = int(np.searchsorted(svals, est, side="right"))
+        err = round(abs(rank_est - target) / n, 6)
+        rows.append(
+            {"q100": np.int64(q), "est": np.int64(est), "exact": np.int64(exact),
+             "rank_err_frac": err, "n": np.int64(n)}
+        )
+    return pd.DataFrame(rows)

@@ -249,3 +249,221 @@ def cms_token_counts(sf_dir: str, probe_tokens: list[str] | None = None) -> pd.D
     )
     assert (out["est_cnt"] >= out["true_cnt"]).all()  # CMS one-sided error
     return out.sort_values("token").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# KLL quantile sketch (Karnin–Lang–Liberty 2016), deterministic variant
+# --------------------------------------------------------------------------
+
+KLL_K = 128  # top-level capacity; rank error ~ O(1/k)
+_KLL_C = 2.0 / 3.0
+KLL_Q100S = (1, 10, 25, 50, 75, 90, 99)
+KLL_PARTS = 8
+
+
+def _kll_cap(h: int, n_levels: int) -> int:
+    import math
+
+    d = n_levels - 1 - h  # depth from the top
+    return max(2, math.ceil(KLL_K * (_KLL_C ** d)))
+
+
+class KLLSketch:
+    """Deterministic KLL: the classic geometric-capacity compactor ladder
+    with the random coin replaced by a per-level compaction COUNTER parity
+    (spec shared verbatim with oracle/llm_ops.kll_oracle — the two are
+    loop-for-loop mirrors):
+
+      * level h holds items of weight 2^h; capacities shrink by 2/3 per
+        level below the top.
+      * compaction of level h: sort ascending; an ODD length retains the
+        maximum at the level; offset = coins[h] % 2 (then coins[h] += 1);
+        every 2nd item of the even prefix promotes to level h+1.
+        Weight is conserved exactly, so Σ 2^h·|level h| == #inserts.
+      * the compaction loop always fixes the LOWEST over-capacity level
+        first, re-deriving capacities as the ladder grows.
+      * merge: extend level lists and add coin counters elementwise, then
+        run the same loop.
+
+    Determinism contract: inputs are fed in (value, id)-sorted order per
+    hash partition and partition sketches merge in partition-index order,
+    so the final sketch is a pure function of the input multiset + the
+    partition count — which is what lets the driver hash-check estimates
+    against the naive recomputation.
+    """
+
+    __slots__ = ("levels", "coins")
+
+    def __init__(self):
+        self.levels: list[list[int]] = [[]]
+        self.coins: list[int] = [0]
+
+    def _compact_loop(self) -> None:
+        while True:
+            n_levels = len(self.levels)
+            for h in range(n_levels):
+                if len(self.levels[h]) > _kll_cap(h, n_levels):
+                    break
+            else:
+                return
+            lv = sorted(self.levels[h])
+            even = len(lv) - (len(lv) % 2)
+            o = self.coins[h] % 2
+            self.coins[h] += 1
+            promoted = lv[o:even:2]
+            self.levels[h] = lv[even:]  # the retained max (or nothing)
+            if h + 1 == len(self.levels):
+                self.levels.append([])
+                self.coins.append(0)
+            self.levels[h + 1].extend(promoted)
+
+    def insert_sorted(self, values) -> None:
+        """Feed pre-sorted values one at a time (the spec's insert order)."""
+        cap0 = _kll_cap(0, len(self.levels))
+        for v in values:
+            self.levels[0].append(int(v))
+            if len(self.levels[0]) > cap0:
+                self._compact_loop()
+                cap0 = _kll_cap(0, len(self.levels))
+
+    def merge(self, other: "KLLSketch") -> None:
+        while len(self.levels) < len(other.levels):
+            self.levels.append([])
+            self.coins.append(0)
+        for h, lv in enumerate(other.levels):
+            self.levels[h].extend(lv)
+            self.coins[h] += other.coins[h]
+        self._compact_loop()
+
+    def total_weight(self) -> int:
+        return sum((1 << h) * len(lv) for h, lv in enumerate(self.levels))
+
+    def quantile(self, q100: int) -> int:
+        pairs = sorted(
+            (v, 1 << h) for h, lv in enumerate(self.levels) for v in lv
+        )
+        total = self.total_weight()
+        cum = 0
+        for v, w in pairs:
+            cum += w
+            if 100 * cum >= q100 * total:
+                return v
+        return pairs[-1][0]
+
+
+def kll_quantiles(sf_dir: str, *, num_parts: int = KLL_PARTS) -> pd.DataFrame:
+    """Approximate quantiles of ``events.value`` (integer cents) from a
+    mergeable KLL sketch, reported AGAINST the exact order statistics so
+    the rank error is part of the hash-checked result:
+
+      (q100, est, exact, rank_err_frac, n)   with
+      rank_err_frac = |rank(est) − ceil(q·n/100)| / n, rounded to 6.
+
+    Distributed shape: ONE hash exchange builds a per-partition sketch
+    (each a few KB whatever the partition holds); the driver merges P
+    sketches in partition order. The exact side rides the value-histogram
+    exchange (bounded by DISTINCT cents, not rows — 17.8k at sf0.1), which
+    also furnishes rank(est) with no extra pass. At 100 TB the histogram
+    verification leg is dropped and the sketch stands alone — that is the
+    point of the sketch; here the pairing is what makes the gate
+    falsifiable (a compaction bug shifts est and breaks the hash).
+    """
+    from ..ops import direct_partitioned_map
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
+    ).materialize()
+
+    sk_schema = pa.schema(
+        [("part", pa.int64()), ("level", pa.int64()), ("kind", pa.int64()),
+         ("v", pa.int64())]
+    )
+    in_schema = pa.schema([("event_id", pa.int64()), ("value", pa.float64())])
+
+    def build(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return sk_schema.empty_table()
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        from ..ops import hash_keys
+
+        # NB: uint64 % python-int promotes to float64 and garbles — keep the
+        # modulus in uint64 like ops._split does
+        part = int(hash_keys(t.slice(0, 1), ["event_id"])[0] % np.uint64(num_parts))
+        order = np.lexsort((eid, cents))
+        sk = KLLSketch()
+        sk.insert_sorted(cents[order])
+        rows_level, rows_kind, rows_v = [], [], []
+        for h, lv in enumerate(sk.levels):
+            for v in lv:
+                rows_level.append(h); rows_kind.append(0); rows_v.append(v)
+            rows_level.append(h); rows_kind.append(1); rows_v.append(sk.coins[h])
+        n = len(rows_v)
+        return pa.table(
+            {
+                "part": pa.array(np.full(n, part, np.int64)),
+                "level": pa.array(np.array(rows_level, np.int64)),
+                "kind": pa.array(np.array(rows_kind, np.int64)),
+                "v": pa.array(np.array(rows_v, np.int64)),
+            }
+        )
+
+    sk_rows = direct_partitioned_map(
+        ds, ["event_id"], num_parts, build, in_schema
+    ).to_pandas()
+
+    # exact side: value-histogram exchange (bounded by distinct cents)
+    def hist_partial(t: pa.Table) -> pa.Table:
+        c = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        vals, cnt = np.unique(c, return_counts=True)
+        return pa.table({"c": pa.array(vals), "cnt": pa.array(cnt.astype(np.int64))})
+
+    from .relational import grouped_agg
+
+    hist = (
+        grouped_agg(
+            ds.map_batches(hist_partial, batch_format="pyarrow"),
+            ["c"], {"cnt": ("cnt", "sum")},
+        )
+        .to_pandas()
+        .sort_values("c")
+    )
+    hv = hist["c"].to_numpy(np.int64)
+    hc = np.cumsum(hist["cnt"].to_numpy(np.int64))
+    n = int(hc[-1])
+
+    # driver: reconstruct + merge partition sketches in partition order
+    merged = KLLSketch()
+    for p in sorted(sk_rows["part"].unique()):
+        g = sk_rows[sk_rows["part"] == p]
+        sk = KLLSketch()
+        n_lv = int(g["level"].max()) + 1
+        sk.levels = [
+            sorted(g[(g["level"] == h) & (g["kind"] == 0)]["v"].tolist())
+            for h in range(n_lv)
+        ]
+        sk.coins = [
+            int(g[(g["level"] == h) & (g["kind"] == 1)]["v"].iloc[0])
+            for h in range(n_lv)
+        ]
+        merged.merge(sk)
+    assert merged.total_weight() == n, "KLL weight conservation broken"
+
+    rows = []
+    for q in KLL_Q100S:
+        est = merged.quantile(q)
+        target = -(-q * n // 100)  # ceil(q·n/100)
+        exact = int(hv[np.searchsorted(100 * hc, 100 * target, side="left")])
+        rank_est = int(hc[np.searchsorted(hv, est, side="right") - 1]) if est >= hv[0] else 0
+        err = round(abs(rank_est - target) / n, 6)
+        rows.append(
+            {"q100": q, "est": est, "exact": exact, "rank_err_frac": err, "n": n}
+        )
+    out = pd.DataFrame(rows)
+    for c in ("q100", "est", "exact", "n"):
+        out[c] = out[c].astype("int64")
+    return out

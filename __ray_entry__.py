@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_spikes": timeseries.event_spikes,
         "resample_locf": timeseries.resample_locf,
         "resample_lerp": timeseries.resample_lerp,
+        "interval_coverage": timeseries.interval_coverage,
         "curate_corpus": textstats.curate_corpus,
         "shard_assignment": textstats.shard_assignment,
         "tfidf_top_terms": textstats.tfidf_top_terms,
@@ -2021,6 +2022,34 @@ def oracle_sql() -> dict[str, str]:
             FROM grid ASOF JOIN ded
               ON grid.user_id = ded.user_id AND grid.gt >= ded.ts
             ORDER BY user_id, gt
+        """,
+        # interval-union coverage: gaps-and-islands over fixed 10-min spans;
+        # exact-abutment merges (strict > starts a new island)
+        "interval_coverage": """
+            WITH t AS (SELECT user_id, event_id, ts,
+                              ts + INTERVAL 10 MINUTE AS e
+                       FROM events),
+            w AS (SELECT user_id, ts, e,
+                         max(e) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS prev_max,
+                         event_id
+                  FROM t),
+            isl AS (SELECT *,
+                           (CASE WHEN prev_max IS NULL OR ts > prev_max
+                                 THEN 1 ELSE 0 END) AS st
+                    FROM w),
+            num AS (SELECT *,
+                           sum(st) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS isl_id
+                    FROM isl),
+            agg AS (SELECT user_id, isl_id,
+                           epoch_us(max(e) - min(ts))::BIGINT AS len
+                    FROM num GROUP BY user_id, isl_id)
+            SELECT user_id, count(*)::BIGINT AS n_islands,
+                   sum(len)::BIGINT AS covered_us
+            FROM agg GROUP BY user_id ORDER BY user_id
         """,
         # hourly linear-interpolation grid: same grid/tie rules as LOCF;
         # the lerp's IEEE op order matches the engine exactly (µs ints →

@@ -422,3 +422,36 @@ def test_resample_lerp_semantics(tmp_path, ray_session):
         "2024-01-01 05:00:00": f05,
         "2024-01-01 06:00:00": 4.0,
     }
+
+
+def test_interval_coverage_islands(tmp_path, ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osmi_addresses_ray.pipelines.timeseries import interval_coverage
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    rows = [
+        # user 1: events at 0 and 5 overlap (one island, 15 min);
+        # event at 10:00+10min EXACTLY abuts the island end (merges);
+        # event at 40 starts a new island
+        (1, base, 1),
+        (2, base + 5 * m, 1),
+        (3, base + 15 * m, 1),  # starts exactly at island end -> merges
+        (4, base + 40 * m, 1),
+        # user 2: one event
+        (5, base, 2),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+    df["event_type"] = "view"
+    df["value"] = 0.0
+    df["props"] = "{}"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    out = interval_coverage(str(tmp_path), num_parts=2).set_index("user_id")
+    assert out.loc[1, "n_islands"] == 2
+    assert out.loc[1, "covered_us"] == (25 + 10) * 60_000_000
+    assert out.loc[2, "n_islands"] == 1
+    assert out.loc[2, "covered_us"] == 10 * 60_000_000

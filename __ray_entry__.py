@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_locf": timeseries.resample_locf,
         "resample_lerp": timeseries.resample_lerp,
         "interval_coverage": timeseries.interval_coverage,
+        "event_transitions": timeseries.event_transitions,
         "curate_corpus": textstats.curate_corpus,
         "shard_assignment": textstats.shard_assignment,
         "tfidf_top_terms": textstats.tfidf_top_terms,
@@ -2022,6 +2023,25 @@ def oracle_sql() -> dict[str, str]:
             FROM grid ASOF JOIN ded
               ON grid.user_id = ded.user_id AND grid.gt >= ded.ts
             ORDER BY user_id, gt
+        """,
+        # Markov transition counts: LAG window pairs, exact counts, one
+        # IEEE division for the conditional probability
+        "event_transitions": """
+            WITH s AS (SELECT user_id, event_type,
+                              lead(event_type) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+                       FROM events),
+            c AS (SELECT event_type AS from_type, nxt AS to_type,
+                         count(*)::BIGINT AS n
+                  FROM s WHERE nxt IS NOT NULL
+                  GROUP BY from_type, to_type),
+            tot AS (SELECT from_type, sum(n)::BIGINT AS t FROM c
+                    GROUP BY from_type)
+            SELECT c.from_type, c.to_type, c.n,
+                   c.n::DOUBLE / tot.t::DOUBLE AS prob
+            FROM c JOIN tot USING (from_type)
+            ORDER BY from_type, to_type
         """,
         # interval-union coverage: gaps-and-islands over fixed 10-min spans;
         # exact-abutment merges (strict > starts a new island)

@@ -1383,3 +1383,71 @@ def interval_coverage(sf_dir: str, *, num_parts: int = 8) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+_TRANS_SCHEMA = pa.schema(
+    [
+        ("from_type", pa.string()),
+        ("to_type", pa.string()),
+        ("n", pa.int64()),
+    ]
+)
+
+
+def event_transitions(sf_dir: str, *, num_parts: int = 8) -> pd.DataFrame:
+    """First-order Markov transition counts over each user's time-ordered
+    event sequence ((ts, event_id) order, the family's tie rule), plus the
+    row-conditional probability — the session-behavior model fit every
+    analytics pipeline starts with.
+
+    One user-keyed exchange; inside a partition a single lexsort + shift
+    gives every consecutive same-user pair; per-partition partial counts
+    make the final exchange |types|² rows per partition. ``prob`` is ONE
+    IEEE division of exact int64 counts (n / row_total), identical in the
+    SQL oracle, so the float column hashes bit-equal.
+    """
+    from ..ops import direct_partitioned_map
+
+    def pre(t: pa.Table) -> pa.Table:
+        return t.select(["event_id", "user_id", "ts", "event_type"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _TRANS_SCHEMA.empty_table()
+        user = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = (
+            t["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(t["event_type"].to_pandas(), dtype=object)
+        order = np.lexsort((eid, ts, user))
+        u, e = user[order], et[order]
+        same = u[1:] == u[:-1]
+        pairs = pd.DataFrame({"from_type": e[:-1][same], "to_type": e[1:][same]})
+        g = pairs.groupby(["from_type", "to_type"], sort=False).size().reset_index()
+        g.columns = ["from_type", "to_type", "n"]
+        return pa.Table.from_pandas(g, preserve_index=False).cast(_TRANS_SCHEMA)
+
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    parts = direct_partitioned_map(
+        ds, ["user_id"], num_parts, fn,
+        pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("event_type", pa.string()),
+            ]
+        ),
+        pre=pre,
+    ).to_pandas()
+    out = (
+        parts.groupby(["from_type", "to_type"], sort=True)["n"]
+        .sum()
+        .reset_index()
+    )
+    out["n"] = out["n"].astype("int64")
+    tot = out.groupby("from_type")["n"].transform("sum").astype("int64")
+    out["prob"] = out["n"].to_numpy(np.float64) / tot.to_numpy(np.float64)
+    return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)

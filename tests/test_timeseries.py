@@ -455,3 +455,34 @@ def test_interval_coverage_islands(tmp_path, ray_session):
     assert out.loc[1, "covered_us"] == (25 + 10) * 60_000_000
     assert out.loc[2, "n_islands"] == 1
     assert out.loc[2, "covered_us"] == 10 * 60_000_000
+
+
+def test_event_transitions_order_and_user_boundaries(tmp_path, ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osmi_addresses_ray.pipelines.timeseries import event_transitions
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    rows = [
+        # user 1: a -> b -> b; tie at equal ts resolves by event_id (b
+        # before c since eid 3 < 4): a->b, b->b ... wait order is ts then
+        # eid: (a,0), (b,1), (b,2@t2 eid3), (c,2@t2 eid4): a->b, b->b, b->c
+        (1, base, 1, "a"),
+        (2, base + m, 1, "b"),
+        (3, base + 2 * m, 1, "b"),
+        (4, base + 2 * m, 1, "c"),
+        # user 2: single event -> no transitions; boundary to user 1 must
+        # NOT create a cross-user pair
+        (5, base, 2, "z"),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    df["value"] = 0.0
+    df["props"] = "{}"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    out = event_transitions(str(tmp_path), num_parts=2)
+    got = {(r.from_type, r.to_type): (r.n, r.prob) for r in out.itertuples()}
+    assert got == {("a", "b"): (1, 1.0), ("b", "b"): (1, 0.5), ("b", "c"): (1, 0.5)}

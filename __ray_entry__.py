@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_trimmed_mean": relational.q_trimmed_mean,
         "q_weighted_quantiles": relational.q_weighted_quantiles,
         "q_props_extract": relational.q_props_extract,
+        "theil_sen_trend": relational.theil_sen_trend,
         "pareto_orders": relational.pareto_orders,
         "embedding_covariance": similarity.embedding_covariance,
         # time-series custom operators (SQL-checked): one hash exchange on
@@ -1103,6 +1104,29 @@ def oracle_sql() -> dict[str, str]:
         # robust means from exact integer cents: t = n // 10, trimmed =
         # ranks (t, n-t], winsorized clamps the tails to the boundary ranks;
         # ONE final division each + round(6) is bit-identical
+        # Theil-Sen: median pairwise slope over the cap lowest-orderkey
+        # orders per nation; same-day pairs excluded; ONE IEEE division
+        # per slope and DuckDB's own median fold
+        "theil_sen_trend": """
+            WITH o AS (SELECT o_orderkey, o_custkey,
+                              datediff('day', DATE '1970-01-01',
+                                       o_orderdate)::BIGINT AS x,
+                              CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT) AS y
+                       FROM orders),
+            n AS (SELECT o.o_orderkey AS ok, c.c_nationkey AS nk, x, y
+                  FROM o JOIN customer c ON o.o_custkey = c.c_custkey),
+            r AS (SELECT *, row_number() OVER (PARTITION BY nk
+                                               ORDER BY ok) AS rn FROM n),
+            s AS (SELECT * FROM r WHERE rn <= 500),
+            p AS (SELECT a.nk,
+                         (b.y - a.y)::DOUBLE / (b.x - a.x)::DOUBLE AS slope
+                  FROM s a JOIN s b
+                    ON a.nk = b.nk AND a.ok < b.ok AND a.x != b.x)
+            SELECT nk AS nationkey, count(*)::BIGINT AS n_pairs,
+                   median(slope) AS slope
+            FROM p GROUP BY nk ORDER BY nationkey
+        """,
         # JSON field extraction: one shared regexp spec, exact integer
         # aggregates; groups with no numeric k pin min/max to 0
         "q_props_extract": """

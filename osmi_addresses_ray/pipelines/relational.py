@@ -1824,3 +1824,108 @@ def q_props_extract(sf_dir: str) -> pd.DataFrame:
     allmiss = out["n_missing"] == out["n"]
     out.loc[allmiss, ["min_k", "max_k"]] = 0
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def theil_sen_trend(sf_dir: str, *, cap: int = 500, num_parts: int = 8) -> pd.DataFrame:
+    """Grouped Theil–Sen robust trend: per customer nation, the MEDIAN of
+    all pairwise slopes (Δprice-cents / Δorder-days) over the nation's
+    ``cap`` lowest-orderkey orders — the outlier-immune alternative to the
+    OLS trend (``q_event_trend``), and the estimator of choice when a few
+    mispriced orders would wreck a least-squares fit.
+
+    Exactness: x (epoch days) and y (cents) are exact int64; each slope is
+    ONE IEEE division; the even-count median is lo·0.5 + hi·0.5 (DuckDB's
+    quantile_cont fold, probed in q_price_quantiles_cont). Same-day pairs
+    (Δx = 0) are excluded by spec.
+
+    Shape: orders ⨝ customer on custkey (hash exchange), emissions
+    re-partitioned on nationkey; per-nation O(m²) pair sweep with m capped
+    deterministically (lowest orderkeys) — the classic Theil–Sen scaling
+    trade (full pairwise is quadratic; production systems subsample pairs,
+    we subsample rows by a stable rule so the oracle can mirror it).
+    """
+    from ..ops import direct_cogroup
+
+    orders = read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    ).materialize()
+    customer = read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).materialize()
+
+    nk_schema = pa.schema(
+        [("nk", pa.int64()), ("ok", pa.int64()), ("x", pa.int64()), ("y", pa.int64())]
+    )
+
+    def attach(o: pa.Table, c: pa.Table) -> pa.Table:
+        if o.num_rows == 0:
+            return nk_schema.empty_table()
+        od = o.to_pandas()
+        cd = c.to_pandas()
+        m = od.merge(cd, left_on="o_custkey", right_on="c_custkey", how="inner")
+        x = (
+            m["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        )
+        y = np.floor(m["o_totalprice"].to_numpy(np.float64) * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "nk": pa.array(m["c_nationkey"].to_numpy(np.int64)),
+                "ok": pa.array(m["o_orderkey"].to_numpy(np.int64)),
+                "x": pa.array(x),
+                "y": pa.array(y),
+            }
+        )
+
+    emissions = direct_cogroup(
+        [orders, customer],
+        [["o_custkey"], ["c_custkey"]],
+        num_parts,
+        attach,
+        [
+            pa.schema(
+                [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+                 ("o_orderdate", pa.timestamp("us")), ("o_totalprice", pa.float64())]
+            ),
+            pa.schema([("c_custkey", pa.int64()), ("c_nationkey", pa.int64())]),
+        ],
+        emit_partitioned_on=["nk"],
+    )
+
+    out_schema = pa.schema(
+        [("nationkey", pa.int64()), ("n_pairs", pa.int64()), ("slope", pa.float64())]
+    )
+
+    def slopes(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas()
+        rows = []
+        for nk, g in df.groupby("nk", sort=True):
+            g = g.sort_values("ok", kind="stable").head(cap)
+            x = g["x"].to_numpy(np.int64)
+            y = g["y"].to_numpy(np.int64)
+            i, j = np.triu_indices(len(x), k=1)
+            dx = x[j] - x[i]
+            keep = dx != 0
+            sl = (y[j] - y[i])[keep].astype(np.float64) / dx[keep].astype(np.float64)
+            sl.sort(kind="stable")
+            n = len(sl)
+            if n == 0:
+                continue
+            med = sl[n // 2] if n % 2 else sl[n // 2 - 1] * 0.5 + sl[n // 2] * 0.5
+            rows.append((int(nk), n, med))
+        if not rows:
+            return out_schema.empty_table()
+        nks, ns, meds = zip(*rows)
+        return pa.table(
+            {
+                "nationkey": pa.array(np.array(nks, np.int64)),
+                "n_pairs": pa.array(np.array(ns, np.int64)),
+                "slope": pa.array(np.array(meds, np.float64)),
+            }
+        )
+
+    out = direct_cogroup(
+        [emissions], [["nk"]], num_parts, slopes, [nk_schema]
+    ).to_pandas()
+    for c in ("nationkey", "n_pairs"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("nationkey").reset_index(drop=True)

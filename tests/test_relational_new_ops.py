@@ -277,3 +277,32 @@ def test_props_extract_missing_and_negative(tmp_path, ray_session):
     assert out.loc["a", ["n", "n_missing", "sum_k", "min_k", "max_k"]].tolist() == [3, 1, 2, -3, 5]
     assert out.loc["b", ["n", "n_missing", "sum_k"]].tolist() == [2, 1, 7]
     assert out.loc["c", ["n_missing", "min_k", "max_k"]].tolist() == [1, 0, 0]
+
+
+def test_theil_sen_outlier_robust_and_same_day_excluded(tmp_path, ray_session):
+    """Prices climb exactly 1 cent/day; one massive outlier and one
+    same-day duplicate must not move the median slope off 1.0."""
+    import numpy as np
+    import pandas as pd
+
+    from osmi_addresses_ray.pipelines.relational import theil_sen_trend
+
+    days = np.arange(10)
+    rows = []
+    for i, d in enumerate(days):
+        rows.append((i + 1, 1, pd.Timestamp("2024-01-01") + pd.Timedelta(days=int(d)),
+                     (1000 + d) / 100.0))
+    # outlier: +1e6 cents on day 20
+    rows.append((100, 1, pd.Timestamp("2024-01-21"), 11020.0))
+    # same-day duplicate of day 0 (pairs with it where dx=0 are excluded)
+    rows.append((101, 1, pd.Timestamp("2024-01-01"), 99.99))
+    orders = pd.DataFrame(
+        rows, columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    orders.to_parquet(tmp_path / "orders.parquet", index=False)
+    pd.DataFrame({"c_custkey": [1], "c_nationkey": [7]}).to_parquet(
+        tmp_path / "customer.parquet", index=False
+    )
+    out = theil_sen_trend(str(tmp_path), num_parts=3)
+    assert out.nationkey.tolist() == [7]
+    assert abs(out.slope.iloc[0] - 1.0) < 1e-9  # median slope = 1 cent/day

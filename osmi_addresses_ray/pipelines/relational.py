@@ -1926,6 +1926,14 @@ def theil_sen_trend(sf_dir: str, *, cap: int = 500, num_parts: int = 8) -> pd.Da
     out = direct_cogroup(
         [emissions], [["nk"]], num_parts, slopes, [nk_schema]
     ).to_pandas()
+    if out.empty:  # every nation's pairs were same-day (or no orders)
+        return pd.DataFrame(
+            {
+                "nationkey": pd.Series([], dtype="int64"),
+                "n_pairs": pd.Series([], dtype="int64"),
+                "slope": pd.Series([], dtype="float64"),
+            }
+        )
     for c in ("nationkey", "n_pairs"):
         out[c] = out[c].astype("int64")
     return out.sort_values("nationkey").reset_index(drop=True)

@@ -65,6 +65,9 @@ def mini_sf(tmp_path_factory):
             "event_type": ["click", "view", "click"],
             "ts": TS,
             "value": [1.0, -1.0, 0.0],
+            # one numeric k, one malformed, one k-less: the JSON-extract
+            # edges (all-missing groups pin min/max to 0)
+            "props": ['{"k": 3}', "not json", "{}"],
         }
     ).to_parquet(d / "events.parquet", index=False)
     pd.DataFrame(

@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_props_extract": relational.q_props_extract,
         "theil_sen_trend": relational.theil_sen_trend,
         "pareto_orders": relational.pareto_orders,
+        "weighted_sample": relational.weighted_sample,
         "embedding_covariance": similarity.embedding_covariance,
         # time-series custom operators (SQL-checked): one hash exchange on
         # user_id, vectorized per-partition sweeps (pipelines/timeseries.py)
@@ -1126,6 +1127,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT nk AS nationkey, count(*)::BIGINT AS n_pairs,
                    median(slope) AS slope
             FROM p GROUP BY nk ORDER BY nationkey
+        """,
+        # Efraimidis-Spirakis weighted sampling, integer analogue: priority =
+        # min of w multiplicative-hash draws (more weight -> stochastically
+        # smaller min); per-ROW list expression because the synthetic
+        # lineitem has duplicate (orderkey, linenumber) keys — duplicates
+        # are identical rows, so the LIMIT boundary stays deterministic
+        "weighted_sample": """
+            WITH w AS (SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+                              least(l_quantity::BIGINT, 64) AS wt,
+                              (l_orderkey*8 + l_linenumber) % 1000003 AS keymod
+                       FROM lineitem),
+            p AS (SELECT l_orderkey, l_linenumber, wt,
+                         list_min(list_transform(range(0, wt),
+                             j -> ((((keymod + j*10007 + 1) * 2654435761)
+                                    % 4294967296 % 999983) * 2654435761)
+                                  % 4294967296)) AS priority
+                  FROM w)
+            SELECT l_orderkey, l_linenumber, wt, priority FROM p
+            ORDER BY priority, l_orderkey, l_linenumber LIMIT 200
         """,
         # JSON field extraction: one shared regexp spec, exact integer
         # aggregates; groups with no numeric k pin min/max to 0

@@ -1937,3 +1937,63 @@ def theil_sen_trend(sf_dir: str, *, cap: int = 500, num_parts: int = 8) -> pd.Da
     for c in ("nationkey", "n_pairs"):
         out[c] = out[c].astype("int64")
     return out.sort_values("nationkey").reset_index(drop=True)
+
+
+def weighted_sample(sf_dir: str, *, k: int = 200) -> pd.DataFrame:
+    """Weighted sampling WITHOUT replacement over lineitem, weight =
+    ``l_quantity`` — the mixture-sampling primitive (pick k docs with
+    probability ∝ weight) of every corpus-curation pipeline, done with zero
+    randomness so the draw is reproducible across reruns and cluster sizes.
+
+    Integer analogue of Efraimidis & Spirakis (2006) exponential-key
+    sampling: each row's priority is the MIN of ``w`` double-mixed
+    multiplicative-hash draws — h1 = ((key % 1000003 + j*10007 + 1)
+    * 2654435761) % 2^32, draw = ((h1 % 999983) * 2654435761) % 2^32. The
+    second round matters: one round makes the j-draws an arithmetic
+    progression mod 2^32 (fixed stride), whose min is NOT distributed like
+    the min of w uniforms, and the heavy-row win rate collapses (0.38 vs
+    the ∝-weight 0.74 on the unit fixture). More draws (higher weight)
+    stochastically lower the min, so P(selected) grows ∝ w exactly as the
+    min-of-w-exponentials trick, and every operand stays < 2^63 so the
+    DuckDB oracle evaluates the identical BIGINT expression via one
+    ``list_transform(range(0, w), ...)`` per row.
+
+    Distributed shape: priorities are a vectorized per-batch map (an
+    (n × w_max) lattice of int64 hash evaluations, masked at each row's own
+    w) fused into the read; only per-block top-k survivors (k rows/block)
+    reach the driver merge — the corpus never moves, there is no exchange
+    at all. At 10^12 rows this is a pure map + k·P-row reduce.
+    """
+    W_MAX = 64  # l_quantity ∈ 1..50; lattice is clipped + masked anyway
+
+    ds = read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["l_orderkey"].to_numpy(np.int64)
+        ln = df["l_linenumber"].to_numpy(np.int64)
+        w = np.minimum(df["l_quantity"].to_numpy(np.float64).astype(np.int64), W_MAX)
+        keymod = (ok * 8 + ln) % 1000003
+        j = np.arange(W_MAX, dtype=np.int64)
+        # (n, W_MAX) lattice: operand ≤ (1000003 + 64*10007 + 1)·2654435761 < 2^63
+        h1 = ((keymod[:, None] + j[None, :] * 10007 + 1) * 2654435761) % (1 << 32)
+        lat = ((h1 % 999983) * 2654435761) % (1 << 32)
+        lat[j[None, :] >= w[:, None]] = 1 << 62  # mask draws beyond each row's w
+        pr = lat.min(axis=1)
+        return pd.DataFrame(
+            {"l_orderkey": ok, "l_linenumber": ln, "wt": w, "priority": pr}
+        )
+
+    out = topk(
+        ds.map_batches(part, batch_format="pandas"),
+        "priority",
+        k,
+        descending=False,
+        tie_cols=["l_orderkey", "l_linenumber"],
+    )
+    for c in ("l_orderkey", "l_linenumber", "wt", "priority"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["l_orderkey", "l_linenumber", "wt", "priority"]]
+        .sort_values(["priority", "l_orderkey", "l_linenumber"])
+        .reset_index(drop=True)
+    )

@@ -306,3 +306,41 @@ def test_theil_sen_outlier_robust_and_same_day_excluded(tmp_path, ray_session):
     out = theil_sen_trend(str(tmp_path), num_parts=3)
     assert out.nationkey.tolist() == [7]
     assert abs(out.slope.iloc[0] - 1.0) < 1e-9  # median slope = 1 cent/day
+
+
+def test_weighted_sample_deterministic_and_weight_monotone(tmp_path, ray_session):
+    """A fixed corpus with two weight classes: the draw must be reproducible
+    run-to-run and the heavy class (w=50) must win far more of the k slots
+    than its row share (10%) — the ∝-weight property of the min-of-w-draws
+    priority. Also re-derives one row's priority by hand."""
+    import numpy as np
+    import pandas as pd
+
+    from osmi_addresses_ray.pipelines.relational import weighted_sample
+
+    n = 2000
+    ok = np.arange(1, n + 1, dtype=np.int64)
+    w = np.where(ok % 10 == 0, 50.0, 1.0)  # 10% heavy rows
+    pd.DataFrame(
+        {"l_orderkey": ok, "l_linenumber": np.int32(1), "l_quantity": w}
+    ).to_parquet(tmp_path / "lineitem.parquet", index=False)
+
+    out1 = weighted_sample(str(tmp_path), k=100)
+    out2 = weighted_sample(str(tmp_path), k=100)
+    pd.testing.assert_frame_equal(out1, out2)
+    assert len(out1) == 100
+    assert (np.diff(out1.priority.to_numpy()) >= 0).all()
+
+    # heavy rows are 10% of the corpus but hold ~84% of total weight
+    heavy = (out1.wt == 50).mean()
+    assert heavy > 0.5, heavy
+
+    # hand-recompute the winning row's priority
+    r = out1.iloc[0]
+    keymod = (int(r.l_orderkey) * 8 + int(r.l_linenumber)) % 1000003
+    draws = [
+        ((((keymod + j * 10007 + 1) * 2654435761) % (1 << 32) % 999983)
+         * 2654435761) % (1 << 32)
+        for j in range(int(r.wt))
+    ]
+    assert min(draws) == int(r.priority)

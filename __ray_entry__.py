@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_trade": graph.pagerank_trade,
         "triangle_counts": graph.triangle_counts,
         "bfs_hops": graph.bfs_hops,
+        "ra_links": graph.ra_links,
         "snm_pairs": dedup.snm_pairs,
         "pack_sequences": textstats.pack_sequences,
         "span_corruption": textstats.span_corruption,
@@ -2326,6 +2327,28 @@ def oracle_sql() -> dict[str, str]:
                    GROUP BY n.node)
             SELECT node AS node_id, r AS pr FROM r5
             ORDER BY pr DESC, node_id LIMIT 25
+        """,
+        # resource-allocation link prediction (Zhou+ 2009): RA kept as the
+        # order-free scaled integer Σ 10^12 // S_z; jaccard is ONE IEEE
+        # division of exact int64s — bit-equal without tolerance
+        "ra_links": """
+            WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+            pdeg AS (SELECT l_partkey, count(*)::BIGINT AS s FROM ps GROUP BY 1),
+            sdeg AS (SELECT l_suppkey, count(*)::BIGINT AS d FROM ps GROUP BY 1),
+            pairs AS (SELECT a.l_suppkey sa, b.l_suppkey sb, p.s
+                      FROM ps a
+                      JOIN ps b ON a.l_partkey = b.l_partkey
+                               AND a.l_suppkey < b.l_suppkey
+                      JOIN pdeg p ON p.l_partkey = a.l_partkey),
+            agg AS (SELECT sa, sb, count(*)::BIGINT AS n_common,
+                           sum(1000000000000 // s)::BIGINT AS ra_int
+                    FROM pairs GROUP BY 1, 2)
+            SELECT sa, sb, n_common, ra_int,
+                   n_common::DOUBLE / (da.d + db.d - n_common)::DOUBLE AS jaccard
+            FROM agg
+            JOIN sdeg da ON da.l_suppkey = sa
+            JOIN sdeg db ON db.l_suppkey = sb
+            ORDER BY ra_int DESC, sa, sb LIMIT 50
         """,
         "scrub_dup_ngrams": """
             WITH t AS (SELECT doc_id,

@@ -676,3 +676,178 @@ def kcore_nodes(
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("node_id").reset_index(drop=True)
+
+
+_RA_SCALE = 10**12
+
+
+def _tri_pairs(groups: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Index pairs (i, j), i<j, within each run of the SORTED ``groups``
+    array (module-level twin of triangle_counts' in-closure helper, for
+    exchange fns that must pickle standalone)."""
+    if not len(groups):
+        e = np.empty(0, np.int64)
+        return e, e
+    first = np.r_[True, groups[1:] != groups[:-1]]
+    gidx = np.cumsum(first) - 1
+    counts = np.bincount(gidx)
+    goffs = np.concatenate(([0], np.cumsum(counts)))
+    pos = np.arange(len(groups)) - goffs[gidx]
+    fanout = counts[gidx] - 1 - pos
+    total = int(fanout.sum())
+    if not total:
+        e = np.empty(0, np.int64)
+        return e, e
+    lefts = np.repeat(np.arange(len(groups)), fanout)
+    offs = np.concatenate(([0], np.cumsum(fanout)))
+    rights = lefts + 1 + (np.arange(total) - np.repeat(offs[:-1], fanout))
+    return lefts, rights
+
+
+def ra_links(sf_dir: str, *, k: int = 50, num_parts: int = 8) -> pd.DataFrame:
+    """Link prediction over the part–supplier bipartite graph: for every
+    supplier pair that shares ≥1 part, the resource-allocation index (Zhou,
+    Lü & Zhang 2009 — Σ over common neighbours z of 1/deg(z), the
+    best-performing local similarity index in their benchmark) plus the
+    neighbourhood Jaccard — the "which nodes will trade next" primitive that
+    doubles as a candidate generator for entity resolution.
+
+    Exactness: RA is kept as the SCALED INTEGER Σ (10^12 // S_z) (S_z = the
+    part's supplier count) — floor-division rationals make the sum
+    order-free and bit-equal to the SQL oracle (the repo's exact-integer
+    float-parity rule; a float 1/deg sum would be partition-order
+    dependent). Jaccard is ONE IEEE division of exact int64s:
+    n_common / (deg_a + deg_b − n_common).
+
+    Distributed shape (volume never exceeds pair multiplicity):
+      1. part-keyed exchange, map-side (part, supp) distinct fused into the
+         split wave: per part, triangular pair expansion weighted
+         10^12 // S_z (hot parts are the match stage's salting family).
+      2. supplier-keyed exchange of the same slim 2-col table: global
+         per-supplier part-degree (all rows of a supplier co-locate).
+         The degree table is |suppliers| rows — broadcast via ``ray.put``;
+         past the broadcast budget this becomes a pair-keyed hash join on
+         sa then sb (the places-index fallback family).
+      3. (sa, sb)-keyed exchange: n_common = pair count, ra_int = Σ w,
+         jaccard from broadcast degrees — then per-block top-k, driver
+         merges k·P rows.
+    """
+    import ray
+
+    from ..ops import direct_cogroup, direct_partitioned_map
+    from .relational import topk
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).materialize()
+
+    ps_schema = pa.schema([("l_partkey", pa.int64()), ("l_suppkey", pa.int64())])
+    wpair_schema = pa.schema(
+        [("sa", pa.int64()), ("sb", pa.int64()), ("w", pa.int64())]
+    )
+
+    def pre_distinct(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy().astype(np.int64)
+        sk = t["l_suppkey"].to_numpy().astype(np.int64)
+        if not len(pk):
+            return ps_schema.empty_table()
+        order = np.lexsort((sk, pk))
+        pk, sk = pk[order], sk[order]
+        keep = np.r_[True, (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])]
+        return pa.table({"l_partkey": pk[keep], "l_suppkey": sk[keep]})
+
+    def part_pairs(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy().astype(np.int64)
+        sk = t["l_suppkey"].to_numpy().astype(np.int64)
+        if not len(pk):
+            return wpair_schema.empty_table()
+        order = np.lexsort((sk, pk))
+        pk, sk = pk[order], sk[order]
+        keep = np.r_[True, (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])]
+        pk, sk = pk[keep], sk[keep]
+        # per-part supplier count -> the RA weight of every pair it emits
+        first = np.r_[True, pk[1:] != pk[:-1]]
+        gidx = np.cumsum(first) - 1
+        s_per_part = np.bincount(gidx)
+        w_row = (_RA_SCALE // s_per_part[gidx]).astype(np.int64)
+        li_, ri_ = _tri_pairs(pk)
+        return pa.table({"sa": sk[li_], "sb": sk[ri_], "w": w_row[li_]})
+
+    pairs = direct_partitioned_map(
+        li, ["l_partkey"], num_parts, part_pairs, ps_schema, pre=pre_distinct
+    ).materialize()
+
+    deg_schema = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+
+    def supp_degree(t: pa.Table) -> pa.Table:
+        # all rows of a supplier co-locate: per-partition distinct is global
+        pk = t["l_partkey"].to_numpy().astype(np.int64)
+        sk = t["l_suppkey"].to_numpy().astype(np.int64)
+        if not len(pk):
+            return deg_schema.empty_table()
+        order = np.lexsort((pk, sk))
+        pk, sk = pk[order], sk[order]
+        keep = np.r_[True, (sk[1:] != sk[:-1]) | (pk[1:] != pk[:-1])]
+        u, c = np.unique(sk[keep], return_counts=True)
+        return pa.table({"node": u, "deg": c.astype(np.int64)})
+
+    deg = direct_partitioned_map(
+        li, ["l_suppkey"], num_parts, supp_degree, ps_schema, pre=pre_distinct
+    ).to_pandas()
+    out_empty = pd.DataFrame(
+        {
+            "sa": pd.Series([], dtype="int64"),
+            "sb": pd.Series([], dtype="int64"),
+            "n_common": pd.Series([], dtype="int64"),
+            "ra_int": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64"),
+        }
+    )
+    if deg.empty:
+        return out_empty
+    deg = deg.sort_values("node").reset_index(drop=True)
+    deg_ref = ray.put((deg["node"].to_numpy(np.int64), deg["deg"].to_numpy(np.int64)))
+
+    agg_schema = pa.schema(
+        [
+            ("sa", pa.int64()),
+            ("sb", pa.int64()),
+            ("n_common", pa.int64()),
+            ("ra_int", pa.int64()),
+            ("jaccard", pa.float64()),
+        ]
+    )
+
+    def pair_agg(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return agg_schema.empty_table()
+        nodes, degs = ray.get(deg_ref)
+        sa = t["sa"].to_numpy().astype(np.int64)
+        sb = t["sb"].to_numpy().astype(np.int64)
+        w = t["w"].to_numpy().astype(np.int64)
+        order = np.lexsort((sb, sa))
+        sa, sb, w = sa[order], sb[order], w[order]
+        first = np.r_[True, (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1])]
+        gidx = np.cumsum(first) - 1
+        n_common = np.bincount(gidx).astype(np.int64)
+        ra_int = np.bincount(gidx, weights=w).astype(np.int64)
+        usa, usb = sa[first], sb[first]
+        da = degs[np.searchsorted(nodes, usa)]
+        db = degs[np.searchsorted(nodes, usb)]
+        jac = n_common.astype(np.float64) / (da + db - n_common).astype(np.float64)
+        return pa.table(
+            {"sa": usa, "sb": usb, "n_common": n_common, "ra_int": ra_int,
+             "jaccard": jac}
+        )
+
+    scored = direct_cogroup([pairs], [["sa", "sb"]], num_parts, pair_agg, [wpair_schema])
+    out = topk(scored, "ra_int", k, descending=True, tie_cols=["sa", "sb"],
+               empty_schema=agg_schema)
+    if out.empty:
+        return out_empty
+    for c in ("sa", "sb", "n_common", "ra_int"):
+        out[c] = out[c].astype("int64")
+    out["jaccard"] = out["jaccard"].astype("float64")
+    return (
+        out[["sa", "sb", "n_common", "ra_int", "jaccard"]]
+        .sort_values(["ra_int", "sa", "sb"], ascending=[False, True, True])
+        .reset_index(drop=True)
+    )

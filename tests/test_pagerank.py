@@ -140,3 +140,38 @@ def test_kcore_everything_peels(tmp_path, ray_session):
     ).to_parquet(tmp_path / "lineitem.parquet", index=False)
     out = kcore_nodes(str(tmp_path), k=2, num_parts=2)
     assert len(out) == 0
+
+
+def test_ra_links_closed_form(tmp_path, ray_session):
+    """Crafted bipartite graph: p1 -> {s1,s2,s3}, p2 -> {s1,s2}, p3 -> {s9}.
+    RA(s1,s2) = 10^12//3 + 10^12//2, RA(s1,s3) = RA(s2,s3) = 10^12//3;
+    jaccard(s1,s2) = 2/(2+2-2) = 1.0, (s_,s3) = 1/(2+1-1) = 0.5."""
+    import numpy as np
+    import pandas as pd
+
+    from osmi_addresses_ray.pipelines.graph import ra_links
+
+    rows = [(1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (3, 9),
+            (1, 1), (2, 2)]  # duplicates must not change anything
+    pd.DataFrame(rows, columns=["l_partkey", "l_suppkey"]).to_parquet(
+        tmp_path / "lineitem.parquet", index=False
+    )
+    out = ra_links(str(tmp_path), k=10, num_parts=3)
+    got = {(int(r.sa), int(r.sb)): (int(r.n_common), int(r.ra_int), float(r.jaccard))
+           for r in out.itertuples()}
+    third, half = 10**12 // 3, 10**12 // 2
+    assert got[(1, 2)] == (2, third + half, 1.0)
+    assert got[(1, 3)] == (1, third, 0.5)
+    assert got[(2, 3)] == (1, third, 0.5)
+    assert len(got) == 3  # s9 shares no part with anyone
+    # ordering: ra_int desc then (sa, sb)
+    assert out.iloc[0].sa == 1 and out.iloc[0].sb == 2
+
+
+def test_ra_links_partition_invariance(ray_session):
+    from osmi_addresses_ray.pipelines.graph import ra_links
+
+    a = ra_links("/root/testdata/sf0.001", k=20, num_parts=2)
+    b = ra_links("/root/testdata/sf0.001", k=20, num_parts=7)
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b)

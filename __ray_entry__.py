@@ -312,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bbox_overlap_join": _bbox_overlap_query,
         "spatial_clusters": _clusters_query,
         "line_simplify": _line_simplify_query,
+        "map_match_trajectories": _map_match_query,
         "convex_hull_cells": _hulls_query,
         "segment_crossings": _segment_xing_query,
         "media_histogram": _media_hist_query,
@@ -905,6 +906,25 @@ def _clusters_query(sf_dir: str):
         num_parts=_parts_for(FIXTURE_BLOCKS),
     )
     _write_spatial_src()
+    return out
+
+
+def _map_match_query(sf_dir: str):
+    """HMM map matching (Newson & Krumm 2009 shape, exact-integer min-sum
+    Viterbi) of synthesized noisy trajectories onto the fixture street
+    network; oracle = scalar python-int candidate sweep + DP in
+    oracle/geo_ops.oracle_map_match (no numpy, no engine imports)."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.geo_ops import oracle_map_match
+    from osmi_addresses_ray.pipelines.geo_ops import map_match
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.assembly import assemble_ways
+    from osmi_addresses_ray.stages.parse import parse_docs
+
+    parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
+    ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
+    out = map_match(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
+    write_oracle("map_match", oracle_map_match(fixture_table(FIXTURE_BLOCKS)))
     return out
 
 
@@ -2986,6 +3006,7 @@ def _naive_oracle_sql() -> dict[str, str]:
             ORDER BY pid
         """,
         "line_simplify": read_parquet_sql("line_simplify", "way_id, seq"),
+        "map_match_trajectories": read_parquet_sql("map_match", "traj_id, step"),
         "convex_hull_cells": read_parquet_sql("convex_hull_cells", "cell_x, cell_y"),
         "media_histogram": read_parquet_sql("media_histogram", "doc_id, media_ref"),
         # TRUE SQL fuzzy join: DuckDB levenshtein over the O(n²) self-join

@@ -210,3 +210,102 @@ def oracle_way_bboxes(docs) -> pd.DataFrame:
         {"way_id": "int64", "x0": "int64", "x1": "int64",
          "y0": "int64", "y1": "int64"}
     )
+
+
+# --- HMM map matching (spec mirror of pipelines/geo_ops.map_match) -----------
+
+_MM_CLIP = 1 << 20
+_MM_CAP = 1 << 42
+_MM_CROSS_MAX = 3_000_000_000
+
+
+def _mm_emission(px: int, py: int, seg) -> tuple[int, int, int]:
+    """(d2, snap_x, snap_y) for one point against one segment — scalar
+    python ints, re-declaring the engine's CLIP/CAP/CROSS saturation spec."""
+    _w, _s, ax, ay, bx, by = seg
+    dx, dy = bx - ax, by - ay
+    if (
+        abs(px - ax) > _MM_CLIP or abs(py - ay) > _MM_CLIP
+        or abs(px - bx) > _MM_CLIP or abs(py - by) > _MM_CLIP
+        or abs(dx) > _MM_CLIP or abs(dy) > _MM_CLIP
+    ):
+        return _MM_CAP, ax, ay
+    d1x, d1y = px - ax, py - ay
+    len2 = dx * dx + dy * dy
+    dot = d1x * dx + d1y * dy
+    if len2 == 0 or dot <= 0:
+        return d1x * d1x + d1y * d1y, ax, ay
+    if dot >= len2:
+        d2x, d2y = px - bx, py - by
+        return d2x * d2x + d2y * d2y, bx, by
+    cross = d1x * dy - d1y * dx
+    if abs(cross) >= _MM_CROSS_MAX:
+        return _MM_CAP, ax, ay
+    return (cross * cross) // len2, ax + (dot * dx) // len2, ay + (dot * dy) // len2
+
+
+def oracle_map_match(docs, k: int = 4) -> pd.DataFrame:
+    """Scalar Viterbi map matching over the synthesized trajectories —
+    loops and python ints throughout, no numpy."""
+    # street segments: assembled-way gate + highway tag, (way_id, seg_idx) order
+    ents = parse_entities(docs)
+    hw_ways = {e["id"] for e in ents if e["etype"] == "way" and "highway" in e["tags"]}
+    segs = []
+    for way_id, pts in _way_points(docs):
+        if way_id not in hw_ways:
+            continue
+        for i in range(len(pts) - 1):
+            (ax, ay), (bx, by) = pts[i], pts[i + 1]
+            segs.append((way_id, i, ax, ay, bx, by))
+    segs.sort(key=lambda s: (s[0], s[1]))
+
+    rows = []
+    by_way: dict[int, list] = {}
+    for s in segs:
+        by_way.setdefault(s[0], []).append(s)
+    for way_id in sorted(by_way):
+        traj = []
+        for s in by_way[way_id]:
+            _w, i, ax, ay, bx, by = s
+            h = (((way_id % 2147483648) * 1000003 + i) * 2654435761) % (1 << 32)
+            traj.append((i, (ax + bx) // 2 + h % 1601 - 800,
+                         (ay + by) // 2 + (h >> 11) % 1601 - 800))
+        # per-step candidates: k smallest (d2, way, seg) over ALL segments
+        cands = []
+        for _step, px, py in traj:
+            scored = []
+            for s in segs:
+                d2, sx, sy = _mm_emission(px, py, s)
+                scored.append((d2, s[0], s[1], sx, sy))
+            scored.sort()
+            cands.append(scored[:k])
+        # min-sum Viterbi, first-minimal-index tie rule
+        T = len(traj)
+        total = [c[0] for c in cands[0]]
+        back = [[0] * len(cands[t]) for t in range(T)]
+        for t in range(1, T):
+            new_total = []
+            for j, cj in enumerate(cands[t]):
+                best, barg = None, 0
+                for i, ci in enumerate(cands[t - 1]):
+                    ddx = max(-_MM_CLIP, min(_MM_CLIP, cj[3] - ci[3]))
+                    ddy = max(-_MM_CLIP, min(_MM_CLIP, cj[4] - ci[4]))
+                    sc = total[i] + ddx * ddx + ddy * ddy
+                    if best is None or sc < best:
+                        best, barg = sc, i
+                back[t][j] = barg
+                new_total.append(best + cj[0])
+            total = new_total
+        path = [0] * T
+        path[T - 1] = min(range(len(total)), key=lambda i: (total[i], i))
+        for t in range(T - 1, 0, -1):
+            path[t - 1] = back[t][path[t]]
+        for t, (step, px, py) in enumerate(traj):
+            d2, w, s, sx, sy = cands[t][path[t]]
+            rows.append((way_id, step, px, py, w, s, sx, sy, d2))
+    cols = ["traj_id", "step", "px", "py", "way_id", "seg_idx",
+            "snap_x", "snap_y", "d2"]
+    df = pd.DataFrame(rows, columns=cols)
+    if df.empty:
+        df = pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    return df.sort_values(["traj_id", "step"]).reset_index(drop=True).astype("int64")

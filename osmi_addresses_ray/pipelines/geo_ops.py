@@ -1513,3 +1513,246 @@ def idw_grid(nwa_ds, *, cell: int = IDW_CELL_UNITS, num_parts: int = 8) -> pd.Da
     for c in ("cell_x", "cell_y", "n_pts", "num", "den"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["cell_x", "cell_y"]).reset_index(drop=True)
+
+
+# --- HMM map matching (Viterbi snap of point sequences to streets) -----------
+#
+# The sequence extension of the reference's per-point snap-to-street (J5,
+# ClosestPointsWriter semantics, stages/match.py:653): a trajectory of noisy
+# points is matched to street segments jointly, a min-sum Viterbi over
+# (emission = snapped squared distance) + (transition = squared displacement
+# between consecutive snap points), so an outlier point cannot jump the match
+# to a far road the way independent per-point snapping does (Newson &
+# Krumm 2009, the standard HMM map-matching formulation — costs here are
+# exact integers instead of Gaussian/exponential log-likelihoods, which
+# preserves the argmin structure while making the DP bit-reproducible).
+#
+# Exactness spec (the scalar oracle re-declares every rule):
+#   coords: libosmium QUANT ints. CLIP = 2^20 on any point−endpoint delta and
+#   MM_CROSS_MAX = 3·10^9 on the rejection cross product — beyond either the
+#   candidate saturates at CAP = 2^42 and snaps to endpoint a (ties at CAP
+#   break by (way_id, seg_idx), so saturation is deterministic).
+#   interior:  d2 = cross² // len2,  snap = a + (dot·seg) // len2  (floor);
+#   ends:      exact integer point distance, snap = the endpoint.
+#   DP tie rule: candidates per step are ordered (d2, way_id, seg_idx), the
+#   running argmin keeps the SMALLEST candidate index; final backtrack from
+#   the smallest-index minimal total. int64 audit: |dot| ≤ 2·2^40 ≈ 2.2e12,
+#   dot·seg ≤ 2.3e18 < 2^63, path total ≤ steps·(CAP + 2·CLIP²) ≈ 2^49·steps.
+#
+# Distributed shape: trajectories are exchanged on traj_id (one partition
+# owns a whole trajectory — the DP is sequential per trajectory, parallel
+# across them); the street-segment table rides along as a ray.put broadcast
+# (fixture-scale streets; past the broadcast budget candidates come from the
+# J2 cell-join family instead — stages/match.py:511 — and only the DP keeps
+# this shape).
+
+MM_CLIP = 1 << 20
+MM_CAP = 1 << 42
+MM_CROSS_MAX = 3_000_000_000
+_MM_OFF = 1601  # synth offsets ∈ [−800, 800] quantized units (≈ ±9 m GPS noise)
+
+_TRAJ_SCHEMA = pa.schema(
+    [("traj_id", pa.int64()), ("step", pa.int64()), ("px", pa.int64()), ("py", pa.int64())]
+)
+_MATCH_SCHEMA = pa.schema(
+    [
+        ("traj_id", pa.int64()),
+        ("step", pa.int64()),
+        ("px", pa.int64()),
+        ("py", pa.int64()),
+        ("way_id", pa.int64()),
+        ("seg_idx", pa.int64()),
+        ("snap_x", pa.int64()),
+        ("snap_y", pa.int64()),
+        ("d2", pa.int64()),
+    ]
+)
+
+
+def street_ways(ways_geo_ds):
+    """Assembled ways carrying a highway tag (the street network)."""
+    from ..constants import tag_col
+
+    import pyarrow.compute as pc
+
+    hw = tag_col("highway")
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.filter(pc.and_(pc.is_valid(t[hw]), t["nonzero"]))
+
+    return ways_geo_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def synth_trajectories(ways_geo_ds):
+    """Deterministic GPS-like trajectories: one per street way — each
+    consecutive vertex pair contributes its floor-midpoint displaced by a
+    hash offset h = ((way_id % 2^31)·1000003 + step)·2654435761 % 2^32,
+    off = (h % 1601 − 800, (h >> 11) % 1601 − 800). Pure integer spec (the
+    oracle re-declares it); a flat map over the street ways, no exchange."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        segs = way_segments_table(t)
+        if segs is None:
+            return _TRAJ_SCHEMA.empty_table()
+        wid, sidx, ax, ay, bx, by = segs
+        h = (((wid % 2147483648) * 1000003 + sidx) * 2654435761) % (1 << 32)
+        px = (ax + bx) // 2 + (h % _MM_OFF) - 800
+        py = (ay + by) // 2 + ((h >> 11) % _MM_OFF) - 800
+        return pa.table(
+            {"traj_id": pa.array(wid), "step": pa.array(sidx.astype(np.int64)),
+             "px": pa.array(px), "py": pa.array(py)}
+        )
+
+    return street_ways(ways_geo_ds).map_batches(fn, batch_format="pyarrow")
+
+
+def way_segments_table(t: pa.Table):
+    """In-batch twin of ``way_segments``'s kernel returning flat arrays
+    (way_id, seg_idx, ax, ay, bx, by) — shared by trajectory synthesis and
+    the broadcast segment collection so both see identical quantization."""
+    s = t.filter(t["nonzero"]) if "nonzero" in t.schema.names else t
+    if s.num_rows == 0:
+        return None
+    xs_col = s["xs"].combine_chunks() if isinstance(s["xs"], pa.ChunkedArray) else s["xs"]
+    ys_col = s["ys"].combine_chunks() if isinstance(s["ys"], pa.ChunkedArray) else s["ys"]
+    offs = np.asarray(xs_col.offsets, np.int64)
+    offs = offs - offs[0]
+    fx = np.round(np.asarray(xs_col.flatten(), np.float64) * QUANT).astype(np.int64)
+    fy = np.round(np.asarray(ys_col.flatten(), np.float64) * QUANT).astype(np.int64)
+    wid = s["way_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.diff(offs)
+    nseg = counts - 1
+    way_out = np.repeat(wid, nseg)
+    seg_idx = np.arange(int(nseg.sum()), dtype=np.int64) - np.repeat(
+        np.cumsum(nseg) - nseg, nseg
+    )
+    first = seg_idx + np.repeat(offs[:-1], nseg)
+    return way_out, seg_idx, fx[first], fy[first], fx[first + 1], fy[first + 1]
+
+
+def _mm_candidates(px, py, segs, k):
+    """Vectorized emission evaluation of every (point, segment) pair →
+    per-point top-k candidate arrays, each (n, k): way, seg, d2, sx, sy.
+    Implements the exactness spec above in pure int64 numpy."""
+    wid, sidx, ax, ay, bx, by = segs
+    n, S = len(px), len(wid)
+    dx = (bx - ax)[None, :]
+    dy = (by - ay)[None, :]
+    len2 = dx * dx + dy * dy
+    d1x = px[:, None] - ax[None, :]
+    d1y = py[:, None] - ay[None, :]
+    d2x = px[:, None] - bx[None, :]
+    d2y = py[:, None] - by[None, :]
+    far = (
+        (np.abs(d1x) > MM_CLIP) | (np.abs(d1y) > MM_CLIP)
+        | (np.abs(d2x) > MM_CLIP) | (np.abs(d2y) > MM_CLIP)
+        | (np.abs(dx) > MM_CLIP) | (np.abs(dy) > MM_CLIP)  # degenerate-long segment
+    )
+    # products only where near: zero the masked deltas first
+    d1xm = np.where(far, 0, d1x)
+    d1ym = np.where(far, 0, d1y)
+    d2xm = np.where(far, 0, d2x)
+    d2ym = np.where(far, 0, d2y)
+    dot = d1xm * dx + d1ym * dy
+    cross = d1xm * dy - d1ym * dx
+    da2 = d1xm * d1xm + d1ym * d1ym
+    db2 = d2xm * d2xm + d2ym * d2ym
+    len2s = np.where(len2 == 0, 1, len2)
+    interior = (dot > 0) & (dot < len2) & (len2 > 0)
+    sat = far | (interior & (np.abs(cross) >= MM_CROSS_MAX))
+    use_b = (~interior) & (dot >= len2) & (len2 > 0)
+    d2v = np.where(interior, (cross * cross) // len2s, np.where(use_b, db2, da2))
+    d2v = np.where(sat, MM_CAP, d2v)
+    sx = np.where(interior & ~sat, ax[None, :] + (dot * dx) // len2s, np.where(use_b & ~sat, bx[None, :], ax[None, :]))
+    sy = np.where(interior & ~sat, ay[None, :] + (dot * dy) // len2s, np.where(use_b & ~sat, by[None, :], ay[None, :]))
+    # per-row top-k by (d2, way_id, seg_idx): lexsort within each row
+    rows = np.repeat(np.arange(n, dtype=np.int64), S)
+    order = np.lexsort(
+        (np.tile(sidx, n), np.tile(wid, n), d2v.reshape(-1), rows)
+    ).reshape(n, S)[:, :k]
+    cols = order - np.arange(n, dtype=np.int64)[:, None] * S
+    ii = np.arange(n)[:, None]
+    return (
+        wid[cols], sidx[cols], d2v[ii, cols], sx[ii, cols], sy[ii, cols]
+    )
+
+
+def _mm_viterbi(px, py, cand):
+    """Min-sum Viterbi over one trajectory's per-step candidates.
+    Returns (way, seg, sx, sy, d2) arrays along the optimal path."""
+    cw, cs, cd, csx, csy = cand
+    T, K = cw.shape
+    total = cd[0].copy()
+    back = np.zeros((T, K), np.int64)
+    for t in range(1, T):
+        ddx = np.clip(csx[t][None, :] - csx[t - 1][:, None], -MM_CLIP, MM_CLIP)
+        ddy = np.clip(csy[t][None, :] - csy[t - 1][:, None], -MM_CLIP, MM_CLIP)
+        trans = ddx * ddx + ddy * ddy  # (K_prev, K_cur)
+        score = total[:, None] + trans
+        back[t] = np.argmin(score, axis=0)  # first minimal index (np rule)
+        total = score[back[t], np.arange(K)] + cd[t]
+    path = np.zeros(T, np.int64)
+    path[T - 1] = int(np.argmin(total))
+    for t in range(T - 1, 0, -1):
+        path[t - 1] = back[t][path[t]]
+    tt = np.arange(T)
+    return cw[tt, path], cs[tt, path], csx[tt, path], csy[tt, path], cd[tt, path]
+
+
+def map_match(ways_geo_ds, *, k: int = 4, num_parts: int = 8) -> pd.DataFrame:
+    """Match every synthesized trajectory to the street network. Output one
+    row per trajectory point: matched (way_id, seg_idx), integer snap
+    coordinates and the emission d2 along the Viterbi-optimal path."""
+    import ray
+
+    from ..ops import direct_partitioned_map
+
+    streets = street_ways(ways_geo_ds).materialize()
+    seg_parts = []
+    for batch in streets.iter_batches(batch_format="pyarrow"):
+        segs = way_segments_table(batch)
+        if segs is not None:
+            seg_parts.append(segs)
+    empty = pd.DataFrame(
+        {n: pd.Series([], dtype="int64") for n in _MATCH_SCHEMA.names}
+    )
+    if not seg_parts:
+        return empty
+    cat = [np.concatenate([p[i] for p in seg_parts]) for i in range(6)]
+    # canonical segment order (way_id, seg_idx) so broadcast content is
+    # independent of block arrival order
+    so = np.lexsort((cat[1], cat[0]))
+    segs_ref = ray.put(tuple(c[so] for c in cat))
+    kk = k
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _MATCH_SCHEMA.empty_table()
+        segs = ray.get(segs_ref)
+        df = t.to_pandas().sort_values(["traj_id", "step"], kind="stable")
+        out = []
+        for tid, g in df.groupby("traj_id", sort=True):
+            px = g["px"].to_numpy(np.int64)
+            py = g["py"].to_numpy(np.int64)
+            cand = _mm_candidates(px, py, segs, kk)
+            w, s, sx, sy, d2 = _mm_viterbi(px, py, cand)
+            out.append(
+                pd.DataFrame(
+                    {"traj_id": tid, "step": g["step"].to_numpy(np.int64),
+                     "px": px, "py": py, "way_id": w, "seg_idx": s,
+                     "snap_x": sx, "snap_y": sy, "d2": d2}
+                )
+            )
+        return pa.Table.from_pandas(pd.concat(out), preserve_index=False).cast(
+            _MATCH_SCHEMA
+        )
+
+    traj = synth_trajectories(ways_geo_ds)
+    res = direct_partitioned_map(
+        traj, ["traj_id"], num_parts, fold, _TRAJ_SCHEMA
+    ).to_pandas()
+    if res.empty:
+        return empty
+    for c in res.columns:
+        res[c] = res[c].astype("int64")
+    return res.sort_values(["traj_id", "step"]).reset_index(drop=True)

@@ -1,0 +1,76 @@
+"""HMM map-matching tests: the continuity property that separates Viterbi
+matching from greedy per-point snapping, kernel exactness vs the scalar
+oracle, and partition invariance of the trajectory exchange."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from osmi_addresses_ray.pipelines.geo_ops import _mm_candidates, _mm_viterbi
+
+
+def _segs(rows):
+    a = np.array(rows, np.int64)
+    return (a[:, 0], a[:, 1], a[:, 2], a[:, 3], a[:, 4], a[:, 5])
+
+
+def test_viterbi_continuity_beats_greedy():
+    """Two parallel roads A (y=0) and B (y=600). The middle point is nearer
+    to B (emission saving 120000) but jumping there and back costs 2·600²
+    = 720000 of transition — Viterbi must stay on A while the greedy
+    per-point snap (candidate 0) picks B."""
+    segs = _segs([
+        (1, 0, 0, 0, 4000, 0),        # road A
+        (2, 0, 0, 600, 4000, 600),    # road B
+    ])
+    px = np.array([1000, 2000, 3000], np.int64)
+    py = np.array([100, 400, 100], np.int64)
+    cand = _mm_candidates(px, py, segs, 2)
+    cw, cs, cd, csx, csy = cand
+    assert cw[1][0] == 2          # greedy winner for the noisy point is B
+    w, s, sx, sy, d2 = _mm_viterbi(px, py, cand)
+    assert w.tolist() == [1, 1, 1] # Viterbi keeps the trajectory on A
+    assert sy.tolist() == [0, 0, 0]
+    assert d2.tolist() == [100 * 100, 400 * 400, 100 * 100]
+
+
+def test_emission_spec_branches():
+    """Endpoint clamps, interior floor-division snap, and CAP saturation."""
+    from osmi_addresses_ray.oracle.geo_ops import _mm_emission
+
+    seg = (7, 0, 0, 0, 100, 0)
+    assert _mm_emission(-30, 40, seg) == (30 * 30 + 40 * 40, 0, 0)    # before a
+    assert _mm_emission(130, 40, seg) == (30 * 30 + 40 * 40, 100, 0)  # past b
+    assert _mm_emission(37, 13, seg) == (13 * 13, 37, 0)              # interior
+    big = 1 << 21
+    assert _mm_emission(big, 0, seg)[0] == 1 << 42                    # CLIP → CAP
+    # numpy kernel agrees branch-for-branch
+    segs = _segs([seg])
+    for p in [(-30, 40), (130, 40), (37, 13), (big, 0)]:
+        cw, cs, cd, csx, csy = _mm_candidates(
+            np.array([p[0]], np.int64), np.array([p[1]], np.int64), segs, 1
+        )
+        assert (int(cd[0][0]), int(csx[0][0]), int(csy[0][0])) == _mm_emission(
+            p[0], p[1], seg
+        )
+
+
+def test_map_match_fixture_matches_oracle_and_partitions(ray_session):
+    from osmi_addresses_ray.oracle.geo_ops import oracle_map_match
+    from osmi_addresses_ray.pipelines.geo_ops import map_match
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.assembly import assemble_ways
+    from osmi_addresses_ray.stages.parse import parse_docs
+
+    parsed = parse_docs(fixture_docs(13)).drop_columns(["spans"])
+    wg = assemble_ways(parsed, num_parts=4)
+    out = map_match(wg, num_parts=4)
+    ora = oracle_map_match(fixture_table(13))
+    pd.testing.assert_frame_equal(out, ora)
+    # noise is small vs street spacing: every step matches its source way
+    assert (out.traj_id == out.way_id).all()
+
+    out7 = map_match(wg, num_parts=7)
+    pd.testing.assert_frame_equal(out, out7)

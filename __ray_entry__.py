@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_lerp": timeseries.resample_lerp,
         "interval_coverage": timeseries.interval_coverage,
         "event_transitions": timeseries.event_transitions,
+        "ema_user_value": timeseries.ema_user_value,
         "curate_corpus": textstats.curate_corpus,
         "shard_assignment": textstats.shard_assignment,
         "tfidf_top_terms": textstats.tfidf_top_terms,
@@ -2091,6 +2092,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Markov transition counts: LAG window pairs, exact counts, one
         # IEEE division for the conditional probability
+        # truncated dyadic EMA: every weight 2^(31-j) is exact, num/den are
+        # exact int64, ema is ONE IEEE division — bit-equal by construction
+        "ema_user_value": """
+            WITH v AS (SELECT user_id, ts, event_id,
+                              CAST(floor(value*100 + 0.5) AS BIGINT) AS cents,
+                              row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id) AS rn
+                       FROM events),
+            j AS (SELECT a.user_id, a.ts, a.event_id, a.cents,
+                         sum(b.cents
+                             * (1::BIGINT << (31 - (a.rn - b.rn))))::BIGINT AS num,
+                         ((1::BIGINT << 32)
+                          - (1::BIGINT << (31 - least(a.rn - 1, 31))))::BIGINT AS den
+                  FROM v a JOIN v b
+                    ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 31 AND a.rn
+                  GROUP BY 1, 2, 3, 4, a.rn)
+            SELECT user_id, event_id, ts, cents, num, den,
+                   num::DOUBLE / den::DOUBLE AS ema
+            FROM j ORDER BY user_id, ts, event_id
+        """,
         "event_transitions": """
             WITH s AS (SELECT user_id, event_type,
                               lead(event_type) OVER (

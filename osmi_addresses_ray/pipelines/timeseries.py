@@ -1451,3 +1451,101 @@ def event_transitions(sf_dir: str, *, num_parts: int = 8) -> pd.DataFrame:
     tot = out.groupby("from_type")["n"].transform("sum").astype("int64")
     out["prob"] = out["n"].to_numpy(np.float64) / tot.to_numpy(np.float64)
     return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+
+_EMA_W = 32  # truncated EMA window: weights 2^31 … 2^0 are exact dyadics
+_EMA_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("event_id", pa.int64()),
+        ("ts", pa.timestamp("us")),
+        ("cents", pa.int64()),
+        ("num", pa.int64()),
+        ("den", pa.int64()),
+        ("ema", pa.float64()),
+    ]
+)
+
+
+def ema_user_value(sf_dir: str, *, num_parts: int = 8) -> pd.DataFrame:
+    """Per-user exponential moving average of event values — the streaming
+    smoothing feature every behavioural model keeps per entity — made
+    bit-reproducible by TRUNCATING the classic α=½ recursion to a 32-term
+    window so every weight is an exact dyadic:
+
+        num_t = Σ_{j=0..m} cents_{t-j} · 2^(31-j),  m = min(t, 31)
+        den_t = 2^32 − 2^(31-m)
+        ema_t = num_t / den_t          (ONE IEEE division of exact int64s)
+
+    int64 audit: num ≤ 2^32 · max_cents — values are < 2^25 cents, so
+    num < 2^57. The SQL oracle evaluates the identical BIGINT expressions
+    via a ±31-row window self-join, so the float column hashes bit-equal.
+
+    Distributed shape: ONE user-keyed exchange; inside a partition the
+    window fold is 32 whole-array shift-adds masked at user boundaries
+    (no per-row Python). At 10^12 events the exchange volume is the slim
+    (user, ts, id, cents) projection — text/props never move.
+    """
+    from ..ops import direct_partitioned_map
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMA_SCHEMA.empty_table()
+        user = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        val = t["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(val * 100.0 + 0.5).astype(np.int64)
+        order = np.lexsort((eid, ts.astype(np.int64), user))
+        user, eid, ts, cents = user[order], eid[order], ts[order], cents[order]
+        n = len(user)
+        first = np.r_[True, user[1:] != user[:-1]]
+        start = np.maximum.accumulate(np.where(first, np.arange(n), 0))
+        pos = np.arange(n) - start
+        num = np.zeros(n, np.int64)
+        for j in range(_EMA_W):
+            w = np.int64(1) << (31 - j)
+            valid = pos >= j
+            idx = np.arange(n) - j
+            num[valid] += cents[idx[valid]] * w
+        m = np.minimum(pos, _EMA_W - 1)
+        den = (np.int64(1) << 32) - (np.int64(1) << (31 - m))
+        return pa.table(
+            {
+                "user_id": pa.array(user),
+                "event_id": pa.array(eid),
+                "ts": pa.array(ts),
+                "cents": pa.array(cents),
+                "num": pa.array(num),
+                "den": pa.array(den),
+                "ema": pa.array(num.astype(np.float64) / den.astype(np.float64)),
+            }
+        ).cast(_EMA_SCHEMA)
+
+    ds = _read_events(sf_dir, ["user_id", "event_id", "ts", "value"])
+    out = direct_partitioned_map(
+        ds, ["user_id"], num_parts, fn,
+        pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("value", pa.float64()),
+            ]
+        ),
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "event_id": pd.Series([], dtype="int64"),
+                "ts": pd.Series([], dtype="datetime64[us]"),
+                "cents": pd.Series([], dtype="int64"),
+                "num": pd.Series([], dtype="int64"),
+                "den": pd.Series([], dtype="int64"),
+                "ema": pd.Series([], dtype="float64"),
+            }
+        )
+    for c in ("user_id", "event_id", "cents", "num", "den"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)

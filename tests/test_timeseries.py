@@ -486,3 +486,51 @@ def test_event_transitions_order_and_user_boundaries(tmp_path, ray_session):
     out = event_transitions(str(tmp_path), num_parts=2)
     got = {(r.from_type, r.to_type): (r.n, r.prob) for r in out.itertuples()}
     assert got == {("a", "b"): (1, 1.0), ("b", "b"): (1, 0.5), ("b", "c"): (1, 0.5)}
+
+
+def test_ema_truncation_and_user_isolation(tmp_path, ray_session):
+    """34 constant-value events for user 1 (EMA of a constant is the
+    constant at EVERY step — truncation must not bias it) and one event for
+    user 2 right between them in time (must not leak into user 1's window)."""
+    import numpy as np
+    import pandas as pd
+
+    from osmi_addresses_ray.pipelines.timeseries import ema_user_value
+
+    n = 34
+    rows = []
+    for i in range(n):
+        rows.append((i + 1, pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i),
+                     1, "a", 7.0))
+    rows.append((1000, pd.Timestamp("2024-01-01 00:10:30"), 2, "a", 999.0))
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    df["props"] = "{}"
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+
+    out = ema_user_value(str(tmp_path), num_parts=3)
+    u1 = out[out.user_id == 1]
+    assert len(u1) == n
+    assert np.allclose(u1.ema.to_numpy(), 700.0)  # constant in → constant out
+    # window saturates at 32 terms: den constant from the 32nd event on
+    assert u1.den.iloc[31] == u1.den.iloc[33] == (1 << 32) - 1
+    assert u1.den.iloc[0] == 1 << 31
+    u2 = out[out.user_id == 2]
+    assert len(u2) == 1 and u2.ema.iloc[0] == 99900.0
+
+
+def test_ema_weights_recent_heavier(tmp_path, ray_session):
+    """A jump from 0 to 100 puts the EMA above 50 immediately after the
+    jump (recent terms dominate a dyadic ladder)."""
+    import pandas as pd
+
+    from osmi_addresses_ray.pipelines.timeseries import ema_user_value
+
+    vals = [0.0] * 10 + [100.0]
+    rows = [(i + 1, pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i), 5, "a", v)
+            for i, v in enumerate(vals)]
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    df["props"] = "{}"
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    out = ema_user_value(str(tmp_path), num_parts=2)
+    assert out.ema.iloc[-1] > 5000  # > half the jump, in cents
+    assert out.ema.iloc[-2] == 0.0

@@ -312,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_knn_join": _knn_join_query,
         "bbox_overlap_join": _bbox_overlap_query,
         "spatial_clusters": _clusters_query,
+        "dbscan_clusters": _dbscan_query,
         "line_simplify": _line_simplify_query,
         "map_match_trajectories": _map_match_query,
         "convex_hull_cells": _hulls_query,
@@ -903,6 +904,20 @@ def _clusters_query(sf_dir: str):
     from osmi_addresses_ray.pipelines.geo_ops import spatial_clusters
 
     out = spatial_clusters(
+        _fixture_layers()["osmi_addresses_nodes_with_addresses"],
+        num_parts=_parts_for(FIXTURE_BLOCKS),
+    )
+    _write_spatial_src()
+    return out
+
+
+def _dbscan_query(sf_dir: str):
+    """DBSCAN with deterministic min-pid labels; TRUE SQL oracle: neighbour
+    counting + recursive-CTE core reachability + border min-label, all
+    recomputed in DuckDB from the independent point source."""
+    from osmi_addresses_ray.pipelines.geo_ops import dbscan_nwa
+
+    out = dbscan_nwa(
         _fixture_layers()["osmi_addresses_nodes_with_addresses"],
         num_parts=_parts_for(FIXTURE_BLOCKS),
     )
@@ -3025,6 +3040,49 @@ def _naive_oracle_sql() -> dict[str, str]:
             )
             SELECT a AS pid, MIN(b) AS cluster_id FROM reach GROUP BY a
             ORDER BY pid
+        """,
+        # DBSCAN recomputed whole in SQL: |N_eps| ≥ 5 counting self → cores;
+        # recursive reachability over core–core edges labels components by
+        # MIN pid; borders take MIN core-neighbour label; noise = -1
+        "dbscan_clusters": f"""
+            WITH RECURSIVE pts AS (
+                SELECT DISTINCT
+                       CAST(COALESCE(node_id, 10000000 + way_id) AS BIGINT) AS pid,
+                       CAST(round(lon * 10000000) AS BIGINT) AS ix,
+                       CAST(round(lat * 10000000) AS BIGINT) AS iy
+                FROM read_parquet('{oracle_path('spatial_radius_src')}')
+                WHERE is_ip = 0
+            ),
+            edges AS (
+                SELECT a.pid AS u, b.pid AS v
+                FROM pts a JOIN pts b ON a.pid <> b.pid
+                WHERE (a.ix - b.ix) * (a.ix - b.ix)
+                      + (a.iy - b.iy) * (a.iy - b.iy) <= 100000000
+            ),
+            core AS (SELECT u AS pid FROM edges GROUP BY u
+                     HAVING count(*) + 1 >= 5),
+            ce AS (SELECT u, v FROM edges
+                   WHERE u IN (SELECT pid FROM core)
+                     AND v IN (SELECT pid FROM core)),
+            reach(a, b) AS (
+                SELECT pid, pid FROM core
+                UNION
+                SELECT r.a, e.v FROM reach r JOIN ce e ON r.b = e.u
+            ),
+            comp AS (SELECT a AS pid, MIN(b) AS label FROM reach GROUP BY a),
+            bord AS (SELECT e.u AS pid, MIN(c.label) AS label
+                     FROM edges e JOIN comp c ON c.pid = e.v
+                     WHERE e.u NOT IN (SELECT pid FROM core)
+                     GROUP BY e.u)
+            SELECT p.pid,
+                   (CASE WHEN cm.pid IS NOT NULL THEN 0
+                         WHEN bd.pid IS NOT NULL THEN 1
+                         ELSE 2 END)::BIGINT AS role,
+                   COALESCE(cm.label, bd.label, -1)::BIGINT AS label
+            FROM pts p
+            LEFT JOIN comp cm ON cm.pid = p.pid
+            LEFT JOIN bord bd ON bd.pid = p.pid
+            ORDER BY p.pid
         """,
         "line_simplify": read_parquet_sql("line_simplify", "way_id, seq"),
         "map_match_trajectories": read_parquet_sql("map_match", "traj_id, step"),

@@ -1756,3 +1756,149 @@ def map_match(ways_geo_ds, *, k: int = 4, num_parts: int = 8) -> pd.DataFrame:
     for c in res.columns:
         res[c] = res[c].astype("int64")
     return res.sort_values(["traj_id", "step"]).reset_index(drop=True)
+
+
+# --- DBSCAN (density-based clustering with core/border/noise roles) ----------
+
+_DBSCAN_SCHEMA = pa.schema(
+    [("pid", pa.int64()), ("role", pa.int64()), ("label", pa.int64())]
+)
+
+
+def dbscan_points(points_ds, *, radius: int, min_pts: int, num_parts: int = 8):
+    """DBSCAN (Ester, Kriegel, Sander & Xu 1996) over integer points with
+    deterministic tie rules: core = |N_eps(p)| ≥ min_pts (COUNTING SELF,
+    the original formulation); clusters = connected components of the
+    core–core eps-graph labelled by component-min pid; border points take
+    the MIN label among their core neighbours (the classic "first cluster
+    that reaches it" nondeterminism pinned to an order-free rule); noise
+    label −1. roles: 0 core, 1 border, 2 noise.
+
+    Distributed shape: eps-pairs from the cell-bucketed ``radius_pairs``
+    sweep (volume = true pair count, hot cells = the J2 salting family);
+    per-node neighbour counts via partial-sum exchange; components via the
+    O(log² n) star-contraction CC over CORE–CORE edges only; border labels
+    via one more pid-keyed exchange of (non-core, core-label) emissions.
+    The point set itself shuffles exactly once (final assignment cogroup).
+    """
+    from ..ops import direct_cogroup
+    from .dedup import connected_components
+    from .relational import grouped_agg
+
+    import ray
+
+    points = points_ds.materialize()
+    pairs = radius_pairs(points, radius=radius, num_parts=num_parts).materialize()
+
+    def nbr_partial(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [t["id_a"].to_numpy(zero_copy_only=False),
+             t["id_b"].to_numpy(zero_copy_only=False)]
+        ).astype(np.int64)
+        u, c = np.unique(nodes, return_counts=True)
+        return pa.table({"pid": pa.array(u), "cnt": pa.array(c.astype(np.int64))})
+
+    nbr = grouped_agg(
+        pairs.map_batches(nbr_partial, batch_format="pyarrow"),
+        ["pid"], {"cnt": ("cnt", "sum")},
+    ).to_pandas()
+    core_ids = (
+        np.sort(nbr[nbr["cnt"] + 1 >= min_pts]["pid"].to_numpy(np.int64))
+        if not nbr.empty and "pid" in nbr.columns
+        else np.empty(0, np.int64)
+    )
+    # |core| ≤ |points|, but only ids cross the driver (the places-index
+    # broadcast family; past the budget this becomes a semi-join)
+    core_ref = ray.put(core_ids)
+
+    edge_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+
+    def core_edges(t: pa.Table) -> pa.Table:
+        core = ray.get(core_ref)
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.isin(a, core) & np.isin(b, core)
+        return pa.table({"u": pa.array(a[m]), "v": pa.array(b[m])})
+
+    stars = connected_components(
+        pairs.map_batches(core_edges, batch_format="pyarrow").materialize(),
+        num_parts=num_parts,
+    ).to_pandas()
+    star_child = stars["u"].to_numpy(np.int64) if len(stars) else np.empty(0, np.int64)
+    star_root = stars["v"].to_numpy(np.int64) if len(stars) else np.empty(0, np.int64)
+    so = np.argsort(star_child, kind="stable")
+    star_ref = ray.put((star_child[so], star_root[so]))
+
+    def _labels_of(ids: np.ndarray, child, root) -> np.ndarray:
+        lab = ids.copy()
+        if len(child):
+            pos = np.clip(np.searchsorted(child, ids), 0, len(child) - 1)
+            hit = child[pos] == ids
+            lab[hit] = root[pos[hit]]
+        return lab
+
+    emit_schema = pa.schema([("pid", pa.int64()), ("lab", pa.int64())])
+
+    def border_emit(t: pa.Table) -> pa.Table:
+        """(non-core pid, its core neighbour's cluster label) emissions."""
+        core = ray.get(core_ref)
+        child, root = ray.get(star_ref)
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a_core = np.isin(a, core)
+        b_core = np.isin(b, core)
+        outs, labs = [], []
+        m1 = ~a_core & b_core
+        outs.append(a[m1]); labs.append(_labels_of(b[m1], child, root))
+        m2 = a_core & ~b_core
+        outs.append(b[m2]); labs.append(_labels_of(a[m2], child, root))
+        return pa.table(
+            {"pid": pa.array(np.concatenate(outs)), "lab": pa.array(np.concatenate(labs))}
+        )
+
+    border = pairs.map_batches(border_emit, batch_format="pyarrow")
+
+    def assign(pts_t: pa.Table, bord_t: pa.Table) -> pa.Table:
+        core = ray.get(core_ref)
+        child, root = ray.get(star_ref)
+        ids = pts_t["pid"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        is_core = np.isin(ids, core)
+        label = np.full(len(ids), -1, np.int64)
+        label[is_core] = _labels_of(ids[is_core], child, root)
+        role = np.where(is_core, 0, 2).astype(np.int64)
+        if bord_t.num_rows:
+            bp = bord_t["pid"].to_numpy(zero_copy_only=False).astype(np.int64)
+            bl = bord_t["lab"].to_numpy(zero_copy_only=False).astype(np.int64)
+            o = np.lexsort((bl, bp))
+            bp, bl = bp[o], bl[o]
+            first = np.r_[True, bp[1:] != bp[:-1]]
+            ub, ul = bp[first], bl[first]  # min label per border pid
+            pos = np.clip(np.searchsorted(ub, ids), 0, max(len(ub) - 1, 0))
+            hit = (len(ub) > 0) & (ub[pos] == ids) & ~is_core
+            label[hit] = ul[pos[hit]]
+            role[hit] = 1
+        return pa.table(
+            {"pid": pa.array(ids), "role": pa.array(role), "label": pa.array(label)}
+        ).cast(_DBSCAN_SCHEMA)
+
+    out = direct_cogroup(
+        [points, border], [["pid"], ["pid"]], num_parts, assign,
+        [_POINT_SCHEMA, emit_schema],
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("pid", "role", "label")}
+        )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("pid").reset_index(drop=True)
+
+
+DBSCAN_MIN_PTS = 5  # fixture mix: 156 cores, borders and noise all nonempty
+
+
+def dbscan_nwa(nwa_ds, *, num_parts: int = 8) -> pd.DataFrame:
+    pts = points_from_nwa(nwa_ds)
+    df = dbscan_points(pts, radius=RADIUS_UNITS, min_pts=DBSCAN_MIN_PTS,
+                       num_parts=num_parts)
+    return _sorted(df)

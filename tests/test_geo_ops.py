@@ -218,3 +218,50 @@ def test_idw_grid_partition_invariance(ray_session):
     a = idw_grid(_nwa_like(rows), num_parts=1)
     b = idw_grid(_nwa_like(rows), num_parts=7)
     assert a.equals(b)
+
+
+def test_dbscan_roles_and_bridge_split(ray_session):
+    """Two 5-point dense blobs joined by a single sparse bridge point:
+    single-linkage would merge everything; DBSCAN (min_pts=5) must keep TWO
+    clusters, classify the bridge as border-or-noise, and label an isolated
+    far point as noise. Border tie rule: min core-neighbour label."""
+    from osmi_addresses_ray.pipelines.geo_ops import dbscan_points
+
+    # blob A at x≈0, blob B at x≈30; radius=10 ⇒ intra-blob complete graphs
+    pts = {
+        1: (0, 0), 2: (3, 0), 3: (0, 3), 4: (3, 3), 5: (1, 1),       # blob A
+        11: (30, 0), 12: (33, 0), 13: (30, 3), 14: (33, 3), 15: (31, 1),  # blob B
+        20: (15, 0),     # bridge: within 10+ of nothing dense enough
+        6: (12, 0),      # border of A: near cores 2 and 4, itself only 3 nbrs
+        99: (1000, 1000),  # noise
+    }
+    ids = sorted(pts)
+    ds = _points_ds(ids, [pts[i][0] for i in ids], [pts[i][1] for i in ids], blocks=3)
+    out = dbscan_points(ds, radius=10, min_pts=5, num_parts=3).set_index("pid")
+
+    for i in (1, 2, 3, 4, 5):
+        assert out.loc[i].role == 0 and out.loc[i].label == 1
+    for i in (11, 12, 13, 14, 15):
+        assert out.loc[i].role == 0 and out.loc[i].label == 11
+    assert out.loc[6].role == 1 and out.loc[6].label == 1   # border of A
+    assert out.loc[99].role == 2 and out.loc[99].label == -1
+    assert out.loc[20].role in (1, 2)
+    # the two blobs stay separate clusters
+    assert set(out[out.role == 0].label) == {1, 11}
+
+
+def test_dbscan_partition_invariance(ray_session):
+    import pandas as pd
+
+    from osmi_addresses_ray.pipelines.geo_ops import dbscan_points
+
+    rng = np.random.RandomState(7)
+    ix = rng.randint(-1000, 1000, 300)
+    iy = rng.randint(-1000, 1000, 300)
+    ds = _points_ds(np.arange(300), ix, iy, blocks=5)
+    a = dbscan_points(ds, radius=120, min_pts=4, num_parts=2)
+    b = dbscan_points(ds, radius=120, min_pts=4, num_parts=9)
+    pd.testing.assert_frame_equal(
+        a.sort_values("pid").reset_index(drop=True),
+        b.sort_values("pid").reset_index(drop=True),
+    )

@@ -313,6 +313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bbox_overlap_join": _bbox_overlap_query,
         "spatial_clusters": _clusters_query,
         "dbscan_clusters": _dbscan_query,
+        "street_route_dist": _route_dist_query,
         "line_simplify": _line_simplify_query,
         "map_match_trajectories": _map_match_query,
         "convex_hull_cells": _hulls_query,
@@ -908,6 +909,24 @@ def _clusters_query(sf_dir: str):
         num_parts=_parts_for(FIXTURE_BLOCKS),
     )
     _write_spatial_src()
+    return out
+
+
+def _route_dist_query(sf_dir: str):
+    """Multi-source weighted shortest paths over the fixture street graph
+    (min-plus pregel to TRUE fixpoint); oracle = scalar heapq Dijkstra —
+    algorithm-diverse from the engine's relaxation rounds."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.geo_ops import oracle_street_route_dist
+    from osmi_addresses_ray.pipelines.geo_ops import street_route_dist
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.assembly import assemble_ways
+    from osmi_addresses_ray.stages.parse import parse_docs
+
+    parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
+    ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
+    out = street_route_dist(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
+    write_oracle("street_route_dist", oracle_street_route_dist(fixture_table(FIXTURE_BLOCKS)))
     return out
 
 
@@ -3085,6 +3104,7 @@ def _naive_oracle_sql() -> dict[str, str]:
             ORDER BY p.pid
         """,
         "line_simplify": read_parquet_sql("line_simplify", "way_id, seq"),
+        "street_route_dist": read_parquet_sql("street_route_dist", "src, node"),
         "map_match_trajectories": read_parquet_sql("map_match", "traj_id, step"),
         "convex_hull_cells": read_parquet_sql("convex_hull_cells", "cell_x, cell_y"),
         "media_histogram": read_parquet_sql("media_histogram", "doc_id, media_ref"),

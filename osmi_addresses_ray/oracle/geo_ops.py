@@ -309,3 +309,62 @@ def oracle_map_match(docs, k: int = 4) -> pd.DataFrame:
     if df.empty:
         df = pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
     return df.sort_values(["traj_id", "step"]).reset_index(drop=True).astype("int64")
+
+
+# --- weighted street shortest paths (spec mirror of street_route_dist) -------
+
+_SSSP_V_BIAS = 1 << 28
+_SSSP_V_MUL = 1 << 29
+
+
+def _sssp_vid(x: int, y: int) -> int:
+    return (x // 10 + _SSSP_V_BIAS) * _SSSP_V_MUL + (y // 10 + _SSSP_V_BIAS)
+
+
+def oracle_street_route_dist(docs, k_sources: int = 8) -> pd.DataFrame:
+    """Scalar Dijkstra (heapq) over the independently parsed street graph —
+    algorithm-diverse from the engine's Bellman-Ford relaxation rounds."""
+    import heapq
+
+    ents = parse_entities(docs)
+    hw_ways = {e["id"] for e in ents if e["etype"] == "way" and "highway" in e["tags"]}
+    adj: dict[int, dict[int, int]] = {}
+    for way_id, pts in _way_points(docs):
+        if way_id not in hw_ways:
+            continue
+        for i in range(len(pts) - 1):
+            (ax, ay), (bx, by) = pts[i], pts[i + 1]
+            u, v = _sssp_vid(ax, ay), _sssp_vid(bx, by)
+            if u == v:
+                continue
+            w = abs(bx - ax) + abs(by - ay)
+            for a, b in ((u, v), (v, u)):
+                cur = adj.setdefault(a, {})
+                if b not in cur or w < cur[b]:
+                    cur[b] = w
+    if not adj:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("src", "node", "dist")}
+        )
+    sources = sorted(adj)[:k_sources]
+    rows = []
+    for s in sources:
+        dist = {s: 0}
+        heap = [(0, s)]
+        while heap:
+            d, u = heapq.heappop(heap)
+            if d > dist.get(u, 1 << 62):
+                continue
+            for v, w in adj[u].items():
+                nd = d + w
+                if nd < dist.get(v, 1 << 62):
+                    dist[v] = nd
+                    heapq.heappush(heap, (nd, v))
+        for node, d in dist.items():
+            rows.append((s, node, d))
+    return (
+        pd.DataFrame(rows, columns=["src", "node", "dist"])
+        .sort_values(["src", "node"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )

@@ -1902,3 +1902,200 @@ def dbscan_nwa(nwa_ds, *, num_parts: int = 8) -> pd.DataFrame:
     df = dbscan_points(pts, radius=RADIUS_UNITS, min_pts=DBSCAN_MIN_PTS,
                        num_parts=num_parts)
     return _sorted(df)
+
+
+# --- weighted shortest paths over the street network --------------------------
+
+_SSSP_V_BIAS = 1 << 28
+_SSSP_V_MUL = 1 << 29
+_SSSP_MAX_ROUNDS = 64
+_SSSP_K_SOURCES = 8
+
+_SSSP_EDGE_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64()), ("w", pa.int64())])
+_SSSP_DIST_SCHEMA = pa.schema(
+    [("node", pa.int64()), ("src", pa.int64()), ("dist", pa.int64()), ("imp", pa.int64())]
+)
+
+
+def _sssp_vid(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Street-graph vertex id: coordinates floor-divided to 1e-6° and packed
+    into one int64 — endpoints shared between ways (same OSM node) collapse
+    to the same vertex. |x//10| < 2^28 holds for all valid lon/lat."""
+    return (x // 10 + _SSSP_V_BIAS) * _SSSP_V_MUL + (y // 10 + _SSSP_V_BIAS)
+
+
+def street_route_dist(ways_geo_ds, *, num_parts: int = 8) -> pd.DataFrame:
+    """Multi-source weighted shortest paths over the street graph — the
+    routing primitive behind isochrones and travel-distance features.
+    Vertices: quantized segment endpoints; edges: street segments weighted
+    by exact L1 length (|dx|+|dy| in 1e-7° units); sources: the 8 smallest
+    vertex ids (deterministic). Output: (src, node, dist) for every
+    reachable pair, exact integers.
+
+    Distributed shape: Bellman-Ford-style min-plus pregel — per round,
+    [dist ⨝ edges] keyed on the vertex hash space emits (dst, src,
+    dist + w) for IMPROVED rows only, re-partitioned on dst; the merge step
+    keeps the per-(node, src) minimum and flags improvements. Rounds stop
+    at the TRUE fixpoint (zero improved rows, checked by a tiny per-round
+    aggregate); ``_SSSP_MAX_ROUNDS`` is a runaway guard that RAISES, never
+    silently truncates. Volume per round = improved-frontier degree sum.
+    The scalar oracle runs Dijkstra (heapq) — algorithm-diverse from the
+    engine's relaxation rounds, so a shared bug can't cancel out.
+    """
+    from ..ops import direct_cogroup
+
+    import ray
+
+    streets = street_ways(ways_geo_ds).materialize()
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        segs = way_segments_table(t)
+        if segs is None:
+            return _SSSP_EDGE_SCHEMA.empty_table()
+        _w, _s, ax, ay, bx, by = segs
+        u = _sssp_vid(ax, ay)
+        v = _sssp_vid(bx, by)
+        w = np.abs(bx - ax) + np.abs(by - ay)
+        keep = u != v  # zero-extent (same-vertex) segments add nothing
+        u, v, w = u[keep], v[keep], w[keep]
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([u, v])),
+                "v": pa.array(np.concatenate([v, u])),
+                "w": pa.array(np.concatenate([w, w])),
+            }
+        )
+
+    def dedup_min_w(t: pa.Table) -> pa.Table:
+        """Per (u, v) keep the MIN weight (parallel segments collapse)."""
+        if t.num_rows == 0:
+            return _SSSP_EDGE_SCHEMA.empty_table()
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((w, v, u))
+        u, v, w = u[o], v[o], w[o]
+        first = np.r_[True, (u[1:] != u[:-1]) | (v[1:] != v[:-1])]
+        return pa.table({"u": pa.array(u[first]), "v": pa.array(v[first]),
+                         "w": pa.array(w[first])})
+
+    raw = streets.map_batches(to_edges, batch_format="pyarrow")
+    edges = direct_cogroup(
+        [raw], [["u"]], num_parts, dedup_min_w, [_SSSP_EDGE_SCHEMA],
+        emit_partitioned_on=["u"],
+    )
+
+    # deterministic sources: global 3 smallest vertex ids (per-block partial
+    # min-k -> driver merge of k·P ids)
+    vmins = []
+    for b in edges.to_dataset().iter_batches(batch_format="pyarrow"):
+        uu = b["u"].to_numpy(zero_copy_only=False)
+        if len(uu):
+            vmins.append(np.unique(uu)[:_SSSP_K_SOURCES])
+    empty = pd.DataFrame(
+        {c: pd.Series([], dtype="int64") for c in ("src", "node", "dist")}
+    )
+    if not vmins:
+        return empty
+    sources = np.unique(np.concatenate(vmins))[:_SSSP_K_SOURCES]
+    src_ref = ray.put(sources)
+
+    def seed(t: pa.Table) -> pa.Table:
+        srcs = ray.get(src_ref)
+        uu = np.unique(t["u"].to_numpy(zero_copy_only=False).astype(np.int64))
+        here = uu[np.isin(uu, srcs)]
+        return pa.table(
+            {
+                "node": pa.array(here),
+                "src": pa.array(here),
+                "dist": pa.array(np.zeros(len(here), np.int64)),
+                "imp": pa.array(np.ones(len(here), np.int64)),
+            }
+        )
+
+    dist = direct_cogroup(
+        [edges], [["u"]], num_parts, seed, [_SSSP_EDGE_SCHEMA],
+        emit_partitioned_on=["node"],
+    )
+
+    emit_schema = pa.schema(
+        [("dst", pa.int64()), ("src", pa.int64()), ("cand", pa.int64())]
+    )
+
+    def expand(d_t: pa.Table, e_t: pa.Table) -> pa.Table:
+        if d_t.num_rows == 0 or e_t.num_rows == 0:
+            return emit_schema.empty_table()
+        dd = d_t.to_pandas()
+        dd = dd[dd["imp"] == 1]
+        if dd.empty:
+            return emit_schema.empty_table()
+        ed = e_t.to_pandas()
+        m = ed.merge(dd, left_on="u", right_on="node", how="inner")
+        if m.empty:
+            return emit_schema.empty_table()
+        out = pd.DataFrame(
+            {
+                "dst": m["v"].to_numpy(np.int64),
+                "src": m["src"].to_numpy(np.int64),
+                "cand": m["dist"].to_numpy(np.int64) + m["w"].to_numpy(np.int64),
+            }
+        )
+        # map-side combine: min cand per (dst, src)
+        out = out.sort_values(["dst", "src", "cand"], kind="stable")
+        first = ~out.duplicated(["dst", "src"])
+        return pa.Table.from_pandas(out[first], preserve_index=False).cast(emit_schema)
+
+    def merge(n_t: pa.Table, d_t: pa.Table) -> pa.Table:
+        dd = d_t.to_pandas()[["node", "src", "dist"]]
+        if n_t.num_rows:
+            nd = n_t.to_pandas().rename(
+                columns={"dst": "node", "cand": "dist"}
+            )
+            allr = pd.concat([dd.assign(old=1), nd.assign(old=0)])
+        else:
+            allr = dd.assign(old=1)
+        # tie on dist prefers the OLD row (old=1 first) — an equal-distance
+        # re-arrival must NOT count as an improvement or rounds never settle
+        allr = allr.sort_values(
+            ["node", "src", "dist", "old"],
+            ascending=[True, True, True, False], kind="stable",
+        )
+        first = ~allr.duplicated(["node", "src"])
+        win = allr[first]
+        imp = (win["old"] == 0).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(win["node"].to_numpy(np.int64)),
+                "src": pa.array(win["src"].to_numpy(np.int64)),
+                "dist": pa.array(win["dist"].to_numpy(np.int64)),
+                "imp": pa.array(imp.to_numpy()),
+            }
+        )
+
+    for rnd in range(_SSSP_MAX_ROUNDS):
+        nxt = direct_cogroup(
+            [dist, edges], [["node"], ["u"]], num_parts, expand,
+            [_SSSP_DIST_SCHEMA, _SSSP_EDGE_SCHEMA], emit_partitioned_on=["dst"],
+        )
+        dist = direct_cogroup(
+            [nxt, dist], [["dst"], ["node"]], num_parts, merge,
+            [emit_schema, _SSSP_DIST_SCHEMA], emit_partitioned_on=["node"],
+        )
+        improved = sum(
+            int(b["imp"].to_numpy(zero_copy_only=False).sum())
+            for b in dist.to_dataset().select_columns(["imp"]).iter_batches(batch_format="pyarrow")
+        )
+        if improved == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"street_route_dist did not reach fixpoint in {_SSSP_MAX_ROUNDS} rounds"
+        )
+
+    out = dist.to_dataset().to_pandas()
+    if out.empty:
+        return empty
+    out = out[["src", "node", "dist"]]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["src", "node"]).reset_index(drop=True)

@@ -74,3 +74,64 @@ def test_map_match_fixture_matches_oracle_and_partitions(ray_session):
 
     out7 = map_match(wg, num_parts=7)
     pd.testing.assert_frame_equal(out, out7)
+
+
+def _ways_geo_ds(ways):
+    """Minimal ways_geo-shaped dataset: [(way_id, [(lon,lat)...], highway)]"""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osmi_addresses_ray.constants import tag_col
+
+    t = pa.table(
+        {
+            "way_id": pa.array([w[0] for w in ways], pa.int64()),
+            "xs": pa.array([[p[0] for p in w[1]] for w in ways], pa.list_(pa.float64())),
+            "ys": pa.array([[p[1] for p in w[1]] for w in ways], pa.list_(pa.float64())),
+            "nonzero": pa.array([True] * len(ways)),
+            tag_col("highway"): pa.array([w[2] for w in ways], pa.string()),
+        }
+    )
+    return rd.from_arrow(t)
+
+
+def test_route_dist_weighted_beats_hops(ray_session):
+    """Square graph where the 3-hop detour (total weight 3k) is shorter than
+    the 1-hop direct edge (weight 10k): a hop-count BFS would report the
+    direct edge's endpoint at distance 10k, weighted SSSP must say 3k.
+    Units: 1e-5 lon ≈ 100 quantized units."""
+    from osmi_addresses_ray.pipelines.geo_ops import _sssp_vid, street_route_dist
+
+    A, C, D, B = (0.0, 0.0), (0.00005, 0.0), (0.00010, 0.0), (0.00015, 0.0)
+    far = (0.00015, 0.0005)  # B—far edge, just to have a 2nd component? no: connected
+    ways = [
+        (1, [A, B], "residential"),          # direct: weight 1500
+        (2, [A, C, D, B], "residential"),    # detour: 3 × 500 = 1500? equal...
+    ]
+    # make the direct edge genuinely longer: bend it through a far point
+    ways[0] = (1, [A, (0.000075, 0.0003), B], "residential")
+    out = street_route_dist(_ways_geo_ds(ways), num_parts=3)
+    va = _sssp_vid(np.int64(0), np.int64(0))
+    vb = _sssp_vid(np.int64(1500), np.int64(0))
+    d = out.set_index(["src", "node"])["dist"]
+    # src = min vid = A; A→B must take the straight detour: 3 hops × 500
+    assert d.loc[(va, vb)] == 1500
+    # the bent direct way costs 750+3000 + 750+3000 = 7500 — not chosen
+    assert (out["dist"] >= 0).all()
+
+
+def test_route_dist_fixture_matches_oracle_and_partitions(ray_session):
+    import pandas as pd
+
+    from osmi_addresses_ray.oracle.geo_ops import oracle_street_route_dist
+    from osmi_addresses_ray.pipelines.geo_ops import street_route_dist
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.assembly import assemble_ways
+    from osmi_addresses_ray.stages.parse import parse_docs
+
+    parsed = parse_docs(fixture_docs(13)).drop_columns(["spans"])
+    wg = assemble_ways(parsed, num_parts=4)
+    out = street_route_dist(wg, num_parts=4)
+    pd.testing.assert_frame_equal(out, oracle_street_route_dist(fixture_table(13)))
+    out2 = street_route_dist(wg, num_parts=7)
+    pd.testing.assert_frame_equal(out, out2)

@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hard_negatives": similarity.hard_negatives,
         "lang_id": textstats.lang_id,
         "fingerprints": textstats.fingerprints,
+        "winnow_fingerprints": textstats.winnow_fingerprints,
         "top_tokens": textstats.top_tokens,
         "heavy_hitters": textstats.heavy_hitters,
         "bm25_search": textstats.bm25_search,
@@ -2722,6 +2723,37 @@ def oracle_sql() -> dict[str, str]:
                        )) % 18446744073709551616::HUGEINT
                    )), 0)::HUGEINT % 18446744073709551616::HUGEINT)::UBIGINT AS fingerprint
             FROM documents ORDER BY doc_id
+        """,
+        # winnowing (Schleimer+ 2003): same FNV subexpression as
+        # `fingerprints`, gram/window/tie rules packed into ONE integer MIN
+        # (key = g·2^20 + (2^20−1−pos) → min == (min g, rightmost pos))
+        "winnow_fingerprints": """
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS toks
+                       FROM documents),
+            h AS (SELECT doc_id, list_transform(toks, t -> (list_reduce(
+                      [14695981039346656037::HUGEINT] ||
+                      list_transform(range(1, length(t)+1), j -> ascii(t[j])::HUGEINT),
+                      (acc, b) -> (xor(acc::UBIGINT, b::UBIGINT)::HUGEINT
+                                   * 1099511628211::HUGEINT)
+                                  % 18446744073709551616::HUGEINT
+                  ) % 4294967296)::BIGINT) AS hs, len(toks) AS n
+                  FROM t WHERE len(toks) >= 3),
+            g AS (SELECT doc_id,
+                         unnest(list_transform(range(1, n - 1),
+                             i -> (3*hs[i] + 5*hs[i+1] + 7*hs[i+2]) % 4294967296)) AS gh,
+                         unnest(range(0, n - 2)) AS pos
+                  FROM h),
+            k AS (SELECT doc_id, pos, gh * 1048576 + (1048575 - pos) AS key FROM g),
+            w AS (SELECT doc_id, pos,
+                         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel,
+                         max(pos) OVER (PARTITION BY doc_id) AS maxpos FROM k),
+            s AS (SELECT DISTINCT doc_id, (1048575 - (sel % 1048576)) AS pos,
+                         sel // 1048576 AS fp
+                  FROM w WHERE pos >= 3 OR pos = maxpos)
+            SELECT doc_id, pos::BIGINT AS pos, fp::BIGINT AS fp
+            FROM s ORDER BY doc_id, pos
         """,
     } | _naive_oracle_sql() | _composed_oracle_sql()
 

@@ -2099,3 +2099,91 @@ def ccnet_buckets(sf_dir: str, *, train_mod: int = 7) -> pd.DataFrame:
 
     out = scored.map_batches(bucketize, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_WINNOW_K = 3   # token-gram width
+_WINNOW_W = 4   # window of consecutive gram hashes
+_WINNOW_POS_BITS = 20  # gram position packed below the hash in the tie key
+
+
+def winnow_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    the MOSS plagiarism-detection selector): guarantees every match of
+    ≥ w+k−1 tokens between two documents shares a selected fingerprint,
+    while keeping the selected set ~2/(w+1) of all grams.
+
+    Spec (the SQL oracle evaluates the identical expressions):
+      token k-grams (k=3) hashed g_i = (3·h_i + 5·h_{i+1} + 7·h_{i+2})
+      mod 2^32 with h = fnv1a64(token) mod 2^32; every window of w=4
+      consecutive grams selects its minimum with the RIGHTMOST-position tie
+      rule — packed as key = g·2^20 + (2^20−1−pos) so one integer MIN
+      implements both orderings; docs with fewer than w grams select from
+      their single (short) final window. Output: the DISTINCT selections.
+
+    Distributed shape: zero exchanges — selection is per-document, fused
+    into the read; at 10^12 docs this is a pure map. Dedup of selections is
+    in-batch (a document never spans batches)."""
+    ds = _read_docs(sf_dir)
+    tok = re.compile(_TOKEN_RE)
+    K, W, PB = _WINNOW_K, _WINNOW_W, _WINNOW_POS_BITS
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].to_numpy()
+        doc_ids = df["doc_id"].to_numpy(np.int64)
+        tok_lists, counts, starts, ends = _segment_tokens(texts, tok)
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "pos": pd.Series([], dtype="int64"),
+                "fp": pd.Series([], dtype="int64"),
+            }
+        )
+        if counts.sum() == 0:
+            return empty
+        all_toks = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists if t])
+        h32 = (_fnv1a_tokens(all_toks) % np.uint64(1 << 32)).astype(np.int64)
+        n = len(h32)
+        docidx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        # gram i valid iff tokens i..i+K-1 are in the SAME doc
+        gi = np.arange(n - K + 1, dtype=np.int64) if n >= K else np.empty(0, np.int64)
+        gi = gi[docidx[gi] == docidx[gi + K - 1]] if len(gi) else gi
+        if not len(gi):
+            return empty
+        g = (3 * h32[gi] + 5 * h32[gi + 1] + 7 * h32[gi + 2]) % (1 << 32)
+        gdoc = docidx[gi]
+        gpos = gi - starts[gdoc]
+        if int(gpos.max()) >= (1 << PB):
+            raise ValueError("winnowing: document exceeds 2^20 grams")
+        key = g * (1 << PB) + ((1 << PB) - 1 - gpos)
+        # per-gram window min over the W trailing grams of the same doc
+        m = len(key)
+        win = key.copy()
+        for s in range(1, W):
+            shifted = np.full(m, 1 << 62, np.int64)
+            shifted[s:] = key[:-s]
+            same = np.zeros(m, bool)
+            same[s:] = gdoc[s:] == gdoc[:-s]
+            win = np.minimum(win, np.where(same, shifted, 1 << 62))
+        # keep full windows (pos ≥ W−1) plus each short doc's final window
+        gcnt = np.bincount(gdoc, minlength=len(counts))
+        is_last = gpos == (gcnt[gdoc] - 1)
+        keep = (gpos >= W - 1) | is_last
+        sel_doc = doc_ids[gdoc[keep]]
+        sel_key = win[keep]
+        u = np.unique(np.stack([sel_doc, sel_key], axis=1), axis=0)
+        return pd.DataFrame(
+            {
+                "doc_id": u[:, 0],
+                "pos": (1 << PB) - 1 - (u[:, 1] % (1 << PB)),
+                "fp": u[:, 1] >> PB,
+            }
+        )
+
+    out = ds.map_batches(f, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("doc_id", "pos", "fp")}
+        )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)

@@ -143,3 +143,39 @@ def test_search_all_terms_and_semantics(gram_docs):
     out = textstats.search_docs_all_terms(sf_dir)
     assert list(out["doc_id"]) == [3]          # only doc 3 has all three terms
     assert int(out["n_occurrences"].iloc[0]) == 5  # 2 merge + 2 window + 1 batch
+
+
+def test_winnowing_guarantee_and_density(tmp_path, ray_session):
+    """The winnowing guarantee: two docs sharing a run of ≥ w+k−1 = 6 tokens
+    MUST share at least one selected fingerprint; selection density is ~
+    2/(w+1) of grams; the rightmost-min tie rule picks ONE selection for a
+    constant document's window."""
+    import numpy as np
+    import pandas as pd
+
+    from osmi_addresses_ray.pipelines.textstats import winnow_fingerprints
+
+    shared = "alpha bravo charlie delta echo foxtrot"  # 6 shared tokens
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "one two three " + shared + " nine ten eleven twelve",
+                "zz yy xx ww " + shared + " vv uu tt",
+                "const const const const const const const const",
+                "tiny doc",  # < k tokens after the 2-token doc? 2 tokens -> no grams
+            ],
+            "lang": "en", "source": "t", "n_chars": 1,
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = winnow_fingerprints(str(tmp_path))
+
+    f1 = set(out[out.doc_id == 1].fp)
+    f2 = set(out[out.doc_id == 2].fp)
+    assert f1 & f2, "shared 6-token run must share a fingerprint"
+    # constant doc: all gram hashes equal -> every window picks its OWN
+    # rightmost gram, so each gram is selected once after the warmup
+    c = out[out.doc_id == 3]
+    assert len(c) >= 3 and c.fp.nunique() == 1
+    assert 4 not in set(out.doc_id)  # 2 tokens < k: no grams, no rows

@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textstats.lang_id,
         "fingerprints": textstats.fingerprints,
         "winnow_fingerprints": textstats.winnow_fingerprints,
+        "cdc_chunks": textstats.cdc_chunks,
         "top_tokens": textstats.top_tokens,
         "heavy_hitters": textstats.heavy_hitters,
         "bm25_search": textstats.bm25_search,
@@ -2754,6 +2755,39 @@ def oracle_sql() -> dict[str, str]:
                   FROM w WHERE pos >= 3 OR pos = maxpos)
             SELECT doc_id, pos::BIGINT AS pos, fp::BIGINT AS fp
             FROM s ORDER BY doc_id, pos
+        """,
+        # content-defined chunking (LBFS rule): window polynomial and chunk
+        # Horner fold both mod 2^64 in HUGEINT — bit-equal to the engine's
+        # native uint64 wraparound
+        "cdc_chunks": """
+            WITH d AS (SELECT doc_id, length(text) AS n,
+                              list_transform(range(1, length(text)+1),
+                                             i -> ascii(text[i])::HUGEINT) AS cl
+                       FROM documents WHERE length(text) > 0),
+            cuts AS (SELECT doc_id, n, cl,
+                            [0] || list_filter(range(8, n+1), i ->
+                                list_reduce(
+                                    list_transform(range(i-7, i+1), x -> cl[x]),
+                                    (a, c) -> (a*263 + c)
+                                              % 18446744073709551616::HUGEINT)
+                                % 64 = 0) AS cutpos
+                     FROM d),
+            spans0 AS (SELECT doc_id, n, cl, unnest(cutpos) AS c0 FROM cuts),
+            spans AS (SELECT doc_id, n, cl, c0 + 1 AS s,
+                             coalesce(lead(c0) OVER (PARTITION BY doc_id
+                                                     ORDER BY c0), n) AS e
+                      FROM spans0),
+            r AS (SELECT doc_id, s, e, cl,
+                         row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1
+                             AS chunk_id
+                  FROM spans WHERE e >= s)
+            SELECT doc_id, chunk_id::BIGINT AS chunk_id, (s - 1)::BIGINT AS start,
+                   (e - s + 1)::BIGINT AS len,
+                   list_reduce(cl[s:e],
+                               (a, c) -> (a*263 + c)
+                                         % 18446744073709551616::HUGEINT)::UBIGINT
+                       AS chunk_hash
+            FROM r ORDER BY doc_id, chunk_id
         """,
     } | _naive_oracle_sql() | _composed_oracle_sql()
 

@@ -2187,3 +2187,122 @@ def winnow_fingerprints(sf_dir: str) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+
+
+_CDC_W = 8        # rolling-hash window (bytes)
+_CDC_B = np.uint64(263)  # polynomial base (odd -> invertible mod 2^64)
+_CDC_MASK = 64    # cut when window hash % 64 == 0 (expected chunk ~64 chars)
+
+
+def cdc_chunks(sf_dir: str) -> pd.DataFrame:
+    """Content-defined chunking (the LBFS/Rabin boundary rule of
+    Muthitacharoen, Chen & Mazières 2001 — the storage-dedup primitive
+    behind chunk-level dedup of near-identical documents): a cut falls
+    AFTER every position whose 8-byte rolling polynomial hash ≡ 0 (mod 64),
+    so an insertion early in a document shifts only the chunks it touches —
+    unlike fixed-size splitting, where everything downstream re-hashes.
+    Basic CDC: no min/max clamps (those reintroduce sequential state; this
+    is the original LBFS formulation).
+
+    Spec (SQL-identical): codes = ascii bytes of the raw text; window hash
+    at end position i = Σ_{j=0..7} c_{i-7+j}·263^(7-j) mod 2^64, defined
+    when the window lies inside the doc; chunk hash = Horner fold
+    acc←acc·263+c mod 2^64 over the chunk. Output one row per non-empty
+    chunk: (doc_id, chunk_id, start, len, chunk_hash) — uint64 hash
+    widened losslessly into the driver's comparator.
+
+    Distributed shape: zero exchanges (boundaries and hashes are per-doc);
+    the rolling hash is 8 whole-array shift-mul-adds and the chunk fold
+    iterates max-chunk-length times over the CHUNK vector (the
+    `_fnv1a_tokens` pattern) — no per-row Python."""
+    ds = _read_docs(sf_dir)
+    W, B, MASK = _CDC_W, _CDC_B, _CDC_MASK
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].to_numpy()
+        doc_ids = df["doc_id"].to_numpy(np.int64)
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "chunk_id": pd.Series([], dtype="int64"),
+                "start": pd.Series([], dtype="int64"),
+                "len": pd.Series([], dtype="int64"),
+                "chunk_hash": pd.Series([], dtype="uint64"),
+            }
+        )
+        if lens.sum() == 0:
+            return empty
+        flat = np.frombuffer("".join(texts.tolist()).encode(), dtype=np.uint8)
+        n = len(flat)
+        codes = flat.astype(np.uint64)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        docidx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        # rolling hash ending at i: 8 shift-mul-adds (Horner over the window)
+        with np.errstate(over="ignore"):
+            h = np.zeros(n, np.uint64)
+            for j in range(W):
+                shifted = np.zeros(n, np.uint64)
+                s = W - 1 - j
+                if s:
+                    shifted[s:] = codes[:-s]
+                else:
+                    shifted = codes
+                h = h * B + shifted
+        pos_in_doc = np.arange(n, dtype=np.int64) - starts[docidx]
+        cut_after = (pos_in_doc >= W - 1) & (h % np.uint64(MASK) == 0)
+        # chunk starts: doc starts + positions right after a cut (same doc)
+        cut_next = np.zeros(n, bool)
+        cut_next[1:] = cut_after[:-1] & (docidx[1:] == docidx[:-1])
+        is_start = cut_next.copy()
+        is_start[starts] = True
+        cstart = np.flatnonzero(is_start)
+        # chunk end = next chunk start in the same doc, else doc end
+        nxt = np.empty(len(cstart), np.int64)
+        nxt[:-1] = cstart[1:]
+        nxt[-1] = n
+        cdoc = docidx[cstart]
+        cend = np.where(
+            (nxt <= ends[cdoc]) & (np.r_[cdoc[1:] == cdoc[:-1], False]),
+            nxt, ends[cdoc],
+        )
+        clen = cend - cstart
+        keep = clen > 0
+        cstart, cend, clen, cdoc = cstart[keep], cend[keep], clen[keep], cdoc[keep]
+        # Horner fold over each chunk, max-chunk-len whole-array iterations
+        with np.errstate(over="ignore"):
+            acc = np.zeros(len(cstart), np.uint64)
+            for j in range(int(clen.max())):
+                m = clen > j
+                acc[m] = acc[m] * B + codes[cstart[m] + j]
+        # chunk_id = rank within doc
+        first = np.r_[True, cdoc[1:] != cdoc[:-1]]
+        chunk_id = np.arange(len(cdoc), dtype=np.int64) - np.maximum.accumulate(
+            np.where(first, np.arange(len(cdoc), dtype=np.int64), 0)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": doc_ids[cdoc],
+                "chunk_id": chunk_id,
+                "start": cstart - starts[cdoc],
+                "len": clen,
+                "chunk_hash": acc,
+            }
+        )
+
+    out = ds.map_batches(f, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "chunk_id": pd.Series([], dtype="int64"),
+                "start": pd.Series([], dtype="int64"),
+                "len": pd.Series([], dtype="int64"),
+                "chunk_hash": pd.Series([], dtype="uint64"),
+            }
+        )
+    for c in ("doc_id", "chunk_id", "start", "len"):
+        out[c] = out[c].astype("int64")
+    out["chunk_hash"] = out["chunk_hash"].astype("uint64")
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)

@@ -179,3 +179,38 @@ def test_winnowing_guarantee_and_density(tmp_path, ray_session):
     c = out[out.doc_id == 3]
     assert len(c) >= 3 and c.fp.nunique() == 1
     assert 4 not in set(out.doc_id)  # 2 tokens < k: no grams, no rows
+
+
+def test_cdc_shift_resistance(tmp_path, ray_session):
+    """THE CDC property: prepending a prefix must leave the chunking of the
+    unchanged tail identical (same chunk hashes), where fixed-size splitting
+    would re-chunk everything downstream."""
+    import numpy as np
+    import pandas as pd
+
+    from osmi_addresses_ray.pipelines.textstats import cdc_chunks
+
+    rng = np.random.RandomState(3)
+    body = "".join(chr(97 + rng.randint(26)) for _ in range(800))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [body, "PREFIX-INSERTED " + body],
+            "lang": "en", "source": "t", "n_chars": 1,
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = cdc_chunks(str(tmp_path))
+    h1 = out[out.doc_id == 1].chunk_hash.tolist()
+    h2 = out[out.doc_id == 2].chunk_hash.tolist()
+    shared = len(set(h1) & set(h2))
+    # all but the first chunk (which absorbs the prefix) must realign
+    assert shared >= len(h1) - 2, (shared, len(h1), len(h2))
+    # boundaries are content-keyed: mean chunk length ~ mask size
+    assert 20 < out["len"].mean() < 300
+    # start/len tile each document exactly
+    for did, g in out.groupby("doc_id"):
+        g = g.sort_values("chunk_id")
+        assert g["start"].iloc[0] == 0
+        assert (g["start"].to_numpy()[1:]
+                == (g["start"] + g["len"]).to_numpy()[:-1]).all()

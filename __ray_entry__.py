@@ -266,6 +266,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _with_oracle(
             "bpe_merges", textstats.bpe_merges, "bpe_merges_oracle", "documents"
         ),
+        # tokenizer application: trained merge table broadcast, unique-word
+        # encode per batch (vocab-bounded work), O(tokens) lookup
+        "bpe_encode": _with_oracle(
+            "bpe_encode", textstats.bpe_encode, "bpe_encode_oracle", "documents"
+        ),
         "embedding_cosine_dedup": _with_oracle(
             "embedding_cosine_dedup", similarity.embedding_cosine_dedup, "emb_dedup_oracle",
             "embeddings",
@@ -2897,6 +2902,7 @@ def _ensure_default_oracles() -> None:
         ("pq_adc_search", "embeddings"),
         ("pca_project", "embeddings"),
         ("bpe_merges", "documents"),
+        ("bpe_encode", "documents"),
         ("dedup_clusters", "documents"),
         ("hll_distinct_users", "events"),
         ("cms_token_counts", "documents"),
@@ -2944,6 +2950,7 @@ def _naive_oracle_sql() -> dict[str, str]:
         "pq_adc_search": read_tagged_sql("pq_adc_search", "adc_dist, vec_id", "embeddings"),
         "pca_project": read_tagged_sql("pca_project", "vec_id", "embeddings"),
         "bpe_merges": read_tagged_sql("bpe_merges", "rank", "documents"),
+        "bpe_encode": read_tagged_sql("bpe_encode", "doc_id", "documents"),
         "dedup_clusters": read_tagged_sql("dedup_clusters", "doc_id", "documents"),
         "hll_distinct_users": read_tagged_sql("hll_distinct_users", "col_name", "events"),
         "cms_token_counts": read_tagged_sql("cms_token_counts", "token", "documents"),

@@ -881,3 +881,38 @@ def kll_oracle(sf_dir: str) -> pd.DataFrame:
              "rank_err_frac": err, "n": np.int64(n)}
         )
     return pd.DataFrame(rows)
+
+
+def bpe_encode_oracle(sf_dir: str, *, n_merges: int = 20) -> pd.DataFrame:
+    """Scalar tokenizer application: retrain the merge table with the
+    trainer oracle's loops, then encode every doc word-by-word."""
+    import re as _re
+
+    merges_df = bpe_merges_oracle(sf_dir, n_merges=n_merges)
+    merges = list(zip(merges_df["left"], merges_df["right"]))
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    tok = _re.compile(r"[A-Za-z0-9_]+")
+    cache: dict[str, int] = {}
+
+    def enc(w: str) -> int:
+        if w not in cache:
+            sym = list(w)
+            for left, right in merges:
+                i = 0
+                while i < len(sym) - 1:
+                    if sym[i] == left and sym[i + 1] == right:
+                        sym[i : i + 2] = [left + right]
+                    else:
+                        i += 1
+            cache[w] = len(sym)
+        return cache[w]
+
+    rows = []
+    for did, t in zip(docs["doc_id"], docs["text"]):
+        ws = tok.findall(t.lower())
+        nsym = sum(enc(w) for w in ws)
+        ratio = nsym / len(ws) if ws else 0.0
+        rows.append((np.int64(did), np.int64(len(ws)), np.int64(nsym), float(ratio)))
+    return pd.DataFrame(rows, columns=["doc_id", "n_words", "n_symbols", "ratio"]).sort_values(
+        "doc_id"
+    ).reset_index(drop=True)

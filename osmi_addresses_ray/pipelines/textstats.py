@@ -2306,3 +2306,72 @@ def cdc_chunks(sf_dir: str) -> pd.DataFrame:
         out[c] = out[c].astype("int64")
     out["chunk_hash"] = out["chunk_hash"].astype("uint64")
     return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+def _bpe_apply(word: str, merges: list[tuple[str, str]]) -> int:
+    """Symbol count of ``word`` after applying ``merges`` in rank order
+    (the training replacement loop verbatim, so encoding reproduces the
+    trainer's segmentation)."""
+    sym = list(word)
+    for left, right in merges:
+        i = 0
+        while i < len(sym) - 1:
+            if sym[i] == left and sym[i + 1] == right:
+                sym[i : i + 2] = [left + right]
+            else:
+                i += 1
+    return len(sym)
+
+
+def bpe_encode(sf_dir: str, *, n_merges: int = 20) -> pd.DataFrame:
+    """Tokenizer APPLICATION — the other half of ``bpe_merges``: encode the
+    corpus with the trained merge table and report per-doc compression
+    (n_words, n_symbols, ratio = ONE IEEE division).
+
+    Scale shape: the merge table is trained once (vocab-bounded histogram
+    exchange + driver loop, see bpe_merges) and broadcast via ``ray.put``;
+    encoding is per-batch over the batch's UNIQUE words only (per-word cost
+    is vocab-bounded and amortizes across repeats — the production
+    tokenizer-server shape), then an O(tokens) lookup. Zero exchanges."""
+    import ray
+
+    merges_df = bpe_merges(sf_dir, n_merges=n_merges)
+    merges = list(zip(merges_df["left"], merges_df["right"]))
+    merges_ref = ray.put(merges)
+
+    ds = _read_docs(sf_dir)
+    tok = re.compile(_TOKEN_RE)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        mg = ray.get(merges_ref)
+        texts = df["text"].to_numpy()
+        tok_lists, counts, starts, ends = _segment_tokens(texts, tok)
+        if counts.sum() == 0:
+            all_toks = np.empty(0, object)
+        else:
+            all_toks = np.concatenate(
+                [np.asarray(t, dtype=object) for t in tok_lists if t]
+            )
+        uniq, inv = np.unique(all_toks.astype(str), return_inverse=True) if len(all_toks) else (np.empty(0, str), np.empty(0, np.int64))
+        sym_of = np.array([_bpe_apply(w, mg) for w in uniq], dtype=np.int64)
+        per_tok = sym_of[inv] if len(all_toks) else np.empty(0, np.int64)
+        cum = np.concatenate(([0], np.cumsum(per_tok))).astype(np.int64)
+        n_sym = cum[ends] - cum[starts]
+        n_words = counts
+        ratio = np.where(
+            n_words > 0, n_sym.astype(np.float64) / np.maximum(n_words, 1), 0.0
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_words": n_words,
+                "n_symbols": n_sym,
+                "ratio": ratio,
+            }
+        )
+
+    out = ds.map_batches(f, batch_format="pandas").to_pandas()
+    for c in ("doc_id", "n_words", "n_symbols"):
+        out[c] = out[c].astype("int64")
+    out["ratio"] = out["ratio"].astype("float64")
+    return out.sort_values("doc_id").reset_index(drop=True)

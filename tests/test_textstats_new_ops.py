@@ -214,3 +214,33 @@ def test_cdc_shift_resistance(tmp_path, ray_session):
         assert g["start"].iloc[0] == 0
         assert (g["start"].to_numpy()[1:]
                 == (g["start"] + g["len"]).to_numpy()[:-1]).all()
+
+
+def test_bpe_encode_compresses_and_matches_trainer(tmp_path, ray_session):
+    """Encoding with the trained merges must (a) reproduce the trainer's
+    segmentation on a word it fully merged, (b) never exceed character
+    count, (c) strictly compress a corpus dominated by one repeated word."""
+    import pandas as pd
+
+    from osmi_addresses_ray.pipelines.textstats import bpe_encode, bpe_merges
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "hello hello hello hello hello hello hello hello",
+                "hello world",
+                "",
+            ],
+            "lang": "en", "source": "t", "n_chars": 1,
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    m = bpe_merges(str(tmp_path), n_merges=10)
+    out = bpe_encode(str(tmp_path), n_merges=10).set_index("doc_id")
+    # 'hello' dominates: 4 merges collapse it to ONE symbol within 10 rounds
+    assert out.loc[1, "n_symbols"] == out.loc[1, "n_words"]  # 1 symbol/word
+    assert out.loc[1, "ratio"] == 1.0
+    assert out.loc[2, "n_symbols"] <= len("hello") + len("world")
+    assert out.loc[3, "n_words"] == 0 and out.loc[3, "ratio"] == 0.0
+    assert len(m) == 10 or len(m) < 10  # trainer returns ≤ n_merges

@@ -321,6 +321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_clusters": _clusters_query,
         "dbscan_clusters": _dbscan_query,
         "street_route_dist": _route_dist_query,
+        "turn_classes": _turns_query,
         "line_simplify": _line_simplify_query,
         "map_match_trajectories": _map_match_query,
         "convex_hull_cells": _hulls_query,
@@ -934,6 +935,24 @@ def _route_dist_query(sf_dir: str):
     ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
     out = street_route_dist(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
     write_oracle("street_route_dist", oracle_street_route_dist(fixture_table(FIXTURE_BLOCKS)))
+    return out
+
+
+def _turns_query(sf_dir: str):
+    """Exact-integer turn classification along the synthesized trajectories
+    (cross/dot sign octants — no atan2). TRUE SQL oracle: DuckDB LAG/LEAD
+    window over the independently synthesized trajectory points."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.geo_ops import oracle_traj_points
+    from osmi_addresses_ray.pipelines.geo_ops import turn_classes
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.assembly import assemble_ways
+    from osmi_addresses_ray.stages.parse import parse_docs
+
+    parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
+    ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
+    out = turn_classes(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
+    write_oracle("traj_points_src", oracle_traj_points(fixture_table(FIXTURE_BLOCKS)))
     return out
 
 
@@ -3178,6 +3197,24 @@ def _naive_oracle_sql() -> dict[str, str]:
         """,
         "line_simplify": read_parquet_sql("line_simplify", "way_id, seq"),
         "street_route_dist": read_parquet_sql("street_route_dist", "src, node"),
+        # turn classes recomputed whole in SQL from the independent points
+        "turn_classes": f"""
+            WITH p AS (SELECT traj_id, step, px, py
+                       FROM read_parquet('{oracle_path('traj_points_src')}')),
+            t AS (SELECT traj_id, step, px, py,
+                         lag(px) OVER w AS ax, lag(py) OVER w AS ay,
+                         lead(px) OVER w AS bx, lead(py) OVER w AS by
+                  FROM p WINDOW w AS (PARTITION BY traj_id ORDER BY step))
+            SELECT traj_id, step,
+                   CASE WHEN ((px-ax) = 0 AND (py-ay) = 0)
+                          OR ((bx-px) = 0 AND (by-py) = 0) THEN 'stop'
+                        WHEN (px-ax)*(by-py) - (py-ay)*(bx-px) > 0 THEN 'left'
+                        WHEN (px-ax)*(by-py) - (py-ay)*(bx-px) < 0 THEN 'right'
+                        WHEN (px-ax)*(bx-px) + (py-ay)*(by-py) > 0 THEN 'straight'
+                        ELSE 'uturn' END AS turn
+            FROM t WHERE ax IS NOT NULL AND bx IS NOT NULL
+            ORDER BY traj_id, step
+        """,
         "map_match_trajectories": read_parquet_sql("map_match", "traj_id, step"),
         "convex_hull_cells": read_parquet_sql("convex_hull_cells", "cell_x, cell_y"),
         "media_histogram": read_parquet_sql("media_histogram", "doc_id, media_ref"),

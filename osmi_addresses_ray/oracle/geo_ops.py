@@ -368,3 +368,23 @@ def oracle_street_route_dist(docs, k_sources: int = 8) -> pd.DataFrame:
         .reset_index(drop=True)
         .astype("int64")
     )
+
+
+def oracle_traj_points(docs) -> pd.DataFrame:
+    """Independent scalar synthesis of the GPS-like trajectory points (the
+    synth_trajectories spec) — the point source for turn-class SQL."""
+    ents = parse_entities(docs)
+    hw_ways = {e["id"] for e in ents if e["etype"] == "way" and "highway" in e["tags"]}
+    rows = []
+    for way_id, pts in _way_points(docs):
+        if way_id not in hw_ways:
+            continue
+        for i in range(len(pts) - 1):
+            (ax, ay), (bx, by) = pts[i], pts[i + 1]
+            h = (((way_id % 2147483648) * 1000003 + i) * 2654435761) % (1 << 32)
+            rows.append((way_id, i, (ax + bx) // 2 + h % 1601 - 800,
+                         (ay + by) // 2 + (h >> 11) % 1601 - 800))
+    df = pd.DataFrame(rows, columns=["traj_id", "step", "px", "py"])
+    if df.empty:
+        df = pd.DataFrame({c: pd.Series([], dtype="int64") for c in df.columns})
+    return df.sort_values(["traj_id", "step"]).reset_index(drop=True).astype("int64")

@@ -135,3 +135,47 @@ def test_route_dist_fixture_matches_oracle_and_partitions(ray_session):
     pd.testing.assert_frame_equal(out, oracle_street_route_dist(fixture_table(13)))
     out2 = street_route_dist(wg, num_parts=7)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_turn_classes_closed_form(ray_session):
+    """A zig-zag street produces alternating left/right; a straight street
+    with varying vertex spacing yields 'straight'; zero displacement
+    (duplicate synthesized point) yields 'stop'. Built through the real
+    trajectory synthesis for one hand-checkable case: classes recomputed
+    here from the synthesized points themselves."""
+    import pandas as pd
+
+    from osmi_addresses_ray.pipelines.geo_ops import synth_trajectories, turn_classes
+
+    ways = [
+        (1, [(0.0, 0.0), (0.0001, 0.0001), (0.0002, 0.0), (0.0003, 0.0001),
+             (0.0004, 0.0)], "residential"),
+        (2, [(0.01, 0.0), (0.0101, 0.0), (0.0102, 0.0), (0.0104, 0.0)], "residential"),
+    ]
+    ds = _ways_geo_ds(ways)
+    out = turn_classes(ds, num_parts=3)
+    pts = synth_trajectories(ds).to_pandas().sort_values(["traj_id", "step"])
+
+    # recompute expected classes scalar from the synthesized points
+    import numpy as np
+    exp = {}
+    for tid, g in pts.groupby("traj_id"):
+        px, py = g.px.to_numpy(np.int64), g.py.to_numpy(np.int64)
+        st = g.step.to_numpy(np.int64)
+        for i in range(1, len(px) - 1):
+            d1 = (px[i] - px[i-1], py[i] - py[i-1])
+            d2 = (px[i+1] - px[i], py[i+1] - py[i])
+            cross = d1[0]*d2[1] - d1[1]*d2[0]
+            dot = d1[0]*d2[0] + d1[1]*d2[1]
+            if d1 == (0, 0) or d2 == (0, 0):
+                c = "stop"
+            elif cross > 0:
+                c = "left"
+            elif cross < 0:
+                c = "right"
+            else:
+                c = "straight" if dot > 0 else "uturn"
+            exp[(tid, st[i])] = c
+    got = {(r.traj_id, r.step): r.turn for r in out.itertuples()}
+    assert got == exp
+    assert len(got) == (5 - 1 - 2) + (4 - 1 - 2)  # interior points per way

@@ -271,6 +271,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode": _with_oracle(
             "bpe_encode", textstats.bpe_encode, "bpe_encode_oracle", "documents"
         ),
+        # greedy k-center coreset (Gonzalez traversal): k rounds of
+        # broadcast-centers + per-block (max, min-id) partials
+        "kcenter_coreset": _with_oracle(
+            "kcenter_coreset", similarity.kcenter_coreset, "kcenter_oracle", "embeddings"
+        ),
         "embedding_cosine_dedup": _with_oracle(
             "embedding_cosine_dedup", similarity.embedding_cosine_dedup, "emb_dedup_oracle",
             "embeddings",
@@ -2922,6 +2927,7 @@ def _ensure_default_oracles() -> None:
         ("pca_project", "embeddings"),
         ("bpe_merges", "documents"),
         ("bpe_encode", "documents"),
+        ("kcenter_coreset", "embeddings"),
         ("dedup_clusters", "documents"),
         ("hll_distinct_users", "events"),
         ("cms_token_counts", "documents"),
@@ -2970,6 +2976,7 @@ def _naive_oracle_sql() -> dict[str, str]:
         "pca_project": read_tagged_sql("pca_project", "vec_id", "embeddings"),
         "bpe_merges": read_tagged_sql("bpe_merges", "rank", "documents"),
         "bpe_encode": read_tagged_sql("bpe_encode", "doc_id", "documents"),
+        "kcenter_coreset": read_tagged_sql("kcenter_coreset", "round", "embeddings"),
         "dedup_clusters": read_tagged_sql("dedup_clusters", "doc_id", "documents"),
         "hll_distinct_users": read_tagged_sql("hll_distinct_users", "col_name", "events"),
         "cms_token_counts": read_tagged_sql("cms_token_counts", "token", "documents"),

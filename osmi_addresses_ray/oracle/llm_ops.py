@@ -916,3 +916,41 @@ def bpe_encode_oracle(sf_dir: str, *, n_merges: int = 20) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["doc_id", "n_words", "n_symbols", "ratio"]).sort_values(
         "doc_id"
     ).reset_index(drop=True)
+
+
+def kcenter_oracle(sf_dir: str, *, k: int = 12) -> pd.DataFrame:
+    """Scalar Gonzalez farthest-point traversal: same dim-sequential float64
+    fold, same center order, same (max dist, min id) tie rule."""
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = [int(x) for x in emb["vec_id"]]
+    vecs = [[float(np.float32(v)) for v in e] for e in emb["embedding"]]
+    if not ids:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=t) for c, t in
+             (("round", "int64"), ("vec_id", "int64"), ("dist", "float64"))}
+        )
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    seed = order[0]
+    chosen = [(0, ids[seed], 0.0)]
+    centers = [vecs[seed]]
+    taken = {ids[seed]}
+    for rnd in range(1, k):
+        best_d, best_id, best_i = None, None, None
+        for i in order:
+            if ids[i] in taken:
+                continue
+            md = None
+            for c in centers:
+                acc = 0.0
+                for dim in range(len(c)):
+                    diff = vecs[i][dim] - c[dim]
+                    acc = acc + diff * diff
+                md = acc if md is None else min(md, acc)
+            if best_d is None or md > best_d or (md == best_d and ids[i] < best_id):
+                best_d, best_id, best_i = md, ids[i], i
+        chosen.append((rnd, best_id, float(best_d)))
+        centers.append(vecs[best_i])
+        taken.add(best_id)
+    return pd.DataFrame(chosen, columns=["round", "vec_id", "dist"]).astype(
+        {"round": "int64", "vec_id": "int64", "dist": "float64"}
+    )

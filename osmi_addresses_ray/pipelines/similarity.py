@@ -1069,3 +1069,98 @@ def semdedup(
         pre=assign,
     ).to_pandas()
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+_KCENTER_K = 12
+
+
+def kcenter_coreset(sf_dir: str, *, k: int = _KCENTER_K) -> pd.DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    traversal, the 2-approximation that anchors coreset-based data selection
+    — pick the k most mutually-distant examples as the training/eval core).
+
+    Exactness: squared L2 distance is a DIM-SEQUENTIAL float64 left fold
+    (the repo's ordered-fold float-parity rule) and the per-point minimum
+    over centers folds in center order, so the scalar oracle reproduces
+    every IEEE operation in the same order; argmax ties break to the
+    smallest vec_id.
+
+    Distributed shape: k rounds; per round the current centers ride along
+    broadcast (``ray.put``), every block computes its min-dist column and a
+    per-block (max, argmin-id) partial, the driver merges P candidates. k
+    full passes here (fixture-k); the scale path persists each point's
+    running min-dist as a column so round r touches only the NEW center —
+    same output by construction, noted not coded (fixture k keeps the
+    simpler shape honest)."""
+    ds = _read_emb(sf_dir)
+
+    def _mat(t: pa.Table):
+        col = t["embedding"].combine_chunks() if isinstance(
+            t["embedding"], pa.ChunkedArray) else t["embedding"]
+        flat = np.asarray(col.flatten(), np.float32).astype(np.float64)
+        offs = np.asarray(col.offsets, np.int64)
+        d = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+        return flat.reshape(-1, d), t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def _mindist(mat: np.ndarray, ids: np.ndarray, centers: list[np.ndarray]) -> np.ndarray:
+        md = np.full(len(ids), np.inf)
+        for c in centers:  # center order = selection order (fold parity)
+            acc = np.zeros(len(ids))
+            for dim in range(mat.shape[1]):  # dim-sequential left fold
+                diff = mat[:, dim] - c[dim]
+                acc = acc + diff * diff
+            md = np.minimum(md, acc)
+        return md
+
+    # round 0: the smallest vec_id is the seed center
+    seed_id = None
+    seed_vec = None
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        mat, ids = _mat(pa.Table.from_batches([b]) if not isinstance(b, pa.Table) else b)
+        if len(ids) == 0:
+            continue
+        j = int(np.argmin(ids))
+        if seed_id is None or ids[j] < seed_id:
+            seed_id, seed_vec = int(ids[j]), mat[j].copy()
+    if seed_id is None:
+        return pd.DataFrame(
+            {
+                "round": pd.Series([], dtype="int64"),
+                "vec_id": pd.Series([], dtype="int64"),
+                "dist": pd.Series([], dtype="float64"),
+            }
+        )
+
+    chosen = [(0, seed_id, 0.0)]
+    centers = [seed_vec]
+    center_ids = {seed_id}
+    for rnd in range(1, k):
+        cref = ray.put([c.copy() for c in centers])
+        taken = ray.put(np.array(sorted(center_ids), np.int64))
+
+        def part(t: pa.Table) -> pa.Table:
+            mat, ids = _mat(t)
+            if len(ids) == 0:
+                return pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "dist": pa.array([], pa.float64())})
+            md = _mindist(mat, ids, ray.get(cref))
+            md[np.isin(ids, ray.get(taken))] = -1.0  # centers can't rewin
+            order = np.lexsort((ids, -md))  # max dist, tie min id
+            j = order[0]
+            return pa.table({"vec_id": pa.array([ids[j]]), "dist": pa.array([md[j]])})
+
+        cand = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+        cand = cand.sort_values(["dist", "vec_id"], ascending=[False, True])
+        win_id = int(cand["vec_id"].iloc[0])
+        win_d = float(cand["dist"].iloc[0])
+        chosen.append((rnd, win_id, win_d))
+        center_ids.add(win_id)
+        # fetch the winner's vector (filter pushdown, no corpus scan)
+        row = ds.filter(expr=f"vec_id == {win_id}").take(1)[0]
+        centers.append(np.asarray(row["embedding"], np.float32).astype(np.float64))
+
+    out = pd.DataFrame(chosen, columns=["round", "vec_id", "dist"])
+    out["round"] = out["round"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["dist"] = out["dist"].astype("float64")
+    return out.reset_index(drop=True)

@@ -270,3 +270,30 @@ def test_semdedup_partitioning_invariance(planted_dir, ray_session):
     a = semdedup(planted_dir, num_parts=1)
     b = semdedup(planted_dir, num_parts=5)
     assert a.equals(b)
+
+
+def test_kcenter_covers_planted_clusters(tmp_path, ray_session):
+    """Three well-separated clusters: the first three greedy centers must
+    land in three DIFFERENT clusters (the farthest-point property that makes
+    k-center a coverage coreset, not a density sample)."""
+    import numpy as np
+    import pandas as pd
+
+    from osmi_addresses_ray.pipelines.similarity import kcenter_coreset
+
+    rng = np.random.RandomState(11)
+    base = {0: [0.0, 0.0], 1: [10.0, 0.0], 2: [0.0, 10.0]}
+    rows = []
+    for i in range(90):
+        c = i % 3
+        v = np.array(base[c]) + rng.randn(2) * 0.05
+        rows.append((i, v.astype(np.float32).tolist(), c))
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).to_parquet(
+        tmp_path / "embeddings.parquet", index=False
+    )
+    out = kcenter_coreset(str(tmp_path), k=5)
+    first3 = out.head(3).vec_id.to_numpy() % 3
+    assert len(set(first3.tolist())) == 3
+    # max-min distance is non-increasing along the traversal (after round 1)
+    d = out.dist.to_numpy()[1:]
+    assert (np.diff(d) <= 1e-9).all()

@@ -13,8 +13,13 @@ import time
 
 
 def main() -> None:
+    import os
+
     import ray
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    os.chdir(repo)
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     subs = sys.argv[2:]
     ray.init(address="local", include_dashboard=False, ignore_reinit_error=True)

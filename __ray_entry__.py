@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": textstats.fingerprints,
         "winnow_fingerprints": textstats.winnow_fingerprints,
         "cdc_chunks": textstats.cdc_chunks,
+        "temperature_mix": textstats.temperature_mix,
         "top_tokens": textstats.top_tokens,
         "heavy_hitters": textstats.heavy_hitters,
         "bm25_search": textstats.bm25_search,
@@ -179,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_coverage": timeseries.interval_coverage,
         "event_transitions": timeseries.event_transitions,
         "ema_user_value": timeseries.ema_user_value,
+        "k_anonymity_audit": timeseries.k_anonymity_audit,
         "curate_corpus": textstats.curate_corpus,
         "shard_assignment": textstats.shard_assignment,
         "tfidf_top_terms": textstats.tfidf_top_terms,
@@ -2157,6 +2159,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Markov transition counts: LAG window pairs, exact counts, one
         # IEEE division for the conditional probability
+        # k-anonymity / l-diversity audit: exact counts, integer flags
+        "k_anonymity_audit": """
+            WITH q AS (SELECT event_type, hour(ts)::BIGINT AS hour,
+                              (CAST(floor(value*100 + 0.5) AS BIGINT) // 1000)
+                                  AS bucket,
+                              user_id
+                       FROM events),
+            a AS (SELECT event_type, hour, bucket,
+                         count(*)::BIGINT AS n_rows,
+                         count(DISTINCT user_id)::BIGINT AS n_users
+                  FROM q GROUP BY 1, 2, 3)
+            SELECT event_type, hour, bucket, n_rows, n_users,
+                   (CASE WHEN n_rows < 5 THEN 1 ELSE 0 END)::BIGINT AS k_violation,
+                   (CASE WHEN n_users < 3 THEN 1 ELSE 0 END)::BIGINT AS l_violation
+            FROM a ORDER BY event_type, hour, bucket
+        """,
         # truncated dyadic EMA: every weight 2^(31-j) is exact, num/den are
         # exact int64, ema is ONE IEEE division — bit-equal by construction
         "ema_user_value": """
@@ -2784,6 +2802,25 @@ def oracle_sql() -> dict[str, str]:
                   FROM w WHERE pos >= 3 OR pos = maxpos)
             SELECT doc_id, pos::BIGINT AS pos, fp::BIGINT AS fp
             FROM s ORDER BY doc_id, pos
+        """,
+        # τ=1/2 temperature mixing: exact isqrt quotas (float sqrt corrected
+        # at perfect-square boundaries), house hash ranks within source
+        "temperature_mix": """
+            WITH n AS (SELECT source, count(*)::BIGINT AS n
+                       FROM documents GROUP BY source),
+            q AS (SELECT source, n, floor(sqrt(n::DOUBLE))::BIGINT AS q0 FROM n),
+            qq AS (SELECT source,
+                          (CASE WHEN (q0+1)*(q0+1) <= n THEN q0+1
+                                WHEN q0*q0 > n THEN q0-1 ELSE q0 END) AS quota
+                   FROM q),
+            r AS (SELECT source, doc_id,
+                         row_number() OVER (PARTITION BY source
+                             ORDER BY (doc_id % 1000003) * 2654435761
+                                      % 4294967296, doc_id) AS rn
+                  FROM documents)
+            SELECT r.source, r.doc_id, r.rn::BIGINT AS rn
+            FROM r JOIN qq USING (source) WHERE r.rn <= qq.quota
+            ORDER BY source, rn
         """,
         # content-defined chunking (LBFS rule): window polynomial and chunk
         # Horner fold both mod 2^64 in HUGEINT — bit-equal to the engine's

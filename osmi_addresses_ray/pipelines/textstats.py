@@ -2375,3 +2375,66 @@ def bpe_encode(sf_dir: str, *, n_merges: int = 20) -> pd.DataFrame:
         out[c] = out[c].astype("int64")
     out["ratio"] = out["ratio"].astype("float64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def temperature_mix(sf_dir: str) -> pd.DataFrame:
+    """Temperature-scaled source mixing (the multilingual-corpus rebalancing
+    rule of Lample & Conneau 2019, τ=1/2): source s with n_s documents gets
+    quota isqrt(n_s) — big sources are downweighted ∝ n^τ so small sources
+    are not drowned. τ=1/2 keeps the quota EXACT (math.isqrt; the SQL oracle
+    corrects DuckDB's float sqrt at perfect-square boundaries), avoiding
+    float-power thresholds entirely. Within a source, winners are the
+    quota smallest by the house multiplicative hash (ties doc_id) — the
+    deterministic sampler family.
+
+    Shape: one tiny per-source count exchange → driver isqrt quotas →
+    broadcast → per-block partial top-quota per source → driver merge of
+    ≤ Σ quota rows per block. Corpus text never moves."""
+    import math
+
+    import ray
+
+    from .relational import grouped_agg
+
+    ds = _read_docs(sf_dir, columns=("doc_id", "source"))
+
+    def cnt(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["source"].value_counts()
+        return pd.DataFrame({"source": vc.index.to_numpy(object), "n": vc.to_numpy(np.int64)})
+
+    counts = grouped_agg(
+        ds.map_batches(cnt, batch_format="pandas"), ["source"], {"n": ("n", "sum")}
+    ).to_pandas()
+    if counts.empty:
+        return pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=object),
+                "doc_id": pd.Series([], dtype="int64"),
+                "rn": pd.Series([], dtype="int64"),
+            }
+        )
+    quotas = {s: math.isqrt(int(n)) for s, n in zip(counts["source"], counts["n"])}
+    qref = ray.put(quotas)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(qref)
+        h = _strat_hash(df["doc_id"].to_numpy())
+        d = pd.DataFrame(
+            {"source": df["source"].to_numpy(object), "doc_id": df["doc_id"].to_numpy(np.int64), "h": h}
+        ).sort_values(["source", "h", "doc_id"], kind="stable")
+        return d.groupby("source", sort=False, group_keys=False).apply(
+            lambda g: g.head(q.get(g.name, 0))
+        )
+
+    parts = ds.map_batches(part, batch_format="pandas").to_pandas()
+    parts = parts.sort_values(["source", "h", "doc_id"], kind="stable")
+    out = parts.groupby("source", sort=False, group_keys=False).apply(
+        lambda g: g.head(quotas.get(g.name, 0))
+    ).copy()
+    out["rn"] = out.groupby("source").cumcount() + 1
+    return (
+        out[["source", "doc_id", "rn"]]
+        .astype({"doc_id": "int64", "rn": "int64"})
+        .sort_values(["source", "rn"])
+        .reset_index(drop=True)
+    )

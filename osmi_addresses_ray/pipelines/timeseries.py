@@ -1549,3 +1549,61 @@ def ema_user_value(sf_dir: str, *, num_parts: int = 8) -> pd.DataFrame:
     for c in ("user_id", "event_id", "cents", "num", "den"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+
+
+def k_anonymity_audit(sf_dir: str, *, k: int = 5, l: int = 3) -> pd.DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et al.
+    2007) over the event log — the privacy gate a training pipeline runs
+    before releasing behavioural data: quasi-identifier = (event_type,
+    hour-of-day, value decile-bucket); a QI group re-identifies when its
+    row count < k, and leaks the sensitive attribute (user_id) when its
+    distinct-user count < l.
+
+    Exact counts only: per-batch (QI, user) pair collapse → pair-keyed
+    dedup exchange → tiny per-QI aggregate (the exact COUNT(DISTINCT)
+    shape); row counts ride the same combiner. Flags are integer
+    comparisons — bit-equal to the SQL by construction."""
+    import pyarrow.compute as pc
+
+    from .relational import grouped_agg, read
+
+    ds = read(sf_dir, "events", columns=["event_type", "ts", "user_id", "value"])
+
+    def qi(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        hour = (ts.astype("datetime64[h]").astype(np.int64)) % 24
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        bucket = cents // 1000  # 10-unit value buckets
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour": pa.array(hour),
+                "bucket": pa.array(bucket),
+                "user_id": t["user_id"],
+            }
+        )
+
+    keyed = ds.map_batches(qi, batch_format="pyarrow")
+
+    def pairs(t: pa.Table) -> pa.Table:
+        return t.group_by(
+            ["event_type", "hour", "bucket", "user_id"], use_threads=False
+        ).aggregate([([], "count_all")]).rename_columns(
+            ["event_type", "hour", "bucket", "user_id", "n"]
+        )
+
+    pair_counts = grouped_agg(
+        keyed.map_batches(pairs, batch_format="pyarrow"),
+        ["event_type", "hour", "bucket", "user_id"],
+        {"n": ("n", "sum")},
+    )
+    agg = grouped_agg(
+        pair_counts,
+        ["event_type", "hour", "bucket"],
+        {"n_rows": ("n", "sum"), "n_users": (None, "count")},
+    ).to_pandas()
+    for c in ("hour", "bucket", "n_rows", "n_users"):
+        agg[c] = agg[c].astype("int64")
+    agg["k_violation"] = (agg["n_rows"] < k).astype("int64")
+    agg["l_violation"] = (agg["n_users"] < l).astype("int64")
+    return agg.sort_values(["event_type", "hour", "bucket"]).reset_index(drop=True)

@@ -244,3 +244,50 @@ def test_bpe_encode_compresses_and_matches_trainer(tmp_path, ray_session):
     assert out.loc[2, "n_symbols"] <= len("hello") + len("world")
     assert out.loc[3, "n_words"] == 0 and out.loc[3, "ratio"] == 0.0
     assert len(m) == 10 or len(m) < 10  # trainer returns ≤ n_merges
+
+
+def test_temperature_mix_downweights_big_sources(tmp_path, ray_session):
+    """τ=1/2 rule: a 400-doc source yields 20 picks, a 4-doc source yields 2
+    — the big source's SHARE drops from 99% to ~91%... of picks 20/22; the
+    small source is never drowned to zero. Quotas are exact isqrt."""
+    import numpy as np
+    import pandas as pd
+
+    from osmi_addresses_ray.pipelines.textstats import temperature_mix
+
+    rows = [(i, f"t{i}", "en", "big", 1) for i in range(400)]
+    rows += [(1000 + i, f"s{i}", "en", "small", 1) for i in range(4)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"]).to_parquet(
+        tmp_path / "documents.parquet", index=False
+    )
+    out = temperature_mix(str(tmp_path))
+    sizes = out.groupby("source").size().to_dict()
+    assert sizes == {"big": 20, "small": 2}
+    # within-source ranks are contiguous 1..quota
+    for s, g in out.groupby("source"):
+        assert g.rn.tolist() == list(range(1, sizes[s] + 1))
+
+
+def test_k_anonymity_flags(tmp_path, ray_session):
+    """A QI group with 6 rows from 1 user: k ok (6 ≥ 5) but l violated
+    (1 < 3); a group with 2 rows from 2 users violates k but not... both."""
+    import pandas as pd
+
+    from osmi_addresses_ray.pipelines.timeseries import k_anonymity_audit
+
+    rows = []
+    for i in range(6):  # same QI, one user -> l violation only
+        rows.append((i, pd.Timestamp("2024-01-01 10:15") + pd.Timedelta(seconds=i),
+                     7, "view", 5.0))
+    rows.append((100, pd.Timestamp("2024-01-01 11:00"), 1, "click", 5.0))
+    rows.append((101, pd.Timestamp("2024-01-01 11:30"), 2, "click", 5.0))
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    df["props"] = "{}"
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    out = k_anonymity_audit(str(tmp_path)).set_index("event_type")
+    v = out.loc["view"]
+    assert v.n_rows == 6 and v.n_users == 1
+    assert v.k_violation == 0 and v.l_violation == 1
+    c = out.loc["click"]
+    assert c.n_rows == 2 and c.n_users == 2
+    assert c.k_violation == 1 and c.l_violation == 1

@@ -329,6 +329,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dbscan_clusters": _dbscan_query,
         "street_route_dist": _route_dist_query,
         "turn_classes": _turns_query,
+        "od_flows": _od_query,
+        "map_match_accuracy": _mm_accuracy_query,
         "line_simplify": _line_simplify_query,
         "map_match_trajectories": _map_match_query,
         "convex_hull_cells": _hulls_query,
@@ -960,6 +962,40 @@ def _turns_query(sf_dir: str):
     ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
     out = turn_classes(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
     write_oracle("traj_points_src", oracle_traj_points(fixture_table(FIXTURE_BLOCKS)))
+    return out
+
+
+def _od_query(sf_dir: str):
+    """OD-matrix flows; TRUE SQL oracle: first/last per trajectory via
+    window min/max over the independent trajectory points."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.geo_ops import oracle_traj_points
+    from osmi_addresses_ray.pipelines.geo_ops import od_flows
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.assembly import assemble_ways
+    from osmi_addresses_ray.stages.parse import parse_docs
+
+    parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
+    ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
+    out = od_flows(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
+    write_oracle("traj_points_src", oracle_traj_points(fixture_table(FIXTURE_BLOCKS)))
+    return out
+
+
+def _mm_accuracy_query(sf_dir: str):
+    """Map-matching accuracy metric; SQL recomputes the share from the
+    scalar-DP oracle parquet (the knn_recall composed-metric family)."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.geo_ops import oracle_map_match
+    from osmi_addresses_ray.pipelines.geo_ops import map_match_accuracy
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.assembly import assemble_ways
+    from osmi_addresses_ray.stages.parse import parse_docs
+
+    parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
+    ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
+    out = map_match_accuracy(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
+    write_oracle("map_match", oracle_map_match(fixture_table(FIXTURE_BLOCKS)))
     return out
 
 
@@ -3241,6 +3277,33 @@ def _naive_oracle_sql() -> dict[str, str]:
         """,
         "line_simplify": read_parquet_sql("line_simplify", "way_id, seq"),
         "street_route_dist": read_parquet_sql("street_route_dist", "src, node"),
+        # OD flows recomputed whole in SQL (floor() handles negative cells
+        # where // would truncate — both coords are positive here but the
+        # spec is floor)
+        "od_flows": f"""
+            WITH p AS (SELECT traj_id, step, px, py
+                       FROM read_parquet('{oracle_path('traj_points_src')}')),
+            fl AS (SELECT traj_id,
+                          min_by(px, step) AS ox, min_by(py, step) AS oy,
+                          max_by(px, step) AS dx, max_by(py, step) AS dy
+                   FROM p GROUP BY traj_id)
+            SELECT floor(ox / 100000.0)::BIGINT AS o_x,
+                   floor(oy / 100000.0)::BIGINT AS o_y,
+                   floor(dx / 100000.0)::BIGINT AS d_x,
+                   floor(dy / 100000.0)::BIGINT AS d_y,
+                   count(*)::BIGINT AS n
+            FROM fl GROUP BY 1, 2, 3, 4
+            ORDER BY o_x, o_y, d_x, d_y
+        """,
+        "map_match_accuracy": f"""
+            SELECT count(*)::BIGINT AS n_steps,
+                   coalesce(sum(CASE WHEN traj_id = way_id THEN 1 ELSE 0 END), 0)::BIGINT
+                       AS n_correct,
+                   CASE WHEN count(*) = 0 THEN 0.0
+                        ELSE sum(CASE WHEN traj_id = way_id THEN 1 ELSE 0 END)::DOUBLE
+                             / count(*)::DOUBLE END AS accuracy
+            FROM read_parquet('{oracle_path('map_match')}')
+        """,
         # turn classes recomputed whole in SQL from the independent points
         "turn_classes": f"""
             WITH p AS (SELECT traj_id, step, px, py

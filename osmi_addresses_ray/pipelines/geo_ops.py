@@ -2168,3 +2168,66 @@ def turn_classes(ways_geo_ds, *, num_parts: int = 8) -> pd.DataFrame:
     for c in ("traj_id", "step"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["traj_id", "step"]).reset_index(drop=True)
+
+
+# --- origin–destination flows over trajectories --------------------------------
+
+_OD_CELL = 100_000  # 0.01° OD zoning
+
+
+def od_flows(ways_geo_ds, *, num_parts: int = 8) -> pd.DataFrame:
+    """Origin–destination matrix over the synthesized trajectories: each
+    trajectory contributes one (origin cell, destination cell) flow, cells =
+    floor-division zoning at 0.01°. The transport-planning aggregate every
+    movement dataset reduces to.
+
+    One trajectory-keyed exchange (first/last point per trajectory via
+    in-partition lexsort ends), then a tiny (o, d)-keyed count."""
+    from ..ops import direct_partitioned_map
+    from .relational import grouped_agg
+
+    traj = synth_trajectories(ways_geo_ds)
+    od_schema = pa.schema(
+        [("o_x", pa.int64()), ("o_y", pa.int64()),
+         ("d_x", pa.int64()), ("d_y", pa.int64()), ("n", pa.int64())]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return od_schema.empty_table()
+        df = t.to_pandas().sort_values(["traj_id", "step"], kind="stable")
+        tid = df["traj_id"].to_numpy(np.int64)
+        px = df["px"].to_numpy(np.int64)
+        py = df["py"].to_numpy(np.int64)
+        first = np.r_[True, tid[1:] != tid[:-1]]
+        last = np.r_[tid[1:] != tid[:-1], True]
+        o_x, o_y = px[first] // _OD_CELL, py[first] // _OD_CELL
+        d_x, d_y = px[last] // _OD_CELL, py[last] // _OD_CELL
+        g = pd.DataFrame({"o_x": o_x, "o_y": o_y, "d_x": d_x, "d_y": d_y})
+        g = g.groupby(["o_x", "o_y", "d_x", "d_y"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False).cast(od_schema)
+
+    parts = direct_partitioned_map(
+        traj, ["traj_id"], num_parts, fn, _TRAJ_SCHEMA
+    )
+    out = grouped_agg(parts, ["o_x", "o_y", "d_x", "d_y"], {"n": ("n", "sum")}).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("o_x", "o_y", "d_x", "d_y", "n")}
+        )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["o_x", "o_y", "d_x", "d_y"]).reset_index(drop=True)
+
+
+def map_match_accuracy(ways_geo_ds, *, num_parts: int = 8) -> pd.DataFrame:
+    """Map-matching quality as an oracle-checked METRIC (the knn_recall
+    family): share of trajectory steps whose matched way equals the source
+    street. One row: (n_steps, n_correct, accuracy = ONE IEEE division)."""
+    mm = map_match(ways_geo_ds, num_parts=num_parts)
+    n = len(mm)
+    ok = int((mm["traj_id"] == mm["way_id"]).sum()) if n else 0
+    acc = (float(ok) / float(n)) if n else 0.0
+    return pd.DataFrame(
+        [{"n_steps": np.int64(n), "n_correct": np.int64(ok), "accuracy": np.float64(acc)}]
+    )

@@ -179,3 +179,33 @@ def test_turn_classes_closed_form(ray_session):
     got = {(r.traj_id, r.step): r.turn for r in out.itertuples()}
     assert got == exp
     assert len(got) == (5 - 1 - 2) + (4 - 1 - 2)  # interior points per way
+
+
+def test_od_flows_and_accuracy(ray_session):
+    """OD flows over a crafted two-street network: each trajectory's origin
+    and destination land in the expected 0.01°-cells; the accuracy metric
+    is 1.0 when every step matches its source way (well-separated streets)."""
+    from osmi_addresses_ray.pipelines.geo_ops import map_match_accuracy, od_flows
+
+    ways = [
+        (1, [(0.0, 0.0), (0.001, 0.0), (0.002, 0.0), (0.02, 0.0)], "residential"),
+        (2, [(0.5, 0.5), (0.501, 0.5), (0.502, 0.5)], "residential"),
+    ]
+    ds = _ways_geo_ds(ways)
+    od = od_flows(ds, num_parts=3)
+    assert od.n.sum() == 2  # one flow per trajectory
+    # recompute expected origin/destination cells from the synthesized points
+    from osmi_addresses_ray.pipelines.geo_ops import synth_trajectories
+
+    pts = synth_trajectories(ds).to_pandas().sort_values(["traj_id", "step"])
+    exp = set()
+    for tid, g in pts.groupby("traj_id"):
+        o = g.iloc[0]
+        d = g.iloc[-1]
+        exp.add((o.px // 100000, o.py // 100000, d.px // 100000, d.py // 100000))
+    got = set(zip(od.o_x, od.o_y, od.d_x, od.d_y))
+    assert got == exp
+
+    acc = map_match_accuracy(ds, num_parts=3)
+    assert acc.n_steps.iloc[0] == 5  # 3 + 2 segments
+    assert acc.accuracy.iloc[0] == 1.0

@@ -331,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_classes": _turns_query,
         "od_flows": _od_query,
         "map_match_accuracy": _mm_accuracy_query,
+        "hotspot_cells": _hotspot_query,
         "line_simplify": _line_simplify_query,
         "map_match_trajectories": _map_match_query,
         "convex_hull_cells": _hulls_query,
@@ -962,6 +963,20 @@ def _turns_query(sf_dir: str):
     ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
     out = turn_classes(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
     write_oracle("traj_points_src", oracle_traj_points(fixture_table(FIXTURE_BLOCKS)))
+    return out
+
+
+def _hotspot_query(sf_dir: str):
+    """Hotspot cells (integer-exact Getis-Ord core); TRUE SQL oracle:
+    neighbour self-join + cross-multiplied threshold over the independent
+    point source."""
+    from osmi_addresses_ray.pipelines.geo_ops import hotspot_nwa
+
+    out = hotspot_nwa(
+        _fixture_layers()["osmi_addresses_nodes_with_addresses"],
+        num_parts=_parts_for(FIXTURE_BLOCKS),
+    )
+    _write_spatial_src()
     return out
 
 
@@ -3277,6 +3292,30 @@ def _naive_oracle_sql() -> dict[str, str]:
         """,
         "line_simplify": read_parquet_sql("line_simplify", "way_id, seq"),
         "street_route_dist": read_parquet_sql("street_route_dist", "src, node"),
+        # hotspot cells recomputed whole in SQL: 3×3 neighbour self-join,
+        # cross-multiplied integer threshold, one double division
+        "hotspot_cells": f"""
+            WITH pts AS (
+                SELECT DISTINCT
+                       CAST(COALESCE(node_id, 10000000 + way_id) AS BIGINT) AS pid,
+                       CAST(round(lon * 10000000) AS BIGINT) AS ix,
+                       CAST(round(lat * 10000000) AS BIGINT) AS iy
+                FROM read_parquet('{oracle_path('spatial_radius_src')}')
+                WHERE is_ip = 0
+            ),
+            cells AS (SELECT ix // 10000 AS cx, iy // 10000 AS cy,
+                             count(*)::BIGINT AS n
+                      FROM pts GROUP BY 1, 2),
+            tot AS (SELECT sum(n)::BIGINT AS t, count(*)::BIGINT AS c FROM cells),
+            nb AS (SELECT a.cx, a.cy, a.n, sum(b.n)::BIGINT AS nbr_sum
+                   FROM cells a JOIN cells b
+                     ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+                   GROUP BY 1, 2, 3)
+            SELECT cx AS cell_x, cy AS cell_y, n, nbr_sum,
+                   (CASE WHEN nbr_sum * c > 9 * t THEN 1 ELSE 0 END)::BIGINT AS hot,
+                   (nbr_sum * c)::DOUBLE / (9 * t)::DOUBLE AS ratio
+            FROM nb, tot ORDER BY cell_x, cell_y
+        """,
         # OD flows recomputed whole in SQL (floor() handles negative cells
         # where // would truncate — both coords are positive here but the
         # spec is floor)

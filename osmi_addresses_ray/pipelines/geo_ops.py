@@ -2231,3 +2231,110 @@ def map_match_accuracy(ways_geo_ds, *, num_parts: int = 8) -> pd.DataFrame:
     return pd.DataFrame(
         [{"n_steps": np.int64(n), "n_correct": np.int64(ok), "accuracy": np.float64(acc)}]
     )
+
+
+# --- hotspot cells (local density vs global mean) ------------------------------
+
+_HOTSPOT_CELL = 10_000  # 0.001° analysis cells
+
+
+def hotspot_cells(points_ds, *, num_parts: int = 8) -> pd.DataFrame:
+    """Hotspot detection, the integer-exact core of the Getis-Ord G* local
+    statistic: per occupied cell, the 3×3-neighbourhood point sum S_i is
+    compared against the global mean — hot ⇔ S_i·C > 9·T (cross-multiplied,
+    no float threshold), with C = occupied cells, T = total points; the
+    reported intensity ratio (S_i·C)/(9·T) is ONE IEEE division of exact
+    int64s. The z-score normalization of full G* is monotone in S_i under
+    fixed weights, so the hot/cold ordering is the same — this keeps the
+    statistic bit-reproducible (the repo's exact-integer float-parity rule).
+
+    Shape: per-batch cell-count partials → tiny occupied-cell aggregate →
+    9-way neighbour-candidate emission → ONE cell-keyed exchange →
+    broadcast (T, C) scalars. Volume after the first aggregate is
+    O(occupied cells), never O(points). int64 audit: S·C ≤ T² — fine to
+    ~3·10^9 points per analysis region; shard regions beyond that."""
+    from ..ops import direct_partitioned_map
+    from .relational import grouped_agg
+
+    def cellify(t: pa.Table) -> pa.Table:
+        cx = t["ix"].to_numpy(zero_copy_only=False) // _HOTSPOT_CELL
+        cy = t["iy"].to_numpy(zero_copy_only=False) // _HOTSPOT_CELL
+        g = pd.DataFrame({"cx": cx, "cy": cy}).groupby(["cx", "cy"], sort=False).size()
+        return pa.table(
+            {
+                "cx": pa.array(g.index.get_level_values(0).to_numpy(np.int64)),
+                "cy": pa.array(g.index.get_level_values(1).to_numpy(np.int64)),
+                "n": pa.array(g.to_numpy(np.int64)),
+            }
+        )
+
+    cells = grouped_agg(
+        points_ds.map_batches(cellify, batch_format="pyarrow"),
+        ["cx", "cy"], {"n": ("n", "sum")},
+    ).materialize()
+    cdf = cells.to_pandas()
+    empty = pd.DataFrame(
+        {
+            "cell_x": pd.Series([], dtype="int64"),
+            "cell_y": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64"),
+            "nbr_sum": pd.Series([], dtype="int64"),
+            "hot": pd.Series([], dtype="int64"),
+            "ratio": pd.Series([], dtype="float64"),
+        }
+    )
+    if cdf.empty:
+        return empty
+    T = int(cdf["n"].sum())
+    C = int(len(cdf))
+
+    emit_schema = pa.schema([("cx", pa.int64()), ("cy", pa.int64()), ("n", pa.int64())])
+
+    def emit9(t: pa.Table) -> pa.Table:
+        cx = t["cx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cy = t["cy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        outs = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                outs.append(pa.table({"cx": pa.array(cx + dx), "cy": pa.array(cy + dy),
+                                      "n": pa.array(n)}))
+        return pa.concat_tables(outs)
+
+    def fold(nbr_t: pa.Table, own_t: pa.Table) -> pa.Table:
+        if own_t.num_rows == 0:
+            return pa.schema(
+                [("cell_x", pa.int64()), ("cell_y", pa.int64()), ("n", pa.int64()),
+                 ("nbr_sum", pa.int64())]
+            ).empty_table()
+        nb = nbr_t.to_pandas().groupby(["cx", "cy"])["n"].sum()
+        own = own_t.to_pandas()
+        key = list(zip(own["cx"], own["cy"]))
+        s = np.array([int(nb.get(k, 0)) for k in key], np.int64)
+        return pa.table(
+            {
+                "cell_x": pa.array(own["cx"].to_numpy(np.int64)),
+                "cell_y": pa.array(own["cy"].to_numpy(np.int64)),
+                "n": pa.array(own["n"].to_numpy(np.int64)),
+                "nbr_sum": pa.array(s),
+            }
+        )
+
+    from ..ops import direct_cogroup
+
+    nbr = cells.map_batches(emit9, batch_format="pyarrow")
+    out = direct_cogroup(
+        [nbr, cells], [["cx", "cy"], ["cx", "cy"]], num_parts, fold,
+        [emit_schema, emit_schema],
+    ).to_pandas()
+    if out.empty:
+        return empty
+    out["hot"] = (out["nbr_sum"] * C > 9 * T).astype("int64")
+    out["ratio"] = (out["nbr_sum"].to_numpy(np.int64) * C).astype(np.float64) / float(9 * T)
+    for c in ("cell_x", "cell_y", "n", "nbr_sum"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["cell_x", "cell_y"]).reset_index(drop=True)
+
+
+def hotspot_nwa(nwa_ds, *, num_parts: int = 8) -> pd.DataFrame:
+    return hotspot_cells(points_from_nwa(nwa_ds), num_parts=num_parts)

@@ -265,3 +265,31 @@ def test_dbscan_partition_invariance(ray_session):
         a.sort_values("pid").reset_index(drop=True),
         b.sort_values("pid").reset_index(drop=True),
     )
+
+
+def test_hotspot_cells_closed_form(ray_session):
+    """9 points in one 3×3 block vs 3 isolated single-point cells: the dense
+    block's cells are hot (neighbourhood mean ≫ global), the isolated cells
+    are not; ratio is the exact integer cross product divided once."""
+    from osmi_addresses_ray.pipelines.geo_ops import hotspot_cells
+
+    # dense: 2 points in each of the 9 cells (0..2, 0..2)
+    ids, xs, ys = [], [], []
+    k = 0
+    for cx in range(3):
+        for cy in range(3):
+            for off in (5, 9):
+                ids.append(k); xs.append(cx * 10_000 + off); ys.append(cy * 10_000 + 5)
+                k += 1
+    # isolated: 3 single points far away
+    for i, (fx, fy) in enumerate([(50, 0), (80, 0), (0, 70)]):
+        ids.append(100 + i); xs.append(fx * 10_000 + 5); ys.append(fy * 10_000 + 5)
+    ds = _points_ds(ids, xs, ys, blocks=3)
+    out = hotspot_cells(ds, num_parts=3).set_index(["cell_x", "cell_y"])
+    # T=21 points, C=12 cells; centre cell (1,1): S = 18 -> 18·12 > 9·21 hot
+    assert out.loc[(1, 1)].nbr_sum == 18 and out.loc[(1, 1)].hot == 1
+    assert out.loc[(1, 1)].ratio == (18 * 12) / (9 * 21.0)
+    # isolated singleton: S = 1 -> 12 < 189 cold
+    assert out.loc[(50, 0)].nbr_sum == 1 and out.loc[(50, 0)].hot == 0
+    # corner of the dense block still hot: S = 8 -> 96 < 189? COLD in fact
+    assert out.loc[(0, 0)].nbr_sum == 8 and out.loc[(0, 0)].hot == 0

@@ -2256,7 +2256,8 @@ def cdc_chunks(sf_dir: str) -> pd.DataFrame:
         cut_next = np.zeros(n, bool)
         cut_next[1:] = cut_after[:-1] & (docidx[1:] == docidx[:-1])
         is_start = cut_next.copy()
-        is_start[starts] = True
+        # empty docs have start == end (== n when last in batch): no chunk start
+        is_start[starts[lens > 0]] = True
         cstart = np.flatnonzero(is_start)
         # chunk end = next chunk start in the same doc, else doc end
         nxt = np.empty(len(cstart), np.int64)
@@ -2393,13 +2394,20 @@ def temperature_mix(sf_dir: str) -> pd.DataFrame:
     import math
 
     import ray
+    import pyarrow.parquet as _papq
 
     from .relational import grouped_agg
 
-    ds = _read_docs(sf_dir, columns=("doc_id", "source"))
+    # a corpus without a source column is a single source named "docs"
+    has_source = "source" in _papq.read_schema(
+        os.path.join(sf_dir, "documents.parquet")
+    ).names
+    cols = ("doc_id", "source") if has_source else ("doc_id",)
+    ds = _read_docs(sf_dir, columns=cols)
 
     def cnt(df: pd.DataFrame) -> pd.DataFrame:
-        vc = df["source"].value_counts()
+        src = df["source"] if has_source else pd.Series(["docs"] * len(df))
+        vc = src.value_counts()
         return pd.DataFrame({"source": vc.index.to_numpy(object), "n": vc.to_numpy(np.int64)})
 
     counts = grouped_agg(
@@ -2419,8 +2427,13 @@ def temperature_mix(sf_dir: str) -> pd.DataFrame:
     def part(df: pd.DataFrame) -> pd.DataFrame:
         q = ray.get(qref)
         h = _strat_hash(df["doc_id"].to_numpy())
+        src = (
+            df["source"].to_numpy(object)
+            if has_source
+            else np.array(["docs"] * len(df), dtype=object)
+        )
         d = pd.DataFrame(
-            {"source": df["source"].to_numpy(object), "doc_id": df["doc_id"].to_numpy(np.int64), "h": h}
+            {"source": src, "doc_id": df["doc_id"].to_numpy(np.int64), "h": h}
         ).sort_values(["source", "h", "doc_id"], kind="stable")
         return d.groupby("source", sort=False, group_keys=False).apply(
             lambda g: g.head(q.get(g.name, 0))

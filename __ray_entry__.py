@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_sample": _media_frames_query,
         "media_scene_cuts": _media_cuts_query,
         "media_dhash": _media_dhash_query,
+        "media_sobel": _media_sobel_query,
         "media_resample_audio": _media_resample_query,
         "geohash_cells": _geohash_query,
         "hilbert_keys": _hilbert_query,
@@ -586,6 +587,24 @@ def _media_dhash_query(sf_dir: str):
         .reset_index(drop=True)
     )
     write_oracle("media_dhash", oracle_media_dhash(fixture_table(FIXTURE_BLOCKS)))
+    return df
+
+
+def _media_sobel_query(sf_dir: str):
+    """Sobel edge statistics over real decoded pixels (integer 3×3 gradient,
+    mag² threshold); scalar per-pixel-loop oracle over the raw pixel spec."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.layers import oracle_media_sobel
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.multimodal import media_sobel
+
+    df = (
+        media_sobel(fixture_docs(FIXTURE_BLOCKS))
+        .to_pandas()
+        .sort_values(["doc_id", "media_ref"])
+        .reset_index(drop=True)
+    )
+    write_oracle("media_sobel", oracle_media_sobel(fixture_table(FIXTURE_BLOCKS)))
     return df
 
 
@@ -2964,6 +2983,7 @@ def _ensure_default_oracles() -> None:
             "media_frame_sample",
             "media_scene_cuts",
             "media_dhash",
+            "media_sobel",
             "media_resample_audio",
             "geohash_cells",
             "hilbert_keys",
@@ -3074,6 +3094,7 @@ def _naive_oracle_sql() -> dict[str, str]:
         "media_frame_sample": read_parquet_sql("media_frame_sample", "doc_id, media_ref"),
         "media_scene_cuts": read_parquet_sql("media_scene_cuts", "doc_id, media_ref"),
         "media_dhash": read_parquet_sql("media_dhash", "doc_id, media_ref"),
+        "media_sobel": read_parquet_sql("media_sobel", "doc_id, media_ref"),
         "media_resample_audio": read_parquet_sql("media_resample_audio", "doc_id, media_ref"),
         "geohash_cells": read_parquet_sql("geohash_cells", "node_id, ip_id, lon, lat"),
         "hilbert_keys": read_parquet_sql("hilbert_keys", "node_id, ip_id, lon, lat"),

@@ -1179,6 +1179,53 @@ def oracle_media_dhash(docs: pa.Table) -> pd.DataFrame:
         ["doc_id", "media_ref"]).reset_index(drop=True)
 
 
+def oracle_media_sobel(docs: pa.Table) -> pd.DataFrame:
+    """Scalar Sobel recomputation: explicit per-pixel 3×3 loops over the raw
+    pixel spec, grayscale = r+g+b, mag² = gx²+gy², threshold 1_000_000 —
+    pure python ints (never numpy vector ops), algorithm-diverse from the
+    engine's slice arithmetic."""
+    thr2 = 1_000_000
+    rows = []
+    for row in docs.to_pylist():
+        for span in row["spans"]:
+            if span["kind"] != "media":
+                continue
+            img = _oracle_media_pixels(span["media_ref"])
+            h, w = img.shape[:2]
+            g = [
+                [int(img[y, x, 0]) + int(img[y, x, 1]) + int(img[y, x, 2]) for x in range(w)]
+                for y in range(h)
+            ]
+            n_int = n_edges = mx = sm = 0
+            for y in range(1, h - 1):
+                for x in range(1, w - 1):
+                    gx = (
+                        g[y - 1][x + 1] + 2 * g[y][x + 1] + g[y + 1][x + 1]
+                        - g[y - 1][x - 1] - 2 * g[y][x - 1] - g[y + 1][x - 1]
+                    )
+                    gy = (
+                        g[y + 1][x - 1] + 2 * g[y + 1][x] + g[y + 1][x + 1]
+                        - g[y - 1][x - 1] - 2 * g[y - 1][x] - g[y - 1][x + 1]
+                    )
+                    m2 = gx * gx + gy * gy
+                    n_int += 1
+                    if m2 > thr2:
+                        n_edges += 1
+                    if m2 > mx:
+                        mx = m2
+                    sm += m2
+            rows.append(
+                {
+                    "doc_id": row["doc_id"], "media_ref": span["media_ref"],
+                    "n_interior": np.int64(n_int), "n_edges": np.int64(n_edges),
+                    "max_mag2": np.int64(mx), "sum_mag2": np.int64(sm),
+                }
+            )
+    cols = ["doc_id", "media_ref", "n_interior", "n_edges", "max_mag2", "sum_mag2"]
+    return pd.DataFrame(rows, columns=cols).sort_values(
+        ["doc_id", "media_ref"]).reset_index(drop=True)
+
+
 def oracle_audio_resample(docs: pa.Table) -> pd.DataFrame:
     """Scalar 2:1 decimation: pairwise mean with FLOOR division (python //)."""
     rows = []

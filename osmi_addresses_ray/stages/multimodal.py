@@ -534,6 +534,82 @@ def media_dhash(docs_ds, *, concurrency=(1, 4), batch_size: int = 64):
     )
 
 
+MEDIA_SOBEL_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("n_interior", pa.int64()),
+        pa.field("n_edges", pa.int64()),
+        pa.field("max_mag2", pa.int64()),
+        pa.field("sum_mag2", pa.int64()),
+    ]
+)
+
+
+class SobelEdges:
+    """Actor-pool Sobel edge statistics over REAL decoded pixels: the 3×3
+    integer Sobel gradient pair (gx, gy) on the r+g+b grayscale proxy,
+    magnitude² = gx²+gy² per interior pixel — all int64, no float surface,
+    so the vectorized slice arithmetic here is bit-identical to the scalar
+    per-pixel-loop oracle. Per image: interior pixel count, count of pixels
+    with mag² > THR2 (the edge-density signal a media-quality filter keys
+    on), max and sum of mag². Bound: mag² ≤ 2·(4·765)² < 1.9e7 per pixel,
+    ×1024 interior pixels < 2e10 — comfortably int64."""
+
+    THR2 = 1_000_000
+
+    def __init__(self):
+        from osmi_addresses_ray.stages.media_codecs import decode_image
+
+        self._decode = decode_image
+
+    @staticmethod
+    def _stats(img: np.ndarray) -> tuple[int, int, int, int]:
+        g = img.astype(np.int64).sum(axis=2)
+        h, w = g.shape
+        if h < 3 or w < 3:
+            return 0, 0, 0, 0
+        gx = (
+            (g[:-2, 2:] + 2 * g[1:-1, 2:] + g[2:, 2:])
+            - (g[:-2, :-2] + 2 * g[1:-1, :-2] + g[2:, :-2])
+        )
+        gy = (
+            (g[2:, :-2] + 2 * g[2:, 1:-1] + g[2:, 2:])
+            - (g[:-2, :-2] + 2 * g[:-2, 1:-1] + g[:-2, 2:])
+        )
+        mag2 = gx * gx + gy * gy
+        return (
+            int(mag2.size),
+            int((mag2 > SobelEdges.THR2).sum()),
+            int(mag2.max()),
+            int(mag2.sum()),
+        )
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = {k: [] for k in MEDIA_SOBEL_SCHEMA.names}
+        for doc_id, ref, payload in zip(
+            t["doc_id"].to_pylist(), t["media_ref"].to_pylist(), t["payload"].to_pylist()
+        ):
+            n_int, n_edges, mx, sm = self._stats(self._decode(payload))
+            rows["doc_id"].append(doc_id)
+            rows["media_ref"].append(ref)
+            rows["n_interior"].append(n_int)
+            rows["n_edges"].append(n_edges)
+            rows["max_mag2"].append(mx)
+            rows["sum_mag2"].append(sm)
+        return pa.Table.from_arrays(
+            [pa.array(rows[f.name], f.type) for f in MEDIA_SOBEL_SCHEMA],
+            schema=MEDIA_SOBEL_SCHEMA,
+        )
+
+
+def media_sobel(docs_ds, *, concurrency=(1, 4), batch_size: int = 64):
+    media = extract_media_refs(docs_ds)
+    return media.map_batches(
+        SobelEdges, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+    )
+
+
 MEDIA_RESAMPLE_SCHEMA = pa.schema(
     [
         pa.field("doc_id", pa.string()),

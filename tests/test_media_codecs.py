@@ -248,3 +248,58 @@ def test_dhash_gradients_and_area_exactness():
     # proving the cross-multiplied area comparison doesn't bias uneven cells
     flat = np.full((11, 13, 3), 77, np.uint8)
     assert DHasher._dhash(flat) == 0
+
+
+def test_sobel_edges_known_patterns():
+    import numpy as np
+
+    from osmi_addresses_ray.stages.multimodal import SobelEdges
+
+    # flat image: every gradient is zero
+    flat = np.full((8, 8, 3), 50, np.uint8)
+    n_int, n_edges, mx, sm = SobelEdges._stats(flat)
+    assert (n_int, n_edges, mx, sm) == (36, 0, 0, 0)
+    # vertical step edge at x=4: interior pixels adjacent to the step see
+    # gx = ±4·Δg (Sobel column weight sum 1+2+1), Δg = 3·200 (r+g+b)
+    step = np.zeros((8, 8, 3), np.uint8)
+    step[:, 4:, :] = 200
+    n_int, n_edges, mx, sm = SobelEdges._stats(step)
+    assert mx == (4 * 600) ** 2
+    assert n_edges == 12  # columns x=3,4 of the 6-wide interior, 6 rows each
+    # sub-3x3 image: no interior
+    assert SobelEdges._stats(np.zeros((2, 5, 3), np.uint8)) == (0, 0, 0, 0)
+
+
+def test_sobel_engine_matches_scalar_oracle_on_synth_refs():
+    import numpy as np
+
+    from osmi_addresses_ray.oracle.layers import _oracle_media_pixels
+    from osmi_addresses_ray.stages.media_codecs import (
+        decode_image,
+        synthesize_media_payload,
+    )
+    from osmi_addresses_ray.stages.multimodal import SobelEdges
+
+    thr2 = SobelEdges.THR2
+    for ref in ["m:1", "m:2", "m:xyz"]:
+        img = decode_image(synthesize_media_payload(ref))
+        fast = SobelEdges._stats(img)
+        # scalar recomputation over the independently declared pixel spec
+        pix = _oracle_media_pixels(ref)
+        assert np.array_equal(img, pix)
+        h, w = pix.shape[:2]
+        g = [[int(pix[y, x, 0]) + int(pix[y, x, 1]) + int(pix[y, x, 2]) for x in range(w)] for y in range(h)]
+        n_int = n_edges = mx = sm = 0
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                gx = (g[y-1][x+1] + 2*g[y][x+1] + g[y+1][x+1]
+                      - g[y-1][x-1] - 2*g[y][x-1] - g[y+1][x-1])
+                gy = (g[y+1][x-1] + 2*g[y+1][x] + g[y+1][x+1]
+                      - g[y-1][x-1] - 2*g[y-1][x] - g[y-1][x+1])
+                m2 = gx * gx + gy * gy
+                n_int += 1
+                n_edges += m2 > thr2
+                mx = max(mx, m2)
+                sm += m2
+        assert fast == (n_int, n_edges, mx, sm)
+        assert 0 < n_edges < n_int  # threshold splits real pixel content

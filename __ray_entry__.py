@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_corruption": textstats.span_corruption,
         "gopher_quality_filter": textstats.gopher_quality_filter,
         "event_spikes": timeseries.event_spikes,
+        "cusum_changepoints": timeseries.cusum_changepoints,
         "resample_locf": timeseries.resample_locf,
         "resample_lerp": timeseries.resample_lerp,
         "interval_coverage": timeseries.interval_coverage,
@@ -2206,6 +2207,30 @@ def oracle_sql() -> dict[str, str]:
             s AS (SELECT count(*)::BIGINT AS nh, sum(n)::BIGINT AS tot FROM h)
             SELECT hr, n FROM h, s WHERE 2 * n * s.nh > 3 * s.tot
             ORDER BY hr
+        """,
+        # CUSUM change point per event type: integer-scaled |m·P_k − k·X|
+        # argmax over the hourly series, earliest hour on score ties
+        "cusum_changepoints": """
+            WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                               count(*)::BIGINT AS c
+                        FROM events GROUP BY 1, 2),
+            w AS (SELECT event_type, hr,
+                         sum(c) OVER (PARTITION BY event_type ORDER BY hr)
+                             ::BIGINT AS p,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY hr)::BIGINT AS k,
+                         count(*) OVER (PARTITION BY event_type)
+                             ::BIGINT AS m,
+                         sum(c) OVER (PARTITION BY event_type)::BIGINT AS x
+                  FROM hc),
+            s AS (SELECT event_type, hr, abs(m * p - k * x)::BIGINT AS score,
+                         m, x,
+                         row_number() OVER (
+                             PARTITION BY event_type
+                             ORDER BY abs(m * p - k * x) DESC, hr) AS rn
+                  FROM w)
+            SELECT event_type, hr AS cp_hr, score, m AS n_hours, x AS n_events
+            FROM s WHERE rn = 1 ORDER BY event_type
         """,
         # hourly LOCF grid: ceil-hour start guarantees a carry source; ties
         # at one timestamp resolve to the highest event_id (arg_max)

@@ -1127,6 +1127,73 @@ def event_spikes(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("hr").reset_index(drop=True)
 
 
+def cusum_changepoints(sf_dir: str) -> pd.DataFrame:
+    """CUSUM change-point detection per event type over its hourly count
+    series (Page's cumulative-sum chart, the offline single-change argmax
+    form): with ordered hourly counts x_1..x_m and total X, the drift-free
+    CUSUM S_k = P_k − k·X/m (P_k the prefix sum) peaks in magnitude at the
+    most likely level-shift hour. Scaled by m to stay integer-exact —
+    score_k = |m·P_k − k·X| — which preserves the argmax; ties break to the
+    earliest hour. Output per type: the change-point hour, the max score
+    numerator, the hour count m and event total X (so score/(m) recovers
+    the classic statistic).
+
+    Shape: one partial pre-aggregated exchange builds the (type, hour)
+    count table — bounded by types × calendar hours, ≪ raw events (the
+    ``event_spikes`` precedent) — and the per-type cumsum/argmax is one
+    vectorized pandas pass over that bounded table. int64 bound:
+    m·X ≤ 10⁵ hours · 10¹² events ≈ 10¹⁷ < 2⁶³."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .relational import grouped_agg
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+
+    def add_window(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "hr": pc.floor_temporal(t["ts"], unit="hour"),
+            }
+        )
+
+    hourly = grouped_agg(
+        ds.map_batches(add_window, batch_format="pyarrow"),
+        ["event_type", "hr"],
+        {"c": (None, "count")},
+    ).to_pandas()
+    if hourly.empty:
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype=object),
+                "cp_hr": pd.Series([], dtype="datetime64[us]"),
+                "score": pd.Series([], dtype="int64"),
+                "n_hours": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+            }
+        )
+    hourly["c"] = hourly["c"].astype("int64")
+    hourly = hourly.sort_values(["event_type", "hr"], kind="stable").reset_index(drop=True)
+    g = hourly.groupby("event_type", sort=True)
+    p = g["c"].cumsum().to_numpy(np.int64)
+    k = (g.cumcount() + 1).to_numpy(np.int64)
+    m = g["c"].transform("size").to_numpy(np.int64)
+    x = g["c"].transform("sum").to_numpy(np.int64)
+    hourly["score"] = np.abs(m * p - k * x)
+    hourly["n_hours"] = m
+    hourly["n_events"] = x
+    # idxmax returns the FIRST max — rows are hour-ordered, so ties break early
+    best = hourly.loc[hourly.groupby("event_type", sort=True)["score"].idxmax()]
+    out = best.rename(columns={"hr": "cp_hr"})[
+        ["event_type", "cp_hr", "score", "n_hours", "n_events"]
+    ]
+    out["cp_hr"] = out["cp_hr"].astype("datetime64[us]")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 _HOUR_US = np.int64(3_600_000_000)
 _RESAMPLE_SCHEMA = pa.schema(
     [

@@ -534,3 +534,49 @@ def test_ema_weights_recent_heavier(tmp_path, ray_session):
     out = ema_user_value(str(tmp_path), num_parts=2)
     assert out.ema.iloc[-1] > 5000  # > half the jump, in cents
     assert out.ema.iloc[-2] == 0.0
+
+
+def test_cusum_changepoint_planted_shift(tmp_path):
+    """A level shift at hour 6 of a 12-hour series must be the argmax; a
+    constant series scores 0 everywhere and ties to the EARLIEST hour."""
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    hr = np.timedelta64(3_600_000_000, "us")
+    rows = []
+    eid = 0
+    # type A: 2/hour for hours 0..5, then 8/hour for hours 6..11
+    for h in range(12):
+        for _ in range(2 if h < 6 else 8):
+            rows.append((eid, 1, "A", base + h * hr, 0.0, "{}"))
+            eid += 1
+    # type B: constant 3/hour over 4 hours -> score 0, cp = first hour
+    for h in range(4):
+        for _ in range(3):
+            rows.append((eid, 2, "B", base + h * hr, 0.0, "{}"))
+            eid += 1
+    df = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "event_type", "ts", "value", "props"]
+    )
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    out = timeseries.cusum_changepoints(str(tmp_path))
+    a = out[out.event_type == "A"].iloc[0]
+    # prefix at k=6 (end of the low regime): P=12, m=12, X=60 -> |12*12-6*60|=216
+    assert a.cp_hr == pd.Timestamp("2024-03-01T05:00:00")
+    assert a.score == 216 and a.n_hours == 12 and a.n_events == 60
+    b = out[out.event_type == "B"].iloc[0]
+    assert b.score == 0 and b.cp_hr == pd.Timestamp("2024-03-01T00:00:00")
+
+
+def test_cusum_matches_duckdb_on_sf(tmp_path):
+    import __ray_entry__ as entry
+
+    out = timeseries.cusum_changepoints(SF).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    want = con.execute(entry.oracle_sql()["cusum_changepoints"]).df()
+    got = out.copy()
+    want["cp_hr"] = want["cp_hr"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(
+        got, want.astype({"score": "int64", "n_hours": "int64", "n_events": "int64"})
+    )

@@ -332,6 +332,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "street_route_dist": _route_dist_query,
         "turn_classes": _turns_query,
         "od_flows": _od_query,
+        "staypoints": _staypoints_query,
+        "hausdorff_pairs": _hausdorff_query,
         "map_match_accuracy": _mm_accuracy_query,
         "hotspot_cells": _hotspot_query,
         "line_simplify": _line_simplify_query,
@@ -983,6 +985,40 @@ def _turns_query(sf_dir: str):
     ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
     out = turn_classes(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
     write_oracle("traj_points_src", oracle_traj_points(fixture_table(FIXTURE_BLOCKS)))
+    return out
+
+
+def _staypoints_query(sf_dir: str):
+    """Stay-point detection over dwell-patterned trajectories; TRUE SQL
+    oracle: recursive-CTE anchor walk over the independent dwell points."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.geo_ops import oracle_dwell_points
+    from osmi_addresses_ray.pipelines.geo_ops import staypoints
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.assembly import assemble_ways
+    from osmi_addresses_ray.stages.parse import parse_docs
+
+    parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
+    ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
+    out = staypoints(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
+    write_oracle("dwell_points_src", oracle_dwell_points(fixture_table(FIXTURE_BLOCKS)))
+    return out
+
+
+def _hausdorff_query(sf_dir: str):
+    """Origin-cell-bucketed pairwise trajectory Hausdorff²; TRUE SQL oracle:
+    nested max-of-min aggregation over the independent dwell points."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.geo_ops import oracle_dwell_points
+    from osmi_addresses_ray.pipelines.geo_ops import hausdorff_pairs
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.assembly import assemble_ways
+    from osmi_addresses_ray.stages.parse import parse_docs
+
+    parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
+    ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
+    out = hausdorff_pairs(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
+    write_oracle("dwell_points_src", oracle_dwell_points(fixture_table(FIXTURE_BLOCKS)))
     return out
 
 
@@ -3025,6 +3061,8 @@ def _ensure_default_oracles() -> None:
             "convex_hull_cells",
             "media_histogram",
             "fuzzy_name_pairs",
+            "staypoints",
+            "hausdorff_pairs",
         ):
             try:
                 q[name]("/root/testdata/sf0.01")
@@ -3406,6 +3444,80 @@ def _naive_oracle_sql() -> dict[str, str]:
                         ELSE 'uturn' END AS turn
             FROM t WHERE ax IS NOT NULL AND bx IS NOT NULL
             ORDER BY traj_id, step
+        """,
+        # stay-point detection: recursive-CTE anchor walk (Li et al. scan)
+        # over the independent dwell points; j = first step farther than R
+        # from the anchor, dwell qualifies when it spans >= 2 steps
+        "staypoints": f"""
+            WITH RECURSIVE
+            p AS (SELECT traj_id, step, px, py
+                  FROM read_parquet('{oracle_path('dwell_points_src')}')),
+            nn AS (SELECT traj_id, count(*)::BIGINT AS n FROM p GROUP BY 1),
+            jt AS (SELECT a.traj_id, a.step AS i,
+                          coalesce(min(CASE WHEN (b.px - a.px) * (b.px - a.px)
+                                             + (b.py - a.py) * (b.py - a.py)
+                                             > 1000000
+                                        THEN b.step END), nn.n) AS j
+                   FROM p a JOIN nn ON nn.traj_id = a.traj_id
+                   LEFT JOIN p b ON b.traj_id = a.traj_id AND b.step > a.step
+                   GROUP BY a.traj_id, a.step, nn.n),
+            anch AS (
+                SELECT traj_id, 0::BIGINT AS i FROM nn
+                UNION
+                SELECT anch.traj_id,
+                       CASE WHEN jt.j - anch.i >= 2 THEN jt.j
+                            ELSE anch.i + 1 END AS i
+                FROM anch JOIN jt ON jt.traj_id = anch.traj_id
+                                 AND jt.i = anch.i),
+            sp AS (SELECT anch.traj_id, anch.i AS start_step,
+                          jt.j - 1 AS end_step, jt.j - anch.i AS n_pts
+                   FROM anch JOIN jt ON jt.traj_id = anch.traj_id
+                                    AND jt.i = anch.i
+                   WHERE jt.j - anch.i >= 2)
+            SELECT sp.traj_id, sp.start_step::BIGINT AS start_step,
+                   sp.end_step::BIGINT AS end_step, sp.n_pts::BIGINT AS n_pts,
+                   (sum(p.px) // sp.n_pts)::BIGINT AS sx,
+                   (sum(p.py) // sp.n_pts)::BIGINT AS sy
+            FROM sp JOIN p ON p.traj_id = sp.traj_id
+                          AND p.step BETWEEN sp.start_step AND sp.end_step
+            GROUP BY sp.traj_id, sp.start_step, sp.end_step, sp.n_pts
+            ORDER BY sp.traj_id, sp.start_step
+        """,
+        # pairwise trajectory Hausdorff²: nested max-of-min over point pairs
+        # for trajectories sharing the step-0 origin cell (od_flows zoning)
+        "hausdorff_pairs": f"""
+            WITH p AS (SELECT traj_id, step, px, py
+                       FROM read_parquet('{oracle_path('dwell_points_src')}')),
+            o AS (SELECT traj_id,
+                         min_by(px, step) // 100000 AS cx,
+                         min_by(py, step) // 100000 AS cy
+                  FROM p GROUP BY 1),
+            pairs AS (SELECT a.traj_id AS ta, b.traj_id AS tb, a.cx, a.cy
+                      FROM o a JOIN o b ON a.cx = b.cx AND a.cy = b.cy
+                                       AND a.traj_id < b.traj_id),
+            dab AS (SELECT pr.ta, pr.tb, pa.step,
+                           min((pa.px - pb.px) * (pa.px - pb.px)
+                               + (pa.py - pb.py) * (pa.py - pb.py)) AS md
+                    FROM pairs pr
+                    JOIN p pa ON pa.traj_id = pr.ta
+                    JOIN p pb ON pb.traj_id = pr.tb
+                    GROUP BY pr.ta, pr.tb, pa.step),
+            ha AS (SELECT ta, tb, max(md) AS h_ab FROM dab GROUP BY ta, tb),
+            dba AS (SELECT pr.ta, pr.tb, pb.step,
+                           min((pa.px - pb.px) * (pa.px - pb.px)
+                               + (pa.py - pb.py) * (pa.py - pb.py)) AS md
+                    FROM pairs pr
+                    JOIN p pa ON pa.traj_id = pr.ta
+                    JOIN p pb ON pb.traj_id = pr.tb
+                    GROUP BY pr.ta, pr.tb, pb.step),
+            hb AS (SELECT ta, tb, max(md) AS h_ba FROM dba GROUP BY ta, tb)
+            SELECT pr.cx AS cell_x, pr.cy AS cell_y,
+                   pr.ta AS traj_a, pr.tb AS traj_b,
+                   greatest(ha.h_ab, hb.h_ba)::BIGINT AS h2
+            FROM pairs pr
+            JOIN ha ON ha.ta = pr.ta AND ha.tb = pr.tb
+            JOIN hb ON hb.ta = pr.ta AND hb.tb = pr.tb
+            ORDER BY cell_x, cell_y, traj_a, traj_b
         """,
         "map_match_trajectories": read_parquet_sql("map_match", "traj_id, step"),
         "convex_hull_cells": read_parquet_sql("convex_hull_cells", "cell_x, cell_y"),

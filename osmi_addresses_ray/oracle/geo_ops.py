@@ -388,3 +388,29 @@ def oracle_traj_points(docs) -> pd.DataFrame:
     if df.empty:
         df = pd.DataFrame({c: pd.Series([], dtype="int64") for c in df.columns})
     return df.sort_values(["traj_id", "step"]).reset_index(drop=True).astype("int64")
+
+
+def oracle_dwell_points(docs) -> pd.DataFrame:
+    """Independent scalar synthesis of the dwell-patterned trajectory points
+    (the synth_dwell_trajectories spec) — pure Python big-int arithmetic,
+    the point source for the stay-point / Hausdorff SQL oracles."""
+    ents = parse_entities(docs)
+    hw_ways = {e["id"] for e in ents if e["etype"] == "way" and "highway" in e["tags"]}
+    rows = []
+    for way_id, pts in _way_points(docs):
+        if way_id not in hw_ways:
+            continue
+        step = 0
+        for i, (vx, vy) in enumerate(pts):
+            h = (((way_id % 2147483648) * 1000003 + i) * 2654435761) % (1 << 32)
+            r = 1 + h % 3
+            for k in range(r):
+                hk = ((h + 97 * k) * 2654435761) % (1 << 32)
+                rows.append(
+                    (way_id, step, vx + hk % 401 - 200, vy + (hk >> 11) % 401 - 200)
+                )
+                step += 1
+    df = pd.DataFrame(rows, columns=["traj_id", "step", "px", "py"])
+    if df.empty:
+        df = pd.DataFrame({c: pd.Series([], dtype="int64") for c in df.columns})
+    return df.sort_values(["traj_id", "step"]).reset_index(drop=True).astype("int64")

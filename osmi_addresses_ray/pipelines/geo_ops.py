@@ -2338,3 +2338,250 @@ def hotspot_cells(points_ds, *, num_parts: int = 8) -> pd.DataFrame:
 
 def hotspot_nwa(nwa_ds, *, num_parts: int = 8) -> pd.DataFrame:
     return hotspot_cells(points_from_nwa(nwa_ds), num_parts=num_parts)
+
+
+# --- dwell trajectories: stay-point detection + trajectory similarity ----------
+
+_DWELL_JIT = 401  # dwell jitter ∈ [−200, 200] quantized units (≈ ±2 m)
+
+
+def synth_dwell_trajectories(ways_geo_ds):
+    """Deterministic dwell-patterned trajectories: one per street way — each
+    way VERTEX contributes r = 1 + (h % 3) points jittered ±200 units around
+    it (a walker pausing at corners), so consecutive points cluster at a
+    vertex (dwell) and jump vertex-to-vertex (move). Pure integer spec the
+    oracle re-declares scalar-for-scalar:
+
+        h  = ((way_id % 2^31)·1000003 + vertex_idx)·2654435761 mod 2^32
+        r  = 1 + h % 3
+        hk = ((h + 97·k)·2654435761) mod 2^32          k = 0..r−1
+        p  = (vx + hk % 401 − 200, vy + (hk >> 11) % 401 − 200)
+
+    steps number sequentially along the way. A flat map over the street
+    ways — no exchange; int64 wrap ≡ mod 2^64 keeps residues mod 2^32 exact
+    (the synth_trajectories precedent)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = t.filter(t["nonzero"]) if "nonzero" in t.schema.names else t
+        if s.num_rows == 0:
+            return _TRAJ_SCHEMA.empty_table()
+        xs_col = s["xs"].combine_chunks() if isinstance(s["xs"], pa.ChunkedArray) else s["xs"]
+        ys_col = s["ys"].combine_chunks() if isinstance(s["ys"], pa.ChunkedArray) else s["ys"]
+        offs = np.asarray(xs_col.offsets, np.int64)
+        offs = offs - offs[0]
+        vx = np.round(np.asarray(xs_col.flatten(), np.float64) * QUANT).astype(np.int64)
+        vy = np.round(np.asarray(ys_col.flatten(), np.float64) * QUANT).astype(np.int64)
+        wid = s["way_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offs)
+        way_v = np.repeat(wid, counts)  # way id per vertex
+        vidx = np.arange(len(vx), dtype=np.int64) - np.repeat(offs[:-1], counts)
+        h = (((way_v % 2147483648) * 1000003 + vidx) * 2654435761) % (1 << 32)
+        r = 1 + (h % 3)
+        # expand each vertex into its r dwell points
+        pt_way = np.repeat(way_v, r)
+        pt_h = np.repeat(h, r)
+        pt_vx = np.repeat(vx, r)
+        pt_vy = np.repeat(vy, r)
+        k = np.arange(int(r.sum()), dtype=np.int64) - np.repeat(np.cumsum(r) - r, r)
+        hk = ((pt_h + 97 * k) * 2654435761) % (1 << 32)
+        px = pt_vx + hk % _DWELL_JIT - 200
+        py = pt_vy + (hk >> 11) % _DWELL_JIT - 200
+        # sequential step within each way
+        per_way = np.zeros(len(wid), np.int64)
+        np.add.at(per_way, np.repeat(np.arange(len(wid)), counts), r)
+        step = np.arange(len(px), dtype=np.int64) - np.repeat(
+            np.cumsum(per_way) - per_way, per_way
+        )
+        return pa.table(
+            {"traj_id": pa.array(pt_way), "step": pa.array(step),
+             "px": pa.array(px), "py": pa.array(py)}
+        )
+
+    return street_ways(ways_geo_ds).map_batches(fn, batch_format="pyarrow")
+
+
+_STAY_SCHEMA = pa.schema(
+    [
+        ("traj_id", pa.int64()), ("start_step", pa.int64()),
+        ("end_step", pa.int64()), ("n_pts", pa.int64()),
+        ("sx", pa.int64()), ("sy", pa.int64()),
+    ]
+)
+
+
+def staypoints(
+    ways_geo_ds, *, r2: int = 1_000_000, t_min: int = 2, num_parts: int = 8
+) -> pd.DataFrame:
+    """Stay-point detection (Li et al. 2008, "Mining user similarity based
+    on location history"): scanning a trajectory with anchor i, let j be the
+    first later point farther than R from p_i; if the dwell spans ≥ t_min
+    steps the window [i, j) is a stay point (centroid = floor-mean, exact —
+    coordinates are positive so floor ≡ trunc ≡ SQL //) and the scan resumes
+    at j, else the anchor advances by one. R² = 1e6 (≈ 11 m) comfortably
+    contains the ±200-unit dwell jitter and excludes vertex-to-vertex moves.
+
+    One trajectory-keyed exchange; in-partition the per-anchor exceed index
+    comes from a vectorized pairwise sweep (trajectories are short — the
+    map_match sequential-per-trajectory precedent), the anchor walk itself
+    is O(n). TRUE SQL oracle: recursive-CTE anchor walk over the
+    independently synthesized dwell points."""
+    return staypoints_from_points(
+        synth_dwell_trajectories(ways_geo_ds), r2=r2, t_min=t_min, num_parts=num_parts
+    )
+
+
+def staypoints_from_points(
+    traj, *, r2: int = 1_000_000, t_min: int = 2, num_parts: int = 8
+) -> pd.DataFrame:
+    """Stay-point detection over an explicit (traj_id, step, px, py) points
+    dataset — the kernel behind ``staypoints`` (see its docstring)."""
+    from ..ops import direct_partitioned_map
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _STAY_SCHEMA.empty_table()
+        df = t.to_pandas().sort_values(["traj_id", "step"], kind="stable")
+        tid = df["traj_id"].to_numpy(np.int64)
+        px = df["px"].to_numpy(np.int64)
+        py = df["py"].to_numpy(np.int64)
+        bounds = np.r_[0, np.flatnonzero(tid[1:] != tid[:-1]) + 1, len(tid)]
+        rows = {k: [] for k in _STAY_SCHEMA.names}
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            x, y = px[b0:b1], py[b0:b1]
+            n = b1 - b0
+            d2 = (x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2
+            far = d2 > r2
+            i = 0
+            while i < n:
+                later = np.flatnonzero(far[i, i + 1:])
+                j = (i + 1 + later[0]) if len(later) else n
+                if j - i >= t_min:
+                    rows["traj_id"].append(tid[b0])
+                    rows["start_step"].append(i)
+                    rows["end_step"].append(j - 1)
+                    rows["n_pts"].append(j - i)
+                    rows["sx"].append(int(x[i:j].sum()) // (j - i))
+                    rows["sy"].append(int(y[i:j].sum()) // (j - i))
+                    i = j
+                else:
+                    i += 1
+        return pa.Table.from_arrays(
+            [pa.array(rows[f.name], f.type) for f in _STAY_SCHEMA],
+            schema=_STAY_SCHEMA,
+        )
+
+    out = direct_partitioned_map(
+        traj, ["traj_id"], num_parts, fn, _TRAJ_SCHEMA
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame({f.name: pd.Series([], dtype="int64") for f in _STAY_SCHEMA})
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["traj_id", "start_step"]).reset_index(drop=True)
+
+
+_HAUS_CELL = 100_000  # same 0.01° zoning as od_flows
+_HAUS_SCHEMA = pa.schema(
+    [
+        ("cell_x", pa.int64()), ("cell_y", pa.int64()),
+        ("traj_a", pa.int64()), ("traj_b", pa.int64()), ("h2", pa.int64()),
+    ]
+)
+_HAUS_PT_SCHEMA = pa.schema(
+    [
+        ("cell_x", pa.int64()), ("cell_y", pa.int64()),
+        ("traj_id", pa.int64()), ("px", pa.int64()), ("py", pa.int64()),
+    ]
+)
+
+
+def hausdorff_pairs(
+    ways_geo_ds, *, num_parts: int = 8, cell_cap: int = 256
+) -> pd.DataFrame:
+    """Pairwise trajectory similarity: the symmetric Hausdorff distance²
+    (exact integers — max over points of the min squared distance to the
+    other trajectory, both directions) between every pair of trajectories
+    sharing an ORIGIN cell (0.01° zoning of the step-0 point, the od_flows
+    zoning). The co-movement / route-overlap primitive of trajectory mining.
+
+    Two exchanges: (1) trajectory-keyed — compute each trajectory's origin
+    cell in-partition (all its points are co-located) and re-emit points
+    tagged with it; (2) cell-keyed — per cell, one flat (points_a ×
+    points_b) sweep per pair. Per-cell work is O(T²·m²) in trajectories T
+    and points m, so cells above ``cell_cap`` trajectories raise (the
+    simhash precedent: no silent truncation — pre-bucket denser zonings or
+    raise the cap deliberately)."""
+    return hausdorff_from_points(
+        synth_dwell_trajectories(ways_geo_ds), num_parts=num_parts, cell_cap=cell_cap
+    )
+
+
+def hausdorff_from_points(
+    traj, *, num_parts: int = 8, cell_cap: int = 256
+) -> pd.DataFrame:
+    """Origin-cell-bucketed pairwise Hausdorff² over an explicit
+    (traj_id, step, px, py) points dataset — the kernel behind
+    ``hausdorff_pairs`` (see its docstring)."""
+    from ..ops import direct_partitioned_map
+
+    def tag_origin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _HAUS_PT_SCHEMA.empty_table()
+        df = t.to_pandas().sort_values(["traj_id", "step"], kind="stable")
+        tid = df["traj_id"].to_numpy(np.int64)
+        px = df["px"].to_numpy(np.int64)
+        py = df["py"].to_numpy(np.int64)
+        first = np.r_[True, tid[1:] != tid[:-1]]
+        gidx = np.cumsum(first) - 1
+        cx = (px[first] // _HAUS_CELL)[gidx]
+        cy = (py[first] // _HAUS_CELL)[gidx]
+        return pa.table(
+            {"cell_x": pa.array(cx), "cell_y": pa.array(cy),
+             "traj_id": pa.array(tid), "px": pa.array(px), "py": pa.array(py)}
+        )
+
+    pts = direct_partitioned_map(traj, ["traj_id"], num_parts, tag_origin, _TRAJ_SCHEMA)
+
+    def pair_sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _HAUS_SCHEMA.empty_table()
+        df = t.to_pandas().sort_values(["cell_x", "cell_y", "traj_id"], kind="stable")
+        rows = {k: [] for k in _HAUS_SCHEMA.names}
+        for (cx, cy), g in df.groupby(["cell_x", "cell_y"], sort=False):
+            tids = g["traj_id"].unique()
+            if len(tids) > cell_cap:
+                raise ValueError(
+                    f"hausdorff cell ({cx},{cy}) holds {len(tids)} trajectories "
+                    f"(> cell_cap={cell_cap}): use a finer zoning or raise the cap"
+                )
+            if len(tids) < 2:
+                continue
+            by_t = {
+                tid: (sub["px"].to_numpy(np.int64), sub["py"].to_numpy(np.int64))
+                for tid, sub in g.groupby("traj_id", sort=False)
+            }
+            tids = np.sort(tids)
+            for ai in range(len(tids)):
+                xa, ya = by_t[tids[ai]]
+                for bi in range(ai + 1, len(tids)):
+                    xb, yb = by_t[tids[bi]]
+                    d2 = (xa[:, None] - xb[None, :]) ** 2 + (ya[:, None] - yb[None, :]) ** 2
+                    h2 = max(int(d2.min(axis=1).max()), int(d2.min(axis=0).max()))
+                    rows["cell_x"].append(int(cx))
+                    rows["cell_y"].append(int(cy))
+                    rows["traj_a"].append(int(tids[ai]))
+                    rows["traj_b"].append(int(tids[bi]))
+                    rows["h2"].append(h2)
+        return pa.Table.from_arrays(
+            [pa.array(rows[f.name], f.type) for f in _HAUS_SCHEMA],
+            schema=_HAUS_SCHEMA,
+        )
+
+    out = direct_partitioned_map(
+        pts, ["cell_x", "cell_y"], num_parts, pair_sweep, _HAUS_PT_SCHEMA
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame({f.name: pd.Series([], dtype="int64") for f in _HAUS_SCHEMA})
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["cell_x", "cell_y", "traj_a", "traj_b"]).reset_index(drop=True)

@@ -293,3 +293,74 @@ def test_hotspot_cells_closed_form(ray_session):
     assert out.loc[(50, 0)].nbr_sum == 1 and out.loc[(50, 0)].hot == 0
     # corner of the dense block still hot: S = 8 -> 96 < 189? COLD in fact
     assert out.loc[(0, 0)].nbr_sum == 8 and out.loc[(0, 0)].hot == 0
+
+
+def _traj_ds(traj_id, step, px, py):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "traj_id": pa.array(np.asarray(traj_id, np.int64)),
+                "step": pa.array(np.asarray(step, np.int64)),
+                "px": pa.array(np.asarray(px, np.int64)),
+                "py": pa.array(np.asarray(py, np.int64)),
+            }
+        )
+    )
+
+
+def test_staypoints_anchor_walk_semantics(ray_session):
+    from osmi_addresses_ray.pipelines.geo_ops import staypoints_from_points
+
+    # traj 1: dwell of 3 near origin (d <= 400 < R), jump to (10000, 0),
+    # dwell of 2 there, jump again, single trailing point -> two staypoints
+    px = [0, 300, 150, 10000, 10300, 50000]
+    py = [0, 0, 200, 0, 0, 0]
+    out = staypoints_from_points(
+        _traj_ds([1] * 6, range(6), px, py), r2=1_000_000, t_min=2, num_parts=2
+    )
+    assert out[["start_step", "end_step", "n_pts"]].values.tolist() == [
+        [0, 2, 3], [3, 4, 2]
+    ]
+    # floor-mean centroids
+    assert out["sx"].tolist() == [(0 + 300 + 150) // 3, (10000 + 10300) // 2]
+    # anchor semantics: the scan measures from the ANCHOR, so a slow drift
+    # where each consecutive pair is near but the span exceeds R from the
+    # anchor ends the window at the first point farther than R from p_i
+    px2 = [0, 900, 1800, 2700]
+    out2 = staypoints_from_points(
+        _traj_ds([2] * 4, range(4), px2, [0] * 4), r2=1_000_000, t_min=2, num_parts=2
+    )
+    # from anchor 0: first exceed is step 2 (1800 > 1000) -> window [0, 1]
+    assert out2.iloc[0][["start_step", "end_step"]].tolist() == [0, 1]
+
+
+def test_hausdorff_pairs_hand_values(ray_session):
+    from osmi_addresses_ray.pipelines.geo_ops import hausdorff_from_points
+
+    # two trajectories in the same origin cell: A = {(0,0), (10,0)},
+    # B = {(0,3), (10,4)}; directed A->B: max(min(9, 116), min(109, 16)) = 16
+    # wait: d2((0,0),(0,3))=9, d2((0,0),(10,4))=116 -> min 9;
+    # d2((10,0),(0,3))=109, d2((10,0),(10,4))=16 -> min 16; h(A->B)=16
+    # B->A symmetric: (0,3): min(9, 109)=9; (10,4): min(116, 16)=16 -> 16
+    out = hausdorff_from_points(
+        _traj_ds([1, 1, 2, 2], [0, 1, 0, 1], [0, 10, 0, 10], [0, 0, 3, 4]),
+        num_parts=2,
+    )
+    assert len(out) == 1
+    assert out.iloc[0]["h2"] == 16
+    assert (out.iloc[0][["traj_a", "traj_b"]].tolist()) == [1, 2]
+    # trajectories in DIFFERENT origin cells pair with nothing
+    out2 = hausdorff_from_points(
+        _traj_ds([1, 2], [0, 0], [0, 300_000], [0, 0]), num_parts=2
+    )
+    assert out2.empty
+
+
+def test_hausdorff_cell_cap_raises(ray_session):
+    from osmi_addresses_ray.pipelines.geo_ops import hausdorff_from_points
+
+    ds = _traj_ds([1, 2, 3], [0, 0, 0], [10, 20, 30], [0, 0, 0])
+    with pytest.raises(Exception, match="cell_cap"):
+        hausdorff_from_points(ds, num_parts=1, cell_cap=2)

@@ -330,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_clusters": _clusters_query,
         "dbscan_clusters": _dbscan_query,
         "street_route_dist": _route_dist_query,
+        "street_components": _street_cc_query,
         "turn_classes": _turns_query,
         "od_flows": _od_query,
         "staypoints": _staypoints_query,
@@ -967,6 +968,23 @@ def _route_dist_query(sf_dir: str):
     ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
     out = street_route_dist(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
     write_oracle("street_route_dist", oracle_street_route_dist(fixture_table(FIXTURE_BLOCKS)))
+    return out
+
+
+def _street_cc_query(sf_dir: str):
+    """Connected components of the street graph via star contraction; TRUE
+    SQL oracle: recursive-CTE min-label closure over the independent edges."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.geo_ops import oracle_street_edges
+    from osmi_addresses_ray.pipelines.geo_ops import street_components
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.assembly import assemble_ways
+    from osmi_addresses_ray.stages.parse import parse_docs
+
+    parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
+    ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
+    out = street_components(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
+    write_oracle("street_edges_src", oracle_street_edges(fixture_table(FIXTURE_BLOCKS)))
     return out
 
 
@@ -3376,6 +3394,20 @@ def _naive_oracle_sql() -> dict[str, str]:
         """,
         "line_simplify": read_parquet_sql("line_simplify", "way_id, seq"),
         "street_route_dist": read_parquet_sql("street_route_dist", "src, node"),
+        # connected components: recursive min-label closure over the
+        # independently parsed (bidirectional) street edge set
+        "street_components": f"""
+            WITH RECURSIVE
+            e AS (SELECT u, v
+                  FROM read_parquet('{oracle_path('street_edges_src')}')),
+            r AS (
+                SELECT u AS node, u AS lab FROM (SELECT DISTINCT u FROM e)
+                UNION
+                SELECT e.v AS node, r.lab FROM r JOIN e ON e.u = r.node
+            )
+            SELECT node AS node_id, min(lab)::BIGINT AS comp
+            FROM r GROUP BY node ORDER BY node
+        """,
         # hotspot cells recomputed whole in SQL: 3×3 neighbour self-join,
         # cross-multiplied integer threshold, one double division
         "hotspot_cells": f"""

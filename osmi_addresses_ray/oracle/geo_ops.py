@@ -414,3 +414,26 @@ def oracle_dwell_points(docs) -> pd.DataFrame:
     if df.empty:
         df = pd.DataFrame({c: pd.Series([], dtype="int64") for c in df.columns})
     return df.sort_values(["traj_id", "step"]).reset_index(drop=True).astype("int64")
+
+
+def oracle_street_edges(docs) -> pd.DataFrame:
+    """Independent scalar parse of the street-graph edge set (both
+    directions, parallel edges collapsed) — the edge source for the
+    connected-components recursive-CTE SQL."""
+    ents = parse_entities(docs)
+    hw_ways = {e["id"] for e in ents if e["etype"] == "way" and "highway" in e["tags"]}
+    edges = set()
+    for way_id, pts in _way_points(docs):
+        if way_id not in hw_ways:
+            continue
+        for i in range(len(pts) - 1):
+            (ax, ay), (bx, by) = pts[i], pts[i + 1]
+            u, v = _sssp_vid(ax, ay), _sssp_vid(bx, by)
+            if u == v:
+                continue
+            edges.add((u, v))
+            edges.add((v, u))
+    df = pd.DataFrame(sorted(edges), columns=["u", "v"])
+    if df.empty:
+        df = pd.DataFrame({c: pd.Series([], dtype="int64") for c in ("u", "v")})
+    return df.astype("int64")

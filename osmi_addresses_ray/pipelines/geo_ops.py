@@ -2585,3 +2585,63 @@ def hausdorff_from_points(
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values(["cell_x", "cell_y", "traj_a", "traj_b"]).reset_index(drop=True)
+
+
+# --- connected components of the street graph -----------------------------------
+
+_CC_EDGE_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+
+
+def street_components(ways_geo_ds, *, num_parts: int = 8) -> pd.DataFrame:
+    """Connected components of the street graph (vertices = quantized
+    segment endpoints, the street_route_dist graph; edges = street
+    segments): each vertex labelled with its component's minimum vertex id.
+    The reachability primitive behind network QA (disconnected-island
+    detection) and per-component routing shards.
+
+    Distributed shape: the alternating large-star/small-star contraction of
+    ``pipelines.dedup.connected_components`` — O(log² n) rounds, one
+    node-keyed exchange over the EDGE list per round, never the corpus.
+    TRUE SQL oracle: recursive-CTE label closure over the independently
+    parsed edge set."""
+    from .dedup import connected_components
+    from .relational import grouped_agg
+
+    streets = street_ways(ways_geo_ds)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        segs = way_segments_table(t)
+        if segs is None:
+            return _CC_EDGE_SCHEMA.empty_table()
+        _w, _s, ax, ay, bx, by = segs
+        u = _sssp_vid(ax, ay)
+        v = _sssp_vid(bx, by)
+        keep = u != v  # zero-extent segments connect nothing
+        return pa.table({"u": pa.array(u[keep]), "v": pa.array(v[keep])})
+
+    pairs = streets.map_batches(to_edges, batch_format="pyarrow")
+    stars = connected_components(pairs, num_parts=num_parts)
+
+    def emit_labels(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("node_id", pa.int64()), ("comp", pa.int64())]).empty_table()
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # star edges carry v = component root (minimum id): label the
+        # non-root endpoint AND the root itself (dedup'd by the min agg)
+        return pa.table(
+            {
+                "node_id": pa.array(np.concatenate([u, v])),
+                "comp": pa.array(np.concatenate([v, v])),
+            }
+        )
+
+    lab = stars.map_batches(emit_labels, batch_format="pyarrow")
+    out = grouped_agg(lab, ["node_id"], {"comp": ("comp", "min")}).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"node_id": pd.Series([], dtype="int64"), "comp": pd.Series([], dtype="int64")}
+        )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("node_id").reset_index(drop=True)

@@ -364,3 +364,35 @@ def test_hausdorff_cell_cap_raises(ray_session):
     ds = _traj_ds([1, 2, 3], [0, 0, 0], [10, 20, 30], [0, 0, 0])
     with pytest.raises(Exception, match="cell_cap"):
         hausdorff_from_points(ds, num_parts=1, cell_cap=2)
+
+
+def test_street_components_labels_two_islands(ray_session):
+    """Two disjoint chains + a triangle must get three distinct min-id
+    labels through the full star-contraction path."""
+    import ray.data as rd
+
+    from osmi_addresses_ray.pipelines.dedup import connected_components
+    from osmi_addresses_ray.pipelines.relational import grouped_agg
+
+    edges = pa.table(
+        {
+            "u": pa.array([1, 2, 10, 20, 21], type=pa.int64()),
+            "v": pa.array([2, 3, 11, 21, 22], type=pa.int64()),
+        }
+    )
+    stars = connected_components(rd.from_arrow(edges), num_parts=2)
+
+    def emit(t):
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"node_id": pa.array(np.r_[u, v]), "comp": pa.array(np.r_[v, v])}
+        )
+
+    out = (
+        grouped_agg(stars.map_batches(emit, batch_format="pyarrow"),
+                    ["node_id"], {"comp": ("comp", "min")})
+        .to_pandas().sort_values("node_id").reset_index(drop=True)
+    )
+    want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    assert dict(zip(out["node_id"], out["comp"])) == want

@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mad_priority": relational.q_mad_priority,
         "q_zscore_orders": relational.q_zscore_orders,
         "q_trimmed_mean": relational.q_trimmed_mean,
+        "q_group_moments": relational.q_group_moments,
         "q_weighted_quantiles": relational.q_weighted_quantiles,
         "q_props_extract": relational.q_props_extract,
         "theil_sen_trend": relational.theil_sen_trend,
@@ -1426,6 +1427,22 @@ def oracle_sql() -> dict[str, str]:
         # grouped z-score normalization: exact integer cents in, ONE double
         # division per moment, 4-decimal rounding (sum-order drift ~1e-13);
         # degenerate groups (sd < 1e-9) emit 0.0 on both sides
+        # exact integer sufficient statistics per group (moments to order 4
+        # of quantity + the quantity·centi-discount cross-moment)
+        "q_group_moments": """
+            SELECT l_returnflag,
+                   count(*)::BIGINT AS n,
+                   sum(q)::BIGINT AS s1,
+                   sum(q * q)::BIGINT AS s2,
+                   sum(q * q * q)::BIGINT AS s3,
+                   sum(q * q * q * q)::BIGINT AS s4,
+                   sum(q * d)::BIGINT AS sqd
+            FROM (SELECT l_returnflag,
+                         CAST(l_quantity AS BIGINT) AS q,
+                         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d
+                  FROM lineitem)
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
         "q_zscore_orders": """
             WITH v AS (SELECT o_orderkey, o_orderpriority,
                               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)

@@ -1997,3 +1997,42 @@ def weighted_sample(sf_dir: str, *, k: int = 200) -> pd.DataFrame:
         .sort_values(["priority", "l_orderkey", "l_linenumber"])
         .reset_index(drop=True)
     )
+
+
+def q_group_moments(sf_dir: str) -> pd.DataFrame:
+    """Exact integer sufficient statistics per return flag — the moments
+    every BI/feature engine reduces var/skew/kurtosis/corr to: n, Σq, Σq²,
+    Σq³, Σq⁴ over quantity plus the Σq·d cross-moment against the discount
+    in exact centi-units. All integers (quantity ≤ 50 so q⁴ ≤ 6.25e6; at
+    10¹² rows the sums stay < 2⁶³ — documented bound), so the merge is
+    order-free and hash-stable with no float surface.
+
+    Shape: per-batch partial moment reduction → one group-count-sized
+    exchange (the q_zscore_orders two-pass family, minus the second pass)."""
+    ds = read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_discount"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        q = df["l_quantity"].to_numpy(np.float64).astype(np.int64)
+        d = np.floor(df["l_discount"].to_numpy(np.float64) * 100 + 0.5).astype(np.int64)
+        g = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "s1": q, "s2": q * q, "s3": q * q * q, "s4": q * q * q * q,
+                "sqd": q * d,
+            }
+        )
+        agg = g.groupby("l_returnflag", sort=False).agg(
+            n=("s1", "size"), s1=("s1", "sum"), s2=("s2", "sum"),
+            s3=("s3", "sum"), s4=("s4", "sum"), sqd=("sqd", "sum"),
+        ).reset_index()
+        agg["n"] = agg["n"].astype("int64")
+        return agg
+
+    out = grouped_agg(
+        ds.map_batches(part, batch_format="pandas"),
+        ["l_returnflag"],
+        {c: (c, "sum") for c in ("n", "s1", "s2", "s3", "s4", "sqd")},
+    ).to_pandas()
+    for c in ("n", "s1", "s2", "s3", "s4", "sqd"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)

@@ -344,3 +344,21 @@ def test_weighted_sample_deterministic_and_weight_monotone(tmp_path, ray_session
         for j in range(int(r.wt))
     ]
     assert min(draws) == int(r.priority)
+
+
+def test_group_moments_closed_form(ray_session, tmp_path):
+    from osmi_addresses_ray.pipelines.relational import q_group_moments
+
+    pd.DataFrame(
+        {
+            "l_returnflag": ["A", "A", "B"],
+            "l_quantity": [2.0, 3.0, 10.0],
+            "l_discount": [0.05, 0.10, 0.00],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet", index=False)
+    out = q_group_moments(str(tmp_path))
+    a = out[out.l_returnflag == "A"].iloc[0]
+    assert (a.n, a.s1, a.s2, a.s3, a.s4) == (2, 5, 13, 35, 97)
+    assert a.sqd == 2 * 5 + 3 * 10  # exact centi-discount cross-moment
+    b = out[out.l_returnflag == "B"].iloc[0]
+    assert (b.n, b.s1, b.s2, b.s3, b.s4, b.sqd) == (1, 10, 100, 1000, 10000, 0)

@@ -336,6 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "od_flows": _od_query,
         "staypoints": _staypoints_query,
         "hausdorff_pairs": _hausdorff_query,
+        "comovement_pairs": _comovement_query,
         "map_match_accuracy": _mm_accuracy_query,
         "hotspot_cells": _hotspot_query,
         "line_simplify": _line_simplify_query,
@@ -1037,6 +1038,23 @@ def _hausdorff_query(sf_dir: str):
     parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
     ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
     out = hausdorff_pairs(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
+    write_oracle("dwell_points_src", oracle_dwell_points(fixture_table(FIXTURE_BLOCKS)))
+    return out
+
+
+def _comovement_query(sf_dir: str):
+    """Step-aligned co-movement pairs (convoy primitive); TRUE SQL oracle:
+    step-equality self-join + HAVING over the independent dwell points."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.geo_ops import oracle_dwell_points
+    from osmi_addresses_ray.pipelines.geo_ops import comovement_pairs
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.assembly import assemble_ways
+    from osmi_addresses_ray.stages.parse import parse_docs
+
+    parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
+    ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
+    out = comovement_pairs(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
     write_oracle("dwell_points_src", oracle_dwell_points(fixture_table(FIXTURE_BLOCKS)))
     return out
 
@@ -3567,6 +3585,22 @@ def _naive_oracle_sql() -> dict[str, str]:
             JOIN ha ON ha.ta = pr.ta AND ha.tb = pr.tb
             JOIN hb ON hb.ta = pr.ta AND hb.tb = pr.tb
             ORDER BY cell_x, cell_y, traj_a, traj_b
+        """,
+        # co-movement: step-equality self-join (simultaneous proximity, the
+        # convoy primitive) with inclusive radius² and a HAVING count floor
+        "comovement_pairs": f"""
+            WITH p AS (SELECT traj_id, step, px, py
+                       FROM read_parquet('{oracle_path('dwell_points_src')}')),
+            h AS (SELECT a.traj_id AS ta, b.traj_id AS tb,
+                         (a.px - b.px) * (a.px - b.px)
+                         + (a.py - b.py) * (a.py - b.py) AS d2
+                  FROM p a JOIN p b ON a.step = b.step
+                                   AND a.traj_id < b.traj_id)
+            SELECT ta AS traj_a, tb AS traj_b,
+                   count(*)::BIGINT AS n_close, min(d2)::BIGINT AS min_d2
+            FROM h WHERE d2 <= 900000000
+            GROUP BY ta, tb HAVING count(*) >= 2
+            ORDER BY traj_a, traj_b
         """,
         "map_match_trajectories": read_parquet_sql("map_match", "traj_id, step"),
         "convex_hull_cells": read_parquet_sql("convex_hull_cells", "cell_x, cell_y"),

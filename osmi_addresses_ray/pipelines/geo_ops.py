@@ -2645,3 +2645,154 @@ def street_components(ways_geo_ds, *, num_parts: int = 8) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("node_id").reset_index(drop=True)
+
+
+# --- step-aligned co-movement detection ------------------------------------------
+
+_COMOVE_EMIT_SCHEMA = pa.schema(
+    [
+        ("step", pa.int64()), ("cell", pa.int64()), ("side", pa.int8()),
+        ("traj", pa.int64()), ("ix", pa.int64()), ("iy", pa.int64()),
+    ]
+)
+_COMOVE_STEP_SCHEMA = pa.schema(
+    [("traj_a", pa.int64()), ("traj_b", pa.int64()), ("d2", pa.int64())]
+)
+
+
+def comovement_pairs(
+    ways_geo_ds, *, radius: int = 30_000, k_min: int = 2,
+    num_parts: int = 8, cell_cap: int = 100_000,
+) -> pd.DataFrame:
+    """Co-movement detection: trajectory pairs that are within ``radius`` of
+    each other at ≥ ``k_min`` SAME step indices (the convoy/flock primitive
+    of movement mining — unlike Hausdorff similarity, proximity must be
+    simultaneous). Output per pair: the count of close steps and the exact
+    minimum squared distance.
+
+    Shape: the radius_pairs 3×3-neighborhood scheme keyed by (step, cell) —
+    proximity is only tested between same-step points, so the exchange key
+    carries the step and no cross-step candidate is ever generated; a
+    second tiny pair-keyed exchange sums the per-step hits. ``cell_cap``
+    RAISES on a degenerate (step, cell) density (no silent truncation).
+    TRUE SQL oracle: step-equality self-join + HAVING over the independent
+    dwell points."""
+    return comovement_from_points(
+        synth_dwell_trajectories(ways_geo_ds),
+        radius=radius, k_min=k_min, num_parts=num_parts, cell_cap=cell_cap,
+    )
+
+
+def comovement_from_points(
+    traj, *, radius: int = 30_000, k_min: int = 2,
+    num_parts: int = 8, cell_cap: int = 100_000,
+) -> pd.DataFrame:
+    """Co-movement detection over an explicit (traj_id, step, px, py) points
+    dataset — the kernel behind ``comovement_pairs`` (see its docstring)."""
+    from ..ops import direct_cogroup
+    from .relational import grouped_agg
+
+    r2 = int(radius) * int(radius)
+
+    def emit(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _COMOVE_EMIT_SCHEMA.empty_table()
+        tid = t["traj_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        step = t["step"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ix = t["px"].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = t["py"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx = ix // radius
+        cy = iy // radius
+        n = len(tid)
+        home = _cell_key(cx, cy)
+        dxy = np.array([-1, 0, 1], dtype=np.int64)
+        offx = np.repeat(dxy, 3)
+        offy = np.tile(dxy, 3)
+        rep = _cell_key((cx[:, None] + offx[None, :]).ravel(),
+                        (cy[:, None] + offy[None, :]).ravel())
+        return pa.table(
+            {
+                "step": pa.array(np.concatenate([step, np.repeat(step, 9)])),
+                "cell": pa.array(np.concatenate([home, rep])),
+                "side": pa.array(
+                    np.concatenate([np.zeros(n, np.int8), np.ones(9 * n, np.int8)])
+                ),
+                "traj": pa.array(np.concatenate([tid, np.repeat(tid, 9)])),
+                "ix": pa.array(np.concatenate([ix, np.repeat(ix, 9)])),
+                "iy": pa.array(np.concatenate([iy, np.repeat(iy, 9)])),
+            }
+        )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _COMOVE_STEP_SCHEMA.empty_table()
+        step = t["step"].to_numpy(zero_copy_only=False)
+        cell = t["cell"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        tid = t["traj"].to_numpy(zero_copy_only=False)
+        ix = t["ix"].to_numpy(zero_copy_only=False)
+        iy = t["iy"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, cell, step))
+        step, cell, side, tid, ix, iy = (
+            step[order], cell[order], side[order], tid[order], ix[order], iy[order]
+        )
+        new = np.empty(len(cell), bool)
+        new[0] = True
+        new[1:] = (cell[1:] != cell[:-1]) | (step[1:] != step[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(cell))
+        nl = np.add.reduceat((side == 0).astype(np.int64), starts)
+        nc = ends - starts
+        nr = nc - nl
+        if int((nl * nr).max(initial=0)) > cell_cap:
+            raise RuntimeError(
+                f"comovement_pairs: a (step, cell) candidate product exceeds "
+                f"cell_cap={cell_cap}; shrink the radius or salt the hot cell"
+            )
+        left_idx = np.flatnonzero(side == 0)
+        spans = np.repeat(nr, nl)
+        total = int(spans.sum())
+        if total == 0:
+            return _COMOVE_STEP_SCHEMA.empty_table()
+        right_start = np.repeat(starts + nl, nl)
+        cum = np.cumsum(spans) - spans
+        inner = np.arange(total, dtype=np.int64) - np.repeat(cum, spans)
+        li = np.repeat(left_idx, spans)
+        ri = np.repeat(right_start, spans) + inner
+        dx = ix[li] - ix[ri]
+        dy = iy[li] - iy[ri]
+        d2 = dx * dx + dy * dy
+        keep = (d2 <= r2) & (tid[li] < tid[ri])
+        return pa.table(
+            {
+                "traj_a": pa.array(tid[li][keep]),
+                "traj_b": pa.array(tid[ri][keep]),
+                "d2": pa.array(d2[keep]),
+            }
+        )
+
+    emitted = traj.map_batches(emit, batch_format="pyarrow").materialize()
+    hits = direct_cogroup(
+        [emitted], [["step", "cell"]], num_parts, sweep, [_COMOVE_EMIT_SCHEMA]
+    )
+    agg = grouped_agg(
+        hits.map_batches(
+            lambda t: pa.table(
+                {"traj_a": t["traj_a"], "traj_b": t["traj_b"],
+                 "n_close": pa.array(np.ones(t.num_rows, np.int64)),
+                 "min_d2": t["d2"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["traj_a", "traj_b"],
+        {"n_close": ("n_close", "sum"), "min_d2": ("min_d2", "min")},
+    ).to_pandas()
+    if agg.empty:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("traj_a", "traj_b", "n_close", "min_d2")}
+        )
+    for c in agg.columns:
+        agg[c] = agg[c].astype("int64")
+    out = agg[agg["n_close"] >= k_min]
+    return out.sort_values(["traj_a", "traj_b"]).reset_index(drop=True)

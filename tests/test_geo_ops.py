@@ -396,3 +396,25 @@ def test_street_components_labels_two_islands(ray_session):
     )
     want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
     assert dict(zip(out["node_id"], out["comp"])) == want
+
+
+def test_comovement_requires_simultaneity(ray_session):
+    """Two trajectories tracing the SAME path but time-shifted must NOT
+    pair (Hausdorff would see them as identical); a true convoy must."""
+    import ray.data as rd
+
+    from osmi_addresses_ray.pipelines.geo_ops import comovement_from_points
+
+    pts = pa.table(
+        {
+            "traj_id": pa.array([1, 1, 1, 2, 2, 2, 3, 3, 3], pa.int64()),
+            "step": pa.array([0, 1, 2, 0, 1, 2, 0, 1, 2], pa.int64()),
+            # traj 1 and 2 walk together (always 5 apart); traj 3 walks the
+            # same path as 1 but one step LATE (same positions, shifted)
+            "px": pa.array([0, 1000, 2000, 5, 1005, 2005, 900000, 0, 1000], pa.int64()),
+            "py": pa.array([0] * 9, pa.int64()),
+        }
+    )
+    out = comovement_from_points(rd.from_arrow(pts), radius=100, k_min=2, num_parts=2)
+    assert out[["traj_a", "traj_b"]].values.tolist() == [[1, 2]]
+    assert out.iloc[0]["n_close"] == 3 and out.iloc[0]["min_d2"] == 25

@@ -1179,6 +1179,41 @@ def oracle_media_dhash(docs: pa.Table) -> pd.DataFrame:
         ["doc_id", "media_ref"]).reset_index(drop=True)
 
 
+def oracle_audio_windows(docs: pa.Table) -> pd.DataFrame:
+    """Scalar windowed-energy recomputation: explicit per-window loops over
+    the raw PCM spec, window 256, threshold 92e9, first-argmin ties."""
+    win, thr = 256, 92_000_000_000
+    rows = []
+    for row in docs.to_pylist():
+        for span in row["spans"]:
+            if span["kind"] != "media":
+                continue
+            s = [int(v) for v in _oracle_audio_samples(span["media_ref"])]
+            nw = len(s) // win
+            energies = [
+                sum(v * v for v in s[i * win:(i + 1) * win]) for i in range(nw)
+            ]
+            if nw == 0:
+                n_low, mn, mw, mx = 0, 0, -1, 0
+            else:
+                n_low = sum(1 for e in energies if e < thr)
+                mn = min(energies)
+                mw = energies.index(mn)
+                mx = max(energies)
+            rows.append(
+                {
+                    "doc_id": row["doc_id"], "media_ref": span["media_ref"],
+                    "n_windows": np.int64(nw), "n_low": np.int64(n_low),
+                    "min_energy": np.int64(mn), "min_window": np.int64(mw),
+                    "max_energy": np.int64(mx),
+                }
+            )
+    cols = ["doc_id", "media_ref", "n_windows", "n_low",
+            "min_energy", "min_window", "max_energy"]
+    return pd.DataFrame(rows, columns=cols).sort_values(
+        ["doc_id", "media_ref"]).reset_index(drop=True)
+
+
 def oracle_media_sobel(docs: pa.Table) -> pd.DataFrame:
     """Scalar Sobel recomputation: explicit per-pixel 3×3 loops over the raw
     pixel spec, grayscale = r+g+b, mag² = gx²+gy², threshold 1_000_000 —

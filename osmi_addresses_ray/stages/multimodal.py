@@ -269,6 +269,69 @@ class AudioFeatures:
         )
 
 
+MEDIA_AUDIO_WIN_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("n_windows", pa.int64()),
+        pa.field("n_low", pa.int64()),
+        pa.field("min_energy", pa.int64()),
+        pa.field("min_window", pa.int64()),
+        pa.field("max_energy", pa.int64()),
+    ]
+)
+
+
+class AudioWindows:
+    """Actor-pool windowed audio energy profile over REAL decoded PCM16 —
+    the voice-activity-detection primitive: the clip splits into
+    ``win``-sample windows (floor(n/win); a trailing partial window is
+    dropped), each window's energy is the exact int64 Σs², and the profile
+    reports the count below ``thr`` (low-activity windows), the quietest
+    window (FIRST argmin on ties) and the min/max energies. No float
+    surface; window energy ≤ 256·32768² < 2⁴⁸."""
+
+    WIN = 256
+    THR = 92_000_000_000  # ≈ the expectation for full-scale uniform content
+
+    def __init__(self):
+        from osmi_addresses_ray.stages.media_codecs import decode_wav
+
+        self._decode = decode_wav
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = {k: [] for k in MEDIA_AUDIO_WIN_SCHEMA.names}
+        for doc_id, ref, payload in zip(
+            t["doc_id"].to_pylist(), t["media_ref"].to_pylist(), t["payload"].to_pylist()
+        ):
+            if payload[:4] != b"RIFF":
+                raise NotImplementedError(
+                    f"no codec for audio payload (magic {payload[:4]!r})"
+                )
+            samples, _rate = self._decode(payload)
+            s = samples.astype(np.int64)
+            nw = len(s) // self.WIN
+            rows["doc_id"].append(doc_id)
+            rows["media_ref"].append(ref)
+            rows["n_windows"].append(nw)
+            if nw == 0:
+                rows["n_low"].append(0)
+                rows["min_energy"].append(0)
+                rows["min_window"].append(-1)
+                rows["max_energy"].append(0)
+                continue
+            w = s[: nw * self.WIN].reshape(nw, self.WIN)
+            e = (w * w).sum(axis=1)
+            rows["n_low"].append(int((e < self.THR).sum()))
+            rows["min_energy"].append(int(e.min()))
+            rows["min_window"].append(int(e.argmin()))  # first argmin (np rule)
+            rows["max_energy"].append(int(e.max()))
+        return pa.Table.from_arrays(
+            [pa.array(rows[f.name], f.type) for f in MEDIA_AUDIO_WIN_SCHEMA],
+            schema=MEDIA_AUDIO_WIN_SCHEMA,
+        )
+
+
 class FrameSampler:
     """Actor-pool video frame sampling: parse the frame-stack container,
     keep every ``stride``-th frame, emit integer summaries of the REAL
@@ -338,6 +401,15 @@ def audio_features(docs_ds, *, concurrency=(1, 4), batch_size: int = 64):
     media = _extract_refs_with_store(docs_ds, synthesize_audio_payload, "audio")
     return media.map_batches(
         AudioFeatures, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+    )
+
+
+def audio_windows(docs_ds, *, concurrency=(1, 4), batch_size: int = 64):
+    from osmi_addresses_ray.stages.media_codecs import synthesize_audio_payload
+
+    media = _extract_refs_with_store(docs_ds, synthesize_audio_payload, "audio")
+    return media.map_batches(
+        AudioWindows, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
     )
 
 

@@ -303,3 +303,32 @@ def test_sobel_engine_matches_scalar_oracle_on_synth_refs():
                 sm += m2
         assert fast == (n_int, n_edges, mx, sm)
         assert 0 < n_edges < n_int  # threshold splits real pixel content
+
+
+def test_audio_windows_planted_silence():
+    """A clip with a genuinely silent middle window must report it as the
+    quietest, and the window split must drop the trailing partial."""
+    import numpy as np
+    import pyarrow as pa
+
+    from osmi_addresses_ray.stages.media_codecs import encode_wav
+    from osmi_addresses_ray.stages.multimodal import AudioWindows
+
+    w = AudioWindows.WIN
+    loud = np.full(w, 30000, np.int16)
+    silent = np.zeros(w, np.int16)
+    tail = np.full(w // 2, 100, np.int16)  # partial window: dropped
+    clip = np.concatenate([loud, silent, loud, tail])
+    t = pa.table(
+        {
+            "doc_id": pa.array(["d"], pa.string()),
+            "media_ref": pa.array(["a"], pa.string()),
+            "payload": pa.array([encode_wav(clip, 16000)], pa.binary()),
+            "kind": pa.array(["audio"], pa.string()),
+        }
+    )
+    out = AudioWindows()(t).to_pydict()
+    assert out["n_windows"] == [3]
+    assert out["min_energy"] == [0] and out["min_window"] == [1]
+    assert out["max_energy"] == [w * 30000 * 30000]
+    assert out["n_low"] == [1]  # only the silent window is below THR

@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_docs_all_terms": textstats.search_docs_all_terms,
         "search_docs_indexed": textstats.search_docs_indexed,
         "duplicate_spans": textstats.duplicate_spans,
+        "ngram_novelty": textstats.ngram_novelty,
         "lang_confusion": textstats.lang_confusion,
         "q_left_join_nulls": relational.q_left_join_nulls,
         "doc_repetition": textstats.doc_repetition,
@@ -333,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dbscan_clusters": _dbscan_query,
         "street_route_dist": _route_dist_query,
         "street_components": _street_cc_query,
+        "segment_bearing_rose": _bearing_rose_query,
         "turn_classes": _turns_query,
         "od_flows": _od_query,
         "staypoints": _staypoints_query,
@@ -989,6 +991,23 @@ def _route_dist_query(sf_dir: str):
     ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
     out = street_route_dist(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
     write_oracle("street_route_dist", oracle_street_route_dist(fixture_table(FIXTURE_BLOCKS)))
+    return out
+
+
+def _bearing_rose_query(sf_dir: str):
+    """Per-way 45°-octant bearing rose (integer sign/compare ladder, no
+    trig); TRUE SQL oracle: identical CASE ladder over independent segments."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.geo_ops import oracle_way_segments
+    from osmi_addresses_ray.pipelines.geo_ops import segment_bearing_rose
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.assembly import assemble_ways
+    from osmi_addresses_ray.stages.parse import parse_docs
+
+    parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
+    ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
+    out = segment_bearing_rose(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
+    write_oracle("way_segments_src", oracle_way_segments(fixture_table(FIXTURE_BLOCKS)))
     return out
 
 
@@ -2797,6 +2816,23 @@ def oracle_sql() -> dict[str, str]:
         # exact duplicate-span profile: distinct 8-token windows a doc
         # shares verbatim with any other doc (shingle slice is inclusive:
         # ws[i:i+7] = 8 tokens)
+        # per-doc n-gram novelty: windows whose corpus-min doc_id is this doc
+        "ngram_novelty": """
+            WITH s AS (
+                SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+                FROM (SELECT doc_id,
+                             regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS ws
+                      FROM documents),
+                     LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS i)
+            ),
+            f AS (SELECT gram, min(doc_id) AS first_doc FROM s GROUP BY gram),
+            tot AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM s GROUP BY doc_id),
+            nov AS (SELECT first_doc AS doc_id, count(*)::BIGINT AS n_novel
+                    FROM f GROUP BY first_doc)
+            SELECT tot.doc_id, tot.n_grams,
+                   coalesce(nov.n_novel, 0)::BIGINT AS n_novel
+            FROM tot LEFT JOIN nov USING (doc_id) ORDER BY doc_id
+        """,
         "duplicate_spans": """
             WITH s AS (
                 SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
@@ -3450,6 +3486,25 @@ def _naive_oracle_sql() -> dict[str, str]:
         """,
         "line_simplify": read_parquet_sql("line_simplify", "way_id, seq"),
         "street_route_dist": read_parquet_sql("street_route_dist", "src, node"),
+        # bearing rose: the identical integer sign/compare CASE ladder over
+        # independently parsed street segments (ties fall off the diagonal)
+        "segment_bearing_rose": f"""
+            WITH seg AS (SELECT way_id, bx - ax AS dx, by - ay AS dy
+                         FROM read_parquet('{oracle_path('way_segments_src')}')
+                         WHERE bx != ax OR by != ay)
+            SELECT way_id,
+                   (CASE
+                      WHEN dx >= 0 AND dy >= 0 THEN
+                           CASE WHEN abs(dy) > abs(dx) THEN 1 ELSE 0 END
+                      WHEN dx < 0 AND dy >= 0 THEN
+                           CASE WHEN abs(dy) > abs(dx) THEN 2 ELSE 3 END
+                      WHEN dx < 0 AND dy < 0 THEN
+                           CASE WHEN abs(dy) > abs(dx) THEN 5 ELSE 4 END
+                      ELSE CASE WHEN abs(dy) > abs(dx) THEN 6 ELSE 7 END
+                    END)::BIGINT AS octant,
+                   count(*)::BIGINT AS n
+            FROM seg GROUP BY 1, 2 ORDER BY way_id, octant
+        """,
         # connected components: recursive min-label closure over the
         # independently parsed (bidirectional) street edge set
         "street_components": f"""

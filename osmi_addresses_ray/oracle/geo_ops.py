@@ -437,3 +437,22 @@ def oracle_street_edges(docs) -> pd.DataFrame:
     if df.empty:
         df = pd.DataFrame({c: pd.Series([], dtype="int64") for c in ("u", "v")})
     return df.astype("int64")
+
+
+def oracle_way_segments(docs) -> pd.DataFrame:
+    """Independent scalar parse of the street way segments (way_id,
+    seg_idx, ax, ay, bx, by) — the segment source for the bearing-rose SQL."""
+    ents = parse_entities(docs)
+    hw_ways = {e["id"] for e in ents if e["etype"] == "way" and "highway" in e["tags"]}
+    rows = []
+    for way_id, pts in _way_points(docs):
+        if way_id not in hw_ways:
+            continue
+        for i in range(len(pts) - 1):
+            (ax, ay), (bx, by) = pts[i], pts[i + 1]
+            rows.append((way_id, i, ax, ay, bx, by))
+    cols = ["way_id", "seg_idx", "ax", "ay", "bx", "by"]
+    df = pd.DataFrame(rows, columns=cols)
+    if df.empty:
+        df = pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    return df.sort_values(["way_id", "seg_idx"]).reset_index(drop=True).astype("int64")

@@ -2796,3 +2796,64 @@ def comovement_from_points(
         agg[c] = agg[c].astype("int64")
     out = agg[agg["n_close"] >= k_min]
     return out.sort_values(["traj_a", "traj_b"]).reset_index(drop=True)
+
+
+# --- segment bearing rose ---------------------------------------------------------
+
+_ROSE_SCHEMA = pa.schema(
+    [("way_id", pa.int64()), ("octant", pa.int64()), ("n", pa.int64())]
+)
+
+
+def _bearing_octant(dx: np.ndarray, dy: np.ndarray) -> np.ndarray:
+    """45° compass octant of an integer displacement, exact — no atan2:
+    quadrant from the signs, diagonal split by the STRICT |dy| > |dx|
+    comparison (ties fall to the axis-adjacent octant; the SQL oracle
+    re-declares the identical CASE ladder). Octants number CCW from East:
+    0=E..NE, 1=NE..N, 2=N..NW, 3=NW..W, 4=W..SW, 5=SW..S, 6=S..SE, 7=SE..E."""
+    adx, ady = np.abs(dx), np.abs(dy)
+    q = np.where(
+        (dx >= 0) & (dy >= 0), 0,
+        np.where((dx < 0) & (dy >= 0), 1, np.where((dx < 0) & (dy < 0), 2, 3)),
+    )
+    diag = (ady > adx).astype(np.int64)
+    # quadrant q covers octants [2q, 2q+1] CCW; within-quadrant CCW progress
+    # flips meaning in odd quadrants (angle grows as |dx| overtakes |dy|)
+    inner = np.where(q % 2 == 0, diag, 1 - diag)
+    return 2 * q + inner
+
+
+def segment_bearing_rose(ways_geo_ds, *, num_parts: int = 8) -> pd.DataFrame:
+    """Per-way compass rose: count of street segments per 45° bearing
+    octant — the orientation signature behind grid-vs-organic street-layout
+    classification (Boeing 2019's street-network orientation entropy, kept
+    integer-exact by octant counting instead of angular histograms).
+
+    A stateless flat map over street ways (octant = sign/compare ladder,
+    no trigonometry) + one tiny (way, octant)-keyed grouped count. TRUE SQL
+    oracle: the identical CASE ladder over independently parsed segments."""
+    from .relational import grouped_agg
+
+    def fn(t: pa.Table) -> pa.Table:
+        segs = way_segments_table(t)
+        if segs is None:
+            return _ROSE_SCHEMA.empty_table()
+        wid, _sidx, ax, ay, bx, by = segs
+        dx, dy = bx - ax, by - ay
+        keep = (dx != 0) | (dy != 0)  # zero-extent: no bearing
+        wid, dx, dy = wid[keep], dx[keep], dy[keep]
+        return pa.table(
+            {
+                "way_id": pa.array(wid),
+                "octant": pa.array(_bearing_octant(dx, dy)),
+                "n": pa.array(np.ones(len(wid), np.int64)),
+            }
+        )
+
+    rose = street_ways(ways_geo_ds).map_batches(fn, batch_format="pyarrow")
+    out = grouped_agg(rose, ["way_id", "octant"], {"n": ("n", "sum")}).to_pandas()
+    if out.empty:
+        return pd.DataFrame({f.name: pd.Series([], dtype="int64") for f in _ROSE_SCHEMA})
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["way_id", "octant"]).reset_index(drop=True)

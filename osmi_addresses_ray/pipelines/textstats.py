@@ -2451,3 +2451,76 @@ def temperature_mix(sf_dir: str) -> pd.DataFrame:
         .sort_values(["source", "rn"])
         .reset_index(drop=True)
     )
+
+
+def ngram_novelty(sf_dir: str, *, n: int = 8, num_parts: int = 8) -> pd.DataFrame:
+    """Per-document n-gram novelty attribution: of a doc's distinct n-token
+    windows, how many occur FIRST in this doc (first = minimum doc_id over
+    the corpus — the deterministic stand-in for arrival order)? The
+    incremental-crawl signal behind "is this doc adding anything new":
+    novelty/total ≈ 1 marks fresh content, ≈ 0 a rehash of existing docs.
+    Docs with fewer than n tokens have no windows and emit no row (the
+    duplicate_spans convention, mirrored by the SQL).
+
+    Distributed shape: the duplicate_spans exchange — one fused split wave
+    of distinct (gram, doc_id) pairs hash-partitioned by gram, so each
+    gram's full posting is in exactly one partition; there BOTH partials
+    reduce per doc (total grams in partition, grams whose min doc_id is
+    this doc) and one final doc-keyed grouped sum merges them. Linear in
+    total shingle volume, nothing quadratic."""
+    import pyarrow as pa
+
+    from ..ops import direct_partitioned_map
+    from .relational import grouped_agg
+
+    ds = _read_docs(sf_dir)
+    tok = re.compile(_TOKEN_RE)
+
+    def pre(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        grams: list[str] = []
+        docs: list[int] = []
+        for did, txt in zip(df["doc_id"].to_numpy(np.int64), df["text"]):
+            gs = set(_doc_ngrams(tok.findall(txt.lower()), n))
+            grams.extend(gs)
+            docs.extend([int(did)] * len(gs))
+        return pa.table(
+            {
+                "gram": pa.array(grams, pa.string()),
+                "doc_id": pa.array(np.asarray(docs, dtype=np.int64)),
+            }
+        )
+
+    schema = pa.schema([("gram", pa.string()), ("doc_id", pa.int64())])
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_grams", pa.int64()), ("n_novel", pa.int64())]
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if not len(df):
+            return out_schema.empty_table()
+        tot = df.groupby("doc_id").size().rename("n_grams")
+        first_doc = df.groupby("gram")["doc_id"].transform("min")
+        nov = df[df["doc_id"] == first_doc].groupby("doc_id").size().rename("n_novel")
+        out = pd.concat([tot, nov], axis=1).fillna(0).reset_index()
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+                "n_grams": pa.array(out["n_grams"].to_numpy(np.int64)),
+                "n_novel": pa.array(out["n_novel"].to_numpy(np.int64)),
+            }
+        )
+
+    partials = direct_partitioned_map(
+        ds.materialize(), ["gram"], num_parts, per_part, schema, pre=pre
+    )
+    agg = grouped_agg(
+        partials, ["doc_id"],
+        {"n_grams": ("n_grams", "sum"), "n_novel": ("n_novel", "sum")},
+    ).to_pandas()
+    if agg.empty:
+        return pd.DataFrame({f.name: pd.Series([], dtype="int64") for f in out_schema})
+    for c in agg.columns:
+        agg[c] = agg[c].astype("int64")
+    return agg.sort_values("doc_id").reset_index(drop=True)

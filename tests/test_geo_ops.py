@@ -418,3 +418,13 @@ def test_comovement_requires_simultaneity(ray_session):
     out = comovement_from_points(rd.from_arrow(pts), radius=100, k_min=2, num_parts=2)
     assert out[["traj_a", "traj_b"]].values.tolist() == [[1, 2]]
     assert out.iloc[0]["n_close"] == 3 and out.iloc[0]["min_d2"] == 25
+
+
+def test_bearing_octant_compass_and_ties():
+    from osmi_addresses_ray.pipelines.geo_ops import _bearing_octant
+
+    dx = np.array([10, 7, 3, -3, -7, -10, -7, -3, 3, 7, 10, -10], np.int64)
+    dy = np.array([0, 3, 7, 7, 3, 0, -3, -7, -7, -3, 10, -10], np.int64)
+    # E, E-NE, NE-N, N-NW, NW-W, W, W-SW, SW-S, S-SE, SE-E, tie@45°, tie@225°
+    want = [0, 0, 1, 2, 3, 3, 4, 5, 6, 7, 0, 4]
+    assert _bearing_octant(dx, dy).tolist() == want

@@ -82,3 +82,20 @@ def test_curate_corpus_stage_interplay(monkeypatch):
     assert "s1a" not in out.loc[0, "text_clean"]
     assert out.loc[0, "text_clean"] == pad_a
     assert out.loc[1, "text_clean"] == pad_b
+
+
+def test_ngram_novelty_attribution(ray_session, tmp_path):
+    """Doc 1 introduces every window of a 9-token text; doc 2 copies it
+    verbatim (novelty 0); doc 3 is fresh; doc 4 is too short for a window."""
+    import pandas as pd
+
+    from osmi_addresses_ray.pipelines.textstats import ngram_novelty
+
+    t1 = "a b c d e f g h i"          # 2 windows of 8
+    t3 = "p q r s t u v w x y"        # 3 fresh windows
+    pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4], "text": [t1, t1, t3, "too short"]}
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    out = ngram_novelty(str(tmp_path), num_parts=2)
+    got = {r.doc_id: (r.n_grams, r.n_novel) for r in out.itertuples()}
+    assert got == {1: (2, 2), 2: (2, 0), 3: (3, 3)}

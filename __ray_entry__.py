@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_zscore_orders": relational.q_zscore_orders,
         "q_trimmed_mean": relational.q_trimmed_mean,
         "q_group_moments": relational.q_group_moments,
+        "q_full_outer_hours": relational.q_full_outer_hours,
         "q_weighted_quantiles": relational.q_weighted_quantiles,
         "q_props_extract": relational.q_props_extract,
         "theil_sen_trend": relational.theil_sen_trend,
@@ -1483,6 +1484,18 @@ def oracle_sql() -> dict[str, str]:
         # grouped z-score normalization: exact integer cents in, ONE double
         # division per moment, 4-decimal rounding (sum-order drift ~1e-13);
         # degenerate groups (sd < 1e-9) emit 0.0 on both sides
+        # full outer join of the two hourly series; -1 marks the absent side
+        "q_full_outer_hours": """
+            WITH c AS (SELECT date_trunc('hour', ts) AS hr, count(*)::BIGINT AS n
+                       FROM events WHERE event_type = 'click' GROUP BY 1),
+            v AS (SELECT date_trunc('hour', ts) AS hr, count(*)::BIGINT AS n
+                  FROM events WHERE event_type = 'view' GROUP BY 1)
+            SELECT coalesce(c.hr, v.hr) AS hr,
+                   coalesce(c.n, -1)::BIGINT AS n_click,
+                   coalesce(v.n, -1)::BIGINT AS n_view
+            FROM c FULL OUTER JOIN v ON c.hr = v.hr
+            ORDER BY hr
+        """,
         # exact integer sufficient statistics per group (moments to order 4
         # of quantity + the quantity·centi-discount cross-moment)
         "q_group_moments": """

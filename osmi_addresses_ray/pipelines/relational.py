@@ -2036,3 +2036,61 @@ def q_group_moments(sf_dir: str) -> pd.DataFrame:
     for c in ("n", "s1", "s2", "s3", "s4", "sqd"):
         out[c] = out[c].astype("int64")
     return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def q_full_outer_hours(sf_dir: str, *, num_parts: int = 8) -> pd.DataFrame:
+    """Hourly click counts FULL OUTER JOIN hourly view counts — the last
+    cell of the join matrix (inner/left/broadcast/semi/anti/bloom/range/
+    as-of live elsewhere): hours with only clicks keep n_view = −1, hours
+    with only views keep n_click = −1 (an explicit absent sentinel — a
+    present side is always ≥ 1, so the sentinel is unambiguous and keeps
+    both columns int64 with no NULL-dtype surface).
+
+    Scale shape: each side pre-aggregates to calendar-bounded hourly counts
+    FIRST (partial per-batch counts → one grouped exchange each), then one
+    hour-keyed cogroup outer-merges two hour-sized tables — event rows
+    never cross the join exchange."""
+    import pyarrow.compute as pc
+
+    from ..ops import cogroup
+
+    ds = read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def hourly(which: str):
+        def f(t: pa.Table) -> pa.Table:
+            s = t.filter(pc.equal(t["event_type"], which))
+            return pa.table({"hr": pc.floor_temporal(s["ts"], unit="hour")})
+
+        return grouped_agg(
+            ds.map_batches(f, batch_format="pyarrow"), ["hr"], {"n": (None, "count")}
+        )
+
+    hr_schema = pa.schema([("hr", pa.timestamp("us")), ("n", pa.int64())])
+
+    def merge(c_t: pa.Table, v_t: pa.Table) -> pa.Table:
+        c = c_t.to_pandas().rename(columns={"n": "n_click"})
+        v = v_t.to_pandas().rename(columns={"n": "n_view"})
+        m = c.merge(v, on="hr", how="outer")
+        return pa.table(
+            {
+                "hr": pa.array(m["hr"].astype("datetime64[us]")),
+                "n_click": pa.array(m["n_click"].fillna(-1).to_numpy(np.int64)),
+                "n_view": pa.array(m["n_view"].fillna(-1).to_numpy(np.int64)),
+            }
+        )
+
+    out = cogroup(
+        [hourly("click"), hourly("view")], [["hr"], ["hr"]], num_parts, merge,
+        [hr_schema, hr_schema],
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "hr": pd.Series([], dtype="datetime64[us]"),
+                "n_click": pd.Series([], dtype="int64"),
+                "n_view": pd.Series([], dtype="int64"),
+            }
+        )
+    for c in ("n_click", "n_view"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("hr").reset_index(drop=True)

@@ -362,3 +362,25 @@ def test_group_moments_closed_form(ray_session, tmp_path):
     assert a.sqd == 2 * 5 + 3 * 10  # exact centi-discount cross-moment
     b = out[out.l_returnflag == "B"].iloc[0]
     assert (b.n, b.s1, b.s2, b.s3, b.s4, b.sqd) == (1, 10, 100, 1000, 10000, 0)
+
+
+def test_full_outer_hours_sentinels(ray_session, tmp_path):
+    from osmi_addresses_ray.pipelines.relational import q_full_outer_hours
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    hr = np.timedelta64(3_600_000_000, "us")
+    rows = [
+        (0, 1, "click", base),            # hour 0: click only
+        (1, 1, "view", base + hr),        # hour 1: view only
+        (2, 1, "click", base + 2 * hr),   # hour 2: both
+        (3, 1, "view", base + 2 * hr),
+        (4, 1, "view", base + 2 * hr),
+        (5, 1, "error", base + 3 * hr),   # hour 3: neither side -> no row
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+    df["value"] = 0.0
+    df["props"] = "{}"
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    out = q_full_outer_hours(str(tmp_path), num_parts=2)
+    assert out[["n_click", "n_view"]].values.tolist() == [[1, -1], [-1, 1], [1, 2]]
+    assert len(out) == 3

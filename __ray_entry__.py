@@ -157,6 +157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": textstats.token_counts,
         "quality_scores": textstats.quality_scores,
         "knn_bruteforce": similarity.knn_bruteforce,
+        "knn_range": similarity.knn_range,
+        "ts_autocorr_stats": timeseries.ts_autocorr_stats,
         "knn_batch": similarity.knn_batch,
         "hard_negatives": similarity.hard_negatives,
         "lang_id": textstats.lang_id,
@@ -999,7 +1001,7 @@ def _bearing_rose_query(sf_dir: str):
     """Per-way 45°-octant bearing rose (integer sign/compare ladder, no
     trig); TRUE SQL oracle: identical CASE ladder over independent segments."""
     from osmi_addresses_ray.oracle import write_oracle
-    from osmi_addresses_ray.oracle.geo_ops import oracle_way_segments
+    from osmi_addresses_ray.oracle.geo_ops import oracle_highway_segments
     from osmi_addresses_ray.pipelines.geo_ops import segment_bearing_rose
     from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
     from osmi_addresses_ray.stages.assembly import assemble_ways
@@ -1008,7 +1010,7 @@ def _bearing_rose_query(sf_dir: str):
     parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
     ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
     out = segment_bearing_rose(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
-    write_oracle("way_segments_src", oracle_way_segments(fixture_table(FIXTURE_BLOCKS)))
+    write_oracle("way_segments_src", oracle_highway_segments(fixture_table(FIXTURE_BLOCKS)))
     return out
 
 
@@ -2905,6 +2907,36 @@ def oracle_sql() -> dict[str, str]:
         # sequential) — bit-identical to the engine's dim-ordered numpy fold;
         # list_cosine_similarity's internal float32 reduction is ~1 ulp off
         # and flips the 6th decimal on real rows
+        # range similarity search: rounded-cosine threshold, no LIMIT
+        "knn_range": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id, cosine FROM (
+                SELECT vec_id,
+                       round(
+                           list_reduce(list_transform(range(1, len(embedding)+1), i -> embedding[i]::DOUBLE * qe[i]::DOUBLE), (x, y) -> x + y)
+                           / sqrt(list_reduce(list_transform(range(1, len(embedding)+1), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)
+                                  * list_reduce(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * qe[i]::DOUBLE), (x, y) -> x + y)), 6) AS cosine
+                FROM embeddings, q
+                WHERE vec_id <> 0
+            ) WHERE cosine >= 0.3
+            ORDER BY cosine DESC, vec_id ASC
+        """,
+        # lag-1 autocorrelation sufficient statistics over hourly counts
+        "ts_autocorr_stats": """
+            WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                               count(*)::BIGINT AS c
+                        FROM events GROUP BY 1, 2),
+            lagd AS (SELECT event_type, c AS x,
+                            lead(c) OVER (PARTITION BY event_type
+                                          ORDER BY hr) AS y
+                     FROM hc)
+            SELECT event_type, count(*)::BIGINT AS n_pairs,
+                   sum(x * y)::BIGINT AS sxy,
+                   sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                   sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+            FROM lagd WHERE y IS NOT NULL
+            GROUP BY event_type ORDER BY event_type
+        """,
         "knn_bruteforce": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,

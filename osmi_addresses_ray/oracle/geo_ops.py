@@ -439,9 +439,13 @@ def oracle_street_edges(docs) -> pd.DataFrame:
     return df.astype("int64")
 
 
-def oracle_way_segments(docs) -> pd.DataFrame:
-    """Independent scalar parse of the street way segments (way_id,
-    seg_idx, ax, ay, bx, by) — the segment source for the bearing-rose SQL."""
+def oracle_highway_segments(docs) -> pd.DataFrame:
+    """Independent scalar parse of the STREET (highway-tagged) way segments
+    (way_id, seg_idx, ax, ay, bx, by) — the segment source for the
+    bearing-rose SQL. Distinct from ``oracle_way_segments`` above, which
+    keeps EVERY assembled way (buildings included) for the overlay oracle —
+    this function once shadowed that name and silently dropped building
+    segments from the segment_crossings oracle."""
     ents = parse_entities(docs)
     hw_ways = {e["id"] for e in ents if e["etype"] == "way" and "highway" in e["tags"]}
     rows = []

@@ -1164,3 +1164,43 @@ def kcenter_coreset(sf_dir: str, *, k: int = _KCENTER_K) -> pd.DataFrame:
     out["vec_id"] = out["vec_id"].astype("int64")
     out["dist"] = out["dist"].astype("float64")
     return out.reset_index(drop=True)
+
+
+def knn_range(sf_dir: str, *, query_id: int = 0, tau: float = 0.3) -> pd.DataFrame:
+    """Range similarity search: EVERY vector whose cosine to the query
+    rounds to ≥ ``tau`` (the radius-query sibling of top-k — dedup sweeps
+    and near-duplicate audits want "all above threshold", not "best k").
+    The threshold applies to the ROUNDED 6-decimal cosine on both engines,
+    so the boundary is bit-stable (the knn_bruteforce float-parity rule:
+    dim-sequential float64 folds ≡ DuckDB list_reduce).
+
+    Shape: broadcast query (ray.put once), per-block vectorized scoring and
+    LOCAL thresholding — only qualifying rows leave any block, no top-k
+    margin bookkeeping, no exchange at all."""
+    ds = _read_emb(sf_dir)
+    q_df = _read_emb(sf_dir).filter(expr=f"vec_id == {query_id}").to_pandas()
+    assert len(q_df), f"query vec_id {query_id} not found"
+    qrow = np.asarray(q_df["embedding"].iloc[0], dtype=np.float32)
+    q_ref = ray.put(qrow)
+
+    def score(t: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(t)
+        qv = ray.get(q_ref)
+        sims = np.round(_cosine_seq64(mat, qv[None, :])[:, 0], 6)
+        keep = (sims >= tau) & (ids != query_id)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep], pa.int64()),
+                "cosine": pa.array(sims[keep]),
+            }
+        )
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"vec_id": pd.Series([], dtype="int64"),
+             "cosine": pd.Series([], dtype="float64")}
+        )
+    return out.sort_values(
+        ["cosine", "vec_id"], ascending=[False, True], kind="stable"
+    ).reset_index(drop=True)

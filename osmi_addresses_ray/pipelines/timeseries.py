@@ -1674,3 +1674,70 @@ def k_anonymity_audit(sf_dir: str, *, k: int = 5, l: int = 3) -> pd.DataFrame:
     agg["k_violation"] = (agg["n_rows"] < k).astype("int64")
     agg["l_violation"] = (agg["n_users"] < l).astype("int64")
     return agg.sort_values(["event_type", "hour", "bucket"]).reset_index(drop=True)
+
+
+def ts_autocorr_stats(sf_dir: str) -> pd.DataFrame:
+    """Lag-1 autocorrelation sufficient statistics per event type over its
+    hour-ordered count series: n pairs, Σx_t·x_{t+1} plus the marginal sums
+    the Pearson formula needs on each side of the lag — all exact int64
+    (the q_group_moments family applied to a time series; consecutive =
+    adjacent OBSERVED hours, the LEAD-window convention shared with
+    event_transitions). High Σxy against the marginals ⇒ bursty persistent
+    traffic, the feature behind rate-limit and trend detectors.
+
+    Shape: one partial pre-aggregated exchange to the bounded hourly table;
+    the lag join is an in-driver vectorized shift over that bounded table
+    (event_spikes precedent)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .relational import grouped_agg
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+
+    def add_window(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "hr": pc.floor_temporal(t["ts"], unit="hour"),
+            }
+        )
+
+    hourly = grouped_agg(
+        ds.map_batches(add_window, batch_format="pyarrow"),
+        ["event_type", "hr"],
+        {"c": (None, "count")},
+    ).to_pandas()
+    cols = ("event_type", "n_pairs", "sxy", "sx", "sy", "sxx", "syy")
+    if hourly.empty:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64" if c != "event_type" else object)
+             for c in cols}
+        )
+    hourly["c"] = hourly["c"].astype("int64")
+    hourly = hourly.sort_values(["event_type", "hr"], kind="stable").reset_index(drop=True)
+    tid = hourly["event_type"].to_numpy(object)
+    c = hourly["c"].to_numpy(np.int64)
+    x, y = c[:-1], c[1:]
+    m = tid[1:] == tid[:-1]  # pair (t, t+1) valid only within one type
+    d = pd.DataFrame(
+        {
+            "event_type": tid[: len(x)][m],
+            "sxy": (x * y)[m], "sx": x[m], "sy": y[m],
+            "sxx": (x * x)[m], "syy": (y * y)[m],
+        }
+    )
+    if d.empty:
+        return pd.DataFrame(
+            {c2: pd.Series([], dtype="int64" if c2 != "event_type" else object)
+             for c2 in cols}
+        )
+    g = d.groupby("event_type", sort=True).agg(
+        n_pairs=("sxy", "size"), sxy=("sxy", "sum"), sx=("sx", "sum"),
+        sy=("sy", "sum"), sxx=("sxx", "sum"), syy=("syy", "sum"),
+    ).reset_index()
+    for c2 in ("n_pairs", "sxy", "sx", "sy", "sxx", "syy"):
+        g[c2] = g[c2].astype("int64")
+    return g.sort_values("event_type").reset_index(drop=True)

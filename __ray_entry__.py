@@ -342,6 +342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "od_flows": _od_query,
         "staypoints": _staypoints_query,
         "hausdorff_pairs": _hausdorff_query,
+        "polygon_audit": _polygon_audit_query,
         "comovement_pairs": _comovement_query,
         "map_match_accuracy": _mm_accuracy_query,
         "hotspot_cells": _hotspot_query,
@@ -1011,6 +1012,26 @@ def _bearing_rose_query(sf_dir: str):
     ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
     out = segment_bearing_rose(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
     write_oracle("way_segments_src", oracle_highway_segments(fixture_table(FIXTURE_BLOCKS)))
+    return out
+
+
+def _polygon_audit_query(sf_dir: str):
+    """Per-closed-way shape audit (shoelace area2, winding, convexity,
+    bbox); TRUE SQL oracle: identical anchored window arithmetic over the
+    independent closed-ring vertex lists."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.geo_ops import oracle_closed_way_points
+    from osmi_addresses_ray.pipelines.geo_ops import polygon_audit
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.assembly import assemble_ways
+    from osmi_addresses_ray.stages.parse import parse_docs
+
+    parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
+    ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
+    out = polygon_audit(ways_geo)
+    write_oracle(
+        "closed_way_points_src", oracle_closed_way_points(fixture_table(FIXTURE_BLOCKS))
+    )
     return out
 
 
@@ -3670,6 +3691,42 @@ def _naive_oracle_sql() -> dict[str, str]:
                           AND p.step BETWEEN sp.start_step AND sp.end_step
             GROUP BY sp.traj_id, sp.start_step, sp.end_step, sp.n_pts
             ORDER BY sp.traj_id, sp.start_step
+        """,
+        # polygon shape audit: anchored shoelace + turn-sign convexity via
+        # window functions over the independent closed-ring vertex lists
+        "polygon_audit": f"""
+            WITH p AS (SELECT way_id, seq, ix, iy
+                       FROM read_parquet('{oracle_path('closed_way_points_src')}')),
+            a AS (SELECT way_id, seq,
+                         ix - min(ix) OVER wf AS x, iy - min(iy) OVER wf AS y,
+                         max(ix) OVER wf - min(ix) OVER wf AS bw,
+                         max(iy) OVER wf - min(iy) OVER wf AS bh
+                  FROM p WINDOW wf AS (PARTITION BY way_id)),
+            e AS (SELECT way_id, seq, x, y, bw, bh,
+                         lead(x) OVER w - x AS dx, lead(y) OVER w - y AS dy
+                  FROM a WINDOW w AS (PARTITION BY way_id ORDER BY seq)),
+            ee AS (SELECT * FROM e WHERE dx IS NOT NULL),
+            t AS (SELECT way_id, count(*)::BIGINT AS n_vertices,
+                         sum(x * dy - y * dx)::BIGINT AS area2,
+                         any_value(bw) AS bw, any_value(bh) AS bh
+                  FROM ee GROUP BY way_id),
+            c AS (SELECT way_id,
+                         dx * COALESCE(lead(dy) OVER w2, first_value(dy) OVER w2f)
+                         - dy * COALESCE(lead(dx) OVER w2, first_value(dx) OVER w2f)
+                         AS cr
+                  FROM ee
+                  WINDOW w2 AS (PARTITION BY way_id ORDER BY seq),
+                         w2f AS (PARTITION BY way_id ORDER BY seq
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND UNBOUNDED FOLLOWING)),
+            cc AS (SELECT way_id, min(cr) AS mn, max(cr) AS mx FROM c GROUP BY way_id)
+            SELECT t.way_id, t.n_vertices, t.area2,
+                   CASE WHEN t.area2 > 0 THEN 1 WHEN t.area2 < 0 THEN -1
+                        ELSE 0 END::BIGINT AS winding,
+                   CASE WHEN t.area2 <> 0 AND (cc.mn >= 0 OR cc.mx <= 0)
+                        THEN 1 ELSE 0 END::BIGINT AS is_convex,
+                   t.bw::BIGINT AS bbox_w, t.bh::BIGINT AS bbox_h
+            FROM t JOIN cc USING (way_id) ORDER BY t.way_id
         """,
         # pairwise trajectory Hausdorff²: nested max-of-min over point pairs
         # for trajectories sharing the step-0 origin cell (od_flows zoning)

@@ -460,3 +460,21 @@ def oracle_highway_segments(docs) -> pd.DataFrame:
     if df.empty:
         df = pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
     return df.sort_values(["way_id", "seg_idx"]).reset_index(drop=True).astype("int64")
+
+
+def oracle_closed_way_points(docs) -> pd.DataFrame:
+    """Independent scalar derivation of CLOSED-ring vertex lists for the
+    polygon-audit SQL: one row per vertex (way_id, seq, ix, iy), only ways
+    whose first quantized point equals their last with ≥3 stored points
+    (degenerate two-vertex rings are kept for flagging) — the audit's
+    closed-way gate re-declared naively."""
+    rows = []
+    for way_id, pts in _way_points(docs):
+        if len(pts) < 3 or pts[0] != pts[-1]:
+            continue
+        for seq, (ix, iy) in enumerate(pts):
+            rows.append((way_id, seq, ix, iy))
+    df = pd.DataFrame(rows, columns=["way_id", "seq", "ix", "iy"])
+    if df.empty:
+        df = pd.DataFrame({c: pd.Series([], dtype="int64") for c in df.columns})
+    return df.astype("int64")

@@ -2857,3 +2857,113 @@ def segment_bearing_rose(ways_geo_ds, *, num_parts: int = 8) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values(["way_id", "octant"]).reset_index(drop=True)
+
+
+# --- polygon validity / shape audit ------------------------------------------
+
+_POLY_AUDIT_SCHEMA = pa.schema(
+    [
+        ("way_id", pa.int64()), ("n_vertices", pa.int64()),
+        ("area2", pa.int64()), ("winding", pa.int64()),
+        ("is_convex", pa.int64()), ("bbox_w", pa.int64()),
+        ("bbox_h", pa.int64()),
+    ]
+)
+
+
+def polygon_audit(ways_geo_ds) -> pd.DataFrame:
+    """Per-polygon shape audit over every CLOSED assembled way (first
+    quantized vertex == last, ≥3 stored points): twice the signed
+    shoelace area (CCW positive), winding sign, strict convexity (every
+    turn the same sign, zero-area rejected), vertex count and bbox extent —
+    the geometry-QA pass a renderer or importer runs before trusting
+    polygon rings (reference semantic root: the area/nonarea classifier,
+    ``osmi/MarkerInterface.hpp`` closed-way handling).
+
+    Exactness: coordinates are anchored per way to the bbox minimum before
+    any product, so each shoelace term is |t| ≤ bbox_w·bbox_h < 2^62 (guarded
+    — raise, don't wrap) and matches DuckDB BIGINT window arithmetic
+    bit-for-bit.
+
+    Shape: a stateless flat map — each way's ring is one list row, so no
+    exchange at any scale; output is one row per polygon."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = t.filter(t["nonzero"]) if "nonzero" in t.schema.names else t
+        if s.num_rows == 0:
+            return _POLY_AUDIT_SCHEMA.empty_table()
+        xs_col = s["xs"].combine_chunks() if isinstance(s["xs"], pa.ChunkedArray) else s["xs"]
+        ys_col = s["ys"].combine_chunks() if isinstance(s["ys"], pa.ChunkedArray) else s["ys"]
+        offs = np.asarray(xs_col.offsets, np.int64)
+        offs = offs - offs[0]
+        fx = np.round(np.asarray(xs_col.flatten(), np.float64) * QUANT).astype(np.int64)
+        fy = np.round(np.asarray(ys_col.flatten(), np.float64) * QUANT).astype(np.int64)
+        wid = s["way_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offs)
+        first_i, last_i = offs[:-1], offs[1:] - 1
+        # >= 3 stored points (2 distinct vertices): degenerate two-point
+        # "rings" are kept and flagged (area2 0, winding 0) — the audit's job
+        closed = (counts >= 3) & (fx[first_i] == fx[last_i]) & (fy[first_i] == fy[last_i])
+        if not closed.any():
+            return _POLY_AUDIT_SCHEMA.empty_table()
+        keep_pt = np.repeat(closed, counts)
+        fx, fy = fx[keep_pt], fy[keep_pt]
+        wid, counts = wid[closed], counts[closed]
+        starts = np.cumsum(counts) - counts
+        # anchor to the per-way bbox minimum: every later product stays small
+        minx = np.minimum.reduceat(fx, starts)
+        miny = np.minimum.reduceat(fy, starts)
+        bw = np.maximum.reduceat(fx, starts) - minx
+        bh = np.maximum.reduceat(fy, starts) - miny
+        if int((bw.astype(object) * bh.astype(object)).max()) >= (1 << 62):
+            raise RuntimeError(
+                "polygon_audit: bbox area >= 2^62 quantized units²; int64 "
+                "shoelace terms would overflow (DuckDB HUGEINT oracle would "
+                "not — split the ring or widen the kernel)"
+            )
+        ax = fx - np.repeat(minx, counts)
+        ay = fy - np.repeat(miny, counts)
+        nseg = counts - 1
+        e_starts = np.cumsum(nseg) - nseg
+        efirst = np.arange(int(nseg.sum()), dtype=np.int64) - np.repeat(
+            e_starts, nseg
+        ) + np.repeat(starts, nseg)
+        dx = ax[efirst + 1] - ax[efirst]
+        dy = ay[efirst + 1] - ay[efirst]
+        # shoelace: Σ x_i·dy_i − y_i·dx_i  (== Σ x_i·y_{i+1} − x_{i+1}·y_i)
+        terms = ax[efirst] * dy - ay[efirst] * dx
+        area2 = np.add.reduceat(terms, e_starts)
+        # turns: cross of consecutive edges, wrapping last → first
+        edge_way = np.repeat(np.arange(len(wid), dtype=np.int64), nseg)
+        inrun = edge_way[:-1] == edge_way[1:]
+        crw = dx[:-1] * dy[1:] - dy[:-1] * dx[1:]
+        crv = crw[inrun]
+        t_starts = np.cumsum(nseg - 1) - (nseg - 1)
+        mn = np.minimum.reduceat(crv, t_starts)
+        mx = np.maximum.reduceat(crv, t_starts)
+        e_last = e_starts + nseg - 1
+        wrap = dx[e_last] * dy[e_starts] - dy[e_last] * dx[e_starts]
+        mn = np.minimum(mn, wrap)
+        mx = np.maximum(mx, wrap)
+        return pa.table(
+            {
+                "way_id": pa.array(wid),
+                "n_vertices": pa.array(nseg),
+                "area2": pa.array(area2),
+                "winding": pa.array(np.sign(area2)),
+                "is_convex": pa.array(
+                    ((area2 != 0) & ((mn >= 0) | (mx <= 0))).astype(np.int64)
+                ),
+                "bbox_w": pa.array(bw),
+                "bbox_h": pa.array(bh),
+            }
+        ).cast(_POLY_AUDIT_SCHEMA)
+
+    out = ways_geo_ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {f.name: pd.Series([], dtype="int64") for f in _POLY_AUDIT_SCHEMA}
+        )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("way_id").reset_index(drop=True)

@@ -343,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "staypoints": _staypoints_query,
         "hausdorff_pairs": _hausdorff_query,
         "polygon_audit": _polygon_audit_query,
+        "geofence_transitions": _geofence_query,
         "comovement_pairs": _comovement_query,
         "map_match_accuracy": _mm_accuracy_query,
         "hotspot_cells": _hotspot_query,
@@ -1032,6 +1033,25 @@ def _polygon_audit_query(sf_dir: str):
     write_oracle(
         "closed_way_points_src", oracle_closed_way_points(fixture_table(FIXTURE_BLOCKS))
     )
+    return out
+
+
+def _geofence_query(sf_dir: str):
+    """Geofence entry/exit events (dilated building bboxes × dwell
+    trajectories); TRUE SQL oracle: BETWEEN containment join + lag/lead
+    window run detection over the independent dwell points and bboxes."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.geo_ops import oracle_dwell_points, oracle_way_bboxes
+    from osmi_addresses_ray.pipelines.geo_ops import geofence_transitions
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.assembly import assemble_ways
+    from osmi_addresses_ray.stages.parse import parse_docs
+
+    parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
+    ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
+    out = geofence_transitions(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
+    write_oracle("dwell_points_src", oracle_dwell_points(fixture_table(FIXTURE_BLOCKS)))
+    write_oracle("way_bboxes_src", oracle_way_bboxes(fixture_table(FIXTURE_BLOCKS)))
     return out
 
 
@@ -3691,6 +3711,38 @@ def _naive_oracle_sql() -> dict[str, str]:
                           AND p.step BETWEEN sp.start_step AND sp.end_step
             GROUP BY sp.traj_id, sp.start_step, sp.end_step, sp.n_pts
             ORDER BY sp.traj_id, sp.start_step
+        """,
+        # geofence entry/exit: dilated-bbox containment join, then runs of
+        # consecutive contained steps -> +1 at each run start, -1 at the
+        # first step back outside (suppressed when the trajectory ends inside)
+        "geofence_transitions": f"""
+            WITH f AS (SELECT way_id AS fence_id,
+                              x0 - 20000 AS x0, x1 + 20000 AS x1,
+                              y0 - 20000 AS y0, y1 + 20000 AS y1
+                       FROM read_parquet('{oracle_path('way_bboxes_src')}')
+                       WHERE kind = 'building'),
+            p AS (SELECT traj_id, step, px, py
+                  FROM read_parquet('{oracle_path('dwell_points_src')}')),
+            ms AS (SELECT traj_id, max(step) AS max_step FROM p GROUP BY 1),
+            c AS (SELECT p.traj_id, f.fence_id, p.step
+                  FROM p JOIN f ON p.px BETWEEN f.x0 AND f.x1
+                               AND p.py BETWEEN f.y0 AND f.y1),
+            runs AS (SELECT traj_id, fence_id, step,
+                            step - lag(step) OVER w AS d,
+                            lead(step) OVER w AS nxt
+                     FROM c WINDOW w AS (PARTITION BY traj_id, fence_id
+                                         ORDER BY step)),
+            entries AS (SELECT traj_id, fence_id, step, 1 AS event
+                        FROM runs WHERE d IS NULL OR d > 1),
+            exits AS (SELECT r.traj_id, r.fence_id, r.step + 1 AS step,
+                             -1 AS event
+                      FROM runs r JOIN ms USING (traj_id)
+                      WHERE (r.nxt IS NULL OR r.nxt > r.step + 1)
+                        AND r.step + 1 <= ms.max_step)
+            SELECT traj_id, fence_id, step::BIGINT AS step,
+                   event::BIGINT AS event
+            FROM (SELECT * FROM entries UNION ALL SELECT * FROM exits)
+            ORDER BY traj_id, fence_id, step, event
         """,
         # polygon shape audit: anchored shoelace + turn-sign convexity via
         # window functions over the independent closed-ring vertex lists

@@ -2967,3 +2967,190 @@ def polygon_audit(ways_geo_ds) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("way_id").reset_index(drop=True)
+
+
+# --- geofence entry/exit transitions -----------------------------------------
+
+FENCE_DILATE_UNITS = 20_000  # 0.002° arrival zone ≈ 220 m around a building
+_GF_CELL = 100_000  # 0.01° bucketing (od_flows zoning); fences span ≤ a few cells
+_GF_FENCE_SCHEMA = pa.schema(
+    [
+        ("cell", pa.int64()), ("fence_id", pa.int64()),
+        ("x0", pa.int64()), ("x1", pa.int64()),
+        ("y0", pa.int64()), ("y1", pa.int64()),
+    ]
+)
+_GF_PT_SCHEMA = pa.schema(
+    [
+        ("cell", pa.int64()), ("traj_id", pa.int64()), ("step", pa.int64()),
+        ("px", pa.int64()), ("py", pa.int64()),
+    ]
+)
+_GF_CONT_SCHEMA = pa.schema(
+    [("traj_id", pa.int64()), ("fence_id", pa.int64()), ("step", pa.int64())]
+)
+_GF_MAX_SCHEMA = pa.schema([("traj_id", pa.int64()), ("max_step", pa.int64())])
+_GF_EVENT_SCHEMA = pa.schema(
+    [
+        ("traj_id", pa.int64()), ("fence_id", pa.int64()),
+        ("step", pa.int64()), ("event", pa.int64()),
+    ]
+)
+
+
+def geofence_transitions(
+    ways_geo_ds, *, dilate: int = FENCE_DILATE_UNITS, num_parts: int = 8
+) -> pd.DataFrame:
+    """Geofence entry/exit events: every building's bbox dilated by
+    ``dilate`` is an arrival zone (the "phone entered the 220 m zone of the
+    store" primitive), probed by the dwell-patterned trajectories. Emits
+    one row per transition — event +1 at the first step inside a zone (a
+    trajectory starting inside counts as entering at its first step), −1 at
+    the first step back outside; a trajectory that ends inside never exits.
+
+    Shape: two exchanges. (1) cell-keyed containment — fences replicate to
+    every 0.01° cell their dilated bbox covers (bbox_overlap_pairs fanout),
+    points go to their single home cell, so each contained (point, fence)
+    is found exactly once with no dedup pass; (2) trajectory-keyed — the
+    contained step sets co-grouped with each trajectory's max step, runs →
+    events via one lexsort + diff per partition. Both sides stream; nothing
+    driver-side. TRUE SQL oracle: BETWEEN join + lag/lead window run
+    detection over the independent dwell points and way bboxes."""
+    return geofence_transitions_from_points(
+        synth_dwell_trajectories(ways_geo_ds), ways_geo_ds,
+        dilate=dilate, num_parts=num_parts,
+    )
+
+
+def geofence_transitions_from_points(
+    traj, ways_geo_ds, *, dilate: int = FENCE_DILATE_UNITS, num_parts: int = 8
+) -> pd.DataFrame:
+    """Geofence event kernel over an explicit (traj_id, step, px, py) points
+    dataset — the machinery behind ``geofence_transitions`` (see its
+    docstring for semantics and the exchange shapes)."""
+    from ..ops import direct_cogroup
+    from .relational import grouped_agg
+
+    d = int(dilate)
+
+    def fence_emit(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _GF_FENCE_SCHEMA.empty_table()
+        r = _way_rects(t)  # side 0 = closed building ways, already padded
+        side = r["side"].to_numpy(zero_copy_only=False)
+        b = r.filter(pa.array(side == 0))
+        if b.num_rows == 0:
+            return _GF_FENCE_SCHEMA.empty_table()
+        fid = b["rid"].to_numpy(zero_copy_only=False)
+        # _way_rects pads by BBOX_PAD_UNITS; re-pad to the fence dilation
+        x0 = b["x0"].to_numpy(zero_copy_only=False) + BBOX_PAD_UNITS - d
+        x1 = b["x1"].to_numpy(zero_copy_only=False) - BBOX_PAD_UNITS + d
+        y0 = b["y0"].to_numpy(zero_copy_only=False) + BBOX_PAD_UNITS - d
+        y1 = b["y1"].to_numpy(zero_copy_only=False) - BBOX_PAD_UNITS + d
+        cx0, cx1 = x0 // _GF_CELL, x1 // _GF_CELL
+        cy0, cy1 = y0 // _GF_CELL, y1 // _GF_CELL
+        ncx, ncy = cx1 - cx0 + 1, cy1 - cy0 + 1
+        tot = ncx * ncy
+        rep = np.repeat(np.arange(len(fid), dtype=np.int64), tot)
+        cum = np.cumsum(tot) - tot
+        k = np.arange(int(tot.sum()), dtype=np.int64) - np.repeat(cum, tot)
+        cx = cx0[rep] + k // ncy[rep]
+        cy = cy0[rep] + k % ncy[rep]
+        return pa.table(
+            {
+                "cell": _cell_key(cx, cy), "fence_id": fid[rep],
+                "x0": x0[rep], "x1": x1[rep], "y0": y0[rep], "y1": y1[rep],
+            }
+        ).cast(_GF_FENCE_SCHEMA)
+
+    def point_emit(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _GF_PT_SCHEMA.empty_table()
+        px = t["px"].to_numpy(zero_copy_only=False)
+        py = t["py"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cell": _cell_key(px // _GF_CELL, py // _GF_CELL),
+                "traj_id": t["traj_id"], "step": t["step"],
+                "px": t["px"], "py": t["py"],
+            }
+        ).cast(_GF_PT_SCHEMA)
+
+    fences = ways_geo_ds.map_batches(fence_emit, batch_format="pyarrow").materialize()
+    pts = traj.map_batches(point_emit, batch_format="pyarrow").materialize()
+
+    def contain(f_t: pa.Table, p_t: pa.Table) -> pa.Table:
+        if f_t.num_rows == 0 or p_t.num_rows == 0:
+            return _GF_CONT_SCHEMA.empty_table()
+        f = f_t.to_pandas()
+        p = p_t.to_pandas()
+        m = p.merge(f, on="cell", how="inner")
+        hit = (
+            (m["px"] >= m["x0"]) & (m["px"] <= m["x1"])
+            & (m["py"] >= m["y0"]) & (m["py"] <= m["y1"])
+        )
+        m = m[hit]
+        return pa.table(
+            {
+                "traj_id": pa.array(m["traj_id"].to_numpy(np.int64)),
+                "fence_id": pa.array(m["fence_id"].to_numpy(np.int64)),
+                "step": pa.array(m["step"].to_numpy(np.int64)),
+            }
+        ).cast(_GF_CONT_SCHEMA)
+
+    contained = direct_cogroup(
+        [fences, pts], [["cell"], ["cell"]], num_parts, contain,
+        [_GF_FENCE_SCHEMA, _GF_PT_SCHEMA],
+    ).materialize()
+    max_steps = grouped_agg(
+        traj, ["traj_id"], {"max_step": ("step", "max")}
+    ).materialize()
+
+    def events(c_t: pa.Table, m_t: pa.Table) -> pa.Table:
+        if c_t.num_rows == 0:
+            return _GF_EVENT_SCHEMA.empty_table()
+        tid = c_t["traj_id"].to_numpy(zero_copy_only=False)
+        fid = c_t["fence_id"].to_numpy(zero_copy_only=False)
+        st = c_t["step"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((st, fid, tid))
+        tid, fid, st = tid[order], fid[order], st[order]
+        newg = np.empty(len(tid), bool)
+        newg[0] = True
+        newg[1:] = (tid[1:] != tid[:-1]) | (fid[1:] != fid[:-1])
+        gap = np.empty(len(tid), bool)
+        gap[0] = True
+        gap[1:] = st[1:] != st[:-1] + 1
+        run_start = newg | gap
+        run_end = np.append(run_start[1:], True)
+        mt = m_t["traj_id"].to_numpy(zero_copy_only=False)
+        mv = m_t["max_step"].to_numpy(zero_copy_only=False)
+        mo = np.argsort(mt, kind="stable")
+        max_arr = mv[mo][np.searchsorted(mt[mo], tid)]
+        e_idx = np.flatnonzero(run_start)
+        x_idx = np.flatnonzero(run_end & (st + 1 <= max_arr))
+        return pa.table(
+            {
+                "traj_id": pa.array(np.concatenate([tid[e_idx], tid[x_idx]])),
+                "fence_id": pa.array(np.concatenate([fid[e_idx], fid[x_idx]])),
+                "step": pa.array(np.concatenate([st[e_idx], st[x_idx] + 1])),
+                "event": pa.array(
+                    np.concatenate(
+                        [np.ones(len(e_idx), np.int64), -np.ones(len(x_idx), np.int64)]
+                    )
+                ),
+            }
+        ).cast(_GF_EVENT_SCHEMA)
+
+    out = direct_cogroup(
+        [contained, max_steps], [["traj_id"], ["traj_id"]], num_parts, events,
+        [_GF_CONT_SCHEMA, _GF_MAX_SCHEMA],
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {f.name: pd.Series([], dtype="int64") for f in _GF_EVENT_SCHEMA}
+        )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(
+        ["traj_id", "fence_id", "step", "event"]
+    ).reset_index(drop=True)

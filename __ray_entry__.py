@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_lerp": timeseries.resample_lerp,
         "interval_coverage": timeseries.interval_coverage,
         "event_transitions": timeseries.event_transitions,
+        "scd2_intervals": timeseries.scd2_intervals,
         "ema_user_value": timeseries.ema_user_value,
         "k_anonymity_audit": timeseries.k_anonymity_audit,
         "curate_corpus": textstats.curate_corpus,
@@ -2489,6 +2490,29 @@ def oracle_sql() -> dict[str, str]:
                    c.n::DOUBLE / tot.t::DOUBLE AS prob
             FROM c JOIN tot USING (from_type)
             ORDER BY from_type, to_type
+        """,
+        # SCD-2 compaction: lag() run breaks -> cumulative run id -> group
+        # -> lead() of the run start as valid_to (NULL on each user's last run)
+        "scd2_intervals": """
+            WITH o AS (SELECT user_id, event_type, ts, event_id,
+                              CASE WHEN lag(event_type) OVER w IS NULL
+                                        OR lag(event_type) OVER w <> event_type
+                                   THEN 1 ELSE 0 END AS brk
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            r AS (SELECT user_id, event_type, ts,
+                         SUM(brk) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS rid
+                  FROM o),
+            g AS (SELECT user_id, rid, min(event_type) AS event_type,
+                         min(ts) AS valid_from, count(*)::BIGINT AS n_events
+                  FROM r GROUP BY user_id, rid)
+            SELECT user_id, event_type, valid_from,
+                   lead(valid_from) OVER (PARTITION BY user_id
+                                          ORDER BY rid) AS valid_to,
+                   n_events
+            FROM g ORDER BY user_id, valid_from, event_type
         """,
         # interval-union coverage: gaps-and-islands over fixed 10-min spans;
         # exact-abutment merges (strict > starts a new island)

@@ -1741,3 +1741,91 @@ def ts_autocorr_stats(sf_dir: str) -> pd.DataFrame:
     for c2 in ("n_pairs", "sxy", "sx", "sy", "sxx", "syy"):
         g[c2] = g[c2].astype("int64")
     return g.sort_values("event_type").reset_index(drop=True)
+
+
+# --- SCD-2 state intervalization (CDC run compaction) -------------------------
+
+_SCD2_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("valid_from", pa.timestamp("us")), ("valid_to", pa.timestamp("us")),
+        ("n_events", pa.int64()),
+    ]
+)
+_SCD2_IN_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us")), ("event_type", pa.string()),
+    ]
+)
+
+
+def scd2_intervals(sf_dir: str, *, num_parts: int = 8) -> pd.DataFrame:
+    """SCD-type-2 compaction of each user's event stream: consecutive runs
+    of the same event_type (in the family's (ts, event_id) order) collapse
+    into one validity interval — ``valid_from`` = first event of the run,
+    ``valid_to`` = first event of the NEXT run (NULL while current), plus
+    the run's event count. The change-data-capture → dimension-table
+    primitive: replaying a mutation log into as-of-queryable state rows.
+
+    One user-keyed exchange; a run can never straddle partitions, so each
+    partition emits its finished intervals directly (one lexsort + two
+    boolean diffs, no per-user Python). Final pass is a concat + sort of
+    ~|runs| rows. TRUE SQL oracle: lag() run breaks → cumulative run id →
+    group → lead() of the run start.
+    """
+    from ..ops import direct_partitioned_map
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SCD2_SCHEMA.empty_table()
+        user = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = (
+            t["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(t["event_type"].to_pandas(), dtype=object)
+        order = np.lexsort((eid, ts, user))
+        u, s, e = user[order], ts[order], et[order]
+        brk = np.empty(len(u), bool)
+        brk[0] = True
+        brk[1:] = (u[1:] != u[:-1]) | (e[1:] != e[:-1])
+        starts = np.flatnonzero(brk)
+        n_ev = np.diff(np.append(starts, len(u)))
+        vu, vf, ve = u[starts], s[starts], e[starts]
+        open_run = np.empty(len(vu), bool)  # last run of its user: no valid_to
+        open_run[:-1] = vu[1:] != vu[:-1]
+        open_run[-1] = True
+        vt = np.empty(len(vu), np.int64)
+        vt[:-1] = vf[1:]
+        vt[-1] = 0
+        return pa.table(
+            {
+                "user_id": pa.array(vu),
+                "event_type": pa.array(ve, pa.string()),
+                "valid_from": pa.array(vf, pa.timestamp("us")),
+                "valid_to": pa.array(vt, pa.timestamp("us"), mask=open_run),
+                "n_events": pa.array(n_ev.astype(np.int64)),
+            }
+        ).cast(_SCD2_SCHEMA)
+
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    out = direct_partitioned_map(
+        ds, ["user_id"], num_parts, fn, _SCD2_IN_SCHEMA
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "event_type": pd.Series([], dtype=object),
+                "valid_from": pd.Series([], dtype="datetime64[us]"),
+                "valid_to": pd.Series([], dtype="datetime64[us]"),
+                "n_events": pd.Series([], dtype="int64"),
+            }
+        )
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values(
+        ["user_id", "valid_from", "event_type"]
+    ).reset_index(drop=True)

@@ -580,3 +580,47 @@ def test_cusum_matches_duckdb_on_sf(tmp_path):
     pd.testing.assert_frame_equal(
         got, want.astype({"score": "int64", "n_hours": "int64", "n_events": "int64"})
     )
+
+
+def test_scd2_run_compaction_and_open_intervals(tmp_path, ray_session):
+    """SCD-2 semantics: consecutive same-type runs collapse; a type that
+    REAPPEARS after a different run opens a NEW interval (no global merge);
+    each user's final run has valid_to NULL; equal-ts ties order by
+    event_id; users never share a run across the partition key."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osmi_addresses_ray.pipelines.timeseries import scd2_intervals
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    rows = [
+        # user 1: a a b a  -> intervals a[0,2) x2, b[2,3) x1, a[3,NULL) x1
+        (1, base + 0 * m, 1, "a"),
+        (2, base + 1 * m, 1, "a"),
+        (3, base + 2 * m, 1, "b"),
+        (4, base + 3 * m, 1, "a"),
+        # user 2: tie at t0 -> eid order makes the run x,y (two intervals);
+        # single trailing run stays open
+        (5, base + 0 * m, 2, "x"),
+        (6, base + 0 * m, 2, "y"),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    df["value"] = 0.0
+    df["props"] = "{}"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    out = scd2_intervals(str(tmp_path), num_parts=2)
+    got = [
+        (int(r.user_id), r.event_type, r.valid_from, r.valid_to, int(r.n_events))
+        for r in out.itertuples()
+    ]
+    NaT = pd.NaT
+    assert got == [
+        (1, "a", base + 0 * m, base + 2 * m, 2),
+        (1, "b", base + 2 * m, base + 3 * m, 1),
+        (1, "a", base + 3 * m, NaT, 1),
+        (2, "x", base + 0 * m, base + 0 * m, 1),
+        (2, "y", base + 0 * m, NaT, 1),
+    ]

@@ -343,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "od_flows": _od_query,
         "staypoints": _staypoints_query,
         "hausdorff_pairs": _hausdorff_query,
+        "frechet_pairs": _frechet_query,
         "polygon_audit": _polygon_audit_query,
         "geofence_transitions": _geofence_query,
         "comovement_pairs": _comovement_query,
@@ -1121,6 +1122,24 @@ def _hausdorff_query(sf_dir: str):
     parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
     ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
     out = hausdorff_pairs(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
+    write_oracle("dwell_points_src", oracle_dwell_points(fixture_table(FIXTURE_BLOCKS)))
+    return out
+
+
+def _frechet_query(sf_dir: str):
+    """Origin-cell-bucketed pairwise discrete Fréchet² (order-aware sibling
+    of Hausdorff); TRUE SQL oracle: recursive-CTE minimax DP over
+    anti-diagonals of the independent dwell points."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.geo_ops import oracle_dwell_points
+    from osmi_addresses_ray.pipelines.geo_ops import frechet_pairs
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.assembly import assemble_ways
+    from osmi_addresses_ray.stages.parse import parse_docs
+
+    parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
+    ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
+    out = frechet_pairs(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
     write_oracle("dwell_points_src", oracle_dwell_points(fixture_table(FIXTURE_BLOCKS)))
     return out
 
@@ -3838,6 +3857,56 @@ def _naive_oracle_sql() -> dict[str, str]:
             FROM pairs pr
             JOIN ha ON ha.ta = pr.ta AND ha.tb = pr.tb
             JOIN hb ON hb.ta = pr.ta AND hb.tb = pr.tb
+            ORDER BY cell_x, cell_y, traj_a, traj_b
+        """,
+        # discrete Fréchet²: minimax grid-path DP, one recursive iteration
+        # per ANTI-DIAGONAL carrying two layers (k as layer 1, k-1 as layer
+        # 0); min-of-preds = one moves-table join + GROUP BY, border cells
+        # fall out (missing preds simply contribute nothing to the min)
+        "frechet_pairs": f"""
+            WITH RECURSIVE
+            p AS (SELECT traj_id, step, px, py
+                  FROM read_parquet('{oracle_path('dwell_points_src')}')),
+            o AS (SELECT traj_id,
+                         min_by(px, step) // 100000 AS cx,
+                         min_by(py, step) // 100000 AS cy,
+                         max(step) AS last_step
+                  FROM p GROUP BY 1),
+            pairs AS (SELECT a.traj_id AS ta, b.traj_id AS tb, a.cx, a.cy,
+                             a.last_step AS ia, b.last_step AS jb
+                      FROM o a JOIN o b ON a.cx = b.cx AND a.cy = b.cy
+                                       AND a.traj_id < b.traj_id),
+            dmat AS (SELECT pr.ta, pr.tb, pa.step AS i, pb.step AS j,
+                            (pa.px - pb.px) * (pa.px - pb.px)
+                            + (pa.py - pb.py) * (pa.py - pb.py) AS d2
+                     FROM pairs pr
+                     JOIN p pa ON pa.traj_id = pr.ta
+                     JOIN p pb ON pb.traj_id = pr.tb),
+            walk(ta, tb, i, j, layer, val) AS (
+                SELECT ta, tb, 0::BIGINT, 0::BIGINT, 1, d2
+                FROM dmat WHERE i = 0 AND j = 0
+              UNION ALL
+                SELECT * FROM (
+                  WITH nxt AS (
+                    SELECT w.ta, w.tb, w.i + mv.dx AS i, w.j + mv.dy AS j,
+                           min(w.val) AS pv
+                    FROM walk w
+                    JOIN (VALUES (1, 1, 0), (1, 0, 1), (0, 1, 1))
+                         mv(layer, dx, dy) ON mv.layer = w.layer
+                    GROUP BY 1, 2, 3, 4)
+                  SELECT n.ta, n.tb, n.i, n.j, 1 AS layer,
+                         greatest(d.d2, n.pv) AS val
+                  FROM nxt n JOIN dmat d ON d.ta = n.ta AND d.tb = n.tb
+                                        AND d.i = n.i AND d.j = n.j
+                  UNION ALL
+                  SELECT ta, tb, i, j, 0 AS layer, val
+                  FROM walk WHERE layer = 1
+                )
+            )
+            SELECT pr.cx AS cell_x, pr.cy AS cell_y,
+                   w.ta AS traj_a, w.tb AS traj_b, w.val::BIGINT AS f2
+            FROM walk w JOIN pairs pr ON pr.ta = w.ta AND pr.tb = w.tb
+            WHERE w.layer = 1 AND w.i = pr.ia AND w.j = pr.jb
             ORDER BY cell_x, cell_y, traj_a, traj_b
         """,
         # co-movement: step-equality self-join (simultaneous proximity, the

@@ -2587,6 +2587,147 @@ def hausdorff_from_points(
     return out.sort_values(["cell_x", "cell_y", "traj_a", "traj_b"]).reset_index(drop=True)
 
 
+# --- discrete Fréchet distance between co-origin trajectories --------------------
+
+_FRECHET_SCHEMA = pa.schema(
+    [
+        ("cell_x", pa.int64()), ("cell_y", pa.int64()),
+        ("traj_a", pa.int64()), ("traj_b", pa.int64()), ("f2", pa.int64()),
+    ]
+)
+_FRECHET_INF = np.int64(1) << 62
+_FRECHET_PT_SCHEMA = pa.schema(
+    [
+        ("cell_x", pa.int64()), ("cell_y", pa.int64()),
+        ("traj_id", pa.int64()), ("step", pa.int64()),
+        ("px", pa.int64()), ("py", pa.int64()),
+    ]
+)
+
+
+def _frechet2(xa, ya, xb, yb) -> int:
+    """Discrete Fréchet distance² (Eiter & Mannila 1994 coupling measure)
+    between two point sequences, exact int64: the minimax grid-path cost
+    dp(i,j) = max(d²(i,j), min(dp(i-1,j), dp(i,j-1), dp(i-1,j-1))).
+    Vectorized per ANTI-DIAGONAL (each diagonal depends only on the two
+    before it), so the inner work is numpy shifts/minima — no per-cell
+    Python in the O(n·m) grid."""
+    d2 = (xa[:, None] - xb[None, :]) ** 2 + (ya[:, None] - yb[None, :]) ** 2
+    n, m = d2.shape
+    # diag arrays indexed by absolute i (0..n-1); INF where cell not on diag
+    prev = np.full(n, _FRECHET_INF)  # diag k-1
+    prev2 = np.full(n, _FRECHET_INF)  # diag k-2
+    prev[0] = d2[0, 0]
+    for k in range(1, n + m - 1):
+        cur = np.full(n, _FRECHET_INF)
+        lo, hi = max(0, k - m + 1), min(n - 1, k)
+        i = np.arange(lo, hi + 1)
+        up = prev[i]  # (i, j-1)
+        left = np.where(i > 0, prev[i - 1], _FRECHET_INF)  # (i-1, j)
+        diag = np.where(i > 0, prev2[i - 1], _FRECHET_INF)  # (i-1, j-1)
+        pv = np.minimum(np.minimum(up, left), diag)
+        # border cells (i==0 or j==0) have exactly one live pred; interior
+        # cells have all three — "min over preds present" covers both
+        cur[i] = np.maximum(d2[i, k - i], pv)
+        prev2, prev = prev, cur
+    return int(prev[n - 1])
+
+
+def frechet_pairs(
+    ways_geo_ds, *, num_parts: int = 8, cell_cap: int = 256
+) -> pd.DataFrame:
+    """Pairwise trajectory similarity under ORDER: the discrete Fréchet
+    distance² (minimax coupling over the step-ordered point sequences)
+    between every pair of trajectories sharing an ORIGIN cell (0.01°
+    zoning of the step-0 point — the hausdorff_pairs bucketing). Fréchet
+    is the order-aware sibling of Hausdorff: two routes covering the same
+    set of points in opposite directions are Hausdorff-identical but
+    Fréchet-far, so this is the route-following / lane-matching primitive.
+
+    Same two-exchange shape as ``hausdorff_pairs``: (1) trajectory-keyed
+    origin tagging, (2) cell-keyed pair sweep; per pair the DP grid is
+    swept one anti-diagonal at a time (vectorized, exact int64). Cells
+    above ``cell_cap`` trajectories raise — no silent truncation. TRUE SQL
+    oracle: recursive-CTE over anti-diagonals carrying two diagonal
+    layers, min-of-preds via a single moves-table join + GROUP BY."""
+    return frechet_from_points(
+        synth_dwell_trajectories(ways_geo_ds), num_parts=num_parts, cell_cap=cell_cap
+    )
+
+
+def frechet_from_points(
+    traj, *, num_parts: int = 8, cell_cap: int = 256
+) -> pd.DataFrame:
+    """Origin-cell-bucketed pairwise discrete Fréchet² over an explicit
+    (traj_id, step, px, py) points dataset — the kernel behind
+    ``frechet_pairs`` (see its docstring)."""
+    from ..ops import direct_partitioned_map
+
+    def tag_origin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _FRECHET_PT_SCHEMA.empty_table()
+        df = t.to_pandas().sort_values(["traj_id", "step"], kind="stable")
+        tid = df["traj_id"].to_numpy(np.int64)
+        step = df["step"].to_numpy(np.int64)
+        px = df["px"].to_numpy(np.int64)
+        py = df["py"].to_numpy(np.int64)
+        first = np.r_[True, tid[1:] != tid[:-1]]
+        gidx = np.cumsum(first) - 1
+        cx = (px[first] // _HAUS_CELL)[gidx]
+        cy = (py[first] // _HAUS_CELL)[gidx]
+        return pa.table(
+            {"cell_x": pa.array(cx), "cell_y": pa.array(cy),
+             "traj_id": pa.array(tid), "step": pa.array(step),
+             "px": pa.array(px), "py": pa.array(py)}
+        )
+
+    pts = direct_partitioned_map(traj, ["traj_id"], num_parts, tag_origin, _TRAJ_SCHEMA)
+
+    def pair_sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _FRECHET_SCHEMA.empty_table()
+        df = t.to_pandas().sort_values(
+            ["cell_x", "cell_y", "traj_id", "step"], kind="stable"
+        )
+        rows = {k: [] for k in _FRECHET_SCHEMA.names}
+        for (cx, cy), g in df.groupby(["cell_x", "cell_y"], sort=False):
+            tids = g["traj_id"].unique()
+            if len(tids) > cell_cap:
+                raise ValueError(
+                    f"frechet cell ({cx},{cy}) holds {len(tids)} trajectories "
+                    f"(> cell_cap={cell_cap}): use a finer zoning or raise the cap"
+                )
+            if len(tids) < 2:
+                continue
+            by_t = {
+                tid: (sub["px"].to_numpy(np.int64), sub["py"].to_numpy(np.int64))
+                for tid, sub in g.groupby("traj_id", sort=False)
+            }
+            tids = np.sort(tids)
+            for ai in range(len(tids)):
+                xa, ya = by_t[tids[ai]]
+                for bi in range(ai + 1, len(tids)):
+                    xb, yb = by_t[tids[bi]]
+                    rows["cell_x"].append(int(cx))
+                    rows["cell_y"].append(int(cy))
+                    rows["traj_a"].append(int(tids[ai]))
+                    rows["traj_b"].append(int(tids[bi]))
+                    rows["f2"].append(_frechet2(xa, ya, xb, yb))
+        return pa.Table.from_arrays(
+            [pa.array(rows[f.name], f.type) for f in _FRECHET_SCHEMA],
+            schema=_FRECHET_SCHEMA,
+        )
+
+    out = direct_partitioned_map(
+        pts, ["cell_x", "cell_y"], num_parts, pair_sweep, _FRECHET_PT_SCHEMA
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame({f.name: pd.Series([], dtype="int64") for f in _FRECHET_SCHEMA})
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["cell_x", "cell_y", "traj_a", "traj_b"]).reset_index(drop=True)
+
+
 # --- connected components of the street graph -----------------------------------
 
 _CC_EDGE_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64())])

@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": textstats.top_tokens,
         "heavy_hitters": textstats.heavy_hitters,
         "bm25_search": textstats.bm25_search,
+        "hybrid_search_rrf": similarity.hybrid_search_rrf,
         "scrub_dup_ngrams": textstats.scrub_dup_ngrams,
         "pagerank_trade": graph.pagerank_trade,
         "triangle_counts": graph.triangle_counts,
@@ -2851,6 +2852,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, score FROM p WHERE score > 0
             ORDER BY score DESC, doc_id
             LIMIT 15
+        """,
+        # hybrid retrieval: RRF over the BM25 top-50 (lexical leg, the
+        # bm25_search fold verbatim) and the cosine-kNN top-50 (semantic
+        # leg, the knn_bruteforce ordered fold); absent-from-a-leg is rank
+        # 0, fused score = 1/(60+lex) + 1/(60+sem) in that exact order
+        "hybrid_search_rrf": """
+            WITH toks AS (
+                SELECT doc_id,
+                       lower(unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')))
+                           AS token
+                FROM documents),
+            dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents)::BIGINT n_docs,
+                          (SELECT count(*) FROM toks)::BIGINT total),
+            tf AS (SELECT doc_id, token, count(*)::BIGINT tf FROM toks
+                   WHERE token IN ('join', 'scan', 'dup') GROUP BY doc_id, token),
+            df AS (SELECT token, count(DISTINCT doc_id)::BIGINT df FROM toks
+                   WHERE token IN ('join', 'scan', 'dup') GROUP BY token),
+            w AS (SELECT tf.doc_id, tf.token,
+                   (((st.n_docs - df.df)::DOUBLE + 0.5) / (df.df::DOUBLE + 0.5))
+                   * ((tf.tf::DOUBLE * 2.2) / (tf.tf::DOUBLE
+                       + 1.2 * (0.25 + 0.75 * (dl.dl::DOUBLE
+                                               / (st.total::DOUBLE / st.n_docs::DOUBLE)))))
+                       AS w
+                  FROM tf JOIN dl USING (doc_id), st
+                       JOIN df ON tf.token = df.token),
+            p AS (SELECT doc_id,
+                   (COALESCE(MAX(CASE WHEN token = 'join' THEN w END), 0)
+                    + COALESCE(MAX(CASE WHEN token = 'scan' THEN w END), 0))
+                    + COALESCE(MAX(CASE WHEN token = 'dup' THEN w END), 0) AS score
+                  FROM w GROUP BY doc_id),
+            lex AS (SELECT doc_id,
+                           row_number() OVER (ORDER BY score DESC, doc_id)
+                               AS lex_rank
+                    FROM (SELECT doc_id, score FROM p WHERE score > 0
+                          ORDER BY score DESC, doc_id LIMIT 50)),
+            q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            cs AS (SELECT vec_id AS doc_id,
+                   round(
+                       list_reduce(list_transform(range(1, len(embedding)+1), i -> embedding[i]::DOUBLE * qe[i]::DOUBLE), (x, y) -> x + y)
+                       / sqrt(list_reduce(list_transform(range(1, len(embedding)+1), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)
+                              * list_reduce(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * qe[i]::DOUBLE), (x, y) -> x + y)), 6) AS cosine
+                   FROM embeddings, q
+                   WHERE vec_id <> 0),
+            sem AS (SELECT doc_id,
+                           row_number() OVER (ORDER BY cosine DESC, doc_id)
+                               AS sem_rank
+                    FROM (SELECT doc_id, cosine FROM cs
+                          ORDER BY cosine DESC, doc_id LIMIT 50)),
+            f AS (SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+                         COALESCE(l.lex_rank, 0)::BIGINT AS lex_rank,
+                         COALESCE(s.sem_rank, 0)::BIGINT AS sem_rank
+                  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+            SELECT doc_id, lex_rank, sem_rank,
+                   (CASE WHEN lex_rank > 0 THEN 1.0 / (60 + lex_rank)
+                         ELSE 0.0 END
+                    + CASE WHEN sem_rank > 0 THEN 1.0 / (60 + sem_rank)
+                           ELSE 0.0 END) AS rrf
+            FROM f ORDER BY rrf DESC, doc_id LIMIT 10
         """,
         "heavy_hitters": """
             WITH toks AS (

@@ -1204,3 +1204,58 @@ def knn_range(sf_dir: str, *, query_id: int = 0, tau: float = 0.3) -> pd.DataFra
     return out.sort_values(
         ["cosine", "vec_id"], ascending=[False, True], kind="stable"
     ).reset_index(drop=True)
+
+
+# --- hybrid retrieval: reciprocal-rank fusion of BM25 and embedding kNN -------
+
+RRF_K = 60  # the canonical RRF damping constant (Cormack et al. 2009)
+
+
+def hybrid_search_rrf(
+    sf_dir: str,
+    *,
+    query_id: int = 0,
+    k: int = 10,
+    k_lex: int = 50,
+    k_sem: int = 50,
+    rrf_k: int = RRF_K,
+) -> pd.DataFrame:
+    """Hybrid retrieval: fuse the lexical (BM25 over ``documents``) and
+    semantic (exact cosine kNN over ``embeddings``; vec_id ≡ doc_id) top-K
+    rankings with reciprocal-rank fusion — rrf(d) = Σ_legs 1/(rrf_k +
+    rank_leg(d)) over the legs that retrieved d. The RAG retrieval
+    primitive: RRF needs only ranks, so the incomparable BM25 and cosine
+    score scales never mix.
+
+    Distributed shape: each leg is its own full corpus scan with per-batch
+    top-k partials (``bm25_search``: two stat/score passes;
+    ``knn_bruteforce``: broadcast query + partial top-k) — the fusion
+    itself touches only k_lex + k_sem rows on the driver, O(k) at any
+    corpus size. Absent-from-a-leg is encoded as rank 0 (never NULL), so
+    the schema is pure int64 + one float64.
+
+    Float parity: each leg's ranking is already bit-equal to its SQL
+    (BM25's ordered fold; the kNN ordered float64 fold rounded to 6);
+    the fused score 1/(rrf_k+lex) + 1/(rrf_k+sem) is two exact-int
+    divisions summed in fixed leg order — identical in the oracle.
+    """
+    from .textstats import bm25_search
+
+    lex = bm25_search(sf_dir, k=k_lex)[["doc_id"]].copy()
+    lex["lex_rank"] = np.arange(1, len(lex) + 1, dtype=np.int64)
+    sem = knn_bruteforce(sf_dir, query_id=query_id, k=k_sem)[["vec_id"]].copy()
+    sem = sem.rename(columns={"vec_id": "doc_id"})
+    sem["sem_rank"] = np.arange(1, len(sem) + 1, dtype=np.int64)
+    fused = lex.merge(sem, on="doc_id", how="outer")
+    for c in ("lex_rank", "sem_rank"):
+        fused[c] = fused[c].fillna(0).astype("int64")
+    lexc = np.where(
+        fused["lex_rank"] > 0, 1.0 / (rrf_k + fused["lex_rank"].to_numpy()), 0.0
+    )
+    semc = np.where(
+        fused["sem_rank"] > 0, 1.0 / (rrf_k + fused["sem_rank"].to_numpy()), 0.0
+    )
+    fused["rrf"] = lexc + semc  # fixed leg order == SQL's lex + sem
+    fused["doc_id"] = fused["doc_id"].astype("int64")
+    fused = fused.sort_values(["rrf", "doc_id"], ascending=[False, True], kind="stable")
+    return fused.head(k).reset_index(drop=True)

@@ -315,6 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dhash": _media_dhash_query,
         "media_sobel": _media_sobel_query,
         "media_audio_windows": _media_audio_windows_query,
+        "media_pitch": _media_pitch_query,
         "media_resample_audio": _media_resample_query,
         "geohash_cells": _geohash_query,
         "hilbert_keys": _hilbert_query,
@@ -640,6 +641,24 @@ def _media_audio_windows_query(sf_dir: str):
         .reset_index(drop=True)
     )
     write_oracle("media_audio_windows", oracle_audio_windows(fixture_table(FIXTURE_BLOCKS)))
+    return df
+
+
+def _media_pitch_query(sf_dir: str):
+    """Autocorrelation pitch (fundamental-frequency primitive) over real
+    decoded PCM16; per-lag integer-dot oracle over the raw sample spec."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.layers import oracle_audio_pitch
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.multimodal import audio_pitch
+
+    df = (
+        audio_pitch(fixture_docs(FIXTURE_BLOCKS))
+        .to_pandas()
+        .sort_values(["doc_id", "media_ref"])
+        .reset_index(drop=True)
+    )
+    write_oracle("media_pitch", oracle_audio_pitch(fixture_table(FIXTURE_BLOCKS)))
     return df
 
 
@@ -3343,6 +3362,7 @@ def _ensure_default_oracles() -> None:
             "media_dhash",
             "media_sobel",
             "media_audio_windows",
+            "media_pitch",
             "media_resample_audio",
             "geohash_cells",
             "hilbert_keys",
@@ -3457,6 +3477,7 @@ def _naive_oracle_sql() -> dict[str, str]:
         "media_dhash": read_parquet_sql("media_dhash", "doc_id, media_ref"),
         "media_sobel": read_parquet_sql("media_sobel", "doc_id, media_ref"),
         "media_audio_windows": read_parquet_sql("media_audio_windows", "doc_id, media_ref"),
+        "media_pitch": read_parquet_sql("media_pitch", "doc_id, media_ref"),
         "media_resample_audio": read_parquet_sql("media_resample_audio", "doc_id, media_ref"),
         "geohash_cells": read_parquet_sql("geohash_cells", "node_id, ip_id, lon, lat"),
         "hilbert_keys": read_parquet_sql("hilbert_keys", "node_id, ip_id, lon, lat"),

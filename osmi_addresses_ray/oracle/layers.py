@@ -1214,6 +1214,47 @@ def oracle_audio_windows(docs: pa.Table) -> pd.DataFrame:
         ["doc_id", "media_ref"]).reset_index(drop=True)
 
 
+def oracle_audio_pitch(docs: pa.Table) -> pd.DataFrame:
+    """Independent autocorrelation-pitch recomputation over the raw PCM
+    spec: per-lag integer dot products (sliced np.dot converted to python
+    int per lag — decomposition-diverse from the engine's single strided
+    matmul), fixed window W = n-160, lags 32..160, first argmax, r0 over
+    the whole clip, voiced iff 4*r_best > r0. Rate is the WAV encoder's
+    fixed 16000 (the engine reads it back out of the RIFF header)."""
+    lag_min, lag_max = 32, 160
+    rows = []
+    for row in docs.to_pylist():
+        for span in row["spans"]:
+            if span["kind"] != "media":
+                continue
+            s = _oracle_audio_samples(span["media_ref"]).astype(np.int64)
+            n = len(s)
+            r0 = int(np.dot(s, s))
+            w = n - lag_max
+            if w <= 0:
+                best_lag, r_best, voiced = -1, 0, 0
+            else:
+                left = s[:w]
+                best_lag, r_best = -1, None
+                for lag in range(lag_min, lag_max + 1):
+                    r = int(np.dot(left, s[lag : lag + w]))
+                    if r_best is None or r > r_best:  # strict > == first argmax
+                        best_lag, r_best = lag, r
+                voiced = 1 if 4 * r_best > r0 else 0
+            rows.append(
+                {
+                    "doc_id": row["doc_id"], "media_ref": span["media_ref"],
+                    "n_samples": np.int64(n), "sample_rate": np.int64(16000),
+                    "r0": np.int64(r0), "best_lag": np.int64(best_lag),
+                    "r_best": np.int64(r_best or 0), "voiced": np.int64(voiced),
+                }
+            )
+    cols = ["doc_id", "media_ref", "n_samples", "sample_rate", "r0",
+            "best_lag", "r_best", "voiced"]
+    return pd.DataFrame(rows, columns=cols).sort_values(
+        ["doc_id", "media_ref"]).reset_index(drop=True)
+
+
 def oracle_media_sobel(docs: pa.Table) -> pd.DataFrame:
     """Scalar Sobel recomputation: explicit per-pixel 3×3 loops over the raw
     pixel spec, grayscale = r+g+b, mag² = gx²+gy², threshold 1_000_000 —

@@ -736,3 +736,88 @@ def media_resample_audio(docs_ds, *, concurrency=(1, 4), batch_size: int = 64):
     return media.map_batches(
         AudioResampler, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
     )
+
+
+# --- autocorrelation pitch over real decoded PCM16 ---------------------------
+
+MEDIA_PITCH_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("n_samples", pa.int64()),
+        pa.field("sample_rate", pa.int64()),
+        pa.field("r0", pa.int64()),
+        pa.field("best_lag", pa.int64()),
+        pa.field("r_best", pa.int64()),
+        pa.field("voiced", pa.int64()),
+    ]
+)
+
+
+class AudioPitch:
+    """Actor-pool autocorrelation pitch detection over REAL decoded PCM16 —
+    the fundamental-frequency primitive (speech/music triage). Fixed-window
+    spec so every lag sees the same left window: with W = n − LAG_MAX,
+    r(lag) = Σ_{i<W} s[i]·s[i+lag] for lag ∈ [LAG_MIN, LAG_MAX];
+    best_lag = FIRST argmax (np rule), r0 = Σ s² over the whole clip,
+    voiced ⇔ 4·r_best > r0 (normalized autocorr > 0.25, exact integer
+    cross-multiplication — no float surface anywhere). Clips with n ≤
+    LAG_MAX emit the sentinel (best_lag −1, r_best 0, voiced 0).
+
+    The per-clip lag sweep is ONE int64 matmul over a stride-tricks view
+    (numpy integer matmul is exact), not a per-lag Python loop."""
+
+    LAG_MIN = 32
+    LAG_MAX = 160
+
+    def __init__(self):
+        from osmi_addresses_ray.stages.media_codecs import decode_wav
+
+        self._decode = decode_wav
+        self._lags = np.arange(self.LAG_MIN, self.LAG_MAX + 1)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = {k: [] for k in MEDIA_PITCH_SCHEMA.names}
+        for doc_id, ref, payload in zip(
+            t["doc_id"].to_pylist(), t["media_ref"].to_pylist(), t["payload"].to_pylist()
+        ):
+            if payload[:4] != b"RIFF":
+                raise NotImplementedError(
+                    f"no codec for audio payload (magic {payload[:4]!r})"
+                )
+            samples, rate = self._decode(payload)
+            s = samples.astype(np.int64)
+            n = len(s)
+            rows["doc_id"].append(doc_id)
+            rows["media_ref"].append(ref)
+            rows["n_samples"].append(n)
+            rows["sample_rate"].append(int(rate))
+            r0 = int((s * s).sum())
+            rows["r0"].append(r0)
+            w = n - self.LAG_MAX
+            if w <= 0:
+                rows["best_lag"].append(-1)
+                rows["r_best"].append(0)
+                rows["voiced"].append(0)
+                continue
+            # (n_lags, W) strided view of the right windows × left window
+            win = np.lib.stride_tricks.sliding_window_view(s, w)[self._lags]
+            r = win @ s[:w]
+            k = int(np.argmax(r))  # first argmax on ties
+            r_best = int(r[k])
+            rows["best_lag"].append(int(self._lags[k]))
+            rows["r_best"].append(r_best)
+            rows["voiced"].append(1 if 4 * r_best > r0 else 0)
+        return pa.Table.from_arrays(
+            [pa.array(rows[f.name], f.type) for f in MEDIA_PITCH_SCHEMA],
+            schema=MEDIA_PITCH_SCHEMA,
+        )
+
+
+def audio_pitch(docs_ds, *, concurrency=(1, 4), batch_size: int = 64):
+    from osmi_addresses_ray.stages.media_codecs import synthesize_audio_payload
+
+    media = _extract_refs_with_store(docs_ds, synthesize_audio_payload, "audio")
+    return media.map_batches(
+        AudioPitch, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+    )

@@ -332,3 +332,41 @@ def test_audio_windows_planted_silence():
     assert out["min_energy"] == [0] and out["min_window"] == [1]
     assert out["max_energy"] == [w * 30000 * 30000]
     assert out["n_low"] == [1]  # only the silent window is below THR
+
+
+def test_audio_pitch_planted_period():
+    """A period-64 square wave must peak the autocorrelation at lag 64
+    (and its harmonic 128 ties EQUAL — first argmax keeps 64) and pass the
+    voiced gate; uncorrelated noise must not. A short clip (n <= LAG_MAX)
+    takes the sentinel path."""
+    import numpy as np
+    import pyarrow as pa
+
+    from osmi_addresses_ray.stages.media_codecs import encode_wav
+    from osmi_addresses_ray.stages.multimodal import AudioPitch
+
+    period = 64
+    n = 2048
+    sq = np.where((np.arange(n) // (period // 2)) % 2 == 0, 20000, -20000).astype(
+        np.int16
+    )
+    rng = np.random.default_rng(3)
+    noise = rng.integers(-20000, 20000, n).astype(np.int16)
+    short = np.ones(100, np.int16)
+    t = pa.table(
+        {
+            "doc_id": pa.array(["d1", "d2", "d3"], pa.string()),
+            "media_ref": pa.array(["sq", "nz", "sh"], pa.string()),
+            "payload": pa.array(
+                [encode_wav(sq), encode_wav(noise), encode_wav(short)], pa.binary()
+            ),
+            "kind": pa.array(["audio"] * 3, pa.string()),
+        }
+    )
+    out = AudioPitch()(t).to_pydict()
+    got = {r: (bl, v) for r, bl, v in zip(
+        out["media_ref"], out["best_lag"], out["voiced"])}
+    assert got["sq"] == (64, 1)
+    assert got["nz"][1] == 0  # noise never clears 0.25 normalized autocorr
+    assert got["sh"] == (-1, 0)
+    assert out["sample_rate"] == [16000] * 3

@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": textstats.heavy_hitters,
         "bm25_search": textstats.bm25_search,
         "hybrid_search_rrf": similarity.hybrid_search_rrf,
+        "vocab_growth": textstats.vocab_growth,
         "scrub_dup_ngrams": textstats.scrub_dup_ngrams,
         "pagerank_trade": graph.pagerank_trade,
         "triangle_counts": graph.triangle_counts,
@@ -2930,6 +2931,29 @@ def oracle_sql() -> dict[str, str]:
                     + CASE WHEN sem_rank > 0 THEN 1.0 / (60 + sem_rank)
                            ELSE 0.0 END) AS rrf
             FROM f ORDER BY rrf DESC, doc_id LIMIT 10
+        """,
+        # Heaps-law vocabulary growth: each type attributed to its
+        # min-doc_id first appearance, regrouped per doc, window cumsums
+        "vocab_growth": """
+            WITH toks AS (
+                SELECT doc_id,
+                       lower(unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')))
+                           AS token
+                FROM documents),
+            f AS (SELECT token, min(doc_id) AS doc_id FROM toks GROUP BY token),
+            nt AS (SELECT doc_id, count(*)::BIGINT AS new_types
+                   FROM f GROUP BY doc_id),
+            dt AS (SELECT doc_id, count(*)::BIGINT AS doc_tokens
+                   FROM toks GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(nt.new_types, 0)::BIGINT AS new_types,
+                   (sum(COALESCE(nt.new_types, 0)) OVER w)::BIGINT AS cum_types,
+                   COALESCE(dt.doc_tokens, 0)::BIGINT AS doc_tokens,
+                   (sum(COALESCE(dt.doc_tokens, 0)) OVER w)::BIGINT AS cum_tokens
+            FROM documents d
+            LEFT JOIN nt USING (doc_id) LEFT JOIN dt USING (doc_id)
+            WINDOW w AS (ORDER BY d.doc_id ROWS UNBOUNDED PRECEDING)
+            ORDER BY d.doc_id
         """,
         "heavy_hitters": """
             WITH toks AS (

@@ -2524,3 +2524,81 @@ def ngram_novelty(sf_dir: str, *, n: int = 8, num_parts: int = 8) -> pd.DataFram
     for c in agg.columns:
         agg[c] = agg[c].astype("int64")
     return agg.sort_values("doc_id").reset_index(drop=True)
+
+# --- vocabulary growth (Heaps' law curve) --------------------------------------
+
+
+def vocab_growth(sf_dir: str) -> pd.DataFrame:
+    """Vocabulary growth curve (Heaps' law V(n) ~ k·nᵝ): for every doc, the
+    number of NEW token types it introduces when the corpus is read in
+    doc_id order, plus the running type and token totals. The
+    corpus-diversity diagnostic behind dedup/mixture tuning: a flattening
+    curve means incoming docs stop contributing vocabulary.
+
+    Distributed shape — "first doc of each type" is an attribution
+    reduction, not a scan-in-order: (1) per batch, dedup tokens to
+    (token, min-doc-in-batch) partials, so the exchange carries one row
+    per distinct type per batch, never the token stream; (2) token-keyed
+    grouped MIN → each type's global first doc; (3) regroup the firsts by
+    doc (≤ one row per doc leaves the exchange) — the distinct-token set
+    itself never lands on the driver. Per-doc token counts ride a separate
+    trivially-parallel count. The two cumulative sums run over the per-doc
+    RESULT rows, which is the operator's own output size. All integers.
+    TRUE SQL oracle: min(doc_id) per token → group by first doc → window
+    cumsums over the full doc list.
+    """
+    from .relational import grouped_agg
+
+    ds = _read_docs(sf_dir)
+    tok = re.compile(_TOKEN_RE)
+
+    def first_partials(df: pd.DataFrame) -> pd.DataFrame:
+        first: dict[str, int] = {}
+        for doc_id, text in zip(df["doc_id"].to_numpy(np.int64), df["text"]):
+            for w in tok.findall(text.lower()):
+                # ascending doc_id within a batch isn't guaranteed -> min
+                if w not in first or doc_id < first[w]:
+                    first[w] = int(doc_id)
+        return pd.DataFrame(
+            {
+                "token": pd.Series(list(first.keys()), dtype=object),
+                "first_doc": pd.Series(list(first.values()), dtype="int64"),
+            }
+        )
+
+    token_firsts = grouped_agg(
+        ds.map_batches(first_partials, batch_format="pandas"),
+        ["token"],
+        {"first_doc": ("first_doc", "min")},
+    )
+    new_types = grouped_agg(
+        token_firsts.drop_columns(["token"]),
+        ["first_doc"],
+        {"new_types": (None, "count")},
+    ).to_pandas()
+
+    def doc_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64").to_numpy(),
+                "doc_tokens": pd.Series(
+                    [len(tok.findall(t.lower())) for t in df["text"]], dtype="int64"
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(doc_counts, batch_format="pandas")
+        .to_pandas()
+        .merge(
+            new_types.rename(columns={"first_doc": "doc_id"}),
+            on="doc_id",
+            how="left",
+        )
+    )
+    out["new_types"] = out["new_types"].fillna(0).astype("int64")
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    out["cum_types"] = out["new_types"].cumsum().astype("int64")
+    out["cum_tokens"] = out["doc_tokens"].cumsum().astype("int64")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["doc_id", "new_types", "cum_types", "doc_tokens", "cum_tokens"]]

@@ -291,3 +291,35 @@ def test_k_anonymity_flags(tmp_path, ray_session):
     c = out.loc["click"]
     assert c.n_rows == 2 and c.n_users == 2
     assert c.k_violation == 1 and c.l_violation == 1
+
+
+def test_vocab_growth_first_appearance_attribution(tmp_path, ray_session):
+    """Each type counts exactly once, at its MIN doc_id; re-appearances add
+    tokens but no types; an empty doc still gets a (0-new-types) row; the
+    cumulative columns are running sums over doc_id order."""
+    import pandas as pd
+
+    from osmi_addresses_ray.pipelines.textstats import vocab_growth
+
+    texts = [
+        "alpha beta alpha",      # doc 0: types {alpha, beta}
+        "beta gamma",            # doc 1: new type {gamma}
+        "",                      # doc 2: empty
+        "Alpha DELTA delta",     # doc 3: lowercasing -> new type {delta}
+    ]
+    df = pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "text": texts,
+            "lang": "en",
+            "source": "t",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = vocab_growth(str(tmp_path))
+    assert out["doc_id"].tolist() == [0, 1, 2, 3]
+    assert out["new_types"].tolist() == [2, 1, 0, 1]
+    assert out["cum_types"].tolist() == [2, 3, 3, 4]
+    assert out["doc_tokens"].tolist() == [3, 2, 0, 3]
+    assert out["cum_tokens"].tolist() == [3, 5, 5, 8]

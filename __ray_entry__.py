@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_coverage": timeseries.interval_coverage,
         "event_transitions": timeseries.event_transitions,
         "scd2_intervals": timeseries.scd2_intervals,
+        "ols_trend": timeseries.ols_trend,
         "ema_user_value": timeseries.ema_user_value,
         "k_anonymity_audit": timeseries.k_anonymity_audit,
         "curate_corpus": textstats.curate_corpus,
@@ -2530,6 +2531,30 @@ def oracle_sql() -> dict[str, str]:
                    c.n::DOUBLE / tot.t::DOUBLE AS prob
             FROM c JOIN tot USING (from_type)
             ORDER BY from_type, to_type
+        """,
+        # exact OLS per event type: integer sufficient stats (hours since
+        # 2024-01-01 x integer cents), HUGEINT closed-form combine, one
+        # double division per coefficient (bit-equal to the python-int path)
+        "ols_trend": """
+            WITH b AS (SELECT event_type,
+                              (epoch_us(ts) // 3600000000 - 473352)::BIGINT AS x,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+                       FROM events),
+            g AS (SELECT event_type, count(*)::BIGINT n, sum(x)::BIGINT sx,
+                         sum(y)::BIGINT sy, sum(x * y)::BIGINT sxy,
+                         sum(x * x)::BIGINT sxx
+                  FROM b GROUP BY event_type),
+            s AS (SELECT *, CASE WHEN den = 0 THEN 0.0
+                                 ELSE num::DOUBLE / den::DOUBLE END AS slope
+                  FROM (SELECT *,
+                               n::HUGEINT * sxy::HUGEINT
+                               - sx::HUGEINT * sy::HUGEINT AS num,
+                               n::HUGEINT * sxx::HUGEINT
+                               - sx::HUGEINT * sx::HUGEINT AS den
+                        FROM g))
+            SELECT event_type, n, sx, sy, sxy, sxx, slope,
+                   (sy::DOUBLE - slope * sx::DOUBLE) / n::DOUBLE AS intercept
+            FROM s ORDER BY event_type
         """,
         # SCD-2 compaction: lag() run breaks -> cumulative run id -> group
         # -> lead() of the run start as valid_to (NULL on each user's last run)

@@ -1829,3 +1829,74 @@ def scd2_intervals(sf_dir: str, *, num_parts: int = 8) -> pd.DataFrame:
     return out.sort_values(
         ["user_id", "valid_from", "event_type"]
     ).reset_index(drop=True)
+
+
+# --- exact OLS trend per event type -------------------------------------------
+
+_OLS_EPOCH_H = 473_352  # hours from unix epoch to 2024-01-01 00:00 UTC
+_OLS_IN_SCHEMA = pa.schema(
+    [("ts", pa.timestamp("us")), ("event_type", pa.string()), ("value", pa.float64())]
+)
+
+
+def ols_trend(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type ordinary-least-squares trend of value over time —
+    the parametric sibling of ``theil_sen_trend``: slope/intercept from
+    EXACT integer sufficient statistics (x = whole hours since 2024-01-01,
+    y = integer cents), so the only float surface is one final division
+    per coefficient. Emits the sufficient stats too (n, Σx, Σy, Σxy, Σx²),
+    which is what a downstream incremental refresher would checkpoint.
+
+    Distributed shape: per-batch integer partial sums → one tiny
+    event_type-keyed groupby (≤ #types rows); the closed-form combine
+    n·Σxy − Σx·Σy runs in PYTHON ints on the driver (the cross terms
+    overflow int64 at ~10⁵ rows/group; arbitrary precision keeps the spec
+    exact at any scale), then converts to double exactly like the SQL's
+    HUGEINT::DOUBLE. Oracle: same stats via HUGEINT arithmetic.
+    """
+    ds = _read_events(sf_dir, ["ts", "event_type", "value"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        ts = (
+            t["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        x = ts // 3_600_000_000 - _OLS_EPOCH_H
+        y = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": np.asarray(t["event_type"].to_pandas(), dtype=object),
+                "n": np.int64(1),
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+            }
+        )
+        return df.groupby("event_type", as_index=False, sort=False).sum()
+
+    from .relational import grouped_agg
+
+    g = grouped_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["event_type"],
+        {c: (c, "sum") for c in ("n", "sx", "sy", "sxy", "sxx")},
+    ).to_pandas()
+    slopes, intercepts = [], []
+    for r in g.itertuples():
+        n, sx, sy, sxy, sxx = (int(r.n), int(r.sx), int(r.sy), int(r.sxy), int(r.sxx))
+        num = n * sxy - sx * sy  # python ints: exact at any magnitude
+        den = n * sxx - sx * sx
+        slope = float(num) / float(den) if den else 0.0
+        slopes.append(slope)
+        # cents/hour -> intercept in cents at x=0, same op order as SQL
+        intercepts.append((float(sy) - slope * float(sx)) / float(n))
+    g["slope"] = np.asarray(slopes, np.float64)
+    g["intercept"] = np.asarray(intercepts, np.float64)
+    for c in ("n", "sx", "sy", "sxy", "sxx"):
+        g[c] = g[c].astype("int64")
+    return g.sort_values("event_type").reset_index(drop=True)[
+        ["event_type", "n", "sx", "sy", "sxy", "sxx", "slope", "intercept"]
+    ]

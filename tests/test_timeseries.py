@@ -624,3 +624,36 @@ def test_scd2_run_compaction_and_open_intervals(tmp_path, ray_session):
         (2, "x", base + 0 * m, base + 0 * m, 1),
         (2, "y", base + 0 * m, NaT, 1),
     ]
+
+
+def test_ols_trend_planted_line_and_degenerate_group(tmp_path, ray_session):
+    """A perfect line recovers its exact slope/intercept (cents per hour);
+    a group with a single distinct hour has den = 0 and takes the
+    slope-0.0 path; sufficient stats are exact integers."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osmi_addresses_ray.pipelines.timeseries import ols_trend
+
+    base = pd.Timestamp("2024-01-01 00:30:00")
+    h = pd.Timedelta(hours=1)
+    rows = [
+        # line: cents = 300*x + 700 at x = 0, 1, 2
+        (1, base + 0 * h, 1, "line", 7.00),
+        (2, base + 1 * h, 1, "line", 10.00),
+        (3, base + 2 * h, 1, "line", 13.00),
+        # flat: both events inside hour x=5 -> den = 0
+        (4, base + 5 * h, 2, "flat", 1.00),
+        (5, base + 5 * h, 2, "flat", 3.00),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    df["props"] = "{}"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    out = ols_trend(str(tmp_path)).set_index("event_type")
+    ln = out.loc["line"]
+    assert (ln.n, ln.sx, ln.sy, ln.sxy, ln.sxx) == (3, 3, 3000, 3600, 5)
+    assert ln.slope == 300.0 and ln.intercept == 700.0
+    fl = out.loc["flat"]
+    assert fl.slope == 0.0 and fl.n == 2 and fl.sx == 10

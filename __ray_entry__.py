@@ -318,6 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_sobel": _media_sobel_query,
         "media_audio_windows": _media_audio_windows_query,
         "media_pitch": _media_pitch_query,
+        "media_onsets": _media_onsets_query,
         "media_resample_audio": _media_resample_query,
         "geohash_cells": _geohash_query,
         "hilbert_keys": _hilbert_query,
@@ -661,6 +662,24 @@ def _media_pitch_query(sf_dir: str):
         .reset_index(drop=True)
     )
     write_oracle("media_pitch", oracle_audio_pitch(fixture_table(FIXTURE_BLOCKS)))
+    return df
+
+
+def _media_onsets_query(sf_dir: str):
+    """Onset detection (attack/transient primitive) over real decoded
+    PCM16; scalar per-window-loop oracle over the raw sample spec."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.layers import oracle_audio_onsets
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.multimodal import audio_onsets
+
+    df = (
+        audio_onsets(fixture_docs(FIXTURE_BLOCKS))
+        .to_pandas()
+        .sort_values(["doc_id", "media_ref"])
+        .reset_index(drop=True)
+    )
+    write_oracle("media_onsets", oracle_audio_onsets(fixture_table(FIXTURE_BLOCKS)))
     return df
 
 
@@ -3412,6 +3431,7 @@ def _ensure_default_oracles() -> None:
             "media_sobel",
             "media_audio_windows",
             "media_pitch",
+            "media_onsets",
             "media_resample_audio",
             "geohash_cells",
             "hilbert_keys",
@@ -3527,6 +3547,7 @@ def _naive_oracle_sql() -> dict[str, str]:
         "media_sobel": read_parquet_sql("media_sobel", "doc_id, media_ref"),
         "media_audio_windows": read_parquet_sql("media_audio_windows", "doc_id, media_ref"),
         "media_pitch": read_parquet_sql("media_pitch", "doc_id, media_ref"),
+        "media_onsets": read_parquet_sql("media_onsets", "doc_id, media_ref"),
         "media_resample_audio": read_parquet_sql("media_resample_audio", "doc_id, media_ref"),
         "geohash_cells": read_parquet_sql("geohash_cells", "node_id, ip_id, lon, lat"),
         "hilbert_keys": read_parquet_sql("hilbert_keys", "node_id, ip_id, lon, lat"),

@@ -1255,6 +1255,46 @@ def oracle_audio_pitch(docs: pa.Table) -> pd.DataFrame:
         ["doc_id", "media_ref"]).reset_index(drop=True)
 
 
+def oracle_audio_onsets(docs: pa.Table) -> pd.DataFrame:
+    """Scalar onset recomputation over the raw PCM spec: explicit
+    per-window energy loops, onset iff e[i] > 4*e[i-1] and e[i] >= 5e10,
+    sharpest jump by cross-multiplied rational compare (first on ties) —
+    pure python ints, algorithm-diverse from the engine's boolean masks."""
+    win, ratio, emin = 256, 4, 50_000_000_000
+    rows = []
+    for row in docs.to_pylist():
+        for span in row["spans"]:
+            if span["kind"] != "media":
+                continue
+            s = [int(v) for v in _oracle_audio_samples(span["media_ref"])]
+            nw = len(s) // win
+            e = [sum(v * v for v in s[i * win:(i + 1) * win]) for i in range(nw)]
+            onsets = [
+                i for i in range(1, nw) if e[i] > ratio * e[i - 1] and e[i] >= emin
+            ]
+            if not onsets:
+                first, num, den = -1, 0, 0
+            else:
+                first = onsets[0]
+                best = onsets[0]
+                for i in onsets[1:]:
+                    if e[i] * e[best - 1] > e[best] * e[i - 1]:
+                        best = i
+                num, den = e[best], e[best - 1]
+            rows.append(
+                {
+                    "doc_id": row["doc_id"], "media_ref": span["media_ref"],
+                    "n_windows": np.int64(nw), "n_onsets": np.int64(len(onsets)),
+                    "first_onset": np.int64(first),
+                    "max_jump_num": np.int64(num), "max_jump_den": np.int64(den),
+                }
+            )
+    cols = ["doc_id", "media_ref", "n_windows", "n_onsets", "first_onset",
+            "max_jump_num", "max_jump_den"]
+    return pd.DataFrame(rows, columns=cols).sort_values(
+        ["doc_id", "media_ref"]).reset_index(drop=True)
+
+
 def oracle_media_sobel(docs: pa.Table) -> pd.DataFrame:
     """Scalar Sobel recomputation: explicit per-pixel 3×3 loops over the raw
     pixel spec, grayscale = r+g+b, mag² = gx²+gy², threshold 1_000_000 —

@@ -821,3 +821,92 @@ def audio_pitch(docs_ds, *, concurrency=(1, 4), batch_size: int = 64):
     return media.map_batches(
         AudioPitch, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
     )
+
+
+# --- audio onset detection over windowed energies -----------------------------
+
+MEDIA_ONSET_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("n_windows", pa.int64()),
+        pa.field("n_onsets", pa.int64()),
+        pa.field("first_onset", pa.int64()),
+        pa.field("max_jump_num", pa.int64()),
+        pa.field("max_jump_den", pa.int64()),
+    ]
+)
+
+
+class AudioOnsets:
+    """Actor-pool onset detection over REAL decoded PCM16 — the
+    attack/transient primitive (beat tracking, speech burst segmentation):
+    window energies e[i] (the AudioWindows spec: 256-sample windows,
+    trailing partial dropped), onset at window i ≥ 1 iff e[i] > RATIO·
+    e[i-1] AND e[i] ≥ E_MIN — both exact integer comparisons, no float.
+    The sharpest jump is reported as the RATIONAL pair (e[i], e[i-1]) of
+    the onset maximizing e[i]·e[j-1] cross-multiplied comparison, ties to
+    the earliest window; no-onset clips emit the (-1, 0, 0) sentinel."""
+
+    WIN = 256
+    RATIO = 4
+    E_MIN = 50_000_000_000
+
+    def __init__(self):
+        from osmi_addresses_ray.stages.media_codecs import decode_wav
+
+        self._decode = decode_wav
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = {k: [] for k in MEDIA_ONSET_SCHEMA.names}
+        for doc_id, ref, payload in zip(
+            t["doc_id"].to_pylist(), t["media_ref"].to_pylist(), t["payload"].to_pylist()
+        ):
+            if payload[:4] != b"RIFF":
+                raise NotImplementedError(
+                    f"no codec for audio payload (magic {payload[:4]!r})"
+                )
+            samples, _rate = self._decode(payload)
+            s = samples.astype(np.int64)
+            nw = len(s) // self.WIN
+            rows["doc_id"].append(doc_id)
+            rows["media_ref"].append(ref)
+            rows["n_windows"].append(nw)
+            if nw < 2:
+                rows["n_onsets"].append(0)
+                rows["first_onset"].append(-1)
+                rows["max_jump_num"].append(0)
+                rows["max_jump_den"].append(0)
+                continue
+            e = (s[: nw * self.WIN].reshape(nw, self.WIN) ** 2).sum(axis=1)
+            cur, prev = e[1:], e[:-1]
+            hit = (cur > self.RATIO * prev) & (cur >= self.E_MIN)
+            idx = np.flatnonzero(hit) + 1
+            rows["n_onsets"].append(len(idx))
+            if len(idx) == 0:
+                rows["first_onset"].append(-1)
+                rows["max_jump_num"].append(0)
+                rows["max_jump_den"].append(0)
+                continue
+            rows["first_onset"].append(int(idx[0]))
+            # sharpest jump by cross-multiplied ratio compare, first on ties
+            best = idx[0]
+            for i in idx[1:]:
+                # e[i]/e[i-1] > e[best]/e[best-1]  <=>  cross products
+                if int(e[i]) * int(e[best - 1]) > int(e[best]) * int(e[i - 1]):
+                    best = i
+            rows["max_jump_num"].append(int(e[best]))
+            rows["max_jump_den"].append(int(e[best - 1]))
+        return pa.Table.from_arrays(
+            [pa.array(rows[f.name], f.type) for f in MEDIA_ONSET_SCHEMA],
+            schema=MEDIA_ONSET_SCHEMA,
+        )
+
+
+def audio_onsets(docs_ds, *, concurrency=(1, 4), batch_size: int = 64):
+    from osmi_addresses_ray.stages.media_codecs import synthesize_audio_payload
+
+    media = _extract_refs_with_store(docs_ds, synthesize_audio_payload, "audio")
+    return media.map_batches(
+        AudioOnsets, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+    )

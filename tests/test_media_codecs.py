@@ -370,3 +370,43 @@ def test_audio_pitch_planted_period():
     assert got["nz"][1] == 0  # noise never clears 0.25 normalized autocorr
     assert got["sh"] == (-1, 0)
     assert out["sample_rate"] == [16000] * 3
+
+
+def test_audio_onsets_planted_attacks():
+    """Silence -> loud is an onset only when it clears BOTH the 4x ratio
+    and the absolute floor; a louder second attack wins max_jump by
+    cross-multiplied rational compare; silence -> moderate (from e=0)
+    reports the infinite-jump (num, 0) pair."""
+    import numpy as np
+    import pyarrow as pa
+
+    from osmi_addresses_ray.stages.media_codecs import encode_wav
+    from osmi_addresses_ray.stages.multimodal import AudioOnsets
+
+    w = AudioOnsets.WIN
+    quiet = np.full(w, 4000, np.int16)    # e = 256*16e6 = 4.096e9 < E_MIN
+    mid = np.full(w, 16000, np.int16)     # e = 6.55e10 >= E_MIN, ratio 16
+    loud = np.full(w, 32000, np.int16)    # e = 2.62e11, ratio vs quiet = 64
+    # windows: quiet, mid (onset, ratio 16), mid (no), quiet (no, drop),
+    # loud (onset, ratio 64 -> the max jump), loud (no)
+    clip = np.concatenate([quiet, mid, mid, quiet, loud, loud])
+    t = pa.table(
+        {
+            "doc_id": pa.array(["d", "z"], pa.string()),
+            "media_ref": pa.array(["a", "b"], pa.string()),
+            "payload": pa.array(
+                [encode_wav(clip), encode_wav(np.concatenate([np.zeros(w, np.int16), mid]))],
+                pa.binary(),
+            ),
+            "kind": pa.array(["audio", "audio"], pa.string()),
+        }
+    )
+    out = AudioOnsets()(t).to_pydict()
+    e_quiet, e_mid, e_loud = (
+        int(w * 4000**2), int(w * 16000**2), int(w * 32000**2))
+    i = out["media_ref"].index("a")
+    assert out["n_onsets"][i] == 2 and out["first_onset"][i] == 1
+    assert (out["max_jump_num"][i], out["max_jump_den"][i]) == (e_loud, e_quiet)
+    j = out["media_ref"].index("b")
+    assert out["n_onsets"][j] == 1 and out["first_onset"][j] == 1
+    assert (out["max_jump_num"][j], out["max_jump_den"][j]) == (e_mid, 0)

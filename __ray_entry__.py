@@ -319,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_audio_windows": _media_audio_windows_query,
         "media_pitch": _media_pitch_query,
         "media_onsets": _media_onsets_query,
+        "media_blobs": _media_blobs_query,
         "media_resample_audio": _media_resample_query,
         "geohash_cells": _geohash_query,
         "hilbert_keys": _hilbert_query,
@@ -680,6 +681,24 @@ def _media_onsets_query(sf_dir: str):
         .reset_index(drop=True)
     )
     write_oracle("media_onsets", oracle_audio_onsets(fixture_table(FIXTURE_BLOCKS)))
+    return df
+
+
+def _media_blobs_query(sf_dir: str):
+    """Connected-component blob labeling (region primitive) over real
+    decoded pixels; scalar BFS flood-fill oracle over the raw pixel spec."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.layers import oracle_media_blobs
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.multimodal import media_blobs
+
+    df = (
+        media_blobs(fixture_docs(FIXTURE_BLOCKS))
+        .to_pandas()
+        .sort_values(["doc_id", "media_ref"])
+        .reset_index(drop=True)
+    )
+    write_oracle("media_blobs", oracle_media_blobs(fixture_table(FIXTURE_BLOCKS)))
     return df
 
 
@@ -3432,6 +3451,7 @@ def _ensure_default_oracles() -> None:
             "media_audio_windows",
             "media_pitch",
             "media_onsets",
+            "media_blobs",
             "media_resample_audio",
             "geohash_cells",
             "hilbert_keys",
@@ -3548,6 +3568,7 @@ def _naive_oracle_sql() -> dict[str, str]:
         "media_audio_windows": read_parquet_sql("media_audio_windows", "doc_id, media_ref"),
         "media_pitch": read_parquet_sql("media_pitch", "doc_id, media_ref"),
         "media_onsets": read_parquet_sql("media_onsets", "doc_id, media_ref"),
+        "media_blobs": read_parquet_sql("media_blobs", "doc_id, media_ref"),
         "media_resample_audio": read_parquet_sql("media_resample_audio", "doc_id, media_ref"),
         "geohash_cells": read_parquet_sql("geohash_cells", "node_id, ip_id, lon, lat"),
         "hilbert_keys": read_parquet_sql("hilbert_keys", "node_id, ip_id, lon, lat"),

@@ -1295,6 +1295,65 @@ def oracle_audio_onsets(docs: pa.Table) -> pd.DataFrame:
         ["doc_id", "media_ref"]).reset_index(drop=True)
 
 
+def oracle_media_blobs(docs: pa.Table) -> pd.DataFrame:
+    """Scalar blob recomputation: explicit BFS flood fill over the raw
+    pixel spec (threshold r+g+b >= 384, 4-connectivity), per-blob size and
+    min row-major index; largest by (size, then smallest anchor) —
+    algorithm-diverse from the engine's pair-list union-find."""
+    thr = 384
+    rows = []
+    for row in docs.to_pylist():
+        for span in row["spans"]:
+            if span["kind"] != "media":
+                continue
+            img = _oracle_media_pixels(span["media_ref"])
+            h, w = img.shape[:2]
+            fg = [
+                [int(img[y, x, 0]) + int(img[y, x, 1]) + int(img[y, x, 2]) >= thr
+                 for x in range(w)]
+                for y in range(h)
+            ]
+            seen = [[False] * w for _ in range(h)]
+            blobs = []  # (size, min_idx)
+            n_fg = 0
+            for y in range(h):
+                for x in range(w):
+                    if not fg[y][x]:
+                        continue
+                    n_fg += 1
+                    if seen[y][x]:
+                        continue
+                    stack = [(y, x)]
+                    seen[y][x] = True
+                    size, mn = 0, y * w + x
+                    while stack:
+                        cy, cx = stack.pop()
+                        size += 1
+                        if cy * w + cx < mn:
+                            mn = cy * w + cx
+                        for ny, nx in ((cy-1, cx), (cy+1, cx), (cy, cx-1), (cy, cx+1)):
+                            if 0 <= ny < h and 0 <= nx < w and fg[ny][nx] and not seen[ny][nx]:
+                                seen[ny][nx] = True
+                                stack.append((ny, nx))
+                    blobs.append((size, mn))
+            if not blobs:
+                n_blobs, size, anchor = 0, 0, -1
+            else:
+                n_blobs = len(blobs)
+                size, anchor = max(blobs, key=lambda b: (b[0], -b[1]))
+            rows.append(
+                {
+                    "doc_id": row["doc_id"], "media_ref": span["media_ref"],
+                    "n_fg": np.int64(n_fg), "n_blobs": np.int64(n_blobs),
+                    "largest_size": np.int64(size),
+                    "largest_anchor": np.int64(anchor),
+                }
+            )
+    cols = ["doc_id", "media_ref", "n_fg", "n_blobs", "largest_size", "largest_anchor"]
+    return pd.DataFrame(rows, columns=cols).sort_values(
+        ["doc_id", "media_ref"]).reset_index(drop=True)
+
+
 def oracle_media_sobel(docs: pa.Table) -> pd.DataFrame:
     """Scalar Sobel recomputation: explicit per-pixel 3×3 loops over the raw
     pixel spec, grayscale = r+g+b, mag² = gx²+gy², threshold 1_000_000 —

@@ -410,3 +410,29 @@ def test_audio_onsets_planted_attacks():
     j = out["media_ref"].index("b")
     assert out["n_onsets"][j] == 1 and out["first_onset"][j] == 1
     assert (out["max_jump_num"][j], out["max_jump_den"][j]) == (e_mid, 0)
+
+
+def test_image_blobs_planted_shapes():
+    """Two separated squares, an L-shape diagonal-touch case (diagonals do
+    NOT connect under 4-connectivity), size tie broken by smallest anchor,
+    and an all-background image hitting the sentinel."""
+    import numpy as np
+
+    from osmi_addresses_ray.stages.multimodal import ImageBlobs
+
+    # 6x6: 2x2 blob at (0,0); 2x2 blob at (3,3); diagonal pixel at (2,2)
+    # touches the first square only diagonally -> its own blob
+    fg = np.zeros((6, 6), bool)
+    fg[0:2, 0:2] = True
+    fg[3:5, 3:5] = True
+    fg[2, 2] = True
+    n_fg, n_blobs, size, anchor = ImageBlobs._label(fg)
+    assert (n_fg, n_blobs) == (9, 3)
+    # the two 2x2 squares tie at size 4 -> the (0,0)-anchored one wins
+    assert (size, anchor) == (4, 0)
+    # empty
+    assert ImageBlobs._label(np.zeros((3, 3), bool)) == (0, 0, 0, -1)
+    # single full row: one blob anchored at 0
+    row = np.zeros((1, 5), bool)
+    row[0, :] = True
+    assert ImageBlobs._label(row) == (5, 1, 5, 0)

@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": timeseries.event_transitions,
         "scd2_intervals": timeseries.scd2_intervals,
         "ols_trend": timeseries.ols_trend,
+        "dtw_pairs": timeseries.dtw_pairs,
         "ema_user_value": timeseries.ema_user_value,
         "k_anonymity_audit": timeseries.k_anonymity_audit,
         "curate_corpus": textstats.curate_corpus,
@@ -2593,6 +2594,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, n, sx, sy, sxy, sxx, slope,
                    (sy::DOUBLE - slope * sx::DOUBLE) / n::DOUBLE AS intercept
             FROM s ORDER BY event_type
+        """,
+        # DTW between top-16 users' 24-point hour-of-day profiles: the
+        # frechet_pairs recursive two-layer diagonal walk with + for max
+        "dtw_pairs": """
+            WITH RECURSIVE
+            c AS (SELECT user_id, hour(ts)::BIGINT AS h, count(*)::BIGINT AS n
+                  FROM events GROUP BY 1, 2),
+            tk AS (SELECT user_id
+                   FROM (SELECT user_id, sum(n) AS tot FROM c GROUP BY 1)
+                   ORDER BY tot DESC, user_id LIMIT 16),
+            hrs AS (SELECT unnest(range(0, 24))::BIGINT AS h),
+            p AS (SELECT tk.user_id, hrs.h, COALESCE(c.n, 0)::BIGINT AS n
+                  FROM tk CROSS JOIN hrs
+                  LEFT JOIN c ON c.user_id = tk.user_id AND c.h = hrs.h),
+            pairs AS (SELECT a.user_id AS ua, b.user_id AS ub
+                      FROM tk a JOIN tk b ON a.user_id < b.user_id),
+            dmat AS (SELECT pr.ua, pr.ub, pa.h AS i, pb.h AS j,
+                            abs(pa.n - pb.n) AS d
+                     FROM pairs pr
+                     JOIN p pa ON pa.user_id = pr.ua
+                     JOIN p pb ON pb.user_id = pr.ub),
+            walk(ua, ub, i, j, layer, val) AS (
+                SELECT ua, ub, 0::BIGINT, 0::BIGINT, 1, d
+                FROM dmat WHERE i = 0 AND j = 0
+              UNION ALL
+                SELECT * FROM (
+                  WITH nxt AS (
+                    SELECT w.ua, w.ub, w.i + mv.dx AS i, w.j + mv.dy AS j,
+                           min(w.val) AS pv
+                    FROM walk w
+                    JOIN (VALUES (1, 1, 0), (1, 0, 1), (0, 1, 1))
+                         mv(layer, dx, dy) ON mv.layer = w.layer
+                    GROUP BY 1, 2, 3, 4)
+                  SELECT n.ua, n.ub, n.i, n.j, 1 AS layer, d.d + n.pv AS val
+                  FROM nxt n JOIN dmat d ON d.ua = n.ua AND d.ub = n.ub
+                                        AND d.i = n.i AND d.j = n.j
+                  UNION ALL
+                  SELECT ua, ub, i, j, 0 AS layer, val
+                  FROM walk WHERE layer = 1
+                )
+            )
+            SELECT ua AS user_a, ub AS user_b, val::BIGINT AS dtw
+            FROM walk WHERE layer = 1 AND i = 23 AND j = 23
+            ORDER BY user_a, user_b
         """,
         # SCD-2 compaction: lag() run breaks -> cumulative run id -> group
         # -> lead() of the run start as valid_to (NULL on each user's last run)

@@ -657,3 +657,46 @@ def test_ols_trend_planted_line_and_degenerate_group(tmp_path, ray_session):
     assert ln.slope == 300.0 and ln.intercept == 700.0
     fl = out.loc["flat"]
     assert fl.slope == 0.0 and fl.n == 2 and fl.sx == 10
+
+
+def test_dtw_pairs_warping_and_topk(tmp_path, ray_session):
+    """A one-hour-shifted copy of a spiky profile is DTW-near (warping
+    absorbs the shift) while a flat profile is DTW-far; only the top-k
+    most active users enter the sweep."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osmi_addresses_ray.pipelines.timeseries import _dtw_batch, dtw_pairs
+
+    # kernel: shift-by-one of a spike train warps to cost = edge residuals
+    a = np.array([0, 10, 0, 10, 0, 10, 0, 0], np.int64)[None, :]
+    b = np.array([10, 0, 10, 0, 10, 0, 0, 0], np.int64)[None, :]
+    assert _dtw_batch(a, b)[0] <= 10  # warped alignment, not 60 (euclid)
+    assert _dtw_batch(a, a.copy())[0] == 0
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    h = pd.Timedelta(hours=1)
+    rows = []
+    eid = 0
+    # user 1: 3 events at hour 2; user 2: 3 events at hour 3 (shifted copy)
+    # user 3: one event each at hours 0, 8, 16 (flat-ish)
+    for hh, uid, cnt in ((2, 1, 3), (3, 2, 3)):
+        for c in range(cnt):
+            rows.append((eid, base + hh * h, uid, "view", 1.0)); eid += 1
+    for hh in (0, 8, 16):
+        rows.append((eid, base + hh * h, 3, "view", 1.0)); eid += 1
+    # user 99: a single event -> least active, cut by top_k=3
+    rows.append((eid, base, 99, "view", 1.0)); eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    df["props"] = "{}"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    out = dtw_pairs(str(tmp_path), top_k=3)
+    got = {(int(r.user_a), int(r.user_b)): int(r.dtw) for r in out.itertuples()}
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}  # user 99 cut
+    # shifted spike warps to 0 extra cost beyond the boundary cells
+    assert got[(1, 2)] == 0
+    # spiky vs spread-out profile is strictly farther
+    assert got[(1, 3)] > got[(1, 2)]

@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_intervals": timeseries.scd2_intervals,
         "ols_trend": timeseries.ols_trend,
         "dtw_pairs": timeseries.dtw_pairs,
+        "throttle_events": timeseries.throttle_events,
         "ema_user_value": timeseries.ema_user_value,
         "k_anonymity_audit": timeseries.k_anonymity_audit,
         "curate_corpus": textstats.curate_corpus,
@@ -2638,6 +2639,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT ua AS user_a, ub AS user_b, val::BIGINT AS dtw
             FROM walk WHERE layer = 1 AND i = 23 AND j = 23
             ORDER BY user_a, user_b
+        """,
+        # throttle: recursive CTE advances every (user, type) partition one
+        # EMISSION per iteration (suppression chains off emitted events, so
+        # lag() can't express it); n_suppressed via tuple-compare counts
+        "throttle_events": """
+            WITH RECURSIVE
+            ev AS (SELECT user_id, event_type, ts, event_id FROM events),
+            seed AS (SELECT user_id, event_type, ts, event_id
+                     FROM (SELECT *, row_number() OVER (
+                               PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) AS rn FROM ev)
+                     WHERE rn = 1),
+            walk(user_id, event_type, ts, event_id) AS (
+                SELECT * FROM seed
+              UNION ALL
+                SELECT user_id, event_type, ts, event_id FROM (
+                  SELECT e.user_id, e.event_type, e.ts, e.event_id,
+                         row_number() OVER (
+                             PARTITION BY e.user_id, e.event_type
+                             ORDER BY e.ts, e.event_id) AS rn
+                  FROM walk w
+                  JOIN ev e ON e.user_id = w.user_id
+                           AND e.event_type = w.event_type
+                           AND e.ts >= w.ts + INTERVAL 10 MINUTE
+                ) WHERE rn = 1
+            )
+            SELECT w.user_id, w.event_type, w.ts, w.event_id,
+                   (SELECT count(*) FROM ev e
+                    WHERE e.user_id = w.user_id
+                      AND e.event_type = w.event_type
+                      AND (e.ts, e.event_id) > (w.ts, w.event_id)
+                      AND (w.nxt_ts IS NULL
+                           OR (e.ts, e.event_id) < (w.nxt_ts, w.nxt_id)))
+                       ::BIGINT AS n_suppressed
+            FROM (SELECT *, lead(ts) OVER win AS nxt_ts,
+                         lead(event_id) OVER win AS nxt_id
+                  FROM walk
+                  WINDOW win AS (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id)) w
+            ORDER BY user_id, event_type, ts, event_id
         """,
         # SCD-2 compaction: lag() run breaks -> cumulative run id -> group
         # -> lead() of the run start as valid_to (NULL on each user's last run)

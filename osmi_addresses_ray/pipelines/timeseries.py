@@ -1992,3 +1992,101 @@ def dtw_pairs(sf_dir: str, *, top_k: int = _DTW_TOPK) -> pd.DataFrame:
         {"user_a": users[ai], "user_b": users[bi], "dtw": dtw.astype(np.int64)}
     )
     return out.sort_values(["user_a", "user_b"]).reset_index(drop=True)
+
+
+# --- throttle / rate-limit emission (state-dependent debounce) -----------------
+
+_THROTTLE_US = 600_000_000  # 10 minutes
+_THROTTLE_IN_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us")), ("event_type", pa.string()),
+    ]
+)
+_THROTTLE_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("ts", pa.timestamp("us")), ("event_id", pa.int64()),
+        ("n_suppressed", pa.int64()),
+    ]
+)
+
+
+def throttle_events(sf_dir: str, *, gap_us: int = _THROTTLE_US, num_parts: int = 8) -> pd.DataFrame:
+    """Rate-limited event emission (the alerting/dedup-notification
+    primitive): per (user, event_type) stream in (ts, event_id) order, the
+    first event emits; later events emit only when ts ≥ last EMITTED ts +
+    gap. This is STATE-dependent — unlike ``session_windows``' lag-based
+    gaps, suppression windows chain off emitted events, so a burst can't
+    re-arm itself. Each emitted row carries n_suppressed: the events it
+    absorbed before the next emission.
+
+    One user-keyed exchange (a (user, type) stream never straddles
+    partitions); in-partition the emit chain is followed by per-group
+    searchsorted jumps — O(emits · log n), with the sort and the
+    between-emit suppression counts fully vectorized. TRUE SQL oracle:
+    recursive CTE advancing every partition one emission per iteration
+    (row_number-1 candidate after each emitted row), tuple-comparison
+    suppression counts."""
+    from ..ops import direct_partitioned_map
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _THROTTLE_SCHEMA.empty_table()
+        df = t.to_pandas()
+        et_codes, et_cats = pd.factorize(df["event_type"], sort=True)
+        user = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, et_codes, user))
+        u, g, s, e = user[order], et_codes[order], ts[order], eid[order]
+        bounds = np.r_[
+            0, np.flatnonzero((u[1:] != u[:-1]) | (g[1:] != g[:-1])) + 1, len(u)
+        ]
+        keep_idx, n_sup = [], []
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            seg = s[b0:b1]
+            i = 0
+            chain = [0]
+            while True:
+                j = int(np.searchsorted(seg, seg[i] + gap_us, side="left"))
+                if j >= len(seg):
+                    break
+                chain.append(j)
+                i = j
+            nxt = chain[1:] + [len(seg)]
+            for pos, np_ in zip(chain, nxt):
+                keep_idx.append(b0 + pos)
+                n_sup.append(np_ - pos - 1)
+        k = np.asarray(keep_idx, np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(u[k]),
+                "event_type": pa.array(
+                    np.asarray(et_cats, dtype=object)[g[k]], pa.string()
+                ),
+                "ts": pa.array(s[k], pa.timestamp("us")),
+                "event_id": pa.array(e[k]),
+                "n_suppressed": pa.array(np.asarray(n_sup, np.int64)),
+            }
+        )
+
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    out = direct_partitioned_map(
+        ds, ["user_id"], num_parts, fn, _THROTTLE_IN_SCHEMA
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "event_type": pd.Series([], dtype=object),
+                "ts": pd.Series([], dtype="datetime64[us]"),
+                "event_id": pd.Series([], dtype="int64"),
+                "n_suppressed": pd.Series([], dtype="int64"),
+            }
+        )
+    for c in ("user_id", "event_id", "n_suppressed"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(
+        ["user_id", "event_type", "ts", "event_id"]
+    ).reset_index(drop=True)

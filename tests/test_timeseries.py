@@ -700,3 +700,38 @@ def test_dtw_pairs_warping_and_topk(tmp_path, ray_session):
     assert got[(1, 2)] == 0
     # spiky vs spread-out profile is strictly farther
     assert got[(1, 3)] > got[(1, 2)]
+
+
+def test_throttle_chains_off_emitted_not_previous(tmp_path, ray_session):
+    """The distinguishing case vs lag-based gaps: events at t=0, 6, 12, 24
+    minutes with a 10-min throttle. Lag-gaps would emit 0 and 24 only
+    (every other gap < 10); throttling emits 0, 12 (>= 0+10), 24 (>= 12+10)
+    — suppression windows chain off EMITTED events. Equal-ts burst at the
+    head emits exactly the min event_id; types are isolated."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osmi_addresses_ray.pipelines.timeseries import throttle_events
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    rows = [
+        (1, base + 0 * m, 1, "a"),
+        (2, base + 6 * m, 1, "a"),
+        (3, base + 12 * m, 1, "a"),
+        (4, base + 24 * m, 1, "a"),
+        # burst at one instant for type b: only eid 5 emits
+        (5, base, 1, "b"),
+        (6, base, 1, "b"),
+        (7, base, 1, "b"),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    df["value"] = 0.0
+    df["props"] = "{}"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    out = throttle_events(str(tmp_path), num_parts=2)
+    got = [(r.event_type, int(r.event_id), int(r.n_suppressed))
+           for r in out.itertuples()]
+    assert got == [("a", 1, 1), ("a", 3, 0), ("a", 4, 0), ("b", 5, 2)]

@@ -346,6 +346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dbscan_clusters": _dbscan_query,
         "street_route_dist": _route_dist_query,
         "street_components": _street_cc_query,
+        "street_chains": _street_chains_query,
         "segment_bearing_rose": _bearing_rose_query,
         "turn_classes": _turns_query,
         "od_flows": _od_query,
@@ -1133,6 +1134,26 @@ def _street_cc_query(sf_dir: str):
     ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
     out = street_components(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
     write_oracle("street_edges_src", oracle_street_edges(fixture_table(FIXTURE_BLOCKS)))
+    return out
+
+
+def _street_chains_query(sf_dir: str):
+    """Degree-2 chain contraction of the street graph (line merging); TRUE
+    SQL oracle: degree counts + recursive-CTE component closure + grouping
+    over the independently parsed highway segments."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.geo_ops import oracle_highway_segments
+    from osmi_addresses_ray.pipelines.geo_ops import street_chains
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.assembly import assemble_ways
+    from osmi_addresses_ray.stages.parse import parse_docs
+
+    parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
+    ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
+    out = street_chains(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
+    write_oracle(
+        "way_segments_src", oracle_highway_segments(fixture_table(FIXTURE_BLOCKS))
+    )
     return out
 
 
@@ -3905,6 +3926,58 @@ def _naive_oracle_sql() -> dict[str, str]:
             )
             SELECT node AS node_id, min(lab)::BIGINT AS comp
             FROM r GROUP BY node ORDER BY node
+        """,
+        # degree-2 chain contraction: degree counts + recursive component
+        # closure over the degree-2 subgraph + per-chain grouping; the
+        # whole chain logic lives in SQL (no walk — chains are components)
+        "street_chains": f"""
+            WITH RECURSIVE
+            seg AS (SELECT way_id, seg_idx AS seq,
+                           (ax // 10 + 268435456) * 536870912
+                               + (ay // 10 + 268435456) AS u,
+                           (bx // 10 + 268435456) * 536870912
+                               + (by // 10 + 268435456) AS v,
+                           abs(bx - ax) + abs(by - ay) AS w
+                    FROM read_parquet('{oracle_path('way_segments_src')}')),
+            e AS (SELECT * FROM seg WHERE u <> v),
+            deg AS (SELECT x AS node, count(*)::BIGINT AS deg
+                    FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+                    GROUP BY 1),
+            d2e AS (SELECT e.u, e.v FROM e
+                    JOIN deg du ON du.node = e.u
+                    JOIN deg dv ON dv.node = e.v
+                    WHERE du.deg = 2 AND dv.deg = 2),
+            d2v AS (SELECT node FROM deg WHERE deg = 2),
+            r AS (SELECT node, node AS lab FROM d2v
+                  UNION
+                  SELECT CASE WHEN d.u = r.node THEN d.v ELSE d.u END, r.lab
+                  FROM r JOIN d2e d ON d.u = r.node OR d.v = r.node),
+            comp AS (SELECT node, min(lab) AS comp FROM r GROUP BY node),
+            lab AS (SELECT e.*, du.deg AS deg_u, dv.deg AS deg_v
+                    FROM e JOIN deg du ON du.node = e.u
+                           JOIN deg dv ON dv.node = e.v),
+            keyed AS (SELECT CASE WHEN deg_u = 2 THEN cu.comp
+                                  WHEN deg_v = 2 THEN cv.comp
+                                  ELSE -(way_id * 1000000 + seq) - 1
+                             END AS chain,
+                             u, v, w, deg_u, deg_v
+                      FROM lab
+                      LEFT JOIN comp cu ON cu.node = lab.u
+                      LEFT JOIN comp cv ON cv.node = lab.v),
+            g AS (SELECT chain, count(*)::BIGINT AS n_segments,
+                         sum(w)::BIGINT AS total_len,
+                         min(least(u, v))::BIGINT AS anchor
+                  FROM keyed GROUP BY chain),
+            j AS (SELECT chain, min(x)::BIGINT AS junc_a,
+                         max(x)::BIGINT AS junc_b
+                  FROM (SELECT chain, u AS x, deg_u AS d FROM keyed
+                        UNION ALL SELECT chain, v, deg_v FROM keyed)
+                  WHERE d <> 2 GROUP BY chain)
+            SELECT g.anchor, COALESCE(j.junc_a, -1)::BIGINT AS junc_a,
+                   COALESCE(j.junc_b, -1)::BIGINT AS junc_b,
+                   g.n_segments, g.total_len
+            FROM g LEFT JOIN j USING (chain)
+            ORDER BY anchor, junc_a, junc_b, n_segments, total_len
         """,
         # hotspot cells recomputed whole in SQL: 3×3 neighbour self-join,
         # cross-multiplied integer threshold, one double division

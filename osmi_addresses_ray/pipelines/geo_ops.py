@@ -3295,3 +3295,296 @@ def geofence_transitions_from_points(
     return out.sort_values(
         ["traj_id", "fence_id", "step", "event"]
     ).reset_index(drop=True)
+
+
+# --- street-network chain contraction (degree-2 topology simplification) ---------
+
+_CHAIN_SEG_SCHEMA = pa.schema(
+    [
+        ("way_id", pa.int64()), ("seq", pa.int64()),
+        ("u", pa.int64()), ("v", pa.int64()), ("w", pa.int64()),
+    ]
+)
+_CHAIN_END_SCHEMA = pa.schema(
+    [("node", pa.int64()), ("way_id", pa.int64()), ("seq", pa.int64()), ("end", pa.int8())]
+)
+_CHAIN_DEG_SCHEMA = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+_CHAIN_ENDDEG_SCHEMA = pa.schema(
+    [("way_id", pa.int64()), ("seq", pa.int64()), ("end", pa.int8()), ("deg", pa.int64())]
+)
+_CHAIN_LAB_SCHEMA = pa.schema(
+    [
+        ("way_id", pa.int64()), ("seq", pa.int64()),
+        ("u", pa.int64()), ("v", pa.int64()), ("w", pa.int64()),
+        ("deg_u", pa.int64()), ("deg_v", pa.int64()),
+    ]
+)
+_CHAIN_LOOKUP_SCHEMA = pa.schema(
+    [
+        ("node", pa.int64()), ("way_id", pa.int64()), ("seq", pa.int64()),
+        ("u", pa.int64()), ("v", pa.int64()), ("w", pa.int64()),
+        ("deg_u", pa.int64()), ("deg_v", pa.int64()),
+    ]
+)
+_CHAIN_COMP_SCHEMA = pa.schema([("node", pa.int64()), ("comp", pa.int64())])
+_CHAIN_KEYED_SCHEMA = pa.schema(
+    [
+        ("chain", pa.int64()),
+        ("u", pa.int64()), ("v", pa.int64()), ("w", pa.int64()),
+        ("deg_u", pa.int64()), ("deg_v", pa.int64()),
+    ]
+)
+_CHAIN_OUT_SCHEMA = pa.schema(
+    [
+        ("anchor", pa.int64()), ("junc_a", pa.int64()), ("junc_b", pa.int64()),
+        ("n_segments", pa.int64()), ("total_len", pa.int64()),
+    ]
+)
+
+
+def _chain_own_key(way_id: np.ndarray, seq: np.ndarray) -> np.ndarray:
+    """Chain id for a junction-junction single-segment chain: a NEGATIVE
+    key derived from the segment identity (component labels are packed
+    vertex ids ≥ 0, so the spaces can't collide)."""
+    return -(way_id * 1_000_000 + seq) - 1
+
+
+def street_chains(ways_geo_ds, *, num_parts: int = 8) -> pd.DataFrame:
+    """Topology simplification of the street graph (the "line merge" /
+    pseudo-edge primitive behind routing-graph shrinking and cartographic
+    generalization): every maximal run of degree-2 vertices collapses into
+    ONE chain row — end junctions (sorted; −1/−1 for pure degree-2
+    cycles), segment count, exact L1 total length, and a deterministic
+    anchor (minimum vertex id touched by the chain).
+
+    Distributed shape — no sequential chain WALK anywhere: degrees are an
+    endpoint-keyed grouped count; the degree-2 subgraph's components come
+    from the existing star-contraction (O(log² n) edge-keyed rounds);
+    edges then join their chain label through one node-keyed cogroup and
+    aggregate per chain in one more exchange. Junction-junction edges are
+    their own single-segment chains under a negative segment-identity key.
+    TRUE SQL oracle: same pipeline as recursive-CTE closure + grouping
+    over the independently parsed segments."""
+    import ray  # noqa: F401  (cogroup machinery)
+
+    from ..ops import cogroup, direct_partitioned_map
+    from .dedup import connected_components
+    from .relational import grouped_agg
+
+    streets = street_ways(ways_geo_ds)
+
+    def to_segs(t: pa.Table) -> pa.Table:
+        segs = way_segments_table(t)
+        if segs is None:
+            return _CHAIN_SEG_SCHEMA.empty_table()
+        wid, seq, ax, ay, bx, by = segs
+        u = _sssp_vid(ax, ay)
+        v = _sssp_vid(bx, by)
+        w = np.abs(bx - ax) + np.abs(by - ay)
+        keep = u != v
+        return pa.table(
+            {
+                "way_id": pa.array(wid[keep].astype(np.int64)),
+                "seq": pa.array(seq[keep].astype(np.int64)),
+                "u": pa.array(u[keep]), "v": pa.array(v[keep]),
+                "w": pa.array(w[keep].astype(np.int64)),
+            }
+        )
+
+    segs = streets.map_batches(to_segs, batch_format="pyarrow").materialize()
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _CHAIN_END_SCHEMA.empty_table()
+        wid = t["way_id"].to_numpy(zero_copy_only=False)
+        seq = t["seq"].to_numpy(zero_copy_only=False)
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([u, v])),
+                "way_id": pa.array(np.concatenate([wid, wid])),
+                "seq": pa.array(np.concatenate([seq, seq])),
+                "end": pa.array(
+                    np.r_[np.zeros(len(u), np.int8), np.ones(len(v), np.int8)]
+                ),
+            }
+        )
+
+    ends = segs.map_batches(explode, batch_format="pyarrow").materialize()
+    deg = grouped_agg(ends, ["node"], {"deg": (None, "count")}).materialize()
+
+    def join_deg(ends_t: pa.Table, deg_t: pa.Table) -> pa.Table:
+        if ends_t.num_rows == 0:
+            return _CHAIN_ENDDEG_SCHEMA.empty_table()
+        d = dict(
+            zip(
+                deg_t["node"].to_numpy(zero_copy_only=False),
+                deg_t["deg"].to_numpy(zero_copy_only=False),
+            )
+        )
+        nodes = ends_t["node"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "way_id": ends_t["way_id"], "seq": ends_t["seq"],
+                "end": ends_t["end"],
+                "deg": pa.array(np.array([d[n] for n in nodes], np.int64)),
+            }
+        )
+
+    enddeg = cogroup(
+        [ends, deg], [["node"], ["node"]], num_parts, join_deg,
+        [_CHAIN_END_SCHEMA, _CHAIN_DEG_SCHEMA],
+    ).materialize()
+
+    def assemble(seg_t: pa.Table, ed_t: pa.Table) -> pa.Table:
+        if seg_t.num_rows == 0:
+            return _CHAIN_LAB_SCHEMA.empty_table()
+        sdf = seg_t.to_pandas()
+        edf = ed_t.to_pandas()
+        du = edf[edf["end"] == 0].set_index(["way_id", "seq"])["deg"]
+        dv = edf[edf["end"] == 1].set_index(["way_id", "seq"])["deg"]
+        key = pd.MultiIndex.from_frame(sdf[["way_id", "seq"]])
+        sdf["deg_u"] = du.reindex(key).to_numpy(np.int64)
+        sdf["deg_v"] = dv.reindex(key).to_numpy(np.int64)
+        return pa.Table.from_pandas(sdf, preserve_index=False).cast(_CHAIN_LAB_SCHEMA)
+
+    lab = cogroup(
+        [segs, enddeg], [["way_id", "seq"], ["way_id", "seq"]], num_parts,
+        assemble, [_CHAIN_SEG_SCHEMA, _CHAIN_ENDDEG_SCHEMA],
+    ).materialize()
+
+    d2e = lab.map_batches(
+        lambda t: pa.table(
+            {
+                "u": pa.array(
+                    t["u"].to_numpy(zero_copy_only=False)[
+                        (t["deg_u"].to_numpy(zero_copy_only=False) == 2)
+                        & (t["deg_v"].to_numpy(zero_copy_only=False) == 2)
+                    ]
+                ),
+                "v": pa.array(
+                    t["v"].to_numpy(zero_copy_only=False)[
+                        (t["deg_u"].to_numpy(zero_copy_only=False) == 2)
+                        & (t["deg_v"].to_numpy(zero_copy_only=False) == 2)
+                    ]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    stars = connected_components(d2e, num_parts=num_parts)
+
+    def emit_comp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _CHAIN_COMP_SCHEMA.empty_table()
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([u, v])),
+                "comp": pa.array(np.concatenate([v, v])),
+            }
+        )
+
+    comp = grouped_agg(
+        stars.map_batches(emit_comp, batch_format="pyarrow"),
+        ["node"],
+        {"comp": ("comp", "min")},
+    ).materialize()
+
+    def to_lookup(t: pa.Table) -> pa.Table:
+        """Edges with ≥1 degree-2 endpoint, keyed by the node whose chain
+        component labels them (u preferred — u and v give the same
+        component when both are degree-2)."""
+        if t.num_rows == 0:
+            return _CHAIN_LOOKUP_SCHEMA.empty_table()
+        df = t.to_pandas()
+        has = (df["deg_u"] == 2) | (df["deg_v"] == 2)
+        df = df[has].copy()
+        df.insert(
+            0, "node",
+            np.where(df["deg_u"] == 2, df["u"], df["v"]).astype(np.int64),
+        )
+        return pa.Table.from_pandas(df, preserve_index=False).cast(
+            _CHAIN_LOOKUP_SCHEMA
+        )
+
+    def label_chain(lk_t: pa.Table, comp_t: pa.Table) -> pa.Table:
+        if lk_t.num_rows == 0:
+            return _CHAIN_KEYED_SCHEMA.empty_table()
+        cmap = dict(
+            zip(
+                comp_t["node"].to_numpy(zero_copy_only=False),
+                comp_t["comp"].to_numpy(zero_copy_only=False),
+            )
+        )
+        nodes = lk_t["node"].to_numpy(zero_copy_only=False)
+        # isolated degree-2 vertex (both neighbours are junctions): its own
+        # singleton component — label = itself
+        chain = np.array([cmap.get(n, n) for n in nodes], np.int64)
+        return pa.table(
+            {
+                "chain": pa.array(chain),
+                "u": lk_t["u"], "v": lk_t["v"], "w": lk_t["w"],
+                "deg_u": lk_t["deg_u"], "deg_v": lk_t["deg_v"],
+            }
+        )
+
+    comp_keyed = cogroup(
+        [lab.map_batches(to_lookup, batch_format="pyarrow").materialize(), comp],
+        [["node"], ["node"]], num_parts, label_chain,
+        [_CHAIN_LOOKUP_SCHEMA, _CHAIN_COMP_SCHEMA],
+    )
+
+    def own_keyed(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[(df["deg_u"] != 2) & (df["deg_v"] != 2)].copy()
+        if df.empty:
+            return _CHAIN_KEYED_SCHEMA.empty_table()
+        df.insert(
+            0, "chain",
+            _chain_own_key(
+                df["way_id"].to_numpy(np.int64), df["seq"].to_numpy(np.int64)
+            ),
+        )
+        return pa.Table.from_pandas(
+            df[["chain", "u", "v", "w", "deg_u", "deg_v"]], preserve_index=False
+        ).cast(_CHAIN_KEYED_SCHEMA)
+
+    keyed = comp_keyed.union(lab.map_batches(own_keyed, batch_format="pyarrow"))
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _CHAIN_OUT_SCHEMA.empty_table()
+        df = t.to_pandas()
+        rows = {k: [] for k in _CHAIN_OUT_SCHEMA.names}
+        for _c, g in df.groupby("chain", sort=False):
+            u = g["u"].to_numpy(np.int64)
+            v = g["v"].to_numpy(np.int64)
+            rows["anchor"].append(int(min(u.min(), v.min())))
+            juncs = np.concatenate(
+                [u[g["deg_u"].to_numpy(np.int64) != 2],
+                 v[g["deg_v"].to_numpy(np.int64) != 2]]
+            )
+            rows["junc_a"].append(int(juncs.min()) if len(juncs) else -1)
+            rows["junc_b"].append(int(juncs.max()) if len(juncs) else -1)
+            rows["n_segments"].append(len(g))
+            rows["total_len"].append(int(g["w"].sum()))
+        return pa.Table.from_arrays(
+            [pa.array(rows[f.name], f.type) for f in _CHAIN_OUT_SCHEMA],
+            schema=_CHAIN_OUT_SCHEMA,
+        )
+
+    out = direct_partitioned_map(
+        keyed.materialize(), ["chain"], num_parts, fold, _CHAIN_KEYED_SCHEMA
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {f.name: pd.Series([], dtype="int64") for f in _CHAIN_OUT_SCHEMA}
+        )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(
+        ["anchor", "junc_a", "junc_b", "n_segments", "total_len"]
+    ).reset_index(drop=True)

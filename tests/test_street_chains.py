@@ -1,0 +1,72 @@
+"""street_chains over a planted topology: a multi-segment path chain
+between junctions, junction-junction single-segment chains, a pure
+degree-2 cycle (-1/-1 sentinel), a loop chain attaching to the SAME
+junction twice, and partition-count invariance."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from osmi_addresses_ray.pipelines.geo_ops import QUANT, _sssp_vid, street_chains
+
+
+def _u(units: int) -> float:
+    return units / QUANT
+
+
+def _ways_geo(ways: list[dict]):
+    t = pa.table(
+        {
+            "way_id": pa.array([w["id"] for w in ways], pa.int64()),
+            "xs": pa.array([[_u(x) for x, _ in w["pts"]] for w in ways],
+                           pa.list_(pa.float64())),
+            "ys": pa.array([[_u(y) for _, y in w["pts"]] for w in ways],
+                           pa.list_(pa.float64())),
+            "nonzero": pa.array([True] * len(ways)),
+            "is_closed": pa.array(
+                [w["pts"][0] == w["pts"][-1] for w in ways]),
+            "t_building": pa.array([None] * len(ways), pa.string()),
+            "t_highway": pa.array(["residential"] * len(ways), pa.string()),
+        }
+    )
+    return rd.from_arrow(t)
+
+
+def _vid(x: int, y: int) -> int:
+    return int(_sssp_vid(np.array([x], np.int64), np.array([y], np.int64))[0])
+
+
+def test_street_chains_planted_topology(ray_session):
+    J1, M1, M2, J2 = (0, 0), (100, 0), (200, 0), (300, 0)
+    A, B = (0, 100), (100, 100)
+    C1, C2, C3 = (1000, 0), (1100, 0), (1000, 100)
+    J3, L1, L2, X = (2000, 0), (2100, 0), (2100, 100), (2000, 100)
+    ways = [
+        {"id": 1, "pts": [J1, M1, M2, J2]},        # path chain, 3 segments
+        {"id": 2, "pts": [J1, A]},                  # junction-junction single
+        {"id": 3, "pts": [J1, B]},                  # junction-junction single
+        {"id": 4, "pts": [C1, C2, C3, C1]},        # pure degree-2 cycle
+        {"id": 5, "pts": [J3, L1, L2, J3]},        # loop chain off J3
+        {"id": 6, "pts": [J3, X]},                  # makes J3 a junction
+    ]
+    for parts in (1, 3):
+        out = street_chains(_ways_geo(ways), num_parts=parts)
+        got = {
+            (int(r.junc_a), int(r.junc_b), int(r.n_segments)): int(r.total_len)
+            for r in out.itertuples()
+        }
+        assert len(out) == 6
+        # path: J1 -- M1 -- M2 -- J2, each segment 100 units long
+        assert got[(_vid(*J1), _vid(*J2), 3)] == 300
+        # singles: J1-A (100), J1-B (100+100 L1)
+        assert got[(min(_vid(*J1), _vid(*A)), max(_vid(*J1), _vid(*A)), 1)] == 100
+        assert got[(min(_vid(*J1), _vid(*B)), max(_vid(*J1), _vid(*B)), 1)] == 200
+        # pure cycle: sentinel junctions, perimeter 100 + (100+100) + 100
+        assert got[(-1, -1, 3)] == 400
+        # loop chain: both ends J3; length 100 + (0+100) + (100+100)
+        assert got[(_vid(*J3), _vid(*J3), 3)] == 400
+        # X single also exists
+        assert (min(_vid(*J3), _vid(*X)), max(_vid(*J3), _vid(*X)), 1) in got

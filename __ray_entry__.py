@@ -347,6 +347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "street_route_dist": _route_dist_query,
         "street_components": _street_cc_query,
         "street_chains": _street_chains_query,
+        "isochrone_counts": _isochrone_query,
         "segment_bearing_rose": _bearing_rose_query,
         "turn_classes": _turns_query,
         "od_flows": _od_query,
@@ -1151,6 +1152,26 @@ def _street_chains_query(sf_dir: str):
     parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
     ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
     out = street_chains(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
+    write_oracle(
+        "way_segments_src", oracle_highway_segments(fixture_table(FIXTURE_BLOCKS))
+    )
+    return out
+
+
+def _isochrone_query(sf_dir: str):
+    """Budget-bounded reachability per seed (service-area primitive); TRUE
+    SQL oracle: recursive-CTE Bellman-Ford with the same cap over the
+    independently parsed highway segments."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.geo_ops import oracle_highway_segments
+    from osmi_addresses_ray.pipelines.geo_ops import isochrone_counts
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.assembly import assemble_ways
+    from osmi_addresses_ray.stages.parse import parse_docs
+
+    parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
+    ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
+    out = isochrone_counts(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
     write_oracle(
         "way_segments_src", oracle_highway_segments(fixture_table(FIXTURE_BLOCKS))
     )
@@ -3978,6 +3999,41 @@ def _naive_oracle_sql() -> dict[str, str]:
                    g.n_segments, g.total_len
             FROM g LEFT JOIN j USING (chain)
             ORDER BY anchor, junc_a, junc_b, n_segments, total_len
+        """,
+        # isochrone: recursive Bellman-Ford with budget cap — per-round
+        # GROUP BY min over (carry ∪ relax), UNION-dedup fixpoint; seeds =
+        # the 8 smallest vertex ids, edges min-w-deduped both directions
+        "isochrone_counts": f"""
+            WITH RECURSIVE
+            seg AS (SELECT (ax // 10 + 268435456) * 536870912
+                               + (ay // 10 + 268435456) AS u,
+                           (bx // 10 + 268435456) * 536870912
+                               + (by // 10 + 268435456) AS v,
+                           abs(bx - ax) + abs(by - ay) AS w
+                    FROM read_parquet('{oracle_path('way_segments_src')}')),
+            e0 AS (SELECT * FROM seg WHERE u <> v),
+            e AS (SELECT u, v, min(w) AS w FROM (
+                      SELECT u, v, w FROM e0
+                      UNION ALL SELECT v AS u, u AS v, w FROM e0)
+                  GROUP BY u, v),
+            seeds AS (SELECT node FROM (SELECT DISTINCT u AS node FROM e)
+                      ORDER BY node LIMIT 8),
+            walk(src, node, dist) AS (
+                SELECT node, node, 0::BIGINT FROM seeds
+              UNION
+                SELECT src, node, min(dist) FROM (
+                  SELECT src, node, dist FROM walk
+                  UNION ALL
+                  SELECT w2.src, e.v AS node, w2.dist + e.w AS dist
+                  FROM walk w2 JOIN e ON e.u = w2.node
+                  WHERE w2.dist + e.w <= 40000
+                ) GROUP BY src, node
+            ),
+            best AS (SELECT src, node, min(dist) AS dist
+                     FROM walk GROUP BY src, node)
+            SELECT src, count(*)::BIGINT AS n_reachable,
+                   max(dist)::BIGINT AS max_dist, sum(dist)::BIGINT AS sum_dist
+            FROM best GROUP BY src ORDER BY src
         """,
         # hotspot cells recomputed whole in SQL: 3×3 neighbour self-join,
         # cross-multiplied integer threshold, one double division

@@ -1924,7 +1924,7 @@ def _sssp_vid(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     return (x // 10 + _SSSP_V_BIAS) * _SSSP_V_MUL + (y // 10 + _SSSP_V_BIAS)
 
 
-def street_route_dist(ways_geo_ds, *, num_parts: int = 8) -> pd.DataFrame:
+def street_route_dist(ways_geo_ds, *, num_parts: int = 8, budget: int | None = None) -> pd.DataFrame:
     """Multi-source weighted shortest paths over the street graph — the
     routing primitive behind isochrones and travel-distance features.
     Vertices: quantized segment endpoints; edges: street segments weighted
@@ -2040,6 +2040,11 @@ def street_route_dist(ways_geo_ds, *, num_parts: int = 8) -> pd.DataFrame:
                 "cand": m["dist"].to_numpy(np.int64) + m["w"].to_numpy(np.int64),
             }
         )
+        if budget is not None:
+            # bounded expansion: a candidate past the budget can never lie
+            # on a shortest path to an in-budget node (weights are >= 0),
+            # so the frontier stays the size of the budget ball
+            out = out[out["cand"] <= budget]
         # map-side combine: min cand per (dst, src)
         out = out.sort_values(["dst", "src", "cand"], kind="stable")
         first = ~out.duplicated(["dst", "src"])
@@ -3588,3 +3593,41 @@ def street_chains(ways_geo_ds, *, num_parts: int = 8) -> pd.DataFrame:
     return out.sort_values(
         ["anchor", "junc_a", "junc_b", "n_segments", "total_len"]
     ).reset_index(drop=True)
+
+
+# --- isochrone reachability within a cost budget ---------------------------------
+
+_ISO_BUDGET = 40_000  # 1e-7° L1 units ≈ 400 m
+
+
+def isochrone_counts(
+    ways_geo_ds, *, budget: int = _ISO_BUDGET, num_parts: int = 8
+) -> pd.DataFrame:
+    """Isochrone summary per seed: over the street graph (the
+    street_route_dist vertices/edges/seeds), the set of vertices whose
+    shortest-path L1 distance from the seed is ≤ ``budget`` — reported as
+    (n_reachable incl. the seed, max_dist, sum_dist), all exact integers.
+    The service-area / coverage primitive behind "what can I reach in X".
+
+    Distributed shape: the min-plus pregel of ``street_route_dist`` with a
+    BUDGET PRUNE inside the expand step — candidates past the budget never
+    relax (nonnegative weights ⇒ they cannot serve in-budget nodes), so
+    per-round volume is the budget ball's boundary, not the graph. TRUE
+    SQL oracle: recursive-CTE Bellman-Ford with the same cap + grouping.
+    """
+    d = street_route_dist(ways_geo_ds, num_parts=num_parts, budget=budget)
+    if d.empty:
+        return pd.DataFrame(
+            {
+                c: pd.Series([], dtype="int64")
+                for c in ("src", "n_reachable", "max_dist", "sum_dist")
+            }
+        )
+    g = d.groupby("src", as_index=False).agg(
+        n_reachable=("node", "count"),
+        max_dist=("dist", "max"),
+        sum_dist=("dist", "sum"),
+    )
+    for c in g.columns:
+        g[c] = g[c].astype("int64")
+    return g.sort_values("src").reset_index(drop=True)

@@ -70,3 +70,23 @@ def test_street_chains_planted_topology(ray_session):
         assert got[(_vid(*J3), _vid(*J3), 3)] == 400
         # X single also exists
         assert (min(_vid(*J3), _vid(*X)), max(_vid(*J3), _vid(*X)), 1) in got
+
+
+def test_isochrone_budget_boundary(ray_session):
+    """A line of 3 equal 150-unit segments with budget 300: the seed (the
+    smallest vertex id) reaches vertices at 0, 150, 300 but NOT 450 —
+    inclusive boundary; n_reachable counts the seed itself."""
+    from osmi_addresses_ray.pipelines.geo_ops import isochrone_counts
+
+    pts = [(0, 0), (150, 0), (300, 0), (450, 0)]
+    ways = [{"id": 1, "pts": pts}]
+    out = isochrone_counts(_ways_geo(ways), budget=300, num_parts=2)
+    # seeds = 4 smallest vertex ids (< 8 vertices -> all are seeds); check
+    # the leftmost seed's ball
+    row = out.iloc[0]
+    assert int(row.n_reachable) == 3
+    assert int(row.max_dist) == 300
+    assert int(row.sum_dist) == 0 + 150 + 300
+    # the rightmost vertex reaches 450->300->150 (dist 300) but not 0
+    last = out.iloc[-1]
+    assert int(last.n_reachable) == 3 and int(last.max_dist) == 300

@@ -348,6 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "street_components": _street_cc_query,
         "street_chains": _street_chains_query,
         "isochrone_counts": _isochrone_query,
+        "str_pack_nwa": _str_pack_query,
         "segment_bearing_rose": _bearing_rose_query,
         "turn_classes": _turns_query,
         "od_flows": _od_query,
@@ -1272,6 +1273,20 @@ def _hotspot_query(sf_dir: str):
     from osmi_addresses_ray.pipelines.geo_ops import hotspot_nwa
 
     out = hotspot_nwa(
+        _fixture_layers()["osmi_addresses_nodes_with_addresses"],
+        num_parts=_parts_for(FIXTURE_BLOCKS),
+    )
+    _write_spatial_src()
+    return out
+
+
+def _str_pack_query(sf_dir: str):
+    """STR R-tree bulk-load leaf packing of the address points; TRUE SQL
+    oracle: two row_number windows + integer division over the independent
+    point source."""
+    from osmi_addresses_ray.pipelines.geo_ops import str_pack_nwa
+
+    out = str_pack_nwa(
         _fixture_layers()["osmi_addresses_nodes_with_addresses"],
         num_parts=_parts_for(FIXTURE_BLOCKS),
     )
@@ -4034,6 +4049,39 @@ def _naive_oracle_sql() -> dict[str, str]:
             SELECT src, count(*)::BIGINT AS n_reachable,
                    max(dist)::BIGINT AS max_dist, sum(dist)::BIGINT AS sum_dist
             FROM best GROUP BY src ORDER BY src
+        """,
+        # STR bulk-load: two row_number windows + integer division; the
+        # slab count uses the exact integer ceil-sqrt (floor-sqrt +
+        # correction, immune to float sqrt rounding at perfect squares)
+        "str_pack_nwa": f"""
+            WITH pts AS (
+                SELECT DISTINCT
+                       CAST(COALESCE(node_id, 10000000 + way_id) AS BIGINT) AS pid,
+                       CAST(round(lon * 10000000) AS BIGINT) AS ix,
+                       CAST(round(lat * 10000000) AS BIGINT) AS iy
+                FROM read_parquet('{oracle_path('spatial_radius_src')}')
+                WHERE is_ip = 0),
+            par AS (SELECT c, CASE WHEN s0 * s0 >= nl THEN s0 ELSE s0 + 1 END AS s
+                    FROM (SELECT count(*)::BIGINT AS c,
+                                 (count(*) + 15) // 16 AS nl,
+                                 CAST(floor(sqrt(((count(*) + 15) // 16)::DOUBLE))
+                                      AS BIGINT) AS s0
+                          FROM pts)),
+            par2 AS (SELECT (c + s - 1) // s AS slab_size FROM par),
+            ranked AS (SELECT pid, ix, iy,
+                              row_number() OVER (ORDER BY ix, iy, pid) - 1 AS r
+                       FROM pts),
+            slabbed AS (SELECT pid, ix, iy, r // slab_size AS slab
+                        FROM ranked, par2),
+            leafed AS (SELECT slab, ix, iy,
+                              (row_number() OVER (PARTITION BY slab
+                                                  ORDER BY iy, ix, pid) - 1) // 16
+                                  AS leaf
+                       FROM slabbed)
+            SELECT slab, leaf, count(*)::BIGINT AS n_points,
+                   min(ix)::BIGINT AS min_x, max(ix)::BIGINT AS max_x,
+                   min(iy)::BIGINT AS min_y, max(iy)::BIGINT AS max_y
+            FROM leafed GROUP BY slab, leaf ORDER BY slab, leaf
         """,
         # hotspot cells recomputed whole in SQL: 3×3 neighbour self-join,
         # cross-multiplied integer threshold, one double division

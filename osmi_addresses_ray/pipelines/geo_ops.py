@@ -3631,3 +3631,137 @@ def isochrone_counts(
     for c in g.columns:
         g[c] = g[c].astype("int64")
     return g.sort_values("src").reset_index(drop=True)
+
+
+# --- STR R-tree bulk-load packing (spatial index construction) -------------------
+
+_STR_LEAF_CAP = 16
+_STR_PT_SCHEMA = pa.schema(
+    [("pid", pa.int64()), ("ix", pa.int64()), ("iy", pa.int64())]
+)
+_STR_SLAB_SCHEMA = pa.schema(
+    [("slab", pa.int64()), ("pid", pa.int64()), ("ix", pa.int64()), ("iy", pa.int64())]
+)
+_STR_OUT_SCHEMA = pa.schema(
+    [
+        ("slab", pa.int64()), ("leaf", pa.int64()), ("n_points", pa.int64()),
+        ("min_x", pa.int64()), ("max_x", pa.int64()),
+        ("min_y", pa.int64()), ("max_y", pa.int64()),
+    ]
+)
+
+
+def _ceil_isqrt(n: int) -> int:
+    """Exact ceil(sqrt(n)) in integers (floor-isqrt + correction) — the
+    same two-step the SQL oracle uses so both sides agree at perfect
+    squares regardless of float sqrt rounding."""
+    import math
+
+    s0 = math.isqrt(n)
+    return s0 if s0 * s0 >= n else s0 + 1
+
+
+def str_pack(points_ds, *, leaf_cap: int = _STR_LEAF_CAP, num_parts: int = 8) -> pd.DataFrame:
+    """Sort-Tile-Recursive R-tree bulk load (Leutenegger et al. 1997) of a
+    point set: S = ceil(sqrt(ceil(n/C))) vertical slabs of ceil(n/S)
+    points in (ix, iy, pid) order, each slab packed into leaves of C
+    points in (iy, ix, pid) order. Output: one row per leaf with its
+    exact MBR and occupancy — the spatial-index CONSTRUCTION primitive
+    (the layout a bulk-loaded R-tree or a hive-partitioned spatial table
+    would write).
+
+    Distributed shape — global order WITHOUT a global sort: pass 1
+    histograms ix values (the exchange carries one row per occupied ix,
+    never points) and the driver exclusive-scans bin counts into rank
+    offsets (the q_ntile_orders discipline); pass 2 hash-exchanges points
+    by ix — equal ix always co-located — and each bin lexsorts locally,
+    adds its offset, and knows every point's exact global rank ⇒ slab;
+    pass 3 exchanges by slab and packs leaves in-partition. TRUE SQL
+    oracle: two row_number() windows + integer division."""
+    import ray
+
+    from ..ops import direct_partitioned_map
+    from .relational import grouped_agg
+
+    pts = points_ds.materialize()
+    hist = grouped_agg(
+        pts.map_batches(
+            lambda t: pa.table({"ix": t["ix"]}), batch_format="pyarrow"
+        ),
+        ["ix"],
+        {"cnt": (None, "count")},
+    ).to_pandas()
+    if hist.empty:
+        return pd.DataFrame(
+            {f.name: pd.Series([], dtype="int64") for f in _STR_OUT_SCHEMA}
+        )
+    hist = hist.sort_values("ix").reset_index(drop=True)
+    bins = hist["ix"].to_numpy(np.int64)
+    cnts = hist["cnt"].to_numpy(np.int64)
+    n = int(cnts.sum())
+    n_leaves = (n + leaf_cap - 1) // leaf_cap
+    s = _ceil_isqrt(n_leaves)
+    slab_size = (n + s - 1) // s
+    offsets = np.concatenate(([0], np.cumsum(cnts)))[:-1]
+    ref = ray.put((bins, offsets))
+
+    def to_slabs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _STR_SLAB_SCHEMA.empty_table()
+        b, off = ray.get(ref)
+        ix = t["ix"].to_numpy(zero_copy_only=False)
+        iy = t["iy"].to_numpy(zero_copy_only=False)
+        pid = t["pid"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((pid, iy, ix))
+        ix, iy, pid = ix[o], iy[o], pid[o]
+        # local position within each ix run + that ix's global offset
+        first = np.r_[True, ix[1:] != ix[:-1]]
+        starts = np.flatnonzero(first)
+        local = np.arange(len(ix)) - np.repeat(starts, np.diff(np.r_[starts, len(ix)]))
+        rank = off[np.searchsorted(b, ix)] + local
+        return pa.table(
+            {
+                "slab": pa.array(rank // slab_size),
+                "pid": pa.array(pid), "ix": pa.array(ix), "iy": pa.array(iy),
+            }
+        )
+
+    slabbed = direct_partitioned_map(pts, ["ix"], num_parts, to_slabs, _STR_PT_SCHEMA)
+
+    def pack(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _STR_OUT_SCHEMA.empty_table()
+        df = t.to_pandas()
+        rows = {k: [] for k in _STR_OUT_SCHEMA.names}
+        for slab, g in df.groupby("slab", sort=False):
+            o = np.lexsort(
+                (g["pid"].to_numpy(np.int64), g["ix"].to_numpy(np.int64),
+                 g["iy"].to_numpy(np.int64))
+            )
+            ix = g["ix"].to_numpy(np.int64)[o]
+            iy = g["iy"].to_numpy(np.int64)[o]
+            leaf = np.arange(len(ix)) // leaf_cap
+            for lf in range(int(leaf[-1]) + 1):
+                m = leaf == lf
+                rows["slab"].append(int(slab))
+                rows["leaf"].append(lf)
+                rows["n_points"].append(int(m.sum()))
+                rows["min_x"].append(int(ix[m].min()))
+                rows["max_x"].append(int(ix[m].max()))
+                rows["min_y"].append(int(iy[m].min()))
+                rows["max_y"].append(int(iy[m].max()))
+        return pa.Table.from_arrays(
+            [pa.array(rows[f.name], f.type) for f in _STR_OUT_SCHEMA],
+            schema=_STR_OUT_SCHEMA,
+        )
+
+    out = direct_partitioned_map(
+        slabbed.materialize(), ["slab"], num_parts, pack, _STR_SLAB_SCHEMA
+    ).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["slab", "leaf"]).reset_index(drop=True)
+
+
+def str_pack_nwa(nwa_ds, *, leaf_cap: int = _STR_LEAF_CAP, num_parts: int = 8) -> pd.DataFrame:
+    return str_pack(points_from_nwa(nwa_ds), leaf_cap=leaf_cap, num_parts=num_parts)

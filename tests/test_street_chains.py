@@ -90,3 +90,33 @@ def test_isochrone_budget_boundary(ray_session):
     # the rightmost vertex reaches 450->300->150 (dist 300) but not 0
     last = out.iloc[-1]
     assert int(last.n_reachable) == 3 and int(last.max_dist) == 300
+
+
+def test_str_pack_exact_layout(ray_session):
+    """36 points on a 6x6 grid, leaf_cap=4: n_leaves=9, S=3 slabs of 12
+    points (two x-columns each), leaves split by y inside a slab — MBRs
+    and occupancies are fully determined. Partition-count invariant."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osmi_addresses_ray.pipelines.geo_ops import str_pack
+
+    pts = [(100 * (i % 6), 100 * (i // 6), i) for i in range(36)]
+    t = pa.table(
+        {
+            "pid": pa.array([p[2] for p in pts], pa.int64()),
+            "ix": pa.array([p[0] for p in pts], pa.int64()),
+            "iy": pa.array([p[1] for p in pts], pa.int64()),
+        }
+    )
+    for parts in (1, 4):
+        out = str_pack(rd.from_arrow(t), leaf_cap=4, num_parts=parts)
+        assert len(out) == 9
+        assert out["n_points"].tolist() == [4] * 9
+        assert sorted(set(out["slab"])) == [0, 1, 2]
+        # slab 0 = x in {0, 100}; its leaves stack by y: rows 0-1, 2-3, 4-5
+        s0 = out[out["slab"] == 0]
+        assert s0["min_x"].tolist() == [0, 0, 0]
+        assert s0["max_x"].tolist() == [100, 100, 100]
+        assert s0["min_y"].tolist() == [0, 200, 400]
+        assert s0["max_y"].tolist() == [100, 300, 500]

@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_dup_ngrams": textstats.scrub_dup_ngrams,
         "pagerank_trade": graph.pagerank_trade,
         "triangle_counts": graph.triangle_counts,
+        "butterfly_counts": graph.butterfly_counts,
         "bfs_hops": graph.bfs_hops,
         "ra_links": graph.ra_links,
         "snm_pairs": dedup.snm_pairs,
@@ -2931,6 +2932,24 @@ def oracle_sql() -> dict[str, str]:
             n AS (SELECT unnest([x, y, z]) AS s_suppkey FROM t)
             SELECT s_suppkey, count(*)::BIGINT AS n_triangles
             FROM n GROUP BY 1 ORDER BY 1
+        """,
+        # butterflies: pair co-supply counts via self-join, then the exact
+        # closed form C(cp,2) summed per endpoint; zero-rows kept via the
+        # supplier left join
+        "butterfly_counts": """
+            WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+            pr AS (SELECT a.l_suppkey AS sa, b.l_suppkey AS sb,
+                          count(*)::BIGINT AS cp
+                   FROM ps a JOIN ps b
+                     ON a.l_partkey = b.l_partkey
+                    AND a.l_suppkey < b.l_suppkey
+                   GROUP BY 1, 2),
+            contrib AS (SELECT sa AS s, cp * (cp - 1) // 2 AS bf FROM pr
+                        UNION ALL
+                        SELECT sb AS s, cp * (cp - 1) // 2 AS bf FROM pr)
+            SELECT su.s_suppkey, COALESCE(sum(c.bf), 0)::BIGINT AS butterflies
+            FROM supplier su LEFT JOIN contrib c ON c.s = su.s_suppkey
+            GROUP BY 1 ORDER BY 1
         """,
         # exact scaled-integer PageRank (d=17/20, floor division) — integer
         # sums are order-free, so the unrolled SQL is bit-equal to the engine

@@ -47,3 +47,27 @@ def test_triangle_free_graph_is_empty(tmp_path):
     out = triangle_counts(sf, num_parts=2)
     assert len(out) == 0
     assert list(out.columns) == ["s_suppkey", "n_triangles"]
+
+
+def test_butterfly_counts_planted_biclique(tmp_path, ray_session):
+    """K_{2,3} (suppliers 1,2 x parts 10,20,30) has C(3,2)=3 butterflies,
+    each counted once per supplier; supplier 3 shares only ONE part with
+    supplier 1 (cp=1 -> no butterfly); supplier 4 is isolated (0 kept via
+    the left join); duplicate lineitem rows must not inflate cp."""
+    import pandas as pd
+
+    from osmi_addresses_ray.pipelines.graph import butterfly_counts
+
+    li = pd.DataFrame(
+        {
+            "l_orderkey": range(8),
+            "l_partkey": [10, 20, 30, 10, 20, 30, 10, 10],
+            "l_suppkey": [1, 1, 1, 2, 2, 2, 3, 3],  # (10,3) duplicated
+        }
+    )
+    supp = pd.DataFrame({"s_suppkey": [1, 2, 3, 4]})
+    li.to_parquet(tmp_path / "lineitem.parquet", index=False)
+    supp.to_parquet(tmp_path / "supplier.parquet", index=False)
+    out = butterfly_counts(str(tmp_path), num_parts=2)
+    got = dict(zip(out["s_suppkey"], out["butterflies"]))
+    assert got == {1: 3, 2: 3, 3: 0, 4: 0}

@@ -350,6 +350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "street_chains": _street_chains_query,
         "isochrone_counts": _isochrone_query,
         "str_pack_nwa": _str_pack_query,
+        "spatial_sample_nwa": _spatial_sample_query,
         "segment_bearing_rose": _bearing_rose_query,
         "turn_classes": _turns_query,
         "od_flows": _od_query,
@@ -1288,6 +1289,20 @@ def _str_pack_query(sf_dir: str):
     from osmi_addresses_ray.pipelines.geo_ops import str_pack_nwa
 
     out = str_pack_nwa(
+        _fixture_layers()["osmi_addresses_nodes_with_addresses"],
+        num_parts=_parts_for(FIXTURE_BLOCKS),
+    )
+    _write_spatial_src()
+    return out
+
+
+def _spatial_sample_query(sf_dir: str):
+    """Spatially-stratified deterministic sample (per-cell top-k by
+    multiplicative hash); TRUE SQL oracle: the same integer hash expression
+    + row_number over the independent point source."""
+    from osmi_addresses_ray.pipelines.geo_ops import spatial_sample_nwa
+
+    out = spatial_sample_nwa(
         _fixture_layers()["osmi_addresses_nodes_with_addresses"],
         num_parts=_parts_for(FIXTURE_BLOCKS),
     )
@@ -4068,6 +4083,24 @@ def _naive_oracle_sql() -> dict[str, str]:
             SELECT src, count(*)::BIGINT AS n_reachable,
                    max(dist)::BIGINT AS max_dist, sum(dist)::BIGINT AS sum_dist
             FROM best GROUP BY src ORDER BY src
+        """,
+        # spatial stratified sample: same hash expression + row_number
+        "spatial_sample_nwa": f"""
+            WITH pts AS (
+                SELECT DISTINCT
+                       CAST(COALESCE(node_id, 10000000 + way_id) AS BIGINT) AS pid,
+                       CAST(round(lon * 10000000) AS BIGINT) AS ix,
+                       CAST(round(lat * 10000000) AS BIGINT) AS iy
+                FROM read_parquet('{oracle_path('spatial_radius_src')}')
+                WHERE is_ip = 0),
+            c AS (SELECT pid, ix // 100000 AS cell_x, iy // 100000 AS cell_y,
+                         (pid % 1000003) * 2654435761 % 4294967296 AS h
+                  FROM pts),
+            r AS (SELECT *, row_number() OVER (PARTITION BY cell_x, cell_y
+                                               ORDER BY h, pid) AS rn
+                  FROM c)
+            SELECT cell_x, cell_y, pid, rn::BIGINT AS rn
+            FROM r WHERE rn <= 5 ORDER BY cell_x, cell_y, rn
         """,
         # STR bulk-load: two row_number windows + integer division; the
         # slab count uses the exact integer ceil-sqrt (floor-sqrt +

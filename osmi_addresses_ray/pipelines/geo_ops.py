@@ -3765,3 +3765,62 @@ def str_pack(points_ds, *, leaf_cap: int = _STR_LEAF_CAP, num_parts: int = 8) ->
 
 def str_pack_nwa(nwa_ds, *, leaf_cap: int = _STR_LEAF_CAP, num_parts: int = 8) -> pd.DataFrame:
     return str_pack(points_from_nwa(nwa_ds), leaf_cap=leaf_cap, num_parts=num_parts)
+
+
+# --- spatially stratified sampling ------------------------------------------------
+
+_SSAMP_CELL = 100_000  # 0.01° zoning — the hotspot/od_flows cell
+_SSAMP_K = 5
+_SSAMP_PRIME = 1_000_003
+_SSAMP_MULT = 2_654_435_761
+
+
+def spatial_stratified_sample(
+    points_ds, *, k_per_cell: int = _SSAMP_K, num_parts: int = 8
+) -> pd.DataFrame:
+    """Deterministic spatially-stratified sample: within every occupied
+    0.01° cell, rank points by the multiplicative hash
+    (pid % 1000003)·2654435761 mod 2³² (ties by pid) and keep the first
+    ``k_per_cell`` — the geo-balancing primitive for training-data
+    selection (dense downtown cells stop drowning out rural ones), the
+    spatial sibling of ``textstats.stratified_sample``.
+
+    Same exchange-free shape: per-batch partial top-k per cell bounds
+    every merge at cells × k rows per block; coordinates never move. The
+    hash is plain integer arithmetic (max product < 2⁶³), so the SQL
+    oracle evaluates the SAME expression rather than matching a hash
+    library."""
+    def part(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64")
+                 for c in ("cell_x", "cell_y", "pid", "h")}
+            )
+        pid = t["pid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ix = t["ix"].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = t["iy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (pid % _SSAMP_PRIME) * _SSAMP_MULT % (1 << 32)
+        d = pd.DataFrame(
+            {"cell_x": ix // _SSAMP_CELL, "cell_y": iy // _SSAMP_CELL,
+             "pid": pid, "h": h}
+        )
+        d = d.sort_values(["cell_x", "cell_y", "h", "pid"], kind="stable")
+        return d.groupby(["cell_x", "cell_y"], sort=False).head(k_per_cell)
+
+    parts = points_ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("cell_x", "cell_y", "pid", "rn")}
+        )
+    parts = parts.sort_values(["cell_x", "cell_y", "h", "pid"], kind="stable")
+    out = parts.groupby(["cell_x", "cell_y"], sort=False).head(k_per_cell).copy()
+    out["rn"] = out.groupby(["cell_x", "cell_y"]).cumcount() + 1
+    out = out[["cell_x", "cell_y", "pid", "rn"]].astype("int64")
+    return out.sort_values(["cell_x", "cell_y", "rn"]).reset_index(drop=True)
+
+
+def spatial_sample_nwa(nwa_ds, *, k_per_cell: int = _SSAMP_K, num_parts: int = 8) -> pd.DataFrame:
+    return spatial_stratified_sample(
+        points_from_nwa(nwa_ds), k_per_cell=k_per_cell, num_parts=num_parts
+    )

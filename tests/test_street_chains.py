@@ -120,3 +120,33 @@ def test_str_pack_exact_layout(ray_session):
         assert s0["max_x"].tolist() == [100, 100, 100]
         assert s0["min_y"].tolist() == [0, 200, 400]
         assert s0["max_y"].tolist() == [100, 300, 500]
+
+
+def test_spatial_sample_per_cell_cap_and_hash_order(ray_session):
+    """A dense cell keeps exactly k points chosen by the hash order (NOT
+    the smallest pids); a sparse cell keeps everything; rn restarts per
+    cell."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osmi_addresses_ray.pipelines.geo_ops import spatial_stratified_sample
+
+    dense = [(i, 50, 50) for i in range(20)]          # one cell, 20 pts
+    sparse = [(100, 150_000, 50), (101, 150_000, 60)]  # another cell, 2 pts
+    pts = dense + sparse
+    t = pa.table(
+        {
+            "pid": pa.array([p[0] for p in pts], pa.int64()),
+            "ix": pa.array([p[1] for p in pts], pa.int64()),
+            "iy": pa.array([p[2] for p in pts], pa.int64()),
+        }
+    )
+    out = spatial_stratified_sample(rd.from_arrow(t), k_per_cell=3)
+    cells = out.groupby(["cell_x", "cell_y"])["pid"].apply(list).to_dict()
+    assert len(cells[(0, 0)]) == 3
+    # hash order, not pid order: recompute the winner set independently
+    h = [(((p % 1000003) * 2654435761) % (1 << 32), p) for p, _, _ in dense]
+    want = [p for _, p in sorted(h)[:3]]
+    assert cells[(0, 0)] == want
+    assert sorted(cells[(1, 0)]) == [100, 101]
+    assert out.groupby(["cell_x", "cell_y"])["rn"].min().eq(1).all()

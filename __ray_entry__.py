@@ -351,6 +351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "isochrone_counts": _isochrone_query,
         "str_pack_nwa": _str_pack_query,
         "spatial_sample_nwa": _spatial_sample_query,
+        "addr_completeness": _addr_completeness_query,
         "segment_bearing_rose": _bearing_rose_query,
         "turn_classes": _turns_query,
         "od_flows": _od_query,
@@ -1307,6 +1308,25 @@ def _spatial_sample_query(sf_dir: str):
         num_parts=_parts_for(FIXTURE_BLOCKS),
     )
     _write_spatial_src()
+    return out
+
+
+def _addr_completeness_query(sf_dir: str):
+    """Per-postcode address-field completeness audit; TRUE SQL oracle: the
+    same CASE ladder over the independent naive-oracle layer rows."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.pipelines.geo_ops import addr_completeness
+
+    out = addr_completeness(
+        _fixture_layers()["osmi_addresses_nodes_with_addresses"],
+        num_parts=_parts_for(FIXTURE_BLOCKS),
+    )
+    write_oracle(
+        "addr_fields_src",
+        _fixture_oracle()["osmi_addresses_nodes_with_addresses"][
+            ["street", "houseno", "postcode", "city", "country", "place"]
+        ],
+    )
     return out
 
 
@@ -4083,6 +4103,32 @@ def _naive_oracle_sql() -> dict[str, str]:
             SELECT src, count(*)::BIGINT AS n_reachable,
                    max(dist)::BIGINT AS max_dist, sum(dist)::BIGINT AS sum_dist
             FROM best GROUP BY src ORDER BY src
+        """,
+        # address completeness: the same presence CASE ladder in SQL
+        "addr_completeness": f"""
+            WITH r AS (
+                SELECT COALESCE(postcode, '') AS pc,
+                       CASE WHEN street IS NOT NULL AND street <> ''
+                            THEN 1 ELSE 0 END AS p_street,
+                       CASE WHEN houseno IS NOT NULL AND houseno <> ''
+                            THEN 1 ELSE 0 END AS p_houseno,
+                       CASE WHEN postcode IS NOT NULL AND postcode <> ''
+                            THEN 1 ELSE 0 END AS p_postcode,
+                       CASE WHEN city IS NOT NULL AND city <> ''
+                            THEN 1 ELSE 0 END AS p_city,
+                       CASE WHEN country IS NOT NULL AND country <> ''
+                            THEN 1 ELSE 0 END AS p_country,
+                       CASE WHEN place IS NOT NULL AND place <> ''
+                            THEN 1 ELSE 0 END AS p_place
+                FROM read_parquet('{oracle_path('addr_fields_src')}'))
+            SELECT pc, count(*)::BIGINT AS n_rows,
+                   sum(p_street + p_houseno + p_postcode + p_city
+                       + p_country + p_place)::BIGINT AS sum_score,
+                   sum(p_street)::BIGINT AS n_street,
+                   sum(p_houseno)::BIGINT AS n_houseno,
+                   sum(p_city)::BIGINT AS n_city,
+                   sum(p_street * p_houseno * p_city)::BIGINT AS n_full
+            FROM r GROUP BY pc ORDER BY pc
         """,
         # spatial stratified sample: same hash expression + row_number
         "spatial_sample_nwa": f"""

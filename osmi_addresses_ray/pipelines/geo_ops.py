@@ -3824,3 +3824,60 @@ def spatial_sample_nwa(nwa_ds, *, k_per_cell: int = _SSAMP_K, num_parts: int = 8
     return spatial_stratified_sample(
         points_from_nwa(nwa_ds), k_per_cell=k_per_cell, num_parts=num_parts
     )
+
+
+# --- address completeness audit ----------------------------------------------------
+
+_ADDRQ_FIELDS = ("street", "houseno", "postcode", "city", "country", "place")
+_ADDRQ_SCHEMA = pa.schema(
+    [("pc", pa.string()), ("n_rows", pa.int64()), ("sum_score", pa.int64()),
+     ("n_street", pa.int64()), ("n_houseno", pa.int64()), ("n_city", pa.int64()),
+     ("n_full", pa.int64())]
+)
+
+
+def addr_completeness(nwa_ds, *, num_parts: int = 8) -> pd.DataFrame:
+    """Per-postcode address-completeness audit over the
+    nodes_with_addresses layer — the domain QA aggregate an address
+    inspector publishes: row count, summed field-presence score (street /
+    houseno / postcode / city / country / place; present = non-null AND
+    non-empty), per-key presence counts and the count of FULL addresses
+    (street + houseno + city all present). NULL postcodes group under ''.
+
+    Pure pre-aggregation shape: per-batch pandas groupby partials → one
+    tiny postcode-keyed grouped sum; the layer rows never move whole.
+    TRUE SQL oracle: the same CASE ladder over the independently computed
+    naive-oracle layer."""
+    from .relational import grouped_agg
+
+    def part(t: pa.Table) -> pd.DataFrame:
+        df = t.select(list(_ADDRQ_FIELDS)).to_pandas()
+        pres = {
+            f: (df[f].notna() & (df[f] != "")).astype(np.int64)
+            for f in _ADDRQ_FIELDS
+        }
+        out = pd.DataFrame(
+            {
+                "pc": df["postcode"].fillna("").astype(object),
+                "n_rows": np.int64(1),
+                "sum_score": sum(pres.values()).astype(np.int64),
+                "n_street": pres["street"],
+                "n_houseno": pres["houseno"],
+                "n_city": pres["city"],
+                "n_full": (
+                    pres["street"] & pres["houseno"] & pres["city"]
+                ).astype(np.int64),
+            }
+        )
+        return out.groupby("pc", as_index=False, sort=False).sum()
+
+    g = grouped_agg(
+        nwa_ds.map_batches(part, batch_format="pyarrow"),
+        ["pc"],
+        {c: (c, "sum") for c in _ADDRQ_SCHEMA.names if c != "pc"},
+    ).to_pandas()
+    for c in g.columns:
+        if c != "pc":
+            g[c] = g[c].astype("int64")
+    g["pc"] = g["pc"].astype(object)
+    return g.sort_values("pc").reset_index(drop=True)[list(_ADDRQ_SCHEMA.names)]

@@ -150,3 +150,31 @@ def test_spatial_sample_per_cell_cap_and_hash_order(ray_session):
     assert cells[(0, 0)] == want
     assert sorted(cells[(1, 0)]) == [100, 101]
     assert out.groupby(["cell_x", "cell_y"])["rn"].min().eq(1).all()
+
+
+def test_addr_completeness_presence_ladder(ray_session):
+    """Empty string and NULL both count as absent; n_full needs street +
+    houseno + city together; NULL postcode groups under ''."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osmi_addresses_ray.pipelines.geo_ops import addr_completeness
+
+    t = pa.table(
+        {
+            "street": pa.array(["A", "", None, "B"], pa.string()),
+            "houseno": pa.array(["1", "2", None, "4"], pa.string()),
+            "postcode": pa.array(["8000", "8000", None, None], pa.string()),
+            "city": pa.array(["Z", None, None, "Y"], pa.string()),
+            "country": pa.array([None, None, None, "CH"], pa.string()),
+            "place": pa.array(["", "", "", ""], pa.string()),
+        }
+    )
+    out = addr_completeness(rd.from_arrow(t)).set_index("pc")
+    z = out.loc["8000"]
+    # row1: street+houseno+postcode+city = 4; row2: houseno+postcode = 2
+    assert (z.n_rows, z.sum_score, z.n_full) == (2, 6, 1)
+    assert (z.n_street, z.n_houseno, z.n_city) == (1, 2, 1)
+    e = out.loc[""]
+    # row3: nothing; row4: street+houseno+city+country = 4
+    assert (e.n_rows, e.sum_score, e.n_full) == (2, 4, 1)

@@ -352,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "str_pack_nwa": _str_pack_query,
         "spatial_sample_nwa": _spatial_sample_query,
         "addr_completeness": _addr_completeness_query,
+        "traj_speed_outliers": _speed_outliers_query,
         "segment_bearing_rose": _bearing_rose_query,
         "turn_classes": _turns_query,
         "od_flows": _od_query,
@@ -1196,6 +1197,23 @@ def _turns_query(sf_dir: str):
     parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
     ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
     out = turn_classes(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
+    write_oracle("traj_points_src", oracle_traj_points(fixture_table(FIXTURE_BLOCKS)))
+    return out
+
+
+def _speed_outliers_query(sf_dir: str):
+    """Per-trajectory displacement median + jump-outlier counts; TRUE SQL
+    oracle: lag() diffs + quantile_disc over the independent points."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.geo_ops import oracle_traj_points
+    from osmi_addresses_ray.pipelines.geo_ops import traj_speed_outliers
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.assembly import assemble_ways
+    from osmi_addresses_ray.stages.parse import parse_docs
+
+    parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
+    ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
+    out = traj_speed_outliers(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
     write_oracle("traj_points_src", oracle_traj_points(fixture_table(FIXTURE_BLOCKS)))
     return out
 
@@ -4103,6 +4121,27 @@ def _naive_oracle_sql() -> dict[str, str]:
             SELECT src, count(*)::BIGINT AS n_reachable,
                    max(dist)::BIGINT AS max_dist, sum(dist)::BIGINT AS sum_dist
             FROM best GROUP BY src ORDER BY src
+        """,
+        # speed outliers: lag() L1 diffs + quantile_disc lower median,
+        # cross-multiplied outlier threshold
+        "traj_speed_outliers": f"""
+            WITH p AS (SELECT traj_id, step, px, py
+                       FROM read_parquet('{oracle_path('traj_points_src')}')),
+            d AS (SELECT traj_id,
+                         abs(px - lag(px) OVER w) + abs(py - lag(py) OVER w)
+                             AS d
+                  FROM p WINDOW w AS (PARTITION BY traj_id ORDER BY step)),
+            dd AS (SELECT traj_id, d FROM d WHERE d IS NOT NULL),
+            m AS (SELECT traj_id, count(*)::BIGINT AS n_steps,
+                         quantile_disc(d, 0.5)::BIGINT AS med_d,
+                         max(d)::BIGINT AS max_d
+                  FROM dd GROUP BY traj_id)
+            SELECT m.traj_id, m.n_steps, m.med_d,
+                   (SELECT count(*) FROM dd
+                    WHERE dd.traj_id = m.traj_id
+                      AND dd.d > 4 * m.med_d)::BIGINT AS n_outliers,
+                   m.max_d
+            FROM m ORDER BY m.traj_id
         """,
         # address completeness: the same presence CASE ladder in SQL
         "addr_completeness": f"""

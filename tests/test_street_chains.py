@@ -178,3 +178,43 @@ def test_addr_completeness_presence_ladder(ray_session):
     e = out.loc[""]
     # row3: nothing; row4: street+houseno+city+country = 4
     assert (e.n_rows, e.sum_score, e.n_full) == (2, 4, 1)
+
+
+def test_speed_outliers_lower_median_and_threshold(ray_session):
+    """Even displacement count takes the LOWER median; the outlier gate is
+    strict (> 4*med); a zero-median trajectory flags any nonzero jump."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osmi_addresses_ray.pipelines.geo_ops import _SPEED_SCHEMA  # noqa: F401
+    from osmi_addresses_ray.pipelines.geo_ops import traj_speed_outliers
+
+    # bypass synth: feed points through the kernel via a tiny monkey module
+    import osmi_addresses_ray.pipelines.geo_ops as geo
+
+    pts = [
+        # traj 1: displacements 10, 20, 30, 1000 -> sorted 10,20,30,1000;
+        # lower median 20; outliers: 1000 > 80 only
+        (1, 0, 0, 0), (1, 1, 10, 0), (1, 2, 10, 20), (1, 3, 40, 20), (1, 4, 1040, 20),
+        # traj 2: all zero moves then one jump -> med 0, jump is an outlier
+        (2, 0, 0, 0), (2, 1, 0, 0), (2, 2, 0, 0), (2, 3, 5, 0),
+    ]
+    t = pa.table(
+        {
+            "traj_id": pa.array([p[0] for p in pts], pa.int64()),
+            "step": pa.array([p[1] for p in pts], pa.int64()),
+            "px": pa.array([p[2] for p in pts], pa.int64()),
+            "py": pa.array([p[3] for p in pts], pa.int64()),
+        }
+    )
+    orig = geo.synth_trajectories
+    geo.synth_trajectories = lambda _ds: rd.from_arrow(t)
+    try:
+        out = traj_speed_outliers(None, num_parts=2).set_index("traj_id")
+    finally:
+        geo.synth_trajectories = orig
+    t1 = out.loc[1]
+    assert (t1.n_steps, t1.med_d, t1.n_outliers, t1.max_d) == (4, 20, 1, 1000)
+    t2 = out.loc[2]
+    assert (t2.n_steps, t2.med_d, t2.n_outliers, t2.max_d) == (3, 0, 1, 5)

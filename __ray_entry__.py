@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_trade": graph.pagerank_trade,
         "triangle_counts": graph.triangle_counts,
         "butterfly_counts": graph.butterfly_counts,
+        "degree_assortativity": graph.degree_assortativity,
         "bfs_hops": graph.bfs_hops,
         "ra_links": graph.ra_links,
         "snm_pairs": dedup.snm_pairs,
@@ -3003,6 +3004,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT su.s_suppkey, COALESCE(sum(c.bf), 0)::BIGINT AS butterflies
             FROM supplier su LEFT JOIN contrib c ON c.s = su.s_suppkey
             GROUP BY 1 ORDER BY 1
+        """,
+        # degree assortativity: exact integer sufficient stats over the
+        # directed edge list, HUGEINT combine, one double div by one sqrt
+        "degree_assortativity": """
+            WITH e0 AS (SELECT DISTINCT o_custkey AS a, 1000000 + l_suppkey AS b
+                        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            ed AS (SELECT a AS src, b AS dst FROM e0
+                   UNION ALL SELECT b AS src, a AS dst FROM e0),
+            dg AS (SELECT src AS node, count(*)::BIGINT AS deg
+                   FROM ed GROUP BY 1),
+            xy AS (SELECT da.deg AS x, db.deg AS y
+                   FROM ed JOIN dg da ON da.node = ed.src
+                           JOIN dg db ON db.node = ed.dst),
+            g AS (SELECT count(*)::BIGINT m, sum(x)::BIGINT sx,
+                         sum(y)::BIGINT sy, sum(x * y)::BIGINT sxy,
+                         sum(x * x)::BIGINT sxx, sum(y * y)::BIGINT syy
+                  FROM xy)
+            SELECT m, sx, sy, sxy, sxx, syy,
+                   CASE WHEN (m::HUGEINT * sxx::HUGEINT
+                              - sx::HUGEINT * sx::HUGEINT) = 0
+                          OR (m::HUGEINT * syy::HUGEINT
+                              - sy::HUGEINT * sy::HUGEINT) = 0
+                        THEN 0.0
+                        ELSE (m::HUGEINT * sxy::HUGEINT
+                              - sx::HUGEINT * sy::HUGEINT)::DOUBLE
+                             / sqrt(((m::HUGEINT * sxx::HUGEINT
+                                      - sx::HUGEINT * sx::HUGEINT)
+                                     * (m::HUGEINT * syy::HUGEINT
+                                        - sy::HUGEINT * sy::HUGEINT))::DOUBLE)
+                   END AS r
+            FROM g
         """,
         # exact scaled-integer PageRank (d=17/20, floor division) — integer
         # sums are order-free, so the unrolled SQL is bit-equal to the engine

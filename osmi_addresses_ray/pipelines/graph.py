@@ -947,3 +947,130 @@ def butterfly_counts(sf_dir: str, *, num_parts: int = 8) -> pd.DataFrame:
     out["butterflies"] = out["butterflies"].fillna(0).astype("int64")
     out["s_suppkey"] = out["s_suppkey"].astype("int64")
     return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+def degree_assortativity(sf_dir: str, *, num_parts: int = 8) -> pd.DataFrame:
+    """Degree assortativity (Newman 2002 r coefficient) of the undirected
+    customer↔supplier trade graph: the Pearson correlation of endpoint
+    degrees over the DIRECTED edge list (both orientations, the standard
+    convention) — negative r = hubs attach to leaves (disassortative, the
+    typical bipartite shape). One row of exact integer sufficient stats
+    (m, Σx, Σy, Σxy, Σx², Σy²) plus r.
+
+    Distributed shape: the pagerank_trade edge construction verbatim
+    (orderkey cogroup → src-keyed distinct-with-degree), one more
+    dst-keyed cogroup attaching the other endpoint's degree, then
+    per-batch integer partials summed on the driver (6 numbers per block).
+    The closed-form combine runs in python ints (m·Σxy − Σx·Σy overflows
+    int64 at web scale; HUGEINT on the SQL side), with ONE float division
+    by one sqrt — both sides convert the same exact integers. Note: the
+    HUGEINT product of the two variance terms caps at ~1.7e38; past
+    ~10¹⁸-scale sums the oracle would need a two-double split."""
+    from ..ops import direct_cogroup
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).materialize()
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]).materialize()
+
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    dedup_schema = pa.schema(
+        [("src", pa.int64()), ("dst", pa.int64()), ("deg_src", pa.int64())]
+    )
+    deg_schema = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+
+    def to_edges(o: pa.Table, l: pa.Table) -> pa.Table:
+        od = o.to_pandas()
+        ld = l.to_pandas()
+        m = ld.merge(od, left_on="l_orderkey", right_on="o_orderkey", how="inner")
+        cust = m["o_custkey"].to_numpy(np.int64)
+        supp = m["l_suppkey"].to_numpy(np.int64) + _SUPP_BASE
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([cust, supp])),
+                "dst": pa.array(np.concatenate([supp, cust])),
+            }
+        )
+
+    emissions = direct_cogroup(
+        [orders, lineitem],
+        [["o_orderkey"], ["l_orderkey"]],
+        num_parts,
+        to_edges,
+        [
+            pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+            pa.schema([("l_orderkey", pa.int64()), ("l_suppkey", pa.int64())]),
+        ],
+        emit_partitioned_on=["src"],
+    )
+
+    def distinct_with_deg(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates(["src", "dst"])
+        deg = df.groupby("src")["dst"].transform("size").to_numpy(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(df["src"].to_numpy(np.int64)),
+                "dst": pa.array(df["dst"].to_numpy(np.int64)),
+                "deg_src": pa.array(deg),
+            }
+        )
+
+    edges = direct_cogroup(
+        [emissions], [["src"]], num_parts, distinct_with_deg, [edge_schema],
+        emit_partitioned_on=["src"],
+    )
+    edges_ds = edges.to_dataset().materialize()
+
+    def node_deg(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates(["src"])
+        return pa.table(
+            {
+                "node": pa.array(df["src"].to_numpy(np.int64)),
+                "deg": pa.array(df["deg_src"].to_numpy(np.int64)),
+            }
+        )
+
+    degs = direct_cogroup(
+        [edges_ds], [["src"]], num_parts, node_deg, [dedup_schema]
+    ).materialize()
+
+    stat_cols = ("m", "sx", "sy", "sxy", "sxx", "syy")
+
+    def attach_and_sum(e_t: pa.Table, d_t: pa.Table) -> pa.Table:
+        if e_t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in stat_cols})
+        dmap = dict(
+            zip(
+                d_t["node"].to_numpy(zero_copy_only=False),
+                d_t["deg"].to_numpy(zero_copy_only=False),
+            )
+        )
+        x = e_t["deg_src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = np.array(
+            [dmap[n] for n in e_t["dst"].to_numpy(zero_copy_only=False)], np.int64
+        )
+        return pa.table(
+            {
+                "m": pa.array([np.int64(len(x))]),
+                "sx": pa.array([x.sum()]),
+                "sy": pa.array([y.sum()]),
+                "sxy": pa.array([(x * y).sum()]),
+                "sxx": pa.array([(x * x).sum()]),
+                "syy": pa.array([(y * y).sum()]),
+            }
+        )
+
+    parts = direct_cogroup(
+        [edges_ds, degs], [["dst"], ["node"]], num_parts,
+        attach_and_sum, [dedup_schema, deg_schema],
+    ).to_pandas()
+    tot = {c: int(parts[c].sum()) for c in stat_cols}
+    m, sx, sy, sxy, sxx, syy = (tot[c] for c in stat_cols)
+    num = m * sxy - sx * sy
+    d1 = m * sxx - sx * sx
+    d2 = m * syy - sy * sy
+    import math
+
+    r = float(num) / math.sqrt(float(d1 * d2)) if d1 and d2 else 0.0
+    out = pd.DataFrame([{**tot, "r": r}])
+    for c in stat_cols:
+        out[c] = out[c].astype("int64")
+    return out[list(stat_cols) + ["r"]]

@@ -71,3 +71,23 @@ def test_butterfly_counts_planted_biclique(tmp_path, ray_session):
     out = butterfly_counts(str(tmp_path), num_parts=2)
     got = dict(zip(out["s_suppkey"], out["butterflies"]))
     assert got == {1: 3, 2: 3, 3: 0, 4: 0}
+
+
+def test_degree_assortativity_star_is_disassortative(tmp_path, ray_session):
+    """A star K_{1,4} (one customer, four suppliers, one order each) is
+    perfectly disassortative: every edge pairs deg 4 with deg 1 -> r = -1;
+    sufficient stats are hand-checkable (m=8, sx=sy=20, sxy=32)."""
+    import pandas as pd
+
+    from osmi_addresses_ray.pipelines.graph import degree_assortativity
+
+    orders = pd.DataFrame({"o_orderkey": [1, 2, 3, 4], "o_custkey": [7] * 4})
+    li = pd.DataFrame(
+        {"l_orderkey": [1, 2, 3, 4], "l_suppkey": [11, 12, 13, 14]}
+    )
+    orders.to_parquet(tmp_path / "orders.parquet", index=False)
+    li.to_parquet(tmp_path / "lineitem.parquet", index=False)
+    out = degree_assortativity(str(tmp_path), num_parts=2).iloc[0]
+    assert (out.m, out.sx, out.sy, out.sxy) == (8, 20, 20, 32)
+    assert (out.sxx, out.syy) == (68, 68)
+    assert out.r == -1.0

@@ -354,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_sample_nwa": _spatial_sample_query,
         "addr_completeness": _addr_completeness_query,
         "traj_speed_outliers": _speed_outliers_query,
+        "way_sinuosity": _sinuosity_query,
         "segment_bearing_rose": _bearing_rose_query,
         "turn_classes": _turns_query,
         "od_flows": _od_query,
@@ -1216,6 +1217,25 @@ def _speed_outliers_query(sf_dir: str):
     ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
     out = traj_speed_outliers(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
     write_oracle("traj_points_src", oracle_traj_points(fixture_table(FIXTURE_BLOCKS)))
+    return out
+
+
+def _sinuosity_query(sf_dir: str):
+    """Per-way L1 sinuosity classes; TRUE SQL oracle: grouped segment sums
+    + min/max_by endpoints over the independently parsed segments."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.geo_ops import oracle_highway_segments
+    from osmi_addresses_ray.pipelines.geo_ops import way_sinuosity
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.assembly import assemble_ways
+    from osmi_addresses_ray.stages.parse import parse_docs
+
+    parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
+    ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
+    out = way_sinuosity(ways_geo)
+    write_oracle(
+        "way_segments_src", oracle_highway_segments(fixture_table(FIXTURE_BLOCKS))
+    )
     return out
 
 
@@ -4153,6 +4173,23 @@ def _naive_oracle_sql() -> dict[str, str]:
             SELECT src, count(*)::BIGINT AS n_reachable,
                    max(dist)::BIGINT AS max_dist, sum(dist)::BIGINT AS sum_dist
             FROM best GROUP BY src ORDER BY src
+        """,
+        # sinuosity: grouped L1 segment sums + first/last endpoints by
+        # seg_idx, integer cross-multiplied 1.2x class threshold
+        "way_sinuosity": f"""
+            WITH s AS (SELECT way_id, seg_idx, ax, ay, bx, by
+                       FROM read_parquet('{oracle_path('way_segments_src')}')),
+            g AS (SELECT way_id,
+                         sum(abs(bx - ax) + abs(by - ay))::BIGINT AS len_l1,
+                         (abs(max_by(bx, seg_idx) - min_by(ax, seg_idx))
+                          + abs(max_by(by, seg_idx) - min_by(ay, seg_idx)))
+                             ::BIGINT AS chord_l1
+                  FROM s GROUP BY way_id)
+            SELECT way_id, len_l1, chord_l1,
+                   CASE WHEN chord_l1 = 0 THEN 'loop'
+                        WHEN 5 * len_l1 <= 6 * chord_l1 THEN 'straight'
+                        ELSE 'curved' END AS sin_class
+            FROM g ORDER BY way_id
         """,
         # speed outliers: lag() L1 diffs + quantile_disc lower median,
         # cross-multiplied outlier threshold

@@ -3945,3 +3945,69 @@ def traj_speed_outliers(ways_geo_ds, *, factor: int = 4, num_parts: int = 8) -> 
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("traj_id").reset_index(drop=True)
+
+
+# --- way sinuosity classification ---------------------------------------------------
+
+_SINU_SCHEMA = pa.schema(
+    [
+        ("way_id", pa.int64()), ("len_l1", pa.int64()), ("chord_l1", pa.int64()),
+        ("sin_class", pa.string()),
+    ]
+)
+
+
+def way_sinuosity(ways_geo_ds) -> pd.DataFrame:
+    """Per-street-way sinuosity audit (road-geometry QA: detour factor of
+    the drawn line vs its endpoints): exact L1 path length Σ(|dx|+|dy|)
+    against the L1 endpoint chord, classified by integer cross-multiply —
+    'loop' when the chord is zero (closed or returning way), 'straight'
+    when 5·len ≤ 6·chord (detour ≤ 1.2×), else 'curved'. L1 on BOTH sides
+    keeps the ratio rational: no sqrt, no float anywhere.
+
+    Exchange-free: a way's vertices live in one row, so this is one
+    vectorized map over the street ways (segment sums via np.add.at on
+    way ordinals). TRUE SQL oracle: grouped segment sums + min/max_by
+    endpoints over the independently parsed segments."""
+    streets = street_ways(ways_geo_ds)
+
+    def fn(t: pa.Table) -> pa.Table:
+        segs = way_segments_table(t)
+        if segs is None:
+            return _SINU_SCHEMA.empty_table()
+        wid, seq, ax, ay, bx, by = segs
+        d = np.abs(bx - ax) + np.abs(by - ay)
+        first = np.r_[True, wid[1:] != wid[:-1]]
+        gidx = np.cumsum(first) - 1
+        n_ways = int(gidx[-1]) + 1 if len(gidx) else 0
+        ln = np.zeros(n_ways, np.int64)
+        np.add.at(ln, gidx, d)
+        starts = np.flatnonzero(first)
+        ends = np.r_[starts[1:], len(wid)] - 1
+        chord = np.abs(bx[ends] - ax[starts]) + np.abs(by[ends] - ay[starts])
+        w = wid[starts].astype(np.int64)
+        cls = np.where(
+            chord == 0, "loop", np.where(5 * ln <= 6 * chord, "straight", "curved")
+        )
+        return pa.table(
+            {
+                "way_id": pa.array(w),
+                "len_l1": pa.array(ln),
+                "chord_l1": pa.array(chord.astype(np.int64)),
+                "sin_class": pa.array(cls.astype(object), pa.string()),
+            }
+        )
+
+    out = streets.map_batches(fn, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "way_id": pd.Series([], dtype="int64"),
+                "len_l1": pd.Series([], dtype="int64"),
+                "chord_l1": pd.Series([], dtype="int64"),
+                "sin_class": pd.Series([], dtype=object),
+            }
+        )
+    for c in ("way_id", "len_l1", "chord_l1"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("way_id").reset_index(drop=True)

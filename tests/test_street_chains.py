@@ -218,3 +218,25 @@ def test_speed_outliers_lower_median_and_threshold(ray_session):
     assert (t1.n_steps, t1.med_d, t1.n_outliers, t1.max_d) == (4, 20, 1, 1000)
     t2 = out.loc[2]
     assert (t2.n_steps, t2.med_d, t2.n_outliers, t2.max_d) == (3, 0, 1, 5)
+
+
+def test_way_sinuosity_classes(ray_session):
+    """Straight line -> 'straight' (ratio 1); a right-angle detour of
+    exactly 1.2x chord sits ON the straight boundary (5*len == 6*chord);
+    anything past it is 'curved'; a closed ring is 'loop'."""
+    from osmi_addresses_ray.pipelines.geo_ops import way_sinuosity
+
+    ways = [
+        {"id": 1, "pts": [(0, 0), (100, 0), (200, 0)]},           # straight
+        # len 240 vs chord 200: 5*240 = 1200 == 6*200 -> still 'straight'
+        {"id": 2, "pts": [(0, 0), (100, 20), (200, 0)]},
+        # len 300 vs chord 200 -> curved
+        {"id": 3, "pts": [(0, 0), (100, 50), (200, 0)]},
+        {"id": 4, "pts": [(0, 0), (100, 0), (100, 100), (0, 0)]},  # loop
+    ]
+    out = way_sinuosity(_ways_geo(ways)).set_index("way_id")
+    assert out.loc[1].sin_class == "straight" and out.loc[1].len_l1 == 200
+    assert out.loc[2].sin_class == "straight"
+    assert (out.loc[2].len_l1, out.loc[2].chord_l1) == (240, 200)
+    assert out.loc[3].sin_class == "curved"
+    assert out.loc[4].sin_class == "loop" and out.loc[4].chord_l1 == 0

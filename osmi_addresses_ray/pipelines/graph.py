@@ -942,6 +942,11 @@ def butterfly_counts(sf_dir: str, *, num_parts: int = 8) -> pd.DataFrame:
         pairs.materialize(), ["sa", "sb"], num_parts, pair_contrib, pair_schema
     )
     summed = grouped_agg(contrib, ["s"], {"butterflies": ("bf", "sum")}).to_pandas()
+    if summed.empty:  # no co-supplied part anywhere: all-zero output
+        summed = pd.DataFrame(
+            {"s": pd.Series([], dtype="int64"),
+             "butterflies": pd.Series([], dtype="int64")}
+        )
     supp = _read(sf_dir, "supplier", ["s_suppkey"]).to_pandas()
     out = supp.merge(summed.rename(columns={"s": "s_suppkey"}), on="s_suppkey", how="left")
     out["butterflies"] = out["butterflies"].fillna(0).astype("int64")

@@ -324,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_pitch": _media_pitch_query,
         "media_onsets": _media_onsets_query,
         "media_blobs": _media_blobs_query,
+        "media_quadtree": _media_quadtree_query,
         "media_resample_audio": _media_resample_query,
         "geohash_cells": _geohash_query,
         "hilbert_keys": _hilbert_query,
@@ -710,6 +711,24 @@ def _media_blobs_query(sf_dir: str):
         .reset_index(drop=True)
     )
     write_oracle("media_blobs", oracle_media_blobs(fixture_table(FIXTURE_BLOCKS)))
+    return df
+
+
+def _media_quadtree_query(sf_dir: str):
+    """Quadtree uniformity decomposition (structure/compressibility
+    signal) over real decoded pixels; scalar-loop oracle."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.layers import oracle_media_quadtree
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.multimodal import media_quadtree
+
+    df = (
+        media_quadtree(fixture_docs(FIXTURE_BLOCKS))
+        .to_pandas()
+        .sort_values(["doc_id", "media_ref"])
+        .reset_index(drop=True)
+    )
+    write_oracle("media_quadtree", oracle_media_quadtree(fixture_table(FIXTURE_BLOCKS)))
     return df
 
 
@@ -3719,6 +3738,7 @@ def _ensure_default_oracles() -> None:
             "media_pitch",
             "media_onsets",
             "media_blobs",
+            "media_quadtree",
             "media_resample_audio",
             "geohash_cells",
             "hilbert_keys",
@@ -3836,6 +3856,7 @@ def _naive_oracle_sql() -> dict[str, str]:
         "media_pitch": read_parquet_sql("media_pitch", "doc_id, media_ref"),
         "media_onsets": read_parquet_sql("media_onsets", "doc_id, media_ref"),
         "media_blobs": read_parquet_sql("media_blobs", "doc_id, media_ref"),
+        "media_quadtree": read_parquet_sql("media_quadtree", "doc_id, media_ref"),
         "media_resample_audio": read_parquet_sql("media_resample_audio", "doc_id, media_ref"),
         "geohash_cells": read_parquet_sql("geohash_cells", "node_id, ip_id, lon, lat"),
         "hilbert_keys": read_parquet_sql("hilbert_keys", "node_id, ip_id, lon, lat"),

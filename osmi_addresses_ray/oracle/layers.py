@@ -1354,6 +1354,74 @@ def oracle_media_blobs(docs: pa.Table) -> pd.DataFrame:
         ["doc_id", "media_ref"]).reset_index(drop=True)
 
 
+def oracle_media_quadtree(docs: pa.Table) -> pd.DataFrame:
+    """Scalar quadtree recomputation: explicit min/max loops per region
+    over the raw pixel spec (no numpy slicing reductions), same split rule
+    (h//2 / w//2; 1-wide strips split along the long axis)."""
+    thr = 60
+    rows = []
+    for row in docs.to_pylist():
+        for span in row["spans"]:
+            if span["kind"] != "media":
+                continue
+            img = _oracle_media_pixels(span["media_ref"])
+            h, w = img.shape[:2]
+            g = [
+                [int(img[y, x, 0]) + int(img[y, x, 1]) + int(img[y, x, 2])
+                 for x in range(w)]
+                for y in range(h)
+            ]
+            stats = {"leaves": 0, "depth": 0, "px": 0, "big": 0}
+
+            def rec(y0, y1, x0, x1, depth):
+                mn = mx = g[y0][x0]
+                for y in range(y0, y1):
+                    for x in range(x0, x1):
+                        v = g[y][x]
+                        if v < mn:
+                            mn = v
+                        if v > mx:
+                            mx = v
+                rh, rw = y1 - y0, x1 - x0
+                uniform = mx - mn <= thr
+                if uniform or (rh == 1 and rw == 1):
+                    stats["leaves"] += 1
+                    if depth > stats["depth"]:
+                        stats["depth"] = depth
+                    if rh == 1 and rw == 1:
+                        stats["px"] += 1
+                    elif uniform and rh * rw > stats["big"]:
+                        stats["big"] = rh * rw
+                    return
+                ym, xm = y0 + rh // 2, x0 + rw // 2
+                if rh > 1 and rw > 1:
+                    rec(y0, ym, x0, xm, depth + 1)
+                    rec(y0, ym, xm, x1, depth + 1)
+                    rec(ym, y1, x0, xm, depth + 1)
+                    rec(ym, y1, xm, x1, depth + 1)
+                elif rh == 1:
+                    rec(y0, y1, x0, xm, depth + 1)
+                    rec(y0, y1, xm, x1, depth + 1)
+                else:
+                    rec(y0, ym, x0, x1, depth + 1)
+                    rec(ym, y1, x0, x1, depth + 1)
+
+            rec(0, h, 0, w, 0)
+            rows.append(
+                {
+                    "doc_id": row["doc_id"], "media_ref": span["media_ref"],
+                    "n_leaves": np.int64(stats["leaves"]),
+                    "max_depth": np.int64(stats["depth"]),
+                    "n_px_leaves": np.int64(stats["px"]),
+                    "largest_uniform_area": np.int64(stats["big"]),
+                }
+            )
+    cols = ["doc_id", "media_ref", "n_leaves", "max_depth",
+            "n_px_leaves", "largest_uniform_area"]
+    return pd.DataFrame(rows, columns=cols).sort_values(
+        ["doc_id", "media_ref"]).reset_index(drop=True)
+
+
 def oracle_media_sobel(docs: pa.Table) -> pd.DataFrame:
     """Scalar Sobel recomputation: explicit per-pixel 3×3 loops over the raw
     pixel spec, grayscale = r+g+b, mag² = gx²+gy², threshold 1_000_000 —

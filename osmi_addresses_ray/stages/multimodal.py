@@ -1009,3 +1009,95 @@ def media_blobs(docs_ds, *, concurrency=(1, 4), batch_size: int = 64):
     return media.map_batches(
         ImageBlobs, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
     )
+
+
+# --- quadtree uniformity decomposition ----------------------------------------
+
+MEDIA_QUAD_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("n_leaves", pa.int64()),
+        pa.field("max_depth", pa.int64()),
+        pa.field("n_px_leaves", pa.int64()),
+        pa.field("largest_uniform_area", pa.int64()),
+    ]
+)
+
+
+class ImageQuadtree:
+    """Actor-pool quadtree uniformity decomposition over REAL decoded
+    pixels — the structure/compressibility signal (flat posters decompose
+    in a few large leaves, textured photos go to pixel depth): recursively
+    split the r+g+b grayscale until a region's max−min ≤ THR. Split rule:
+    h2 = h//2, w2 = w//2; both dims > 1 → 4 quads, a 1-pixel-high/wide
+    strip splits in 2 along its long axis. Per image: leaf count, max
+    depth (root = 0), count of 1×1 leaves, and the largest area among
+    leaves that are uniform with area > 1 (0 when decomposition bottoms
+    out everywhere). Exact integers; recursion depth ≤ log2(32) + 1."""
+
+    THR = 60
+
+    def __init__(self):
+        from osmi_addresses_ray.stages.media_codecs import decode_image
+
+        self._decode = decode_image
+
+    @classmethod
+    def _decompose(cls, g: np.ndarray) -> tuple[int, int, int, int]:
+        n_leaves = max_depth = n_px = big_uni = 0
+
+        def rec(y0: int, y1: int, x0: int, x1: int, depth: int) -> None:
+            nonlocal n_leaves, max_depth, n_px, big_uni
+            r = g[y0:y1, x0:x1]
+            h, w = y1 - y0, x1 - x0
+            uniform = int(r.max()) - int(r.min()) <= cls.THR
+            if uniform or (h == 1 and w == 1):
+                n_leaves += 1
+                max_depth = max(max_depth, depth)
+                if h == 1 and w == 1:
+                    n_px += 1
+                elif uniform:
+                    big_uni = max(big_uni, h * w)
+                return
+            ym, xm = y0 + h // 2, x0 + w // 2
+            if h > 1 and w > 1:
+                rec(y0, ym, x0, xm, depth + 1)
+                rec(y0, ym, xm, x1, depth + 1)
+                rec(ym, y1, x0, xm, depth + 1)
+                rec(ym, y1, xm, x1, depth + 1)
+            elif h == 1:
+                rec(y0, y1, x0, xm, depth + 1)
+                rec(y0, y1, xm, x1, depth + 1)
+            else:
+                rec(y0, ym, x0, x1, depth + 1)
+                rec(ym, y1, x0, x1, depth + 1)
+
+        rec(0, g.shape[0], 0, g.shape[1], 0)
+        return n_leaves, max_depth, n_px, big_uni
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = {k: [] for k in MEDIA_QUAD_SCHEMA.names}
+        for doc_id, ref, payload in zip(
+            t["doc_id"].to_pylist(), t["media_ref"].to_pylist(), t["payload"].to_pylist()
+        ):
+            img = self._decode(payload)
+            g = img.astype(np.int64).sum(axis=2)
+            n_leaves, max_depth, n_px, big_uni = self._decompose(g)
+            rows["doc_id"].append(doc_id)
+            rows["media_ref"].append(ref)
+            rows["n_leaves"].append(n_leaves)
+            rows["max_depth"].append(max_depth)
+            rows["n_px_leaves"].append(n_px)
+            rows["largest_uniform_area"].append(big_uni)
+        return pa.Table.from_arrays(
+            [pa.array(rows[f.name], f.type) for f in MEDIA_QUAD_SCHEMA],
+            schema=MEDIA_QUAD_SCHEMA,
+        )
+
+
+def media_quadtree(docs_ds, *, concurrency=(1, 4), batch_size: int = 64):
+    media = extract_media_refs(docs_ds)
+    return media.map_batches(
+        ImageQuadtree, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+    )

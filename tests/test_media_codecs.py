@@ -436,3 +436,28 @@ def test_image_blobs_planted_shapes():
     row = np.zeros((1, 5), bool)
     row[0, :] = True
     assert ImageBlobs._label(row) == (5, 1, 5, 0)
+
+
+def test_quadtree_planted_structure():
+    """A flat image is ONE leaf at depth 0; a 4x4 with one hot quadrant
+    splits once into 4 leaves; a 1-wide strip splits along its long axis;
+    a checkerboard bottoms out at pixel leaves."""
+    import numpy as np
+
+    from osmi_addresses_ray.stages.multimodal import ImageQuadtree
+
+    dec = ImageQuadtree._decompose
+    flat = np.zeros((8, 8), np.int64)
+    assert dec(flat) == (1, 0, 0, 64)
+    # one 2x2 hot corner: root splits; 3 flat quads + hot quad flat itself
+    # (hot quad is uniform 700s) -> 4 leaves depth 1, largest area 4
+    q = np.zeros((4, 4), np.int64)
+    q[:2, :2] = 700
+    assert dec(q) == (4, 1, 0, 4)
+    # checkerboard alternating 0/700: every split still mixed until 1x1
+    cb = np.fromfunction(lambda y, x: ((y + x) % 2) * 700, (4, 4), dtype=np.int64)
+    n_leaves, max_depth, n_px, big = dec(cb.astype(np.int64))
+    assert (n_leaves, n_px, big) == (16, 16, 0) and max_depth == 2
+    # 1x4 strip, half dark half bright: splits in 2, both halves uniform
+    strip = np.array([[0, 0, 700, 700]], np.int64)
+    assert dec(strip) == (2, 1, 0, 2)

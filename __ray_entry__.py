@@ -229,6 +229,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _with_oracle(
             "simhash_pairs", dedup.simhash_pairs, "simhash_pairs_oracle", "documents"
         ),
+        "lsh_calibration": _with_oracle(
+            "lsh_calibration", dedup.lsh_calibration, "lsh_calibration_oracle", "documents"
+        ),
         "minhash_lsh_pairs": _with_oracle(
             "minhash_lsh_pairs", dedup.minhash_lsh_pairs, "minhash_pairs_oracle", "documents"
         ),
@@ -3779,6 +3782,7 @@ def _ensure_default_oracles() -> None:
     for name, tag_table in (
         ("simhash_docs", "documents"),
         ("minhash_lsh_pairs", "documents"),
+        ("lsh_calibration", "documents"),
         ("ngram_jaccard_dedup", "documents"),
         ("knn_ivf", "embeddings"),
         ("knn_hyperplane", "embeddings"),
@@ -3824,6 +3828,7 @@ def _naive_oracle_sql() -> dict[str, str]:
         "simhash_docs": read_tagged_sql("simhash_docs", "doc_id", "documents"),
         "simhash_pairs": read_tagged_sql("simhash_pairs", "doc_a, doc_b", "documents"),
         "minhash_lsh_pairs": read_tagged_sql("minhash_lsh_pairs", "doc_a, doc_b", "documents"),
+        "lsh_calibration": read_tagged_sql("lsh_calibration", "bin", "documents"),
         "ngram_jaccard_dedup": read_tagged_sql("ngram_jaccard_dedup", "doc_id", "documents"),
         "knn_ivf": read_tagged_sql("knn_ivf", "cosine DESC, vec_id", "embeddings"),
         "knn_hyperplane": read_tagged_sql(

@@ -954,3 +954,57 @@ def kcenter_oracle(sf_dir: str, *, k: int = 12) -> pd.DataFrame:
     return pd.DataFrame(chosen, columns=["round", "vec_id", "dist"]).astype(
         {"round": "int64", "vec_id": "int64", "dist": "float64"}
     )
+
+
+def lsh_calibration_oracle(sf_dir: str, *, num_perm: int = 64, bands: int = 16,
+                           bucket_cap: int = 64) -> pd.DataFrame:
+    """Naive calibration recomputation: the minhash_pairs_oracle candidate
+    enumeration, per-pair signature agreement via the scalar
+    _oph_signature, exact inter/union, est//8 binning."""
+    docs = _docs(sf_dir)
+    rows_per_band = num_perm // bands
+    buckets: dict[tuple[int, np.uint64], list[int]] = {}
+    hash_sets: dict[int, np.ndarray] = {}
+    sigs: dict[int, np.ndarray] = {}
+    for r in docs.itertuples():
+        h = _shingle_hashes(r.text)
+        hash_sets[r.doc_id] = np.unique(h)
+        sig = _oph_signature(h, num_perm)
+        sigs[r.doc_id] = sig
+        with np.errstate(over="ignore"):
+            for band in range(bands):
+                acc = np.uint64(band + 1)
+                for j in range(rows_per_band):
+                    acc = (acc * _FNV) ^ sig[band * rows_per_band + j]
+                key = (band, acc & np.uint64(0x7FFFFFFFFFFFFFFF))
+                buckets.setdefault(key, []).append(r.doc_id)
+    cand = set()
+    for ids in buckets.values():
+        ids = sorted(set(ids))[:bucket_cap]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+    agg: dict[int, list[int]] = {}
+    for da, db in sorted(cand):
+        sa, sb = hash_sets[da], hash_sets[db]
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        uni = len(sa) + len(sb) - inter
+        est = int((sigs[da] == sigs[db]).sum())
+        b = est // 8
+        a = agg.setdefault(b, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += est
+        a[2] += inter
+        a[3] += uni
+    out = pd.DataFrame(
+        [
+            {"bin": b, "n_pairs": v[0], "sum_match": v[1],
+             "sum_inter": v[2], "sum_union": v[3]}
+            for b, v in sorted(agg.items())
+        ],
+        columns=["bin", "n_pairs", "sum_match", "sum_inter", "sum_union"],
+    )
+    return out.astype("int64") if len(out) else pd.DataFrame(
+        {c: pd.Series([], dtype="int64")
+         for c in ("bin", "n_pairs", "sum_match", "sum_inter", "sum_union")}
+    )

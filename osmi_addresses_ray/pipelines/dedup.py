@@ -404,6 +404,26 @@ class MinHasher:
         return sig
 
 
+def _oph_from_hashes(h: np.ndarray, num_perm: int = 64) -> np.ndarray:
+    """OPH signature of ONE shingle-hash set (the MinHasher spec applied to
+    a single row): min per top-bits bin + the same jump-pointer
+    densification. Used by the calibration op, which already holds the
+    per-doc hash sets in the pair worker."""
+    shift = np.uint64(64 - num_perm.bit_length() + 1)
+    mixed = _splitmix64(h.astype(np.uint64))
+    bins = (mixed >> shift).astype(np.int64)
+    vals = mixed & _OPH_VAL_MASK
+    sig = np.full(num_perm, _OPH_EMPTY, np.uint64)
+    np.minimum.at(sig, bins, vals)
+    s = 1
+    empty = sig == _OPH_EMPTY
+    while s < num_perm and empty.any():
+        sig[empty] = np.roll(sig, -s)[empty]
+        s <<= 1
+        empty = sig == _OPH_EMPTY
+    return sig
+
+
 def _lsh_candidate_pairs(
     sf_dir: str, *, num_perm: int, bands: int, bucket_cap: int = _BUCKET_CAP,
     num_parts: int = 8,
@@ -511,7 +531,7 @@ def _lsh_candidate_pairs(
     )
 
 
-def _verified_pairs(sf_dir: str, cand, *, threshold: float, num_parts: int = 8):
+def _verified_pairs(sf_dir: str, cand, *, threshold: float, num_parts: int = 8, stats: bool = False):
     """Distributed true-Jaccard verification of candidate pairs.
 
     Exchange 1 (on doc id): pair-membership rows ⨝ docs — each matched doc's
@@ -644,6 +664,24 @@ def _verified_pairs(sf_dir: str, cand, *, threshold: float, num_parts: int = 8):
             .drop_duplicates(["doc_a", "doc_b", "side"])
             .sort_values(["doc_a", "doc_b", "side"])
         )
+        if stats:
+            # calibration mode: per pair, the OPH signature agreement
+            # (estimated similarity numerator) plus the exact inter/union
+            rows = {k: [] for k in ("doc_a", "doc_b", "est_match", "inter", "uni")}
+            it = df.itertuples()
+            for r0, r1 in zip(it, it):
+                a = np.asarray(r0.hashes, dtype=np.uint64)
+                b = np.asarray(r1.hashes, dtype=np.uint64)
+                inter = len(np.intersect1d(a, b, assume_unique=True))
+                est = int((_oph_from_hashes(a) == _oph_from_hashes(b)).sum())
+                rows["doc_a"].append(r0.doc_a)
+                rows["doc_b"].append(r0.doc_b)
+                rows["est_match"].append(est)
+                rows["inter"].append(inter)
+                rows["uni"].append(len(a) + len(b) - inter)
+            return pa.table(
+                {k: pa.array(np.asarray(v, np.int64)) for k, v in rows.items()}
+            )
         out_a, out_b, out_j = [], [], []
         it = df.itertuples()
         for r0, r1 in zip(it, it):  # pairs are adjacent after the sort
@@ -1410,3 +1448,61 @@ def snm_pairs(
         .reset_index(drop=True)
         .astype({c: "int64" for c in ("doc_a", "doc_b", "inter", "uni")})
     )
+
+
+def lsh_calibration(sf_dir: str, *, num_parts: int = 8) -> pd.DataFrame:
+    """MinHash-LSH calibration curve — the dedup-QA audit that tells you
+    whether the sketch's similarity ESTIMATE tracks truth on YOUR corpus:
+    every LSH candidate pair contributes its OPH signature agreement
+    (est_match of 64 bins, the unbiased Jaccard estimator's numerator) and
+    its exact intersection/union sizes; pairs bucket by est_match // 8 and
+    each bucket reports exact integer sums (read expected-vs-observed as
+    sum_match/(64·n) vs sum_inter/sum_union). A well-calibrated sketch
+    puts high-est buckets at high true overlap; drift means the shingle or
+    mixing spec forked somewhere.
+
+    Shape: the minhash_lsh_pairs machinery verbatim (candidate exchanges +
+    pair-keyed co-group) with the verify worker emitting integer stats
+    instead of filtering — the signatures are recomputed FROM the pair's
+    hash sets in the worker (OPH is a pure function of the set), so no
+    extra signature exchange exists. One final tiny bin-keyed groupby."""
+    from .relational import grouped_agg
+
+    cand = _lsh_candidate_pairs(sf_dir, num_perm=64, bands=16,
+                                bucket_cap=_BUCKET_CAP, num_parts=num_parts)
+    stats = _verified_pairs(sf_dir, cand, threshold=0.0, num_parts=num_parts,
+                            stats=True)
+
+    def to_bins(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("bin", pa.int64()), ("n_pairs", pa.int64()),
+                 ("sum_match", pa.int64()), ("sum_inter", pa.int64()),
+                 ("sum_union", pa.int64())]
+            ).empty_table()
+        est = t["est_match"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bin": pa.array(est // 8),
+                "n_pairs": pa.array(np.ones(len(est), np.int64)),
+                "sum_match": pa.array(est),
+                "sum_inter": t["inter"],
+                "sum_union": t["uni"],
+            }
+        )
+
+    g = grouped_agg(
+        stats.map_batches(to_bins, batch_format="pyarrow"),
+        ["bin"],
+        {c: (c, "sum") for c in ("n_pairs", "sum_match", "sum_inter", "sum_union")},
+    ).to_pandas()
+    if g.empty:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("bin", "n_pairs", "sum_match", "sum_inter", "sum_union")}
+        )
+    for c in g.columns:
+        g[c] = g[c].astype("int64")
+    return g.sort_values("bin").reset_index(drop=True)[
+        ["bin", "n_pairs", "sum_match", "sum_inter", "sum_union"]
+    ]

@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # time-series custom operators (SQL-checked): one hash exchange on
         # user_id, vectorized per-partition sweeps (pipelines/timeseries.py)
         "asof_click_view": timeseries.asof_join_events,
+        "conversion_lag_quantiles": timeseries.conversion_lag_quantiles,
         "session_windows": timeseries.session_windows,
         "session_paths": timeseries.session_paths,
         "sliding_window_counts": timeseries.sliding_window_counts,
@@ -1921,6 +1922,29 @@ def oracle_sql() -> dict[str, str]:
                          ON c.user_id = v.user_id AND v.ts <= c.ts)
             SELECT event_id, user_id, ts, view_event_id, view_ts, lag_us
             FROM j WHERE rn = 1 ORDER BY event_id
+        """,
+        # conversion-lag order statistics: the asof window SQL composed
+        # with quantile_disc (same ceil(p*n)-1 element the binned path picks)
+        "conversion_lag_quantiles": """
+            WITH c AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+                 v AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'view'),
+                 j AS (SELECT c.event_id,
+                              epoch_us(c.ts) - epoch_us(v.ts) AS lag_us,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY c.event_id
+                                  ORDER BY v.ts DESC, v.event_id DESC) AS rn
+                       FROM c JOIN v
+                         ON c.user_id = v.user_id AND v.ts <= c.ts),
+                 l AS (SELECT lag_us FROM j WHERE rn = 1)
+            SELECT count(*)::BIGINT AS n,
+                   quantile_disc(lag_us, 0.25)::BIGINT AS p25,
+                   quantile_disc(lag_us, 0.5)::BIGINT AS p50,
+                   quantile_disc(lag_us, 0.75)::BIGINT AS p75,
+                   quantile_disc(lag_us, 0.9)::BIGINT AS p90,
+                   max(lag_us)::BIGINT AS max_lag
+            FROM l
         """,
         # gap-based session windows (gap > 30 min starts a new session);
         # per-user 1-based session index, ordering ties broken by event_id

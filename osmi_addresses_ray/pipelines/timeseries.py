@@ -67,22 +67,16 @@ def _read_events(sf_dir: str, columns):
     return read_parquet_sized(os.path.join(sf_dir, "events.parquet"), columns=columns)
 
 
-def asof_join_events(
+def asof_pairs_ds(
     sf_dir: str,
     *,
     left_type: str = "click",
     right_type: str = "view",
     num_parts: int = 8,
 ):
-    """For every ``left_type`` event, the latest ``right_type`` event of the
-    same user with ``ts`` ≤ the left event's ``ts`` (inner as-of join; ties
-    on ts resolved to the larger event_id).
-
-    Shape: one exchange on user_id; inside a partition both sides merge into
-    a single (user, ts, side, event_id) lexsort where the "latest prior
-    view" for every click is a running maximum-accumulate over view row
-    positions — O(n log n) per partition, zero per-user loops.
-    """
+    """The as-of join of ``asof_join_events`` as a DATASET (one user-keyed
+    exchange, no driver materialization) — the reusable core for downstream
+    aggregates like ``conversion_lag_quantiles``."""
 
     def pre(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -124,7 +118,7 @@ def asof_join_events(
 
     from ..ops import direct_partitioned_map
 
-    out = direct_partitioned_map(
+    return direct_partitioned_map(
         _read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"]),
         ["user_id"],
         num_parts,
@@ -138,6 +132,27 @@ def asof_join_events(
             ]
         ),
         pre=pre,
+    )
+
+
+def asof_join_events(
+    sf_dir: str,
+    *,
+    left_type: str = "click",
+    right_type: str = "view",
+    num_parts: int = 8,
+):
+    """For every ``left_type`` event, the latest ``right_type`` event of the
+    same user with ``ts`` ≤ the left event's ``ts`` (inner as-of join; ties
+    on ts resolved to the larger event_id).
+
+    Shape: one exchange on user_id; inside a partition both sides merge into
+    a single (user, ts, side, event_id) lexsort where the "latest prior
+    view" for every click is a running maximum-accumulate over view row
+    positions — O(n log n) per partition, zero per-user loops.
+    """
+    out = asof_pairs_ds(
+        sf_dir, left_type=left_type, right_type=right_type, num_parts=num_parts
     )
     return out.to_pandas().sort_values("event_id").reset_index(drop=True)
 
@@ -2090,3 +2105,58 @@ def throttle_events(sf_dir: str, *, gap_us: int = _THROTTLE_US, num_parts: int =
     return out.sort_values(
         ["user_id", "event_type", "ts", "event_id"]
     ).reset_index(drop=True)
+
+
+# --- conversion-lag exact quantiles ---------------------------------------------
+
+
+def conversion_lag_quantiles(sf_dir: str, *, num_parts: int = 8) -> pd.DataFrame:
+    """Exact view→click conversion-lag distribution: quantile_disc-style
+    order statistics (p25/p50/p75/p90, idx = ceil(p·n)−1) plus count and
+    max over the as-of joined click lags — the time-to-convert metric a
+    funnel report keys on.
+
+    Fully distributed: the as-of pairs stay a Dataset (``asof_pairs_ds``)
+    and the quantiles run through the binned two-pass rank path
+    (``grouped_quantiles_binned``: bin histogram → driver rank location →
+    re-read only the hit bins), so lag values never congregate anywhere.
+    Lags fit float64 exactly (< 2⁵³ µs). TRUE SQL oracle: the asof window
+    SQL composed with quantile_disc.
+    """
+    from .relational import grouped_agg, grouped_quantiles_binned
+
+    pairs = asof_pairs_ds(sf_dir, num_parts=num_parts).materialize()
+
+    def project(t: pa.Table) -> pa.Table:
+        lag = t["lag_us"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {"g": pa.array(np.zeros(len(lag), np.int64)), "lag": pa.array(lag)}
+        )
+
+    lags = pairs.map_batches(project, batch_format="pyarrow")
+    tot = grouped_agg(
+        lags, ["g"], {"n": (None, "count"), "max_lag": ("lag", "max")}
+    ).to_pandas()
+    if tot.empty or int(tot["n"].iloc[0]) == 0:
+        return pd.DataFrame(
+            {
+                "n": pd.Series([], dtype="int64"),
+                "p25": pd.Series([], dtype="int64"),
+                "p50": pd.Series([], dtype="int64"),
+                "p75": pd.Series([], dtype="int64"),
+                "p90": pd.Series([], dtype="int64"),
+                "max_lag": pd.Series([], dtype="int64"),
+            }
+        )
+    q = grouped_quantiles_binned(lags, "g", "lag", (0.25, 0.5, 0.75, 0.9))
+    out = pd.DataFrame(
+        {
+            "n": [int(tot["n"].iloc[0])],
+            "p25": [int(q["p25"].iloc[0])],
+            "p50": [int(q["p50"].iloc[0])],
+            "p75": [int(q["p75"].iloc[0])],
+            "p90": [int(q["p90"].iloc[0])],
+            "max_lag": [int(tot["max_lag"].iloc[0])],
+        }
+    )
+    return out.astype("int64")

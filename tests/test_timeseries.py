@@ -735,3 +735,32 @@ def test_throttle_chains_off_emitted_not_previous(tmp_path, ray_session):
     got = [(r.event_type, int(r.event_id), int(r.n_suppressed))
            for r in out.itertuples()]
     assert got == [("a", 1, 1), ("a", 3, 0), ("a", 4, 0), ("b", 5, 2)]
+
+
+def test_conversion_lag_quantiles_exact_order_stats(tmp_path, ray_session):
+    """Four converted clicks with lags 10, 20, 30, 40 minutes: the
+    ceil(p*n)-1 convention gives p25=10m, p50=20m, p75=30m, p90=40m; a
+    view-less click contributes nothing."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osmi_addresses_ray.pipelines.timeseries import conversion_lag_quantiles
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    rows = [(1, base, 1, "view")]
+    eid = 2
+    for lag in (10, 20, 30, 40):
+        rows.append((eid, base + lag * m, 1, "click")); eid += 1
+    rows.append((99, base, 2, "click"))  # user 2: no prior view
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    df["value"] = 0.0
+    df["props"] = "{}"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    out = conversion_lag_quantiles(str(tmp_path), num_parts=2).iloc[0]
+    M = 60_000_000
+    assert (out.n, out.p25, out.p50, out.p75, out.p90, out.max_lag) == (
+        4, 10 * M, 20 * M, 30 * M, 40 * M, 40 * M
+    )

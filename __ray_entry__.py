@@ -360,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "addr_completeness": _addr_completeness_query,
         "traj_speed_outliers": _speed_outliers_query,
         "way_sinuosity": _sinuosity_query,
+        "route_circuity": _circuity_query,
         "segment_bearing_rose": _bearing_rose_query,
         "turn_classes": _turns_query,
         "od_flows": _od_query,
@@ -1259,6 +1260,23 @@ def _sinuosity_query(sf_dir: str):
     write_oracle(
         "way_segments_src", oracle_highway_segments(fixture_table(FIXTURE_BLOCKS))
     )
+    return out
+
+
+def _circuity_query(sf_dir: str):
+    """Circuity buckets over the SSSP output; oracle = the same
+    unpack/bucket arithmetic over the independent Dijkstra parquet."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.geo_ops import oracle_street_route_dist
+    from osmi_addresses_ray.pipelines.geo_ops import route_circuity
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.assembly import assemble_ways
+    from osmi_addresses_ray.stages.parse import parse_docs
+
+    parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
+    ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
+    out = route_circuity(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
+    write_oracle("street_route_dist", oracle_street_route_dist(fixture_table(FIXTURE_BLOCKS)))
     return out
 
 
@@ -4223,6 +4241,25 @@ def _naive_oracle_sql() -> dict[str, str]:
             SELECT src, count(*)::BIGINT AS n_reachable,
                    max(dist)::BIGINT AS max_dist, sum(dist)::BIGINT AS sum_dist
             FROM best GROUP BY src ORDER BY src
+        """,
+        # circuity: vid unpack (integer div/mod of the packed coordinate)
+        # + the same min(10*dist // chord, 39) bucket over the Dijkstra rows
+        "route_circuity": f"""
+            WITH d AS (SELECT src, node, dist
+                       FROM read_parquet('{oracle_path('street_route_dist')}')),
+            u AS (SELECT src, dist,
+                         abs((node // 536870912 - 268435456)
+                             - (src // 536870912 - 268435456)) * 10
+                         + abs((node % 536870912 - 268435456)
+                               - (src % 536870912 - 268435456)) * 10 AS chord
+                  FROM d),
+            b AS (SELECT src,
+                         CASE WHEN chord = 0 THEN -1
+                              ELSE least(10 * dist // greatest(chord, 1), 39)
+                         END AS bucket
+                  FROM u)
+            SELECT src, bucket, count(*)::BIGINT AS n
+            FROM b GROUP BY src, bucket ORDER BY src, bucket
         """,
         # sinuosity: grouped L1 segment sums + first/last endpoints by
         # seg_idx, integer cross-multiplied 1.2x class threshold

@@ -4011,3 +4011,49 @@ def way_sinuosity(ways_geo_ds) -> pd.DataFrame:
     for c in ("way_id", "len_l1", "chord_l1"):
         out[c] = out[c].astype("int64")
     return out.sort_values("way_id").reset_index(drop=True)
+
+
+# --- route circuity distribution ---------------------------------------------------
+
+
+def route_circuity(ways_geo_ds, *, num_parts: int = 8) -> pd.DataFrame:
+    """Circuity (detour-factor) distribution of the street network: for
+    every (seed, reachable vertex) pair of ``street_route_dist``, compare
+    the network distance against the straight-line L1 chord RECOVERED FROM
+    THE PACKED VERTEX ID (vid = (x//10 + B)·M + (y//10 + B) decodes to the
+    1e-6° floor-quantized coordinates — deterministic on both sides), and
+    bucket the rational ratio by integer division: bucket = min(10·dist //
+    chord, 39) (10 = ratio 1.0x, 39+ clamps the long tail), −1 for the
+    zero-chord self pair. Output: (src, bucket, n) counts — the
+    network-efficiency fingerprint planners compare across cities.
+
+    Piggybacks the SSSP pregel output; the bucketing is one vectorized
+    pass + a tiny grouped count. TRUE SQL oracle: the same unpack/bucket
+    arithmetic over the independent Dijkstra parquet."""
+    d = street_route_dist(ways_geo_ds, num_parts=num_parts)
+    if d.empty:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("src", "bucket", "n")}
+        )
+    src = d["src"].to_numpy(np.int64)
+    node = d["node"].to_numpy(np.int64)
+    dist = d["dist"].to_numpy(np.int64)
+
+    def unpack(v):
+        return v // _SSSP_V_MUL - _SSSP_V_BIAS, v % _SSSP_V_MUL - _SSSP_V_BIAS
+
+    sx, sy = unpack(src)
+    nx, ny = unpack(node)
+    chord = (np.abs(nx - sx) + np.abs(ny - sy)) * 10
+    bucket = np.where(
+        chord == 0, -1, np.minimum(10 * dist // np.maximum(chord, 1), 39)
+    )
+    out = (
+        pd.DataFrame({"src": src, "bucket": bucket})
+        .groupby(["src", "bucket"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["src", "bucket"]).reset_index(drop=True)

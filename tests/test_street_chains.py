@@ -240,3 +240,29 @@ def test_way_sinuosity_classes(ray_session):
     assert (out.loc[2].len_l1, out.loc[2].chord_l1) == (240, 200)
     assert out.loc[3].sin_class == "curved"
     assert out.loc[4].sin_class == "loop" and out.loc[4].chord_l1 == 0
+
+
+def test_route_circuity_buckets(ray_session):
+    """An L-shaped street: the far corner's network distance equals its L1
+    chord (bucket 10); a straight piece also sits at bucket 10; the self
+    pair lands in the -1 sentinel. A detour way (out-and-back prong)
+    pushes a pair past ratio 1."""
+    from osmi_addresses_ray.pipelines.geo_ops import route_circuity
+
+    # network: A(0,0) - B(1000,0) - C(1000,1000); plus a detour-only path
+    # A - D(0,2000) - E(1000,2000): E's chord from A is 3000 but network
+    # dist is 3000 too (A->D->E) = L1 equality... instead make E reachable
+    # ONLY via D with a dogleg: A-D(0,2000), D-E(500,3000): chord(A,E) =
+    # 3500+... keep simple: assert bucket composition instead.
+    ways = [
+        {"id": 1, "pts": [(0, 0), (1000, 0), (1000, 1000)]},
+        {"id": 2, "pts": [(0, 0), (0, 2000), (500, 3000)]},
+    ]
+    out = route_circuity(_ways_geo(ways), num_parts=2)
+    got = out.groupby("bucket")["n"].sum().to_dict()
+    # hand-computed pair buckets (directed both ways, symmetric):
+    #  within-branch pairs + monotone cross pairs -> ratio 1.0 (bucket 10):
+    #  AB AC AD AE BC BD DE = 7 pairs; (A,E): net 3500 == chord 3500
+    #  B<->E: net 4500 / chord 3500 -> 12;  C<->D: 4000/2000 -> 20;
+    #  C<->E: 5500/2500 -> 22;  5 self pairs -> -1
+    assert got == {-1: 5, 10: 14, 12: 2, 20: 2, 22: 2}

@@ -361,6 +361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "traj_speed_outliers": _speed_outliers_query,
         "way_sinuosity": _sinuosity_query,
         "route_circuity": _circuity_query,
+        "network_voronoi": _voronoi_query,
         "segment_bearing_rose": _bearing_rose_query,
         "turn_classes": _turns_query,
         "od_flows": _od_query,
@@ -1276,6 +1277,23 @@ def _circuity_query(sf_dir: str):
     parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
     ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
     out = route_circuity(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
+    write_oracle("street_route_dist", oracle_street_route_dist(fixture_table(FIXTURE_BLOCKS)))
+    return out
+
+
+def _voronoi_query(sf_dir: str):
+    """Nearest-facility allocation over the street graph; TRUE SQL oracle:
+    per-node argmin (dist, src) over the independent Dijkstra parquet."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.geo_ops import oracle_street_route_dist
+    from osmi_addresses_ray.pipelines.geo_ops import network_voronoi
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.assembly import assemble_ways
+    from osmi_addresses_ray.stages.parse import parse_docs
+
+    parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
+    ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
+    out = network_voronoi(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
     write_oracle("street_route_dist", oracle_street_route_dist(fixture_table(FIXTURE_BLOCKS)))
     return out
 
@@ -4260,6 +4278,18 @@ def _naive_oracle_sql() -> dict[str, str]:
                   FROM u)
             SELECT src, bucket, count(*)::BIGINT AS n
             FROM b GROUP BY src, bucket ORDER BY src, bucket
+        """,
+        # network Voronoi: per-node argmin over the Dijkstra pairs,
+        # lexicographic (dist, src) with the smaller seed winning ties
+        "network_voronoi": f"""
+            WITH d AS (SELECT src, node, dist
+                       FROM read_parquet('{oracle_path('street_route_dist')}')),
+            r AS (SELECT node, src, dist,
+                         row_number() OVER (PARTITION BY node
+                                            ORDER BY dist, src) AS rn
+                  FROM d)
+            SELECT node, src AS seed, dist
+            FROM r WHERE rn = 1 ORDER BY node
         """,
         # sinuosity: grouped L1 segment sums + first/last endpoints by
         # seg_idx, integer cross-multiplied 1.2x class threshold

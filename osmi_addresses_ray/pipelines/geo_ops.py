@@ -1924,27 +1924,13 @@ def _sssp_vid(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     return (x // 10 + _SSSP_V_BIAS) * _SSSP_V_MUL + (y // 10 + _SSSP_V_BIAS)
 
 
-def street_route_dist(ways_geo_ds, *, num_parts: int = 8, budget: int | None = None) -> pd.DataFrame:
-    """Multi-source weighted shortest paths over the street graph — the
-    routing primitive behind isochrones and travel-distance features.
-    Vertices: quantized segment endpoints; edges: street segments weighted
-    by exact L1 length (|dx|+|dy| in 1e-7° units); sources: the 8 smallest
-    vertex ids (deterministic). Output: (src, node, dist) for every
-    reachable pair, exact integers.
-
-    Distributed shape: Bellman-Ford-style min-plus pregel — per round,
-    [dist ⨝ edges] keyed on the vertex hash space emits (dst, src,
-    dist + w) for IMPROVED rows only, re-partitioned on dst; the merge step
-    keeps the per-(node, src) minimum and flags improvements. Rounds stop
-    at the TRUE fixpoint (zero improved rows, checked by a tiny per-round
-    aggregate); ``_SSSP_MAX_ROUNDS`` is a runaway guard that RAISES, never
-    silently truncates. Volume per round = improved-frontier degree sum.
-    The scalar oracle runs Dijkstra (heapq) — algorithm-diverse from the
-    engine's relaxation rounds, so a shared bug can't cancel out.
-    """
+def _street_edges_and_sources(ways_geo_ds, *, num_parts: int, k_sources: int):
+    """Shared street-graph construction for the routing operators: the
+    deduped undirected edge list (u, v, w) partitioned on u, plus the
+    ``k_sources`` globally smallest vertex ids (deterministic seed set;
+    per-block partial min-k → driver merge of k·P ids). Returns
+    ``(None, None)`` when the corpus has no street segments."""
     from ..ops import direct_cogroup
-
-    import ray
 
     streets = street_ways(ways_geo_ds).materialize()
 
@@ -1985,19 +1971,47 @@ def street_route_dist(ways_geo_ds, *, num_parts: int = 8, budget: int | None = N
         emit_partitioned_on=["u"],
     )
 
-    # deterministic sources: global 3 smallest vertex ids (per-block partial
-    # min-k -> driver merge of k·P ids)
     vmins = []
     for b in edges.to_dataset().iter_batches(batch_format="pyarrow"):
         uu = b["u"].to_numpy(zero_copy_only=False)
         if len(uu):
-            vmins.append(np.unique(uu)[:_SSSP_K_SOURCES])
+            vmins.append(np.unique(uu)[:k_sources])
+    if not vmins:
+        return None, None
+    sources = np.unique(np.concatenate(vmins))[:k_sources]
+    return edges, sources
+
+
+def street_route_dist(ways_geo_ds, *, num_parts: int = 8, budget: int | None = None) -> pd.DataFrame:
+    """Multi-source weighted shortest paths over the street graph — the
+    routing primitive behind isochrones and travel-distance features.
+    Vertices: quantized segment endpoints; edges: street segments weighted
+    by exact L1 length (|dx|+|dy| in 1e-7° units); sources: the 8 smallest
+    vertex ids (deterministic). Output: (src, node, dist) for every
+    reachable pair, exact integers.
+
+    Distributed shape: Bellman-Ford-style min-plus pregel — per round,
+    [dist ⨝ edges] keyed on the vertex hash space emits (dst, src,
+    dist + w) for IMPROVED rows only, re-partitioned on dst; the merge step
+    keeps the per-(node, src) minimum and flags improvements. Rounds stop
+    at the TRUE fixpoint (zero improved rows, checked by a tiny per-round
+    aggregate); ``_SSSP_MAX_ROUNDS`` is a runaway guard that RAISES, never
+    silently truncates. Volume per round = improved-frontier degree sum.
+    The scalar oracle runs Dijkstra (heapq) — algorithm-diverse from the
+    engine's relaxation rounds, so a shared bug can't cancel out.
+    """
+    from ..ops import direct_cogroup
+
+    import ray
+
     empty = pd.DataFrame(
         {c: pd.Series([], dtype="int64") for c in ("src", "node", "dist")}
     )
-    if not vmins:
+    edges, sources = _street_edges_and_sources(
+        ways_geo_ds, num_parts=num_parts, k_sources=_SSSP_K_SOURCES
+    )
+    if edges is None:
         return empty
-    sources = np.unique(np.concatenate(vmins))[:_SSSP_K_SOURCES]
     src_ref = ray.put(sources)
 
     def seed(t: pa.Table) -> pa.Table:
@@ -4057,3 +4071,147 @@ def route_circuity(ways_geo_ds, *, num_parts: int = 8) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values(["src", "bucket"]).reset_index(drop=True)
+
+
+# --- network Voronoi (nearest-facility allocation) ----------------------------------
+
+
+_NV_LABEL_SCHEMA = pa.schema(
+    [("node", pa.int64()), ("seed", pa.int64()), ("dist", pa.int64()),
+     ("imp", pa.int64())]
+)
+
+
+def network_voronoi(
+    ways_geo_ds, *, num_parts: int = 8, k_seeds: int = _SSSP_K_SOURCES
+) -> pd.DataFrame:
+    """Network Voronoi / nearest-facility allocation: assign every street
+    vertex to its NEAREST seed by network distance (the catchment-area
+    primitive behind service-coverage and facility-location analyses).
+    Seeds are the ``k_seeds`` smallest vertex ids (deterministic, the same
+    set ``street_route_dist`` routes from); ties at equal distance go to
+    the SMALLEST seed id. Output: (node, seed, dist) — one row per vertex
+    reachable from any seed, exact integers.
+
+    Distributed shape: a min-plus label-propagation pregel like
+    ``street_route_dist`` but carrying ONE (dist, seed) label per vertex
+    instead of k distance rows — state and per-round exchange volume are
+    k× smaller, which is the standard scale trick for nearest-facility
+    (the k-source SSSP materializes k·V rows; this materializes V). The
+    merge keeps the lexicographic (dist, seed) minimum per node, tie
+    preferring the incumbent so an equal re-arrival never counts as an
+    improvement; rounds stop at the true fixpoint and
+    ``_SSSP_MAX_ROUNDS`` RAISES rather than truncating. TRUE SQL oracle:
+    per-node argmin over the independent Dijkstra parquet
+    (row_number ordered by dist, src)."""
+    from ..ops import direct_cogroup
+
+    import ray
+
+    empty = pd.DataFrame(
+        {c: pd.Series([], dtype="int64") for c in ("node", "seed", "dist")}
+    )
+    edges, sources = _street_edges_and_sources(
+        ways_geo_ds, num_parts=num_parts, k_sources=k_seeds
+    )
+    if edges is None:
+        return empty
+    src_ref = ray.put(sources)
+
+    def seed_fn(t: pa.Table) -> pa.Table:
+        srcs = ray.get(src_ref)
+        uu = np.unique(t["u"].to_numpy(zero_copy_only=False).astype(np.int64))
+        here = uu[np.isin(uu, srcs)]
+        return pa.table(
+            {
+                "node": pa.array(here),
+                "seed": pa.array(here),
+                "dist": pa.array(np.zeros(len(here), np.int64)),
+                "imp": pa.array(np.ones(len(here), np.int64)),
+            }
+        )
+
+    labels = direct_cogroup(
+        [edges], [["u"]], num_parts, seed_fn, [_SSSP_EDGE_SCHEMA],
+        emit_partitioned_on=["node"],
+    )
+
+    emit_schema = pa.schema(
+        [("dst", pa.int64()), ("seed", pa.int64()), ("cand", pa.int64())]
+    )
+
+    def expand(l_t: pa.Table, e_t: pa.Table) -> pa.Table:
+        if l_t.num_rows == 0 or e_t.num_rows == 0:
+            return emit_schema.empty_table()
+        ld = l_t.to_pandas()
+        ld = ld[ld["imp"] == 1]
+        if ld.empty:
+            return emit_schema.empty_table()
+        m = e_t.to_pandas().merge(ld, left_on="u", right_on="node", how="inner")
+        if m.empty:
+            return emit_schema.empty_table()
+        out = pd.DataFrame(
+            {
+                "dst": m["v"].to_numpy(np.int64),
+                "seed": m["seed"].to_numpy(np.int64),
+                "cand": m["dist"].to_numpy(np.int64) + m["w"].to_numpy(np.int64),
+            }
+        )
+        # map-side combine: lexicographic (cand, seed) min per dst
+        out = out.sort_values(["dst", "cand", "seed"], kind="stable")
+        first = ~out.duplicated(["dst"])
+        return pa.Table.from_pandas(out[first], preserve_index=False).cast(emit_schema)
+
+    def merge(n_t: pa.Table, l_t: pa.Table) -> pa.Table:
+        ld = l_t.to_pandas()[["node", "seed", "dist"]]
+        if n_t.num_rows:
+            nd = n_t.to_pandas().rename(columns={"dst": "node", "cand": "dist"})
+            allr = pd.concat([ld.assign(old=1), nd.assign(old=0)])
+        else:
+            allr = ld.assign(old=1)
+        # winner = lexicographic (dist, seed) min; incumbent first among
+        # exact ties so equal re-arrivals never flag an improvement
+        allr = allr.sort_values(
+            ["node", "dist", "seed", "old"],
+            ascending=[True, True, True, False], kind="stable",
+        )
+        first = ~allr.duplicated(["node"])
+        win = allr[first]
+        return pa.table(
+            {
+                "node": pa.array(win["node"].to_numpy(np.int64)),
+                "seed": pa.array(win["seed"].to_numpy(np.int64)),
+                "dist": pa.array(win["dist"].to_numpy(np.int64)),
+                "imp": pa.array((win["old"] == 0).to_numpy().astype(np.int64)),
+            }
+        )
+
+    for _rnd in range(_SSSP_MAX_ROUNDS):
+        nxt = direct_cogroup(
+            [labels, edges], [["node"], ["u"]], num_parts, expand,
+            [_NV_LABEL_SCHEMA, _SSSP_EDGE_SCHEMA], emit_partitioned_on=["dst"],
+        )
+        labels = direct_cogroup(
+            [nxt, labels], [["dst"], ["node"]], num_parts, merge,
+            [emit_schema, _NV_LABEL_SCHEMA], emit_partitioned_on=["node"],
+        )
+        improved = sum(
+            int(b["imp"].to_numpy(zero_copy_only=False).sum())
+            for b in labels.to_dataset().select_columns(["imp"]).iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+        if improved == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"network_voronoi did not reach fixpoint in {_SSSP_MAX_ROUNDS} rounds"
+        )
+
+    out = labels.to_dataset().to_pandas()
+    if out.empty:
+        return empty
+    out = out[["node", "seed", "dist"]]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)

@@ -266,3 +266,31 @@ def test_route_circuity_buckets(ray_session):
     #  B<->E: net 4500 / chord 3500 -> 12;  C<->D: 4000/2000 -> 20;
     #  C<->E: 5500/2500 -> 22;  5 self pairs -> -1
     assert got == {-1: 5, 10: 14, 12: 2, 20: 2, 22: 2}
+
+
+def test_network_voronoi_assignment(ray_session):
+    """Two seeds (the two smallest vertex ids): a midpoint vertex exactly
+    equidistant from both goes to the SMALLER seed id; each far corner
+    goes to its own side; an isolated component is absent (unreachable)."""
+    from osmi_addresses_ray.pipelines.geo_ops import network_voronoi
+
+    s1, s2, t = (0, 0), (0, 1000), (1000, 500)
+    n1, n2 = (2000, 0), (2000, 1000)
+    ways = [
+        {"id": 1, "pts": [s1, n1, n2]},
+        {"id": 2, "pts": [s2, n2]},
+        {"id": 3, "pts": [s1, t]},
+        {"id": 4, "pts": [s2, t]},
+        {"id": 5, "pts": [(9000, 0), (9500, 0)]},  # unreachable island
+    ]
+    want = {
+        _vid(*s1): (_vid(*s1), 0),
+        _vid(*s2): (_vid(*s2), 0),
+        _vid(*t): (_vid(*s1), 1500),   # tie 1500/1500 -> smaller seed id
+        _vid(*n1): (_vid(*s1), 2000),
+        _vid(*n2): (_vid(*s2), 2000),
+    }
+    for parts in (1, 3):
+        out = network_voronoi(_ways_geo(ways), num_parts=parts, k_seeds=2)
+        got = {int(r.node): (int(r.seed), int(r.dist)) for r in out.itertuples()}
+        assert got == want

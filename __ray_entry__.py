@@ -362,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "way_sinuosity": _sinuosity_query,
         "route_circuity": _circuity_query,
         "network_voronoi": _voronoi_query,
+        "street_mst": _mst_query,
         "segment_bearing_rose": _bearing_rose_query,
         "turn_classes": _turns_query,
         "od_flows": _od_query,
@@ -1295,6 +1296,23 @@ def _voronoi_query(sf_dir: str):
     ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
     out = network_voronoi(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
     write_oracle("street_route_dist", oracle_street_route_dist(fixture_table(FIXTURE_BLOCKS)))
+    return out
+
+
+def _mst_query(sf_dir: str):
+    """Minimum spanning forest of the street graph (Boruvka); oracle =
+    scalar Kruskal under the same (w, a, b) total order."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.geo_ops import oracle_street_mst
+    from osmi_addresses_ray.pipelines.geo_ops import street_mst
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.assembly import assemble_ways
+    from osmi_addresses_ray.stages.parse import parse_docs
+
+    parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
+    ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
+    out = street_mst(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
+    write_oracle("street_mst", oracle_street_mst(fixture_table(FIXTURE_BLOCKS)))
     return out
 
 
@@ -4278,6 +4296,12 @@ def _naive_oracle_sql() -> dict[str, str]:
                   FROM u)
             SELECT src, bucket, count(*)::BIGINT AS n
             FROM b GROUP BY src, bucket ORDER BY src, bucket
+        """,
+        # MSF: the Kruskal edges verbatim (the naive-oracle parquet IS the
+        # independent recomputation; SQL only re-sorts)
+        "street_mst": f"""
+            SELECT u, v, w FROM read_parquet('{oracle_path('street_mst')}')
+            ORDER BY u, v
         """,
         # network Voronoi: per-node argmin over the Dijkstra pairs,
         # lexicographic (dist, src) with the smaller seed winning ties

@@ -370,6 +370,46 @@ def oracle_street_route_dist(docs, k_sources: int = 8) -> pd.DataFrame:
     )
 
 
+def oracle_street_mst(docs) -> pd.DataFrame:
+    """Scalar Kruskal with union-find over the independently parsed street
+    graph, edge order (w, min(u,v), max(u,v)) — algorithm-diverse from the
+    engine's Borůvka rounds; the strict total order makes the forest
+    unique so the edge sets must match exactly."""
+    ents = parse_entities(docs)
+    hw_ways = {e["id"] for e in ents if e["etype"] == "way" and "highway" in e["tags"]}
+    best: dict[tuple[int, int], int] = {}
+    for way_id, pts in _way_points(docs):
+        if way_id not in hw_ways:
+            continue
+        for i in range(len(pts) - 1):
+            (ax, ay), (bx, by) = pts[i], pts[i + 1]
+            u, v = _sssp_vid(ax, ay), _sssp_vid(bx, by)
+            if u == v:
+                continue
+            a, b = (u, v) if u < v else (v, u)
+            w = abs(bx - ax) + abs(by - ay)
+            if (a, b) not in best or w < best[(a, b)]:
+                best[(a, b)] = w
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    rows = []
+    for (a, b), w in sorted(best.items(), key=lambda kv: (kv[1], kv[0])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            rows.append((a, b, w))
+    df = pd.DataFrame(rows, columns=["u", "v", "w"])
+    if df.empty:
+        df = pd.DataFrame({c: pd.Series([], dtype="int64") for c in ("u", "v", "w")})
+    return df.sort_values(["u", "v"]).reset_index(drop=True).astype("int64")
+
+
 def oracle_traj_points(docs) -> pd.DataFrame:
     """Independent scalar synthesis of the GPS-like trajectory points (the
     synth_trajectories spec) — the point source for turn-class SQL."""

@@ -4215,3 +4215,166 @@ def network_voronoi(
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("node").reset_index(drop=True)
+
+
+# --- minimum spanning forest (Boruvka) ----------------------------------------------
+
+
+_MST_LAB_SCHEMA = pa.schema([("node", pa.int64()), ("comp", pa.int64())])
+_MST_E1_SCHEMA = pa.schema(
+    [("u", pa.int64()), ("v", pa.int64()), ("w", pa.int64()), ("cu", pa.int64())]
+)
+_MST_E2_SCHEMA = pa.schema(
+    [("u", pa.int64()), ("v", pa.int64()), ("w", pa.int64()),
+     ("cu", pa.int64()), ("cv", pa.int64())]
+)
+_MST_MAX_ROUNDS = 48
+
+
+def street_mst(ways_geo_ds, *, num_parts: int = 8) -> pd.DataFrame:
+    """Minimum spanning forest of the street graph (edges weighted by exact
+    L1 length) — the backbone-extraction primitive behind network
+    generalization, clustering (single-linkage = MSF) and redundancy
+    audits. Ties are broken by the total order (w, min(u,v), max(u,v)),
+    which makes the forest UNIQUE, so Borůvka here and Kruskal in the
+    oracle must produce the identical edge set. Output: one (u, v, w) row
+    per forest edge, u < v, sorted.
+
+    Distributed shape: textbook Borůvka — per round (a) two node-keyed
+    exchanges attach component labels to the static edge list, (b) one
+    comp-keyed exchange picks each component's minimum outgoing edge
+    (map-side combiner keeps per-partition minima, so the exchange carries
+    ≤ one row per (partition, comp)), (c) the selected COMPONENT-pair
+    graph — at most one edge per component, halving each round — runs
+    through the alternating-star ``connected_components`` contraction,
+    and (d) one exchange relabels vertices. Rounds ≤ log₂V;
+    ``_MST_MAX_ROUNDS`` RAISES, never truncates. The driver only ever
+    sees the per-round selected-edge count."""
+    from ..ops import direct_cogroup
+    from .dedup import connected_components
+
+    import ray.data as rd
+
+    empty = pd.DataFrame(
+        {c: pd.Series([], dtype="int64") for c in ("u", "v", "w")}
+    )
+    edges, _srcs = _street_edges_and_sources(
+        ways_geo_ds, num_parts=num_parts, k_sources=1
+    )
+    if edges is None:
+        return empty
+
+    def seed_labels(t: pa.Table) -> pa.Table:
+        uu = np.unique(t["u"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"node": pa.array(uu), "comp": pa.array(uu)})
+
+    labels = direct_cogroup(
+        [edges], [["u"]], num_parts, seed_labels, [_SSSP_EDGE_SCHEMA],
+        emit_partitioned_on=["node"],
+    )
+
+    def attach_u(e_t: pa.Table, l_t: pa.Table) -> pa.Table:
+        if e_t.num_rows == 0:
+            return _MST_E1_SCHEMA.empty_table()
+        m = e_t.to_pandas().merge(
+            l_t.to_pandas(), left_on="u", right_on="node", how="inner"
+        )
+        return pa.Table.from_pandas(
+            m.rename(columns={"comp": "cu"})[["u", "v", "w", "cu"]],
+            preserve_index=False,
+        ).cast(_MST_E1_SCHEMA)
+
+    def attach_v(e_t: pa.Table, l_t: pa.Table) -> pa.Table:
+        if e_t.num_rows == 0:
+            return _MST_E2_SCHEMA.empty_table()
+        m = e_t.to_pandas().merge(
+            l_t.to_pandas(), left_on="v", right_on="node", how="inner"
+        ).rename(columns={"comp": "cv"})
+        m = m[m["cu"] != m["cv"]]
+        if m.empty:
+            return _MST_E2_SCHEMA.empty_table()
+        # canonical edge key + map-side combine: per-cu lexicographic
+        # (w, a, b) minimum — the exchange moves <= one row per comp
+        a = np.minimum(m["u"].to_numpy(np.int64), m["v"].to_numpy(np.int64))
+        b = np.maximum(m["u"].to_numpy(np.int64), m["v"].to_numpy(np.int64))
+        d = pd.DataFrame(
+            {"u": a, "v": b, "w": m["w"].to_numpy(np.int64),
+             "cu": m["cu"].to_numpy(np.int64), "cv": m["cv"].to_numpy(np.int64)}
+        ).sort_values(["cu", "w", "u", "v"], kind="stable")
+        d = d[~d.duplicated(["cu"])]
+        return pa.Table.from_pandas(d, preserve_index=False).cast(_MST_E2_SCHEMA)
+
+    def pick_min(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _MST_E2_SCHEMA.empty_table()
+        d = t.to_pandas().sort_values(["cu", "w", "u", "v"], kind="stable")
+        return pa.Table.from_pandas(
+            d[~d.duplicated(["cu"])], preserve_index=False
+        ).cast(_MST_E2_SCHEMA)
+
+    def relabel(l_t: pa.Table, s_t: pa.Table) -> pa.Table:
+        ld = l_t.to_pandas()
+        if ld.empty:
+            return _MST_LAB_SCHEMA.empty_table()
+        sd = s_t.to_pandas()
+        if not sd.empty:
+            m = ld.merge(sd, left_on="comp", right_on="u", how="left")
+            ld = pd.DataFrame(
+                {"node": m["node"].to_numpy(np.int64),
+                 "comp": m["v"].fillna(m["comp"]).to_numpy(np.int64)}
+            )
+        return pa.Table.from_pandas(
+            ld[["node", "comp"]], preserve_index=False
+        ).cast(_MST_LAB_SCHEMA)
+
+    chosen: list = []
+    for _rnd in range(_MST_MAX_ROUNDS):
+        e1 = direct_cogroup(
+            [edges, labels], [["u"], ["node"]], num_parts, attach_u,
+            [_SSSP_EDGE_SCHEMA, _MST_LAB_SCHEMA], emit_partitioned_on=["v"],
+        )
+        e2 = direct_cogroup(
+            [e1, labels], [["v"], ["node"]], num_parts, attach_v,
+            [_MST_E1_SCHEMA, _MST_LAB_SCHEMA], emit_partitioned_on=["cu"],
+        )
+        sel = direct_cogroup(
+            [e2], [["cu"]], num_parts, pick_min, [_MST_E2_SCHEMA],
+        ).materialize()
+        if sel.count() == 0:
+            break
+        chosen.append(sel.select_columns(["u", "v", "w"]))
+        merge_pairs = sel.select_columns(["cu", "cv"]).rename_columns(["u", "v"])
+        stars = connected_components(merge_pairs, num_parts=num_parts)
+        labels = direct_cogroup(
+            [labels, stars], [["comp"], ["u"]], num_parts, relabel,
+            [_MST_LAB_SCHEMA, pa.schema([("u", pa.int64()), ("v", pa.int64())])],
+            emit_partitioned_on=["node"],
+        )
+    else:
+        raise RuntimeError(
+            f"street_mst did not reach fixpoint in {_MST_MAX_ROUNDS} rounds"
+        )
+
+    if not chosen:
+        return empty
+    mst = chosen[0]
+    for part in chosen[1:]:
+        mst = mst.union(part)
+
+    def dedup_exact_edges(t: pa.Table) -> pa.Table:
+        # the same edge is selected by BOTH endpoint components in the
+        # round that merges them — exact-duplicate rows, one exchange
+        if t.num_rows == 0:
+            return _SSSP_EDGE_SCHEMA.empty_table()
+        d = t.to_pandas().drop_duplicates(["u", "v"])
+        return pa.Table.from_pandas(d, preserve_index=False).cast(_SSSP_EDGE_SCHEMA)
+
+    out = direct_cogroup(
+        [mst.materialize()], [["u"]], num_parts, dedup_exact_edges,
+        [_SSSP_EDGE_SCHEMA],
+    ).to_pandas()
+    if out.empty:
+        return empty
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["u", "v"]).reset_index(drop=True)

@@ -294,3 +294,34 @@ def test_network_voronoi_assignment(ray_session):
         out = network_voronoi(_ways_geo(ways), num_parts=parts, k_seeds=2)
         got = {int(r.node): (int(r.seed), int(r.dist)) for r in out.itertuples()}
         assert got == want
+
+
+def test_street_mst_square_and_island(ray_session):
+    """A 4-cycle of equal-weight edges plus a heavier diagonal: the forest
+    drops the lexicographically-largest cycle edge (the (w, a, b) total
+    order makes the MSF unique) and never takes the diagonal; a
+    disconnected island contributes its own tree edge."""
+    from osmi_addresses_ray.pipelines.geo_ops import street_mst
+
+    A, B, C, D = (0, 0), (1000, 0), (1000, 1000), (0, 1000)
+    I1, I2 = (9000, 0), (9500, 0)
+    ways = [
+        {"id": 1, "pts": [A, B]},
+        {"id": 2, "pts": [B, C]},
+        {"id": 3, "pts": [C, D]},
+        {"id": 4, "pts": [D, A]},
+        {"id": 5, "pts": [A, C]},   # diagonal, w = 2000, never selected
+        {"id": 6, "pts": [I1, I2]},
+    ]
+    # (w, a, b) order: (A,D) < (A,B) < (D,C) < (B,C) — vid(D) < vid(B)
+    # because vids sort by x before y — so Kruskal drops (B,C)
+    want = {
+        (_vid(*A), _vid(*B), 1000),
+        (_vid(*A), _vid(*D), 1000),
+        (_vid(*D), _vid(*C), 1000),
+        (_vid(*I1), _vid(*I2), 500),
+    }
+    for parts in (1, 3):
+        out = street_mst(_ways_geo(ways), num_parts=parts)
+        got = {(int(r.u), int(r.v), int(r.w)) for r in out.itertuples()}
+        assert got == want

@@ -363,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "route_circuity": _circuity_query,
         "network_voronoi": _voronoi_query,
         "street_mst": _mst_query,
+        "street_mis": _mis_query,
         "segment_bearing_rose": _bearing_rose_query,
         "turn_classes": _turns_query,
         "od_flows": _od_query,
@@ -1313,6 +1314,23 @@ def _mst_query(sf_dir: str):
     ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
     out = street_mst(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
     write_oracle("street_mst", oracle_street_mst(fixture_table(FIXTURE_BLOCKS)))
+    return out
+
+
+def _mis_query(sf_dir: str):
+    """Maximal independent set (Luby, fixed hash priorities); oracle =
+    scalar greedy insertion in the same (priority, id) order."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.geo_ops import oracle_street_mis
+    from osmi_addresses_ray.pipelines.geo_ops import street_mis
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.assembly import assemble_ways
+    from osmi_addresses_ray.stages.parse import parse_docs
+
+    parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
+    ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
+    out = street_mis(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
+    write_oracle("street_mis", oracle_street_mis(fixture_table(FIXTURE_BLOCKS)))
     return out
 
 
@@ -4296,6 +4314,11 @@ def _naive_oracle_sql() -> dict[str, str]:
                   FROM u)
             SELECT src, bucket, count(*)::BIGINT AS n
             FROM b GROUP BY src, bucket ORDER BY src, bucket
+        """,
+        # MIS: the greedy set verbatim (naive-oracle parquet; SQL re-sorts)
+        "street_mis": f"""
+            SELECT node, in_mis FROM read_parquet('{oracle_path('street_mis')}')
+            ORDER BY node
         """,
         # MSF: the Kruskal edges verbatim (the naive-oracle parquet IS the
         # independent recomputation; SQL only re-sorts)

@@ -410,6 +410,41 @@ def oracle_street_mst(docs) -> pd.DataFrame:
     return df.sort_values(["u", "v"]).reset_index(drop=True).astype("int64")
 
 
+def oracle_street_mis(docs) -> pd.DataFrame:
+    """Greedy lexicographic MIS in (priority, id) order over the
+    independently parsed street graph — sequential insertion, algorithm-
+    diverse from the engine's Luby rounds; fixed priorities make the two
+    constructions provably identical."""
+    ents = parse_entities(docs)
+    hw_ways = {e["id"] for e in ents if e["etype"] == "way" and "highway" in e["tags"]}
+    adj: dict[int, set[int]] = {}
+    for way_id, pts in _way_points(docs):
+        if way_id not in hw_ways:
+            continue
+        for i in range(len(pts) - 1):
+            (ax, ay), (bx, by) = pts[i], pts[i + 1]
+            u, v = _sssp_vid(ax, ay), _sssp_vid(bx, by)
+            if u == v:
+                continue
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    if not adj:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("node", "in_mis")}
+        )
+    order = sorted(adj, key=lambda v: (((v % 2147483648) * 2654435761) % (1 << 32), v))
+    chosen: set[int] = set()
+    for v in order:
+        if not (adj[v] & chosen):
+            chosen.add(v)
+    return (
+        pd.DataFrame(
+            {"node": sorted(adj), "in_mis": [int(v in chosen) for v in sorted(adj)]}
+        )
+        .astype("int64")
+    )
+
+
 def oracle_traj_points(docs) -> pd.DataFrame:
     """Independent scalar synthesis of the GPS-like trajectory points (the
     synth_trajectories spec) — the point source for turn-class SQL."""

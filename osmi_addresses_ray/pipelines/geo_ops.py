@@ -4378,3 +4378,164 @@ def street_mst(ways_geo_ds, *, num_parts: int = 8) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values(["u", "v"]).reset_index(drop=True)
+
+
+# --- maximal independent set (Luby, fixed hash priorities) --------------------------
+
+
+_MIS_STATE_SCHEMA = pa.schema(
+    [("node", pa.int64()), ("p", pa.int64()), ("st", pa.int64()),
+     ("new", pa.int64())]
+)
+_MIS_MSG_SCHEMA = pa.schema(
+    [("dst", pa.int64()), ("mp", pa.int64()), ("mid", pa.int64()),
+     ("kill", pa.int64())]
+)
+_MIS_MAX_ROUNDS = 64
+
+
+def _mis_priority(v: np.ndarray) -> np.ndarray:
+    """Fixed deterministic priority: the repo's multiplicative-hash spec
+    ((v mod 2³¹)·2654435761 mod 2³², reduce BEFORE multiplying)."""
+    return ((v % 2147483648) * 2654435761) % (1 << 32)
+
+
+def street_mis(ways_geo_ds, *, num_parts: int = 8) -> pd.DataFrame:
+    """Maximal independent set over the street graph — the non-adjacent
+    representative-selection primitive (sensor/sign placement, landmark
+    sampling, graph-coloring seeds): no two selected vertices share a
+    segment, and no unselected vertex could be added. Priorities are the
+    FIXED multiplicative hash of the vertex id (ties by id), which makes
+    the result the unique greedy lexicographic MIS — the scalar oracle
+    replays greedy insertion in (p, id) order and the sets must match
+    exactly. Output: (node, in_mis) for every graph vertex.
+
+    Distributed shape: Luby-style rounds, ONE fused message exchange per
+    round — undecided vertices send (p, id) to neighbors, NEWLY selected
+    vertices send a kill flag (senders are only the undecided + newly-IN
+    frontier, so per-round volume tracks the undecided subgraph, which
+    shrinks geometrically); a vertex joins when it beats the (p, id) min
+    of its undecided neighborhood, leaves when any neighbor joined.
+    Fixed priorities mean adjacent vertices can never join in the same
+    round. ``_MIS_MAX_ROUNDS`` RAISES, never truncates."""
+    from ..ops import direct_cogroup
+
+    empty = pd.DataFrame(
+        {c: pd.Series([], dtype="int64") for c in ("node", "in_mis")}
+    )
+    edges, _srcs = _street_edges_and_sources(
+        ways_geo_ds, num_parts=num_parts, k_sources=1
+    )
+    if edges is None:
+        return empty
+
+    def seed_states(t: pa.Table) -> pa.Table:
+        uu = np.unique(t["u"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table(
+            {
+                "node": pa.array(uu),
+                "p": pa.array(_mis_priority(uu)),
+                "st": pa.array(np.zeros(len(uu), np.int64)),
+                "new": pa.array(np.zeros(len(uu), np.int64)),
+            }
+        )
+
+    states = direct_cogroup(
+        [edges], [["u"]], num_parts, seed_states, [_SSSP_EDGE_SCHEMA],
+        emit_partitioned_on=["node"],
+    )
+
+    def emit_msgs(e_t: pa.Table, s_t: pa.Table) -> pa.Table:
+        if e_t.num_rows == 0 or s_t.num_rows == 0:
+            return _MIS_MSG_SCHEMA.empty_table()
+        sd = s_t.to_pandas()
+        sd = sd[(sd["st"] == 0) | ((sd["st"] == 1) & (sd["new"] == 1))]
+        if sd.empty:
+            return _MIS_MSG_SCHEMA.empty_table()
+        m = e_t.to_pandas().merge(sd, left_on="u", right_on="node", how="inner")
+        if m.empty:
+            return _MIS_MSG_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "dst": pa.array(m["v"].to_numpy(np.int64)),
+                "mp": pa.array(m["p"].to_numpy(np.int64)),
+                "mid": pa.array(m["u"].to_numpy(np.int64)),
+                "kill": pa.array((m["st"] == 1).to_numpy().astype(np.int64)),
+            }
+        )
+
+    def decide(m_t: pa.Table, s_t: pa.Table) -> pa.Table:
+        sd = s_t.to_pandas()
+        if sd.empty:
+            return _MIS_STATE_SCHEMA.empty_table()
+        sd = sd.copy()
+        md = m_t.to_pandas() if m_t.num_rows else None
+        und = sd["st"].to_numpy() == 0
+        killed = np.zeros(len(sd), bool)
+        best_p = np.full(len(sd), np.iinfo(np.int64).max, np.int64)
+        best_id = np.full(len(sd), np.iinfo(np.int64).max, np.int64)
+        if md is not None and not md.empty:
+            idx = pd.Series(np.arange(len(sd)), index=sd["node"].to_numpy())
+            pos = idx.reindex(md["dst"].to_numpy()).to_numpy()
+            ok = ~pd.isna(pos)
+            pos = pos[ok].astype(np.int64)
+            mk = md["kill"].to_numpy(np.int64)[ok]
+            mp = md["mp"].to_numpy(np.int64)[ok]
+            mid = md["mid"].to_numpy(np.int64)[ok]
+            np.logical_or.at(killed, pos[mk == 1], True)
+            live = mk == 0
+            # running lexicographic (mp, mid) min per receiver
+            o = np.lexsort((mid[live], mp[live], pos[live]))
+            lp, lmp, lmid = pos[live][o], mp[live][o], mid[live][o]
+            first = np.r_[True, lp[1:] != lp[:-1]]
+            best_p[lp[first]] = lmp[first]
+            best_id[lp[first]] = lmid[first]
+        own_p = sd["p"].to_numpy(np.int64)
+        own_id = sd["node"].to_numpy(np.int64)
+        wins = (own_p < best_p) | ((own_p == best_p) & (own_id < best_id))
+        st = sd["st"].to_numpy(np.int64).copy()
+        new = np.zeros(len(sd), np.int64)
+        go_out = und & killed
+        go_in = und & ~killed & wins
+        st[go_out] = 2
+        st[go_in] = 1
+        new[go_in] = 1
+        return pa.table(
+            {
+                "node": pa.array(own_id),
+                "p": pa.array(own_p),
+                "st": pa.array(st),
+                "new": pa.array(new),
+            }
+        )
+
+    for _rnd in range(_MIS_MAX_ROUNDS):
+        msgs = direct_cogroup(
+            [edges, states], [["u"], ["node"]], num_parts, emit_msgs,
+            [_SSSP_EDGE_SCHEMA, _MIS_STATE_SCHEMA], emit_partitioned_on=["dst"],
+        )
+        states = direct_cogroup(
+            [msgs, states], [["dst"], ["node"]], num_parts, decide,
+            [_MIS_MSG_SCHEMA, _MIS_STATE_SCHEMA], emit_partitioned_on=["node"],
+        )
+        undecided = sum(
+            int((b["st"].to_numpy(zero_copy_only=False) == 0).sum())
+            for b in states.to_dataset().select_columns(["st"]).iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+        if undecided == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"street_mis did not converge in {_MIS_MAX_ROUNDS} rounds"
+        )
+
+    out = states.to_dataset().to_pandas()
+    if out.empty:
+        return empty
+    out = pd.DataFrame(
+        {"node": out["node"].astype("int64"),
+         "in_mis": (out["st"] == 1).astype("int64")}
+    )
+    return out.sort_values("node").reset_index(drop=True)

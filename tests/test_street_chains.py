@@ -325,3 +325,39 @@ def test_street_mst_square_and_island(ray_session):
         out = street_mst(_ways_geo(ways), num_parts=parts)
         got = {(int(r.u), int(r.v), int(r.w)) for r in out.itertuples()}
         assert got == want
+
+
+def test_street_mis_greedy_equivalence(ray_session):
+    """Luby with fixed hash priorities must equal the greedy lexicographic
+    MIS — checked on a grid-ish planted graph: independence, maximality,
+    and exact set equality with an in-test greedy replay."""
+    from osmi_addresses_ray.pipelines.geo_ops import _mis_priority, street_mis
+
+    pts = [(x, y) for x in (0, 1000, 2000, 3000) for y in (0, 1000)]
+    ways = [
+        {"id": i + 1, "pts": [pts[i], pts[i + 2]]} for i in range(6)
+    ] + [
+        {"id": 10 + i, "pts": [pts[2 * i], pts[2 * i + 1]]} for i in range(4)
+    ]
+    adj: dict[int, set[int]] = {}
+    for w in ways:
+        (ax, ay), (bx, by) = w["pts"]
+        u, v = _vid(ax, ay), _vid(bx, by)
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    nodes = np.array(sorted(adj), np.int64)
+    prio = _mis_priority(nodes)
+    order = sorted(zip(prio.tolist(), nodes.tolist()))
+    greedy: set[int] = set()
+    for _p, v in order:
+        if not (adj[v] & greedy):
+            greedy.add(v)
+    for parts in (1, 3):
+        out = street_mis(_ways_geo(ways), num_parts=parts)
+        got = {int(r.node) for r in out.itertuples() if r.in_mis == 1}
+        assert set(out["node"]) == set(nodes.tolist())
+        for v in got:                      # independence
+            assert not (adj[v] & (got - {v}))
+        for v in set(nodes.tolist()) - got:  # maximality
+            assert adj[v] & got
+        assert got == greedy

@@ -344,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_entrances_per_building": _zonal_query,
         "polygonize_nwa": _polygonize_query,
         "tile_pyramid_nwa": _pyramid_query,
+        "kernel_smooth_nwa": _smooth_query,
         # extra geospatial operators (pipelines/geo_ops.py)
         "spatial_radius_join": _radius_join_query,
         "idw_surface": _idw_query,
@@ -900,6 +901,25 @@ def _rasterize_query(sf_dir: str):
         .sort_values(["ix", "iy"])
         .reset_index(drop=True)
     )
+    write_oracle(
+        "rasterize_nwa_src",
+        _fixture_oracle()["osmi_addresses_nodes_with_addresses"][["lon", "lat"]],
+    )
+    return out
+
+
+def _smooth_query(sf_dir: str):
+    """Sparse 3x3 kernel smoothing over the rasterized nwa layer; TRUE SQL
+    oracle: DuckDB histogram x offset cross-join over the independent
+    point set."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.pipelines.raster import kernel_smooth, rasterize_points
+
+    raster = rasterize_points(
+        _fixture_layers()["osmi_addresses_nodes_with_addresses"],
+        x0=_RASTER_X0, y0=_RASTER_Y0, res=_RASTER_RES,
+    )
+    out = kernel_smooth(raster, num_parts=4)
     write_oracle(
         "rasterize_nwa_src",
         _fixture_oracle()["osmi_addresses_nodes_with_addresses"][["lon", "lat"]],
@@ -3993,6 +4013,22 @@ def _naive_oracle_sql() -> dict[str, str]:
                    floor((lat - {_RASTER_Y0!r}) / {_RASTER_RES!r})::BIGINT AS iy,
                    count(*)::BIGINT AS n
             FROM read_parquet('{oracle_path('rasterize_nwa_src')}')
+            GROUP BY 1, 2 ORDER BY ix, iy
+        """,
+        # 3x3 box smoothing: histogram x offsets cross-join, regrouped
+        "kernel_smooth_nwa": f"""
+            WITH r AS (
+                SELECT floor((lon - {_RASTER_X0!r}) / {_RASTER_RES!r})::BIGINT AS ix,
+                       floor((lat - {_RASTER_Y0!r}) / {_RASTER_RES!r})::BIGINT AS iy,
+                       count(*)::BIGINT AS n
+                FROM read_parquet('{oracle_path('rasterize_nwa_src')}')
+                GROUP BY 1, 2
+            ),
+            o AS (SELECT a.dx, b.dy
+                  FROM (VALUES (-1), (0), (1)) a(dx),
+                       (VALUES (-1), (0), (1)) b(dy))
+            SELECT r.ix + o.dx AS ix, r.iy + o.dy AS iy, sum(r.n)::BIGINT AS sm
+            FROM r CROSS JOIN o
             GROUP BY 1, 2 ORDER BY ix, iy
         """,
         # zone counts recomputed from the independent PIP pairs

@@ -143,3 +143,32 @@ def test_tile_pyramid_invariants(ray_session):
             .sort_index()
         )
         assert (want.to_numpy() == got.to_numpy()).all()
+
+
+def test_kernel_smooth_stencil_and_halo(ray_session):
+    """3x3 box sum: a cell pair across a tile boundary smooths into each
+    other (halo correctness); empty neighbors of mass appear (dilation);
+    brute-force cross-check over the whole planted raster."""
+    from osmi_addresses_ray.pipelines.raster import kernel_smooth
+
+    cells = {(TILE - 1, 3): 5, (TILE, 3): 7, (0, 0): 1, (10, 10): 2}
+    df = pd.DataFrame(
+        {
+            "tile_x": [k[0] // TILE for k in cells],
+            "tile_y": [k[1] // TILE for k in cells],
+            "ix": [k[0] for k in cells],
+            "iy": [k[1] for k in cells],
+            "n": list(cells.values()),
+        }
+    )
+    out = kernel_smooth(rd.from_pandas(df).repartition(3), num_parts=4)
+    got = {(r.ix, r.iy): r.sm for r in out.itertuples()}
+    exp: dict = {}
+    for (cx, cy), n in cells.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                k = (cx + dx, cy + dy)
+                exp[k] = exp.get(k, 0) + n
+    assert got == exp
+    assert got[(TILE - 1, 3)] == 12 and got[(TILE, 3)] == 12  # cross-tile halo
+    assert got[(0, 1)] == 1  # dilation ring exists

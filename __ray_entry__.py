@@ -324,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_scene_cuts": _media_cuts_query,
         "media_dhash": _media_dhash_query,
         "media_sobel": _media_sobel_query,
+        "media_orient_hist": _media_orient_query,
         "media_audio_windows": _media_audio_windows_query,
         "media_pitch": _media_pitch_query,
         "media_onsets": _media_onsets_query,
@@ -648,6 +649,26 @@ def _media_sobel_query(sf_dir: str):
         .reset_index(drop=True)
     )
     write_oracle("media_sobel", oracle_media_sobel(fixture_table(FIXTURE_BLOCKS)))
+    return df
+
+
+def _media_orient_query(sf_dir: str):
+    """Edge-orientation octant histogram (HOG-lite) over real decoded
+    pixels; scalar per-pixel ladder oracle over the raw pixel spec."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.layers import oracle_media_orient_hist
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.multimodal import media_orient_hist
+
+    df = (
+        media_orient_hist(fixture_docs(FIXTURE_BLOCKS))
+        .to_pandas()
+        .sort_values(["doc_id", "media_ref"])
+        .reset_index(drop=True)
+    )
+    write_oracle(
+        "media_orient_hist", oracle_media_orient_hist(fixture_table(FIXTURE_BLOCKS))
+    )
     return df
 
 
@@ -3973,6 +3994,7 @@ def _naive_oracle_sql() -> dict[str, str]:
         "media_scene_cuts": read_parquet_sql("media_scene_cuts", "doc_id, media_ref"),
         "media_dhash": read_parquet_sql("media_dhash", "doc_id, media_ref"),
         "media_sobel": read_parquet_sql("media_sobel", "doc_id, media_ref"),
+        "media_orient_hist": read_parquet_sql("media_orient_hist", "doc_id, media_ref"),
         "media_audio_windows": read_parquet_sql("media_audio_windows", "doc_id, media_ref"),
         "media_pitch": read_parquet_sql("media_pitch", "doc_id, media_ref"),
         "media_onsets": read_parquet_sql("media_onsets", "doc_id, media_ref"),

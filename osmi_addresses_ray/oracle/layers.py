@@ -1469,6 +1469,63 @@ def oracle_media_sobel(docs: pa.Table) -> pd.DataFrame:
         ["doc_id", "media_ref"]).reset_index(drop=True)
 
 
+def oracle_media_orient_hist(docs: pa.Table) -> pd.DataFrame:
+    """Scalar orientation-histogram recomputation: per-pixel 3×3 Sobel
+    loops (python ints), mag² > 1_000_000 edge gate, then the same
+    sign/abs-compare octant ladder restated branch by branch."""
+    thr2 = 1_000_000
+    rows = []
+    for row in docs.to_pylist():
+        for span in row["spans"]:
+            if span["kind"] != "media":
+                continue
+            img = _oracle_media_pixels(span["media_ref"])
+            h, w = img.shape[:2]
+            g = [
+                [int(img[y, x, 0]) + int(img[y, x, 1]) + int(img[y, x, 2]) for x in range(w)]
+                for y in range(h)
+            ]
+            n_edge = 0
+            hist = [0] * 8
+            for y in range(1, h - 1):
+                for x in range(1, w - 1):
+                    gx = (
+                        g[y - 1][x + 1] + 2 * g[y][x + 1] + g[y + 1][x + 1]
+                        - g[y - 1][x - 1] - 2 * g[y][x - 1] - g[y + 1][x - 1]
+                    )
+                    gy = (
+                        g[y + 1][x - 1] + 2 * g[y + 1][x] + g[y + 1][x + 1]
+                        - g[y - 1][x - 1] - 2 * g[y - 1][x] - g[y - 1][x + 1]
+                    )
+                    if gx * gx + gy * gy <= thr2:
+                        continue
+                    n_edge += 1
+                    ax, ay = abs(gx), abs(gy)
+                    if gy >= 0:
+                        if gx > 0:
+                            o = 0 if ax > ay else 1
+                        elif gx == 0:
+                            o = 2
+                        else:
+                            o = 3 if ax > ay else 2
+                    else:
+                        if gx < 0:
+                            o = 4 if ax > ay else 5
+                        elif gx == 0:
+                            o = 6
+                        else:
+                            o = 7 if ax > ay else 6
+                    hist[o] += 1
+            out = {"doc_id": row["doc_id"], "media_ref": span["media_ref"],
+                   "n_edge": np.int64(n_edge)}
+            for i in range(8):
+                out[f"o{i}"] = np.int64(hist[i])
+            rows.append(out)
+    cols = ["doc_id", "media_ref", "n_edge"] + [f"o{i}" for i in range(8)]
+    return pd.DataFrame(rows, columns=cols).sort_values(
+        ["doc_id", "media_ref"]).reset_index(drop=True)
+
+
 def oracle_audio_resample(docs: pa.Table) -> pd.DataFrame:
     """Scalar 2:1 decimation: pairwise mean with FLOOR division (python //)."""
     rows = []

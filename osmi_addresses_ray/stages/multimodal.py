@@ -1101,3 +1101,80 @@ def media_quadtree(docs_ds, *, concurrency=(1, 4), batch_size: int = 64):
     return media.map_batches(
         ImageQuadtree, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
     )
+
+
+MEDIA_ORIENT_SCHEMA = pa.schema(
+    [pa.field("doc_id", pa.string()), pa.field("media_ref", pa.string()),
+     pa.field("n_edge", pa.int64())]
+    + [pa.field(f"o{i}", pa.int64()) for i in range(8)]
+)
+
+
+class ImageOrientHist:
+    """Actor-pool edge-orientation histogram (HOG-lite) over REAL decoded
+    pixels: the 3×3 integer Sobel gradients of ``SobelEdges``, restricted
+    to edge pixels (mag² > the same THR2), binned into 8 compass octants
+    by a sign/|gx|-vs-|gy| compare ladder — NO trigonometry, so the engine
+    and the scalar oracle replay bit-identical integer tests. Ladder (ax =
+    |gx|, ay = |gy|): gy≥0 half → gx>0: 0 if ax>ay else 1; gx==0: 2;
+    gx<0: 3 if ax>ay else 2. gy<0 half → gx<0: 4 if ax>ay else 5;
+    gx==0: 6; gx>0: 7 if ax>ay else 6. The texture-direction signature
+    behind orientation-aware quality filters and near-dup features."""
+
+    def __init__(self):
+        from osmi_addresses_ray.stages.media_codecs import decode_image
+
+        self._decode = decode_image
+
+    @staticmethod
+    def _hist(img: np.ndarray) -> tuple[int, list[int]]:
+        g = img.astype(np.int64).sum(axis=2)
+        h, w = g.shape
+        if h < 3 or w < 3:
+            return 0, [0] * 8
+        gx = (
+            (g[:-2, 2:] + 2 * g[1:-1, 2:] + g[2:, 2:])
+            - (g[:-2, :-2] + 2 * g[1:-1, :-2] + g[2:, :-2])
+        )
+        gy = (
+            (g[2:, :-2] + 2 * g[2:, 1:-1] + g[2:, 2:])
+            - (g[:-2, :-2] + 2 * g[:-2, 1:-1] + g[:-2, 2:])
+        )
+        edge = (gx * gx + gy * gy) > SobelEdges.THR2
+        ex, ey = gx[edge], gy[edge]
+        ax, ay = np.abs(ex), np.abs(ey)
+        big = ax > ay
+        top = np.where(
+            ex > 0, np.where(big, 0, 1),
+            np.where(ex == 0, 2, np.where(big, 3, 2)),
+        )
+        bot = np.where(
+            ex < 0, np.where(big, 4, 5),
+            np.where(ex == 0, 6, np.where(big, 7, 6)),
+        )
+        o = np.where(ey >= 0, top, bot)
+        return int(edge.sum()), np.bincount(o, minlength=8).astype(int).tolist()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = {k: [] for k in MEDIA_ORIENT_SCHEMA.names}
+        for doc_id, ref, payload in zip(
+            t["doc_id"].to_pylist(), t["media_ref"].to_pylist(), t["payload"].to_pylist()
+        ):
+            n_edge, hist = self._hist(self._decode(payload))
+            rows["doc_id"].append(doc_id)
+            rows["media_ref"].append(ref)
+            rows["n_edge"].append(n_edge)
+            for i in range(8):
+                rows[f"o{i}"].append(hist[i])
+        return pa.Table.from_arrays(
+            [pa.array(rows[f.name], f.type) for f in MEDIA_ORIENT_SCHEMA],
+            schema=MEDIA_ORIENT_SCHEMA,
+        )
+
+
+def media_orient_hist(docs_ds, *, concurrency=(1, 4), batch_size: int = 64):
+    media = extract_media_refs(docs_ds)
+    return media.map_batches(
+        ImageOrientHist, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -461,3 +461,34 @@ def test_quadtree_planted_structure():
     # 1x4 strip, half dark half bright: splits in 2, both halves uniform
     strip = np.array([[0, 0, 700, 700]], np.int64)
     assert dec(strip) == (2, 1, 0, 2)
+
+
+def test_orient_hist_planted_directions():
+    """Planted step edges land in the expected octants: a vertical edge
+    (bright right) is pure gx>0 -> o0; bright-top horizontal is gy<0 ->
+    o6; a 45-degree diagonal has ax==ay -> the not-strictly-greater bin."""
+    import numpy as np
+
+    from osmi_addresses_ray.stages.multimodal import ImageOrientHist
+
+    def img_from_gray(g):
+        a = np.asarray(g, np.uint8)
+        return np.repeat(a[:, :, None], 3, axis=2)
+
+    # vertical edge: left dark, right bright -> gx > 0, gy = 0 -> octant 0
+    v = np.zeros((8, 8), np.uint8)
+    v[:, 4:] = 255
+    n, h = ImageOrientHist._hist(img_from_gray(v))
+    assert n > 0 and h[0] == n and sum(h) == n
+
+    # horizontal edge, bright TOP: gy (down-positive) < 0, gx = 0 -> o6
+    hz = np.zeros((8, 8), np.uint8)
+    hz[:4, :] = 255
+    n2, h2 = ImageOrientHist._hist(img_from_gray(hz))
+    assert n2 > 0 and h2[6] == n2
+
+    # anti-diagonal step (bright where x >= y): gradient points up-right,
+    # |gx| == |gy| on the clean diagonal -> ties go to the ax<=ay bins
+    dg = np.fromfunction(lambda y, x: (x >= y) * 255, (10, 10)).astype(np.uint8)
+    n3, h3 = ImageOrientHist._hist(img_from_gray(dg))
+    assert n3 > 0 and h3[7] + h3[6] == n3 and h3[0] == 0

@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_bpe": textstats.token_counts_bpe,
         "training_mixture": textstats.training_mixture,
         "top_bigrams": textstats.top_bigrams,
+        "collocations": textstats.collocations,
         "bigram_lift": textstats.bigram_lift,
         "stratified_sample": textstats.stratified_sample,
         "scrub_pii": textstats.scrub_pii,
@@ -2689,6 +2690,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT bigram, count(*)::BIGINT AS cnt
             FROM p GROUP BY bigram
             ORDER BY cnt DESC, bigram LIMIT 50
+        """,
+        "collocations": """
+            WITH ws AS (SELECT regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS w
+                        FROM documents),
+            top1 AS (SELECT token FROM (
+                        SELECT unnest(w) AS token FROM ws)
+                     GROUP BY token ORDER BY count(*) DESC, token LIMIT 1),
+            nb AS (SELECT unnest(flatten(list_transform(
+                       range(1, len(w) + 1),
+                       i -> CASE WHEN w[i] = top1.token
+                            THEN list_transform(
+                                list_filter(range(greatest(1, i - 3),
+                                                  least(len(w), i + 3) + 1),
+                                            j -> j != i),
+                                j -> w[j])
+                            ELSE []::VARCHAR[] END))) AS word
+                   FROM ws, top1)
+            SELECT word, count(*)::BIGINT AS cnt
+            FROM nb GROUP BY word ORDER BY cnt DESC, word LIMIT 40
         """,
         "top_tokens": """
             SELECT token, count(*)::BIGINT AS cnt

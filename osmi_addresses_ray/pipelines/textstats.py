@@ -2602,3 +2602,79 @@ def vocab_growth(sf_dir: str) -> pd.DataFrame:
     out["cum_tokens"] = out["doc_tokens"].cumsum().astype("int64")
     out["doc_id"] = out["doc_id"].astype("int64")
     return out[["doc_id", "new_types", "cum_types", "doc_tokens", "cum_tokens"]]
+
+
+def collocations(sf_dir: str, *, window: int = 3, k: int = 40) -> pd.DataFrame:
+    """Collocation profile of the corpus's most frequent token: counts of
+    every word appearing within ±``window`` positions of an occurrence of
+    the target (each (occurrence, neighbor-position) pair counts once) —
+    the KWIC / collocation-strength primitive of corpus linguistics,
+    distinct from adjacent-bigram counts. Target = global top token
+    (ties by token), a corpus-derived scalar rather than a parameter.
+
+    Shape: pass 1 is the top_tokens partial-count machinery reduced to
+    top-1 (the only driver-side value is ONE token string, broadcast into
+    the second pass's closure); pass 2 re-reads the text column once,
+    emits only window neighbors of target occurrences (per-batch partial
+    counts), and finishes with a tiny word-keyed groupby + partial top-k.
+    TRUE SQL oracle: list_filter/list_transform window expansion around
+    the same top-1 CTE."""
+    from .relational import grouped_agg, topk
+
+    tok = re.compile(_TOKEN_RE)
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        for t in df["text"]:
+            toks.extend(tok.findall(t.lower()))
+        if not toks:
+            return pd.DataFrame(
+                {"token": pd.Series([], dtype=object), "cnt": pd.Series([], dtype="int64")}
+            )
+        vc = pd.Series(toks).value_counts()
+        return pd.DataFrame({"token": vc.index.to_numpy(object), "cnt": vc.to_numpy(np.int64)})
+
+    ds = _read_docs(sf_dir, columns=("text",))
+    merged = grouped_agg(
+        ds.map_batches(count_partial, batch_format="pandas"), ["token"],
+        {"cnt": ("cnt", "sum")},
+    )
+    top = topk(merged, "cnt", 1, descending=True, tie_cols=["token"])
+    empty = pd.DataFrame(
+        {"word": pd.Series([], dtype=object), "cnt": pd.Series([], dtype="int64")}
+    )
+    if top.empty:
+        return empty
+    target = str(top["word"].iloc[0]) if "word" in top.columns else str(top["token"].iloc[0])
+
+    def neighbors_partial(df: pd.DataFrame) -> pd.DataFrame:
+        words: list[str] = []
+        for t in df["text"]:
+            ws = tok.findall(t.lower())
+            n = len(ws)
+            for i, w in enumerate(ws):
+                if w != target:
+                    continue
+                lo = max(0, i - window)
+                hi = min(n - 1, i + window)
+                words.extend(ws[j] for j in range(lo, hi + 1) if j != i)
+        if not words:
+            return pd.DataFrame(
+                {"word": pd.Series([], dtype=object), "cnt": pd.Series([], dtype="int64")}
+            )
+        vc = pd.Series(words).value_counts()
+        return pd.DataFrame(
+            {"word": vc.index.to_numpy(object), "cnt": vc.to_numpy(np.int64)}
+        )
+
+    merged2 = grouped_agg(
+        _read_docs(sf_dir, columns=("text",)).map_batches(
+            neighbors_partial, batch_format="pandas"
+        ),
+        ["word"], {"cnt": ("cnt", "sum")},
+    )
+    out = topk(merged2, "cnt", k, descending=True, tie_cols=["word"])
+    if out.empty:
+        return empty
+    out["cnt"] = out["cnt"].astype("int64")
+    return out[["word", "cnt"]]

@@ -99,3 +99,17 @@ def test_ngram_novelty_attribution(ray_session, tmp_path):
     out = ngram_novelty(str(tmp_path), num_parts=2)
     got = {r.doc_id: (r.n_grams, r.n_novel) for r in out.itertuples()}
     assert got == {1: (2, 2), 2: (2, 0), 3: (3, 3)}
+
+
+def test_collocations_window_counts(monkeypatch):
+    """Target = global top token; window clips at doc edges; only the
+    occurrence's OWN position is excluded, other target occurrences in
+    the window DO count as neighbors."""
+    _with_mem_docs(monkeypatch, ["t a t b c", "c t d", "t t e"])
+    out = textstats.collocations("<mem>", window=1, k=10)
+    got = dict(zip(out["word"], out["cnt"]))
+    # counts: doc1 occ@0 -> a; occ@2 -> a, b; doc2 occ@1 -> c, d;
+    # doc3 occ@0 -> t; occ@1 -> t, e
+    assert got == {"a": 2, "t": 2, "b": 1, "c": 1, "d": 1, "e": 1}
+    # ordering: cnt desc then word asc
+    assert out["word"].tolist()[:2] == ["a", "t"]

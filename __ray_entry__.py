@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_mixture": textstats.training_mixture,
         "top_bigrams": textstats.top_bigrams,
         "collocations": textstats.collocations,
+        "phrase_search": textstats.phrase_search,
         "bigram_lift": textstats.bigram_lift,
         "stratified_sample": textstats.stratified_sample,
         "scrub_pii": textstats.scrub_pii,
@@ -2709,6 +2710,21 @@ def oracle_sql() -> dict[str, str]:
                    FROM ws, top1)
             SELECT word, count(*)::BIGINT AS cnt
             FROM nb GROUP BY word ORDER BY cnt DESC, word LIMIT 40
+        """,
+        "phrase_search": """
+            WITH ws AS (SELECT doc_id,
+                               regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS w
+                        FROM documents),
+            tb AS (SELECT bigram FROM (
+                      SELECT unnest(list_transform(range(1, len(w)),
+                                    i -> w[i] || ' ' || w[i+1])) AS bigram
+                      FROM ws)
+                   GROUP BY bigram ORDER BY count(*) DESC, bigram LIMIT 1),
+            m AS (SELECT doc_id,
+                         len(list_filter(range(1, len(w)),
+                             i -> w[i] || ' ' || w[i+1] = tb.bigram))::BIGINT AS n_occ
+                  FROM ws, tb)
+            SELECT doc_id, n_occ FROM m WHERE n_occ > 0 ORDER BY doc_id
         """,
         "top_tokens": """
             SELECT token, count(*)::BIGINT AS cnt

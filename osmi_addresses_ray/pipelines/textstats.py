@@ -2678,3 +2678,162 @@ def collocations(sf_dir: str, *, window: int = 3, k: int = 40) -> pd.DataFrame:
         return empty
     out["cnt"] = out["cnt"].astype("int64")
     return out[["word", "cnt"]]
+
+
+_POSIDX_CACHE: dict = {}
+
+
+def build_positional_index(sf_dir: str, *, n_buckets: int = _IDX_BUCKETS) -> str:
+    """One-time POSITIONAL posting layout: rows (bucket, token, doc_id,
+    pos) hive-partitioned by token bucket — the inverted-index pattern of
+    ``build_inverted_index`` extended with in-doc positions, the layout
+    phrase and proximity queries key on (one row per token OCCURRENCE, so
+    the index is corpus-token-count sized; queries still read only their
+    terms' buckets). Same atomicity/cache contract: content-identity tag,
+    tmp-dir build + os.replace."""
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    key = (os.path.abspath(sf_dir), n_buckets)
+    if key in _POSIDX_CACHE:
+        return _POSIDX_CACHE[key]
+    st = os.stat(docs_path)
+    import hashlib
+
+    tag = hashlib.sha256(
+        f"{key[0]}|{n_buckets}|{st.st_mtime_ns}.{st.st_size}|pd{pd.__version__}".encode()
+    ).hexdigest()[:16]
+    index_dir = os.path.join("/tmp/graft_posidx", tag)
+    if os.path.isdir(index_dir):
+        _POSIDX_CACHE[key] = index_dir
+        return index_dir
+
+    tok = re.compile(_TOKEN_RE)
+
+    def postings(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].to_numpy()
+        tok_lists, counts, starts, _ends = _segment_tokens(texts, tok)
+        total = int(counts.sum())
+        if not total:
+            return pd.DataFrame(
+                {"bucket": pd.Series([], dtype=np.int64),
+                 "token": pd.Series([], dtype=object),
+                 "doc_id": pd.Series([], dtype=np.int64),
+                 "pos": pd.Series([], dtype=np.int64)}
+            )
+        all_toks = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists if t])
+        doc_ids = np.repeat(df["doc_id"].to_numpy(np.int64), counts)
+        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+        g = pd.DataFrame({"token": all_toks, "doc_id": doc_ids, "pos": pos})
+        g["bucket"] = _token_bucket(g["token"], n_buckets)
+        return g[["bucket", "token", "doc_id", "pos"]]
+
+    tmp_dir = index_dir + ".tmp"
+    if os.path.isdir(tmp_dir):
+        import shutil
+
+        shutil.rmtree(tmp_dir)
+    _read_docs(sf_dir).map_batches(postings, batch_format="pandas").write_parquet(
+        tmp_dir, partition_cols=["bucket"]
+    )
+    os.replace(tmp_dir, index_dir)
+    _POSIDX_CACHE[key] = index_dir
+    return index_dir
+
+
+def phrase_search(
+    sf_dir: str, phrase: tuple[str, str] | None = None,
+    *, n_buckets: int = _IDX_BUCKETS, num_parts: int = 8,
+) -> pd.DataFrame:
+    """Exact phrase search through the positional index: per-doc count of
+    adjacent (w1, w2) occurrences. ``phrase=None`` queries the corpus's
+    GLOBAL TOP BIGRAM (ties by bigram — corpus-derived, no parameter).
+    Query cost ∝ the two terms' posting lists, never the corpus: read
+    only the phrase tokens' bucket partitions, then ONE doc-keyed
+    exchange merges the two position lists and counts pos+1 adjacency
+    (vectorized isin over int64 position keys). Output: (doc_id, n_occ)
+    for matching docs, sorted. TRUE SQL oracle: list_filter adjacency
+    over the same top-bigram CTE."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    from ..ops import direct_partitioned_map
+
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"), "n_occ": pd.Series([], dtype="int64")}
+    )
+    if phrase is None:
+        top = top_bigrams(sf_dir, k=1)
+        if top.empty:
+            return empty
+        w1, w2 = str(top["bigram"].iloc[0]).split(" ")
+    else:
+        w1, w2 = phrase
+
+    index_dir = build_positional_index(sf_dir, n_buckets=n_buckets)
+    buckets = sorted(set(_token_bucket(pd.Series([w1, w2]), n_buckets).tolist()))
+    paths = [
+        p
+        for b in buckets
+        for p in sorted(_glob.glob(os.path.join(index_dir, f"bucket={b}", "*.parquet")))
+    ]
+    if not paths:
+        return empty
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        hit = df[df["token"].isin({w1, w2})]
+        return pd.DataFrame(
+            {
+                "doc_id": hit["doc_id"].astype(np.int64),
+                "token": hit["token"].astype(object),
+                "pos": hit["pos"].astype(np.int64),
+            }
+        )
+
+    postings = rd.read_parquet(paths, columns=["token", "doc_id", "pos"]).map_batches(
+        probe, batch_format="pandas"
+    )
+
+    def adjacency(t) -> pd.DataFrame:
+        df = t.to_pandas() if not isinstance(t, pd.DataFrame) else t
+        if df.empty:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=np.int64),
+                 "n_occ": pd.Series([], dtype=np.int64)}
+            )
+        # per doc: positions p of w1 with p+1 among w2's positions; the
+        # (doc_id, pos) pair packs into one int64 key (pos < 2^20 tokens)
+        k1 = df.loc[df["token"] == w1, ["doc_id", "pos"]]
+        k2 = df.loc[df["token"] == w2, ["doc_id", "pos"]]
+        key1 = k1["doc_id"].to_numpy(np.int64) * (1 << 20) + k1["pos"].to_numpy(np.int64) + 1
+        key2 = k2["doc_id"].to_numpy(np.int64) * (1 << 20) + k2["pos"].to_numpy(np.int64)
+        hitmask = np.isin(key1, key2)
+        if not hitmask.any():
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=np.int64),
+                 "n_occ": pd.Series([], dtype=np.int64)}
+            )
+        vc = pd.Series(k1["doc_id"].to_numpy(np.int64)[hitmask]).value_counts()
+        return pd.DataFrame(
+            {"doc_id": vc.index.to_numpy(np.int64), "n_occ": vc.to_numpy(np.int64)}
+        )
+
+    import pyarrow as _pa
+
+    out_schema = _pa.schema([("doc_id", _pa.int64()), ("n_occ", _pa.int64())])
+    in_schema = _pa.schema(
+        [("doc_id", _pa.int64()), ("token", _pa.string()), ("pos", _pa.int64())]
+    )
+
+    def fn(t: _pa.Table) -> _pa.Table:
+        return _pa.Table.from_pandas(
+            adjacency(t), preserve_index=False
+        ).cast(out_schema)
+
+    out = direct_partitioned_map(
+        postings.materialize(), ["doc_id"], num_parts, fn, in_schema
+    ).to_pandas()
+    if out.empty:
+        return empty
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -113,3 +113,33 @@ def test_collocations_window_counts(monkeypatch):
     assert got == {"a": 2, "t": 2, "b": 1, "c": 1, "d": 1, "e": 1}
     # ordering: cnt desc then word asc
     assert out["word"].tolist()[:2] == ["a", "t"]
+
+
+def test_phrase_search_adjacency(tmp_path):
+    """Phrase = the corpus top bigram; only ADJACENT in-order pairs count;
+    repeated-token phrases ('t t') chain-count correctly; reversed order
+    does not match."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [
+        "k v k v x",     # 'k v' twice
+        "v k x y z",     # reversed only -> no match
+        "a k v b",       # once
+        "q r s t u",     # absent
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = textstats.phrase_search(str(tmp_path), num_parts=2)
+    got = dict(zip(out["doc_id"], out["n_occ"]))
+    assert got == {0: 2, 2: 1}
+
+    # explicit repeated-token phrase over 't t t' = two overlapping hits
+    t2 = pa.table({"doc_id": pa.array([7], pa.int64()),
+                   "text": pa.array(["t t t"], pa.string())})
+    d2 = tmp_path / "rep"
+    d2.mkdir()
+    pq.write_table(t2, str(d2 / "documents.parquet"))
+    out2 = textstats.phrase_search(str(d2), phrase=("t", "t"), num_parts=2)
+    assert dict(zip(out2["doc_id"], out2["n_occ"])) == {7: 2}

@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": timeseries.session_windows,
         "session_paths": timeseries.session_paths,
         "sliding_window_counts": timeseries.sliding_window_counts,
+        "sliding_distinct_users": timeseries.sliding_distinct_users,
         "range_join_shipments": timeseries.range_join_shipments,
         "running_totals": timeseries.running_totals,
         "streaming_watermark_counts": timeseries.streaming_watermark_counts,
@@ -2127,6 +2128,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders,
                    round(sum(o_totalprice), 4) AS total
             FROM orders GROUP BY o_custkey ORDER BY o_custkey
+        """,
+        # TRUE sliding count(DISTINCT): checkpoint x window-membership join
+        # recomputes every trailing-24h distinct set from scratch — the
+        # engine's merged-interval delta sweep must agree exactly
+        "sliding_distinct_users": """
+            WITH b AS (
+                SELECT (epoch_us(min(ts)) + 3599999999) // 3600000000 AS klo,
+                       epoch_us(max(ts)) // 3600000000 AS khi
+                FROM events
+            ),
+            hours AS (
+                SELECT unnest(range(klo, khi + 1)) AS k FROM b WHERE khi >= klo
+            )
+            SELECT make_timestamp(k * 3600000000) AS hour_ts,
+                   (SELECT count(DISTINCT e.user_id) FROM events e
+                     WHERE epoch_us(e.ts) <= k * 3600000000
+                       AND epoch_us(e.ts) > k * 3600000000 - 86400000000
+                   )::BIGINT AS n_active
+            FROM hours ORDER BY hour_ts
         """,
         # exact discrete quantiles — engine uses the same index rule as
         # DuckDB quantile_disc (value at max(0, ceil(p*n)-1) of the sorted

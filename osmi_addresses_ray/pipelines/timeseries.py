@@ -2160,3 +2160,106 @@ def conversion_lag_quantiles(sf_dir: str, *, num_parts: int = 8) -> pd.DataFrame
         }
     )
     return out.astype("int64")
+
+
+def sliding_distinct_users(sf_dir: str, *, window_hours: int = 24, num_parts: int = 8):
+    """EXACT trailing-window distinct-user counts at hourly checkpoints:
+    for every hour boundary h inside the data span, the number of distinct
+    users with >=1 event in (h - window, h].
+
+    ``count(DISTINCT ...)`` over a sliding frame is inexpressible as a
+    window aggregate (no mergeable state), and the naive checkpoint x events
+    join is O(hours * n). The exact distributed shape used here:
+
+    1. ONE hash exchange on user_id (the only all-to-all).
+    2. Per partition, per user: each event at ts covers the checkpoint
+       hours k with k*H >= ts and k*H < ts + window — an integer interval
+       [ceil(ts/H), ceil((ts+W)/H) - 1]. Both endpoints are monotone in ts,
+       so the union of a user's intervals is a single vectorized
+       merged-run sweep (break where k_lo > prev k_hi + 1); each merged
+       run becomes two deltas (+1 at start, -1 past end). A user's
+       contribution to any checkpoint is therefore exactly 0 or 1 —
+       distinctness is enforced structurally, never recounted.
+    3. Deltas are pre-aggregated per partition (np.bincount-style unique),
+       so each partition ships <= 2*hours rows; the final combine + cumsum
+       runs over the checkpoint axis, which is tiny by construction
+       (~10^4 hours per year of data even at 100 TB of events).
+
+    The hour domain is [ceil(min_ts/H), floor(max_ts/H)]; coverage deltas
+    beyond floor(max_ts/H) are clipped by the domain, mirroring the oracle's
+    generate_series bounds. Sentinel delta=0 rows carry per-partition
+    floor(max_ts/H) so the domain needs no second pass over events.
+    """
+    H = np.int64(3_600_000_000)
+    W = np.int64(window_hours) * H
+
+    delta_schema = pa.schema([("k", pa.int64()), ("delta", pa.int64())])
+
+    def fn(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return delta_schema.empty_table()
+        user = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, user))
+        u, tsv = user[order], ts[order]
+        k_lo = (tsv + H - 1) // H
+        k_hi = (tsv + W - 1) // H  # largest k with k*H < ts + W
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        # both k_lo and k_hi are non-decreasing within a user (monotone in
+        # ts), so "previous k_hi" IS the running max — no segment-reset
+        # accumulate needed
+        brk = new_user.copy()
+        brk[1:] |= k_lo[1:] > k_hi[:-1] + 1
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(u)] - 1
+        ks = np.concatenate([k_lo[starts], k_hi[ends] + 1])
+        ds_ = np.concatenate(
+            [np.ones(len(starts), np.int64), -np.ones(len(starts), np.int64)]
+        )
+        # partition-local pre-aggregation: ship <= 2*hours rows
+        uk, inv = np.unique(ks, return_inverse=True)
+        agg = np.bincount(inv, weights=ds_).astype(np.int64)
+        # sentinel: per-partition floor(max_ts/H) rides along as delta=0
+        # (tsv is user-major after the lexsort — take the true max, not [-1])
+        uk = np.r_[uk, tsv.max() // H]
+        agg = np.r_[agg, np.int64(0)]
+        return pa.table({"k": pa.array(uk, pa.int64()), "delta": pa.array(agg, pa.int64())})
+
+    def pre(t: pa.Table) -> pa.Table:
+        return t.select(["user_id", "ts"])
+
+    from ..ops import direct_partitioned_map
+
+    out = direct_partitioned_map(
+        _read_events(sf_dir, ["user_id", "ts"]),
+        ["user_id"],
+        num_parts,
+        fn,
+        pa.schema([("user_id", pa.int64()), ("ts", pa.timestamp("us"))]),
+        pre=pre,
+    ).to_pandas()
+    empty = pd.DataFrame(
+        {
+            "hour_ts": pd.Series([], dtype="datetime64[us]"),
+            "n_active": pd.Series([], dtype="int64"),
+        }
+    )
+    if out.empty:
+        return empty
+    khi = int(out.loc[out["delta"] == 0, "k"].max())
+    deltas = out[out["delta"] != 0].groupby("k", as_index=False)["delta"].sum()
+    deltas = deltas.sort_values("k").reset_index(drop=True)
+    klo = int(deltas["k"].iloc[0])  # = ceil(min_ts/H): earliest coverage start
+    if khi < klo:
+        return empty
+    hours = np.arange(klo, khi + 1, dtype=np.int64)
+    # stepwise counts: cumulative delta in effect at each checkpoint
+    cum = deltas["delta"].to_numpy().cumsum()
+    idx = np.searchsorted(deltas["k"].to_numpy(), hours, side="right") - 1
+    counts = np.where(idx >= 0, cum[np.maximum(idx, 0)], 0).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "hour_ts": (hours * int(H)).astype("datetime64[us]"),
+            "n_active": counts,
+        }
+    )

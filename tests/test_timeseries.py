@@ -764,3 +764,56 @@ def test_conversion_lag_quantiles_exact_order_stats(tmp_path, ray_session):
     assert (out.n, out.p25, out.p50, out.p75, out.p90, out.max_lag) == (
         4, 10 * M, 20 * M, 30 * M, 40 * M, 40 * M
     )
+
+
+def test_sliding_distinct_users_planted(tmp_path, ray_session):
+    """Boundary semantics: an event at exactly k*H is counted at checkpoint
+    k (ts <= h) through k + window - 1 (h < ts + W); merged per-user
+    intervals contribute 0-or-1 regardless of event density."""
+    H = np.timedelta64(3_600_000_000, "us")
+    base = np.datetime64("2024-03-01T00:00:00", "us")  # exactly on an hour
+    rows = [
+        (0, base, 1, "a", 1.0),                       # boundary event
+        (1, base + np.timedelta64(30, "m"), 1, "a", 1.0),  # same user, overlapping
+        (2, base + np.timedelta64(90, "m"), 2, "a", 1.0),  # second user
+        (3, base + 40 * H, 3, "a", 1.0),              # isolated late user
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    df["props"] = "{}"
+    df.to_parquet(os.path.join(tmp_path, "events.parquet"), index=False)
+    out = timeseries.sliding_distinct_users(str(tmp_path), num_parts=3)
+    # brute force over the same domain
+    ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    Hus, W = 3_600_000_000, 24 * 3_600_000_000
+    klo = -(-ts_us.min() // Hus)
+    khi = ts_us.max() // Hus
+    want = {
+        k: len({u for u, t in zip(df["user_id"], ts_us) if t <= k * Hus < t + W})
+        for k in range(klo, khi + 1)
+    }
+    got = dict(zip(out["hour_ts"].astype("int64") // Hus, out["n_active"]))
+    assert got == want
+    # user 1's two events merge into ONE interval: count at hour 1 is 2 users? no —
+    # user 2 starts at minute 90 -> first checkpoint hour 2
+    assert got[klo] == 1 and got[klo + 2] == 2
+    # distinctness survives any partitioning
+    out1 = timeseries.sliding_distinct_users(str(tmp_path), num_parts=1)
+    assert out1.equals(out)
+
+
+def test_sliding_distinct_users_subhour_empty(tmp_path, ray_session):
+    """A corpus spanning no hour boundary has no checkpoints -> empty."""
+    base = np.datetime64("2024-03-01T00:10:00", "us")
+    df = pd.DataFrame(
+        {
+            "event_id": [0, 1],
+            "ts": [base, base + np.timedelta64(5, "m")],
+            "user_id": [1, 2],
+            "event_type": ["a", "a"],
+            "value": [1.0, 1.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    df.to_parquet(os.path.join(tmp_path, "events.parquet"), index=False)
+    out = timeseries.sliding_distinct_users(str(tmp_path), num_parts=2)
+    assert out.empty and list(out.columns) == ["hour_ts", "n_active"]

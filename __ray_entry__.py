@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_paths": timeseries.session_paths,
         "sliding_window_counts": timeseries.sliding_window_counts,
         "sliding_distinct_users": timeseries.sliding_distinct_users,
+        "km_survival": timeseries.km_survival,
         "range_join_shipments": timeseries.range_join_shipments,
         "running_totals": timeseries.running_totals,
         "streaming_watermark_counts": timeseries.streaming_watermark_counts,
@@ -2128,6 +2129,41 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders,
                    round(sum(o_totalprice), 4) AS total
             FROM orders GROUP BY o_custkey ORDER BY o_custkey
+        """,
+        # Kaplan–Meier in fixed-point integers: the sequential product is a
+        # recursive CTE stepping one death time per iteration; HUGEINT keeps
+        # s * n_risk exact at any user count
+        "km_survival": """
+            WITH RECURSIVE ev AS (
+                SELECT user_id, epoch_us(min(ts)) AS f, epoch_us(max(ts)) AS l
+                FROM events GROUP BY user_id
+            ),
+            life AS (
+                SELECT (l - f) // 3600000000 AS t,
+                       (l < (SELECT max(l) FROM ev) - 7 * 86400000000) AS died
+                FROM ev
+            ),
+            d AS (
+                SELECT t, count(*) AS n_deaths FROM life WHERE died GROUP BY t
+            ),
+            r AS (
+                SELECT d.t, d.n_deaths,
+                       (SELECT count(*) FROM life WHERE life.t >= d.t) AS n_risk,
+                       row_number() OVER (ORDER BY d.t) AS rn
+                FROM d
+            ),
+            km AS (
+                SELECT rn, t, n_deaths, n_risk,
+                       (1000000000::HUGEINT * (n_risk - n_deaths)) // n_risk AS s
+                FROM r WHERE rn = 1
+                UNION ALL
+                SELECT r.rn, r.t, r.n_deaths, r.n_risk,
+                       (km.s * (r.n_risk - r.n_deaths)) // r.n_risk
+                FROM km JOIN r ON r.rn = km.rn + 1
+            )
+            SELECT t AS t_hours, n_risk::BIGINT AS n_risk,
+                   n_deaths::BIGINT AS n_deaths, s::BIGINT AS survival_e9
+            FROM km ORDER BY t_hours
         """,
         # TRUE sliding count(DISTINCT): checkpoint x window-membership join
         # recomputes every trailing-24h distinct set from scratch — the

@@ -2263,3 +2263,95 @@ def sliding_distinct_users(sf_dir: str, *, window_hours: int = 24, num_parts: in
             "n_active": counts,
         }
     )
+
+
+def km_survival(sf_dir: str, *, censor_days: int = 7, num_parts: int = 8):
+    """Kaplan–Meier survival estimate over user lifetimes, EXACT in
+    fixed-point integers (scale 1e9) so engine and SQL oracle agree
+    bit-for-bit with zero transcendental calls.
+
+    Lifetime of a user = floor hours between first and last event. A user
+    whose last event falls within ``censor_days`` of the global max ts is
+    right-CENSORED (still alive for all we know); everyone else "dies" at
+    their last event. The estimator walks distinct death times t ascending:
+
+        s_k = s_{k-1} * (n_risk_k - n_deaths_k) // n_risk_k,  s_0 = 10^9
+
+    with n_risk_k = users whose lifetime >= t_k (censored included).
+
+    Distributed shape: ONE user-keyed aggregate (first/last per user,
+    partial per-batch pre-agg inside grouped_agg) -> materialized per-user
+    table (#users rows, << #events); global max is a second aggregate over
+    THAT table, not a second events scan. Death/at-risk histograms are
+    per-batch np.unique partials combined over the tiny hour axis; the
+    sequential product runs on the driver over <= #distinct-death-times
+    rows in python ints (no int64 overflow at any corpus size).
+    """
+    from .relational import grouped_agg
+
+    per_user = grouped_agg(
+        _read_events(sf_dir, ["user_id", "ts"]),
+        ["user_id"],
+        {"f": ("ts", "min"), "l": ("ts", "max")},
+    ).materialize()
+
+    empty = pd.DataFrame(
+        {
+            "t_hours": pd.Series([], dtype="int64"),
+            "n_risk": pd.Series([], dtype="int64"),
+            "n_deaths": pd.Series([], dtype="int64"),
+            "survival_e9": pd.Series([], dtype="int64"),
+        }
+    )
+    import ray.data.aggregate as agg
+
+    row = per_user.aggregate(agg.Max("l"))
+    if not row:
+        return empty
+    gmax = pd.Timestamp(row["max(l)"]).value // 1000  # ns -> us
+    horizon = gmax - np.int64(censor_days) * 86_400_000_000
+    H = np.int64(3_600_000_000)
+
+    def hist(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.schema(
+                [("t", pa.int64()), ("n_all", pa.int64()), ("n_dead", pa.int64())]
+            ).empty_table()
+        f = t["f"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        l = t["l"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        lt = (l - f) // H
+        died = l < horizon
+        uk, inv = np.unique(lt, return_inverse=True)
+        n_all = np.bincount(inv).astype(np.int64)
+        n_dead = np.bincount(inv, weights=died.astype(np.int64)).astype(np.int64)
+        return pa.table(
+            {
+                "t": pa.array(uk, pa.int64()),
+                "n_all": pa.array(n_all, pa.int64()),
+                "n_dead": pa.array(n_dead, pa.int64()),
+            }
+        )
+
+    parts = grouped_agg(
+        per_user.map_batches(hist, batch_format="pyarrow"),
+        ["t"],
+        {"n_all": ("n_all", "sum"), "n_dead": ("n_dead", "sum")},
+    ).to_pandas()
+    if parts.empty:
+        return empty
+    parts = parts.sort_values("t").reset_index(drop=True)
+    # at-risk at t = suffix sum of the full lifetime histogram
+    n_risk_all = parts["n_all"].to_numpy()[::-1].cumsum()[::-1]
+    dead = parts["n_dead"].to_numpy() > 0
+    s = 10**9
+    rows = []
+    for t, d, r in zip(
+        parts["t"].to_numpy()[dead],
+        parts["n_dead"].to_numpy()[dead],
+        n_risk_all[dead],
+    ):
+        s = s * (int(r) - int(d)) // int(r)
+        rows.append((int(t), int(r), int(d), s))
+    return pd.DataFrame(
+        rows, columns=["t_hours", "n_risk", "n_deaths", "survival_e9"]
+    ).astype("int64") if rows else empty

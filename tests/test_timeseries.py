@@ -817,3 +817,53 @@ def test_sliding_distinct_users_subhour_empty(tmp_path, ray_session):
     df.to_parquet(os.path.join(tmp_path, "events.parquet"), index=False)
     out = timeseries.sliding_distinct_users(str(tmp_path), num_parts=2)
     assert out.empty and list(out.columns) == ["hour_ts", "n_active"]
+
+
+def test_km_survival_planted(tmp_path, ray_session):
+    """Closed-form KM on planted lifetimes; censor boundary is STRICT
+    (last event exactly at gmax - 7d stays censored)."""
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    h = np.timedelta64(1, "h")
+    day = np.timedelta64(24, "h")
+    rows = []
+    eid = 0
+    def user(uid, start, hours):
+        nonlocal eid
+        rows.append((eid, start, uid, "a", 1.0)); eid += 1
+        rows.append((eid, start + hours * h, uid, "a", 1.0)); eid += 1
+    # gmax anchored by user 99 at base+40d
+    user(99, base + 40 * day, 0)           # lifetime 0, censored (last == gmax)
+    user(1, base, 5)                       # dies at t=5
+    user(2, base, 5)                       # dies at t=5
+    user(3, base, 10)                      # dies at t=10
+    user(4, base + 39 * day, 24)           # last within 7d of gmax -> censored, t=24
+    user(5, base + 33 * day, 0)            # last EXACTLY at horizon -> censored (strict <)
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    df["props"] = "{}"
+    df.to_parquet(os.path.join(tmp_path, "events.parquet"), index=False)
+    out = timeseries.km_survival(str(tmp_path), num_parts=2)
+    # deaths at t=5 (n=2, risk=6: users 1,2,3,4 have t>=5? t values: 0,5,5,10,24,0 ->
+    # risk at 5 = {1,2,3,4}=4), then t=10 (risk = {3,4}=2, d=1)
+    assert out["t_hours"].tolist() == [5, 10]
+    assert out["n_risk"].tolist() == [4, 2]
+    assert out["n_deaths"].tolist() == [2, 1]
+    s1 = 10**9 * 2 // 4
+    s2 = s1 * 1 // 2
+    assert out["survival_e9"].tolist() == [s1, s2]
+
+
+def test_km_survival_all_censored(tmp_path, ray_session):
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    df = pd.DataFrame(
+        {
+            "event_id": [0, 1],
+            "ts": [base, base + np.timedelta64(1, "h")],
+            "user_id": [1, 2],
+            "event_type": ["a", "a"],
+            "value": [1.0, 1.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    df.to_parquet(os.path.join(tmp_path, "events.parquet"), index=False)
+    out = timeseries.km_survival(str(tmp_path), num_parts=1)
+    assert out.empty

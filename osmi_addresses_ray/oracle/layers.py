@@ -1547,3 +1547,63 @@ def oracle_audio_resample(docs: pa.Table) -> pd.DataFrame:
     cols = ["doc_id", "media_ref", "n_in", "n_out", "sum_sq_out", "peak_out"]
     return pd.DataFrame(rows, columns=cols).sort_values(
         ["doc_id", "media_ref"]).reset_index(drop=True)
+
+
+def oracle_media_motion(docs: pa.Table) -> pd.DataFrame:
+    """Scalar block-matching recomputation straight from the raw frame spec:
+    per-pair, per-8x8-block exhaustive +-2 search with explicit pixel loops;
+    out-of-bounds candidates skipped; strict-< keeps the first (dy, dx)."""
+    rows = []
+    for row in docs.to_pylist():
+        for span in row["spans"]:
+            if span["kind"] != "media":
+                continue
+            frames = _oracle_video_frames(span["media_ref"])
+            tt, h, w, _ = frames.shape
+            gray = [[[int(frames[f, y, x, 0]) + int(frames[f, y, x, 1]) + int(frames[f, y, x, 2])
+                      for x in range(w)] for y in range(h)] for f in range(tt)]
+            nby, nbx = h // 8, w // 8
+            n_pairs = max(tt - 1, 0) if (nby and nbx) else 0
+            sum_motion = n_moving = sum_improve = max_improve = 0
+            for f in range(1, tt):
+                for by in range(nby):
+                    for bx in range(nbx):
+                        y0, x0 = by * 8, bx * 8
+                        best = None
+                        best_v = None
+                        sad00 = None
+                        for dy in range(-2, 3):
+                            for dx in range(-2, 3):
+                                if y0 + dy < 0 or y0 + dy + 8 > h:
+                                    continue
+                                if x0 + dx < 0 or x0 + dx + 8 > w:
+                                    continue
+                                s = 0
+                                for i in range(8):
+                                    for j in range(8):
+                                        s += abs(gray[f - 1][y0 + dy + i][x0 + dx + j]
+                                                 - gray[f][y0 + i][x0 + j])
+                                if dy == 0 and dx == 0:
+                                    sad00 = s
+                                if best is None or s < best:
+                                    best, best_v = s, (dy, dx)
+                        imp = sad00 - best
+                        sum_motion += abs(best_v[0]) + abs(best_v[1])
+                        n_moving += 1 if best_v != (0, 0) else 0
+                        sum_improve += imp
+                        max_improve = max(max_improve, imp)
+            rows.append(
+                {
+                    "doc_id": row["doc_id"], "media_ref": span["media_ref"],
+                    "n_pairs": np.int32(n_pairs),
+                    "n_blocks": np.int64(n_pairs * nby * nbx),
+                    "sum_motion": np.int64(sum_motion),
+                    "n_moving": np.int64(n_moving),
+                    "sum_improve": np.int64(sum_improve),
+                    "max_improve": np.int64(max_improve),
+                }
+            )
+    cols = ["doc_id", "media_ref", "n_pairs", "n_blocks", "sum_motion",
+            "n_moving", "sum_improve", "max_improve"]
+    return pd.DataFrame(rows, columns=cols).sort_values(
+        ["doc_id", "media_ref"]).reset_index(drop=True)

@@ -1178,3 +1178,120 @@ def media_orient_hist(docs_ds, *, concurrency=(1, 4), batch_size: int = 64):
         ImageOrientHist, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+MEDIA_MOTION_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("n_pairs", pa.int32()),
+        pa.field("n_blocks", pa.int64()),
+        pa.field("sum_motion", pa.int64()),
+        pa.field("n_moving", pa.int64()),
+        pa.field("sum_improve", pa.int64()),
+        pa.field("max_improve", pa.int64()),
+    ]
+)
+
+
+class MotionEstimator:
+    """Actor-pool block-matching motion estimation over the frame stack:
+    for every consecutive frame pair and every aligned 8x8 block of the
+    CURRENT frame, exhaustive +-2 search in the PREVIOUS frame for the
+    displacement minimizing integer SAD over r+g+b grayscale.
+
+    Exact-integer spec (the scalar oracle mirrors it):
+      - gray = r + g + b (int, no division)
+      - candidates scan dy then dx, each -2..2 ascending; strictly-smaller
+        SAD wins, so the lexicographically smallest (dy, dx) takes ties
+      - out-of-bounds candidates are invalid for that block (realized here
+        as a +2^20-per-pixel sentinel border, unreachable by any in-bounds
+        SAD <= 64*765; (0,0) is always in bounds)
+      - improvement of a block = SAD(0,0) - SAD(best) >= 0
+
+    Vectorization: the 25-candidate loop runs whole-array ops over ALL
+    (pair, block) cells at once — no per-block or per-pixel Python. One
+    payload is the parallelism grain (actor pool over docs)."""
+
+    def __init__(self, block: int = 8, search: int = 2):
+        from osmi_addresses_ray.stages.media_codecs import decode_frame_stack
+
+        self._decode = decode_frame_stack
+        self.block = int(block)
+        self.search = int(search)
+
+    def _motion(self, frames: np.ndarray):
+        B, S = self.block, self.search
+        tt, h, w, _ = frames.shape
+        gray = frames.astype(np.int64).sum(axis=3)  # (T, H, W)
+        nby, nbx = h // B, w // B
+        if tt < 2 or nby == 0 or nbx == 0:
+            return 0, 0, 0, 0, 0, 0
+        cur = gray[1:]   # (P, H, W)
+        prev = gray[:-1]
+        P = tt - 1
+        pad = np.full((P, h + 2 * S, w + 2 * S), np.int64(1) << 20, dtype=np.int64)
+        pad[:, S : S + h, S : S + w] = prev
+        # current blocks: (P, nby, nbx, B, B)
+        cb = cur[:, : nby * B, : nbx * B].reshape(P, nby, B, nbx, B).swapaxes(2, 3)
+        best = None
+        best_dy = best_dx = None
+        sad00 = None
+        for dy in range(-S, S + 1):
+            for dx in range(-S, S + 1):
+                ref = pad[:, S + dy : S + dy + nby * B, S + dx : S + dx + nbx * B]
+                rb = ref.reshape(P, nby, B, nbx, B).swapaxes(2, 3)
+                sad = np.abs(rb - cb).sum(axis=(3, 4))  # (P, nby, nbx)
+                if dy == 0 and dx == 0:
+                    sad00 = sad
+                if best is None:
+                    best = sad.copy()
+                    best_dy = np.full(sad.shape, dy, np.int64)
+                    best_dx = np.full(sad.shape, dx, np.int64)
+                else:
+                    m = sad < best
+                    best[m] = sad[m]
+                    best_dy[m] = dy
+                    best_dx[m] = dx
+        improve = sad00 - best
+        motion = np.abs(best_dy) + np.abs(best_dx)
+        moving = (best_dy != 0) | (best_dx != 0)
+        return (
+            P,
+            int(P * nby * nbx),
+            int(motion.sum()),
+            int(moving.sum()),
+            int(improve.sum()),
+            int(improve.max()),
+        )
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = {k: [] for k in MEDIA_MOTION_SCHEMA.names}
+        for doc_id, ref, payload in zip(
+            t["doc_id"].to_pylist(), t["media_ref"].to_pylist(), t["payload"].to_pylist()
+        ):
+            p, nb, sm, nm, si, mi = self._motion(self._decode(payload))
+            rows["doc_id"].append(doc_id)
+            rows["media_ref"].append(ref)
+            rows["n_pairs"].append(p)
+            rows["n_blocks"].append(nb)
+            rows["sum_motion"].append(sm)
+            rows["n_moving"].append(nm)
+            rows["sum_improve"].append(si)
+            rows["max_improve"].append(mi)
+        return pa.Table.from_arrays(
+            [pa.array(rows[f.name], f.type) for f in MEDIA_MOTION_SCHEMA],
+            schema=MEDIA_MOTION_SCHEMA,
+        )
+
+
+def media_motion(docs_ds, *, concurrency=(1, 4), batch_size: int = 64):
+    from osmi_addresses_ray.stages.media_codecs import synthesize_video_payload
+
+    media = _extract_refs_with_store(docs_ds, synthesize_video_payload, "video")
+    return media.map_batches(
+        MotionEstimator,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -492,3 +492,67 @@ def test_orient_hist_planted_directions():
     dg = np.fromfunction(lambda y, x: (x >= y) * 255, (10, 10)).astype(np.uint8)
     n3, h3 = ImageOrientHist._hist(img_from_gray(dg))
     assert n3 > 0 and h3[7] + h3[6] == n3 and h3[0] == 0
+
+
+def test_motion_planted_shift():
+    """Frame 1 = frame 0 shifted DOWN by 1 and RIGHT by 2: every interior
+    block's best vector is (-1, -2); static pair reports zero motion."""
+    from osmi_addresses_ray.stages.multimodal import MotionEstimator
+
+    rng = np.random.default_rng(11)
+    h, w = 16, 24
+    f0 = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    f1 = np.zeros_like(f0)
+    f1[1:, 2:] = f0[:-1, :-2]  # cur[y, x] = prev[y-1, x-2]
+    frames = np.stack([f0, f1])
+    est = MotionEstimator()
+    p, nb, sm, nm, si, mi = est._motion(frames)
+    assert p == 1 and nb == (h // 8) * (w // 8) == 6
+    # all 6 blocks: search window covers (-1, -2) except blocks whose
+    # shifted region leaves the frame — here every block at by>=0: y0-1>=0
+    # fails for by=0... the top-left region comes from zeros, but SAD at
+    # (-1,-2) is 0 for blocks with y0>=1 and x0>=2. Top row blocks (y0=0):
+    # candidate (-1,*) is out of bounds; their best is whatever minimizes
+    # SAD. Assert instead on the bottom row, via full-frame recompute:
+    gray0 = f0.astype(np.int64).sum(axis=2)
+    gray1 = f1.astype(np.int64).sum(axis=2)
+    # block (1, 1): y0=8, x0=8 -> SAD at (-1,-2) must be 0, so it moved
+    assert np.array_equal(gray1[8:16, 8:16], gray0[7:15, 6:14])
+    assert nm >= 3 and sm >= 3 * 3  # bottom-row blocks all report |dy|+|dx|=3
+    assert si > 0 and mi > 0
+
+    static = np.stack([f0, f0])
+    p2, nb2, sm2, nm2, si2, mi2 = est._motion(static)
+    assert (sm2, nm2, si2, mi2) == (0, 0, 0, 0)
+
+
+def test_motion_oracle_parity_small():
+    """Vectorized estimator == scalar oracle loops on real synthetic refs."""
+    import pyarrow as pa
+
+    from osmi_addresses_ray.oracle.layers import oracle_media_motion
+    from osmi_addresses_ray.stages.media_codecs import (
+        synthesize_video_frames,
+        synthesize_video_payload,
+    )
+    from osmi_addresses_ray.stages.multimodal import MotionEstimator
+
+    est = MotionEstimator()
+    docs = pa.table(
+        {
+            "doc_id": ["d1", "d2"],
+            "spans": [
+                [{"kind": "media", "media_ref": "img:7"}],
+                [{"kind": "media", "media_ref": "img:19"}],
+            ],
+        }
+    )
+    want = oracle_media_motion(docs)
+    for i, ref in enumerate(["img:7", "img:19"]):
+        frames = synthesize_video_frames(ref)
+        got = est._motion(frames)
+        row = want.iloc[i]
+        assert got == (
+            row["n_pairs"], row["n_blocks"], row["sum_motion"],
+            row["n_moving"], row["sum_improve"], row["max_improve"],
+        ), ref

@@ -378,6 +378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hausdorff_pairs": _hausdorff_query,
         "frechet_pairs": _frechet_query,
         "polygon_audit": _polygon_audit_query,
+        "polygon_relate": _polygon_relate_query,
         "geofence_transitions": _geofence_query,
         "comovement_pairs": _comovement_query,
         "map_match_accuracy": _mm_accuracy_query,
@@ -1197,6 +1198,28 @@ def _polygon_audit_query(sf_dir: str):
     out = polygon_audit(ways_geo)
     write_oracle(
         "closed_way_points_src", oracle_closed_way_points(fixture_table(FIXTURE_BLOCKS))
+    )
+    return out
+
+
+def _polygon_relate_query(sf_dir: str):
+    """DE-9IM-style exact relate over bbox-overlapping closed-ring pairs;
+    TRUE SQL oracle: identical integer orientation / on-segment /
+    crossing-parity predicates in HUGEINT over the independent ring lists."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.geo_ops import oracle_relate_rings
+    from osmi_addresses_ray.pipelines.geo_ops import polygon_relate, relate_augment
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.assembly import assemble_ways
+    from osmi_addresses_ray.stages.parse import parse_docs
+
+    parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
+    ways_geo = relate_augment(
+        assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
+    )
+    out = polygon_relate(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
+    write_oracle(
+        "relate_rings_src", oracle_relate_rings(fixture_table(FIXTURE_BLOCKS))
     )
     return out
 
@@ -4799,6 +4822,117 @@ def _naive_oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END::BIGINT AS is_convex,
                    t.bw::BIGINT AS bbox_w, t.bh::BIGINT AS bbox_h
             FROM t JOIN cc USING (way_id) ORDER BY t.way_id
+        """,
+        # DE-9IM-style relate: the same exact integer predicates (HUGEINT)
+        # over every bbox-overlapping ring pair — orientation sign table,
+        # collinear on-segment, first-free-vertex crossing parity
+        "polygon_relate": f"""
+            WITH p AS (SELECT way_id, seq, ix, iy
+                       FROM read_parquet('{oracle_path('relate_rings_src')}')),
+            nmax AS (SELECT way_id, max(seq) AS last FROM p GROUP BY way_id),
+            e AS (SELECT way_id, seq, ix::HUGEINT AS ax, iy::HUGEINT AS ay,
+                         lead(ix) OVER w::HUGEINT AS bx,
+                         lead(iy) OVER w::HUGEINT AS by
+                  FROM p WINDOW w AS (PARTITION BY way_id ORDER BY seq)
+                  QUALIFY bx IS NOT NULL),
+            verts AS (SELECT p.way_id, p.seq, p.ix::HUGEINT AS vx,
+                             p.iy::HUGEINT AS vy
+                      FROM p JOIN nmax USING (way_id) WHERE p.seq < nmax.last),
+            bb AS (SELECT way_id, min(ix) AS x0, max(ix) AS x1,
+                          min(iy) AS y0, max(iy) AS y1 FROM p GROUP BY way_id),
+            pairs AS (SELECT a.way_id AS wa, b.way_id AS wb FROM bb a
+                      JOIN bb b ON a.way_id < b.way_id
+                       AND a.x0 <= b.x1 AND b.x0 <= a.x1
+                       AND a.y0 <= b.y1 AND b.y0 <= a.y1),
+            cls AS (SELECT pr.wa, pr.wb,
+               (ea.bx-ea.ax)*(eb.ay-ea.ay) - (ea.by-ea.ay)*(eb.ax-ea.ax) AS o1,
+               (ea.bx-ea.ax)*(eb.by-ea.ay) - (ea.by-ea.ay)*(eb.bx-ea.ax) AS o2,
+               (eb.bx-eb.ax)*(ea.ay-eb.ay) - (eb.by-eb.ay)*(ea.ax-eb.ax) AS o3,
+               (eb.bx-eb.ax)*(ea.by-eb.ay) - (eb.by-eb.ay)*(ea.bx-eb.ax) AS o4,
+               ea.ax AS a1x, ea.ay AS a1y, ea.bx AS a2x, ea.by AS a2y,
+               eb.ax AS b1x, eb.ay AS b1y, eb.bx AS b2x, eb.by AS b2y
+              FROM pairs pr JOIN e ea ON ea.way_id = pr.wa
+                            JOIN e eb ON eb.way_id = pr.wb),
+            cnt AS (SELECT wa, wb,
+               sum(CASE WHEN ((o1>0 AND o2<0) OR (o1<0 AND o2>0))
+                         AND ((o3>0 AND o4<0) OR (o3<0 AND o4>0))
+                        THEN 1 ELSE 0 END)::BIGINT AS n_cross,
+               sum(CASE WHEN NOT (((o1>0 AND o2<0) OR (o1<0 AND o2>0))
+                              AND ((o3>0 AND o4<0) OR (o3<0 AND o4>0)))
+                 AND ( (o1=0 AND b1x BETWEEN least(a1x,a2x) AND greatest(a1x,a2x)
+                              AND b1y BETWEEN least(a1y,a2y) AND greatest(a1y,a2y))
+                    OR (o2=0 AND b2x BETWEEN least(a1x,a2x) AND greatest(a1x,a2x)
+                              AND b2y BETWEEN least(a1y,a2y) AND greatest(a1y,a2y))
+                    OR (o3=0 AND a1x BETWEEN least(b1x,b2x) AND greatest(b1x,b2x)
+                              AND a1y BETWEEN least(b1y,b2y) AND greatest(b1y,b2y))
+                    OR (o4=0 AND a2x BETWEEN least(b1x,b2x) AND greatest(b1x,b2x)
+                              AND a2y BETWEEN least(b1y,b2y) AND greatest(b1y,b2y)))
+                        THEN 1 ELSE 0 END)::BIGINT AS n_touch
+              FROM cls GROUP BY wa, wb),
+            onba AS (SELECT pr.wa, pr.wb, v.seq FROM pairs pr
+                     JOIN verts v ON v.way_id = pr.wa
+                     WHERE EXISTS (SELECT 1 FROM e eb WHERE eb.way_id = pr.wb
+                        AND (eb.bx-eb.ax)*(v.vy-eb.ay)
+                            - (eb.by-eb.ay)*(v.vx-eb.ax) = 0
+                        AND v.vx BETWEEN least(eb.ax,eb.bx) AND greatest(eb.ax,eb.bx)
+                        AND v.vy BETWEEN least(eb.ay,eb.by) AND greatest(eb.ay,eb.by))),
+            tva AS (SELECT pr.wa, pr.wb, min(v.seq) AS seq FROM pairs pr
+                    JOIN verts v ON v.way_id = pr.wa
+                    WHERE NOT EXISTS (SELECT 1 FROM onba o
+                        WHERE o.wa = pr.wa AND o.wb = pr.wb AND o.seq = v.seq)
+                    GROUP BY pr.wa, pr.wb),
+            pipa AS (SELECT t.wa, t.wb,
+                       (sum(CASE WHEN (eb.ay <= v.vy AND eb.by > v.vy
+                              AND (eb.bx-eb.ax)*(v.vy-eb.ay)
+                                  - (eb.by-eb.ay)*(v.vx-eb.ax) > 0)
+                            OR (eb.by <= v.vy AND eb.ay > v.vy
+                              AND (eb.bx-eb.ax)*(v.vy-eb.ay)
+                                  - (eb.by-eb.ay)*(v.vx-eb.ax) < 0)
+                            THEN 1 ELSE 0 END) % 2 = 1) AS a_in
+                     FROM tva t
+                     JOIN verts v ON v.way_id = t.wa AND v.seq = t.seq
+                     JOIN e eb ON eb.way_id = t.wb
+                     GROUP BY t.wa, t.wb),
+            onbb AS (SELECT pr.wa, pr.wb, v.seq FROM pairs pr
+                     JOIN verts v ON v.way_id = pr.wb
+                     WHERE EXISTS (SELECT 1 FROM e ea WHERE ea.way_id = pr.wa
+                        AND (ea.bx-ea.ax)*(v.vy-ea.ay)
+                            - (ea.by-ea.ay)*(v.vx-ea.ax) = 0
+                        AND v.vx BETWEEN least(ea.ax,ea.bx) AND greatest(ea.ax,ea.bx)
+                        AND v.vy BETWEEN least(ea.ay,ea.by) AND greatest(ea.ay,ea.by))),
+            tvb AS (SELECT pr.wa, pr.wb, min(v.seq) AS seq FROM pairs pr
+                    JOIN verts v ON v.way_id = pr.wb
+                    WHERE NOT EXISTS (SELECT 1 FROM onbb o
+                        WHERE o.wa = pr.wa AND o.wb = pr.wb AND o.seq = v.seq)
+                    GROUP BY pr.wa, pr.wb),
+            pipb AS (SELECT t.wa, t.wb,
+                       (sum(CASE WHEN (ea.ay <= v.vy AND ea.by > v.vy
+                              AND (ea.bx-ea.ax)*(v.vy-ea.ay)
+                                  - (ea.by-ea.ay)*(v.vx-ea.ax) > 0)
+                            OR (ea.by <= v.vy AND ea.ay > v.vy
+                              AND (ea.bx-ea.ax)*(v.vy-ea.ay)
+                                  - (ea.by-ea.ay)*(v.vx-ea.ax) < 0)
+                            THEN 1 ELSE 0 END) % 2 = 1) AS b_in
+                     FROM tvb t
+                     JOIN verts v ON v.way_id = t.wb AND v.seq = t.seq
+                     JOIN e ea ON ea.way_id = t.wa
+                     GROUP BY t.wa, t.wb)
+            SELECT pr.wa AS way_a, pr.wb AS way_b,
+                   cnt.n_cross, cnt.n_touch,
+                   CASE WHEN cnt.n_cross > 0 THEN 'crosses'
+                        WHEN COALESCE(pipa.a_in, false) THEN 'within'
+                        WHEN COALESCE(pipb.b_in, false) THEN 'contains'
+                        WHEN tva.seq IS NULL AND tvb.seq IS NULL
+                             THEN 'boundary_equal'
+                        WHEN cnt.n_touch > 0 THEN 'touches'
+                        ELSE 'disjoint' END AS relation
+            FROM pairs pr
+            JOIN cnt ON cnt.wa = pr.wa AND cnt.wb = pr.wb
+            LEFT JOIN tva ON tva.wa = pr.wa AND tva.wb = pr.wb
+            LEFT JOIN tvb ON tvb.wa = pr.wa AND tvb.wb = pr.wb
+            LEFT JOIN pipa ON pipa.wa = pr.wa AND pipa.wb = pr.wb
+            LEFT JOIN pipb ON pipb.wa = pr.wa AND pipb.wb = pr.wb
+            ORDER BY way_a, way_b
         """,
         # pairwise trajectory Hausdorff²: nested max-of-min over point pairs
         # for trajectories sharing the step-0 origin cell (od_flows zoning)

@@ -553,3 +553,41 @@ def oracle_closed_way_points(docs) -> pd.DataFrame:
     if df.empty:
         df = pd.DataFrame({c: pd.Series([], dtype="int64") for c in df.columns})
     return df.astype("int64")
+
+
+def oracle_relate_rings(docs) -> pd.DataFrame:
+    """Closed rings + the deterministic overlay twins for polygon_relate:
+    per ring, a bbox-half shifted copy (way_id + 1e9, guaranteed crossing
+    geometry), an exact duplicate (way_id + 2e9, boundary_equal), and a
+    2x2-unit square at the bbox center (way_id + 3e9, containment probe).
+    Recomputed scalar from the raw docs — no engine imports."""
+    rows = []
+    for way_id, pts in _way_points(docs):
+        if len(pts) < 3 or pts[0] != pts[-1]:
+            continue
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        x0, x1, y0, y1 = min(xs), max(xs), min(ys), max(ys)
+        for seq, (ix, iy) in enumerate(pts):
+            rows.append((way_id, seq, ix, iy))
+        dx, dy = (x1 - x0) // 2, (y1 - y0) // 2
+        if dx or dy:
+            for seq, (ix, iy) in enumerate(pts):
+                rows.append((way_id + 1_000_000_000, seq, ix + dx, iy + dy))
+        for seq, (ix, iy) in enumerate(pts):
+            rows.append((way_id + 2_000_000_000, seq, ix, iy))
+        cx, cy = (x0 + x1) // 2, (y0 + y1) // 2
+        sq = [(cx - 1, cy - 1), (cx + 1, cy - 1), (cx + 1, cy + 1),
+              (cx - 1, cy + 1), (cx - 1, cy - 1)]
+        for seq, (ix, iy) in enumerate(sq):
+            rows.append((way_id + 3_000_000_000, seq, ix, iy))
+        for seq, (ix, iy) in enumerate(sq):
+            rows.append((way_id - 4_000_000_000, seq, ix, iy))
+        corner = [(x0 - 2, y0 - 2), (x0, y0 - 2), (x0, y0),
+                  (x0 - 2, y0), (x0 - 2, y0 - 2)]
+        for seq, (ix, iy) in enumerate(corner):
+            rows.append((way_id + 5_000_000_000, seq, ix, iy))
+    df = pd.DataFrame(rows, columns=["way_id", "seq", "ix", "iy"])
+    if df.empty:
+        df = pd.DataFrame({c: pd.Series([], dtype="int64") for c in df.columns})
+    return df.astype("int64")

@@ -4539,3 +4539,400 @@ def street_mis(ways_geo_ds, *, num_parts: int = 8) -> pd.DataFrame:
          "in_mis": (out["st"] == 1).astype("int64")}
     )
     return out.sort_values("node").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# polygon relate: exact DE-9IM-style classification of closed-ring pairs
+# --------------------------------------------------------------------------
+
+_RELATE_RING_SCHEMA = pa.schema(
+    [
+        ("cell", pa.int64()),
+        ("way_id", pa.int64()),
+        ("x0", pa.int64()),
+        ("x1", pa.int64()),
+        ("y0", pa.int64()),
+        ("y1", pa.int64()),
+        ("xs", pa.list_(pa.int64())),
+        ("ys", pa.list_(pa.int64())),
+    ]
+)
+
+_RELATE_SCHEMA = pa.schema(
+    [
+        ("way_a", pa.int64()),
+        ("way_b", pa.int64()),
+        ("n_cross", pa.int64()),
+        ("n_touch", pa.int64()),
+        ("relation", pa.string()),
+    ]
+)
+
+_RELATE_NAMES = np.array(
+    ["disjoint", "touches", "crosses", "within", "contains", "boundary_equal"]
+)
+
+
+def _relate_rings(t: pa.Table) -> pa.Table:
+    """Closed rings (polygon_audit closure rule) replicated to every
+    HULL_CELL_UNITS cell their bbox covers."""
+    s = t.filter(t["nonzero"]) if "nonzero" in t.schema.names else t
+    if s.num_rows == 0:
+        return _RELATE_RING_SCHEMA.empty_table()
+    xs_col = s["xs"].combine_chunks() if isinstance(s["xs"], pa.ChunkedArray) else s["xs"]
+    ys_col = s["ys"].combine_chunks() if isinstance(s["ys"], pa.ChunkedArray) else s["ys"]
+    offs = np.asarray(xs_col.offsets, np.int64)
+    offs = offs - offs[0]
+    fx = np.round(np.asarray(xs_col.flatten(), np.float64) * QUANT).astype(np.int64)
+    fy = np.round(np.asarray(ys_col.flatten(), np.float64) * QUANT).astype(np.int64)
+    wid = s["way_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.diff(offs)
+    first_i, last_i = offs[:-1], offs[1:] - 1
+    closed = (counts >= 3) & (fx[first_i] == fx[last_i]) & (fy[first_i] == fy[last_i])
+    if not closed.any():
+        return _RELATE_RING_SCHEMA.empty_table()
+    keep_pt = np.repeat(closed, counts)
+    fx, fy = fx[keep_pt], fy[keep_pt]
+    wid, counts = wid[closed], counts[closed]
+    starts = np.cumsum(counts) - counts
+    x0 = np.minimum.reduceat(fx, starts)
+    x1 = np.maximum.reduceat(fx, starts)
+    y0 = np.minimum.reduceat(fy, starts)
+    y1 = np.maximum.reduceat(fy, starts)
+    c = HULL_CELL_UNITS
+    cx0, cx1, cy0, cy1 = x0 // c, x1 // c, y0 // c, y1 // c
+    ncx, ncy = cx1 - cx0 + 1, cy1 - cy0 + 1
+    tot = ncx * ncy
+    total = int(tot.sum())
+    rep = np.repeat(np.arange(len(wid), dtype=np.int64), tot)
+    cum = np.cumsum(tot) - tot
+    k = np.arange(total, dtype=np.int64) - np.repeat(cum, tot)
+    cx = cx0[rep] + k // ncy[rep]
+    cy = cy0[rep] + k % ncy[rep]
+    ring_off = pa.array(np.r_[np.int64(0), np.cumsum(counts)], pa.int32())
+    xs_list = pa.ListArray.from_arrays(ring_off, pa.array(fx, pa.int64()))
+    ys_list = pa.ListArray.from_arrays(ring_off, pa.array(fy, pa.int64()))
+    return pa.table(
+        {
+            "cell": _cell_key(cx, cy),
+            "way_id": pa.array(wid[rep], pa.int64()),
+            "x0": pa.array(x0[rep], pa.int64()),
+            "x1": pa.array(x1[rep], pa.int64()),
+            "y0": pa.array(y0[rep], pa.int64()),
+            "y1": pa.array(y1[rep], pa.int64()),
+            "xs": xs_list.take(pa.array(rep, pa.int64())),
+            "ys": ys_list.take(pa.array(rep, pa.int64())),
+        }
+    ).cast(_RELATE_RING_SCHEMA)
+
+
+def _onseg(px, py, sx1, sy1, sx2, sy2):
+    """Given collinearity, point-on-segment == bbox containment."""
+    return (
+        (px >= np.minimum(sx1, sx2))
+        & (px <= np.maximum(sx1, sx2))
+        & (py >= np.minimum(sy1, sy2))
+        & (py <= np.maximum(sy1, sy2))
+    )
+
+
+def _containment_side(fx, fy, offs, iv, ie, ancx, ancy):
+    """Per pair: is ring ``iv`` inside ring ``ie``?
+
+    Chosen test vertex = the LOWEST-seq vertex of iv (closing duplicate
+    excluded) not on ie's boundary; strict-interior by exact crossing-number
+    parity. Returns (inside: bool[P], has_free_vertex: bool[P])."""
+    cnt = np.diff(offs)
+    P = len(iv)
+    nv = cnt[iv] - 1  # vertices, closing dup dropped
+    ne = cnt[ie] - 1  # edges of the other ring
+    # level-1 expansion: (pair, vertex)
+    totv = int(nv.sum())
+    pidv = np.repeat(np.arange(P, dtype=np.int64), nv)
+    cumv = np.cumsum(nv) - nv
+    kv = np.arange(totv, dtype=np.int64) - np.repeat(cumv, nv)
+    vflat = offs[iv][pidv] + kv
+    # level-2 expansion: (pair, vertex) x other-ring edge
+    me = ne[pidv]
+    tote = int(me.sum())
+    pv = np.repeat(np.arange(totv, dtype=np.int64), me)
+    cume = np.cumsum(me) - me
+    ke = np.arange(tote, dtype=np.int64) - np.repeat(cume, me)
+    eflat = offs[ie][pidv][pv] + ke
+    qx = fx[vflat][pv] - ancx[pidv][pv]
+    qy = fy[vflat][pv] - ancy[pidv][pv]
+    ax = fx[eflat] - ancx[pidv][pv]
+    ay = fy[eflat] - ancy[pidv][pv]
+    bx = fx[eflat + 1] - ancx[pidv][pv]
+    by = fy[eflat + 1] - ancy[pidv][pv]
+    cr = (bx - ax) * (qy - ay) - (by - ay) * (qx - ax)
+    onb_e = (cr == 0) & _onseg(qx, qy, ax, ay, bx, by)
+    onb = np.bincount(pv, onb_e, minlength=totv) > 0
+    # first free vertex per pair: min kv among ~onb
+    BIG = np.int64(1) << 60
+    key = np.where(onb, BIG, kv)
+    if totv:
+        minkey = np.minimum.reduceat(key, cumv)
+    else:
+        minkey = np.empty(0, np.int64)
+    has_free = minkey < BIG
+    # crossing parity for the chosen vertex: reuse the level-2 rows whose
+    # vertex IS the chosen one
+    chosen = kv == minkey[pidv]
+    up = (ay <= qy) & (by > qy) & (cr > 0)
+    dn = (by <= qy) & (ay > qy) & (cr < 0)
+    hit = (up | dn) & chosen[pv] & ~onb[pv]
+    crossings = np.bincount(pidv[pv], hit, minlength=P).astype(np.int64)
+    inside = has_free & (crossings % 2 == 1)
+    return inside, has_free
+
+
+def _relate_kernel(fx, fy, offs, ia, ib):
+    """Exact integer relate of ring pairs (flat coords + offsets, pair index
+    arrays). Returns (n_cross, n_touch, relation_code) int64 arrays.
+
+    Spec (the SQL oracle mirrors it verbatim):
+      o1..o4 = the four edge-pair orientation cross products; PROPER
+      crossing = strictly opposite nonzero signs on both; TOUCH = any
+      collinear endpoint-on-segment contact on a non-proper pair.
+      Containment: lowest-seq vertex not on the other boundary, strict
+      crossing-number parity. relation precedence: crosses > within >
+      contains > boundary_equal > touches > disjoint.
+    """
+    P = len(ia)
+    if P == 0:
+        z = np.empty(0, np.int64)
+        return z, z, z
+    cnt = np.diff(offs)
+    starts = offs[:-1]
+    rminx = np.minimum.reduceat(fx, starts)
+    rminy = np.minimum.reduceat(fy, starts)
+    rmaxx = np.maximum.reduceat(fx, starts)
+    rmaxy = np.maximum.reduceat(fy, starts)
+    ancx = np.minimum(rminx[ia], rminx[ib])
+    ancy = np.minimum(rminy[ia], rminy[ib])
+    ext = np.maximum(
+        np.maximum(rmaxx[ia], rmaxx[ib]) - ancx,
+        np.maximum(rmaxy[ia], rmaxy[ib]) - ancy,
+    )
+    if ext.size and int(ext.max()) >= (1 << 31):
+        raise OverflowError(
+            "polygon_relate: pair bbox extent >= 2^31 units; orientation "
+            "products would overflow int64"
+        )
+    na, nb_ = cnt[ia] - 1, cnt[ib] - 1
+    M = na * nb_
+    tot = int(M.sum())
+    pid = np.repeat(np.arange(P, dtype=np.int64), M)
+    cum = np.cumsum(M) - M
+    k = np.arange(tot, dtype=np.int64) - np.repeat(cum, M)
+    ea = k // nb_[pid]
+    eb = k % nb_[pid]
+    A = offs[ia][pid] + ea
+    B = offs[ib][pid] + eb
+    ax0, ay0 = ancx[pid], ancy[pid]
+    a1x, a1y = fx[A] - ax0, fy[A] - ay0
+    a2x, a2y = fx[A + 1] - ax0, fy[A + 1] - ay0
+    b1x, b1y = fx[B] - ax0, fy[B] - ay0
+    b2x, b2y = fx[B + 1] - ax0, fy[B + 1] - ay0
+    o1 = (a2x - a1x) * (b1y - a1y) - (a2y - a1y) * (b1x - a1x)
+    o2 = (a2x - a1x) * (b2y - a1y) - (a2y - a1y) * (b2x - a1x)
+    o3 = (b2x - b1x) * (a1y - b1y) - (b2y - b1y) * (a1x - b1x)
+    o4 = (b2x - b1x) * (a2y - b1y) - (b2y - b1y) * (a2x - b1x)
+    proper = (((o1 > 0) & (o2 < 0)) | ((o1 < 0) & (o2 > 0))) & (
+        ((o3 > 0) & (o4 < 0)) | ((o3 < 0) & (o4 > 0))
+    )
+    touch = ~proper & (
+        ((o1 == 0) & _onseg(b1x, b1y, a1x, a1y, a2x, a2y))
+        | ((o2 == 0) & _onseg(b2x, b2y, a1x, a1y, a2x, a2y))
+        | ((o3 == 0) & _onseg(a1x, a1y, b1x, b1y, b2x, b2y))
+        | ((o4 == 0) & _onseg(a2x, a2y, b1x, b1y, b2x, b2y))
+    )
+    n_cross = np.bincount(pid, proper, minlength=P).astype(np.int64)
+    n_touch = np.bincount(pid, touch, minlength=P).astype(np.int64)
+    a_in, free_a = _containment_side(fx, fy, offs, ia, ib, ancx, ancy)
+    b_in, free_b = _containment_side(fx, fy, offs, ib, ia, ancx, ancy)
+    rel = np.zeros(P, np.int64)
+    rel[n_touch > 0] = 1
+    rel[~free_a & ~free_b] = 5
+    rel[b_in] = 4
+    rel[a_in] = 3
+    rel[n_cross > 0] = 2
+    return n_cross, n_touch, rel
+
+
+def polygon_relate(ways_geo_ds, *, num_parts: int = 8) -> pd.DataFrame:
+    """Topological relationship of every bbox-overlapping pair of closed
+    rings — disjoint / touches / crosses / within / contains /
+    boundary_equal — using EXACT integer predicates only (orientation
+    signs, collinear on-segment, crossing-number parity; no constructed
+    intersection coordinates, so nothing is approximate). The
+    st_relate-family overlay primitive a conflation pipeline runs before
+    merging polygon datasets.
+
+    Shape: rings replicate to covered HULL_CELL_UNITS cells (ONE cell-keyed
+    exchange); per cell a vectorized bbox sweep yields candidates, each
+    pair emitted only from the cell holding its intersection-bbox min
+    corner (reference-point dedup — no second exchange). All edge x edge
+    and vertex x edge predicate batches run as flat numpy expansions
+    ACROSS pairs. Per-pair products are pair-bbox-anchored; extents
+    >= 2^31 units raise rather than wrap (polygon_audit guard family).
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _RELATE_SCHEMA.empty_table()
+        cell = t["cell"].to_numpy(zero_copy_only=False)
+        order = np.argsort(cell, kind="stable")
+        t = t.take(pa.array(order, pa.int64()))
+        cell = cell[order]
+        wid = t["way_id"].to_numpy(zero_copy_only=False)
+        x0 = t["x0"].to_numpy(zero_copy_only=False)
+        x1 = t["x1"].to_numpy(zero_copy_only=False)
+        y0 = t["y0"].to_numpy(zero_copy_only=False)
+        y1 = t["y1"].to_numpy(zero_copy_only=False)
+        xs_col = t["xs"].combine_chunks() if isinstance(t["xs"], pa.ChunkedArray) else t["xs"]
+        ys_col = t["ys"].combine_chunks() if isinstance(t["ys"], pa.ChunkedArray) else t["ys"]
+        offs = np.asarray(xs_col.offsets, np.int64)
+        offs = offs - offs[0]
+        fx = np.asarray(xs_col.flatten(), np.int64)
+        fy = np.asarray(ys_col.flatten(), np.int64)
+        c = HULL_CELL_UNITS
+        bounds = np.r_[0, np.flatnonzero(cell[1:] != cell[:-1]) + 1, len(cell)]
+        ia_all, ib_all = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            kk = e - s
+            if kk < 2:
+                continue
+            ii, jj = np.triu_indices(kk, 1)
+            ii += s
+            jj += s
+            # canonical orientation way_a < way_b
+            swap = wid[ii] > wid[jj]
+            ii2 = np.where(swap, jj, ii)
+            jj2 = np.where(swap, ii, jj)
+            ii, jj = ii2, jj2
+            keep = (
+                (wid[ii] != wid[jj])
+                & (x0[ii] <= x1[jj]) & (x0[jj] <= x1[ii])
+                & (y0[ii] <= y1[jj]) & (y0[jj] <= y1[ii])
+            )
+            ii, jj = ii[keep], jj[keep]
+            # reference-point dedup: intersection bbox min corner in THIS cell
+            rx = np.maximum(x0[ii], x0[jj])
+            ry = np.maximum(y0[ii], y0[jj])
+            this = _cell_key(rx // c, ry // c) == cell[s]
+            ia_all.append(ii[this])
+            ib_all.append(jj[this])
+        if not ia_all:
+            return _RELATE_SCHEMA.empty_table()
+        ia = np.concatenate(ia_all)
+        ib = np.concatenate(ib_all)
+        if not len(ia):
+            return _RELATE_SCHEMA.empty_table()
+        n_cross, n_touch, rel = _relate_kernel(fx, fy, offs, ia, ib)
+        return pa.table(
+            {
+                "way_a": pa.array(wid[ia], pa.int64()),
+                "way_b": pa.array(wid[ib], pa.int64()),
+                "n_cross": pa.array(n_cross, pa.int64()),
+                "n_touch": pa.array(n_touch, pa.int64()),
+                "relation": pa.array(_RELATE_NAMES[rel]),
+            }
+        ).cast(_RELATE_SCHEMA)
+
+    from ..ops import direct_partitioned_map
+
+    rings = ways_geo_ds.map_batches(_relate_rings, batch_format="pyarrow")
+    out = direct_partitioned_map(
+        rings, ["cell"], num_parts, fn, _RELATE_RING_SCHEMA
+    ).to_pandas()
+    if out.empty:
+        out = pd.DataFrame(
+            {
+                "way_a": pd.Series([], dtype="int64"),
+                "way_b": pd.Series([], dtype="int64"),
+                "n_cross": pd.Series([], dtype="int64"),
+                "n_touch": pd.Series([], dtype="int64"),
+                "relation": pd.Series([], dtype="object"),
+            }
+        )
+    return out.sort_values(["way_a", "way_b"]).reset_index(drop=True)
+
+
+def relate_augment(ways_geo_ds):
+    """Overlay-test corpus enrichment: per closed ring, emit the ring plus
+    three deterministic twins — a (bw//2, bh//2)-shifted copy
+    (way_id + 1e9, crossing geometry), an exact duplicate (way_id + 2e9,
+    boundary_equal), and a 2x2-unit square at the bbox center
+    (way_id + 3e9, containment probe). A stateless flat map; twin ids are
+    disjoint from real way ids by construction."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("way_id", pa.int64()),
+                ("xs", pa.list_(pa.float64())),
+                ("ys", pa.list_(pa.float64())),
+                ("nonzero", pa.bool_()),
+            ]
+        )
+        s = t.filter(t["nonzero"]) if "nonzero" in t.schema.names else t
+        if s.num_rows == 0:
+            return out_schema.empty_table()
+        xs_col = s["xs"].combine_chunks() if isinstance(s["xs"], pa.ChunkedArray) else s["xs"]
+        ys_col = s["ys"].combine_chunks() if isinstance(s["ys"], pa.ChunkedArray) else s["ys"]
+        offs = np.asarray(xs_col.offsets, np.int64)
+        offs = offs - offs[0]
+        fx = np.round(np.asarray(xs_col.flatten(), np.float64) * QUANT).astype(np.int64)
+        fy = np.round(np.asarray(ys_col.flatten(), np.float64) * QUANT).astype(np.int64)
+        wid = s["way_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offs)
+        first_i, last_i = offs[:-1], offs[1:] - 1
+        closed = (counts >= 3) & (fx[first_i] == fx[last_i]) & (fy[first_i] == fy[last_i])
+        w_ids, xs_out, ys_out = [], [], []
+
+        def emit(w, xs, ys):
+            w_ids.append(int(w))
+            xs_out.append([v / QUANT for v in xs])
+            ys_out.append([v / QUANT for v in ys])
+
+        for i in np.flatnonzero(closed):
+            sl = slice(offs[i], offs[i + 1])
+            xs, ys = fx[sl], fy[sl]
+            x0, x1 = int(xs.min()), int(xs.max())
+            y0, y1 = int(ys.min()), int(ys.max())
+            emit(wid[i], xs, ys)
+            dx, dy = (x1 - x0) // 2, (y1 - y0) // 2
+            if dx or dy:
+                emit(wid[i] + 1_000_000_000, xs + dx, ys + dy)
+            emit(wid[i] + 2_000_000_000, xs, ys)
+            cx, cy = (x0 + x1) // 2, (y0 + y1) // 2
+            emit(
+                wid[i] + 3_000_000_000,
+                [cx - 1, cx + 1, cx + 1, cx - 1, cx - 1],
+                [cy - 1, cy - 1, cy + 1, cy + 1, cy - 1],
+            )
+            # same square under a SMALLER id: the pair orients as 'within'
+            emit(
+                wid[i] - 4_000_000_000,
+                [cx - 1, cx + 1, cx + 1, cx - 1, cx - 1],
+                [cy - 1, cy - 1, cy + 1, cy + 1, cy - 1],
+            )
+            # bbox-corner square: bboxes meet at the single point (x0, y0) —
+            # 'touches' when the ring has a vertex there, else 'disjoint'
+            emit(
+                wid[i] + 5_000_000_000,
+                [x0 - 2, x0, x0, x0 - 2, x0 - 2],
+                [y0 - 2, y0 - 2, y0, y0, y0 - 2],
+            )
+        return pa.table(
+            {
+                "way_id": pa.array(w_ids, pa.int64()),
+                "xs": pa.array(xs_out, pa.list_(pa.float64())),
+                "ys": pa.array(ys_out, pa.list_(pa.float64())),
+                "nonzero": pa.array([True] * len(w_ids), pa.bool_()),
+            }
+        )
+
+    return ways_geo_ds.map_batches(fn, batch_format="pyarrow")

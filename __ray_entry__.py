@@ -335,6 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_blobs": _media_blobs_query,
         "media_quadtree": _media_quadtree_query,
         "media_motion": _media_motion_query,
+        "media_zcr": _media_zcr_query,
         "media_resample_audio": _media_resample_query,
         "geohash_cells": _geohash_query,
         "hilbert_keys": _hilbert_query,
@@ -675,6 +676,24 @@ def _media_orient_query(sf_dir: str):
     write_oracle(
         "media_orient_hist", oracle_media_orient_hist(fixture_table(FIXTURE_BLOCKS))
     )
+    return df
+
+
+def _media_zcr_query(sf_dir: str):
+    """Zero-crossing-rate windows + voiced-window gate over real decoded
+    PCM16; scalar per-sample-loop oracle over the raw sample spec."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.layers import oracle_audio_zcr
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.multimodal import audio_zcr
+
+    df = (
+        audio_zcr(fixture_docs(FIXTURE_BLOCKS))
+        .to_pandas()
+        .sort_values(["doc_id", "media_ref"])
+        .reset_index(drop=True)
+    )
+    write_oracle("media_zcr", oracle_audio_zcr(fixture_table(FIXTURE_BLOCKS)))
     return df
 
 
@@ -4015,6 +4034,7 @@ def _ensure_default_oracles() -> None:
             "media_blobs",
             "media_quadtree",
             "media_motion",
+            "media_zcr",
             "media_resample_audio",
             "geohash_cells",
             "hilbert_keys",
@@ -4137,6 +4157,7 @@ def _naive_oracle_sql() -> dict[str, str]:
         "media_blobs": read_parquet_sql("media_blobs", "doc_id, media_ref"),
         "media_quadtree": read_parquet_sql("media_quadtree", "doc_id, media_ref"),
         "media_motion": read_parquet_sql("media_motion", "doc_id, media_ref"),
+        "media_zcr": read_parquet_sql("media_zcr", "doc_id, media_ref"),
         "media_resample_audio": read_parquet_sql("media_resample_audio", "doc_id, media_ref"),
         "geohash_cells": read_parquet_sql("geohash_cells", "node_id, ip_id, lon, lat"),
         "hilbert_keys": read_parquet_sql("hilbert_keys", "node_id, ip_id, lon, lat"),

@@ -1607,3 +1607,42 @@ def oracle_media_motion(docs: pa.Table) -> pd.DataFrame:
             "n_moving", "sum_improve", "max_improve"]
     return pd.DataFrame(rows, columns=cols).sort_values(
         ["doc_id", "media_ref"]).reset_index(drop=True)
+
+
+def oracle_audio_zcr(docs: pa.Table) -> pd.DataFrame:
+    """Scalar ZCR recomputation: explicit per-sample loops over the raw PCM
+    spec; transition i-1 -> i owned by sample i's window; first argmax."""
+    win, thr, zthr = 256, 92_000_000_000, 64
+    rows = []
+    for row in docs.to_pylist():
+        for span in row["spans"]:
+            if span["kind"] != "media":
+                continue
+            s = [int(v) for v in _oracle_audio_samples(span["media_ref"])]
+            nw = len(s) // win
+            if nw == 0:
+                rows.append({"doc_id": row["doc_id"], "media_ref": span["media_ref"],
+                             "n_windows": np.int64(0), "total_zc": np.int64(0),
+                             "max_zcr": np.int64(0), "max_zcr_window": np.int64(-1),
+                             "n_voiced": np.int64(0)})
+                continue
+            s = s[: nw * win]
+            zcr = [0] * nw
+            for i in range(1, len(s)):
+                if (s[i - 1] >= 0) != (s[i] >= 0):
+                    zcr[i // win] += 1
+            energies = [sum(v * v for v in s[i * win:(i + 1) * win]) for i in range(nw)]
+            mx = max(zcr)
+            n_voiced = sum(1 for e, z in zip(energies, zcr) if e >= thr and z < zthr)
+            rows.append(
+                {
+                    "doc_id": row["doc_id"], "media_ref": span["media_ref"],
+                    "n_windows": np.int64(nw), "total_zc": np.int64(sum(zcr)),
+                    "max_zcr": np.int64(mx), "max_zcr_window": np.int64(zcr.index(mx)),
+                    "n_voiced": np.int64(n_voiced),
+                }
+            )
+    cols = ["doc_id", "media_ref", "n_windows", "total_zc", "max_zcr",
+            "max_zcr_window", "n_voiced"]
+    return pd.DataFrame(rows, columns=cols).sort_values(
+        ["doc_id", "media_ref"]).reset_index(drop=True)

@@ -1295,3 +1295,85 @@ def media_motion(docs_ds, *, concurrency=(1, 4), batch_size: int = 64):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+MEDIA_ZCR_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("n_windows", pa.int64()),
+        pa.field("total_zc", pa.int64()),
+        pa.field("max_zcr", pa.int64()),
+        pa.field("max_zcr_window", pa.int64()),
+        pa.field("n_voiced", pa.int64()),
+    ]
+)
+
+
+class AudioZCR:
+    """Actor-pool zero-crossing-rate profile over real decoded PCM16 — the
+    voiced/unvoiced discriminator that pairs with the energy VAD: per
+    256-sample window, the count of sign transitions ((s[i-1] >= 0) !=
+    (s[i] >= 0), the boundary sample BETWEEN windows belongs to the later
+    window), the loudest-crossing window (FIRST argmax on ties) and the
+    count of VOICED windows — high energy (>= AudioWindows.THR) with low
+    zcr (< 64: periodic content crosses far less than noise). Every
+    quantity is an exact integer."""
+
+    WIN = 256
+    ZCR_VOICED = 64
+    THR = 92_000_000_000
+
+    def __init__(self):
+        from osmi_addresses_ray.stages.media_codecs import decode_wav
+
+        self._decode = decode_wav
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = {k: [] for k in MEDIA_ZCR_SCHEMA.names}
+        for doc_id, ref, payload in zip(
+            t["doc_id"].to_pylist(), t["media_ref"].to_pylist(), t["payload"].to_pylist()
+        ):
+            if payload[:4] != b"RIFF":
+                raise NotImplementedError(
+                    f"no codec for audio payload (magic {payload[:4]!r})"
+                )
+            samples, _rate = self._decode(payload)
+            s = samples.astype(np.int64)
+            nw = len(s) // self.WIN
+            rows["doc_id"].append(doc_id)
+            rows["media_ref"].append(ref)
+            rows["n_windows"].append(nw)
+            if nw == 0:
+                rows["total_zc"].append(0)
+                rows["max_zcr"].append(0)
+                rows["max_zcr_window"].append(-1)
+                rows["n_voiced"].append(0)
+                continue
+            s = s[: nw * self.WIN]
+            nn = s >= 0
+            flips = (nn[1:] != nn[:-1]).astype(np.int64)
+            # transition i-1 -> i belongs to the window of sample i
+            owner = np.arange(1, len(s), dtype=np.int64) // self.WIN
+            zcr = np.bincount(owner, flips, minlength=nw).astype(np.int64)
+            w = s.reshape(nw, self.WIN)
+            e = (w * w).sum(axis=1)
+            voiced = (e >= self.THR) & (zcr < self.ZCR_VOICED)
+            rows["total_zc"].append(int(zcr.sum()))
+            rows["max_zcr"].append(int(zcr.max()))
+            rows["max_zcr_window"].append(int(zcr.argmax()))
+            rows["n_voiced"].append(int(voiced.sum()))
+        return pa.Table.from_arrays(
+            [pa.array(rows[f.name], f.type) for f in MEDIA_ZCR_SCHEMA],
+            schema=MEDIA_ZCR_SCHEMA,
+        )
+
+
+def audio_zcr(docs_ds, *, concurrency=(1, 4), batch_size: int = 64):
+    from osmi_addresses_ray.stages.media_codecs import synthesize_audio_payload
+
+    media = _extract_refs_with_store(docs_ds, synthesize_audio_payload, "audio")
+    return media.map_batches(
+        AudioZCR, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )

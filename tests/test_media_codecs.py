@@ -6,6 +6,7 @@ import hashlib
 import struct
 
 import numpy as np
+import pyarrow as pa
 import pandas as pd
 import pytest
 
@@ -556,3 +557,33 @@ def test_motion_oracle_parity_small():
             row["n_pairs"], row["n_blocks"], row["sum_motion"],
             row["n_moving"], row["sum_improve"], row["max_improve"],
         ), ref
+
+
+def test_zcr_planted_square_and_noise():
+    """Planted signals: a period-64 square wave has exactly 8 crossings per
+    256-window (voiced); alternating-sign noise crosses every sample
+    (unvoiced by zcr); silence has zero crossings and zero energy."""
+    from osmi_addresses_ray.stages.multimodal import AudioZCR
+    from osmi_addresses_ray.stages.media_codecs import encode_wav
+
+    sq = np.tile(np.r_[np.full(32, 20000, np.int16), np.full(32, -20000, np.int16)], 16)
+    alt = np.where(np.arange(1024) % 2 == 0, 15000, -15000).astype(np.int16)
+    silent = np.zeros(512, np.int16)
+    z = AudioZCR()
+    t = pa.table(
+        {
+            "doc_id": ["a", "b", "c"],
+            "media_ref": ["r1", "r2", "r3"],
+            "payload": [encode_wav(sq), encode_wav(alt), encode_wav(silent)],
+        }
+    )
+    out = z(t).to_pydict()
+    # square: 2 crossings per 64-sample period -> 8 per 256-window, 4 windows
+    assert out["n_windows"][0] == 4 and out["max_zcr"][0] == 8
+    assert out["total_zc"][0] == 31  # 8+8+8+8 minus the absent transition at i=0
+    assert out["n_voiced"][0] == 4   # loud + low zcr
+    # alternating: every sample flips -> zcr 255/256 per window, unvoiced
+    assert out["max_zcr"][1] == 256 or out["max_zcr"][1] == 255
+    assert out["n_voiced"][1] == 0
+    # silence: s >= 0 everywhere -> no flips, no energy
+    assert out["total_zc"][2] == 0 and out["n_voiced"][2] == 0

@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_counts": timeseries.sliding_window_counts,
         "sliding_distinct_users": timeseries.sliding_distinct_users,
         "km_survival": timeseries.km_survival,
+        "allen_interval_mix": timeseries.allen_interval_mix,
         "range_join_shipments": timeseries.range_join_shipments,
         "running_totals": timeseries.running_totals,
         "streaming_watermark_counts": timeseries.streaming_watermark_counts,
@@ -2191,6 +2192,40 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders,
                    round(sum(o_totalprice), 4) AS total
             FROM orders GROUP BY o_custkey ORDER BY o_custkey
+        """,
+        # Allen's 13 interval relations over per-(user, type) activity
+        # spans: the CASE ladder is evaluated top-down exactly like the
+        # engine's np.select, so degenerate point/shared-endpoint intervals
+        # classify identically on both sides
+        "allen_interval_mix": """
+            WITH spans AS (
+                SELECT user_id, event_type,
+                       epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e
+                FROM events GROUP BY user_id, event_type
+            ),
+            p AS (
+                SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       a.s AS s1, a.e AS e1, b.s AS s2, b.e AS e2
+                FROM spans a JOIN spans b
+                  ON a.user_id = b.user_id AND a.event_type < b.event_type
+            )
+            SELECT type_a, type_b,
+                   CASE WHEN e1 < s2 THEN 'before'
+                        WHEN s1 > e2 THEN 'after'
+                        WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+                        WHEN e1 = s2 THEN 'meets'
+                        WHEN s1 = e2 THEN 'met_by'
+                        WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+                        WHEN s1 = s2 THEN 'started_by'
+                        WHEN e1 = e2 AND s1 > s2 THEN 'finishes'
+                        WHEN e1 = e2 THEN 'finished_by'
+                        WHEN s1 > s2 AND e1 < e2 THEN 'during'
+                        WHEN s1 < s2 AND e1 > e2 THEN 'contains'
+                        WHEN s1 < s2 THEN 'overlaps'
+                        ELSE 'overlapped_by' END AS relation,
+                   count(*)::BIGINT AS n_pairs
+            FROM p GROUP BY type_a, type_b, relation
+            ORDER BY type_a, type_b, relation
         """,
         # Kaplan–Meier in fixed-point integers: the sequential product is a
         # recursive CTE stepping one death time per iteration; HUGEINT keeps

@@ -2355,3 +2355,138 @@ def km_survival(sf_dir: str, *, censor_days: int = 7, num_parts: int = 8):
     return pd.DataFrame(
         rows, columns=["t_hours", "n_risk", "n_deaths", "survival_e9"]
     ).astype("int64") if rows else empty
+
+
+# --- Allen interval algebra over per-(user, type) activity spans -------------
+
+_ALLEN_SCHEMA = pa.schema(
+    [("type_a", pa.string()), ("type_b", pa.string()),
+     ("relation", pa.string()), ("n_pairs", pa.int64())]
+)
+
+# deterministic total ladder over closed intervals [s1,e1] vs [s2,e2]; point
+# intervals (single-event types, s == e) are legal and classified by the SAME
+# ladder on both engine and SQL sides, so the algebra stays a total function
+_ALLEN_NAMES = np.array(
+    ["before", "after", "equals", "meets", "met_by", "starts", "started_by",
+     "finishes", "finished_by", "during", "contains", "overlaps",
+     "overlapped_by"], dtype=object,
+)
+
+
+def _allen_codes(s1, e1, s2, e2):
+    """Vectorized Allen-relation code (index into _ALLEN_NAMES) via the
+    first-match ladder — np.select evaluates top-down exactly like the SQL
+    CASE, so the two sides agree on every degenerate (point/shared-endpoint)
+    configuration."""
+    conds = [
+        e1 < s2,                    # before
+        s1 > e2,                    # after
+        (s1 == s2) & (e1 == e2),    # equals
+        e1 == s2,                   # meets
+        s1 == e2,                   # met_by
+        (s1 == s2) & (e1 < e2),     # starts
+        s1 == s2,                   # started_by
+        (e1 == e2) & (s1 > s2),     # finishes
+        e1 == e2,                   # finished_by
+        (s1 > s2) & (e1 < e2),      # during
+        (s1 < s2) & (e1 > e2),      # contains
+        s1 < s2,                    # overlaps
+    ]
+    return np.select(conds, np.arange(12), default=12)
+
+
+def allen_interval_mix(sf_dir: str, *, num_parts: int = 8) -> pd.DataFrame:
+    """Allen's interval algebra profile of user activity: for every user and
+    every pair of event types the user emitted (type_a < type_b), classify
+    the two CLOSED activity spans [first ts, last ts] into one of Allen's 13
+    interval relations (Allen 1983) and count each (type_a, type_b, relation)
+    over the corpus — the temporal-pattern mix behind schedule/overlap
+    mining, and the classifier a temporal-join planner sits on.
+
+    Distributed shape: per-batch combiner (groupby (user, type) → min/max
+    partials) is fused into the split wave, so the ONE user-keyed exchange
+    carries per-(batch, user, type) span partials, never raw events. Inside
+    a partition: merge partials (lexsort + reduceat min/max), expand each
+    user's ≤T(T−1)/2 type pairs (T = distinct types, bounded by the type
+    vocabulary), classify with the vectorized ladder, and emit per-partition
+    partial counts — the final exchange is ≤ |types|²·13 rows per partition.
+    """
+    from ..ops import direct_partitioned_map
+
+    pre_schema = pa.schema(
+        [("user_id", pa.int64()), ("event_type", pa.string()),
+         ("s", pa.int64()), ("e", pa.int64())]
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        ts = (
+            t["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": np.asarray(t["event_type"].to_pandas(), dtype=object),
+            "s": ts, "e": ts,
+        })
+        g = df.groupby(["user_id", "event_type"], sort=False).agg(
+            s=("s", "min"), e=("e", "max")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False).cast(pre_schema)
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _ALLEN_SCHEMA.empty_table()
+        df = (
+            t.to_pandas()
+            .groupby(["user_id", "event_type"], sort=False)
+            .agg(s=("s", "min"), e=("e", "max"))
+            .reset_index()
+            # (user, type) sort makes per-user type runs ordered, so pair
+            # expansion below always yields type_a < type_b
+            .sort_values(["user_id", "event_type"], kind="stable")
+        )
+        user = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy(dtype=object)
+        s = df["s"].to_numpy()
+        e = df["e"].to_numpy()
+        # per-user all-pairs expansion: for a run of length k starting at o,
+        # pairs (o+i, o+j) for i<j — vectorized via repeat + cumsum offsets
+        starts = np.flatnonzero(np.r_[True, user[1:] != user[:-1]])
+        lens = np.diff(np.r_[starts, len(user)])
+        npairs = lens * (lens - 1) // 2
+        if int(npairs.sum()) == 0:
+            return _ALLEN_SCHEMA.empty_table()
+        # left index: within each run, row i repeated (k-1-i) times
+        reps = np.concatenate([np.arange(k - 1, -1, -1) for k in lens])
+        li = np.repeat(np.arange(len(user)), reps)
+        # right index: li + 1 .. run end — arange offset per left row
+        seg = np.repeat(np.cumsum(reps) - reps, reps)
+        ri = li + 1 + (np.arange(int(reps.sum())) - seg)
+        code = _allen_codes(s[li], e[li], s[ri], e[ri])
+        pairs = pd.DataFrame({
+            "type_a": et[li], "type_b": et[ri],
+            "relation": _ALLEN_NAMES[code],
+        })
+        g = pairs.groupby(["type_a", "type_b", "relation"], sort=False).size()
+        g = g.reset_index(name="n_pairs")
+        return pa.Table.from_pandas(g, preserve_index=False).cast(_ALLEN_SCHEMA)
+
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_type"])
+    parts = direct_partitioned_map(
+        ds, ["user_id"], num_parts, fn, pre_schema, pre=pre
+    ).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "type_a": pd.Series([], dtype=object),
+            "type_b": pd.Series([], dtype=object),
+            "relation": pd.Series([], dtype=object),
+            "n_pairs": pd.Series([], dtype="int64"),
+        })
+    out = (
+        parts.groupby(["type_a", "type_b", "relation"], sort=True)["n_pairs"]
+        .sum()
+        .reset_index()
+    )
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out.sort_values(["type_a", "type_b", "relation"]).reset_index(drop=True)

@@ -867,3 +867,79 @@ def test_km_survival_all_censored(tmp_path, ray_session):
     df.to_parquet(os.path.join(tmp_path, "events.parquet"), index=False)
     out = timeseries.km_survival(str(tmp_path), num_parts=1)
     assert out.empty
+
+
+# --- Allen interval algebra ---------------------------------------------------
+
+
+def _write_events(tmp_path, rows):
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    df["props"] = "{}"
+    df.to_parquet(os.path.join(tmp_path, "events.parquet"), index=False)
+
+
+def test_allen_interval_mix_planted(tmp_path, ray_session):
+    """One user per relation family; spans are [first, last] per type."""
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    h = np.timedelta64(1, "h")
+    rows, eid = [], 0
+
+    def span(uid, typ, lo, hi):
+        nonlocal eid
+        rows.append((eid, base + lo * h, uid, typ, 1.0)); eid += 1
+        if hi != lo:
+            rows.append((eid, base + hi * h, uid, typ, 1.0)); eid += 1
+
+    span(1, "a", 0, 2); span(1, "b", 5, 8)     # before
+    span(2, "a", 0, 5); span(2, "b", 5, 8)     # meets
+    span(3, "a", 0, 6); span(3, "b", 5, 8)     # overlaps
+    span(4, "a", 5, 6); span(4, "b", 5, 8)     # starts
+    span(5, "a", 6, 7); span(5, "b", 5, 8)     # during
+    span(6, "a", 6, 8); span(6, "b", 5, 8)     # finishes
+    span(7, "a", 5, 8); span(7, "b", 5, 8)     # equals
+    span(8, "b", 0, 2); span(8, "a", 5, 8)     # after (a vs b)
+    span(9, "b", 0, 5); span(9, "a", 5, 8)     # met_by
+    span(10, "a", 4, 9); span(10, "b", 5, 8)   # contains
+    span(11, "a", 5, 9); span(11, "b", 5, 8)   # started_by
+    span(12, "a", 4, 8); span(12, "b", 5, 8)   # finished_by
+    span(13, "b", 4, 6); span(13, "a", 5, 8)   # overlapped_by
+    _write_events(tmp_path, rows)
+    out = timeseries.allen_interval_mix(str(tmp_path), num_parts=3)
+    got = dict(zip(out["relation"], out["n_pairs"]))
+    assert (out["type_a"] == "a").all() and (out["type_b"] == "b").all()
+    assert got == {r: 1 for r in [
+        "before", "meets", "overlaps", "starts", "during", "finishes",
+        "equals", "after", "met_by", "contains", "started_by",
+        "finished_by", "overlapped_by"]}
+
+
+def test_allen_interval_mix_point_intervals(tmp_path, ray_session):
+    """Single-event types are point intervals; the ladder still totals:
+    a point at the other span's start hits the e1==s2 rung FIRST ->
+    'meets' (not 'starts'), point == point -> equals, point strictly
+    inside -> during. The SQL CASE walks the same order."""
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    h = np.timedelta64(1, "h")
+    rows = [
+        (0, base + 5 * h, 1, "a", 1.0),               # point [5,5]
+        (1, base + 5 * h, 1, "b", 1.0),
+        (2, base + 8 * h, 1, "b", 1.0),               # b = [5,8] -> a meets b
+        (3, base + 3 * h, 2, "a", 1.0),               # point [3,3]
+        (4, base + 3 * h, 2, "b", 1.0),               # point [3,3] -> equals
+        (5, base + 4 * h, 3, "a", 1.0),               # point [4,4]
+        (6, base + 3 * h, 3, "b", 1.0),
+        (7, base + 6 * h, 3, "b", 1.0),               # b=[3,6] -> a during b
+    ]
+    _write_events(tmp_path, rows)
+    out = timeseries.allen_interval_mix(str(tmp_path), num_parts=2)
+    got = dict(zip(out["relation"], out["n_pairs"]))
+    assert got == {"meets": 1, "equals": 1, "during": 1}
+
+
+def test_allen_interval_mix_single_type_user(tmp_path, ray_session):
+    """A user with one event type emits no pairs; empty corpus -> typed empty."""
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = [(0, base, 1, "a", 1.0), (1, base + np.timedelta64(1, "h"), 1, "a", 1.0)]
+    _write_events(tmp_path, rows)
+    out = timeseries.allen_interval_mix(str(tmp_path), num_parts=2)
+    assert out.empty and list(out.columns) == ["type_a", "type_b", "relation", "n_pairs"]

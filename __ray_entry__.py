@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": textstats.vocab_growth,
         "scrub_dup_ngrams": textstats.scrub_dup_ngrams,
         "pagerank_trade": graph.pagerank_trade,
+        "hits_trade": graph.hits_trade,
         "triangle_counts": graph.triangle_counts,
         "butterfly_counts": graph.butterfly_counts,
         "degree_assortativity": graph.degree_assortativity,
@@ -3354,6 +3355,31 @@ def oracle_sql() -> dict[str, str]:
             n AS (SELECT unnest([x, y, z]) AS s_suppkey FROM t)
             SELECT s_suppkey, count(*)::BIGINT AS n_triangles
             FROM n GROUP BY 1 ORDER BY 1
+        """,
+        # HITS (iters=2) in exact unnormalized integers: a₁ = indegree
+        # (h₀ ≡ 1), then h₁ = Σ a₁, a₂ = Σ h₁, h₂ = Σ a₂ over the distinct
+        # customer→supplier edge set; HUGEINT keeps the growing sums exact
+        "hits_trade": """
+            WITH e AS (
+                SELECT DISTINCT o_custkey AS u, l_suppkey AS v
+                FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            ),
+            a1 AS (SELECT v, count(*)::HUGEINT AS s FROM e GROUP BY v),
+            h1 AS (SELECT u, sum(a1.s)::HUGEINT AS s FROM e JOIN a1 USING (v)
+                   GROUP BY u),
+            a2 AS (SELECT v, sum(h1.s)::HUGEINT AS s FROM e JOIN h1 USING (u)
+                   GROUP BY v),
+            h2 AS (SELECT u, sum(a2.s)::HUGEINT AS s FROM e JOIN a2 USING (v)
+                   GROUP BY u),
+            ranked AS (
+                SELECT 'authority' AS role, v AS node_id, s,
+                       row_number() OVER (ORDER BY s DESC, v) AS rank FROM a2
+                UNION ALL
+                SELECT 'hub', u, s,
+                       row_number() OVER (ORDER BY s DESC, u) FROM h2
+            )
+            SELECT role, node_id, s::BIGINT AS score, rank::BIGINT AS rank
+            FROM ranked WHERE rank <= 20 ORDER BY role, rank
         """,
         # butterflies: pair co-supply counts via self-join, then the exact
         # closed form C(cp,2) summed per endpoint; zero-rows kept via the

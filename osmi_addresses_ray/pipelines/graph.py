@@ -1079,3 +1079,154 @@ def degree_assortativity(sf_dir: str, *, num_parts: int = 8) -> pd.DataFrame:
     for c in stat_cols:
         out[c] = out[c].astype("int64")
     return out[list(stat_cols) + ["r"]]
+
+
+# --- HITS hubs & authorities over the customer -> supplier trade graph -------
+
+_HITS_EDGE = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+_HITS_SCORE = pa.schema([("node", pa.int64()), ("s", pa.int64())])
+
+
+def hits_trade(sf_dir: str, *, iters: int = 2, num_parts: int = 8, top: int = 20):
+    """HITS (Kleinberg 1999) hubs and authorities over the DIRECTED bipartite
+    trade graph — customer u → supplier v iff u ordered ≥1 lineitem from v —
+    in EXACT unnormalized integers: h₀ ≡ 1; per iteration aₖ(v) = Σ_{u→v}
+    hₖ₋₁(u) then hₖ(u) = Σ_{u→v} aₖ(v) (auth from old hubs, hub from NEW
+    auths — the classic update order). Unnormalized scores grow ≤ d_max per
+    half-step (bounded by d_max^(2·iters) overall); ``iters=2`` keeps int64
+    exact up to d_max ~ 2^15, and an explicit per-partition guard RAISES
+    before any silent overflow. Output: top-``top`` rows per role
+    (role, node_id, score, rank), rank ties by node_id ascending.
+
+    Distributed shape: the distinct edge list is built once via an
+    orderkey-keyed cogroup and kept in TWO static partitionings (by u and by
+    v); each half-iteration is one score-table exchange onto the matching
+    edge copy (per-partition searchsorted join + np.add.at partial sums,
+    emitted pre-partitioned on the OTHER endpoint so the completing groupby
+    is partition-local). Score tables are O(|V|) rows — always the small
+    side of the exchange; edges never move after the two initial layouts.
+    """
+    from ..ops import direct_cogroup
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).materialize()
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]).materialize()
+
+    def to_edges(o: pa.Table, l: pa.Table) -> pa.Table:
+        m = l.to_pandas().merge(
+            o.to_pandas(), left_on="l_orderkey", right_on="o_orderkey", how="inner"
+        )
+        return pa.table({
+            "u": pa.array(m["o_custkey"].to_numpy(np.int64)),
+            "v": pa.array(m["l_suppkey"].to_numpy(np.int64)),
+        })
+
+    raw = direct_cogroup(
+        [orders, lineitem],
+        [["o_orderkey"], ["l_orderkey"]],
+        num_parts,
+        to_edges,
+        [
+            pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+            pa.schema([("l_orderkey", pa.int64()), ("l_suppkey", pa.int64())]),
+        ],
+        emit_partitioned_on=["u"],
+    )
+
+    def distinct(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates(["u", "v"])
+        return pa.Table.from_pandas(df, preserve_index=False).cast(_HITS_EDGE)
+
+    # u-partitioned rows are co-located per u, so the per-partition distinct
+    # is globally exact; the second call lays the SAME edge set out by v
+    # PrePartitioned grids: both edge layouts are built ONCE and re-consumed
+    # by every iteration's cogroup with zero further edge movement
+    edges_u = direct_cogroup(
+        [raw], [["u"]], num_parts, distinct, [_HITS_EDGE],
+        emit_partitioned_on=["u"],
+    )
+    edges_v = direct_cogroup(
+        [edges_u], [["v"]], num_parts, lambda t: t, [_HITS_EDGE],
+        emit_partitioned_on=["v"],
+    )
+
+    def init_h(t: pa.Table) -> pa.Table:
+        nodes = np.unique(t["u"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "node": pa.array(nodes, pa.int64()),
+            "s": pa.array(np.ones(len(nodes), np.int64)),
+        })
+
+    h = direct_cogroup(
+        [edges_u], [["u"]], num_parts, init_h, [_HITS_EDGE],
+        emit_partitioned_on=["node"],
+    )
+
+    def _half_step(score_t: pa.Table, edge_t: pa.Table, src: str, dst: str) -> pa.Table:
+        """Partial sums of ``score`` over ``src`` onto ``dst`` endpoints."""
+        if edge_t.num_rows == 0:
+            return _HITS_SCORE.empty_table()
+        nodes = score_t["node"].to_numpy(zero_copy_only=False)
+        svals = score_t["s"].to_numpy(zero_copy_only=False)
+        order = np.argsort(nodes, kind="stable")
+        e_src = edge_t[src].to_numpy(zero_copy_only=False)
+        e_dst = edge_t[dst].to_numpy(zero_copy_only=False)
+        s_src = svals[order[np.searchsorted(nodes[order], e_src)]]
+        uniq, inv = np.unique(e_dst, return_inverse=True)
+        counts = np.bincount(inv)
+        smax = int(s_src.max()) if len(s_src) else 0
+        if smax and smax > (2**62) // max(1, int(counts.max())):
+            raise OverflowError(
+                "hits_trade int64 guard: raise iters cap or rescale scores"
+            )
+        acc = np.zeros(len(uniq), np.int64)
+        np.add.at(acc, inv, s_src)
+        return pa.table({"node": pa.array(uniq, pa.int64()), "s": pa.array(acc)})
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _HITS_SCORE.empty_table()
+        df = t.to_pandas().groupby("node", sort=False)["s"].sum().reset_index()
+        df["s"] = df["s"].astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False).cast(_HITS_SCORE)
+
+    a = None
+    for _ in range(iters):
+        a_parts = direct_cogroup(
+            [h, edges_u], [["node"], ["u"]], num_parts,
+            lambda s_t, e_t: _half_step(s_t, e_t, "u", "v"),
+            [_HITS_SCORE, _HITS_EDGE], emit_partitioned_on=["node"],
+        )
+        a = direct_cogroup(
+            [a_parts], [["node"]], num_parts, finish, [_HITS_SCORE],
+            emit_partitioned_on=["node"],
+        )
+        h_parts = direct_cogroup(
+            [a, edges_v], [["node"], ["v"]], num_parts,
+            lambda s_t, e_t: _half_step(s_t, e_t, "v", "u"),
+            [_HITS_SCORE, _HITS_EDGE], emit_partitioned_on=["node"],
+        )
+        h = direct_cogroup(
+            [h_parts], [["node"]], num_parts, finish, [_HITS_SCORE],
+            emit_partitioned_on=["node"],
+        )
+
+    def _topk(ds, role: str) -> pd.DataFrame:
+        def tk(t: pa.Table) -> pa.Table:
+            df = t.to_pandas().sort_values(
+                ["s", "node"], ascending=[False, True], kind="stable"
+            )
+            return pa.Table.from_pandas(df.head(top), preserve_index=False)
+
+        parts = ds.to_dataset().map_batches(tk, batch_format="pyarrow").to_pandas()
+        parts = parts.sort_values(
+            ["s", "node"], ascending=[False, True], kind="stable"
+        ).head(top).reset_index(drop=True)
+        return pd.DataFrame({
+            "role": role,
+            "node_id": parts["node"].astype("int64"),
+            "score": parts["s"].astype("int64"),
+            "rank": np.arange(1, len(parts) + 1, dtype="int64"),
+        })
+
+    out = pd.concat([_topk(a, "authority"), _topk(h, "hub")], ignore_index=True)
+    return out.sort_values(["role", "rank"]).reset_index(drop=True)

@@ -175,3 +175,44 @@ def test_ra_links_partition_invariance(ray_session):
     b = ra_links("/root/testdata/sf0.001", k=20, num_parts=7)
     import pandas as pd
     pd.testing.assert_frame_equal(a, b)
+
+
+# --- HITS ---------------------------------------------------------------------
+
+
+def test_hits_planted_star(monkeypatch, ray_session):
+    """Star K_{1,1} plus a popular supplier: hand-computed 2-iteration HITS.
+
+    Edges: c1->s1, c2->s1, c3->s2.
+    a1: s1=2, s2=1. h1: c1=2, c2=2, c3=1.
+    a2: s1=4, s2=1. h2: c1=4, c2=4, c3=1.
+    """
+    o, l = _mk([(1, 1), (2, 1), (3, 2)])
+    _with_mem_tables(monkeypatch, o, l)
+    out = graph.hits_trade("<mem>", num_parts=3)
+    auth = out[out["role"] == "authority"].set_index("node_id")["score"]
+    hub = out[out["role"] == "hub"].set_index("node_id")["score"]
+    assert auth.to_dict() == {1: 4, 2: 1}
+    assert hub.to_dict() == {1: 4, 2: 4, 3: 1}
+    # rank ties break by node_id ascending
+    hubs = out[out["role"] == "hub"].sort_values("rank")
+    assert hubs["node_id"].tolist() == [1, 2, 3]
+
+
+def test_hits_duplicate_orders_collapse(monkeypatch, ray_session):
+    """The SAME (cust, supp) pair through many orders is ONE edge."""
+    o, l = _mk([(1, 1)] * 5 + [(2, 1)])
+    _with_mem_tables(monkeypatch, o, l)
+    out = graph.hits_trade("<mem>", num_parts=2)
+    auth = out[out["role"] == "authority"].set_index("node_id")["score"]
+    assert auth.to_dict() == {1: 4}  # a2 = h1(c1)+h1(c2) = 2+2
+
+
+def test_hits_partition_invariance(monkeypatch, ray_session):
+    pairs = [(c, (c * 7) % 4) for c in range(24)]
+    o, l = _mk(pairs)
+    _with_mem_tables(monkeypatch, o, l)
+    a = graph.hits_trade("<mem>", num_parts=1)
+    _with_mem_tables(monkeypatch, o, l, parallelism=5)
+    b = graph.hits_trade("<mem>", num_parts=7)
+    pd.testing.assert_frame_equal(a, b)

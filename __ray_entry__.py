@@ -366,6 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "street_chains": _street_chains_query,
         "isochrone_counts": _isochrone_query,
         "str_pack_nwa": _str_pack_query,
+        "hilbert_locality": _hilbert_locality_query,
         "spatial_sample_nwa": _spatial_sample_query,
         "addr_completeness": _addr_completeness_query,
         "traj_speed_outliers": _speed_outliers_query,
@@ -1533,6 +1534,20 @@ def _str_pack_query(sf_dir: str):
     from osmi_addresses_ray.pipelines.geo_ops import str_pack_nwa
 
     out = str_pack_nwa(
+        _fixture_layers()["osmi_addresses_nodes_with_addresses"],
+        num_parts=_parts_for(FIXTURE_BLOCKS),
+    )
+    _write_spatial_src()
+    return out
+
+
+def _hilbert_locality_query(sf_dir: str):
+    """Hilbert-curve linearization + locality audit vs row-major order;
+    TRUE SQL oracle: recursive-CTE xy→d rotate-and-fold walk (16 levels)
+    + lag windows over the independent point source."""
+    from osmi_addresses_ray.pipelines.geo_ops import hilbert_locality_nwa
+
+    out = hilbert_locality_nwa(
         _fixture_layers()["osmi_addresses_nodes_with_addresses"],
         num_parts=_parts_for(FIXTURE_BLOCKS),
     )
@@ -4700,6 +4715,64 @@ def _naive_oracle_sql() -> dict[str, str]:
         # STR bulk-load: two row_number windows + integer division; the
         # slab count uses the exact integer ceil-sqrt (floor-sqrt +
         # correction, immune to float sqrt rounding at perfect squares)
+        # Hilbert xy→d as a recursive CTE: the classic rotate-and-fold loop,
+        # one iteration per curve level (s = 2^15 … 1); the shift that fits
+        # the extent into the 2^16 grid is scanned exactly like the engine's
+        # bit_length rule; locality histogram = lag-window L1 jumps bucketed
+        # by decimal digit count (length(::VARCHAR) — exact, no float log)
+        "hilbert_locality": f"""
+            WITH RECURSIVE pts AS (
+                SELECT DISTINCT
+                       CAST(COALESCE(node_id, 10000000 + way_id) AS BIGINT) AS pid,
+                       CAST(round(lon * 10000000) AS BIGINT) AS ix,
+                       CAST(round(lat * 10000000) AS BIGINT) AS iy
+                FROM read_parquet('{oracle_path('spatial_radius_src')}')
+                WHERE is_ip = 0),
+            ext AS (SELECT min(ix) AS mx, min(iy) AS my,
+                           greatest(max(ix) - min(ix), max(iy) - min(iy)) AS rng
+                    FROM pts),
+            sh AS (SELECT coalesce(
+                       (SELECT min(t.s) FROM range(0, 40) t(s)
+                        WHERE (SELECT rng FROM ext) < (1::BIGINT << (16 + t.s))),
+                       0) AS s),
+            norm AS (SELECT pid, ix, iy,
+                            (ix - mx) >> (SELECT s FROM sh) AS x,
+                            (iy - my) >> (SELECT s FROM sh) AS y
+                     FROM pts, ext),
+            hrec AS (
+                SELECT pid, x, y, 0::BIGINT AS d, (1::BIGINT << 15) AS s
+                FROM norm
+                UNION ALL
+                SELECT pid,
+                       CASE WHEN (y & s) > 0 THEN x
+                            WHEN (x & s) > 0 THEN s - 1 - y ELSE y END,
+                       CASE WHEN (y & s) > 0 THEN y
+                            WHEN (x & s) > 0 THEN s - 1 - x ELSE x END,
+                       d + s * s * (CASE WHEN (x & s) > 0
+                                         THEN CASE WHEN (y & s) > 0
+                                              THEN 2 ELSE 3 END
+                                         ELSE CASE WHEN (y & s) > 0
+                                              THEN 1 ELSE 0 END END),
+                       s >> 1
+                FROM hrec WHERE s > 0),
+            hd AS (SELECT pid, d FROM hrec WHERE s = 0),
+            seq AS (
+                SELECT 'hilbert' AS ordering, p.ix, p.iy,
+                       lag(p.ix) OVER (ORDER BY hd.d, p.pid) AS px,
+                       lag(p.iy) OVER (ORDER BY hd.d, p.pid) AS py
+                FROM pts p JOIN hd ON p.pid = hd.pid
+                UNION ALL
+                SELECT 'row_major', ix, iy,
+                       lag(ix) OVER (ORDER BY iy, ix, pid),
+                       lag(iy) OVER (ORDER BY iy, ix, pid)
+                FROM pts),
+            jumps AS (
+                SELECT ordering, abs(ix - px) + abs(iy - py) AS l1
+                FROM seq WHERE px IS NOT NULL)
+            SELECT ordering, length(l1::VARCHAR)::BIGINT AS bucket,
+                   count(*)::BIGINT AS n_pairs, sum(l1)::BIGINT AS sum_l1
+            FROM jumps GROUP BY ordering, bucket ORDER BY ordering, bucket
+        """,
         "str_pack_nwa": f"""
             WITH pts AS (
                 SELECT DISTINCT

@@ -4936,3 +4936,207 @@ def relate_augment(ways_geo_ds):
         )
 
     return ways_geo_ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Hilbert-curve linearization + locality audit
+# --------------------------------------------------------------------------
+
+HILBERT_ORDER = 16  # 2^16 × 2^16 curve grid; SQL oracle hardcodes the same
+
+
+def _hilbert_d(x: np.ndarray, y: np.ndarray, order: int) -> np.ndarray:
+    """Vectorized xy→d Hilbert index (the classic rotate-and-fold loop,
+    Hamilton's / Wikipedia formulation) over int64 grids in [0, 2^order).
+    d max = 4^order − 1 (≈4.3e9 at order 16) — int64 throughout."""
+    x = np.asarray(x, np.int64).copy()
+    y = np.asarray(y, np.int64).copy()
+    d = np.zeros(len(x), np.int64)
+    s = np.int64(1) << (order - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        flip = ry == 0
+        xf = np.where(flip & (rx == 1), s - 1 - x, x)
+        yf = np.where(flip & (rx == 1), s - 1 - y, y)
+        x, y = np.where(flip, yf, x), np.where(flip, xf, y)
+        s >>= 1
+    return d
+
+
+_HILB_PART = pa.schema(
+    [
+        ("kind", pa.int8()),     # 0 = histogram partial, 1 = bucket edge row
+        ("ordering", pa.string()),
+        ("bucket", pa.int64()),
+        ("pos", pa.int8()),      # edge rows: 0 = first-in-bucket, 1 = last
+        ("digits", pa.int64()),  # hist rows: decimal digits of the L1 jump
+        ("n", pa.int64()),
+        ("s", pa.int64()),
+        ("ix", pa.int64()),
+        ("iy", pa.int64()),
+    ]
+)
+_P10 = 10 ** np.arange(1, 19, dtype=np.int64)
+
+
+def _l1_digits(l1: np.ndarray) -> np.ndarray:
+    """Decimal digit count of a nonneg int64 — length(l1::VARCHAR) in SQL."""
+    return np.maximum(np.searchsorted(_P10, l1, side="right") + 1, 1).astype(np.int64)
+
+
+def hilbert_locality_nwa(nwa_ds, *, num_parts: int = 8) -> pd.DataFrame:
+    """``hilbert_locality`` over the nodes_with_addresses layer's points."""
+    return hilbert_locality(points_from_nwa(nwa_ds), num_parts=num_parts)
+
+
+def hilbert_locality(points_ds, *, num_parts: int = 8) -> pd.DataFrame:
+    """Hilbert-curve linearization of the address points with a locality
+    audit against row-major order — the space-filling-curve layout primitive
+    behind spatially-clustered parquet/Lance file ordering (write data in
+    curve order and range scans touch few files). For BOTH orderings
+    (``hilbert``: curve index at order 16 over min-anchored, shifted grid
+    coords, ties by pid; ``row_major``: lexicographic (iy, ix, pid)), every
+    CONSECUTIVE point pair's L1 jump |Δix|+|Δiy| is bucketed by its decimal
+    digit count. Output: (ordering, bucket, n_pairs, sum_l1) — Hilbert
+    should show mass shifted toward small buckets, which is the measurable
+    claim behind choosing it for layout. All quantities exact integers.
+
+    Distributed shape: one extent aggregate (per-block partials → driver
+    min/max over ≤#blocks rows), then ONE exchange keyed by contiguous key
+    ranges (top bits of the order key, ≤64+1 buckets per ordering): within a
+    bucket all global-order neighbors are co-resident, so per-partition
+    sort + diff computes every pair except the ≤64 bucket-boundary pairs,
+    which travel as 2 edge rows per (ordering, bucket) to a driver-side
+    merge — O(buckets), never O(points). The global sort this replaces is
+    the curve's own virtue: bucketing BY the key IS the curve order.
+    """
+    from ..ops import direct_partitioned_map
+
+    order = HILBERT_ORDER
+    pts = points_ds.materialize()
+
+    ext_schema = pa.schema(
+        [("minx", pa.int64()), ("maxx", pa.int64()),
+         ("miny", pa.int64()), ("maxy", pa.int64())]
+    )
+
+    def ext_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return ext_schema.empty_table()
+        ix = t["ix"].to_numpy(zero_copy_only=False)
+        iy = t["iy"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "minx": pa.array([int(ix.min())]), "maxx": pa.array([int(ix.max())]),
+            "miny": pa.array([int(iy.min())]), "maxy": pa.array([int(iy.max())]),
+        })
+
+    ext = pts.map_batches(ext_partial, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame({
+        "ordering": pd.Series([], dtype=object),
+        "bucket": pd.Series([], dtype="int64"),
+        "n_pairs": pd.Series([], dtype="int64"),
+        "sum_l1": pd.Series([], dtype="int64"),
+    })
+    if ext.empty:
+        return empty
+    minx, miny = int(ext["minx"].min()), int(ext["miny"].min())
+    rng = max(int(ext["maxx"].max()) - minx, int(ext["maxy"].max()) - miny)
+    shift = max(0, rng.bit_length() - order)
+    # contiguous bucket widths: top-6-bits of each ordering's primary key
+    hb = max(0, (2 * order) - 6)
+    rb = max(0, rng.bit_length() - 6)
+
+    key_schema = pa.schema(
+        [("bucket", pa.int64()), ("ordering", pa.string()),
+         ("k1", pa.int64()), ("k2", pa.int64()), ("k3", pa.int64()),
+         ("ix", pa.int64()), ("iy", pa.int64())]
+    )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return key_schema.empty_table()
+        pid = t["pid"].to_numpy(zero_copy_only=False)
+        ix = t["ix"].to_numpy(zero_copy_only=False)
+        iy = t["iy"].to_numpy(zero_copy_only=False)
+        xn, yn = ix - minx, iy - miny
+        h = _hilbert_d(xn >> shift, yn >> shift, order)
+        z = np.zeros(len(pid), np.int64)
+        return pa.table({
+            "bucket": pa.array(np.concatenate([h >> hb, yn >> rb])),
+            "ordering": pa.array(
+                ["hilbert"] * len(pid) + ["row_major"] * len(pid)),
+            "k1": pa.array(np.concatenate([h, yn])),
+            "k2": pa.array(np.concatenate([pid, xn])),
+            "k3": pa.array(np.concatenate([z, pid])),
+            "ix": pa.array(np.concatenate([ix, ix])),
+            "iy": pa.array(np.concatenate([iy, iy])),
+        })
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _HILB_PART.empty_table()
+        df = t.to_pandas()
+        out = {c: [] for c in _HILB_PART.names}
+
+        def emit(kind, ordering, bucket, pos, digits, n, s, ix, iy):
+            out["kind"].append(kind); out["ordering"].append(ordering)
+            out["bucket"].append(bucket); out["pos"].append(pos)
+            out["digits"].append(digits); out["n"].append(n); out["s"].append(s)
+            out["ix"].append(ix); out["iy"].append(iy)
+
+        for (ordering, bucket), g in df.groupby(["ordering", "bucket"], sort=False):
+            o = np.lexsort((
+                g["k3"].to_numpy(), g["k2"].to_numpy(), g["k1"].to_numpy()))
+            ix = g["ix"].to_numpy()[o]
+            iy = g["iy"].to_numpy()[o]
+            emit(1, ordering, int(bucket), 0, 0, 0, 0, int(ix[0]), int(iy[0]))
+            emit(1, ordering, int(bucket), 1, 0, 0, 0, int(ix[-1]), int(iy[-1]))
+            if len(ix) > 1:
+                l1 = np.abs(np.diff(ix)) + np.abs(np.diff(iy))
+                dg = _l1_digits(l1)
+                for d in np.unique(dg):
+                    m = dg == d
+                    emit(0, ordering, int(bucket), 0, int(d),
+                         int(m.sum()), int(l1[m].sum()), 0, 0)
+        return pa.Table.from_pandas(
+            pd.DataFrame(out), preserve_index=False
+        ).cast(_HILB_PART)
+
+    parts = direct_partitioned_map(
+        pts, ["ordering", "bucket"], num_parts, fold, key_schema, pre=keyed
+    ).to_pandas()
+    if parts.empty:
+        return empty
+    hist = parts[parts["kind"] == 0]
+    agg: dict[tuple, list] = {}
+    for _, r in hist.iterrows():
+        k = (r["ordering"], int(r["digits"]))
+        a = agg.setdefault(k, [0, 0])
+        a[0] += int(r["n"]); a[1] += int(r["s"])
+    # boundary pairs: adjacent nonempty buckets in bucket order
+    edges = parts[parts["kind"] == 1]
+    for ordering, g in edges.groupby("ordering", sort=False):
+        g = g.sort_values(["bucket", "pos"], kind="stable")
+        buckets = g["bucket"].unique()
+        for b0, b1 in zip(buckets[:-1], buckets[1:]):
+            last = g[(g["bucket"] == b0) & (g["pos"] == 1)].iloc[0]
+            first = g[(g["bucket"] == b1) & (g["pos"] == 0)].iloc[0]
+            l1 = abs(int(first["ix"]) - int(last["ix"])) + abs(
+                int(first["iy"]) - int(last["iy"]))
+            d = int(_l1_digits(np.array([l1], np.int64))[0])
+            a = agg.setdefault((ordering, d), [0, 0])
+            a[0] += 1; a[1] += l1
+    rows = [
+        {"ordering": o, "bucket": d, "n_pairs": v[0], "sum_l1": v[1]}
+        for (o, d), v in agg.items()
+    ]
+    if not rows:  # a single point emits edge rows but no pairs
+        return empty
+    return (
+        pd.DataFrame(rows)
+        .astype({"bucket": "int64", "n_pairs": "int64", "sum_l1": "int64"})
+        .sort_values(["ordering", "bucket"])
+        .reset_index(drop=True)
+    )

@@ -361,3 +361,69 @@ def test_street_mis_greedy_equivalence(ray_session):
         for v in set(nodes.tolist()) - got:  # maximality
             assert adj[v] & got
         assert got == greedy
+
+
+def test_hilbert_d_spec(ray_session):
+    """Order-1 quadrant order is (0,0)→0,(0,1)→1,(1,1)→2,(1,0)→3; at any
+    order the curve is a BIJECTION whose consecutive cells are grid
+    neighbors (L1 == 1) — the property that makes it a layout key."""
+    import numpy as np
+
+    from osmi_addresses_ray.pipelines.geo_ops import _hilbert_d
+
+    x = np.array([0, 0, 1, 1]); y = np.array([0, 1, 1, 0])
+    assert _hilbert_d(x, y, 1).tolist() == [0, 1, 2, 3]
+    n = 8  # order 3, full 64-cell grid
+    gx, gy = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    d = _hilbert_d(gx.ravel(), gy.ravel(), 3)
+    assert len(np.unique(d)) == n * n
+    o = np.argsort(d)
+    l1 = np.abs(np.diff(gx.ravel()[o])) + np.abs(np.diff(gy.ravel()[o]))
+    assert (l1 == 1).all()
+
+
+def test_hilbert_locality_planted(ray_session):
+    """A 16-point 4×4 grid spaced 10 apart: row-major order pays a 3-step
+    ×2-axis jump at every row wrap (l1 = 30 + 10), Hilbert never jumps more
+    than one cell; partition-count invariant; digit buckets are decimal."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osmi_addresses_ray.pipelines.geo_ops import hilbert_locality
+
+    pts = [(i % 4 * 10, i // 4 * 10, i) for i in range(16)]
+    t = pa.table({
+        "pid": pa.array([p[2] for p in pts], pa.int64()),
+        "ix": pa.array([p[0] for p in pts], pa.int64()),
+        "iy": pa.array([p[1] for p in pts], pa.int64()),
+    })
+    outs = []
+    for parts in (1, 5):
+        out = hilbert_locality(rd.from_arrow(t), num_parts=parts)
+        outs.append(out)
+        h = out[out["ordering"] == "hilbert"]
+        # all 15 hilbert steps are exactly 10 units -> bucket '2'
+        assert h["bucket"].tolist() == [2]
+        assert h["n_pairs"].tolist() == [15]
+        assert h["sum_l1"].tolist() == [150]
+        r = out[out["ordering"] == "row_major"]
+        # 12 in-row steps of 10, 3 row wraps of |Δx|=30 + |Δy|=10 = 40
+        assert dict(zip(r["bucket"], r["n_pairs"])) == {2: 15}
+        assert r["sum_l1"].tolist() == [12 * 10 + 3 * 40]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_hilbert_locality_empty_and_single(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osmi_addresses_ray.pipelines.geo_ops import hilbert_locality
+
+    t = pa.table({
+        "pid": pa.array([7], pa.int64()),
+        "ix": pa.array([5], pa.int64()),
+        "iy": pa.array([5], pa.int64()),
+    })
+    out = hilbert_locality(rd.from_arrow(t), num_parts=2)
+    assert out.empty
+    assert list(out.columns) == ["ordering", "bucket", "n_pairs", "sum_l1"]

@@ -335,6 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_pitch": _media_pitch_query,
         "media_onsets": _media_onsets_query,
         "media_blobs": _media_blobs_query,
+        "dhash_pairs": _dhash_pairs_query,
         "media_quadtree": _media_quadtree_query,
         "media_motion": _media_motion_query,
         "media_zcr": _media_zcr_query,
@@ -788,6 +789,19 @@ def _media_blobs_query(sf_dir: str):
         .reset_index(drop=True)
     )
     write_oracle("media_blobs", oracle_media_blobs(fixture_table(FIXTURE_BLOCKS)))
+    return df
+
+
+def _dhash_pairs_query(sf_dir: str):
+    """Near-dup image pairs by exact 4-band dHash pigeonhole (Hamming ≤ 3);
+    oracle = naive O(n²) Hamming sweep over independently recomputed scalar
+    dHashes of the same planted-variant corpus."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.layers import oracle_dhash_pairs
+    from osmi_addresses_ray.stages.multimodal import dhash_pairs
+
+    df = dhash_pairs(120, num_parts=8)
+    write_oracle("dhash_pairs", oracle_dhash_pairs(120))
     return df
 
 
@@ -4225,6 +4239,7 @@ def _naive_oracle_sql() -> dict[str, str]:
         "media_frame_sample": read_parquet_sql("media_frame_sample", "doc_id, media_ref"),
         "media_scene_cuts": read_parquet_sql("media_scene_cuts", "doc_id, media_ref"),
         "media_dhash": read_parquet_sql("media_dhash", "doc_id, media_ref"),
+        "dhash_pairs": read_parquet_sql("dhash_pairs", "ref_a, ref_b"),
         "media_sobel": read_parquet_sql("media_sobel", "doc_id, media_ref"),
         "media_orient_hist": read_parquet_sql("media_orient_hist", "doc_id, media_ref"),
         "media_audio_windows": read_parquet_sql("media_audio_windows", "doc_id, media_ref"),

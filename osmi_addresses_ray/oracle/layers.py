@@ -1646,3 +1646,61 @@ def oracle_audio_zcr(docs: pa.Table) -> pd.DataFrame:
             "max_zcr_window", "n_voiced"]
     return pd.DataFrame(rows, columns=cols).sort_values(
         ["doc_id", "media_ref"]).reset_index(drop=True)
+
+
+# --- dHash near-dup pairs oracle (scalar; no engine imports) ------------------
+
+def _scalar_dhash_msb(img: np.ndarray) -> int:
+    """Scalar dHash spec replay (MSB-first fold, identical to the
+    oracle_media_dhash inline loops): 8×9 block-sum grid, adjacent-mean
+    compare by cross-multiplication; int64 bit pattern."""
+    h, w = img.shape[:2]
+    rb = [(i * h) // 8 for i in range(9)]
+    cb = [(j * w) // 9 for j in range(10)]
+    cell = [[0] * 9 for _ in range(8)]
+    for i in range(8):
+        for j in range(9):
+            s = 0
+            for y in range(rb[i], rb[i + 1]):
+                for x in range(cb[j], cb[j + 1]):
+                    s += int(img[y, x, 0]) + int(img[y, x, 1]) + int(img[y, x, 2])
+            cell[i][j] = s
+    hv = 0
+    for i in range(8):
+        ai = rb[i + 1] - rb[i]
+        for j in range(8):
+            al = ai * (cb[j + 1] - cb[j])
+            ar = ai * (cb[j + 2] - cb[j + 1])
+            bit = 1 if cell[i][j] * ar > cell[i][j + 1] * al else 0
+            hv = (hv << 1) | bit
+    return hv - (1 << 64) if hv >= (1 << 63) else hv
+
+
+def oracle_dhash_pairs(n_imgs: int, max_ham: int = 3) -> pd.DataFrame:
+    """Independent replay of the planted near-dup corpus spec (base refs +
+    "/v" 2×2 red-MSB-flip variants every 3rd + "/d" duplicates every 5th)
+    and a naive O(n²) Hamming sweep over the scalar dHashes."""
+    refs = [f"img://dhash/{i}" for i in range(n_imgs)]
+    refs += [f"img://dhash/{i}/v" for i in range(0, n_imgs, 3)]
+    refs += [f"img://dhash/{i}/d" for i in range(0, n_imgs, 5)]
+    hashes = {}
+    for ref in refs:
+        base = ref[:-2] if ref.endswith(("/v", "/d")) else ref
+        img = _oracle_media_pixels(base).copy()
+        if ref.endswith("/v"):
+            for y in range(2):
+                for x in range(2):
+                    img[y, x, 0] ^= 0x80
+        hashes[ref] = _scalar_dhash_msb(img)
+    rows = []
+    for i, a in enumerate(refs):
+        for b in refs[i + 1:]:
+            ham = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+            if ham <= max_ham:
+                lo, hi = (a, b) if a < b else (b, a)
+                rows.append({"ref_a": lo, "ref_b": hi, "ham": ham})
+    return (
+        pd.DataFrame(rows, columns=["ref_a", "ref_b", "ham"])
+        .astype({"ham": "int64"})
+        .sort_values(["ref_a", "ref_b"]).reset_index(drop=True)
+    )

@@ -1377,3 +1377,165 @@ def audio_zcr(docs_ds, *, concurrency=(1, 4), batch_size: int = 64):
         AudioZCR, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# --- dHash near-dup image pairs (banding over DHasher hashes) -----------------
+
+
+# near-dup corpus spec (the oracle reimplements it independently): base
+# images are the fake store's full-entropy pixels; every 3rd base gets a
+# "/v" variant (red MSB flipped on a 2×2 corner patch -> a few corner
+# blocks' means move, Hamming typically 0-3), every 5th an identical "/d"
+# duplicate (Hamming 0); distinct full-entropy bases land ~32 bits apart,
+# far above any sane threshold.
+def dhash_corpus_refs(n_imgs: int) -> list[str]:
+    refs = [f"img://dhash/{i}" for i in range(n_imgs)]
+    refs += [f"img://dhash/{i}/v" for i in range(0, n_imgs, 3)]
+    refs += [f"img://dhash/{i}/d" for i in range(0, n_imgs, 5)]
+    return refs
+
+
+def synth_dhash_payload(ref: str) -> bytes:
+    """Deterministic encoded bytes for a dhash-corpus ref. The codec choice
+    keys on the FULL ref, so a duplicate may ship as BMP while its base is
+    PPM — byte-different payloads, pixel-identical decode."""
+    import hashlib
+
+    from osmi_addresses_ray.stages.media_codecs import (
+        encode_bmp,
+        encode_ppm,
+        synthesize_pixels,
+    )
+
+    base = ref[:-2] if ref.endswith(("/v", "/d")) else ref
+    img = synthesize_pixels(base).copy()
+    if ref.endswith("/v"):
+        img[:2, :2, 0] ^= 0x80  # flip the red MSB on a 2×2 corner patch
+    d = hashlib.sha256(ref.encode()).digest()
+    return encode_bmp(img) if d[0] % 3 == 0 else encode_ppm(img)
+
+
+_DHASH_PAIR_SCHEMA = pa.schema(
+    [("ref_a", pa.string()), ("ref_b", pa.string()), ("ham", pa.int64())]
+)
+_DHASH_BUCKET_CAP = 4096
+
+
+def dhash_pairs(
+    n_imgs: int = 120, *, max_ham: int = 3, num_parts: int = 8,
+    concurrency=(1, 4),
+) -> pd.DataFrame:
+    """Near-duplicate image pairs by dHash banding: all unordered ref pairs
+    with Hamming(dhash_a, dhash_b) ≤ ``max_ham`` over the planted-variant
+    corpus — the image twin of MinHash-LSH dedup. Exactness: 4 bands of 16
+    bits pigeonhole-guarantee that any pair at Hamming ≤ 3 agrees on ≥1
+    whole band, so banding loses NOTHING at this threshold (unlike MinHash
+    this is exact, not probabilistic).
+
+    Shape: actor-pool decode+hash (one hash per ref), then each hash emits
+    4 (band, band_value) rows into ONE exchange; per bucket a vectorized
+    all-pairs XOR+popcount verifies the true distance, and a pair is
+    emitted only from its FIRST agreeing band (lower-band equality check on
+    the two hashes — exactly-once without a second dedup exchange). Buckets
+    above ``_DHASH_BUCKET_CAP`` raise (identical-image floods at corpus
+    scale are an upstream exact-dedup problem, not an LSH one).
+    """
+    import ray.data as rd
+
+    from ..ops import direct_partitioned_map
+    from ..pipelines.dedup import _popcount64
+
+    refs = dhash_corpus_refs(n_imgs)
+    ds = rd.from_arrow(pa.table({"media_ref": pa.array(refs, pa.string())}))
+    ds = ds.repartition(max(2, num_parts))
+
+    class _HashFromStore(DHasher):
+        def __call__(self, t: pa.Table) -> pa.Table:
+            payloads = [synth_dhash_payload(r) for r in t["media_ref"].to_pylist()]
+            hashes = [self._dhash(self._decode(p)) for p in payloads]
+            return pa.table({
+                "media_ref": t["media_ref"].combine_chunks(),
+                "dhash": pa.array(hashes, pa.int64()),
+            })
+
+    hashed = ds.map_batches(
+        _HashFromStore, batch_format="pyarrow", batch_size=64,
+        concurrency=concurrency,
+    )
+
+    band_schema = pa.schema(
+        [("band", pa.int64()), ("bval", pa.int64()),
+         ("media_ref", pa.string()), ("dhash", pa.int64())]
+    )
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return band_schema.empty_table()
+        h = t["dhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        refs_np = np.asarray(t["media_ref"].to_pylist(), dtype=object)
+        bands = np.repeat(np.arange(4, dtype=np.int64), len(h))
+        vals = np.concatenate(
+            [((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+             for b in range(4)]
+        )
+        return pa.table({
+            "band": pa.array(bands),
+            "bval": pa.array(vals),
+            "media_ref": pa.array(np.tile(refs_np, 4), pa.string()),
+            "dhash": pa.array(np.tile(t["dhash"].to_numpy(zero_copy_only=False), 4)),
+        })
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _DHASH_PAIR_SCHEMA.empty_table()
+        df = t.to_pandas()
+        out_a, out_b, out_h = [], [], []
+        for (band, _), g in df.groupby(["band", "bval"], sort=False):
+            if len(g) < 2:
+                continue
+            if len(g) > _DHASH_BUCKET_CAP:
+                raise RuntimeError(
+                    f"dhash bucket over cap ({len(g)}): run exact dedup first"
+                )
+            r = g["media_ref"].to_numpy(dtype=object)
+            hv = g["dhash"].to_numpy().view(np.uint64)
+            li, ri = np.triu_indices(len(g), k=1)
+            ham = _popcount64(hv[li] ^ hv[ri])
+            keep = ham <= max_ham
+            if int(band) > 0 and keep.any():
+                # first-agreeing-band rule: drop pairs a lower band already saw
+                xa, xb = hv[li[keep]], hv[ri[keep]]
+                lower_eq = np.zeros(keep.sum(), bool)
+                for b in range(int(band)):
+                    sh = np.uint64(16 * b)
+                    lower_eq |= ((xa >> sh) & np.uint64(0xFFFF)) == (
+                        (xb >> sh) & np.uint64(0xFFFF))
+                k2 = np.flatnonzero(keep)[~lower_eq]
+            else:
+                k2 = np.flatnonzero(keep)
+            for i in k2:
+                a, b_ = r[li[i]], r[ri[i]]
+                if b_ < a:
+                    a, b_ = b_, a
+                out_a.append(a); out_b.append(b_); out_h.append(int(ham[i]))
+        return pa.table({
+            "ref_a": pa.array(out_a, pa.string()),
+            "ref_b": pa.array(out_b, pa.string()),
+            "ham": pa.array(out_h, pa.int64()),
+        })
+
+    parts = direct_partitioned_map(
+        hashed, ["band", "bval"], num_parts, bucket_pairs, band_schema,
+        pre=to_bands,
+    ).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "ref_a": pd.Series([], dtype=object),
+            "ref_b": pd.Series([], dtype=object),
+            "ham": pd.Series([], dtype="int64"),
+        })
+    return (
+        parts.astype({"ham": "int64"})
+        .sort_values(["ref_a", "ref_b"])
+        .reset_index(drop=True)
+    )

@@ -587,3 +587,48 @@ def test_zcr_planted_square_and_noise():
     assert out["n_voiced"][1] == 0
     # silence: s >= 0 everywhere -> no flips, no energy
     assert out["total_zc"][2] == 0 and out["n_voiced"][2] == 0
+
+
+def test_dhash_pairs_planted_corpus(ray_session):
+    """Engine banding pairs == independent O(n²) oracle sweep; duplicates
+    land at Hamming 0 and every planted duplicate pair is found (pigeonhole
+    exactness at ham ≤ 3 — banding may NOT lose pairs)."""
+    from osmi_addresses_ray.oracle.layers import oracle_dhash_pairs
+    from osmi_addresses_ray.stages.multimodal import dhash_pairs
+
+    e = dhash_pairs(30, num_parts=3)
+    o = oracle_dhash_pairs(30)
+    pd.testing.assert_frame_equal(e, o)
+    # every /d duplicate pair present at ham 0
+    got = set(zip(e["ref_a"], e["ref_b"]))
+    for i in range(0, 30, 5):
+        a, b = f"img://dhash/{i}", f"img://dhash/{i}/d"
+        assert (a, b) in got
+        row = e[(e["ref_a"] == a) & (e["ref_b"] == b)]
+        assert row["ham"].iloc[0] == 0
+
+
+def test_dhash_pairs_partition_invariance(ray_session):
+    from osmi_addresses_ray.stages.multimodal import dhash_pairs
+
+    a = dhash_pairs(45, num_parts=1)
+    b = dhash_pairs(45, num_parts=7)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_dhash_payload_codec_split_decodes_identically():
+    """A /d duplicate may ship under a different codec than its base —
+    byte-different payloads, pixel-identical decode."""
+    from osmi_addresses_ray.stages.media_codecs import decode_image
+    from osmi_addresses_ray.stages.multimodal import dhash_corpus_refs, synth_dhash_payload
+
+    import numpy as np
+
+    found_split = False
+    for i in range(0, 60, 5):
+        base, dup = f"img://dhash/{i}", f"img://dhash/{i}/d"
+        pb, pd_ = synth_dhash_payload(base), synth_dhash_payload(dup)
+        assert np.array_equal(decode_image(pb), decode_image(pd_))
+        if pb[:2] != pd_[:2]:
+            found_split = True
+    assert found_split

@@ -336,6 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_onsets": _media_onsets_query,
         "media_blobs": _media_blobs_query,
         "dhash_pairs": _dhash_pairs_query,
+        "polygon_dissolve": _polygon_dissolve_query,
         "media_quadtree": _media_quadtree_query,
         "media_motion": _media_motion_query,
         "media_zcr": _media_zcr_query,
@@ -790,6 +791,15 @@ def _media_blobs_query(sf_dir: str):
     )
     write_oracle("media_blobs", oracle_media_blobs(fixture_table(FIXTURE_BLOCKS)))
     return df
+
+
+def _polygon_dissolve_query(sf_dir: str):
+    """GIS dissolve (merge edge-adjacent same-zone parcels) over the
+    deterministic hash-grid corpus; TRUE SQL oracle: the same plain-
+    arithmetic synthesis + recursive min-label closure + grouped sums."""
+    from osmi_addresses_ray.pipelines.geo_ops import polygon_dissolve
+
+    return polygon_dissolve(48, num_parts=8)
 
 
 def _dhash_pairs_query(sf_dir: str):
@@ -4240,6 +4250,34 @@ def _naive_oracle_sql() -> dict[str, str]:
         "media_scene_cuts": read_parquet_sql("media_scene_cuts", "doc_id, media_ref"),
         "media_dhash": read_parquet_sql("media_dhash", "doc_id, media_ref"),
         "dhash_pairs": read_parquet_sql("dhash_pairs", "ref_a, ref_b"),
+        # dissolve: identical hash-grid synthesis in plain SQL arithmetic,
+        # recursive min-label closure over same-zone adjacency, exact
+        # perimeter 4n - 2*internal
+        "polygon_dissolve": """
+WITH RECURSIVE
+cells AS (SELECT a.i, b.j, a.i * 4096 + b.j AS k
+          FROM range(0, 48) a(i), range(0, 48) b(j)),
+hp AS (SELECT i, j, (k % 1000003) * 2654435761 % 4294967296 AS h FROM cells),
+parc AS (SELECT i, j, i * 48 + j AS pid, (h // 10) % 4 AS zone
+         FROM hp WHERE h % 10 < 8),
+adj AS (SELECT a.pid AS u, b.pid AS v
+        FROM parc a JOIN parc b
+          ON ((b.i = a.i AND b.j = a.j + 1) OR (b.i = a.i + 1 AND b.j = a.j))
+         AND a.zone = b.zone),
+sym AS (SELECT u, v FROM adj UNION ALL SELECT v, u FROM adj),
+r AS (SELECT pid AS node, pid AS lab FROM parc
+      UNION
+      SELECT sym.v AS node, r.lab FROM r JOIN sym ON sym.u = r.node),
+comp AS (SELECT node AS pid, min(lab) AS region FROM r GROUP BY node),
+internal AS (SELECT c.region, count(*)::BIGINT AS n_int
+             FROM adj JOIN comp c ON adj.u = c.pid GROUP BY c.region)
+SELECT c.region::BIGINT AS region, min(p.zone)::BIGINT AS zone,
+       count(*)::BIGINT AS n_parcels,
+       (4 * count(*) - 2 * coalesce(min(i.n_int), 0))::BIGINT AS perimeter
+FROM parc p JOIN comp c ON p.pid = c.pid
+LEFT JOIN internal i ON i.region = c.region
+GROUP BY c.region ORDER BY region
+""",
         "media_sobel": read_parquet_sql("media_sobel", "doc_id, media_ref"),
         "media_orient_hist": read_parquet_sql("media_orient_hist", "doc_id, media_ref"),
         "media_audio_windows": read_parquet_sql("media_audio_windows", "doc_id, media_ref"),

@@ -5140,3 +5140,185 @@ def hilbert_locality(points_ds, *, num_parts: int = 8) -> pd.DataFrame:
         .sort_values(["ordering", "bucket"])
         .reset_index(drop=True)
     )
+
+
+# --------------------------------------------------------------------------
+# polygon dissolve (attribute-keyed merge of edge-adjacent parcels)
+# --------------------------------------------------------------------------
+
+_DISS_MULT = 2654435761
+_DISS_PRIME = 1000003
+_DISS_GRID_K = 4096  # parcel key stride (i*4096+j) — the SQL oracle mirrors it
+
+
+def _parcel_hash(k: np.ndarray) -> np.ndarray:
+    """The repo's multiplicative-hash spec ((k % 1000003)·2654435761 mod
+    2³²) — plain int64 arithmetic, evaluated verbatim in the SQL oracle."""
+    return (k % _DISS_PRIME) * _DISS_MULT % (1 << 32)
+
+
+def polygon_dissolve(n_side: int = 48, *, num_parts: int = 8) -> pd.DataFrame:
+    """GIS dissolve: merge edge-adjacent unit parcels that share a zone
+    attribute into regions, reporting each region's parcel count and OUTER
+    perimeter — the overlay step behind cadastre/zoning generalization
+    (ST_Union-by-attribute). Corpus: a deterministic n×n parcel grid where
+    parcel (i, j) exists iff hash(i·4096+j) % 10 < 8 and its zone is
+    (hash // 10) % 4 — plain-arithmetic synthesis both sides evaluate.
+    Perimeter is EXACT: 4·n_parcels − 2·(internal shared edges), where an
+    edge is internal iff its two parcels share a zone (a different-zone
+    neighbor keeps that edge on BOTH regions' boundaries).
+
+    Distributed shape: parcels generate in range-partitioned tasks; each
+    parcel emits its 2 forward (right/down) edge keys into ONE
+    edge-keyed exchange where groups of ≤2 same-edge rows become adjacency
+    pairs; components run on the PAIR list via the alternating star
+    contraction (O(log² n) node-keyed exchanges over edges only); a final
+    pid-keyed label join + region-keyed count finishes. No stage ever
+    materializes the parcel grid on the driver.
+    """
+    import ray.data as rd
+
+    from ..ops import direct_cogroup, direct_partitioned_map
+    from .dedup import connected_components
+
+    rows = rd.range(n_side).repartition(max(2, num_parts))
+
+    parcel_schema = pa.schema(
+        [("pid", pa.int64()), ("i", pa.int64()), ("j", pa.int64()),
+         ("zone", pa.int64())]
+    )
+
+    def gen(t: pa.Table) -> pa.Table:
+        ii = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = np.repeat(ii, n_side)
+        j = np.tile(np.arange(n_side, dtype=np.int64), len(ii))
+        h = _parcel_hash(i * _DISS_GRID_K + j)
+        keep = (h % 10) < 8
+        i, j, h = i[keep], j[keep], h[keep]
+        return pa.table({
+            "pid": pa.array(i * n_side + j),
+            "i": pa.array(i), "j": pa.array(j),
+            "zone": pa.array((h // 10) % 4),
+        })
+
+    parcels = rows.map_batches(gen, batch_format="pyarrow").materialize()
+
+    # each parcel announces itself on its right and down edge keys; an edge
+    # key groups ≤2 parcels, which become an adjacency pair iff zones match
+    emit_schema = pa.schema(
+        [("ek", pa.int64()), ("pid", pa.int64()), ("zone", pa.int64())]
+    )
+
+    def to_edge_rows(t: pa.Table) -> pa.Table:
+        i = t["i"].to_numpy(zero_copy_only=False)
+        j = t["j"].to_numpy(zero_copy_only=False)
+        pid = t["pid"].to_numpy(zero_copy_only=False)
+        z = t["zone"].to_numpy(zero_copy_only=False)
+        # horizontal edge between (i,j)-(i,j+1): key 2*(i*K+j)+0 announced by
+        # BOTH sides (left announces its right edge, right its left edge);
+        # vertical likewise with parity 1
+        right_of = 2 * (i * _DISS_GRID_K + j)
+        left_of = 2 * (i * _DISS_GRID_K + (j - 1))
+        below_of = 2 * (i * _DISS_GRID_K + j) + 1
+        above_of = 2 * ((i - 1) * _DISS_GRID_K + j) + 1
+        return pa.table({
+            "ek": pa.array(np.concatenate([right_of, left_of, below_of, above_of])),
+            "pid": pa.array(np.tile(pid, 4)),
+            "zone": pa.array(np.tile(z, 4)),
+        })
+
+    def edge_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _CC_EDGE_SCHEMA.empty_table()
+        df = t.to_pandas().sort_values(["ek", "pid"], kind="stable")
+        ek = df["ek"].to_numpy()
+        pid = df["pid"].to_numpy()
+        z = df["zone"].to_numpy()
+        same = (ek[1:] == ek[:-1]) & (z[1:] == z[:-1])
+        return pa.table({
+            "u": pa.array(pid[:-1][same]), "v": pa.array(pid[1:][same]),
+        })
+
+    pairs = direct_partitioned_map(
+        parcels, ["ek"], num_parts, edge_pairs, emit_schema, pre=to_edge_rows
+    )
+    pairs = pairs.materialize()
+    n_internal = int(pairs.count())
+    stars = connected_components(pairs, num_parts=num_parts)
+
+    lbl_schema = pa.schema([("pid", pa.int64()), ("region", pa.int64())])
+
+    def star_labels(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "pid": pa.array(np.concatenate([u, v])),
+            "region": pa.array(np.concatenate([v, v])),
+        })
+
+    labels = stars.map_batches(star_labels, batch_format="pyarrow")
+
+    # pid-keyed cogroup: parcels ⨝ labels (absent label ⇒ singleton region)
+    out_schema = pa.schema(
+        [("region", pa.int64()), ("zone", pa.int64()),
+         ("n_parcels", pa.int64()), ("n_internal", pa.int64())]
+    )
+
+    def finish(p_t: pa.Table, l_t: pa.Table) -> pa.Table:
+        if p_t.num_rows == 0:
+            return out_schema.empty_table()
+        pdf = p_t.to_pandas()
+        ldf = l_t.to_pandas().groupby("pid", as_index=False)["region"].min()
+        m = pdf.merge(ldf, on="pid", how="left")
+        m["region"] = m["region"].fillna(m["pid"]).astype("int64")
+        g = m.groupby(["region"], as_index=False).agg(
+            zone=("zone", "min"), n_parcels=("pid", "size"))
+        g["n_internal"] = 0
+        return pa.Table.from_pandas(
+            g[["region", "zone", "n_parcels", "n_internal"]], preserve_index=False
+        ).cast(out_schema)
+
+    region_parts = direct_cogroup(
+        [parcels, labels], [["pid"], ["pid"]], num_parts, finish,
+        [parcel_schema, lbl_schema], emit_partitioned_on=["region"],
+    )
+
+    # internal-edge counts per region: one pid-keyed label join over pairs,
+    # pre-partitioned on region to meet the parcel partials
+    def edge_region(e_t: pa.Table, l_t: pa.Table) -> pa.Table:
+        if e_t.num_rows == 0:
+            return out_schema.empty_table()
+        edf = e_t.to_pandas()
+        ldf = l_t.to_pandas().groupby("pid", as_index=False)["region"].min()
+        m = edf.merge(ldf, left_on="u", right_on="pid", how="left")
+        m["region"] = m["region"].fillna(m["u"]).astype("int64")
+        g = m.groupby("region", as_index=False).size()
+        g.columns = ["region", "n_internal"]
+        g["zone"] = -1
+        g["n_parcels"] = 0
+        return pa.Table.from_pandas(
+            g[["region", "zone", "n_parcels", "n_internal"]], preserve_index=False
+        ).cast(out_schema)
+
+    edge_parts = direct_cogroup(
+        [pairs, labels], [["u"], ["pid"]], num_parts, edge_region,
+        [_CC_EDGE_SCHEMA, lbl_schema], emit_partitioned_on=["region"],
+    )
+
+    def merge_region(a_t: pa.Table, b_t: pa.Table) -> pa.Table:
+        df = pd.concat([a_t.to_pandas(), b_t.to_pandas()])
+        if df.empty:
+            return out_schema.empty_table()
+        g = df.groupby("region", as_index=False).agg(
+            zone=("zone", "max"), n_parcels=("n_parcels", "sum"),
+            n_internal=("n_internal", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False).cast(out_schema)
+
+    merged = direct_cogroup(
+        [region_parts, edge_parts], [["region"], ["region"]], num_parts,
+        merge_region, [out_schema, out_schema],
+    ).to_pandas()
+    merged["perimeter"] = 4 * merged["n_parcels"] - 2 * merged["n_internal"]
+    out = merged[["region", "zone", "n_parcels", "perimeter"]].astype("int64")
+    assert int(merged["n_internal"].sum()) == n_internal
+    return out.sort_values("region").reset_index(drop=True)

@@ -427,3 +427,48 @@ def test_hilbert_locality_empty_and_single(ray_session):
     out = hilbert_locality(rd.from_arrow(t), num_parts=2)
     assert out.empty
     assert list(out.columns) == ["ordering", "bucket", "n_pairs", "sum_l1"]
+
+
+def test_polygon_dissolve_planted_topologies(ray_session, monkeypatch):
+    """Hand-checkable dissolve semantics on a tiny forced grid: an L-tromino
+    region (perimeter 8), a same-zone pair split by a different-zone wedge,
+    and singletons."""
+    import numpy as np
+
+    from osmi_addresses_ray.pipelines import geo_ops
+
+    # force the grid: parcel (i,j) exists with zone z via a stub hash whose
+    # %10 digit encodes existence and //10%4 the zone
+    cellmap = {
+        (0, 0): 0, (0, 1): 0, (1, 0): 0,      # L tromino, zone 0
+        (2, 2): 1, (2, 3): 2, (2, 4): 1,      # 1-2-1: wedge splits the 1s
+        (4, 4): 3,                            # singleton
+    }
+
+    def fake_hash(k):
+        k = np.asarray(k)
+        i, j = k // geo_ops._DISS_GRID_K, k % geo_ops._DISS_GRID_K
+        out = np.full(k.shape, 9, dtype=np.int64)  # 9 -> absent
+        for (ci, cj), z in cellmap.items():
+            out = np.where((i == ci) & (j == cj), z * 10, out)
+        return out
+
+    monkeypatch.setattr(geo_ops, "_parcel_hash", fake_hash)
+    out = geo_ops.polygon_dissolve(6, num_parts=3)
+    by_region = {int(r.region): r for r in out.itertuples()}
+    # L tromino: region = min pid = 0, 3 parcels, perimeter 4*3 - 2*2 = 8
+    assert by_region[0].n_parcels == 3 and by_region[0].perimeter == 8
+    # wedge: zone-2 parcel separates the two zone-1 parcels -> 3 singletons
+    pids = {(i, j): i * 6 + j for (i, j) in cellmap}
+    for c in [(2, 2), (2, 3), (2, 4), (4, 4)]:
+        r = by_region[pids[c]]
+        assert r.n_parcels == 1 and r.perimeter == 4
+    assert len(out) == 5
+
+
+def test_polygon_dissolve_partition_invariance(ray_session):
+    from osmi_addresses_ray.pipelines.geo_ops import polygon_dissolve
+
+    a = polygon_dissolve(20, num_parts=1)
+    b = polygon_dissolve(20, num_parts=7)
+    pd.testing.assert_frame_equal(a, b)

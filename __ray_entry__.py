@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_distinct_users": timeseries.sliding_distinct_users,
         "km_survival": timeseries.km_survival,
         "allen_interval_mix": timeseries.allen_interval_mix,
+        "xcorr_types": timeseries.xcorr_types,
         "range_join_shipments": timeseries.range_join_shipments,
         "running_totals": timeseries.running_totals,
         "streaming_watermark_counts": timeseries.streaming_watermark_counts,
@@ -2266,6 +2267,44 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_pairs
             FROM p GROUP BY type_a, type_b, relation
             ORDER BY type_a, type_b, relation
+        """,
+        # cross-correlation sufficient stats between the top-2 event types'
+        # dense hourly series: absent hours are zeros via the generate_series
+        # grid; all sums are exact BIGINT, lags 0..23 where overlap exists
+        "xcorr_types": """
+            WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                              count(*)::BIGINT AS n
+                       FROM events GROUP BY 1, 2),
+            top2 AS (SELECT event_type,
+                            row_number() OVER (ORDER BY sum(n) DESC, event_type) AS rk
+                     FROM h GROUP BY event_type QUALIFY rk <= 2),
+            b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM h),
+            grid AS (SELECT date_diff('hour', b.lo, g.hr)::BIGINT AS t
+                     FROM b, unnest(generate_series(
+                         (SELECT lo FROM b), (SELECT hi FROM b),
+                         INTERVAL 1 HOUR)) AS g(hr)),
+            xs AS (SELECT date_diff('hour', b.lo, h.hr)::BIGINT AS t, h.n
+                   FROM h JOIN top2 USING (event_type) CROSS JOIN b
+                   WHERE top2.rk = 1),
+            ys AS (SELECT date_diff('hour', b.lo, h.hr)::BIGINT AS t, h.n
+                   FROM h JOIN top2 USING (event_type) CROSS JOIN b
+                   WHERE top2.rk = 2),
+            xd AS (SELECT g.t, coalesce(xs.n, 0)::BIGINT AS x
+                   FROM grid g LEFT JOIN xs ON xs.t = g.t),
+            yd AS (SELECT g.t, coalesce(ys.n, 0)::BIGINT AS y
+                   FROM grid g LEFT JOIN ys ON ys.t = g.t),
+            lags AS (SELECT unnest(range(0, 24))::BIGINT AS lag)
+            SELECT l.lag,
+                   (SELECT event_type FROM top2 WHERE rk = 1) AS type_a,
+                   (SELECT event_type FROM top2 WHERE rk = 2) AS type_b,
+                   count(*)::BIGINT AS n,
+                   sum(x * y)::BIGINT AS sxy,
+                   sum(x)::BIGINT AS sx,
+                   sum(y)::BIGINT AS sy,
+                   sum(x * x)::BIGINT AS sxx,
+                   sum(y * y)::BIGINT AS syy
+            FROM lags l JOIN xd ON true JOIN yd ON yd.t = xd.t + l.lag
+            GROUP BY l.lag ORDER BY l.lag
         """,
         # Kaplan–Meier in fixed-point integers: the sequential product is a
         # recursive CTE stepping one death time per iteration; HUGEINT keeps

@@ -2490,3 +2490,89 @@ def allen_interval_mix(sf_dir: str, *, num_parts: int = 8) -> pd.DataFrame:
     )
     out["n_pairs"] = out["n_pairs"].astype("int64")
     return out.sort_values(["type_a", "type_b", "relation"]).reset_index(drop=True)
+
+
+# --- cross-correlation between the top-2 event types --------------------------
+
+
+def xcorr_types(sf_dir: str, *, max_lag: int = 23) -> pd.DataFrame:
+    """Cross-correlation sufficient statistics between the two
+    highest-volume event types' dense hourly count series — does activity in
+    type_a lead activity in type_b? For each lag k in 0..``max_lag`` the
+    overlapped pairs (x_t, y_{t+k}) over the dense hour grid [min_hr, max_hr]
+    (absent hours count 0) yield the EXACT int64 sufficient statistics
+    (n, Σxy, Σx, Σy, Σx², Σy²) from which any Pearson r(k) follows — the
+    engine ships the integers and leaves the one irrational (the sqrt) to
+    the consumer, so the result is bit-reproducible. type_a/type_b are the
+    top-2 types by total count, ties by type name ascending.
+
+    Distributed shape: ONE pre-aggregated (event_type, hour)-keyed exchange
+    builds the hourly table (per-batch combiner first — raw events never
+    move); the lag sweep runs on the calendar-bounded hourly matrix
+    (≤ |types| rows per hour, ~10⁵ hours per decade) as vectorized int64
+    dot products, never on raw events.
+    """
+    import pyarrow.compute as pc
+
+    from .relational import grouped_agg
+
+    empty = pd.DataFrame({
+        "lag": pd.Series([], dtype="int64"),
+        "type_a": pd.Series([], dtype=object),
+        "type_b": pd.Series([], dtype=object),
+        "n": pd.Series([], dtype="int64"),
+        "sxy": pd.Series([], dtype="int64"),
+        "sx": pd.Series([], dtype="int64"),
+        "sy": pd.Series([], dtype="int64"),
+        "sxx": pd.Series([], dtype="int64"),
+        "syy": pd.Series([], dtype="int64"),
+    })
+
+    ds = _read_events(sf_dir, ["ts", "event_type"])
+
+    def add_hr(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "hr": pc.floor_temporal(t["ts"], unit="hour"),
+        })
+
+    hourly = grouped_agg(
+        ds.map_batches(add_hr, batch_format="pyarrow"),
+        ["event_type", "hr"],
+        {"n": (None, "count")},
+    ).to_pandas()
+    if hourly.empty:
+        return empty
+    hourly["n"] = hourly["n"].astype("int64")
+    totals = (
+        hourly.groupby("event_type", sort=False)["n"].sum().reset_index()
+        .sort_values(["n", "event_type"], ascending=[False, True], kind="stable")
+    )
+    if len(totals) < 2:
+        return empty
+    type_a, type_b = totals["event_type"].iloc[0], totals["event_type"].iloc[1]
+    hr_us = hourly["hr"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    hourly = hourly.assign(t=hr_us // 3_600_000_000)
+    lo = int(hourly["t"].min())
+    m = int(hourly["t"].max()) - lo + 1
+    x = np.zeros(m, dtype=np.int64)
+    y = np.zeros(m, dtype=np.int64)
+    for typ, arr in ((type_a, x), (type_b, y)):
+        sub = hourly[hourly["event_type"] == typ]
+        idx = sub["t"].to_numpy() - lo
+        arr[idx] = sub["n"].to_numpy()
+    rows = []
+    for k in range(0, min(max_lag, m - 1) + 1):
+        xs = x[: m - k]
+        ys = y[k:]
+        rows.append((
+            k, type_a, type_b, m - k,
+            int(xs @ ys), int(xs.sum()), int(ys.sum()),
+            int(xs @ xs), int(ys @ ys),
+        ))
+    out = pd.DataFrame(
+        rows, columns=["lag", "type_a", "type_b", "n", "sxy", "sx", "sy", "sxx", "syy"]
+    )
+    for c in ("lag", "n", "sxy", "sx", "sy", "sxx", "syy"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lag").reset_index(drop=True)

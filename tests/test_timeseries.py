@@ -943,3 +943,51 @@ def test_allen_interval_mix_single_type_user(tmp_path, ray_session):
     _write_events(tmp_path, rows)
     out = timeseries.allen_interval_mix(str(tmp_path), num_parts=2)
     assert out.empty and list(out.columns) == ["type_a", "type_b", "relation", "n_pairs"]
+
+
+# --- cross-correlation between top-2 event types -------------------------------
+
+
+def test_xcorr_types_planted(tmp_path, ray_session):
+    """Two types over a 4-hour grid: a = [2,0,1,0], b = [0,3,0,1] (b leads
+    nothing; a at t correlates with b at t+1). Hand-checked stats at lags
+    0 and 1."""
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    h = np.timedelta64(1, "h")
+    rows, eid = [], 0
+    for t, cnt in [(0, 2), (2, 1)]:
+        for _ in range(cnt):
+            rows.append((eid, base + t * h, 1, "a", 1.0)); eid += 1
+    for t, cnt in [(1, 3), (3, 1)]:
+        for _ in range(cnt):
+            rows.append((eid, base + t * h, 1, "b", 1.0)); eid += 1
+    _write_events(tmp_path, rows)
+    out = timeseries.xcorr_types(str(tmp_path), max_lag=2)
+    assert list(out["lag"]) == [0, 1, 2]
+    # top-2 by volume: b has 4 events, a has 3 -> type_a = b, type_b = a
+    assert (out["type_a"] == "b").all() and (out["type_b"] == "a").all()
+    x = np.array([0, 3, 0, 1])   # series of type_a = b
+    y = np.array([2, 0, 1, 0])   # series of type_b = a
+    for _, r in out.iterrows():
+        k = int(r["lag"])
+        xs, ys = x[: len(x) - k], y[k:]
+        assert r["n"] == len(xs)
+        assert r["sxy"] == int(xs @ ys)
+        assert r["sx"] == int(xs.sum()) and r["sy"] == int(ys.sum())
+        assert r["sxx"] == int(xs @ xs) and r["syy"] == int(ys @ ys)
+
+
+def test_xcorr_types_single_type_empty(tmp_path, ray_session):
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    _write_events(tmp_path, [(0, base, 1, "a", 1.0)])
+    out = timeseries.xcorr_types(str(tmp_path))
+    assert out.empty
+
+
+def test_xcorr_types_volume_tie_breaks_by_name(tmp_path, ray_session):
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    h = np.timedelta64(1, "h")
+    rows = [(0, base, 1, "z", 1.0), (1, base + h, 1, "m", 1.0)]
+    _write_events(tmp_path, rows)
+    out = timeseries.xcorr_types(str(tmp_path), max_lag=1)
+    assert (out["type_a"] == "m").all() and (out["type_b"] == "z").all()

@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_zscore_orders": relational.q_zscore_orders,
         "q_trimmed_mean": relational.q_trimmed_mean,
         "q_group_moments": relational.q_group_moments,
+        "benford_audit": relational.benford_audit,
         "q_full_outer_hours": relational.q_full_outer_hours,
         "q_weighted_quantiles": relational.q_weighted_quantiles,
         "q_props_extract": relational.q_props_extract,
@@ -2012,6 +2013,28 @@ def oracle_sql() -> dict[str, str]:
                          CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d
                   FROM lineitem)
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        # Benford first-digit audit: leading digit of integer cents via
+        # VARCHAR substr (cents > 0 always has a nonzero lead digit); the
+        # expected ppm shares are the SAME fixed round(log10(1+1/d)*1e6)
+        # literals the engine compiles in — no log evaluated at query time
+        "benford_audit": """
+            WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                              AS cents
+                       FROM orders),
+            d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                         AS digit
+                  FROM c WHERE cents > 0),
+            h AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit),
+            e(digit, exp_ppm) AS (VALUES (1, 301030), (2, 176091), (3, 124939),
+                                         (4, 96910), (5, 79181), (6, 66947),
+                                         (7, 57992), (8, 51153), (9, 45757)),
+            t AS (SELECT sum(n)::BIGINT AS total FROM h)
+            SELECT h.digit, h.n, e.exp_ppm::BIGINT AS exp_ppm,
+                   (h.n * 1000000 // t.total)::BIGINT AS obs_ppm,
+                   abs(h.n * 1000000 // t.total - e.exp_ppm)::BIGINT AS dev_ppm
+            FROM h JOIN e ON e.digit = h.digit CROSS JOIN t
+            ORDER BY h.digit
         """,
         "q_zscore_orders": """
             WITH v AS (SELECT o_orderkey, o_orderpriority,

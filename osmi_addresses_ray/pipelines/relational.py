@@ -2094,3 +2094,65 @@ def q_full_outer_hours(sf_dir: str, *, num_parts: int = 8) -> pd.DataFrame:
     for c in ("n_click", "n_view"):
         out[c] = out[c].astype("int64")
     return out.sort_values("hr").reset_index(drop=True)
+
+
+# --- Benford first-digit audit ------------------------------------------------
+
+# round(log10(1 + 1/d) * 1e6) for d = 1..9; the nine roundings sum to exactly
+# 1_000_000, so the expected shares form a true ppm partition. Fixed integer
+# constants — both engine and SQL compare against the SAME literals, no
+# transcendental is evaluated at query time on either side.
+_BENFORD_PPM = np.array(
+    [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757],
+    dtype=np.int64,
+)
+
+
+def benford_audit(sf_dir: str) -> pd.DataFrame:
+    """Benford's-law first-significant-digit audit over order totals (the
+    classic fraud/synthetic-data screen): the distribution of the leading
+    digit of o_totalprice in exact integer cents vs Benford's log10(1+1/d)
+    expectation, as integer ppm shares — obs_ppm = n·10⁶ // N (floor), dev_ppm
+    = |obs_ppm − exp_ppm|. Everything int64-bounded at ANY corpus size
+    (shares ≤ 10⁶), no float log anywhere.
+
+    Shape: per-batch 9-bin digit histograms (searchsorted against the int64
+    powers of ten — exact, no float log10) → one ≤9-row-per-partition
+    groupby; the ppm arithmetic runs on the 9-row result.
+    """
+    ds = read(sf_dir, "orders", columns=["o_totalprice"])
+    pows = np.power(10, np.arange(19), dtype=np.int64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        cents = cents[cents > 0]
+        mag = np.searchsorted(pows, cents, side="right") - 1
+        digit = cents // pows[mag]
+        g = pd.DataFrame({"digit": digit}).groupby("digit", sort=False).size()
+        g = g.reset_index(name="n")
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    hist = grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["digit"],
+        {"n": ("n", "sum")},
+    ).to_pandas()
+    empty = pd.DataFrame({
+        "digit": pd.Series([], dtype="int64"),
+        "n": pd.Series([], dtype="int64"),
+        "exp_ppm": pd.Series([], dtype="int64"),
+        "obs_ppm": pd.Series([], dtype="int64"),
+        "dev_ppm": pd.Series([], dtype="int64"),
+    })
+    if hist.empty:
+        return empty
+    hist["n"] = hist["n"].astype("int64")
+    total = int(hist["n"].sum())
+    hist["digit"] = hist["digit"].astype("int64")
+    hist["exp_ppm"] = _BENFORD_PPM[hist["digit"].to_numpy() - 1]
+    hist["obs_ppm"] = hist["n"].to_numpy() * 1_000_000 // total
+    hist["dev_ppm"] = np.abs(hist["obs_ppm"] - hist["exp_ppm"])
+    return hist.sort_values("digit").reset_index(drop=True)

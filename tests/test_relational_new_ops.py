@@ -384,3 +384,40 @@ def test_full_outer_hours_sentinels(ray_session, tmp_path):
     out = q_full_outer_hours(str(tmp_path), num_parts=2)
     assert out[["n_click", "n_view"]].values.tolist() == [[1, -1], [-1, 1], [1, 2]]
     assert len(out) == 3
+
+
+# --- Benford first-digit audit --------------------------------------------------
+
+
+def test_benford_audit_digit_extraction_and_ppm(tmp_path, ray_session):
+    """Digit boundaries: 9.99 -> 999 (9), 1.00 -> 100 (1), 100000.00 ->
+    10000000 (1), 0.55 -> 55 (5), 2.345 -> 235 cents (2). Four 1s, one 9,
+    one 5, one 2, plus a zero-price row that must be dropped."""
+    from osmi_addresses_ray.pipelines.relational import benford_audit
+
+    prices = [9.99, 1.00, 100000.00, 0.55, 2.345, 1.01, 19.99, 0.0]
+    orders = pd.DataFrame({"o_totalprice": prices})
+    orders.to_parquet(tmp_path / "orders.parquet", index=False)
+    out = benford_audit(str(tmp_path))
+    got = dict(zip(out["digit"], out["n"]))
+    assert got == {1: 4, 2: 1, 5: 1, 9: 1}
+    total = 7
+    row1 = out[out["digit"] == 1].iloc[0]
+    assert row1["obs_ppm"] == 4 * 1_000_000 // total
+    assert row1["exp_ppm"] == 301030
+    assert row1["dev_ppm"] == abs(4 * 1_000_000 // total - 301030)
+    # ppm constants partition exactly
+    from osmi_addresses_ray.pipelines.relational import _BENFORD_PPM
+
+    assert int(_BENFORD_PPM.sum()) == 1_000_000
+
+
+def test_benford_audit_empty(tmp_path, ray_session):
+    from osmi_addresses_ray.pipelines.relational import benford_audit
+
+    pd.DataFrame({"o_totalprice": pd.Series([], dtype="float64")}).to_parquet(
+        tmp_path / "orders.parquet", index=False
+    )
+    out = benford_audit(str(tmp_path))
+    assert out.empty
+    assert list(out.columns) == ["digit", "n", "exp_ppm", "obs_ppm", "dev_ppm"]

@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # KLL quantile sketch: per-partition compactor ladders, driver
         # merge; output pairs estimate with exact rank error
+        "ams_f2": sketches.ams_f2,
         "kll_quantiles": _with_oracle(
             "kll_quantiles", sketches.kll_quantiles, "kll_oracle", "events"
         ),
@@ -4047,6 +4048,33 @@ def oracle_sql() -> dict[str, str]:
                        )) % 18446744073709551616::HUGEINT
                    )), 0)::HUGEINT % 18446744073709551616::HUGEINT)::UBIGINT AS fingerprint
             FROM documents ORDER BY doc_id
+        """,
+        # AMS F2 sketch vs exact second moment: signs are bits 0..15 of the
+        # SAME full-length FNV-1a 64 the fingerprint family uses (HUGEINT
+        # wraparound arithmetic); z per replica is a plain integer sum over
+        # token occurrences, exact F2 = sum of squared type counts
+        "ams_f2": """
+            WITH toks AS (SELECT unnest(regexp_extract_all(lower(text),
+                                 '[A-Za-z0-9_]+')) AS t
+                          FROM documents),
+            h AS (SELECT list_reduce(
+                      [14695981039346656037::HUGEINT] ||
+                      list_transform(range(1, length(t)+1), j -> ascii(t[j])::HUGEINT),
+                      (acc, b) -> (xor(acc::UBIGINT, b::UBIGINT)::HUGEINT
+                                   * 1099511628211::HUGEINT)
+                                  % 18446744073709551616::HUGEINT
+                  ) AS h64 FROM toks),
+            b(i, d) AS (VALUES (0, 1), (1, 2), (2, 4), (3, 8), (4, 16),
+                               (5, 32), (6, 64), (7, 128), (8, 256), (9, 512),
+                               (10, 1024), (11, 2048), (12, 4096), (13, 8192),
+                               (14, 16384), (15, 32768)),
+            z AS (SELECT b.i::BIGINT AS i,
+                         sum(1 - 2 * ((h.h64 // b.d::HUGEINT) % 2))::BIGINT AS z
+                  FROM h CROSS JOIN b GROUP BY b.i),
+            f AS (SELECT sum(c * c)::BIGINT AS f2
+                  FROM (SELECT count(*)::BIGINT AS c FROM toks GROUP BY t))
+            SELECT z.i, z.z, (z.z * z.z)::BIGINT AS z2, f.f2
+            FROM z CROSS JOIN f ORDER BY z.i
         """,
         # winnowing (Schleimer+ 2003): same FNV subexpression as
         # `fingerprints`, gram/window/tie rules packed into ONE integer MIN

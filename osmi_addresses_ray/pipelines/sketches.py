@@ -467,3 +467,98 @@ def kll_quantiles(sf_dir: str, *, num_parts: int = KLL_PARTS) -> pd.DataFrame:
     for c in ("q100", "est", "exact", "n"):
         out[c] = out[c].astype("int64")
     return out
+
+
+# --- AMS F2 (second frequency moment) sketch audit ----------------------------
+
+_AMS_R = 16  # estimator replicas; signs come from bits 0..15 of the token hash
+
+
+def ams_f2(sf_dir: str) -> pd.DataFrame:
+    """AMS second-frequency-moment sketch (Alon–Matias–Szegedy 1996) vs the
+    EXACT F2 = Σ_types c² of the corpus token-frequency vector — the
+    join-size / self-join-cardinality estimator. Each of the 16 replicas
+    keeps one int64: z_i = Σ_occurrences sign_i(token), with sign_i = 1−2·bit_i
+    of the token's full-length FNV-1a 64 hash (the SQL-expressible hash the
+    fingerprint family already uses); E[z_i²] = F2. Everything is exact
+    integer arithmetic — z by commutative int64 sums (any merge tree), z² and
+    F2 in python ints with an explicit int64-overflow guard that RAISES.
+
+    Distributed shape: the sketch itself needs ZERO exchanges — each batch
+    emits 16 (i, z_partial) rows (the linear-sketch property: z is a dot
+    product with a fixed ±1 vector), merged by one ≤16-row-per-partition
+    groupby. The exact F2 is the one honest token-keyed exchange
+    (pre-aggregated per-batch (token, count) partials), whose per-partition
+    Σc² partials come back as single rows.
+    """
+    import re as _re
+
+    from .relational import grouped_agg
+    from .textstats import _TOKEN_RE, _fnv1a_tokens, _read_docs
+
+    tok = _re.compile(_TOKEN_RE)
+    bitdivs = (np.uint64(1) << np.arange(_AMS_R, dtype=np.uint64)).reshape(1, -1)
+
+    def z_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [w for t in df["text"] for w in tok.findall(t.lower())]
+        if not toks:
+            return pd.DataFrame({
+                "i": pd.Series([], dtype="int64"),
+                "z": pd.Series([], dtype="int64"),
+            })
+        h = _fnv1a_tokens(np.asarray(toks, dtype=object))
+        bits = ((h.reshape(-1, 1) // bitdivs) & np.uint64(1)).astype(np.int64)
+        z = (1 - 2 * bits).sum(axis=0)
+        return pd.DataFrame({"i": np.arange(_AMS_R, dtype=np.int64), "z": z})
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [w for t in df["text"] for w in tok.findall(t.lower())]
+        if not toks:
+            return pd.DataFrame({
+                "t": pd.Series([], dtype=object),
+                "c": pd.Series([], dtype="int64"),
+            })
+        vc = pd.Series(toks).value_counts()
+        return pd.DataFrame({
+            "t": vc.index.to_numpy(object), "c": vc.to_numpy(np.int64)
+        })
+
+    ds = _read_docs(sf_dir)
+    zs = grouped_agg(
+        ds.map_batches(z_partial, batch_format="pandas"),
+        ["i"],
+        {"z": ("z", "sum")},
+    ).to_pandas()
+    empty = pd.DataFrame({
+        "i": pd.Series([], dtype="int64"),
+        "z": pd.Series([], dtype="int64"),
+        "z2": pd.Series([], dtype="int64"),
+        "f2": pd.Series([], dtype="int64"),
+    })
+    if zs.empty:
+        return empty
+    counts = grouped_agg(
+        ds.map_batches(count_partial, batch_format="pandas"),
+        ["t"],
+        {"c": ("c", "sum")},
+    )
+
+    def sq_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["c"].to_numpy(np.int64)
+        # python-int fold: Σc² overflows int64 at ~3e9 occurrences of one type
+        return pd.DataFrame({"f2p": [sum(int(v) * int(v) for v in c)]})
+
+    f2 = sum(int(r["f2p"]) for r in counts.map_batches(
+        sq_partial, batch_format="pandas"
+    ).take_all())
+    if f2 >= 2**63:
+        raise OverflowError("ams_f2: exact F2 exceeds int64 — rescale output")
+    zs = zs.sort_values("i").reset_index(drop=True)
+    zs["z"] = zs["z"].astype("int64")
+    z_int = [int(v) for v in zs["z"]]
+    if any(abs(v) >= 3_037_000_499 for v in z_int):
+        raise OverflowError("ams_f2: |z| too large for exact int64 z²")
+    zs["z2"] = np.array([v * v for v in z_int], dtype=np.int64)
+    zs["f2"] = np.int64(f2)
+    zs["i"] = zs["i"].astype("int64")
+    return zs[["i", "z", "z2", "f2"]]

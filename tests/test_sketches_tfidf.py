@@ -176,3 +176,40 @@ def test_kll_error_bound_and_weight_conservation(tmp_path, ray_session):
     out = kll_quantiles(str(tmp_path))
     assert int(out["n"].iloc[0]) == 50_000  # weight conservation held
     assert (out["rank_err_frac"] <= 0.05).all()
+
+
+# --- AMS F2 ---------------------------------------------------------------------
+
+
+def test_ams_f2_exact_and_signs(tmp_path, ray_session):
+    """Corpus 'a a b' + 'a c': counts a=3, b=1, c=1 -> F2 = 11. Each replica's
+    z must equal 3*sign(a) + sign(b) + sign(c) with signs from the FNV hash
+    bits."""
+    import numpy as np
+    import pandas as pd
+
+    from osmi_addresses_ray.pipelines.sketches import _AMS_R, ams_f2
+    from osmi_addresses_ray.pipelines.textstats import _fnv1a_tokens
+
+    docs = pd.DataFrame({"doc_id": ["d1", "d2"], "text": ["a a b", "a c"]})
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = ams_f2(str(tmp_path))
+    assert list(out["i"]) == list(range(_AMS_R))
+    assert (out["f2"] == 11).all()
+    h = _fnv1a_tokens(np.array(["a", "b", "c"], dtype=object))
+    for i in range(_AMS_R):
+        signs = 1 - 2 * ((h >> np.uint64(i)) & np.uint64(1)).astype(np.int64)
+        z = 3 * signs[0] + signs[1] + signs[2]
+        row = out[out["i"] == i].iloc[0]
+        assert row["z"] == z and row["z2"] == z * z
+
+
+def test_ams_f2_empty(tmp_path, ray_session):
+    import pandas as pd
+
+    from osmi_addresses_ray.pipelines.sketches import ams_f2
+
+    pd.DataFrame({"doc_id": ["d"], "text": ["   "]}).to_parquet(
+        tmp_path / "documents.parquet", index=False
+    )
+    assert ams_f2(str(tmp_path)).empty

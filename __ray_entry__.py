@@ -374,6 +374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hilbert_locality": _hilbert_locality_query,
         "spatial_sample_nwa": _spatial_sample_query,
         "addr_completeness": _addr_completeness_query,
+        "areal_interpolation": _areal_interp_query,
         "traj_speed_outliers": _speed_outliers_query,
         "way_sinuosity": _sinuosity_query,
         "route_circuity": _circuity_query,
@@ -1561,6 +1562,20 @@ def _str_pack_query(sf_dir: str):
     from osmi_addresses_ray.pipelines.geo_ops import str_pack_nwa
 
     out = str_pack_nwa(
+        _fixture_layers()["osmi_addresses_nodes_with_addresses"],
+        num_parts=_parts_for(FIXTURE_BLOCKS),
+    )
+    _write_spatial_src()
+    return out
+
+
+def _areal_interp_query(sf_dir: str):
+    """Areal interpolation (proportional-overlap zonal reallocation);
+    TRUE SQL oracle: the same min-anchored grid + 9/3/3/1 quadrant VALUES
+    expansion over the independent point source."""
+    from osmi_addresses_ray.pipelines.geo_ops import areal_interp_nwa
+
+    out = areal_interp_nwa(
         _fixture_layers()["osmi_addresses_nodes_with_addresses"],
         num_parts=_parts_for(FIXTURE_BLOCKS),
     )
@@ -4838,6 +4853,28 @@ GROUP BY c.region ORDER BY region
             FROM r GROUP BY pc ORDER BY pc
         """,
         # spatial stratified sample: same hash expression + row_number
+        # areal interpolation: min-anchored 0.02° source grid, target grid
+        # shifted S/4 → exact quadrant weights 9/3/3/1 (sixteenths); the
+        # engine's two cell-keyed exchanges collapse to the same arithmetic
+        "areal_interpolation": f"""
+            WITH pts AS (
+                SELECT DISTINCT
+                       CAST(COALESCE(node_id, 10000000 + way_id) AS BIGINT) AS pid,
+                       CAST(round(lon * 10000000) AS BIGINT) AS ix,
+                       CAST(round(lat * 10000000) AS BIGINT) AS iy
+                FROM read_parquet('{oracle_path('spatial_radius_src')}')
+                WHERE is_ip = 0),
+            ext AS (SELECT min(ix) AS mx, min(iy) AS my FROM pts),
+            src AS (SELECT (ix - mx) // 200000 AS sx,
+                           (iy - my) // 200000 AS sy,
+                           count(*)::BIGINT AS c
+                    FROM pts, ext GROUP BY 1, 2),
+            q(dx, dy, w) AS (VALUES (0, 0, 9), (1, 0, 3), (0, 1, 3), (1, 1, 1))
+            SELECT (sx + dx)::BIGINT AS tx, (sy + dy)::BIGINT AS ty,
+                   sum(c * w)::BIGINT AS alloc_16,
+                   count(*)::BIGINT AS n_src
+            FROM src CROSS JOIN q GROUP BY 1, 2 ORDER BY tx, ty
+        """,
         "spatial_sample_nwa": f"""
             WITH pts AS (
                 SELECT DISTINCT

@@ -5322,3 +5322,108 @@ def polygon_dissolve(n_side: int = 48, *, num_parts: int = 8) -> pd.DataFrame:
     out = merged[["region", "zone", "n_parcels", "perimeter"]].astype("int64")
     assert int(merged["n_internal"].sum()) == n_internal
     return out.sort_values("region").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# areal interpolation (proportional-area zonal reallocation)
+# --------------------------------------------------------------------------
+
+AREAL_CELL = 200_000          # source grid side in micro-degrees (0.02°)
+_AREAL_Q = AREAL_CELL // 4    # target grid offset: S/4 → 9/3/3/1 weights
+
+
+def areal_interp_nwa(nwa_ds, *, num_parts: int = 8) -> pd.DataFrame:
+    """``areal_interpolation`` over the nodes_with_addresses layer points."""
+    return areal_interpolation(points_from_nwa(nwa_ds), num_parts=num_parts)
+
+
+def areal_interpolation(points_ds, *, num_parts: int = 8) -> pd.DataFrame:
+    """Areal interpolation (Goodchild & Lam 1980): reallocate per-source-zone
+    address counts onto an INCOMPATIBLE target zoning by exact proportional
+    overlap area — the zonal-rebasing step behind census-tract ↔ grid
+    transfers. Source zones: the 0.02° grid anchored at the corpus min
+    corner; target zones: the same grid shifted by S/4 on both axes, so
+    every source cell splits into four target quadrants with exact overlap
+    weights 9/16, 3/16, 3/16, 1/16. Output per target cell: alloc_16 =
+    Σ 16·count·overlap/S² (an exact integer — no float area anywhere) and
+    n_src, the number of contributing source cells.
+
+    Distributed shape: one extent aggregate (per-block min partials), ONE
+    cell-keyed exchange of pre-aggregated (sx, sy) count partials, then the
+    4× quadrant expansion runs over SOURCE CELLS (already ≪ points) into a
+    second cell-keyed sum. Points never reach the driver; both exchanges
+    carry occupied-cell rows only.
+    """
+    from .relational import grouped_agg
+
+    pts = points_ds.materialize()
+
+    def ext_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("minx", pa.int64()), ("miny", pa.int64())]
+            ).empty_table()
+        ix = t["ix"].to_numpy(zero_copy_only=False)
+        iy = t["iy"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "minx": pa.array([int(ix.min())]),
+            "miny": pa.array([int(iy.min())]),
+        })
+
+    ext = pts.map_batches(ext_partial, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame({
+        "tx": pd.Series([], dtype="int64"),
+        "ty": pd.Series([], dtype="int64"),
+        "alloc_16": pd.Series([], dtype="int64"),
+        "n_src": pd.Series([], dtype="int64"),
+    })
+    if ext.empty:
+        return empty
+    minx, miny = int(ext["minx"].min()), int(ext["miny"].min())
+    S = AREAL_CELL
+
+    def src_partial(t: pa.Table) -> pa.Table:
+        ix = t["ix"].to_numpy(zero_copy_only=False) - minx
+        iy = t["iy"].to_numpy(zero_copy_only=False) - miny
+        g = (
+            pd.DataFrame({"sx": ix // S, "sy": iy // S})
+            .groupby(["sx", "sy"], sort=False).size().reset_index(name="c")
+        )
+        g["c"] = g["c"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    src = grouped_agg(
+        pts.map_batches(src_partial, batch_format="pyarrow"),
+        ["sx", "sy"],
+        {"c": ("c", "sum")},
+    )
+
+    def quadrants(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("tx", pa.int64()), ("ty", pa.int64()),
+                 ("alloc_16", pa.int64()), ("n_src", pa.int64())]
+            ).empty_table()
+        sx = t["sx"].to_numpy(zero_copy_only=False)
+        sy = t["sy"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # per-axis overlap: 3S/4 stays in index sx/sy, S/4 spills to +1
+        tx = np.concatenate([sx, sx + 1, sx, sx + 1])
+        ty = np.concatenate([sy, sy, sy + 1, sy + 1])
+        w = np.repeat(np.array([9, 3, 3, 1], dtype=np.int64), len(sx))
+        return pa.table({
+            "tx": pa.array(tx), "ty": pa.array(ty),
+            "alloc_16": pa.array(np.tile(c, 4) * w),
+            "n_src": pa.array(np.ones(4 * len(sx), dtype=np.int64)),
+        })
+
+    out = grouped_agg(
+        src.map_batches(quadrants, batch_format="pyarrow"),
+        ["tx", "ty"],
+        {"alloc_16": ("alloc_16", "sum"), "n_src": ("n_src", "sum")},
+    ).to_pandas()
+    if out.empty:
+        return empty
+    for col in ("tx", "ty", "alloc_16", "n_src"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values(["tx", "ty"]).reset_index(drop=True)

@@ -428,3 +428,44 @@ def test_bearing_octant_compass_and_ties():
     # E, E-NE, NE-N, N-NW, NW-W, W, W-SW, SW-S, S-SE, SE-E, tie@45°, tie@225°
     want = [0, 0, 1, 2, 3, 3, 4, 5, 6, 7, 0, 4]
     assert _bearing_octant(dx, dy).tolist() == want
+
+
+# --- areal interpolation --------------------------------------------------------
+
+
+def test_areal_interpolation_single_cell(ray_session):
+    """Three points in ONE source cell (anchored at the min point): the cell
+    splits 9/3/3/1 sixteenths across the four shifted target quadrants."""
+    from osmi_addresses_ray.pipelines.geo_ops import areal_interpolation
+
+    out = areal_interpolation(
+        _points_ds([1, 2, 3], [70_000_000, 70_050_000, 70_199_999],
+                   [460_000_000, 460_000_001, 460_100_000]),
+        num_parts=2,
+    )
+    got = {(r.tx, r.ty): (r.alloc_16, r.n_src) for r in out.itertuples()}
+    assert got == {
+        (0, 0): (27, 1), (1, 0): (9, 1), (0, 1): (9, 1), (1, 1): (3, 1),
+    }
+    assert int(out["alloc_16"].sum()) == 16 * 3  # mass conservation
+
+
+def test_areal_interpolation_two_cells_merge(ray_session):
+    """Two adjacent source cells: the shared target column sums both
+    contributions and reports n_src = 2 there."""
+    from osmi_addresses_ray.pipelines.geo_ops import (
+        AREAL_CELL,
+        areal_interpolation,
+    )
+
+    S = AREAL_CELL
+    # cell (0,0): 1 point at origin; cell (1,0): 2 points
+    out = areal_interpolation(
+        _points_ds([1, 2, 3], [0, S, S + 5], [0, 0, 0], blocks=1), num_parts=2
+    )
+    got = {(r.tx, r.ty): (r.alloc_16, r.n_src) for r in out.itertuples()}
+    # tx=1 receives 1*1 (spill of cell 0) + 2*9 (body of cell 1) on ty=0
+    assert got[(1, 0)] == (1 * 3 + 2 * 9, 2)
+    assert got[(1, 1)] == (1 * 1 + 2 * 3, 2)
+    assert got[(0, 0)] == (9, 1) and got[(2, 0)] == (6, 1)
+    assert int(out["alloc_16"].sum()) == 16 * 3

@@ -1704,3 +1704,51 @@ def oracle_dhash_pairs(n_imgs: int, max_ham: int = 3) -> pd.DataFrame:
         .astype({"ham": "int64"})
         .sort_values(["ref_a", "ref_b"]).reset_index(drop=True)
     )
+
+
+def oracle_media_hist_eq(docs: pa.Table) -> pd.DataFrame:
+    """Scalar histogram-equalization recomputation: per-pixel python-int
+    loops build a dict histogram, a sequential running cdf maps each OCCUPIED
+    luma level through (cdf − c0) * 765 // (n − c0), and the per-image stats
+    are folded value by value — algorithm-diverse from the engine's
+    bincount/cumsum LUT."""
+    rows = []
+    for row in docs.to_pylist():
+        for span in row["spans"]:
+            if span["kind"] != "media":
+                continue
+            img = _oracle_media_pixels(span["media_ref"])
+            h, w = img.shape[:2]
+            hist: dict[int, int] = {}
+            for y in range(h):
+                for x in range(w):
+                    v = int(img[y, x, 0]) + int(img[y, x, 1]) + int(img[y, x, 2])
+                    hist[v] = hist.get(v, 0) + 1
+            n = h * w
+            levels = sorted(hist)
+            c0 = hist[levels[0]]
+            if n == c0:
+                rows.append((row["doc_id"], span["media_ref"], n, 0, 0, 0, 1))
+                continue
+            cdf = 0
+            lo = hi = None
+            sum_eq = 0
+            seen = set()
+            for v in levels:
+                cdf += hist[v]
+                eq = (cdf - c0) * 765 // (n - c0)
+                lo = eq if lo is None else min(lo, eq)
+                hi = eq if hi is None else max(hi, eq)
+                sum_eq += hist[v] * eq
+                seen.add(eq)
+            rows.append(
+                (row["doc_id"], span["media_ref"], n, lo, hi, sum_eq, len(seen))
+            )
+    return (
+        pd.DataFrame(
+            rows,
+            columns=["doc_id", "media_ref", "n_pix", "lo", "hi", "sum_eq", "n_levels"],
+        )
+        .astype({c: "int64" for c in ["n_pix", "lo", "hi", "sum_eq", "n_levels"]})
+        .sort_values(["doc_id", "media_ref"]).reset_index(drop=True)
+    )

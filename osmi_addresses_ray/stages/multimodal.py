@@ -1539,3 +1539,83 @@ def dhash_pairs(
         .sort_values(["ref_a", "ref_b"])
         .reset_index(drop=True)
     )
+
+
+# --- histogram equalization ---------------------------------------------------
+
+MEDIA_HISTEQ_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("n_pix", pa.int64()),
+        pa.field("lo", pa.int64()),
+        pa.field("hi", pa.int64()),
+        pa.field("sum_eq", pa.int64()),
+        pa.field("n_levels", pa.int64()),
+    ]
+)
+
+
+class ImageHistEq:
+    """Actor-pool histogram equalization over REAL decoded pixels — the
+    classic contrast-normalization preprocessing step. Luma g = r+g+b
+    (0..765); with cdf over the 766-level histogram and c0 = cdf at the
+    darkest OCCUPIED level, every pixel maps to
+
+        eq(v) = (cdf(v) − c0) · 765 // (n_pix − c0)      (exact floor)
+
+    and a CONSTANT image (n_pix == c0) maps to all-zeros by definition.
+    Output per image: n_pix, lo/hi (min/max equalized value), sum_eq
+    (Σ equalized — the brightness checksum) and n_levels (distinct equalized
+    values — the contrast-stretch signal). All exact integers; the whole map
+    is a 766-entry LUT, so per-image work is one bincount + one cumsum, no
+    per-pixel Python."""
+
+    def __init__(self):
+        from osmi_addresses_ray.stages.media_codecs import decode_image
+
+        self._decode = decode_image
+
+    @staticmethod
+    def _stats(img: np.ndarray) -> tuple[int, int, int, int, int]:
+        g = img.astype(np.int64).sum(axis=2).ravel()
+        n = g.size
+        hist = np.bincount(g, minlength=766)
+        cdf = np.cumsum(hist)
+        occupied = hist > 0
+        c0 = int(cdf[np.flatnonzero(occupied)[0]])
+        if n == c0:
+            return n, 0, 0, 0, 1
+        lut = (cdf - c0) * 765 // (n - c0)
+        live = lut[occupied]
+        sum_eq = int((hist[occupied] * live).sum())
+        return (
+            n, int(live.min()), int(live.max()), sum_eq,
+            int(np.unique(live).size),
+        )
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = {k: [] for k in MEDIA_HISTEQ_SCHEMA.names}
+        for doc_id, ref, payload in zip(
+            t["doc_id"].to_pylist(), t["media_ref"].to_pylist(), t["payload"].to_pylist()
+        ):
+            n, lo, hi, sum_eq, n_levels = self._stats(self._decode(payload))
+            rows["doc_id"].append(doc_id)
+            rows["media_ref"].append(ref)
+            rows["n_pix"].append(n)
+            rows["lo"].append(lo)
+            rows["hi"].append(hi)
+            rows["sum_eq"].append(sum_eq)
+            rows["n_levels"].append(n_levels)
+        return pa.Table.from_arrays(
+            [pa.array(rows[f.name], f.type) for f in MEDIA_HISTEQ_SCHEMA],
+            schema=MEDIA_HISTEQ_SCHEMA,
+        )
+
+
+def media_hist_eq(docs_ds, *, concurrency=(1, 4), batch_size: int = 64):
+    media = extract_media_refs(docs_ds)
+    return media.map_batches(
+        ImageHistEq, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -632,3 +632,43 @@ def test_dhash_payload_codec_split_decodes_identically():
         if pb[:2] != pd_[:2]:
             found_split = True
     assert found_split
+
+
+# --- histogram equalization -----------------------------------------------------
+
+
+def test_hist_eq_planted_gradient():
+    """4 luma levels with known cdf: levels 0,3,6,9 each ×1 pixel on a 2×2
+    image -> c0=1, n=4, eq = (cdf-1)*765//3 = 0, 255, 510, 765."""
+    from osmi_addresses_ray.stages.multimodal import ImageHistEq
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    img[0, 1] = (1, 1, 1)
+    img[1, 0] = (2, 2, 2)
+    img[1, 1] = (3, 3, 3)
+    n, lo, hi, sum_eq, n_levels = ImageHistEq._stats(img)
+    assert (n, lo, hi) == (4, 0, 765)
+    assert sum_eq == 0 + 255 + 510 + 765
+    assert n_levels == 4
+
+
+def test_hist_eq_constant_image_all_zero():
+    from osmi_addresses_ray.stages.multimodal import ImageHistEq
+
+    img = np.full((3, 5, 3), 77, dtype=np.uint8)
+    assert ImageHistEq._stats(img) == (15, 0, 0, 0, 1)
+
+
+def test_hist_eq_matches_scalar_oracle_on_fixture(ray_session):
+    from osmi_addresses_ray.oracle.layers import oracle_media_hist_eq
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.multimodal import media_hist_eq
+
+    got = (
+        media_hist_eq(fixture_docs(6))
+        .to_pandas()
+        .sort_values(["doc_id", "media_ref"])
+        .reset_index(drop=True)
+    )
+    want = oracle_media_hist_eq(fixture_table(6))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -382,6 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "network_voronoi": _voronoi_query,
         "street_mst": _mst_query,
         "street_mis": _mis_query,
+        "street_lpa": _street_lpa_query,
         "segment_bearing_rose": _bearing_rose_query,
         "turn_classes": _turns_query,
         "od_flows": _od_query,
@@ -1327,6 +1328,24 @@ def _street_cc_query(sf_dir: str):
     parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
     ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
     out = street_components(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
+    write_oracle("street_edges_src", oracle_street_edges(fixture_table(FIXTURE_BLOCKS)))
+    return out
+
+
+def _street_lpa_query(sf_dir: str):
+    """Synchronous label-propagation communities (4 rounds, min-label
+    ties); TRUE SQL oracle: recursive CTE replaying the rounds with a
+    GROUP BY + QUALIFY mode over the independent edges."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.geo_ops import oracle_street_edges
+    from osmi_addresses_ray.pipelines.geo_ops import street_lpa
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.assembly import assemble_ways
+    from osmi_addresses_ray.stages.parse import parse_docs
+
+    parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
+    ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
+    out = street_lpa(ways_geo, rounds=4, num_parts=_parts_for(FIXTURE_BLOCKS))
     write_oracle("street_edges_src", oracle_street_edges(fixture_table(FIXTURE_BLOCKS)))
     return out
 
@@ -4680,6 +4699,28 @@ GROUP BY c.region ORDER BY region
             )
             SELECT node AS node_id, min(lab)::BIGINT AS comp
             FROM r GROUP BY node ORDER BY node
+        """,
+        # synchronous LPA, 4 rounds: each iteration re-derives every node's
+        # next label as the (count desc, label asc) mode of its neighbors'
+        # current labels — GROUP BY + QUALIFY inside the recursive term
+        "street_lpa": f"""
+            WITH RECURSIVE
+            e AS (SELECT u, v
+                  FROM read_parquet('{oracle_path('street_edges_src')}')),
+            lab(r, node, label) AS (
+                SELECT 0::BIGINT, u, u FROM (SELECT DISTINCT u FROM e)
+                UNION ALL
+                SELECT * FROM (
+                    SELECT lab.r + 1 AS r, e.v AS node, lab.label AS label
+                    FROM lab JOIN e ON e.u = lab.node
+                    WHERE lab.r < 4
+                    GROUP BY 1, 2, 3
+                    QUALIFY row_number() OVER (
+                        PARTITION BY e.v
+                        ORDER BY count(*) DESC, lab.label) = 1
+                )
+            )
+            SELECT node, label FROM lab WHERE r = 4 ORDER BY node
         """,
         # degree-2 chain contraction: degree counts + recursive component
         # closure over the degree-2 subgraph + per-chain grouping; the

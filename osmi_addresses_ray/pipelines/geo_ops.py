@@ -5427,3 +5427,111 @@ def areal_interpolation(points_ds, *, num_parts: int = 8) -> pd.DataFrame:
     for col in ("tx", "ty", "alloc_16", "n_src"):
         out[col] = out[col].astype("int64")
     return out.sort_values(["tx", "ty"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# label propagation communities (synchronous, deterministic)
+# --------------------------------------------------------------------------
+
+_LPA_ROUNDS = 4
+_LPA_LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+_LPA_MSG_SCHEMA = pa.schema([("dst", pa.int64()), ("lab", pa.int64())])
+
+
+def street_lpa(ways_geo_ds, *, rounds: int = _LPA_ROUNDS, num_parts: int = 8):
+    """Label-propagation community detection (Raghavan et al. 2007) over the
+    street graph, made DETERMINISTIC: synchronous rounds, label(v) starts as
+    v, and each round every vertex adopts the most frequent label among its
+    NEIGHBORS with ties to the smallest label — the unique fixed-``rounds``
+    synchronous trajectory, which the SQL oracle replays round by round as a
+    recursive CTE (no random visit order, no early stopping). Output:
+    (node, label) for every street-graph vertex after ``rounds`` rounds —
+    the cheap community/neighborhood signal behind locality-aware
+    partitioning and district detection.
+
+    Distributed shape: the deduped undirected edge list stays partitioned on
+    u; per round TWO chained exchanges move O(|E|) label messages
+    (edges ⨝ labels on u → (v, label) re-partitioned on v; per-v mode by
+    count-then-min). No driver state; round count is a constant.
+    """
+    from ..ops import direct_cogroup
+
+    empty = pd.DataFrame(
+        {c: pd.Series([], dtype="int64") for c in ("node", "label")}
+    )
+    edges, _srcs = _street_edges_and_sources(
+        ways_geo_ds, num_parts=num_parts, k_sources=1
+    )
+    if edges is None:
+        return empty
+
+    def seed_labels(t: pa.Table) -> pa.Table:
+        uu = np.unique(t["u"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"node": pa.array(uu), "lab": pa.array(uu)})
+
+    labels = direct_cogroup(
+        [edges], [["u"]], num_parts, seed_labels,
+        [_SSSP_EDGE_SCHEMA], emit_partitioned_on=["node"],
+    )
+    lab_schema = pa.schema([("node", pa.int64()), ("lab", pa.int64())])
+
+    def emit(e_t: pa.Table, l_t: pa.Table) -> pa.Table:
+        if e_t.num_rows == 0 or l_t.num_rows == 0:
+            return _LPA_MSG_SCHEMA.empty_table()
+        m = e_t.to_pandas().merge(
+            l_t.to_pandas(), left_on="u", right_on="node", how="inner"
+        )
+        if m.empty:
+            return _LPA_MSG_SCHEMA.empty_table()
+        return pa.table({
+            "dst": pa.array(m["v"].to_numpy(np.int64)),
+            "lab": pa.array(m["lab"].to_numpy(np.int64)),
+        })
+
+    def adopt(m_t: pa.Table, l_t: pa.Table) -> pa.Table:
+        if l_t.num_rows == 0:
+            return lab_schema.empty_table()
+        ld = l_t.to_pandas()
+        if m_t.num_rows == 0:
+            return pa.table({
+                "node": pa.array(ld["node"].to_numpy(np.int64)),
+                "lab": pa.array(ld["lab"].to_numpy(np.int64)),
+            })
+        md = m_t.to_pandas()
+        cnt = (
+            md.groupby(["dst", "lab"], sort=False).size().reset_index(name="c")
+        )
+        # mode with ties to the SMALLEST label: sort by (c desc, lab asc)
+        o = np.lexsort((cnt["lab"].to_numpy(np.int64),
+                        -cnt["c"].to_numpy(np.int64),
+                        cnt["dst"].to_numpy(np.int64)))
+        dst = cnt["dst"].to_numpy(np.int64)[o]
+        lab = cnt["lab"].to_numpy(np.int64)[o]
+        first = np.r_[True, dst[1:] != dst[:-1]]
+        win = pd.Series(lab[first], index=dst[first])
+        new = win.reindex(ld["node"].to_numpy()).to_numpy()
+        keep = ld["lab"].to_numpy(np.int64)
+        out = np.where(np.isnan(new), keep, new).astype(np.int64)
+        return pa.table({
+            "node": pa.array(ld["node"].to_numpy(np.int64)),
+            "lab": pa.array(out),
+        })
+
+    for _rnd in range(rounds):
+        msgs = direct_cogroup(
+            [edges, labels], [["u"], ["node"]], num_parts, emit,
+            [_SSSP_EDGE_SCHEMA, lab_schema], emit_partitioned_on=["dst"],
+        )
+        labels = direct_cogroup(
+            [msgs, labels], [["dst"], ["node"]], num_parts, adopt,
+            [_LPA_MSG_SCHEMA, lab_schema], emit_partitioned_on=["node"],
+        )
+
+    out = labels.to_dataset().to_pandas()
+    if out.empty:
+        return empty
+    out = pd.DataFrame({
+        "node": out["node"].astype("int64"),
+        "label": out["lab"].astype("int64"),
+    })
+    return out.sort_values("node").reset_index(drop=True)

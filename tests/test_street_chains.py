@@ -472,3 +472,75 @@ def test_polygon_dissolve_partition_invariance(ray_session):
     a = polygon_dissolve(20, num_parts=1)
     b = polygon_dissolve(20, num_parts=7)
     pd.testing.assert_frame_equal(a, b)
+
+
+# --- label propagation communities ------------------------------------------------
+
+
+def _lpa_replay(edges: set[tuple[int, int]], rounds: int) -> dict[int, int]:
+    """Scalar synchronous LPA replay: neighbor-label mode, ties to the
+    smallest label."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    lab = {n: n for n in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for n in adj:
+            c = Counter(lab[m] for m in adj[n])
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            # ties to SMALLEST label: max on (count, -label)
+            nxt[n] = best[0]
+        lab = nxt
+    return lab
+
+
+def test_street_lpa_two_clusters_bridge(ray_session):
+    """Two 4-cliques-ish star clusters joined by one bridge edge: labels
+    must match the scalar synchronous replay exactly, at any partition
+    count."""
+    from osmi_addresses_ray.pipelines.geo_ops import street_lpa
+
+    # cluster 1: triangle (0,0)-(100,0)-(0,100); cluster 2: triangle at x≈10k
+    P = {
+        "a": (0, 0), "b": (100, 0), "c": (0, 100),
+        "d": (10000, 0), "e": (10100, 0), "f": (10000, 100),
+    }
+    ways = [
+        {"id": 1, "pts": [P["a"], P["b"], P["c"], P["a"]]},
+        {"id": 2, "pts": [P["d"], P["e"], P["f"], P["d"]]},
+        {"id": 3, "pts": [P["b"], P["d"]]},  # bridge
+    ]
+    vid = {k: _vid(*xy) for k, xy in P.items()}
+    edges = set()
+    for w in ways:
+        for i in range(len(w["pts"]) - 1):
+            u, v = _vid(*w["pts"][i]), _vid(*w["pts"][i + 1])
+            if u != v:
+                edges.add((min(u, v), max(u, v)))
+    want = _lpa_replay(edges, rounds=4)
+    for parts in (1, 3):
+        out = street_lpa(_ways_geo(ways), rounds=4, num_parts=parts)
+        got = dict(zip(out["node"], out["label"]))
+        assert got == want, parts
+    # the two triangle interiors agree on a label each
+    assert got[vid["e"]] == got[vid["f"]]
+    assert got[vid["a"]] == got[vid["c"]]
+
+
+def test_street_lpa_path_graph_rounds(ray_session):
+    """A 5-vertex path: after 1 round every vertex holds its smallest
+    neighbor's id (all neighbor labels distinct -> tie to min)."""
+    from osmi_addresses_ray.pipelines.geo_ops import street_lpa
+
+    pts = [(0, 0), (100, 0), (200, 0), (300, 0), (400, 0)]
+    ways = [{"id": 1, "pts": pts}]
+    vids = [_vid(*p) for p in pts]
+    out = street_lpa(_ways_geo(ways), rounds=1, num_parts=2)
+    got = dict(zip(out["node"], out["label"]))
+    edges = {(min(a, b), max(a, b)) for a, b in zip(vids, vids[1:])}
+    want = _lpa_replay(edges, rounds=1)
+    assert got == want

@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "km_survival": timeseries.km_survival,
         "allen_interval_mix": timeseries.allen_interval_mix,
         "xcorr_types": timeseries.xcorr_types,
+        "periodicity_detect": timeseries.periodicity_detect,
         "range_join_shipments": timeseries.range_join_shipments,
         "running_totals": timeseries.running_totals,
         "streaming_watermark_counts": timeseries.streaming_watermark_counts,
@@ -2384,6 +2385,47 @@ def oracle_sql() -> dict[str, str]:
                    sum(y * y)::BIGINT AS syy
             FROM lags l JOIN xd ON true JOIN yd ON yd.t = xd.t + l.lag
             GROUP BY l.lag ORDER BY l.lag
+        """,
+        # epoch-folding periodicity: per type, fold the dense hourly grid
+        # at each p into p phase sums over q = m//p complete cycles; argmax
+        # of the exact integer key (ΣS²·1e6)//q, ties to the smallest p
+        "periodicity_detect": """
+            WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                              count(*)::BIGINT AS n
+                       FROM events GROUP BY 1, 2),
+            b AS (SELECT event_type, min(hr) AS lo,
+                         date_diff('hour', min(hr), max(hr))::BIGINT + 1 AS m
+                  FROM h GROUP BY 1),
+            grid AS (SELECT b.event_type,
+                            date_diff('hour', b.lo, g.hr)::BIGINT AS t,
+                            b.m
+                     FROM b, unnest(generate_series(
+                         b.lo, b.lo + to_hours(b.m - 1),
+                         INTERVAL 1 HOUR)) AS g(hr)),
+            xs AS (SELECT g.event_type, g.t, g.m,
+                          coalesce(h2.n, 0)::BIGINT AS x
+                   FROM grid g
+                   LEFT JOIN (SELECT event_type,
+                                     date_diff('hour', b.lo, h.hr)::BIGINT AS t,
+                                     n
+                              FROM h JOIN b USING (event_type)) h2
+                     ON h2.event_type = g.event_type AND h2.t = g.t),
+            p AS (SELECT unnest(range(2, 25))::BIGINT AS p),
+            fold AS (SELECT xs.event_type, p.p, xs.m,
+                            xs.t % p.p AS phase,
+                            sum(xs.x)::HUGEINT AS s
+                     FROM xs CROSS JOIN p
+                     WHERE xs.m // p.p >= 2 AND xs.t < p.p * (xs.m // p.p)
+                     GROUP BY 1, 2, 3, 4),
+            score AS (SELECT event_type, p, m,
+                             (sum(s * s) * 1000000 // (m // p)) AS key
+                      FROM fold GROUP BY 1, 2, 3)
+            SELECT event_type, p::BIGINT AS best_p, key::BIGINT AS score_key,
+                   m::BIGINT AS n_hours
+            FROM score
+            QUALIFY row_number() OVER (PARTITION BY event_type
+                                       ORDER BY key DESC, p) = 1
+            ORDER BY event_type
         """,
         # Kaplan–Meier in fixed-point integers: the sequential product is a
         # recursive CTE stepping one death time per iteration; HUGEINT keeps

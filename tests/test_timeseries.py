@@ -991,3 +991,50 @@ def test_xcorr_types_volume_tie_breaks_by_name(tmp_path, ray_session):
     _write_events(tmp_path, rows)
     out = timeseries.xcorr_types(str(tmp_path), max_lag=1)
     assert (out["type_a"] == "m").all() and (out["type_b"] == "z").all()
+
+
+# --- periodicity detection ------------------------------------------------------
+
+
+def test_periodicity_planted_period(tmp_path, ray_session):
+    """A strict period-6 pulse train over 48 hours (spikes at t % 6 == 2)
+    must fold best at p = 6 (or a multiple; 6 wins because 12/18/24 split
+    the SAME energy over fewer cycles with equal ΣS² — key doubles with q,
+    so the SMALLEST q... verify against the exhaustive scalar replay)."""
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    h = np.timedelta64(1, "h")
+    rows, eid = [], 0
+    for t in range(48):
+        if t % 6 == 2:
+            for _ in range(5):
+                rows.append((eid, base + t * h, 1, "a", 1.0)); eid += 1
+        else:
+            rows.append((eid, base + t * h, 1, "a", 1.0)); eid += 1
+    _write_events(tmp_path, rows)
+    out = timeseries.periodicity_detect(str(tmp_path))
+    # scalar replay
+    x = np.array([5 if t % 6 == 2 else 1 for t in range(48)], dtype=np.int64)
+    best = None
+    for p in range(2, 25):
+        q = len(x) // p
+        if q < 2:
+            continue
+        s = x[: p * q].reshape(q, p).sum(axis=0)
+        key = sum(int(v) ** 2 for v in s) * 1_000_000 // q
+        if best is None or key > best[1]:
+            best = (p, key)
+    row = out.iloc[0]
+    assert (row["best_p"], row["score_key"]) == best
+    assert row["n_hours"] == 48
+    assert row["best_p"] % 6 == 0  # a multiple of the planted period
+
+
+def test_periodicity_short_series_skipped(tmp_path, ray_session):
+    """m = 3 hours -> no period has 2 complete cycles -> type emits no row."""
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    h = np.timedelta64(1, "h")
+    rows = [(0, base, 1, "a", 1.0), (1, base + 2 * h, 1, "a", 1.0),
+            (2, base, 1, "b", 1.0), (3, base + 9 * h, 1, "b", 1.0)]
+    _write_events(tmp_path, rows)
+    out = timeseries.periodicity_detect(str(tmp_path))
+    assert list(out["event_type"]) == ["b"]

@@ -377,6 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_sample_nwa": _spatial_sample_query,
         "addr_completeness": _addr_completeness_query,
         "areal_interpolation": _areal_interp_query,
+        "moran_i": _moran_query,
         "traj_speed_outliers": _speed_outliers_query,
         "way_sinuosity": _sinuosity_query,
         "route_circuity": _circuity_query,
@@ -1617,6 +1618,20 @@ def _areal_interp_query(sf_dir: str):
     from osmi_addresses_ray.pipelines.geo_ops import areal_interp_nwa
 
     out = areal_interp_nwa(
+        _fixture_layers()["osmi_addresses_nodes_with_addresses"],
+        num_parts=_parts_for(FIXTURE_BLOCKS),
+    )
+    _write_spatial_src()
+    return out
+
+
+def _moran_query(sf_dir: str):
+    """Moran's I sufficient statistics (rook adjacency over occupied 0.001°
+    cells); TRUE SQL oracle: the same z = n·C − T scaling via a cell
+    self-join over the independent point source."""
+    from osmi_addresses_ray.pipelines.geo_ops import moran_nwa
+
+    out = moran_nwa(
         _fixture_layers()["osmi_addresses_nodes_with_addresses"],
         num_parts=_parts_for(FIXTURE_BLOCKS),
     )
@@ -4979,6 +4994,31 @@ GROUP BY c.region ORDER BY region
                    sum(c * w)::BIGINT AS alloc_16,
                    count(*)::BIGINT AS n_src
             FROM src CROSS JOIN q GROUP BY 1, 2 ORDER BY tx, ty
+        """,
+        # Moran's I sufficient stats: z pre-scaled by C (z = n·C − T), rook
+        # pairs by a +1 cell self-join counted in BOTH orders (×2); the one
+        # division to an I value is the consumer's
+        "moran_i": f"""
+            WITH pts AS (
+                SELECT DISTINCT
+                       CAST(COALESCE(node_id, 10000000 + way_id) AS BIGINT) AS pid,
+                       CAST(round(lon * 10000000) AS BIGINT) AS ix,
+                       CAST(round(lat * 10000000) AS BIGINT) AS iy
+                FROM read_parquet('{oracle_path('spatial_radius_src')}')
+                WHERE is_ip = 0),
+            cells AS (SELECT ix // 10000 AS cx, iy // 10000 AS cy,
+                             count(*)::BIGINT AS n
+                      FROM pts GROUP BY 1, 2),
+            s AS (SELECT count(*)::BIGINT AS c, sum(n)::BIGINT AS t FROM cells),
+            z AS (SELECT cx, cy, (n * s.c - s.t)::HUGEINT AS z FROM cells, s),
+            p AS (SELECT a.z AS za, b.z AS zb
+                  FROM z a JOIN z b
+                    ON (b.cx = a.cx + 1 AND b.cy = a.cy)
+                    OR (b.cx = a.cx AND b.cy = a.cy + 1))
+            SELECT (SELECT c FROM s) AS n_cells,
+                   (SELECT 2 * count(*) FROM p)::BIGINT AS w_sum,
+                   coalesce((SELECT 2 * sum(za * zb) FROM p), 0)::BIGINT AS num_zz,
+                   (SELECT sum(z * z) FROM z)::BIGINT AS den_zz
         """,
         "spatial_sample_nwa": f"""
             WITH pts AS (

@@ -5535,3 +5535,139 @@ def street_lpa(ways_geo_ds, *, rounds: int = _LPA_ROUNDS, num_parts: int = 8):
         "label": out["lab"].astype("int64"),
     })
     return out.sort_values("node").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Moran's I spatial autocorrelation (rook adjacency over occupied cells)
+# --------------------------------------------------------------------------
+
+
+def moran_nwa(nwa_ds, *, num_parts: int = 8) -> pd.DataFrame:
+    """``moran_points`` over the nodes_with_addresses layer points."""
+    return moran_points(points_from_nwa(nwa_ds), num_parts=num_parts)
+
+
+def moran_points(points_ds, *, num_parts: int = 8) -> pd.DataFrame:
+    """Moran's I spatial autocorrelation (Moran 1950) of per-cell address
+    counts over the 0.001° lattice, rook adjacency restricted to OCCUPIED
+    cells — the global clustered-vs-dispersed diagnostic behind hotspot
+    screening. Emitted as EXACT integer sufficient statistics with
+    deviations pre-scaled by C (z_i = n_i·C − T, so no rational mean):
+
+        I = (C / W) · num_zz / den_zz
+        num_zz = Σ_i Σ_j w_ij z_i z_j   (w = rook, both orders counted)
+        den_zz = Σ_i z_i²,  W = w_sum
+
+    The one IEEE division is the consumer's; every emitted number is an
+    exact int64 (python-int folds internally; an explicit guard RAISES
+    past int64 — z² grows as (C·n)², shard analysis regions past ~10⁹
+    points). Output: one row (n_cells, w_sum, num_zz, den_zz).
+
+    Distributed shape: per-batch cell-count partials → ONE cell-keyed
+    exchange (occupied cells only); each occupied cell then emits 4
+    edge-keyed rows (its right/down edges as owner, its left/up edges as
+    guest) into a SECOND exchange where ≤2-row groups become adjacent
+    pairs — O(occupied cells), never O(points) and never a driver-side
+    adjacency scan; den/C/T fold from per-partition partials.
+    """
+    from ..ops import direct_partitioned_map
+    from .relational import grouped_agg
+
+    empty = pd.DataFrame(
+        {c: pd.Series([], dtype="int64")
+         for c in ("n_cells", "w_sum", "num_zz", "den_zz")}
+    )
+
+    def cellify(t: pa.Table) -> pa.Table:
+        cx = t["ix"].to_numpy(zero_copy_only=False) // _HOTSPOT_CELL
+        cy = t["iy"].to_numpy(zero_copy_only=False) // _HOTSPOT_CELL
+        g = pd.DataFrame({"cx": cx, "cy": cy}).groupby(
+            ["cx", "cy"], sort=False
+        ).size()
+        return pa.table({
+            "cx": pa.array(g.index.get_level_values(0).to_numpy(np.int64)),
+            "cy": pa.array(g.index.get_level_values(1).to_numpy(np.int64)),
+            "n": pa.array(g.to_numpy(np.int64)),
+        })
+
+    cells = grouped_agg(
+        points_ds.map_batches(cellify, batch_format="pyarrow"),
+        ["cx", "cy"], {"n": ("n", "sum")},
+    ).materialize()
+
+    def scalars_partial(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "c": pa.array([len(n)]), "t": pa.array([int(n.sum())]),
+        })
+
+    sc = cells.map_batches(scalars_partial, batch_format="pyarrow").to_pandas()
+    if sc.empty or int(sc["c"].sum()) == 0:
+        return empty
+    C = int(sc["c"].sum())
+    T = int(sc["t"].sum())
+
+    def den_partial(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = sum((int(v) * C - T) ** 2 for v in n)
+        return pa.table({"d": pa.array([d if d < 2**63 else -1])})
+
+    dps = cells.map_batches(den_partial, batch_format="pyarrow").to_pandas()
+    if (dps["d"] < 0).any():
+        raise OverflowError("moran_points: den partial exceeds int64")
+    den = int(dps["d"].sum())
+
+    edge_schema = pa.schema(
+        [("ex", pa.int64()), ("ey", pa.int64()), ("dir", pa.int64()),
+         ("n", pa.int64())]
+    )
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        cx = t["cx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cy = t["cy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # owner of its right (dir 0) and down (dir 1) edges, guest on the
+        # left neighbor's right edge and the lower neighbor's down edge
+        return pa.table({
+            "ex": pa.array(np.concatenate([cx, cx, cx - 1, cx])),
+            "ey": pa.array(np.concatenate([cy, cy, cy, cy - 1])),
+            "dir": pa.array(np.concatenate([
+                np.zeros(len(cx), np.int64), np.ones(len(cx), np.int64),
+                np.zeros(len(cx), np.int64), np.ones(len(cx), np.int64),
+            ])),
+            "n": pa.array(np.concatenate([n, n, n, n])),
+        })
+
+    pair_schema = pa.schema([("w", pa.int64()), ("num", pa.int64())])
+
+    def pair_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        df = t.to_pandas()
+        g = df.groupby(["ex", "ey", "dir"], sort=False)["n"].agg(
+            ["count", list]
+        )
+        both = g[g["count"] == 2]
+        w = 0
+        num = 0
+        for pair in both["list"]:
+            w += 2
+            num += 2 * (int(pair[0]) * C - T) * (int(pair[1]) * C - T)
+        if abs(num) >= 2**63:
+            raise OverflowError("moran_points: num partial exceeds int64")
+        return pa.table({"w": pa.array([w]), "num": pa.array([num])})
+
+    parts = direct_partitioned_map(
+        cells.map_batches(to_edges, batch_format="pyarrow"),
+        ["ex", "ey", "dir"], num_parts, pair_fold, edge_schema,
+    ).to_pandas()
+    w_sum = int(parts["w"].sum()) if not parts.empty else 0
+    num = int(parts["num"].sum()) if not parts.empty else 0
+    if abs(num) >= 2**63 or den >= 2**63:
+        raise OverflowError("moran_points: statistic exceeds int64")
+    return pd.DataFrame({
+        "n_cells": pd.array([C], dtype="int64"),
+        "w_sum": pd.array([w_sum], dtype="int64"),
+        "num_zz": pd.array([num], dtype="int64"),
+        "den_zz": pd.array([den], dtype="int64"),
+    })

@@ -469,3 +469,63 @@ def test_areal_interpolation_two_cells_merge(ray_session):
     assert got[(1, 1)] == (1 * 1 + 2 * 3, 2)
     assert got[(0, 0)] == (9, 1) and got[(2, 0)] == (6, 1)
     assert int(out["alloc_16"].sum()) == 16 * 3
+
+
+# --- Moran's I --------------------------------------------------------------------
+
+
+def test_moran_clustered_vs_checker(ray_session):
+    """3×2 block of occupied cells arranged clustered (5s row over 1s row)
+    vs checkerboard: hand-computed sufficient
+    stats; clustered num_zz must exceed the anti-clustered one."""
+    from osmi_addresses_ray.pipelines.geo_ops import _HOTSPOT_CELL, moran_points
+
+    S = _HOTSPOT_CELL
+
+    def pts_for(counts):
+        # counts[(cx,cy)] -> that many points inside the cell
+        pid, ix, iy = [], [], []
+        k = 0
+        for (cx, cy), c in counts.items():
+            for j in range(c):
+                pid.append(k); k += 1
+                ix.append(cx * S + 10 + j)
+                iy.append(cy * S + 10)
+        return _points_ds(pid, ix, iy, blocks=1)
+
+    def scalar(counts):
+        cells = list(counts.items())
+        C = len(cells)
+        T = sum(c for _, c in cells)
+        z = {xy: c * C - T for xy, c in cells}
+        num = w = 0
+        for (x, y) in counts:
+            for dx, dy in ((1, 0), (0, 1)):
+                if (x + dx, y + dy) in counts:
+                    num += 2 * z[(x, y)] * z[(x + dx, y + dy)]
+                    w += 2
+        den = sum(v * v for v in z.values())
+        return C, w, num, den
+
+    clustered = {(0, 0): 5, (1, 0): 5, (2, 0): 5,
+                 (0, 1): 1, (1, 1): 1, (2, 1): 1}
+    checker = {(0, 0): 5, (1, 0): 1, (2, 0): 5,
+               (0, 1): 1, (1, 1): 5, (2, 1): 1}
+    results = {}
+    for name, counts in (("clustered", clustered), ("checker", checker)):
+        out = moran_points(pts_for(counts), num_parts=3)
+        row = out.iloc[0]
+        C, w, num, den = scalar(counts)
+        assert (row["n_cells"], row["w_sum"], row["num_zz"], row["den_zz"]) \
+            == (C, w, num, den), name
+        results[name] = int(row["num_zz"])
+    assert results["clustered"] > 0 > results["checker"]
+
+
+def test_moran_single_cell_no_pairs(ray_session):
+    from osmi_addresses_ray.pipelines.geo_ops import moran_points
+
+    out = moran_points(_points_ds([1, 2], [5, 6], [5, 6]), num_parts=2)
+    row = out.iloc[0]
+    assert row["n_cells"] == 1 and row["w_sum"] == 0 and row["num_zz"] == 0
+    assert row["den_zz"] == 0  # z of the single cell is n·1 − n = 0

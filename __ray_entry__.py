@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "allen_interval_mix": timeseries.allen_interval_mix,
         "xcorr_types": timeseries.xcorr_types,
         "periodicity_detect": timeseries.periodicity_detect,
+        "mann_kendall": timeseries.mann_kendall,
         "range_join_shipments": timeseries.range_join_shipments,
         "running_totals": timeseries.running_totals,
         "streaming_watermark_counts": timeseries.streaming_watermark_counts,
@@ -2441,6 +2442,48 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY event_type
                                        ORDER BY key DESC, p) = 1
             ORDER BY event_type
+        """,
+        # Mann–Kendall: S by the O(m²) sign pair join (the oracle's job —
+        # the engine uses a Fenwick fold), tie term over equal-value groups
+        "mann_kendall": """
+            WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                              count(*)::BIGINT AS n
+                       FROM events GROUP BY 1, 2),
+            b AS (SELECT event_type, min(hr) AS lo,
+                         date_diff('hour', min(hr), max(hr))::BIGINT + 1 AS m
+                  FROM h GROUP BY 1),
+            grid AS (SELECT b.event_type,
+                            date_diff('hour', b.lo, g.hr)::BIGINT AS t,
+                            b.m
+                     FROM b, unnest(generate_series(
+                         b.lo, b.lo + to_hours(b.m - 1),
+                         INTERVAL 1 HOUR)) AS g(hr)),
+            xs AS (SELECT g.event_type, g.t, g.m,
+                          coalesce(h2.n, 0)::BIGINT AS x
+                   FROM grid g
+                   LEFT JOIN (SELECT event_type,
+                                     date_diff('hour', b.lo, h.hr)::BIGINT AS t,
+                                     n
+                              FROM h JOIN b USING (event_type)) h2
+                     ON h2.event_type = g.event_type AND h2.t = g.t),
+            s AS (SELECT a.event_type,
+                         sum(CASE WHEN b2.x > a.x THEN 1
+                                  WHEN b2.x < a.x THEN -1 ELSE 0 END)::BIGINT
+                             AS s_stat
+                  FROM xs a JOIN xs b2
+                    ON b2.event_type = a.event_type AND b2.t > a.t
+                  GROUP BY 1),
+            ties AS (SELECT event_type,
+                            sum(c * (c - 1) * (2 * c + 5))::BIGINT AS tie_term
+                     FROM (SELECT event_type, x, count(*)::BIGINT AS c
+                           FROM xs GROUP BY 1, 2)
+                     WHERE c > 1 GROUP BY 1)
+            SELECT b.event_type, b.m AS n_hours,
+                   coalesce(s.s_stat, 0)::BIGINT AS s_stat,
+                   coalesce(ties.tie_term, 0)::BIGINT AS tie_term
+            FROM b LEFT JOIN s USING (event_type)
+                   LEFT JOIN ties USING (event_type)
+            ORDER BY b.event_type
         """,
         # Kaplan–Meier in fixed-point integers: the sequential product is a
         # recursive CTE stepping one death time per iteration; HUGEINT keeps

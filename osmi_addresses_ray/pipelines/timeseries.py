@@ -2656,3 +2656,91 @@ def periodicity_detect(sf_dir: str, *, max_period: int = 24) -> pd.DataFrame:
     for c in ("best_p", "score_key", "n_hours"):
         out[c] = out[c].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+# --- Mann–Kendall trend test statistics -----------------------------------------
+
+
+def mann_kendall(sf_dir: str) -> pd.DataFrame:
+    """Mann–Kendall monotonic-trend statistics per event type over its dense
+    hourly count series (Mann 1945, Kendall 1975) — the standard
+    nonparametric is-traffic-growing test. Emitted exact integers:
+    S = Σ_{i<j} sign(x_j − x_i) and the tie correction
+    tie_term = Σ_groups t·(t−1)·(2t+5); the consumer forms
+    var = (n(n−1)(2n+5) − tie_term)/18 and the z statistic (the only
+    irrational steps). Output: (event_type, n_hours, s_stat, tie_term).
+
+    Distributed shape: ONE pre-aggregated (type, hour)-keyed exchange builds
+    the hourly table; S folds on the calendar-bounded series via a Fenwick
+    tree over the compressed value domain — O(m log m) per type on a table
+    bounded by calendar hours (~10⁵/decade), never O(events) and never the
+    O(m²) pair join (that is the ORACLE's job).
+    """
+    import pyarrow.compute as pc
+
+    from .relational import grouped_agg
+
+    empty = pd.DataFrame({
+        "event_type": pd.Series([], dtype=object),
+        "n_hours": pd.Series([], dtype="int64"),
+        "s_stat": pd.Series([], dtype="int64"),
+        "tie_term": pd.Series([], dtype="int64"),
+    })
+    ds = _read_events(sf_dir, ["ts", "event_type"])
+
+    def add_hr(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "hr": pc.floor_temporal(t["ts"], unit="hour"),
+        })
+
+    hourly = grouped_agg(
+        ds.map_batches(add_hr, batch_format="pyarrow"),
+        ["event_type", "hr"],
+        {"n": (None, "count")},
+    ).to_pandas()
+    if hourly.empty:
+        return empty
+    hourly["n"] = hourly["n"].astype("int64")
+    hr_us = hourly["hr"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    hourly = hourly.assign(t=hr_us // 3_600_000_000)
+    rows = []
+    for typ, sub in hourly.groupby("event_type", sort=True):
+        lo = int(sub["t"].min())
+        m = int(sub["t"].max()) - lo + 1
+        x = np.zeros(m, dtype=np.int64)
+        x[sub["t"].to_numpy() - lo] = sub["n"].to_numpy()
+        # compress values to ranks 1..V for the Fenwick domain
+        vals, ranks = np.unique(x, return_inverse=True)
+        V = len(vals)
+        tree = [0] * (V + 1)
+
+        def bit_add(i: int) -> None:
+            while i <= V:
+                tree[i] += 1
+                i += i & (-i)
+
+        def bit_sum(i: int) -> int:  # count of ranks <= i among seen
+            s = 0
+            while i > 0:
+                s += tree[i]
+                i -= i & (-i)
+            return s
+
+        s_stat = 0
+        for k, r in enumerate(ranks):
+            less = bit_sum(int(r))           # strictly below: ranks < r+1
+            leq = bit_sum(int(r) + 1)        # ≤ r  (ranks are 0-based)
+            greater = k - leq
+            s_stat += less - greater
+            bit_add(int(r) + 1)
+        cnt = np.bincount(ranks)
+        tie_term = int(sum(int(c) * (int(c) - 1) * (2 * int(c) + 5)
+                           for c in cnt if c > 1))
+        rows.append((typ, m, s_stat, tie_term))
+    out = pd.DataFrame(
+        rows, columns=["event_type", "n_hours", "s_stat", "tie_term"]
+    )
+    for c in ("n_hours", "s_stat", "tie_term"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)

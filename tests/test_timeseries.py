@@ -1038,3 +1038,48 @@ def test_periodicity_short_series_skipped(tmp_path, ray_session):
     _write_events(tmp_path, rows)
     out = timeseries.periodicity_detect(str(tmp_path))
     assert list(out["event_type"]) == ["b"]
+
+
+# --- Mann–Kendall -----------------------------------------------------------------
+
+
+def test_mann_kendall_monotone_and_ties(tmp_path, ray_session):
+    """Series a: counts [1,2,3,4] (strictly rising) -> S = 6, no ties.
+    Series b: [2,1,1,2] -> hand-computed S and tie term."""
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    h = np.timedelta64(1, "h")
+    rows, eid = [], 0
+    for t, c in enumerate([1, 2, 3, 4]):
+        for _ in range(c):
+            rows.append((eid, base + t * h, 1, "a", 1.0)); eid += 1
+    for t, c in enumerate([2, 1, 1, 2]):
+        for _ in range(c):
+            rows.append((eid, base + t * h, 1, "b", 1.0)); eid += 1
+    _write_events(tmp_path, rows)
+    out = timeseries.mann_kendall(str(tmp_path))
+    a = out[out["event_type"] == "a"].iloc[0]
+    assert (a["n_hours"], a["s_stat"], a["tie_term"]) == (4, 6, 0)
+    b = out[out["event_type"] == "b"].iloc[0]
+    # pairs of [2,1,1,2]: (2,1)- (2,1)- (2,2)0 (1,1)0 (1,2)+ (1,2)+ -> S=0
+    # ties: two groups of size 2 -> 2·(2·1·9) = 36
+    assert (b["n_hours"], b["s_stat"], b["tie_term"]) == (4, 0, 36)
+
+
+def test_mann_kendall_fenwick_matches_bruteforce(tmp_path, ray_session):
+    rng = np.random.RandomState(3)
+    counts = rng.randint(0, 5, 40)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    h = np.timedelta64(1, "h")
+    rows, eid = [], 0
+    counts[0] = max(counts[0], 1)
+    counts[-1] = max(counts[-1], 1)  # pin the series extent
+    for t, c in enumerate(counts):
+        for _ in range(int(c)):
+            rows.append((eid, base + t * h, 1, "a", 1.0)); eid += 1
+    _write_events(tmp_path, rows)
+    out = timeseries.mann_kendall(str(tmp_path)).iloc[0]
+    s = sum(
+        int(np.sign(counts[j] - counts[i]))
+        for i in range(len(counts)) for j in range(i + 1, len(counts))
+    )
+    assert out["s_stat"] == s and out["n_hours"] == 40

@@ -399,6 +399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "map_match_accuracy": _mm_accuracy_query,
         "hotspot_cells": _hotspot_query,
         "line_simplify": _line_simplify_query,
+        "vw_simplify": _vw_simplify_query,
         "map_match_trajectories": _map_match_query,
         "convex_hull_cells": _hulls_query,
         "segment_crossings": _segment_xing_query,
@@ -1770,6 +1771,26 @@ def _line_simplify_query(sf_dir: str):
     out = line_simplify(ways_geo)
     write_oracle(
         "line_simplify", oracle_line_simplify(fixture_table(FIXTURE_BLOCKS), SIMPLIFY_EPS)
+    )
+    return out
+
+
+def _vw_simplify_query(sf_dir: str):
+    """Visvalingam–Whyatt way simplification (min effective-area removal,
+    exact int64 cross products); oracle = independent scalar remove-min
+    list replay over the naive-parsed ways."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.geo_ops import oracle_vw_simplify
+    from osmi_addresses_ray.pipelines.geo_ops import VW_MIN_AREA2, vw_line_simplify
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.assembly import assemble_ways
+    from osmi_addresses_ray.stages.parse import parse_docs
+
+    parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
+    ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
+    out = vw_line_simplify(ways_geo)
+    write_oracle(
+        "vw_simplify", oracle_vw_simplify(fixture_table(FIXTURE_BLOCKS), VW_MIN_AREA2)
     )
     return out
 
@@ -4766,6 +4787,7 @@ GROUP BY c.region ORDER BY region
             ORDER BY p.pid
         """,
         "line_simplify": read_parquet_sql("line_simplify", "way_id, seq"),
+        "vw_simplify": read_parquet_sql("vw_simplify", "way_id, seq"),
         "street_route_dist": read_parquet_sql("street_route_dist", "src, node"),
         # bearing rose: the identical integer sign/compare CASE ladder over
         # independently parsed street segments (ties fall off the diagonal)

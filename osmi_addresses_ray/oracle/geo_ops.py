@@ -591,3 +591,39 @@ def oracle_relate_rings(docs) -> pd.DataFrame:
     if df.empty:
         df = pd.DataFrame({c: pd.Series([], dtype="int64") for c in df.columns})
     return df.astype("int64")
+
+
+def oracle_vw_simplify(docs, min_area2: int) -> pd.DataFrame:
+    """Independent scalar Visvalingam–Whyatt replay: plain python-int list
+    surgery (remove-min loop over a live list, lowest index on ties) over
+    the naive-parsed ways — no linked list, no numpy."""
+
+    def _vw(pts: list[tuple[int, int]]) -> list[int]:
+        idx = list(range(len(pts)))
+        if len(idx) <= 2:
+            return idx
+
+        def a2(j: int) -> int:
+            (ax, ay) = pts[idx[j - 1]]
+            (px, py) = pts[idx[j]]
+            (bx, by) = pts[idx[j + 1]]
+            return abs((px - ax) * (by - ay) - (py - ay) * (bx - ax))
+
+        while len(idx) > 2:
+            areas = [a2(j) for j in range(1, len(idx) - 1)]
+            m = min(areas)
+            if m >= min_area2:
+                break
+            # lowest ORIGINAL index among minima == first position in the
+            # live list (original order is preserved by list surgery)
+            idx.pop(1 + areas.index(m))
+        return idx
+
+    rows = []
+    for way_id, pts in _way_points(docs):
+        for seq, i in enumerate(_vw(pts)):
+            rows.append(
+                {"way_id": way_id, "seq": seq, "ix": pts[i][0], "iy": pts[i][1]}
+            )
+    df = pd.DataFrame(rows, columns=["way_id", "seq", "ix", "iy"])
+    return df.astype({"way_id": "int64", "seq": "int32", "ix": "int64", "iy": "int64"})

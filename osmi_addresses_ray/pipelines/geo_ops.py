@@ -5671,3 +5671,105 @@ def moran_points(points_ds, *, num_parts: int = 8) -> pd.DataFrame:
         "num_zz": pd.array([num], dtype="int64"),
         "den_zz": pd.array([den], dtype="int64"),
     })
+
+
+# --------------------------------------------------------------------------
+# Visvalingam–Whyatt simplification (effective-area point removal)
+# --------------------------------------------------------------------------
+
+VW_MIN_AREA2 = 2 * 1_000_000  # twice-area threshold in unit² (0.0001°-scale)
+
+
+def visvalingam(xs: np.ndarray, ys: np.ndarray, min_area2: int) -> np.ndarray:
+    """Indices kept by Visvalingam–Whyatt (1993) at twice-area threshold
+    ``min_area2``: repeatedly remove the interior vertex whose neighbor
+    triangle has the SMALLEST |cross| (twice the effective area, exact
+    int64), ties to the lowest index, until every survivor's area is
+    ≥ ``min_area2``. Endpoints always survive. Per-way doubly-linked sweep —
+    each removal touches only its two neighbors, so a way of n vertices
+    costs O(n·scan) with n bounded by the reference's short geometries
+    (SURVEY §2.3 M3: average <20 vertices)."""
+    n = len(xs)
+    if n <= 2:
+        return np.arange(n, dtype=np.int64)
+    xs = xs.astype(np.int64, copy=False)
+    ys = ys.astype(np.int64, copy=False)
+    prv = np.arange(-1, n - 1, dtype=np.int64)
+    nxt = np.arange(1, n + 1, dtype=np.int64)
+    alive = np.ones(n, dtype=bool)
+
+    def area2(i: int) -> int:
+        a, b = int(prv[i]), int(nxt[i])
+        return abs(
+            (xs[i] - xs[a]) * (ys[b] - ys[a])
+            - (ys[i] - ys[a]) * (xs[b] - xs[a])
+        )
+
+    ar = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    for i in range(1, n - 1):
+        ar[i] = area2(i)
+    while True:
+        interior = alive.copy()
+        interior[0] = interior[n - 1] = False
+        if not interior.any():
+            break
+        cand = np.where(interior, ar, np.iinfo(np.int64).max)
+        k = int(np.argmin(cand))  # argmin takes the FIRST minimum — the tie rule
+        if int(cand[k]) >= min_area2:
+            break
+        alive[k] = False
+        a, b = int(prv[k]), int(nxt[k])
+        nxt[a], prv[b] = b, a
+        if a != 0 and a != n - 1:
+            ar[a] = area2(a)
+        if b != 0 and b != n - 1:
+            ar[b] = area2(b)
+    return np.flatnonzero(alive).astype(np.int64)
+
+
+def vw_simplify_ways(ways_geo_ds, *, min_area2: int):
+    """VW-simplify every nonzero-length way → one row per KEPT vertex
+    (way_id, seq, ix, iy) — the area-based sibling of ``simplify_ways``
+    (DP keeps what sticks OUT; VW keeps what MATTERS by area, the rule
+    cartographers prefer for polygons)."""
+    out_schema = pa.schema(
+        [("way_id", pa.int64()), ("seq", pa.int32()), ("ix", pa.int64()),
+         ("iy", pa.int64())]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = t.filter(t["nonzero"])
+        if s.num_rows == 0:
+            return out_schema.empty_table()
+        xs_col = s["xs"].combine_chunks() if isinstance(s["xs"], pa.ChunkedArray) else s["xs"]
+        ys_col = s["ys"].combine_chunks() if isinstance(s["ys"], pa.ChunkedArray) else s["ys"]
+        offs = np.asarray(xs_col.offsets, np.int64)
+        offs = offs - offs[0]
+        fx = np.round(np.asarray(xs_col.flatten(), np.float64) * QUANT).astype(np.int64)
+        fy = np.round(np.asarray(ys_col.flatten(), np.float64) * QUANT).astype(np.int64)
+        wid = s["way_id"].to_numpy(zero_copy_only=False)
+        w_out, seq_out, ix_out, iy_out = [], [], [], []
+        for i in range(len(wid)):
+            lo, hi = offs[i], offs[i + 1]
+            kept = visvalingam(fx[lo:hi], fy[lo:hi], min_area2)
+            w_out.append(np.full(len(kept), wid[i], np.int64))
+            seq_out.append(np.arange(len(kept), dtype=np.int32))
+            ix_out.append(fx[lo + kept])
+            iy_out.append(fy[lo + kept])
+        return pa.table(
+            {
+                "way_id": pa.array(np.concatenate(w_out)),
+                "seq": pa.array(np.concatenate(seq_out)),
+                "ix": pa.array(np.concatenate(ix_out)),
+                "iy": pa.array(np.concatenate(iy_out)),
+            }
+        )
+
+    return ways_geo_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def vw_line_simplify(ways_geo_ds) -> pd.DataFrame:
+    df = vw_simplify_ways(ways_geo_ds, min_area2=VW_MIN_AREA2).to_pandas()
+    return _sorted(
+        df.astype({"way_id": "int64", "seq": "int32", "ix": "int64", "iy": "int64"})
+    )

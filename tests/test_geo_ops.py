@@ -529,3 +529,61 @@ def test_moran_single_cell_no_pairs(ray_session):
     row = out.iloc[0]
     assert row["n_cells"] == 1 and row["w_sum"] == 0 and row["num_zz"] == 0
     assert row["den_zz"] == 0  # z of the single cell is n·1 − n = 0
+
+
+# --- Visvalingam–Whyatt -------------------------------------------------------------
+
+
+def test_visvalingam_kernel_order_and_threshold():
+    from osmi_addresses_ray.pipelines.geo_ops import visvalingam
+
+    # collinear interior point: area 0 -> removed at any threshold > 0
+    xs = np.array([0, 10, 20], np.int64)
+    ys = np.array([0, 0, 0], np.int64)
+    assert visvalingam(xs, ys, 1).tolist() == [0, 2]
+    # zig-zag: areas 2*[small, big]; small corner removed first, then the
+    # recomputed big corner survives the threshold
+    xs2 = np.array([0, 10, 20, 30], np.int64)
+    ys2 = np.array([0, 2, 40, 0], np.int64)
+    # areas2: p1: |cross((10,2)-(0,0),(20,40)-(0,0))| = |10*40-2*20| = 360
+    #         p2: |cross| at (20,40) with nbrs (10,2),(30,0) = |10*-2-38*20|=780
+    kept = visvalingam(xs2, ys2, 400)
+    assert kept.tolist() == [0, 2, 3]  # p1 (360 < 400) dropped, p2 recomputed
+    # after p1 removal p2's area changes: nbrs (0,0),(30,0): |20*0-40*30|=1200
+    kept2 = visvalingam(xs2, ys2, 1300)
+    assert kept2.tolist() == [0, 3]
+    # tie rule: two equal minimal areas -> FIRST index removed first
+    xs3 = np.array([0, 10, 20, 30, 40], np.int64)
+    ys3 = np.array([0, 1, 0, 1, 0], np.int64)
+    kept3 = visvalingam(xs3, ys3, 21)  # both interior humps have area2 = 20
+    assert 1 not in kept3.tolist()
+
+
+def test_vw_matches_scalar_oracle_shape():
+    """Engine kernel == scalar oracle list replay on a random polyline."""
+    from osmi_addresses_ray.pipelines.geo_ops import visvalingam
+
+    rng = np.random.RandomState(5)
+    xs = np.cumsum(rng.randint(1, 20, 30)).astype(np.int64)
+    ys = rng.randint(-50, 50, 30).astype(np.int64)
+
+    def scalar(pts, thr):
+        idx = list(range(len(pts)))
+
+        def a2(j):
+            (ax, ay), (px, py), (bx, by) = (
+                pts[idx[j - 1]], pts[idx[j]], pts[idx[j + 1]])
+            return abs((px - ax) * (by - ay) - (py - ay) * (bx - ax))
+
+        while len(idx) > 2:
+            areas = [a2(j) for j in range(1, len(idx) - 1)]
+            m = min(areas)
+            if m >= thr:
+                break
+            idx.pop(1 + areas.index(m))
+        return idx
+
+    for thr in (1, 100, 1000, 10**9):
+        got = visvalingam(xs, ys, thr).tolist()
+        want = scalar(list(zip(xs.tolist(), ys.tolist())), thr)
+        assert got == want, thr

@@ -379,6 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "addr_completeness": _addr_completeness_query,
         "areal_interpolation": _areal_interp_query,
         "moran_i": _moran_query,
+        "ripley_k": _ripley_query,
         "traj_speed_outliers": _speed_outliers_query,
         "way_sinuosity": _sinuosity_query,
         "route_circuity": _circuity_query,
@@ -1634,6 +1635,20 @@ def _moran_query(sf_dir: str):
     from osmi_addresses_ray.pipelines.geo_ops import moran_nwa
 
     out = moran_nwa(
+        _fixture_layers()["osmi_addresses_nodes_with_addresses"],
+        num_parts=_parts_for(FIXTURE_BLOCKS),
+    )
+    _write_spatial_src()
+    return out
+
+
+def _ripley_query(sf_dir: str):
+    """Ripley's K cumulative pair counts at 4 ring radii; TRUE SQL oracle:
+    brute-force pair join bucketed by the same r² ladder over the
+    independent point source."""
+    from osmi_addresses_ray.pipelines.geo_ops import ripley_k_nwa
+
+    out = ripley_k_nwa(
         _fixture_layers()["osmi_addresses_nodes_with_addresses"],
         num_parts=_parts_for(FIXTURE_BLOCKS),
     )
@@ -5059,6 +5074,31 @@ GROUP BY c.region ORDER BY region
                    sum(c * w)::BIGINT AS alloc_16,
                    count(*)::BIGINT AS n_src
             FROM src CROSS JOIN q GROUP BY 1, 2 ORDER BY tx, ty
+        """,
+        # Ripley's K: cumulative pair counts at r = k·5000 via the brute
+        # self-join (the oracle's job — the engine buckets the cell-exchange
+        # pairs); bbox area and n ride along for the consumer's K̂ division
+        "ripley_k": f"""
+            WITH pts AS (
+                SELECT DISTINCT
+                       CAST(COALESCE(node_id, 10000000 + way_id) AS BIGINT) AS pid,
+                       CAST(round(lon * 10000000) AS BIGINT) AS ix,
+                       CAST(round(lat * 10000000) AS BIGINT) AS iy
+                FROM read_parquet('{oracle_path('spatial_radius_src')}')
+                WHERE is_ip = 0),
+            ext AS (SELECT count(*)::BIGINT AS n,
+                           ((max(ix) - min(ix)) * (max(iy) - min(iy)))::BIGINT
+                               AS area
+                    FROM pts),
+            d AS (SELECT (a.ix - b.ix) * (a.ix - b.ix)
+                         + (a.iy - b.iy) * (a.iy - b.iy) AS d2
+                  FROM pts a JOIN pts b ON a.pid < b.pid),
+            ks AS (SELECT unnest(range(1, 5))::BIGINT AS k)
+            SELECT ks.k, (ks.k * 5000)::BIGINT AS r,
+                   (SELECT count(*) FROM d
+                    WHERE d2 <= (ks.k * 5000) * (ks.k * 5000))::BIGINT AS n_pairs,
+                   ext.n AS n_pts, ext.area AS bbox_area
+            FROM ks, ext ORDER BY ks.k
         """,
         # Moran's I sufficient stats: z pre-scaled by C (z = n·C − T), rook
         # pairs by a +1 cell self-join counted in BOTH orders (×2); the one

@@ -5773,3 +5773,91 @@ def vw_line_simplify(ways_geo_ds) -> pd.DataFrame:
     return _sorted(
         df.astype({"way_id": "int64", "seq": "int32", "ix": "int64", "iy": "int64"})
     )
+
+
+# --------------------------------------------------------------------------
+# Ripley's K multi-radius pair counts
+# --------------------------------------------------------------------------
+
+RIPLEY_R0 = 5_000   # base ring radius (0.0005°)
+RIPLEY_RINGS = 4
+
+
+def ripley_k_nwa(nwa_ds, *, num_parts: int = 8) -> pd.DataFrame:
+    """``ripley_k`` over the nodes_with_addresses layer points."""
+    return ripley_k(points_from_nwa(nwa_ds), num_parts=num_parts)
+
+
+def ripley_k(points_ds, *, r0: int = RIPLEY_R0, rings: int = RIPLEY_RINGS,
+             num_parts: int = 8) -> pd.DataFrame:
+    """Ripley's K-function sufficient statistics (Ripley 1977): cumulative
+    unordered-pair counts at radii r = k·r0, k = 1..``rings``, plus the
+    point count and the bounding-box area — the multi-scale
+    clustered-vs-CSR diagnostic (K̂(r) = area·2·n_pairs(r)/n² is the
+    consumer's one division). All emitted quantities exact int64.
+
+    Distributed shape: ONE cell exchange at width rings·r0 (the existing
+    ``radius_pairs`` 3×3 scheme — any qualifying pair is co-cell or
+    adjacent), per-partition ring bucketing by searchsorted against the
+    ring-radius² ladder, a ≤``rings``-row groupby, and a per-block
+    min/max extent partial. Pair lists never reach the driver.
+    """
+    from .relational import grouped_agg
+
+    pts = points_ds.materialize()
+    empty = pd.DataFrame(
+        {c: pd.Series([], dtype="int64")
+         for c in ("k", "r", "n_pairs", "n_pts", "bbox_area")}
+    )
+
+    def ext_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("minx", pa.int64()), ("maxx", pa.int64()),
+                 ("miny", pa.int64()), ("maxy", pa.int64()),
+                 ("n", pa.int64())]
+            ).empty_table()
+        ix = t["ix"].to_numpy(zero_copy_only=False)
+        iy = t["iy"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "minx": pa.array([int(ix.min())]), "maxx": pa.array([int(ix.max())]),
+            "miny": pa.array([int(iy.min())]), "maxy": pa.array([int(iy.max())]),
+            "n": pa.array([t.num_rows]),
+        })
+
+    ext = pts.map_batches(ext_partial, batch_format="pyarrow").to_pandas()
+    if ext.empty:
+        return empty
+    n_pts = int(ext["n"].sum())
+    area = (int(ext["maxx"].max()) - int(ext["minx"].min())) * (
+        int(ext["maxy"].max()) - int(ext["miny"].min())
+    )
+    ladder = np.array([(k * r0) ** 2 for k in range(1, rings + 1)], np.int64)
+
+    pairs = radius_pairs(pts, radius=rings * r0, num_parts=num_parts)
+
+    def ring_partial(t: pa.Table) -> pa.Table:
+        d2 = t["dist2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ring = np.searchsorted(ladder, d2, side="left") + 1  # min k with d≤k·r0
+        g = pd.DataFrame({"k": ring}).groupby("k", sort=False).size()
+        return pa.table({
+            "k": pa.array(g.index.to_numpy(np.int64)),
+            "c": pa.array(g.to_numpy(np.int64)),
+        })
+
+    rc = grouped_agg(
+        pairs.map_batches(ring_partial, batch_format="pyarrow"),
+        ["k"], {"c": ("c", "sum")},
+    ).to_pandas()
+    per_ring = np.zeros(rings, dtype=np.int64)
+    if not rc.empty:
+        kk = rc["k"].to_numpy(np.int64)
+        per_ring[kk - 1] = rc["c"].to_numpy(np.int64)
+    cum = np.cumsum(per_ring)
+    return pd.DataFrame({
+        "k": pd.array(np.arange(1, rings + 1), dtype="int64"),
+        "r": pd.array(np.arange(1, rings + 1) * r0, dtype="int64"),
+        "n_pairs": pd.array(cum, dtype="int64"),
+        "n_pts": pd.array([n_pts] * rings, dtype="int64"),
+        "bbox_area": pd.array([area] * rings, dtype="int64"),
+    })

@@ -587,3 +587,33 @@ def test_vw_matches_scalar_oracle_shape():
         got = visvalingam(xs, ys, thr).tolist()
         want = scalar(list(zip(xs.tolist(), ys.tolist())), thr)
         assert got == want, thr
+
+
+# --- Ripley's K -------------------------------------------------------------------
+
+
+def test_ripley_k_cumulative_rings(ray_session):
+    """Pairs planted at known distances: d=3 (ring 1), d=7 (ring 2),
+    d=20 exactly on ring 4's boundary (inclusive)."""
+    from osmi_addresses_ray.pipelines.geo_ops import ripley_k
+
+    out = ripley_k(
+        _points_ds([1, 2, 3, 4], [0, 3, 100, 120], [0, 0, 93, 93]),
+        r0=5, rings=4, num_parts=2,
+    )
+    # distances: (1,2)=3; (3,4)=20; (1,3),(1,4),(2,3),(2,4) all > 20
+    assert out["k"].tolist() == [1, 2, 3, 4]
+    assert out["r"].tolist() == [5, 10, 15, 20]
+    assert out["n_pairs"].tolist() == [1, 1, 1, 2]  # d=20 lands IN ring 4
+    assert (out["n_pts"] == 4).all()
+    assert (out["bbox_area"] == 120 * 93).all()
+
+
+def test_ripley_k_boundary_between_rings(ray_session):
+    """d = 10 with r0 = 5 sits exactly on ring 2's boundary -> counted in
+    ring 2 (cumulative from k=2), not ring 3."""
+    from osmi_addresses_ray.pipelines.geo_ops import ripley_k
+
+    out = ripley_k(_points_ds([1, 2], [0, 10], [0, 0]), r0=5, rings=3,
+                   num_parts=1)
+    assert out["n_pairs"].tolist() == [0, 1, 1]

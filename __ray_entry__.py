@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_trimmed_mean": relational.q_trimmed_mean,
         "q_group_moments": relational.q_group_moments,
         "benford_audit": relational.benford_audit,
+        "assoc_rules": relational.assoc_rules,
         "q_full_outer_hours": relational.q_full_outer_hours,
         "q_weighted_quantiles": relational.q_weighted_quantiles,
         "q_props_extract": relational.q_props_extract,
@@ -2122,6 +2123,22 @@ def oracle_sql() -> dict[str, str]:
                          CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d
                   FROM lineitem)
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        # market-basket pair supports: orders as baskets, distinct parts as
+        # items; exact supports, boundary ties by (part_a, part_b)
+        "assoc_rules": """
+            WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                        FROM lineitem),
+            n AS (SELECT count(DISTINCT o)::BIGINT AS n_orders FROM op),
+            sup AS (SELECT p, count(*)::BIGINT AS s FROM op GROUP BY p),
+            pairs AS (SELECT a.p AS pa, b.p AS pb, count(*)::BIGINT AS s_ab
+                      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+                      GROUP BY 1, 2)
+            SELECT pa AS part_a, pb AS part_b, s_ab AS support_ab,
+                   sa.s AS support_a, sb.s AS support_b, n.n_orders
+            FROM pairs JOIN sup sa ON sa.p = pa
+                       JOIN sup sb ON sb.p = pb CROSS JOIN n
+            ORDER BY s_ab DESC, pa, pb LIMIT 25
         """,
         # Benford first-digit audit: leading digit of integer cents via
         # VARCHAR substr (cents > 0 always has a nonzero lead digit); the

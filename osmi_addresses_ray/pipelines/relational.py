@@ -2156,3 +2156,113 @@ def benford_audit(sf_dir: str) -> pd.DataFrame:
     hist["obs_ppm"] = hist["n"].to_numpy() * 1_000_000 // total
     hist["dev_ppm"] = np.abs(hist["obs_ppm"] - hist["exp_ppm"])
     return hist.sort_values("digit").reset_index(drop=True)
+
+
+# --- association rules (market-basket pair supports) ----------------------------
+
+
+def assoc_rules(sf_dir: str, *, top: int = 25, num_parts: int = 8) -> pd.DataFrame:
+    """Market-basket association mining (Agrawal et al. 1993) over orders as
+    baskets and parts as items: the ``top`` co-ordered part pairs by exact
+    support, with both item supports and the basket count riding along so
+    confidence support_ab/support_a and lift n·s_ab/(s_a·s_b) are one
+    consumer division each. Ties at the boundary break by (part_a, part_b)
+    ascending. All counts exact int64.
+
+    Distributed shape: ONE orderkey-keyed exchange (baskets are tiny —
+    pairs per order bounded by C(lineitems,2) ≈ 21); inside a partition:
+    per-order distinct parts → pair expansion (the allen run-expansion
+    scheme) → partial (pa, pb) counts, with item supports (pb = −1) and the
+    partition's basket count (−1, −1) folded into the SAME stream. A second
+    (pa, pb)-keyed aggregate finishes; top-k is per-block partial + a k·P
+    driver merge, and only the ≤2·top winners' item supports are pulled."""
+    from ..ops import direct_partitioned_map
+
+    pre_schema = pa.schema(
+        [("o", pa.int64()), ("p", pa.int64())]
+    )
+    out_schema = pa.schema(
+        [("pa", pa.int64()), ("pb", pa.int64()), ("c", pa.int64())]
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame({
+                "o": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                "p": t["l_partkey"].to_numpy(zero_copy_only=False),
+            })
+            .drop_duplicates()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).cast(pre_schema)
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().drop_duplicates().sort_values(["o", "p"])
+        o = df["o"].to_numpy(np.int64)
+        p = df["p"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, o[1:] != o[:-1]])
+        lens = np.diff(np.r_[starts, len(o)])
+        parts = [
+            pd.DataFrame({"pa": p, "pb": np.full(len(p), -1, np.int64)}),
+            pd.DataFrame({
+                "pa": np.array([-1], np.int64), "pb": np.array([-1], np.int64),
+                "c": np.array([len(starts)], np.int64),
+            }),
+        ]
+        if int((lens * (lens - 1) // 2).sum()) > 0:
+            reps = np.concatenate([np.arange(k - 1, -1, -1) for k in lens])
+            li = np.repeat(np.arange(len(o)), reps)
+            seg = np.repeat(np.cumsum(reps) - reps, reps)
+            ri = li + 1 + (np.arange(int(reps.sum())) - seg)
+            parts.insert(0, pd.DataFrame({"pa": p[li], "pb": p[ri]}))
+        pair_df = pd.concat(
+            [d for d in parts if "c" not in d.columns], ignore_index=True
+        )
+        g = pair_df.groupby(["pa", "pb"], sort=False).size().reset_index(name="c")
+        g = pd.concat([g, parts[-1]], ignore_index=True)
+        g["c"] = g["c"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False).cast(out_schema)
+
+    ds = read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    agg = grouped_agg(
+        direct_partitioned_map(ds, ["o"], num_parts, fn, pre_schema, pre=pre),
+        ["pa", "pb"], {"c": ("c", "sum")},
+    ).materialize()
+
+    empty = pd.DataFrame(
+        {c: pd.Series([], dtype="int64")
+         for c in ("part_a", "part_b", "support_ab", "support_a",
+                   "support_b", "n_orders")}
+    )
+    pairs_only = agg.filter(expr="pb >= 0")
+    top_df = topk(
+        pairs_only, "c", top, tie_cols=["pa", "pb"], empty_schema=out_schema
+    )
+    if top_df.empty:
+        return empty
+    top_df = top_df.rename(
+        columns={"pa": "part_a", "pb": "part_b", "c": "support_ab"}
+    )
+    want = set(top_df["part_a"]) | set(top_df["part_b"])
+
+    sup = {}
+    n_orders = 0
+    for b in agg.filter(expr="pb == -1").iter_batches(batch_format="pyarrow"):
+        pa_arr = b["pa"].to_numpy(zero_copy_only=False)
+        c_arr = b["c"].to_numpy(zero_copy_only=False)
+        for pid, c in zip(pa_arr, c_arr):
+            if pid == -1:
+                n_orders += int(c)
+            elif int(pid) in want:
+                sup[int(pid)] = int(c)
+    top_df["support_a"] = top_df["part_a"].map(sup).astype("int64")
+    top_df["support_b"] = top_df["part_b"].map(sup).astype("int64")
+    top_df["n_orders"] = np.int64(n_orders)
+    for c in top_df.columns:
+        top_df[c] = top_df[c].astype("int64")
+    return (
+        top_df.sort_values(["support_ab", "part_a", "part_b"],
+                           ascending=[False, True, True])
+        .reset_index(drop=True)
+    )

@@ -421,3 +421,40 @@ def test_benford_audit_empty(tmp_path, ray_session):
     out = benford_audit(str(tmp_path))
     assert out.empty
     assert list(out.columns) == ["digit", "n", "exp_ppm", "obs_ppm", "dev_ppm"]
+
+
+# --- association rules -----------------------------------------------------------
+
+
+def test_assoc_rules_hand_baskets(tmp_path, ray_session):
+    """Baskets: {1,2,3}, {1,2}, {2,3}, {4}. Pair supports: (1,2)=2,
+    (1,3)=1, (2,3)=2. Item supports 1:2, 2:3, 3:2, 4:1; n_orders=4."""
+    from osmi_addresses_ray.pipelines.relational import assoc_rules
+
+    rows = []
+    for o, parts in [(10, [1, 2, 3]), (20, [1, 2]), (30, [2, 3]), (40, [4])]:
+        for p in parts:
+            rows.append((o, p))
+            rows.append((o, p))  # duplicate lineitems must not inflate support
+    df = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    df.to_parquet(tmp_path / "lineitem.parquet", index=False)
+    out = assoc_rules(str(tmp_path), top=10, num_parts=3)
+    got = {
+        (r.part_a, r.part_b): (r.support_ab, r.support_a, r.support_b)
+        for r in out.itertuples()
+    }
+    assert got == {
+        (1, 2): (2, 2, 3), (2, 3): (2, 3, 2), (1, 3): (1, 2, 2),
+    }
+    assert (out["n_orders"] == 4).all()
+    # ordering: support desc then (part_a, part_b)
+    assert list(zip(out["part_a"], out["part_b"])) == [(1, 2), (2, 3), (1, 3)]
+
+
+def test_assoc_rules_no_pairs(tmp_path, ray_session):
+    from osmi_addresses_ray.pipelines.relational import assoc_rules
+
+    pd.DataFrame({"l_orderkey": [1, 2], "l_partkey": [7, 8]}).to_parquet(
+        tmp_path / "lineitem.parquet", index=False
+    )
+    assert assoc_rules(str(tmp_path)).empty

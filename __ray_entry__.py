@@ -381,6 +381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "areal_interpolation": _areal_interp_query,
         "moran_i": _moran_query,
         "ripley_k": _ripley_query,
+        "hex_bins": _hex_bin_query,
         "traj_speed_outliers": _speed_outliers_query,
         "way_sinuosity": _sinuosity_query,
         "route_circuity": _circuity_query,
@@ -1636,6 +1637,20 @@ def _moran_query(sf_dir: str):
     from osmi_addresses_ray.pipelines.geo_ops import moran_nwa
 
     out = moran_nwa(
+        _fixture_layers()["osmi_addresses_nodes_with_addresses"],
+        num_parts=_parts_for(FIXTURE_BLOCKS),
+    )
+    _write_spatial_src()
+    return out
+
+
+def _hex_bin_query(sf_dir: str):
+    """Densest hexagonal bins (exact integer nearest-lattice-center
+    assignment); TRUE SQL oracle: the same 4-candidate ladder via a VALUES
+    cross join + QUALIFY argmin over the independent point source."""
+    from osmi_addresses_ray.pipelines.geo_ops import hex_bin_nwa
+
+    out = hex_bin_nwa(
         _fixture_layers()["osmi_addresses_nodes_with_addresses"],
         num_parts=_parts_for(FIXTURE_BLOCKS),
     )
@@ -5091,6 +5106,38 @@ GROUP BY c.region ORDER BY region
                    sum(c * w)::BIGINT AS alloc_16,
                    count(*)::BIGINT AS n_src
             FROM src CROSS JOIN q GROUP BY 1, 2 ORDER BY tx, ty
+        """,
+        # hex binning: the same 4-candidate nearest-lattice-center ladder
+        # ((W/2)² ≤ H² bounds the search to rows r0/r0+1), integer d², ties
+        # (d², r, q); parity offset via ((r % 2) + 2) % 2 for negative rows
+        "hex_bins": f"""
+            WITH pts AS (
+                SELECT DISTINCT
+                       CAST(COALESCE(node_id, 10000000 + way_id) AS BIGINT) AS pid,
+                       CAST(round(lon * 10000000) AS BIGINT) AS ix,
+                       CAST(round(lat * 10000000) AS BIGINT) AS iy
+                FROM read_parquet('{oracle_path('spatial_radius_src')}')
+                WHERE is_ip = 0),
+            drq(dr, dq) AS (VALUES (0, 0), (0, 1), (1, 0), (1, 1)),
+            cand AS (
+                SELECT pid, ix, iy,
+                       (iy // 8660 + dr) AS r,
+                       ((ix - CASE WHEN (((iy // 8660 + dr) % 2) + 2) % 2 = 1
+                                   THEN 5000 ELSE 0 END) // 10000 + dq) AS q,
+                       CASE WHEN (((iy // 8660 + dr) % 2) + 2) % 2 = 1
+                            THEN 5000 ELSE 0 END AS off
+                FROM pts CROSS JOIN drq),
+            best AS (
+                SELECT pid, q, r
+                FROM cand
+                QUALIFY row_number() OVER (
+                    PARTITION BY pid
+                    ORDER BY (ix - (q * 10000 + off)) * (ix - (q * 10000 + off))
+                             + (iy - r * 8660) * (iy - r * 8660),
+                             r, q) = 1)
+            SELECT q, r, count(*)::BIGINT AS n
+            FROM best GROUP BY q, r
+            ORDER BY n DESC, q, r LIMIT 25
         """,
         # Ripley's K: cumulative pair counts at r = k·5000 via the brute
         # self-join (the oracle's job — the engine buckets the cell-exchange

@@ -5861,3 +5861,82 @@ def ripley_k(points_ds, *, r0: int = RIPLEY_R0, rings: int = RIPLEY_RINGS,
         "n_pts": pd.array([n_pts] * rings, dtype="int64"),
         "bbox_area": pd.array([area] * rings, dtype="int64"),
     })
+
+
+# --------------------------------------------------------------------------
+# hexagonal binning (H3-style tiling on an exact integer hex lattice)
+# --------------------------------------------------------------------------
+
+HEX_W = 10_000   # column pitch in micro-degrees (0.001°)
+HEX_H = 8_660    # row pitch ≈ (√3/2)·W, fixed integer — the lattice is exact
+
+
+def hex_bin_nwa(nwa_ds, *, num_parts: int = 8) -> pd.DataFrame:
+    """``hex_bin_counts`` over the nodes_with_addresses layer points."""
+    return hex_bin_counts(points_from_nwa(nwa_ds), num_parts=num_parts)
+
+
+def hex_bin_counts(points_ds, *, top: int = 25, num_parts: int = 8) -> pd.DataFrame:
+    """H3-style hexagonal binning: assign every address point to the nearest
+    center of the offset hex lattice (centers at (q·W + (r odd ? W/2 : 0),
+    r·H), H = 8660 ≈ √3/2·W fixed INTEGER — the Voronoi cells of this
+    lattice are true hexagons, and because H/W stays a ratio of integers the
+    assignment is exact: 4 candidate centers (rows r₀/r₀+1 × columns
+    q₀/q₀+1; (W/2)² ≤ H² proves no other row can win), integer d²
+    comparisons, ties by (d², r, q) lexicographic min. Output: the ``top``
+    densest hex cells (q, r, n), ties by (q, r) — the hex analogue of the
+    quadtree rollup, and the exact-arithmetic core of an H3-like tiler
+    (BASELINE north star: H3 res-8 cell encoding).
+
+    Distributed shape: per-batch candidate ladder + cell-count partials →
+    ONE (q, r)-keyed aggregate → per-block partial top-k, k·P driver merge.
+    Points never move; only occupied-cell rows do.
+    """
+    from .relational import grouped_agg, topk
+
+    def assign(t: pa.Table) -> pa.Table:
+        ix = t["ix"].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = t["iy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r0 = iy // HEX_H
+        best_d = np.full(len(ix), np.iinfo(np.int64).max, np.int64)
+        best_r = np.zeros(len(ix), np.int64)
+        best_q = np.zeros(len(ix), np.int64)
+        for dr in (0, 1):
+            r = r0 + dr
+            off = np.where(r % 2 != 0, HEX_W // 2, 0)
+            q0 = (ix - off) // HEX_W
+            for dq in (0, 1):
+                q = q0 + dq
+                cx = q * HEX_W + off
+                cy = r * HEX_H
+                d2 = (ix - cx) ** 2 + (iy - cy) ** 2
+                better = (d2 < best_d) | (
+                    (d2 == best_d)
+                    & ((r < best_r) | ((r == best_r) & (q < best_q)))
+                )
+                best_d = np.where(better, d2, best_d)
+                best_r = np.where(better, r, best_r)
+                best_q = np.where(better, q, best_q)
+        g = (
+            pd.DataFrame({"q": best_q, "r": best_r})
+            .groupby(["q", "r"], sort=False).size().reset_index(name="n")
+        )
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = grouped_agg(
+        points_ds.map_batches(assign, batch_format="pyarrow"),
+        ["q", "r"], {"n": ("n", "sum")},
+    )
+    out_schema = pa.schema([("q", pa.int64()), ("r", pa.int64()), ("n", pa.int64())])
+    out = topk(cells, "n", top, tie_cols=["q", "r"], empty_schema=out_schema)
+    if out.empty:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("q", "r", "n")}
+        )
+    for c in ("q", "r", "n"):
+        out[c] = out[c].astype("int64")
+    return (
+        out.sort_values(["n", "q", "r"], ascending=[False, True, True])
+        .reset_index(drop=True)[["q", "r", "n"]]
+    )

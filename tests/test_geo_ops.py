@@ -617,3 +617,61 @@ def test_ripley_k_boundary_between_rings(ray_session):
     out = ripley_k(_points_ds([1, 2], [0, 10], [0, 0]), r0=5, rings=3,
                    num_parts=1)
     assert out["n_pairs"].tolist() == [0, 1, 1]
+
+
+# --- hexagonal binning -------------------------------------------------------------
+
+
+def test_hex_bin_nearest_center_exact(ray_session):
+    """Points placed nearer a shifted odd-row center than any even-row
+    center must land in the odd row; a point equidistant between two
+    centers takes the (r, q)-smaller one."""
+    from osmi_addresses_ray.pipelines.geo_ops import HEX_H, HEX_W, hex_bin_counts
+
+    pts = [
+        (1, 100, 100),                       # near center (0, 0)
+        (2, HEX_W // 2, HEX_H),              # exactly center (0, 1) (odd row)
+        (3, HEX_W // 2, HEX_H // 2),         # same x as odd center -> (0, 1)
+        (4, HEX_W + 100, 50),                # near center (1, 0)
+    ]
+    out = hex_bin_counts(
+        _points_ds([p for p, _, _ in pts], [x for _, x, _ in pts],
+                   [y for _, _, y in pts]),
+        top=10, num_parts=2,
+    )
+    got = {(r.q, r.r): r.n for r in out.itertuples()}
+    # scalar check: brute-force over a center window
+    def brute(ix, iy):
+        best = None
+        for r in range(-2, 4):
+            off = HEX_W // 2 if r % 2 else 0
+            for q in range(-2, 4):
+                cx, cy = q * HEX_W + off, r * HEX_H
+                d2 = (ix - cx) ** 2 + (iy - cy) ** 2
+                key = (d2, r, q)
+                if best is None or key < best:
+                    best = key
+        return best[1], best[2]
+
+    want = {}
+    for _, x, y in pts:
+        r, q = brute(x, y)
+        want[(q, r)] = want.get((q, r), 0) + 1
+    assert got == want
+    assert got[(0, 1)] == 2  # exact odd-row center + the same-x midpoint
+    assert got[(0, 0)] == 1 and got[(1, 0)] == 1
+
+
+def test_hex_bin_topk_order(ray_session):
+    """Three cells with counts 3/2/1: output ordered by n desc then (q, r)."""
+    from osmi_addresses_ray.pipelines.geo_ops import HEX_H, HEX_W, hex_bin_counts
+
+    pid, ix, iy = [], [], []
+    k = 0
+    for (q, r), c in [((0, 0), 3), ((2, 0), 2), ((4, 0), 1)]:
+        for j in range(c):
+            pid.append(k); k += 1
+            ix.append(q * HEX_W + j)
+            iy.append(r * HEX_H)
+    out = hex_bin_counts(_points_ds(pid, ix, iy), top=2, num_parts=2)
+    assert list(zip(out["q"], out["r"], out["n"])) == [(0, 0, 3), (2, 0, 2)]

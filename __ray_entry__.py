@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_group_moments": relational.q_group_moments,
         "benford_audit": relational.benford_audit,
         "assoc_rules": relational.assoc_rules,
+        "soundex_parts": relational.soundex_parts,
         "q_full_outer_hours": relational.q_full_outer_hours,
         "q_weighted_quantiles": relational.q_weighted_quantiles,
         "q_props_extract": relational.q_props_extract,
@@ -2138,6 +2139,55 @@ def oracle_sql() -> dict[str, str]:
                          CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d
                   FROM lineitem)
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        # full American Soundex as a recursive character state machine:
+        # prev carries the last letter's code (h/w transparent via d = -1,
+        # vowels reset to 0), digits append iff 1..6 and ≠ prev, pad to 4
+        "soundex_parts": """
+            WITH RECURSIVE words AS (
+                SELECT lower(split_part(p_name, ' ', 1)) AS w FROM part
+            ),
+            u AS (SELECT DISTINCT w FROM words WHERE length(w) > 0),
+            rec(w, pos, prev, acc) AS (
+                SELECT w, 1,
+                       CASE WHEN substr(w, 1, 1) IN ('b','f','p','v') THEN 1
+                            WHEN substr(w, 1, 1) IN
+                                 ('c','g','j','k','q','s','x','z') THEN 2
+                            WHEN substr(w, 1, 1) IN ('d','t') THEN 3
+                            WHEN substr(w, 1, 1) = 'l' THEN 4
+                            WHEN substr(w, 1, 1) IN ('m','n') THEN 5
+                            WHEN substr(w, 1, 1) = 'r' THEN 6
+                            WHEN substr(w, 1, 1) IN ('h','w') THEN -1
+                            ELSE 0 END,
+                       upper(substr(w, 1, 1))
+                FROM u
+                UNION ALL
+                SELECT w, pos + 1,
+                       CASE WHEN d = -1 THEN prev ELSE d END,
+                       CASE WHEN d >= 1 AND d <> prev AND length(acc) < 4
+                            THEN acc || CAST(d AS VARCHAR) ELSE acc END
+                FROM (
+                    SELECT r.w, r.pos, r.prev, r.acc,
+                           CASE WHEN c IN ('b','f','p','v') THEN 1
+                                WHEN c IN ('c','g','j','k','q','s','x','z')
+                                     THEN 2
+                                WHEN c IN ('d','t') THEN 3
+                                WHEN c = 'l' THEN 4
+                                WHEN c IN ('m','n') THEN 5
+                                WHEN c = 'r' THEN 6
+                                WHEN c IN ('h','w') THEN -1
+                                ELSE 0 END AS d
+                    FROM (SELECT rec.*, substr(rec.w, rec.pos + 1, 1) AS c
+                          FROM rec WHERE rec.pos < length(rec.w)) r
+                )
+            ),
+            enc AS (SELECT w, substr(acc || '000', 1, 4) AS soundex
+                    FROM rec
+                    QUALIFY row_number() OVER (PARTITION BY w
+                                               ORDER BY pos DESC) = 1)
+            SELECT e.soundex, count(*)::BIGINT AS n
+            FROM words JOIN enc e USING (w)
+            GROUP BY 1 ORDER BY 1
         """,
         # market-basket pair supports: orders as baskets, distinct parts as
         # items; exact supports, boundary ties by (part_a, part_b)

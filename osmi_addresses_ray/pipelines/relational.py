@@ -2266,3 +2266,68 @@ def assoc_rules(sf_dir: str, *, top: int = 25, num_parts: int = 8) -> pd.DataFra
                            ascending=[False, True, True])
         .reset_index(drop=True)
     )
+
+
+# --- Soundex phonetic coding (entity-resolution blocking key) --------------------
+
+_SOUNDEX_CODE = {}
+for _grp, _d in (("bfpv", 1), ("cgjkqsxz", 2), ("dt", 3), ("l", 4),
+                 ("mn", 5), ("r", 6)):
+    for _ch in _grp:
+        _SOUNDEX_CODE[_ch] = _d
+for _ch in "hw":
+    _SOUNDEX_CODE[_ch] = -1  # transparent: preserves the previous code
+# vowels (aeiouy) and anything else: 0 — breaks same-code runs
+
+
+def soundex_code(word: str) -> str:
+    """American Soundex (Russell/Odell), the full rulebook: first letter
+    kept; later letters append their digit iff it differs from the PREVIOUS
+    letter's code, where h/w are transparent (keep the previous code — same
+    digits across h/w collapse) and vowels reset it (same digits across a
+    vowel both survive); pad/truncate to 4. Empty input → ''."""
+    w = word.lower()
+    if not w:
+        return ""
+    first = w[0].upper()
+    prev = _SOUNDEX_CODE.get(w[0], 0)
+    acc = first
+    for ch in w[1:]:
+        d = _SOUNDEX_CODE.get(ch, 0)
+        if 1 <= d != prev and len(acc) < 4:
+            acc += str(d)
+        if d != -1:
+            prev = d
+    return (acc + "000")[:4]
+
+
+def soundex_parts(sf_dir: str) -> pd.DataFrame:
+    """Soundex blocking-key histogram over part names — the phonetic
+    entity-resolution primitive (block candidate duplicate names by code,
+    verify inside blocks): for every part, the Soundex of the FIRST word of
+    p_name; output (soundex, n) counts. The state machine runs once per
+    DISTINCT word per batch (vocabulary-bounded work, the BPE unique-word
+    scheme), then a tiny code-keyed aggregate — strings never shuffle raw.
+    """
+    ds = read(sf_dir, "part", columns=["p_name"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        first = df["p_name"].astype(str).str.split(" ", n=1).str[0]
+        uniq = pd.unique(first)
+        table = {w: soundex_code(w) for w in uniq}
+        codes = first.map(table)
+        g = codes.value_counts().rename_axis("soundex").reset_index(name="n")
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    out = grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["soundex"], {"n": ("n", "sum")},
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame({
+            "soundex": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype="int64"),
+        })
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("soundex").reset_index(drop=True)

@@ -458,3 +458,35 @@ def test_assoc_rules_no_pairs(tmp_path, ray_session):
         tmp_path / "lineitem.parquet", index=False
     )
     assert assoc_rules(str(tmp_path)).empty
+
+
+# --- Soundex -----------------------------------------------------------------------
+
+
+def test_soundex_canonical_vectors():
+    from osmi_addresses_ray.pipelines.relational import soundex_code
+
+    # the classic published test vectors, incl. h/w transparency
+    # (Ashcraft), vowel separation (Tymczak) and first-letter dedup
+    # (Pfister)
+    assert soundex_code("Robert") == "R163"
+    assert soundex_code("Rupert") == "R163"
+    assert soundex_code("Ashcraft") == "A261"
+    assert soundex_code("Ashcroft") == "A261"
+    assert soundex_code("Tymczak") == "T522"
+    assert soundex_code("Pfister") == "P236"
+    assert soundex_code("Honeyman") == "H555"
+    assert soundex_code("lee") == "L000"
+    assert soundex_code("") == ""
+
+
+def test_soundex_parts_counts(tmp_path, ray_session):
+    from osmi_addresses_ray.pipelines.relational import soundex_parts
+
+    names = ["robert plum", "rupert gold", "lee navy", "ashcraft mint"]
+    pd.DataFrame({"p_name": names}).to_parquet(
+        tmp_path / "part.parquet", index=False
+    )
+    out = soundex_parts(str(tmp_path))
+    got = dict(zip(out["soundex"], out["n"]))
+    assert got == {"R163": 2, "L000": 1, "A261": 1}

@@ -1752,3 +1752,42 @@ def oracle_media_hist_eq(docs: pa.Table) -> pd.DataFrame:
         .astype({c: "int64" for c in ["n_pix", "lo", "hi", "sum_eq", "n_levels"]})
         .sort_values(["doc_id", "media_ref"]).reset_index(drop=True)
     )
+
+
+def oracle_media_palette(docs: pa.Table) -> pd.DataFrame:
+    """Scalar palette-quantization recomputation: per-pixel python-int L1
+    distance to all 8 cube corners with an explicit min scan (smallest index
+    on ties — which the odd 255 makes unreachable), algorithm-diverse from
+    the engine's per-channel bit test."""
+    corners = [
+        (r, g, b) for b in (0, 255) for g in (0, 255) for r in (0, 255)
+    ]
+    # index layout must match bit0=r,bit1=g,bit2=b
+    corners = [( (i & 1) * 255, ((i >> 1) & 1) * 255, ((i >> 2) & 1) * 255)
+               for i in range(8)]
+    rows = []
+    for row in docs.to_pylist():
+        for span in row["spans"]:
+            if span["kind"] != "media":
+                continue
+            img = _oracle_media_pixels(span["media_ref"])
+            h, w = img.shape[:2]
+            counts = [0] * 8
+            for y in range(h):
+                for x in range(w):
+                    r, g, b = (int(img[y, x, 0]), int(img[y, x, 1]),
+                               int(img[y, x, 2]))
+                    best = None
+                    for i, (cr, cg, cb) in enumerate(corners):
+                        d = abs(r - cr) + abs(g - cg) + abs(b - cb)
+                        if best is None or d < best[0]:
+                            best = (d, i)
+                    counts[best[1]] += 1
+            dom = max(range(8), key=lambda i: (counts[i], -i))
+            rows.append((row["doc_id"], span["media_ref"], dom, *counts))
+    cols = ["doc_id", "media_ref", "dominant"] + [f"c{i}" for i in range(8)]
+    return (
+        pd.DataFrame(rows, columns=cols)
+        .astype({c: "int64" for c in cols[2:]})
+        .sort_values(["doc_id", "media_ref"]).reset_index(drop=True)
+    )

@@ -1619,3 +1619,57 @@ def media_hist_eq(docs_ds, *, concurrency=(1, 4), batch_size: int = 64):
         ImageHistEq, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# --- fixed-palette color quantization -------------------------------------------
+
+MEDIA_PALETTE_SCHEMA = pa.schema(
+    [pa.field("doc_id", pa.string()), pa.field("media_ref", pa.string()),
+     pa.field("dominant", pa.int64())]
+    + [pa.field(f"c{i}", pa.int64()) for i in range(8)]
+)
+
+
+class ImagePalette:
+    """Actor-pool color quantization against the fixed 8-corner RGB palette
+    (index bit layout: bit0 = r ≥ 128, bit1 = g ≥ 128, bit2 = b ≥ 128 —
+    exactly the L1-nearest cube corner; 255 being odd means no pixel is ever
+    equidistant, so the assignment needs no tie rule). Output per image: the
+    8 palette counts plus the dominant index (ties to the SMALLEST index) —
+    the palette signature behind dedup prefilters and color-based sharding."""
+
+    def __init__(self):
+        from osmi_addresses_ray.stages.media_codecs import decode_image
+
+        self._decode = decode_image
+
+    @staticmethod
+    def _hist(img: np.ndarray) -> tuple[int, list[int]]:
+        bits = (img.astype(np.int64) >= 128)
+        idx = bits[..., 0] + 2 * bits[..., 1] + 4 * bits[..., 2]
+        h = np.bincount(idx.ravel(), minlength=8)
+        return int(np.argmax(h)), h.astype(int).tolist()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = {k: [] for k in MEDIA_PALETTE_SCHEMA.names}
+        for doc_id, ref, payload in zip(
+            t["doc_id"].to_pylist(), t["media_ref"].to_pylist(), t["payload"].to_pylist()
+        ):
+            dom, h = self._hist(self._decode(payload))
+            rows["doc_id"].append(doc_id)
+            rows["media_ref"].append(ref)
+            rows["dominant"].append(dom)
+            for i in range(8):
+                rows[f"c{i}"].append(h[i])
+        return pa.Table.from_arrays(
+            [pa.array(rows[f.name], f.type) for f in MEDIA_PALETTE_SCHEMA],
+            schema=MEDIA_PALETTE_SCHEMA,
+        )
+
+
+def media_palette(docs_ds, *, concurrency=(1, 4), batch_size: int = 64):
+    media = extract_media_refs(docs_ds)
+    return media.map_batches(
+        ImagePalette, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )

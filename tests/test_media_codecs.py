@@ -672,3 +672,29 @@ def test_hist_eq_matches_scalar_oracle_on_fixture(ray_session):
     )
     want = oracle_media_hist_eq(fixture_table(6))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# --- palette quantization ---------------------------------------------------------
+
+
+def test_palette_bit_layout_and_dominant():
+    from osmi_addresses_ray.stages.multimodal import ImagePalette
+
+    img = np.zeros((1, 4, 3), dtype=np.uint8)
+    img[0, 0] = (200, 10, 10)    # r bit only -> index 1
+    img[0, 1] = (10, 200, 10)    # g bit -> index 2
+    img[0, 2] = (10, 10, 200)    # b bit -> index 4
+    img[0, 3] = (128, 128, 128)  # all bits at the threshold -> index 7
+    dom, h = ImagePalette._hist(img)
+    assert h == [0, 1, 1, 0, 1, 0, 0, 1]
+    assert dom == 1  # four-way tie at count 1 -> smallest index with max
+
+
+def test_palette_threshold_127_vs_128():
+    from osmi_addresses_ray.stages.multimodal import ImagePalette
+
+    img = np.zeros((1, 2, 3), dtype=np.uint8)
+    img[0, 0] = (127, 0, 0)  # nearer 0 -> index 0
+    img[0, 1] = (128, 0, 0)  # nearer 255 -> index 1
+    _, h = ImagePalette._hist(img)
+    assert h[0] == 1 and h[1] == 1

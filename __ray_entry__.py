@@ -397,6 +397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "staypoints": _staypoints_query,
         "hausdorff_pairs": _hausdorff_query,
         "frechet_pairs": _frechet_query,
+        "edr_pairs": _edr_query,
         "polygon_audit": _polygon_audit_query,
         "polygon_relate": _polygon_relate_query,
         "geofence_transitions": _geofence_query,
@@ -1589,6 +1590,24 @@ def _frechet_query(sf_dir: str):
     parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
     ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
     out = frechet_pairs(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
+    write_oracle("dwell_points_src", oracle_dwell_points(fixture_table(FIXTURE_BLOCKS)))
+    return out
+
+
+def _edr_query(sf_dir: str):
+    """Origin-cell-bucketed pairwise EDR (noise-robust edit distance on
+    real sequences); TRUE SQL oracle: recursive-CTE min-of-preds DP with
+    per-move costs over the independent dwell points."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.geo_ops import oracle_dwell_points
+    from osmi_addresses_ray.pipelines.geo_ops import edr_pairs
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.assembly import assemble_ways
+    from osmi_addresses_ray.stages.parse import parse_docs
+
+    parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
+    ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
+    out = edr_pairs(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
     write_oracle("dwell_points_src", oracle_dwell_points(fixture_table(FIXTURE_BLOCKS)))
     return out
 
@@ -5695,6 +5714,64 @@ GROUP BY c.region ORDER BY region
         # per ANTI-DIAGONAL carrying two layers (k as layer 1, k-1 as layer
         # 0); min-of-preds = one moves-table join + GROUP BY, border cells
         # fall out (missing preds simply contribute nothing to the min)
+        # EDR: same recursive anti-diagonal walk as frechet_pairs, but
+        # min-of-preds with per-move costs — insert/delete +1, substitute
+        # costs the L∞ match test at the TARGET cell; dp runs on the
+        # (n+1)×(m+1) grid so borders emerge from the +1 chains
+        "edr_pairs": f"""
+            WITH RECURSIVE
+            p AS (SELECT traj_id, step, px, py
+                  FROM read_parquet('{oracle_path('dwell_points_src')}')),
+            o AS (SELECT traj_id,
+                         min_by(px, step) // 100000 AS cx,
+                         min_by(py, step) // 100000 AS cy,
+                         max(step) + 1 AS n
+                  FROM p GROUP BY 1),
+            pairs AS (SELECT a.traj_id AS ta, b.traj_id AS tb, a.cx, a.cy,
+                             a.n AS na, b.n AS nb
+                      FROM o a JOIN o b ON a.cx = b.cx AND a.cy = b.cy
+                                       AND a.traj_id < b.traj_id),
+            mt AS (SELECT pr.ta, pr.tb, pa.step + 1 AS i, pb.step + 1 AS j,
+                          CASE WHEN abs(pa.px - pb.px) <= 20000
+                                AND abs(pa.py - pb.py) <= 20000
+                               THEN 0 ELSE 1 END AS mc
+                   FROM pairs pr
+                   JOIN p pa ON pa.traj_id = pr.ta
+                   JOIN p pb ON pb.traj_id = pr.tb),
+            walk(ta, tb, i, j, layer, val) AS (
+                SELECT ta, tb, 0::BIGINT, 0::BIGINT, 1, 0::BIGINT FROM pairs
+              UNION ALL
+                SELECT * FROM (
+                  WITH nxt AS (
+                    SELECT w.ta, w.tb, w.i + mv.dx AS i, w.j + mv.dy AS j,
+                           min(w.val + CASE WHEN mv.kind = 2 THEN 0
+                                            ELSE 1 END) AS pv,
+                           mv.kind
+                    FROM walk w
+                    JOIN (VALUES (1, 1, 0, 0), (1, 0, 1, 1), (0, 1, 1, 2))
+                         mv(layer, dx, dy, kind) ON mv.layer = w.layer
+                    GROUP BY 1, 2, 3, 4, 6)
+                  SELECT n.ta, n.tb, n.i, n.j, 1 AS layer,
+                         min(n.pv + CASE WHEN n.kind = 2
+                                         THEN coalesce(m.mc, 0)
+                                         ELSE 0 END) AS val
+                  FROM nxt n
+                  JOIN pairs pr2 ON pr2.ta = n.ta AND pr2.tb = n.tb
+                  LEFT JOIN mt m ON m.ta = n.ta AND m.tb = n.tb
+                                AND m.i = n.i AND m.j = n.j
+                  WHERE n.i <= pr2.na AND n.j <= pr2.nb
+                  GROUP BY 1, 2, 3, 4
+                  UNION ALL
+                  SELECT ta, tb, i, j, 0 AS layer, val
+                  FROM walk WHERE layer = 1
+                )
+            )
+            SELECT pr.cx AS cell_x, pr.cy AS cell_y,
+                   w.ta AS traj_a, w.tb AS traj_b, w.val::BIGINT AS edr
+            FROM walk w JOIN pairs pr ON pr.ta = w.ta AND pr.tb = w.tb
+            WHERE w.layer = 1 AND w.i = pr.na AND w.j = pr.nb
+            ORDER BY cell_x, cell_y, traj_a, traj_b
+        """,
         "frechet_pairs": f"""
             WITH RECURSIVE
             p AS (SELECT traj_id, step, px, py

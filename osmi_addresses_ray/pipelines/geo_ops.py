@@ -5940,3 +5940,134 @@ def hex_bin_counts(points_ds, *, top: int = 25, num_parts: int = 8) -> pd.DataFr
         out.sort_values(["n", "q", "r"], ascending=[False, True, True])
         .reset_index(drop=True)[["q", "r", "n"]]
     )
+
+
+# --------------------------------------------------------------------------
+# EDR trajectory similarity (Edit Distance on Real sequences)
+# --------------------------------------------------------------------------
+
+EDR_EPS = 20_000  # per-axis match tolerance (0.002°), L∞ per the EDR paper
+_EDR_SCHEMA = pa.schema(
+    [("cell_x", pa.int64()), ("cell_y", pa.int64()),
+     ("traj_a", pa.int64()), ("traj_b", pa.int64()), ("edr", pa.int64())]
+)
+
+
+def _edr(xa, ya, xb, yb, eps: int) -> int:
+    """EDR (Chen, Özsu & Oria 2005) between two point sequences, exact
+    int64: dp(i,j) = min(dp(i-1,j-1) + [no match], dp(i-1,j) + 1,
+    dp(i,j-1) + 1) on the (n+1)×(m+1) grid, match iff BOTH axis gaps ≤ eps
+    (the paper's L∞ rule). Borders dp(i,0) = i / dp(0,j) = j emerge from
+    the insert/delete chains. Vectorized per anti-diagonal like
+    ``_frechet2`` — numpy shifts/minima, no per-cell Python."""
+    n, m = len(xa), len(xb)
+    match = (
+        (np.abs(xa[:, None] - xb[None, :]) <= eps)
+        & (np.abs(ya[:, None] - yb[None, :]) <= eps)
+    )
+    INF = _FRECHET_INF
+    prev = np.full(n + 1, INF)   # diagonal k-1
+    prev2 = np.full(n + 1, INF)  # diagonal k-2
+    prev[0] = 0                  # dp(0, 0)
+    for k in range(1, n + m + 1):
+        cur = np.full(n + 1, INF)
+        lo, hi = max(0, k - m), min(n, k)
+        i = np.arange(lo, hi + 1)
+        j = k - i
+        up = np.where(j >= 1, prev[i] + 1, INF)            # dp(i, j-1) + 1
+        im1 = np.maximum(i - 1, 0)
+        left = np.where(i >= 1, prev[im1] + 1, INF)        # dp(i-1, j) + 1
+        dboth = (i >= 1) & (j >= 1)
+        dia_pred = np.where(dboth, prev2[im1], INF)
+        dia_cost = np.where(
+            dboth & match[im1, np.maximum(j - 1, 0)], 0, 1
+        )
+        dia = np.where(dia_pred >= INF, INF, dia_pred + dia_cost)
+        cur[i] = np.minimum(np.minimum(up, left), dia)
+        prev2, prev = prev, cur
+    return int(prev[n])
+
+
+def edr_pairs(ways_geo_ds, *, num_parts: int = 8, cell_cap: int = 256) -> pd.DataFrame:
+    """Pairwise trajectory similarity under NOISE: EDR (edit distance on
+    real sequences) between every pair of trajectories sharing an origin
+    cell. EDR is the robust sibling of Fréchet/DTW — one GPS glitch costs
+    exactly one edit instead of dominating a minimax or summed distance —
+    which is why it's the trajectory-dedup metric of choice over noisy
+    traces. Same two-exchange origin-cell shape as ``frechet_pairs``; TRUE
+    SQL oracle: the same recursive anti-diagonal walk with min-of-preds
+    + per-move costs (insert/delete 1, substitute by the L∞ match test)."""
+    return edr_from_points(
+        synth_dwell_trajectories(ways_geo_ds), num_parts=num_parts,
+        cell_cap=cell_cap,
+    )
+
+
+def edr_from_points(traj, *, num_parts: int = 8, cell_cap: int = 256) -> pd.DataFrame:
+    """Origin-cell-bucketed pairwise EDR over an explicit (traj_id, step,
+    px, py) points dataset — the kernel behind ``edr_pairs``."""
+    from ..ops import direct_partitioned_map
+
+    def tag_origin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _FRECHET_PT_SCHEMA.empty_table()
+        df = t.to_pandas().sort_values(["traj_id", "step"], kind="stable")
+        tid = df["traj_id"].to_numpy(np.int64)
+        step = df["step"].to_numpy(np.int64)
+        px = df["px"].to_numpy(np.int64)
+        py = df["py"].to_numpy(np.int64)
+        first = np.r_[True, tid[1:] != tid[:-1]]
+        gidx = np.cumsum(first) - 1
+        cx = (px[first] // _HAUS_CELL)[gidx]
+        cy = (py[first] // _HAUS_CELL)[gidx]
+        return pa.table(
+            {"cell_x": pa.array(cx), "cell_y": pa.array(cy),
+             "traj_id": pa.array(tid), "step": pa.array(step),
+             "px": pa.array(px), "py": pa.array(py)}
+        )
+
+    pts = direct_partitioned_map(traj, ["traj_id"], num_parts, tag_origin, _TRAJ_SCHEMA)
+
+    def pair_sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EDR_SCHEMA.empty_table()
+        df = t.to_pandas().sort_values(
+            ["cell_x", "cell_y", "traj_id", "step"], kind="stable"
+        )
+        rows = {k: [] for k in _EDR_SCHEMA.names}
+        for (cx, cy), g in df.groupby(["cell_x", "cell_y"], sort=False):
+            tids = g["traj_id"].unique()
+            if len(tids) > cell_cap:
+                raise ValueError(
+                    f"edr cell ({cx},{cy}) holds {len(tids)} trajectories "
+                    f"(> cell_cap={cell_cap}): use a finer zoning or raise the cap"
+                )
+            if len(tids) < 2:
+                continue
+            by_t = {
+                tid: (sub["px"].to_numpy(np.int64), sub["py"].to_numpy(np.int64))
+                for tid, sub in g.groupby("traj_id", sort=False)
+            }
+            tids = np.sort(tids)
+            for ai in range(len(tids)):
+                xa, ya = by_t[tids[ai]]
+                for bi in range(ai + 1, len(tids)):
+                    xb, yb = by_t[tids[bi]]
+                    rows["cell_x"].append(int(cx))
+                    rows["cell_y"].append(int(cy))
+                    rows["traj_a"].append(int(tids[ai]))
+                    rows["traj_b"].append(int(tids[bi]))
+                    rows["edr"].append(_edr(xa, ya, xb, yb, EDR_EPS))
+        return pa.Table.from_arrays(
+            [pa.array(rows[f.name], f.type) for f in _EDR_SCHEMA],
+            schema=_EDR_SCHEMA,
+        )
+
+    out = direct_partitioned_map(
+        pts, ["cell_x", "cell_y"], num_parts, pair_sweep, _FRECHET_PT_SCHEMA
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame({f.name: pd.Series([], dtype="int64") for f in _EDR_SCHEMA})
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["cell_x", "cell_y", "traj_a", "traj_b"]).reset_index(drop=True)

@@ -80,3 +80,59 @@ def test_frechet_cell_cap_raises(ray_session):
         assert "cell_cap" in str(e)
     else:
         raise AssertionError("expected cell_cap violation to raise")
+
+
+# --- EDR ---------------------------------------------------------------------------
+
+
+def test_edr_kernel_fuzz_vs_memoized_bruteforce():
+    import functools
+
+    from osmi_addresses_ray.pipelines.geo_ops import _edr
+
+    def brute(xa, ya, xb, yb, eps):
+        @functools.lru_cache(None)
+        def dp(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            m = abs(xa[i - 1] - xb[j - 1]) <= eps and abs(ya[i - 1] - yb[j - 1]) <= eps
+            return min(dp(i - 1, j - 1) + (0 if m else 1),
+                       dp(i - 1, j) + 1, dp(i, j - 1) + 1)
+        return dp(len(xa), len(xb))
+
+    rng = np.random.RandomState(17)
+    for trial in range(200):
+        n, m = rng.randint(1, 9, 2)
+        xa, ya = rng.randint(0, 40, n), rng.randint(0, 40, n)
+        xb, yb = rng.randint(0, 40, m), rng.randint(0, 40, m)
+        eps = int(rng.randint(1, 30))
+        got = _edr(xa.astype(np.int64), ya.astype(np.int64),
+                   xb.astype(np.int64), yb.astype(np.int64), eps)
+        want = brute(tuple(int(v) for v in xa), tuple(int(v) for v in ya),
+                     tuple(int(v) for v in xb), tuple(int(v) for v in yb), eps)
+        assert got == want, trial
+
+
+def test_edr_glitch_costs_one_edit():
+    """A single GPS spike costs exactly 1 edit (EDR's robustness claim),
+    while the identical trace costs 0."""
+    from osmi_addresses_ray.pipelines.geo_ops import _edr
+
+    xa = np.array([0, 10, 20, 30, 40], np.int64)
+    ya = np.zeros(5, np.int64)
+    xb = xa.copy()
+    yb = ya.copy()
+    assert _edr(xa, ya, xb, yb, 5) == 0
+    yb2 = ya.copy()
+    yb2[2] = 10_000  # spike far beyond eps
+    assert _edr(xa, ya, xb, yb2, 5) == 1
+
+
+def test_edr_reversed_is_expensive():
+    from osmi_addresses_ray.pipelines.geo_ops import _edr
+
+    xa = np.arange(0, 60, 10, dtype=np.int64)
+    ya = np.zeros(6, np.int64)
+    assert _edr(xa, ya, xa[::-1].copy(), ya, 3) > 3

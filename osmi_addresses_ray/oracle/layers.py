@@ -1791,3 +1791,49 @@ def oracle_media_palette(docs: pa.Table) -> pd.DataFrame:
         .astype({c: "int64" for c in cols[2:]})
         .sort_values(["doc_id", "media_ref"]).reset_index(drop=True)
     )
+
+
+def oracle_media_otsu(docs: pa.Table) -> pd.DataFrame:
+    """Scalar Otsu recomputation: per-pixel python-int dict histogram, then
+    an explicit fraction comparison loop over all 766 candidate thresholds
+    (Fraction avoids restating the engine's cross-multiplication) —
+    algorithm-diverse from the cumsum/argmax path."""
+    from fractions import Fraction
+
+    rows = []
+    for row in docs.to_pylist():
+        for span in row["spans"]:
+            if span["kind"] != "media":
+                continue
+            img = _oracle_media_pixels(span["media_ref"])
+            h, w = img.shape[:2]
+            hist: dict[int, int] = {}
+            for y in range(h):
+                for x in range(w):
+                    v = int(img[y, x, 0]) + int(img[y, x, 1]) + int(img[y, x, 2])
+                    hist[v] = hist.get(v, 0) + 1
+            n = h * w
+            s = sum(v * c for v, c in hist.items())
+            best_t, best = -1, Fraction(-1)
+            wt = st = 0
+            for t in range(766):
+                c = hist.get(t, 0)
+                wt += c
+                st += t * c
+                if wt == 0 or wt == n:
+                    continue
+                score = Fraction((n * st - wt * s) ** 2, wt * (n - wt))
+                if score > best:
+                    best_t, best = t, score
+            if best_t < 0:
+                lvl = min(hist) if hist else 0
+                rows.append((row["doc_id"], span["media_ref"], lvl, 0, 0))
+                continue
+            n_fg = sum(c for v, c in hist.items() if v > best_t)
+            sum_fg = sum(v * c for v, c in hist.items() if v > best_t)
+            rows.append((row["doc_id"], span["media_ref"], best_t, n_fg, sum_fg))
+    return (
+        pd.DataFrame(rows, columns=["doc_id", "media_ref", "thr", "n_fg", "sum_fg"])
+        .astype({c: "int64" for c in ["thr", "n_fg", "sum_fg"]})
+        .sort_values(["doc_id", "media_ref"]).reset_index(drop=True)
+    )

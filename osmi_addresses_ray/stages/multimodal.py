@@ -1673,3 +1673,86 @@ def media_palette(docs_ds, *, concurrency=(1, 4), batch_size: int = 64):
         ImagePalette, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# --- Otsu thresholding ----------------------------------------------------------
+
+MEDIA_OTSU_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("thr", pa.int64()),
+        pa.field("n_fg", pa.int64()),
+        pa.field("sum_fg", pa.int64()),
+    ]
+)
+
+
+class ImageOtsu:
+    """Actor-pool Otsu thresholding (Otsu 1979) over REAL decoded pixels —
+    the automatic binarization step behind document/figure segmentation.
+    Luma g = r+g+b (0..765); the threshold t* maximizes the between-class
+    variance, compared as the EXACT rational
+
+        score(t) = (N·S_t − w_t·S)² / (w_t · (N − w_t))
+
+    (w_t, S_t = count/sum of luma ≤ t; N, S the totals) via python-int
+    cross-multiplication — no float division anywhere, ties to the SMALLEST
+    t. Foreground = luma > t*. Output per image: t*, foreground pixel count
+    and foreground luma sum. Degenerate constant images emit t* = the single
+    level, n_fg = 0."""
+
+    def __init__(self):
+        from osmi_addresses_ray.stages.media_codecs import decode_image
+
+        self._decode = decode_image
+
+    @staticmethod
+    def _otsu(img: np.ndarray) -> tuple[int, int, int]:
+        g = img.astype(np.int64).sum(axis=2).ravel()
+        hist = np.bincount(g, minlength=766)
+        n = int(g.size)
+        s = int(g.astype(np.int64).sum())
+        w = np.cumsum(hist)          # w_t, int64
+        st = np.cumsum(hist * np.arange(766, dtype=np.int64))  # S_t
+        best_t = -1
+        best_num = -1   # score numerator (python int)
+        best_den = 1
+        for t in range(766):
+            wt = int(w[t])
+            if wt == 0 or wt == n:
+                continue
+            num = (n * int(st[t]) - wt * s) ** 2
+            den = wt * (n - wt)
+            # score(t) > best  ⇔  num·best_den > best_num·den (exact)
+            if num * best_den > best_num * den:
+                best_t, best_num, best_den = t, num, den
+        if best_t < 0:  # constant image: every split is empty on one side
+            lvl = int(g[0]) if n else 0
+            return lvl, 0, 0
+        fg = g > best_t
+        return best_t, int(fg.sum()), int(g[fg].sum())
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = {k: [] for k in MEDIA_OTSU_SCHEMA.names}
+        for doc_id, ref, payload in zip(
+            t["doc_id"].to_pylist(), t["media_ref"].to_pylist(), t["payload"].to_pylist()
+        ):
+            thr, n_fg, sum_fg = self._otsu(self._decode(payload))
+            rows["doc_id"].append(doc_id)
+            rows["media_ref"].append(ref)
+            rows["thr"].append(thr)
+            rows["n_fg"].append(n_fg)
+            rows["sum_fg"].append(sum_fg)
+        return pa.Table.from_arrays(
+            [pa.array(rows[f.name], f.type) for f in MEDIA_OTSU_SCHEMA],
+            schema=MEDIA_OTSU_SCHEMA,
+        )
+
+
+def media_otsu(docs_ds, *, concurrency=(1, 4), batch_size: int = 64):
+    media = extract_media_refs(docs_ds)
+    return media.map_batches(
+        ImageOtsu, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )

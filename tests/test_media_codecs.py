@@ -698,3 +698,51 @@ def test_palette_threshold_127_vs_128():
     img[0, 1] = (128, 0, 0)  # nearer 255 -> index 1
     _, h = ImagePalette._hist(img)
     assert h[0] == 1 and h[1] == 1
+
+
+# --- Otsu thresholding -------------------------------------------------------------
+
+
+def test_otsu_bimodal_split():
+    """Half the pixels at luma 30, half at 600: Otsu must split between the
+    modes and report exactly the bright half as foreground."""
+    from osmi_addresses_ray.stages.multimodal import ImageOtsu
+
+    img = np.zeros((2, 4, 3), dtype=np.uint8)
+    img[:, 2:] = 200  # luma 600 on the right half, 0 on the left
+    img[:, :2, 0] = 30  # left half luma 30
+    thr, n_fg, sum_fg = ImageOtsu._otsu(img)
+    assert 30 <= thr < 600
+    assert n_fg == 4 and sum_fg == 4 * 600
+
+
+def test_otsu_constant_image():
+    from osmi_addresses_ray.stages.multimodal import ImageOtsu
+
+    img = np.full((3, 3, 3), 50, dtype=np.uint8)
+    assert ImageOtsu._otsu(img) == (150, 0, 0)
+
+
+def test_otsu_matches_fraction_oracle_random():
+    from fractions import Fraction
+
+    from osmi_addresses_ray.stages.multimodal import ImageOtsu
+
+    rng = np.random.RandomState(9)
+    for _ in range(20):
+        img = rng.randint(0, 256, size=(6, 7, 3)).astype(np.uint8)
+        thr, n_fg, sum_fg = ImageOtsu._otsu(img)
+        g = img.astype(np.int64).sum(axis=2).ravel()
+        n, s = len(g), int(g.sum())
+        best_t, best = -1, Fraction(-1)
+        for t in range(766):
+            wt = int((g <= t).sum())
+            if wt in (0, n):
+                continue
+            st = int(g[g <= t].sum())
+            score = Fraction((n * st - wt * s) ** 2, wt * (n - wt))
+            if score > best:
+                best_t, best = t, score
+        assert thr == best_t
+        assert n_fg == int((g > best_t).sum())
+        assert sum_fg == int(g[g > best_t].sum())

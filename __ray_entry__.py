@@ -346,6 +346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_onsets": _media_onsets_query,
         "media_blobs": _media_blobs_query,
         "dhash_pairs": _dhash_pairs_query,
+        "image_dup_clusters": _image_clusters_query,
         "polygon_dissolve": _polygon_dissolve_query,
         "media_quadtree": _media_quadtree_query,
         "media_motion": _media_motion_query,
@@ -867,6 +868,18 @@ def _media_blobs_query(sf_dir: str):
         .reset_index(drop=True)
     )
     write_oracle("media_blobs", oracle_media_blobs(fixture_table(FIXTURE_BLOCKS)))
+    return df
+
+
+def _image_clusters_query(sf_dir: str):
+    """Near-dup image clusters (dHash pairs closed by distributed CC);
+    oracle = scalar union-find over the independent pair replay."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.layers import oracle_image_dup_clusters
+    from osmi_addresses_ray.stages.multimodal import image_dup_clusters
+
+    df = image_dup_clusters(120, num_parts=8)
+    write_oracle("image_dup_clusters", oracle_image_dup_clusters(120))
     return df
 
 
@@ -4674,6 +4687,7 @@ def _naive_oracle_sql() -> dict[str, str]:
         "media_scene_cuts": read_parquet_sql("media_scene_cuts", "doc_id, media_ref"),
         "media_dhash": read_parquet_sql("media_dhash", "doc_id, media_ref"),
         "dhash_pairs": read_parquet_sql("dhash_pairs", "ref_a, ref_b"),
+        "image_dup_clusters": read_parquet_sql("image_dup_clusters", "cluster, ref"),
         # dissolve: identical hash-grid synthesis in plain SQL arithmetic,
         # recursive min-label closure over same-zone adjacency, exact
         # perimeter 4n - 2*internal

@@ -1837,3 +1837,36 @@ def oracle_media_otsu(docs: pa.Table) -> pd.DataFrame:
         .astype({c: "int64" for c in ["thr", "n_fg", "sum_fg"]})
         .sort_values(["doc_id", "media_ref"]).reset_index(drop=True)
     )
+
+
+def oracle_image_dup_clusters(n_imgs: int) -> pd.DataFrame:
+    """Scalar union-find closure over the independent dHash pair replay:
+    path-compressed find with union-by-min-ref, sizes counted per root."""
+    pairs = oracle_dhash_pairs(n_imgs)
+    parent: dict[str, str] = {}
+
+    def find(r: str) -> str:
+        parent.setdefault(r, r)
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        return r
+
+    for a, b in zip(pairs["ref_a"], pairs["ref_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = []
+    roots: dict[str, list[str]] = {}
+    for r in parent:
+        roots.setdefault(find(r), []).append(r)
+    for root, members in roots.items():
+        lo = min(members)
+        for m in members:
+            rows.append((m, lo, len(members)))
+    return (
+        pd.DataFrame(rows, columns=["ref", "cluster", "csize"])
+        .astype({"csize": "int64"})
+        .sort_values(["cluster", "ref"]).reset_index(drop=True)
+    )

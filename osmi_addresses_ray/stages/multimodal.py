@@ -1756,3 +1756,49 @@ def media_otsu(docs_ds, *, concurrency=(1, 4), batch_size: int = 64):
         ImageOtsu, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def image_dup_clusters(n_imgs: int = 120, *, num_parts: int = 8) -> pd.DataFrame:
+    """Near-duplicate image CLUSTERS: the verified dHash pairs
+    (``dhash_pairs``) closed under transitivity by the distributed
+    star-contraction connected components — the grouping step that turns
+    pairwise matches into keep-one-per-cluster dedup decisions (the image
+    twin of ``dedup_clusters``). Output one row per image appearing in ≥1
+    pair: (ref, cluster, csize) with cluster = the lexicographically
+    smallest ref in its component.
+
+    Shape: pair generation is the banded dHash exchange; components run on
+    the PAIR list only (O(log² n) node-keyed exchanges via
+    ``dedup.connected_components``); the ref↔dense-id dictionary is built
+    from the pair set (already ≪ corpus) — never from the image corpus.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from osmi_addresses_ray.pipelines.dedup import connected_components
+
+    pairs = dhash_pairs(n_imgs, num_parts=num_parts)
+    empty = pd.DataFrame({
+        "ref": pd.Series([], dtype=object),
+        "cluster": pd.Series([], dtype=object),
+        "csize": pd.Series([], dtype="int64"),
+    })
+    if pairs.empty:
+        return empty
+    refs = np.array(sorted(set(pairs["ref_a"]) | set(pairs["ref_b"])), dtype=object)
+    idx = {r: i for i, r in enumerate(refs)}
+    edges = rd.from_arrow(pa.table({
+        "u": pa.array([idx[r] for r in pairs["ref_a"]], pa.int64()),
+        "v": pa.array([idx[r] for r in pairs["ref_b"]], pa.int64()),
+    })).repartition(max(2, num_parts // 2))
+    stars = connected_components(edges, num_parts=num_parts).to_pandas()
+    # stars: (u=node, v=component min) for every non-root node
+    comp = np.arange(len(refs), dtype=np.int64)
+    comp[stars["u"].to_numpy(np.int64)] = stars["v"].to_numpy(np.int64)
+    sizes = np.bincount(comp, minlength=len(refs))
+    out = pd.DataFrame({
+        "ref": refs,
+        "cluster": refs[comp],
+        "csize": sizes[comp].astype(np.int64),
+    })
+    return out.sort_values(["cluster", "ref"]).reset_index(drop=True)

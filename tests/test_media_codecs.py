@@ -746,3 +746,21 @@ def test_otsu_matches_fraction_oracle_random():
         assert thr == best_t
         assert n_fg == int((g > best_t).sum())
         assert sum_fg == int(g[g > best_t].sum())
+
+
+# --- image near-dup clusters --------------------------------------------------------
+
+
+def test_image_dup_clusters_match_union_find(ray_session):
+    from osmi_addresses_ray.oracle.layers import oracle_image_dup_clusters
+    from osmi_addresses_ray.stages.multimodal import image_dup_clusters
+
+    got = image_dup_clusters(45, num_parts=4)
+    want = oracle_image_dup_clusters(45)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the planted corpus guarantees /d exact duplicates cluster with their base
+    assert (got[got["ref"].str.endswith("/d")]["csize"] >= 2).all()
+    # cluster label is the smallest member and sizes agree within a cluster
+    for _, grp in got.groupby("cluster"):
+        assert grp["cluster"].iloc[0] == grp["ref"].min()
+        assert grp["csize"].nunique() == 1 and grp["csize"].iloc[0] == len(grp)

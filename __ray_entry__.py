@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_audit": relational.benford_audit,
         "assoc_rules": relational.assoc_rules,
         "soundex_parts": relational.soundex_parts,
+        "bloom_fpr_audit": relational.bloom_fpr_audit,
         "q_full_outer_hours": relational.q_full_outer_hours,
         "q_weighted_quantiles": relational.q_weighted_quantiles,
         "q_props_extract": relational.q_props_extract,
@@ -2213,6 +2214,55 @@ def oracle_sql() -> dict[str, str]:
                          CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d
                   FROM lineitem)
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        # bloom FPR audit: the exact splitmix64 + Kirsch-Mitzenmacher spec
+        # replayed in HUGEINT mod-2^64 arithmetic; a probe passes iff all 4
+        # of its bit indexes appear in the member-generated index set
+        "bloom_fpr_audit": """
+            WITH members AS (SELECT DISTINCT o_custkey AS k FROM orders),
+            probes AS (SELECT c_custkey AS k FROM customer),
+            ks AS (SELECT DISTINCT k FROM
+                   (SELECT k FROM members UNION ALL SELECT k FROM probes)),
+            z0 AS (SELECT k, (k::HUGEINT + 11400714819323198485::HUGEINT)
+                             % 18446744073709551616::HUGEINT AS x FROM ks),
+            -- a*b mod 2^64 split into 32-bit halves (a 64x64 HUGEINT
+            -- multiply overflows INT128): ((a_hi*b mod 2^32)<<32 + a_lo*b)
+            y1 AS (SELECT k, xor(x::UBIGINT, (x // 1073741824)::UBIGINT)
+                             ::HUGEINT AS a FROM z0),
+            z1 AS (SELECT k,
+                          (((a // 4294967296) * 13787848793156543929::HUGEINT
+                            % 4294967296) * 4294967296
+                           + (a % 4294967296) * 13787848793156543929::HUGEINT)
+                          % 18446744073709551616::HUGEINT AS x FROM y1),
+            y2 AS (SELECT k, xor(x::UBIGINT, (x // 134217728)::UBIGINT)
+                             ::HUGEINT AS a FROM z1),
+            z2 AS (SELECT k,
+                          (((a // 4294967296) * 10723151780598845931::HUGEINT
+                            % 4294967296) * 4294967296
+                           + (a % 4294967296) * 10723151780598845931::HUGEINT)
+                          % 18446744073709551616::HUGEINT AS x FROM y2),
+            z3 AS (SELECT k, xor(x::UBIGINT, (x // 2147483648)::UBIGINT)
+                             ::HUGEINT AS z FROM z2),
+            h AS (SELECT k, (z % 4294967296)::BIGINT AS h1,
+                         ((z // 4294967296) - ((z // 4294967296) % 2) + 1)
+                             ::BIGINT AS h2
+                  FROM z3),
+            i AS (SELECT unnest(range(0, 4))::BIGINT AS i),
+            idx AS (SELECT h.k, ((h.h1 + i.i * h.h2) % 1048576) AS idx
+                    FROM h CROSS JOIN i),
+            bits AS (SELECT DISTINCT idx.idx
+                     FROM idx JOIN members m ON m.k = idx.k),
+            pass AS (SELECT p.k
+                     FROM probes p JOIN idx ON idx.k = p.k
+                     LEFT JOIN bits b ON b.idx = idx.idx
+                     GROUP BY p.k HAVING count(b.idx) = 4)
+            SELECT 1048576::BIGINT AS m_bits, 4::BIGINT AS k_hashes,
+                   (SELECT count(*) FROM probes)::BIGINT AS n_probes,
+                   (SELECT count(*) FROM members)::BIGINT AS n_members,
+                   (SELECT count(*) FROM pass)::BIGINT AS n_pass,
+                   ((SELECT count(*) FROM pass)
+                    - (SELECT count(*) FROM members))::BIGINT AS n_fp,
+                   (SELECT count(*) FROM bits)::BIGINT AS bits_set
         """,
         # full American Soundex as a recursive character state machine:
         # prev carries the last letter's code (h/w transparent via d = -1,

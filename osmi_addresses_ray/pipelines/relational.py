@@ -2331,3 +2331,84 @@ def soundex_parts(sf_dir: str) -> pd.DataFrame:
         })
     out["n"] = out["n"].astype("int64")
     return out.sort_values("soundex").reset_index(drop=True)
+
+
+# --- bloom-filter false-positive-rate audit ---------------------------------------
+
+
+def bloom_fpr_audit(sf_dir: str) -> pd.DataFrame:
+    """Measured (not estimated) false-positive audit of the semi-join bloom
+    filter: build the production filter (same 2²⁰-bit Kirsch–Mitzenmacher
+    double-hash spec as ``bloom_semi_join``) over the ordering customers,
+    probe EVERY customer, and report the exact counts — n_probes, n_members
+    (exact distinct build keys), n_pass (bloom accepts), n_fp = n_pass −
+    n_members (no false negatives ⇒ every member passes), plus bits_set
+    (filter popcount, the load factor behind the FP math). The sketch-QA
+    sibling of ``cms_token_counts``/``ams_f2``: the filter's REAL error on
+    real keys, hash-checkable because the whole spec is integer arithmetic.
+
+    Shape: build = per-batch 128 KiB OR partials → 64-way OR level → driver
+    OR (the bloom_semi_join tree); probes test per batch against the
+    broadcast filter (``ray.put`` once); n_members is the one honest
+    key-keyed exchange. Output: one row of exact int64 stats.
+    """
+    import ray
+
+    words = _BLOOM_BITS >> 6
+
+    def partial(t: pa.Table) -> pa.Table:
+        bits = np.zeros(words, dtype=np.uint64)
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+        for idx in _bloom_hashes(keys, _BLOOM_BITS):
+            np.bitwise_or.at(
+                bits, idx >> 6, np.uint64(1) << (idx & 63).astype(np.uint64)
+            )
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    def or_level(t: pa.Table) -> pa.Table:
+        acc = np.zeros(words, dtype=np.uint64)
+        for blob in t["bits"]:
+            acc |= np.frombuffer(blob.as_py(), dtype=np.uint64)
+        return pa.table({"bits": pa.array([acc.tobytes()], pa.binary())})
+
+    orders = read(sf_dir, "orders", columns=["o_custkey"]).materialize()
+    blobs = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .map_batches(or_level, batch_format="pyarrow", batch_size=64)
+        .take_all()
+    )
+    bits = np.zeros(words, dtype=np.uint64)
+    for row in blobs:
+        bits |= np.frombuffer(row["bits"], dtype=np.uint64)
+    bits_set = int(np.unpackbits(bits.view(np.uint8)).sum())
+    bits_ref = ray.put(bits)
+
+    def probe_partial(t: pa.Table) -> pa.Table:
+        b = ray.get(bits_ref)
+        keys = t["c_custkey"].to_numpy(zero_copy_only=False)
+        ok = _bloom_member(b, keys, _BLOOM_BITS)
+        return pa.table({
+            "n": pa.array([len(keys)]), "p": pa.array([int(ok.sum())]),
+        })
+
+    probes = read(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        probe_partial, batch_format="pyarrow"
+    ).to_pandas()
+    n_probes = int(probes["n"].sum()) if not probes.empty else 0
+    n_pass = int(probes["p"].sum()) if not probes.empty else 0
+    members = grouped_agg(
+        orders, ["o_custkey"], {"c": (None, "count")}
+    ).map_batches(
+        lambda t: pa.table({"m": pa.array([t.num_rows])}),
+        batch_format="pyarrow",
+    ).to_pandas()
+    n_members = int(members["m"].sum()) if not members.empty else 0
+    return pd.DataFrame({
+        "m_bits": pd.array([_BLOOM_BITS], dtype="int64"),
+        "k_hashes": pd.array([_BLOOM_K], dtype="int64"),
+        "n_probes": pd.array([n_probes], dtype="int64"),
+        "n_members": pd.array([n_members], dtype="int64"),
+        "n_pass": pd.array([n_pass], dtype="int64"),
+        "n_fp": pd.array([n_pass - n_members], dtype="int64"),
+        "bits_set": pd.array([bits_set], dtype="int64"),
+    })

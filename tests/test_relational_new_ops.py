@@ -490,3 +490,38 @@ def test_soundex_parts_counts(tmp_path, ray_session):
     out = soundex_parts(str(tmp_path))
     got = dict(zip(out["soundex"], out["n"]))
     assert got == {"R163": 2, "L000": 1, "A261": 1}
+
+
+# --- bloom FPR audit ---------------------------------------------------------------
+
+
+def test_bloom_fpr_audit_counts(tmp_path, ray_session):
+    """Members pass always (no false negatives); nonmember passes are
+    exactly n_pass - n_members; bits_set ≤ 4·n_members."""
+    from osmi_addresses_ray.pipelines.relational import (
+        _BLOOM_BITS,
+        _bloom_hashes,
+        _bloom_member,
+        bloom_fpr_audit,
+    )
+
+    members = np.arange(100, 200, dtype=np.int64)
+    probes = np.arange(0, 1000, dtype=np.int64)
+    pd.DataFrame({"o_custkey": np.repeat(members, 2)}).to_parquet(
+        tmp_path / "orders.parquet", index=False
+    )
+    pd.DataFrame({"c_custkey": probes}).to_parquet(
+        tmp_path / "customer.parquet", index=False
+    )
+    out = bloom_fpr_audit(str(tmp_path)).iloc[0]
+    assert out["n_probes"] == 1000 and out["n_members"] == 100
+    # scalar replay of the same spec
+    words = _BLOOM_BITS >> 6
+    bits = np.zeros(words, dtype=np.uint64)
+    for idx in _bloom_hashes(members, _BLOOM_BITS):
+        np.bitwise_or.at(bits, idx >> 6, np.uint64(1) << (idx & 63).astype(np.uint64))
+    ok = _bloom_member(bits, probes, _BLOOM_BITS)
+    assert out["n_pass"] == int(ok.sum())
+    assert out["n_fp"] == int(ok.sum()) - 100
+    assert ok[(probes >= 100) & (probes < 200)].all()  # no false negatives
+    assert out["bits_set"] <= 400

@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "xcorr_types": timeseries.xcorr_types,
         "periodicity_detect": timeseries.periodicity_detect,
         "mann_kendall": timeseries.mann_kendall,
+        "pettitt_changepoint": timeseries.pettitt_changepoint,
         "range_join_shipments": timeseries.range_join_shipments,
         "running_totals": timeseries.running_totals,
         "streaming_watermark_counts": timeseries.streaming_watermark_counts,
@@ -2683,6 +2684,53 @@ def oracle_sql() -> dict[str, str]:
             FROM score
             QUALIFY row_number() OVER (PARTITION BY event_type
                                        ORDER BY key DESC, p) = 1
+            ORDER BY event_type
+        """,
+        # Pettitt: each sign pair (i<j) contributes to every split t in
+        # [i, j-1] -- difference rows at t=i (+s) and t=j (-s), cumulative
+        # window sum gives U_t; earliest argmax of |U_t| over t <= m-2
+        "pettitt_changepoint": """
+            WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                              count(*)::BIGINT AS n
+                       FROM events GROUP BY 1, 2),
+            b AS (SELECT event_type, min(hr) AS lo,
+                         date_diff('hour', min(hr), max(hr))::BIGINT + 1 AS m
+                  FROM h GROUP BY 1),
+            grid AS (SELECT b.event_type,
+                            date_diff('hour', b.lo, g.hr)::BIGINT AS t,
+                            b.m
+                     FROM b, unnest(generate_series(
+                         b.lo, b.lo + to_hours(b.m - 1),
+                         INTERVAL 1 HOUR)) AS g(hr)),
+            xs AS (SELECT g.event_type, g.t, g.m,
+                          coalesce(h2.n, 0)::BIGINT AS x
+                   FROM grid g
+                   LEFT JOIN (SELECT event_type,
+                                     date_diff('hour', b.lo, h.hr)::BIGINT AS t,
+                                     n
+                              FROM h JOIN b USING (event_type)) h2
+                     ON h2.event_type = g.event_type AND h2.t = g.t),
+            prs AS (SELECT a.event_type,
+                           a.t AS i, b2.t AS j,
+                           CASE WHEN b2.x > a.x THEN 1
+                                WHEN b2.x < a.x THEN -1 ELSE 0 END AS s
+                    FROM xs a JOIN xs b2
+                      ON b2.event_type = a.event_type AND b2.t > a.t),
+            d AS (SELECT event_type, t, sum(s)::BIGINT AS ds FROM (
+                      SELECT event_type, i AS t, s FROM prs
+                      UNION ALL
+                      SELECT event_type, j AS t, -s FROM prs)
+                  GROUP BY 1, 2),
+            u AS (SELECT g.event_type, g.t, g.m,
+                         sum(coalesce(d.ds, 0)) OVER (
+                             PARTITION BY g.event_type ORDER BY g.t)::BIGINT
+                             AS u
+                  FROM grid g LEFT JOIN d
+                    ON d.event_type = g.event_type AND d.t = g.t)
+            SELECT event_type, m AS n_hours, t AS t_star, u AS u_stat
+            FROM u WHERE m >= 2 AND t <= m - 2
+            QUALIFY row_number() OVER (PARTITION BY event_type
+                                       ORDER BY abs(u) DESC, t) = 1
             ORDER BY event_type
         """,
         # Mann–Kendall: S by the O(m²) sign pair join (the oracle's job —

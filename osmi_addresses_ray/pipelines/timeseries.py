@@ -2744,3 +2744,110 @@ def mann_kendall(sf_dir: str) -> pd.DataFrame:
     for c in ("n_hours", "s_stat", "tie_term"):
         out[c] = out[c].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+# --- Pettitt change-point test -----------------------------------------------------
+
+
+def pettitt_changepoint(sf_dir: str) -> pd.DataFrame:
+    """Pettitt's nonparametric change-point test (Pettitt 1979) per event
+    type over its dense hourly series: U_t = Σ_{i≤t<j} sign(x_j − x_i); the
+    most likely break is the EARLIEST t maximizing |U_t| (t = last index of
+    the pre-break segment, 0..m−2). Exact integers throughout. The
+    rank-based sibling of the CUSUM detector — robust to outliers because
+    only signs enter. Output: (event_type, n_hours, t_star, u_stat).
+
+    Distributed shape: the one (type, hour) pre-aggregated exchange; per
+    type, TWO Fenwick trees (past inserts / future deletes) give every U_t
+    incrementally in O(m log m) on the calendar-bounded series — the O(m²)
+    pair join is the ORACLE's job.
+    """
+    import pyarrow.compute as pc
+
+    from .relational import grouped_agg
+
+    empty = pd.DataFrame({
+        "event_type": pd.Series([], dtype=object),
+        "n_hours": pd.Series([], dtype="int64"),
+        "t_star": pd.Series([], dtype="int64"),
+        "u_stat": pd.Series([], dtype="int64"),
+    })
+    ds = _read_events(sf_dir, ["ts", "event_type"])
+
+    def add_hr(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "hr": pc.floor_temporal(t["ts"], unit="hour"),
+        })
+
+    hourly = grouped_agg(
+        ds.map_batches(add_hr, batch_format="pyarrow"),
+        ["event_type", "hr"],
+        {"n": (None, "count")},
+    ).to_pandas()
+    if hourly.empty:
+        return empty
+    hourly["n"] = hourly["n"].astype("int64")
+    hr_us = hourly["hr"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    hourly = hourly.assign(t=hr_us // 3_600_000_000)
+    rows = []
+    for typ, sub in hourly.groupby("event_type", sort=True):
+        lo = int(sub["t"].min())
+        m = int(sub["t"].max()) - lo + 1
+        if m < 2:
+            continue
+        x = np.zeros(m, dtype=np.int64)
+        x[sub["t"].to_numpy() - lo] = sub["n"].to_numpy()
+        vals, ranks = np.unique(x, return_inverse=True)
+        V = len(vals)
+
+        class _Bit:
+            def __init__(self):
+                self.tree = [0] * (V + 1)
+
+            def add(self, i: int, d: int) -> None:
+                i += 1
+                while i <= V:
+                    self.tree[i] += d
+                    i += i & (-i)
+
+            def le(self, i: int) -> int:  # count of ranks <= i
+                i += 1
+                s = 0
+                while i > 0:
+                    s += self.tree[i]
+                    i -= i & (-i)
+                return s
+
+        past, fut = _Bit(), _Bit()
+        n_past = 0
+        for r in ranks:
+            fut.add(int(r), 1)
+        n_fut = m
+        best_t, best_abs, best_u = -1, -1, 0
+        u = 0
+        for t in range(m - 1):
+            r = int(ranks[t])
+            # element t leaves the future...
+            fut.add(r, -1)
+            n_fut -= 1
+            # drop pairs (i, t): -(past_less - past_greater) vs x_t
+            less_p = past.le(r - 1) if r > 0 else 0
+            leq_p = past.le(r)
+            u -= less_p - (n_past - leq_p)
+            # add pairs (t, j): +(future_greater - future_less)
+            less_f = fut.le(r - 1) if r > 0 else 0
+            leq_f = fut.le(r)
+            u += (n_fut - leq_f) - less_f
+            # ...and joins the past
+            past.add(r, 1)
+            n_past += 1
+            if abs(u) > best_abs:
+                best_t, best_abs, best_u = t, abs(u), u
+        rows.append((typ, m, best_t, best_u))
+    if not rows:
+        return empty
+    out = pd.DataFrame(rows, columns=["event_type", "n_hours", "t_star", "u_stat"])
+    for c in ("n_hours", "t_star", "u_stat"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -1083,3 +1083,41 @@ def test_mann_kendall_fenwick_matches_bruteforce(tmp_path, ray_session):
         for i in range(len(counts)) for j in range(i + 1, len(counts))
     )
     assert out["s_stat"] == s and out["n_hours"] == 40
+
+
+# --- Pettitt change point -----------------------------------------------------------
+
+
+def test_pettitt_planted_level_shift(tmp_path, ray_session):
+    """Counts [1,1,1,5,5,5]: the break is after index 2 (t_star = 2) with
+    U = 3·3 = 9 (every cross pair is +1)."""
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    h = np.timedelta64(1, "h")
+    rows, eid = [], 0
+    for t, c in enumerate([1, 1, 1, 5, 5, 5]):
+        for _ in range(c):
+            rows.append((eid, base + t * h, 1, "a", 1.0)); eid += 1
+    _write_events(tmp_path, rows)
+    out = timeseries.pettitt_changepoint(str(tmp_path)).iloc[0]
+    assert (out["n_hours"], out["t_star"], out["u_stat"]) == (6, 2, 9)
+
+
+def test_pettitt_matches_bruteforce_random(tmp_path, ray_session):
+    rng = np.random.RandomState(11)
+    counts = rng.randint(0, 6, 30)
+    counts[0] = max(counts[0], 1); counts[-1] = max(counts[-1], 1)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    h = np.timedelta64(1, "h")
+    rows, eid = [], 0
+    for t, c in enumerate(counts):
+        for _ in range(int(c)):
+            rows.append((eid, base + t * h, 1, "a", 1.0)); eid += 1
+    _write_events(tmp_path, rows)
+    out = timeseries.pettitt_changepoint(str(tmp_path)).iloc[0]
+    m = len(counts)
+    us = []
+    for t in range(m - 1):
+        us.append(sum(int(np.sign(counts[j] - counts[i]))
+                      for i in range(t + 1) for j in range(t + 1, m)))
+    best_t = max(range(m - 1), key=lambda t: (abs(us[t]), -t))
+    assert (out["t_star"], out["u_stat"]) == (best_t, us[best_t])

@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assoc_rules": relational.assoc_rules,
         "soundex_parts": relational.soundex_parts,
         "bloom_fpr_audit": relational.bloom_fpr_audit,
+        "trade_gravity": relational.trade_gravity,
         "q_full_outer_hours": relational.q_full_outer_hours,
         "q_weighted_quantiles": relational.q_weighted_quantiles,
         "q_props_extract": relational.q_props_extract,
@@ -2215,6 +2216,32 @@ def oracle_sql() -> dict[str, str]:
                          CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d
                   FROM lineitem)
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        # gravity-model trade flows: exact centicent revenue
+        # price_cents*(100-disc_pct) per nation pair + row/col/grand totals
+        "trade_gravity": """
+            WITH rev AS (
+                SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+                       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                           * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                         AS BIGINT)))::BIGINT AS obs_cc
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+                GROUP BY 1, 2),
+            r AS (SELECT cust_nation, sum(obs_cc)::BIGINT AS row_cc
+                  FROM rev GROUP BY 1),
+            c2 AS (SELECT supp_nation, sum(obs_cc)::BIGINT AS col_cc
+                   FROM rev GROUP BY 1),
+            t AS (SELECT sum(obs_cc)::BIGINT AS total_cc FROM rev)
+            SELECT rev.cust_nation, rev.supp_nation, rev.obs_cc,
+                   r.row_cc, c2.col_cc, t.total_cc
+            FROM rev JOIN r USING (cust_nation)
+                     JOIN c2 USING (supp_nation) CROSS JOIN t
+            ORDER BY cust_nation, supp_nation
         """,
         # bloom FPR audit: the exact splitmix64 + Kirsch-Mitzenmacher spec
         # replayed in HUGEINT mod-2^64 arithmetic; a probe passes iff all 4

@@ -2412,3 +2412,123 @@ def bloom_fpr_audit(sf_dir: str) -> pd.DataFrame:
         "n_fp": pd.array([n_pass - n_members], dtype="int64"),
         "bits_set": pd.array([bits_set], dtype="int64"),
     })
+
+
+# --- gravity model of trade flows --------------------------------------------------
+
+
+def trade_gravity(sf_dir: str, *, num_parts: int = 8) -> pd.DataFrame:
+    """Gravity-model sufficient statistics of international trade flows
+    (Tinbergen 1962): per (customer nation, supplier nation), the observed
+    revenue plus its row, column and grand totals — expected ∝
+    row·col/total, so the gravity residual is one consumer division away
+    from these exact integers. Revenue is exact "centicents":
+    price_cents · (100 − disc_pct) with both factors floor(x·100+0.5) —
+    no float multiply anywhere. int64 audit: Σ cc overflows past ~3·10⁹
+    lineitems per nation pair; the python-int total fold RAISES first.
+
+    Distributed shape: the fact side crosses ONE orderkey-keyed cogroup
+    (orders-projection × lineitem — the PageRank edge-builder shape); both
+    dimension hops (custkey→nation, suppkey→nation) are broadcast probes
+    inside that cogroup, so what leaves it is already (cnat, snat, cc)
+    partials; a ≤25²-row groupby and driver total arithmetic finish.
+    """
+    import ray
+
+    from ..ops import direct_cogroup
+
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    supp = read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    cust = cust.sort_values("c_custkey")
+    supp = supp.sort_values("s_suppkey")
+    nation = nation.sort_values("n_nationkey")
+    ref = ray.put((
+        cust["c_custkey"].to_numpy(np.int64),
+        cust["c_nationkey"].to_numpy(np.int64),
+        supp["s_suppkey"].to_numpy(np.int64),
+        supp["s_nationkey"].to_numpy(np.int64),
+        nation["n_nationkey"].to_numpy(np.int64),
+        nation["n_name"].to_numpy(object),
+    ))
+
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    items = read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    part_schema = pa.schema(
+        [("cn", pa.string()), ("sn", pa.string()), ("cc", pa.int64())]
+    )
+
+    def fuse(o_t: pa.Table, l_t: pa.Table) -> pa.Table:
+        if o_t.num_rows == 0 or l_t.num_rows == 0:
+            return part_schema.empty_table()
+        ck, cn, sk, snk, nk, nm = ray.get(ref)
+        od = o_t.to_pandas()
+        ld = l_t.to_pandas()
+        m = ld.merge(od, left_on="l_orderkey", right_on="o_orderkey",
+                     how="inner")
+        if m.empty:
+            return part_schema.empty_table()
+        keys = m["o_custkey"].to_numpy(np.int64)
+        cpos = np.clip(np.searchsorted(ck, keys), 0, len(ck) - 1)
+        hit = ck[cpos] == keys
+        skeys = m["l_suppkey"].to_numpy(np.int64)
+        spos = np.clip(np.searchsorted(sk, skeys), 0, len(sk) - 1)
+        hit &= sk[spos] == skeys
+        cnk = cn[cpos]
+        snk2 = snk[spos]
+        cn_pos = np.clip(np.searchsorted(nk, cnk), 0, len(nk) - 1)
+        sn_pos = np.clip(np.searchsorted(nk, snk2), 0, len(nk) - 1)
+        hit &= (nk[cn_pos] == cnk) & (nk[sn_pos] == snk2)
+        cents = np.floor(
+            m["l_extendedprice"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        dpct = np.floor(
+            m["l_discount"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        cc = cents * (100 - dpct)
+        g = (
+            pd.DataFrame({
+                "cn": nm[cn_pos][hit], "sn": nm[sn_pos][hit], "cc": cc[hit],
+            })
+            .groupby(["cn", "sn"], sort=False)["cc"].sum().reset_index()
+        )
+        g["cc"] = g["cc"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False).cast(part_schema)
+
+    parts = direct_cogroup(
+        [orders.materialize(), items.materialize()],
+        [["o_orderkey"], ["l_orderkey"]], num_parts, fuse,
+        [
+            pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+            pa.schema([("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+                       ("l_extendedprice", pa.float64()),
+                       ("l_discount", pa.float64())]),
+        ],
+    )
+    obs = grouped_agg(parts, ["cn", "sn"], {"cc": ("cc", "sum")}).to_pandas()
+    empty = pd.DataFrame({
+        "cust_nation": pd.Series([], dtype=object),
+        "supp_nation": pd.Series([], dtype=object),
+        "obs_cc": pd.Series([], dtype="int64"),
+        "row_cc": pd.Series([], dtype="int64"),
+        "col_cc": pd.Series([], dtype="int64"),
+        "total_cc": pd.Series([], dtype="int64"),
+    })
+    if obs.empty:
+        return empty
+    obs = obs.rename(columns={"cn": "cust_nation", "sn": "supp_nation",
+                              "cc": "obs_cc"})
+    obs["obs_cc"] = obs["obs_cc"].astype("int64")
+    total = sum(int(v) for v in obs["obs_cc"])
+    if total >= 2**63:
+        raise OverflowError("trade_gravity: totals exceed int64")
+    row = obs.groupby("cust_nation")["obs_cc"].sum().rename("row_cc")
+    col = obs.groupby("supp_nation")["obs_cc"].sum().rename("col_cc")
+    obs = obs.merge(row, on="cust_nation").merge(col, on="supp_nation")
+    obs["total_cc"] = np.int64(total)
+    for c in ("obs_cc", "row_cc", "col_cc", "total_cc"):
+        obs[c] = obs[c].astype("int64")
+    return obs.sort_values(["cust_nation", "supp_nation"]).reset_index(drop=True)

@@ -525,3 +525,47 @@ def test_bloom_fpr_audit_counts(tmp_path, ray_session):
     assert out["n_fp"] == int(ok.sum()) - 100
     assert ok[(probes >= 100) & (probes < 200)].all()  # no false negatives
     assert out["bits_set"] <= 400
+
+
+# --- gravity trade flows -----------------------------------------------------------
+
+
+def test_trade_gravity_hand_network(tmp_path, ray_session):
+    """Two nations, crafted flows; centicent arithmetic and the marginal
+    totals checked by hand."""
+    from osmi_addresses_ray.pipelines.relational import trade_gravity
+
+    pd.DataFrame({"n_nationkey": [0, 1], "n_name": ["A", "B"]}).to_parquet(
+        tmp_path / "nation.parquet", index=False
+    )
+    pd.DataFrame({"c_custkey": [10, 20], "c_nationkey": [0, 1]}).to_parquet(
+        tmp_path / "customer.parquet", index=False
+    )
+    pd.DataFrame({"s_suppkey": [5, 6], "s_nationkey": [0, 1]}).to_parquet(
+        tmp_path / "supplier.parquet", index=False
+    )
+    pd.DataFrame({"o_orderkey": [100, 200], "o_custkey": [10, 20]}).to_parquet(
+        tmp_path / "orders.parquet", index=False
+    )
+    # order 100 (cust nation A): item from supp 5 (A) 10.00 @ 10% disc,
+    #                            item from supp 6 (B) 20.00 @ 0%
+    # order 200 (cust nation B): item from supp 6 (B) 5.00 @ 3%
+    pd.DataFrame({
+        "l_orderkey": [100, 100, 200],
+        "l_suppkey": [5, 6, 6],
+        "l_extendedprice": [10.0, 20.0, 5.0],
+        "l_discount": [0.10, 0.0, 0.03],
+    }).to_parquet(tmp_path / "lineitem.parquet", index=False)
+    out = trade_gravity(str(tmp_path), num_parts=2)
+    got = {(r.cust_nation, r.supp_nation): (r.obs_cc, r.row_cc, r.col_cc,
+                                            r.total_cc)
+           for r in out.itertuples()}
+    aa = 1000 * 90          # 90_000
+    ab = 2000 * 100         # 200_000
+    bb = 500 * 97           # 48_500
+    total = aa + ab + bb
+    assert got == {
+        ("A", "A"): (aa, aa + ab, aa, total),
+        ("A", "B"): (ab, aa + ab, ab + bb, total),
+        ("B", "B"): (bb, bb, ab + bb, total),
+    }

@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_mixture": textstats.training_mixture,
         "top_bigrams": textstats.top_bigrams,
         "collocations": textstats.collocations,
+        "rake_keywords": textstats.rake_keywords,
         "phrase_search": textstats.phrase_search,
         "bigram_lift": textstats.bigram_lift,
         "stratified_sample": textstats.stratified_sample,
@@ -3419,6 +3420,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT bigram, count(*)::BIGINT AS cnt
             FROM p GROUP BY bigram
             ORDER BY cnt DESC, bigram LIMIT 50
+        """,
+        # RAKE word-level: phrases = gaps-and-islands of non-stopword
+        # tokens (pos - row_number per (doc, stop)); deg joins each word
+        # occurrence to its phrase length; exact (deg*1e6)//freq ranking
+        "rake_keywords": """
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(lower(text),
+                                                 '[A-Za-z0-9_]+') AS toks
+                       FROM documents),
+            e AS (SELECT doc_id,
+                         unnest(range(1, len(toks) + 1)) AS pos,
+                         unnest(toks) AS w
+                  FROM t WHERE len(toks) > 0),
+            f AS (SELECT doc_id, pos, w,
+                         CASE WHEN w IN ('the','and','of','to','a','in',
+                                         'is','it','that','with')
+                              THEN 1 ELSE 0 END AS stop
+                  FROM e),
+            g AS (SELECT doc_id, pos, w, stop,
+                         pos - row_number() OVER (PARTITION BY doc_id, stop
+                                                  ORDER BY pos) AS grp
+                  FROM f),
+            ph AS (SELECT doc_id, grp, count(*)::BIGINT AS plen
+                   FROM g WHERE stop = 0 GROUP BY 1, 2),
+            ws AS (SELECT g.w, count(*)::BIGINT AS freq,
+                          sum(ph.plen)::BIGINT AS deg
+                   FROM g JOIN ph ON ph.doc_id = g.doc_id AND ph.grp = g.grp
+                   WHERE g.stop = 0 GROUP BY 1)
+            SELECT w AS word, freq, deg,
+                   (deg * 1000000 // freq)::BIGINT AS score_key
+            FROM ws ORDER BY score_key DESC, word LIMIT 25
         """,
         "collocations": """
             WITH ws AS (SELECT regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS w

@@ -2837,3 +2837,111 @@ def phrase_search(
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# --- RAKE keyword extraction -----------------------------------------------------
+
+# the lang_id English stopword set — RAKE's phrase delimiters
+_RAKE_STOPS = ("the", "and", "of", "to", "a", "in", "is", "it", "that", "with")
+
+
+def rake_keywords(sf_dir: str, *, top: int = 25) -> pd.DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010), word-level and
+    integer-exact: candidate phrases are maximal runs of non-stopword
+    tokens; per word, freq = occurrences inside candidates and deg =
+    Σ length of the containing phrase (the co-occurrence degree, self
+    included). RAKE's score deg/freq is ranked by the EXACT integer key
+    (deg·10⁶)//freq, ties by word ascending — no float division. Output:
+    top-``top`` (word, freq, deg, score_key).
+
+    Distributed shape: phrase segmentation is one vectorized pass per batch
+    (cumsum phrase ids over the token explode — stopwords and doc starts
+    close phrases), partials pre-aggregate per batch, ONE word-keyed
+    exchange, per-block partial top-k + k·P driver merge. int64 guard on
+    the key RAISES past ~9·10¹² total degree.
+    """
+    import re as _re
+
+    import pyarrow as pa
+
+    from .relational import grouped_agg, topk
+
+    tok = _re.compile(_TOKEN_RE)
+    stops = frozenset(_RAKE_STOPS)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words, starts = [], []
+        for t in df["text"]:
+            ts = tok.findall(t.lower())
+            starts.append(len(words))
+            words.extend(ts)
+        if not words:
+            return pd.DataFrame({
+                "word": pd.Series([], dtype=object),
+                "freq": pd.Series([], dtype="int64"),
+                "deg": pd.Series([], dtype="int64"),
+            })
+        w = np.asarray(words, dtype=object)
+        is_stop = np.isin(w, list(stops))
+        doc_start = np.zeros(len(w), dtype=bool)
+        doc_start[np.asarray(starts, dtype=np.int64)[
+            np.asarray(starts, dtype=np.int64) < len(w)]] = True
+        # a phrase id increments at every stopword and every doc start, so
+        # consecutive non-stop tokens inside one doc share an id
+        pid = np.cumsum(is_stop | doc_start)
+        live = ~is_stop
+        if not live.any():
+            return pd.DataFrame({
+                "word": pd.Series([], dtype=object),
+                "freq": pd.Series([], dtype="int64"),
+                "deg": pd.Series([], dtype="int64"),
+            })
+        plen = np.bincount(pid[live], minlength=int(pid.max()) + 1)
+        g = (
+            pd.DataFrame({
+                "word": w[live],
+                "deg": plen[pid[live]].astype(np.int64),
+            })
+            .groupby("word", sort=False)
+            .agg(freq=("deg", "size"), deg=("deg", "sum"))
+            .reset_index()
+        )
+        g["freq"] = g["freq"].astype("int64")
+        g["deg"] = g["deg"].astype("int64")
+        return g
+
+    agg = grouped_agg(
+        _read_docs(sf_dir).map_batches(partial, batch_format="pandas"),
+        ["word"], {"freq": ("freq", "sum"), "deg": ("deg", "sum")},
+    )
+
+    def add_key(t: pa.Table) -> pa.Table:
+        freq = t["freq"].to_numpy(zero_copy_only=False).astype(np.int64)
+        deg = t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(deg) and int(deg.max()) >= 9_000_000_000_000:
+            raise OverflowError("rake_keywords: deg·1e6 exceeds int64")
+        return t.append_column(
+            "score_key", pa.array(deg * 1_000_000 // freq, pa.int64())
+        )
+
+    out = topk(
+        agg.map_batches(add_key, batch_format="pyarrow"),
+        "score_key", top, tie_cols=["word"],
+        empty_schema=pa.schema([
+            ("word", pa.string()), ("freq", pa.int64()),
+            ("deg", pa.int64()), ("score_key", pa.int64()),
+        ]),
+    )
+    if out.empty:
+        return pd.DataFrame({
+            "word": pd.Series([], dtype=object),
+            "freq": pd.Series([], dtype="int64"),
+            "deg": pd.Series([], dtype="int64"),
+            "score_key": pd.Series([], dtype="int64"),
+        })
+    for c in ("freq", "deg", "score_key"):
+        out[c] = out[c].astype("int64")
+    return (
+        out.sort_values(["score_key", "word"], ascending=[False, True])
+        .reset_index(drop=True)[["word", "freq", "deg", "score_key"]]
+    )

@@ -213,3 +213,45 @@ def test_ams_f2_empty(tmp_path, ray_session):
         tmp_path / "documents.parquet", index=False
     )
     assert ams_f2(str(tmp_path)).empty
+
+
+# --- RAKE keywords ----------------------------------------------------------------
+
+
+def test_rake_hand_corpus(tmp_path, ray_session):
+    """'deep learning of deep models' -> phrases [deep learning], [deep
+    models]: deg(deep)=4, freq=2; deg(learning)=2, freq=1; deg(models)=2,
+    freq=1. Stopword 'of' never appears as a keyword."""
+    import pandas as pd
+
+    from osmi_addresses_ray.pipelines.textstats import rake_keywords
+
+    docs = pd.DataFrame({
+        "doc_id": ["d1"], "text": ["deep learning of deep models"]
+    })
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = rake_keywords(str(tmp_path), top=10)
+    got = {r.word: (r.freq, r.deg, r.score_key) for r in out.itertuples()}
+    assert got == {
+        "deep": (2, 4, 2_000_000),
+        "learning": (1, 2, 2_000_000),
+        "models": (1, 2, 2_000_000),
+    }
+    # tie at 2e6: word-ascending order
+    assert list(out["word"]) == ["deep", "learning", "models"]
+
+
+def test_rake_phrase_breaks_at_doc_boundary(tmp_path, ray_session):
+    """Tokens in different docs never join one phrase even without a
+    stopword between them."""
+    import pandas as pd
+
+    from osmi_addresses_ray.pipelines.textstats import rake_keywords
+
+    docs = pd.DataFrame({
+        "doc_id": ["d1", "d2"], "text": ["alpha beta", "gamma"]
+    })
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = rake_keywords(str(tmp_path), top=10)
+    got = {r.word: r.deg for r in out.itertuples()}
+    assert got == {"alpha": 2, "beta": 2, "gamma": 1}

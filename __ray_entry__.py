@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": textstats.top_bigrams,
         "collocations": textstats.collocations,
         "rake_keywords": textstats.rake_keywords,
+        "zipf_coverage": textstats.zipf_coverage,
         "phrase_search": textstats.phrase_search,
         "bigram_lift": textstats.bigram_lift,
         "stratified_sample": textstats.stratified_sample,
@@ -3420,6 +3421,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT bigram, count(*)::BIGINT AS cnt
             FROM p GROUP BY bigram
             ORDER BY cnt DESC, bigram LIMIT 50
+        """,
+        # Zipf coverage: descending-count histogram walk; targets are exact
+        # ceilings (covered >= ceil(f*total)), partial blocks by ceil div
+        "zipf_coverage": """
+            WITH toks AS (SELECT unnest(regexp_extract_all(lower(text),
+                                 '[A-Za-z0-9_]+')) AS t
+                          FROM documents),
+            cnt AS (SELECT t, count(*)::BIGINT AS c FROM toks GROUP BY t),
+            hist AS (SELECT c, count(*)::BIGINT AS n_types
+                     FROM cnt GROUP BY c),
+            tot AS (SELECT sum(c * n_types)::BIGINT AS total,
+                           sum(n_types)::BIGINT AS n_types FROM hist),
+            w AS (SELECT c, n_types,
+                         sum(c * n_types) OVER (ORDER BY c DESC) AS cum,
+                         sum(c * n_types) OVER (ORDER BY c DESC)
+                             - c * n_types AS cumb,
+                         sum(n_types) OVER (ORDER BY c DESC)
+                             - n_types AS kb
+                  FROM hist),
+            k50 AS (SELECT kb + (((tot.total + 1) // 2 - cumb) + c - 1) // c
+                           AS k
+                    FROM w, tot WHERE cum >= (tot.total + 1) // 2
+                    ORDER BY c DESC LIMIT 1),
+            k90 AS (SELECT kb + (((9 * tot.total + 9) // 10 - cumb) + c - 1)
+                           // c AS k
+                    FROM w, tot WHERE cum >= (9 * tot.total + 9) // 10
+                    ORDER BY c DESC LIMIT 1)
+            SELECT tot.total AS n_tokens, tot.n_types,
+                   (SELECT k FROM k50)::BIGINT AS k50,
+                   (SELECT k FROM k90)::BIGINT AS k90
+            FROM tot
         """,
         # RAKE word-level: phrases = gaps-and-islands of non-stopword
         # tokens (pos - row_number per (doc, stop)); deg joins each word

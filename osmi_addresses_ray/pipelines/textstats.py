@@ -2945,3 +2945,87 @@ def rake_keywords(sf_dir: str, *, top: int = 25) -> pd.DataFrame:
         out.sort_values(["score_key", "word"], ascending=[False, True])
         .reset_index(drop=True)[["word", "freq", "deg", "score_key"]]
     )
+
+
+# --- Zipf coverage audit -----------------------------------------------------------
+
+
+def zipf_coverage(sf_dir: str) -> pd.DataFrame:
+    """Zipf-structure audit of the corpus token distribution: the EXACT
+    minimum number of token types needed to cover ≥50% and ≥90% of all
+    occurrences (k50/k90), plus totals — the head-heaviness signal behind
+    vocabulary sizing and stopword-list design. Integer thresholds by
+    cross-multiplication (2·covered ≥ total; 10·covered ≥ 9·total), partial
+    blocks by exact ceil division — no float percentage anywhere.
+
+    Distributed shape: ONE token-keyed exchange (per-batch pre-aggregated
+    counts) → per-batch (count → n_types) histogram partials → one TINY
+    exchange over distinct count values (≤ O(√tokens) rows — a corpus of N
+    occurrences supports at most √(2N) distinct counts); the driver walks
+    that bounded histogram once, largest count first. Output: one row
+    (n_tokens, n_types, k50, k90).
+    """
+    import re as _re
+
+    from .relational import grouped_agg
+
+    tok = _re.compile(_TOKEN_RE)
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [w for t in df["text"] for w in tok.findall(t.lower())]
+        if not toks:
+            return pd.DataFrame({
+                "t": pd.Series([], dtype=object),
+                "c": pd.Series([], dtype="int64"),
+            })
+        vc = pd.Series(toks).value_counts()
+        return pd.DataFrame({
+            "t": vc.index.to_numpy(object), "c": vc.to_numpy(np.int64)
+        })
+
+    counts = grouped_agg(
+        _read_docs(sf_dir).map_batches(count_partial, batch_format="pandas"),
+        ["t"], {"c": ("c", "sum")},
+    )
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c", sort=False).size().reset_index(name="n_types")
+        g["n_types"] = g["n_types"].astype("int64")
+        return g
+
+    hist = grouped_agg(
+        counts.map_batches(hist_partial, batch_format="pandas"),
+        ["c"], {"n_types": ("n_types", "sum")},
+    ).to_pandas()
+    empty = pd.DataFrame(
+        {c: pd.Series([], dtype="int64")
+         for c in ("n_tokens", "n_types", "k50", "k90")}
+    )
+    if hist.empty:
+        return empty
+    hist = hist.sort_values("c", ascending=False).reset_index(drop=True)
+    cs = hist["c"].to_numpy(np.int64)
+    ns = hist["n_types"].to_numpy(np.int64)
+    total = int((cs * ns).sum())
+    n_types = int(ns.sum())
+
+    def k_for(num: int, den: int) -> int:
+        # smallest k with den·covered ≥ num·total over the desc-count walk
+        target = -(-num * total // den)  # ceil(num·total/den)
+        covered = 0
+        k = 0
+        for c, n in zip(cs, ns):
+            block = int(c) * int(n)
+            if covered + block >= target:
+                need = target - covered
+                return k + (need + int(c) - 1) // int(c)
+            covered += block
+            k += int(n)
+        return k
+
+    return pd.DataFrame({
+        "n_tokens": pd.array([total], dtype="int64"),
+        "n_types": pd.array([n_types], dtype="int64"),
+        "k50": pd.array([k_for(1, 2)], dtype="int64"),
+        "k90": pd.array([k_for(9, 10)], dtype="int64"),
+    })

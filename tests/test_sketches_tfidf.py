@@ -255,3 +255,38 @@ def test_rake_phrase_breaks_at_doc_boundary(tmp_path, ray_session):
     out = rake_keywords(str(tmp_path), top=10)
     got = {r.word: r.deg for r in out.itertuples()}
     assert got == {"alpha": 2, "beta": 2, "gamma": 1}
+
+
+# --- Zipf coverage ----------------------------------------------------------------
+
+
+def test_zipf_coverage_hand_distribution(tmp_path, ray_session):
+    """Counts: a×6, b×2, c×1, d×1 (total 10). ceil(50%)=5 -> k50=1 (a alone
+    covers 6); ceil(90%)=9 -> k50 + need (9-6=3 at count 2 -> 2 types... c=2
+    block covers 2, then count-1 block 1 more) -> k90=3."""
+    import pandas as pd
+
+    from osmi_addresses_ray.pipelines.textstats import zipf_coverage
+
+    text = " ".join(["a"] * 6 + ["b"] * 2 + ["c", "d"])
+    pd.DataFrame({"doc_id": ["d1"], "text": [text]}).to_parquet(
+        tmp_path / "documents.parquet", index=False
+    )
+    out = zipf_coverage(str(tmp_path)).iloc[0]
+    assert (out["n_tokens"], out["n_types"]) == (10, 4)
+    assert out["k50"] == 1
+    # target90 = ceil(9) = 9; a(6) + b(2) = 8, then one count-1 type -> 3
+    assert out["k90"] == 3
+
+
+def test_zipf_coverage_uniform(tmp_path, ray_session):
+    """Five singleton types: k50 = ceil(2.5) = 3 types, k90 = 5."""
+    import pandas as pd
+
+    from osmi_addresses_ray.pipelines.textstats import zipf_coverage
+
+    pd.DataFrame({"doc_id": ["d1"], "text": ["v w x y z"]}).to_parquet(
+        tmp_path / "documents.parquet", index=False
+    )
+    out = zipf_coverage(str(tmp_path)).iloc[0]
+    assert (out["k50"], out["k90"]) == (3, 5)

@@ -398,6 +398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "street_mst": _mst_query,
         "street_mis": _mis_query,
         "street_lpa": _street_lpa_query,
+        "street_bipartite": _street_bipartite_query,
         "segment_bearing_rose": _bearing_rose_query,
         "turn_classes": _turns_query,
         "od_flows": _od_query,
@@ -1415,6 +1416,24 @@ def _street_lpa_query(sf_dir: str):
     parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
     ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
     out = street_lpa(ways_geo, rounds=4, num_parts=_parts_for(FIXTURE_BLOCKS))
+    write_oracle("street_edges_src", oracle_street_edges(fixture_table(FIXTURE_BLOCKS)))
+    return out
+
+
+def _street_bipartite_query(sf_dir: str):
+    """Bipartiteness audit (hop-parity 2-coloring + odd-cycle conflicts);
+    TRUE SQL oracle: min-label component closure + bounded recursive BFS
+    + parity edge join over the independent edges."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.geo_ops import oracle_street_edges
+    from osmi_addresses_ray.pipelines.geo_ops import street_bipartite
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.assembly import assemble_ways
+    from osmi_addresses_ray.stages.parse import parse_docs
+
+    parsed = parse_docs(fixture_docs(FIXTURE_BLOCKS)).drop_columns(["spans"])
+    ways_geo = assemble_ways(parsed, num_parts=_parts_for(FIXTURE_BLOCKS))
+    out = street_bipartite(ways_geo, num_parts=_parts_for(FIXTURE_BLOCKS))
     write_oracle("street_edges_src", oracle_street_edges(fixture_table(FIXTURE_BLOCKS)))
     return out
 
@@ -5184,6 +5203,48 @@ GROUP BY c.region ORDER BY region
             )
             SELECT node AS node_id, min(lab)::BIGINT AS comp
             FROM r GROUP BY node ORDER BY node
+        """,
+        # bipartiteness audit: min-label closure for components, bounded
+        # recursive BFS for hop distances (dist+1 < |V| caps the cycle
+        # blowup of the (node, dist) UNION), parity join counts conflicts
+        "street_bipartite": f"""
+            WITH RECURSIVE
+            e AS (SELECT u, v
+                  FROM read_parquet('{oracle_path('street_edges_src')}')),
+            nodes AS (SELECT DISTINCT u AS node FROM e),
+            nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+            r AS (SELECT node, node AS lab FROM nodes
+                  UNION
+                  SELECT e.v, r.lab FROM r JOIN e ON e.u = r.node),
+            comp AS (SELECT node, min(lab)::BIGINT AS comp
+                     FROM r GROUP BY node),
+            roots AS (SELECT DISTINCT comp AS node FROM comp),
+            walk AS (SELECT node, 0::BIGINT AS dist FROM roots
+                     UNION
+                     SELECT e.v, w.dist + 1
+                     FROM walk w JOIN e ON e.u = w.node CROSS JOIN nn
+                     WHERE w.dist + 1 < nn.n),
+            d AS (SELECT node, min(dist)::BIGINT AS dist
+                  FROM walk GROUP BY node),
+            col AS (SELECT node, dist % 2 AS color FROM d),
+            ue AS (SELECT u, v FROM e WHERE u < v),
+            ce AS (SELECT c.comp,
+                          CASE WHEN ca.color = cb.color THEN 1 ELSE 0 END
+                              AS conf
+                   FROM ue JOIN col ca ON ca.node = ue.u
+                           JOIN col cb ON cb.node = ue.v
+                           JOIN comp c ON c.node = ue.u),
+            en AS (SELECT comp, count(*)::BIGINT AS n_edges,
+                          sum(conf)::BIGINT AS n_conflicts
+                   FROM ce GROUP BY comp),
+            cn AS (SELECT comp, count(*)::BIGINT AS n_nodes
+                   FROM comp GROUP BY comp)
+            SELECT cn.comp, cn.n_nodes,
+                   coalesce(en.n_edges, 0)::BIGINT AS n_edges,
+                   coalesce(en.n_conflicts, 0)::BIGINT AS n_conflicts,
+                   (CASE WHEN coalesce(en.n_conflicts, 0) = 0
+                         THEN 1 ELSE 0 END)::BIGINT AS bipartite
+            FROM cn LEFT JOIN en USING (comp) ORDER BY cn.comp
         """,
         # synchronous LPA, 4 rounds: each iteration re-derives every node's
         # next label as the (count desc, label asc) mode of its neighbors'

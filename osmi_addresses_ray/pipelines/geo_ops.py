@@ -6071,3 +6071,197 @@ def edr_from_points(traj, *, num_parts: int = 8, cell_cap: int = 256) -> pd.Data
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values(["cell_x", "cell_y", "traj_a", "traj_b"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# bipartiteness audit (parity 2-coloring + odd-cycle conflict count)
+# --------------------------------------------------------------------------
+
+_BIP_MAX_ROUNDS = 64
+_BIP_STATE_SCHEMA = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
+_BIP_MSG_SCHEMA = pa.schema([("dst", pa.int64()), ("d", pa.int64())])
+
+
+def street_bipartite(ways_geo_ds, *, num_parts: int = 8) -> pd.DataFrame:
+    """Bipartiteness audit of the street graph: per connected component,
+    2-color vertices by BFS hop-parity from the component's minimum vertex
+    and count CONFLICT edges (both endpoints the same color) — a component
+    is bipartite iff zero conflicts, and each conflict certifies an odd
+    cycle (the two-colorability test behind alternating-side numbering
+    schemes and frontier scheduling). Deterministic: hop distances are
+    unique minima; the root is the component min. Output per component:
+    (comp, n_nodes, n_edges, n_conflicts, bipartite).
+
+    Distributed shape: synchronous unit-weight min-plus pregel — per round
+    ONE message exchange from all reached nodes (O(reached·deg) rows;
+    adopting street_route_dist's improved-frontier sender set is the
+    documented refinement for high-diameter graphs), convergence detected
+    from per-block (unreached, Σdist) partials — no full driver pull per
+    round. ``_BIP_MAX_ROUNDS`` RAISES (a street graph with BFS radius > 64
+    needs a bigger cap, not silence).
+    """
+    from ..ops import direct_cogroup
+
+    empty = pd.DataFrame(
+        {c: pd.Series([], dtype="int64")
+         for c in ("comp", "n_nodes", "n_edges", "n_conflicts", "bipartite")}
+    )
+    edges, _srcs = _street_edges_and_sources(
+        ways_geo_ds, num_parts=num_parts, k_sources=1
+    )
+    if edges is None:
+        return empty
+
+    # component labels: per-node min reachable id via the same alternating
+    # star contraction the CC operator uses — here we need (node, comp)
+    comp_stars = None
+
+    def to_cc_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"u": t["u"], "v": t["v"]})
+
+    from .dedup import connected_components
+
+    comp_stars = connected_components(
+        edges.to_dataset().map_batches(to_cc_edges, batch_format="pyarrow"),
+        num_parts=num_parts,
+    ).to_pandas()
+
+    INF = np.int64(1) << 60
+
+    def seed(t: pa.Table) -> pa.Table:
+        uu = np.unique(t["u"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"node": pa.array(uu), "dist": pa.array(
+            np.full(len(uu), INF, np.int64))})
+
+    states = direct_cogroup(
+        [edges], [["u"]], num_parts, seed, [_SSSP_EDGE_SCHEMA],
+        emit_partitioned_on=["node"],
+    )
+    # roots: comp minima — every node NOT appearing as a star child with a
+    # smaller parent is its component's min
+    roots = set()
+    all_nodes = set()
+    for b in states.to_dataset().iter_batches(batch_format="pyarrow"):
+        all_nodes.update(b["node"].to_numpy(zero_copy_only=False).tolist())
+    child = set(comp_stars["u"].tolist()) if not comp_stars.empty else set()
+    roots = all_nodes - child
+    comp_of = {int(n): int(n) for n in roots}
+    if not comp_stars.empty:
+        for u, v in zip(comp_stars["u"], comp_stars["v"]):
+            comp_of[int(u)] = int(v)
+    roots_arr = np.array(sorted(roots), dtype=np.int64)
+
+    def seed_roots(t: pa.Table) -> pa.Table:
+        n = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dist"].to_numpy(zero_copy_only=False).astype(np.int64).copy()
+        d[np.isin(n, roots_arr)] = 0
+        return pa.table({"node": pa.array(n), "dist": pa.array(d)})
+
+    states = direct_cogroup(
+        [states.to_dataset()], [["node"]], num_parts, seed_roots,
+        [_BIP_STATE_SCHEMA], emit_partitioned_on=["node"],
+    )
+    frontier = states
+
+    for _rnd in range(_BIP_MAX_ROUNDS):
+        def emit(e_t: pa.Table, s_t: pa.Table) -> pa.Table:
+            if e_t.num_rows == 0 or s_t.num_rows == 0:
+                return _BIP_MSG_SCHEMA.empty_table()
+            sd = s_t.to_pandas()
+            sd = sd[sd["dist"] < INF]
+            if sd.empty:
+                return _BIP_MSG_SCHEMA.empty_table()
+            m = e_t.to_pandas().merge(sd, left_on="u", right_on="node")
+            if m.empty:
+                return _BIP_MSG_SCHEMA.empty_table()
+            return pa.table({
+                "dst": pa.array(m["v"].to_numpy(np.int64)),
+                "d": pa.array(m["dist"].to_numpy(np.int64) + 1),
+            })
+
+        def relax(m_t: pa.Table, s_t: pa.Table) -> pa.Table:
+            sd = s_t.to_pandas()
+            if sd.empty:
+                return _BIP_STATE_SCHEMA.empty_table()
+            d = sd["dist"].to_numpy(np.int64).copy()
+            if m_t.num_rows:
+                md = m_t.to_pandas().groupby("dst")["d"].min()
+                pos = pd.Series(np.arange(len(sd)), index=sd["node"].to_numpy())
+                p = pos.reindex(md.index.to_numpy()).to_numpy()
+                ok = ~pd.isna(p)
+                p = p[ok].astype(np.int64)
+                d[p] = np.minimum(d[p], md.to_numpy(np.int64)[ok])
+            return pa.table({
+                "node": pa.array(sd["node"].to_numpy(np.int64)),
+                "dist": pa.array(d),
+            })
+
+        msgs = direct_cogroup(
+            [edges, states.to_dataset()], [["u"], ["node"]], num_parts, emit,
+            [_SSSP_EDGE_SCHEMA, _BIP_STATE_SCHEMA], emit_partitioned_on=["dst"],
+        )
+        new_states = direct_cogroup(
+            [msgs, states.to_dataset()], [["dst"], ["node"]], num_parts, relax,
+            [_BIP_MSG_SCHEMA, _BIP_STATE_SCHEMA], emit_partitioned_on=["node"],
+        )
+
+        def _sig(st) -> tuple[int, int]:
+            # distances only ever DECREASE, so the pair (#unreached,
+            # Σ finite dist) is monotone and unchanged ⇔ converged —
+            # per-block partials, never a full driver pull
+            n_inf = 0
+            fin = 0
+            for b in st.to_dataset().select_columns(["dist"]).iter_batches(
+                batch_format="pyarrow"
+            ):
+                d = b["dist"].to_numpy(zero_copy_only=False)
+                hit = d < INF
+                n_inf += int((~hit).sum())
+                fin += int(d[hit].sum())
+            return n_inf, fin
+
+        old_sig = _sig(states)
+        new_sig = _sig(new_states)
+        states = new_states
+        if old_sig == new_sig:
+            break
+    else:
+        raise RuntimeError(
+            f"street_bipartite did not converge in {_BIP_MAX_ROUNDS} rounds"
+        )
+
+    # final audit: vectorized over the per-node state table and the deduped
+    # edge list (both already driver-sized in the CC operator family — the
+    # per-node labelling IS the product; see street_components)
+    sd = states.to_dataset().to_pandas()
+    sd["color"] = (sd["dist"].to_numpy(np.int64) % 2).astype(np.int64)
+    color = pd.Series(
+        sd["color"].to_numpy(np.int64), index=sd["node"].to_numpy(np.int64)
+    )
+    comp_s = pd.Series(comp_of)
+    ed = edges.to_dataset().to_pandas()
+    ed = ed[ed["u"] < ed["v"]]
+    node_comp = comp_s.reindex(sd["node"].to_numpy(np.int64))
+    nodes_per = node_comp.value_counts()
+    edge_comp = comp_s.reindex(ed["u"].to_numpy(np.int64)).to_numpy()
+    conflict = (
+        color.reindex(ed["u"].to_numpy(np.int64)).to_numpy()
+        == color.reindex(ed["v"].to_numpy(np.int64)).to_numpy()
+    )
+    eg = pd.DataFrame({"comp": edge_comp, "conf": conflict.astype(np.int64)})
+    edges_per = eg.groupby("comp").agg(
+        n_edges=("conf", "size"), n_conflicts=("conf", "sum")
+    )
+    out = (
+        pd.DataFrame({"n_nodes": nodes_per})
+        .join(edges_per, how="left")
+        .fillna(0)
+        .reset_index(names="comp")
+    )
+    out["bipartite"] = (out["n_conflicts"] == 0).astype("int64")
+    for c in ("comp", "n_nodes", "n_edges", "n_conflicts", "bipartite"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["comp", "n_nodes", "n_edges", "n_conflicts", "bipartite"]]
+        .sort_values("comp").reset_index(drop=True)
+    )

@@ -544,3 +544,39 @@ def test_street_lpa_path_graph_rounds(ray_session):
     edges = {(min(a, b), max(a, b)) for a, b in zip(vids, vids[1:])}
     want = _lpa_replay(edges, rounds=1)
     assert got == want
+
+
+# --- bipartiteness audit -----------------------------------------------------------
+
+
+def test_street_bipartite_square_vs_triangle(ray_session):
+    """A 4-cycle (bipartite) and a disjoint triangle (one odd cycle)."""
+    from osmi_addresses_ray.pipelines.geo_ops import street_bipartite
+
+    sq = [(0, 0), (100, 0), (100, 100), (0, 100)]
+    tri = [(5000, 0), (5100, 0), (5000, 100)]
+    ways = [
+        {"id": 1, "pts": sq + [sq[0]]},
+        {"id": 2, "pts": tri + [tri[0]]},
+    ]
+    out = street_bipartite(_ways_geo(ways), num_parts=3)
+    assert len(out) == 2
+    sq_comp = out[out["n_nodes"] == 4].iloc[0]
+    tri_comp = out[out["n_nodes"] == 3].iloc[0]
+    assert (sq_comp["n_edges"], sq_comp["n_conflicts"], sq_comp["bipartite"]) \
+        == (4, 0, 1)
+    assert (tri_comp["n_edges"], tri_comp["bipartite"]) == (3, 0 + 0)
+    assert tri_comp["n_conflicts"] == 1  # exactly one same-parity edge
+    # component labels are the min vertex ids
+    vids = sorted(_vid(*p) for p in sq)
+    assert sq_comp["comp"] == vids[0]
+
+
+def test_street_bipartite_path_is_bipartite(ray_session):
+    from osmi_addresses_ray.pipelines.geo_ops import street_bipartite
+
+    ways = [{"id": 1, "pts": [(0, 0), (100, 0), (200, 0), (300, 0)]}]
+    out = street_bipartite(_ways_geo(ways), num_parts=2)
+    row = out.iloc[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_conflicts"],
+            row["bipartite"]) == (4, 3, 0, 1)

@@ -346,6 +346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_hist_eq": _media_hist_eq_query,
         "media_palette": _media_palette_query,
         "media_otsu": _media_otsu_query,
+        "media_crest": _media_crest_query,
         "media_audio_windows": _media_audio_windows_query,
         "media_pitch": _media_pitch_query,
         "media_onsets": _media_onsets_query,
@@ -764,6 +765,26 @@ def _media_otsu_query(sf_dir: str):
     )
     write_oracle(
         "media_otsu", oracle_media_otsu(fixture_table(FIXTURE_BLOCKS))
+    )
+    return df
+
+
+def _media_crest_query(sf_dir: str):
+    """Crest-factor audit over real decoded PCM16; scalar per-sample
+    oracle over the raw sample spec."""
+    from osmi_addresses_ray.oracle import write_oracle
+    from osmi_addresses_ray.oracle.layers import oracle_media_crest
+    from osmi_addresses_ray.sources.fixture import fixture_docs, fixture_table
+    from osmi_addresses_ray.stages.multimodal import media_crest
+
+    df = (
+        media_crest(fixture_docs(FIXTURE_BLOCKS))
+        .to_pandas()
+        .sort_values(["doc_id", "media_ref"])
+        .reset_index(drop=True)
+    )
+    write_oracle(
+        "media_crest", oracle_media_crest(fixture_table(FIXTURE_BLOCKS))
     )
     return df
 
@@ -4929,6 +4950,7 @@ GROUP BY c.region ORDER BY region
         "media_hist_eq": read_parquet_sql("media_hist_eq", "doc_id, media_ref"),
         "media_palette": read_parquet_sql("media_palette", "doc_id, media_ref"),
         "media_otsu": read_parquet_sql("media_otsu", "doc_id, media_ref"),
+        "media_crest": read_parquet_sql("media_crest", "doc_id, media_ref"),
         "media_audio_windows": read_parquet_sql("media_audio_windows", "doc_id, media_ref"),
         "media_pitch": read_parquet_sql("media_pitch", "doc_id, media_ref"),
         "media_onsets": read_parquet_sql("media_onsets", "doc_id, media_ref"),

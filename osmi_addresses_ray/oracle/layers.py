@@ -1870,3 +1870,31 @@ def oracle_image_dup_clusters(n_imgs: int) -> pd.DataFrame:
         .astype({"csize": "int64"})
         .sort_values(["cluster", "ref"]).reset_index(drop=True)
     )
+
+
+def oracle_media_crest(docs: pa.Table) -> pd.DataFrame:
+    """Scalar crest recomputation: per-sample python-int loop for peak² and
+    energy, the same cross-multiplied peak²·N ≥ 4·energy gate."""
+    rows = []
+    for row in docs.to_pylist():
+        for span in row["spans"]:
+            if span["kind"] != "media":
+                continue
+            s = [int(v) for v in _oracle_audio_samples(span["media_ref"])]
+            n = len(s)
+            peak2 = 0
+            energy = 0
+            for v in s:
+                sq = v * v
+                energy += sq
+                if sq > peak2:
+                    peak2 = sq
+            peaky = 1 if n and peak2 * n >= 4 * energy else 0
+            rows.append((row["doc_id"], span["media_ref"], n, peak2, energy,
+                         peaky))
+    return (
+        pd.DataFrame(rows, columns=["doc_id", "media_ref", "n_samples",
+                                    "peak2", "energy", "peaky"])
+        .astype({c: "int64" for c in ["n_samples", "peak2", "energy", "peaky"]})
+        .sort_values(["doc_id", "media_ref"]).reset_index(drop=True)
+    )

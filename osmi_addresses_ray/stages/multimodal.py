@@ -1802,3 +1802,70 @@ def image_dup_clusters(n_imgs: int = 120, *, num_parts: int = 8) -> pd.DataFrame
         "csize": sizes[comp].astype(np.int64),
     })
     return out.sort_values(["cluster", "ref"]).reset_index(drop=True)
+
+
+# --- crest factor (peak-to-RMS) audit --------------------------------------------
+
+MEDIA_CREST_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("n_samples", pa.int64()),
+        pa.field("peak2", pa.int64()),
+        pa.field("energy", pa.int64()),
+        pa.field("peaky", pa.int64()),
+    ]
+)
+
+
+class AudioCrest:
+    """Actor-pool crest-factor (peak-to-RMS) audit over real decoded PCM16 —
+    the dynamic-range/clipping screen of audio QA. Exact integers only:
+    peak² = max s², energy = Σ s², and the classification crest² ≥ 4
+    (crest factor ≥ 2, i.e. peak ≥ 2·RMS) decided by the cross-
+    multiplication peak²·N ≥ 4·energy — no sqrt, no division. Output per
+    clip: (n_samples, peak2, energy, peaky)."""
+
+    def __init__(self):
+        from osmi_addresses_ray.stages.media_codecs import decode_wav
+
+        self._decode = decode_wav
+
+    @staticmethod
+    def _stats(s: np.ndarray) -> tuple[int, int, int, int]:
+        n = int(s.size)
+        if n == 0:
+            return 0, 0, 0, 0
+        sq = s.astype(np.int64) ** 2
+        peak2 = int(sq.max())
+        energy = int(sq.sum())
+        peaky = 1 if peak2 * n >= 4 * energy else 0
+        return n, peak2, energy, peaky
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = {k: [] for k in MEDIA_CREST_SCHEMA.names}
+        for doc_id, ref, payload in zip(
+            t["doc_id"].to_pylist(), t["media_ref"].to_pylist(), t["payload"].to_pylist()
+        ):
+            samples, _rate = self._decode(payload)
+            n, peak2, energy, peaky = self._stats(samples)
+            rows["doc_id"].append(doc_id)
+            rows["media_ref"].append(ref)
+            rows["n_samples"].append(n)
+            rows["peak2"].append(peak2)
+            rows["energy"].append(energy)
+            rows["peaky"].append(peaky)
+        return pa.Table.from_arrays(
+            [pa.array(rows[f.name], f.type) for f in MEDIA_CREST_SCHEMA],
+            schema=MEDIA_CREST_SCHEMA,
+        )
+
+
+def media_crest(docs_ds, *, concurrency=(1, 4), batch_size: int = 64):
+    from osmi_addresses_ray.stages.media_codecs import synthesize_audio_payload
+
+    media = _extract_refs_with_store(docs_ds, synthesize_audio_payload, "audio")
+    return media.map_batches(
+        AudioCrest, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )

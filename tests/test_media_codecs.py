@@ -764,3 +764,26 @@ def test_image_dup_clusters_match_union_find(ray_session):
     for _, grp in got.groupby("cluster"):
         assert grp["cluster"].iloc[0] == grp["ref"].min()
         assert grp["csize"].nunique() == 1 and grp["csize"].iloc[0] == len(grp)
+
+
+# --- crest factor ------------------------------------------------------------------
+
+
+def test_crest_classification_boundary():
+    from osmi_addresses_ray.stages.multimodal import AudioCrest
+
+    # constant amplitude: peak² · n == energy -> crest² = 1 < 4 -> not peaky
+    s = np.full(100, 1000, dtype=np.int64)
+    n, peak2, energy, peaky = AudioCrest._stats(s)
+    assert (n, peak2, energy, peaky) == (100, 10**6, 100 * 10**6, 0)
+    # one spike in silence: peak²·n >> 4·energy -> peaky
+    s2 = np.zeros(100, dtype=np.int64)
+    s2[50] = 30000
+    n2, p2, e2, k2 = AudioCrest._stats(s2)
+    assert (p2, e2, k2) == (9 * 10**8, 9 * 10**8, 1)
+    # exact boundary: peak²·n == 4·energy counts as peaky (>=)
+    s3 = np.array([2, 1, 1, 1, 1, 1, 0], dtype=np.int64)  # p2=4,n=7,e=9
+    # 4*7=28 >= 36? no -> craft exact: s=[2,0,0,0]: 4*4 = 16 >= 16 ✓
+    s4 = np.array([2, 0, 0, 0], dtype=np.int64)
+    assert AudioCrest._stats(s4)[3] == 1
+    assert AudioCrest._stats(s3)[3] == 0

@@ -27,12 +27,12 @@ def mini_sf(tmp_path_factory):
     pd.DataFrame(
         {"c_custkey": [1], "c_name": ["c1"], "c_mktsegment": ["SEG"], "c_nationkey": [0]}
     ).to_parquet(d / "customer.parquet", index=False)
-    pd.DataFrame({"s_suppkey": [1], "s_name": ["s1"]}).to_parquet(
-        d / "supplier.parquet", index=False
-    )
-    pd.DataFrame({"p_partkey": [1], "p_brand": ["B1"]}).to_parquet(
-        d / "part.parquet", index=False
-    )
+    pd.DataFrame(
+        {"s_suppkey": [1], "s_name": ["s1"], "s_nationkey": [0]}
+    ).to_parquet(d / "supplier.parquet", index=False)
+    pd.DataFrame(
+        {"p_partkey": [1], "p_brand": ["B1"], "p_name": ["lone widget"]}
+    ).to_parquet(d / "part.parquet", index=False)
     pd.DataFrame(
         {
             "o_orderkey": np.array([10, 11], dtype=np.int64),

@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": _with_oracle(
             "minhash_lsh_pairs", dedup.minhash_lsh_pairs, "minhash_pairs_oracle", "documents"
         ),
+        "ssjoin_prefix": dedup.ssjoin_prefix,
         "ngram_jaccard_dedup": _with_oracle(
             "ngram_jaccard_dedup", dedup.ngram_jaccard_dedup, "ngram_dedup_oracle", "documents"
         ),
@@ -4624,6 +4625,40 @@ def oracle_sql() -> dict[str, str]:
                        )) % 18446744073709551616::HUGEINT
                    )), 0)::HUGEINT % 18446744073709551616::HUGEINT)::UBIGINT AS fingerprint
             FROM documents ORDER BY doc_id
+        """,
+        # exact prefix-filter set-similarity join (J >= 1/2): the SAME
+        # canonical (freq, token) order, prefix rule sz - ceil(sz/2) + 1,
+        # both-prefix candidates + size filter, exact intersect verify
+        "ssjoin_prefix": """
+            WITH dt AS (SELECT DISTINCT doc, t FROM (
+                     SELECT doc_id AS doc,
+                            unnest(regexp_extract_all(lower(text),
+                                   '[A-Za-z0-9_]+')) AS t
+                     FROM documents)),
+            sz AS (SELECT doc, count(*)::BIGINT AS sz FROM dt GROUP BY doc),
+            gf AS (SELECT t, count(*)::BIGINT AS f FROM dt GROUP BY t),
+            ordr AS (SELECT dt.doc, dt.t,
+                            row_number() OVER (PARTITION BY dt.doc
+                                               ORDER BY gf.f, dt.t) AS rnk
+                     FROM dt JOIN gf USING (t)),
+            pref AS (SELECT o.doc, o.t, s.sz
+                     FROM ordr o JOIN sz s USING (doc)
+                     WHERE o.rnk <= s.sz - (s.sz + 1) // 2 + 1),
+            cand AS (SELECT DISTINCT a.doc AS da, b.doc AS db
+                     FROM pref a JOIN pref b
+                       ON a.t = b.t AND a.doc < b.doc
+                     WHERE 2 * least(a.sz, b.sz) >= greatest(a.sz, b.sz)),
+            i AS (SELECT c.da, c.db, count(*)::BIGINT AS inter
+                  FROM cand c
+                  JOIN dt ta ON ta.doc = c.da
+                  JOIN dt tb ON tb.doc = c.db AND tb.t = ta.t
+                  GROUP BY 1, 2)
+            SELECT c.da AS doc_a, c.db AS doc_b, i.inter,
+                   (sa.sz + sb.sz - i.inter)::BIGINT AS union_
+            FROM cand c JOIN i ON i.da = c.da AND i.db = c.db
+            JOIN sz sa ON sa.doc = c.da JOIN sz sb ON sb.doc = c.db
+            WHERE 2 * i.inter >= sa.sz + sb.sz - i.inter
+            ORDER BY doc_a, doc_b
         """,
         # AMS F2 sketch vs exact second moment: signs are bits 0..15 of the
         # SAME full-length FNV-1a 64 the fingerprint family uses (HUGEINT

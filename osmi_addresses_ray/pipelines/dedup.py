@@ -1506,3 +1506,242 @@ def lsh_calibration(sf_dir: str, *, num_parts: int = 8) -> pd.DataFrame:
     return g.sort_values("bin").reset_index(drop=True)[
         ["bin", "n_pairs", "sum_match", "sum_inter", "sum_union"]
     ]
+
+
+# --- exact set-similarity join (prefix filter) ------------------------------------
+
+_SSJ_PAIR_SCHEMA = pa.schema(
+    [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+     ("inter", pa.int64()), ("union_", pa.int64())]
+)
+_SSJ_BUCKET_CAP = 4096
+
+
+def ssjoin_prefix(
+    sf_dir: str, *, t_num: int = 1, t_den: int = 2, num_parts: int = 8,
+    bucket_cap: int = _SSJ_BUCKET_CAP,
+) -> pd.DataFrame:
+    """EXACT set-similarity join with the prefix filter (PPJoin family —
+    Chaudhuri 2006 / Xiao 2008 / Vernica 2010): every unordered doc pair
+    whose token-SET Jaccard ≥ t (= t_num/t_den, default 1/2), with
+    DETERMINISTIC 100% recall — the exact-guarantee sibling of the
+    probabilistic MinHash-LSH path. Candidate completeness: tokens are
+    totally ordered by (global frequency asc, token asc); doc x indexes its
+    first p(x) = |x| − ceil(t·|x|) + 1 tokens; the SMALLEST common token of
+    a qualifying pair provably lies in BOTH prefixes (if it escaped either
+    prefix, all common tokens would sit in that side's ceil(t·|x|) − 1
+    suffix < t·|x| ≤ overlap — contradiction). The size filter
+    t_den·min ≥ t_num·max prunes inside buckets; verification is exact set
+    intersection; the threshold test is the cross-multiplication
+    t_den·|A∩B| ≥ t_num·|A∪B| — no floats anywhere.
+
+    Distributed shape: (1) token-keyed exchange attaches global frequency,
+    (2) doc-keyed regroup sorts each doc's tokens canonically and emits
+    prefix postings, (3) token-keyed bucket pairing (``bucket_cap`` RAISES —
+    hot tokens sort to the END of the order, so honest buckets are rare-
+    token sized), (4) pair-keyed dedup, (5) member ⨝ docs attach and
+    (6) pair-keyed exact verify — the _verified_pairs exchange shape with
+    token sets instead of shingle hashes. The driver never holds texts,
+    candidates or token sets.
+    """
+    import re as _re
+
+    from ..ops import direct_cogroup, direct_partitioned_map
+
+    tok_re = _re.compile(r"[A-Za-z0-9_]+")
+
+    dt_schema = pa.schema([("doc", pa.int64()), ("token", pa.string())])
+
+    def doc_tokens(t: pa.Table) -> pa.Table:
+        docs, toks = [], []
+        for did, text in zip(
+            t["doc_id"].to_pylist(), t["text"].to_pylist()
+        ):
+            ts = sorted(set(tok_re.findall(text.lower())))
+            docs.extend([did] * len(ts))
+            toks.extend(ts)
+        return pa.table({
+            "doc": pa.array(docs, pa.int64()),
+            "token": pa.array(toks, pa.string()),
+        })
+
+    docs_raw = _read_docs(sf_dir).materialize()
+    dt = docs_raw.map_batches(doc_tokens, batch_format="pyarrow").materialize()
+
+    dtf_schema = pa.schema(
+        [("doc", pa.int64()), ("token", pa.string()), ("f", pa.int64())]
+    )
+
+    def attach_freq(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return dtf_schema.empty_table()
+        df = t.to_pandas()
+        f = df.groupby("token", sort=False)["doc"].transform("size")
+        return pa.table({
+            "doc": pa.array(df["doc"].to_numpy(np.int64)),
+            "token": pa.array(df["token"].to_numpy(object), pa.string()),
+            "f": pa.array(f.to_numpy(np.int64)),
+        })
+
+    dtf = direct_partitioned_map(dt, ["token"], num_parts, attach_freq, dt_schema)
+
+    post_schema = pa.schema(
+        [("token", pa.string()), ("doc", pa.int64()), ("sz", pa.int64())]
+    )
+
+    def emit_prefix(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return post_schema.empty_table()
+        df = t.to_pandas().sort_values(["doc", "f", "token"], kind="stable")
+        doc = df["doc"].to_numpy(np.int64)
+        token = df["token"].to_numpy(object)
+        starts = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
+        lens = np.diff(np.r_[starts, len(doc)])
+        # p = sz - ceil(t*sz) + 1, exact integer ceil
+        p = lens - (t_num * lens + t_den - 1) // t_den + 1
+        pos = np.arange(len(doc)) - np.repeat(starts, lens)
+        keep = pos < np.repeat(p, lens)
+        return pa.table({
+            "token": pa.array(token[keep], pa.string()),
+            "doc": pa.array(doc[keep]),
+            "sz": pa.array(np.repeat(lens, lens)[keep].astype(np.int64)),
+        })
+
+    postings = direct_partitioned_map(
+        dtf, ["doc"], num_parts, emit_prefix, dtf_schema
+    )
+
+    cand_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return cand_schema.empty_table()
+        df = t.to_pandas()
+        out_a, out_b = [], []
+        for token, g in df.groupby("token", sort=False):
+            if len(g) > bucket_cap:
+                raise ValueError(
+                    f"ssjoin bucket for token {token!r} holds {len(g)} "
+                    f"prefix postings (> bucket_cap={bucket_cap})"
+                )
+            if len(g) < 2:
+                continue
+            d = g["doc"].to_numpy(np.int64)
+            sz = g["sz"].to_numpy(np.int64)
+            o = np.argsort(d, kind="stable")
+            d, sz = d[o], sz[o]
+            n = len(d)
+            li = np.repeat(np.arange(n), np.arange(n - 1, -1, -1))
+            seg = np.cumsum(np.arange(n - 1, -1, -1)) - np.arange(n - 1, -1, -1)
+            ri = li + 1 + (np.arange(len(li)) - np.repeat(seg, np.arange(n - 1, -1, -1)))
+            mn = np.minimum(sz[li], sz[ri])
+            mx = np.maximum(sz[li], sz[ri])
+            ok = t_den * mn >= t_num * mx  # size filter, exact
+            out_a.append(d[li][ok])
+            out_b.append(d[ri][ok])
+        if not out_a:
+            return cand_schema.empty_table()
+        return pa.table({
+            "doc_a": pa.array(np.concatenate(out_a)),
+            "doc_b": pa.array(np.concatenate(out_b)),
+        })
+
+    cand = direct_partitioned_map(
+        postings, ["token"], num_parts, bucket_pairs, post_schema
+    )
+
+    def dedup_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return cand_schema.empty_table()
+        df = t.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+        return pa.Table.from_pandas(df, preserve_index=False).cast(cand_schema)
+
+    cand = direct_partitioned_map(
+        cand, ["doc_a", "doc_b"], num_parts, dedup_pairs, cand_schema
+    ).materialize()
+
+    memb_schema = pa.schema(
+        [("key_doc", pa.int64()), ("doc_a", pa.int64()), ("doc_b", pa.int64())]
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return memb_schema.empty_table()
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "key_doc": pa.array(np.concatenate([a, b])),
+            "doc_a": pa.array(np.tile(a, 2)),
+            "doc_b": pa.array(np.tile(b, 2)),
+        })
+
+    memb = cand.map_batches(explode, batch_format="pyarrow")
+
+    att_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+         ("side_doc", pa.int64()), ("toks", pa.list_(pa.string()))]
+    )
+    docs_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+
+    def attach(m_t: pa.Table, d_t: pa.Table) -> pa.Table:
+        if m_t.num_rows == 0 or d_t.num_rows == 0:
+            return att_schema.empty_table()
+        md = m_t.to_pandas()
+        dd = d_t.to_pandas()
+        wanted = set(md["key_doc"].astype(int))
+        sets = {
+            int(did): sorted(set(tok_re.findall(text.lower())))
+            for did, text in zip(dd["doc_id"], dd["text"])
+            if int(did) in wanted
+        }
+        md = md[md["key_doc"].isin(sets.keys())]
+        if md.empty:
+            return att_schema.empty_table()
+        return pa.table({
+            "doc_a": pa.array(md["doc_a"].to_numpy(np.int64)),
+            "doc_b": pa.array(md["doc_b"].to_numpy(np.int64)),
+            "side_doc": pa.array(md["key_doc"].to_numpy(np.int64)),
+            "toks": pa.array(
+                [sets[int(k)] for k in md["key_doc"]], pa.list_(pa.string())
+            ),
+        })
+
+    att = direct_cogroup(
+        [memb, docs_raw], [["key_doc"], ["doc_id"]], num_parts, attach,
+        [memb_schema, docs_schema], emit_partitioned_on=["doc_a", "doc_b"],
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SSJ_PAIR_SCHEMA.empty_table()
+        df = t.to_pandas()
+        rows_a, rows_b, rows_i, rows_u = [], [], [], []
+        for (a, b), g in df.groupby(["doc_a", "doc_b"], sort=False):
+            if len(g) != 2:
+                continue  # a side missing (doc absent) — cannot qualify
+            sa = np.asarray(g.iloc[0]["toks"], dtype=object)
+            sb = np.asarray(g.iloc[1]["toks"], dtype=object)
+            if int(g.iloc[0]["side_doc"]) != int(a):
+                sa, sb = sb, sa
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            if union > 0 and t_den * inter >= t_num * union:
+                rows_a.append(int(a)); rows_b.append(int(b))
+                rows_i.append(inter); rows_u.append(union)
+        return pa.table({
+            "doc_a": pa.array(rows_a, pa.int64()),
+            "doc_b": pa.array(rows_b, pa.int64()),
+            "inter": pa.array(rows_i, pa.int64()),
+            "union_": pa.array(rows_u, pa.int64()),
+        })
+
+    out = direct_partitioned_map(
+        att, ["doc_a", "doc_b"], num_parts, verify, att_schema
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in _SSJ_PAIR_SCHEMA.names}
+        )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

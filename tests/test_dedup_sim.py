@@ -352,3 +352,59 @@ def test_lsh_calibration_bins_and_exactness(tmp_path, ray_session):
     assert (out["sum_inter"] <= out["sum_union"]).all()
     assert (out["sum_match"] <= 64 * out["n_pairs"]).all()
     assert (out["bin"] * 8 * out["n_pairs"] <= out["sum_match"]).all()
+
+
+# --- exact prefix-filter set-similarity join ----------------------------------------
+
+
+def _write_docs_int(tmp_path, texts):
+    import pandas as pd
+
+    pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": texts,
+    }).to_parquet(tmp_path / "documents.parquet", index=False)
+
+
+def test_ssjoin_prefix_matches_bruteforce(tmp_path, ray_session):
+    """Random small corpus: the prefix-filter join must equal the O(n²)
+    brute force exactly (the 100%-recall claim)."""
+    import re
+
+    from osmi_addresses_ray.pipelines.dedup import ssjoin_prefix
+
+    rng = np.random.RandomState(4)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(3, 12), replace=True))
+        for _ in range(40)
+    ]
+    _write_docs_int(tmp_path, texts)
+    out = ssjoin_prefix(str(tmp_path), num_parts=4)
+    got = {(r.doc_a, r.doc_b): (r.inter, r.union_) for r in out.itertuples()}
+    tok = re.compile(r"[A-Za-z0-9_]+")
+    sets = [set(tok.findall(t.lower())) for t in texts]
+    want = {}
+    for a in range(len(sets)):
+        for b in range(a + 1, len(sets)):
+            i = len(sets[a] & sets[b])
+            u = len(sets[a] | sets[b])
+            if u and 2 * i >= u:
+                want[(a, b)] = (i, u)
+    assert got == want
+    assert len(want) > 0  # the corpus must actually produce matches
+
+
+def test_ssjoin_prefix_boundary_threshold(tmp_path, ray_session):
+    """J exactly 1/2 is kept (>=); just below is dropped."""
+    from osmi_addresses_ray.pipelines.dedup import ssjoin_prefix
+
+    texts = [
+        "a b c",        # with doc1: inter {a,b} = 2, union 4 -> J = 1/2 keep
+        "a b d",
+        "a b x y",      # with doc0: inter 2, union 5 -> J = 2/5 drop
+    ]
+    _write_docs_int(tmp_path, texts)
+    out = ssjoin_prefix(str(tmp_path), num_parts=2)
+    got = {(r.doc_a, r.doc_b): (r.inter, r.union_) for r in out.itertuples()}
+    assert got == {(0, 1): (2, 4)}

@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "soundex_parts": relational.soundex_parts,
         "bloom_fpr_audit": relational.bloom_fpr_audit,
         "trade_gravity": relational.trade_gravity,
+        "fd_profile": relational.fd_profile,
         "q_full_outer_hours": relational.q_full_outer_hours,
         "q_weighted_quantiles": relational.q_weighted_quantiles,
         "q_props_extract": relational.q_props_extract,
@@ -2259,6 +2260,49 @@ def oracle_sql() -> dict[str, str]:
                          CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d
                   FROM lineitem)
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        # FD profile: per candidate X -> Y, distinct determinants and the
+        # count mapping to >= 2 distinct dependents (0 violations = holds)
+        "fd_profile": """
+            WITH c1 AS (SELECT 'lineitem.l_orderkey' AS det,
+                               'lineitem.l_suppkey' AS dep,
+                               count(*)::BIGINT AS n_keys,
+                               sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END)::BIGINT
+                                   AS n_violations
+                        FROM (SELECT l_orderkey,
+                                     count(DISTINCT l_suppkey)::BIGINT AS d
+                              FROM lineitem GROUP BY 1)),
+            c2 AS (SELECT 'lineitem.l_partkey', 'lineitem.l_suppkey',
+                          count(*)::BIGINT,
+                          sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END)::BIGINT
+                   FROM (SELECT l_partkey,
+                                count(DISTINCT l_suppkey)::BIGINT AS d
+                         FROM lineitem GROUP BY 1)),
+            c3 AS (SELECT 'lineitem.l_suppkey', 'lineitem.l_partkey',
+                          count(*)::BIGINT,
+                          sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END)::BIGINT
+                   FROM (SELECT l_suppkey,
+                                count(DISTINCT l_partkey)::BIGINT AS d
+                         FROM lineitem GROUP BY 1)),
+            c4 AS (SELECT 'orders.o_custkey', 'orders.o_orderpriority',
+                          count(*)::BIGINT,
+                          sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END)::BIGINT
+                   FROM (SELECT o_custkey,
+                                count(DISTINCT o_orderpriority)::BIGINT AS d
+                         FROM orders GROUP BY 1)),
+            c5 AS (SELECT 'orders.o_orderkey', 'orders.o_custkey',
+                          count(*)::BIGINT,
+                          sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END)::BIGINT
+                   FROM (SELECT o_orderkey,
+                                count(DISTINCT o_custkey)::BIGINT AS d
+                         FROM orders GROUP BY 1)),
+            allc AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+                     UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4
+                     UNION ALL SELECT * FROM c5)
+            SELECT det, dep, n_keys, n_violations,
+                   (CASE WHEN n_violations = 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS holds
+            FROM allc ORDER BY det, dep
         """,
         # gravity-model trade flows: exact centicent revenue
         # price_cents*(100-disc_pct) per nation pair + row/col/grand totals

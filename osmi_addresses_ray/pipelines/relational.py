@@ -2532,3 +2532,70 @@ def trade_gravity(sf_dir: str, *, num_parts: int = 8) -> pd.DataFrame:
     for c in ("obs_cc", "row_cc", "col_cc", "total_cc"):
         obs[c] = obs[c].astype("int64")
     return obs.sort_values(["cust_nation", "supp_nation"]).reset_index(drop=True)
+
+
+# --- functional-dependency / key profiling ----------------------------------------
+
+_FD_CANDIDATES = (
+    # (table, determinant, dependent)
+    ("lineitem", "l_orderkey", "l_suppkey"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("lineitem", "l_suppkey", "l_partkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("orders", "o_orderkey", "o_custkey"),
+)
+
+
+def fd_profile(sf_dir: str) -> pd.DataFrame:
+    """Functional-dependency discovery profile (the TANE-family
+    data-profiling primitive, Huhtala et al. 1999): for each candidate
+    X → Y, the number of distinct determinant values and how many of them
+    VIOLATE the dependency (map to ≥2 distinct dependents) — n_violations
+    = 0 certifies the FD holds exactly (o_orderkey → o_custkey must; the
+    co-supply pairs must not). Exact integer counts only.
+
+    Distributed shape per candidate: per-batch distinct (det, dep) partials
+    → ONE det-keyed exchange counting distinct deps per determinant →
+    per-partition (n_keys, n_violations) partials — the driver sums
+    ≤ P rows per candidate; determinant key sets never leave the workers.
+    """
+    from ..ops import direct_partitioned_map
+
+    rows = []
+    for table, det, dep in _FD_CANDIDATES:
+        ds = read(sf_dir, table, columns=[det, dep])
+
+        pre_schema = pa.schema([("det", pa.int64()), ("dep", pa.string())])
+
+        def pre(t: pa.Table, det=det, dep=dep) -> pa.Table:
+            df = pd.DataFrame({
+                "det": t[det].to_numpy(zero_copy_only=False),
+                "dep": np.asarray(t[dep].to_pandas().astype(str), dtype=object),
+            }).drop_duplicates()
+            return pa.Table.from_pandas(df, preserve_index=False).cast(pre_schema)
+
+        stat_schema = pa.schema([("n_keys", pa.int64()), ("n_viol", pa.int64())])
+
+        def fold(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return stat_schema.empty_table()
+            df = t.to_pandas().drop_duplicates()
+            g = df.groupby("det", sort=False)["dep"].nunique()
+            return pa.table({
+                "n_keys": pa.array([int(len(g))]),
+                "n_viol": pa.array([int((g >= 2).sum())]),
+            })
+
+        parts = direct_partitioned_map(
+            ds, ["det"], 8, fold, pre_schema, pre=pre
+        ).to_pandas()
+        n_keys = int(parts["n_keys"].sum()) if not parts.empty else 0
+        n_viol = int(parts["n_viol"].sum()) if not parts.empty else 0
+        rows.append((f"{table}.{det}", f"{table}.{dep}", n_keys, n_viol,
+                     1 if n_viol == 0 else 0))
+    out = pd.DataFrame(
+        rows, columns=["det", "dep", "n_keys", "n_violations", "holds"]
+    )
+    for c in ("n_keys", "n_violations", "holds"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["det", "dep"]).reset_index(drop=True)

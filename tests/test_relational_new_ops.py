@@ -569,3 +569,32 @@ def test_trade_gravity_hand_network(tmp_path, ray_session):
         ("A", "B"): (ab, aa + ab, ab + bb, total),
         ("B", "B"): (bb, bb, ab + bb, total),
     }
+
+
+# --- FD profile --------------------------------------------------------------------
+
+
+def test_fd_profile_hand_tables(tmp_path, ray_session):
+    from osmi_addresses_ray.pipelines.relational import fd_profile
+
+    pd.DataFrame({
+        "l_orderkey": [1, 1, 2, 3],
+        "l_partkey": [10, 11, 10, 12],
+        "l_suppkey": [5, 6, 5, 7],
+    }).to_parquet(tmp_path / "lineitem.parquet", index=False)
+    pd.DataFrame({
+        "o_orderkey": [1, 2, 3],
+        "o_custkey": [100, 100, 200],
+        "o_orderpriority": ["HI", "LO", "HI"],
+    }).to_parquet(tmp_path / "orders.parquet", index=False)
+    out = fd_profile(str(tmp_path))
+    got = {(r.det, r.dep): (r.n_keys, r.n_violations, r.holds)
+           for r in out.itertuples()}
+    # orderkey 1 maps to supps {5,6} -> violation; orderkeys 2,3 fine
+    assert got[("lineitem.l_orderkey", "lineitem.l_suppkey")] == (3, 1, 0)
+    # partkey 10 -> {5}, 11 -> {6}, 12 -> {7}: FD holds
+    assert got[("lineitem.l_partkey", "lineitem.l_suppkey")] == (3, 0, 1)
+    # custkey 100 -> {HI, LO} violation
+    assert got[("orders.o_custkey", "orders.o_orderpriority")] == (2, 1, 0)
+    # the true key FD holds
+    assert got[("orders.o_orderkey", "orders.o_custkey")] == (3, 0, 1)

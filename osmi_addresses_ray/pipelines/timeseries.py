@@ -2188,7 +2188,9 @@ def sliding_distinct_users(sf_dir: str, *, window_hours: int = 24, num_parts: in
     The hour domain is [ceil(min_ts/H), floor(max_ts/H)]; coverage deltas
     beyond floor(max_ts/H) are clipped by the domain, mirroring the oracle's
     generate_series bounds. Sentinel delta=0 rows carry per-partition
-    floor(max_ts/H) so the domain needs no second pass over events.
+    floor(max_ts/H) so the domain needs no second pass over events;
+    zero-sum delta bins (cross-user cancellation inside a partition) are
+    dropped before the sentinel is appended so delta==0 uniquely tags it.
     """
     H = np.int64(3_600_000_000)
     W = np.int64(window_hours) * H
@@ -2219,6 +2221,13 @@ def sliding_distinct_users(sf_dir: str, *, window_hours: int = 24, num_parts: in
         # partition-local pre-aggregation: ship <= 2*hours rows
         uk, inv = np.unique(ks, return_inverse=True)
         agg = np.bincount(inv, weights=ds_).astype(np.int64)
+        # a +1 coverage-start and a -1 coverage-end from DIFFERENT users can
+        # land on the same k and cancel to a genuine 0 — drop those bins
+        # BEFORE appending the sentinel, or the driver's "delta==0 means
+        # sentinel" recovery misreads them and inflates the hour domain
+        # (observed at sf0.1: one extra hour row past floor(max_ts/H))
+        nz = agg != 0
+        uk, agg = uk[nz], agg[nz]
         # sentinel: per-partition floor(max_ts/H) rides along as delta=0
         # (tsv is user-major after the lexsort — take the true max, not [-1])
         uk = np.r_[uk, tsv.max() // H]

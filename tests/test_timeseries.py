@@ -819,6 +819,37 @@ def test_sliding_distinct_users_subhour_empty(tmp_path, ray_session):
     assert out.empty and list(out.columns) == ["hour_ts", "n_active"]
 
 
+def test_sliding_distinct_users_sentinel_cancellation(tmp_path, ray_session):
+    """Regression for the round-3 sf0.1 wrong-answer: one user's coverage
+    START (+1 at k_lo past the last full hour) canceling another user's
+    coverage END (-1) at the same k inside one partition produced a GENUINE
+    delta==0 bin beyond floor(max_ts/H), which the driver misread as the
+    domain sentinel and emitted one extra hour row. With window=2h:
+    user A @0.5h -> deltas +1@1,-1@3; user B @2.3h -> +1@3,-1@5; the k=3
+    bin cancels to 0 while the true domain is [1, 2]."""
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    df = pd.DataFrame(
+        {
+            "event_id": [0, 1],
+            "ts": [base + np.timedelta64(30, "m"), base + np.timedelta64(138, "m")],
+            "user_id": [1, 2],
+            "event_type": ["a", "a"],
+            "value": [1.0, 1.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    df.to_parquet(os.path.join(tmp_path, "events.parquet"), index=False)
+    Hus = 3_600_000_000
+    base_us = df["ts"].astype("datetime64[us]").astype("int64").min() - 30 * 60_000_000
+    for parts in (1, 3):  # 1 forces both users into the same partition
+        out = timeseries.sliding_distinct_users(
+            str(tmp_path), window_hours=2, num_parts=parts
+        )
+        hours = (out["hour_ts"].astype("int64") - base_us) // Hus
+        assert list(hours) == [1, 2], f"extra/missing hour rows at parts={parts}"
+        assert list(out["n_active"]) == [1, 1]
+
+
 def test_km_survival_planted(tmp_path, ray_session):
     """Closed-form KM on planted lifetimes; censor boundary is STRICT
     (last event exactly at gmax - 7d stays censored)."""

@@ -2119,6 +2119,23 @@ def _polygonize_query(sf_dir: str):
     return out
 
 
+def _fdiv(x, d) -> str:
+    """DuckDB floor-division matching numpy/python `//` on NEGATIVE
+    dividends: DuckDB's `//` truncates toward zero (-7//2 = -3) while the
+    engine floors (-4). Subtracting the non-negative remainder first makes
+    truncation equal floor, exactly, in pure integer arithmetic at any
+    magnitude (no double round-trip). `d` must be a positive expression."""
+    return f"((({x}) - (((({x}) % ({d})) + ({d})) % ({d}))) // ({d}))"
+
+
+# hex_bins lattice expressions, composed once so the row index, parity test
+# and column index all share the SAME floor-division row (negative iy safe)
+_HEX_R = f"({_fdiv('iy', 8660)} + dr)"
+_HEX_PAR = f"((({_HEX_R}) % 2) + 2) % 2 = 1"
+_HEX_OFF = f"CASE WHEN {_HEX_PAR} THEN 5000 ELSE 0 END"
+_HEX_Q = f"({_fdiv('ix - (' + _HEX_OFF + ')', 10000)} + dq)"
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         # chained exact quantiles: both med and mad are REAL data values
@@ -5149,7 +5166,8 @@ GROUP BY c.region ORDER BY region
                 WHERE is_ip = 0
             ),
             p2 AS (SELECT * FROM pts WHERE v IS NOT NULL AND v > 0),
-            g AS (SELECT DISTINCT ix // 10000 AS cx, iy // 10000 AS cy FROM p2),
+            g AS (SELECT DISTINCT {_fdiv('ix', 10000)} AS cx,
+                                  {_fdiv('iy', 10000)} AS cy FROM p2),
             c AS (SELECT g.cx, g.cy, p.v,
                          (p.ix - (g.cx*10000+5000))*(p.ix - (g.cx*10000+5000))
                        + (p.iy - (g.cy*10000+5000))*(p.iy - (g.cy*10000+5000)) AS d2
@@ -5375,10 +5393,10 @@ GROUP BY c.region ORDER BY region
         "street_chains": f"""
             WITH RECURSIVE
             seg AS (SELECT way_id, seg_idx AS seq,
-                           (ax // 10 + 268435456) * 536870912
-                               + (ay // 10 + 268435456) AS u,
-                           (bx // 10 + 268435456) * 536870912
-                               + (by // 10 + 268435456) AS v,
+                           ({_fdiv('ax', 10)} + 268435456) * 536870912
+                               + ({_fdiv('ay', 10)} + 268435456) AS u,
+                           ({_fdiv('bx', 10)} + 268435456) * 536870912
+                               + ({_fdiv('by', 10)} + 268435456) AS v,
                            abs(bx - ax) + abs(by - ay) AS w
                     FROM read_parquet('{oracle_path('way_segments_src')}')),
             e AS (SELECT * FROM seg WHERE u <> v),
@@ -5426,10 +5444,10 @@ GROUP BY c.region ORDER BY region
         # the 8 smallest vertex ids, edges min-w-deduped both directions
         "isochrone_counts": f"""
             WITH RECURSIVE
-            seg AS (SELECT (ax // 10 + 268435456) * 536870912
-                               + (ay // 10 + 268435456) AS u,
-                           (bx // 10 + 268435456) * 536870912
-                               + (by // 10 + 268435456) AS v,
+            seg AS (SELECT ({_fdiv('ax', 10)} + 268435456) * 536870912
+                               + ({_fdiv('ay', 10)} + 268435456) AS u,
+                           ({_fdiv('bx', 10)} + 268435456) * 536870912
+                               + ({_fdiv('by', 10)} + 268435456) AS v,
                            abs(bx - ax) + abs(by - ay) AS w
                     FROM read_parquet('{oracle_path('way_segments_src')}')),
             e0 AS (SELECT * FROM seg WHERE u <> v),
@@ -5599,11 +5617,9 @@ GROUP BY c.region ORDER BY region
             drq(dr, dq) AS (VALUES (0, 0), (0, 1), (1, 0), (1, 1)),
             cand AS (
                 SELECT pid, ix, iy,
-                       (iy // 8660 + dr) AS r,
-                       ((ix - CASE WHEN (((iy // 8660 + dr) % 2) + 2) % 2 = 1
-                                   THEN 5000 ELSE 0 END) // 10000 + dq) AS q,
-                       CASE WHEN (((iy // 8660 + dr) % 2) + 2) % 2 = 1
-                            THEN 5000 ELSE 0 END AS off
+                       {_HEX_R} AS r,
+                       {_HEX_Q} AS q,
+                       {_HEX_OFF} AS off
                 FROM pts CROSS JOIN drq),
             best AS (
                 SELECT pid, q, r
@@ -5653,7 +5669,8 @@ GROUP BY c.region ORDER BY region
                        CAST(round(lat * 10000000) AS BIGINT) AS iy
                 FROM read_parquet('{oracle_path('spatial_radius_src')}')
                 WHERE is_ip = 0),
-            cells AS (SELECT ix // 10000 AS cx, iy // 10000 AS cy,
+            cells AS (SELECT {_fdiv('ix', 10000)} AS cx,
+                             {_fdiv('iy', 10000)} AS cy,
                              count(*)::BIGINT AS n
                       FROM pts GROUP BY 1, 2),
             s AS (SELECT count(*)::BIGINT AS c, sum(n)::BIGINT AS t FROM cells),
@@ -5675,7 +5692,8 @@ GROUP BY c.region ORDER BY region
                        CAST(round(lat * 10000000) AS BIGINT) AS iy
                 FROM read_parquet('{oracle_path('spatial_radius_src')}')
                 WHERE is_ip = 0),
-            c AS (SELECT pid, ix // 100000 AS cell_x, iy // 100000 AS cell_y,
+            c AS (SELECT pid, {_fdiv('ix', 100000)} AS cell_x,
+                         {_fdiv('iy', 100000)} AS cell_y,
                          (pid % 1000003) * 2654435761 % 4294967296 AS h
                   FROM pts),
             r AS (SELECT *, row_number() OVER (PARTITION BY cell_x, cell_y
@@ -5786,7 +5804,8 @@ GROUP BY c.region ORDER BY region
                 FROM read_parquet('{oracle_path('spatial_radius_src')}')
                 WHERE is_ip = 0
             ),
-            cells AS (SELECT ix // 10000 AS cx, iy // 10000 AS cy,
+            cells AS (SELECT {_fdiv('ix', 10000)} AS cx,
+                             {_fdiv('iy', 10000)} AS cy,
                              count(*)::BIGINT AS n
                       FROM pts GROUP BY 1, 2),
             tot AS (SELECT sum(n)::BIGINT AS t, count(*)::BIGINT AS c FROM cells),
@@ -5875,8 +5894,8 @@ GROUP BY c.region ORDER BY region
                    WHERE jt.j - anch.i >= 2)
             SELECT sp.traj_id, sp.start_step::BIGINT AS start_step,
                    sp.end_step::BIGINT AS end_step, sp.n_pts::BIGINT AS n_pts,
-                   (sum(p.px) // sp.n_pts)::BIGINT AS sx,
-                   (sum(p.py) // sp.n_pts)::BIGINT AS sy
+                   {_fdiv('sum(p.px)', 'sp.n_pts')}::BIGINT AS sx,
+                   {_fdiv('sum(p.py)', 'sp.n_pts')}::BIGINT AS sy
             FROM sp JOIN p ON p.traj_id = sp.traj_id
                           AND p.step BETWEEN sp.start_step AND sp.end_step
             GROUP BY sp.traj_id, sp.start_step, sp.end_step, sp.n_pts
@@ -6067,8 +6086,8 @@ GROUP BY c.region ORDER BY region
             WITH p AS (SELECT traj_id, step, px, py
                        FROM read_parquet('{oracle_path('dwell_points_src')}')),
             o AS (SELECT traj_id,
-                         min_by(px, step) // 100000 AS cx,
-                         min_by(py, step) // 100000 AS cy
+                         {_fdiv('min_by(px, step)', 100000)} AS cx,
+                         {_fdiv('min_by(py, step)', 100000)} AS cy
                   FROM p GROUP BY 1),
             pairs AS (SELECT a.traj_id AS ta, b.traj_id AS tb, a.cx, a.cy
                       FROM o a JOIN o b ON a.cx = b.cx AND a.cy = b.cy
@@ -6110,8 +6129,8 @@ GROUP BY c.region ORDER BY region
             p AS (SELECT traj_id, step, px, py
                   FROM read_parquet('{oracle_path('dwell_points_src')}')),
             o AS (SELECT traj_id,
-                         min_by(px, step) // 100000 AS cx,
-                         min_by(py, step) // 100000 AS cy,
+                         {_fdiv('min_by(px, step)', 100000)} AS cx,
+                         {_fdiv('min_by(py, step)', 100000)} AS cy,
                          max(step) + 1 AS n
                   FROM p GROUP BY 1),
             pairs AS (SELECT a.traj_id AS ta, b.traj_id AS tb, a.cx, a.cy,
@@ -6164,8 +6183,8 @@ GROUP BY c.region ORDER BY region
             p AS (SELECT traj_id, step, px, py
                   FROM read_parquet('{oracle_path('dwell_points_src')}')),
             o AS (SELECT traj_id,
-                         min_by(px, step) // 100000 AS cx,
-                         min_by(py, step) // 100000 AS cy,
+                         {_fdiv('min_by(px, step)', 100000)} AS cx,
+                         {_fdiv('min_by(py, step)', 100000)} AS cy,
                          max(step) AS last_step
                   FROM p GROUP BY 1),
             pairs AS (SELECT a.traj_id AS ta, b.traj_id AS tb, a.cx, a.cy,

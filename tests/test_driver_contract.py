@@ -80,3 +80,26 @@ def test_entry_smoke():
     df = entrymod.entry()
     assert len(df) > 0
     assert "road_id" in df.columns
+
+
+def test_fdiv_sql_matches_numpy_floor():
+    """The oracle-side floor-division helper must agree with numpy/python
+    `//` for NEGATIVE dividends (DuckDB's native `//` truncates toward
+    zero), and with a column divisor — ADVICE r3 found hex_bins / moran_i /
+    edr oracles silently diverging on any western/southern-hemisphere
+    corpus."""
+    xs = np.array([-21, -20, -1, 0, 1, 19, 20, 21, -7, 7,
+                   -1_800_000_001, 1_799_999_999], dtype=np.int64)
+    for d in (2, 10, 8660, 10000, 100000):
+        expr = entrymod._fdiv("x", d)
+        got = duckdb.sql(
+            f"SELECT {expr} AS f FROM (SELECT unnest($xs::BIGINT[]) AS x)",
+            params={"xs": [int(v) for v in xs]},
+        ).fetchnumpy()["f"]
+        assert (got == xs // d).all(), f"d={d}: {got} vs {xs // d}"
+    # column divisor (the staypoints centroid uses sum // n_pts)
+    expr = entrymod._fdiv("x", "n")
+    got = duckdb.sql(
+        f"SELECT {expr} AS f FROM (VALUES (-7, 2), (-7, 3), (7, 2)) t(x, n)"
+    ).fetchnumpy()["f"]
+    assert list(got) == [-4, -3, 3]

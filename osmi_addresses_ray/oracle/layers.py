@@ -1759,11 +1759,8 @@ def oracle_media_palette(docs: pa.Table) -> pd.DataFrame:
     distance to all 8 cube corners with an explicit min scan (smallest index
     on ties — which the odd 255 makes unreachable), algorithm-diverse from
     the engine's per-channel bit test."""
-    corners = [
-        (r, g, b) for b in (0, 255) for g in (0, 255) for r in (0, 255)
-    ]
     # index layout must match bit0=r,bit1=g,bit2=b
-    corners = [( (i & 1) * 255, ((i >> 1) & 1) * 255, ((i >> 2) & 1) * 255)
+    corners = [((i & 1) * 255, ((i >> 1) & 1) * 255, ((i >> 2) & 1) * 255)
                for i in range(8)]
     rows = []
     for row in docs.to_pylist():

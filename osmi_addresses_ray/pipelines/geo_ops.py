@@ -5615,7 +5615,10 @@ def moran_points(points_ds, *, num_parts: int = 8) -> pd.DataFrame:
     dps = cells.map_batches(den_partial, batch_format="pyarrow").to_pandas()
     if (dps["d"] < 0).any():
         raise OverflowError("moran_points: den partial exceeds int64")
-    den = int(dps["d"].sum())
+    # fold partials in Python ints: a numpy int64 sum wraps silently when
+    # the TOTAL exceeds int64 even though every partial is below it, which
+    # would bypass the >= 2**63 guard below (trade_gravity precedent)
+    den = sum(int(v) for v in dps["d"])
 
     edge_schema = pa.schema(
         [("ex", pa.int64()), ("ey", pa.int64()), ("dir", pa.int64()),
@@ -5661,8 +5664,8 @@ def moran_points(points_ds, *, num_parts: int = 8) -> pd.DataFrame:
         cells.map_batches(to_edges, batch_format="pyarrow"),
         ["ex", "ey", "dir"], num_parts, pair_fold, edge_schema,
     ).to_pandas()
-    w_sum = int(parts["w"].sum()) if not parts.empty else 0
-    num = int(parts["num"].sum()) if not parts.empty else 0
+    w_sum = sum(int(v) for v in parts["w"]) if not parts.empty else 0
+    num = sum(int(v) for v in parts["num"]) if not parts.empty else 0
     if abs(num) >= 2**63 or den >= 2**63:
         raise OverflowError("moran_points: statistic exceeds int64")
     return pd.DataFrame({
@@ -6138,30 +6141,26 @@ def street_bipartite(ways_geo_ds, *, num_parts: int = 8) -> pd.DataFrame:
         emit_partitioned_on=["node"],
     )
     # roots: comp minima — every node NOT appearing as a star child with a
-    # smaller parent is its component's min
-    roots = set()
-    all_nodes = set()
-    for b in states.to_dataset().iter_batches(batch_format="pyarrow"):
-        all_nodes.update(b["node"].to_numpy(zero_copy_only=False).tolist())
-    child = set(comp_stars["u"].tolist()) if not comp_stars.empty else set()
-    roots = all_nodes - child
-    comp_of = {int(n): int(n) for n in roots}
-    if not comp_stars.empty:
-        for u, v in zip(comp_stars["u"], comp_stars["v"]):
-            comp_of[int(u)] = int(v)
-    roots_arr = np.array(sorted(roots), dtype=np.int64)
+    # smaller parent is its component's min. Broadcasting the CHILD id set
+    # (= the CC output, already driver-sized by design) lets each partition
+    # decide root-ness locally; no full node-id pull to the driver.
+    child_arr = (
+        comp_stars["u"].to_numpy(np.int64)
+        if not comp_stars.empty else np.empty(0, np.int64)
+    )
 
     def seed_roots(t: pa.Table) -> pa.Table:
         n = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
         d = t["dist"].to_numpy(zero_copy_only=False).astype(np.int64).copy()
-        d[np.isin(n, roots_arr)] = 0
+        d[~np.isin(n, child_arr)] = 0
         return pa.table({"node": pa.array(n), "dist": pa.array(d)})
 
     states = direct_cogroup(
         [states.to_dataset()], [["node"]], num_parts, seed_roots,
         [_BIP_STATE_SCHEMA], emit_partitioned_on=["node"],
     )
-    frontier = states
+
+    prev_sig: tuple[int, int] | None = None
 
     for _rnd in range(_BIP_MAX_ROUNDS):
         def emit(e_t: pa.Table, s_t: pa.Table) -> pa.Table:
@@ -6220,11 +6219,16 @@ def street_bipartite(ways_geo_ds, *, num_parts: int = 8) -> pd.DataFrame:
                 fin += int(d[hit].sum())
             return n_inf, fin
 
-        old_sig = _sig(states)
+        # carry the previous round's signature forward instead of
+        # re-executing the old-state plan every round (one scan per round,
+        # not two); round 0 pays one extra scan to seed it
+        if prev_sig is None:
+            prev_sig = _sig(states)
         new_sig = _sig(new_states)
         states = new_states
-        if old_sig == new_sig:
+        if prev_sig == new_sig:
             break
+        prev_sig = new_sig
     else:
         raise RuntimeError(
             f"street_bipartite did not converge in {_BIP_MAX_ROUNDS} rounds"
@@ -6238,12 +6242,22 @@ def street_bipartite(ways_geo_ds, *, num_parts: int = 8) -> pd.DataFrame:
     color = pd.Series(
         sd["color"].to_numpy(np.int64), index=sd["node"].to_numpy(np.int64)
     )
-    comp_s = pd.Series(comp_of)
+    # child -> root from the CC output; a node absent from it IS a root and
+    # labels itself (fillna with the node id replaces the old comp_of dict)
+    comp_s = (
+        pd.Series(comp_stars["v"].to_numpy(np.int64),
+                  index=comp_stars["u"].to_numpy(np.int64))
+        if not comp_stars.empty else pd.Series(dtype=np.int64)
+    )
     ed = edges.to_dataset().to_pandas()
     ed = ed[ed["u"] < ed["v"]]
-    node_comp = comp_s.reindex(sd["node"].to_numpy(np.int64))
+    nodes = sd["node"].to_numpy(np.int64)
+    nc = comp_s.reindex(nodes).to_numpy()
+    node_comp = pd.Series(np.where(pd.isna(nc), nodes, nc).astype(np.int64))
     nodes_per = node_comp.value_counts()
-    edge_comp = comp_s.reindex(ed["u"].to_numpy(np.int64)).to_numpy()
+    eu = ed["u"].to_numpy(np.int64)
+    ec = comp_s.reindex(eu).to_numpy()
+    edge_comp = np.where(pd.isna(ec), eu, ec).astype(np.int64)
     conflict = (
         color.reindex(ed["u"].to_numpy(np.int64)).to_numpy()
         == color.reindex(ed["v"].to_numpy(np.int64)).to_numpy()

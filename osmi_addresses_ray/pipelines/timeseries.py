@@ -2570,6 +2570,13 @@ def xcorr_types(sf_dir: str, *, max_lag: int = 23) -> pd.DataFrame:
         sub = hourly[hourly["event_type"] == typ]
         idx = sub["t"].to_numpy() - lo
         arr[idx] = sub["n"].to_numpy()
+    # the int64 dot products below wrap silently on overflow; bound the
+    # worst case in Python ints and raise like periodicity_detect /
+    # trade_gravity do — the output schema is int64, so a wider true value
+    # is unrepresentable anyway
+    mx, my = int(x.max()), int(y.max())
+    if max(mx * mx, my * my, mx * my) * m >= 2**63:
+        raise OverflowError("xcorr_types: sufficient statistics exceed int64")
     rows = []
     for k in range(0, min(max_lag, m - 1) + 1):
         xs = x[: m - k]

@@ -130,7 +130,8 @@ def _keep_ids_semi_join(ds, winners):
     set broadcasts as a sorted id array (one ray.put, searchsorted filter
     per batch — no shuffle of the text payload); past the broadcast budget,
     the distributed hash join ships each surviving text exactly once."""
-    if winners.count() <= 5_000_000:
+    n_win = winners.count()
+    if n_win <= 5_000_000:
         import ray as _ray
 
         wdf = winners.to_pandas()  # column-less when every winner block is empty
@@ -151,7 +152,15 @@ def _keep_ids_semi_join(ds, winners):
             return t.filter(pa.array(mask))
 
         return ds.map_batches(semi, batch_format="pyarrow")
-    return ds.join(winners, join_type="inner", num_partitions=8, on=("doc_id",))
+    from ..ops import join_parts_for
+
+    # winners >5M here; the doc side is a constant factor larger (its dup
+    # ratio), so sizing off the winner count keeps partitions in range
+    # without re-executing the doc-side plan for a count
+    return ds.join(
+        winners, join_type="inner",
+        num_partitions=join_parts_for(n_win), on=("doc_id",),
+    )
 
 
 def exact_dedup_docs(sf_dir: str):

@@ -24,6 +24,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from ..ops import join_parts_for
+
 
 def read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
@@ -297,7 +299,9 @@ def q_join_orders_customers(sf_dir: str, *, pushdown: bool | None = None, broadc
             )
         else:
             j = pre.join(
-                cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+                cust, join_type="inner",
+                num_partitions=join_parts_for(cust.count()),
+                on=("o_custkey",), right_on=("c_custkey",)
             )
     else:
         spec = {"revenue": ("o_totalprice", "sum"), "n_orders": (None, "count")}
@@ -308,7 +312,9 @@ def q_join_orders_customers(sf_dir: str, *, pushdown: bool | None = None, broadc
             )
         else:
             j = orders.join(
-                cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+                cust, join_type="inner",
+                num_partitions=join_parts_for(orders.count(), cust.count()),
+                on=("o_custkey",), right_on=("c_custkey",)
             )
     out = grouped_agg(j, ["c_mktsegment"], spec)
     df = out.to_pandas().sort_values("c_mktsegment").reset_index(drop=True)
@@ -347,7 +353,9 @@ def q_supplier_part_join(sf_dir: str, *, pushdown: bool | None = None, broadcast
             )
         else:
             j = pre.join(
-                part, join_type="inner", num_partitions=8, on=("l_partkey",), right_on=("p_partkey",)
+                part, join_type="inner",
+                num_partitions=join_parts_for(part.count()),
+                on=("l_partkey",), right_on=("p_partkey",)
             )
     else:
         spec = {"revenue": ("l_extendedprice", "sum"), "n_items": (None, "count")}
@@ -358,7 +366,9 @@ def q_supplier_part_join(sf_dir: str, *, pushdown: bool | None = None, broadcast
             )
         else:
             j = li.join(
-                part, join_type="inner", num_partitions=8, on=("l_partkey",), right_on=("p_partkey",)
+                part, join_type="inner",
+                num_partitions=join_parts_for(li.count(), part.count()),
+                on=("l_partkey",), right_on=("p_partkey",)
             )
     out = grouped_agg(j, ["p_brand"], spec)
     df = out.to_pandas().sort_values("p_brand").reset_index(drop=True)

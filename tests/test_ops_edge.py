@@ -96,3 +96,17 @@ def test_broadcast_inner_join_edge(ray_session):
     out2 = broadcast_inner_join(fact, empty_dim, left_on="k", right_on="dk", take_cols=["name"])
     assert out2.count() == 0
     assert "name" in out2.schema().names
+
+
+def test_join_parts_for_rule():
+    """Partition counts for shuffle-join fallbacks derive from row counts
+    (clamped), never a fixed literal (r3 verdict: the fixed 8 was the
+    first large-scale bottleneck a cluster user hits)."""
+    from osmi_addresses_ray.ops import join_parts_for
+
+    assert join_parts_for(0) == 8
+    assert join_parts_for(1_000) == 8
+    assert join_parts_for(16_000_000) == 8
+    assert join_parts_for(100_000_000) == 50
+    assert join_parts_for(3_000_000, 100_000_000) == 50  # larger side wins
+    assert join_parts_for(10**12) == 1024  # clamped at hi

@@ -102,7 +102,11 @@ def bench_address_view() -> tuple[float, dict]:
         futures.append(pool.submit(consume_union, dict(group)))
 
     layers, internals = build_layers_with_internals(
-        docs, num_parts=num_parts, stage_cb=stage_cb
+        docs, num_parts=num_parts, stage_cb=stage_cb,
+        # "native" flips the three flagship exchanges to the streaming
+        # hash-join/packed-groupby path (the P>=256 cluster configuration;
+        # tools/highp_bench.py sweeps the crossover)
+        exchange=os.environ.get("GRAFT_EXCHANGE", "direct"),
     )
     # n_docs from the materialized parse stage (metadata read) — a separate
     # docs.count() would pay one full extra scan of the input parquet
@@ -311,7 +315,10 @@ def bench_knn_join() -> dict:
         ).materialize()
         n_addr = addrs.count()
         t0 = time.perf_counter()
-        out = match_stage(streets, addrs, places, num_parts=num_parts)
+        out = match_stage(
+            streets, addrs, places, num_parts=num_parts,
+            exchange=os.environ.get("GRAFT_EXCHANGE", "direct"),
+        )
         n_out = out.count()
         sec = time.perf_counter() - t0
         if best is None or sec < best["sec"]:

@@ -99,8 +99,11 @@ def main(argv=None) -> int:
 
         docs = read_osm_opl(args.input)
     elif args.input.endswith(".lance"):
-        # the north-star carrier; needs pylance in the runtime image
-        docs = rd.read_lance(args.input)
+        # the north-star carrier, behind an explicit capability check (the
+        # sandbox image lacks pylance; fail fast with an actionable error)
+        from .sources.docs_io import read_lance_docs
+
+        docs = read_lance_docs(args.input)
     else:
         docs = rd.read_parquet(args.input)
     layers = build_layers(

@@ -146,7 +146,10 @@ def _nearest_points_from_match(match_ds):
     return match_ds.map_batches(f, batch_format="pyarrow")
 
 
-def _nearest_ways_from_match(match_ds, *, num_parts: int, internals: dict | None = None):
+def _nearest_ways_from_match(
+    match_ds, *, num_parts: int, internals: dict | None = None,
+    exchange: str = "direct",
+):
     """__out=3 candidates → dedup by way_id (first in reference processing
     order, ST4) → (roads_ds, areas_ds)."""
     _CAND_COLS = [
@@ -161,11 +164,19 @@ def _nearest_ways_from_match(match_ds, *, num_parts: int, internals: dict | None
     cand_schema = pa.schema([sch.field(c) for c in _CAND_COLS])
     # direct exchange + map-side fusion: the candidate projection runs inside
     # the split tasks over the materialized match blocks — no separate plan
-    # execution, no sort barrier
-    deduped = dedup_first(
-        match_ds, ["way_id"], ["ord0", "ord1", "ord2", "ord3"], num_parts,
-        exchange="direct", pre=_pre_cands, schema=cand_schema,
-    ).materialize()
+    # execution, no sort barrier. Native mode applies the projection as a
+    # streamed map_batches and runs the packed-groupby exchange instead
+    # (backpressured; the high-partition-count path — see SCALE.md).
+    if exchange == "direct":
+        deduped = dedup_first(
+            match_ds, ["way_id"], ["ord0", "ord1", "ord2", "ord3"], num_parts,
+            exchange="direct", pre=_pre_cands, schema=cand_schema,
+        ).materialize()
+    else:
+        deduped = dedup_first(
+            match_ds.map_batches(_pre_cands, batch_format="pyarrow"),
+            ["way_id"], ["ord0", "ord1", "ord2", "ord3"], num_parts,
+        ).materialize()
     if internals is not None:
         internals["deduped"] = deduped
 
@@ -281,6 +292,7 @@ def build_layers_with_internals(
     fingerprint: str | None = None,
     side_input_mode: str = "broadcast",
     stage_cb=None,
+    exchange: str = "direct",
 ):
     """Like ``build_layers`` but also returns the materialized intermediate
     datasets ({parsed, ways_geo, interp_out, matched, deduped}) so callers
@@ -309,7 +321,7 @@ def build_layers_with_internals(
     layers[LAYER_ENTRANCES] = entrances_layer(parsed)
 
     ways_geo = _stage_checkpoint(
-        lambda: assemble_ways(parsed, num_parts=num_parts),
+        lambda: assemble_ways(parsed, num_parts=num_parts, exchange=exchange),
         workdir=workdir, name="ways_geo", fingerprint=fingerprint,
     )
     clock.tick("ways_geo")
@@ -414,7 +426,10 @@ def build_layers_with_internals(
 
         salt_map = compute_salt_map(addrs, hot_threshold=hot_cell_threshold)
     matched = _stage_checkpoint(
-        lambda: match_stage(streets, addrs, places, num_parts=num_parts, salt_map=salt_map),
+        lambda: match_stage(
+            streets, addrs, places, num_parts=num_parts, salt_map=salt_map,
+            exchange=exchange,
+        ),
         workdir=workdir, name="matched", fingerprint=fingerprint,
     )
     clock.tick("matched")
@@ -442,7 +457,9 @@ def build_layers_with_internals(
         "interp_out": interp_out,
         "matched": matched,
     }
-    roads, areas = _nearest_ways_from_match(matched, num_parts=num_parts, internals=internals)
+    roads, areas = _nearest_ways_from_match(
+        matched, num_parts=num_parts, internals=internals, exchange=exchange
+    )
     clock.tick("dedup")
     internals["phases"] = clock.phases
     layers[LAYER_NEAREST_ROADS] = roads
@@ -459,6 +476,7 @@ def build_layers(
     workdir: str | None = None,
     fingerprint: str | None = None,
     side_input_mode: str = "broadcast",
+    exchange: str = "direct",
 ):
     layers, _ = build_layers_with_internals(
         docs_ds,
@@ -468,6 +486,7 @@ def build_layers(
         workdir=workdir,
         fingerprint=fingerprint,
         side_input_mode=side_input_mode,
+        exchange=exchange,
     )
     return layers
 

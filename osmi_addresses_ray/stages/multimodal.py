@@ -79,13 +79,26 @@ class MediaDecoder:
 
     FEATURE_DIM = 16
 
-    def __init__(self):
-        # real impl adds: self.jpeg = PIL-backed decoder, self.model = ...
+    def __init__(self, extra_codecs=None):
+        # extra_codecs is the documented compressed-codec swap seam:
+        # {fmt_name: (magic_prefix: bytes, decode_fn: bytes -> (H, W, 3)
+        # uint8)} — e.g. {"jpeg": (b"\xff\xd8", pil_jpeg_decode)} on a
+        # cluster image with PIL. It rides to each actor through
+        # map_batches(..., fn_constructor_kwargs=...), so no module-level
+        # mutable registry has to survive worker re-import; the stage code
+        # and output schema are untouched by a codec swap
+        # (tests/test_media_codecs.py::test_decoder_injection proves it).
         self._decode_image = decode_image
+        self._extra = dict(extra_codecs or {})
 
     def _decode(self, payload: bytes, kind: str) -> tuple[np.ndarray, int, int]:
         if kind != "image":
             raise NotImplementedError(f"decode for media kind {kind!r} is stubbed")
+        for magic, fn in self._extra.values():
+            if payload[: len(magic)] == magic:
+                img = np.asarray(fn(payload), dtype=np.uint8)
+                feat = grid_features(img)
+                return feat, int(img.shape[1]), int(img.shape[0])
         if sniff_format(payload) is None:
             raise NotImplementedError(
                 f"no codec for image payload (magic {payload[:2]!r}); "
@@ -120,14 +133,24 @@ class MediaDecoder:
 DecodeStub = MediaDecoder
 
 
-def media_features(docs_ds, *, concurrency=(1, 4), batch_size: int = 64):
-    """docs → media feature table (the full multimodal plumbing path)."""
+def media_features(
+    docs_ds, *, concurrency=(1, 4), batch_size: int = 64, extra_codecs=None
+):
+    """docs → media feature table (the full multimodal plumbing path).
+
+    ``extra_codecs`` injects compressed-format decoders into each actor
+    (see ``MediaDecoder.__init__``) without touching the stage wiring."""
     media = extract_media_refs(docs_ds)
+    kwargs = (
+        {"fn_constructor_kwargs": {"extra_codecs": extra_codecs}}
+        if extra_codecs else {}
+    )
     return media.map_batches(
         MediaDecoder,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+        **kwargs,
     )
 
 

@@ -787,3 +787,67 @@ def test_crest_classification_boundary():
     s4 = np.array([2, 0, 0, 0], dtype=np.int64)
     assert AudioCrest._stats(s4)[3] == 1
     assert AudioCrest._stats(s3)[3] == 0
+
+
+# --- compressed-codec injection seam ----------------------------------------
+
+
+def _mock_jpeg_decode(data: bytes):
+    """Fake 'JPEG': magic FF D8, then 1-byte h, 1-byte w, then raw RGB."""
+    h, w = data[2], data[3]
+    return np.frombuffer(data[4 : 4 + h * w * 3], np.uint8).reshape(h, w, 3)
+
+
+def test_decoder_injection(ray_session):
+    """A third-party compressed-format decoder drops into the actor-pool
+    decode stage through fn_constructor_kwargs alone — no stage or schema
+    change (VERDICT r3 next-round task #6). Without the injection the same
+    payload raises NotImplementedError, proving the boundary is real."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osmi_addresses_ray.stages.multimodal import (
+        MEDIA_FEATURE_SCHEMA,
+        MediaDecoder,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+    payload = b"\xff\xd8" + bytes([5, 4]) + img.tobytes()
+    media = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": ["d1"],
+                "media_ref": ["m1"],
+                "payload": pa.array([payload], pa.binary()),
+                "media_kind": ["image"],
+            }
+        )
+    )
+    # boundary: no codec for the JPEG magic without injection
+    with pytest.raises(Exception) as ei:
+        media.map_batches(
+            MediaDecoder, batch_format="pyarrow", concurrency=1
+        ).take_all()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+    # injection: same stage, same schema, decoder shipped to the actor
+    out = media.map_batches(
+        MediaDecoder,
+        batch_format="pyarrow",
+        concurrency=1,
+        fn_constructor_kwargs={
+            "extra_codecs": {"jpeg": (b"\xff\xd8", _mock_jpeg_decode)}
+        },
+    ).take_batch(10, batch_format="pyarrow")
+    assert out.schema.equals(MEDIA_FEATURE_SCHEMA)
+    assert out["width"][0].as_py() == 4 and out["height"][0].as_py() == 5
+    from osmi_addresses_ray.stages.media_codecs import grid_features
+
+    np.testing.assert_allclose(
+        np.asarray(out["features"][0].as_py(), np.float32),
+        grid_features(img),
+        rtol=0,
+        atol=0,
+    )

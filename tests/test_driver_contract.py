@@ -54,10 +54,28 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 SQL_CHECKED = sorted(entrymod.oracle_sql().keys())
 
+# Per-query gate budget (VERDICT r3 task #9): the driver's correctness
+# sweep runs EVERY query each round, so the full surface only stays
+# verifiable if no single query grows a super-linear hot spot. 25 s at
+# sf0.001 on the 4-CPU test session is ~8x the slowest healthy query —
+# loose enough for host-contention windows, tight enough to fail the
+# "query got an order of magnitude slower" class before it taxes every
+# future round.
+PER_QUERY_BUDGET_S = 25.0
+_query_times: dict[str, float] = {}
+
 
 @pytest.mark.parametrize("name", SQL_CHECKED)
 def test_sql_parity(con, name):
+    import time as _time
+
+    t0 = _time.monotonic()
     ray_df = _normalize(_to_df(entrymod.queries()[name](SF_DIR)))
+    _query_times[name] = _time.monotonic() - t0
+    assert _query_times[name] < PER_QUERY_BUDGET_S, (
+        f"{name}: {_query_times[name]:.1f}s exceeds the {PER_QUERY_BUDGET_S}s "
+        "gate budget at sf0.001 — profile with tools/profile_queries.py"
+    )
     sql_df = _normalize(con.sql(entrymod.oracle_sql()[name]).df())
     assert list(ray_df.columns) == list(sql_df.columns), (
         f"{name}: cols {list(ray_df.columns)} vs {list(sql_df.columns)}"
@@ -103,3 +121,18 @@ def test_fdiv_sql_matches_numpy_floor():
         f"SELECT {expr} AS f FROM (VALUES (-7, 2), (-7, 3), (7, 2)) t(x, n)"
     ).fetchnumpy()["f"]
     assert list(got) == [-4, -3, 3]
+
+
+def test_query_budget_total():
+    """Full-surface sweep budget: the accumulated Ray-side wall time of
+    every oracle-paired query this session must stay bounded, or the
+    driver's per-round gate becomes unrunnable as the surface grows
+    (VERDICT r3 task #9). Only meaningful after test_sql_parity ran."""
+    if len(_query_times) < len(SQL_CHECKED) // 2:
+        pytest.skip("parity tests did not run (filtered session)")
+    total = sum(_query_times.values())
+    worst = sorted(_query_times.items(), key=lambda kv: -kv[1])[:5]
+    assert total < 900.0, (
+        f"gate sweep total {total:.0f}s exceeds the 900s budget; "
+        f"worst offenders: {worst}"
+    )

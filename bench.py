@@ -336,13 +336,19 @@ def run_once() -> dict:
     import ray.data as rd
 
     if not ray.is_initialized():
-        ray.init(
+        init_kwargs = dict(
             address="local",
             num_cpus=NUM_CPUS,
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
+        # --spill legs shrink the object store below the pipeline's working
+        # set so the run exercises Ray's disk-spill path deliberately
+        store_gb = os.environ.get("GRAFT_OBJECT_STORE_GB")
+        if store_gb:
+            init_kwargs["object_store_memory"] = int(float(store_gb) * 2**30)
+        ray.init(**init_kwargs)
     ctx = rd.DataContext.get_current()
     ctx.enable_progress_bars = False
 
@@ -399,7 +405,7 @@ def run_once() -> dict:
     if mode == "av":
         # scaling legs: the flagship pipeline only — the relational/LLM
         # queries don't feed the efficiency ratio and only add noise exposure
-        return {
+        result = {
             "metric": "address_view_sec",
             "value": queries["address_view"],
             "unit": "sec",
@@ -408,6 +414,9 @@ def run_once() -> dict:
             "num_cpus": NUM_CPUS,
             "address_view": av_stats,
         }
+        if os.environ.get("GRAFT_REPORT_SPILL") == "1":
+            result["spill"] = spill_stats()
+        return result
     queries.update(bench_relational())
     queries.update(bench_trainingdata())
 
@@ -426,6 +435,92 @@ def run_once() -> dict:
         "host_probe_sec_after": host_speed_probe(),
     }
     return result
+
+
+def spill_stats() -> dict:
+    """Object-store spill counters for THIS Ray session (parsed from the
+    cluster memory summary — the only stable public surface for them)."""
+    import re as _re
+
+    import ray
+
+    try:
+        from ray._private.internal_api import memory_summary
+
+        s = memory_summary(stats_only=True)
+    except Exception as e:  # API moved — report, don't crash the bench
+        return {"error": f"{type(e).__name__}: {e}"}
+    out = {"spilled_mib": 0, "spilled_objects": 0,
+           "restored_mib": 0, "restored_objects": 0}
+    m = _re.search(r"Spilled (\d+) MiB, (\d+) objects", s)
+    if m:
+        out["spilled_mib"], out["spilled_objects"] = int(m.group(1)), int(m.group(2))
+    m = _re.search(r"Restored (\d+) MiB, (\d+) objects", s)
+    if m:
+        out["restored_mib"], out["restored_objects"] = int(m.group(1)), int(m.group(2))
+    out["object_store_bytes"] = int(
+        ray.cluster_resources().get("object_store_memory", 0)
+    )
+    return out
+
+
+def run_spill() -> dict:
+    """--spill: flagship e2e with the object store shrunk BELOW the
+    pipeline's working set (deliberate disk-spill regime) vs a resident
+    reference leg on the identical corpus. The r3 verdict's ask: prove the
+    100-TB streaming claim past the memory-resident regime — degradation
+    must be a documented factor, not a cliff, and the spill counters must
+    be nonzero so the leg demonstrably exercised the path."""
+    scale_blocks = os.environ.get("GRAFT_SPILL_BLOCKS", "768000")
+    store_gb = os.environ.get("GRAFT_SPILL_STORE_GB", "3")
+
+    def sub_once(extra_env: dict) -> dict:
+        out_path = f"/tmp/graft_spill_{os.getpid()}_{len(extra_env)}.json"
+        if os.path.exists(out_path):
+            os.remove(out_path)
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(NUM_CPUS),
+            GRAFT_SF_DIR=SF_DIR,
+            GRAFT_BENCH_BLOCKS=scale_blocks,
+            GRAFT_BENCH_MODE="av",
+            GRAFT_BENCH_OUT=out_path,
+            **extra_env,
+        )
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        if not os.path.exists(out_path):
+            raise RuntimeError(
+                f"spill leg produced no JSON; rc={proc.returncode}, "
+                f"stderr tail={proc.stderr[-3000:]!r}"
+            )
+        with open(out_path) as f:
+            return json.load(f)
+
+    resident = sub_once({})
+    spill = sub_once(
+        {"GRAFT_OBJECT_STORE_GB": store_gb, "GRAFT_REPORT_SPILL": "1"}
+    )
+    thr_res = resident["address_view"]["docs_per_sec"]
+    thr_spill = spill["address_view"]["docs_per_sec"]
+    return {
+        "metric": "spill_throughput_ratio",
+        "value": round(thr_spill / thr_res, 3),
+        "unit": "ratio",
+        "blocks": int(scale_blocks),
+        "num_cpus": NUM_CPUS,
+        "object_store_gb_spill_leg": float(store_gb),
+        "resident_sec": resident["queries"]["address_view"],
+        "spill_sec": spill["queries"]["address_view"],
+        "resident_docs_per_sec": thr_res,
+        "spill_docs_per_sec": thr_spill,
+        "spill_counters": spill.get("spill", {}),
+        "resident_phases": resident["address_view"].get("phases", {}),
+        "spill_phases": spill["address_view"].get("phases", {}),
+    }
 
 
 def run_scaling() -> dict:
@@ -571,6 +666,8 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         result = run_scaling()
+    elif "--spill" in sys.argv:
+        result = run_spill()
     else:
         result = run_once()
     out_path = os.environ.get("GRAFT_BENCH_OUT")

@@ -152,14 +152,14 @@ def _keep_ids_semi_join(ds, winners):
             return t.filter(pa.array(mask))
 
         return ds.map_batches(semi, batch_format="pyarrow")
-    from ..ops import join_parts_for
+    from ..ops import fit_hash_shuffle, join_parts_for
 
     # winners >5M here; the doc side is a constant factor larger (its dup
     # ratio), so sizing off the winner count keeps partitions in range
     # without re-executing the doc-side plan for a count
     return ds.join(
-        winners, join_type="inner",
-        num_partitions=join_parts_for(n_win), on=("doc_id",),
+        winners, join_type="inner", on=("doc_id",),
+        **fit_hash_shuffle(join_parts_for(n_win)),
     )
 
 

@@ -24,7 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from ..ops import join_parts_for
+from ..ops import fit_hash_shuffle, join_parts_for
 
 
 def read(sf_dir: str, table: str, columns=None):
@@ -300,8 +300,8 @@ def q_join_orders_customers(sf_dir: str, *, pushdown: bool | None = None, broadc
         else:
             j = pre.join(
                 cust, join_type="inner",
-                num_partitions=join_parts_for(cust.count()),
-                on=("o_custkey",), right_on=("c_custkey",)
+                on=("o_custkey",), right_on=("c_custkey",),
+                **fit_hash_shuffle(join_parts_for(cust.count())),
             )
     else:
         spec = {"revenue": ("o_totalprice", "sum"), "n_orders": (None, "count")}
@@ -313,8 +313,8 @@ def q_join_orders_customers(sf_dir: str, *, pushdown: bool | None = None, broadc
         else:
             j = orders.join(
                 cust, join_type="inner",
-                num_partitions=join_parts_for(orders.count(), cust.count()),
-                on=("o_custkey",), right_on=("c_custkey",)
+                on=("o_custkey",), right_on=("c_custkey",),
+                **fit_hash_shuffle(join_parts_for(orders.count(), cust.count())),
             )
     out = grouped_agg(j, ["c_mktsegment"], spec)
     df = out.to_pandas().sort_values("c_mktsegment").reset_index(drop=True)
@@ -354,8 +354,8 @@ def q_supplier_part_join(sf_dir: str, *, pushdown: bool | None = None, broadcast
         else:
             j = pre.join(
                 part, join_type="inner",
-                num_partitions=join_parts_for(part.count()),
-                on=("l_partkey",), right_on=("p_partkey",)
+                on=("l_partkey",), right_on=("p_partkey",),
+                **fit_hash_shuffle(join_parts_for(part.count())),
             )
     else:
         spec = {"revenue": ("l_extendedprice", "sum"), "n_items": (None, "count")}
@@ -367,8 +367,8 @@ def q_supplier_part_join(sf_dir: str, *, pushdown: bool | None = None, broadcast
         else:
             j = li.join(
                 part, join_type="inner",
-                num_partitions=join_parts_for(li.count(), part.count()),
-                on=("l_partkey",), right_on=("p_partkey",)
+                on=("l_partkey",), right_on=("p_partkey",),
+                **fit_hash_shuffle(join_parts_for(li.count(), part.count())),
             )
     out = grouped_agg(j, ["p_brand"], spec)
     df = out.to_pandas().sort_values("p_brand").reset_index(drop=True)

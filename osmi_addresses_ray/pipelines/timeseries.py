@@ -135,6 +135,236 @@ def asof_pairs_ds(
     )
 
 
+_ASOF_RP_SCHEMA = pa.schema(
+    [
+        ("tag", pa.int8()),
+        ("user_id", pa.int64()),
+        ("bucket", pa.int64()),
+        ("event_id", pa.int64()),
+        ("ts_us", pa.int64()),
+        ("view_event_id", pa.int64()),
+        ("view_ts_us", pa.int64()),
+    ]
+)
+
+
+def asof_pairs_range_partitioned(
+    sf_dir: str,
+    *,
+    left_type: str = "click",
+    right_type: str = "view",
+    num_parts: int = 8,
+    bucket_hours: int = 168,
+):
+    """The as-of join under RANGE partitioning — the documented fallback for
+    pathological single-user skew (SCALE.md: "partition = a user's full
+    history" breaks when one user's history exceeds a worker).
+
+    Exchange 1 keys on (user_id, time-bucket): a hot user's events split
+    across ⌈span / bucket⌉ partitions, so no task ever holds more than one
+    bucket of one user. Each (user, bucket) group resolves its clicks
+    locally with the standard merge-sweep kernel, and additionally emits
+    (a) ONE boundary row — the group's last view by (ts, event_id) — and
+    (b) its unresolved clicks (no view at-or-before them in the bucket).
+    Exchange 2 keys the tiny boundary+unresolved stream on user_id and
+    stitches: an unresolved click takes the boundary view of the greatest
+    EARLIER bucket (earlier bucket ⇒ strictly earlier ts, so prior-or-equal
+    and tie rules can only bind inside a bucket, where the local kernel
+    already applied them). Result rows are identical to ``asof_pairs_ds``
+    under any partitioning; equality is asserted in
+    tests/test_skew_adversarial.py.
+    """
+    W = np.int64(bucket_hours) * 3_600_000_000
+
+    def pre(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.or_(
+            pc.equal(t["event_type"], left_type), pc.equal(t["event_type"], right_type)
+        )
+        s = t.filter(mask)
+        ts = s["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        return pa.table(
+            {
+                "event_id": s["event_id"],
+                "ts_us": pa.array(ts, pa.int64()),
+                "user_id": s["user_id"],
+                "is_left": pa.array(
+                    np.asarray(s["event_type"].to_numpy(zero_copy_only=False))
+                    == left_type
+                ),
+                "bucket": pa.array(ts // W, pa.int64()),
+            }
+        )
+
+    pre_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts_us", pa.int64()),
+            ("user_id", pa.int64()),
+            ("is_left", pa.bool_()),
+            ("bucket", pa.int64()),
+        ]
+    )
+
+    def fn1(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _ASOF_RP_SCHEMA.empty_table()
+        user = t["user_id"].to_numpy(zero_copy_only=False)
+        tsv0 = t["ts_us"].to_numpy(zero_copy_only=False)
+        eid0 = t["event_id"].to_numpy(zero_copy_only=False)
+        lf0 = t["is_left"].to_numpy(zero_copy_only=False)
+        bk0 = t["bucket"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid0, lf0.astype(np.int8), tsv0, user))
+        u, tsv, ev, lf, bk = (
+            user[order], tsv0[order], eid0[order], lf0[order], bk0[order]
+        )
+        n = len(u)
+        idx = np.arange(n, dtype=np.int64)
+        # group = (user, bucket); rows are user-major, ts-sorted, and
+        # bucket is monotone in ts within a user
+        new_grp = np.r_[True, (u[1:] != u[:-1]) | (bk[1:] != bk[:-1])]
+        grp_start = np.maximum.accumulate(np.where(new_grp, idx, -1))
+        pos = np.where(~lf, idx, -1)
+        acc = np.maximum.accumulate(pos)
+        local = lf & (acc >= grp_start)  # prior-or-equal view IN THIS group
+        cand = acc[np.flatnonzero(local)]
+        rows = np.flatnonzero(local)
+        unresolved = np.flatnonzero(lf & (acc < grp_start))
+        # boundary: last view per group (the lexsort makes it the max
+        # position among the group's views)
+        view_pos = np.where(~lf, idx, -1)
+        gacc = np.maximum.accumulate(view_pos)
+        grp_end = np.r_[np.flatnonzero(new_grp)[1:] - 1, n - 1]
+        last_view = gacc[grp_end]
+        starts = np.flatnonzero(new_grp)
+        has_view = last_view >= starts
+        bpos = last_view[has_view]
+        parts = [
+            pa.table(
+                {
+                    "tag": pa.array(np.zeros(len(rows), np.int8)),
+                    "user_id": pa.array(u[rows], pa.int64()),
+                    "bucket": pa.array(bk[rows], pa.int64()),
+                    "event_id": pa.array(ev[rows], pa.int64()),
+                    "ts_us": pa.array(tsv[rows], pa.int64()),
+                    "view_event_id": pa.array(ev[cand], pa.int64()),
+                    "view_ts_us": pa.array(tsv[cand], pa.int64()),
+                }
+            ),
+            pa.table(
+                {
+                    "tag": pa.array(np.ones(len(bpos), np.int8)),
+                    "user_id": pa.array(u[bpos], pa.int64()),
+                    "bucket": pa.array(bk[bpos], pa.int64()),
+                    "event_id": pa.array(np.zeros(len(bpos), np.int64)),
+                    "ts_us": pa.array(np.zeros(len(bpos), np.int64)),
+                    "view_event_id": pa.array(ev[bpos], pa.int64()),
+                    "view_ts_us": pa.array(tsv[bpos], pa.int64()),
+                }
+            ),
+            pa.table(
+                {
+                    "tag": pa.array(np.full(len(unresolved), 2, np.int8)),
+                    "user_id": pa.array(u[unresolved], pa.int64()),
+                    "bucket": pa.array(bk[unresolved], pa.int64()),
+                    "event_id": pa.array(ev[unresolved], pa.int64()),
+                    "ts_us": pa.array(tsv[unresolved], pa.int64()),
+                    "view_event_id": pa.array(
+                        np.zeros(len(unresolved), np.int64)
+                    ),
+                    "view_ts_us": pa.array(np.zeros(len(unresolved), np.int64)),
+                }
+            ),
+        ]
+        return pa.concat_tables(parts)
+
+    from ..ops import direct_cogroup, direct_partitioned_map
+
+    out1 = direct_partitioned_map(
+        _read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"]),
+        ["user_id", "bucket"],
+        num_parts,
+        fn1,
+        pre_schema,
+        pre=pre,
+    ).materialize()
+
+    def pre_stitch(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater(t["tag"], 0))
+
+    def fn2(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return EVENTS_ASOF_SCHEMA.empty_table()
+        tag = t["tag"].to_numpy(zero_copy_only=False)
+        b = t.filter(pa.array(tag == 1))
+        c = t.filter(pa.array(tag == 2))
+        if b.num_rows == 0 or c.num_rows == 0:
+            return EVENTS_ASOF_SCHEMA.empty_table()
+        bu = b["user_id"].to_numpy(zero_copy_only=False)
+        bb = b["bucket"].to_numpy(zero_copy_only=False)
+        bvi = b["view_event_id"].to_numpy(zero_copy_only=False)
+        bvt = b["view_ts_us"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((bb, bu))
+        bu, bb, bvi, bvt = bu[o], bb[o], bvi[o], bvt[o]
+        cu = c["user_id"].to_numpy(zero_copy_only=False)
+        cb = c["bucket"].to_numpy(zero_copy_only=False)
+        cev = c["event_id"].to_numpy(zero_copy_only=False)
+        cts = c["ts_us"].to_numpy(zero_copy_only=False)
+        # latest boundary with (user == cu) and (bucket < cb): boundaries
+        # are (user, bucket)-sorted, one row per bucket, so the predecessor
+        # of the click's (user, bucket) position IS the greatest earlier
+        # bucket's last view
+        j = np.searchsorted(bu * (1 << 20) + bb, cu * (1 << 20) + cb, side="left") - 1
+        ok = (j >= 0) & (bu[np.maximum(j, 0)] == cu)
+        j = j[ok]
+        return pa.table(
+            {
+                "event_id": pa.array(cev[ok], pa.int64()),
+                "user_id": pa.array(cu[ok], pa.int64()),
+                "ts": pa.array(cts[ok].astype("datetime64[us]")),
+                "view_event_id": pa.array(bvi[j], pa.int64()),
+                "view_ts": pa.array(bvt[j].astype("datetime64[us]")),
+                "lag_us": pa.array(cts[ok] - bvt[j], pa.int64()),
+            }
+        )
+
+    stitched = direct_cogroup(
+        [out1], [["user_id"]], num_parts, fn2, [_ASOF_RP_SCHEMA],
+        pres=[pre_stitch],
+    )
+
+    def local_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = t.filter(pc.equal(t["tag"], 0))
+        return pa.table(
+            {
+                "event_id": s["event_id"],
+                "user_id": s["user_id"],
+                "ts": pa.array(
+                    s["ts_us"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+                ),
+                "view_event_id": s["view_event_id"],
+                "view_ts": pa.array(
+                    s["view_ts_us"].to_numpy(zero_copy_only=False).astype(
+                        "datetime64[us]"
+                    )
+                ),
+                "lag_us": pa.array(
+                    s["ts_us"].to_numpy(zero_copy_only=False)
+                    - s["view_ts_us"].to_numpy(zero_copy_only=False),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    local = out1.map_batches(local_rows, batch_format="pyarrow")
+    return local.union(stitched)
+
+
 def asof_join_events(
     sf_dir: str,
     *,

@@ -312,12 +312,14 @@ def assemble_ways(parsed_ds, *, num_parts: int = 32, exchange: str = "direct"):
             pres=[None, _pre_way_attrs],
         )
 
+    from ..ops import fit_hash_shuffle
+
     located = exploded.join(
         nodes,
         join_type="inner",
-        num_partitions=num_parts,
         on=("node_ref",),
         right_on=("osm_id",),
+        **fit_hash_shuffle(num_parts),
     ).select_columns(["way_id", "node_ref", "pos", "n_refs", "lon", "lat"])
     return cogroup(
         [located, way_attrs],

@@ -44,8 +44,8 @@ def test_native_p256_layers_match_direct(layer_pair):
 
 
 def test_native_p256_nonempty(layer_pair):
-    # guard against a vacuous pass: the conformance corpus populates the
-    # flagship layers (golden counts asserted in test_conformance.py)
+    # guard against a vacuous pass: the reference goldens for these layers
+    # (test_conformance.py) are 8 and 116 rows respectively
     base, native = layer_pair
-    assert len(_frame(native["osmi_addresses_nearest_roads"])) > 50
-    assert len(_frame(native["osmi_addresses_connection_line"])) > 50
+    assert len(_frame(native["osmi_addresses_nearest_roads"])) == 8
+    assert len(_frame(native["osmi_addresses_connection_line"])) == 116

@@ -792,12 +792,6 @@ def test_crest_classification_boundary():
 # --- compressed-codec injection seam ----------------------------------------
 
 
-def _mock_jpeg_decode(data: bytes):
-    """Fake 'JPEG': magic FF D8, then 1-byte h, 1-byte w, then raw RGB."""
-    h, w = data[2], data[3]
-    return np.frombuffer(data[4 : 4 + h * w * 3], np.uint8).reshape(h, w, 3)
-
-
 def test_decoder_injection(ray_session):
     """A third-party compressed-format decoder drops into the actor-pool
     decode stage through fn_constructor_kwargs alone — no stage or schema
@@ -810,6 +804,14 @@ def test_decoder_injection(ray_session):
         MEDIA_FEATURE_SCHEMA,
         MediaDecoder,
     )
+
+    def _mock_jpeg_decode(data: bytes):
+        # fake 'JPEG': magic FF D8, then 1-byte h, 1-byte w, then raw RGB.
+        # Defined as a closure so cloudpickle ships it BY VALUE — a
+        # test-module top-level function would pickle by reference and the
+        # worker can't import the tests package
+        h, w = data[2], data[3]
+        return np.frombuffer(data[4 : 4 + h * w * 3], np.uint8).reshape(h, w, 3)
 
     rng = np.random.default_rng(7)
     img = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
@@ -824,14 +826,11 @@ def test_decoder_injection(ray_session):
             }
         )
     )
-    # boundary: no codec for the JPEG magic without injection
-    with pytest.raises(Exception) as ei:
-        media.map_batches(
-            MediaDecoder, batch_format="pyarrow", concurrency=1
-        ).take_all()
-    assert "NotImplementedError" in str(ei.value) or isinstance(
-        ei.value, NotImplementedError
-    )
+    # boundary: no codec for the JPEG magic without injection (checked on
+    # the decoder directly — routing the failure through an actor pool
+    # only exercises Ray's actor-retry loop, not the seam)
+    with pytest.raises(NotImplementedError, match="no codec"):
+        MediaDecoder()._decode(payload, "image")
     # injection: same stage, same schema, decoder shipped to the actor
     out = media.map_batches(
         MediaDecoder,
@@ -846,7 +845,7 @@ def test_decoder_injection(ray_session):
     from osmi_addresses_ray.stages.media_codecs import grid_features
 
     np.testing.assert_allclose(
-        np.asarray(out["features"][0].as_py(), np.float32),
+        np.asarray(out["feature"][0].as_py(), np.float32),
         grid_features(img),
         rtol=0,
         atol=0,

@@ -438,25 +438,26 @@ def run_once() -> dict:
 
 
 def spill_stats() -> dict:
-    """Object-store spill counters for THIS Ray session (parsed from the
-    cluster memory summary — the only stable public surface for them)."""
+    """Object-store spill counters for THIS Ray session, parsed from the
+    raylet's own log (the memory-summary API needs grpcio, which this image
+    lacks). The raylet emits monotone cumulative ':info_message:Spilled N
+    MiB, M objects' lines — the LAST one is the session total."""
     import re as _re
 
     import ray
 
-    try:
-        from ray._private.internal_api import memory_summary
-
-        s = memory_summary(stats_only=True)
-    except Exception as e:  # API moved — report, don't crash the bench
-        return {"error": f"{type(e).__name__}: {e}"}
     out = {"spilled_mib": 0, "spilled_objects": 0,
            "restored_mib": 0, "restored_objects": 0}
-    m = _re.search(r"Spilled (\d+) MiB, (\d+) objects", s)
-    if m:
+    try:
+        session_dir = ray._private.worker._global_node.address_info["session_dir"]
+        raylet_log = os.path.join(session_dir, "logs", "raylet.out")
+        with open(raylet_log, "rb") as f:
+            txt = f.read().decode("utf-8", "replace")
+    except Exception as e:
+        return {"error": f"{type(e).__name__}: {e}"}
+    for m in _re.finditer(r"Spilled (\d+) MiB, (\d+) objects", txt):
         out["spilled_mib"], out["spilled_objects"] = int(m.group(1)), int(m.group(2))
-    m = _re.search(r"Restored (\d+) MiB, (\d+) objects", s)
-    if m:
+    for m in _re.finditer(r"Restored (\d+) MiB, (\d+) objects", txt):
         out["restored_mib"], out["restored_objects"] = int(m.group(1)), int(m.group(2))
     out["object_store_bytes"] = int(
         ray.cluster_resources().get("object_store_memory", 0)

@@ -2392,7 +2392,10 @@ def conversion_lag_quantiles(sf_dir: str, *, num_parts: int = 8) -> pd.DataFrame
     return out.astype("int64")
 
 
-def sliding_distinct_users(sf_dir: str, *, window_hours: int = 24, num_parts: int = 8):
+def sliding_distinct_users(
+    sf_dir: str, *, window_hours: int = 24, num_parts: int = 8,
+    combine: bool | None = None,
+):
     """EXACT trailing-window distinct-user counts at hourly checkpoints:
     for every hour boundary h inside the data span, the number of distinct
     users with >=1 event in (h - window, h].
@@ -2469,14 +2472,50 @@ def sliding_distinct_users(sf_dir: str, *, window_hours: int = 24, num_parts: in
 
     from ..ops import direct_partitioned_map
 
-    out = direct_partitioned_map(
+    mapped = direct_partitioned_map(
         _read_events(sf_dir, ["user_id", "ts"]),
         ["user_id"],
         num_parts,
         fn,
         pa.schema([("user_id", pa.int64()), ("ts", pa.timestamp("us"))]),
         pre=pre,
-    ).to_pandas()
+    )
+    if combine is None:
+        # driver frame is <= num_parts x (2 x hours + 1) rows; past ~64
+        # partitions insert ONE k-keyed combine exchange so the driver sees
+        # <= 2 x hours + P rows regardless of P (the distributed-finalize
+        # trigger documented in SCALE.md's driver-frame-bounds table)
+        combine = num_parts > 64
+
+    if combine:
+
+        def cfn(t: pa.Table) -> pa.Table:
+            if not t.num_rows:
+                return delta_schema.empty_table()
+            k = t["k"].to_numpy(zero_copy_only=False)
+            d = t["delta"].to_numpy(zero_copy_only=False)
+            sent = d == 0  # sentinels stay out of the sum (same tag rule
+            # as the map side; cross-partition cancellation to zero is
+            # dropped below for the same reason)
+            uk, inv = np.unique(k[~sent], return_inverse=True)
+            agg = (
+                np.bincount(inv, weights=d[~sent]).astype(np.int64)
+                if len(uk)
+                else np.empty(0, np.int64)
+            )
+            nz = agg != 0
+            uk, agg = uk[nz], agg[nz]
+            if sent.any():
+                uk = np.r_[uk, k[sent].max()]
+                agg = np.r_[agg, np.int64(0)]
+            return pa.table(
+                {"k": pa.array(uk, pa.int64()), "delta": pa.array(agg, pa.int64())}
+            )
+
+        mapped = direct_partitioned_map(
+            mapped, ["k"], max(8, num_parts // 16), cfn, delta_schema
+        )
+    out = mapped.to_pandas()
     empty = pd.DataFrame(
         {
             "hour_ts": pd.Series([], dtype="datetime64[us]"),

@@ -1152,3 +1152,38 @@ def test_pettitt_matches_bruteforce_random(tmp_path, ray_session):
                       for i in range(t + 1) for j in range(t + 1, m)))
     best_t = max(range(m - 1), key=lambda t: (abs(us[t]), -t))
     assert (out["t_star"], out["u_stat"]) == (best_t, us[best_t])
+
+
+def test_sliding_distinct_users_combine_tier(tmp_path, ray_session):
+    """The k-keyed combine exchange (distributed finalize for P x hours
+    past the driver budget) is result-identical to the direct driver fold,
+    including on the planted sentinel-cancellation corpus."""
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(4),
+            "ts": [
+                base + np.timedelta64(30, "m"),
+                base + np.timedelta64(138, "m"),
+                base + np.timedelta64(50, "h"),
+                base + np.timedelta64(80, "h"),
+            ],
+            "user_id": [1, 2, 3, 1],
+            "event_type": ["a"] * 4,
+            "value": [1.0] * 4,
+            "props": ["{}"] * 4,
+        }
+    )
+    df.to_parquet(os.path.join(tmp_path, "events.parquet"), index=False)
+    for wh in (2, 24):
+        a = timeseries.sliding_distinct_users(
+            str(tmp_path), window_hours=wh, num_parts=3, combine=False
+        )
+        b = timeseries.sliding_distinct_users(
+            str(tmp_path), window_hours=wh, num_parts=3, combine=True
+        )
+        pd.testing.assert_frame_equal(a, b)
+    # sf0.001 corpus too
+    a = timeseries.sliding_distinct_users(SF, num_parts=4, combine=False)
+    b = timeseries.sliding_distinct_users(SF, num_parts=4, combine=True)
+    pd.testing.assert_frame_equal(a, b)

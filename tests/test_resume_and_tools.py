@@ -172,3 +172,23 @@ def test_lance_branch_capability_gated(tmp_path):
 
     with pytest.raises(RuntimeError, match="pylance"):
         main([str(tmp_path / "docs.lance"), str(tmp_path / "out")])
+
+
+def test_taginfo_parity_with_reference():
+    """The engine's taginfo declaration matches the reference's published
+    taginfo.json entry-for-entry on (key, value, object_types) — the
+    consumed-tag surface is the parity contract; descriptions ride along
+    where the reference has them."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.taginfo import build
+
+    ours = {
+        (t["key"], t.get("value"), tuple(t["object_types"])): t.get("description")
+        for t in build()["tags"]
+    }
+    ref = json.load(open("/root/reference/taginfo.json"))
+    theirs = {
+        (t["key"], t.get("value"), tuple(t["object_types"])): t.get("description")
+        for t in ref["tags"]
+    }
+    assert ours == theirs

@@ -110,3 +110,23 @@ def test_join_parts_for_rule():
     assert join_parts_for(100_000_000) == 50
     assert join_parts_for(3_000_000, 100_000_000) == 50  # larger side wins
     assert join_parts_for(10**12) == 1024  # clamped at hi
+
+
+def test_fit_hash_shuffle_pool_fits_cluster(ray_session):
+    """The join aggregator pool must be schedulable at ANY partition count:
+    total reserved CPUs and memory stay within half the cluster (the
+    un-fitted defaults demand 32 CPUs + 104 GiB at P=256 and the join
+    hangs forever — see SCALE.md Exchanges)."""
+    import ray
+
+    from osmi_addresses_ray.ops import fit_hash_shuffle
+
+    res = ray.cluster_resources()
+    for p in (8, 64, 256, 1024, 4096):
+        kw = fit_hash_shuffle(p)
+        assert kw["num_partitions"] == p
+        ag = kw["aggregator_ray_remote_args"]
+        aggs = min(p, 64)
+        assert ag["num_cpus"] * aggs <= res["CPU"] / 2 + 1e-9
+        assert ag["memory"] * aggs <= res["memory"] / 2 + 1
+        assert ag["num_cpus"] > 0 and ag["memory"] > 0

@@ -107,6 +107,11 @@ def bench_address_view() -> tuple[float, dict]:
         # hash-join/packed-groupby path (the P>=256 cluster configuration;
         # tools/highp_bench.py sweeps the crossover)
         exchange=os.environ.get("GRAFT_EXCHANGE", "direct"),
+        # "distributed" replaces the driver-collected side-input broadcasts
+        # with hash-partitioned joins + the sharded places index (the
+        # 10^12-doc fallback documented in SCALE.md) — benchable here so
+        # the at-scale mode has a measured cost, not just a conformance test
+        side_input_mode=os.environ.get("GRAFT_SIDE_MODE", "broadcast"),
     )
     # n_docs from the materialized parse stage (metadata read) — a separate
     # docs.count() would pay one full extra scan of the input parquet

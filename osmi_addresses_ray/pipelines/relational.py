@@ -2235,9 +2235,30 @@ def assoc_rules(sf_dir: str, *, top: int = 25, num_parts: int = 8) -> pd.DataFra
         return pa.Table.from_pandas(g, preserve_index=False).cast(out_schema)
 
     ds = read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
-    agg = grouped_agg(
-        direct_partitioned_map(ds, ["o"], num_parts, fn, pre_schema, pre=pre),
-        ["pa", "pb"], {"c": ("c", "sum")},
+    # shuffle chaining: the basket exchange emits its partials already
+    # hash-partitioned on (pa, pb), and the final sum is a per-partition
+    # pandas groupby over the grid — Ray's sort-based groupby.aggregate
+    # cost 7.3 s on the 134k-row partial table (the r4 profile's worst
+    # query); the chained direct exchange finishes in well under a second
+    from ..ops import direct_cogroup
+
+    grid = direct_cogroup(
+        [ds], [["o"]], num_parts, fn, [pre_schema], pres=[pre],
+        emit_partitioned_on=["pa", "pb"],
+    )
+
+    def sum_fn(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return out_schema.empty_table()
+        g = (
+            t.to_pandas()
+            .groupby(["pa", "pb"], sort=False, as_index=False)["c"].sum()
+        )
+        g["c"] = g["c"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False).cast(out_schema)
+
+    agg = direct_cogroup(
+        [grid], [["pa", "pb"]], num_parts, sum_fn, [out_schema]
     ).materialize()
 
     empty = pd.DataFrame(

@@ -316,8 +316,16 @@ def asof_pairs_range_partitioned(
         # latest boundary with (user == cu) and (bucket < cb): boundaries
         # are (user, bucket)-sorted, one row per bucket, so the predecessor
         # of the click's (user, bucket) position IS the greatest earlier
-        # bucket's last view
-        j = np.searchsorted(bu * (1 << 20) + bb, cu * (1 << 20) + cb, side="left") - 1
+        # bucket's last view. Composite key shift sized from the DATA
+        # (buckets are non-negative post-1970 ts // W); raise rather than
+        # silently mis-join if user ids x bucket range cannot embed in i64
+        shift = np.int64(max(int(bb.max()), int(cb.max())) + 1)
+        if int(bu.max()) > (2**62) // int(shift):
+            raise OverflowError(
+                "asof_pairs_range_partitioned: user-id x bucket-range "
+                "composite key exceeds int64 — use a wider bucket_hours"
+            )
+        j = np.searchsorted(bu * shift + bb, cu * shift + cb, side="left") - 1
         ok = (j >= 0) & (bu[np.maximum(j, 0)] == cu)
         j = j[ok]
         return pa.table(

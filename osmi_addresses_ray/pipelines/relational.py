@@ -104,6 +104,78 @@ def grouped_agg(ds, keys: list[str], spec: dict[str, tuple[str | None, str]]):
     return merged.map_batches(final, batch_format="pyarrow")
 
 
+def grouped_agg_direct(ds, keys: list[str], spec: dict, *, num_parts: int = 8):
+    """``grouped_agg`` for HIGH-cardinality keys.
+
+    Ray's sort-based ``groupby().aggregate()`` costs ~50 µs per distinct
+    group (measured round 4: 7.3 s over the 134k-group assoc_rules partial
+    table); past a few tens of thousands of keys the direct hash exchange
+    with a per-partition pandas groupby is ~10x faster. Same ``spec``
+    contract as ``grouped_agg`` for sum/count/min/max (mean = sum+count
+    finalize, identical float semantics)."""
+    from ..ops import direct_partitioned_map
+
+    plan: list[tuple[str, str, str]] = []
+    finalize: list[tuple[str, str]] = []
+    for alias, (col, fn) in spec.items():
+        if fn == "mean":
+            plan.append((f"__{alias}_s", col, "sum"))
+            plan.append((f"__{alias}_c", col, "count"))
+            finalize.append((alias, "mean"))
+        elif fn == "count":
+            plan.append((f"__{alias}", keys[0] if col is None else col, "count"))
+            finalize.append((alias, "count"))
+        else:
+            plan.append((f"__{alias}", col, fn))
+            finalize.append((alias, fn))
+
+    uniq: dict[tuple[str, str], list[str]] = {}
+    for pcol, col, fn in plan:
+        uniq.setdefault((col, fn), []).append(pcol)
+    arrow_aggs = list(uniq.keys())
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys, use_threads=False).aggregate(arrow_aggs)
+        out = {k: g[k] for k in keys}
+        for (col, fn), pcols in uniq.items():
+            src = g[f"{col}_{fn}"]
+            for p in pcols:
+                out[p] = src
+        return pa.table(out)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    sample = partials.schema()
+    sample = getattr(sample, "base_schema", sample)
+    merge_of = {
+        pcol: ("sum" if fn in ("sum", "count") else fn) for pcol, _c, fn in plan
+    }
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return sample.empty_table()
+        df = t.to_pandas()
+        g = df.groupby(keys, sort=False, as_index=False).agg(merge_of)
+        return pa.Table.from_pandas(g, preserve_index=False).cast(sample)
+
+    merged = direct_partitioned_map(
+        partials, keys, num_parts, reduce_fn, sample
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        cols = {k: t[k] for k in keys}
+        for alias, kind in finalize:
+            if kind == "mean":
+                cols[alias] = pc.divide(
+                    pc.cast(t[f"__{alias}_s"], pa.float64()),
+                    pc.cast(t[f"__{alias}_c"], pa.float64()),
+                )
+            else:
+                cols[alias] = t[f"__{alias}"]
+        return pa.table(cols)
+
+    return merged.map_batches(final, batch_format="pyarrow")
+
+
 def topk(
     ds,
     col: str,

@@ -654,7 +654,7 @@ def frequent_ngrams(sf_dir: str, *, n: int = 5, min_docs: int = 2, k: int = 50) 
     block, never the corpus."""
     import pyarrow as pa
 
-    from .relational import grouped_agg, topk
+    from .relational import grouped_agg_direct, topk
 
     ds = _read_docs(sf_dir)
     tok = re.compile(_TOKEN_RE)
@@ -670,7 +670,9 @@ def frequent_ngrams(sf_dir: str, *, n: int = 5, min_docs: int = 2, k: int = 50) 
         vc = pd.Series(grams).value_counts()
         return pd.DataFrame({"gram": vc.index.to_numpy(object), "df": vc.to_numpy(np.int64)})
 
-    merged = grouped_agg(
+    # gram cardinality ~ corpus-wide distinct n-grams: the high-cardinality
+    # grouped-agg path (direct hash exchange; see grouped_agg_direct)
+    merged = grouped_agg_direct(
         ds.map_batches(partial, batch_format="pandas"), ["gram"], {"df": ("df", "sum")}
     )
     filt = merged.map_batches(

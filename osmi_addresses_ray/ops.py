@@ -123,7 +123,12 @@ def join_parts_for(*row_counts: int, rows_per_part: int = 2_000_000,
     return max(lo, min(hi, -(-int(n) // rows_per_part)))
 
 
-def fit_hash_shuffle(num_partitions: int) -> dict:
+def fit_hash_shuffle(
+    num_partitions: int,
+    *,
+    est_rows: int | None = None,
+    bytes_per_row: int = 128,
+) -> dict:
     """``Dataset.join`` kwargs that keep the aggregator pool schedulable at
     ANY partition count.
 
@@ -138,9 +143,17 @@ def fit_hash_shuffle(num_partitions: int) -> dict:
     match Ray's estimate). Since ``aggregator_ray_remote_args`` REPLACES
     the computed reservation, hand the pool an explicit budget: half the
     cluster's CPUs and half its memory, split across the aggregators, so
-    the other half keeps feeding the producing stages. Use as:
+    the other half keeps feeding the producing stages.
 
-        ds.join(other, on=..., **fit_hash_shuffle(p))
+    ``est_rows`` (the larger side's row count — ``join_parts_for`` callers
+    already have it in hand): sizes each aggregator's memory reservation
+    from the DATA (estimated partition bytes × partitions per aggregator
+    × 2 working copies) instead of a flat 2 GiB ceiling, still capped at
+    the half-cluster share so the pool always schedules; also forwards
+    Ray's own ``partition_size_hint`` so its internal accounting sees the
+    same estimate. Use as:
+
+        ds.join(other, on=..., **fit_hash_shuffle(p, est_rows=n))
     """
     import ray
     import ray.data as rd
@@ -156,14 +169,21 @@ def fit_hash_shuffle(num_partitions: int) -> dict:
         mem = float(res.get("memory", 8 * 2**30))
     except Exception:
         cpus, mem = 4.0, 8 * 2**30
-    return {
-        "num_partitions": p,
-        "aggregator_ray_remote_args": {
-            "num_cpus": min(1.0, max(0.01, (cpus / 2) / aggs)),
-            "memory": int(min(2 * 2**30, (mem / 2) / aggs)),
-            "scheduling_strategy": "SPREAD",
-        },
+    share = (mem / 2) / aggs
+    out: dict = {"num_partitions": p}
+    if est_rows:
+        part_bytes = max(1, int(est_rows) * int(bytes_per_row) // p)
+        need = part_bytes * (-(-p // aggs)) * 2
+        budget = int(min(share, max(need, 256 * 2**20)))
+        out["partition_size_hint"] = part_bytes
+    else:
+        budget = int(min(2 * 2**30, share))
+    out["aggregator_ray_remote_args"] = {
+        "num_cpus": min(1.0, max(0.01, (cpus / 2) / aggs)),
+        "memory": budget,
+        "scheduling_strategy": "SPREAD",
     }
+    return out
 
 
 def add_part_col(ds, cols: Sequence[str], num_parts: int):
@@ -318,6 +338,16 @@ def direct_cogroup(
     import ray.data as rd
 
     schemas_t = tuple(schemas)
+    for i, s in enumerate(schemas_t):
+        if not isinstance(s, pa.Schema):
+            # a None here (e.g. Dataset.schema() on an empty input) would
+            # otherwise surface as an opaque AttributeError inside the split
+            # task — fail at call time with the actual cause instead
+            raise TypeError(
+                f"direct_cogroup: schemas[{i}] is {type(s).__name__}, expected "
+                "pyarrow.Schema (Dataset.schema() returns None on an empty "
+                "dataset — callers must supply an explicit schema)"
+            )
     # per-source shaping applied INSIDE the split task (map-side fusion):
     # passing the same materialized upstream as several sources with
     # different ``pres`` replaces one driver-launched plan execution + one

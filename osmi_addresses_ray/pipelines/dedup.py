@@ -159,7 +159,7 @@ def _keep_ids_semi_join(ds, winners):
     # without re-executing the doc-side plan for a count
     return ds.join(
         winners, join_type="inner", on=("doc_id",),
-        **fit_hash_shuffle(join_parts_for(n_win)),
+        **fit_hash_shuffle(join_parts_for(n_win), est_rows=n_win, bytes_per_row=2048),
     )
 
 

@@ -6288,7 +6288,15 @@ def street_bipartite(ways_geo_ds, *, num_parts: int = 8) -> pd.DataFrame:
         cmp_ = ni_t["comp"].to_numpy(zero_copy_only=False).astype(np.int64)
         o = np.argsort(n, kind="stable")
         n, col, cmp_ = n[o], col[o], cmp_[o]
-        pos = np.searchsorted(n, eu)
+        # node_info covers every edge endpoint by construction (edges are
+        # emitted symmetrically, states seeded from u) — clip + verify so a
+        # future break of that invariant raises instead of mislabeling
+        pos = np.searchsorted(n, eu).clip(0, len(n) - 1)
+        if not bool(np.all(n[pos] == eu)):
+            raise AssertionError(
+                "street_bipartite: edge endpoint missing from node_info "
+                "co-partition (edge symmetry invariant broken)"
+            )
         return pa.table(
             {"v": pa.array(ev), "comp": pa.array(cmp_[pos]),
              "cu": pa.array(col[pos])}
@@ -6314,7 +6322,12 @@ def street_bipartite(ways_geo_ds, *, num_parts: int = 8) -> pd.DataFrame:
         col = ni_t["color"].to_numpy(zero_copy_only=False).astype(np.int64)
         o = np.argsort(n, kind="stable")
         n, col = n[o], col[o]
-        pos = np.searchsorted(n, hv)
+        pos = np.searchsorted(n, hv).clip(0, len(n) - 1)
+        if not bool(np.all(n[pos] == hv)):
+            raise AssertionError(
+                "street_bipartite: half-edge head missing from node_info "
+                "co-partition (edge symmetry invariant broken)"
+            )
         conflict = (cu == col[pos]).astype(np.int64)
         uc, inv = np.unique(hc, return_inverse=True)
         return pa.table(

@@ -104,7 +104,14 @@ def grouped_agg(ds, keys: list[str], spec: dict[str, tuple[str | None, str]]):
     return merged.map_batches(final, batch_format="pyarrow")
 
 
-def grouped_agg_direct(ds, keys: list[str], spec: dict, *, num_parts: int = 8):
+def grouped_agg_direct(
+    ds,
+    keys: list[str],
+    spec: dict,
+    *,
+    num_parts: int = 8,
+    empty_schema: pa.Schema | None = None,
+):
     """``grouped_agg`` for HIGH-cardinality keys.
 
     Ray's sort-based ``groupby().aggregate()`` costs ~50 µs per distinct
@@ -112,7 +119,14 @@ def grouped_agg_direct(ds, keys: list[str], spec: dict, *, num_parts: int = 8):
     table); past a few tens of thousands of keys the direct hash exchange
     with a per-partition pandas groupby is ~10x faster. Same ``spec``
     contract as ``grouped_agg`` for sum/count/min/max (mean = sum+count
-    finalize, identical float semantics)."""
+    finalize, identical float semantics; null keys group, matching the
+    Arrow ``group_by`` partial).
+
+    ``empty_schema``: the FINAL output schema (keys + aliases). On a fully
+    empty input the partial plan never runs, so no schema can be inferred —
+    with ``empty_schema`` the group-agg of nothing short-circuits to a typed
+    empty Dataset; without it, empty input raises (loudly, at plan time,
+    instead of a ``None`` schema dying inside the exchange's split task)."""
     from ..ops import direct_partitioned_map
 
     plan: list[tuple[str, str, str]] = []
@@ -146,6 +160,21 @@ def grouped_agg_direct(ds, keys: list[str], spec: dict, *, num_parts: int = 8):
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     sample = partials.schema()
     sample = getattr(sample, "base_schema", sample)
+    if sample is None:
+        # fully empty input: the partial fn never ran, so nothing can be
+        # inferred — and the group-agg of nothing IS nothing, so skip the
+        # exchange entirely rather than shipping a None schema into it
+        if empty_schema is not None:
+            import ray
+
+            # from_arrow_refs, not from_arrow: from_arrow drops a 0-row
+            # table's schema, from_arrow_refs keeps the typed block
+            return rd.from_arrow_refs([ray.put(empty_schema.empty_table())])
+        raise ValueError(
+            "grouped_agg_direct: input dataset is empty and no empty_schema "
+            "was given; pass empty_schema=<final output schema> to support "
+            "degenerate inputs"
+        )
     merge_of = {
         pcol: ("sum" if fn in ("sum", "count") else fn) for pcol, _c, fn in plan
     }
@@ -154,8 +183,17 @@ def grouped_agg_direct(ds, keys: list[str], spec: dict, *, num_parts: int = 8):
         if t.num_rows == 0:
             return sample.empty_table()
         df = t.to_pandas()
-        g = df.groupby(keys, sort=False, as_index=False).agg(merge_of)
-        return pa.Table.from_pandas(g, preserve_index=False).cast(sample)
+        # dropna=False: Arrow group_by (the partial) keeps null keys as a
+        # group — the merge must too. select(sample.names): pandas emits agg
+        # columns in plan order, which diverges from the partial-schema
+        # order for specs mixing mean with another agg on one source column;
+        # cast() matches by position, so normalize the order first.
+        g = df.groupby(keys, sort=False, as_index=False, dropna=False).agg(merge_of)
+        return (
+            pa.Table.from_pandas(g, preserve_index=False)
+            .select(sample.names)
+            .cast(sample)
+        )
 
     merged = direct_partitioned_map(
         partials, keys, num_parts, reduce_fn, sample
@@ -370,10 +408,11 @@ def q_join_orders_customers(sf_dir: str, *, pushdown: bool | None = None, broadc
                 take_cols=["c_mktsegment"],
             )
         else:
+            n = cust.count()
             j = pre.join(
                 cust, join_type="inner",
                 on=("o_custkey",), right_on=("c_custkey",),
-                **fit_hash_shuffle(join_parts_for(cust.count())),
+                **fit_hash_shuffle(join_parts_for(n), est_rows=n),
             )
     else:
         spec = {"revenue": ("o_totalprice", "sum"), "n_orders": (None, "count")}
@@ -383,10 +422,11 @@ def q_join_orders_customers(sf_dir: str, *, pushdown: bool | None = None, broadc
                 take_cols=["c_mktsegment"],
             )
         else:
+            n = max(orders.count(), cust.count())
             j = orders.join(
                 cust, join_type="inner",
                 on=("o_custkey",), right_on=("c_custkey",),
-                **fit_hash_shuffle(join_parts_for(orders.count(), cust.count())),
+                **fit_hash_shuffle(join_parts_for(n), est_rows=n),
             )
     out = grouped_agg(j, ["c_mktsegment"], spec)
     df = out.to_pandas().sort_values("c_mktsegment").reset_index(drop=True)
@@ -424,10 +464,11 @@ def q_supplier_part_join(sf_dir: str, *, pushdown: bool | None = None, broadcast
                 take_cols=["p_brand"],
             )
         else:
+            n = part.count()
             j = pre.join(
                 part, join_type="inner",
                 on=("l_partkey",), right_on=("p_partkey",),
-                **fit_hash_shuffle(join_parts_for(part.count())),
+                **fit_hash_shuffle(join_parts_for(n), est_rows=n),
             )
     else:
         spec = {"revenue": ("l_extendedprice", "sum"), "n_items": (None, "count")}
@@ -437,10 +478,11 @@ def q_supplier_part_join(sf_dir: str, *, pushdown: bool | None = None, broadcast
                 take_cols=["p_brand"],
             )
         else:
+            n = max(li.count(), part.count())
             j = li.join(
                 part, join_type="inner",
                 on=("l_partkey",), right_on=("p_partkey",),
-                **fit_hash_shuffle(join_parts_for(li.count(), part.count())),
+                **fit_hash_shuffle(join_parts_for(n), est_rows=n),
             )
     out = grouped_agg(j, ["p_brand"], spec)
     df = out.to_pandas().sort_values("p_brand").reset_index(drop=True)

@@ -673,7 +673,10 @@ def frequent_ngrams(sf_dir: str, *, n: int = 5, min_docs: int = 2, k: int = 50) 
     # gram cardinality ~ corpus-wide distinct n-grams: the high-cardinality
     # grouped-agg path (direct hash exchange; see grouped_agg_direct)
     merged = grouped_agg_direct(
-        ds.map_batches(partial, batch_format="pandas"), ["gram"], {"df": ("df", "sum")}
+        ds.map_batches(partial, batch_format="pandas"),
+        ["gram"],
+        {"df": ("df", "sum")},
+        empty_schema=pa.schema([("gram", pa.string()), ("df", pa.int64())]),
     )
     filt = merged.map_batches(
         lambda d: d[d["df"] >= min_docs], batch_format="pandas"

@@ -316,11 +316,24 @@ def asof_pairs_range_partitioned(
         # latest boundary with (user == cu) and (bucket < cb): boundaries
         # are (user, bucket)-sorted, one row per bucket, so the predecessor
         # of the click's (user, bucket) position IS the greatest earlier
-        # bucket's last view. Composite key shift sized from the DATA
-        # (buckets are non-negative post-1970 ts // W); raise rather than
-        # silently mis-join if user ids x bucket range cannot embed in i64
+        # bucket's last view. Composite key shift sized from the DATA.
+        # Pre-1970 timestamps yield negative buckets, which would break the
+        # packed (user, bucket) ordering — bias both sides by the global
+        # min so buckets are non-negative before packing. The overflow
+        # guard must cover BOTH user columns: a click-only user can carry
+        # the largest id, and its packed key must not wrap (np.int64 would
+        # wrap silently).
+        bmin = min(int(bb.min()), int(cb.min()))
+        if bmin:
+            bb = bb - np.int64(bmin)
+            cb = cb - np.int64(bmin)
+        if min(int(bu.min()), int(cu.min())) < 0:
+            raise OverflowError(
+                "asof_pairs_range_partitioned: negative user_id cannot be "
+                "packed into the (user, bucket) composite key"
+            )
         shift = np.int64(max(int(bb.max()), int(cb.max())) + 1)
-        if int(bu.max()) > (2**62) // int(shift):
+        if max(int(bu.max()), int(cu.max())) > (2**62) // int(shift):
             raise OverflowError(
                 "asof_pairs_range_partitioned: user-id x bucket-range "
                 "composite key exceeds int64 — use a wider bucket_hours"

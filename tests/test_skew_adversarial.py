@@ -196,3 +196,43 @@ def test_asof_range_partitioned_sf_corpus(ray_session):
         timeseries.asof_pairs_range_partitioned(sf, num_parts=4, bucket_hours=1)
     )
     pd.testing.assert_frame_equal(base, rp)
+
+
+@pytest.fixture(scope="module")
+def pre1970_events_dir(tmp_path_factory):
+    """Timestamps straddling the epoch: ts // W buckets go NEGATIVE, which
+    the stitch must bias out before packing (ADVICE timeseries.py:323)."""
+    d = tmp_path_factory.mktemp("pre1970_events")
+    n = 20_000
+    rng = np.random.default_rng(23)
+    base = np.datetime64("1969-12-25T00:00:00", "us")  # ~7 days pre-epoch
+    user = rng.integers(1, 40, n).astype(np.int64)
+    inc = rng.integers(1, 80_000_000, n)
+    ts = base + np.cumsum(inc).astype("timedelta64[us]")
+    etype = np.where(rng.random(n) < 0.5, "view", "click")
+    pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": ts,
+            "user_id": user,
+            "event_type": etype,
+            "value": rng.random(n),
+            "props": "{}",
+        }
+    ).to_parquet(os.path.join(d, "events.parquet"), index=False)
+    return str(d)
+
+
+def test_asof_range_partitioned_pre1970_buckets(pre1970_events_dir, ray_session):
+    """Negative buckets (pre-1970 ts) must not break the packed (user,
+    bucket) stitch ordering — parity with the user-keyed path."""
+    from osmi_addresses_ray.pipelines import timeseries
+
+    base = _asof_frame(timeseries.asof_pairs_ds(pre1970_events_dir, num_parts=4))
+    rp = _asof_frame(
+        timeseries.asof_pairs_range_partitioned(
+            pre1970_events_dir, num_parts=4, bucket_hours=24
+        )
+    )
+    pd.testing.assert_frame_equal(base, rp)
+    assert len(rp) > 100

@@ -310,6 +310,21 @@ class PrePartitioned:
         return rd.from_arrow_refs([r for per in self.pieces for r in per])
 
 
+#: instrumentation for the most recent direct exchange on this driver:
+#: {"mode", "num_parts", "n_blocks", "piece_refs", "out_refs"} — read by
+#: tools/refcount_bench.py and the driver-ref regression test.
+EXCHANGE_STATS: dict = {}
+
+#: partitions per group in the two-level exchange — bounds a group-reduce
+#: task's working set at S partition-sized slices regardless of P.
+TWO_LEVEL_SUBPARTS = 32
+#: blocks per split chunk — bounds a split task's working set at K blocks.
+TWO_LEVEL_CHUNK_BLOCKS = 32
+#: auto threshold: below this P the one-level grid is small enough that the
+#: extra concat wave isn't worth it (SCALE.md: direct fastest at P <= 64)
+TWO_LEVEL_MIN_PARTS = 65
+
+
 def direct_cogroup(
     datasets: Sequence,
     keys: Sequence[Sequence[str]],
@@ -319,6 +334,7 @@ def direct_cogroup(
     *,
     emit_partitioned_on: Sequence[str] | None = None,
     pres: Sequence[Callable[[pa.Table], pa.Table] | None] | None = None,
+    two_level: bool | None = None,
 ):
     """Two-wave map/reduce co-group over raw Ray tasks (no sort barrier).
 
@@ -333,6 +349,18 @@ def direct_cogroup(
     regular Dataset via ``from_arrow_refs``. Object-store spilling still
     covers memory pressure; retries fall back to lineage of the materialized
     inputs.
+
+    ``two_level`` (default: auto at P >= ``TWO_LEVEL_MIN_PARTS`` for flat
+    outputs with no PrePartitioned input): bounds the one-level grid's
+    O(blocks x P) DRIVER ref term — the documented cluster risk (SCALE.md
+    "Exchanges"). Wave 1 splits chunks of K blocks into G = ceil(P/S)
+    partition-GROUP pieces (each piece a tuple of its group's S
+    sub-partition tables), wave 2 reduces one group per task
+    (``num_returns=S``), so the driver holds ceil(B/K) x G piece refs + P
+    output refs ~= O(B + P) at K*S ~= P, while each task's working set
+    stays bounded (K blocks / S partition slices). Row content, ordering
+    and ``fn`` semantics are identical to the one-level path (parity
+    asserted in tests/test_two_level_exchange.py).
     """
     import ray
     import ray.data as rd
@@ -402,6 +430,123 @@ def direct_cogroup(
             all_refs = list(pool.map(_collect, datasets))
     else:
         all_refs = [_collect(d) for d in datasets]
+
+    n_src = len(datasets)
+    if two_level is None:
+        two_level = (
+            num_parts >= TWO_LEVEL_MIN_PARTS
+            and emit_partitioned_on is None
+            and not any(isinstance(d, PrePartitioned) for d in datasets)
+        )
+    if two_level:
+        if emit_partitioned_on is not None or any(
+            isinstance(d, PrePartitioned) for d in datasets
+        ):
+            raise ValueError(
+                "two_level exchange does not support emit_partitioned_on or "
+                "PrePartitioned inputs"
+            )
+        S = min(TWO_LEVEL_SUBPARTS, num_parts)
+        G = -(-num_parts // S)
+        K = min(TWO_LEVEL_CHUNK_BLOCKS, max(1, G))
+
+        @ray.remote
+        def _split_chunk(schema_i: int, key_cols: tuple, *blocks):
+            pre = pres_t[schema_i]
+            empty = schemas_t[schema_i].empty_table()
+            per_part: list[list] = [[] for _ in range(num_parts)]
+            for block in blocks:
+                if pre is not None:
+                    block = pre(block) if block.num_rows else empty
+                if block.num_rows == 0 or key_cols[0] not in block.column_names:
+                    continue
+                part = (
+                    hash_keys(block, list(key_cols)) % np.uint64(num_parts)
+                ).astype(np.int64)
+                order = np.argsort(part, kind="stable")
+                ts = block.take(pa.array(order))
+                sp = part[order]
+                bounds = np.searchsorted(sp, np.arange(num_parts + 1))
+                for p in range(num_parts):
+                    if bounds[p + 1] > bounds[p]:
+                        per_part[p].append(
+                            ts.slice(bounds[p], bounds[p + 1] - bounds[p])
+                        )
+
+            def cat(lst):
+                if not lst:
+                    return empty
+                if len(lst) == 1:
+                    return lst[0]
+                return pa.concat_tables(lst, promote_options="default")
+
+            groups = []
+            for g in range(G):
+                lo, hi = g * S, min((g + 1) * S, num_parts)
+                groups.append(tuple(cat(per_part[p]) for p in range(lo, hi)))
+            return tuple(groups) if G > 1 else groups[0]
+
+        @ray.remote
+        def _reduce_group(g: int, counts: list[int], *flat_pieces):
+            lo, hi = g * S, min((g + 1) * S, num_parts)
+            width = hi - lo
+            per_src = []
+            off = 0
+            for c in counts:
+                per_src.append(flat_pieces[off : off + c])
+                off += c
+            outs = []
+            for s in range(width):
+                parts = []
+                for i in range(n_src):
+                    tabs = [pc_[s] for pc_ in per_src[i] if pc_[s].num_rows]
+                    if tabs:
+                        parts.append(
+                            tabs[0]
+                            if len(tabs) == 1
+                            else pa.concat_tables(tabs, promote_options="default")
+                        )
+                    else:
+                        parts.append(schemas_t[i].empty_table())
+                outs.append(fn(*parts))
+            return tuple(outs) if width > 1 else outs[0]
+
+        chunk_pieces: list[list[list]] = []  # [src][g] -> chunk-piece refs
+        n_blocks = 0
+        for i, (_ds, key_cols) in enumerate(zip(datasets, keys)):
+            refs = all_refs[i]
+            n_blocks += len(refs)
+            per_group: list[list] = [[] for _ in range(G)]
+            for c0 in range(0, len(refs), K):
+                out = _split_chunk.options(num_returns=G).remote(
+                    i, tuple(key_cols), *refs[c0 : c0 + K]
+                )
+                if G == 1:
+                    out = [out]
+                for g, r in enumerate(out):
+                    per_group[g].append(r)
+            chunk_pieces.append(per_group)
+
+        out_refs = []
+        for g in range(G):
+            counts = [len(chunk_pieces[i][g]) for i in range(n_src)]
+            flat = [r for i in range(n_src) for r in chunk_pieces[i][g]]
+            width = min((g + 1) * S, num_parts) - g * S
+            out = _reduce_group.options(num_returns=width).remote(g, counts, *flat)
+            if width == 1:
+                out = [out]
+            out_refs.extend(out)
+        EXCHANGE_STATS.update(
+            mode="two_level",
+            num_parts=num_parts,
+            n_blocks=n_blocks,
+            piece_refs=sum(
+                len(per) for src in chunk_pieces for per in src
+            ),
+            out_refs=len(out_refs),
+        )
+        return rd.from_arrow_refs(out_refs)
+
     pieces: list[list[list]] = []  # [src][part] -> list of piece refs
     for i, (ds, key_cols) in enumerate(zip(datasets, keys)):
         if isinstance(ds, PrePartitioned):
@@ -423,8 +568,13 @@ def direct_cogroup(
                 per_part[p].append(ref)
         pieces.append(per_part)
 
-    n_src = len(datasets)
-    schemas_t = tuple(schemas)
+    EXCHANGE_STATS.update(
+        mode="one_level",
+        num_parts=num_parts,
+        n_blocks=sum(len(r) for r in all_refs if r is not None),
+        piece_refs=sum(len(per) for src in pieces for per in src),
+        out_refs=num_parts,
+    )
     counts_per_part = [
         [len(pieces[i][p]) for i in range(n_src)] for p in range(num_parts)
     ]

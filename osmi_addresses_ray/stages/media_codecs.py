@@ -2,9 +2,11 @@
 
 The sandbox image has no PIL/ffmpeg, but uncompressed formats need no
 library: P6 PPM (netpbm) and 24-bit BI_RGB BMP are decodable with a header
-parse plus a numpy reshape. These codecs make the decode stage REAL — the
+parse plus a numpy reshape — and PNG needs only zlib (which IS in the
+sandbox): CRC-checked chunk walk, inflate, and the five-filter unfilter
+pass, all implemented here. These codecs make the decode stage REAL — the
 actor pool parses actual encoded bytes into actual pixel arrays — while
-compressed codecs (JPEG/PNG/audio/video) remain behind the documented
+DCT/entropy codecs (JPEG/MP3/h264) remain behind the documented
 NotImplementedError boundary (swap in PIL/torchaudio on a cluster image
 that has them; see ``multimodal.MediaDecoder``).
 
@@ -124,10 +126,192 @@ def decode_bmp(data: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# PNG (zlib deflate — bit depth 8, color types 0/2/6, no interlace)
+# ---------------------------------------------------------------------------
+#
+# zlib IS in the sandbox (the PBF reader already depends on it), so PNG is
+# decodable without any image library: signature + CRC-checked chunk walk,
+# zlib-inflate of the IDAT stream, then per-row unfiltering (all five PNG
+# filter types). This closes the "compressed codecs need a cluster image"
+# boundary for PNG; JPEG/MP3/h264 (DCT/entropy codecs) remain behind the
+# MediaDecoder injection seam.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa_ <= pb and pa_ <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(img: np.ndarray, *, filter_type: int = 0) -> bytes:
+    """uint8 image -> PNG bytes. (H, W) / (H, W, 1) -> gray (color type 0),
+    (H, W, 3) -> RGB (2), (H, W, 4) -> RGBA (6); bit depth 8, no interlace.
+
+    ``filter_type`` (0-4) applies that PNG filter to EVERY row — all are
+    valid streams per the spec; non-zero types exist so fixtures exercise
+    the decoder's Sub/Up/Average/Paeth unfilter paths, not just None."""
+    import zlib
+
+    if img.dtype != np.uint8:
+        raise ValueError(f"encode_png expects uint8, got {img.dtype}")
+    if img.ndim == 2:
+        img = img[:, :, None]
+    ch = img.shape[2]
+    try:
+        color_type = {1: 0, 3: 2, 4: 6}[ch]
+    except KeyError:
+        raise ValueError(f"encode_png: unsupported channel count {ch}")
+    if filter_type not in range(5):
+        raise ValueError(f"invalid PNG filter type {filter_type}")
+    h, w = img.shape[:2]
+    raw = img.astype(np.int16)
+    prev = np.zeros((w, ch), np.int16)
+    lines = []
+    for y in range(h):
+        row = raw[y]
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:  # Sub
+            left = np.vstack([np.zeros((1, ch), np.int16), row[:-1]])
+            filt = row - left
+        elif filter_type == 2:  # Up
+            filt = row - prev
+        elif filter_type == 3:  # Average
+            left = np.vstack([np.zeros((1, ch), np.int16), row[:-1]])
+            filt = row - ((left + prev) >> 1)
+        else:  # Paeth
+            filt = np.empty_like(row)
+            for x in range(w):
+                for c in range(ch):
+                    a = int(row[x - 1, c]) if x else 0
+                    b = int(prev[x, c])
+                    cc = int(prev[x - 1, c]) if x else 0
+                    filt[x, c] = int(row[x, c]) - _paeth(a, b, cc)
+        lines.append(bytes([filter_type]) + (filt & 0xFF).astype(np.uint8).tobytes())
+        prev = row
+    idat = zlib.compress(b"".join(lines), 9)
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 array: (H, W) for gray, (H, W, 3) RGB,
+    (H, W, 4) RGBA. Bit depth 8, color types 0/2/6, no interlace; every
+    chunk CRC is verified and all five row filters are unfiltered per the
+    spec. The per-row unfilter is numpy for None/Sub/Up (Sub is a cumsum
+    per channel) and a scalar loop for Average/Paeth (their predictor is
+    sequential in x by definition)."""
+    import zlib
+
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        typ = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if len(payload) != length or pos + 12 + length > len(data):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if crc != (zlib.crc32(typ + payload) & 0xFFFFFFFF):
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = payload
+        elif typ == b"IDAT":
+            idat.append(payload)
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt_method, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or comp != 0 or filt_method != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant: depth={depth} compression={comp} "
+            f"filter={filt_method} interlace={interlace}"
+        )
+    try:
+        ch = {0: 1, 2: 3, 6: 4}[color]
+    except KeyError:
+        raise ValueError(f"unsupported PNG color type {color}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = 1 + w * ch
+    if len(raw) != stride * h:
+        raise ValueError(
+            f"PNG scanline data: want {stride * h} bytes, have {len(raw)}"
+        )
+    out = np.empty((h, w, ch), np.uint8)
+    prev = np.zeros((w, ch), np.int32)
+    for y in range(h):
+        line = raw[y * stride : (y + 1) * stride]
+        f = line[0]
+        filt = (
+            np.frombuffer(line, np.uint8, count=w * ch, offset=1)
+            .reshape(w, ch)
+            .astype(np.int32)
+        )
+        if f == 0:
+            recon = filt
+        elif f == 1:  # Sub: recon[x] = filt[x] + recon[x-1] per channel
+            recon = np.cumsum(filt, axis=0) & 0xFF
+        elif f == 2:  # Up
+            recon = (filt + prev) & 0xFF
+        elif f == 3:  # Average
+            recon = np.empty_like(filt)
+            for x in range(w):
+                for c in range(ch):
+                    left = int(recon[x - 1, c]) if x else 0
+                    recon[x, c] = (filt[x, c] + ((left + int(prev[x, c])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            recon = np.empty_like(filt)
+            for x in range(w):
+                for c in range(ch):
+                    a = int(recon[x - 1, c]) if x else 0
+                    b = int(prev[x, c])
+                    cc = int(prev[x - 1, c]) if x else 0
+                    recon[x, c] = (filt[x, c] + _paeth(a, b, cc)) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter byte {f} on row {y}")
+        out[y] = recon.astype(np.uint8)
+        prev = recon
+    return out[:, :, 0] if ch == 1 else out
+
+
+def _decode_png_rgb(data: bytes) -> np.ndarray:
+    """PNG -> (H, W, 3) for the image-stage decoder table: gray replicates
+    to 3 channels, RGBA drops alpha (the feature stages are RGB-defined)."""
+    img = decode_png(data)
+    if img.ndim == 2:
+        return np.repeat(img[:, :, None], 3, axis=2)
+    if img.shape[2] == 4:
+        return img[:, :, :3].copy()
+    return img
+
+
+# ---------------------------------------------------------------------------
 # Format sniffing + the deterministic stand-in binary store
 # ---------------------------------------------------------------------------
 
-_DECODERS = {"ppm": decode_ppm, "bmp": decode_bmp}
+_DECODERS = {"ppm": decode_ppm, "bmp": decode_bmp, "png": _decode_png_rgb}
 
 
 def sniff_format(data: bytes) -> str | None:
@@ -135,6 +319,8 @@ def sniff_format(data: bytes) -> str | None:
         return "ppm"
     if data[:2] == b"BM":
         return "bmp"
+    if data[: len(_PNG_SIG)] == _PNG_SIG:
+        return "png"
     return None
 
 
@@ -168,11 +354,18 @@ def synthesize_pixels(ref: str) -> np.ndarray:
 
 def synthesize_media_payload(ref: str) -> bytes:
     """Deterministic ENCODED image bytes for a media ref (the stand-in for a
-    binary-store fetch): ~1/3 of refs encode as BMP, the rest as PPM, so
-    both decoders are exercised end to end in every fixture run."""
+    binary-store fetch): ~1/3 of refs encode as BMP, ~1/3 as PNG (filter
+    type cycling 0-4 so every unfilter path runs), the rest as PPM — all
+    three decoders are exercised end to end in every fixture run. The
+    pixel-level oracles (oracle/layers.py) never see the encoding, so a
+    codec bug in any of the three breaks the hash gate."""
     d = hashlib.sha256(ref.encode()).digest()
     img = synthesize_pixels(ref)
-    return encode_bmp(img) if d[0] % 3 == 0 else encode_ppm(img)
+    if d[0] % 3 == 0:
+        return encode_bmp(img)
+    if d[0] % 3 == 1:
+        return encode_png(img, filter_type=d[3] % 5)
+    return encode_ppm(img)
 
 
 def grid_features(img: np.ndarray, grid: int = 4) -> np.ndarray:

@@ -93,10 +93,10 @@ def test_codec_error_cases():
     assert sniff_format(b"\xff\xd8\xff") is None  # JPEG magic → no codec
 
 
-def test_synthesized_payloads_cover_both_formats():
+def test_synthesized_payloads_cover_all_formats():
     fmts = {sniff_format(synthesize_media_payload(f"img://fixture/{i}")) for i in range(30)}
-    assert fmts == {"ppm", "bmp"}
-    # decode recovers exactly the spec'd pixels for both formats
+    assert fmts == {"ppm", "bmp", "png"}
+    # decode recovers exactly the spec'd pixels for all three formats
     for i in range(30):
         ref = f"img://fixture/{i}"
         assert np.array_equal(decode_image(synthesize_media_payload(ref)), synthesize_pixels(ref))
@@ -850,3 +850,122 @@ def test_decoder_injection(ray_session):
         rtol=0,
         atol=0,
     )
+
+
+# --- PNG (zlib deflate) ------------------------------------------------------
+
+
+def _rand_arr(shape, seed):
+    return np.random.default_rng(seed).integers(0, 256, shape, dtype=np.uint8)
+
+
+def test_png_roundtrip_every_filter_and_color_type():
+    from osmi_addresses_ray.stages.media_codecs import decode_png, encode_png
+
+    for seed, shape in enumerate([(9, 13), (9, 13, 3), (9, 13, 4), (1, 1, 3), (3, 1, 3)]):
+        img = _rand_arr(shape, seed)
+        for ft in range(5):
+            got = decode_png(encode_png(img, filter_type=ft))
+            want = img[:, :, 0] if (img.ndim == 3 and img.shape[2] == 1) else img
+            assert np.array_equal(got, want), (shape, ft)
+
+
+def test_png_gray_and_rgba_normalize_to_rgb():
+    from osmi_addresses_ray.stages.media_codecs import encode_png
+
+    gray = _rand_arr((6, 7), 42)
+    rgb = decode_image(encode_png(gray, filter_type=2))
+    assert rgb.shape == (6, 7, 3)
+    assert np.array_equal(rgb[:, :, 0], gray) and np.array_equal(rgb[:, :, 2], gray)
+    rgba = _rand_arr((6, 7, 4), 43)
+    out = decode_image(encode_png(rgba, filter_type=4))
+    assert np.array_equal(out, rgba[:, :, :3])
+
+
+def test_png_rejects_corruption_and_unsupported():
+    import struct as _struct
+
+    from osmi_addresses_ray.stages.media_codecs import decode_png, encode_png
+
+    img = _rand_arr((5, 4, 3), 1)
+    good = encode_png(img)
+    # flip one IDAT byte -> CRC mismatch
+    bad = bytearray(good)
+    idat_at = good.index(b"IDAT")
+    bad[idat_at + 6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    # truncated chunk
+    with pytest.raises(ValueError, match="truncated|missing"):
+        decode_png(good[:30])
+    # not a PNG
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"BM" + good)
+    # 16-bit depth rejected explicitly
+    ihdr = _struct.pack(">IIBBBBB", 4, 5, 16, 2, 0, 0, 0)
+    import zlib as _zlib
+
+    def chunk(typ, payload):
+        return (
+            _struct.pack(">I", len(payload)) + typ + payload
+            + _struct.pack(">I", _zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    deep = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(b"\x00" * (5 * (1 + 4 * 6))))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        decode_png(deep)
+
+
+def test_png_multiple_idat_chunks():
+    import struct as _struct
+    import zlib as _zlib
+
+    from osmi_addresses_ray.stages.media_codecs import decode_png, encode_png
+
+    img = _rand_arr((8, 8, 3), 9)
+    good = encode_png(img, filter_type=1)
+    # split the single IDAT into two chunks (decoders must concat streams)
+    sig_end = 8
+    (ihdr_len,) = _struct.unpack_from(">I", good, sig_end)
+    ihdr_block = good[sig_end : sig_end + 12 + ihdr_len]
+    idat_at = sig_end + 12 + ihdr_len
+    (idat_len,) = _struct.unpack_from(">I", good, idat_at)
+    idat = good[idat_at + 8 : idat_at + 8 + idat_len]
+    half = len(idat) // 2
+
+    def chunk(typ, payload):
+        return (
+            _struct.pack(">I", len(payload)) + typ + payload
+            + _struct.pack(">I", _zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    rebuilt = (
+        good[:sig_end] + ihdr_block + chunk(b"IDAT", idat[:half])
+        + chunk(b"IDAT", idat[half:]) + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(rebuilt), img)
+
+
+def test_media_features_over_png_payloads(ray_session):
+    """End-to-end: refs whose synthesized payload is PNG decode through the
+    actor-pool stage and match the pixel-level (codec-independent) path."""
+    from osmi_addresses_ray.stages.media_codecs import grid_features
+    from osmi_addresses_ray.stages.multimodal import MediaDecoder
+
+    dec = MediaDecoder()
+    n_png = 0
+    for i in range(60):
+        ref = f"img://png_probe/{i}"
+        payload = synthesize_media_payload(ref)
+        if sniff_format(payload) != "png":
+            continue
+        n_png += 1
+        feat, w, h = dec._decode(payload, "image")
+        px = synthesize_pixels(ref)
+        assert (w, h) == (px.shape[1], px.shape[0])
+        assert np.array_equal(feat, grid_features(px))
+    assert n_png >= 10  # ~1/3 of 60

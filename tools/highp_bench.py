@@ -72,6 +72,7 @@ def main() -> int:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--parts", default="64,256,1024")
     ap.add_argument("--exchanges", default="direct,native")
+    ap.add_argument("--out", default="HIGHP_BENCH.json")
     args = ap.parse_args()
 
     # author the corpus once at full parallelism, outside any timed leg
@@ -110,7 +111,7 @@ def main() -> int:
         "legs": legs,
         "crossover_parts": crossover,
     }
-    with open(os.path.join(REPO, "HIGHP_BENCH.json"), "w") as f:
+    with open(os.path.join(REPO, args.out), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
     return 0

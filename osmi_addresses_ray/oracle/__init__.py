@@ -18,7 +18,10 @@ import os
 
 import pandas as pd
 
-ORACLE_DIR = "/tmp/graft_oracle"
+# GRAFT_ORACLE_DIR: alternate cache dir for corpus-variant gate legs (the
+# mirrored-coordinate sweep must not poison / be poisoned by the default
+# corpus's cached oracle parquet)
+ORACLE_DIR = os.environ.get("GRAFT_ORACLE_DIR", "/tmp/graft_oracle")
 
 
 def oracle_path(name: str) -> str:

@@ -26,10 +26,30 @@ GRID_W = 1000  # blocks per row
 TS = "2014-01-01T00:00:00Z"
 
 
-def gen_block(b: int, *, noise: bool = True) -> list[dict]:
+def fixture_origin() -> tuple[float, float]:
+    """Corpus origin (lat0, lon0). ``GRAFT_FIXTURE_ORIGIN="-47,-8"`` moves
+    the whole grid — the mirrored (southern/western hemisphere) gate leg
+    runs every fixture-based query over negative coordinates, making the
+    floor-division / quantization fixes load-bearing instead of latent
+    (VERDICT r4 task #7). Resolved on the DRIVER at plan-build time and
+    shipped to workers by value, so a subprocess env override is the whole
+    switch."""
+    import os
+
+    v = os.environ.get("GRAFT_FIXTURE_ORIGIN")
+    if not v:
+        return (LAT0, LON0)
+    lat_s, lon_s = v.split(",")
+    return (float(lat_s), float(lon_s))
+
+
+def gen_block(
+    b: int, *, noise: bool = True, origin: tuple[float, float] | None = None
+) -> list[dict]:
     """All docs of block ``b`` (deterministic, no RNG)."""
-    lat = LAT0 + (b // GRID_W) * SP
-    lon = LON0 + (b % GRID_W) * SP
+    lat0, lon0 = fixture_origin() if origin is None else origin
+    lat = lat0 + (b // GRID_W) * SP
+    lon = lon0 + (b % GRID_W) * SP
     base = 100 + b * 100
     street = f"Main Street {b}"
     docs: list[dict] = []
@@ -140,9 +160,10 @@ def expected_counts(n: int) -> dict[str, int]:
 
 def fixture_table(n_blocks: int, *, noise: bool = True) -> pa.Table:
     """Small corpora, driver-side (tests)."""
+    origin = fixture_origin()
     docs: list[dict] = []
     for b in range(n_blocks):
-        docs.extend(gen_block(b, noise=noise))
+        docs.extend(gen_block(b, noise=noise, origin=origin))
     return docs_to_table(docs)
 
 
@@ -151,11 +172,12 @@ def fixture_docs(n_blocks: int, *, noise: bool = True, parallelism: int = 16):
     import ray.data as rd
 
     src = rd.range(n_blocks, override_num_blocks=min(parallelism, max(1, n_blocks // 64) or 1))
+    origin = fixture_origin()  # driver-side resolve; ships by value
 
     def gen(t: pa.Table) -> pa.Table:
         docs: list[dict] = []
         for b in t["id"].to_pylist():
-            docs.extend(gen_block(int(b), noise=noise))
+            docs.extend(gen_block(int(b), noise=noise, origin=origin))
         return docs_to_table(docs)
 
     return src.map_batches(gen, batch_format="pyarrow")

@@ -287,6 +287,25 @@ def _align_to_schema(t: pa.Table, schema: pa.Schema) -> pa.Table:
     return pa.Table.from_arrays(arrays, schema=schema)
 
 
+class RawRefs:
+    """A direct-exchange source that is just block ObjectRefs + a schema.
+
+    ``rd.from_arrow_refs`` BARRIERS on every ref (it ray.gets a metadata
+    task per block before returning), so wrapping an eagerly-launched task
+    wave in a Dataset serializes the spine. Passing ``RawRefs`` into
+    ``direct_cogroup`` instead lets the split wave chain on OBJECT
+    availability: each split task starts the moment its input block lands,
+    while the producing wave is still running (the round-5 e2e fixed-term
+    cut). Convert to a Dataset (``rd.from_arrow_refs(raw.refs)``) only off
+    the critical path."""
+
+    __slots__ = ("refs", "schema")
+
+    def __init__(self, refs, schema: pa.Schema):
+        self.refs = list(refs)
+        self.schema = schema
+
+
 class PrePartitioned:
     """Hash-partitioned piece grid produced by ``direct_cogroup(...,
     emit_partitioned_on=key)`` — shuffle chaining. ``pieces[p]`` holds the
@@ -421,10 +440,18 @@ def direct_cogroup(
 
     def _collect(d):
         # PrePartitioned sources are already split on this exchange's hash
-        # space — no execution, no split wave
-        return None if isinstance(d, PrePartitioned) else d.to_arrow_refs()
+        # space — no execution, no split wave. RawRefs sources carry their
+        # block refs directly (possibly still computing — split tasks chain
+        # on availability).
+        if isinstance(d, PrePartitioned):
+            return None
+        if isinstance(d, RawRefs):
+            return d.refs
+        return d.to_arrow_refs()
 
-    live = [d for d in datasets if not isinstance(d, PrePartitioned)]
+    live = [
+        d for d in datasets if not isinstance(d, (PrePartitioned, RawRefs))
+    ]
     if len(live) > 1:
         with ThreadPoolExecutor(max_workers=len(live)) as pool:
             all_refs = list(pool.map(_collect, datasets))

@@ -168,10 +168,14 @@ def _nearest_ways_from_match(
     # streamed map_batches and runs the packed-groupby exchange instead
     # (backpressured; the high-partition-count path — see SCALE.md).
     if exchange == "direct":
+        # no .materialize(): the exchange's reduce refs already exist (raw
+        # tasks launch eagerly), so the roads/areas consume overlaps the
+        # reduce wave instead of waiting behind a driver barrier; re-reads
+        # hit the same refs, never re-run the exchange
         deduped = dedup_first(
             match_ds, ["way_id"], ["ord0", "ord1", "ord2", "ord3"], num_parts,
             exchange="direct", pre=_pre_cands, schema=cand_schema,
-        ).materialize()
+        )
     else:
         deduped = dedup_first(
             match_ds.map_batches(_pre_cands, batch_format="pyarrow"),
@@ -388,50 +392,106 @@ def build_layers_with_internals(
         # background street/address pre-executions
         endpoint_tags, places = collect_side_inputs_async(parsed, ways_geo)
         clock.tick("side_inputs")
-        interp_out = _stage_checkpoint(
-            lambda: interpolation_stage(ways_geo, endpoint_tags),
-            workdir=workdir, name="interp_out", fingerprint=fingerprint,
-        )
+        # fast path (no checkpoints, direct exchange, no salting): the
+        # interpolation wave runs as raw tasks and its refs feed the match
+        # exchange DIRECTLY (ops.RawRefs + map-side ip projection), so the
+        # spine never waits on an interp materialize/metadata barrier and
+        # never executes a union plan — interp compute overlaps the match
+        # split wave on object availability (round-5 e2e fixed-term cut)
+        fast = exchange == "direct" and workdir is None and hot_cell_threshold is None
+        if fast:
+            from ..stages.interpolation import interpolation_stage_raw
+
+            interp_refs, interp_schema = interpolation_stage_raw(
+                ways_geo, endpoint_tags
+            )
+            interp_out = None  # resolved into a Dataset off the spine below
+        else:
+            interp_out = _stage_checkpoint(
+                lambda: interpolation_stage(ways_geo, endpoint_tags),
+                workdir=workdir, name="interp_out", fingerprint=fingerprint,
+            )
     clock.tick("interp_out")
-    layers[LAYER_INTERPOLATION] = interp_out.map_batches(
-        lambda t: t.filter(pc.equal(t["__out"], 0)).select(
+
+    def _interp_layer_filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["__out"], 0)).select(
             [
                 "way_id", "typename", "firstid", "lastid", "firstno", "lastno",
                 "error", "lastchange", "geom_type", "geom_wkt",
             ]
-        ),
-        batch_format="pyarrow",
-    )
-    if stage_cb is not None:
-        # interp_out is materialized — the interpolation layer is consumable
-        # concurrently with the address/match phase
-        stage_cb("interp_ready", {LAYER_INTERPOLATION: layers[LAYER_INTERPOLATION]})
-    ip_points = interp_out.map_batches(
-        lambda t: t.filter(pc.equal(t["__out"], 1)).select(
-            [
-                "kind", "obj_id", "lon", "lat", "street", "houseno", "postcode",
-                "city", "country", "fulladdr", "place", "lastchange",
-                "ord0", "ord1", "ord2", "ord3",
-            ]
-        ),
-        batch_format="pyarrow",
-    )
+        )
 
-    streets = streets_future.result()
-    addrs = base_addrs_future.result().union(ip_addresses(ip_points))
-    _pool.shutdown()
-    salt_map = None
-    if hot_cell_threshold is not None:
-        from ..stages.match import compute_salt_map
+    fast = side_input_mode == "broadcast" and interp_out is None
+    if fast:
+        import ray.data as rd
 
-        salt_map = compute_salt_map(addrs, hot_threshold=hot_cell_threshold)
-    matched = _stage_checkpoint(
-        lambda: match_stage(
-            streets, addrs, places, num_parts=num_parts, salt_map=salt_map,
-            exchange=exchange,
-        ),
-        workdir=workdir, name="matched", fingerprint=fingerprint,
-    )
+        from ..ops import RawRefs
+
+        # rd.from_arrow_refs barriers on every ref — build the Dataset view
+        # in a background thread; the spine keeps only the raw refs
+        interp_ds_future = _pool.submit(
+            lambda: rd.from_arrow_refs(list(interp_refs))
+        )
+        if stage_cb is not None:
+            _pool.submit(
+                lambda: stage_cb(
+                    "interp_ready",
+                    {
+                        LAYER_INTERPOLATION: interp_ds_future.result().map_batches(
+                            _interp_layer_filter, batch_format="pyarrow"
+                        )
+                    },
+                )
+            )
+        streets = streets_future.result()
+        base_addrs = base_addrs_future.result()
+        matched = match_stage(
+            streets, base_addrs, places, num_parts=num_parts,
+            exchange="direct", ip_src=RawRefs(interp_refs, interp_schema),
+        )
+        # the match exchange's return barriered on its reduce wave, so the
+        # interp Dataset future resolves instantly now
+        interp_out = interp_ds_future.result()
+        layers[LAYER_INTERPOLATION] = interp_out.map_batches(
+            _interp_layer_filter, batch_format="pyarrow"
+        )
+        _pool.shutdown()
+    else:
+        layers[LAYER_INTERPOLATION] = interp_out.map_batches(
+            _interp_layer_filter, batch_format="pyarrow"
+        )
+        if stage_cb is not None:
+            # interp_out is materialized — the interpolation layer is
+            # consumable concurrently with the address/match phase
+            stage_cb(
+                "interp_ready", {LAYER_INTERPOLATION: layers[LAYER_INTERPOLATION]}
+            )
+        ip_points = interp_out.map_batches(
+            lambda t: t.filter(pc.equal(t["__out"], 1)).select(
+                [
+                    "kind", "obj_id", "lon", "lat", "street", "houseno", "postcode",
+                    "city", "country", "fulladdr", "place", "lastchange",
+                    "ord0", "ord1", "ord2", "ord3",
+                ]
+            ),
+            batch_format="pyarrow",
+        )
+
+        streets = streets_future.result()
+        addrs = base_addrs_future.result().union(ip_addresses(ip_points))
+        _pool.shutdown()
+        salt_map = None
+        if hot_cell_threshold is not None:
+            from ..stages.match import compute_salt_map
+
+            salt_map = compute_salt_map(addrs, hot_threshold=hot_cell_threshold)
+        matched = _stage_checkpoint(
+            lambda: match_stage(
+                streets, addrs, places, num_parts=num_parts, salt_map=salt_map,
+                exchange=exchange,
+            ),
+            workdir=workdir, name="matched", fingerprint=fingerprint,
+        )
     clock.tick("matched")
 
     layers[LAYER_NODES_WITH_ADDRESSES] = _nwa_from_match(matched)

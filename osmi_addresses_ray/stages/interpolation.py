@@ -789,3 +789,61 @@ def interpolation_stage(ways_geo, endpoint_tags, *, concurrency=(1, 4)):
         return InterpolationValidator(ref)(t)
 
     return interp.map_batches(run, batch_format="pyarrow")
+
+
+def interp_union_schema() -> pa.Schema:
+    """The validator's tagged-union output schema, statically (layer rows
+    ``__out=0`` + ip points ``__out=1`` over the superset columns)."""
+    out_fields = list(INTERPOLATION_SCHEMA) + [
+        f for f in IP_POINT_SCHEMA if f.name not in INTERPOLATION_SCHEMA.names
+    ]
+    return pa.schema([pa.field("__out", pa.int8())] + out_fields)
+
+
+def interpolation_stage_raw(ways_geo, endpoint_tags) -> tuple[list, pa.Schema]:
+    """``interpolation_stage`` as a RAW-TASK wave over the materialized
+    ``ways_geo`` block refs → (block refs, union schema) — the round-5
+    e2e fixed-term cut.
+
+    The Dataset-plan formulation pays an executor launch plus a driver
+    materialize barrier before anything downstream can even be planned —
+    and even ``rd.from_arrow_refs`` BARRIERS (it ray.gets a metadata task
+    per ref). Returning the bare refs instead lets the match exchange
+    consume them as an ``ops.RawRefs`` source whose split tasks chain on
+    OBJECT availability: interpolation and the match split wave overlap
+    with no driver sync at all. Row-identical to ``interpolation_stage``
+    (parity asserted in tests/test_interpolation.py); every consumer reads
+    the same refs, so the validator still runs once per block.
+    """
+    ref = (
+        endpoint_tags
+        if isinstance(endpoint_tags, ray.ObjectRef)
+        else ray.put(endpoint_tags)
+    )
+    schema = interp_union_schema()
+    col = tag_col("addr:interpolation")
+
+    @ray.remote
+    def run(block: pa.Table, ref_holder: list) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if block.num_rows == 0 or col not in block.column_names:
+            return schema.empty_table()
+        t = block.filter(pc.and_(pc.is_valid(block[col]), block["nonzero"]))
+        if t.num_rows == 0:
+            return schema.empty_table()
+        return InterpolationValidator(ref_holder[0])(t)
+
+    # ref rides in a list so Ray does NOT auto-deref it (the validator's
+    # per-worker broadcast cache is keyed by the ref)
+    refs = [run.remote(b, [ref]) for b in ways_geo.to_arrow_refs()]
+    return refs, schema
+
+
+def interpolation_stage_refs(ways_geo, endpoint_tags):
+    """Dataset wrapper over ``interpolation_stage_raw`` (tests / callers
+    that want a Dataset and can afford the from_arrow_refs barrier)."""
+    import ray.data as rd
+
+    refs, _schema = interpolation_stage_raw(ways_geo, endpoint_tags)
+    return rd.from_arrow_refs(refs)

@@ -326,42 +326,44 @@ def way_addresses(ways_geo):
     return ways_geo.map_batches(f, batch_format="pyarrow")
 
 
+def _ip_rows_to_addr(t: pa.Table) -> pa.Table:
+    """Interpolated-point rows → ADDR rows (the shared projection kernel of
+    ``ip_addresses`` and the match exchange's fused ip source)."""
+    n = t.num_rows
+    lon = t["lon"].to_numpy(zero_copy_only=False)
+    lat = t["lat"].to_numpy(zero_copy_only=False)
+    return pa.Table.from_arrays(
+        [
+            pa.array(cell_of(lon, lat), pa.int64()),
+            pa.array(["ip"] * n, pa.string()),
+            pa.array(np.zeros(n, np.int64)),
+            t["lon"].combine_chunks(),
+            t["lat"].combine_chunks(),
+            t["street"].combine_chunks(),
+            pa.nulls(n, pa.string()),
+            pa.array(np.ones(n, bool)),
+            t["houseno"].combine_chunks(),
+            t["postcode"].combine_chunks(),
+            t["city"].combine_chunks(),
+            t["country"].combine_chunks(),
+            t["fulladdr"].combine_chunks(),
+            t["place"].combine_chunks(),
+            pa.nulls(n, pa.string()),
+            t["ord0"].combine_chunks(),
+            t["ord1"].combine_chunks(),
+            t["ord2"].combine_chunks(),
+            t["ord3"].combine_chunks(),
+        ],
+        schema=ADDR_SCHEMA,
+    )
+
+
 def ip_addresses(ip_points_ds):
     """Interpolated points (__out=1 of the interpolation stage) → ADDR rows.
 
     process_interpolated_node (CLPP.hpp:39-48): street probe only, no place
     probes; nwa fields come from the first endpoint (already resolved)."""
-
-    def f(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        lon = t["lon"].to_numpy(zero_copy_only=False)
-        lat = t["lat"].to_numpy(zero_copy_only=False)
-        return pa.Table.from_arrays(
-            [
-                pa.array(cell_of(lon, lat), pa.int64()),
-                pa.array(["ip"] * n, pa.string()),
-                pa.array(np.zeros(n, np.int64)),
-                t["lon"].combine_chunks(),
-                t["lat"].combine_chunks(),
-                t["street"].combine_chunks(),
-                pa.nulls(n, pa.string()),
-                pa.array(np.ones(n, bool)),
-                t["houseno"].combine_chunks(),
-                t["postcode"].combine_chunks(),
-                t["city"].combine_chunks(),
-                t["country"].combine_chunks(),
-                t["fulladdr"].combine_chunks(),
-                t["place"].combine_chunks(),
-                pa.nulls(n, pa.string()),
-                t["ord0"].combine_chunks(),
-                t["ord1"].combine_chunks(),
-                t["ord2"].combine_chunks(),
-                t["ord3"].combine_chunks(),
-            ],
-            schema=ADDR_SCHEMA,
-        )
-
-    return ip_points_ds.map_batches(f, batch_format="pyarrow")
+    return ip_points_ds.map_batches(_ip_rows_to_addr, batch_format="pyarrow")
 
 
 # --- places broadcast index (ST2) -------------------------------------------
@@ -1091,6 +1093,7 @@ def match_stage(
     num_parts: int = 32,
     salt_map: dict[int, int] | None = None,
     exchange: str = "direct",
+    ip_src=None,
 ):
     """Co-group streets and addresses on cell id and run the match kernel.
 
@@ -1098,7 +1101,15 @@ def match_stage(
     itself is salt-agnostic because candidates are matched on the TRUE cell
     column inside each partition. ``exchange``: "direct" = two-wave raw-task
     map/reduce (ops.direct_cogroup, no sort barrier); "groupby" = packed-blob
-    groupby exchange (streaming, backpressured)."""
+    groupby exchange (streaming, backpressured).
+
+    ``ip_src`` (direct, unsalted only): the interpolation stage's raw
+    tagged-union output as a THIRD exchange source (``ops.RawRefs`` or a
+    Dataset). Its split tasks filter ``__out=1`` and project to ADDR rows
+    map-side (``pres``), then the kernel sees base ∪ ip addresses exactly
+    as the union path would — but the interp wave and the street/base-addr
+    splits overlap on object availability instead of serializing behind a
+    union plan execution (round-5 e2e fixed-term cut)."""
     if isinstance(places, ray.ObjectRef):
         # collect_side_inputs_async hands the broadcast ref directly
         places_ref = places
@@ -1117,12 +1128,46 @@ def match_stage(
     key = ["cell"]
     street_schema, addr_schema = STREET_SCHEMA, ADDR_SCHEMA
     if salt_map:
+        if ip_src is not None:
+            raise ValueError("ip_src is not supported with salt_map")
         streets_ds, addrs_ds = _salted(streets_ds, addrs_ds, salt_map)
         key = ["skey"]
         street_schema = STREET_SCHEMA.append(pa.field("skey", pa.int64()))
         addr_schema = ADDR_SCHEMA.append(pa.field("skey", pa.int64()))
 
     from ..ops import direct_cogroup
+
+    if ip_src is not None:
+        if exchange != "direct":
+            raise ValueError("ip_src requires the direct exchange")
+        import pyarrow.compute as pcc
+
+        def ip_pre(t: pa.Table) -> pa.Table:
+            s = t.filter(pcc.equal(t["__out"], 1))
+            if s.num_rows == 0:
+                return ADDR_SCHEMA.empty_table()
+            return _ip_rows_to_addr(s)
+
+        def fn3(streets_part, base_part, ip_part):
+            if ip_part.num_rows == 0:
+                addrs_part = base_part
+            elif base_part.num_rows == 0:
+                addrs_part = ip_part
+            else:
+                # base-then-ip: the union path's concat order
+                addrs_part = pa.concat_tables(
+                    [base_part, ip_part], promote_options="default"
+                )
+            return fn(streets_part, addrs_part)
+
+        return direct_cogroup(
+            [streets_ds, addrs_ds, ip_src],
+            [key, key, key],
+            num_parts,
+            fn3,
+            [street_schema, addr_schema, ADDR_SCHEMA],
+            pres=[None, None, ip_pre],
+        )
 
     impl = direct_cogroup if exchange == "direct" else cogroup
     return impl(

@@ -244,3 +244,29 @@ def test_vectorized_validator_parity_randomized():
             assert (a == b.astype(np.float64)).all(), col  # bit-exact
         else:
             assert (a == b).all(), col
+
+
+def test_interpolation_stage_refs_parity(testzone_docs, interp_out):
+    """The raw-task wave (interpolation_stage_refs, the no-workdir fast
+    path) is row-identical to the Dataset-plan stage on the conformance
+    corpus."""
+    import pandas as pd
+
+    from osmi_addresses_ray.stages.interpolation import interpolation_stage_refs
+
+    ds = parse_docs(rd.from_arrow(testzone_docs))
+    ways_geo = assemble_ways(ds, num_parts=4).materialize()
+    from osmi_addresses_ray.ops import filter_notnull
+
+    ep = collect_endpoint_tags(ds, filter_notnull(ways_geo, "t_addr_interpolation"))
+    refs_out = interpolation_stage_refs(ways_geo, ep)
+
+    def norm(ds_):
+        df = ds_.to_pandas()
+        return df.sort_values(list(df.columns), kind="stable", na_position="last").reset_index(
+            drop=True
+        )
+
+    a, b = norm(interp_out), norm(refs_out)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0

@@ -29,11 +29,48 @@ def _parts_for(n_blocks: int) -> int:
 
 
 @functools.lru_cache(maxsize=2)
-def _fixture_layers(n_blocks: int = FIXTURE_BLOCKS):
+def _fixture_layer_tables(n_blocks: int = FIXTURE_BLOCKS):
+    """Layers pinned as DRIVER-HELD Arrow tables (tiny at fixture scale).
+
+    Caching the lazy layer Datasets themselves is fragile across a long
+    session: their block objects can be evicted/lose ownership after
+    enough unrelated Ray work ("owner is unknown" — observed in the full
+    pytest sweep when the driver-contract tests built the cache ~30 min
+    before the minimal-corpus sweep reused it). Driver-held tables cannot
+    expire, and re-wrapping them per access costs one ray.put of a few
+    hundred rows."""
+    import ray
+
     from osmi_addresses_ray.pipelines.address_view import build_layers
     from osmi_addresses_ray.sources.fixture import fixture_docs
 
-    return build_layers(fixture_docs(n_blocks), num_parts=_parts_for(n_blocks))
+    layers = build_layers(fixture_docs(n_blocks), num_parts=_parts_for(n_blocks))
+    import pyarrow as pa
+
+    out = {}
+    for name, ds in layers.items():
+        tabs = ray.get(ds.to_arrow_refs())
+        if tabs:
+            out[name] = pa.concat_tables(tabs, promote_options="default")
+        else:
+            s = ds.schema()
+            s = getattr(s, "base_schema", s)
+            out[name] = s.empty_table() if s is not None else pa.table({})
+    return out
+
+
+def _fixture_layers(n_blocks: int = FIXTURE_BLOCKS):
+    """name → Dataset over the cached driver-held layer tables (fresh
+    object-store copies per access — always owned by this driver)."""
+    import ray
+    import ray.data as rd
+
+    tables = _fixture_layer_tables(n_blocks)
+    # from_arrow_refs, not from_arrow: from_arrow drops a 0-row table's
+    # schema (buildings is legitimately empty)
+    return {
+        name: rd.from_arrow_refs([ray.put(t)]) for name, t in tables.items()
+    }
 
 
 def entry() -> Any:

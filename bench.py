@@ -98,7 +98,35 @@ def bench_address_view() -> tuple[float, dict]:
             out[row["layer"]] = out.get(row["layer"], 0) + row["n"]
         return out
 
+    dedup_counts_done = []
+
     def stage_cb(event: str, group: dict):
+        if event == "dedup_launched":
+            # raw-task consume chained on the dedup reduce refs: each task
+            # runs the FULL roads/areas projections (WKT incl.) on one
+            # output block the moment it lands, so this consume overlaps
+            # the reduce wave instead of trailing the from_arrow_refs
+            # barrier as a separate plan execution
+            import ray as _ray
+
+            projects = dict(group["projects"])
+
+            @_ray.remote
+            def _count(block):
+                return {name: fn(block).num_rows for name, fn in projects.items()}
+
+            refs = [_count.remote(r) for r in group["refs"]]
+
+            def _gather():
+                out: dict[str, int] = {}
+                for d in _ray.get(refs):
+                    for k, v in d.items():
+                        out[k] = out.get(k, 0) + v
+                return out
+
+            futures.append(pool.submit(_gather))
+            dedup_counts_done.append(True)
+            return
         futures.append(pool.submit(consume_union, dict(group)))
 
     layers, internals = build_layers_with_internals(
@@ -117,17 +145,18 @@ def bench_address_view() -> tuple[float, dict]:
     # docs.count() would pay one full extra scan of the input parquet
     n_docs = internals["parsed"].count()
     t_consume = time.perf_counter()
-    # roads/areas only become consumable at the end — their union is the one
-    # remaining serial consume
-    futures.append(
-        pool.submit(
-            consume_union,
-            {
-                k: layers[k]
-                for k in ("osmi_addresses_nearest_roads", "osmi_addresses_nearest_areas")
-            },
+    if not dedup_counts_done:
+        # non-direct exchanges have no raw-ref event: roads/areas only
+        # become consumable at the end — one trailing union consume
+        futures.append(
+            pool.submit(
+                consume_union,
+                {
+                    k: layers[k]
+                    for k in ("osmi_addresses_nearest_roads", "osmi_addresses_nearest_areas")
+                },
+            )
         )
-    )
     for f in futures:
         counts.update(f.result())
     pool.shutdown()

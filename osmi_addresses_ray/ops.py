@@ -354,6 +354,7 @@ def direct_cogroup(
     emit_partitioned_on: Sequence[str] | None = None,
     pres: Sequence[Callable[[pa.Table], pa.Table] | None] | None = None,
     two_level: bool | None = None,
+    return_refs: bool = False,
 ):
     """Two-wave map/reduce co-group over raw Ray tasks (no sort barrier).
 
@@ -368,6 +369,13 @@ def direct_cogroup(
     regular Dataset via ``from_arrow_refs``. Object-store spilling still
     covers memory pressure; retries fall back to lineage of the materialized
     inputs.
+
+    ``return_refs``: return the reduce wave's output ObjectRefs (a plain
+    list) instead of a Dataset — ``rd.from_arrow_refs`` barriers on a
+    metadata task per ref, so callers that want to chain raw tasks on the
+    outputs while the reduce wave is still running (e.g. the bench's
+    overlapped layer consume) take the refs and build the Dataset view
+    later, off the critical path. Flat outputs only.
 
     ``two_level`` (default: auto at P >= ``TWO_LEVEL_MIN_PARTS`` for flat
     outputs with no PrePartitioned input): bounds the one-level grid's
@@ -384,6 +392,8 @@ def direct_cogroup(
     import ray
     import ray.data as rd
 
+    if return_refs and emit_partitioned_on is not None:
+        raise ValueError("return_refs requires a flat (non-grid) output")
     schemas_t = tuple(schemas)
     for i, s in enumerate(schemas_t):
         if not isinstance(s, pa.Schema):
@@ -572,6 +582,8 @@ def direct_cogroup(
             ),
             out_refs=len(out_refs),
         )
+        if return_refs:
+            return out_refs
         return rd.from_arrow_refs(out_refs)
 
     pieces: list[list[list]] = []  # [src][part] -> list of piece refs
@@ -647,6 +659,8 @@ def direct_cogroup(
         for p in range(num_parts):
             flat = [r for i in range(n_src) for r in pieces[i][p]]
             out_refs.append(_reduce.remote(counts_per_part[p], *flat))
+        if return_refs:
+            return out_refs
         return rd.from_arrow_refs(out_refs)
 
     grid: list[list] = [[] for _ in range(num_parts)]
@@ -728,6 +742,7 @@ def dedup_first(
     exchange: str = "packed",
     pre=None,
     schema: pa.Schema | None = None,
+    return_refs: bool = False,
 ):
     """Per key, keep the row minimal under ``order_cols`` lexicographic order.
 
@@ -753,8 +768,11 @@ def dedup_first(
             s = ds.schema()
             schema = getattr(s, "base_schema", s)
         return direct_cogroup(
-            [ds], [list(key_cols)], num_parts, f, [schema], pres=[pre]
+            [ds], [list(key_cols)], num_parts, f, [schema], pres=[pre],
+            return_refs=return_refs,
         )
+    if return_refs:
+        raise ValueError("return_refs requires exchange='direct'")
     return partitioned_map(ds, key_cols, num_parts, f)
 
 

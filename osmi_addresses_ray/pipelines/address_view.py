@@ -148,7 +148,7 @@ def _nearest_points_from_match(match_ds):
 
 def _nearest_ways_from_match(
     match_ds, *, num_parts: int, internals: dict | None = None,
-    exchange: str = "direct",
+    exchange: str = "direct", stage_cb=None,
 ):
     """__out=3 candidates → dedup by way_id (first in reference processing
     order, ST4) → (roads_ds, areas_ds)."""
@@ -162,27 +162,6 @@ def _nearest_ways_from_match(
     sch = match_ds.schema()
     sch = getattr(sch, "base_schema", sch)
     cand_schema = pa.schema([sch.field(c) for c in _CAND_COLS])
-    # direct exchange + map-side fusion: the candidate projection runs inside
-    # the split tasks over the materialized match blocks — no separate plan
-    # execution, no sort barrier. Native mode applies the projection as a
-    # streamed map_batches and runs the packed-groupby exchange instead
-    # (backpressured; the high-partition-count path — see SCALE.md).
-    if exchange == "direct":
-        # no .materialize(): the exchange's reduce refs already exist (raw
-        # tasks launch eagerly), so the roads/areas consume overlaps the
-        # reduce wave instead of waiting behind a driver barrier; re-reads
-        # hit the same refs, never re-run the exchange
-        deduped = dedup_first(
-            match_ds, ["way_id"], ["ord0", "ord1", "ord2", "ord3"], num_parts,
-            exchange="direct", pre=_pre_cands, schema=cand_schema,
-        )
-    else:
-        deduped = dedup_first(
-            match_ds.map_batches(_pre_cands, batch_format="pyarrow"),
-            ["way_id"], ["ord0", "ord1", "ord2", "ord3"], num_parts,
-        ).materialize()
-    if internals is not None:
-        internals["deduped"] = deduped
 
     def project(is_area: bool, schema, geom_type: str, polygon: bool):
         def f(t: pa.Table) -> pa.Table:
@@ -212,12 +191,48 @@ def _nearest_ways_from_match(
 
         return f
 
-    roads = deduped.map_batches(
-        project(False, NEAREST_ROADS_SCHEMA, "LINESTRING", False), batch_format="pyarrow"
-    )
-    areas = deduped.map_batches(
-        project(True, NEAREST_AREAS_SCHEMA, "POLYGON", True), batch_format="pyarrow"
-    )
+    _project_roads = project(False, NEAREST_ROADS_SCHEMA, "LINESTRING", False)
+    _project_areas = project(True, NEAREST_AREAS_SCHEMA, "POLYGON", True)
+    # direct exchange + map-side fusion: the candidate projection runs inside
+    # the split tasks over the materialized match blocks — no separate plan
+    # execution, no sort barrier. Native mode applies the projection as a
+    # streamed map_batches and runs the packed-groupby exchange instead
+    # (backpressured; the high-partition-count path — see SCALE.md).
+    if exchange == "direct":
+        # take the reduce wave's raw refs: rd.from_arrow_refs barriers on a
+        # metadata task per ref, so a consumer notified BEFORE the Dataset
+        # view is built (stage_cb "dedup_launched") can chain raw tasks on
+        # the refs and overlap the reduce wave — the bench's roads/areas
+        # consume collapses into the dedup window instead of trailing it
+        dedup_refs = dedup_first(
+            match_ds, ["way_id"], ["ord0", "ord1", "ord2", "ord3"], num_parts,
+            exchange="direct", pre=_pre_cands, schema=cand_schema,
+            return_refs=True,
+        )
+        if stage_cb is not None:
+            stage_cb(
+                "dedup_launched",
+                {
+                    "refs": list(dedup_refs),
+                    "projects": {
+                        LAYER_NEAREST_ROADS: _project_roads,
+                        LAYER_NEAREST_AREAS: _project_areas,
+                    },
+                },
+            )
+        import ray.data as rd
+
+        deduped = rd.from_arrow_refs(list(dedup_refs))
+    else:
+        deduped = dedup_first(
+            match_ds.map_batches(_pre_cands, batch_format="pyarrow"),
+            ["way_id"], ["ord0", "ord1", "ord2", "ord3"], num_parts,
+        ).materialize()
+    if internals is not None:
+        internals["deduped"] = deduped
+
+    roads = deduped.map_batches(_project_roads, batch_format="pyarrow")
+    areas = deduped.map_batches(_project_areas, batch_format="pyarrow")
     return roads, areas
 
 
@@ -518,7 +533,8 @@ def build_layers_with_internals(
         "matched": matched,
     }
     roads, areas = _nearest_ways_from_match(
-        matched, num_parts=num_parts, internals=internals, exchange=exchange
+        matched, num_parts=num_parts, internals=internals, exchange=exchange,
+        stage_cb=stage_cb,
     )
     clock.tick("dedup")
     internals["phases"] = clock.phases
